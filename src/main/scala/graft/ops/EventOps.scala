@@ -1,0 +1,144 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-log operators over the `events` table: JSON extraction, tumbling
+  * windows, as-of joins, sessionization, stateful dedup — the batch forms
+  * of the streaming inventory (SURVEY.md §2.6). Streaming equivalents live
+  * in graft.streaming.StreamOps.
+  *
+  * Time base: `ts_us` = microseconds since epoch (see Tables.events — the
+  * source is nanosecond parquet, floored to µs to match DuckDB's read).
+  * All window math is integer arithmetic, so results are hash-exact.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q24
+  /** JSON path extraction over the props column + aggregate. */
+  val q24Json: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+        max(get_json_object(col("props"), "$.k").cast("long")).as("k_max"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q24Oracle: String =
+    """SELECT event_type,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+      | count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Tumbling 5-minute window aggregate (batch form; integer bucket math
+    * so it shuffles once on (bucket, type) and scales linearly). */
+  val q25TumblingWindow: Q = (spark, dir) =>
+    Tables(spark, dir, "events")
+      .withColumn("window_start", (expr("ts DIV 300000000000") * 300).cast("long"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val q25Oracle: String =
+    """SELECT (epoch_ns(ts)//300000000000)*300 AS window_start, event_type,
+      | count(*) AS n, round(sum(value),2) AS v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** As-of join: each purchase matched to the user's most recent signup at
+    * or before it. Implemented as the scalable union+window pattern — one
+    * shuffle on user_id, no per-row subquery, no skew-prone self-join. */
+  val q26AsOfJoin: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("signup_ts",
+        when(col("event_type") === "signup", col("ts_us")))
+      .withColumn("last_signup_us", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("last_signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q26Oracle: String =
+    """SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000 AS ts_us,
+      | (SELECT max(epoch_ns(s.ts)//1000) FROM events s
+      |   WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+      |     AND s.ts <= p.ts) AS last_signup_us
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Sessionization (30-minute inactivity gap): lag + conditional sum —
+    * the classic single-shuffle batch sessionizer. */
+  val q27Sessionize: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val q27Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+      |g AS (SELECT user_id,
+      |  CASE WHEN lag(ts_us) OVER w IS NULL
+      |         OR ts_us - lag(ts_us) OVER w > 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+      |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+      | count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Keyed dedup: keep the earliest event per (user, type) — batch form of
+    * dropDuplicatesWithinWatermark. */
+  val q28EventDedup: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q28Oracle: String =
+    """SELECT user_id, event_type, event_id, epoch_ns(ts)//1000 AS ts_us
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |   ORDER BY epoch_ns(ts)//1000, event_id) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    "q24_json_extract" -> q24Json,
+    "q25_tumbling_window" -> q25TumblingWindow,
+    "q26_asof_join" -> q26AsOfJoin,
+    "q27_sessionize" -> q27Sessionize,
+    "q28_event_dedup" -> q28EventDedup,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q24_json_extract" -> q24Oracle,
+    "q25_tumbling_window" -> q25Oracle,
+    "q26_asof_join" -> q26Oracle,
+    "q27_sessionize" -> q27Oracle,
+    "q28_event_dedup" -> q28Oracle,
+  )
+}

@@ -1,0 +1,609 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.6): scans, projection/filter,
+  * joins (broadcast/shuffle/semi/anti/outer/theta-range), aggregation
+  * (hash agg, count-distinct, rollup/cube/grouping-sets), window functions
+  * (ranking/analytic/frames), sort/limit/top-k, set ops, scalar function
+  * families (string/date/math/JSON).
+  *
+  * Every query here is a declarative DataFrame plan — Catalyst handles
+  * predicate pushdown, column pruning, partial aggregation and join
+  * strategy selection; small dimension tables are broadcast explicitly.
+  * Each query carries a DuckDB oracle with identical column names/ordering.
+  *
+  * Floating-point aggregates are rounded on both sides: engines may sum
+  * doubles in different orders, so the last ulp is not comparable but the
+  * rounded value is.
+  */
+object Relational {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  private def ntz(s: String): Column = lit(s).cast("timestamp_ntz")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1 shape: scan + filter + hash aggregate (partial/final agg is
+    * automatic map-side combine — the 100TB-safe agg pattern). */
+  val q01PricingSummary: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= ntz("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity),2) AS sum_qty,
+      | round(sum(l_extendedprice),2) AS sum_base_price,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+      | round(avg(l_quantity),4) AS avg_qty,
+      | round(avg(l_extendedprice),4) AS avg_price,
+      | round(avg(l_discount),4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Row-level projection + conjunctive filter; filters reach the parquet
+    * scan as PushedFilters. Row-level IEEE arithmetic is bit-identical
+    * across engines, so the raw double is emitted (rounding would
+    * INTRODUCE half-boundary divergence, not remove it). */
+  val q02FilterProject: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(ntz("1996-01-01"), ntz("1996-12-31")) &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 25)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q02Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      | l_extendedprice*(1-l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_discount >= 0.05 AND l_quantity < 25
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3 shape: 3-way join (customer broadcast into orders⋈lineitem),
+    * aggregate, deterministic top-10. */
+  val q03TopOrders: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < ntz("1997-01-01"))
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > ntz("1997-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Oracle: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Left-semi join (EXISTS) with a cross-table non-equi conjunct. */
+  val q04SemiJoin: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val l = t(spark, dir, "lineitem")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** Star join: two broadcast dims (region⋈nation), then shuffle joins up
+    * the fact chain; revenue per (region, nation). */
+  val q05RegionRevenue: Q = (spark, dir) => {
+    val r = t(spark, dir, "region")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate").between(ntz("1996-01-01"), ntz("1996-12-31")))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q05Oracle: String =
+    """SELECT r_name, n_name,
+      | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6: pure scan-filter-agg, single row. */
+  val q06ForecastRevenue: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(ntz("1996-01-01"), ntz("1996-12-31")) &&
+        col("l_discount").between(0.04, 0.06) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+
+  val q06Oracle: String =
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+      | count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Left-anti join (NOT EXISTS): customers who never ordered. */
+  val q07AntiJoin: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val q07Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Left-outer join + aggregate preserving unmatched rows. */
+  val q08OuterJoin: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q08Oracle: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      | round(coalesce(sum(o_totalprice),0),2) AS spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  val q09CountDistinct: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q09Oracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      | count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** GROUPING SETS via SQL surface. */
+  val q10GroupingSets: Q = (spark, dir) => {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val q10Oracle: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      | coalesce(l_linestatus, '(all)') AS ls,
+      | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** ROLLUP over a broadcast-joined dimension hierarchy. */
+  val q11Rollup: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 2).as("acctbal"),
+        count(lit(1)).as("n_cust"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("acctbal"), col("n_cust"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val q11Oracle: String =
+    """SELECT coalesce(r_name, '(all)') AS region,
+      | coalesce(n_name, '(all)') AS nation,
+      | round(sum(c_acctbal),2) AS acctbal, count(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** CUBE aggregate. */
+  val q12Cube: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q12Oracle: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS rf,
+      | coalesce(l_linestatus, '(all)') AS ls,
+      | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Per-group top-k via ranking window (the scalable top-k idiom: no
+    * global sort, partial top-k per partition after the hash shuffle). */
+  val q13TopKPerGroup: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(spark, dir, "part")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  val q13Oracle: String =
+    """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |   row_number() OVER (PARTITION BY p_brand
+      |     ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |  FROM part) WHERE rn <= 2
+      |ORDER BY p_brand, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Ranking window functions: rank / dense_rank / ntile. */
+  val q14WindowRank: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("drnk"), col("quartile"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  val q14Oracle: String =
+    """SELECT o_custkey, rnk, drnk, quartile, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |   rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |   ntile(4) OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Running-total window with ROWS frame. l_quantity is integral-valued
+    * so the running double sum is exact — no rounding needed. */
+  val q15WindowRunning: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .withColumn("run_qty", sum(col("l_quantity")).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("run_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q15Oracle: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      | sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Analytic window functions: lag / lead / first_value. */
+  val q16WindowLagLead: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("first_price", first(col("o_totalprice")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("prev_price"), col("next_price"), col("first_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q16Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      | lag(o_totalprice, 1) OVER w AS prev_price,
+      | lead(o_totalprice, 1) OVER w AS next_price,
+      | first_value(o_totalprice) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** RANGE frame window: peer rows (ties) enter the frame together. */
+  val q17WindowRange: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .withColumn("cum_qty", sum(col("l_quantity")).over(w))
+      .withColumn("cum_n", count(lit(1)).over(w))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("cum_qty"), col("cum_n"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q17Oracle: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+      | sum(l_quantity) OVER w AS cum_qty,
+      | count(*) OVER w AS cum_n
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+      |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** Range/theta join, pre-aggregated: reduce the fact side to its 50
+    * distinct quantities first, then the non-equi join is tiny. This is the
+    * 100TB pattern — never range-join raw fact rows when a group-reduce
+    * collapses the domain. */
+  val q18RangeJoin: Q = (spark, dir) => {
+    val liq = t(spark, dir, "lineitem")
+      .groupBy(col("l_quantity").as("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val p = t(spark, dir, "part")
+    liq.join(p, col("qty").between(col("p_size") - 2, col("p_size") + 2))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("cnt")).as("n_lines"), count(lit(1)).as("n_pairs"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q18Oracle: String =
+    """WITH liq AS (
+      |  SELECT l_quantity AS qty, count(*) AS cnt FROM lineitem GROUP BY 1)
+      |SELECT p_brand, CAST(sum(cnt) AS BIGINT) AS n_lines,
+      | count(*) AS n_pairs
+      |FROM liq JOIN part ON qty BETWEEN p_size - 2 AND p_size + 2
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Set operations: INTERSECT / EXCEPT over distinct key sets. */
+  val q19SetOps: Q = (spark, dir) => {
+    val withOrders = t(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val rich = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey")).distinct()
+    withOrders.intersect(rich).select(col("c_custkey"), lit("both").as("tag"))
+      .union(withOrders.except(rich)
+        .select(col("c_custkey"), lit("orders_only").as("tag")))
+      .union(rich.except(withOrders)
+        .select(col("c_custkey"), lit("rich_only").as("tag")))
+      .orderBy(col("c_custkey"), col("tag"))
+  }
+
+  val q19Oracle: String =
+    """WITH w AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+      | r AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM w INTERSECT SELECT * FROM r)
+      |UNION ALL
+      |SELECT c_custkey, 'orders_only' AS tag FROM (SELECT * FROM w EXCEPT SELECT * FROM r)
+      |UNION ALL
+      |SELECT c_custkey, 'rich_only' AS tag FROM (SELECT * FROM r EXCEPT SELECT * FROM w)
+      |ORDER BY c_custkey, tag""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** DISTINCT projection. */
+  val q20Distinct: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q20Oracle: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** String scalar-function family. */
+  val q21StringFns: Q = (spark, dir) =>
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        substring(col("p_name"), 1, 3).as("pre3"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        concat_ws("|", col("p_type"), col("p_brand")).as("cat"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy(col("p_partkey"))
+
+  val q21Oracle: String =
+    """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+      | substring(p_name, 1, 3) AS pre3,
+      | CAST(length(p_name) AS BIGINT) AS name_len,
+      | regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+      | concat_ws('|', p_type, p_brand) AS cat,
+      | string_split(p_name, ' ')[1] AS first_word,
+      | trim('  pad  ') AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Date/time scalar-function family (string/long outputs to sidestep
+    * timestamp-encoding differences between engines). */
+  val q22DateFns: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("age_days"))
+      .orderBy(col("o_orderkey"))
+
+  val q22Oracle: String =
+    """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      | CAST(day(o_orderdate) AS BIGINT) AS dom, quarter(o_orderdate) AS qtr,
+      | strftime(o_orderdate, '%Y-%m-%d') AS ds,
+      | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      | CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS age_days
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Math scalar-function family. sqrt/abs/pow-of-integral are IEEE-exact
+    * (emitted raw); ln is libm-dependent so it alone is rounded. */
+  val q23MathFns: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_extendedprice")).as("sqrt_px"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        abs(col("l_discount") - 0.05).as("abs_disc"),
+        ceil(col("l_extendedprice")).as("ceil_px"),
+        floor(col("l_extendedprice")).as("floor_px"),
+        round(log(col("l_extendedprice") + 1), 6).as("ln_px"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q23Oracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      | sqrt(l_extendedprice) AS sqrt_px,
+      | pow(l_quantity, 2) AS qty_sq,
+      | abs(l_discount - 0.05) AS abs_disc,
+      | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_px,
+      | CAST(floor(l_extendedprice) AS BIGINT) AS floor_px,
+      | round(ln(l_extendedprice + 1), 6) AS ln_px,
+      | l_orderkey % 7 AS key_mod,
+      | greatest(l_tax, l_discount) AS max_rate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_top_orders" -> q03TopOrders,
+    "q04_semi_join" -> q04SemiJoin,
+    "q05_region_revenue" -> q05RegionRevenue,
+    "q06_forecast_revenue" -> q06ForecastRevenue,
+    "q07_anti_join" -> q07AntiJoin,
+    "q08_outer_join" -> q08OuterJoin,
+    "q09_count_distinct" -> q09CountDistinct,
+    "q10_grouping_sets" -> q10GroupingSets,
+    "q11_rollup" -> q11Rollup,
+    "q12_cube" -> q12Cube,
+    "q13_topk_per_group" -> q13TopKPerGroup,
+    "q14_window_rank" -> q14WindowRank,
+    "q15_window_running" -> q15WindowRunning,
+    "q16_window_lag_lead" -> q16WindowLagLead,
+    "q17_window_range" -> q17WindowRange,
+    "q18_range_join" -> q18RangeJoin,
+    "q19_set_ops" -> q19SetOps,
+    "q20_distinct" -> q20Distinct,
+    "q21_string_fns" -> q21StringFns,
+    "q22_date_fns" -> q22DateFns,
+    "q23_math_fns" -> q23MathFns,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q01_pricing_summary" -> q01Oracle,
+    "q02_filter_project" -> q02Oracle,
+    "q03_top_orders" -> q03Oracle,
+    "q04_semi_join" -> q04Oracle,
+    "q05_region_revenue" -> q05Oracle,
+    "q06_forecast_revenue" -> q06Oracle,
+    "q07_anti_join" -> q07Oracle,
+    "q08_outer_join" -> q08Oracle,
+    "q09_count_distinct" -> q09Oracle,
+    "q10_grouping_sets" -> q10Oracle,
+    "q11_rollup" -> q11Oracle,
+    "q12_cube" -> q12Oracle,
+    "q13_topk_per_group" -> q13Oracle,
+    "q14_window_rank" -> q14Oracle,
+    "q15_window_running" -> q15Oracle,
+    "q16_window_lag_lead" -> q16Oracle,
+    "q17_window_range" -> q17Oracle,
+    "q18_range_join" -> q18Oracle,
+    "q19_set_ops" -> q19Oracle,
+    "q20_distinct" -> q20Oracle,
+    "q21_string_fns" -> q21Oracle,
+    "q22_date_fns" -> q22Oracle,
+    "q23_math_fns" -> q23Oracle,
+  )
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float] vectors):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * (random-hyperplane) approximate variant as the 100TB scale path.
+  *
+  * Dot products use zip_with + aggregate in double precision — sequential
+  * fold order matches DuckDB's list_inner_product so ranks are stable.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Σ a_i*b_i in double precision over two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  // ---------------------------------------------------------------- q36
+  /** Vector norms + dimension introspection. */
+  val q36VectorNorms: Q = (spark, dir) =>
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(l2norm(col("embedding")), 4).as("norm"))
+      .orderBy(col("vec_id"))
+
+  val q36Oracle: String =
+    """SELECT vec_id, CAST(label AS BIGINT) AS label,
+      | CAST(len(embedding) AS BIGINT) AS dim,
+      | round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Brute-force cosine top-3 for a small query set (vec_id < 10) against
+    * the full collection. The query side is broadcast — at scale this is a
+    * map-only pass over the collection followed by a per-query top-k
+    * (no shuffle of the big side). Output is rank-only (ints), so the
+    * comparison is float-order-robust. */
+  val q37CosineTopK: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (l2norm(col("q_emb")) * l2norm(col("embedding")))).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q37Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      |s AS (SELECT q_id, vec_id,
+      |  list_inner_product(q_emb, emb) /
+      |    (sqrt(list_inner_product(q_emb, q_emb)) *
+      |     sqrt(list_inner_product(emb, emb))) AS cos
+      | FROM q, e WHERE vec_id <> q_id),
+      |r AS (SELECT q_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      | FROM s)
+      |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+      |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Random-hyperplane LSH bucketing — the ANN scale path. Hyperplanes are
+    * pseudo-random but fully deterministic (hash of (plane, dim) mapped to
+    * ±1), so the bucketing is reproducible across engines and runs.
+    * Output: bucket signature histogram (candidate-set sizes an IVF/LSH
+    * probe would touch). At 100TB the bucket id becomes the shuffle /
+    * partition key and each query probes one bucket instead of the corpus.
+    */
+  val q38LshBuckets: Q = (spark, dir) => {
+    val nPlanes = 8
+    val e = Tables(spark, dir, "embeddings")
+    // sign bit p of vector v: sgn( Σ_d h(p,d)*v_d ), h in {-1,+1} from bit 7
+    // of a cheap integer mix of (p, d) — deterministic, engine-agnostic
+    // (pure int64 arithmetic, identical in Spark and the SQL oracle).
+    def planeBit(p: Int): Column = {
+      val prods = zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (v, d) => v.cast("double") *
+          (shiftright(d * 2654435761L + lit((p + 1) * 40503L) + d * lit(p * 97L), 7)
+            .bitwiseAND(lit(1L)) * 2 - 1).cast("double"))
+      when(aggregate(prods, lit(0.0), (a, x) => a + x) >= 0, lit(1)).otherwise(lit(0))
+    }
+    val sig = (0 until nPlanes).map(p => planeBit(p) * (1 << p))
+      .reduce(_ + _).cast("long")
+    e.withColumn("bucket", sig)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"))
+      .orderBy(col("bucket"))
+  }
+
+  val q38Oracle: String =
+    """WITH b AS (SELECT vec_id, label,
+      |  CAST(list_sum(list_transform(range(0, 8), p ->
+      |    CASE WHEN list_sum(list_transform(range(0, len(emb)), d ->
+      |      emb[d+1] * (CAST(((d*2654435761 + (p+1)*40503 + d*p*97) >> 7) & 1
+      |        AS DOUBLE)*2 - 1))) >= 0
+      |    THEN 1 << p ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings))
+      |SELECT bucket, count(*) AS n_vectors,
+      | count(DISTINCT label) AS n_labels
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    "q36_vector_norms" -> q36VectorNorms,
+    "q37_cosine_topk" -> q37CosineTopK,
+    "q38_lsh_buckets" -> q38LshBuckets,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q36_vector_norms" -> q36Oracle,
+    "q37_cosine_topk" -> q37Oracle,
+    "q38_lsh_buckets" -> q38Oracle,
+  )
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table (training-data
+  * pipeline surface): token counting, quality scoring, language-ID
+  * heuristics, shingling, normalization dedup, content hashing.
+  *
+  * All implemented with codegen'd built-in functions (split / transform /
+  * filter / regexp) — no UDFs, so whole-stage codegen spans the full plan
+  * and the ops scale embarrassingly parallel (no shuffle except final agg).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private val words: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- q30
+  /** Whitespace token counting. */
+  val q30TokenCount: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val q30Oracle: String =
+    """SELECT doc_id,
+      | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS len, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Quality scoring: length, word stats, character-class ratios. Ratios
+    * are raw int/int IEEE divisions — bit-identical across engines, no
+    * rounding (rounding a rational that lands on a half-boundary is the
+    * one thing the engines disagree on). */
+  val q31QualityScore: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        (length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))).as("alpha_ratio"),
+        (length(regexp_replace(col("text"), "[^ ]", ""))
+          .cast("double") / length(col("text"))).as("space_ratio"),
+        (length(col("text")).cast("double") /
+          size(split(trim(col("text")), "\\s+"))).as("chars_per_word"))
+      .orderBy(col("doc_id"))
+
+  val q31Oracle: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+      | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      | length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0
+      |   / length(text) AS alpha_ratio,
+      | length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0
+      |   / length(text) AS space_ratio,
+      | length(text) * 1.0
+      |   / len(string_split_regex(trim(text), '\s+')) AS chars_per_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Language-ID heuristic: English stopword-hit ratio over tokens
+    * (higher-order n-gram models reduce to the same filter/ratio shape). */
+  val q32LangId: Q = (spark, dir) => {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val hits = size(filter(words,
+      w => stop.map(s => w === s).reduce(_ || _)))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        hits.cast("long").as("n_stop"),
+        (hits.cast("double") / size(words)).as("stop_ratio"),
+        when(hits >= 1, lit("en-like")).otherwise(lit("other")).as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q32Oracle: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split(text, ' '),
+      |    x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+      |      OR x = 'to' OR x = 'in' OR x = 'is')) AS hits,
+      |  len(string_split(text, ' ')) AS n FROM documents)
+      |SELECT doc_id, lang, CAST(hits AS BIGINT) AS n_stop,
+      | hits * 1.0 / n AS stop_ratio,
+      | CASE WHEN hits >= 1 THEN 'en-like' ELSE 'other' END AS pred
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Word 3-gram shingling: distinct-shingle count per doc (the input
+    * stage of MinHash dedup). sequence+transform keeps it inside
+    * whole-stage codegen; no explode, no shuffle. */
+  val q33Shingles: Q = (spark, dir) => {
+    val n = size(words)
+    val shingles = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2)))).otherwise(array())
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(array_distinct(shingles)).cast("long").as("n_shingles"),
+        (n - 2 - size(array_distinct(shingles)))
+          .cast("long").as("n_repeated"))
+      .filter(n >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q33Oracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id, len(ws) AS n,
+      |  list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM w)
+      |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+      | CAST(n - 2 - len(sh) AS BIGINT) AS n_repeated
+      |FROM s WHERE n >= 3 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Normalization dedup: lowercase/strip-punct canonical form, keep the
+    * lowest doc_id per group (exact dedup after normalization). */
+  val q34NormalizedDedup: Q = (spark, dir) =>
+    docs(spark, dir)
+      .groupBy(lower(regexp_replace(col("text"), "[^a-zA-Z ]", "")).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"),
+        substring(col("norm"), 1, 40).as("norm_prefix"))
+      .orderBy(col("keep_id"))
+
+  val q34Oracle: String =
+    """WITH g AS (SELECT lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS norm,
+      |  min(doc_id) AS keep_id, count(*) AS n_dups
+      | FROM documents GROUP BY 1)
+      |SELECT keep_id, n_dups, substring(norm, 1, 40) AS norm_prefix
+      |FROM g ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Exact content-hash dedup fingerprint (sha256). */
+  val q35ShaFingerprint: Q = (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_sha"),
+        col("source"))
+      .orderBy(col("doc_id"))
+
+  val q35Oracle: String =
+    """SELECT doc_id, sha256(text) AS text_sha, source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    "q30_token_count" -> q30TokenCount,
+    "q31_quality_score" -> q31QualityScore,
+    "q32_lang_id" -> q32LangId,
+    "q33_shingles" -> q33Shingles,
+    "q34_normalized_dedup" -> q34NormalizedDedup,
+    "q35_sha_fingerprint" -> q35ShaFingerprint,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q30_token_count" -> q30Oracle,
+    "q31_quality_score" -> q31Oracle,
+    "q32_lang_id" -> q32Oracle,
+    "q33_shingles" -> q33Oracle,
+    "q34_normalized_dedup" -> q34Oracle,
+    "q35_sha_fingerprint" -> q35Oracle,
+  )
+}
