@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One row per 2D Y×X plane — the engine's canonical distributed image
+  * representation (SURVEY.md §1.5). A 5D–7D TCZYX[+M][+S] scene becomes a
+  * long-form table keyed by (scene_idx, level, m, t, c, z, s); the plane
+  * payload is a row-major Array[Double].
+  *
+  * Scale design: planes parquet is partitioned by (scene_idx, level) and
+  * sorted by (t, c, z) so scene/level selection is partition pruning and
+  * T/C/Z selection is row-group pruning; Y/X slicing operates on the array
+  * payload inside codegen without touching other planes.
+  */
+final case class PlaneRow(
+    scene_idx: Int,
+    scene_id: String,
+    level: Int,
+    m: Int, // mosaic tile index (0 when non-mosaic)
+    t: Int,
+    c: Int,
+    z: Int,
+    s: Int, // sample index (0 when no S dim)
+    y0: Int, // mosaic tile top offset in stitched space
+    x0: Int, // mosaic tile left offset in stitched space
+    h: Int,
+    w: Int,
+    pixels: Array[Double])
+
+object Plane {
+  /** Long-form pixel view of a plane table: one row per pixel with LOCAL
+    * (per-tile) y/x coordinates. */
+  def pixels(planes: DataFrame): DataFrame =
+    planes.select(col("scene_idx"), col("level"), col("m"), col("t"),
+        col("c"), col("z"), col("s"), col("w"), col("y0"), col("x0"),
+        posexplode(col("pixels")).as(Seq("pos", "v")))
+      .withColumn("y", (col("pos") / col("w")).cast("int"))
+      .withColumn("x", pmod(col("pos"), col("w")).cast("int"))
+      .drop("pos", "w")
+
+  /** Pixel view in STITCHED mosaic space (y/x shifted by tile offsets). */
+  def stitchedPixels(planes: DataFrame): DataFrame =
+    pixels(planes)
+      .withColumn("y", col("y") + col("y0"))
+      .withColumn("x", col("x") + col("x0"))
+      .drop("y0", "x0")
+}

@@ -1,0 +1,285 @@
+package graft.image
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.plugins.{BioReader, SceneMeta}
+
+/** Selection on a named dimension — the analog of reshape_data's kwarg
+  * types (/root/reference/bioio/bio_image.py:776-827):
+  *   Index(i)   — select one index and DROP the dimension
+  *   Subset(xs) — keep the dimension, subset indices (re-indexed 0..n-1)
+  *   SRange     — contiguous subset (inclusive start, exclusive end)
+  */
+sealed trait Sel
+object Sel {
+  final case class Index(i: Int) extends Sel
+  final case class Subset(xs: Seq[Int]) extends Sel
+  final case class SRange(start: Int, end: Int) extends Sel
+}
+
+/** Eager nd result: NDArray + its dimension order (the numpy analog). */
+final case class NDStack(order: String, array: NDArray)
+
+/** The user-facing image container — the analog of the reference BioImage
+  * (/root/reference/bioio/bio_image.py:27-1324) re-expressed over a plane
+  * DataFrame:
+  *   - scenes/setScene: string id or int index; switching invalidates
+  *     caches (bio_image.py:433-498)
+  *   - resolution levels: validated switch, no-op when unchanged
+  *     (bio_image.py:548-604)
+  *   - lazy `planes` / `pixels` (dask analog) vs eager `getImageData`
+  *     (numpy analog, bio_image.py:606-917)
+  *   - mosaic reconstruction default ON with graceful fallback to tiled
+  *     M-dim data (bio_image.py:60-71, 626-638)
+  *   - scene stacking with leading scene dim (bio_image.py:919-1007)
+  *   - metadata surface: dims, channelNames, physicalPixelSizes,
+  *     standardMetadata with sizes overridden from actual dims
+  *     (bio_image.py:1038-1133)
+  */
+final class BioImage(
+    val spark: SparkSession,
+    val reader: BioReader,
+    val reconstructMosaic: Boolean = true) {
+
+  val scenes: Seq[String] = reader.scenes
+  private var sceneIdx: Int = 0
+  private var level: Int = 0
+  private val planeCache = mutable.Map.empty[(Int, Int), DataFrame]
+
+  def currentScene: String = scenes(sceneIdx)
+  def currentSceneIndex: Int = sceneIdx
+
+  /** Scene switch by id (bio_image.py:474-498); unknown id → error. */
+  def setScene(id: String): Unit = {
+    val i = scenes.indexOf(id)
+    if (i < 0)
+      throw new IndexOutOfBoundsException(
+        s"Scene id '$id' not found in ${scenes.mkString("[", ", ", "]")}")
+    if (i != sceneIdx) { sceneIdx = i; level = 0; invalidate() }
+  }
+
+  /** Scene switch by index. */
+  def setScene(i: Int): Unit = {
+    if (i < 0 || i >= scenes.length)
+      throw new IndexOutOfBoundsException(
+        s"Scene index $i out of range (${scenes.length} scenes)")
+    if (i != sceneIdx) { sceneIdx = i; level = 0; invalidate() }
+  }
+
+  def resolutionLevels: Seq[Int] = reader.resolutionLevels(sceneIdx)
+  def currentResolutionLevel: Int = level
+
+  /** bio_image.py:568-594: raise on unknown level, no-op when unchanged,
+    * otherwise invalidate caches. */
+  def setResolutionLevel(l: Int): Unit = {
+    if (!resolutionLevels.contains(l))
+      throw new IndexOutOfBoundsException(
+        s"Resolution level $l not in $resolutionLevels")
+    if (l != level) { level = l; invalidate() }
+  }
+
+  /** {level: shape} map (bio_image.py:596-604). */
+  def resolutionLevelDims: Map[Int, Seq[Long]] =
+    resolutionLevels.map { l =>
+      val saved = level
+      level = l
+      val d = computeDims.shape
+      level = saved
+      l -> d
+    }.toMap
+
+  private def invalidate(): Unit = planeCache.clear()
+
+  def meta: SceneMeta = reader.sceneMeta(sceneIdx)
+
+  /** Lazy canonical plane table of the current (scene, level) — memoized
+    * per (scene, level) like the reference's _xarray_dask_data cache. */
+  def planes: DataFrame =
+    planeCache.getOrElseUpdate((sceneIdx, level),
+      reader.readDelayedAtLevel(spark, sceneIdx, level))
+
+  private def hasMosaic: Boolean = meta.dims.order.contains('M')
+
+  /** Lazy long-form pixel view in the image's canonical space: stitched
+    * (Y/X global, no M) when the scene is a mosaic and reconstruction is
+    * on; tiled otherwise. Overlapping stitched pixels resolve to the
+    * lowest tile index (documented overlap policy — the reference
+    * delegates this to plugins). */
+  def pixels: DataFrame =
+    if (hasMosaic && reconstructMosaic)
+      Plane.stitchedPixels(planes)
+        .groupBy(col("scene_idx"), col("level"), col("t"), col("c"),
+          col("z"), col("s"), col("y"), col("x"))
+        .agg(min_by(col("v"), col("m")).as("v"))
+    else Plane.pixels(planes).drop("y0", "x0")
+
+  /** Dims of the current scene/level, derived from the catalog; mosaic
+    * reconstruction folds M into stitched Y/X. */
+  def dims: Dimensions = computeDims
+
+  private def computeDims: Dimensions = {
+    val d = meta.dims
+    if (hasMosaic && reconstructMosaic) {
+      val tiles = meta.tilePositions
+      val h = d('Y')
+      val w = d('X')
+      val stitchedH =
+        if (tiles.nonEmpty) tiles.map(_._1 + h).max else h
+      val stitchedW =
+        if (tiles.nonEmpty) tiles.map(_._2 + w).max else w
+      val order = d.order.filter(_ != 'M')
+      Dimensions(order, order.map {
+        case 'Y' => stitchedH
+        case 'X' => stitchedW
+        case dim => d(dim)
+      })
+    } else d
+  }
+
+  /** Guaranteed channel coordinate (bio_image.py:532-539): reader-provided
+    * names, or OME channel IDs synthesized at normalization — present even
+    * when the source had no C dim (canonical C has size 1). */
+  def channelNames: Seq[String] =
+    if (meta.channelNames.nonEmpty) meta.channelNames
+    else (0L until dims('C')).map(c =>
+      graft.meta.OmeUtils.omeChannelId(sceneIdx.toLong, c))
+
+  def physicalPixelSizes: Option[(Double, Double, Double)] =
+    meta.physicalPixelSizes
+
+  /** Lazy slice+reorder (the get_image_dask_data analog): plane/pixel rows
+    * filtered by the selections. Stays a lazy DataFrame. */
+  def getImagePixels(selections: Map[Char, Sel] = Map.empty): DataFrame = {
+    val colFor = Map('M' -> "m", 'T' -> "t", 'C' -> "c", 'Z' -> "z",
+      'S' -> "s", 'Y' -> "y", 'X' -> "x")
+    selections.foldLeft(pixels) { case (df, (d, sel)) =>
+      val c = col(colFor(d))
+      sel match {
+        case Sel.Index(i)       => df.filter(c === i)
+        case Sel.Subset(xs)     => df.filter(c.isin(xs: _*))
+        case Sel.SRange(s0, e0) => df.filter(c >= s0 && c < e0)
+      }
+    }
+  }
+
+  /** Eager slice+reorder+reshape (the get_image_data analog,
+    * bio_image.py:841-917): returns an NDStack in `returnDims` order.
+    * reshape_data semantics (bio_image.py:776-827):
+    *   - Sel.Index drops the dim (must not appear in returnDims)
+    *   - Sel.Subset/SRange keep + re-index the dim
+    *   - dims present in data but absent from returnDims (and unselected)
+    *     are REDUCED at index 0
+    *   - dims in returnDims absent from data are INSERTED with size 1
+    *   - output axes are transposed to returnDims order
+    */
+  def getImageData(returnDims: String,
+      selections: Map[Char, Sel] = Map.empty): NDStack = {
+    val dataOrder = dims.order
+    selections.foreach { case (d, sel) =>
+      if (sel.isInstanceOf[Sel.Index] && returnDims.contains(d))
+        throw new ConflictingArguments(
+          s"dim $d selected by single index but requested in returnDims '$returnDims'")
+      if (!dataOrder.contains(d))
+        throw new ConflictingArguments(s"selection on missing dim $d of '$dataOrder'")
+    }
+    // implicit reduction at index 0 for unrequested, unselected dims
+    val reduced = dataOrder.filterNot(d => returnDims.contains(d))
+      .filterNot(d => selections.contains(d))
+      .map(d => d -> (Sel.Index(0): Sel)).toMap
+    val df = getImagePixels(selections ++ reduced)
+    val colFor = Map('M' -> "m", 'T' -> "t", 'C' -> "c", 'Z' -> "z",
+      'S' -> "s", 'Y' -> "y", 'X' -> "x")
+    val rows = df.select(
+      returnDims.filter(d => dataOrder.contains(d)).map(d => col(colFor(d))) :+ col("v"): _*)
+      .collect()
+    // per-dim sorted index remap (subsets re-index densely)
+    val present = returnDims.filter(d => dataOrder.contains(d))
+    val remaps: Seq[Map[Int, Int]] = present.indices.map { i =>
+      val vals = rows.map(_.getInt(i)).distinct.sorted
+      vals.zipWithIndex.toMap
+    }
+    val shape = returnDims.map { d =>
+      val i = present.indexOf(d)
+      if (i < 0) 1 else remaps(i).size
+    }
+    val strides = shape.indices.map(i => shape.drop(i + 1).product)
+    val data = new Array[Double](shape.product)
+    rows.foreach { r =>
+      var flat = 0
+      returnDims.zipWithIndex.foreach { case (d, ax) =>
+        val i = present.indexOf(d)
+        if (i >= 0) flat += remaps(i)(r.getInt(i)) * strides(ax)
+      }
+      data(flat) = r.getDouble(present.length)
+    }
+    NDStack(returnDims, NDArray(shape.toSeq, data))
+  }
+
+  /** Scene stacking (bio_image.py:919-1007): all scenes as one lazy plane
+    * table (leading scene dim ≡ the scene_idx column — a union, not a
+    * shuffle). */
+  def stackPlanes: DataFrame =
+    scenes.indices.map(i => reader.readDelayed(spark, i)).reduce(_ unionByName _)
+
+  /** Eager stack with leading scene dim 'I' (dims must match across
+    * scenes, as in biob.transforms.generate_stack). */
+  def getStack(returnDims: String = null): NDStack = {
+    val inner = Option(returnDims).getOrElse(dims.order)
+    val saved = sceneIdx
+    val stacks = scenes.indices.map { i => setScene(i); getImageData(inner) }
+    setScene(saved)
+    val shapes = stacks.map(_.array.shape).distinct
+    require(shapes.length == 1,
+      s"scene shapes differ: $shapes — cannot stack")
+    NDStack("I" + inner,
+      NDArray(stacks.length +: shapes.head, stacks.flatMap(_.array.data).toArray))
+  }
+
+  /** Mosaic tile position lookup (bio_image.py:1135-1216). */
+  def getMosaicTilePosition(m: Int): (Int, Int) = {
+    if (!hasMosaic) throw new UnsupportedOperationException("not a mosaic scene")
+    val tiles = meta.tilePositions
+    if (!tiles.isDefinedAt(m))
+      throw new IndexOutOfBoundsException(s"tile $m of ${tiles.length}")
+    tiles(m)
+  }
+
+  /** Per-tile Y/X dims or None when non-mosaic (bio_image.py:1218-1227). */
+  def mosaicTileDims: Option[(Long, Long)] =
+    if (hasMosaic) Some((meta.dims('Y'), meta.dims('X'))) else None
+
+  /** Flat normalized metadata with image sizes overridden from actual
+    * dims (bio_image.py:1110-1133). */
+  def standardMetadata: StandardMetadata = {
+    val d = dims
+    StandardMetadata(
+      imageSizeT = if (d.order.contains('T')) d('T') else 1,
+      imageSizeC = if (d.order.contains('C')) d('C') else 1,
+      imageSizeZ = if (d.order.contains('Z')) d('Z') else 1,
+      imageSizeY = d('Y'),
+      imageSizeX = d('X'),
+      dimensionOrder = d.order,
+      channelNames = channelNames,
+      physicalPixelSizes = physicalPixelSizes,
+      pixelType = meta.pixelType.toString)
+  }
+
+  override def toString: String =
+    s"<BioImage [plugin: ${reader.name}, scenes: ${scenes.length}]>"
+}
+
+/** The analog of the reference's StandardMetadata dataclass. */
+final case class StandardMetadata(
+    imageSizeT: Long,
+    imageSizeC: Long,
+    imageSizeZ: Long,
+    imageSizeY: Long,
+    imageSizeX: Long,
+    dimensionOrder: String,
+    channelNames: Seq[String],
+    physicalPixelSizes: Option[(Double, Double, Double)],
+    pixelType: String)

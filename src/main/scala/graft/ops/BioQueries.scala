@@ -1,0 +1,257 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.BioSpark
+import graft.core.{Dims, NDArray, PixelType}
+import graft.image.Sel
+import graft.meta.OmeUtils
+import graft.plugins.{PluginEntry, Registry}
+import graft.readers.ArrayLikeReader
+import graft.writers.ParquetPlaneStore
+
+/** The bioio semantic surface (SURVEY.md §2.1–2.5) exercised as oracle-
+  * checked queries. Image fixtures are formulaic (value = f(indices)), so
+  * the DuckDB oracle regenerates the expected pixels from range() cross
+  * joins — a genuine end-to-end check of dim guessing, normalization,
+  * slicing, mosaic stitching, scene stacking and the parquet plane store.
+  */
+object BioQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- b01
+  /** M1/M2 OME id generation as Column expressions. */
+  val b01OmeIds: Q = (spark, dir) =>
+    graft.Tables(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        OmeUtils.omeImageIdCol(col("n_nationkey")).as("image_id"),
+        OmeUtils.omeChannelIdCol(col("n_nationkey"), col("n_regionkey"))
+          .as("channel_id"))
+      .orderBy(col("n_nationkey"))
+
+  val b01Oracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      | 'Image:' || CAST(n_nationkey AS VARCHAR) AS image_id,
+      | 'Channel:' || CAST(n_nationkey AS VARCHAR) || ':'
+      |   || CAST(n_regionkey AS VARCHAR) AS channel_id
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- b02
+  /** P4 dim-order guessing (rank → trailing TCZYXS suffix), golden-pinned
+    * exactly as the reference test table. */
+  val b02DimGuess: Q = (spark, _) => {
+    import spark.implicits._
+    (2 to 6).map(r => (r.toLong, Dims.guess(r))).toDF("rank", "dims_order")
+      .orderBy(col("rank"))
+  }
+
+  val b02Oracle: String =
+    """SELECT * FROM (VALUES (2, 'YX'), (3, 'ZYX'), (4, 'CZYX'),
+      | (5, 'TCZYX'), (6, 'TCZYXS'))
+      | AS t(rank, dims_order) ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- b03
+  /** S10+P2: ArrayLike ingest of a rank-3 array (guessed ZYX) normalized
+    * to canonical TCZYX pixel rows. */
+  val b03ArraylikeNormalize: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(4, 3, 2)) { idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2)
+    }
+    BioSpark.fromArray(spark, arr).getImagePixels()
+      .select(col("t").cast("long").as("t"), col("c").cast("long").as("c"),
+        col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("z"), col("y"), col("x"))
+  }
+
+  val b03Oracle: String =
+    """SELECT 0 AS t, 0 AS c, z, y, x,
+      | CAST(z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(4) t1(z), range(3) t2(y), range(2) t3(x)
+      |ORDER BY z, y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b04
+  /** P1/P3 reshape semantics: Index selection drops dims, Subset keeps a
+    * re-indexable subset — lazy slice on the pixel view. */
+  val b04ReshapeSelect: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(2, 2, 4, 3, 3)) { idx =>
+      idx(0) * 10000.0 + idx(1) * 1000.0 + idx(2) * 100.0 + idx(3) * 10.0 + idx(4)
+    }
+    BioSpark.fromArray(spark, arr) // rank 5 → guessed TCZYX
+      .getImagePixels(Map(
+        'T' -> Sel.Index(1), 'C' -> Sel.Index(0), 'Z' -> Sel.Subset(Seq(1, 3))))
+      .select(col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("z"), col("y"), col("x"))
+  }
+
+  val b04Oracle: String =
+    """SELECT z, y, x,
+      | CAST(10000 + z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(4) t1(z), range(3) t2(y), range(3) t3(x)
+      |WHERE z IN (1, 3) ORDER BY z, y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b05
+  /** U2 mosaic stitching: 2×2 grid of 4×4 tiles reassembled into one 8×8
+    * plane at canonical positions (first-tile-wins overlap policy). */
+  val b05MosaicStitch: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(4, 4, 4)) { idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2)
+    }
+    val reader = new ArrayLikeReader(Seq(arr), Seq(Some("MYX")), Seq(None),
+      tilePositions = Seq(Seq((0, 0), (0, 4), (4, 0), (4, 4))))
+    new graft.image.BioImage(spark, reader).pixels
+      .select(col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        col("v"))
+      .orderBy(col("y"), col("x"))
+  }
+
+  val b05Oracle: String =
+    """SELECT y, x,
+      | CAST(((y//4)*2 + (x//4))*100 + (y%4)*10 + (x%4) AS DOUBLE) AS v
+      |FROM range(8) a(y), range(8) b(x) ORDER BY y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b06
+  /** U1 scene stacking: multi-scene source unioned with the scene index as
+    * the leading dimension. */
+  val b06SceneStack: Q = (spark, _) => {
+    val arrs = (0 until 2).map(i =>
+      NDArray.tabulate(Seq(2, 2))(idx => i * 100.0 + idx(0) * 10.0 + idx(1)))
+    val img = new graft.image.BioImage(spark,
+      ArrayLikeReader.multi(arrs))
+    graft.core.Plane.pixels(img.stackPlanes)
+      .select(col("scene_idx").cast("long").as("scene_idx"),
+        col("y").cast("long").as("y"), col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("scene_idx"), col("y"), col("x"))
+  }
+
+  val b06Oracle: String =
+    """SELECT i AS scene_idx, y, x, CAST(i*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(2) s(i), range(2) a(y), range(2) b(x)
+      |ORDER BY scene_idx, y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b07
+  /** M3/M4 pixel-type bridge, golden-pinned. */
+  val b07PixelTypeMap: Q = (spark, _) => {
+    import spark.implicits._
+    PixelType.toSpark.toSeq
+      .map { case (pt, dt) => (pt.toString, dt.simpleString) }
+      .toDF("pixel_type", "spark_type").orderBy(col("pixel_type"))
+  }
+
+  val b07Oracle: String =
+    """SELECT * FROM (VALUES
+      | ('Complex128', 'struct<re:double,im:double>'),
+      | ('Complex64', 'struct<re:float,im:float>'),
+      | ('Float32', 'float'), ('Float64', 'double'),
+      | ('Int16', 'smallint'), ('Int32', 'int'), ('Int8', 'tinyint'),
+      | ('UInt16', 'int'), ('UInt32', 'bigint'), ('UInt8', 'smallint'))
+      | AS t(pixel_type, spark_type) ORDER BY pixel_type""".stripMargin
+
+  // ---------------------------------------------------------------- b08
+  /** S1–S4 registry ordering policy on a fixed plugin set: keys by
+    * descending extension length, plugins by (families, ext count, name) —
+    * the exact scenarios of the reference's test_plugins.py. */
+  val b08PluginOrder: Q = (spark, _) => {
+    import spark.implicits._
+    val dummy = (_: SparkSession, _: String, _: Map[String, String]) =>
+      throw new UnsupportedOperationException("probe-only")
+    val reg = new Registry(Seq(
+      PluginEntry("multi-format", Seq(".tiff", ".png", ".jpg"), dummy),
+      PluginEntry("ome-tiff-only", Seq(".ome.tiff", ".tiff"), dummy),
+      PluginEntry("tiff-only", Seq(".TIF", "tiff"), dummy),
+    ))
+    reg.dump.zipWithIndex
+      .map { case ((ext, name, _), i) => (i.toLong, ext, name) }
+      .toDF("pos", "ext", "plugin")
+      .orderBy(col("pos"))
+  }
+
+  val b08Oracle: String =
+    """SELECT * FROM (VALUES
+      | (0, '.ome.tiff', 'ome-tiff-only'),
+      | (1, '.tiff', 'ome-tiff-only'),
+      | (2, '.tiff', 'tiff-only'),
+      | (3, '.tiff', 'multi-format'),
+      | (4, '.jpg', 'multi-format'),
+      | (5, '.png', 'multi-format'),
+      | (6, '.tif', 'tiff-only'))
+      | AS t(pos, ext, plugin) ORDER BY pos""".stripMargin
+
+  // ---------------------------------------------------------------- b09
+  /** S15/S16 + S5: save a two-scene image to the parquet plane store,
+    * re-open it through plugin resolution, read scene Image:1 back. */
+  val b09StoreRoundtrip: Q = (spark, _) => {
+    val arrs = (0 until 2).map(i =>
+      NDArray.tabulate(Seq(2, 3, 4))(idx =>
+        i * 1000.0 + idx(0) * 100.0 + idx(1) * 10.0 + idx(2)))
+    val img = new graft.image.BioImage(spark, ArrayLikeReader.multi(arrs))
+    val uri = s"/tmp/graft_store_b09.graft"
+    ParquetPlaneStore.save(img, uri)
+    val back = BioSpark.open(spark, uri)
+    back.setScene("Image:1")
+    back.getImagePixels()
+      .select(col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("z"), col("y"), col("x"))
+  }
+
+  val b09Oracle: String =
+    """SELECT z, y, x, CAST(1000 + z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(2) a(z), range(3) b(y), range(4) c(x)
+      |ORDER BY z, y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b10
+  /** M2/M5 guaranteed channel coordinate: generated per-scene OME channel
+    * IDs for a C-bearing multi-scene source. */
+  val b10ChannelNames: Q = (spark, _) => {
+    import spark.implicits._
+    val arrs = Seq(
+      NDArray.zeros(Seq(2, 2, 2)), // ZYX (guessed) → synthesized C of size 1
+      NDArray.zeros(Seq(3, 2, 2))) // explicit CYX → 3 channels
+    val img = new graft.image.BioImage(spark,
+      ArrayLikeReader.multi(arrs, Seq(None, Some("CYX")).map(identity)))
+    img.scenes.zipWithIndex.flatMap { case (sid, i) =>
+      img.setScene(i)
+      img.channelNames.zipWithIndex.map { case (cn, c) => (sid, c.toLong, cn) }
+    }.toDF("scene_id", "c", "channel_name")
+      .orderBy(col("scene_id"), col("c"))
+  }
+
+  val b10Oracle: String =
+    """SELECT * FROM (VALUES
+      | ('Image:0', 0, 'Channel:0:0'),
+      | ('Image:1', 0, 'Channel:1:0'),
+      | ('Image:1', 1, 'Channel:1:1'),
+      | ('Image:1', 2, 'Channel:1:2'))
+      | AS t(scene_id, c, channel_name) ORDER BY scene_id, c""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    "b01_ome_ids" -> b01OmeIds,
+    "b02_dim_guess" -> b02DimGuess,
+    "b03_arraylike_normalize" -> b03ArraylikeNormalize,
+    "b04_reshape_select" -> b04ReshapeSelect,
+    "b05_mosaic_stitch" -> b05MosaicStitch,
+    "b06_scene_stack" -> b06SceneStack,
+    "b07_pixeltype_map" -> b07PixelTypeMap,
+    "b08_plugin_order" -> b08PluginOrder,
+    "b09_store_roundtrip" -> b09StoreRoundtrip,
+    "b10_channel_names" -> b10ChannelNames,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "b01_ome_ids" -> b01Oracle,
+    "b02_dim_guess" -> b02Oracle,
+    "b03_arraylike_normalize" -> b03Oracle,
+    "b04_reshape_select" -> b04Oracle,
+    "b05_mosaic_stitch" -> b05Oracle,
+    "b06_scene_stack" -> b06Oracle,
+    "b07_pixeltype_map" -> b07Oracle,
+    "b08_plugin_order" -> b08Oracle,
+    "b09_store_roundtrip" -> b09Oracle,
+    "b10_channel_names" -> b10Oracle,
+  )
+}

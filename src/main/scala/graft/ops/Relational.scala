@@ -185,17 +185,19 @@ object Relational {
       |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin
 
   // ---------------------------------------------------------------- q07
-  /** Left-anti join (NOT EXISTS): customers who never ordered. */
+  /** Left-anti join (NOT EXISTS): customers with no orders in 1996 H1. */
   val q07AntiJoin: Q = (spark, dir) =>
     t(spark, dir, "customer")
-      .join(t(spark, dir, "orders"),
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderdate").between(ntz("1996-01-01"), ntz("1996-06-30"))),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
   val q07Oracle: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30')
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q08

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events stream (SURVEY.md §2.6
+  * streaming rows): tumbling/sliding/session windows with watermarks,
+  * late-data drop, stateful dedup. Batch equivalents (used by the oracle
+  * harness) live in graft.ops.EventOps; these are the readStream forms.
+  *
+  * The events source carries nanosecond timestamps; the streaming schema
+  * reads them as long nanos and converts to a TimestampType event-time
+  * column before watermarking (Spark state/watermark needs TimestampType).
+  */
+object StreamOps {
+
+  /** Parquet schema of events with ts as raw nanos. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events directory with a proper event-time col. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 5-minute window counts with a 10-minute watermark (late
+    * rows beyond the watermark are dropped from state). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Sliding window (10 min window, 5 min slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "10 minutes", "5 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  /** Session windows per user with a 30-minute inactivity gap — the
+    * streaming form of EventOps.q27Sessionize. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "30 minutes")
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+
+  /** Stateful dedup on (user_id, event_type) bounded by the watermark —
+    * the streaming form of EventOps.q28EventDedup. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Run any of the above to completion against a static directory via the
+    * memory sink (test/bench harness; a real deployment passes a kafka or
+    * file sink instead). Returns the collected result table. */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

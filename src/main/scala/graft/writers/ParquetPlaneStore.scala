@@ -1,0 +1,124 @@
+package graft.writers
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Dimensions, PixelType}
+import graft.image.BioImage
+import graft.plugins.{BioReader, PluginEntry, SceneMeta}
+
+/** The engine's canonical interchange format (SURVEY.md §2.1 S16): a
+  * directory holding
+  *   planes/   parquet, partitioned by (scene_idx, level) → scene/level
+  *             selection is pure partition pruning; sorted by (t,c,z)
+  *             within partitions for row-group pruning
+  *   catalog/  parquet, one row per scene: dims, channel names, pixel
+  *             sizes, pixel type, tile positions
+  *
+  * This is the OME-TIFF/OME-ZARR role in the reference (save
+  * bio_image.py:1229-1301), re-expressed as a Spark-native columnar store.
+  */
+object ParquetPlaneStore {
+  val Extension = ".graft"
+
+  /** Writer contract (Writer.save analog, mock_writer.py:63-75): scene IDs
+    * are regenerated ("Image:{i}"), order preserved (bio_image.py:1252-57). */
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]] = None): Unit = {
+    val spark = img.spark
+    val sel = selectScenes.getOrElse(img.scenes)
+    val idxs = sel.map(img.scenes.indexOf).filter(_ >= 0)
+    val planes = idxs.zipWithIndex.map { case (orig, renum) =>
+      val saved = img.currentSceneIndex
+      img.setScene(orig)
+      val df = img.planes
+        .withColumn("scene_idx", lit(renum))
+        .withColumn("scene_id", lit(s"Image:$renum"))
+      img.setScene(saved)
+      df
+    }.reduce(_ unionByName _)
+    planes
+      .repartition(col("scene_idx"), col("level"))
+      .sortWithinPartitions(col("t"), col("c"), col("z"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("scene_idx", "level")
+      .parquet(s"$uri/planes")
+
+    import spark.implicits._
+    val catalog = idxs.zipWithIndex.map { case (orig, renum) =>
+      val saved = img.currentSceneIndex
+      img.setScene(orig)
+      val m = img.meta
+      img.setScene(saved)
+      CatalogRow(renum, s"Image:$renum", m.dims.order, m.dims.sizes,
+        m.channelNames, m.physicalPixelSizes.map(_._1),
+        m.physicalPixelSizes.map(_._2), m.physicalPixelSizes.map(_._3),
+        m.pixelType.toString, m.tilePositions.map(_._1),
+        m.tilePositions.map(_._2))
+    }
+    spark.createDataset(catalog).write.mode(SaveMode.Overwrite)
+      .parquet(s"$uri/catalog")
+  }
+}
+
+final case class CatalogRow(
+    scene_idx: Int,
+    scene_id: String,
+    dims_order: String,
+    dims_sizes: Seq[Long],
+    channel_names: Seq[String],
+    pps_z: Option[Double],
+    pps_y: Option[Double],
+    pps_x: Option[Double],
+    pixel_type: String,
+    tile_tops: Seq[Int],
+    tile_lefts: Seq[Int])
+
+/** Reader side of the plane store — a full BioReader plugin. */
+final class ParquetPlaneReader(spark: SparkSession, uri: String) extends BioReader {
+  import spark.implicits._
+
+  private lazy val catalog: Seq[CatalogRow] =
+    spark.read.parquet(s"$uri/catalog").as[CatalogRow]
+      .collect().sortBy(_.scene_idx).toSeq
+
+  override def name: String = "ParquetPlaneReader"
+  override def supportedExtensions: Seq[String] = Seq(ParquetPlaneStore.Extension)
+  override def isSupportedImage(spark: SparkSession, path: String): Boolean =
+    try { catalog.nonEmpty } catch { case _: Throwable => false }
+  override def scenes: Seq[String] = catalog.map(_.scene_id)
+
+  override def sceneMeta(i: Int): SceneMeta = {
+    val c = catalog(i)
+    SceneMeta(i, c.scene_id, Dimensions(c.dims_order, c.dims_sizes),
+      c.channel_names,
+      for { z <- c.pps_z; y <- c.pps_y; x <- c.pps_x } yield (z, y, x),
+      PixelType.parse(c.pixel_type), c.tile_tops.zip(c.tile_lefts), None)
+  }
+
+  override def resolutionLevels(sceneIdx: Int): Seq[Int] = {
+    val levels = spark.read.parquet(s"$uri/planes")
+      .filter(col("scene_idx") === sceneIdx)
+      .select("level").distinct().as[Int].collect().sorted.toSeq
+    if (levels.isEmpty) Seq(0) else levels
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
+    readDelayedAtLevel(spark, sceneIdx, 0)
+
+  /** Partition-pruned scan: scene_idx and level are partition columns. */
+  override def readDelayedAtLevel(spark: SparkSession, sceneIdx: Int,
+      level: Int): DataFrame =
+    spark.read.parquet(s"$uri/planes")
+      .filter(col("scene_idx") === sceneIdx && col("level") === level)
+      .withColumn("scene_idx", col("scene_idx").cast("int"))
+      .withColumn("level", col("level").cast("int"))
+      .select("scene_idx", "scene_id", "level", "m", "t", "c", "z", "s",
+        "y0", "x0", "h", "w", "pixels")
+}
+
+object ParquetPlaneReader {
+  val plugin: PluginEntry = PluginEntry(
+    name = "ParquetPlaneReader",
+    extensions = Seq(ParquetPlaneStore.Extension),
+    open = (spark, path, _) => new ParquetPlaneReader(spark, path))
+}

@@ -1,0 +1,148 @@
+package graft.image
+
+import graft.{BioSpark, SparkSpec}
+import graft.core._
+import graft.readers.ArrayLikeReader
+
+/** Ports the reference's normalization/reshape/scene behavior
+  * (tests/test_array_like_reader.py:871-1141 via BioImage). */
+class BioImageSpec extends SparkSpec {
+
+  private def formulaic(shape: Seq[Int]): NDArray =
+    NDArray.tabulate(shape)(idx =>
+      idx.zipWithIndex.map { case (v, i) =>
+        v * math.pow(10, shape.length - 1 - i)
+      }.sum)
+
+  test("2D input normalizes to canonical 5D TCZYX (1,1,1,h,w)") {
+    val img = BioSpark.fromArray(spark, NDArray.tabulate(Seq(1, 1))(_ => 7.0))
+    assert(img.dims.order == "TCZYX")
+    assert(img.dims.shape == Seq(1, 1, 1, 1, 1))
+    val nd = img.getImageData("TCZYX")
+    assert(nd.array.shape == Seq(1, 1, 1, 1, 1))
+    assert(nd.array(0, 0, 0, 0, 0) == 7.0)
+  }
+
+  test("6D guess keeps S: TCZYXS") {
+    val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(1, 2, 3, 4, 5, 6)))
+    assert(img.dims.order == "TCZYXS")
+    assert(img.dims.shape == Seq(1, 2, 3, 4, 5, 6))
+  }
+
+  test("getImageData slices, drops Index dims, transposes to returnDims") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
+    val zyx = img.getImageData("ZYX",
+      Map('T' -> Sel.Index(1), 'C' -> Sel.Index(0)))
+    assert(zyx.array.shape == Seq(4, 3, 3))
+    assert(zyx.array(2, 1, 0) == 10000 + 0 + 200 + 10 + 0)
+    // transpose: XYZ ordering
+    val xyz = img.getImageData("XYZ",
+      Map('T' -> Sel.Index(1), 'C' -> Sel.Index(0)))
+    assert(xyz.array.shape == Seq(3, 3, 4))
+    assert(xyz.array(0, 1, 2) == zyx.array(2, 1, 0))
+  }
+
+  test("unrequested dims are reduced at index 0; missing dims inserted") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
+    // T and C absent from returnDims and unselected → index 0 taken
+    val zyx = img.getImageData("ZYX")
+    assert(zyx.array.shape == Seq(4, 3, 3))
+    assert(zyx.array(1, 2, 0) == 120.0)
+    // returnDims with a dim not in the data: S inserted at size 1
+    val szyx = img.getImageData("SZYX")
+    assert(szyx.array.shape == Seq(1, 4, 3, 3))
+  }
+
+  test("Subset selection keeps and re-indexes") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
+    val nd = img.getImageData("ZYX", Map('Z' -> Sel.Subset(Seq(1, 3))))
+    assert(nd.array.shape == Seq(2, 3, 3))
+    assert(nd.array(0, 0, 0) == 100.0) // z=1
+    assert(nd.array(1, 0, 0) == 300.0) // z=3
+  }
+
+  test("Index selection of a returned dim is an error") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
+    intercept[ConflictingArguments](
+      img.getImageData("ZYX", Map('Z' -> Sel.Index(0))))
+    intercept[ConflictingArguments](
+      img.getImageData("ZYX", Map('Q' -> Sel.Index(0))))
+  }
+
+  test("unknown dims are reduced at index 0 during normalization (8D)") {
+    // reference tests/test_array_like_reader.py:1050-1059: "ABCDEFGH"
+    // (1,2,3,4,5,6,7,8) → canonical (1,3,1,1,1) picking index 0 elsewhere
+    val arr = NDArray.tabulate(Seq(1, 2, 3, 4, 5, 6, 7, 8))(idx =>
+      idx.zipWithIndex.map { case (v, i) => v * math.pow(10, 7 - i) }.sum)
+    val img = BioSpark.fromArray(spark, arr, Some("ABCDEFGH"))
+    val nd = img.getImageData("TCZYX")
+    assert(nd.array.shape == Seq(1, 3, 1, 1, 1))
+    assert(nd.array(0, 0, 0, 0, 0) == 0.0)
+    assert(nd.array(0, 1, 0, 0, 0) == 100000.0) // C index from dim 'C' pos 2
+    assert(nd.array(0, 2, 0, 0, 0) == 200000.0)
+  }
+
+  test("scenes: ids, switch by id/index, invalid raises") {
+    val img = new BioImage(spark, ArrayLikeReader.multi(
+      Seq(NDArray.zeros(Seq(2, 2)), NDArray.zeros(Seq(3, 3)))))
+    assert(img.scenes == Seq("Image:0", "Image:1"))
+    assert(img.currentScene == "Image:0")
+    img.setScene("Image:1")
+    assert(img.currentSceneIndex == 1)
+    assert(img.dims.shape == Seq(1, 1, 1, 3, 3))
+    img.setScene(0)
+    assert(img.dims.shape == Seq(1, 1, 1, 2, 2))
+    intercept[IndexOutOfBoundsException](img.setScene("Image:9"))
+    intercept[IndexOutOfBoundsException](img.setScene(5))
+  }
+
+  test("channel names: explicit, generated, and guaranteed when no C") {
+    val withC = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2, 2)),
+      Some("CYX"), Some(Seq("A", "B")))
+    assert(withC.channelNames == Seq("A", "B"))
+    val genC = BioSpark.fromArray(spark, NDArray.zeros(Seq(3, 2, 2)), Some("CYX"))
+    assert(genC.channelNames == Seq("Channel:0:0", "Channel:0:1", "Channel:0:2"))
+    val noC = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2))) // YX
+    assert(noC.channelNames == Seq("Channel:0:0"))
+  }
+
+  test("channel name validation errors") {
+    intercept[IllegalArgumentException](
+      BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2, 2)), Some("CYX"),
+        Some(Seq("only-one"))).channelNames)
+    intercept[ConflictingArguments](
+      BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)), None,
+        Some(Seq("A"))).channelNames)
+  }
+
+  test("per-scene option list length mismatch raises ConflictingArguments") {
+    intercept[ConflictingArguments](ArrayLikeReader.multi(
+      Seq(NDArray.zeros(Seq(2, 2))),
+      dimOrders = Seq(None, Some("YX"))))
+  }
+
+  test("resolution level: unknown raises, same is no-op") {
+    val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
+    assert(img.resolutionLevels == Seq(0))
+    img.setResolutionLevel(0) // no-op
+    intercept[IndexOutOfBoundsException](img.setResolutionLevel(3))
+  }
+
+  test("getStack stacks scenes with leading I dim") {
+    val img = new BioImage(spark, ArrayLikeReader.multi(
+      (0 until 3).map(i => NDArray.tabulate(Seq(2, 2))(idx =>
+        i * 100.0 + idx(0) * 10 + idx(1)))))
+    val st = img.getStack()
+    assert(st.order == "ITCZYX")
+    assert(st.array.shape == Seq(3, 1, 1, 1, 2, 2))
+    assert(st.array(2, 0, 0, 0, 1, 1) == 211.0)
+  }
+
+  test("standardMetadata overrides sizes from actual dims") {
+    val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(4, 3, 2)))
+    val sm = img.standardMetadata
+    assert(sm.imageSizeZ == 4 && sm.imageSizeY == 3 && sm.imageSizeX == 2)
+    assert(sm.imageSizeT == 1 && sm.imageSizeC == 1)
+    assert(sm.dimensionOrder == "TCZYX")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.image
+
+import java.nio.file.Files
+
+import graft.{BioSpark, SparkSpec}
+import graft.core.NDArray
+import graft.readers.ArrayLikeReader
+import graft.writers.{ParquetPlaneReader, ParquetPlaneStore}
+
+class MosaicSpec extends SparkSpec {
+  private def mosaicImage(positions: Seq[(Int, Int)],
+      reconstruct: Boolean = true): BioImage = {
+    val arr = NDArray.tabulate(Seq(positions.length, 2, 2))(idx =>
+      idx(0) * 100.0 + idx(1) * 10 + idx(2))
+    new BioImage(spark,
+      new ArrayLikeReader(Seq(arr), Seq(Some("MYX")), Seq(None),
+        tilePositions = Seq(positions)),
+      reconstructMosaic = reconstruct)
+  }
+
+  test("stitch places tiles at canonical positions") {
+    val img = mosaicImage(Seq((0, 0), (0, 2), (2, 0), (2, 2)))
+    assert(img.dims.order == "TCZYX") // M folded away
+    assert(img.dims('Y') == 4 && img.dims('X') == 4)
+    val nd = img.getImageData("YX")
+    assert(nd.array(0, 0) == 0.0)
+    assert(nd.array(0, 2) == 100.0) // tile 1 origin
+    assert(nd.array(2, 0) == 200.0) // tile 2
+    assert(nd.array(3, 3) == 311.0) // tile 3 (1,1)
+  }
+
+  test("overlap resolves to lowest tile index (first wins)") {
+    val img = mosaicImage(Seq((0, 0), (0, 1))) // tiles overlap at x=1
+    val nd = img.getImageData("YX")
+    assert(nd.array.shape == Seq(2, 3))
+    assert(nd.array(0, 1) == 1.0) // tile 0's (0,1), not tile 1's (0,0)=100
+    assert(nd.array(0, 2) == 101.0)
+  }
+
+  test("reconstruct=false falls back to tiled M-dim data") {
+    val img = mosaicImage(Seq((0, 0), (0, 2)), reconstruct = false)
+    assert(img.dims.order == "MTCZYX")
+    assert(img.dims('M') == 2)
+    val nd = img.getImageData("MYX")
+    assert(nd.array(1, 1, 1) == 111.0)
+  }
+
+  test("tile position lookup and bounds") {
+    val img = mosaicImage(Seq((0, 0), (0, 2)))
+    assert(img.getMosaicTilePosition(1) == ((0, 2)))
+    assert(img.mosaicTileDims.contains((2L, 2L)))
+    intercept[IndexOutOfBoundsException](img.getMosaicTilePosition(7))
+    val flat = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
+    intercept[UnsupportedOperationException](flat.getMosaicTilePosition(0))
+    assert(flat.mosaicTileDims.isEmpty)
+  }
+}
+
+class StoreSpec extends SparkSpec {
+  test("save → reopen roundtrip preserves pixels, renumbers scenes") {
+    val arrs = (0 until 2).map(i =>
+      NDArray.tabulate(Seq(2, 2, 2))(idx =>
+        i * 1000.0 + idx(0) * 100 + idx(1) * 10 + idx(2)))
+    val img = new BioImage(spark, ArrayLikeReader.multi(arrs,
+      channelNames = Seq(None, Some(Seq.empty)).take(1)))
+    val dir = Files.createTempDirectory("graft-store").toString + "/img.graft"
+    ParquetPlaneStore.save(img, dir, selectScenes = Some(Seq("Image:1")))
+    val back = BioSpark.open(spark, dir)
+    assert(back.reader.name == "ParquetPlaneReader")
+    assert(back.scenes == Seq("Image:0")) // renumbered, order preserved
+    val nd = back.getImageData("ZYX")
+    assert(nd.array(1, 1, 1) == 1111.0)
+    assert(back.dims.shape == Seq(1, 1, 2, 2, 2))
+    assert(back.channelNames == Seq("Channel:0:0"))
+  }
+
+  test("scene/level scan is partition-pruned") {
+    val img = new BioImage(spark, ArrayLikeReader.multi(
+      (0 until 3).map(_ => NDArray.zeros(Seq(2, 2)))))
+    val dir = Files.createTempDirectory("graft-store").toString + "/img.graft"
+    ParquetPlaneStore.save(img, dir)
+    val rd = new ParquetPlaneReader(spark, dir)
+    val plan = rd.readDelayedAtLevel(spark, 1, 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("scene_idx"), "scene_idx must be a partition filter")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Smoke: every declared query runs at sf0.001 and yields a sane result.
+  * Deep value checking is the DuckDB oracle harness (tools/oracle_check.py
+  * + the driver's CORRECTNESS gate). */
+class QueriesSmokeSpec extends SparkSpec {
+  graft.SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      // q39/q40 candidate pairs can legitimately be empty on tiny data
+      val n = df.count()
+      if (!Set("q39_jaccard_pairs", "q40_minhash_lsh").contains(name))
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val qs = graft.SparkEntry.queries.keySet
+    val missing = graft.SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
+
+/** Behavior pins for the engine-hash-specific dedup ops (no SQL oracle):
+  * planted near-duplicates must be found. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to hide from every hunter"
+
+  test("MinHash-LSH surfaces a planted near-duplicate pair") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("lazy", "sleepy")), // near-dup of 0
+      (2L, "completely different text about spark catalyst optimizer " +
+        "rules and whole stage codegen for analytical queries at scale"),
+    ).toDF("doc_id", "text")
+    val withSh = docs.select($"doc_id", DedupOps.shingles3($"text").as("sh"))
+    val cands = DedupOps.lshCandidates(withSh, nHashes = 32, bands = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)), s"expected planted pair, got $cands")
+    assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)),
+      "unrelated doc must not be a candidate")
+  }
+
+  test("SimHash: near-dups have small hamming distance, unrelated large") {
+    val docs = Seq((0L, base), (1L, base.replace("lazy", "sleepy")),
+      (2L, "completely different text about spark catalyst optimizer " +
+        "rules and whole stage codegen for analytical queries at scale"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    // reuse the query impl over a temp dir-less path: build directly
+    val tokens = array_distinct(split($"text", " "))
+    val hashes = transform(tokens, t => xxhash64(t))
+    val simhash = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = docs.select($"doc_id", simhash.as("sig")).as[(Long, Long)]
+      .collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(0L), sigs(1L)) <= 12,
+      s"near-dup hamming was ${hamming(sigs(0L), sigs(1L))}")
+    assert(hamming(sigs(0L), sigs(2L)) > 12,
+      s"unrelated hamming was ${hamming(sigs(0L), sigs(2L))}")
+  }
+
+  test("exact jaccard on planted pair exceeds LSH threshold") {
+    val a = DedupOps.shingles3(lit(base))
+    val b = DedupOps.shingles3(lit(base.replace("lazy", "sleepy")))
+    val j = spark.range(1).select(
+      (size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b))).as("j")).head().getDouble(0)
+    assert(j > 0.5, s"planted jaccard $j")
+  }
+}

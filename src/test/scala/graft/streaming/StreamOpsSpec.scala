@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.EventOps
+
+class StreamOpsSpec extends SparkSpec {
+
+  test("streaming tumbling window matches the batch tumbling aggregate") {
+    val stream = StreamOps.readEvents(spark, sf)
+    // complete mode: append would hold back trailing windows still above
+    // the watermark when the bounded stream ends
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.tumblingCounts(stream), "tumbling_test", "complete")
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n"))
+    val batch = EventOps.q25TumblingWindow(spark, sf)
+      .select(col("window_start"), col("event_type"), col("n"))
+    // batch q25 keys by epoch-second bucket starts — identical keys
+    val a = out.orderBy("window_start", "event_type").collect().toSeq
+    val b = batch.orderBy("window_start", "event_type").collect().toSeq
+    assert(a == b, s"stream/batch mismatch: ${a.take(3)} vs ${b.take(3)}")
+  }
+
+  test("streaming session counts per user match batch sessionization") {
+    val stream = StreamOps.readEvents(spark, sf)
+    val sessions = StreamOps.runToMemory(spark,
+      StreamOps.sessionCounts(stream), "session_test", "complete")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"))
+    val batch = EventOps.q27Sessionize(spark, sf)
+    val a = sessions.orderBy("user_id").collect().toSeq
+    val b = batch.select(col("user_id"), col("n_sessions"), col("n_events"))
+      .orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("stateful dedup keeps one row per (user, type)") {
+    val stream = StreamOps.readEvents(spark, sf)
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.dedupWithinWatermark(stream), "dedup_test")
+    val keys = out.select("user_id", "event_type").distinct().count()
+    assert(out.count() == keys)
+    val batchKeys = EventOps.q28EventDedup(spark, sf).count()
+    assert(keys == batchKeys)
+  }
+}
