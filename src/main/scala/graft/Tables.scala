@@ -19,6 +19,21 @@ object Tables {
       case n        => spark.read.parquet(s"$dir/$n.parquet")
     }
 
+  /** Read a table guaranteeing at least the session's default parallelism
+    * of partitions. A Parquet row group is the minimum split unit, so a
+    * small single-row-group file scans as ONE partition and pins every
+    * downstream expression to one core — the harness's sf files are
+    * exactly that shape. At production scale the scan already has ≥
+    * parallelism row groups and this inserts NO shuffle; use it for
+    * CPU-bound per-row work (hashing, shingling, signatures) where a
+    * one-time round-robin of a small input is free relative to the
+    * compute it unlocks. */
+  def balanced(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events.ts is parquet TIMESTAMP(NANOS,false). Spark's finest timestamp
     * is microseconds, so we read the raw int64 nanos (legacy conf) and add:
     *   - ts_us:  microseconds since epoch (matches DuckDB, which truncates

@@ -21,10 +21,11 @@ object Dims {
   val Known: Set[Char] = "MTCZYXS".toSet
 
   /** Guess a dimension order from rank: the trailing suffix of TCZYX /
-    * TCZYXS (reference array_like_reader.py:130-163).
-    *   2D→YX, 3D→ZYX, 4D→CZYX, 5D→TCZYX, 6D→TCZYXS; 1D/7D+ → error.
+    * TCZYXS (reference array_like_reader.py:131-163 — only >6 dims raise).
+    *   1D→X, 2D→YX, 3D→ZYX, 4D→CZYX, 5D→TCZYX, 6D→TCZYXS; 0D/7D+ → error.
     */
   def guess(rank: Int): String = rank match {
+    case 1 => "X"
     case 2 => "YX"
     case 3 => "ZYX"
     case 4 => "CZYX"
@@ -33,7 +34,7 @@ object Dims {
     case n =>
       throw new InvalidDimensionOrdering(
         s"Cannot guess dimension order for rank-$n data; provide dimOrder " +
-          "explicitly (guessable ranks are 2..6)")
+          "explicitly (guessable ranks are 1..6)")
   }
 
   /** Validate an explicit dim order against an array rank

@@ -84,13 +84,7 @@ final class BioImage(
 
   /** {level: shape} map (bio_image.py:596-604). */
   def resolutionLevelDims: Map[Int, Seq[Long]] =
-    resolutionLevels.map { l =>
-      val saved = level
-      level = l
-      val d = computeDims.shape
-      level = saved
-      l -> d
-    }.toMap
+    resolutionLevels.map(l => l -> computeDims(l).shape).toMap
 
   private def invalidate(): Unit = planeCache.clear()
 
@@ -119,10 +113,10 @@ final class BioImage(
 
   /** Dims of the current scene/level, derived from the catalog; mosaic
     * reconstruction folds M into stitched Y/X. */
-  def dims: Dimensions = computeDims
+  def dims: Dimensions = computeDims(level)
 
-  private def computeDims: Dimensions = {
-    val d = meta.dims
+  private def computeDims(atLevel: Int): Dimensions = {
+    val d = reader.levelDims(sceneIdx, atLevel)
     if (hasMosaic && reconstructMosaic) {
       val tiles = meta.tilePositions
       val h = d('Y')
@@ -151,6 +145,46 @@ final class BioImage(
   def physicalPixelSizes: Option[(Double, Double, Double)] =
     meta.physicalPixelSizes
 
+  /** Resolve a selection against the dim's size: negative indices count
+    * from the end (reference reshape_data accepts e.g. C=(0,-1),
+    * bio_image.py:776-827); out-of-range indices raise rather than
+    * silently shrinking the axis; empty/duplicated subsets raise. */
+  private def resolveSel(d: Char, sel: Sel): Sel = {
+    val sizeOpt =
+      if (dims.order.contains(d)) Some(dims(d).toInt) else None
+    def resolve1(i: Int): Int = sizeOpt match {
+      case Some(n) =>
+        val r = if (i < 0) i + n else i
+        if (r < 0 || r >= n)
+          throw new IndexOutOfBoundsException(
+            s"index $i out of range for dim $d of size $n")
+        r
+      case None => i
+    }
+    sel match {
+      case Sel.Index(i) => Sel.Index(resolve1(i))
+      case Sel.Subset(xs) =>
+        if (xs.isEmpty)
+          throw new ConflictingArguments(s"empty selection for dim $d")
+        val rs = xs.map(resolve1)
+        if (rs.distinct.length != rs.length)
+          throw new ConflictingArguments(
+            s"selection ${xs.mkString("[", ",", "]")} for dim $d has " +
+              "duplicate indices after resolution")
+        Sel.Subset(rs)
+      case Sel.SRange(s0, e0) =>
+        // slice-style: negatives resolve from the end, bounds clamp
+        val n = sizeOpt.getOrElse(Int.MaxValue)
+        val rs = math.max(0, if (s0 < 0) s0 + n else s0)
+        val re = math.min(n, if (e0 < 0) e0 + n else e0)
+        if (rs >= re)
+          throw new ConflictingArguments(
+            s"range [$s0, $e0) selects nothing for dim $d" +
+              sizeOpt.fold("")(n => s" of size $n"))
+        Sel.SRange(rs, re)
+    }
+  }
+
   /** Lazy slice+reorder (the get_image_dask_data analog): plane/pixel rows
     * filtered by the selections. Stays a lazy DataFrame. */
   def getImagePixels(selections: Map[Char, Sel] = Map.empty): DataFrame = {
@@ -158,7 +192,7 @@ final class BioImage(
       'S' -> "s", 'Y' -> "y", 'X' -> "x")
     selections.foldLeft(pixels) { case (df, (d, sel)) =>
       val c = col(colFor(d))
-      sel match {
+      resolveSel(d, sel) match {
         case Sel.Index(i)       => df.filter(c === i)
         case Sel.Subset(xs)     => df.filter(c.isin(xs: _*))
         case Sel.SRange(s0, e0) => df.filter(c >= s0 && c < e0)
@@ -190,17 +224,23 @@ final class BioImage(
     val reduced = dataOrder.filterNot(d => returnDims.contains(d))
       .filterNot(d => selections.contains(d))
       .map(d => d -> (Sel.Index(0): Sel)).toMap
-    val df = getImagePixels(selections ++ reduced)
+    val resolved = selections.map { case (d, s) => d -> resolveSel(d, s) }
+    val df = getImagePixels(resolved ++ reduced)
     val colFor = Map('M' -> "m", 'T' -> "t", 'C' -> "c", 'Z' -> "z",
       'S' -> "s", 'Y' -> "y", 'X' -> "x")
-    val rows = df.select(
-      returnDims.filter(d => dataOrder.contains(d)).map(d => col(colFor(d))) :+ col("v"): _*)
-      .collect()
-    // per-dim sorted index remap (subsets re-index densely)
     val present = returnDims.filter(d => dataOrder.contains(d))
-    val remaps: Seq[Map[Int, Int]] = present.indices.map { i =>
-      val vals = rows.map(_.getInt(i)).distinct.sorted
-      vals.zipWithIndex.toMap
+    val rows = df.select(
+      present.map(d => col(colFor(d))) :+ col("v"): _*)
+      .collect()
+    // per-dim index remap built from the SELECTION itself, preserving the
+    // caller's requested order (reference reshape_data keeps list order,
+    // e.g. C=[1,0] — bio_image.py:776-827); unselected dims are identity.
+    val remaps: Seq[Map[Int, Int]] = present.map { d =>
+      resolved.get(d) match {
+        case Some(Sel.Subset(xs))     => xs.zipWithIndex.toMap
+        case Some(Sel.SRange(s0, e0)) => (s0 until e0).zipWithIndex.toMap
+        case _                        => (0 until dims(d).toInt).zipWithIndex.toMap
+      }
     }
     val shape = returnDims.map { d =>
       val i = present.indexOf(d)

@@ -44,12 +44,12 @@ object BioQueries {
     * exactly as the reference test table. */
   val b02DimGuess: Q = (spark, _) => {
     import spark.implicits._
-    (2 to 6).map(r => (r.toLong, Dims.guess(r))).toDF("rank", "dims_order")
+    (1 to 6).map(r => (r.toLong, Dims.guess(r))).toDF("rank", "dims_order")
       .orderBy(col("rank"))
   }
 
   val b02Oracle: String =
-    """SELECT * FROM (VALUES (2, 'YX'), (3, 'ZYX'), (4, 'CZYX'),
+    """SELECT * FROM (VALUES (1, 'X'), (2, 'YX'), (3, 'ZYX'), (4, 'CZYX'),
       | (5, 'TCZYX'), (6, 'TCZYXS'))
       | AS t(rank, dims_order) ORDER BY rank""".stripMargin
 
@@ -189,7 +189,8 @@ object BioQueries {
       NDArray.tabulate(Seq(2, 3, 4))(idx =>
         i * 1000.0 + idx(0) * 100.0 + idx(1) * 10.0 + idx(2)))
     val img = new graft.image.BioImage(spark, ArrayLikeReader.multi(arrs))
-    val uri = s"/tmp/graft_store_b09.graft"
+    // unique per run — concurrent harness invocations must not collide
+    val uri = s"/tmp/graft_store_b09_${java.util.UUID.randomUUID()}.graft"
     ParquetPlaneStore.save(img, uri)
     val back = BioSpark.open(spark, uri)
     back.setScene("Image:1")

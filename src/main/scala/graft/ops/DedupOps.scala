@@ -34,23 +34,41 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------- q39
-  /** Exact n-gram Jaccard near-dup pairs. Shape: explode distinct shingles,
-    * shuffle on the shingle (the only wide op), count intersections per
-    * pair, join per-doc sizes back. Scales as Σ shingle-frequency² — safe
-    * when shingles are near-unique; hot shingles would be dropped by a
-    * document-frequency cap in a production run. */
+  /** Max document frequency for a shingle to participate in the q39 pair
+    * join. A shingle shared by > K docs contributes K² pair rows while
+    * carrying almost no near-dup signal (it's boilerplate); capping bounds
+    * the self-join at Σ min(freq,K)² — linear in corpus size at any scale.
+    * Mirrored exactly in the DuckDB oracle. */
+  val JaccardDfCap = 20
+
+  /** Exact n-gram Jaccard near-dup pairs. Single-pass shape: shingles are
+    * computed and exploded ONCE; the per-doc distinct-shingle count rides
+    * along as a window over doc_id, then a window over the shingle drops
+    * shingles with document frequency > [[JaccardDfCap]] — the s-window's
+    * shuffle is the very partitioning the pair self-join needs, so the
+    * exchange (and the whole shingle pipeline) is shared by both join
+    * sides. `na`/`nb` are the full distinct-shingle counts (taken before
+    * the cap), so capping only prunes candidate *discovery*, not the
+    * Jaccard denominator. */
   val q39JaccardPairs: Q = (spark, dir) => {
-    val d = Tables(spark, dir, "documents")
+    import org.apache.spark.sql.expressions.Window
+    // The word-count pre-filter is equivalent to "has shingles" but cheap
+    // in the scan; explode_outer (not explode) prevents the optimizer from
+    // inferring a size(<full shingle pipeline>)>0 filter and pushing that
+    // expensive expression into the single-partition scan stage.
+    val d = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
-    val sizes = d.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = d.select(col("doc_id"), explode(col("sh")).as("s"))
-    val pairs = ex.as("a").join(ex.as("b"),
+    val ex = d.select(col("doc_id"), explode_outer(col("sh")).as("s"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= JaccardDfCap)
+      .select(col("doc_id"), col("s"), col("n"))
+    ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")))
@@ -67,8 +85,10 @@ object DedupOps {
       |    ELSE [] END)) AS s
       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shc AS (SELECT doc_id, s FROM sh
+      |  QUALIFY count(*) OVER (PARTITION BY s) <= 20),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, inter,
       | inter * 1.0 / (na.n + nb.n - inter) AS jaccard
@@ -76,45 +96,82 @@ object DedupOps {
       |WHERE inter >= 2 ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------ MinHash
-  /** MinHash signature: for seed i, sig_i = min over shingles of
-    * xxhash64(shingle, seed_i). Computed with transform+aggregate inside
-    * codegen (array_min over hashed shingles) — one narrow pass. */
-  def minhashSignature(sh: Column, nHashes: Int): Column =
-    transform(sequence(lit(0), lit(nHashes - 1)), seed =>
-      array_min(transform(sh, s => xxhash64(s, seed))))
+  /** Evaluation guard: wrap an expensive array-producing expression so the
+    * projection that CONSUMES the aliased column references it twice.
+    * CollapseProject inlines a non-cheap alias referenced once — harmless
+    * for scalar pipelines, but catastrophic when the single reference sits
+    * inside a higher-order-function lambda: the inlined subtree is then
+    * re-evaluated per lambda ELEMENT (per seed / per band), turning a
+    * linear pass into seeds× or bands× work. The size() probe is free and
+    * forces the column to stay materialized once per row. */
+  private def keepMaterialized(arr: Column, expr: Column): Column =
+    when(size(arr) >= 0, expr)
+
+  /** MinHash signature over PRE-HASHED shingles (one long per shingle):
+    * sig_i = min over shingles of xxhash64(baseHash, seed_i). Hashing the
+    * shingle strings once (see [[lshCandidates]]) and seed-mixing longs is
+    * ~50× cheaper per seed than re-hashing strings. One narrow pass, no
+    * shuffle. */
+  def minhashSignature(shHashes: Column, nHashes: Int): Column =
+    keepMaterialized(shHashes,
+      transform(sequence(lit(0), lit(nHashes - 1)), seed =>
+        array_min(transform(shHashes, h => xxhash64(h, seed)))))
 
   /** LSH banding: split the signature into bands of `r` rows; band hash =
     * xxhash64 of the band slice. Docs sharing any band hash are candidate
-    * near-dup pairs (then verified with exact Jaccard). */
+    * near-dup pairs (then verified with exact Jaccard).
+    *
+    * Returns distinct `(doc_a, doc_b)` id pairs ONLY — the band self-join
+    * and the pair-dedup shuffle carry 3 scalar columns per row, never the
+    * shingle arrays. At 100 TB the shuffle payload is O(bands) longs per
+    * doc; callers needing shingles re-join them by id afterwards.
+    *
+    * Precondition: every row's `sh` is non-empty (filter upstream with a
+    * CHEAP predicate — e.g. a word-count test on the raw text — NOT
+    * size(sh)>0, which pushes the whole shingle pipeline into the scan).
+    * Empty-shingle docs would otherwise all share a signature and pair
+    * with each other. */
   def lshCandidates(docsWithSh: DataFrame, nHashes: Int, bands: Int): DataFrame = {
     val r = nHashes / bands
-    val sig = minhashSignature(col("sh"), nHashes)
+    // The explicit repartition on the join keys makes both sides of the
+    // self-join share ONE shuffle stage (ReuseExchange): the signature
+    // computation — the expensive part — runs exactly once, and the join
+    // needs no further exchange. Without it, a broadcast self-join would
+    // evaluate the MinHash pipeline twice.
     val banded = docsWithSh
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", sig)
-      .select(col("doc_id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", minhashSignature(col("shh"), nHashes))
+      .select(col("doc_id"),
+        posexplode(keepMaterialized(col("sig"),
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            xxhash64(slice(col("sig"), b * r + 1, lit(r)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .repartition(col("band"), col("band_hash"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
   // ---------------------------------------------------------------- q40
   /** MinHash-LSH near-dup candidates with exact-Jaccard verification.
-    * 32 hashes, 8 bands of 4 → catches pairs with J ≳ 0.5. Rows-only
-    * check in the harness (hash function is engine-specific); planted
-    * duplicate behavior is pinned by DedupSpec. */
+    * 32 hashes, 8 bands of 4 → catches pairs with J ≳ 0.5. Candidate
+    * discovery is id-only (see [[lshCandidates]]); shingle arrays are
+    * joined back onto the (tiny) deduped pair set for verification.
+    * Rows-only check in the harness (hash function is engine-specific);
+    * planted duplicate behavior is pinned by DedupSpec. */
   val q40MinHashLsh: Q = (spark, dir) => {
-    val d = Tables(spark, dir, "documents")
+    // cheap pushable pre-filter ⟺ "has shingles" (see q39 / lshCandidates)
+    val d = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val shTbl = d
     lshCandidates(d, nHashes = 32, bands = 8)
+      .join(shTbl.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shTbl.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
@@ -128,15 +185,18 @@ object DedupOps {
     * Output: doc_id, fingerprint, and hamming distance to the previous doc
     * (a cheap non-trivial derived column). */
   val q41SimHash: Q = (spark, dir) => {
-    val tokens = array_distinct(words)
-    val hashes = transform(tokens, t => xxhash64(t))
-    val simhash = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+    val hashes = transform(array_distinct(words), t => xxhash64(t))
+    // token hashes materialized ONCE as a column: the 64 per-bit vote
+    // aggregates below each reference it, so inlining the split+distinct+
+    // hash subtree would evaluate it 64× per row
+    def simhashOf(h: Column): Column = (0 until 64).map { b =>
+      val votes = aggregate(h, lit(0),
+        (acc, hh) => acc + when(hh.bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
       when(votes > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), simhash.as("simhash"))
+    Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"), simhashOf(col("h")).as("simhash"))
       .withColumn("bits_set", bit_count(col("simhash")).cast("long"))
       .orderBy(col("doc_id"))
   }

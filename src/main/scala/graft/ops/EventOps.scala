@@ -55,14 +55,18 @@ object EventOps {
 
   // ---------------------------------------------------------------- q26
   /** As-of join: each purchase matched to the user's most recent signup at
-    * or before it. Implemented as the scalable union+window pattern — one
-    * shuffle on user_id, no per-row subquery, no skew-prone self-join. */
+    * or before it (tie rule: a same-microsecond signup counts — the frame
+    * is rangeBetween on ts_us, so all peers of the purchase's timestamp are
+    * in scope regardless of event_id; the oracle mirrors this with a
+    * µs-floored <= comparison). Implemented as the scalable union+window
+    * pattern — one shuffle on user_id, no per-row subquery, no skew-prone
+    * self-join. */
   val q26AsOfJoin: Q = (spark, dir) => {
     val e = Tables(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("signup_ts",
         when(col("event_type") === "signup", col("ts_us")))
       .withColumn("last_signup_us", last(col("signup_ts"), ignoreNulls = true).over(w))
@@ -75,7 +79,7 @@ object EventOps {
     """SELECT p.event_id, p.user_id, epoch_ns(p.ts)//1000 AS ts_us,
       | (SELECT max(epoch_ns(s.ts)//1000) FROM events s
       |   WHERE s.user_id = p.user_id AND s.event_type = 'signup'
-      |     AND s.ts <= p.ts) AS last_signup_us
+      |     AND epoch_ns(s.ts)//1000 <= epoch_ns(p.ts)//1000) AS last_signup_us
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY p.event_id""".stripMargin
 

@@ -19,7 +19,7 @@ object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.balanced(spark, dir, "documents")
 
   private val words: Column = split(col("text"), " ")
 
@@ -104,12 +104,15 @@ object TextOps {
       transform(sequence(lit(1), n - 2), i =>
         concat_ws(" ", element_at(words, i), element_at(words, i + 1),
           element_at(words, i + 2)))).otherwise(array())
+    // The distinct pass is the dominant cost — evaluate it exactly once
+    // (the intermediate projection keeps it out of CollapseProject's reach,
+    // since a non-cheap expr referenced twice is not inlined).
     docs(spark, dir)
-      .select(col("doc_id"),
-        size(array_distinct(shingles)).cast("long").as("n_shingles"),
-        (n - 2 - size(array_distinct(shingles)))
-          .cast("long").as("n_repeated"))
-      .filter(n >= 3)
+      .select(col("doc_id"), n.as("n"),
+        size(array_distinct(shingles)).cast("long").as("n_shingles"))
+      .filter(col("n") >= 3)
+      .select(col("doc_id"), col("n_shingles"),
+        (col("n") - 2 - col("n_shingles")).cast("long").as("n_repeated"))
       .orderBy(col("doc_id"))
   }
 

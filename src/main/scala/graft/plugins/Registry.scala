@@ -39,6 +39,12 @@ trait BioReader {
   def readDelayedAtLevel(spark: SparkSession, sceneIdx: Int, level: Int): DataFrame =
     if (level == 0) readDelayed(spark, sceneIdx)
     else throw new IndexOutOfBoundsException(s"resolution level $level")
+  /** Dims of a scene at a resolution level (the reference tracks per-level
+    * shapes, bio_image.py:548-604). Level 0 = sceneMeta dims; multi-level
+    * readers override. */
+  def levelDims(sceneIdx: Int, level: Int): Dimensions =
+    if (level == 0) sceneMeta(sceneIdx).dims
+    else throw new IndexOutOfBoundsException(s"resolution level $level")
 }
 
 /** A constructable plugin: how to open a path as a BioReader. */

@@ -22,11 +22,20 @@ object ParquetPlaneStore {
   val Extension = ".graft"
 
   /** Writer contract (Writer.save analog, mock_writer.py:63-75): scene IDs
-    * are regenerated ("Image:{i}"), order preserved (bio_image.py:1252-57). */
+    * are regenerated ("Image:{i}"), order preserved (bio_image.py:1252-57).
+    * Unknown scene ids (and an empty selection) raise, matching the
+    * reference save's behavior on invalid scene selection. */
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]] = None): Unit = {
     val spark = img.spark
     val sel = selectScenes.getOrElse(img.scenes)
-    val idxs = sel.map(img.scenes.indexOf).filter(_ >= 0)
+    val unknown = sel.filterNot(img.scenes.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Unknown scene id(s) ${unknown.mkString("[", ", ", "]")}; " +
+          s"available scenes: ${img.scenes.mkString("[", ", ", "]")}")
+    if (sel.isEmpty)
+      throw new IllegalArgumentException("Empty scene selection — nothing to save")
+    val idxs = sel.map(img.scenes.indexOf)
     val planes = idxs.zipWithIndex.map { case (orig, renum) =>
       val saved = img.currentSceneIndex
       img.setScene(orig)
@@ -36,8 +45,11 @@ object ParquetPlaneStore {
       img.setScene(saved)
       df
     }.reduce(_ unionByName _)
+    // Repartition includes (t,c,z) so a single huge scene/level fans out
+    // across many writer tasks instead of serializing through one; the
+    // directory layout (partitionBy) is unchanged.
     planes
-      .repartition(col("scene_idx"), col("level"))
+      .repartition(col("scene_idx"), col("level"), col("t"), col("c"), col("z"))
       .sortWithinPartitions(col("t"), col("c"), col("z"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("scene_idx", "level")

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (tests/test_array_like_reader.py:26-114, 718-728, 729-835). */
 class DimsSpec extends AnyFunSuite {
   test("guess by rank: trailing TCZYX(S) suffix") {
+    assert(Dims.guess(1) == "X")
     assert(Dims.guess(2) == "YX")
     assert(Dims.guess(3) == "ZYX")
     assert(Dims.guess(4) == "CZYX")
@@ -14,7 +15,7 @@ class DimsSpec extends AnyFunSuite {
   }
 
   test("unguessable ranks raise InvalidDimensionOrdering") {
-    intercept[InvalidDimensionOrdering](Dims.guess(1))
+    intercept[InvalidDimensionOrdering](Dims.guess(0))
     intercept[InvalidDimensionOrdering](Dims.guess(7))
   }
 

@@ -61,6 +61,39 @@ class BioImageSpec extends SparkSpec {
     assert(nd.array(1, 0, 0) == 300.0) // z=3
   }
 
+  test("Subset preserves the caller's requested order (C=[1,0] style)") {
+    // reference reshape_data keeps list/tuple order (bio_image.py:776-827)
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
+    val nd = img.getImageData("ZYX", Map('Z' -> Sel.Subset(Seq(3, 1))))
+    assert(nd.array.shape == Seq(2, 3, 3))
+    assert(nd.array(0, 0, 0) == 300.0) // z=3 first, as requested
+    assert(nd.array(1, 0, 0) == 100.0) // z=1 second
+  }
+
+  test("negative indices resolve from the end; out-of-range raises") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
+    val nd = img.getImageData("ZYX", Map('Z' -> Sel.Subset(Seq(0, -1))))
+    assert(nd.array.shape == Seq(2, 3, 3))
+    assert(nd.array(1, 0, 0) == 300.0) // z=-1 → z=3
+    val idx = img.getImageData("YX",
+      Map('T' -> Sel.Index(-1), 'C' -> Sel.Index(0), 'Z' -> Sel.Index(0)))
+    assert(idx.array(0, 0) == 10000.0) // t=-1 → t=1
+    intercept[IndexOutOfBoundsException](
+      img.getImageData("ZYX", Map('Z' -> Sel.Subset(Seq(0, 4)))))
+    intercept[IndexOutOfBoundsException](
+      img.getImageData("ZYX", Map('Z' -> Sel.Subset(Seq(-5)))))
+  }
+
+  test("empty or duplicated selections raise descriptive errors") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
+    intercept[ConflictingArguments](
+      img.getImageData("ZYX", Map('Z' -> Sel.Subset(Seq.empty))))
+    intercept[ConflictingArguments](
+      img.getImageData("ZYX", Map('Z' -> Sel.Subset(Seq(1, 1)))))
+    intercept[ConflictingArguments](
+      img.getImageData("ZYX", Map('Z' -> Sel.SRange(3, 3))))
+  }
+
   test("Index selection of a returned dim is an error") {
     val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2, 4, 3, 3)))
     intercept[ConflictingArguments](

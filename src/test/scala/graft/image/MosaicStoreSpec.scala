@@ -74,6 +74,17 @@ class StoreSpec extends SparkSpec {
     assert(back.channelNames == Seq("Channel:0:0"))
   }
 
+  test("save raises on unknown scene ids and empty selection") {
+    val img = new BioImage(spark, ArrayLikeReader.multi(
+      Seq(NDArray.zeros(Seq(2, 2)))))
+    val dir = Files.createTempDirectory("graft-store").toString + "/img.graft"
+    val e = intercept[IllegalArgumentException](
+      ParquetPlaneStore.save(img, dir, selectScenes = Some(Seq("Image:9"))))
+    assert(e.getMessage.contains("Image:9"))
+    intercept[IllegalArgumentException](
+      ParquetPlaneStore.save(img, dir, selectScenes = Some(Seq.empty)))
+  }
+
   test("scene/level scan is partition-pruned") {
     val img = new BioImage(spark, ArrayLikeReader.multi(
       (0 until 3).map(_ => NDArray.zeros(Seq(2, 2)))))
