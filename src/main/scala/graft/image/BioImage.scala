@@ -98,18 +98,44 @@ final class BioImage(
 
   private def hasMosaic: Boolean = meta.dims.order.contains('M')
 
+  /** Driver-side disjointness check over the tile catalog: any two tile
+    * rectangles intersecting means stitched pixels can collide. The
+    * positions are already in SceneMeta — no data scan needed. */
+  private def tilesOverlap: Boolean = {
+    val tiles = meta.tilePositions
+    val h = meta.dims('Y')
+    val w = meta.dims('X')
+    tiles.indices.exists { i =>
+      val (ay, ax) = tiles(i)
+      (i + 1 until tiles.length).exists { j =>
+        val (by, bx) = tiles(j)
+        ay < by + h && by < ay + h && ax < bx + w && bx < ax + w
+      }
+    }
+  }
+
   /** Lazy long-form pixel view in the image's canonical space: stitched
     * (Y/X global, no M) when the scene is a mosaic and reconstruction is
     * on; tiled otherwise. Overlapping stitched pixels resolve to the
     * lowest tile index (documented overlap policy — the reference
-    * delegates this to plugins). */
+    * delegates this to plugins).
+    *
+    * Scale: when the tile catalog proves tiles disjoint (the common case),
+    * the stitch is a pure projection — zero shuffle, no Exchange in the
+    * plan. Only genuinely overlapping mosaics pay the overlap-resolving
+    * aggregation. */
   def pixels: DataFrame =
-    if (hasMosaic && reconstructMosaic)
-      Plane.stitchedPixels(planes)
-        .groupBy(col("scene_idx"), col("level"), col("t"), col("c"),
-          col("z"), col("s"), col("y"), col("x"))
-        .agg(min_by(col("v"), col("m")).as("v"))
-    else Plane.pixels(planes).drop("y0", "x0")
+    if (hasMosaic && reconstructMosaic) {
+      val stitched = Plane.stitchedPixels(planes)
+      if (!tilesOverlap)
+        stitched.select(col("scene_idx"), col("level"), col("t"), col("c"),
+          col("z"), col("s"), col("y"), col("x"), col("v"))
+      else
+        stitched
+          .groupBy(col("scene_idx"), col("level"), col("t"), col("c"),
+            col("z"), col("s"), col("y"), col("x"))
+          .agg(min_by(col("v"), col("m")).as("v"))
+    } else Plane.pixels(planes).drop("y0", "x0")
 
   /** Dims of the current scene/level, derived from the catalog; mosaic
     * reconstruction folds M into stitched Y/X. */

@@ -37,6 +37,20 @@ class MosaicSpec extends SparkSpec {
     assert(nd.array(0, 2) == 101.0)
   }
 
+  test("disjoint tiles stitch with a projection-only plan (no Exchange)") {
+    val img = mosaicImage(Seq((0, 0), (0, 2), (2, 0), (2, 2)))
+    val plan = img.pixels.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"disjoint stitch must not shuffle:\n$plan")
+  }
+
+  test("overlapping tiles stitch through the overlap-resolving aggregate") {
+    val img = mosaicImage(Seq((0, 0), (0, 1)))
+    val plan = img.pixels.queryExecution.executedPlan.toString
+    assert(plan.contains("min_by") || plan.contains("Aggregate"),
+      s"overlap stitch must aggregate:\n$plan")
+  }
+
   test("reconstruct=false falls back to tiled M-dim data") {
     val img = mosaicImage(Seq((0, 0), (0, 2)), reconstruct = false)
     assert(img.dims.order == "MTCZYX")
