@@ -171,6 +171,70 @@ final class BioImage(
   def physicalPixelSizes: Option[(Double, Double, Double)] =
     meta.physicalPixelSizes
 
+  /** Seconds between T steps, when the source declares it
+    * (bio_image.py:1094-1108). */
+  def timeInterval: Option[Double] = meta.timeInterval
+
+  /** Combined T+ZYX scaling; C is always None (bio_image.py:1067-1081). */
+  def scale: Map[Char, Option[Double]] = Map(
+    'T' -> timeInterval,
+    'C' -> None,
+    'Z' -> physicalPixelSizes.map(_._1),
+    'Y' -> physicalPixelSizes.map(_._2),
+    'X' -> physicalPixelSizes.map(_._3))
+
+  /** Per-dimension (size, scale, unit) rows (bio_image.py:1083-1092). */
+  def dimensionProperties: Map[Char, (Long, Option[Double], Option[String])] = {
+    val d = dims
+    val unitFor: Map[Char, String] =
+      Map('T' -> "s", 'Z' -> "µm", 'Y' -> "µm", 'X' -> "µm")
+    d.order.map { dim =>
+      val sc = scale.getOrElse(dim, None)
+      dim -> ((d(dim), sc, sc.flatMap(_ => unitFor.get(dim))))
+    }.toMap
+  }
+
+  /** Raw format metadata passthrough (bio_image.py:1009-1019): the OME-XML
+    * (or other description payload) exactly as the source stored it. */
+  def rawMetadata: Option[String] = meta.rawMetadata
+
+  /** OME model of the current image (bio_image.py:1021-1036): parsed from
+    * raw OME-XML when the source carries it, else synthesized from the
+    * normalized metadata — the reference's own bar for generated OME is
+    * "valid but not complete" (bio_image.py:1026-1030). */
+  def omeMetadata: graft.meta.OME = {
+    val fromRaw = meta.rawMetadata.filter(_.contains("<OME"))
+      .flatMap(x => scala.util.Try(graft.meta.OmeXml.fromXml(x)).toOption)
+    fromRaw.getOrElse {
+      val d = dims
+      graft.meta.OME(Seq(graft.meta.OmeImage(
+        id = graft.meta.OmeUtils.omeImageId(sceneIdx.toLong),
+        name = currentScene,
+        pixels = graft.meta.OmePixels(
+          id = s"Pixels:$sceneIdx",
+          dimensionOrder = "XYZCT",
+          pixelType = graft.meta.OmeXml.omeTypeOf(meta.pixelType),
+          sizeX = d('X'), sizeY = d('Y'),
+          sizeZ = if (d.order.contains('Z')) d('Z') else 1,
+          sizeC = if (d.order.contains('C')) d('C') else 1,
+          sizeT = if (d.order.contains('T')) d('T') else 1,
+          physicalSizeX = physicalPixelSizes.map(_._3),
+          physicalSizeY = physicalPixelSizes.map(_._2),
+          physicalSizeZ = physicalPixelSizes.map(_._1),
+          timeIncrement = timeInterval,
+          channels = channelNames.zipWithIndex.map { case (cn, ci) =>
+            graft.meta.OmeChannel(
+              graft.meta.OmeUtils.omeChannelId(sceneIdx.toLong, ci.toLong),
+              Some(cn))
+          }))))
+    }
+  }
+
+  /** Sink dispatch by extension (bio_image.py:1229-1301): OME-TIFF for
+    * .ome.tiff/.tiff, parquet plane store for .graft. */
+  def save(uri: String, selectScenes: Option[Seq[String]] = None): Unit =
+    graft.writers.Writers.save(this, uri, selectScenes)
+
   /** Resolve a selection against the dim's size: negative indices count
     * from the end (reference reshape_data accepts e.g. C=(0,-1),
     * bio_image.py:776-827); out-of-range indices raise rather than

@@ -230,6 +230,72 @@ object BioQueries {
       | ('Image:1', 2, 'Channel:1:2'))
       | AS t(scene_id, c, channel_name) ORDER BY scene_id, c""".stripMargin
 
+  // ---------------------------------------------------------------- b11
+  /** S12: OME-TIFF read through plugin resolution. A two-scene formulaic
+    * image is written by the OME-TIFF writer (S13–S15), re-opened via the
+    * registry (most-specific-suffix resolution picks OmeTiffReader), and
+    * scene Image:1's pixels — decoded from raw TIFF strips by executors —
+    * are checked against the regenerating oracle. */
+  val b11OmetiffRead: Q = (spark, _) => {
+    val arrs = (0 until 2).map(i =>
+      NDArray.tabulate(Seq(2, 3, 4))(idx =>
+        i * 1000.0 + idx(0) * 100.0 + idx(1) * 10.0 + idx(2)))
+    val img = new graft.image.BioImage(spark, ArrayLikeReader.multi(arrs))
+    val uri = s"/tmp/graft_b11_${java.util.UUID.randomUUID()}.ome.tiff"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    back.setScene("Image:1")
+    back.getImagePixels()
+      .select(col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("z"), col("y"), col("x"))
+  }
+
+  val b11Oracle: String =
+    """SELECT z, y, x, CAST(1000 + z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(2) a(z), range(3) b(y), range(4) c(x)
+      |ORDER BY z, y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b12
+  /** S13/S14/S15 + M8/M9: OME-TIFF metadata roundtrip. Channel names,
+    * physical pixel sizes and dims written into the OME-XML block come
+    * back through the reader's OME parse; scene ids are regenerated with
+    * order preserved (selection written scene 1 first). */
+  val b12OmetiffRoundtrip: Q = (spark, _) => {
+    import spark.implicits._
+    val arrs = Seq(
+      NDArray.zeros(Seq(2, 2, 2)), // CYX with names
+      NDArray.zeros(Seq(3, 3)))
+    val img = new graft.image.BioImage(spark, ArrayLikeReader.multi(arrs,
+      Seq(Some("CYX"), Some("YX")),
+      Seq(Some(Seq("DAPI", "GFP")), None)))
+    val uri = s"/tmp/graft_b12_${java.util.UUID.randomUUID()}.ome.tiff"
+    img.save(uri, selectScenes = Some(Seq("Image:1", "Image:0")))
+    val back = BioSpark.open(spark, uri)
+    back.scenes.zipWithIndex.flatMap { case (sid, i) =>
+      back.setScene(i)
+      val d = back.dims
+      back.channelNames.zipWithIndex.map { case (cn, c) =>
+        (sid, c.toLong, cn, d('C'), d('Y'), d('X'),
+          back.meta.pixelType.toString)
+      }
+    }.toDF("scene_id", "c", "channel_name", "size_c", "size_y", "size_x",
+      "pixel_type")
+      .orderBy(col("scene_id"), col("c"))
+  }
+
+  // First written scene is original Image:1 (YX, no explicit names): the
+  // writer records the ORIGINAL generated channel id "Channel:1:0" in the
+  // OME-XML (the reference's save gathers per-scene channel_names before
+  // renumbering, bio_image.py:1282-1291), and the reader trusts the XML.
+  val b12Oracle: String =
+    """SELECT * FROM (VALUES
+      | ('Image:0', 0, 'Channel:1:0', 1, 3, 3, 'Float64'),
+      | ('Image:1', 0, 'DAPI',        2, 2, 2, 'Float64'),
+      | ('Image:1', 1, 'GFP',         2, 2, 2, 'Float64'))
+      | AS t(scene_id, c, channel_name, size_c, size_y, size_x, pixel_type)
+      |ORDER BY scene_id, c""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -241,6 +307,8 @@ object BioQueries {
     "b08_plugin_order" -> b08PluginOrder,
     "b09_store_roundtrip" -> b09StoreRoundtrip,
     "b10_channel_names" -> b10ChannelNames,
+    "b11_ometiff_read" -> b11OmetiffRead,
+    "b12_ometiff_roundtrip" -> b12OmetiffRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -254,5 +322,7 @@ object BioQueries {
     "b08_plugin_order" -> b08Oracle,
     "b09_store_roundtrip" -> b09Oracle,
     "b10_channel_names" -> b10Oracle,
+    "b11_ometiff_read" -> b11Oracle,
+    "b12_ometiff_roundtrip" -> b12Oracle,
   )
 }

@@ -18,7 +18,8 @@ final case class SceneMeta(
     physicalPixelSizes: Option[(Double, Double, Double)], // Z, Y, X
     pixelType: PixelType.Value,
     tilePositions: Seq[(Int, Int)], // (top, left) per mosaic tile index
-    rawMetadata: Option[String])
+    rawMetadata: Option[String],
+    timeInterval: Option[Double] = None) // seconds between T steps
 
 /** Reader SPI — the analog of bioio_base.reader.Reader whose required
   * surface is observable from the reference call sites (bio_image.py:9,

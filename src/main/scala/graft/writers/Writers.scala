@@ -1,0 +1,55 @@
+package graft.writers
+
+import graft.core.UnsupportedFileFormatError
+import graft.image.BioImage
+
+/** Writer SPI — the analog of the reference's Writer contract + writer
+  * registry (/root/reference/bioio/writers/__init__.py:10-15, contract
+  * observable in tests/helpers/mock_writer.py:63-75; registry table
+  * README.md:78-85). `save` consumes a BioImage and a target URI; scene
+  * selection semantics (regenerated ids, preserved order, raise on
+  * unknown) follow BioImage.save (bio_image.py:1229-1301). */
+trait BioWriter {
+  def name: String
+  /** advertised extensions, normalized (lowercase, leading dot). */
+  def supportedExtensions: Seq[String]
+  def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]] = None): Unit
+}
+
+/** Writer registry: extension-dispatched save (most specific suffix
+  * first, mirroring the reader registry's ordering policy). */
+object Writers {
+  /** ParquetPlaneStore registered alongside OME-TIFF: the store is the
+    * engine's scale-path interchange; OME-TIFF is the reference's
+    * canonical sink. */
+  def default: Seq[BioWriter] = Seq(OmeTiffWriter, ParquetPlaneStoreWriter)
+
+  def forPath(path: String, writers: Seq[BioWriter] = default): BioWriter = {
+    val lower = path.toLowerCase.takeWhile(_ != '?')
+    val matches = for {
+      w <- writers
+      e <- w.supportedExtensions
+      if lower.endsWith(e)
+    } yield (e.length, w)
+    matches.sortBy(-_._1).headOption.map(_._2).getOrElse(
+      throw new UnsupportedFileFormatError(
+        s"No writer supports '$path'. Registered: " +
+          writers.map(w => s"${w.name}${w.supportedExtensions.mkString("(", ",", ")")}")
+            .mkString(", ")))
+  }
+
+  def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]] = None,
+      writers: Seq[BioWriter] = default): Unit =
+    forPath(uri, writers).save(img, uri, selectScenes)
+}
+
+/** BioWriter face of the parquet plane store. */
+object ParquetPlaneStoreWriter extends BioWriter {
+  override def name: String = "ParquetPlaneStoreWriter"
+  override def supportedExtensions: Seq[String] = Seq(ParquetPlaneStore.Extension)
+  override def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]]): Unit =
+    ParquetPlaneStore.save(img, uri, selectScenes)
+}

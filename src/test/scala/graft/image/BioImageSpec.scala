@@ -171,6 +171,21 @@ class BioImageSpec extends SparkSpec {
     assert(st.array(2, 0, 0, 0, 1, 1) == 211.0)
   }
 
+  test("scale and dimensionProperties expose pps/timeInterval per dim") {
+    val img = new BioImage(spark, new ArrayLikeReader(
+      Seq(NDArray.zeros(Seq(4, 3, 2))), Seq(None), Seq(None),
+      physicalPixelSizes = Some((2.0, 0.5, 0.25))))
+    assert(img.scale('Z').contains(2.0))
+    assert(img.scale('Y').contains(0.5))
+    assert(img.scale('X').contains(0.25))
+    assert(img.scale('C').isEmpty)
+    assert(img.scale('T').isEmpty) // no time interval declared
+    val props = img.dimensionProperties
+    assert(props('Z') == ((4L, Some(2.0), Some("µm"))))
+    assert(props('X') == ((2L, Some(0.25), Some("µm"))))
+    assert(props('T') == ((1L, None, None)))
+  }
+
   test("standardMetadata overrides sizes from actual dims") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(4, 3, 2)))
     val sm = img.standardMetadata

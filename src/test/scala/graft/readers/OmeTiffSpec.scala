@@ -1,0 +1,140 @@
+package graft.readers
+
+import java.nio.file.Files
+
+import graft.{BioSpark, SparkSpec}
+import graft.core.{NDArray, PixelType}
+import graft.formats.TiffFormat
+import graft.image.BioImage
+import graft.meta.OmeXml
+import graft.writers.{OmeTiffWriter, ParquetPlaneStoreWriter, Writers}
+
+class TiffFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("plane encode/decode roundtrip for every storable pixel type") {
+    import java.nio.ByteOrder.LITTLE_ENDIAN
+    val vals = Array(0.0, 1.0, 7.0, 100.0, 63.0) // fits every storable type
+    for (pt <- Seq(PixelType.Int8, PixelType.UInt8, PixelType.Int16,
+        PixelType.UInt16, PixelType.Int32, PixelType.UInt32,
+        PixelType.Float32, PixelType.Float64)) {
+      val bytes = TiffFormat.encodePlane(vals, pt)
+      val back = TiffFormat.decodePlane(bytes,
+        TiffFormat.bytesPerSample(pt) * 8, TiffFormat.sampleFormat(pt),
+        LITTLE_ENDIAN)
+      assert(back.toSeq == vals.toSeq, s"roundtrip failed for $pt")
+    }
+  }
+
+  test("complex types are rejected") {
+    intercept[IllegalArgumentException](
+      TiffFormat.bytesPerSample(PixelType.Complex64))
+  }
+
+  test("OME-XML emit/parse roundtrip") {
+    val ome = graft.meta.OME(Seq(graft.meta.OmeImage("Image:0", "scene \"A\" <1>",
+      graft.meta.OmePixels("Pixels:0", "XYZCT", "double", 4, 3, 2, 2, 1,
+        Some(0.5), Some(0.5), Some(2.0), Some(1.5),
+        Seq(graft.meta.OmeChannel("Channel:0:0", Some("DAPI")),
+          graft.meta.OmeChannel("Channel:0:1", Some("GFP")))))))
+    val back = OmeXml.fromXml(OmeXml.toXml(ome))
+    assert(back == ome)
+  }
+}
+
+class OmeTiffSpec extends SparkSpec {
+
+  private def formulaic(shape: Seq[Int]): NDArray =
+    NDArray.tabulate(shape)(idx =>
+      idx.zipWithIndex.map { case (v, i) =>
+        v * math.pow(10, shape.length - 1 - i)
+      }.sum)
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft-tiff").toString + "/" + name
+
+  test("write → plugin-resolve → read roundtrip preserves pixels and dims") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 3, 4, 5))) // CZYX
+    val uri = tmp("img.ome.tiff")
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.reader.name == "OmeTiffReader")
+    assert(back.scenes == Seq("Image:0"))
+    assert(back.dims.order == "TCZYX")
+    assert(back.dims.shape == Seq(1, 2, 3, 4, 5))
+    val nd = back.getImageData("CZYX")
+    assert(nd.array.shape == Seq(2, 3, 4, 5))
+    assert(nd.array(1, 2, 3, 4) == 1234.0)
+    assert(nd.array(0, 0, 0, 0) == 0.0)
+    // raw OME-XML preserved (M9), parses as OME (M8)
+    assert(back.rawMetadata.exists(_.contains("<OME")))
+    assert(back.omeMetadata.images.head.pixels.sizeX == 5)
+  }
+
+  test("multi-scene save renumbers ids and preserves order; selection works") {
+    val arrs = (0 until 3).map(i =>
+      NDArray.tabulate(Seq(2, 2))(idx => i * 100.0 + idx(0) * 10 + idx(1)))
+    val img = new BioImage(spark, ArrayLikeReader.multi(arrs))
+    val uri = tmp("multi.ome.tiff")
+    img.save(uri, selectScenes = Some(Seq("Image:2", "Image:0")))
+    val back = BioSpark.open(spark, uri)
+    assert(back.scenes == Seq("Image:0", "Image:1")) // renumbered, order kept
+    assert(back.getImageData("YX").array(1, 1) == 211.0) // was Image:2
+    back.setScene("Image:1")
+    assert(back.getImageData("YX").array(1, 1) == 11.0) // was Image:0
+  }
+
+  test("channel names, pps and timeInterval survive the roundtrip") {
+    val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2, 2)),
+      Some("CYX"), Some(Seq("DAPI", "GFP")))
+    val uri = tmp("meta.ome.tiff")
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.channelNames == Seq("DAPI", "GFP"))
+    val ome = back.omeMetadata
+    assert(ome.images.head.pixels.channels.flatMap(_.name) == Seq("DAPI", "GFP"))
+  }
+
+  test("plain TIFF (no OME-XML) reads as Z-stacked single scene") {
+    // craft a 2-IFD plain TIFF via the writer then strip... simpler: the
+    // writer always embeds OME-XML, so build a tiny plain TIFF by hand
+    val vals = Array(1.0, 2.0, 3.0, 4.0)
+    val strip = TiffFormat.encodePlane(vals, PixelType.UInt8)
+    val ifd0 = TiffFormat.ifdBytes(TiffFormat.planeEntries(
+      2, 2, PixelType.UInt8, 8, None), 8L + strip.length + 2 + 10 * 12 + 4)
+    val ifd1 = TiffFormat.ifdBytes(TiffFormat.planeEntries(
+      2, 2, PixelType.UInt8, 8, None), 0)
+    val bytes = TiffFormat.headerBytes(8L + strip.length) ++ strip ++ ifd0 ++ ifd1
+    val p = tmp("plain.tif")
+    Files.write(java.nio.file.Paths.get(p), bytes)
+    val back = BioSpark.open(spark, p)
+    assert(back.dims.shape == Seq(1, 1, 2, 2, 2)) // 2 IFDs on Z
+    val nd = back.getImageData("ZYX")
+    assert(nd.array(0, 1, 1) == 4.0)
+    assert(nd.array(1, 0, 1) == 2.0)
+  }
+
+  test("writer raises on unknown scene, empty selection, mosaic scenes") {
+    val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
+    intercept[IllegalArgumentException](
+      img.save(tmp("x.ome.tiff"), Some(Seq("Image:9"))))
+    intercept[IllegalArgumentException](
+      img.save(tmp("x.ome.tiff"), Some(Seq.empty)))
+    val mosaic = new BioImage(spark,
+      new ArrayLikeReader(Seq(NDArray.zeros(Seq(2, 2, 2))), Seq(Some("MYX")),
+        Seq(None), tilePositions = Seq(Seq((0, 0), (0, 2)))))
+    intercept[UnsupportedOperationException](mosaic.save(tmp("m.ome.tiff")))
+  }
+
+  test("writer registry dispatches by most specific extension") {
+    assert(Writers.forPath("/a/b.ome.tiff") == OmeTiffWriter)
+    assert(Writers.forPath("/a/b.graft") == ParquetPlaneStoreWriter)
+    intercept[graft.core.UnsupportedFileFormatError](
+      Writers.forPath("/a/b.zarr"))
+  }
+
+  test("feasibility report covers the tiff plugin") {
+    val uri = tmp("probe.ome.tiff")
+    BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2))).save(uri)
+    val rep = BioSpark.defaultRegistry.feasibilityReport(spark, uri)
+    assert(rep("OmeTiffReader").supported)
+  }
+}
