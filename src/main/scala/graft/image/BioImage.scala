@@ -9,16 +9,22 @@ import graft.core._
 import graft.plugins.{BioReader, SceneMeta}
 
 /** Selection on a named dimension — the analog of reshape_data's kwarg
-  * types (/root/reference/bioio/bio_image.py:776-827):
+  * types (/root/reference/bioio/bio_image.py:776-827) plus coordinate
+  * (`.loc`-style) forms (docs/OVERVIEW.md:331-358):
   *   Index(i)   — select one index and DROP the dimension
   *   Subset(xs) — keep the dimension, subset indices (re-indexed 0..n-1)
   *   SRange     — contiguous subset (inclusive start, exclusive end)
+  *   Coord      — by PHYSICAL units (seconds on T, µm on Z/Y/X), inclusive
+  *                on both ends; resolved against the dim's scale
+  *   Name       — channel names on C, order preserved
   */
 sealed trait Sel
 object Sel {
   final case class Index(i: Int) extends Sel
   final case class Subset(xs: Seq[Int]) extends Sel
   final case class SRange(start: Int, end: Int) extends Sel
+  final case class Coord(lo: Double, hi: Double) extends Sel
+  final case class Name(names: Seq[String]) extends Sel
 }
 
 /** Eager nd result: NDArray + its dimension order (the numpy analog). */
@@ -272,6 +278,37 @@ final class BioImage(
             s"range [$s0, $e0) selects nothing for dim $d" +
               sizeOpt.fold("")(n => s" of size $n"))
         Sel.SRange(rs, re)
+      case Sel.Coord(lo, hi) =>
+        // coordinate of index i on dim d is i * scale(d); inclusive range
+        // (docs/OVERVIEW.md:331-358 — "first ten seconds (not frames)")
+        val sc = scale.getOrElse(d, None).getOrElse(
+          throw new ConflictingArguments(
+            s"dim $d has no coordinate scale (physical pixel size / time " +
+              "interval not provided by the source)"))
+        val n = sizeOpt.getOrElse(
+          throw new ConflictingArguments(s"dim $d not present in '${dims.order}'"))
+        val eps = 1e-9
+        val start = math.max(0, math.ceil(lo / sc - eps).toInt)
+        val end = math.min(n, math.floor(hi / sc + eps).toInt + 1)
+        if (start >= end)
+          throw new ConflictingArguments(
+            s"coordinate range [$lo, $hi] selects nothing on dim $d " +
+              s"(scale $sc, size $n)")
+        Sel.SRange(start, end)
+      case Sel.Name(names) =>
+        if (d != 'C')
+          throw new ConflictingArguments(
+            s"name-based selection is only valid on C, not $d")
+        if (names.isEmpty)
+          throw new ConflictingArguments("empty channel-name selection")
+        val cn = channelNames
+        Sel.Subset(names.map { nm =>
+          val i = cn.indexOf(nm)
+          if (i < 0)
+            throw new IllegalArgumentException(
+              s"channel '$nm' not in ${cn.mkString("[", ", ", "]")}")
+          i
+        })
     }
   }
 

@@ -296,6 +296,82 @@ object BioQueries {
       | AS t(scene_id, c, channel_name, size_c, size_y, size_x, pixel_type)
       |ORDER BY scene_id, c""".stripMargin
 
+  // ---------------------------------------------------------------- b13
+  /** P6 resolution pyramid end-to-end: an 8×8 formulaic plane saved with
+    * levels=2 (level 1 = distributed 2× mean-pool), re-opened, level 1
+    * selected, pixels checked against the oracle's own pooling. */
+  val b13PyramidLevel: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(8, 8))(idx => idx(0) * 10.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = s"/tmp/graft_b13_${java.util.UUID.randomUUID()}.graft"
+    ParquetPlaneStore.save(img, uri, levels = 2)
+    val back = BioSpark.open(spark, uri)
+    back.setResolutionLevel(1)
+    back.getImagePixels()
+      .select(col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        col("v"))
+      .orderBy(col("y"), col("x"))
+  }
+
+  val b13Oracle: String =
+    """SELECT y//2 AS y, x//2 AS x, avg(CAST(y*10 + x AS DOUBLE)) AS v
+      |FROM range(8) a(y), range(8) b(x)
+      |GROUP BY y//2, x//2 ORDER BY y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b14
+  /** P7 coordinate slicing: a ZYX scene with physical pixel sizes
+    * (z=2.0 µm, y=0.5, x=0.5) sliced BY UNITS — Z in [1.9, 6.1] µm, Y in
+    * [1.0, 2.0] µm — resolved driver-side to index ranges; the oracle
+    * applies the same physical predicate to the regenerated grid. */
+  val b14CoordSlice: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(4, 6, 6)) { idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2)
+    }
+    val reader = new ArrayLikeReader(Seq(arr), Seq(None), Seq(None),
+      physicalPixelSizes = Some((2.0, 0.5, 0.5)))
+    new graft.image.BioImage(spark, reader)
+      .getImagePixels(Map(
+        'Z' -> graft.image.Sel.Coord(1.9, 6.1),
+        'Y' -> graft.image.Sel.Coord(1.0, 2.0)))
+      .select(col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("z"), col("y"), col("x"))
+  }
+
+  val b14Oracle: String =
+    """SELECT z, y, x, CAST(z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(4) a(z), range(6) b(y), range(6) c(x)
+      |WHERE z*2.0 >= 1.9 AND z*2.0 <= 6.1
+      |  AND y*0.5 >= 1.0 AND y*0.5 <= 2.0
+      |ORDER BY z, y, x""".stripMargin
+
+  // ---------------------------------------------------------------- b15
+  /** E14 typed Aggregator: per-channel pixel stats (min/max/mean/exact
+    * interpolated median) over plane payload arrays via PlaneStatsAgg,
+    * checked against DuckDB's min/max/avg/median on the regenerated grid. */
+  val b15PlaneStats: Q = (spark, _) => {
+    import spark.implicits._
+    val arr = NDArray.tabulate(Seq(2, 4, 4)) { idx =>
+      idx(0) * 1000.0 + idx(1) * 10.0 + idx(2)
+    }
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    img.planes.select(col("c"), col("pixels"))
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.PlaneStatsAgg().toColumn.name("stats"))
+      .map { case (c, s) => (c.toLong, s.min, s.max, s.mean, s.p50) }
+      .toDF("c", "min_v", "max_v", "mean_v", "p50_v")
+      .orderBy(col("c"))
+  }
+
+  val b15Oracle: String =
+    """WITH px AS (SELECT c, CAST(c*1000 + y*10 + x AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(4) b(y), range(4) d(x))
+      |SELECT c, min(v) AS min_v, max(v) AS max_v, avg(v) AS mean_v,
+      | median(v) AS p50_v
+      |FROM px GROUP BY c ORDER BY c""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -309,6 +385,9 @@ object BioQueries {
     "b10_channel_names" -> b10ChannelNames,
     "b11_ometiff_read" -> b11OmetiffRead,
     "b12_ometiff_roundtrip" -> b12OmetiffRoundtrip,
+    "b13_pyramid_level" -> b13PyramidLevel,
+    "b14_coord_slice" -> b14CoordSlice,
+    "b15_plane_stats" -> b15PlaneStats,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -324,5 +403,8 @@ object BioQueries {
     "b10_channel_names" -> b10Oracle,
     "b11_ometiff_read" -> b11Oracle,
     "b12_ometiff_roundtrip" -> b12Oracle,
+    "b13_pyramid_level" -> b13Oracle,
+    "b14_coord_slice" -> b14Oracle,
+    "b15_plane_stats" -> b15Oracle,
   )
 }

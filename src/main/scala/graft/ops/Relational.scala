@@ -235,6 +235,20 @@ object Relational {
       | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q29
+  /** HLL sketch distinct (E4): approx_count_distinct is the scale escape
+    * hatch for q09's exact expand — one pass, fixed-size sketch, no 3×
+    * row blowup. Sketch values are engine-specific → no SQL oracle; the
+    * rows-only harness check applies, and OpsSpec pins the relative error
+    * against the exact counts. */
+  val q29ApproxDistinct: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- q10
   /** GROUPING SETS via SQL surface. */
   val q10GroupingSets: Q = (spark, dir) => {
@@ -567,6 +581,7 @@ object Relational {
     "q07_anti_join" -> q07AntiJoin,
     "q08_outer_join" -> q08OuterJoin,
     "q09_count_distinct" -> q09CountDistinct,
+    "q29_approx_distinct" -> q29ApproxDistinct,
     "q10_grouping_sets" -> q10GroupingSets,
     "q11_rollup" -> q11Rollup,
     "q12_cube" -> q12Cube,

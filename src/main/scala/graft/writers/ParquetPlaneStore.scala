@@ -13,19 +13,56 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
   *             selection is pure partition pruning; sorted by (t,c,z)
   *             within partitions for row-group pruning
   *   catalog/  parquet, one row per scene: dims, channel names, pixel
-  *             sizes, pixel type, tile positions
+  *             sizes, pixel type, tile positions, per-level pyramid dims
   *
   * This is the OME-TIFF/OME-ZARR role in the reference (save
   * bio_image.py:1229-1301), re-expressed as a Spark-native columnar store.
+  * Resolution pyramids (bio_image.py:548-604) are materialized as extra
+  * `level` partitions: level l is a 2× mean-pool of level l-1, computed
+  * distributed (groupBy on halved coordinates — two shuffles per level,
+  * each over 4× less data than the previous).
   */
 object ParquetPlaneStore {
   val Extension = ".graft"
 
+  /** 2× mean-pool of a plane table: each (t,c,z,s,m) plane pools
+    * independently; edge blocks average the pixels that exist (ceil
+    * semantics). Tile offsets halve with the geometry. */
+  private def poolHalf(planes: DataFrame): DataFrame = {
+    val keys = Seq("scene_idx", "scene_id", "m", "t", "c", "z", "s")
+    val px = planes.select(
+      keys.map(col) ++ Seq(col("level"), col("y0"), col("x0"), col("h"),
+        col("w"), posexplode(col("pixels")).as(Seq("pos", "v"))): _*)
+      .withColumn("h2", expr("(h + 1) div 2").cast("int"))
+      .withColumn("w2", expr("(w + 1) div 2").cast("int"))
+      .withColumn("py", expr("(pos div w) div 2").cast("int"))
+      .withColumn("px", expr("(pos % w) div 2").cast("int"))
+    val pooled = px
+      .groupBy(keys.map(col) ++ Seq(col("level"), expr("y0 div 2").as("y0"),
+        expr("x0 div 2").as("x0"), col("h2"), col("w2"), col("py"),
+        col("px")): _*)
+      .agg(avg(col("v")).as("v"))
+    pooled
+      .withColumn("pv", struct((col("py") * col("w2") + col("px")).as("p"),
+        col("v").as("v")))
+      .groupBy(keys.map(col) ++ Seq(col("level"), col("y0"), col("x0"),
+        col("h2"), col("w2")): _*)
+      .agg(transform(array_sort(collect_list(col("pv"))),
+        p => p.getField("v")).as("pixels"))
+      .select(col("scene_idx"), col("scene_id"),
+        (col("level") + 1).cast("int").as("level"), col("m"), col("t"),
+        col("c"), col("z"), col("s"), col("y0").cast("int").as("y0"),
+        col("x0").cast("int").as("x0"), col("h2").as("h"), col("w2").as("w"),
+        col("pixels"))
+  }
+
   /** Writer contract (Writer.save analog, mock_writer.py:63-75): scene IDs
     * are regenerated ("Image:{i}"), order preserved (bio_image.py:1252-57).
     * Unknown scene ids (and an empty selection) raise, matching the
-    * reference save's behavior on invalid scene selection. */
-  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]] = None): Unit = {
+    * reference save's behavior on invalid scene selection. `levels` > 1
+    * materializes a mean-pool pyramid (level l = 2^l downsample). */
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]] = None,
+      levels: Int = 1): Unit = {
     val spark = img.spark
     val sel = selectScenes.getOrElse(img.scenes)
     val unknown = sel.filterNot(img.scenes.contains)
@@ -35,8 +72,9 @@ object ParquetPlaneStore {
           s"available scenes: ${img.scenes.mkString("[", ", ", "]")}")
     if (sel.isEmpty)
       throw new IllegalArgumentException("Empty scene selection — nothing to save")
+    require(levels >= 1, s"levels must be >= 1, got $levels")
     val idxs = sel.map(img.scenes.indexOf)
-    val planes = idxs.zipWithIndex.map { case (orig, renum) =>
+    val level0 = idxs.zipWithIndex.map { case (orig, renum) =>
       val saved = img.currentSceneIndex
       img.setScene(orig)
       val df = img.planes
@@ -45,10 +83,14 @@ object ParquetPlaneStore {
       img.setScene(saved)
       df
     }.reduce(_ unionByName _)
+    // pyramid: level l derived from level l-1 (each step pools 4× less
+    // data than the previous — a tree reduction, not repeated full passes)
+    val all = Iterator.iterate(level0)(poolHalf).take(levels)
+      .reduce(_ unionByName _)
     // Repartition includes (t,c,z) so a single huge scene/level fans out
     // across many writer tasks instead of serializing through one; the
     // directory layout (partitionBy) is unchanged.
-    planes
+    all
       .repartition(col("scene_idx"), col("level"), col("t"), col("c"), col("z"))
       .sortWithinPartitions(col("t"), col("c"), col("z"))
       .write.mode(SaveMode.Overwrite)
@@ -61,11 +103,18 @@ object ParquetPlaneStore {
       img.setScene(orig)
       val m = img.meta
       img.setScene(saved)
+      // per-level Y/X via iterated ceil-halving (matches poolHalf edges)
+      val hs = Iterator.iterate(m.dims('Y'))(h => (h + 1) / 2)
+        .take(levels).toSeq
+      val ws = Iterator.iterate(m.dims('X'))(w => (w + 1) / 2)
+        .take(levels).toSeq
       CatalogRow(renum, s"Image:$renum", m.dims.order, m.dims.sizes,
         m.channelNames, m.physicalPixelSizes.map(_._1),
         m.physicalPixelSizes.map(_._2), m.physicalPixelSizes.map(_._3),
         m.pixelType.toString, m.tilePositions.map(_._1),
-        m.tilePositions.map(_._2))
+        m.tilePositions.map(_._2),
+        levels = (0 until levels).toSeq, level_h = hs, level_w = ws,
+        time_interval = m.timeInterval)
     }
     spark.createDataset(catalog).write.mode(SaveMode.Overwrite)
       .parquet(s"$uri/catalog")
@@ -83,7 +132,11 @@ final case class CatalogRow(
     pps_x: Option[Double],
     pixel_type: String,
     tile_tops: Seq[Int],
-    tile_lefts: Seq[Int])
+    tile_lefts: Seq[Int],
+    levels: Seq[Int],
+    level_h: Seq[Long],
+    level_w: Seq[Long],
+    time_interval: Option[Double])
 
 /** Reader side of the plane store — a full BioReader plugin. */
 final class ParquetPlaneReader(spark: SparkSession, uri: String) extends BioReader {
@@ -104,14 +157,29 @@ final class ParquetPlaneReader(spark: SparkSession, uri: String) extends BioRead
     SceneMeta(i, c.scene_id, Dimensions(c.dims_order, c.dims_sizes),
       c.channel_names,
       for { z <- c.pps_z; y <- c.pps_y; x <- c.pps_x } yield (z, y, x),
-      PixelType.parse(c.pixel_type), c.tile_tops.zip(c.tile_lefts), None)
+      PixelType.parse(c.pixel_type), c.tile_tops.zip(c.tile_lefts), None,
+      timeInterval = c.time_interval)
   }
 
+  /** Pyramid levels straight from the catalog — no data scan. */
   override def resolutionLevels(sceneIdx: Int): Seq[Int] = {
-    val levels = spark.read.parquet(s"$uri/planes")
-      .filter(col("scene_idx") === sceneIdx)
-      .select("level").distinct().as[Int].collect().sorted.toSeq
-    if (levels.isEmpty) Seq(0) else levels
+    val ls = catalog(sceneIdx).levels
+    if (ls.isEmpty) Seq(0) else ls
+  }
+
+  /** Per-level dims: Y/X from the catalog's pyramid columns, other dims
+    * unchanged (bio_image.py:548-604 semantics). */
+  override def levelDims(sceneIdx: Int, level: Int): Dimensions = {
+    val c = catalog(sceneIdx)
+    val li = resolutionLevels(sceneIdx).indexOf(level)
+    if (li < 0)
+      throw new IndexOutOfBoundsException(s"resolution level $level")
+    if (li == 0) Dimensions(c.dims_order, c.dims_sizes)
+    else Dimensions(c.dims_order, c.dims_order.zip(c.dims_sizes).map {
+      case ('Y', _) => c.level_h(li)
+      case ('X', _) => c.level_w(li)
+      case (_, s)   => s
+    })
   }
 
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =

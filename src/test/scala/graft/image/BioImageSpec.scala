@@ -171,6 +171,31 @@ class BioImageSpec extends SparkSpec {
     assert(st.array(2, 0, 0, 0, 1, 1) == 211.0)
   }
 
+  test("coordinate slicing by physical units and channel names") {
+    val reader = new ArrayLikeReader(
+      Seq(NDArray.tabulate(Seq(2, 4, 4))(idx =>
+        idx(0) * 100.0 + idx(1) * 10 + idx(2))),
+      Seq(Some("CYX")), Seq(Some(Seq("DAPI", "GFP"))),
+      physicalPixelSizes = Some((1.0, 0.5, 0.5)))
+    val img = new BioImage(spark, reader)
+    // Y in [0.5, 1.0] µm at 0.5 µm/px → y indices 1..2
+    val nd = img.getImageData("CYX", Map('Y' -> Sel.Coord(0.5, 1.0)))
+    assert(nd.array.shape == Seq(2, 2, 4))
+    assert(nd.array(0, 0, 0) == 10.0) // y=1
+    // channel names resolve in requested order
+    val byName = img.getImageData("CYX", Map('C' -> Sel.Name(Seq("GFP", "DAPI"))))
+    assert(byName.array(0, 0, 0) == 100.0) // GFP first
+    assert(byName.array(1, 0, 0) == 0.0)
+    // errors: no scale on T, unknown channel, name on non-C dim
+    intercept[ConflictingArguments](
+      img.getImagePixels(Map('X' -> Sel.Name(Seq("DAPI")))))
+    intercept[IllegalArgumentException](
+      img.getImagePixels(Map('C' -> Sel.Name(Seq("nope")))).count())
+    val noPps = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
+    intercept[ConflictingArguments](
+      noPps.getImagePixels(Map('Y' -> Sel.Coord(0.0, 1.0))))
+  }
+
   test("scale and dimensionProperties expose pps/timeInterval per dim") {
     val img = new BioImage(spark, new ArrayLikeReader(
       Seq(NDArray.zeros(Seq(4, 3, 2))), Seq(None), Seq(None),

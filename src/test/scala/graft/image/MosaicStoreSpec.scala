@@ -88,6 +88,36 @@ class StoreSpec extends SparkSpec {
     assert(back.channelNames == Seq("Channel:0:0"))
   }
 
+  test("pyramid: levels materialize, per-level dims, level switch") {
+    val arr = NDArray.tabulate(Seq(8, 8))(idx => idx(0) * 10.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val dir = Files.createTempDirectory("graft-pyr").toString + "/img.graft"
+    ParquetPlaneStore.save(img, dir, levels = 3)
+    val back = BioSpark.open(spark, dir)
+    assert(back.resolutionLevels == Seq(0, 1, 2))
+    assert(back.resolutionLevelDims == Map(
+      0 -> Seq(1, 1, 1, 8, 8), 1 -> Seq(1, 1, 1, 4, 4),
+      2 -> Seq(1, 1, 1, 2, 2)))
+    back.setResolutionLevel(1)
+    assert(back.dims.shape == Seq(1, 1, 1, 4, 4)) // dims reflect the level
+    val nd = back.getImageData("YX")
+    // mean of block {(0,0),(0,1),(1,0),(1,1)} = (0+1+10+11)/4
+    assert(nd.array(0, 0) == 5.5)
+    assert(nd.array(3, 3) == (66.0 + 67 + 76 + 77) / 4)
+    back.setResolutionLevel(2)
+    assert(back.getImageData("YX").array.shape == Seq(2, 2))
+    // odd-size edge semantics: 5 wide pools to 3 (ceil)
+    val odd = BioSpark.fromArray(spark,
+      NDArray.tabulate(Seq(5, 5))(idx => idx(0) * 10.0 + idx(1)))
+    val dir2 = Files.createTempDirectory("graft-pyr").toString + "/odd.graft"
+    ParquetPlaneStore.save(odd, dir2, levels = 2)
+    val back2 = BioSpark.open(spark, dir2)
+    back2.setResolutionLevel(1)
+    assert(back2.dims.shape == Seq(1, 1, 1, 3, 3))
+    val nd2 = back2.getImageData("YX")
+    assert(nd2.array(2, 2) == 44.0) // lone corner pixel averages itself
+  }
+
   test("save raises on unknown scene ids and empty selection") {
     val img = new BioImage(spark, ArrayLikeReader.multi(
       Seq(NDArray.zeros(Seq(2, 2)))))

@@ -76,6 +76,17 @@ class DedupSpec extends SparkSpec {
       s"unrelated hamming was ${hamming(sigs(0L), sigs(2L))}")
   }
 
+  test("approx_count_distinct stays within 5% of exact (q29 vs q09)") {
+    val exact = Relational.q09CountDistinct(spark, sf)
+      .select("l_returnflag", "n_orders").as[(String, Long)].collect().toMap
+    val approx = Relational.q29ApproxDistinct(spark, sf)
+      .select("l_returnflag", "approx_orders").as[(String, Long)].collect()
+    approx.foreach { case (rf, a) =>
+      val e = exact(rf).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"$rf: approx $a vs exact $e")
+    }
+  }
+
   test("exact jaccard on planted pair exceeds LSH threshold") {
     val a = DedupOps.shingles3(lit(base))
     val b = DedupOps.shingles3(lit(base.replace("lazy", "sleepy")))
