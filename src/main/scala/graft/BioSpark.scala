@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.NDArray
 import graft.image.{BioImage, NDStack}
 import graft.plugins.{PluginEntry, Registry}
-import graft.readers.{ArrayLikeReader, OmeTiffReader}
+import graft.readers.{ArrayLikeReader, ImageIoReader, OmeTiffReader}
 import graft.writers.ParquetPlaneReader
 
 /** One-shot functional API — the analog of the reference's module-level
@@ -16,7 +16,8 @@ object BioSpark {
   /** Default registry; extend with registerPlugin-style composition by
     * constructing a new Registry. */
   def defaultRegistry: Registry =
-    new Registry(Seq(OmeTiffReader.plugin, ParquetPlaneReader.plugin))
+    new Registry(Seq(OmeTiffReader.plugin, ParquetPlaneReader.plugin,
+      ImageIoReader.plugin))
 
   /** Open a path via plugin resolution (with s3-anon retry). */
   def open(spark: SparkSession, path: String,

@@ -372,6 +372,26 @@ object BioQueries {
       | median(v) AS p50_v
       |FROM px GROUP BY c ORDER BY c""".stripMargin
 
+  // ---------------------------------------------------------------- b16
+  /** S12 imageio family: a formulaic 8-bit grayscale plane written by the
+    * PNG writer (TwoDWriter analog), re-opened through plugin resolution
+    * (magic-byte probe picks ImageIoReader), pixels oracle-checked. */
+  val b16PngRoundtrip: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(6, 8))(idx => idx(0) * 10.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = s"/tmp/graft_b16_${java.util.UUID.randomUUID()}.png"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    back.getImagePixels()
+      .select(col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        col("v"))
+      .orderBy(col("y"), col("x"))
+  }
+
+  val b16Oracle: String =
+    """SELECT y, x, CAST(y*10 + x AS DOUBLE) AS v
+      |FROM range(6) a(y), range(8) b(x) ORDER BY y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -388,6 +408,7 @@ object BioQueries {
     "b13_pyramid_level" -> b13PyramidLevel,
     "b14_coord_slice" -> b14CoordSlice,
     "b15_plane_stats" -> b15PlaneStats,
+    "b16_png_roundtrip" -> b16PngRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -406,5 +427,6 @@ object BioQueries {
     "b13_pyramid_level" -> b13Oracle,
     "b14_coord_slice" -> b14Oracle,
     "b15_plane_stats" -> b15Oracle,
+    "b16_png_roundtrip" -> b16Oracle,
   )
 }

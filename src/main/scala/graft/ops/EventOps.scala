@@ -130,12 +130,42 @@ object EventOps {
       |   ORDER BY epoch_ns(ts)//1000, event_id) AS rn FROM events)
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** E13 streaming end-to-end through the real streaming engine: the
+    * events file read via readStream, watermarked 5-minute tumbling
+    * windows (StreamOps.tumblingCounts), append-mode memory sink run to
+    * completion. Append mode emits only FINALIZED windows — those whose
+    * end is at or below the final watermark (max event time − 10 min);
+    * the oracle applies the same finalization predicate to the batch
+    * aggregation. */
+  val q42StreamTumbling: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q42_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val res = StreamOps.runToMemory(spark,
+      StreamOps.tumblingCounts(StreamOps.readEvents(spark, dir)), name)
+    res.select(
+        unix_timestamp(col("window_start")).as("window_start"),
+        col("event_type"), col("n"), round(col("v"), 2).as("v"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q42Oracle: String =
+    """WITH e AS (SELECT epoch_ns(ts) AS ns, event_type, value FROM events),
+      |m AS (SELECT max(ns) AS mx FROM e),
+      |w AS (SELECT (ns // 300000000000) * 300 AS window_start, event_type,
+      |        count(*) AS n, round(sum(value), 2) AS v
+      |      FROM e GROUP BY 1, 2)
+      |SELECT window_start, event_type, n, v FROM w, m
+      |WHERE (window_start + 300) * 1000000000 <= mx - 600000000000
+      |ORDER BY window_start, event_type""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
     "q26_asof_join" -> q26AsOfJoin,
     "q27_sessionize" -> q27Sessionize,
     "q28_event_dedup" -> q28EventDedup,
+    "q42_stream_tumbling" -> q42StreamTumbling,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -144,5 +174,6 @@ object EventOps {
     "q26_asof_join" -> q26Oracle,
     "q27_sessionize" -> q27Oracle,
     "q28_event_dedup" -> q28Oracle,
+    "q42_stream_tumbling" -> q42Oracle,
   )
 }

@@ -50,10 +50,14 @@ object SimilarityOps {
     val e = Tables(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // single-pass codegen'd cosine (graft.functions.CosineSimilarity):
+    // same index-order double accumulation as the zip_with form, so the
+    // oracle parity is unchanged — but inside whole-stage codegen, one
+    // array walk instead of three interpreted HOF passes
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dot(col("q_emb"), col("embedding")) /
-          (l2norm(col("q_emb")) * l2norm(col("embedding")))).as("cos"))
+        graft.functions.CosineSimilarity(col("q_emb"), col("embedding"))
+          .as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored

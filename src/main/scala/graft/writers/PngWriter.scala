@@ -1,0 +1,55 @@
+package graft.writers
+
+import java.awt.image.BufferedImage
+
+import javax.imageio.ImageIO
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import graft.image.{BioImage, Sel}
+
+/** 2D PNG sink — the analog of the reference registry's TwoDWriter
+  * (/root/reference/README.md:78-85): the CURRENT scene's (T=0, C=0, Z=0)
+  * plane, written as 8- or 16-bit grayscale PNG (values clamped to the
+  * type range). Multi-sample scenes write the S=0 band. */
+object PngWriter extends BioWriter {
+  override def name: String = "PngWriter"
+  override def supportedExtensions: Seq[String] = Seq(".png")
+
+  override def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]]): Unit = {
+    selectScenes.foreach { sel =>
+      require(sel.length == 1 && img.scenes.contains(sel.head),
+        s"PNG holds exactly one 2D plane; got selection $sel")
+      img.setScene(sel.head)
+    }
+    val d = img.dims
+    val h = d('Y').toInt
+    val w = d('X').toInt
+    val sixteen = img.meta.pixelType == graft.core.PixelType.UInt16
+    val nd = img.getImageData("YX",
+      d.order.filter(c => c != 'Y' && c != 'X')
+        .map(c => c -> (Sel.Index(0): Sel)).toMap)
+    val buf = new BufferedImage(w, h,
+      if (sixteen) BufferedImage.TYPE_USHORT_GRAY
+      else BufferedImage.TYPE_BYTE_GRAY)
+    val raster = buf.getRaster
+    val maxV = if (sixteen) 65535 else 255
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = math.min(maxV, math.max(0, nd.array(y, x).round.toInt))
+        raster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val fs = FileSystem.get(new Path(uri).toUri,
+      img.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(uri), true)
+    try {
+      if (!ImageIO.write(buf, "png", out))
+        throw new IllegalStateException("no PNG encoder available")
+    } finally out.close()
+  }
+}

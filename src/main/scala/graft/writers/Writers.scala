@@ -23,7 +23,8 @@ object Writers {
   /** ParquetPlaneStore registered alongside OME-TIFF: the store is the
     * engine's scale-path interchange; OME-TIFF is the reference's
     * canonical sink. */
-  def default: Seq[BioWriter] = Seq(OmeTiffWriter, ParquetPlaneStoreWriter)
+  def default: Seq[BioWriter] =
+    Seq(OmeTiffWriter, ParquetPlaneStoreWriter, PngWriter)
 
   def forPath(path: String, writers: Seq[BioWriter] = default): BioWriter = {
     val lower = path.toLowerCase.takeWhile(_ != '?')

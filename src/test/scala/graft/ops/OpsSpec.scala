@@ -76,6 +76,38 @@ class DedupSpec extends SparkSpec {
       s"unrelated hamming was ${hamming(sigs(0L), sigs(2L))}")
   }
 
+  test("CosineSimilarity expression matches zip_with form and codegens") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, sf, "embeddings").filter(col("vec_id") < 50)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("ib"), col("embedding").as("b")))
+    val expr = pairs.select(col("ia"), col("ib"),
+      graft.functions.CosineSimilarity(col("a"), col("b")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hof = pairs.select(col("ia"), col("ib"),
+      (SimilarityOps.dot(col("a"), col("b")) /
+        (SimilarityOps.l2norm(col("a")) * SimilarityOps.l2norm(col("b"))))
+        .as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(expr.keySet == hof.keySet && expr.nonEmpty)
+    expr.foreach { case (k, v) => assert(v == hof(k), s"$k: $v != ${hof(k)}") }
+    // inside whole-stage codegen (no interpreted fallback) — AQE shows
+    // codegen spans only in the final (post-execution) plan
+    val pdf = pairs.select(
+      graft.functions.CosineSimilarity(col("a"), col("b")).as("c"))
+    pdf.collect()
+    val plan = pdf.queryExecution.executedPlan.toString
+    // "*(n) Project [cosinesimilarity(...)" — the * prefix marks a
+    // whole-stage-codegen span containing the expression
+    assert(plan.contains("*(") && plan.contains("cosinesimilarity"), plan)
+    // zero-norm → null
+    val z = spark.sql(
+      "SELECT cast(array(0.0, 0.0) as array<double>) a, cast(array(1.0, 1.0) as array<double>) b")
+    assert(z.select(graft.functions.CosineSimilarity(col("a"), col("b")))
+      .head().isNullAt(0))
+  }
+
   test("approx_count_distinct stays within 5% of exact (q29 vs q09)") {
     val exact = Relational.q09CountDistinct(spark, sf)
       .select("l_returnflag", "n_orders").as[(String, Long)].collect().toMap
