@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.NDArray
 import graft.image.{BioImage, NDStack}
 import graft.plugins.{PluginEntry, Registry}
-import graft.readers.{ArrayLikeReader, ImageIoReader, OmeTiffReader}
+import graft.readers.{ArrayLikeReader, ImageIoReader, OmeTiffReader, ZarrReader}
 import graft.writers.ParquetPlaneReader
 
 /** One-shot functional API — the analog of the reference's module-level
@@ -17,7 +17,7 @@ object BioSpark {
     * constructing a new Registry. */
   def defaultRegistry: Registry =
     new Registry(Seq(OmeTiffReader.plugin, ParquetPlaneReader.plugin,
-      ImageIoReader.plugin))
+      ZarrReader.plugin, ImageIoReader.plugin))
 
   /** Open a path via plugin resolution (with s3-anon retry). */
   def open(spark: SparkSession, path: String,

@@ -45,4 +45,38 @@ object Plane {
       .withColumn("y", col("y") + col("y0"))
       .withColumn("x", col("x") + col("x0"))
       .drop("y0", "x0")
+
+  /** 2× mean-pool of a plane table (the pyramid step shared by the
+    * parquet plane store and the zarr writer): each (t,c,z,s,m) plane
+    * pools independently; edge blocks average the pixels that exist (ceil
+    * semantics); tile offsets halve with the geometry; the level column
+    * increments. Distributed: groupBy on halved coordinates, two shuffles
+    * per level, each over 4× less data than the previous. */
+  def poolHalf(planes: DataFrame): DataFrame = {
+    val keys = Seq("scene_idx", "scene_id", "m", "t", "c", "z", "s")
+    val px = planes.select(
+      keys.map(col) ++ Seq(col("level"), col("y0"), col("x0"), col("h"),
+        col("w"), posexplode(col("pixels")).as(Seq("pos", "v"))): _*)
+      .withColumn("h2", expr("(h + 1) div 2").cast("int"))
+      .withColumn("w2", expr("(w + 1) div 2").cast("int"))
+      .withColumn("py", expr("(pos div w) div 2").cast("int"))
+      .withColumn("px", expr("(pos % w) div 2").cast("int"))
+    val pooled = px
+      .groupBy(keys.map(col) ++ Seq(col("level"), expr("y0 div 2").as("y0"),
+        expr("x0 div 2").as("x0"), col("h2"), col("w2"), col("py"),
+        col("px")): _*)
+      .agg(avg(col("v")).as("v"))
+    pooled
+      .withColumn("pv", struct((col("py") * col("w2") + col("px")).as("p"),
+        col("v").as("v")))
+      .groupBy(keys.map(col) ++ Seq(col("level"), col("y0"), col("x0"),
+        col("h2"), col("w2")): _*)
+      .agg(transform(array_sort(collect_list(col("pv"))),
+        p => p.getField("v")).as("pixels"))
+      .select(col("scene_idx"), col("scene_id"),
+        (col("level") + 1).cast("int").as("level"), col("m"), col("t"),
+        col("c"), col("z"), col("s"), col("y0").cast("int").as("y0"),
+        col("x0").cast("int").as("x0"), col("h2").as("h"), col("w2").as("w"),
+        col("pixels"))
+  }
 }

@@ -392,6 +392,31 @@ object BioQueries {
     """SELECT y, x, CAST(y*10 + x AS DOUBLE) AS v
       |FROM range(6) a(y), range(8) b(x) ORDER BY y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b17
+  /** S12 OME-ZARR: two-scene formulaic image written by the DISTRIBUTED
+    * zarr writer (executors write chunk objects directly), re-opened via
+    * the registry (.zgroup probe picks ZarrReader), scene Image:1 pixels
+    * decoded by executors from raw chunks and oracle-checked. */
+  val b17ZarrRoundtrip: Q = (spark, _) => {
+    val arrs = (0 until 2).map(i =>
+      NDArray.tabulate(Seq(2, 3, 4))(idx =>
+        i * 1000.0 + idx(0) * 100.0 + idx(1) * 10.0 + idx(2)))
+    val img = new graft.image.BioImage(spark, ArrayLikeReader.multi(arrs))
+    val uri = s"/tmp/graft_b17_${java.util.UUID.randomUUID()}.ome.zarr"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    back.setScene("Image:1")
+    back.getImagePixels()
+      .select(col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("z"), col("y"), col("x"))
+  }
+
+  val b17Oracle: String =
+    """SELECT z, y, x, CAST(1000 + z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(2) a(z), range(3) b(y), range(4) c(x)
+      |ORDER BY z, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -409,6 +434,7 @@ object BioQueries {
     "b14_coord_slice" -> b14CoordSlice,
     "b15_plane_stats" -> b15PlaneStats,
     "b16_png_roundtrip" -> b16PngRoundtrip,
+    "b17_zarr_roundtrip" -> b17ZarrRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -428,5 +454,6 @@ object BioQueries {
     "b14_coord_slice" -> b14Oracle,
     "b15_plane_stats" -> b15Oracle,
     "b16_png_roundtrip" -> b16Oracle,
+    "b17_zarr_roundtrip" -> b17Oracle,
   )
 }

@@ -1,0 +1,204 @@
+package graft.readers
+
+import java.nio.charset.StandardCharsets
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.core.{Dimensions, PlaneRow, UnsupportedFileFormatError}
+import graft.formats.ZarrFormat
+import graft.plugins.{BioReader, PluginEntry, SceneMeta}
+
+/** OME-ZARR (NGFF) source. The store is a directory tree of JSON metadata
+  * documents + independent chunk objects, so reads parallelize the same
+  * way writes do: the driver parses the handful of .zattrs/.zarray
+  * documents into a chunk catalog; executors fetch and decode their chunk
+  * files in parallel. Missing chunk objects decode as fill_value planes
+  * (zarr semantics). Multiscale datasets surface as resolution levels.
+  *
+  * Scope: compressor null (raw chunks), chunk shape [1,1,1,H,W] (one
+  * plane per chunk — what this engine's writer and bioformats2raw-style
+  * single-plane-chunk stores produce).
+  */
+final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
+
+  private case class Level(shape: Seq[Long], dtype: String)
+  private case class Scene(id: String, group: String, levels: Seq[Level],
+      channelNames: Seq[String], scale: Seq[Double], rawAttrs: String)
+
+  private def fs: FileSystem = FileSystem.get(new Path(path).toUri,
+    spark.sparkContext.hadoopConfiguration)
+
+  private def readDoc(p: String): Option[String] = {
+    val f = fs
+    val hp = new Path(p)
+    if (!f.exists(hp)) None
+    else {
+      val in = f.open(hp)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
+        in.readFully(0, bytes)
+        Some(new String(bytes, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** join under the store root, skipping empty segments (root group). */
+  private def sub(parts: String*): String =
+    (path +: parts.filter(_.nonEmpty)).mkString("/")
+
+  private lazy val scenes_ : Seq[Scene] = {
+    // image groups: either the root itself is an image (has multiscales)
+    // or numbered child groups are (bioformats2raw layout)
+    def parseImage(group: String, idx: Int): Option[Scene] = {
+      val attrs = readDoc(sub(group, ".zattrs"))
+        .getOrElse(return None)
+      val j = JsonMethods.parse(attrs)
+      val ms = (j \ "multiscales")(0)
+      if (ms == JNothing) return None
+      val name = ms \ "name" match {
+        case JString(s) if s.nonEmpty => s
+        case _                        => s"Image:$idx"
+      }
+      val datasets = (ms \ "datasets").children
+      val levels = datasets.map { ds =>
+        val JString(p) = ds \ "path"
+        val za = readDoc(sub(group, p, ".zarray"))
+          .getOrElse(throw new UnsupportedFileFormatError(
+            s"zarr dataset $group/$p has no .zarray"))
+        val zj = JsonMethods.parse(za)
+        if ((zj \ "compressor") != JNull)
+          throw new UnsupportedFileFormatError(
+            "only uncompressed (compressor null) zarr chunks are supported")
+        val shape = (zj \ "shape").children.map(_.values.toString.toLong)
+        val JString(dtype) = zj \ "dtype"
+        val chunks = (zj \ "chunks").children.map(_.values.toString.toLong)
+        require(shape.length == 5,
+          s"expected 5D (t,c,z,y,x) zarr array, got ${shape.length}D")
+        require(chunks.take(3).forall(_ == 1) &&
+          chunks(3) == shape(3) && chunks(4) == shape(4),
+          s"expected one-plane-per-chunk layout [1,1,1,H,W], got $chunks")
+        Level(shape, dtype)
+      }
+      val channels = (j \ "omero" \ "channels").children.collect {
+        case ch if (ch \ "label") != JNothing =>
+          val JString(l) = ch \ "label"; l
+      }
+      val scale = (datasets.head \ "coordinateTransformations")(0) \ "scale" match {
+        case JArray(xs) => xs.map(_.values.toString.toDouble)
+        case _          => Seq(1.0, 1.0, 1.0, 1.0, 1.0)
+      }
+      Some(Scene(name, group, levels, channels, scale, attrs))
+    }
+
+    parseImage("", 0) match {
+      case Some(s) => Seq(s)
+      case None =>
+        Iterator.from(0)
+          .map(i => parseImage(i.toString, i))
+          .takeWhile(_.isDefined)
+          .flatten
+          .toSeq match {
+            case Seq() => throw new UnsupportedFileFormatError(
+              s"'$path' is not an OME-ZARR image store (no multiscales)")
+            case ss => ss
+          }
+    }
+  }
+
+  override def name: String = "ZarrReader"
+  override def supportedExtensions: Seq[String] = Seq(".ome.zarr", ".zarr")
+
+  override def isSupportedImage(spark: SparkSession, p: String): Boolean =
+    Try {
+      val f = FileSystem.get(new Path(p).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      f.exists(new Path(s"$p/.zgroup")) || f.exists(new Path(s"$p/.zarray"))
+    }.getOrElse(false)
+
+  override def scenes: Seq[String] = scenes_.map(_.id)
+
+  override def sceneMeta(i: Int): SceneMeta = {
+    val s = scenes_(i)
+    val sh = s.levels.head.shape
+    SceneMeta(i, s.id, Dimensions("TCZYX", sh),
+      channelNames = s.channelNames,
+      physicalPixelSizes =
+        if (s.scale.drop(2) == Seq(1.0, 1.0, 1.0)) None
+        else Some((s.scale(2), s.scale(3), s.scale(4))),
+      pixelType = ZarrFormat.pixelTypeOf(s.levels.head.dtype),
+      tilePositions = Seq.empty,
+      rawMetadata = Some(s.rawAttrs),
+      timeInterval = if (s.scale.head == 1.0) None else Some(s.scale.head))
+  }
+
+  override def resolutionLevels(sceneIdx: Int): Seq[Int] =
+    scenes_(sceneIdx).levels.indices
+
+  override def levelDims(sceneIdx: Int, level: Int): Dimensions = {
+    val s = scenes_(sceneIdx)
+    if (!s.levels.isDefinedAt(level))
+      throw new IndexOutOfBoundsException(s"resolution level $level")
+    Dimensions("TCZYX", s.levels(level).shape)
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
+    readDelayedAtLevel(spark, sceneIdx, 0)
+
+  override def readDelayedAtLevel(spark: SparkSession, sceneIdx: Int,
+      level: Int): DataFrame = {
+    import spark.implicits._
+    val s = scenes_(sceneIdx)
+    if (!s.levels.isDefinedAt(level))
+      throw new IndexOutOfBoundsException(s"resolution level $level")
+    val lv = s.levels(level)
+    val Seq(t, c, z, h, w) = lv.shape.map(_.toInt)
+    val dtype = lv.dtype
+    val sid = s.id
+    val base = sub(s.group, level.toString)
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val keys = for {
+      ti <- 0 until t; ci <- 0 until c; zi <- 0 until z
+    } yield (ti, ci, zi)
+    val slices = math.min(keys.length,
+      spark.sparkContext.defaultParallelism).max(1)
+    spark.createDataset(keys)
+      .repartition(slices)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
+          it.map { case (ti, ci, zi) =>
+            val p = new Path(s"$base/$ti.$ci.$zi.0.0")
+            val px =
+              if (!f.exists(p)) new Array[Double](h * w) // fill_value 0
+              else {
+                val in = f.open(p)
+                try {
+                  val n = f.getFileStatus(p).getLen.toInt
+                  val bytes = new Array[Byte](n)
+                  in.readFully(0, bytes)
+                  ZarrFormat.decodeChunk(bytes, dtype)
+                } finally in.close()
+              }
+            PlaneRow(sceneIdx, sid, level, m = 0, t = ti, c = ci, z = zi,
+              s = 0, y0 = 0, x0 = 0, h = h, w = w, pixels = px)
+          }
+        }
+      }
+      .toDF()
+  }
+}
+
+object ZarrReader {
+  val plugin: PluginEntry = PluginEntry(
+    name = "ZarrReader",
+    extensions = Seq(".ome.zarr", ".zarr"),
+    open = (spark, path, _) => new ZarrReader(spark, path))
+}

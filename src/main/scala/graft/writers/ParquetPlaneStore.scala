@@ -25,37 +25,6 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
 object ParquetPlaneStore {
   val Extension = ".graft"
 
-  /** 2× mean-pool of a plane table: each (t,c,z,s,m) plane pools
-    * independently; edge blocks average the pixels that exist (ceil
-    * semantics). Tile offsets halve with the geometry. */
-  private def poolHalf(planes: DataFrame): DataFrame = {
-    val keys = Seq("scene_idx", "scene_id", "m", "t", "c", "z", "s")
-    val px = planes.select(
-      keys.map(col) ++ Seq(col("level"), col("y0"), col("x0"), col("h"),
-        col("w"), posexplode(col("pixels")).as(Seq("pos", "v"))): _*)
-      .withColumn("h2", expr("(h + 1) div 2").cast("int"))
-      .withColumn("w2", expr("(w + 1) div 2").cast("int"))
-      .withColumn("py", expr("(pos div w) div 2").cast("int"))
-      .withColumn("px", expr("(pos % w) div 2").cast("int"))
-    val pooled = px
-      .groupBy(keys.map(col) ++ Seq(col("level"), expr("y0 div 2").as("y0"),
-        expr("x0 div 2").as("x0"), col("h2"), col("w2"), col("py"),
-        col("px")): _*)
-      .agg(avg(col("v")).as("v"))
-    pooled
-      .withColumn("pv", struct((col("py") * col("w2") + col("px")).as("p"),
-        col("v").as("v")))
-      .groupBy(keys.map(col) ++ Seq(col("level"), col("y0"), col("x0"),
-        col("h2"), col("w2")): _*)
-      .agg(transform(array_sort(collect_list(col("pv"))),
-        p => p.getField("v")).as("pixels"))
-      .select(col("scene_idx"), col("scene_id"),
-        (col("level") + 1).cast("int").as("level"), col("m"), col("t"),
-        col("c"), col("z"), col("s"), col("y0").cast("int").as("y0"),
-        col("x0").cast("int").as("x0"), col("h2").as("h"), col("w2").as("w"),
-        col("pixels"))
-  }
-
   /** Writer contract (Writer.save analog, mock_writer.py:63-75): scene IDs
     * are regenerated ("Image:{i}"), order preserved (bio_image.py:1252-57).
     * Unknown scene ids (and an empty selection) raise, matching the
@@ -85,7 +54,7 @@ object ParquetPlaneStore {
     }.reduce(_ unionByName _)
     // pyramid: level l derived from level l-1 (each step pools 4× less
     // data than the previous — a tree reduction, not repeated full passes)
-    val all = Iterator.iterate(level0)(poolHalf).take(levels)
+    val all = Iterator.iterate(level0)(graft.core.Plane.poolHalf).take(levels)
       .reduce(_ unionByName _)
     // Repartition includes (t,c,z) so a single huge scene/level fans out
     // across many writer tasks instead of serializing through one; the

@@ -24,7 +24,7 @@ object Writers {
     * engine's scale-path interchange; OME-TIFF is the reference's
     * canonical sink. */
   def default: Seq[BioWriter] =
-    Seq(OmeTiffWriter, ParquetPlaneStoreWriter, PngWriter)
+    Seq(OmeTiffWriter, ParquetPlaneStoreWriter, ZarrWriter, PngWriter)
 
   def forPath(path: String, writers: Seq[BioWriter] = default): BioWriter = {
     val lower = path.toLowerCase.takeWhile(_ != '?')

@@ -1,0 +1,111 @@
+package graft.writers
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.core.Plane
+import graft.formats.ZarrFormat
+import graft.image.BioImage
+
+/** OME-ZARR (NGFF 0.4) sink. Unlike the single-file OME-TIFF, zarr chunks
+  * are independent objects — so the pixel write is FULLY DISTRIBUTED:
+  * executors write their chunk files straight to the target FileSystem
+  * via foreachPartition (no driver funnel, no collect), and only the
+  * small JSON metadata documents are written driver-side. This is the
+  * scale-path image sink. `levels` > 1 materializes the NGFF multiscale
+  * pyramid via the shared 2× mean-pool.
+  */
+object ZarrWriter extends BioWriter {
+  override def name: String = "ZarrWriter"
+  override def supportedExtensions: Seq[String] = Seq(".ome.zarr", ".zarr")
+
+  override def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]]): Unit =
+    save(img, uri, selectScenes, levels = 1)
+
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
+      levels: Int): Unit = {
+    val spark = img.spark
+    val sel = selectScenes.getOrElse(img.scenes)
+    val unknown = sel.filterNot(img.scenes.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Unknown scene id(s) ${unknown.mkString("[", ", ", "]")}; " +
+          s"available scenes: ${img.scenes.mkString("[", ", ", "]")}")
+    if (sel.isEmpty)
+      throw new IllegalArgumentException("Empty scene selection — nothing to save")
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+
+    val saved = img.currentSceneIndex
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = FileSystem.get(new Path(uri).toUri, hconf.value)
+
+    def writeDoc(path: String, content: String): Unit = {
+      val out = fs.create(new Path(path), true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    writeDoc(s"$uri/.zgroup", ZarrFormat.zgroup)
+    writeDoc(s"$uri/.zattrs", ZarrFormat.rootAttrs(sel.length))
+
+    sel.zipWithIndex.foreach { case (sid, g) =>
+      img.setScene(sid)
+      val m = img.meta
+      if (m.dims.order.contains('M'))
+        throw new UnsupportedOperationException(
+          "zarr writer requires stitched (non-mosaic) scenes")
+      if (m.dims.order.contains('S') && m.dims('S') > 1)
+        throw new UnsupportedOperationException(
+          "multi-sample (S>1) scenes are not supported by this writer yet")
+      val d = m.dims
+      val (t, c, z, h, w) =
+        (d('T'), d('C'), d('Z'), d('Y'), d('X'))
+      val pt = m.pixelType
+      val dtype = ZarrFormat.dtypeOf(pt)
+
+      // group metadata (driver-side, tiny)
+      val scale0 = Seq(m.timeInterval.getOrElse(1.0), 1.0,
+        m.physicalPixelSizes.map(_._1).getOrElse(1.0),
+        m.physicalPixelSizes.map(_._2).getOrElse(1.0),
+        m.physicalPixelSizes.map(_._3).getOrElse(1.0))
+      writeDoc(s"$uri/$g/.zgroup", ZarrFormat.zgroup)
+      writeDoc(s"$uri/$g/.zattrs",
+        ZarrFormat.imageAttrs(sid, levels, scale0, img.channelNames))
+      val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
+      val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
+      (0 until levels).foreach { l =>
+        writeDoc(s"$uri/$g/$l/.zarray", ZarrFormat.zarray(
+          Seq(t, c, z, hs(l), ws(l)), Seq(1, 1, 1, hs(l), ws(l)), dtype))
+      }
+
+      // chunk files: distributed — each task writes its planes directly
+      val levelDfs = Iterator.iterate(img.planes)(Plane.poolHalf)
+        .take(levels).toSeq
+      val target = s"$uri/$g"
+      levelDfs.foreach { df =>
+        df.select(col("level"), col("t"), col("c"), col("z"), col("pixels"))
+          .foreachPartition {
+            (rows: Iterator[org.apache.spark.sql.Row]) =>
+              if (rows.nonEmpty) {
+                val pfs = FileSystem.get(
+                  new java.net.URI(target + "/"), hconf.value)
+                rows.foreach { r =>
+                  val key =
+                    s"$target/${r.getInt(0)}/${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0"
+                  val out = pfs.create(new Path(key), true)
+                  try out.write(ZarrFormat.encodeChunk(
+                    r.getSeq[Double](4).toArray, pt))
+                  finally out.close()
+                }
+              }
+          }
+      }
+    }
+    img.setScene(saved)
+  }
+}

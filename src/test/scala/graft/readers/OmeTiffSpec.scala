@@ -127,8 +127,9 @@ class OmeTiffSpec extends SparkSpec {
   test("writer registry dispatches by most specific extension") {
     assert(Writers.forPath("/a/b.ome.tiff") == OmeTiffWriter)
     assert(Writers.forPath("/a/b.graft") == ParquetPlaneStoreWriter)
+    assert(Writers.forPath("/a/b.ome.zarr") == graft.writers.ZarrWriter)
     intercept[graft.core.UnsupportedFileFormatError](
-      Writers.forPath("/a/b.zarr"))
+      Writers.forPath("/a/b.nd2"))
   }
 
   test("feasibility report covers the tiff plugin") {

@@ -1,0 +1,84 @@
+package graft.readers
+
+import java.nio.file.Files
+
+import graft.{BioSpark, SparkSpec}
+import graft.core.NDArray
+import graft.image.BioImage
+import graft.writers.ZarrWriter
+
+class ZarrSpec extends SparkSpec {
+
+  private def formulaic(shape: Seq[Int]): NDArray =
+    NDArray.tabulate(shape)(idx =>
+      idx.zipWithIndex.map { case (v, i) =>
+        v * math.pow(10, shape.length - 1 - i)
+      }.sum)
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("graft-zarr").toString + "/" + name
+
+  test("write → plugin-resolve → read roundtrip, distributed chunks") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 3, 4, 5))) // CZYX
+    val uri = tmp("img.ome.zarr")
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.reader.name == "ZarrReader")
+    assert(back.dims.order == "TCZYX")
+    assert(back.dims.shape == Seq(1, 2, 3, 4, 5))
+    val nd = back.getImageData("CZYX")
+    assert(nd.array(1, 2, 3, 4) == 1234.0)
+    assert(nd.array(0, 1, 0, 2) == 102.0)
+  }
+
+  test("multi-scene bioformats2raw layout with channel names and pps") {
+    val arrs = Seq(NDArray.zeros(Seq(2, 2, 2)), NDArray.zeros(Seq(3, 3)))
+    val reader = new ArrayLikeReader(arrs,
+      Seq(Some("CYX"), Some("YX")),
+      Seq(Some(Seq("DAPI", "GFP")), None),
+      physicalPixelSizes = Some((2.0, 0.5, 0.5)))
+    val img = new BioImage(spark, reader)
+    val uri = tmp("multi.ome.zarr")
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.scenes == Seq("Image:0", "Image:1"))
+    assert(back.channelNames == Seq("DAPI", "GFP"))
+    assert(back.physicalPixelSizes.contains((2.0, 0.5, 0.5)))
+    back.setScene("Image:1")
+    assert(back.dims.shape == Seq(1, 1, 1, 3, 3))
+    assert(back.rawMetadata.exists(_.contains("multiscales")))
+  }
+
+  test("NGFF multiscale pyramid: levels readable with per-level dims") {
+    val arr = NDArray.tabulate(Seq(8, 8))(idx => idx(0) * 10.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = tmp("pyr.ome.zarr")
+    ZarrWriter.save(img, uri, None, levels = 2)
+    val back = BioSpark.open(spark, uri)
+    assert(back.resolutionLevels == Seq(0, 1))
+    back.setResolutionLevel(1)
+    assert(back.dims.shape == Seq(1, 1, 1, 4, 4))
+    val nd = back.getImageData("YX")
+    assert(nd.array(0, 0) == 5.5) // mean of {0,1,10,11}
+  }
+
+  test("multi-plane TCZ chunk grid roundtrips") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 3, 2, 2, 2))) // TCZYX
+    val uri = tmp("tcz.zarr")
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims.shape == Seq(2, 3, 2, 2, 2))
+    val nd = back.getImageData("TCZYX")
+    assert(nd.array(1, 2, 1, 0, 1) == 12101.0)
+  }
+
+  test("writer raises on mosaic scenes and unknown selections") {
+    val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
+    intercept[IllegalArgumentException](
+      img.save(tmp("x.zarr"), Some(Seq("Image:9"))))
+    val mosaic = new BioImage(spark,
+      new ArrayLikeReader(Seq(NDArray.zeros(Seq(2, 2, 2))), Seq(Some("MYX")),
+        Seq(None), tilePositions = Seq(Seq((0, 0), (0, 2)))))
+    intercept[UnsupportedOperationException](mosaic.save(tmp("m.zarr")))
+  }
+}
