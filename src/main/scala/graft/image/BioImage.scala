@@ -393,9 +393,20 @@ final class BioImage(
     scenes.indices.map(i => reader.readDelayed(spark, i)).reduce(_ unionByName _)
 
   /** Eager stack with leading scene dim 'I' (dims must match across
-    * scenes, as in biob.transforms.generate_stack). */
-  def getStack(returnDims: String = null): NDStack = {
+    * scenes, as in biob.transforms.generate_stack). Guarded by
+    * `maxElements` (default 2^28 doubles ≈ 2 GiB): an eager all-scene
+    * stack funnels through driver memory by design (the reference's numpy
+    * stack has the same boundary, bio_image.py:919-937) — beyond the cap,
+    * stay lazy with [[stackPlanes]]. */
+  def getStack(returnDims: String = null,
+      maxElements: Long = 1L << 28): NDStack = {
     val inner = Option(returnDims).getOrElse(dims.order)
+    val perScene = dims.shape.product
+    val total = perScene * scenes.length
+    require(total <= maxElements,
+      s"eager stack of ${scenes.length} scenes × $perScene elements = " +
+        s"$total doubles exceeds the driver-memory cap $maxElements; use " +
+        "the lazy stackPlanes DataFrame instead (or raise maxElements)")
     val saved = sceneIdx
     val stacks = scenes.indices.map { i => setScene(i); getImageData(inner) }
     setScene(saved)

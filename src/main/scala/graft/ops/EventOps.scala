@@ -159,6 +159,39 @@ object EventOps {
       |WHERE (window_start + 300) * 1000000000 <= mx - 600000000000
       |ORDER BY window_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** E13 streaming sessionization end-to-end: 30-minute-gap session
+    * windows with a 30-minute watermark, append-mode — only sessions
+    * CLOSED by the final watermark emit (session end + gap at or below
+    * max event time − 30 min); the oracle applies identical gap/
+    * finalization logic to batch sessionization at µs precision. */
+  val q45StreamSession: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q45_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.sessionWindows(StreamOps.readEvents(spark, dir)), name)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val q45Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us FROM events),
+      |m AS (SELECT max(us) AS mx FROM e),
+      |g AS (SELECT user_id, us,
+      |  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g),
+      |agg AS (SELECT user_id, sess, min(us) AS start_us, max(us) AS end_us,
+      |  count(*) AS n_events FROM s GROUP BY user_id, sess)
+      |SELECT user_id, start_us // 1000000 AS session_start, n_events
+      |FROM agg, m
+      |WHERE end_us + 1800000000 <= mx - 1800000000
+      |ORDER BY user_id, session_start""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -166,6 +199,7 @@ object EventOps {
     "q27_sessionize" -> q27Sessionize,
     "q28_event_dedup" -> q28EventDedup,
     "q42_stream_tumbling" -> q42StreamTumbling,
+    "q45_stream_session" -> q45StreamSession,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -175,5 +209,6 @@ object EventOps {
     "q27_sessionize" -> q27Oracle,
     "q28_event_dedup" -> q28Oracle,
     "q42_stream_tumbling" -> q42Oracle,
+    "q45_stream_session" -> q45Oracle,
   )
 }

@@ -90,23 +90,34 @@ object SimilarityOps {
     * probe would touch). At 100TB the bucket id becomes the shuffle /
     * partition key and each query probes one bucket instead of the corpus.
     */
-  val q38LshBuckets: Q = (spark, dir) => {
-    val nPlanes = 8
-    val e = Tables(spark, dir, "embeddings")
-    // sign bit p of vector v: sgn( Σ_d h(p,d)*v_d ), h in {-1,+1} from bit 7
-    // of a cheap integer mix of (p, d) — deterministic, engine-agnostic
-    // (pure int64 arithmetic, identical in Spark and the SQL oracle).
+  /** Deterministic random-hyperplane bucket signature. Sign bit p of
+    * vector v: sgn( Σ_d h(p,d)*v_d ), h in {-1,+1} from bit 7 of a cheap
+    * integer mix of (p, d) — deterministic, engine-agnostic (pure int64
+    * arithmetic, identical in Spark and the SQL oracle). */
+  def lshBucket(emb: Column, nPlanes: Int): Column = {
     def planeBit(p: Int): Column = {
-      val prods = zip_with(col("embedding"),
-        sequence(lit(0), size(col("embedding")) - 1),
+      val prods = zip_with(emb,
+        sequence(lit(0), size(emb) - 1),
         (v, d) => v.cast("double") *
           (shiftright(d * 2654435761L + lit((p + 1) * 40503L) + d * lit(p * 97L), 7)
             .bitwiseAND(lit(1L)) * 2 - 1).cast("double"))
       when(aggregate(prods, lit(0.0), (a, x) => a + x) >= 0, lit(1)).otherwise(lit(0))
     }
-    val sig = (0 until nPlanes).map(p => planeBit(p) * (1 << p))
+    (0 until nPlanes).map(p => planeBit(p) * (1 << p))
       .reduce(_ + _).cast("long")
-    e.withColumn("bucket", sig)
+  }
+
+  /** The bucket expression in DuckDB form (over `emb` DOUBLE[]). */
+  private def bucketSql(nPlanes: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, $nPlanes), p ->
+       |    CASE WHEN list_sum(list_transform(range(0, len(emb)), d ->
+       |      emb[d+1] * (CAST(((d*2654435761 + (p+1)*40503 + d*p*97) >> 7) & 1
+       |        AS DOUBLE)*2 - 1))) >= 0
+       |    THEN 1 << p ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  val q38LshBuckets: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    e.withColumn("bucket", lshBucket(col("embedding"), 8))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("label")).as("n_labels"))
@@ -125,15 +136,97 @@ object SimilarityOps {
       | count(DISTINCT label) AS n_labels
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
+    * pairs sharing a hyperplane bucket (the self-join key — bounded
+    * candidate sets, never all-pairs), verified with the exact codegen'd
+    * cosine at a similarity threshold (0.3 here — the synthetic corpus
+    * has no true duplicates; a production dedup run sets ~0.9). The
+    * 100 TB shape: bucket id is the shuffle key; pair work is Σ bucket²
+    * not corpus². */
+  val q43EmbeddingNearDup: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), 8).as("bucket"))
+      .repartition(col("bucket"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.CosineSimilarity(
+          col("a.embedding"), col("b.embedding")).as("cos"))
+    pairs.filter(col("cos") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q43Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, ${bucketSql(8)} AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |  list_inner_product(a.emb, b2.emb) /
+       |    (sqrt(list_inner_product(a.emb, a.emb)) *
+       |     sqrt(list_inner_product(b2.emb, b2.emb))) AS cos
+       | FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b, round(cos, 4) AS cos_sim
+       |FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** ANN probe path (bucket-pruned search): each query vector probes ONLY
+    * its own bucket's candidates — the read-side complement of q38's
+    * build side. Top-3 by exact cosine within the probed bucket. At scale
+    * the corpus is stored bucket-partitioned, so a probe touches one
+    * partition instead of the corpus. */
+  val q44AnnProbe: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), 8).as("bucket"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.CosineSimilarity(col("q_emb"), col("embedding"))
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q44Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, ${bucketSql(8)} AS bucket FROM e),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM b
+       |      WHERE vec_id < 10),
+       |s AS (SELECT q_id, b.vec_id,
+       |  list_inner_product(q_emb, b.emb) /
+       |    (sqrt(list_inner_product(q_emb, q_emb)) *
+       |     sqrt(list_inner_product(b.emb, b.emb))) AS cos
+       | FROM q JOIN b ON q.bucket = b.bucket AND b.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       | FROM s)
+       |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+       |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
     "q38_lsh_buckets" -> q38LshBuckets,
+    "q43_embedding_neardup" -> q43EmbeddingNearDup,
+    "q44_ann_probe" -> q44AnnProbe,
   )
 
   val oracles: ListMap[String, String] = ListMap(
     "q36_vector_norms" -> q36Oracle,
     "q37_cosine_topk" -> q37Oracle,
     "q38_lsh_buckets" -> q38Oracle,
+    "q43_embedding_neardup" -> q43Oracle,
+    "q44_ann_probe" -> q44Oracle,
   )
 }

@@ -62,6 +62,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
 
+  /** Session windows with the session start exposed (for the oracle
+    * harness, which needs a session identity to compare against batch
+    * sessionization). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "30 minutes")
+      .groupBy(session_window(col("ts_utc"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"))
+
   /** Stateful dedup on (user_id, event_type) bounded by the watermark —
     * the streaming form of EventOps.q28EventDedup. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
@@ -71,16 +83,25 @@ object StreamOps {
 
   /** Run any of the above to completion against a static directory via the
     * memory sink (test/bench harness; a real deployment passes a kafka or
-    * file sink instead). Returns the collected result table. */
+    * file sink instead). Returns the collected result table.
+    *
+    * Stateful streaming creates one state store per shuffle partition per
+    * trigger; for the harness's small static inputs 32 stores are pure
+    * overhead, so the stream runs with 8 (a real deployment sizes this to
+    * state volume). The setting is restored afterwards. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }

@@ -132,6 +132,17 @@ class OmeTiffSpec extends SparkSpec {
       Writers.forPath("/a/b.nd2"))
   }
 
+  test("fsspec-style URIs: explicit file:// scheme resolves through Hadoop FS") {
+    // S9: the readers go through Hadoop FileSystem, so any configured
+    // scheme (file:, hdfs:, s3a:, gs: …) works; exercised with file://
+    val img = BioSpark.fromArray(spark, formulaic(Seq(3, 4)))
+    val plain = tmp("uri.ome.tiff")
+    img.save(plain)
+    val back = BioSpark.open(spark, "file://" + plain)
+    assert(back.reader.name == "OmeTiffReader")
+    assert(back.getImageData("YX").array(2, 3) == 23.0)
+  }
+
   test("feasibility report covers the tiff plugin") {
     val uri = tmp("probe.ome.tiff")
     BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2))).save(uri)
