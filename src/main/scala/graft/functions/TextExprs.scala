@@ -1,0 +1,133 @@
+package graft.functions
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a space-separated text — the input
+  * stage of every text-dedup operator (q33/q39/q40). Semantically equal
+  * to array_distinct(transform(sequence(...), concat_ws(...))) over
+  * split(text, " "), but a SINGLE native pass with a hash-set dedup
+  * instead of four nested interpreted higher-order functions; first-seen
+  * order preserved (array_distinct semantics).
+  *
+  * CodegenFallback: the per-row work is one java loop; splitting codegen
+  * here buys nothing measurable, and fallback keeps the expression tree
+  * simple. */
+final case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (ws.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](ws.length * 2)
+    var i = 0
+    while (i + n <= ws.length) {
+      val sb = new java.lang.StringBuilder
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(ws(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(
+      seen.iterator.asScala.map(s => UTF8String.fromString(s): Any).toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}
+
+/** SimHash-64 over pre-hashed tokens (Array[Long]): each hash votes ±1
+  * per bit; the fingerprint bit is the vote sign. Fully codegen'd — one
+  * pass with a local long[64] vote table, replacing 64 separate
+  * interpreted `aggregate` HOF expressions (which each re-walked the
+  * token array). */
+final case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint> token hashes, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val m = hs.numElements()
+    while (i < m) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      s"""
+         |int[] $votes = new int[64];
+         |int $m = $a.numElements();
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def apply(hashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashes)))
+}

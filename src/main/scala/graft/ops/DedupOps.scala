@@ -23,15 +23,10 @@ object DedupOps {
 
   private val words: Column = split(col("text"), " ")
 
-  /** Distinct word 3-gram shingles of `text`. */
-  def shingles3(c: Column): Column = {
-    val ws = split(c, " ")
-    val n = size(ws)
-    array_distinct(when(n >= 3,
-      transform(sequence(lit(1), n - 2), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2)))).otherwise(array()))
-  }
+  /** Distinct word 3-gram shingles of `text` — the native single-pass
+    * expression (graft.functions.WordShingles); semantics identical to
+    * the array_distinct∘transform∘split composition it replaced. */
+  def shingles3(c: Column): Column = graft.functions.WordShingles(c, 3)
 
   // ---------------------------------------------------------------- q39
   /** Max document frequency for a shingle to participate in the q39 pair
@@ -185,18 +180,13 @@ object DedupOps {
     * Output: doc_id, fingerprint, and hamming distance to the previous doc
     * (a cheap non-trivial derived column). */
   val q41SimHash: Q = (spark, dir) => {
+    // one interpreted pass hashes the distinct tokens; the 64-bit vote
+    // fold is the native codegen'd SimHash64 expression (single array
+    // walk with a local vote table)
     val hashes = transform(array_distinct(words), t => xxhash64(t))
-    // token hashes materialized ONCE as a column: the 64 per-bit vote
-    // aggregates below each reference it, so inlining the split+distinct+
-    // hash subtree would evaluate it 64× per row
-    def simhashOf(h: Column): Column = (0 until 64).map { b =>
-      val votes = aggregate(h, lit(0),
-        (acc, hh) => acc + when(hh.bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
     Tables.balanced(spark, dir, "documents")
-      .select(col("doc_id"), hashes.as("h"))
-      .select(col("doc_id"), simhashOf(col("h")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash64(hashes).as("simhash"))
       .withColumn("bits_set", bit_count(col("simhash")).cast("long"))
       .orderBy(col("doc_id"))
   }

@@ -96,20 +96,14 @@ object TextOps {
 
   // ---------------------------------------------------------------- q33
   /** Word 3-gram shingling: distinct-shingle count per doc (the input
-    * stage of MinHash dedup). sequence+transform keeps it inside
-    * whole-stage codegen; no explode, no shuffle. */
+    * stage of MinHash dedup). Single native pass over the text
+    * (graft.functions.WordShingles); no explode, no shuffle. */
   val q33Shingles: Q = (spark, dir) => {
     val n = size(words)
-    val shingles = when(n >= 3,
-      transform(sequence(lit(1), n - 2), i =>
-        concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-          element_at(words, i + 2)))).otherwise(array())
-    // The distinct pass is the dominant cost — evaluate it exactly once
-    // (the intermediate projection keeps it out of CollapseProject's reach,
-    // since a non-cheap expr referenced twice is not inlined).
     docs(spark, dir)
       .select(col("doc_id"), n.as("n"),
-        size(array_distinct(shingles)).cast("long").as("n_shingles"))
+        size(graft.functions.WordShingles(col("text"), 3))
+          .cast("long").as("n_shingles"))
       .filter(col("n") >= 3)
       .select(col("doc_id"), col("n_shingles"),
         (col("n") - 2 - col("n_shingles")).cast("long").as("n_repeated"))
