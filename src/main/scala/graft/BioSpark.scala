@@ -13,11 +13,17 @@ import graft.writers.ParquetPlaneReader
   * default reader registry.
   */
 object BioSpark {
-  /** Default registry; extend with registerPlugin-style composition by
-    * constructing a new Registry. */
-  def defaultRegistry: Registry =
-    new Registry(Seq(OmeTiffReader.plugin, ParquetPlaneReader.plugin,
+  /** Default registry: ServiceLoader-discovered plugins (version-gated,
+    * the reference's entry-point discovery analog), falling back to the
+    * built-in set if discovery yields nothing (e.g. exotic classloader).
+    * Extend with registerPlugin-style composition by constructing a new
+    * Registry. */
+  def defaultRegistry: Registry = {
+    val discovered = graft.plugins.Registry.discovered()
+    if (discovered.nonEmpty) new Registry(discovered)
+    else new Registry(Seq(OmeTiffReader.plugin, ParquetPlaneReader.plugin,
       ZarrReader.plugin, ImageIoReader.plugin))
+  }
 
   /** Open a path via plugin resolution (with s3-anon retry). */
   def open(spark: SparkSession, path: String,

@@ -54,6 +54,39 @@ final case class PluginEntry(
     extensions: Seq[String],
     open: (SparkSession, String, Map[String, String]) => BioReader)
 
+/** ServiceLoader SPI for plugin discovery — the entry-point-group analog
+  * of the reference's `bioio.readers` discovery (plugins.py:167-326).
+  * Third-party format packages implement this with a zero-arg class,
+  * list it in META-INF/services/graft.plugins.BioReaderProvider, and are
+  * discovered at registry construction. The spec-version range is the
+  * bioio-base version-gate analog (plugins.py:249-278): providers whose
+  * range excludes the engine's [[Registry.SpecVersion]] are skipped. */
+trait BioReaderProvider {
+  def plugin: PluginEntry
+  def minSpecVersion: Int = 1
+  def maxSpecVersion: Int = Registry.SpecVersion
+}
+
+object Registry {
+  /** The engine's plugin-SPI version. */
+  val SpecVersion: Int = 1
+
+  /** Version gate (pure, testable): keep providers whose declared range
+    * covers the engine spec version. */
+  def gate(providers: Seq[BioReaderProvider]): Seq[BioReaderProvider] =
+    providers.filter(p =>
+      p.minSpecVersion <= SpecVersion && SpecVersion <= p.maxSpecVersion)
+
+  /** Discover providers on the classpath via ServiceLoader, apply the
+    * version gate, sort by name for determinism. */
+  def discovered(): Seq[PluginEntry] = {
+    import scala.jdk.CollectionConverters._
+    val loaded = java.util.ServiceLoader
+      .load(classOf[BioReaderProvider]).iterator().asScala.toSeq
+    gate(loaded).sortBy(_.plugin.name).map(_.plugin)
+  }
+}
+
 final case class PluginSupport(supported: Boolean, error: Option[String])
 
 /** Reader registry with the reference's deterministic resolution policy

@@ -9,6 +9,31 @@ import graft.readers.ArrayLikeReader
 /** Ports the reference's plugin selection/ordering spec
   * (tests/test_plugins.py:35-186, tests/test_bio_image.py:73-259) with a
   * mock-reader harness like tests/helpers/mock_reader.py. */
+class DiscoverySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("ServiceLoader discovers the built-in plugins, version-gated") {
+    val names = Registry.discovered().map(_.name)
+    assert(names == names.sorted)
+    assert(names.toSet == Set("OmeTiffReader", "ZarrReader",
+      "ImageIoReader", "ParquetPlaneReader"))
+  }
+
+  test("version gate excludes providers outside the spec range") {
+    val ok = new BioReaderProvider {
+      override def plugin: PluginEntry = graft.readers.OmeTiffReader.plugin
+    }
+    val tooNew = new BioReaderProvider {
+      override def plugin: PluginEntry = graft.readers.ZarrReader.plugin
+      override def minSpecVersion: Int = Registry.SpecVersion + 1
+      override def maxSpecVersion: Int = Registry.SpecVersion + 5
+    }
+    val tooOld = new BioReaderProvider {
+      override def plugin: PluginEntry = graft.readers.ZarrReader.plugin
+      override def maxSpecVersion: Int = Registry.SpecVersion - 1
+    }
+    assert(Registry.gate(Seq(ok, tooNew, tooOld)) == Seq(ok))
+  }
+}
+
 class RegistrySpec extends SparkSpec {
 
   /** Mock reader: configurable support result / constructor failure /
