@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{CosineSimilarity, SimHash64, WordShingles}
+
+/** SparkSessionExtensions installer: registers the engine's native
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  *   spark.sql.extensions = graft.GraftExtensions
+  *
+  *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
+  *   SELECT word_shingles(text, 3), simhash64(hashes) FROM documents
+  *
+  * (The Column API in graft.functions works without this.) */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(a, b) takes 2 arguments")
+        CosineSimilarity(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(text, n) takes 2 arguments")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(args(0), n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(hashes) takes 1 argument")
+        SimHash64(args(0))
+      }))
+  }
+}

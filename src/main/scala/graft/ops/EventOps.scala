@@ -192,6 +192,32 @@ object EventOps {
       |WHERE end_us + 1800000000 <= mx - 1800000000
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** E13 streaming sliding windows (10-minute window / 5-minute slide,
+    * 10-minute watermark) per user, append mode — each event lands in two
+    * overlapping windows; only windows finalized by the closing watermark
+    * emit. The oracle expands each event into its two window starts and
+    * applies the same finalization predicate. */
+  val q46StreamSliding: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q46_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.slidingCounts(StreamOps.readEvents(spark, dir)), name)
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("user_id"), col("n"))
+      .orderBy(col("window_start"), col("user_id"))
+  }
+
+  val q46Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+      |m AS (SELECT max(us) AS mx FROM e),
+      |w AS (SELECT user_id, (us // 300000000) * 300 - k.k AS ws
+      |      FROM e, (VALUES (0), (300)) k(k)),
+      |agg AS (SELECT ws, user_id, count(*) AS n FROM w GROUP BY ws, user_id)
+      |SELECT ws AS window_start, user_id, n FROM agg, m
+      |WHERE (ws + 600) * 1000000 <= mx - 600000000
+      |ORDER BY window_start, user_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -200,6 +226,7 @@ object EventOps {
     "q28_event_dedup" -> q28EventDedup,
     "q42_stream_tumbling" -> q42StreamTumbling,
     "q45_stream_session" -> q45StreamSession,
+    "q46_stream_sliding" -> q46StreamSliding,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -210,5 +237,6 @@ object EventOps {
     "q28_event_dedup" -> q28Oracle,
     "q42_stream_tumbling" -> q42Oracle,
     "q45_stream_session" -> q45Oracle,
+    "q46_stream_sliding" -> q46Oracle,
   )
 }

@@ -27,7 +27,12 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
   */
 final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
-  private case class Level(shape: Seq[Long], dtype: String)
+  private case class Level(shape: Seq[Long], chunkH: Int, chunkW: Int,
+      dtype: String) {
+    def gridY: Int = ((shape(3) + chunkH - 1) / chunkH).toInt
+    def gridX: Int = ((shape(4) + chunkW - 1) / chunkW).toInt
+    def tiled: Boolean = gridY * gridX > 1
+  }
   private case class Scene(id: String, group: String, levels: Seq[Level],
       channelNames: Seq[String], scale: Seq[Double], rawAttrs: String)
 
@@ -80,10 +85,14 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         val chunks = (zj \ "chunks").children.map(_.values.toString.toLong)
         require(shape.length == 5,
           s"expected 5D (t,c,z,y,x) zarr array, got ${shape.length}D")
-        require(chunks.take(3).forall(_ == 1) &&
-          chunks(3) == shape(3) && chunks(4) == shape(4),
-          s"expected one-plane-per-chunk layout [1,1,1,H,W], got $chunks")
-        Level(shape, dtype)
+        require(chunks.take(3).forall(_ == 1),
+          s"expected chunk t/c/z extents of 1, got $chunks")
+        // Y/X chunking: full-plane chunks, or an exact tile grid (the
+        // common aligned-NGFF layout) — tiles surface as mosaic tiles
+        require((chunks(3) == shape(3) && chunks(4) == shape(4)) ||
+          (shape(3) % chunks(3) == 0 && shape(4) % chunks(4) == 0),
+          s"chunk grid $chunks must divide plane shape $shape exactly")
+        Level(shape, chunks(3).toInt, chunks(4).toInt, dtype)
       }
       val channels = (j \ "omero" \ "channels").children.collect {
         case ch if (ch \ "label") != JNothing =>
@@ -125,14 +134,25 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
   override def sceneMeta(i: Int): SceneMeta = {
     val s = scenes_(i)
-    val sh = s.levels.head.shape
-    SceneMeta(i, s.id, Dimensions("TCZYX", sh),
+    val lv = s.levels.head
+    val sh = lv.shape
+    val dims =
+      if (lv.tiled)
+        Dimensions("MTCZYX", (lv.gridY.toLong * lv.gridX) +: sh.take(3) :+
+          lv.chunkH.toLong :+ lv.chunkW.toLong)
+      else Dimensions("TCZYX", sh)
+    val tiles =
+      if (lv.tiled)
+        for { yi <- 0 until lv.gridY; xi <- 0 until lv.gridX }
+          yield (yi * lv.chunkH, xi * lv.chunkW)
+      else Seq.empty
+    SceneMeta(i, s.id, dims,
       channelNames = s.channelNames,
       physicalPixelSizes =
         if (s.scale.drop(2) == Seq(1.0, 1.0, 1.0)) None
         else Some((s.scale(2), s.scale(3), s.scale(4))),
-      pixelType = ZarrFormat.pixelTypeOf(s.levels.head.dtype),
-      tilePositions = Seq.empty,
+      pixelType = ZarrFormat.pixelTypeOf(lv.dtype),
+      tilePositions = tiles,
       rawMetadata = Some(s.rawAttrs),
       timeInterval = if (s.scale.head == 1.0) None else Some(s.scale.head))
   }
@@ -144,7 +164,11 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val s = scenes_(sceneIdx)
     if (!s.levels.isDefinedAt(level))
       throw new IndexOutOfBoundsException(s"resolution level $level")
-    Dimensions("TCZYX", s.levels(level).shape)
+    val lv = s.levels(level)
+    if (lv.tiled)
+      Dimensions("MTCZYX", (lv.gridY.toLong * lv.gridX) +:
+        lv.shape.take(3) :+ lv.chunkH.toLong :+ lv.chunkW.toLong)
+    else Dimensions("TCZYX", lv.shape)
   }
 
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
@@ -157,15 +181,20 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     if (!s.levels.isDefinedAt(level))
       throw new IndexOutOfBoundsException(s"resolution level $level")
     val lv = s.levels(level)
-    val Seq(t, c, z, h, w) = lv.shape.map(_.toInt)
+    val Seq(t, c, z, _, _) = lv.shape.map(_.toInt)
+    val (ch, cw) = (lv.chunkH, lv.chunkW)
+    val (ny, nx) = (lv.gridY, lv.gridX)
     val dtype = lv.dtype
     val sid = s.id
     val base = sub(s.group, level.toString)
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // one catalog row per CHUNK: (t,c,z) x the Y/X tile grid; tiles carry
+    // their mosaic index + offsets so the stitch is a pure projection
     val keys = for {
       ti <- 0 until t; ci <- 0 until c; zi <- 0 until z
-    } yield (ti, ci, zi)
+      yi <- 0 until ny; xi <- 0 until nx
+    } yield (ti, ci, zi, yi, xi)
     val slices = math.min(keys.length,
       spark.sparkContext.defaultParallelism).max(1)
     spark.createDataset(keys)
@@ -174,10 +203,10 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         if (!it.hasNext) Iterator.empty
         else {
           val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
-          it.map { case (ti, ci, zi) =>
-            val p = new Path(s"$base/$ti.$ci.$zi.0.0")
+          it.map { case (ti, ci, zi, yi, xi) =>
+            val p = new Path(s"$base/$ti.$ci.$zi.$yi.$xi")
             val px =
-              if (!f.exists(p)) new Array[Double](h * w) // fill_value 0
+              if (!f.exists(p)) new Array[Double](ch * cw) // fill_value 0
               else {
                 val in = f.open(p)
                 try {
@@ -187,8 +216,9 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
                   ZarrFormat.decodeChunk(bytes, dtype)
                 } finally in.close()
               }
-            PlaneRow(sceneIdx, sid, level, m = 0, t = ti, c = ci, z = zi,
-              s = 0, y0 = 0, x0 = 0, h = h, w = w, pixels = px)
+            PlaneRow(sceneIdx, sid, level, m = yi * nx + xi,
+              t = ti, c = ci, z = zi, s = 0,
+              y0 = yi * ch, x0 = xi * cw, h = ch, w = cw, pixels = px)
           }
         }
       }

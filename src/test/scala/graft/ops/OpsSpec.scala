@@ -108,6 +108,22 @@ class DedupSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("native expressions are registered as SQL functions") {
+    import org.apache.spark.sql.functions._
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       size(word_shingles('a b c d', 3)) AS ns,
+        |       simhash64(array(-1L)) AS sh""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getInt(1) == 2)
+    assert(r.getLong(2) == -1L) // every bit votes +1
+    // parity with the Column API
+    val viaCol = spark.range(1).select(
+      graft.functions.WordShingles(lit("a b c d"), 3).as("s")).head()
+      .getSeq[String](0)
+    assert(viaCol == Seq("a b c", "b c d"))
+  }
+
   test("approx_count_distinct stays within 5% of exact (q29 vs q09)") {
     val exact = Relational.q09CountDistinct(spark, sf)
       .select("l_returnflag", "n_orders").as[(String, Long)].collect().toMap

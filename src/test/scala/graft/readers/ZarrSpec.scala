@@ -72,6 +72,42 @@ class ZarrSpec extends SparkSpec {
     assert(nd.array(1, 2, 1, 0, 1) == 12101.0)
   }
 
+  test("tiled chunks (2x2 grid) surface as mosaic tiles and stitch back") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    // hand-built NGFF store: 4x4 plane stored as four 2x2 chunks
+    val root = tmp("tiled.zarr")
+    Files.createDirectories(Paths.get(root, "0"))
+    def put(rel: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(root, rel), bytes)
+    put(".zgroup", ZarrFormat.zgroup.getBytes)
+    put(".zattrs", ZarrFormat.imageAttrs("Image:0", 1,
+      Seq(1, 1, 1, 1, 1).map(_.toDouble), Seq("C0")).getBytes)
+    put("0/.zarray", ZarrFormat.zarray(
+      Seq(1, 1, 1, 4, 4), Seq(1, 1, 1, 2, 2), "<f8").getBytes)
+    for (yi <- 0 until 2; xi <- 0 until 2) {
+      val px = Array.tabulate(4) { k =>
+        val (y, x) = (yi * 2 + k / 2, xi * 2 + k % 2)
+        y * 10.0 + x
+      }
+      put(s"0/0.0.0.$yi.$xi", ZarrFormat.encodeChunk(px, PixelType.Float64))
+    }
+    val back = BioSpark.open(spark, root)
+    assert(back.meta.dims.order == "MTCZYX")
+    assert(back.meta.dims('M') == 4)
+    assert(back.dims.order == "TCZYX") // stitched view folds M
+    assert(back.dims('Y') == 4 && back.dims('X') == 4)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(nd.array(y, x) == y * 10.0 + x, s"($y,$x)")
+    // the disjoint-tile stitch is a projection — no overlap-resolving
+    // aggregate in the plan (the only Exchange is the reader's chunk
+    // catalog repartition, unrelated to stitching)
+    val plan = back.pixels.queryExecution.executedPlan.toString
+    assert(!plan.contains("min_by") && !plan.contains("HashAggregate"), plan)
+  }
+
   test("writer raises on mosaic scenes and unknown selections") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
