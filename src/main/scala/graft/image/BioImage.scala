@@ -143,6 +143,31 @@ final class BioImage(
           .agg(min_by(col("v"), col("m")).as("v"))
     } else Plane.pixels(planes).drop("y0", "x0")
 
+  /** Plane table in STITCHED space: for mosaic scenes, tiles are
+    * reassembled into full-width plane rows (one row per t/c/z/s, global
+    * Y/X, overlap already resolved by [[pixels]]); identical to [[planes]]
+    * for non-mosaic scenes. This is what single-plane sinks (OME-TIFF,
+    * zarr, PNG) consume, mirroring the reference's save of reconstructed
+    * data (bio_image.py:1282-1291). */
+  def stitchedPlanes: DataFrame =
+    if (!(hasMosaic && reconstructMosaic)) planes
+    else {
+      val d = dims
+      val w = d('X')
+      val h = d('Y')
+      pixels
+        .withColumn("pv",
+          struct((col("y") * w + col("x")).as("p"), col("v").as("v")))
+        .groupBy(col("scene_idx"), col("level"), col("t"), col("c"),
+          col("z"), col("s"))
+        .agg(transform(array_sort(collect_list(col("pv"))),
+          p => p.getField("v")).as("pixels"))
+        .select(col("scene_idx"), lit(currentScene).as("scene_id"),
+          col("level"), lit(0).as("m"), col("t"), col("c"), col("z"),
+          col("s"), lit(0).as("y0"), lit(0).as("x0"),
+          lit(h.toInt).as("h"), lit(w.toInt).as("w"), col("pixels"))
+    }
+
   /** Dims of the current scene/level, derived from the catalog; mosaic
     * reconstruction folds M into stitched Y/X. */
   def dims: Dimensions = computeDims(level)

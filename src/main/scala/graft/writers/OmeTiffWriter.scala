@@ -51,12 +51,6 @@ object OmeTiffWriter extends BioWriter {
       img.setScene(sid)
       val m = img.meta
       val d = img.dims
-      // raw (pre-stitch) dims carry M: plane rows are tiles, which this
-      // single-plane-per-IFD writer cannot represent
-      if (m.dims.order.contains('M'))
-        throw new UnsupportedOperationException(
-          "OME-TIFF writer requires stitched (non-mosaic) scenes; save " +
-            "through the parquet plane store or stitch first")
       if (d.order.contains('S') && d('S') > 1)
         throw new UnsupportedOperationException(
           "multi-sample (S>1) scenes are not supported by this writer yet")
@@ -113,7 +107,7 @@ object OmeTiffWriter extends BioWriter {
       // strips: scene by scene, planes in (t,c,z) order, z fastest (XYZCT)
       layouts.zipWithIndex.foreach { case (s, i) =>
         img.setScene(s.origIdx)
-        val it = img.planes
+        val it = img.stitchedPlanes
           .select(col("t"), col("c"), col("z"), col("pixels"))
           .orderBy(col("t"), col("c"), col("z"))
           .toLocalIterator()

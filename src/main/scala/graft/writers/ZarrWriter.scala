@@ -56,13 +56,10 @@ object ZarrWriter extends BioWriter {
     sel.zipWithIndex.foreach { case (sid, g) =>
       img.setScene(sid)
       val m = img.meta
-      if (m.dims.order.contains('M'))
-        throw new UnsupportedOperationException(
-          "zarr writer requires stitched (non-mosaic) scenes")
       if (m.dims.order.contains('S') && m.dims('S') > 1)
         throw new UnsupportedOperationException(
           "multi-sample (S>1) scenes are not supported by this writer yet")
-      val d = m.dims
+      val d = img.dims // stitched for mosaic scenes
       val (t, c, z, h, w) =
         (d('T'), d('C'), d('Z'), d('Y'), d('X'))
       val pt = m.pixelType
@@ -84,7 +81,7 @@ object ZarrWriter extends BioWriter {
       }
 
       // chunk files: distributed — each task writes its planes directly
-      val levelDfs = Iterator.iterate(img.planes)(Plane.poolHalf)
+      val levelDfs = Iterator.iterate(img.stitchedPlanes)(Plane.poolHalf)
         .take(levels).toSeq
       val target = s"$uri/$g"
       levelDfs.foreach { df =>

@@ -112,16 +112,27 @@ class OmeTiffSpec extends SparkSpec {
     assert(nd.array(1, 0, 1) == 2.0)
   }
 
-  test("writer raises on unknown scene, empty selection, mosaic scenes") {
+  test("writer raises on unknown scene and empty selection") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
       img.save(tmp("x.ome.tiff"), Some(Seq("Image:9"))))
     intercept[IllegalArgumentException](
       img.save(tmp("x.ome.tiff"), Some(Seq.empty)))
+  }
+
+  test("mosaic scenes stitch on save (tiles reassembled into full planes)") {
+    val arr = NDArray.tabulate(Seq(2, 2, 2))(idx =>
+      idx(0) * 100.0 + idx(1) * 10 + idx(2))
     val mosaic = new BioImage(spark,
-      new ArrayLikeReader(Seq(NDArray.zeros(Seq(2, 2, 2))), Seq(Some("MYX")),
+      new ArrayLikeReader(Seq(arr), Seq(Some("MYX")),
         Seq(None), tilePositions = Seq(Seq((0, 0), (0, 2)))))
-    intercept[UnsupportedOperationException](mosaic.save(tmp("m.ome.tiff")))
+    val uri = tmp("m.ome.tiff")
+    mosaic.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims.shape == Seq(1, 1, 1, 2, 4)) // 2x(2x2) side by side
+    val nd = back.getImageData("YX")
+    assert(nd.array(1, 1) == 11.0) // tile 0 (1,1)
+    assert(nd.array(1, 3) == 111.0) // tile 1 (1,1)
   }
 
   test("writer registry dispatches by most specific extension") {

@@ -108,13 +108,19 @@ class ZarrSpec extends SparkSpec {
     assert(!plan.contains("min_by") && !plan.contains("HashAggregate"), plan)
   }
 
-  test("writer raises on mosaic scenes and unknown selections") {
+  test("writer raises on unknown selections; mosaic scenes stitch on save") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
       img.save(tmp("x.zarr"), Some(Seq("Image:9"))))
+    val arr = NDArray.tabulate(Seq(2, 2, 2))(idx =>
+      idx(0) * 100.0 + idx(1) * 10 + idx(2))
     val mosaic = new BioImage(spark,
-      new ArrayLikeReader(Seq(NDArray.zeros(Seq(2, 2, 2))), Seq(Some("MYX")),
+      new ArrayLikeReader(Seq(arr), Seq(Some("MYX")),
         Seq(None), tilePositions = Seq(Seq((0, 0), (0, 2)))))
-    intercept[UnsupportedOperationException](mosaic.save(tmp("m.zarr")))
+    val uri = tmp("m.zarr")
+    mosaic.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims.shape == Seq(1, 1, 1, 2, 4))
+    assert(back.getImageData("YX").array(1, 3) == 111.0)
   }
 }
