@@ -39,12 +39,33 @@ object ZarrFormat {
   def encodeChunk(px: Array[Double], pt: PixelType.Value): Array[Byte] =
     TiffFormat.encodePlane(px, pt) // same little-endian narrowing
 
-  /** Decode a raw chunk to doubles. */
-  def decodeChunk(bytes: Array[Byte], dtype: String): Array[Double] = {
+  /** Decode a chunk to doubles; `compressor` None = raw, Some("zlib") =
+    * zlib-deflated (the one non-native-library zarr codec). */
+  def decodeChunk(bytes: Array[Byte], dtype: String,
+      compressor: Option[String] = None): Array[Double] = {
+    val raw = compressor match {
+      case None => bytes
+      case Some("zlib") =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput())
+            throw new IllegalArgumentException("truncated zlib chunk")
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        out.toByteArray
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unsupported zarr compressor '$other' (supported: null, zlib)")
+    }
     val order = byteOrder(dtype)
     val pt = pixelTypeOf(dtype)
     val bits = TiffFormat.bytesPerSample(pt) * 8
-    TiffFormat.decodePlane(bytes, bits, TiffFormat.sampleFormat(pt), order)
+    TiffFormat.decodePlane(raw, bits, TiffFormat.sampleFormat(pt), order)
   }
 
   // --------------------------------------------------------- JSON emit

@@ -28,7 +28,7 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
 final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
   private case class Level(shape: Seq[Long], chunkH: Int, chunkW: Int,
-      dtype: String) {
+      dtype: String, compressor: Option[String]) {
     def gridY: Int = ((shape(3) + chunkH - 1) / chunkH).toInt
     def gridX: Int = ((shape(4) + chunkW - 1) / chunkW).toInt
     def tiled: Boolean = gridY * gridX > 1
@@ -77,9 +77,14 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
           .getOrElse(throw new UnsupportedFileFormatError(
             s"zarr dataset $group/$p has no .zarray"))
         val zj = JsonMethods.parse(za)
-        if ((zj \ "compressor") != JNull)
-          throw new UnsupportedFileFormatError(
-            "only uncompressed (compressor null) zarr chunks are supported")
+        val compressor = zj \ "compressor" match {
+          case JNull => None
+          case c => (c \ "id") match {
+            case JString("zlib") => Some("zlib")
+            case other => throw new UnsupportedFileFormatError(
+              s"unsupported zarr compressor $other (supported: null, zlib)")
+          }
+        }
         val shape = (zj \ "shape").children.map(_.values.toString.toLong)
         val JString(dtype) = zj \ "dtype"
         val chunks = (zj \ "chunks").children.map(_.values.toString.toLong)
@@ -92,7 +97,7 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         require((chunks(3) == shape(3) && chunks(4) == shape(4)) ||
           (shape(3) % chunks(3) == 0 && shape(4) % chunks(4) == 0),
           s"chunk grid $chunks must divide plane shape $shape exactly")
-        Level(shape, chunks(3).toInt, chunks(4).toInt, dtype)
+        Level(shape, chunks(3).toInt, chunks(4).toInt, dtype, compressor)
       }
       val channels = (j \ "omero" \ "channels").children.collect {
         case ch if (ch \ "label") != JNothing =>
@@ -185,6 +190,7 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val (ch, cw) = (lv.chunkH, lv.chunkW)
     val (ny, nx) = (lv.gridY, lv.gridX)
     val dtype = lv.dtype
+    val compressor = lv.compressor
     val sid = s.id
     val base = sub(s.group, level.toString)
     val hconf = new SerializableConfiguration(
@@ -213,7 +219,7 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
                   val n = f.getFileStatus(p).getLen.toInt
                   val bytes = new Array[Byte](n)
                   in.readFully(0, bytes)
-                  ZarrFormat.decodeChunk(bytes, dtype)
+                  ZarrFormat.decodeChunk(bytes, dtype, compressor)
                 } finally in.close()
               }
             PlaneRow(sceneIdx, sid, level, m = yi * nx + xi,

@@ -108,6 +108,36 @@ class ZarrSpec extends SparkSpec {
     assert(!plan.contains("min_by") && !plan.contains("HashAggregate"), plan)
   }
 
+  test("zlib-compressed chunks decode") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    val root = tmp("zlib.zarr")
+    Files.createDirectories(Paths.get(root, "0"))
+    def put(rel: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(root, rel), bytes)
+    put(".zgroup", ZarrFormat.zgroup.getBytes)
+    put(".zattrs", ZarrFormat.imageAttrs("Image:0", 1,
+      Seq.fill(5)(1.0), Seq("C0")).getBytes)
+    // .zarray with a zlib compressor object
+    put("0/.zarray",
+      ("""{"zarr_format":2,"shape":[1,1,1,2,3],"chunks":[1,1,1,2,3],""" +
+        """"dtype":"<f8","compressor":{"id":"zlib","level":6},""" +
+        """"fill_value":0,"order":"C","filters":null}""").getBytes)
+    val raw = ZarrFormat.encodeChunk(
+      Array(0.0, 1.0, 2.0, 10.0, 11.0, 12.0), PixelType.Float64)
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    put("0/0.0.0.0.0", out.toByteArray)
+    val back = BioSpark.open(spark, root)
+    val nd = back.getImageData("YX")
+    assert(nd.array(1, 2) == 12.0)
+    assert(nd.array(0, 1) == 1.0)
+  }
+
   test("writer raises on unknown selections; mosaic scenes stitch on save") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
