@@ -93,6 +93,46 @@ class OmeTiffSpec extends SparkSpec {
     assert(ome.images.head.pixels.channels.flatMap(_.name) == Seq("DAPI", "GFP"))
   }
 
+  test("big-endian multi-strip TIFF parses (foreign-writer layout)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-crafted MM (big-endian) TIFF: one 2x2 uint8 plane stored as
+    // TWO strips of one row each — the layout a foreign writer produces
+    val b = ByteBuffer.allocate(256).order(ByteOrder.BIG_ENDIAN)
+    b.put('M'.toByte).put('M'.toByte).putShort(42)
+    b.putInt(12) // first IFD offset
+    b.position(8)
+    b.put(Array[Byte](1, 2)) // strip 0 at offset 8: row y=0
+    b.put(Array[Byte](3, 4)) // strip 1 at offset 10: row y=1
+    b.position(12)
+    // IFD: 8 entries (width, length, bits, compression, strip offsets,
+    // rows/strip, strip counts, sample format)
+    b.putShort(8)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) b.putShort(value.toShort).putShort(0)
+      else b.putInt(value)
+    }
+    val stripOffsetsAt = 12 + 2 + 8 * 12 + 4 // after the IFD
+    entry(256, 4, 1, 2) // width
+    entry(257, 4, 1, 2) // length
+    entry(258, 3, 1, 8) // bits
+    entry(259, 3, 1, 1) // no compression
+    entry(273, 4, 2, stripOffsetsAt) // strip offsets (out-of-line, 2 longs)
+    entry(278, 4, 1, 1) // rows per strip = 1
+    entry(279, 4, 2, stripOffsetsAt + 8) // strip byte counts
+    entry(339, 3, 1, 1) // unsigned int
+    b.putInt(0) // no next IFD
+    b.putInt(8).putInt(10) // strip offsets
+    b.putInt(2).putInt(2) // strip byte counts
+    val p = tmp("bigendian.tif")
+    Files.write(java.nio.file.Paths.get(p),
+      java.util.Arrays.copyOf(b.array(), b.position()))
+    val back = BioSpark.open(spark, p)
+    val nd = back.getImageData("YX")
+    assert(nd.array(0, 0) == 1.0 && nd.array(0, 1) == 2.0)
+    assert(nd.array(1, 0) == 3.0 && nd.array(1, 1) == 4.0)
+  }
+
   test("plain TIFF (no OME-XML) reads as Z-stacked single scene") {
     // craft a 2-IFD plain TIFF via the writer then strip... simpler: the
     // writer always embeds OME-XML, so build a tiny plain TIFF by hand
