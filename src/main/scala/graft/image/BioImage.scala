@@ -104,13 +104,21 @@ final class BioImage(
 
   private def hasMosaic: Boolean = meta.dims.order.contains('M')
 
+  /** Tile positions at the CURRENT resolution level: level-0 catalog
+    * positions floor-halved once per level, matching poolHalf's `y0 div 2`
+    * per step (and the zarr reader's per-level grids). */
+  private def tilePositionsAtLevel: Seq[(Int, Int)] =
+    meta.tilePositions.map { case (t0, l0) => (t0 >> level, l0 >> level) }
+
   /** Driver-side disjointness check over the tile catalog: any two tile
-    * rectangles intersecting means stitched pixels can collide. The
-    * positions are already in SceneMeta — no data scan needed. */
+    * rectangles intersecting means stitched pixels can collide. Uses the
+    * current level's positions AND tile dims — floor-halving can make
+    * tiles overlap at coarser levels even when level 0 is disjoint. */
   private def tilesOverlap: Boolean = {
-    val tiles = meta.tilePositions
-    val h = meta.dims('Y')
-    val w = meta.dims('X')
+    val tiles = tilePositionsAtLevel
+    val d = reader.levelDims(sceneIdx, level)
+    val h = d('Y')
+    val w = d('X')
     tiles.indices.exists { i =>
       val (ay, ax) = tiles(i)
       (i + 1 until tiles.length).exists { j =>
@@ -160,8 +168,18 @@ final class BioImage(
           struct((col("y") * w + col("x")).as("p"), col("v").as("v")))
         .groupBy(col("scene_idx"), col("level"), col("t"), col("c"),
           col("z"), col("s"))
-        .agg(transform(array_sort(collect_list(col("pv"))),
-          p => p.getField("v")).as("pixels"))
+        .agg(collect_list(col("pv")).as("pvs"))
+        // density guard: sorted values are positionally correct ONLY when
+        // the tiles cover the stitched bounding box completely; a gap
+        // would silently shift every later pixel, so fail loudly instead
+        .withColumn("pixels",
+          when(size(col("pvs")) === lit((h * w).toInt),
+            transform(array_sort(col("pvs")), p => p.getField("v")))
+            .otherwise(raise_error(concat(
+              lit(s"mosaic tiles do not cover the stitched ${h}x$w plane " +
+                "(expected "), lit((h * w).toInt), lit(" pixels, got "),
+              size(col("pvs")),
+              lit("); gapped mosaics cannot be written to dense sinks")))))
         .select(col("scene_idx"), lit(currentScene).as("scene_id"),
           col("level"), lit(0).as("m"), col("t"), col("c"), col("z"),
           col("s"), lit(0).as("y0"), lit(0).as("x0"),
@@ -175,7 +193,11 @@ final class BioImage(
   private def computeDims(atLevel: Int): Dimensions = {
     val d = reader.levelDims(sceneIdx, atLevel)
     if (hasMosaic && reconstructMosaic) {
-      val tiles = meta.tilePositions
+      // positions scale with the level (floor-halved per step), matching
+      // the plane data's y0/x0 at that level
+      val tiles = meta.tilePositions.map {
+        case (t0, l0) => (t0 >> atLevel, l0 >> atLevel)
+      }
       val h = d('Y')
       val w = d('X')
       val stitchedH =

@@ -177,7 +177,12 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
             if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
           val fs = FileSystem.get(new Path(file).toUri, hconf.value)
           val in = fs.open(new Path(file))
-          val out = it.map { case (si, t, c, z, h, w, bits, sf, offs, cnts) =>
+          // the FS cache shares FileSystem objects but does NOT close
+          // streams — tie the stream's lifetime to the task
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ =>
+              try in.close() catch { case _: Throwable => () }))
+          it.map { case (si, t, c, z, h, w, bits, sf, offs, cnts) =>
             val total = cnts.sum.toInt
             val buf = new Array[Byte](total)
             var pos = 0
@@ -189,8 +194,6 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               s = 0, y0 = 0, x0 = 0, h = h, w = w,
               pixels = TiffFormat.decodePlane(buf, bits, sf, order))
           }
-          // note: stream closes with task completion via FS cache; safe
-          out
         }
       }
     rows.toDF()

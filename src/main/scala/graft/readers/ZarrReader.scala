@@ -28,7 +28,8 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
 final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
   private case class Level(shape: Seq[Long], chunkH: Int, chunkW: Int,
-      dtype: String, compressor: Option[String]) {
+      dtype: String, compressor: Option[String], separator: String,
+      fillValue: Double) {
     def gridY: Int = ((shape(3) + chunkH - 1) / chunkH).toInt
     def gridX: Int = ((shape(4) + chunkW - 1) / chunkW).toInt
     def tiled: Boolean = gridY * gridX > 1
@@ -77,6 +78,16 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
           .getOrElse(throw new UnsupportedFileFormatError(
             s"zarr dataset $group/$p has no .zarray"))
         val zj = JsonMethods.parse(za)
+        val separator = zj \ "dimension_separator" match {
+          case JString(sep) => sep
+          case _            => "."
+        }
+        val fillValue = zj \ "fill_value" match {
+          case JInt(v)     => v.toDouble
+          case JDouble(v)  => v
+          case JDecimal(v) => v.toDouble
+          case _           => 0.0
+        }
         val compressor = zj \ "compressor" match {
           case JNull => None
           case c => (c \ "id") match {
@@ -97,7 +108,8 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         require((chunks(3) == shape(3) && chunks(4) == shape(4)) ||
           (shape(3) % chunks(3) == 0 && shape(4) % chunks(4) == 0),
           s"chunk grid $chunks must divide plane shape $shape exactly")
-        Level(shape, chunks(3).toInt, chunks(4).toInt, dtype, compressor)
+        Level(shape, chunks(3).toInt, chunks(4).toInt, dtype, compressor,
+          separator, fillValue)
       }
       val channels = (j \ "omero" \ "channels").children.collect {
         case ch if (ch \ "label") != JNothing =>
@@ -191,6 +203,8 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val (ny, nx) = (lv.gridY, lv.gridX)
     val dtype = lv.dtype
     val compressor = lv.compressor
+    val sep = lv.separator
+    val fill = lv.fillValue
     val sid = s.id
     val base = sub(s.group, level.toString)
     val hconf = new SerializableConfiguration(
@@ -210,9 +224,11 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         else {
           val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
           it.map { case (ti, ci, zi, yi, xi) =>
-            val p = new Path(s"$base/$ti.$ci.$zi.$yi.$xi")
+            // zarr v2 dimension_separator: "." (flat) or "/" (nested)
+            val key = Seq(ti, ci, zi, yi, xi).mkString(sep)
+            val p = new Path(s"$base/$key")
             val px =
-              if (!f.exists(p)) new Array[Double](ch * cw) // fill_value 0
+              if (!f.exists(p)) Array.fill(ch * cw)(fill) // missing chunk
               else {
                 val in = f.open(p)
                 try {

@@ -99,8 +99,8 @@ object StreamOps {
         .queryName(name)
         .outputMode(outputMode)
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable()
+      finally q.stop() // never leak a running stream on mid-batch failure
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }

@@ -33,14 +33,7 @@ object OmeTiffWriter extends BioWriter {
 
   override def save(img: BioImage, uri: String,
       selectScenes: Option[Seq[String]]): Unit = {
-    val sel = selectScenes.getOrElse(img.scenes)
-    val unknown = sel.filterNot(img.scenes.contains)
-    if (unknown.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Unknown scene id(s) ${unknown.mkString("[", ", ", "]")}; " +
-          s"available scenes: ${img.scenes.mkString("[", ", ", "]")}")
-    if (sel.isEmpty)
-      throw new IllegalArgumentException("Empty scene selection — nothing to save")
+    val sel = Writers.validateSelection(img, selectScenes)
 
     val saved = img.currentSceneIndex
     // per-scene layout facts from the catalog (no data scan)
@@ -83,8 +76,11 @@ object OmeTiffWriter extends BioWriter {
     val stripStart = xmlOffset + xmlPadded
     val planeBytes = layouts.map(s =>
       s.h.toLong * s.w * TiffFormat.bytesPerSample(s.pt))
+    // TIFF 6.0 requires word-aligned offsets: odd-sized strips are padded
+    // with one byte (StripByteCounts stays the true size)
+    val paddedBytes = planeBytes.map(b => b + (b & 1))
     val planeCounts = layouts.map(s => s.t * s.c * s.z)
-    val sceneStripStart = planeCounts.zip(planeBytes)
+    val sceneStripStart = planeCounts.zip(paddedBytes)
       .scanLeft(stripStart) { case (acc, (n, b)) => acc + n * b }
     val ifdStart = sceneStripStart.last
     val totalPlanes = planeCounts.sum
@@ -114,8 +110,10 @@ object OmeTiffWriter extends BioWriter {
         var seen = 0
         while (it.hasNext) {
           val row = it.next()
-          out.write(TiffFormat.encodePlane(
-            row.getSeq[Double](3).toArray, s.pt))
+          val strip = TiffFormat.encodePlane(
+            row.getSeq[Double](3).toArray, s.pt)
+          out.write(strip)
+          if ((strip.length & 1) == 1) out.write(0) // word alignment
           seen += 1
         }
         require(seen == planeCounts(i),
@@ -126,7 +124,7 @@ object OmeTiffWriter extends BioWriter {
       // IFD chain
       var p = 0
       layouts.zipWithIndex.foreach { case (s, i) =>
-        val bytesPer = planeBytes(i)
+        val bytesPer = paddedBytes(i)
         (0 until planeCounts(i)).foreach { k =>
           val stripOffset = sceneStripStart(i) + k * bytesPer
           val desc =

@@ -33,14 +33,7 @@ object ParquetPlaneStore {
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]] = None,
       levels: Int = 1): Unit = {
     val spark = img.spark
-    val sel = selectScenes.getOrElse(img.scenes)
-    val unknown = sel.filterNot(img.scenes.contains)
-    if (unknown.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Unknown scene id(s) ${unknown.mkString("[", ", ", "]")}; " +
-          s"available scenes: ${img.scenes.mkString("[", ", ", "]")}")
-    if (sel.isEmpty)
-      throw new IllegalArgumentException("Empty scene selection — nothing to save")
+    val sel = Writers.validateSelection(img, selectScenes)
     require(levels >= 1, s"levels must be >= 1, got $levels")
     val idxs = sel.map(img.scenes.indexOf)
     val level0 = idxs.zipWithIndex.map { case (orig, renum) =>
@@ -111,9 +104,18 @@ final case class CatalogRow(
 final class ParquetPlaneReader(spark: SparkSession, uri: String) extends BioReader {
   import spark.implicits._
 
-  private lazy val catalog: Seq[CatalogRow] =
-    spark.read.parquet(s"$uri/catalog").as[CatalogRow]
-      .collect().sortBy(_.scene_idx).toSeq
+  private lazy val catalog: Seq[CatalogRow] = {
+    // tolerant read: stores written before the pyramid/time-interval
+    // columns existed fill them with compatible defaults
+    var df = spark.read.parquet(s"$uri/catalog")
+    def ensure(name: String, default: org.apache.spark.sql.Column): Unit =
+      if (!df.columns.contains(name)) df = df.withColumn(name, default)
+    ensure("levels", typedLit(Seq(0)))
+    ensure("level_h", typedLit(Seq.empty[Long]))
+    ensure("level_w", typedLit(Seq.empty[Long]))
+    ensure("time_interval", lit(null).cast("double"))
+    df.as[CatalogRow].collect().sortBy(_.scene_idx).toSeq
+  }
 
   override def name: String = "ParquetPlaneReader"
   override def supportedExtensions: Seq[String] = Seq(ParquetPlaneStore.Extension)

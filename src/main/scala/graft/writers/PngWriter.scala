@@ -17,6 +17,13 @@ object PngWriter extends BioWriter {
 
   override def save(img: BioImage, uri: String,
       selectScenes: Option[Seq[String]]): Unit = {
+    val saved = img.currentSceneIndex
+    try saveCurrent(img, uri, selectScenes)
+    finally img.setScene(saved)
+  }
+
+  private def saveCurrent(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]]): Unit = {
     selectScenes.foreach { sel =>
       require(sel.length == 1 && img.scenes.contains(sel.head),
         s"PNG holds exactly one 2D plane; got selection $sel")

@@ -20,6 +20,21 @@ trait BioWriter {
 /** Writer registry: extension-dispatched save (most specific suffix
   * first, mirroring the reader registry's ordering policy). */
 object Writers {
+  /** Shared scene-selection validation (every writer's contract): unknown
+    * ids and empty selections raise; returns the resolved selection. */
+  def validateSelection(img: BioImage,
+      selectScenes: Option[Seq[String]]): Seq[String] = {
+    val sel = selectScenes.getOrElse(img.scenes)
+    val unknown = sel.filterNot(img.scenes.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Unknown scene id(s) ${unknown.mkString("[", ", ", "]")}; " +
+          s"available scenes: ${img.scenes.mkString("[", ", ", "]")}")
+    if (sel.isEmpty)
+      throw new IllegalArgumentException(
+        "Empty scene selection — nothing to save")
+    sel
+  }
   /** ParquetPlaneStore registered alongside OME-TIFF: the store is the
     * engine's scale-path interchange; OME-TIFF is the reference's
     * canonical sink. */

@@ -29,14 +29,7 @@ object ZarrWriter extends BioWriter {
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
       levels: Int): Unit = {
     val spark = img.spark
-    val sel = selectScenes.getOrElse(img.scenes)
-    val unknown = sel.filterNot(img.scenes.contains)
-    if (unknown.nonEmpty)
-      throw new IllegalArgumentException(
-        s"Unknown scene id(s) ${unknown.mkString("[", ", ", "]")}; " +
-          s"available scenes: ${img.scenes.mkString("[", ", ", "]")}")
-    if (sel.isEmpty)
-      throw new IllegalArgumentException("Empty scene selection — nothing to save")
+    val sel = Writers.validateSelection(img, selectScenes)
     require(levels >= 1, s"levels must be >= 1, got $levels")
 
     val saved = img.currentSceneIndex
@@ -71,8 +64,10 @@ object ZarrWriter extends BioWriter {
         m.physicalPixelSizes.map(_._2).getOrElse(1.0),
         m.physicalPixelSizes.map(_._3).getOrElse(1.0))
       writeDoc(s"$uri/$g/.zgroup", ZarrFormat.zgroup)
+      // scene ids are REGENERATED with order preserved, the shared writer
+      // contract (bio_image.py:1252-1257) — same as OME-TIFF / .graft
       writeDoc(s"$uri/$g/.zattrs",
-        ZarrFormat.imageAttrs(sid, levels, scale0, img.channelNames))
+        ZarrFormat.imageAttrs(s"Image:$g", levels, scale0, img.channelNames))
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
       (0 until levels).foreach { l =>

@@ -118,6 +118,40 @@ class StoreSpec extends SparkSpec {
     assert(nd2.array(2, 2) == 44.0) // lone corner pixel averages itself
   }
 
+  test("gapped mosaics fail loudly when stitched into dense planes") {
+    // tiles at (0,0) and (2,2): stitched bbox 4x4 but only 8 pixels exist
+    val arr2 = NDArray.tabulate(Seq(2, 2, 2))(idx =>
+      idx(0) * 100.0 + idx(1) * 10 + idx(2))
+    val img = new BioImage(spark,
+      new ArrayLikeReader(Seq(arr2), Seq(Some("MYX")), Seq(None),
+        tilePositions = Seq(Seq((0, 0), (2, 2)))))
+    val e = intercept[Exception] {
+      img.stitchedPlanes.write.format("noop").mode("overwrite").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("do not cover")), e)
+  }
+
+  test("mosaic pyramid: level dims use level-scaled tile positions") {
+    val arr = NDArray.tabulate(Seq(2, 4, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 10 + idx(2))
+    val img = new BioImage(spark,
+      new ArrayLikeReader(Seq(arr), Seq(Some("MYX")), Seq(None),
+        tilePositions = Seq(Seq((0, 0), (0, 4)))))
+    assert(img.dims('Y') == 4 && img.dims('X') == 8)
+    val dir = Files.createTempDirectory("graft-mpyr").toString + "/m.graft"
+    ParquetPlaneStore.save(img, dir, levels = 2)
+    val back = BioSpark.open(spark, dir)
+    back.setResolutionLevel(1)
+    // tiles halve to 2x2 at (0,0),(0,2) → stitched level-1 plane is 2x4
+    assert(back.dims('Y') == 2 && back.dims('X') == 4)
+    val nd = back.getImageData("YX")
+    assert(nd.array.shape == Seq(2, 4))
+    assert(nd.array(0, 0) == (0.0 + 1 + 10 + 11) / 4) // tile 0 pool
+    assert(nd.array(0, 2) == (100.0 + 101 + 110 + 111) / 4) // tile 1 pool
+  }
+
   test("save raises on unknown scene ids and empty selection") {
     val img = new BioImage(spark, ArrayLikeReader.multi(
       Seq(NDArray.zeros(Seq(2, 2)))))
