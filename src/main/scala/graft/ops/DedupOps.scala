@@ -54,8 +54,12 @@ object DedupOps {
     val d = Tables.balanced(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
-    val ex = d.select(col("doc_id"), explode_outer(col("sh")).as("s"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // per-doc distinct-shingle count rides along from BEFORE the explode —
+    // no doc_id window (saves a whole shuffle+sort); the only wide op
+    // before the join is the df-cap window on the shingle, whose shuffle
+    // the self-join reuses
+    val ex = d.select(col("doc_id"), size(col("sh")).as("n"),
+        explode_outer(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= JaccardDfCap)
       .select(col("doc_id"), col("s"), col("n"))
