@@ -18,8 +18,11 @@ import graft.Tables
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Cheap linear scans (q30–q32, q34, q35) read the table as-is: a
+    * round-robin repartition costs more than the per-row work it would
+    * parallelize. Only shingle-heavy q33 pays for `Tables.balanced`. */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.balanced(spark, dir, "documents")
+    Tables(spark, dir, "documents")
 
   private val words: Column = split(col("text"), " ")
 
@@ -100,7 +103,7 @@ object TextOps {
     * (graft.functions.WordShingles); no explode, no shuffle. */
   val q33Shingles: Q = (spark, dir) => {
     val n = size(words)
-    docs(spark, dir)
+    Tables.balanced(spark, dir, "documents")
       .select(col("doc_id"), n.as("n"),
         size(graft.functions.WordShingles(col("text"), 3))
           .cast("long").as("n_shingles"))
