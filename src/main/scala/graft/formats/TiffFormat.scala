@@ -27,7 +27,22 @@ object TiffFormat {
   val TagSamplesPerPixel = 277
   val TagRowsPerStrip = 278
   val TagStripByteCounts = 279
+  val TagPredictor = 317
+  val TagTileWidth = 322
+  val TagTileLength = 323
+  val TagTileOffsets = 324
+  val TagTileByteCounts = 325
   val TagSampleFormat = 339
+
+  // TIFF 6.0 Compression tag values (the subset real OME-TIFFs use)
+  val CompressionNone = 1
+  val CompressionLZW = 5
+  val CompressionDeflate = 8 // "Adobe" deflate — what tifffile/bioformats emit
+  val CompressionDeflateLegacy = 32946
+
+  def compressionSupported(c: Int): Boolean =
+    c == CompressionNone || c == CompressionLZW ||
+      c == CompressionDeflate || c == CompressionDeflateLegacy
 
   // field types
   val TypeAscii = 2
@@ -66,6 +81,234 @@ object TiffFormat {
         throw new IllegalArgumentException(
           s"Unsupported TIFF sample format/bits: $other")
     }
+
+  // -------------------------------------------------- compression codecs
+
+  /** zlib-deflate a segment (Compression=8; tifffile/bioformats default). */
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated deflate segment")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** TIFF-variant LZW (Compression=5): MSB-first code packing, ClearCode
+    * 256 / EOI 257, 9→12-bit codes with the spec's "early change" (width
+    * bumps when the table reaches 2^width−1 entries, one code early). */
+  object Lzw {
+    private val Clear = 256
+    private val Eoi = 257
+
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 3 + 64)
+      // entry code → (prefix code, suffix byte); 0–255 are literal roots
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      var next = 258
+      var width = 9
+      var bitPos = 0L
+      val nBits = bytes.length * 8L
+      def read(): Int = {
+        if (bitPos + width > nBits) return Eoi // tolerate missing EOI pad
+        var v = 0
+        var i = 0
+        while (i < width) {
+          val b = (bytes((bitPos >> 3).toInt) >> (7 - (bitPos & 7)).toInt) & 1
+          v = (v << 1) | b
+          bitPos += 1; i += 1
+        }
+        v
+      }
+      def firstByte(code: Int): Byte = {
+        var c = code
+        while (c >= 258) c = prefix(c)
+        c.toByte
+      }
+      def emit(code: Int): Unit = {
+        var n = 0; var c = code
+        while (c >= 258) { n += 1; c = prefix(c) }
+        val res = new Array[Byte](n + 1)
+        res(0) = c.toByte
+        var i = n; c = code
+        while (c >= 258) { res(i) = suffix(c); i -= 1; c = prefix(c) }
+        out.write(res, 0, res.length)
+      }
+      def add(prefixCode: Int, s: Byte): Unit =
+        if (next < 4096) {
+          prefix(next) = prefixCode
+          suffix(next) = s
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+      var prevCode = -1
+      var code = read()
+      while (code != Eoi) {
+        if (code == Clear) { next = 258; width = 9; prevCode = -1 }
+        else if (prevCode < 0) {
+          if (code >= 256)
+            throw new IllegalArgumentException(
+              s"corrupt LZW stream: first code $code is not a literal")
+          out.write(code)
+          prevCode = code
+        } else if (code < next && code != 257) {
+          emit(code)
+          add(prevCode, firstByte(code))
+          prevCode = code
+        } else if (code == next) {
+          // KwKwK case: entry being defined is prev + firstByte(prev)
+          add(prevCode, firstByte(prevCode))
+          emit(next - 1)
+          prevCode = code
+        } else
+          throw new IllegalArgumentException(
+            s"corrupt LZW stream: code $code with table size $next")
+        code = read()
+      }
+      out.toByteArray
+    }
+
+    def encode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      var cur = 0; var curBits = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        cur = (cur << width) | code
+        curBits += width
+        while (curBits >= 8) {
+          out.write((cur >> (curBits - 8)) & 0xff)
+          curBits -= 8
+        }
+      }
+      // (prefix code, suffix byte) → code
+      var table = new java.util.HashMap[Integer, Integer](8192)
+      def key(p: Int, s: Byte): Integer = (p << 8) | (s & 0xff)
+      var next = 258
+      put(Clear)
+      var omega = -1
+      var i = 0
+      while (i < data.length) {
+        val k = data(i)
+        if (omega < 0) omega = k & 0xff
+        else {
+          val c = table.get(key(omega, k))
+          if (c != null) omega = c
+          else {
+            put(omega)
+            table.put(key(omega, k), next)
+            next += 1
+            // the decoder's table lags one insert behind and bumps at
+            // 2^w−1 entries, which is one EMITTED code later from the
+            // encoder's view — so the encoder switches at 2^w
+            if (next == (1 << width) && width < 12) width += 1
+            omega = k & 0xff
+            if (next >= 4094) { // reset before the table can overflow
+              put(omega); put(Clear)
+              table = new java.util.HashMap[Integer, Integer](8192)
+              next = 258; width = 9; omega = -1
+            }
+          }
+        }
+        i += 1
+      }
+      if (omega >= 0) put(omega)
+      put(Eoi)
+      if (curBits > 0) out.write((cur << (8 - curBits)) & 0xff)
+      out.toByteArray
+    }
+  }
+
+  /** Decompress one strip/tile segment. */
+  def decompress(bytes: Array[Byte], compression: Int): Array[Byte] =
+    compression match {
+      case CompressionNone => bytes
+      case CompressionLZW  => Lzw.decode(bytes)
+      case CompressionDeflate | CompressionDeflateLegacy => inflate(bytes)
+      case other => throw new IllegalArgumentException(
+        s"unsupported TIFF compression $other (supported: none/1, LZW/5, " +
+          "deflate/8/32946)")
+    }
+
+  /** Compress one strip/tile segment. */
+  def compress(bytes: Array[Byte], compression: Int): Array[Byte] =
+    compression match {
+      case CompressionNone => bytes
+      case CompressionLZW  => Lzw.encode(bytes)
+      case CompressionDeflate | CompressionDeflateLegacy => deflate(bytes)
+      case other => throw new IllegalArgumentException(
+        s"unsupported TIFF compression $other")
+    }
+
+  /** Undo TIFF Predictor 2 (horizontal differencing) in place: each row's
+    * samples are deltas from the previous pixel's same sample. Operates on
+    * decompressed sample bytes; multi-byte samples use the file byte
+    * order. `rowSamples` = width × samplesPerPixel. */
+  def undoPredictor(data: Array[Byte], rowSamples: Int, bits: Int,
+      samplesPerPixel: Int, order: ByteOrder): Unit = {
+    val bytesPer = bits / 8
+    val rowBytes = rowSamples * bytesPer
+    val nRows = data.length / rowBytes
+    val big = order == ByteOrder.BIG_ENDIAN
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowBytes
+      var sIdx = samplesPerPixel // first pixel is stored verbatim
+      while (sIdx < rowSamples) {
+        val off = base + sIdx * bytesPer
+        val prev = off - samplesPerPixel * bytesPer
+        bytesPer match {
+          case 1 => data(off) = (data(off) + data(prev)).toByte
+          case 2 =>
+            val a =
+              if (big) ((data(off) & 0xff) << 8) | (data(off + 1) & 0xff)
+              else ((data(off + 1) & 0xff) << 8) | (data(off) & 0xff)
+            val b =
+              if (big) ((data(prev) & 0xff) << 8) | (data(prev + 1) & 0xff)
+              else ((data(prev + 1) & 0xff) << 8) | (data(prev) & 0xff)
+            val v = (a + b) & 0xffff
+            if (big) { data(off) = (v >> 8).toByte; data(off + 1) = v.toByte }
+            else { data(off + 1) = (v >> 8).toByte; data(off) = v.toByte }
+          case 4 =>
+            var a = 0; var b = 0
+            var i = 0
+            while (i < 4) {
+              val sh = if (big) (3 - i) * 8 else i * 8
+              a |= (data(off + i) & 0xff) << sh
+              b |= (data(prev + i) & 0xff) << sh
+              i += 1
+            }
+            val v = a + b
+            i = 0
+            while (i < 4) {
+              val sh = if (big) (3 - i) * 8 else i * 8
+              data(off + i) = (v >> sh).toByte
+              i += 1
+            }
+          case n => throw new IllegalArgumentException(
+            s"predictor 2 with $n-byte samples is not supported")
+        }
+        sIdx += samplesPerPixel
+      }
+      r += 1
+    }
+  }
 
   // ------------------------------------------------------------- writing
 
@@ -145,16 +388,27 @@ object TiffFormat {
 
   // ------------------------------------------------------------- reading
 
-  /** Parsed per-IFD facts needed to locate and decode one plane. */
+  /** Parsed per-IFD facts needed to locate and decode one plane. A plane
+    * is strip-organized (stripOffsets non-empty) or tile-organized
+    * (tileOffsets non-empty) — never both. */
   final case class ParsedIfd(
       width: Int,
       height: Int,
       bits: Int,
       sampleFormat: Int,
       compression: Int,
+      samplesPerPixel: Int,
+      predictor: Int,
+      rowsPerStrip: Long,
       stripOffsets: Seq[Long],
       stripByteCounts: Seq[Long],
-      description: Option[String])
+      tileWidth: Int,
+      tileLength: Int,
+      tileOffsets: Seq[Long],
+      tileByteCounts: Seq[Long],
+      description: Option[String]) {
+    def tiled: Boolean = tileOffsets.nonEmpty
+  }
 
   def isTiff(magic: Array[Byte]): Boolean =
     magic.length >= 4 &&
@@ -175,13 +429,23 @@ object TiffFormat {
 
     var next = u32(buf(4, 4))
     val out = Seq.newBuilder[ParsedIfd]
+    // malformed/malicious chains: a next-IFD pointer looping back would
+    // spin the driver forever, and a bogus entry count would allocate GBs
+    val visited = scala.collection.mutable.Set.empty[Long]
+    val MaxFieldValues = 1 << 24
     while (next != 0) {
+      if (!visited.add(next))
+        throw new IllegalArgumentException(
+          s"corrupt TIFF: IFD chain revisits offset $next (cycle)")
       val n = u16(buf(next, 2))
       val body = buf(next + 2, n * 12 + 4)
       val entries = (0 until n).map { _ =>
         val tag = u16(body)
         val typ = u16(body)
         val count = u32(body)
+        if (count > MaxFieldValues)
+          throw new IllegalArgumentException(
+            s"corrupt TIFF: tag $tag declares $count values")
         val raw = new Array[Byte](4)
         body.get(raw)
         (tag, typ, count, raw)
@@ -214,17 +478,40 @@ object TiffFormat {
           new String(bytes, StandardCharsets.UTF_8).takeWhile(_ != '\u0000')
       }
 
+      val height = value(TagImageLength).toInt
       out += ParsedIfd(
         width = value(TagImageWidth).toInt,
-        height = value(TagImageLength).toInt,
+        height = height,
         bits = value(TagBitsPerSample, 8).toInt,
         sampleFormat = value(TagSampleFormat, 1).toInt,
         compression = value(TagCompression, 1).toInt,
+        samplesPerPixel = value(TagSamplesPerPixel, 1).toInt,
+        predictor = value(TagPredictor, 1).toInt,
+        rowsPerStrip = value(TagRowsPerStrip, height.toLong max 1L),
         stripOffsets = values(TagStripOffsets),
         stripByteCounts = values(TagStripByteCounts),
+        tileWidth = value(TagTileWidth, 0).toInt,
+        tileLength = value(TagTileLength, 0).toInt,
+        tileOffsets = values(TagTileOffsets),
+        tileByteCounts = values(TagTileByteCounts),
         description = desc)
     }
     (order, out.result())
+  }
+
+  /** Decompress + predictor-undo one strip or tile segment into raw sample
+    * bytes. `rowSamples` = segment row width × samplesPerPixel. */
+  def decodeSegment(bytes: Array[Byte], compression: Int, predictor: Int,
+      rowSamples: Int, bits: Int, samplesPerPixel: Int,
+      order: ByteOrder): Array[Byte] = {
+    val raw = decompress(bytes, compression)
+    predictor match {
+      case 1 => ()
+      case 2 => undoPredictor(raw, rowSamples, bits, samplesPerPixel, order)
+      case p => throw new IllegalArgumentException(
+        s"unsupported TIFF predictor $p (supported: 1, 2)")
+    }
+    raw
   }
 
   /** Decode concatenated strip bytes into a double array. */

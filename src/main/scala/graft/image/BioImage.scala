@@ -104,11 +104,11 @@ final class BioImage(
 
   private def hasMosaic: Boolean = meta.dims.order.contains('M')
 
-  /** Tile positions at the CURRENT resolution level: level-0 catalog
-    * positions floor-halved once per level, matching poolHalf's `y0 div 2`
-    * per step (and the zarr reader's per-level grids). */
+  /** Tile positions at the CURRENT resolution level, sourced from the
+    * reader (each level's own grid where the format declares one; the
+    * floor-halved default otherwise). */
   private def tilePositionsAtLevel: Seq[(Int, Int)] =
-    meta.tilePositions.map { case (t0, l0) => (t0 >> level, l0 >> level) }
+    reader.levelTilePositions(sceneIdx, level)
 
   /** Driver-side disjointness check over the tile catalog: any two tile
     * rectangles intersecting means stitched pixels can collide. Uses the
@@ -190,28 +190,10 @@ final class BioImage(
     * reconstruction folds M into stitched Y/X. */
   def dims: Dimensions = computeDims(level)
 
-  private def computeDims(atLevel: Int): Dimensions = {
-    val d = reader.levelDims(sceneIdx, atLevel)
-    if (hasMosaic && reconstructMosaic) {
-      // positions scale with the level (floor-halved per step), matching
-      // the plane data's y0/x0 at that level
-      val tiles = meta.tilePositions.map {
-        case (t0, l0) => (t0 >> atLevel, l0 >> atLevel)
-      }
-      val h = d('Y')
-      val w = d('X')
-      val stitchedH =
-        if (tiles.nonEmpty) tiles.map(_._1 + h).max else h
-      val stitchedW =
-        if (tiles.nonEmpty) tiles.map(_._2 + w).max else w
-      val order = d.order.filter(_ != 'M')
-      Dimensions(order, order.map {
-        case 'Y' => stitchedH
-        case 'X' => stitchedW
-        case dim => d(dim)
-      })
-    } else d
-  }
+  private def computeDims(atLevel: Int): Dimensions =
+    if (hasMosaic && reconstructMosaic)
+      reader.stitchedLevelDims(sceneIdx, atLevel)
+    else reader.levelDims(sceneIdx, atLevel)
 
   /** Guaranteed channel coordinate (bio_image.py:532-539): reader-provided
     * names, or OME channel IDs synthesized at normalization — present even

@@ -417,6 +417,42 @@ object BioQueries {
       |FROM range(2) a(z), range(3) b(y), range(4) c(x)
       |ORDER BY z, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b18
+  /** S12 compressed + tiled TIFF: the same formulaic ZYX image written
+    * twice — Deflate-compressed strips, and LZW-compressed 16×16 tiles
+    * over a ragged 20×24 plane (edge tiles stored padded, cropped on
+    * read; tiles surface as mosaic rows and stitch back losslessly). Both
+    * re-opened through plugin resolution and checked against the
+    * regenerating oracle. */
+  val b18CompressedTiff: Q = (spark, _) => {
+    import graft.formats.TiffFormat
+    import graft.writers.{OmeTiffWriter, TiffOptions}
+    val arr = NDArray.tabulate(Seq(2, 20, 24))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = BioSpark.fromArray(spark, arr) // ZYX
+    val run = java.util.UUID.randomUUID()
+    val uriD = s"/tmp/graft_b18_${run}_deflate.ome.tiff"
+    OmeTiffWriter.save(img, uriD, None,
+      TiffOptions(compression = TiffFormat.CompressionDeflate))
+    val uriT = s"/tmp/graft_b18_${run}_lzw_tiled.ome.tiff"
+    OmeTiffWriter.save(img, uriT, None,
+      TiffOptions(compression = TiffFormat.CompressionLZW,
+        tile = Some((16, 16))))
+    Seq(("deflate", uriD), ("lzw_tiled", uriT)).map { case (variant, uri) =>
+      BioSpark.open(spark, uri).getImagePixels()
+        .select(lit(variant).as("variant"),
+          col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+          col("x").cast("long").as("x"), col("v"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("variant"), col("z"), col("y"), col("x"))
+  }
+
+  val b18Oracle: String =
+    """SELECT variant, z, y, x, CAST(z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM (VALUES ('deflate'), ('lzw_tiled')) t(variant),
+      |     range(2) a(z), range(20) b(y), range(24) c(x)
+      |ORDER BY variant, z, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -435,6 +471,7 @@ object BioQueries {
     "b15_plane_stats" -> b15PlaneStats,
     "b16_png_roundtrip" -> b16PngRoundtrip,
     "b17_zarr_roundtrip" -> b17ZarrRoundtrip,
+    "b18_compressed_tiff" -> b18CompressedTiff,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -455,5 +492,6 @@ object BioQueries {
     "b15_plane_stats" -> b15Oracle,
     "b16_png_roundtrip" -> b16Oracle,
     "b17_zarr_roundtrip" -> b17Oracle,
+    "b18_compressed_tiff" -> b18Oracle,
   )
 }

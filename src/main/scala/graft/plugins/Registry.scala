@@ -46,6 +46,36 @@ trait BioReader {
   def levelDims(sceneIdx: Int, level: Int): Dimensions =
     if (level == 0) sceneMeta(sceneIdx).dims
     else throw new IndexOutOfBoundsException(s"resolution level $level")
+  /** Mosaic tile positions at a level. Default floor-halves the level-0
+    * catalog positions (matching poolHalf's y0 div 2 per step); readers
+    * whose levels carry their own tile grids (zarr multiscale chunk
+    * grids) override so positions always agree with that level's rows. */
+  def levelTilePositions(sceneIdx: Int, level: Int): Seq[(Int, Int)] =
+    sceneMeta(sceneIdx).tilePositions.map { case (y, x) =>
+      (y >> level, x >> level)
+    }
+  /** Dims of the RECONSTRUCTED scene at a level: M folded into stitched
+    * Y/X. Default assumes uniform disjoint tiles (max position + tile
+    * extent); readers whose source declares the true stitched shape (zarr
+    * array shape, TIFF ImageLength/Width) override — required for ragged
+    * tile grids whose edge tiles are cropped. */
+  def stitchedLevelDims(sceneIdx: Int, level: Int): Dimensions = {
+    val d = levelDims(sceneIdx, level)
+    if (!d.order.contains('M')) d
+    else {
+      val tiles = levelTilePositions(sceneIdx, level)
+      val h = d('Y')
+      val w = d('X')
+      val sh = if (tiles.nonEmpty) tiles.map(_._1 + h).max else h
+      val sw = if (tiles.nonEmpty) tiles.map(_._2 + w).max else w
+      val order = d.order.filter(_ != 'M')
+      Dimensions(order, order.map {
+        case 'Y' => sh
+        case 'X' => sw
+        case dim => d(dim)
+      })
+    }
+  }
 }
 
 /** A constructable plugin: how to open a path as a BioReader. */

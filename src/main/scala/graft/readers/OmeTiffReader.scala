@@ -11,19 +11,37 @@ import graft.formats.TiffFormat
 import graft.meta.{OME, OmeXml}
 import graft.plugins.{BioReader, PluginEntry, SceneMeta}
 
+/** One decodable TIFF segment → one output plane row: a whole strip-
+  * organized plane, or one tile of a tiled plane (tiles surface as mosaic
+  * rows, edge tiles cropped from their padded stored size to the image
+  * bounds). Top-level so Spark derives a product encoder. */
+private[readers] final case class TiffSeg(
+    t: Int, c: Int, z: Int, m: Int, y0: Int, x0: Int,
+    cropH: Int, cropW: Int, segH: Int, segW: Int,
+    bits: Int, sampleFormat: Int, compression: Int, predictor: Int,
+    offsets: Seq[Long], counts: Seq[Long])
+
 /** OME-TIFF source (S12) — the reference's flagship format family
   * (/root/reference/README.md:55-70; reader contract shape
   * tests/helpers/mock_reader.py:106-153).
   *
   * Split of work, Spark-first:
   *   - DRIVER parses the TIFF header + IFD chain + OME-XML — a handful of
-  *     KB-sized random reads regardless of file size — yielding a strip
-  *     catalog: (plane index → t,c,z, offset, byteCount).
-  *   - EXECUTORS fetch and decode pixel strips in parallel via
+  *     KB-sized random reads regardless of file size — yielding a segment
+  *     catalog: (plane/tile → t,c,z,m, offsets, byteCounts).
+  *   - EXECUTORS fetch and decode pixel segments in parallel via
   *     `spark.createDataset(catalog).mapPartitions` + Hadoop FileSystem
   *     positioned reads (file:, hdfs:, s3a: all work), emitting canonical
   *     PlaneRow records. Scene/T/C/Z selection prunes catalog rows before
   *     any pixel byte is read — the dask-graph slicing analog.
+  *
+  * Format coverage: uncompressed, Deflate (8/32946) and LZW (5) segments,
+  * horizontal-predictor (2) undifferencing, strip- and tile-organized
+  * IFDs (TileWidth/TileLength/TileOffsets, tag 322–325); tiled planes
+  * read as mosaic tiles so a Y/X slice prunes whole tiles, and edge tiles
+  * (padded to full tile size on disk per TIFF 6.0) are cropped to the
+  * image bounds. Multi-sample (RGB) strips are rejected explicitly rather
+  * than mis-decoded.
   *
   * Plane→(t,c,z) assignment follows the OME DimensionOrder attribute;
   * plain TIFFs (no OME-XML) read as one scene with planes stacked on Z,
@@ -32,13 +50,63 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
   */
 final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
 
-  /** One plane's strip locations (plane = one IFD). */
+  /** One plane (= one IFD) with its scene-local position. */
   private case class PlaneRef(sceneIdx: Int, t: Int, c: Int, z: Int,
-      h: Int, w: Int, bits: Int, sampleFormat: Int,
-      offsets: Seq[Long], counts: Seq[Long])
+      ifd: TiffFormat.ParsedIfd)
+
+  /** Per-scene tiling geometry (None = strip-organized planes). */
+  private case class TileGrid(tw: Int, tl: Int, nx: Int, ny: Int)
 
   private case class Parsed(order: ByteOrder, scenes: Seq[SceneMeta],
-      planes: Seq[Seq[PlaneRef]], littleEndian: Boolean)
+      planes: Seq[Seq[PlaneRef]], grids: Seq[Option[TileGrid]],
+      planeDims: Seq[(Int, Int)], // true (H, W) per scene
+      littleEndian: Boolean)
+
+  private def validate(ifd: TiffFormat.ParsedIfd): Unit = {
+    if (!TiffFormat.compressionSupported(ifd.compression))
+      throw new UnsupportedFileFormatError(
+        s"'$path' uses TIFF compression ${ifd.compression}; supported: " +
+          "none (1), LZW (5), Deflate (8/32946)")
+    if (ifd.samplesPerPixel != 1)
+      throw new UnsupportedFileFormatError(
+        s"'$path' has SamplesPerPixel=${ifd.samplesPerPixel}; only " +
+          "single-sample (grayscale) TIFFs are supported")
+    if (ifd.stripOffsets.isEmpty && ifd.tileOffsets.isEmpty)
+      throw new UnsupportedFileFormatError(
+        s"'$path' has an IFD with neither strip nor tile offsets")
+    if (ifd.tiled && (ifd.tileWidth <= 0 || ifd.tileLength <= 0))
+      throw new UnsupportedFileFormatError(
+        s"'$path' has tiles but no TileWidth/TileLength tags")
+  }
+
+  /** All IFDs of a scene must agree on layout for a coherent dim model. */
+  private def gridOf(ifds: Seq[TiffFormat.ParsedIfd]): Option[TileGrid] = {
+    val layouts = ifds.map(i => (i.tiled, i.tileWidth, i.tileLength)).distinct
+    if (layouts.length != 1)
+      throw new UnsupportedFileFormatError(
+        s"'$path' mixes strip- and tile-organized (or differently tiled) " +
+          "IFDs within one scene")
+    val head = ifds.head
+    if (!head.tiled) None
+    else Some(TileGrid(head.tileWidth, head.tileLength,
+      nx = (head.width + head.tileWidth - 1) / head.tileWidth,
+      ny = (head.height + head.tileLength - 1) / head.tileLength))
+  }
+
+  private def sceneDims(t: Long, c: Long, z: Long, h: Long, w: Long,
+      grid: Option[TileGrid]): Dimensions = grid match {
+    case None => Dimensions(Dims.Default, Seq(t, c, z, h, w))
+    case Some(g) => Dimensions("MTCZYX",
+      Seq(g.ny.toLong * g.nx, t, c, z, g.tl.toLong, g.tw.toLong))
+  }
+
+  private def tilePositionsOf(grid: Option[TileGrid]): Seq[(Int, Int)] =
+    grid match {
+      case None => Seq.empty
+      case Some(g) =>
+        for { yi <- 0 until g.ny; xi <- 0 until g.nx }
+          yield (yi * g.tl, xi * g.tw)
+    }
 
   private lazy val parsed: Parsed = {
     val fs = FileSystem.get(new Path(path).toUri,
@@ -53,10 +121,7 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
       val (order, ifds) = TiffFormat.parseIfds(read)
       if (ifds.isEmpty)
         throw new UnsupportedFileFormatError(s"'$path' has no TIFF IFDs")
-      ifds.find(_.compression != 1).foreach(i =>
-        throw new UnsupportedFileFormatError(
-          s"'$path' uses TIFF compression ${i.compression}; only " +
-            "uncompressed strips are supported"))
+      ifds.foreach(validate)
 
       val omeOpt: Option[OME] = ifds.head.description
         .filter(_.contains("<OME"))
@@ -70,13 +135,16 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
           require(counts.sum <= ifds.length,
             s"OME-XML declares ${counts.sum} planes but file has ${ifds.length} IFDs")
           val starts = counts.scanLeft(0)(_ + _)
+          val sceneIfds = ome.images.indices.map(i =>
+            ifds.slice(starts(i), starts(i) + counts(i)))
+          val grids = sceneIfds.map(gridOf)
           val scenes = ome.images.zipWithIndex.map { case (img, i) =>
             val p = img.pixels
             SceneMeta(
               sceneIdx = i,
               sceneId = img.id,
-              dims = Dimensions(Dims.Default,
-                Seq(p.sizeT, p.sizeC, p.sizeZ, p.sizeY, p.sizeX)),
+              dims = sceneDims(p.sizeT, p.sizeC, p.sizeZ, p.sizeY, p.sizeX,
+                grids(i)),
               channelNames = p.channels.flatMap(_.name),
               physicalPixelSizes = for {
                 z <- p.physicalSizeZ; y <- p.physicalSizeY; x <- p.physicalSizeX
@@ -84,7 +152,7 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               pixelType = OmeXml.pixelTypeOf.getOrElse(p.pixelType,
                 TiffFormat.pixelTypeOf(ifds(starts(i)).sampleFormat,
                   ifds(starts(i)).bits)),
-              tilePositions = Seq.empty,
+              tilePositions = tilePositionsOf(grids(i)),
               rawMetadata = ifds.head.description,
               timeInterval = p.timeIncrement)
           }
@@ -111,25 +179,28 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
                   (k % tN, (k / tN) % cN, k / (tN * cN))
                 case other => (k / (zN * cN), (k / zN) % cN, k % zN)
               }
-              PlaneRef(i, t, c, z, ifd.height, ifd.width, ifd.bits,
-                ifd.sampleFormat, ifd.stripOffsets, ifd.stripByteCounts)
+              PlaneRef(i, t, c, z, ifd)
             }
           }
-          Parsed(order, scenes, planes, order == ByteOrder.LITTLE_ENDIAN)
+          val planeDims = ome.images.map(img =>
+            (img.pixels.sizeY.toInt, img.pixels.sizeX.toInt))
+          Parsed(order, scenes, planes, grids, planeDims,
+            order == ByteOrder.LITTLE_ENDIAN)
         case _ =>
           // plain TIFF: one scene, IFDs stacked on Z (reference tiff fallback)
           val h = ifds.head.height; val w = ifds.head.width
+          val grid = gridOf(ifds)
           val pt = TiffFormat.pixelTypeOf(ifds.head.sampleFormat, ifds.head.bits)
           val scene = SceneMeta(0, "Image:0",
-            Dimensions(Dims.Default, Seq(1L, 1L, ifds.length.toLong, h.toLong, w.toLong)),
+            sceneDims(1L, 1L, ifds.length.toLong, h.toLong, w.toLong, grid),
             channelNames = Seq.empty, physicalPixelSizes = None,
-            pixelType = pt, tilePositions = Seq.empty,
+            pixelType = pt, tilePositions = tilePositionsOf(grid),
             rawMetadata = ifds.head.description, timeInterval = None)
           val planes = ifds.zipWithIndex.map { case (ifd, z) =>
-            PlaneRef(0, 0, 0, z, ifd.height, ifd.width, ifd.bits,
-              ifd.sampleFormat, ifd.stripOffsets, ifd.stripByteCounts)
+            PlaneRef(0, 0, 0, z, ifd)
           }
-          Parsed(order, Seq(scene), Seq(planes), order == ByteOrder.LITTLE_ENDIAN)
+          Parsed(order, Seq(scene), Seq(planes), Seq(grid), Seq((h, w)),
+            order == ByteOrder.LITTLE_ENDIAN)
       }
     } finally in.close()
   }
@@ -153,22 +224,61 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
   override def scenes: Seq[String] = parsed.scenes.map(_.sceneId)
   override def sceneMeta(sceneIdx: Int): SceneMeta = parsed.scenes(sceneIdx)
 
-  /** Distributed strip read: the strip catalog parallelizes over
+  /** True stitched dims: the IFD's ImageLength/Width (edge tiles are
+    * stored padded but cropped on read, so max(pos+tile) would overshoot
+    * for ragged grids). */
+  override def stitchedLevelDims(sceneIdx: Int, level: Int): Dimensions = {
+    if (level != 0) throw new IndexOutOfBoundsException(s"resolution level $level")
+    val d = parsed.scenes(sceneIdx).dims
+    val (h, w) = parsed.planeDims(sceneIdx)
+    if (!d.order.contains('M')) d
+    else Dimensions("TCZYX",
+      Seq(d('T'), d('C'), d('Z'), h.toLong, w.toLong))
+  }
+
+  /** Distributed segment read: the segment catalog parallelizes over
     * executors; each task opens the file once and does positioned reads
-    * of only its strips. */
+    * of only its strips/tiles. */
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
     val refs = parsed.planes(sceneIdx)
+    val grid = parsed.grids(sceneIdx)
+    val (planeH, planeW) = parsed.planeDims(sceneIdx)
     val sceneId = parsed.scenes(sceneIdx).sceneId
     val little = parsed.littleEndian
     val file = path
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val slices = math.min(refs.length,
+
+    val segs: Seq[TiffSeg] = refs.flatMap { r =>
+      val ifd = r.ifd
+      grid match {
+        case None =>
+          Seq(TiffSeg(r.t, r.c, r.z, m = 0, y0 = 0, x0 = 0,
+            cropH = ifd.height, cropW = ifd.width,
+            segH = ifd.height, segW = ifd.width,
+            ifd.bits, ifd.sampleFormat, ifd.compression, ifd.predictor,
+            ifd.stripOffsets, ifd.stripByteCounts))
+        case Some(g) =>
+          require(ifd.tileOffsets.length >= g.ny * g.nx,
+            s"tiled IFD declares ${ifd.tileOffsets.length} tiles, " +
+              s"grid needs ${g.ny * g.nx}")
+          for { yi <- 0 until g.ny; xi <- 0 until g.nx } yield {
+            val idx = yi * g.nx + xi
+            TiffSeg(r.t, r.c, r.z, m = idx,
+              y0 = yi * g.tl, x0 = xi * g.tw,
+              cropH = math.min(g.tl, planeH - yi * g.tl),
+              cropW = math.min(g.tw, planeW - xi * g.tw),
+              segH = g.tl, segW = g.tw,
+              ifd.bits, ifd.sampleFormat, ifd.compression, ifd.predictor,
+              Seq(ifd.tileOffsets(idx)), Seq(ifd.tileByteCounts(idx)))
+          }
+      }
+    }
+
+    val slices = math.min(segs.length,
       spark.sparkContext.defaultParallelism).max(1)
-    val rows = spark.createDataset(refs.map(r =>
-        (r.sceneIdx, r.t, r.c, r.z, r.h, r.w, r.bits, r.sampleFormat,
-          r.offsets, r.counts)))
+    spark.createDataset(segs)
       .repartition(slices)
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
@@ -182,21 +292,36 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: Throwable => () }))
-          it.map { case (si, t, c, z, h, w, bits, sf, offs, cnts) =>
-            val total = cnts.sum.toInt
-            val buf = new Array[Byte](total)
-            var pos = 0
-            offs.zip(cnts).foreach { case (o, n) =>
-              in.readFully(o, buf, pos, n.toInt)
-              pos += n.toInt
-            }
-            PlaneRow(si, sceneId, level = 0, m = 0, t = t, c = c, z = z,
-              s = 0, y0 = 0, x0 = 0, h = h, w = w,
-              pixels = TiffFormat.decodePlane(buf, bits, sf, order))
+          it.map { seg =>
+            val raw = seg.offsets.zip(seg.counts).map { case (o, n) =>
+              val buf = new Array[Byte](n.toInt)
+              in.readFully(o, buf)
+              TiffFormat.decodeSegment(buf, seg.compression, seg.predictor,
+                rowSamples = seg.segW, bits = seg.bits, samplesPerPixel = 1,
+                order = order)
+            }.reduce(_ ++ _)
+            val px = TiffFormat.decodePlane(raw, seg.bits, seg.sampleFormat,
+              order)
+            val cropped =
+              if (seg.cropH == seg.segH && seg.cropW == seg.segW) px
+              else {
+                val out = new Array[Double](seg.cropH * seg.cropW)
+                var r2 = 0
+                while (r2 < seg.cropH) {
+                  System.arraycopy(px, r2 * seg.segW, out, r2 * seg.cropW,
+                    seg.cropW)
+                  r2 += 1
+                }
+                out
+              }
+            PlaneRow(sceneIdx, sceneId, level = 0, m = seg.m,
+              t = seg.t, c = seg.c, z = seg.z, s = 0,
+              y0 = seg.y0, x0 = seg.x0, h = seg.cropH, w = seg.cropW,
+              pixels = cropped)
           }
         }
       }
-    rows.toDF()
+      .toDF()
   }
 }
 

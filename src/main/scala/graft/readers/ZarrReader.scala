@@ -188,6 +188,27 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     else Dimensions("TCZYX", lv.shape)
   }
 
+  /** Each level's tile grid comes from that level's own .zarray chunks —
+    * floor-halving level-0 positions disagrees with the actual rows when
+    * levels carry fixed chunk sizes or a single-chunk coarse level. */
+  override def levelTilePositions(sceneIdx: Int, level: Int): Seq[(Int, Int)] = {
+    val s = scenes_(sceneIdx)
+    if (!s.levels.isDefinedAt(level))
+      throw new IndexOutOfBoundsException(s"resolution level $level")
+    val lv = s.levels(level)
+    if (!lv.tiled) Seq.empty
+    else for { yi <- 0 until lv.gridY; xi <- 0 until lv.gridX }
+      yield (yi * lv.chunkH, xi * lv.chunkW)
+  }
+
+  /** True stitched shape IS the zarr array shape at that level. */
+  override def stitchedLevelDims(sceneIdx: Int, level: Int): Dimensions = {
+    val s = scenes_(sceneIdx)
+    if (!s.levels.isDefinedAt(level))
+      throw new IndexOutOfBoundsException(s"resolution level $level")
+    Dimensions("TCZYX", s.levels(level).shape)
+  }
+
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
     readDelayedAtLevel(spark, sceneIdx, 0)
 

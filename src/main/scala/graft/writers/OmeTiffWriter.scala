@@ -1,6 +1,7 @@
 package graft.writers
 
 import java.io.BufferedOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -11,15 +12,24 @@ import graft.formats.TiffFormat
 import graft.image.BioImage
 import graft.meta.{OME, OmeChannel, OmeImage, OmePixels, OmeXml}
 
+/** Write-side layout options: Compression tag value (none/LZW/deflate)
+  * and optional tile organization as (tileWidth, tileLength) — both must
+  * be multiples of 16 per TIFF 6.0. */
+final case class TiffOptions(
+    compression: Int = TiffFormat.CompressionNone,
+    tile: Option[(Int, Int)] = None)
+
 /** OME-TIFF sink — the reference's canonical `BioImage.save` target
   * (/root/reference/bioio/bio_image.py:1229-1301): selected scenes are
   * renumbered ("Image:{i}"), order preserved, per-scene channel names and
   * physical pixel sizes carried into the OME-XML, which lives in the first
   * IFD's ImageDescription.
   *
-  * Layout is computed up-front from the scene catalog (plane count × h ×
-  * w × dtype), so the file streams in one sequential pass — no seeks, so
-  * any Hadoop FileSystem target works (file:, hdfs:, s3a:). Plane data is
+  * Layout streams in one sequential pass with per-plane interleaving:
+  * header | OME-XML | IFD₀ data₀ | IFD₁ data₁ | … Each plane's segment
+  * sizes (compressed strips or tiles) are known the moment the plane is
+  * encoded, so every offset is computed just-in-time — no seeks, so any
+  * Hadoop FileSystem target works (file:, hdfs:, s3a:). Plane data is
   * pulled scene-by-scene through `toLocalIterator` in (t,c,z) order
   * matching DimensionOrder XYZCT — the driver is a streaming conduit, one
   * plane in memory at a time, the same single-file serialization boundary
@@ -32,7 +42,17 @@ object OmeTiffWriter extends BioWriter {
     Seq(".ome.tiff", ".ome.tif", ".tiff", ".tif")
 
   override def save(img: BioImage, uri: String,
-      selectScenes: Option[Seq[String]]): Unit = {
+      selectScenes: Option[Seq[String]]): Unit =
+    save(img, uri, selectScenes, TiffOptions())
+
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
+      opts: TiffOptions): Unit = {
+    require(TiffFormat.compressionSupported(opts.compression),
+      s"unsupported TIFF compression ${opts.compression}")
+    opts.tile.foreach { case (tw, tl) =>
+      require(tw > 0 && tl > 0 && tw % 16 == 0 && tl % 16 == 0,
+        s"TIFF tile dims must be positive multiples of 16, got ${tw}x$tl")
+    }
     val sel = Writers.validateSelection(img, selectScenes)
 
     val saved = img.currentSceneIndex
@@ -69,40 +89,26 @@ object OmeTiffWriter extends BioWriter {
     val xmlBytes =
       OmeXml.toXml(ome).getBytes(StandardCharsets.UTF_8) :+ 0.toByte
     val xmlPadded = xmlBytes.length + (xmlBytes.length & 1)
+    val xmlOffset = 8L
 
-    // deterministic offsets: header | xml | strips | IFD chain
-    val headerSize = 8L
-    val xmlOffset = headerSize
-    val stripStart = xmlOffset + xmlPadded
-    val planeBytes = layouts.map(s =>
-      s.h.toLong * s.w * TiffFormat.bytesPerSample(s.pt))
-    // TIFF 6.0 requires word-aligned offsets: odd-sized strips are padded
-    // with one byte (StripByteCounts stays the true size)
-    val paddedBytes = planeBytes.map(b => b + (b & 1))
     val planeCounts = layouts.map(s => s.t * s.c * s.z)
-    val sceneStripStart = planeCounts.zip(paddedBytes)
-      .scanLeft(stripStart) { case (acc, (n, b)) => acc + n * b }
-    val ifdStart = sceneStripStart.last
     val totalPlanes = planeCounts.sum
-    require(ifdStart + totalPlanes.toLong * TiffFormat.ifdSize(11) < (1L << 32),
-      "image exceeds classic TIFF 4 GiB limit — use the parquet plane store")
 
     val fs = FileSystem.get(new Path(uri).toUri,
       img.spark.sparkContext.hadoopConfiguration)
     val out = new BufferedOutputStream(fs.create(new Path(uri), true), 1 << 20)
     try {
-      // IFD offsets: first IFD right at ifdStart; sized per entry count
-      val ifdSizes = (0 until totalPlanes).map(p =>
-        TiffFormat.ifdSize(if (p == 0) 11 else 10))
-      val ifdOffsets = ifdSizes.scanLeft(ifdStart)(_ + _)
+      var pos = 0L
+      def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
 
-      out.write(TiffFormat.headerBytes(ifdOffsets.head))
-      out.write(xmlBytes)
-      if (xmlPadded > xmlBytes.length) out.write(0)
+      write(TiffFormat.headerBytes(8L + xmlPadded))
+      write(xmlBytes)
+      if (xmlPadded > xmlBytes.length) write(Array[Byte](0))
 
-      // strips: scene by scene, planes in (t,c,z) order, z fastest (XYZCT)
+      var planeIdx = 0
       layouts.zipWithIndex.foreach { case (s, i) =>
         img.setScene(s.origIdx)
+        val bps = TiffFormat.bytesPerSample(s.pt)
         val it = img.stitchedPlanes
           .select(col("t"), col("c"), col("z"), col("pixels"))
           .orderBy(col("t"), col("c"), col("z"))
@@ -110,32 +116,101 @@ object OmeTiffWriter extends BioWriter {
         var seen = 0
         while (it.hasNext) {
           val row = it.next()
-          val strip = TiffFormat.encodePlane(
-            row.getSeq[Double](3).toArray, s.pt)
-          out.write(strip)
-          if ((strip.length & 1) == 1) out.write(0) // word alignment
+          val px = row.getSeq[Double](3).toArray
+          require(px.length == s.h * s.w,
+            s"scene ${sel(i)}: plane has ${px.length} pixels, " +
+              s"expected ${s.h}x${s.w}")
+
+          // encode + compress this plane's segments (one strip, or tiles)
+          val segments: Seq[Array[Byte]] = opts.tile match {
+            case None =>
+              Seq(TiffFormat.compress(
+                TiffFormat.encodePlane(px, s.pt), opts.compression))
+            case Some((tw, tl)) =>
+              val nx = (s.w + tw - 1) / tw
+              val ny = (s.h + tl - 1) / tl
+              for { yi <- 0 until ny; xi <- 0 until nx } yield {
+                // tiles are stored at full tile size, zero-padded at edges
+                val tile = new Array[Double](tl * tw)
+                val hEff = math.min(tl, s.h - yi * tl)
+                val wEff = math.min(tw, s.w - xi * tw)
+                var r = 0
+                while (r < hEff) {
+                  System.arraycopy(px, (yi * tl + r) * s.w + xi * tw,
+                    tile, r * tw, wEff)
+                  r += 1
+                }
+                TiffFormat.compress(
+                  TiffFormat.encodePlane(tile, s.pt), opts.compression)
+              }
+          }
+          val segPadded = segments.map(b => b.length + (b.length & 1))
+
+          // entries minus the data-offset values, to size the IFD
+          val baseEntries = Seq(
+            TiffFormat.Entry(TiffFormat.TagImageWidth, TiffFormat.TypeLong, 1, s.w),
+            TiffFormat.Entry(TiffFormat.TagImageLength, TiffFormat.TypeLong, 1, s.h),
+            TiffFormat.Entry(TiffFormat.TagBitsPerSample, TiffFormat.TypeShort, 1, bps * 8L),
+            TiffFormat.Entry(TiffFormat.TagCompression, TiffFormat.TypeShort, 1, opts.compression),
+            TiffFormat.Entry(TiffFormat.TagPhotometric, TiffFormat.TypeShort, 1, 1),
+            TiffFormat.Entry(TiffFormat.TagSamplesPerPixel, TiffFormat.TypeShort, 1, 1),
+            TiffFormat.Entry(TiffFormat.TagSampleFormat, TiffFormat.TypeShort, 1,
+              TiffFormat.sampleFormat(s.pt))) ++
+            (if (planeIdx == 0)
+              Seq(TiffFormat.Entry(TiffFormat.TagImageDescription,
+                TiffFormat.TypeAscii, xmlBytes.length, xmlOffset))
+            else Seq.empty)
+          val n = segments.length
+          val layoutEntryCount = opts.tile match {
+            case None    => 3 // StripOffsets, RowsPerStrip, StripByteCounts
+            case Some(_) => 4 // TileWidth, TileLength, TileOffsets, TileByteCounts
+          }
+          val nEntries = baseEntries.length + layoutEntryCount
+          val ifdOff = pos
+          val ifdSize = TiffFormat.ifdSize(nEntries)
+          // out-of-line arrays (tile offsets/counts when the grid has >1 tile)
+          val oolSize = if (opts.tile.isDefined && n > 1) 2 * 4 * n else 0
+          val dataStart = ifdOff + ifdSize + oolSize
+          val segOffsets = segPadded.scanLeft(dataStart)(_ + _)
+          val endPos = segOffsets.last
+          require(endPos < (1L << 32),
+            "image exceeds classic TIFF 4 GiB limit — use the parquet plane store")
+          val nextIfd = if (planeIdx == totalPlanes - 1) 0L else endPos
+
+          val layoutEntries = opts.tile match {
+            case None => Seq(
+              TiffFormat.Entry(TiffFormat.TagStripOffsets, TiffFormat.TypeLong, 1, segOffsets(0)),
+              TiffFormat.Entry(TiffFormat.TagRowsPerStrip, TiffFormat.TypeLong, 1, s.h),
+              TiffFormat.Entry(TiffFormat.TagStripByteCounts, TiffFormat.TypeLong, 1, segments(0).length))
+            case Some((tw, tl)) =>
+              val offArrOff = ifdOff + ifdSize
+              val cntArrOff = offArrOff + 4L * n
+              Seq(
+                TiffFormat.Entry(TiffFormat.TagTileWidth, TiffFormat.TypeLong, 1, tw),
+                TiffFormat.Entry(TiffFormat.TagTileLength, TiffFormat.TypeLong, 1, tl),
+                TiffFormat.Entry(TiffFormat.TagTileOffsets, TiffFormat.TypeLong, n,
+                  if (n == 1) segOffsets(0) else offArrOff),
+                TiffFormat.Entry(TiffFormat.TagTileByteCounts, TiffFormat.TypeLong, n,
+                  if (n == 1) segments(0).length else cntArrOff))
+          }
+          write(TiffFormat.ifdBytes(baseEntries ++ layoutEntries, nextIfd))
+          if (oolSize > 0) {
+            val b = ByteBuffer.allocate(oolSize).order(ByteOrder.LITTLE_ENDIAN)
+            segOffsets.init.foreach(o => b.putInt(o.toInt))
+            segments.foreach(sg => b.putInt(sg.length))
+            write(b.array())
+          }
+          segments.foreach { sg =>
+            write(sg)
+            if ((sg.length & 1) == 1) write(Array[Byte](0)) // word alignment
+          }
           seen += 1
+          planeIdx += 1
         }
         require(seen == planeCounts(i),
           s"scene ${sel(i)}: expected ${planeCounts(i)} planes, saw $seen")
       }
       img.setScene(saved)
-
-      // IFD chain
-      var p = 0
-      layouts.zipWithIndex.foreach { case (s, i) =>
-        val bytesPer = paddedBytes(i)
-        (0 until planeCounts(i)).foreach { k =>
-          val stripOffset = sceneStripStart(i) + k * bytesPer
-          val desc =
-            if (p == 0) Some((xmlOffset, xmlBytes.length.toLong)) else None
-          val next =
-            if (p == totalPlanes - 1) 0L else ifdOffsets(p + 1)
-          out.write(TiffFormat.ifdBytes(
-            TiffFormat.planeEntries(s.w, s.h, s.pt, stripOffset, desc), next))
-          p += 1
-        }
-      }
     } finally out.close()
   }
 }

@@ -7,7 +7,7 @@ import graft.core.{NDArray, PixelType}
 import graft.formats.TiffFormat
 import graft.image.BioImage
 import graft.meta.OmeXml
-import graft.writers.{OmeTiffWriter, ParquetPlaneStoreWriter, Writers}
+import graft.writers.{OmeTiffWriter, ParquetPlaneStoreWriter, TiffOptions, Writers}
 
 class TiffFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("plane encode/decode roundtrip for every storable pixel type") {
@@ -27,6 +27,82 @@ class TiffFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("complex types are rejected") {
     intercept[IllegalArgumentException](
       TiffFormat.bytesPerSample(PixelType.Complex64))
+  }
+
+  test("LZW matches a hand-traced TIFF 6.0 spec encoding (MSB-first, " +
+      "Clear/EOI, table growth)") {
+    val data = Array[Byte](7, 7, 7, 8, 8, 7, 7, 6, 6)
+    // spec-algorithm trace: Clear,7,258,8,8,258,6,6,EOI — all 9-bit codes
+    val codes = Seq(256, 7, 258, 8, 8, 258, 6, 6, 257)
+    val bits = codes.map(c =>
+      String.format("%9s", Integer.toBinaryString(c)).replace(' ', '0'))
+      .mkString
+    val expected = bits.padTo((bits.length + 7) / 8 * 8, '0')
+      .grouped(8).map(b => Integer.parseInt(b, 2).toByte).toArray
+    assert(TiffFormat.Lzw.encode(data).toSeq == expected.toSeq)
+    assert(TiffFormat.Lzw.decode(expected).toSeq == data.toSeq)
+  }
+
+  test("LZW roundtrip crosses 9→10→11-bit width boundaries and table reset") {
+    val rng = new scala.util.Random(42)
+    // low-entropy data grows the table fast; 200k bytes forces resets
+    val data = Array.fill(200000)((rng.nextInt(8) * 3).toByte)
+    val enc = TiffFormat.Lzw.encode(data)
+    assert(enc.length < data.length) // actually compresses
+    assert(TiffFormat.Lzw.decode(enc).toSeq == data.toSeq)
+    // incompressible data (worst case) roundtrips too
+    val noise = Array.fill(4096)(rng.nextInt().toByte)
+    assert(TiffFormat.Lzw.decode(TiffFormat.Lzw.encode(noise)).toSeq
+      == noise.toSeq)
+  }
+
+  test("deflate roundtrip") {
+    val data = Array.tabulate[Byte](10000)(i => (i % 97).toByte)
+    val enc = TiffFormat.deflate(data)
+    assert(enc.length < data.length)
+    assert(TiffFormat.inflate(enc).toSeq == data.toSeq)
+  }
+
+  test("predictor 2 undo: 8-bit and 16-bit horizontal differencing") {
+    import java.nio.ByteOrder
+    // 8-bit, 2 rows of 3: each row differenced independently
+    val d8 = Array[Byte](5, 5, -3, 10, 1, 1)
+    TiffFormat.undoPredictor(d8, rowSamples = 3, bits = 8,
+      samplesPerPixel = 1, order = ByteOrder.LITTLE_ENDIAN)
+    assert(d8.toSeq == Seq[Byte](5, 10, 7, 10, 11, 12))
+    // 16-bit little-endian, one row: 1000, +500, -200 → 1000, 1500, 1300
+    val b = java.nio.ByteBuffer.allocate(6).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(1000).putShort(500).putShort(-200)
+    val d16 = b.array()
+    TiffFormat.undoPredictor(d16, rowSamples = 3, bits = 16,
+      samplesPerPixel = 1, order = ByteOrder.LITTLE_ENDIAN)
+    val rb = java.nio.ByteBuffer.wrap(d16).order(ByteOrder.LITTLE_ENDIAN)
+    assert(Seq(rb.getShort, rb.getShort, rb.getShort) == Seq(1000, 1500, 1300))
+  }
+
+  test("IFD chain cycle and absurd entry counts raise instead of hanging") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // IFD at 8 whose next-IFD pointer points back at itself
+    val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    b.putShort(0) // zero entries
+    b.putInt(8) // next IFD = itself
+    val cyclic = java.util.Arrays.copyOf(b.array(), 18)
+    val readCyclic = (off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(cyclic, off.toInt, off.toInt + len)
+    val e1 = intercept[IllegalArgumentException](TiffFormat.parseIfds(readCyclic))
+    assert(e1.getMessage.contains("cycle"))
+
+    val b2 = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    b2.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    b2.putShort(1)
+    b2.putShort(273).putShort(4).putInt(Int.MaxValue).putInt(0) // 2^31 values
+    b2.putInt(0)
+    val huge = java.util.Arrays.copyOf(b2.array(), 26)
+    val readHuge = (off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(huge, off.toInt, off.toInt + len)
+    val e2 = intercept[IllegalArgumentException](TiffFormat.parseIfds(readHuge))
+    assert(e2.getMessage.contains("values"))
   }
 
   test("OME-XML emit/parse roundtrip") {
@@ -150,6 +226,196 @@ class OmeTiffSpec extends SparkSpec {
     val nd = back.getImageData("ZYX")
     assert(nd.array(0, 1, 1) == 4.0)
     assert(nd.array(1, 0, 1) == 2.0)
+  }
+
+  test("deflate-compressed roundtrip (strips)") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 5, 7))) // ZYX
+    val uri = tmp("deflate.ome.tiff")
+    OmeTiffWriter.save(img, uri, None,
+      TiffOptions(compression = TiffFormat.CompressionDeflate))
+    val back = BioSpark.open(spark, uri)
+    val nd = back.getImageData("ZYX")
+    assert(nd.array.shape == Seq(2, 5, 7))
+    assert(nd.array(1, 4, 6) == 146.0)
+    assert(nd.array(0, 2, 3) == 23.0)
+  }
+
+  test("LZW-compressed roundtrip (strips)") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(3, 6, 5)))
+    val uri = tmp("lzw.ome.tiff")
+    OmeTiffWriter.save(img, uri, None,
+      TiffOptions(compression = TiffFormat.CompressionLZW))
+    val back = BioSpark.open(spark, uri)
+    val nd = back.getImageData("ZYX")
+    assert(nd.array(2, 5, 4) == 254.0)
+    assert(nd.array(0, 0, 1) == 1.0)
+  }
+
+  test("tiled roundtrip: ragged 20x24 image over 16x16 tiles reads as a " +
+      "cropped 2x2 mosaic grid") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(20, 24))) // YX
+    val uri = tmp("tiled.ome.tiff")
+    OmeTiffWriter.save(img, uri, None, TiffOptions(tile = Some((16, 16))))
+    val back = BioSpark.open(spark, uri)
+    // tiled scenes surface as mosaics; reconstruction reports TRUE dims
+    assert(back.meta.dims.order == "MTCZYX")
+    assert(back.meta.dims('M') == 4) // ceil(20/16) x ceil(24/16)
+    assert(back.dims.order == "TCZYX")
+    assert(back.dims('Y') == 20 && back.dims('X') == 24)
+    val nd = back.getImageData("YX")
+    assert(nd.array.shape == Seq(20, 24))
+    // corners of all four tiles incl. cropped edge tiles (v = y*10 + x)
+    assert(nd.array(0, 0) == 0.0)
+    assert(nd.array(15, 15) == 165.0)
+    assert(nd.array(16, 16) == 176.0) // bottom-right (cropped) tile
+    assert(nd.array(19, 23) == 213.0)
+    assert(nd.array(3, 20) == 50.0) // right edge tile
+  }
+
+  test("tiled + deflate-compressed multi-plane roundtrip") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 18, 17)), Some("CYX"))
+    val uri = tmp("tiled-z.ome.tiff")
+    OmeTiffWriter.save(img, uri, None,
+      TiffOptions(compression = TiffFormat.CompressionDeflate,
+        tile = Some((16, 16))))
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims('Y') == 18 && back.dims('X') == 17)
+    val nd = back.getImageData("CYX")
+    assert(nd.array(1, 17, 16) == 286.0) // 1*100 + 17*10 + 16
+    assert(nd.array(0, 0, 16) == 16.0)
+    assert(nd.array(1, 3, 4) == 134.0)
+  }
+
+  test("foreign big-endian LZW + predictor-2 tiled fixture decodes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 4x4 uint8 plane as ONE 16x16... keep it minimal: 4x4 image, 16x16
+    // tile is invalid (tile > image is fine per spec: single padded tile)
+    val w = 4; val h = 4; val tw = 16; val tl = 16
+    val px = Array.tabulate(h, w)((y, x) => (y * 10 + x).toByte)
+    // stored tile: 16x16, zero-padded, horizontally differenced per row
+    val tile = new Array[Byte](tl * tw)
+    for (y <- 0 until h; x <- 0 until w) tile(y * tw + x) = px(y)(x)
+    for (y <- 0 until tl; x <- (tw - 1) to 1 by -1)
+      tile(y * tw + x) = (tile(y * tw + x) - tile(y * tw + x - 1)).toByte
+    val enc = TiffFormat.Lzw.encode(tile)
+    val b = ByteBuffer.allocate(1024).order(ByteOrder.BIG_ENDIAN)
+    b.put('M'.toByte).put('M'.toByte).putShort(42)
+    val ifdOff = 8 + enc.length + (enc.length & 1)
+    b.putInt(ifdOff)
+    b.put(enc)
+    b.position(ifdOff)
+    b.putShort(9)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) b.putShort(value.toShort).putShort(0)
+      else b.putInt(value)
+    }
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 5) // LZW
+    entry(317, 3, 1, 2) // horizontal predictor
+    entry(322, 4, 1, tw)
+    entry(323, 4, 1, tl)
+    entry(324, 4, 1, 8) // tile offset
+    entry(325, 4, 1, enc.length)
+    b.putInt(0)
+    val p = tmp("foreign-lzw.tif")
+    Files.write(java.nio.file.Paths.get(p),
+      java.util.Arrays.copyOf(b.array(), b.position()))
+    val back = BioSpark.open(spark, p)
+    assert(back.dims('Y') == 4 && back.dims('X') == 4)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(nd.array(y, x) == (y * 10 + x).toDouble)
+  }
+
+  test("foreign JDK-ImageIO TIFFs (LZW and Deflate, gray8) decode " +
+      "identically — true cross-writer validation") {
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    import java.awt.image.BufferedImage
+    for (compression <- Seq("LZW", "Deflate")) {
+      val it = ImageIO.getImageWritersByFormatName("tiff")
+      assert(it.hasNext, "JDK TIFF plugin missing")
+      val w = it.next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(compression)
+      // 256x256 drives the LZW table through the 9→10→11→12-bit width
+      // boundaries — pins early-change agreement with a foreign codec
+      val img = new BufferedImage(256, 256, BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 256; x <- 0 until 256)
+        img.getRaster.setSample(x, y, 0, (y * 7 + x * 3) % 251)
+      val f = new java.io.File(tmp(s"imageio-$compression.tif"))
+      val os = ImageIO.createImageOutputStream(f)
+      w.setOutput(os)
+      w.write(null, new IIOImage(img, null, null), p)
+      os.close(); w.dispose()
+      val back = BioSpark.open(spark, f.getPath)
+      assert(back.dims('Y') == 256 && back.dims('X') == 256)
+      val nd = back.getImageData("YX")
+      for (y <- 0 until 256; x <- 0 until 256)
+        assert(nd.array(y, x) == ((y * 7 + x * 3) % 251).toDouble,
+          s"$compression pixel ($y,$x)")
+    }
+  }
+
+  test("JDK ImageIO reads back our LZW- and Deflate-compressed output") {
+    import javax.imageio.ImageIO
+    for (comp <- Seq(TiffFormat.CompressionLZW, TiffFormat.CompressionDeflate)) {
+      // route through PNG so the image carries a UInt8 pixel type ImageIO
+      // can consume on the TIFF side
+      val arr = NDArray.tabulate(Seq(30, 20))(idx => (idx(0) * 3 + idx(1)) % 251)
+      val png = tmp(s"src-$comp.png")
+      BioSpark.fromArray(spark, arr).save(png)
+      val img8 = BioSpark.open(spark, png)
+      assert(img8.meta.pixelType == PixelType.UInt8)
+      val uri = tmp(s"ours-$comp.ome.tiff")
+      OmeTiffWriter.save(img8, uri, None, TiffOptions(compression = comp))
+      val read = ImageIO.read(new java.io.File(uri))
+      assert(read != null, s"ImageIO failed to read compression $comp")
+      for (y <- 0 until 30; x <- 0 until 20)
+        assert(read.getRaster.getSampleDouble(x, y, 0)
+          == ((y * 3 + x) % 251).toDouble, s"comp $comp pixel ($y,$x)")
+    }
+  }
+
+  test("unsupported compression, RGB strips, and stripless IFDs are " +
+      "rejected with UnsupportedFileFormatError") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def fixture(entries: ((Int, Int, Int, Int))*): String = {
+      val b = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      b.position(8)
+      b.putShort(entries.length.toShort)
+      entries.sortBy(_._1).foreach { case (tag, typ, count, value) =>
+        b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        if (typ == 3 && count == 1) b.putShort(value.toShort).putShort(0)
+        else b.putInt(value)
+      }
+      b.putInt(0)
+      val p = tmp("bad.tif")
+      Files.write(java.nio.file.Paths.get(p),
+        java.util.Arrays.copyOf(b.array(), b.position()))
+      p
+    }
+    val base = Seq((256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8),
+      (273, 4, 1, 100), (279, 4, 1, 4))
+    // JPEG compression
+    val jpeg = fixture(base :+ ((259, 3, 1, 7)): _*)
+    val e1 = intercept[graft.core.UnsupportedFileFormatError](
+      new OmeTiffReader(spark, jpeg).scenes)
+    assert(e1.getMessage.contains("compression 7"))
+    // RGB strips
+    val rgb = fixture(base :+ ((277, 3, 1, 3)): _*)
+    val e2 = intercept[graft.core.UnsupportedFileFormatError](
+      new OmeTiffReader(spark, rgb).scenes)
+    assert(e2.getMessage.contains("SamplesPerPixel=3"))
+    // neither strips nor tiles
+    val none = fixture((256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8))
+    val e3 = intercept[graft.core.UnsupportedFileFormatError](
+      new OmeTiffReader(spark, none).scenes)
+    assert(e3.getMessage.contains("neither strip nor tile"))
   }
 
   test("writer raises on unknown scene and empty selection") {
