@@ -39,28 +39,182 @@ object ZarrFormat {
   def encodeChunk(px: Array[Double], pt: PixelType.Value): Array[Byte] =
     TiffFormat.encodePlane(px, pt) // same little-endian narrowing
 
+  // ----------------------------------------------------------- blosc v1
+  // c-blosc 1.x chunk container (the numcodecs/bioformats2raw default
+  // wrapping): 16-byte header | int32 block starts | per-block compressed
+  // split streams. Self-describing — codec, typesize and shuffle come
+  // from the header, so no .zarray codec params are needed to decode.
+  //
+  //   byte 0 version, 1 codec-version, 2 flags, 3 typesize
+  //   int32 nbytes | int32 blocksize | int32 cbytes (all little-endian)
+  //   flags: bit0 byte-shuffle, bit1 memcpy (stored raw), bits 5-7 codec
+  //   format code: 0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd
+  //
+  // Blocks of `blocksize` bytes are compressed independently; a block is
+  // further split into `typesize` streams (each `int32 csize | data`)
+  // when the codec is blosclz/lz4, typesize ≤ 16 and blocksize/typesize
+  // ≥ 128 — the library's FORWARD_COMPAT split rule, which the
+  // decompressor re-derives from the header. A split whose csize equals
+  // its uncompressed size is stored raw. Byte-shuffle is applied per
+  // block before splitting (transpose of the [elements × typesize] byte
+  // matrix); trailing bytes beyond a whole element stay in place.
+
+  private val BloscMemcpy = 0x2
+  private val BloscShuffle = 0x1
+  private val BloscLz4Format = 1
+  private val BloscZlibFormat = 3
+
+  private def bloscSplits(codec: Int, typesize: Int, blocksize: Int,
+      leftoverBlock: Boolean): Int =
+    if (!leftoverBlock && (codec == 0 || codec == BloscLz4Format) &&
+      typesize <= 16 && typesize > 1 && blocksize / typesize >= 128) typesize
+    else 1
+
+  private def unshuffle(typesize: Int, data: Array[Byte]): Array[Byte] = {
+    if (typesize <= 1) return data
+    val n = data.length / typesize
+    val out = new Array[Byte](data.length)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < n) {
+        out(i * typesize + j) = data(j * n + i)
+        i += 1
+      }
+      j += 1
+    }
+    // leftover bytes (not a whole element) are stored unshuffled
+    var k = n * typesize
+    while (k < data.length) { out(k) = data(k); k += 1 }
+    out
+  }
+
+  private def shuffle(typesize: Int, data: Array[Byte]): Array[Byte] = {
+    if (typesize <= 1) return data
+    val n = data.length / typesize
+    val out = new Array[Byte](data.length)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      while (i < n) {
+        out(j * n + i) = data(i * typesize + j)
+        i += 1
+      }
+      j += 1
+    }
+    var k = n * typesize
+    while (k < data.length) { out(k) = data(k); k += 1 }
+    out
+  }
+
+  def bloscDecode(chunk: Array[Byte]): Array[Byte] = {
+    require(chunk.length >= 16, "truncated blosc chunk")
+    val h = ByteBuffer.wrap(chunk).order(ByteOrder.LITTLE_ENDIAN)
+    h.get() // version
+    h.get() // codec version
+    val flags = h.get() & 0xff
+    val typesize = h.get() & 0xff
+    val nbytes = h.getInt
+    val blocksize = h.getInt
+    h.getInt // cbytes
+    if ((flags & BloscMemcpy) != 0)
+      return java.util.Arrays.copyOfRange(chunk, 16, 16 + nbytes)
+    val codec = (flags >> 5) & 0x7
+    require(codec == BloscLz4Format || codec == BloscZlibFormat,
+      s"unsupported blosc inner codec format $codec (supported: lz4, zlib)")
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    val bstarts = (0 until nblocks).map(_ => h.getInt)
+    val out = new Array[Byte](nbytes)
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+    var bi = 0
+    while (bi < nblocks) {
+      val bsize = math.min(blocksize, nbytes - bi * blocksize)
+      val leftover = bsize != blocksize
+      val nsplits = bloscSplits(codec, typesize, blocksize, leftover)
+      val neblock = bsize / nsplits
+      val block = new Array[Byte](bsize)
+      var src = bstarts(bi)
+      var sp = 0
+      while (sp < nsplits) {
+        val csize = ByteBuffer.wrap(chunk, src, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        src += 4
+        if (csize == neblock)
+          System.arraycopy(chunk, src, block, sp * neblock, neblock)
+        else codec match {
+          case BloscLz4Format =>
+            lz4.decompress(chunk, src, block, sp * neblock, neblock)
+          case BloscZlibFormat =>
+            val raw = TiffFormat.inflate(
+              java.util.Arrays.copyOfRange(chunk, src, src + csize))
+            require(raw.length == neblock,
+              s"blosc zlib split decoded ${raw.length}, expected $neblock")
+            System.arraycopy(raw, 0, block, sp * neblock, neblock)
+        }
+        src += csize
+        sp += 1
+      }
+      val plain =
+        if ((flags & BloscShuffle) != 0) unshuffle(typesize, block) else block
+      System.arraycopy(plain, 0, out, bi * blocksize, bsize)
+      bi += 1
+    }
+    out
+  }
+
+  /** Encode raw chunk bytes as a single-block blosc/lz4 frame with
+    * byte-shuffle — the bioformats2raw-default shape. Falls back to the
+    * memcpy frame when compression does not pay. */
+  def bloscEncode(raw: Array[Byte], typesize: Int): Array[Byte] = {
+    val nbytes = raw.length
+    val blocksize = nbytes
+    val codec = BloscLz4Format
+    val shuffled = shuffle(typesize, raw)
+    val nsplits = bloscSplits(codec, typesize, blocksize, leftoverBlock = false)
+    val neblock = nbytes / nsplits
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val splits = (0 until nsplits).map { sp =>
+      val src = java.util.Arrays.copyOfRange(shuffled,
+        sp * neblock, (sp + 1) * neblock)
+      val comp = lz4.compress(src)
+      if (comp.length < neblock) (comp.length, comp) else (neblock, src)
+    }
+    val payload = splits.map(_._2.length + 4).sum
+    val total = 16 + 4 + payload // header + 1 bstart + split streams
+    if (total >= nbytes + 16) {
+      // incompressible: memcpy frame
+      val b = ByteBuffer.allocate(16 + nbytes).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte).put(1.toByte)
+        .put(BloscMemcpy.toByte).put(typesize.toByte)
+      b.putInt(nbytes).putInt(blocksize).putInt(16 + nbytes)
+      b.put(raw)
+      b.array()
+    } else {
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      val flags = (BloscShuffle | (codec << 5)).toByte
+      b.put(2.toByte).put(1.toByte).put(flags).put(typesize.toByte)
+      b.putInt(nbytes).putInt(blocksize).putInt(total)
+      b.putInt(20) // single block starts after header + 1 bstart entry
+      splits.foreach { case (csize, data) =>
+        b.putInt(csize)
+        b.put(data, 0, data.length)
+      }
+      b.array()
+    }
+  }
+
   /** Decode a chunk to doubles; `compressor` None = raw, Some("zlib") =
-    * zlib-deflated (the one non-native-library zarr codec). */
+    * zlib-deflated, Some("blosc") = c-blosc 1.x frame (lz4/zlib inner
+    * codecs — the NGFF-ecosystem default). */
   def decodeChunk(bytes: Array[Byte], dtype: String,
       compressor: Option[String] = None): Array[Double] = {
     val raw = compressor match {
-      case None => bytes
-      case Some("zlib") =>
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(bytes)
-        val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-        val buf = new Array[Byte](8192)
-        while (!inf.finished()) {
-          val n = inf.inflate(buf)
-          if (n == 0 && inf.needsInput())
-            throw new IllegalArgumentException("truncated zlib chunk")
-          out.write(buf, 0, n)
-        }
-        inf.end()
-        out.toByteArray
+      case None           => bytes
+      case Some("zlib")   => TiffFormat.inflate(bytes)
+      case Some("blosc")  => bloscDecode(bytes)
       case Some(other) =>
         throw new IllegalArgumentException(
-          s"unsupported zarr compressor '$other' (supported: null, zlib)")
+          s"unsupported zarr compressor '$other' (supported: null, zlib, blosc)")
     }
     val order = byteOrder(dtype)
     val pt = pixelTypeOf(dtype)
@@ -68,14 +222,40 @@ object ZarrFormat {
     TiffFormat.decodePlane(raw, bits, TiffFormat.sampleFormat(pt), order)
   }
 
+  /** Encode raw chunk bytes with the given compressor id. */
+  def compressChunk(raw: Array[Byte], compressor: Option[String],
+      typesize: Int): Array[Byte] = compressor match {
+    case None          => raw
+    case Some("zlib")  => zlibDeflate(raw)
+    case Some("blosc") => bloscEncode(raw, typesize)
+    case Some(other) =>
+      throw new IllegalArgumentException(
+        s"unsupported zarr compressor '$other' (supported: null, zlib, blosc)")
+  }
+
+  /** zlib-wrapped deflate (the numcodecs "zlib" codec). */
+  def zlibDeflate(raw: Array[Byte]): Array[Byte] = TiffFormat.deflate(raw)
+
+  /** numcodecs compressor config for the .zarray document. */
+  def compressorJson(compressor: Option[String]): String = compressor match {
+    case None          => "null"
+    case Some("zlib")  => """{"id":"zlib","level":6}"""
+    case Some("blosc") =>
+      """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
+    case Some(other) =>
+      throw new IllegalArgumentException(s"unsupported compressor '$other'")
+  }
+
   // --------------------------------------------------------- JSON emit
 
   val zgroup: String = """{"zarr_format":2}"""
 
-  def zarray(shape: Seq[Long], chunks: Seq[Long], dtype: String): String = {
+  def zarray(shape: Seq[Long], chunks: Seq[Long], dtype: String,
+      compressor: Option[String] = None): String = {
     s"""{"zarr_format":2,"shape":[${shape.mkString(",")}],""" +
       s""""chunks":[${chunks.mkString(",")}],"dtype":"$dtype",""" +
-      """"compressor":null,"fill_value":0,"order":"C","filters":null}"""
+      s""""compressor":${compressorJson(compressor)},""" +
+      """"fill_value":0,"order":"C","filters":null}"""
   }
 
   private def esc(s: String): String =

@@ -453,6 +453,57 @@ object BioQueries {
       |     range(2) a(z), range(20) b(y), range(24) c(x)
       |ORDER BY variant, z, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b19
+  /** S12 zarr format coverage: (a) blosc-compressed (lz4 + byte-shuffle)
+    * chunks written by the distributed writer and re-read through the
+    * registry; (b) a hand-built ragged NGFF store — 5×7 plane over 4×4
+    * chunks, edge chunks stored zero-padded per zarr v2 and cropped on
+    * read, stitched dims reporting the true array shape. */
+  val b19ZarrBloscRagged: Q = (spark, _) => {
+    import java.nio.file.{Files, Paths}
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    import graft.writers.ZarrWriter
+    val run = java.util.UUID.randomUUID()
+
+    val arr = NDArray.tabulate(Seq(2, 5, 7))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val uriB = s"/tmp/graft_b19_${run}_blosc.ome.zarr"
+    ZarrWriter.save(BioSpark.fromArray(spark, arr), uriB, None,
+      levels = 1, compressor = Some("blosc"))
+
+    val uriR = s"/tmp/graft_b19_${run}_ragged.zarr"
+    Files.createDirectories(Paths.get(uriR, "0"))
+    def put(rel: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(uriR, rel), bytes)
+    put(".zgroup", ZarrFormat.zgroup.getBytes)
+    put(".zattrs", ZarrFormat.imageAttrs("Image:0", 1,
+      Seq.fill(5)(1.0), Seq.empty).getBytes)
+    put("0/.zarray", ZarrFormat.zarray(
+      Seq(2, 5, 7), Seq(1, 4, 4), "<f8").getBytes) // 3D ZYX, ragged grid
+    for (zi <- 0 until 2; yi <- 0 until 2; xi <- 0 until 2) {
+      val px = Array.tabulate(16) { k =>
+        val (y, x) = (yi * 4 + k / 4, xi * 4 + k % 4)
+        if (y < 5 && x < 7) zi * 100.0 + y * 10.0 + x else 0.0
+      }
+      put(s"0/$zi.$yi.$xi", ZarrFormat.encodeChunk(px, PixelType.Float64))
+    }
+
+    Seq(("blosc", uriB), ("ragged", uriR)).map { case (variant, uri) =>
+      BioSpark.open(spark, uri).getImagePixels()
+        .select(lit(variant).as("variant"),
+          col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+          col("x").cast("long").as("x"), col("v"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("variant"), col("z"), col("y"), col("x"))
+  }
+
+  val b19Oracle: String =
+    """SELECT variant, z, y, x, CAST(z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM (VALUES ('blosc'), ('ragged')) t(variant),
+      |     range(2) a(z), range(5) b(y), range(7) c(x)
+      |ORDER BY variant, z, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -472,6 +523,7 @@ object BioQueries {
     "b16_png_roundtrip" -> b16PngRoundtrip,
     "b17_zarr_roundtrip" -> b17ZarrRoundtrip,
     "b18_compressed_tiff" -> b18CompressedTiff,
+    "b19_zarr_blosc_ragged" -> b19ZarrBloscRagged,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -493,5 +545,6 @@ object BioQueries {
     "b16_png_roundtrip" -> b16Oracle,
     "b17_zarr_roundtrip" -> b17Oracle,
     "b18_compressed_tiff" -> b18Oracle,
+    "b19_zarr_blosc_ragged" -> b19Oracle,
   )
 }

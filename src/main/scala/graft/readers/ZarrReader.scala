@@ -27,9 +27,11 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
   */
 final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
-  private case class Level(shape: Seq[Long], chunkH: Int, chunkW: Int,
-      dtype: String, compressor: Option[String], separator: String,
-      fillValue: Double) {
+  /** `shape` is always the expanded 5D TCZYX shape; `axes` records the
+    * STORED dim order (2–5 of "tczyx", y/x last) for chunk-key building. */
+  private case class Level(shape: Seq[Long], axes: String, chunkH: Int,
+      chunkW: Int, dtype: String, compressor: Option[String],
+      separator: String, fillValue: Double) {
     def gridY: Int = ((shape(3) + chunkH - 1) / chunkH).toInt
     def gridX: Int = ((shape(4) + chunkW - 1) / chunkW).toInt
     def tiled: Boolean = gridY * gridX > 1
@@ -91,33 +93,58 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         val compressor = zj \ "compressor" match {
           case JNull => None
           case c => (c \ "id") match {
-            case JString("zlib") => Some("zlib")
+            case JString("zlib")  => Some("zlib")
+            case JString("blosc") => Some("blosc")
             case other => throw new UnsupportedFileFormatError(
-              s"unsupported zarr compressor $other (supported: null, zlib)")
+              s"unsupported zarr compressor $other (supported: null, zlib, blosc)")
           }
         }
-        val shape = (zj \ "shape").children.map(_.values.toString.toLong)
+        val shapeRaw = (zj \ "shape").children.map(_.values.toString.toLong)
         val JString(dtype) = zj \ "dtype"
         val chunks = (zj \ "chunks").children.map(_.values.toString.toLong)
-        require(shape.length == 5,
-          s"expected 5D (t,c,z,y,x) zarr array, got ${shape.length}D")
-        require(chunks.take(3).forall(_ == 1),
-          s"expected chunk t/c/z extents of 1, got $chunks")
-        // Y/X chunking: full-plane chunks, or an exact tile grid (the
-        // common aligned-NGFF layout) — tiles surface as mosaic tiles
-        require((chunks(3) == shape(3) && chunks(4) == shape(4)) ||
-          (shape(3) % chunks(3) == 0 && shape(4) % chunks(4) == 0),
-          s"chunk grid $chunks must divide plane shape $shape exactly")
-        Level(shape, chunks(3).toInt, chunks(4).toInt, dtype, compressor,
-          separator, fillValue)
+        val rank = shapeRaw.length
+        require(rank >= 2 && rank <= 5,
+          s"expected 2D-5D zarr array, got ${rank}D")
+        require(chunks.length == rank,
+          s"chunks rank ${chunks.length} != shape rank $rank")
+        // stored dim order: NGFF axes names when declared and consistent,
+        // else the trailing suffix of tczyx (the ArrayLike guessing rule)
+        val axesNames = (ms \ "axes").children.flatMap(a => a \ "name" match {
+          case JString(n) => Some(n)
+          case _          => None
+        })
+        val axes: String =
+          if (axesNames.length == rank &&
+            axesNames.forall(n => n.length == 1 && "tczyx".contains(n)))
+            axesNames.mkString
+          else "tczyx".takeRight(rank)
+        require(axes.endsWith("yx"),
+          s"zarr axes '$axes' must end in y,x for the plane-chunk model")
+        def dimOf(d: Char): Long =
+          axes.indexOf(d) match { case -1 => 1L; case i => shapeRaw(i) }
+        val shape5 = Seq('t', 'c', 'z', 'y', 'x').map(dimOf)
+        "tcz".foreach { d =>
+          val i = axes.indexOf(d)
+          require(i < 0 || chunks(i) == 1,
+            s"expected chunk $d extent of 1, got $chunks")
+        }
+        // Y/X chunk grid may be ragged — edge chunks are stored padded to
+        // full chunk shape (zarr v2) and cropped on read
+        Level(shape5, axes, chunks(rank - 2).toInt, chunks(rank - 1).toInt,
+          dtype, compressor, separator, fillValue)
       }
       val channels = (j \ "omero" \ "channels").children.collect {
         case ch if (ch \ "label") != JNothing =>
           val JString(l) = ch \ "label"; l
       }
+      // per-axis scales expanded to TCZYX (absent dims scale 1.0)
+      val axes0 = levels.head.axes
       val scale = (datasets.head \ "coordinateTransformations")(0) \ "scale" match {
-        case JArray(xs) => xs.map(_.values.toString.toDouble)
-        case _          => Seq(1.0, 1.0, 1.0, 1.0, 1.0)
+        case JArray(xs) if xs.length == axes0.length =>
+          val raw = xs.map(_.values.toString.toDouble)
+          Seq('t', 'c', 'z', 'y', 'x').map(d =>
+            axes0.indexOf(d) match { case -1 => 1.0; case i => raw(i) })
+        case _ => Seq(1.0, 1.0, 1.0, 1.0, 1.0)
       }
       Some(Scene(name, group, levels, channels, scale, attrs))
     }
@@ -219,9 +246,10 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     if (!s.levels.isDefinedAt(level))
       throw new IndexOutOfBoundsException(s"resolution level $level")
     val lv = s.levels(level)
-    val Seq(t, c, z, _, _) = lv.shape.map(_.toInt)
+    val Seq(t, c, z, planeH, planeW) = lv.shape.map(_.toInt)
     val (ch, cw) = (lv.chunkH, lv.chunkW)
     val (ny, nx) = (lv.gridY, lv.gridX)
+    val axes = lv.axes
     val dtype = lv.dtype
     val compressor = lv.compressor
     val sep = lv.separator
@@ -245,23 +273,40 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         else {
           val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
           it.map { case (ti, ci, zi, yi, xi) =>
-            // zarr v2 dimension_separator: "." (flat) or "/" (nested)
-            val key = Seq(ti, ci, zi, yi, xi).mkString(sep)
+            // zarr v2 dimension_separator: "." (flat) or "/" (nested);
+            // the key has one component per STORED dim, in stored order
+            val idx = Map('t' -> ti, 'c' -> ci, 'z' -> zi,
+              'y' -> yi, 'x' -> xi)
+            val key = axes.map(idx).mkString(sep)
+            // edge chunks are stored padded to full chunk shape; crop to
+            // the array bounds (ragged grids, zarr v2 semantics)
+            val cropH = math.min(ch, planeH - yi * ch)
+            val cropW = math.min(cw, planeW - xi * cw)
             val p = new Path(s"$base/$key")
             val px =
-              if (!f.exists(p)) Array.fill(ch * cw)(fill) // missing chunk
+              if (!f.exists(p)) Array.fill(cropH * cropW)(fill) // missing
               else {
                 val in = f.open(p)
                 try {
                   val n = f.getFileStatus(p).getLen.toInt
                   val bytes = new Array[Byte](n)
                   in.readFully(0, bytes)
-                  ZarrFormat.decodeChunk(bytes, dtype, compressor)
+                  val full = ZarrFormat.decodeChunk(bytes, dtype, compressor)
+                  if (cropH == ch && cropW == cw) full
+                  else {
+                    val out = new Array[Double](cropH * cropW)
+                    var r = 0
+                    while (r < cropH) {
+                      System.arraycopy(full, r * cw, out, r * cropW, cropW)
+                      r += 1
+                    }
+                    out
+                  }
                 } finally in.close()
               }
             PlaneRow(sceneIdx, sid, level, m = yi * nx + xi,
               t = ti, c = ci, z = zi, s = 0,
-              y0 = yi * ch, x0 = xi * cw, h = ch, w = cw, pixels = px)
+              y0 = yi * ch, x0 = xi * cw, h = cropH, w = cropW, pixels = px)
           }
         }
       }

@@ -27,7 +27,13 @@ object ZarrWriter extends BioWriter {
     save(img, uri, selectScenes, levels = 1)
 
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
-      levels: Int): Unit = {
+      levels: Int): Unit =
+    save(img, uri, selectScenes, levels, compressor = None)
+
+  /** `compressor`: None (raw chunks), "zlib", or "blosc" (lz4 +
+    * byte-shuffle — the bioformats2raw-default chunk wrapping). */
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
+      levels: Int, compressor: Option[String]): Unit = {
     val spark = img.spark
     val sel = Writers.validateSelection(img, selectScenes)
     require(levels >= 1, s"levels must be >= 1, got $levels")
@@ -72,7 +78,8 @@ object ZarrWriter extends BioWriter {
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
       (0 until levels).foreach { l =>
         writeDoc(s"$uri/$g/$l/.zarray", ZarrFormat.zarray(
-          Seq(t, c, z, hs(l), ws(l)), Seq(1, 1, 1, hs(l), ws(l)), dtype))
+          Seq(t, c, z, hs(l), ws(l)), Seq(1, 1, 1, hs(l), ws(l)), dtype,
+          compressor))
       }
 
       // chunk files: distributed — each task writes its planes directly
@@ -86,12 +93,14 @@ object ZarrWriter extends BioWriter {
               if (rows.nonEmpty) {
                 val pfs = FileSystem.get(
                   new java.net.URI(target + "/"), hconf.value)
+                val typesize = ZarrFormat.bytesPer(ZarrFormat.dtypeOf(pt))
                 rows.foreach { r =>
                   val key =
                     s"$target/${r.getInt(0)}/${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0"
                   val out = pfs.create(new Path(key), true)
-                  try out.write(ZarrFormat.encodeChunk(
-                    r.getSeq[Double](4).toArray, pt))
+                  try out.write(ZarrFormat.compressChunk(
+                    ZarrFormat.encodeChunk(r.getSeq[Double](4).toArray, pt),
+                    compressor, typesize))
                   finally out.close()
                 }
               }

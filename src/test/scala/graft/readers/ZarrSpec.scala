@@ -138,6 +138,172 @@ class ZarrSpec extends SparkSpec {
     assert(nd.array(0, 1) == 1.0)
   }
 
+  test("blosc frame: hand-built per the c-blosc 1.x format doc decodes " +
+      "(memcpy, and lz4 + byte-shuffle + split)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.formats.ZarrFormat
+    // memcpy frame: flags bit 1, raw bytes after the 16-byte header
+    val raw8 = Array.tabulate[Byte](32)(i => (i * 3).toByte)
+    val mem = ByteBuffer.allocate(16 + 32).order(ByteOrder.LITTLE_ENDIAN)
+    mem.put(2.toByte).put(1.toByte).put(0x2.toByte).put(1.toByte)
+    mem.putInt(32).putInt(32).putInt(48).put(raw8)
+    assert(ZarrFormat.bloscDecode(mem.array()).toSeq == raw8.toSeq)
+
+    // lz4 + shuffle + split: 256 int16 LE values → typesize 2, one block,
+    // nsplits = 2 (lz4, blocksize/typesize = 256 ≥ 128): stream of low
+    // bytes then stream of high bytes, each `int32 csize | data`
+    val vals = Array.tabulate(256)(i => i)
+    val raw = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(v => raw.putShort(v.toShort))
+    val lows = Array.tabulate[Byte](256)(i => vals(i).toByte)
+    val highs = Array.tabulate[Byte](256)(i => (vals(i) >> 8).toByte)
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val streams = Seq(lows, highs).map { s =>
+      val c = lz4.compress(s)
+      if (c.length < 256) (c.length, c) else (256, s)
+    }
+    val total = 16 + 4 + streams.map(4 + _._2.length).sum
+    val fr = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    fr.put(2.toByte).put(1.toByte)
+    fr.put((0x1 | (1 << 5)).toByte) // shuffle | lz4 format code
+    fr.put(2.toByte) // typesize
+    fr.putInt(512).putInt(512).putInt(total)
+    fr.putInt(20) // bstarts: single block after header + one int32
+    streams.foreach { case (csize, data) =>
+      fr.putInt(csize); fr.put(data, 0, data.length)
+    }
+    assert(ZarrFormat.bloscDecode(fr.array()).toSeq == raw.array().toSeq)
+
+    // encode/decode roundtrip for f8 (typesize 8) and u1 (typesize 1)
+    val f8 = graft.formats.TiffFormat.encodePlane(
+      Array.tabulate(100)(_ * 1.5), graft.core.PixelType.Float64)
+    assert(ZarrFormat.bloscDecode(ZarrFormat.bloscEncode(f8, 8)).toSeq
+      == f8.toSeq)
+    val noise = Array.fill[Byte](257)((math.random() * 255).toByte)
+    assert(ZarrFormat.bloscDecode(ZarrFormat.bloscEncode(noise, 1)).toSeq
+      == noise.toSeq)
+  }
+
+  test("blosc- and zlib-compressed writer roundtrips through the registry") {
+    for (comp <- Seq("blosc", "zlib")) {
+      val img = BioSpark.fromArray(spark, formulaic(Seq(2, 6, 9)), Some("CYX"))
+      val uri = tmp(s"$comp.ome.zarr")
+      ZarrWriter.save(img, uri, None, levels = 1, compressor = Some(comp))
+      val back = BioSpark.open(spark, uri)
+      assert(back.rawMetadata.exists(_.contains("multiscales")))
+      val nd = back.getImageData("CYX")
+      assert(nd.array(1, 5, 8) == 158.0, comp)
+      assert(nd.array(0, 2, 3) == 23.0, comp)
+    }
+  }
+
+  test("ragged chunk grid: 5x7 plane over 4x4 chunks (padded edge chunks " +
+      "cropped, true stitched dims)") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    val root = tmp("ragged.zarr")
+    Files.createDirectories(Paths.get(root, "0"))
+    def put(rel: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(root, rel), bytes)
+    put(".zgroup", ZarrFormat.zgroup.getBytes)
+    put(".zattrs", ZarrFormat.imageAttrs("Image:0", 1,
+      Seq.fill(5)(1.0), Seq("C0")).getBytes)
+    put("0/.zarray", ZarrFormat.zarray(
+      Seq(1, 1, 1, 5, 7), Seq(1, 1, 1, 4, 4), "<f8").getBytes)
+    // zarr v2: every stored chunk is full 4x4, zero-padded past the edge
+    for (yi <- 0 until 2; xi <- 0 until 2) {
+      val px = Array.tabulate(16) { k =>
+        val (y, x) = (yi * 4 + k / 4, xi * 4 + k % 4)
+        if (y < 5 && x < 7) y * 10.0 + x else 0.0
+      }
+      put(s"0/0.0.0.$yi.$xi", ZarrFormat.encodeChunk(px, PixelType.Float64))
+    }
+    val back = BioSpark.open(spark, root)
+    assert(back.meta.dims('M') == 4)
+    assert(back.dims('Y') == 5 && back.dims('X') == 7) // NOT 8x8
+    val nd = back.getImageData("YX")
+    assert(nd.array.shape == Seq(5, 7))
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(nd.array(y, x) == y * 10.0 + x, s"($y,$x)")
+  }
+
+  test("2D and 3D zarr arrays normalize to canonical 5D (trailing-axes " +
+      "guess, rank-sized chunk keys)") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    // 2D: 3x4 YX, single chunk, key "0.0"
+    val r2 = tmp("rank2.zarr")
+    Files.createDirectories(Paths.get(r2, "0"))
+    Files.write(Paths.get(r2, ".zgroup"), ZarrFormat.zgroup.getBytes)
+    Files.write(Paths.get(r2, ".zattrs"), ZarrFormat.imageAttrs("Image:0", 1,
+      Seq.fill(5)(1.0), Seq.empty).getBytes)
+    Files.write(Paths.get(r2, "0/.zarray"), ZarrFormat.zarray(
+      Seq(3, 4), Seq(3, 4), "<f8").getBytes)
+    Files.write(Paths.get(r2, "0/0.0"), ZarrFormat.encodeChunk(
+      Array.tabulate(12)(k => (k / 4) * 10.0 + k % 4), PixelType.Float64))
+    val b2 = BioSpark.open(spark, r2)
+    assert(b2.dims.shape == Seq(1, 1, 1, 3, 4))
+    assert(b2.getImageData("YX").array(2, 3) == 23.0)
+
+    // 3D: 2x2x3 ZYX, one chunk per z plane, keys "z.y.x"
+    val r3 = tmp("rank3.zarr")
+    Files.createDirectories(Paths.get(r3, "0"))
+    Files.write(Paths.get(r3, ".zgroup"), ZarrFormat.zgroup.getBytes)
+    Files.write(Paths.get(r3, ".zattrs"), ZarrFormat.imageAttrs("Image:0", 1,
+      Seq.fill(5)(1.0), Seq.empty).getBytes)
+    Files.write(Paths.get(r3, "0/.zarray"), ZarrFormat.zarray(
+      Seq(2, 2, 3), Seq(1, 2, 3), "<f8").getBytes)
+    for (z <- 0 until 2)
+      Files.write(Paths.get(r3, s"0/$z.0.0"), ZarrFormat.encodeChunk(
+        Array.tabulate(6)(k => z * 100.0 + (k / 3) * 10.0 + k % 3),
+        PixelType.Float64))
+    val b3 = BioSpark.open(spark, r3)
+    assert(b3.dims.shape == Seq(1, 1, 2, 2, 3))
+    assert(b3.getImageData("ZYX").array(1, 1, 2) == 112.0)
+  }
+
+  test("tiled + multiscale: each level's positions come from its own " +
+      "chunk grid (not halved level-0 positions)") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    // level 0: 8x8 over 4x4 chunks (2x2 grid); level 1: 4x4 as ONE chunk
+    // — halving level-0 positions would predict a phantom 2x2 grid of
+    // 2x2-positioned tiles and break dims/stitching
+    val root = tmp("tiledms.zarr")
+    Files.createDirectories(Paths.get(root, "0"))
+    Files.createDirectories(Paths.get(root, "1"))
+    def put(rel: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(root, rel), bytes)
+    put(".zgroup", ZarrFormat.zgroup.getBytes)
+    put(".zattrs", ZarrFormat.imageAttrs("Image:0", 2,
+      Seq.fill(5)(1.0), Seq("C0")).getBytes)
+    put("0/.zarray", ZarrFormat.zarray(
+      Seq(1, 1, 1, 8, 8), Seq(1, 1, 1, 4, 4), "<f8").getBytes)
+    put("1/.zarray", ZarrFormat.zarray(
+      Seq(1, 1, 1, 4, 4), Seq(1, 1, 1, 4, 4), "<f8").getBytes)
+    for (yi <- 0 until 2; xi <- 0 until 2) {
+      val px = Array.tabulate(16) { k =>
+        val (y, x) = (yi * 4 + k / 4, xi * 4 + k % 4)
+        y * 10.0 + x
+      }
+      put(s"0/0.0.0.$yi.$xi", ZarrFormat.encodeChunk(px, PixelType.Float64))
+    }
+    put("1/0.0.0.0.0", ZarrFormat.encodeChunk(
+      Array.tabulate(16)(k => 1000.0 + k), PixelType.Float64))
+    val back = BioSpark.open(spark, root)
+    assert(back.dims('Y') == 8 && back.dims('X') == 8)
+    assert(back.getImageData("YX").array(6, 7) == 67.0)
+    back.setResolutionLevel(1)
+    // level 1 is single-chunk: its own grid (1x1), true dims 4x4
+    assert(back.dims('Y') == 4 && back.dims('X') == 4)
+    val nd = back.getImageData("YX")
+    for (k <- 0 until 16)
+      assert(nd.array(k / 4, k % 4) == 1000.0 + k)
+  }
+
   test("writer raises on unknown selections; mosaic scenes stitch on save") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
