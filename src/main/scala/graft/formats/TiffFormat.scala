@@ -27,6 +27,7 @@ object TiffFormat {
   val TagSamplesPerPixel = 277
   val TagRowsPerStrip = 278
   val TagStripByteCounts = 279
+  val TagPlanarConfig = 284
   val TagPredictor = 317
   val TagTileWidth = 322
   val TagTileLength = 323
@@ -398,6 +399,7 @@ object TiffFormat {
       sampleFormat: Int,
       compression: Int,
       samplesPerPixel: Int,
+      planarConfig: Int,
       predictor: Int,
       rowsPerStrip: Long,
       stripOffsets: Seq[Long],
@@ -486,6 +488,7 @@ object TiffFormat {
         sampleFormat = value(TagSampleFormat, 1).toInt,
         compression = value(TagCompression, 1).toInt,
         samplesPerPixel = value(TagSamplesPerPixel, 1).toInt,
+        planarConfig = value(TagPlanarConfig, 1).toInt,
         predictor = value(TagPredictor, 1).toInt,
         rowsPerStrip = value(TagRowsPerStrip, height.toLong max 1L),
         stripOffsets = values(TagStripOffsets),

@@ -262,17 +262,22 @@ object ZarrFormat {
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** OME-NGFF 0.4 multiscales + omero channel labels for one image
-    * group. `scales` = per-level (t,c,z,y,x) coordinate scale factors. */
+    * group. `scale0` = level-0 (t,c,z,y,x) coordinate scale factors.
+    * `sSamples` > 1 appends a trailing sample axis (a graft extension —
+    * NGFF has no sample axis; RGB payloads keep their S dim this way). */
   def imageAttrs(name: String, nLevels: Int,
-      scale0: Seq[Double], channelNames: Seq[String]): String = {
+      scale0: Seq[Double], channelNames: Seq[String],
+      sSamples: Int = 1): String = {
     val axes =
       """[{"name":"t","type":"time"},{"name":"c","type":"channel"},""" +
         """{"name":"z","type":"space"},{"name":"y","type":"space"},""" +
-        """{"name":"x","type":"space"}]"""
+        """{"name":"x","type":"space"}""" +
+        (if (sSamples > 1) """,{"name":"s","type":"sample"}]""" else "]")
     val datasets = (0 until nLevels).map { l =>
       val f = math.pow(2, l)
       val sc = Seq(scale0(0), scale0(1), scale0(2),
-        scale0(3) * f, scale0(4) * f)
+        scale0(3) * f, scale0(4) * f) ++
+        (if (sSamples > 1) Seq(1.0) else Seq.empty)
       s"""{"path":"$l","coordinateTransformations":[{"type":"scale",""" +
         s""""scale":[${sc.mkString(",")}]}]}"""
     }.mkString(",")

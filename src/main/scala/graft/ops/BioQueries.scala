@@ -504,6 +504,39 @@ object BioQueries {
       |     range(2) a(z), range(5) b(y), range(7) c(x)
       |ORDER BY variant, z, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b20
+  /** RGB (S=3) write path end-to-end: a formulaic YXS array → RGB PNG
+    * (TwoDWriter analog) → reopened via magic-byte probe (YXS bands) →
+    * saved as a chunky RGB OME-TIFF (SamplesPerPixel=3, interleaved
+    * strips) and as a trailing-S zarr store → both reopened; every band
+    * pixel checked against the regenerating oracle. */
+  val b20RgbRoundtrip: Q = (spark, _) => {
+    val run = java.util.UUID.randomUUID()
+    val arr = NDArray.tabulate(Seq(6, 8, 3))(idx =>
+      (idx(0) * 25 + idx(1) * 3 + idx(2) * 7) % 256)
+    val png = s"/tmp/graft_b20_$run.png"
+    new graft.image.BioImage(spark,
+      new ArrayLikeReader(Seq(arr), Seq(Some("YXS")), Seq(None))).save(png)
+    val img8 = BioSpark.open(spark, png) // ImageIoReader, YXS uint8
+    val tiff = s"/tmp/graft_b20_$run.ome.tiff"
+    img8.save(tiff)
+    val zarr = s"/tmp/graft_b20_$run.ome.zarr"
+    img8.save(zarr)
+    Seq(("tiff", tiff), ("zarr", zarr)).map { case (variant, uri) =>
+      BioSpark.open(spark, uri).getImagePixels()
+        .select(lit(variant).as("variant"),
+          col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+          col("s").cast("long").as("s"), col("v"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("variant"), col("y"), col("x"), col("s"))
+  }
+
+  val b20Oracle: String =
+    """SELECT variant, y, x, s, CAST((y*25 + x*3 + s*7) % 256 AS DOUBLE) AS v
+      |FROM (VALUES ('tiff'), ('zarr')) t(variant),
+      |     range(6) a(y), range(8) b(x), range(3) c(s)
+      |ORDER BY variant, y, x, s""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -524,6 +557,7 @@ object BioQueries {
     "b17_zarr_roundtrip" -> b17ZarrRoundtrip,
     "b18_compressed_tiff" -> b18CompressedTiff,
     "b19_zarr_blosc_ragged" -> b19ZarrBloscRagged,
+    "b20_rgb_roundtrip" -> b20RgbRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -546,5 +580,6 @@ object BioQueries {
     "b17_zarr_roundtrip" -> b17Oracle,
     "b18_compressed_tiff" -> b18Oracle,
     "b19_zarr_blosc_ragged" -> b19Oracle,
+    "b20_rgb_roundtrip" -> b20Oracle,
   )
 }

@@ -19,7 +19,7 @@ private[readers] final case class TiffSeg(
     t: Int, c: Int, z: Int, m: Int, y0: Int, x0: Int,
     cropH: Int, cropW: Int, segH: Int, segW: Int,
     bits: Int, sampleFormat: Int, compression: Int, predictor: Int,
-    offsets: Seq[Long], counts: Seq[Long])
+    spp: Int, offsets: Seq[Long], counts: Seq[Long])
 
 /** OME-TIFF source (S12) — the reference's flagship format family
   * (/root/reference/README.md:55-70; reader contract shape
@@ -67,10 +67,14 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
       throw new UnsupportedFileFormatError(
         s"'$path' uses TIFF compression ${ifd.compression}; supported: " +
           "none (1), LZW (5), Deflate (8/32946)")
-    if (ifd.samplesPerPixel != 1)
+    if (ifd.samplesPerPixel != 1 && ifd.samplesPerPixel != 3)
       throw new UnsupportedFileFormatError(
-        s"'$path' has SamplesPerPixel=${ifd.samplesPerPixel}; only " +
-          "single-sample (grayscale) TIFFs are supported")
+        s"'$path' has SamplesPerPixel=${ifd.samplesPerPixel}; supported: " +
+          "1 (grayscale) and 3 (RGB)")
+    if (ifd.samplesPerPixel > 1 && ifd.planarConfig != 1)
+      throw new UnsupportedFileFormatError(
+        s"'$path' uses PlanarConfiguration=${ifd.planarConfig}; only " +
+          "chunky (1, interleaved) multi-sample TIFFs are supported")
     if (ifd.stripOffsets.isEmpty && ifd.tileOffsets.isEmpty)
       throw new UnsupportedFileFormatError(
         s"'$path' has an IFD with neither strip nor tile offsets")
@@ -81,11 +85,12 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
 
   /** All IFDs of a scene must agree on layout for a coherent dim model. */
   private def gridOf(ifds: Seq[TiffFormat.ParsedIfd]): Option[TileGrid] = {
-    val layouts = ifds.map(i => (i.tiled, i.tileWidth, i.tileLength)).distinct
+    val layouts = ifds.map(i =>
+      (i.tiled, i.tileWidth, i.tileLength, i.samplesPerPixel)).distinct
     if (layouts.length != 1)
       throw new UnsupportedFileFormatError(
-        s"'$path' mixes strip- and tile-organized (or differently tiled) " +
-          "IFDs within one scene")
+        s"'$path' mixes strip- and tile-organized (or differently tiled " +
+          "or differently sampled) IFDs within one scene")
     val head = ifds.head
     if (!head.tiled) None
     else Some(TileGrid(head.tileWidth, head.tileLength,
@@ -94,10 +99,13 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
   }
 
   private def sceneDims(t: Long, c: Long, z: Long, h: Long, w: Long,
-      grid: Option[TileGrid]): Dimensions = grid match {
-    case None => Dimensions(Dims.Default, Seq(t, c, z, h, w))
-    case Some(g) => Dimensions("MTCZYX",
+      spp: Int, grid: Option[TileGrid]): Dimensions = (grid, spp) match {
+    case (None, 1) => Dimensions(Dims.Default, Seq(t, c, z, h, w))
+    case (None, s) => Dimensions("TCZYXS", Seq(t, c, z, h, w, s.toLong))
+    case (Some(g), 1) => Dimensions("MTCZYX",
       Seq(g.ny.toLong * g.nx, t, c, z, g.tl.toLong, g.tw.toLong))
+    case (Some(g), s) => Dimensions("MTCZYXS",
+      Seq(g.ny.toLong * g.nx, t, c, z, g.tl.toLong, g.tw.toLong, s.toLong))
   }
 
   private def tilePositionsOf(grid: Option[TileGrid]): Seq[(Int, Int)] =
@@ -144,7 +152,7 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               sceneIdx = i,
               sceneId = img.id,
               dims = sceneDims(p.sizeT, p.sizeC, p.sizeZ, p.sizeY, p.sizeX,
-                grids(i)),
+                ifds(starts(i)).samplesPerPixel, grids(i)),
               channelNames = p.channels.flatMap(_.name),
               physicalPixelSizes = for {
                 z <- p.physicalSizeZ; y <- p.physicalSizeY; x <- p.physicalSizeX
@@ -192,7 +200,8 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
           val grid = gridOf(ifds)
           val pt = TiffFormat.pixelTypeOf(ifds.head.sampleFormat, ifds.head.bits)
           val scene = SceneMeta(0, "Image:0",
-            sceneDims(1L, 1L, ifds.length.toLong, h.toLong, w.toLong, grid),
+            sceneDims(1L, 1L, ifds.length.toLong, h.toLong, w.toLong,
+              ifds.head.samplesPerPixel, grid),
             channelNames = Seq.empty, physicalPixelSizes = None,
             pixelType = pt, tilePositions = tilePositionsOf(grid),
             rawMetadata = ifds.head.description, timeInterval = None)
@@ -232,8 +241,14 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
     val d = parsed.scenes(sceneIdx).dims
     val (h, w) = parsed.planeDims(sceneIdx)
     if (!d.order.contains('M')) d
-    else Dimensions("TCZYX",
-      Seq(d('T'), d('C'), d('Z'), h.toLong, w.toLong))
+    else {
+      val order = d.order.filter(_ != 'M')
+      Dimensions(order, order.map {
+        case 'Y' => h.toLong
+        case 'X' => w.toLong
+        case dim => d(dim)
+      })
+    }
   }
 
   /** Distributed segment read: the segment catalog parallelizes over
@@ -258,7 +273,7 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
             cropH = ifd.height, cropW = ifd.width,
             segH = ifd.height, segW = ifd.width,
             ifd.bits, ifd.sampleFormat, ifd.compression, ifd.predictor,
-            ifd.stripOffsets, ifd.stripByteCounts))
+            ifd.samplesPerPixel, ifd.stripOffsets, ifd.stripByteCounts))
         case Some(g) =>
           require(ifd.tileOffsets.length >= g.ny * g.nx,
             s"tiled IFD declares ${ifd.tileOffsets.length} tiles, " +
@@ -271,6 +286,7 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               cropW = math.min(g.tw, planeW - xi * g.tw),
               segH = g.tl, segW = g.tw,
               ifd.bits, ifd.sampleFormat, ifd.compression, ifd.predictor,
+              ifd.samplesPerPixel,
               Seq(ifd.tileOffsets(idx)), Seq(ifd.tileByteCounts(idx)))
           }
       }
@@ -292,32 +308,47 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
           Option(org.apache.spark.TaskContext.get()).foreach(
             _.addTaskCompletionListener[Unit](_ =>
               try in.close() catch { case _: Throwable => () }))
-          it.map { seg =>
+          it.flatMap { seg =>
+            val spp = seg.spp
             val raw = seg.offsets.zip(seg.counts).map { case (o, n) =>
               val buf = new Array[Byte](n.toInt)
               in.readFully(o, buf)
               TiffFormat.decodeSegment(buf, seg.compression, seg.predictor,
-                rowSamples = seg.segW, bits = seg.bits, samplesPerPixel = 1,
-                order = order)
+                rowSamples = seg.segW * spp, bits = seg.bits,
+                samplesPerPixel = spp, order = order)
             }.reduce(_ ++ _)
+            // interleaved samples (chunky): one PlaneRow per sample band
             val px = TiffFormat.decodePlane(raw, seg.bits, seg.sampleFormat,
               order)
-            val cropped =
-              if (seg.cropH == seg.segH && seg.cropW == seg.segW) px
-              else {
-                val out = new Array[Double](seg.cropH * seg.cropW)
-                var r2 = 0
-                while (r2 < seg.cropH) {
-                  System.arraycopy(px, r2 * seg.segW, out, r2 * seg.cropW,
-                    seg.cropW)
-                  r2 += 1
+            (0 until spp).map { si =>
+              val band =
+                if (spp == 1) px
+                else {
+                  val out = new Array[Double](seg.segH * seg.segW)
+                  var k = 0
+                  while (k < out.length) {
+                    out(k) = px(k * spp + si)
+                    k += 1
+                  }
+                  out
                 }
-                out
-              }
-            PlaneRow(sceneIdx, sceneId, level = 0, m = seg.m,
-              t = seg.t, c = seg.c, z = seg.z, s = 0,
-              y0 = seg.y0, x0 = seg.x0, h = seg.cropH, w = seg.cropW,
-              pixels = cropped)
+              val cropped =
+                if (seg.cropH == seg.segH && seg.cropW == seg.segW) band
+                else {
+                  val out = new Array[Double](seg.cropH * seg.cropW)
+                  var r2 = 0
+                  while (r2 < seg.cropH) {
+                    System.arraycopy(band, r2 * seg.segW, out,
+                      r2 * seg.cropW, seg.cropW)
+                    r2 += 1
+                  }
+                  out
+                }
+              PlaneRow(sceneIdx, sceneId, level = 0, m = seg.m,
+                t = seg.t, c = seg.c, z = seg.z, s = si,
+                y0 = seg.y0, x0 = seg.x0, h = seg.cropH, w = seg.cropW,
+                pixels = cropped)
+            }
           }
         }
       }

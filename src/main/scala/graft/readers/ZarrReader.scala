@@ -28,9 +28,11 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
 final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
   /** `shape` is always the expanded 5D TCZYX shape; `axes` records the
-    * STORED dim order (2–5 of "tczyx", y/x last) for chunk-key building. */
-  private case class Level(shape: Seq[Long], axes: String, chunkH: Int,
-      chunkW: Int, dtype: String, compressor: Option[String],
+    * STORED dim order (2–6 of "tczyxs", y/x last among spatial dims) for
+    * chunk-key building; `sSize` > 1 = trailing sample dim (RGB), chunks
+    * hold the interleaved YXS block. */
+  private case class Level(shape: Seq[Long], axes: String, sSize: Int,
+      chunkH: Int, chunkW: Int, dtype: String, compressor: Option[String],
       separator: String, fillValue: Double) {
     def gridY: Int = ((shape(3) + chunkH - 1) / chunkH).toInt
     def gridX: Int = ((shape(4) + chunkW - 1) / chunkW).toInt
@@ -103,34 +105,41 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         val JString(dtype) = zj \ "dtype"
         val chunks = (zj \ "chunks").children.map(_.values.toString.toLong)
         val rank = shapeRaw.length
-        require(rank >= 2 && rank <= 5,
-          s"expected 2D-5D zarr array, got ${rank}D")
+        require(rank >= 2 && rank <= 6,
+          s"expected 2D-6D zarr array, got ${rank}D")
         require(chunks.length == rank,
           s"chunks rank ${chunks.length} != shape rank $rank")
         // stored dim order: NGFF axes names when declared and consistent,
-        // else the trailing suffix of tczyx (the ArrayLike guessing rule)
+        // else the trailing suffix of tczyx (the ArrayLike guessing rule);
+        // rank 6 means a trailing sample axis (RGB, a graft extension)
         val axesNames = (ms \ "axes").children.flatMap(a => a \ "name" match {
           case JString(n) => Some(n)
           case _          => None
         })
         val axes: String =
           if (axesNames.length == rank &&
-            axesNames.forall(n => n.length == 1 && "tczyx".contains(n)))
+            axesNames.forall(n => n.length == 1 && "tczyxs".contains(n)))
             axesNames.mkString
+          else if (rank == 6) "tczyxs"
           else "tczyx".takeRight(rank)
-        require(axes.endsWith("yx"),
-          s"zarr axes '$axes' must end in y,x for the plane-chunk model")
+        require(axes.endsWith("yx") || axes.endsWith("yxs"),
+          s"zarr axes '$axes' must end in y,x[,s] for the plane-chunk model")
         def dimOf(d: Char): Long =
           axes.indexOf(d) match { case -1 => 1L; case i => shapeRaw(i) }
         val shape5 = Seq('t', 'c', 'z', 'y', 'x').map(dimOf)
+        val sSize = dimOf('s').toInt
         "tcz".foreach { d =>
           val i = axes.indexOf(d)
           require(i < 0 || chunks(i) == 1,
             s"expected chunk $d extent of 1, got $chunks")
         }
+        val sIdx = axes.indexOf('s')
+        require(sIdx < 0 || chunks(sIdx) == sSize,
+          s"expected full-sample chunks (s extent $sSize), got $chunks")
+        val (yIdx, xIdx) = (axes.indexOf('y'), axes.indexOf('x'))
         // Y/X chunk grid may be ragged — edge chunks are stored padded to
         // full chunk shape (zarr v2) and cropped on read
-        Level(shape5, axes, chunks(rank - 2).toInt, chunks(rank - 1).toInt,
+        Level(shape5, axes, sSize, chunks(yIdx).toInt, chunks(xIdx).toInt,
           dtype, compressor, separator, fillValue)
       }
       val channels = (j \ "omero" \ "channels").children.collect {
@@ -176,15 +185,22 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
   override def scenes: Seq[String] = scenes_.map(_.id)
 
+  /** Dims of a level in its TILED form (M leading when gridded, trailing
+    * S when the store carries a sample axis). */
+  private def levelDimsOf(lv: Level): Dimensions = {
+    val sTail = if (lv.sSize > 1) Seq(lv.sSize.toLong) else Seq.empty
+    val sCh = if (lv.sSize > 1) "S" else ""
+    if (lv.tiled)
+      Dimensions("MTCZYX" + sCh,
+        ((lv.gridY.toLong * lv.gridX) +: lv.shape.take(3) :+
+          lv.chunkH.toLong :+ lv.chunkW.toLong) ++ sTail)
+    else Dimensions("TCZYX" + sCh, lv.shape ++ sTail)
+  }
+
   override def sceneMeta(i: Int): SceneMeta = {
     val s = scenes_(i)
     val lv = s.levels.head
-    val sh = lv.shape
-    val dims =
-      if (lv.tiled)
-        Dimensions("MTCZYX", (lv.gridY.toLong * lv.gridX) +: sh.take(3) :+
-          lv.chunkH.toLong :+ lv.chunkW.toLong)
-      else Dimensions("TCZYX", sh)
+    val dims = levelDimsOf(lv)
     val tiles =
       if (lv.tiled)
         for { yi <- 0 until lv.gridY; xi <- 0 until lv.gridX }
@@ -208,11 +224,7 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val s = scenes_(sceneIdx)
     if (!s.levels.isDefinedAt(level))
       throw new IndexOutOfBoundsException(s"resolution level $level")
-    val lv = s.levels(level)
-    if (lv.tiled)
-      Dimensions("MTCZYX", (lv.gridY.toLong * lv.gridX) +:
-        lv.shape.take(3) :+ lv.chunkH.toLong :+ lv.chunkW.toLong)
-    else Dimensions("TCZYX", lv.shape)
+    levelDimsOf(s.levels(level))
   }
 
   /** Each level's tile grid comes from that level's own .zarray chunks —
@@ -233,7 +245,10 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val s = scenes_(sceneIdx)
     if (!s.levels.isDefinedAt(level))
       throw new IndexOutOfBoundsException(s"resolution level $level")
-    Dimensions("TCZYX", s.levels(level).shape)
+    val lv = s.levels(level)
+    if (lv.sSize > 1)
+      Dimensions("TCZYXS", lv.shape :+ lv.sSize.toLong)
+    else Dimensions("TCZYX", lv.shape)
   }
 
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
@@ -249,6 +264,7 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val Seq(t, c, z, planeH, planeW) = lv.shape.map(_.toInt)
     val (ch, cw) = (lv.chunkH, lv.chunkW)
     val (ny, nx) = (lv.gridY, lv.gridX)
+    val nS = lv.sSize
     val axes = lv.axes
     val dtype = lv.dtype
     val compressor = lv.compressor
@@ -272,41 +288,51 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         if (!it.hasNext) Iterator.empty
         else {
           val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
-          it.map { case (ti, ci, zi, yi, xi) =>
+          it.flatMap { case (ti, ci, zi, yi, xi) =>
             // zarr v2 dimension_separator: "." (flat) or "/" (nested);
             // the key has one component per STORED dim, in stored order
+            // (the sample dim is one full-extent chunk → index 0)
             val idx = Map('t' -> ti, 'c' -> ci, 'z' -> zi,
-              'y' -> yi, 'x' -> xi)
+              'y' -> yi, 'x' -> xi, 's' -> 0)
             val key = axes.map(idx).mkString(sep)
             // edge chunks are stored padded to full chunk shape; crop to
             // the array bounds (ragged grids, zarr v2 semantics)
             val cropH = math.min(ch, planeH - yi * ch)
             val cropW = math.min(cw, planeW - xi * cw)
             val p = new Path(s"$base/$key")
-            val px =
-              if (!f.exists(p)) Array.fill(cropH * cropW)(fill) // missing
+            val full: Option[Array[Double]] =
+              if (!f.exists(p)) None // missing chunk → fill_value planes
               else {
                 val in = f.open(p)
                 try {
                   val n = f.getFileStatus(p).getLen.toInt
                   val bytes = new Array[Byte](n)
                   in.readFully(0, bytes)
-                  val full = ZarrFormat.decodeChunk(bytes, dtype, compressor)
-                  if (cropH == ch && cropW == cw) full
-                  else {
-                    val out = new Array[Double](cropH * cropW)
-                    var r = 0
-                    while (r < cropH) {
-                      System.arraycopy(full, r * cw, out, r * cropW, cropW)
-                      r += 1
-                    }
-                    out
-                  }
+                  Some(ZarrFormat.decodeChunk(bytes, dtype, compressor))
                 } finally in.close()
               }
-            PlaneRow(sceneIdx, sid, level, m = yi * nx + xi,
-              t = ti, c = ci, z = zi, s = 0,
-              y0 = yi * ch, x0 = xi * cw, h = cropH, w = cropW, pixels = px)
+            (0 until nS).map { si =>
+              val px = full match {
+                case None => Array.fill(cropH * cropW)(fill)
+                case Some(data) =>
+                  // de-interleave the sample band, then crop edge padding
+                  val out = new Array[Double](cropH * cropW)
+                  var r = 0
+                  while (r < cropH) {
+                    var x = 0
+                    while (x < cropW) {
+                      out(r * cropW + x) = data((r * cw + x) * nS + si)
+                      x += 1
+                    }
+                    r += 1
+                  }
+                  out
+              }
+              PlaneRow(sceneIdx, sid, level, m = yi * nx + xi,
+                t = ti, c = ci, z = zi, s = si,
+                y0 = yi * ch, x0 = xi * cw, h = cropH, w = cropW,
+                pixels = px)
+            }
           }
         }
       }

@@ -58,17 +58,18 @@ object OmeTiffWriter extends BioWriter {
     val saved = img.currentSceneIndex
     // per-scene layout facts from the catalog (no data scan)
     case class SceneLayout(origIdx: Int, t: Int, c: Int, z: Int, h: Int,
-        w: Int, pt: PixelType.Value, channelNames: Seq[String],
+        w: Int, nS: Int, pt: PixelType.Value, channelNames: Seq[String],
         pps: Option[(Double, Double, Double)], timeInterval: Option[Double])
     val layouts = sel.zipWithIndex.map { case (sid, renum) =>
       img.setScene(sid)
       val m = img.meta
       val d = img.dims
-      if (d.order.contains('S') && d('S') > 1)
+      val nS = if (d.order.contains('S')) d('S').toInt else 1
+      if (nS != 1 && nS != 3)
         throw new UnsupportedOperationException(
-          "multi-sample (S>1) scenes are not supported by this writer yet")
+          s"TIFF supports 1 (gray) or 3 (RGB chunky) samples, got S=$nS")
       SceneLayout(img.currentSceneIndex, d('T').toInt, d('C').toInt,
-        d('Z').toInt, d('Y').toInt, d('X').toInt, m.pixelType,
+        d('Z').toInt, d('Y').toInt, d('X').toInt, nS, m.pixelType,
         img.channelNames, m.physicalPixelSizes, m.timeInterval)
     }
     img.setScene(saved)
@@ -109,17 +110,37 @@ object OmeTiffWriter extends BioWriter {
       layouts.zipWithIndex.foreach { case (s, i) =>
         img.setScene(s.origIdx)
         val bps = TiffFormat.bytesPerSample(s.pt)
+        val nS = s.nS
         val it = img.stitchedPlanes
-          .select(col("t"), col("c"), col("z"), col("pixels"))
-          .orderBy(col("t"), col("c"), col("z"))
+          .select(col("t"), col("c"), col("z"), col("s"), col("pixels"))
+          .orderBy(col("t"), col("c"), col("z"), col("s"))
           .toLocalIterator()
         var seen = 0
         while (it.hasNext) {
-          val row = it.next()
-          val px = row.getSeq[Double](3).toArray
-          require(px.length == s.h * s.w,
-            s"scene ${sel(i)}: plane has ${px.length} pixels, " +
-              s"expected ${s.h}x${s.w}")
+          // one output IFD = nS consecutive sample rows of one (t,c,z),
+          // interleaved chunky (RGBRGB…) per TIFF PlanarConfiguration=1
+          val px = new Array[Double](s.h * s.w * nS)
+          var si = 0
+          var tcz: (Int, Int, Int) = null
+          while (si < nS) {
+            val row = it.next()
+            val key = (row.getInt(0), row.getInt(1), row.getInt(2))
+            if (tcz == null) tcz = key
+            else require(key == tcz,
+              s"scene ${sel(i)}: sample rows out of order at $key vs $tcz")
+            require(row.getInt(3) == si,
+              s"scene ${sel(i)}: expected sample $si, got ${row.getInt(3)}")
+            val band = row.getSeq[Double](4)
+            require(band.length == s.h * s.w,
+              s"scene ${sel(i)}: plane has ${band.length} pixels, " +
+                s"expected ${s.h}x${s.w}")
+            var k = 0
+            while (k < band.length) {
+              px(k * nS + si) = band(k)
+              k += 1
+            }
+            si += 1
+          }
 
           // encode + compress this plane's segments (one strip, or tiles)
           val segments: Seq[Array[Byte]] = opts.tile match {
@@ -129,15 +150,16 @@ object OmeTiffWriter extends BioWriter {
             case Some((tw, tl)) =>
               val nx = (s.w + tw - 1) / tw
               val ny = (s.h + tl - 1) / tl
+              val rowSamples = s.w * nS
               for { yi <- 0 until ny; xi <- 0 until nx } yield {
                 // tiles are stored at full tile size, zero-padded at edges
-                val tile = new Array[Double](tl * tw)
+                val tile = new Array[Double](tl * tw * nS)
                 val hEff = math.min(tl, s.h - yi * tl)
                 val wEff = math.min(tw, s.w - xi * tw)
                 var r = 0
                 while (r < hEff) {
-                  System.arraycopy(px, (yi * tl + r) * s.w + xi * tw,
-                    tile, r * tw, wEff)
+                  System.arraycopy(px, (yi * tl + r) * rowSamples + xi * tw * nS,
+                    tile, r * tw * nS, wEff * nS)
                   r += 1
                 }
                 TiffFormat.compress(
@@ -146,36 +168,44 @@ object OmeTiffWriter extends BioWriter {
           }
           val segPadded = segments.map(b => b.length + (b.length & 1))
 
-          // entries minus the data-offset values, to size the IFD
-          val baseEntries = Seq(
-            TiffFormat.Entry(TiffFormat.TagImageWidth, TiffFormat.TypeLong, 1, s.w),
-            TiffFormat.Entry(TiffFormat.TagImageLength, TiffFormat.TypeLong, 1, s.h),
-            TiffFormat.Entry(TiffFormat.TagBitsPerSample, TiffFormat.TypeShort, 1, bps * 8L),
-            TiffFormat.Entry(TiffFormat.TagCompression, TiffFormat.TypeShort, 1, opts.compression),
-            TiffFormat.Entry(TiffFormat.TagPhotometric, TiffFormat.TypeShort, 1, 1),
-            TiffFormat.Entry(TiffFormat.TagSamplesPerPixel, TiffFormat.TypeShort, 1, 1),
-            TiffFormat.Entry(TiffFormat.TagSampleFormat, TiffFormat.TypeShort, 1,
-              TiffFormat.sampleFormat(s.pt))) ++
-            (if (planeIdx == 0)
-              Seq(TiffFormat.Entry(TiffFormat.TagImageDescription,
-                TiffFormat.TypeAscii, xmlBytes.length, xmlOffset))
-            else Seq.empty)
+          // entries minus the data-offset values, to size the IFD; when
+          // nS > 1 the BitsPerSample/SampleFormat value arrays (3 shorts)
+          // live out-of-line right after the IFD
+          val baseEntryCount = if (planeIdx == 0) 8 else 7
           val n = segments.length
           val layoutEntryCount = opts.tile match {
             case None    => 3 // StripOffsets, RowsPerStrip, StripByteCounts
             case Some(_) => 4 // TileWidth, TileLength, TileOffsets, TileByteCounts
           }
-          val nEntries = baseEntries.length + layoutEntryCount
+          val nEntries = baseEntryCount + layoutEntryCount
           val ifdOff = pos
           val ifdSize = TiffFormat.ifdSize(nEntries)
-          // out-of-line arrays (tile offsets/counts when the grid has >1 tile)
-          val oolSize = if (opts.tile.isDefined && n > 1) 2 * 4 * n else 0
-          val dataStart = ifdOff + ifdSize + oolSize
+          val shortOol = if (nS > 1) 2 * 2 * nS else 0
+          val tileOol = if (opts.tile.isDefined && n > 1) 2 * 4 * n else 0
+          val bitsArrOff = ifdOff + ifdSize
+          val sfArrOff = bitsArrOff + 2L * nS
+          val dataStart = ifdOff + ifdSize + shortOol + tileOol
           val segOffsets = segPadded.scanLeft(dataStart)(_ + _)
           val endPos = segOffsets.last
           require(endPos < (1L << 32),
             "image exceeds classic TIFF 4 GiB limit — use the parquet plane store")
           val nextIfd = if (planeIdx == totalPlanes - 1) 0L else endPos
+
+          val baseEntries = Seq(
+            TiffFormat.Entry(TiffFormat.TagImageWidth, TiffFormat.TypeLong, 1, s.w),
+            TiffFormat.Entry(TiffFormat.TagImageLength, TiffFormat.TypeLong, 1, s.h),
+            TiffFormat.Entry(TiffFormat.TagBitsPerSample, TiffFormat.TypeShort, nS,
+              if (nS == 1) bps * 8L else bitsArrOff),
+            TiffFormat.Entry(TiffFormat.TagCompression, TiffFormat.TypeShort, 1, opts.compression),
+            TiffFormat.Entry(TiffFormat.TagPhotometric, TiffFormat.TypeShort, 1,
+              if (nS == 3) 2 else 1), // RGB vs BlackIsZero
+            TiffFormat.Entry(TiffFormat.TagSamplesPerPixel, TiffFormat.TypeShort, 1, nS),
+            TiffFormat.Entry(TiffFormat.TagSampleFormat, TiffFormat.TypeShort, nS,
+              if (nS == 1) TiffFormat.sampleFormat(s.pt) else sfArrOff)) ++
+            (if (planeIdx == 0)
+              Seq(TiffFormat.Entry(TiffFormat.TagImageDescription,
+                TiffFormat.TypeAscii, xmlBytes.length, xmlOffset))
+            else Seq.empty)
 
           val layoutEntries = opts.tile match {
             case None => Seq(
@@ -183,7 +213,7 @@ object OmeTiffWriter extends BioWriter {
               TiffFormat.Entry(TiffFormat.TagRowsPerStrip, TiffFormat.TypeLong, 1, s.h),
               TiffFormat.Entry(TiffFormat.TagStripByteCounts, TiffFormat.TypeLong, 1, segments(0).length))
             case Some((tw, tl)) =>
-              val offArrOff = ifdOff + ifdSize
+              val offArrOff = ifdOff + ifdSize + shortOol
               val cntArrOff = offArrOff + 4L * n
               Seq(
                 TiffFormat.Entry(TiffFormat.TagTileWidth, TiffFormat.TypeLong, 1, tw),
@@ -194,8 +224,15 @@ object OmeTiffWriter extends BioWriter {
                   if (n == 1) segments(0).length else cntArrOff))
           }
           write(TiffFormat.ifdBytes(baseEntries ++ layoutEntries, nextIfd))
-          if (oolSize > 0) {
-            val b = ByteBuffer.allocate(oolSize).order(ByteOrder.LITTLE_ENDIAN)
+          if (shortOol > 0) {
+            val b = ByteBuffer.allocate(shortOol).order(ByteOrder.LITTLE_ENDIAN)
+            (0 until nS).foreach(_ => b.putShort((bps * 8).toShort))
+            (0 until nS).foreach(_ =>
+              b.putShort(TiffFormat.sampleFormat(s.pt).toShort))
+            write(b.array())
+          }
+          if (tileOol > 0) {
+            val b = ByteBuffer.allocate(tileOol).order(ByteOrder.LITTLE_ENDIAN)
             segOffsets.init.foreach(o => b.putInt(o.toInt))
             segments.foreach(sg => b.putInt(sg.length))
             write(b.array())

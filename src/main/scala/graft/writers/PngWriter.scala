@@ -10,7 +10,7 @@ import graft.image.{BioImage, Sel}
 /** 2D PNG sink — the analog of the reference registry's TwoDWriter
   * (/root/reference/README.md:78-85): the CURRENT scene's (T=0, C=0, Z=0)
   * plane, written as 8- or 16-bit grayscale PNG (values clamped to the
-  * type range). Multi-sample scenes write the S=0 band. */
+  * type range). Three-sample (S=3) scenes write interleaved 8-bit RGB. */
 object PngWriter extends BioWriter {
   override def name: String = "PngWriter"
   override def supportedExtensions: Seq[String] = Seq(".png")
@@ -32,21 +32,33 @@ object PngWriter extends BioWriter {
     val d = img.dims
     val h = d('Y').toInt
     val w = d('X').toInt
-    val sixteen = img.meta.pixelType == graft.core.PixelType.UInt16
-    val nd = img.getImageData("YX",
-      d.order.filter(c => c != 'Y' && c != 'X')
-        .map(c => c -> (Sel.Index(0): Sel)).toMap)
+    val nS = if (d.order.contains('S')) d('S').toInt else 1
+    require(nS == 1 || nS == 3,
+      s"PNG supports 1 (gray) or 3 (RGB) samples, got S=$nS")
+    val sixteen = nS == 1 &&
+      img.meta.pixelType == graft.core.PixelType.UInt16
+    val reduce = d.order.filter(c => c != 'Y' && c != 'X' && c != 'S')
+      .map(c => c -> (Sel.Index(0): Sel)).toMap
     val buf = new BufferedImage(w, h,
-      if (sixteen) BufferedImage.TYPE_USHORT_GRAY
+      if (nS == 3) BufferedImage.TYPE_INT_RGB
+      else if (sixteen) BufferedImage.TYPE_USHORT_GRAY
       else BufferedImage.TYPE_BYTE_GRAY)
     val raster = buf.getRaster
     val maxV = if (sixteen) 65535 else 255
+    val nd =
+      if (nS == 3) img.getImageData("YXS", reduce)
+      else img.getImageData("YX", reduce)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = math.min(maxV, math.max(0, nd.array(y, x).round.toInt))
-        raster.setSample(x, y, 0, v)
+        var s = 0
+        while (s < nS) {
+          val raw = if (nS == 3) nd.array(y, x, s) else nd.array(y, x)
+          val v = math.min(maxV, math.max(0, raw.round.toInt))
+          raster.setSample(x, y, s, v)
+          s += 1
+        }
         x += 1
       }
       y += 1

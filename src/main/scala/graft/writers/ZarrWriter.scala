@@ -3,7 +3,7 @@ package graft.writers
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{array, array_sort, col, collect_list, struct, transform}
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.core.Plane
@@ -55,10 +55,8 @@ object ZarrWriter extends BioWriter {
     sel.zipWithIndex.foreach { case (sid, g) =>
       img.setScene(sid)
       val m = img.meta
-      if (m.dims.order.contains('S') && m.dims('S') > 1)
-        throw new UnsupportedOperationException(
-          "multi-sample (S>1) scenes are not supported by this writer yet")
       val d = img.dims // stitched for mosaic scenes
+      val nS = if (d.order.contains('S')) d('S').toInt else 1
       val (t, c, z, h, w) =
         (d('T'), d('C'), d('Z'), d('Y'), d('X'))
       val pt = m.pixelType
@@ -73,38 +71,70 @@ object ZarrWriter extends BioWriter {
       // scene ids are REGENERATED with order preserved, the shared writer
       // contract (bio_image.py:1252-1257) — same as OME-TIFF / .graft
       writeDoc(s"$uri/$g/.zattrs",
-        ZarrFormat.imageAttrs(s"Image:$g", levels, scale0, img.channelNames))
+        ZarrFormat.imageAttrs(s"Image:$g", levels, scale0, img.channelNames,
+          sSamples = nS))
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
+      val sTail = if (nS > 1) Seq(nS.toLong) else Seq.empty
       (0 until levels).foreach { l =>
         writeDoc(s"$uri/$g/$l/.zarray", ZarrFormat.zarray(
-          Seq(t, c, z, hs(l), ws(l)), Seq(1, 1, 1, hs(l), ws(l)), dtype,
+          Seq(t, c, z, hs(l), ws(l)) ++ sTail,
+          Seq(1L, 1L, 1L, hs(l), ws(l)) ++ sTail, dtype,
           compressor))
       }
 
-      // chunk files: distributed — each task writes its planes directly
+      // chunk files: distributed — each task writes its chunks directly.
+      // S>1: the chunk holds the interleaved YXS block, so the nS sample
+      // rows of a plane group into one write (a tiny keyed shuffle).
       val levelDfs = Iterator.iterate(img.stitchedPlanes)(Plane.poolHalf)
         .take(levels).toSeq
       val target = s"$uri/$g"
+      val sSuffix = if (nS > 1) ".0" else ""
       levelDfs.foreach { df =>
-        df.select(col("level"), col("t"), col("c"), col("z"), col("pixels"))
-          .foreachPartition {
-            (rows: Iterator[org.apache.spark.sql.Row]) =>
-              if (rows.nonEmpty) {
-                val pfs = FileSystem.get(
-                  new java.net.URI(target + "/"), hconf.value)
-                val typesize = ZarrFormat.bytesPer(ZarrFormat.dtypeOf(pt))
-                rows.foreach { r =>
-                  val key =
-                    s"$target/${r.getInt(0)}/${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0"
-                  val out = pfs.create(new Path(key), true)
-                  try out.write(ZarrFormat.compressChunk(
-                    ZarrFormat.encodeChunk(r.getSeq[Double](4).toArray, pt),
-                    compressor, typesize))
-                  finally out.close()
-                }
+        val chunks =
+          if (nS == 1)
+            df.select(col("level"), col("t"), col("c"), col("z"),
+              array(col("pixels")).as("bands"))
+          else
+            df.select(col("level"), col("t"), col("c"), col("z"), col("s"),
+              col("pixels"))
+              .groupBy(col("level"), col("t"), col("c"), col("z"))
+              .agg(transform(
+                array_sort(collect_list(struct(col("s"), col("pixels")))),
+                b => b.getField("pixels")).as("bands"))
+        chunks.foreachPartition {
+          (rows: Iterator[org.apache.spark.sql.Row]) =>
+            if (rows.nonEmpty) {
+              val pfs = FileSystem.get(
+                new java.net.URI(target + "/"), hconf.value)
+              val typesize = ZarrFormat.bytesPer(ZarrFormat.dtypeOf(pt))
+              rows.foreach { r =>
+                val key =
+                  s"$target/${r.getInt(0)}/${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0$sSuffix"
+                val bands = r.getSeq[scala.collection.Seq[Double]](4)
+                val px =
+                  if (bands.length == 1) bands.head.toArray
+                  else {
+                    val out = new Array[Double](bands.head.length * bands.length)
+                    var si = 0
+                    while (si < bands.length) {
+                      val b = bands(si)
+                      var k = 0
+                      while (k < b.length) {
+                        out(k * bands.length + si) = b(k)
+                        k += 1
+                      }
+                      si += 1
+                    }
+                    out
+                  }
+                val out = pfs.create(new Path(key), true)
+                try out.write(ZarrFormat.compressChunk(
+                  ZarrFormat.encodeChunk(px, pt), compressor, typesize))
+                finally out.close()
               }
-          }
+            }
+        }
       }
     }
     img.setScene(saved)

@@ -380,6 +380,65 @@ class OmeTiffSpec extends SparkSpec {
     }
   }
 
+  test("RGB (S=3) chunky strips roundtrip; JDK ImageIO agrees both ways") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // engine → ImageIO: write an RGB scene via an RGB PNG source
+    val arr = NDArray.tabulate(Seq(5, 7, 3))(idx =>
+      (idx(0) * 20 + idx(1) * 5 + idx(2) * 3) % 256)
+    val png = tmp("rgb-src.png")
+    new BioImage(spark, new ArrayLikeReader(Seq(arr), Seq(Some("YXS")),
+      Seq(None))).save(png)
+    val img8 = BioSpark.open(spark, png)
+    assert(img8.dims.order == "TCZYXS")
+    val uri = tmp("rgb.ome.tiff")
+    img8.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims.order == "TCZYXS")
+    assert(back.dims('S') == 3)
+    val nd = back.getImageData("YXS")
+    for (y <- 0 until 5; x <- 0 until 7; s <- 0 until 3)
+      assert(nd.array(y, x, s) == ((y * 20 + x * 5 + s * 3) % 256).toDouble)
+    val io = ImageIO.read(new java.io.File(uri))
+    assert(io != null)
+    for (y <- 0 until 5; x <- 0 until 7; s <- 0 until 3)
+      assert(io.getRaster.getSampleDouble(x, y, s)
+        == ((y * 20 + x * 5 + s * 3) % 256).toDouble, s"io ($y,$x,$s)")
+
+    // ImageIO → engine: a foreign RGB TIFF (LZW) reads as YXS bands
+    val w = ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("LZW")
+    val bi = new BufferedImage(9, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 9; s <- 0 until 3)
+      bi.getRaster.setSample(x, y, s, (y * 31 + x * 11 + s * 5) % 256)
+    val f = new java.io.File(tmp("foreign-rgb.tif"))
+    val os = ImageIO.createImageOutputStream(f)
+    w.setOutput(os)
+    w.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    os.close(); w.dispose()
+    val fr = BioSpark.open(spark, f.getPath)
+    assert(fr.dims('S') == 3)
+    val fnd = fr.getImageData("YXS")
+    for (y <- 0 until 4; x <- 0 until 9; s <- 0 until 3)
+      assert(fnd.array(y, x, s) == ((y * 31 + x * 11 + s * 5) % 256).toDouble,
+        s"foreign ($y,$x,$s)")
+  }
+
+  test("RGB PNG write path (TwoDWriter analog)") {
+    val arr = NDArray.tabulate(Seq(4, 6, 3))(idx =>
+      (idx(0) * 40 + idx(1) * 9 + idx(2) * 2) % 256)
+    val png = tmp("rgb-out.png")
+    new BioImage(spark, new ArrayLikeReader(Seq(arr), Seq(Some("YXS")),
+      Seq(None))).save(png)
+    val back = BioSpark.open(spark, png)
+    assert(back.dims('S') == 3)
+    val nd = back.getImageData("YXS")
+    for (y <- 0 until 4; x <- 0 until 6; s <- 0 until 3)
+      assert(nd.array(y, x, s) == ((y * 40 + x * 9 + s * 2) % 256).toDouble)
+  }
+
   test("unsupported compression, RGB strips, and stripless IFDs are " +
       "rejected with UnsupportedFileFormatError") {
     import java.nio.{ByteBuffer, ByteOrder}
@@ -406,11 +465,16 @@ class OmeTiffSpec extends SparkSpec {
     val e1 = intercept[graft.core.UnsupportedFileFormatError](
       new OmeTiffReader(spark, jpeg).scenes)
     assert(e1.getMessage.contains("compression 7"))
-    // RGB strips
-    val rgb = fixture(base :+ ((277, 3, 1, 3)): _*)
+    // 4-sample strips (only 1 and 3 supported)
+    val rgba = fixture(base :+ ((277, 3, 1, 4)): _*)
     val e2 = intercept[graft.core.UnsupportedFileFormatError](
-      new OmeTiffReader(spark, rgb).scenes)
-    assert(e2.getMessage.contains("SamplesPerPixel=3"))
+      new OmeTiffReader(spark, rgba).scenes)
+    assert(e2.getMessage.contains("SamplesPerPixel=4"))
+    // planar (non-chunky) RGB
+    val planar = fixture((base :+ ((277, 3, 1, 3))) :+ ((284, 3, 1, 2)): _*)
+    val e2b = intercept[graft.core.UnsupportedFileFormatError](
+      new OmeTiffReader(spark, planar).scenes)
+    assert(e2b.getMessage.contains("PlanarConfiguration=2"))
     // neither strips nor tiles
     val none = fixture((256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8))
     val e3 = intercept[graft.core.UnsupportedFileFormatError](

@@ -304,6 +304,21 @@ class ZarrSpec extends SparkSpec {
       assert(nd.array(k / 4, k % 4) == 1000.0 + k)
   }
 
+  test("RGB (S=3) trailing-sample-axis store roundtrips") {
+    val arr = NDArray.tabulate(Seq(5, 6, 3))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = new BioImage(spark, new ArrayLikeReader(Seq(arr),
+      Seq(Some("YXS")), Seq(None)))
+    val uri = tmp("rgb.ome.zarr")
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims.order == "TCZYXS")
+    assert(back.dims('S') == 3)
+    val nd = back.getImageData("YXS")
+    for (y <- 0 until 5; x <- 0 until 6; s <- 0 until 3)
+      assert(nd.array(y, x, s) == y * 100.0 + x * 10.0 + s, s"($y,$x,$s)")
+  }
+
   test("writer raises on unknown selections; mosaic scenes stitch on save") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
