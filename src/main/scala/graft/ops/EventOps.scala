@@ -218,6 +218,29 @@ object EventOps {
       |WHERE (ws + 600) * 1000000 <= mx - 600000000
       |ORDER BY window_start, user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** E13 streaming stateful dedup end-to-end: dropDuplicatesWithinWatermark
+    * on (user_id, event_type, 10-minute bucket) with a 1-hour watermark
+    * through the real streaming engine. Dedup emits rows as they are
+    * first seen (append mode, no window finalization), so every distinct
+    * key appears exactly once; the oracle is the same distinct projection
+    * at µs precision. */
+  val q47StreamDedup: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q47_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.dedupKeysWithinWatermark(StreamOps.readEvents(spark, dir)),
+      name)
+      .select(col("user_id"), col("event_type"), col("bucket_start"))
+      .orderBy(col("user_id"), col("event_type"), col("bucket_start"))
+  }
+
+  val q47Oracle: String =
+    """SELECT DISTINCT user_id, event_type,
+      | ((epoch_ns(ts) // 1000000000) // 600) * 600 AS bucket_start
+      |FROM events
+      |ORDER BY user_id, event_type, bucket_start""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -227,6 +250,7 @@ object EventOps {
     "q42_stream_tumbling" -> q42StreamTumbling,
     "q45_stream_session" -> q45StreamSession,
     "q46_stream_sliding" -> q46StreamSliding,
+    "q47_stream_dedup" -> q47StreamDedup,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -238,5 +262,6 @@ object EventOps {
     "q42_stream_tumbling" -> q42Oracle,
     "q45_stream_session" -> q45Oracle,
     "q46_stream_sliding" -> q46Oracle,
+    "q47_stream_dedup" -> q47Oracle,
   )
 }

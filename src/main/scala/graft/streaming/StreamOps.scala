@@ -81,6 +81,20 @@ object StreamOps {
       .withWatermark("ts_utc", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stateful dedup keyed on (user_id, event_type, 10-minute bucket),
+    * emitting exactly the key columns. Key-only output keeps the result
+    * deterministic under parallelism (whichever duplicate wins carries
+    * identical output fields), which is what makes this oracle-checkable;
+    * the state store still runs the real dropDuplicatesWithinWatermark
+    * operator with watermark-bounded key expiry. */
+  def dedupKeysWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_utc", "1 hour")
+      .withColumn("bucket_start",
+        expr("(unix_timestamp(ts_utc) div 600) * 600"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket_start")
+      .select(col("user_id"), col("event_type"), col("bucket_start"))
+
   /** Run any of the above to completion against a static directory via the
     * memory sink (test/bench harness; a real deployment passes a kafka or
     * file sink instead). Returns the collected result table.
