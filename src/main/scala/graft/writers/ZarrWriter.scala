@@ -3,7 +3,8 @@ package graft.writers
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.functions.{array, array_sort, col, collect_list, struct, transform}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{array, array_sort, col, collect_list, lit, struct, transform}
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.core.Plane
@@ -29,6 +30,67 @@ object ZarrWriter extends BioWriter {
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
       levels: Int): Unit =
     save(img, uri, selectScenes, levels, compressor = None)
+
+  /** Mosaic scenes whose tile catalog IS an exact chunk grid (positions =
+    * (yi·th, xi·tw), full coverage, tile dims dividing the stitched
+    * shape) can write zarr chunks STRAIGHT from tile rows — no
+    * stitched-plane reassembly, no aggregation anywhere in the plan. */
+  private[graft] def alignedTileGrid(img: BioImage): Option[(Int, Int)] = {
+    val m = img.meta
+    if (!m.dims.order.contains('M') || m.dims.order.contains('S')) None
+    else {
+      val th = m.dims('Y').toInt
+      val tw = m.dims('X').toInt
+      val d = img.dims
+      if (!d.order.startsWith("TCZ") || d.order.contains('M')) None
+      else {
+        val h = d('Y').toInt
+        val w = d('X').toInt
+        val expect = (for {
+          yi <- 0 until h / th; xi <- 0 until w / tw
+        } yield (yi * th, xi * tw)).toSet
+        if (th > 0 && tw > 0 && h % th == 0 && w % tw == 0 &&
+          m.tilePositions.length == expect.size &&
+          m.tilePositions.toSet == expect) Some((th, tw))
+        else None
+      }
+    }
+  }
+
+  /** The chunk-row plan for the CURRENT scene: (level, t, c, z, yi, xi,
+    * bands). Returns tileDirect=true when chunks come straight from
+    * mosaic tile rows (aligned grid, single level, no samples). */
+  private[graft] def sceneChunkRows(img: BioImage, levels: Int,
+      nS: Int): (DataFrame, Boolean) = {
+    val tileDirect = levels == 1 && nS == 1 &&
+      alignedTileGrid(img).isDefined
+    if (tileDirect) {
+      val (th, tw) = alignedTileGrid(img).get
+      (img.planes.select(col("level"), col("t"), col("c"), col("z"),
+        (col("y0") / th).cast("int").as("yi"),
+        (col("x0") / tw).cast("int").as("xi"),
+        array(col("pixels")).as("bands")), true)
+    } else {
+      val levelDfs = Iterator.iterate(img.stitchedPlanes)(Plane.poolHalf)
+        .take(levels).toSeq
+      val unioned = levelDfs.map { df =>
+        if (nS == 1)
+          df.select(col("level"), col("t"), col("c"), col("z"),
+            lit(0).as("yi"), lit(0).as("xi"),
+            array(col("pixels")).as("bands"))
+        else
+          df.select(col("level"), col("t"), col("c"), col("z"), col("s"),
+            col("pixels"))
+            .groupBy(col("level"), col("t"), col("c"), col("z"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("s"), col("pixels")))),
+              b => b.getField("pixels")).as("bands"))
+            .select(col("level"), col("t"), col("c"), col("z"),
+              lit(0).as("yi"), lit(0).as("xi"), col("bands"))
+      }.reduce(_ unionByName _)
+      (unioned, false)
+    }
+  }
 
   /** `compressor`: None (raw chunks), "zlib", or "blosc" (lz4 +
     * byte-shuffle — the bioformats2raw-default chunk wrapping). */
@@ -73,68 +135,62 @@ object ZarrWriter extends BioWriter {
       writeDoc(s"$uri/$g/.zattrs",
         ZarrFormat.imageAttrs(s"Image:$g", levels, scale0, img.channelNames,
           sSamples = nS))
+      val (chunkRows, tileDirect) = sceneChunkRows(img, levels, nS)
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
       val sTail = if (nS > 1) Seq(nS.toLong) else Seq.empty
+      val (chunkH0, chunkW0) =
+        if (tileDirect) {
+          val (th, tw) = alignedTileGrid(img).get
+          (th.toLong, tw.toLong)
+        } else (0L, 0L)
       (0 until levels).foreach { l =>
+        val (chl, cwl) =
+          if (tileDirect) (chunkH0, chunkW0) else (hs(l), ws(l))
         writeDoc(s"$uri/$g/$l/.zarray", ZarrFormat.zarray(
           Seq(t, c, z, hs(l), ws(l)) ++ sTail,
-          Seq(1L, 1L, 1L, hs(l), ws(l)) ++ sTail, dtype,
+          Seq(1L, 1L, 1L, chl, cwl) ++ sTail, dtype,
           compressor))
       }
 
       // chunk files: distributed — each task writes its chunks directly.
-      // S>1: the chunk holds the interleaved YXS block, so the nS sample
-      // rows of a plane group into one write (a tiny keyed shuffle).
-      val levelDfs = Iterator.iterate(img.stitchedPlanes)(Plane.poolHalf)
-        .take(levels).toSeq
+      // Aligned mosaics write one chunk per TILE row (no stitched-plane
+      // aggregation in the plan); S>1 groups a plane's sample rows into
+      // one interleaved chunk (a tiny keyed shuffle).
       val target = s"$uri/$g"
       val sSuffix = if (nS > 1) ".0" else ""
-      levelDfs.foreach { df =>
-        val chunks =
-          if (nS == 1)
-            df.select(col("level"), col("t"), col("c"), col("z"),
-              array(col("pixels")).as("bands"))
-          else
-            df.select(col("level"), col("t"), col("c"), col("z"), col("s"),
-              col("pixels"))
-              .groupBy(col("level"), col("t"), col("c"), col("z"))
-              .agg(transform(
-                array_sort(collect_list(struct(col("s"), col("pixels")))),
-                b => b.getField("pixels")).as("bands"))
-        chunks.foreachPartition {
-          (rows: Iterator[org.apache.spark.sql.Row]) =>
-            if (rows.nonEmpty) {
-              val pfs = FileSystem.get(
-                new java.net.URI(target + "/"), hconf.value)
-              val typesize = ZarrFormat.bytesPer(ZarrFormat.dtypeOf(pt))
-              rows.foreach { r =>
-                val key =
-                  s"$target/${r.getInt(0)}/${r.getInt(1)}.${r.getInt(2)}.${r.getInt(3)}.0.0$sSuffix"
-                val bands = r.getSeq[scala.collection.Seq[Double]](4)
-                val px =
-                  if (bands.length == 1) bands.head.toArray
-                  else {
-                    val out = new Array[Double](bands.head.length * bands.length)
-                    var si = 0
-                    while (si < bands.length) {
-                      val b = bands(si)
-                      var k = 0
-                      while (k < b.length) {
-                        out(k * bands.length + si) = b(k)
-                        k += 1
-                      }
-                      si += 1
+      chunkRows.foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.nonEmpty) {
+            val pfs = FileSystem.get(
+              new java.net.URI(target + "/"), hconf.value)
+            val typesize = ZarrFormat.bytesPer(ZarrFormat.dtypeOf(pt))
+            rows.foreach { r =>
+              val key = s"$target/${r.getInt(0)}/${r.getInt(1)}." +
+                s"${r.getInt(2)}.${r.getInt(3)}.${r.getInt(4)}.${r.getInt(5)}$sSuffix"
+              val bands = r.getSeq[scala.collection.Seq[Double]](6)
+              val px =
+                if (bands.length == 1) bands.head.toArray
+                else {
+                  val out = new Array[Double](bands.head.length * bands.length)
+                  var si = 0
+                  while (si < bands.length) {
+                    val b = bands(si)
+                    var k = 0
+                    while (k < b.length) {
+                      out(k * bands.length + si) = b(k)
+                      k += 1
                     }
-                    out
+                    si += 1
                   }
-                val out = pfs.create(new Path(key), true)
-                try out.write(ZarrFormat.compressChunk(
-                  ZarrFormat.encodeChunk(px, pt), compressor, typesize))
-                finally out.close()
-              }
+                  out
+                }
+              val out = pfs.create(new Path(key), true)
+              try out.write(ZarrFormat.compressChunk(
+                ZarrFormat.encodeChunk(px, pt), compressor, typesize))
+              finally out.close()
             }
-        }
+          }
       }
     }
     img.setScene(saved)

@@ -319,6 +319,45 @@ class ZarrSpec extends SparkSpec {
       assert(nd.array(y, x, s) == y * 100.0 + x * 10.0 + s, s"($y,$x,$s)")
   }
 
+  test("aligned mosaic saves write chunks straight from tile rows — no " +
+      "stitched-plane aggregation in the plan, same bytes on disk") {
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    // 2x2 grid of 3x4 tiles → 6x8 stitched plane, exactly chunk-aligned
+    val arr = NDArray.tabulate(Seq(4, 3, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = new BioImage(spark,
+      new ArrayLikeReader(Seq(arr), Seq(Some("MYX")), Seq(None),
+        tilePositions = Seq(Seq((0, 0), (0, 4), (3, 0), (3, 4)))))
+    // the fast path engages and its plan has NO aggregation
+    val (rows, tileDirect) = ZarrWriter.sceneChunkRows(img, levels = 1, nS = 1)
+    assert(tileDirect)
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("collect_list"),
+      plan)
+    val uri = tmp("aligned.ome.zarr")
+    img.save(uri)
+    // .zarray declares the TILE grid as the chunk grid
+    val za = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(uri, "0", "0", ".zarray")))
+    assert(za.contains(""""shape":[1,1,1,6,8]"""), za)
+    assert(za.contains(""""chunks":[1,1,1,3,4]"""), za)
+    // chunk (1,0) bytes are exactly the encoded tile-2 payload
+    val chunk = Files.readAllBytes(
+      java.nio.file.Paths.get(uri, "0", "0", "0.0.0.1.0"))
+    val tile2 = Array.tabulate(12)(k => 200.0 + (k / 4) * 10.0 + k % 4)
+    assert(chunk.toSeq ==
+      ZarrFormat.encodeChunk(tile2, PixelType.Float64).toSeq)
+    // and the store reads back losslessly
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims('Y') == 6 && back.dims('X') == 8)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val m = (y / 3) * 2 + (x / 4)
+      assert(nd.array(y, x) == m * 100.0 + (y % 3) * 10.0 + x % 4, s"($y,$x)")
+    }
+  }
+
   test("writer raises on unknown selections; mosaic scenes stitch on save") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
