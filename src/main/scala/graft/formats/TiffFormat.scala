@@ -49,6 +49,13 @@ object TiffFormat {
   val TypeAscii = 2
   val TypeShort = 3
   val TypeLong = 4
+  val TypeLong8 = 16 // BigTIFF 64-bit unsigned
+
+  def typeSize(typ: Int): Int = typ match {
+    case TypeShort => 2
+    case TypeLong8 => 8
+    case _         => 4 // LONG, and ASCII counts bytes
+  }
 
   def bytesPerSample(pt: PixelType.Value): Int = pt match {
     case PixelType.Int8 | PixelType.UInt8   => 1
@@ -317,31 +324,55 @@ object TiffFormat {
     * a pointer to out-of-line data the caller laid out. */
   final case class Entry(tag: Int, typ: Int, count: Long, value: Long)
 
-  def headerBytes(firstIfdOffset: Long): Array[Byte] = {
-    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-    b.put('I'.toByte).put('I'.toByte).putShort(42)
-    b.putInt(firstIfdOffset.toInt)
-    b.array()
-  }
+  /** Classic header (version 42, 4-byte offsets) or BigTIFF (version 43,
+    * 8-byte offsets, 16-byte header). */
+  def headerBytes(firstIfdOffset: Long, big: Boolean = false): Array[Byte] =
+    if (big) {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(43)
+      b.putShort(8).putShort(0) // offset bytesize + constant
+      b.putLong(firstIfdOffset)
+      b.array()
+    } else {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42)
+      b.putInt(firstIfdOffset.toInt)
+      b.array()
+    }
 
-  def ifdSize(nEntries: Int): Int = 2 + nEntries * 12 + 4
+  def ifdSize(nEntries: Int): Int = ifdSize(nEntries, big = false)
+  def ifdSize(nEntries: Int, big: Boolean): Int =
+    if (big) 8 + nEntries * 20 + 8 else 2 + nEntries * 12 + 4
 
-  def ifdBytes(entries: Seq[Entry], nextIfdOffset: Long): Array[Byte] = {
+  def ifdBytes(entries: Seq[Entry], nextIfdOffset: Long): Array[Byte] =
+    ifdBytes(entries, nextIfdOffset, big = false)
+
+  def ifdBytes(entries: Seq[Entry], nextIfdOffset: Long,
+      big: Boolean): Array[Byte] = {
     val sorted = entries.sortBy(_.tag) // TIFF requires ascending tag order
-    val b = ByteBuffer.allocate(ifdSize(sorted.length))
+    val b = ByteBuffer.allocate(ifdSize(sorted.length, big))
       .order(ByteOrder.LITTLE_ENDIAN)
-    b.putShort(sorted.length.toShort)
+    if (big) b.putLong(sorted.length.toLong) else b.putShort(sorted.length.toShort)
     sorted.foreach { e =>
       b.putShort(e.tag.toShort)
       b.putShort(e.typ.toShort)
-      b.putInt(e.count.toInt)
-      e.typ match {
-        case TypeShort if e.count == 1 =>
-          b.putShort(e.value.toShort).putShort(0)
-        case _ => b.putInt(e.value.toInt)
+      if (big) {
+        b.putLong(e.count)
+        e.typ match {
+          case TypeShort if e.count == 1 =>
+            b.putShort(e.value.toShort).putShort(0).putInt(0)
+          case _ => b.putLong(e.value)
+        }
+      } else {
+        b.putInt(e.count.toInt)
+        e.typ match {
+          case TypeShort if e.count == 1 =>
+            b.putShort(e.value.toShort).putShort(0)
+          case _ => b.putInt(e.value.toInt)
+        }
       }
     }
-    b.putInt(nextIfdOffset.toInt)
+    if (big) b.putLong(nextIfdOffset) else b.putInt(nextIfdOffset.toInt)
     b.array()
   }
 
@@ -414,57 +445,80 @@ object TiffFormat {
 
   def isTiff(magic: Array[Byte]): Boolean =
     magic.length >= 4 &&
-      ((magic(0) == 'I' && magic(1) == 'I' && magic(2) == 42 && magic(3) == 0) ||
-        (magic(0) == 'M' && magic(1) == 'M' && magic(2) == 0 && magic(3) == 42))
+      ((magic(0) == 'I' && magic(1) == 'I' &&
+        (magic(2) == 42 || magic(2) == 43) && magic(3) == 0) ||
+        (magic(0) == 'M' && magic(1) == 'M' && magic(2) == 0 &&
+          (magic(3) == 42 || magic(3) == 43)))
 
   /** Walk the IFD chain via a random-access `read(offset, len)` callback
-    * (driver-side; a handful of small reads regardless of file size). */
+    * (driver-side; a handful of small reads regardless of file size).
+    * Handles classic TIFF (version 42, 4-byte offsets, 12-byte entries)
+    * and BigTIFF (version 43, 8-byte offsets, 20-byte entries, LONG8). */
   def parseIfds(read: (Long, Int) => Array[Byte]): (ByteOrder, Seq[ParsedIfd]) = {
     val head = read(0, 8)
     require(isTiff(head), "not a TIFF file")
     val order =
       if (head(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val big = head(2) == 43 || head(3) == 43
     def buf(off: Long, len: Int): ByteBuffer =
       ByteBuffer.wrap(read(off, len)).order(order)
     def u32(b: ByteBuffer): Long = b.getInt.toLong & 0xffffffffL
     def u16(b: ByteBuffer): Int = b.getShort & 0xffff
+    // inline-value slot: 4 bytes classic, 8 BigTIFF
+    val slot = if (big) 8 else 4
+    def slotVal(b: ByteBuffer): Long = if (big) b.getLong else u32(b)
+    if (big)
+      require(u16(buf(4, 2)) == 8,
+        "BigTIFF header: offset bytesize must be 8")
 
-    var next = u32(buf(4, 4))
+    var next = if (big) buf(8, 8).getLong else u32(buf(4, 4))
     val out = Seq.newBuilder[ParsedIfd]
     // malformed/malicious chains: a next-IFD pointer looping back would
     // spin the driver forever, and a bogus entry count would allocate GBs
     val visited = scala.collection.mutable.Set.empty[Long]
     val MaxFieldValues = 1 << 24
+    val entrySize = if (big) 20 else 12
     while (next != 0) {
       if (!visited.add(next))
         throw new IllegalArgumentException(
           s"corrupt TIFF: IFD chain revisits offset $next (cycle)")
-      val n = u16(buf(next, 2))
-      val body = buf(next + 2, n * 12 + 4)
+      val n =
+        if (big) {
+          val c = buf(next, 8).getLong
+          if (c > 4096)
+            throw new IllegalArgumentException(
+              s"corrupt TIFF: IFD declares $c entries")
+          c.toInt
+        } else u16(buf(next, 2))
+      val countSize = if (big) 8 else 2
+      val body = buf(next + countSize, n * entrySize + slot)
       val entries = (0 until n).map { _ =>
         val tag = u16(body)
         val typ = u16(body)
-        val count = u32(body)
+        val count = if (big) body.getLong else u32(body)
         if (count > MaxFieldValues)
           throw new IllegalArgumentException(
             s"corrupt TIFF: tag $tag declares $count values")
-        val raw = new Array[Byte](4)
+        val raw = new Array[Byte](slot)
         body.get(raw)
         (tag, typ, count, raw)
       }
-      next = u32(body) // the 4 bytes following the entry table
+      next = slotVal(body) // the offset slot following the entry table
 
       def values(tag: Int): Seq[Long] =
         entries.find(_._1 == tag).map { case (_, typ, count, raw) =>
-          val sz = if (typ == TypeShort) 2 else 4
+          val sz = typeSize(typ)
           val total = sz * count.toInt
           val data =
-            if (total <= 4) raw
-            else read(u32(ByteBuffer.wrap(raw).order(order)), total)
+            if (total <= slot) raw
+            else read(slotVal(ByteBuffer.wrap(raw).order(order)), total)
           val b = ByteBuffer.wrap(data).order(order)
           (0 until count.toInt).map { _ =>
-            if (sz == 2) (b.getShort & 0xffff).toLong
-            else b.getInt.toLong & 0xffffffffL
+            sz match {
+              case 2 => (b.getShort & 0xffff).toLong
+              case 8 => b.getLong
+              case _ => b.getInt.toLong & 0xffffffffL
+            }
           }
         }.getOrElse(Seq.empty)
       def value(tag: Int, default: Long = -1): Long =
@@ -473,7 +527,8 @@ object TiffFormat {
       val desc = entries.find(_._1 == TagImageDescription).map {
         case (_, _, count, raw) =>
           val off =
-            if (count <= 4) -1L else u32(ByteBuffer.wrap(raw).order(order))
+            if (count <= slot) -1L
+            else slotVal(ByteBuffer.wrap(raw).order(order))
           val bytes =
             if (off < 0) raw.take(count.toInt) else read(off, count.toInt)
           // ASCII fields are NUL-terminated

@@ -12,12 +12,14 @@ import graft.formats.TiffFormat
 import graft.image.BioImage
 import graft.meta.{OME, OmeChannel, OmeImage, OmePixels, OmeXml}
 
-/** Write-side layout options: Compression tag value (none/LZW/deflate)
-  * and optional tile organization as (tileWidth, tileLength) — both must
-  * be multiples of 16 per TIFF 6.0. */
+/** Write-side layout options: Compression tag value (none/LZW/deflate),
+  * optional tile organization as (tileWidth, tileLength) — both must be
+  * multiples of 16 per TIFF 6.0 — and BigTIFF (version 43, 8-byte
+  * offsets), which lifts the classic 4 GiB file ceiling. */
 final case class TiffOptions(
     compression: Int = TiffFormat.CompressionNone,
-    tile: Option[(Int, Int)] = None)
+    tile: Option[(Int, Int)] = None,
+    bigTiff: Boolean = false)
 
 /** OME-TIFF sink — the reference's canonical `BioImage.save` target
   * (/root/reference/bioio/bio_image.py:1229-1301): selected scenes are
@@ -90,7 +92,10 @@ object OmeTiffWriter extends BioWriter {
     val xmlBytes =
       OmeXml.toXml(ome).getBytes(StandardCharsets.UTF_8) :+ 0.toByte
     val xmlPadded = xmlBytes.length + (xmlBytes.length & 1)
-    val xmlOffset = 8L
+    val big = opts.bigTiff
+    val offType = if (big) TiffFormat.TypeLong8 else TiffFormat.TypeLong
+    val offSize = if (big) 8 else 4
+    val xmlOffset = if (big) 16L else 8L
 
     val planeCounts = layouts.map(s => s.t * s.c * s.z)
     val totalPlanes = planeCounts.sum
@@ -102,7 +107,7 @@ object OmeTiffWriter extends BioWriter {
       var pos = 0L
       def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
 
-      write(TiffFormat.headerBytes(8L + xmlPadded))
+      write(TiffFormat.headerBytes(xmlOffset + xmlPadded, big))
       write(xmlBytes)
       if (xmlPadded > xmlBytes.length) write(Array[Byte](0))
 
@@ -179,16 +184,18 @@ object OmeTiffWriter extends BioWriter {
           }
           val nEntries = baseEntryCount + layoutEntryCount
           val ifdOff = pos
-          val ifdSize = TiffFormat.ifdSize(nEntries)
+          val ifdSize = TiffFormat.ifdSize(nEntries, big)
           val shortOol = if (nS > 1) 2 * 2 * nS else 0
-          val tileOol = if (opts.tile.isDefined && n > 1) 2 * 4 * n else 0
+          val tileOol =
+            if (opts.tile.isDefined && n > 1) 2 * offSize * n else 0
           val bitsArrOff = ifdOff + ifdSize
           val sfArrOff = bitsArrOff + 2L * nS
           val dataStart = ifdOff + ifdSize + shortOol + tileOol
           val segOffsets = segPadded.scanLeft(dataStart)(_ + _)
           val endPos = segOffsets.last
-          require(endPos < (1L << 32),
-            "image exceeds classic TIFF 4 GiB limit — use the parquet plane store")
+          require(big || endPos < (1L << 32),
+            "image exceeds classic TIFF 4 GiB limit — write with " +
+              "TiffOptions(bigTiff = true) or use the parquet plane store")
           val nextIfd = if (planeIdx == totalPlanes - 1) 0L else endPos
 
           val baseEntries = Seq(
@@ -209,21 +216,21 @@ object OmeTiffWriter extends BioWriter {
 
           val layoutEntries = opts.tile match {
             case None => Seq(
-              TiffFormat.Entry(TiffFormat.TagStripOffsets, TiffFormat.TypeLong, 1, segOffsets(0)),
+              TiffFormat.Entry(TiffFormat.TagStripOffsets, offType, 1, segOffsets(0)),
               TiffFormat.Entry(TiffFormat.TagRowsPerStrip, TiffFormat.TypeLong, 1, s.h),
-              TiffFormat.Entry(TiffFormat.TagStripByteCounts, TiffFormat.TypeLong, 1, segments(0).length))
+              TiffFormat.Entry(TiffFormat.TagStripByteCounts, offType, 1, segments(0).length))
             case Some((tw, tl)) =>
               val offArrOff = ifdOff + ifdSize + shortOol
-              val cntArrOff = offArrOff + 4L * n
+              val cntArrOff = offArrOff + offSize.toLong * n
               Seq(
                 TiffFormat.Entry(TiffFormat.TagTileWidth, TiffFormat.TypeLong, 1, tw),
                 TiffFormat.Entry(TiffFormat.TagTileLength, TiffFormat.TypeLong, 1, tl),
-                TiffFormat.Entry(TiffFormat.TagTileOffsets, TiffFormat.TypeLong, n,
+                TiffFormat.Entry(TiffFormat.TagTileOffsets, offType, n,
                   if (n == 1) segOffsets(0) else offArrOff),
-                TiffFormat.Entry(TiffFormat.TagTileByteCounts, TiffFormat.TypeLong, n,
+                TiffFormat.Entry(TiffFormat.TagTileByteCounts, offType, n,
                   if (n == 1) segments(0).length else cntArrOff))
           }
-          write(TiffFormat.ifdBytes(baseEntries ++ layoutEntries, nextIfd))
+          write(TiffFormat.ifdBytes(baseEntries ++ layoutEntries, nextIfd, big))
           if (shortOol > 0) {
             val b = ByteBuffer.allocate(shortOol).order(ByteOrder.LITTLE_ENDIAN)
             (0 until nS).foreach(_ => b.putShort((bps * 8).toShort))
@@ -233,8 +240,13 @@ object OmeTiffWriter extends BioWriter {
           }
           if (tileOol > 0) {
             val b = ByteBuffer.allocate(tileOol).order(ByteOrder.LITTLE_ENDIAN)
-            segOffsets.init.foreach(o => b.putInt(o.toInt))
-            segments.foreach(sg => b.putInt(sg.length))
+            if (big) {
+              segOffsets.init.foreach(b.putLong)
+              segments.foreach(sg => b.putLong(sg.length.toLong))
+            } else {
+              segOffsets.init.foreach(o => b.putInt(o.toInt))
+              segments.foreach(sg => b.putInt(sg.length))
+            }
             write(b.array())
           }
           segments.foreach { sg =>

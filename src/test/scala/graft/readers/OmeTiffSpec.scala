@@ -105,6 +105,34 @@ class TiffFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e2.getMessage.contains("values"))
   }
 
+  test("BigTIFF header + IFD8 emit/parse with offsets beyond 4 GiB " +
+      "(synthetic, no giant fixture)") {
+    import java.nio.ByteOrder
+    val farOffset = 5L * 1024 * 1024 * 1024 // 5 GiB, > classic u32 range
+    val entries = Seq(
+      TiffFormat.Entry(TiffFormat.TagImageWidth, TiffFormat.TypeLong, 1, 4),
+      TiffFormat.Entry(TiffFormat.TagImageLength, TiffFormat.TypeLong, 1, 2),
+      TiffFormat.Entry(TiffFormat.TagBitsPerSample, TiffFormat.TypeShort, 1, 8),
+      TiffFormat.Entry(TiffFormat.TagStripOffsets, TiffFormat.TypeLong8, 1,
+        farOffset),
+      TiffFormat.Entry(TiffFormat.TagRowsPerStrip, TiffFormat.TypeLong, 1, 2),
+      TiffFormat.Entry(TiffFormat.TagStripByteCounts, TiffFormat.TypeLong8, 1, 8))
+    val header = TiffFormat.headerBytes(16L, big = true)
+    assert(header.length == 16)
+    assert(header(2) == 43 && header(4) == 8)
+    val ifd = TiffFormat.ifdBytes(entries, 0L, big = true)
+    assert(ifd.length == TiffFormat.ifdSize(entries.length, big = true))
+    val file = header ++ ifd
+    val read = (off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(file, off.toInt, off.toInt + len)
+    val (order, ifds) = TiffFormat.parseIfds(read)
+    assert(order == ByteOrder.LITTLE_ENDIAN)
+    assert(ifds.length == 1)
+    assert(ifds.head.width == 4 && ifds.head.height == 2)
+    assert(ifds.head.stripOffsets == Seq(farOffset)) // survives > u32
+    assert(ifds.head.stripByteCounts == Seq(8L))
+  }
+
   test("OME-XML emit/parse roundtrip") {
     val ome = graft.meta.OME(Seq(graft.meta.OmeImage("Image:0", "scene \"A\" <1>",
       graft.meta.OmePixels("Pixels:0", "XYZCT", "double", 4, 3, 2, 2, 1,
@@ -424,6 +452,24 @@ class OmeTiffSpec extends SparkSpec {
     for (y <- 0 until 4; x <- 0 until 9; s <- 0 until 3)
       assert(fnd.array(y, x, s) == ((y * 31 + x * 11 + s * 5) % 256).toDouble,
         s"foreign ($y,$x,$s)")
+  }
+
+  test("BigTIFF write → read roundtrip (tiled + compressed, multi-plane)") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 18, 20)), Some("CYX"))
+    val uri = tmp("big.ome.tiff")
+    OmeTiffWriter.save(img, uri, None, TiffOptions(
+      compression = TiffFormat.CompressionDeflate,
+      tile = Some((16, 16)), bigTiff = true))
+    // version-43 magic on disk
+    val head = Files.readAllBytes(java.nio.file.Paths.get(uri)).take(4)
+    assert(head(0) == 'I' && head(2) == 43)
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims('Y') == 18 && back.dims('X') == 20)
+    val nd = back.getImageData("CYX")
+    assert(nd.array(1, 17, 19) == 1 * 100.0 + 17 * 10.0 + 19)
+    assert(nd.array(0, 3, 16) == 46.0)
+    // raw OME-XML still reachable through the 8-byte-offset chain
+    assert(back.rawMetadata.exists(_.contains("<OME")))
   }
 
   test("RGB PNG write path (TwoDWriter analog)") {
