@@ -138,9 +138,11 @@ final class BioImage(
     * the stitch is a pure projection — zero shuffle, no Exchange in the
     * plan. Only genuinely overlapping mosaics pay the overlap-resolving
     * aggregation. */
-  def pixels: DataFrame =
+  def pixels: DataFrame = pixelsOf(planes)
+
+  private def pixelsOf(pl: DataFrame): DataFrame =
     if (hasMosaic && reconstructMosaic) {
-      val stitched = Plane.stitchedPixels(planes)
+      val stitched = Plane.stitchedPixels(pl)
       if (!tilesOverlap)
         stitched.select(col("scene_idx"), col("level"), col("t"), col("c"),
           col("z"), col("s"), col("y"), col("x"), col("v"))
@@ -149,7 +151,7 @@ final class BioImage(
           .groupBy(col("scene_idx"), col("level"), col("t"), col("c"),
             col("z"), col("s"), col("y"), col("x"))
           .agg(min_by(col("v"), col("m")).as("v"))
-    } else Plane.pixels(planes).drop("y0", "x0")
+    } else Plane.pixels(pl).drop("y0", "x0")
 
   /** Plane table in STITCHED space: for mosaic scenes, tiles are
     * reassembled into full-width plane rows (one row per t/c/z/s, global
@@ -342,13 +344,36 @@ final class BioImage(
   }
 
   /** Lazy slice+reorder (the get_image_dask_data analog): plane/pixel rows
-    * filtered by the selections. Stays a lazy DataFrame. */
+    * filtered by the selections. Stays a lazy DataFrame.
+    *
+    * Mosaic scale path: Y/X selections push THROUGH the stitch as a tile
+    * prune — only tiles whose rectangle intersects the selected range are
+    * scanned and exploded (the reference's dask graph reads only
+    * intersecting chunks; here the tile filter sits between the catalog
+    * scan and the posexplode, so pruned tiles never decode). The exact
+    * per-pixel predicate still applies after the stitch. */
   def getImagePixels(selections: Map[Char, Sel] = Map.empty): DataFrame = {
     val colFor = Map('M' -> "m", 'T' -> "t", 'C' -> "c", 'Z' -> "z",
       'S' -> "s", 'Y' -> "y", 'X' -> "x")
-    selections.foldLeft(pixels) { case (df, (d, sel)) =>
+    val resolved = selections.map { case (d, s) => d -> resolveSel(d, s) }
+    val src =
+      if (hasMosaic && reconstructMosaic) {
+        def bounds(d: Char): Option[(Int, Int)] = resolved.get(d).collect {
+          case Sel.Index(i)       => (i, i + 1)
+          case Sel.SRange(s0, e0) => (s0, e0)
+          case Sel.Subset(xs)     => (xs.min, xs.max + 1)
+        }
+        val fy = bounds('Y').map { case (s0, e0) =>
+          col("y0") < e0 && col("y0") + col("h") > s0
+        }
+        val fx = bounds('X').map { case (s0, e0) =>
+          col("x0") < e0 && col("x0") + col("w") > s0
+        }
+        pixelsOf((fy.toSeq ++ fx.toSeq).foldLeft(planes)(_ filter _))
+      } else pixels
+    resolved.foldLeft(src) { case (df, (d, sel)) =>
       val c = col(colFor(d))
-      resolveSel(d, sel) match {
+      sel match {
         case Sel.Index(i)       => df.filter(c === i)
         case Sel.Subset(xs)     => df.filter(c.isin(xs: _*))
         case Sel.SRange(s0, e0) => df.filter(c >= s0 && c < e0)

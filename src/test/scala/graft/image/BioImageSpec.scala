@@ -218,4 +218,60 @@ class BioImageSpec extends SparkSpec {
     assert(sm.imageSizeT == 1 && sm.imageSizeC == 1)
     assert(sm.dimensionOrder == "TCZYX")
   }
+
+  test("Y/X selections push through the mosaic stitch as a tile prune " +
+      "(filter below the explode), results unchanged") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    // 2x2 grid of 4x4 tiles → 8x8 stitched plane
+    val arr = NDArray.tabulate(Seq(4, 4, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = new BioImage(spark, new ArrayLikeReader(Seq(arr),
+      Seq(Some("MYX")), Seq(None),
+      tilePositions = Seq(Seq((0, 0), (0, 4), (4, 0), (4, 4)))))
+    // a range crossing the tile boundary: rows 2..5, cols 5..7
+    val df = img.getImagePixels(Map(
+      'Y' -> Sel.SRange(2, 6), 'X' -> Sel.SRange(5, 8)))
+    // the tile filter (on y0/x0) sits BELOW the posexplode: a Filter
+    // referencing tile-catalog columns whose subtree has no Generate.
+    // (On a LocalRelation source the optimizer folds it away entirely —
+    // assert placement on the analyzed plan.)
+    def tileFilterBelowExplode(
+        lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      lp.collect {
+        case f: Filter if f.condition.references.exists(a =>
+          a.name == "y0" || a.name == "x0") &&
+          f.collect { case g: Generate => g }.isEmpty => f
+      }
+    val lp = df.queryExecution.analyzed
+    assert(tileFilterBelowExplode(lp).nonEmpty, lp.toString)
+
+    // against a file-backed tiled store (zarr) the OPTIMIZED plan keeps
+    // the tile filter below the explode — pruned tiles never decode
+    val zuri = java.nio.file.Files.createTempDirectory("graft-prune")
+      .toString + "/m.ome.zarr"
+    img.save(zuri)
+    val zimg = graft.BioSpark.open(spark, zuri)
+    val zdf = zimg.getImagePixels(Map(
+      'Y' -> Sel.SRange(2, 6), 'X' -> Sel.SRange(5, 8)))
+    assert(tileFilterBelowExplode(zdf.queryExecution.optimizedPlan).nonEmpty,
+      zdf.queryExecution.optimizedPlan.toString)
+    val zrows = zdf.select("y", "x", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val zexpect = (for (y <- 2 until 6; x <- 5 until 8) yield {
+      val m = (y / 4) * 2 + (x / 4)
+      (y, x, m * 100.0 + (y % 4) * 10.0 + (x % 4))
+    }).toSet
+    assert(zrows == zexpect)
+    // and the values are exactly the unpruned slice
+    val rows = df.select("y", "x", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val expect = (for (y <- 2 until 6; x <- 5 until 8) yield {
+      val m = (y / 4) * 2 + (x / 4)
+      (y, x, m * 100.0 + (y % 4) * 10.0 + (x % 4))
+    }).toSet
+    assert(rows == expect)
+    // X-only selection hitting the left column prunes too
+    val left = img.getImagePixels(Map('X' -> Sel.Index(1)))
+    assert(left.count() == 8) // full Y extent, one column
+  }
 }
