@@ -53,6 +53,12 @@ object ParquetPlaneStore {
     // across many writer tasks instead of serializing through one; the
     // directory layout (partitionBy) is unchanged.
     all
+      // per-plane value stats: parquet keeps min/max column statistics
+      // per row group, so a pixel-VALUE predicate rewritten against
+      // px_min/px_max prunes row groups without touching the arrays —
+      // the S16 analog of the reference's chunk-level lazy loading
+      .withColumn("px_min", array_min(col("pixels")))
+      .withColumn("px_max", array_max(col("pixels")))
       .repartition(col("scene_idx"), col("level"), col("t"), col("c"), col("z"))
       .sortWithinPartitions(col("t"), col("c"), col("z"))
       .write.mode(SaveMode.Overwrite)
@@ -80,6 +86,28 @@ object ParquetPlaneStore {
     }
     spark.createDataset(catalog).write.mode(SaveMode.Overwrite)
       .parquet(s"$uri/catalog")
+  }
+
+  /** Pixel rows of one scene/level with value in [lo, hi]. The range
+    * predicate is applied FIRST against the stored per-plane px_min /
+    * px_max columns — a top-level double comparison that parquet pushes
+    * into the scan (`PushedFilters`) and answers from row-group
+    * statistics, so planes that cannot match are skipped without reading
+    * their pixel arrays. The exact per-pixel predicate then applies after
+    * the explode. Stores written before the stats columns existed fall
+    * back to a plain scan. */
+  def pixelsInRange(spark: SparkSession, uri: String, sceneIdx: Int,
+      level: Int, lo: Double, hi: Double): DataFrame = {
+    var df = spark.read.parquet(s"$uri/planes")
+      .filter(col("scene_idx") === sceneIdx && col("level") === level)
+    if (df.columns.contains("px_max"))
+      df = df.filter(col("px_max") >= lo && col("px_min") <= hi)
+    graft.core.Plane.pixels(
+      df.withColumn("scene_idx", col("scene_idx").cast("int"))
+        .withColumn("level", col("level").cast("int"))
+        .select("scene_idx", "level", "m", "t", "c", "z", "s",
+          "y0", "x0", "h", "w", "pixels"))
+      .filter(col("v") >= lo && col("v") <= hi)
   }
 }
 

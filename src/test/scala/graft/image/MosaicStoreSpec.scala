@@ -174,4 +174,37 @@ class StoreSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
     assert(plan.contains("scene_idx"), "scene_idx must be a partition filter")
   }
+
+  test("px_min/px_max store stats: a pixel-value range scan pushes into " +
+      "the parquet scan and skips non-matching planes") {
+    // 5 z-planes with disjoint value bands: plane z holds [z*100, z*100+27]
+    val arr = NDArray.tabulate(Seq(5, 4, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 8 + idx(2))
+    val img = BioSpark.fromArray(spark, arr) // ZYX
+    val dir = Files.createTempDirectory("graft-stats").toString + "/s.graft"
+    ParquetPlaneStore.save(img, dir)
+
+    // v in [350, 460]: only plane z=4 (400..427) can match on
+    // px_max >= 350 — the other four planes never leave the scan
+    val px = ParquetPlaneStore.pixelsInRange(spark, dir, 0, 0, 350.0, 460.0)
+    val qe = px.queryExecution
+    val rows = px.select("z", "y", "x", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val expect = (for (z <- 0 until 5; y <- 0 until 4; x <- 0 until 4) yield
+      (z, y, x, z * 100.0 + y * 8 + x)).filter(t => t._4 >= 350 && t._4 <= 460)
+    assert(rows.toSet == expect.toSet)
+    // the stats predicate reached the file source…
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("px_max"), plan)
+    assert(plan.contains("PushedFilters") && plan.contains(
+      "GreaterThanOrEqual(px_max,350.0)"), plan)
+    // …and the stats filter keeps exactly the 1 candidate plane of 5
+    // before any pixel array is exploded
+    val pruned = spark.read.parquet(s"$dir/planes")
+      .filter(org.apache.spark.sql.functions.col("scene_idx") === 0 &&
+        org.apache.spark.sql.functions.col("level") === 0 &&
+        org.apache.spark.sql.functions.col("px_max") >= 350.0 &&
+        org.apache.spark.sql.functions.col("px_min") <= 460.0)
+    assert(pruned.count() == 1)
+  }
 }
