@@ -264,14 +264,23 @@ object ZarrFormat {
   /** OME-NGFF 0.4 multiscales + omero channel labels for one image
     * group. `scale0` = level-0 (t,c,z,y,x) coordinate scale factors.
     * `sSamples` > 1 appends a trailing sample axis (a graft extension —
-    * NGFF has no sample axis; RGB payloads keep their S dim this way). */
+    * NGFF has no sample axis; RGB payloads keep their S dim this way).
+    * `timeUnit`/`spaceUnit` emit NGFF axes[].unit — their PRESENCE is
+    * also the declaration that the t scale / pixel sizes are real values
+    * (so a genuine 1.0-second interval survives a roundtrip instead of
+    * colliding with the no-interval default scale of 1.0). */
   def imageAttrs(name: String, nLevels: Int,
       scale0: Seq[Double], channelNames: Seq[String],
-      sSamples: Int = 1): String = {
+      sSamples: Int = 1, timeUnit: Option[String] = None,
+      spaceUnit: Option[String] = None): String = {
+    def u(unit: Option[String]): String =
+      unit.fold("")(v => s""","unit":"${esc(v)}"""")
     val axes =
-      """[{"name":"t","type":"time"},{"name":"c","type":"channel"},""" +
-        """{"name":"z","type":"space"},{"name":"y","type":"space"},""" +
-        """{"name":"x","type":"space"}""" +
+      s"""[{"name":"t","type":"time"${u(timeUnit)}},""" +
+        """{"name":"c","type":"channel"},""" +
+        s"""{"name":"z","type":"space"${u(spaceUnit)}},""" +
+        s"""{"name":"y","type":"space"${u(spaceUnit)}},""" +
+        s"""{"name":"x","type":"space"${u(spaceUnit)}}""" +
         (if (sSamples > 1) """,{"name":"s","type":"sample"}]""" else "]")
     val datasets = (0 until nLevels).map { l =>
       val f = math.pow(2, l)

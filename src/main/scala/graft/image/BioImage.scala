@@ -220,11 +220,13 @@ final class BioImage(
     'Y' -> physicalPixelSizes.map(_._2),
     'X' -> physicalPixelSizes.map(_._3))
 
-  /** Per-dimension (size, scale, unit) rows (bio_image.py:1083-1092). */
+  /** Per-dimension (size, scale, unit) rows (bio_image.py:1083-1092).
+    * Units come from the source metadata when it declares them (NGFF
+    * axes[].unit) and fall back to the reference defaults s / µm. */
   def dimensionProperties: Map[Char, (Long, Option[Double], Option[String])] = {
     val d = dims
     val unitFor: Map[Char, String] =
-      Map('T' -> "s", 'Z' -> "µm", 'Y' -> "µm", 'X' -> "µm")
+      Map('T' -> "s", 'Z' -> "µm", 'Y' -> "µm", 'X' -> "µm") ++ meta.dimUnits
     d.order.map { dim =>
       val sc = scale.getOrElse(dim, None)
       dim -> ((d(dim), sc, sc.flatMap(_ => unitFor.get(dim))))

@@ -19,7 +19,8 @@ final case class SceneMeta(
     pixelType: PixelType.Value,
     tilePositions: Seq[(Int, Int)], // (top, left) per mosaic tile index
     rawMetadata: Option[String],
-    timeInterval: Option[Double] = None) // seconds between T steps
+    timeInterval: Option[Double] = None, // seconds between T steps
+    dimUnits: Map[Char, String] = Map.empty) // source-declared axis units
 
 /** Reader SPI — the analog of bioio_base.reader.Reader whose required
   * surface is observable from the reference call sites (bio_image.py:9,

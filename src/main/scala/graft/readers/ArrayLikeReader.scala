@@ -31,7 +31,8 @@ final class ArrayLikeReader(
     dimOrders: Seq[Option[String]],
     channelNamesPerScene: Seq[Option[Seq[String]]],
     physicalPixelSizes: Option[(Double, Double, Double)] = None,
-    tilePositions: Seq[Seq[(Int, Int)]] = Seq.empty)
+    tilePositions: Seq[Seq[(Int, Int)]] = Seq.empty,
+    timeInterval: Option[Double] = None)
     extends BioReader {
 
   require(arrays.nonEmpty, "at least one array required")
@@ -87,7 +88,8 @@ final class ArrayLikeReader(
       tilePositions =
         if (tilePositions.isDefinedAt(sceneIdx)) tilePositions(sceneIdx)
         else Seq.empty,
-      rawMetadata = None)
+      rawMetadata = None,
+      timeInterval = timeInterval)
   }
 
   /** Build the canonical plane table for one scene: known dims map onto

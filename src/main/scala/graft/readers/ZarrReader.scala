@@ -39,7 +39,8 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     def tiled: Boolean = gridY * gridX > 1
   }
   private case class Scene(id: String, group: String, levels: Seq[Level],
-      channelNames: Seq[String], scale: Seq[Double], rawAttrs: String)
+      channelNames: Seq[String], scale: Seq[Double], rawAttrs: String,
+      units: Map[Char, String])
 
   private def fs: FileSystem = FileSystem.get(new Path(path).toUri,
     spark.sparkContext.hadoopConfiguration)
@@ -155,7 +156,16 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
             axes0.indexOf(d) match { case -1 => 1.0; case i => raw(i) })
         case _ => Seq(1.0, 1.0, 1.0, 1.0, 1.0)
       }
-      Some(Scene(name, group, levels, channels, scale, attrs))
+      // NGFF axes[].unit — surfaced in dimension_properties, and unit
+      // PRESENCE marks the t scale / pixel sizes as declared values
+      val units: Map[Char, String] = (ms \ "axes").children.flatMap { a =>
+        (a \ "name", a \ "unit") match {
+          case (JString(n), JString(u)) if n.length == 1 =>
+            Some(n.head.toUpper -> u)
+          case _ => None
+        }
+      }.toMap
+      Some(Scene(name, group, levels, channels, scale, attrs, units))
     }
 
     parseImage("", 0) match {
@@ -206,15 +216,22 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         for { yi <- 0 until lv.gridY; xi <- 0 until lv.gridX }
           yield (yi * lv.chunkH, xi * lv.chunkW)
       else Seq.empty
+    // a declared space/time unit marks scale 1.0 as a REAL value (a
+    // genuine 1.0-second interval or 1.0-µm pixel size survives the
+    // roundtrip; bare default scales still read as "not provided")
+    val spaceDeclared = Seq('Z', 'Y', 'X').exists(s.units.contains)
     SceneMeta(i, s.id, dims,
       channelNames = s.channelNames,
       physicalPixelSizes =
-        if (s.scale.drop(2) == Seq(1.0, 1.0, 1.0)) None
+        if (!spaceDeclared && s.scale.drop(2) == Seq(1.0, 1.0, 1.0)) None
         else Some((s.scale(2), s.scale(3), s.scale(4))),
       pixelType = ZarrFormat.pixelTypeOf(lv.dtype),
       tilePositions = tiles,
       rawMetadata = Some(s.rawAttrs),
-      timeInterval = if (s.scale.head == 1.0) None else Some(s.scale.head))
+      timeInterval =
+        if (!s.units.contains('T') && s.scale.head == 1.0) None
+        else Some(s.scale.head),
+      dimUnits = s.units)
   }
 
   override def resolutionLevels(sceneIdx: Int): Seq[Int] =

@@ -134,7 +134,9 @@ object ZarrWriter extends BioWriter {
       // contract (bio_image.py:1252-1257) — same as OME-TIFF / .graft
       writeDoc(s"$uri/$g/.zattrs",
         ZarrFormat.imageAttrs(s"Image:$g", levels, scale0, img.channelNames,
-          sSamples = nS))
+          sSamples = nS,
+          timeUnit = m.timeInterval.map(_ => "second"),
+          spaceUnit = m.physicalPixelSizes.map(_ => "micrometer")))
       val (chunkRows, tileDirect) = sceneChunkRows(img, levels, nS)
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq

@@ -358,6 +358,52 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("axis units from NGFF metadata surface in dimensionProperties; a " +
+      "genuine 1.0 time interval / pixel size survives the roundtrip") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    // foreign store with NON-default units (ms / nm)
+    val root = tmp("units.zarr")
+    Files.createDirectories(Paths.get(root, "0"))
+    def put(rel: String, bytes: Array[Byte]): Unit =
+      Files.write(Paths.get(root, rel), bytes)
+    put(".zgroup", ZarrFormat.zgroup.getBytes)
+    put(".zattrs", ZarrFormat.imageAttrs("Image:0", 1,
+      Seq(50.0, 1.0, 1.0, 250.0, 250.0), Seq("C0"),
+      timeUnit = Some("millisecond"), spaceUnit = Some("nanometer")).getBytes)
+    put("0/.zarray", ZarrFormat.zarray(
+      Seq(1, 1, 1, 2, 2), Seq(1, 1, 1, 2, 2), "<f8").getBytes)
+    put("0/0.0.0.0.0", ZarrFormat.encodeChunk(
+      Array(1.0, 2.0, 3.0, 4.0), PixelType.Float64))
+    val back = BioSpark.open(spark, root)
+    val props = back.dimensionProperties
+    assert(props('T') == ((1L, Some(50.0), Some("millisecond"))))
+    assert(props('X') == ((2L, Some(250.0), Some("nanometer"))))
+    assert(props('Z')._3.contains("nanometer"))
+
+    // engine roundtrip: timeInterval EXACTLY 1.0 s and 1.0 µm pixel sizes
+    // used to vanish behind the default-scale sentinel
+    val img = new BioImage(spark, new ArrayLikeReader(
+      Seq(NDArray.tabulate(Seq(2, 2, 2))(_.sum.toDouble)), Seq(None),
+      Seq(None), physicalPixelSizes = Some((1.0, 1.0, 1.0)),
+      timeInterval = Some(1.0)))
+    val uri = tmp("interval1.ome.zarr")
+    img.save(uri)
+    val rt = BioSpark.open(spark, uri)
+    assert(rt.timeInterval.contains(1.0))
+    assert(rt.physicalPixelSizes.contains((1.0, 1.0, 1.0)))
+    assert(rt.dimensionProperties('T')._3.contains("second"))
+    // and a unit-less store still reads "no interval" from scale 1.0
+    val bare = new BioImage(spark, new ArrayLikeReader(
+      Seq(NDArray.tabulate(Seq(2, 2, 2))(_.sum.toDouble)), Seq(None), Seq(None)))
+    val uri2 = tmp("nointerval.ome.zarr")
+    bare.save(uri2)
+    val rt2 = BioSpark.open(spark, uri2)
+    assert(rt2.timeInterval.isEmpty)
+    assert(rt2.physicalPixelSizes.isEmpty)
+  }
+
   test("writer raises on unknown selections; mosaic scenes stitch on save") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
