@@ -39,11 +39,13 @@ object TiffFormat {
   val CompressionNone = 1
   val CompressionLZW = 5
   val CompressionDeflate = 8 // "Adobe" deflate — what tifffile/bioformats emit
+  val CompressionPackBits = 32773
   val CompressionDeflateLegacy = 32946
 
   def compressionSupported(c: Int): Boolean =
     c == CompressionNone || c == CompressionLZW ||
-      c == CompressionDeflate || c == CompressionDeflateLegacy
+      c == CompressionDeflate || c == CompressionDeflateLegacy ||
+      c == CompressionPackBits
 
   // field types
   val TypeAscii = 2
@@ -243,22 +245,74 @@ object TiffFormat {
     }
   }
 
+  /** TIFF PackBits (Compression=32773): control byte n in 0..127 copies
+    * n+1 literals; n in -127..-1 repeats the next byte 1-n times; -128 is
+    * a no-op. */
+  object PackBits {
+    def decode(bytes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 2 + 16)
+      var i = 0
+      while (i < bytes.length) {
+        val n = bytes(i)
+        i += 1
+        if (n >= 0) {
+          out.write(bytes, i, n + 1)
+          i += n + 1
+        } else if (n != -128 && i < bytes.length) {
+          val v = bytes(i)
+          i += 1
+          var k = 1 - n
+          while (k > 0) { out.write(v); k -= 1 }
+        }
+      }
+      out.toByteArray
+    }
+
+    def encode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length + 16)
+      var i = 0
+      while (i < data.length) {
+        // find run length at i (capped at 128)
+        var run = 1
+        while (i + run < data.length && run < 128 &&
+          data(i + run) == data(i)) run += 1
+        if (run >= 2) {
+          out.write(1 - run)
+          out.write(data(i))
+          i += run
+        } else {
+          // literal stretch until the next ≥2 run (capped at 128)
+          var lit = 1
+          while (i + lit < data.length && lit < 128 &&
+            !(i + lit + 1 < data.length &&
+              data(i + lit) == data(i + lit + 1))) lit += 1
+          out.write(lit - 1)
+          out.write(data, i, lit)
+          i += lit
+        }
+      }
+      out.toByteArray
+    }
+  }
+
   /** Decompress one strip/tile segment. */
   def decompress(bytes: Array[Byte], compression: Int): Array[Byte] =
     compression match {
-      case CompressionNone => bytes
-      case CompressionLZW  => Lzw.decode(bytes)
+      case CompressionNone     => bytes
+      case CompressionLZW      => Lzw.decode(bytes)
+      case CompressionPackBits => PackBits.decode(bytes)
       case CompressionDeflate | CompressionDeflateLegacy => inflate(bytes)
       case other => throw new IllegalArgumentException(
         s"unsupported TIFF compression $other (supported: none/1, LZW/5, " +
-          "deflate/8/32946)")
+          "deflate/8/32946, PackBits/32773)")
     }
 
   /** Compress one strip/tile segment. */
   def compress(bytes: Array[Byte], compression: Int): Array[Byte] =
     compression match {
-      case CompressionNone => bytes
-      case CompressionLZW  => Lzw.encode(bytes)
+      case CompressionNone     => bytes
+      case CompressionLZW      => Lzw.encode(bytes)
+      case CompressionPackBits => PackBits.encode(bytes)
       case CompressionDeflate | CompressionDeflateLegacy => deflate(bytes)
       case other => throw new IllegalArgumentException(
         s"unsupported TIFF compression $other")

@@ -63,6 +63,7 @@ object ZarrFormat {
   private val BloscShuffle = 0x1
   private val BloscLz4Format = 1
   private val BloscZlibFormat = 3
+  private val BloscZstdFormat = 4
 
   private def bloscSplits(codec: Int, typesize: Int, blocksize: Int,
       leftoverBlock: Boolean): Int =
@@ -120,8 +121,10 @@ object ZarrFormat {
     if ((flags & BloscMemcpy) != 0)
       return java.util.Arrays.copyOfRange(chunk, 16, 16 + nbytes)
     val codec = (flags >> 5) & 0x7
-    require(codec == BloscLz4Format || codec == BloscZlibFormat,
-      s"unsupported blosc inner codec format $codec (supported: lz4, zlib)")
+    require(codec == BloscLz4Format || codec == BloscZlibFormat ||
+      codec == BloscZstdFormat,
+      s"unsupported blosc inner codec format $codec " +
+        "(supported: lz4, zlib, zstd)")
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val bstarts = (0 until nblocks).map(_ => h.getInt)
     val out = new Array[Byte](nbytes)
@@ -149,6 +152,12 @@ object ZarrFormat {
               java.util.Arrays.copyOfRange(chunk, src, src + csize))
             require(raw.length == neblock,
               s"blosc zlib split decoded ${raw.length}, expected $neblock")
+            System.arraycopy(raw, 0, block, sp * neblock, neblock)
+          case BloscZstdFormat =>
+            val raw = com.github.luben.zstd.Zstd.decompress(
+              java.util.Arrays.copyOfRange(chunk, src, src + csize), neblock)
+            require(raw.length == neblock,
+              s"blosc zstd split decoded ${raw.length}, expected $neblock")
             System.arraycopy(raw, 0, block, sp * neblock, neblock)
         }
         src += csize
@@ -209,12 +218,18 @@ object ZarrFormat {
   def decodeChunk(bytes: Array[Byte], dtype: String,
       compressor: Option[String] = None): Array[Double] = {
     val raw = compressor match {
-      case None           => bytes
-      case Some("zlib")   => TiffFormat.inflate(bytes)
-      case Some("blosc")  => bloscDecode(bytes)
+      case None          => bytes
+      case Some("zlib")  => TiffFormat.inflate(bytes)
+      case Some("blosc") => bloscDecode(bytes)
+      case Some("zstd") =>
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        require(size > 0 && size < Int.MaxValue,
+          s"zstd zarr chunk with unknown content size $size")
+        com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
       case Some(other) =>
         throw new IllegalArgumentException(
-          s"unsupported zarr compressor '$other' (supported: null, zlib, blosc)")
+          s"unsupported zarr compressor '$other' " +
+            "(supported: null, zlib, blosc, zstd)")
     }
     val order = byteOrder(dtype)
     val pt = pixelTypeOf(dtype)
@@ -228,9 +243,11 @@ object ZarrFormat {
     case None          => raw
     case Some("zlib")  => zlibDeflate(raw)
     case Some("blosc") => bloscEncode(raw, typesize)
+    case Some("zstd")  => com.github.luben.zstd.Zstd.compress(raw, 3)
     case Some(other) =>
       throw new IllegalArgumentException(
-        s"unsupported zarr compressor '$other' (supported: null, zlib, blosc)")
+        s"unsupported zarr compressor '$other' " +
+          "(supported: null, zlib, blosc, zstd)")
   }
 
   /** zlib-wrapped deflate (the numcodecs "zlib" codec). */
@@ -240,6 +257,7 @@ object ZarrFormat {
   def compressorJson(compressor: Option[String]): String = compressor match {
     case None          => "null"
     case Some("zlib")  => """{"id":"zlib","level":6}"""
+    case Some("zstd")  => """{"id":"zstd","level":3}"""
     case Some("blosc") =>
       """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
     case Some(other) =>

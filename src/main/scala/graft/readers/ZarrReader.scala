@@ -98,8 +98,10 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
           case c => (c \ "id") match {
             case JString("zlib")  => Some("zlib")
             case JString("blosc") => Some("blosc")
+            case JString("zstd")  => Some("zstd")
             case other => throw new UnsupportedFileFormatError(
-              s"unsupported zarr compressor $other (supported: null, zlib, blosc)")
+              s"unsupported zarr compressor $other " +
+                "(supported: null, zlib, blosc, zstd)")
           }
         }
         val shapeRaw = (zj \ "shape").children.map(_.values.toString.toLong)

@@ -63,6 +63,19 @@ class TiffFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(TiffFormat.inflate(enc).toSeq == data.toSeq)
   }
 
+  test("PackBits roundtrip: runs, literals, 128-boundaries, noise") {
+    val cases = Seq(
+      Array.fill[Byte](300)(7), // long run crossing the 128 cap
+      Array.tabulate[Byte](259)(_.toByte), // long literal stretch
+      (Array.fill[Byte](5)(1) ++ Array[Byte](2, 3) ++
+        Array.fill[Byte](2)(4) ++ Array[Byte](5)), // mixed
+      Array[Byte](9), // single byte
+      Array.fill[Byte](1000)((math.random() * 255).toByte)) // noise
+    for (data <- cases)
+      assert(TiffFormat.PackBits.decode(
+        TiffFormat.PackBits.encode(data)).toSeq == data.toSeq)
+  }
+
   test("predictor 2 undo: 8-bit and 16-bit horizontal differencing") {
     import java.nio.ByteOrder
     // 8-bit, 2 rows of 3: each row differenced independently
@@ -362,7 +375,7 @@ class OmeTiffSpec extends SparkSpec {
       "identically — true cross-writer validation") {
     import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
     import java.awt.image.BufferedImage
-    for (compression <- Seq("LZW", "Deflate")) {
+    for (compression <- Seq("LZW", "Deflate", "PackBits")) {
       val it = ImageIO.getImageWritersByFormatName("tiff")
       assert(it.hasNext, "JDK TIFF plugin missing")
       val w = it.next()

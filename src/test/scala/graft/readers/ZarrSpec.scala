@@ -184,8 +184,9 @@ class ZarrSpec extends SparkSpec {
       == noise.toSeq)
   }
 
-  test("blosc- and zlib-compressed writer roundtrips through the registry") {
-    for (comp <- Seq("blosc", "zlib")) {
+  test("blosc- and zlib- and zstd-compressed writer roundtrips through " +
+      "the registry") {
+    for (comp <- Seq("blosc", "zlib", "zstd")) {
       val img = BioSpark.fromArray(spark, formulaic(Seq(2, 6, 9)), Some("CYX"))
       val uri = tmp(s"$comp.ome.zarr")
       ZarrWriter.save(img, uri, None, levels = 1, compressor = Some(comp))
