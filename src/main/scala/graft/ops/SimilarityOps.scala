@@ -214,12 +214,121 @@ object SimilarityOps {
        |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Squared L2 distance in double precision (sequential fold — matches
+    * the oracle's list_sum of per-dim squares). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+
+  /** Every vector scored against every (broadcast) centroid. */
+  private def ivfScored(e: DataFrame): DataFrame =
+    e.join(broadcast(ivfCentroids(e)))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
+        l2sq(col("embedding"), col("c_emb")).as("d2"))
+
+  /** IVF list assignment: nearest centroid per vector via a PARTIAL-
+    * AGGREGATABLE argmin (min over (d2, cent_id) structs — map-side
+    * combine, no window shuffle of the corpus). The coarse quantizer here
+    * is deterministic (the 16 lowest-id vectors) — k-means training is
+    * orthogonal to the partition/probe architecture under test. */
+  private def ivfAssigned(e: DataFrame): DataFrame =
+    ivfScored(e)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("m.cent_id").as("cent_id"))
+
+  /** IVF build side: inverted-list histogram. At 100 TB `cent_id` is the
+    * storage partition key; a probe touches nprobe partitions instead of
+    * the corpus. */
+  val q48IvfAssign: Q = (spark, dir) =>
+    ivfAssigned(Tables(spark, dir, "embeddings"))
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"))
+      .orderBy(col("cent_id"))
+
+  private val ivfBaseSql: String =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id < 16),
+      |s AS (SELECT e.vec_id, e.label, e.emb, cent_id,
+      |  list_sum(list_transform(range(0, len(emb)), i ->
+      |    (emb[i+1]-c_emb[i+1])*(emb[i+1]-c_emb[i+1]))) AS d2
+      | FROM e, c),
+      |a AS (SELECT vec_id, label, emb, cent_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY d2, cent_id) AS rn FROM s) WHERE rn = 1)""".stripMargin
+
+  val q48Oracle: String =
+    s"""WITH $ivfBaseSql
+       |SELECT cent_id, count(*) AS n_vectors,
+       | count(DISTINCT label) AS n_labels
+       |FROM a GROUP BY cent_id ORDER BY cent_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** IVF probe side: each query scans the nprobe=2 nearest inverted lists
+    * and takes the exact-cosine top-3 among their members. Complements
+    * q48 the way q44 complements q38 — the probe set is broadcast and
+    * only nprobe lists shuffle. */
+  val q49IvfProbe: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val assigned = ivfAssigned(e).repartition(col("cent_id"))
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val probes = ivfScored(e.filter(col("vec_id") < 10))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cent_id"))
+    val scored = assigned.join(broadcast(probes),
+        assigned("cent_id") === probes("cent_id") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.CosineSimilarity(col("q_emb"), col("embedding"))
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q49Oracle: String =
+    s"""WITH $ivfBaseSql,
+       |p AS (SELECT vec_id AS q_id, emb AS q_emb, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cent_id) AS rn FROM s WHERE vec_id < 10)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT q_id, a.vec_id,
+       |  list_inner_product(q_emb, a.emb) /
+       |    (sqrt(list_inner_product(q_emb, q_emb)) *
+       |     sqrt(list_inner_product(a.emb, a.emb))) AS cos
+       | FROM p JOIN a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       | FROM cand)
+       |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
+       |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
     "q38_lsh_buckets" -> q38LshBuckets,
     "q43_embedding_neardup" -> q43EmbeddingNearDup,
     "q44_ann_probe" -> q44AnnProbe,
+    "q48_ivf_assign" -> q48IvfAssign,
+    "q49_ivf_probe" -> q49IvfProbe,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -228,5 +337,7 @@ object SimilarityOps {
     "q38_lsh_buckets" -> q38Oracle,
     "q43_embedding_neardup" -> q43Oracle,
     "q44_ann_probe" -> q44Oracle,
+    "q48_ivf_assign" -> q48Oracle,
+    "q49_ivf_probe" -> q49Oracle,
   )
 }
