@@ -537,6 +537,37 @@ object BioQueries {
       |     range(6) a(y), range(8) b(x), range(3) c(s)
       |ORDER BY variant, y, x, s""".stripMargin
 
+  // ---------------------------------------------------------------- b21
+  /** Multimodal frame pipeline (the training-data shape for video-like
+    * payloads): frame-sample every 2nd T plane → 2× mean-pool resize
+    * (distributed poolHalf) → per-frame feature extraction (count / mean /
+    * min / max over the resized pixels). Each stage is plane-table
+    * composition — filter, groupBy pooling, explode + aggregate — so the
+    * whole pipeline shuffles only for the pooling and the final per-frame
+    * aggregate. The oracle replays sampling, pooling and features on the
+    * regenerated grid (all arithmetic exact in doubles). */
+  val b21FramePipeline: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(8, 6, 6))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = BioSpark.fromArray(spark, arr, Some("TYX"))
+    val sampled = img.planes.filter(col("t") % 2 === 0) // frame-sample
+    val resized = graft.core.Plane.poolHalf(sampled) // 2x mean-pool
+    graft.core.Plane.pixels(resized)
+      .groupBy(col("t").cast("long").as("t"))
+      .agg(count(lit(1)).as("n_px"), avg(col("v")).as("mean_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy(col("t"))
+  }
+
+  val b21Oracle: String =
+    """WITH px AS (SELECT t, y, x, CAST(t*100 + y*10 + x AS DOUBLE) AS v
+      |  FROM range(8) a(t), range(6) b(y), range(6) c(x) WHERE t % 2 = 0),
+      |p AS (SELECT t, y//2 AS py, x//2 AS qx, avg(v) AS pv
+      |      FROM px GROUP BY 1, 2, 3)
+      |SELECT t, count(*) AS n_px, avg(pv) AS mean_v,
+      | min(pv) AS min_v, max(pv) AS max_v
+      |FROM p GROUP BY t ORDER BY t""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -558,6 +589,7 @@ object BioQueries {
     "b18_compressed_tiff" -> b18CompressedTiff,
     "b19_zarr_blosc_ragged" -> b19ZarrBloscRagged,
     "b20_rgb_roundtrip" -> b20RgbRoundtrip,
+    "b21_frame_pipeline" -> b21FramePipeline,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -581,5 +613,6 @@ object BioQueries {
     "b18_compressed_tiff" -> b18Oracle,
     "b19_zarr_blosc_ragged" -> b19Oracle,
     "b20_rgb_roundtrip" -> b20Oracle,
+    "b21_frame_pipeline" -> b21Oracle,
   )
 }
