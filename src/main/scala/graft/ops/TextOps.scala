@@ -153,6 +153,56 @@ object TextOps {
     """SELECT doc_id, sha256(text) AS text_sha, source
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Document fingerprinting by rolling-hash winnowing (the MOSS scheme):
+    * polynomial base-31 hashes over character 7-grams, then the minimum
+    * hash of each 4-window of consecutive grams; the distinct window
+    * minima are the document's fingerprints. All arithmetic is exact
+    * int64 (7 terms × codepoint < 2^16 × 31^6 keeps every sum < 2^52),
+    * so Spark and the oracle agree bit-for-bit. Output features are
+    * order-insensitive (count / sum / min / max of the fingerprint set).
+    * Single narrow pass per document, no shuffle before the final sort. */
+  val q50WinnowFingerprint: Q = (spark, dir) => {
+    val k = 7
+    val w = 4
+    val pows = Seq(887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+    val grams = transform(
+      sequence(lit(1), length(col("text")) - lit(k - 1)),
+      i => pows.zipWithIndex.map { case (p, j) =>
+        ascii(col("text").substr(i + lit(j), lit(1))).cast("long") * p
+      }.reduce(_ + _))
+    // guard: reference `hashes` twice so CollapseProject cannot inline
+    // the gram computation into the window lambda (per-window re-eval)
+    val mins = when(size(col("hashes")) >= 0,
+      transform(sequence(lit(1), size(col("hashes")) - lit(w - 1)),
+        s => array_min(slice(col("hashes"), s, lit(w)))))
+    Tables.balanced(spark, dir, "documents")
+      .filter(length(col("text")) >= k + w - 1)
+      .withColumn("hashes", grams)
+      .select(col("doc_id"), array_distinct(mins).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q50Oracle: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 10),
+      |h AS (SELECT doc_id, list_transform(range(1, length(text) - 5), i ->
+      |  ord(text[i])::BIGINT*887503681 + ord(text[i+1])::BIGINT*28629151 +
+      |  ord(text[i+2])::BIGINT*923521 + ord(text[i+3])::BIGINT*29791 +
+      |  ord(text[i+4])::BIGINT*961 + ord(text[i+5])::BIGINT*31 +
+      |  ord(text[i+6])::BIGINT) AS hs
+      | FROM d),
+      |m AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, len(hs) - 2), s -> list_min(hs[s:s+3]))) AS fps FROM h)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+      | CAST(list_sum(fps) AS BIGINT) AS fp_sum,
+      | list_min(fps) AS fp_min, list_max(fps) AS fp_max
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -160,6 +210,7 @@ object TextOps {
     "q33_shingles" -> q33Shingles,
     "q34_normalized_dedup" -> q34NormalizedDedup,
     "q35_sha_fingerprint" -> q35ShaFingerprint,
+    "q50_winnow_fingerprint" -> q50WinnowFingerprint,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -169,5 +220,6 @@ object TextOps {
     "q33_shingles" -> q33Oracle,
     "q34_normalized_dedup" -> q34Oracle,
     "q35_sha_fingerprint" -> q35Oracle,
+    "q50_winnow_fingerprint" -> q50Oracle,
   )
 }
