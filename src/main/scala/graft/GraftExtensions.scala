@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, SimHash64, WordShingles}
+import graft.functions.{CosineSimilarity, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions installer: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -42,6 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(hashes) takes 1 argument")
         SimHash64(args(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "winnow_fingerprints(text, k, w) takes 3 arguments")
+        (args(1), args(2)) match {
+          case (Literal(k: Int, _), Literal(w: Int, _)) =>
+            WinnowFingerprints(args(0), k, w)
+          case other => throw new IllegalArgumentException(
+            s"winnow_fingerprints k and w must be integer literals, got $other")
+        }
       }))
   }
 }

@@ -62,6 +62,69 @@ object WordShingles {
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 }
 
+/** Winnowing fingerprints (the MOSS scheme, q50): base-31 polynomial
+  * hashes over character k-grams, then the minimum of each w-window of
+  * consecutive gram hashes; distinct minima in first-seen order. One
+  * native pass — semantically identical to the transform/sequence/
+  * array_min HOF pipeline (codepoint arithmetic, exact int64) but without
+  * per-character interpreted substr/ascii evaluation.
+  *
+  * CodegenFallback: per-row java loop, same rationale as WordShingles. */
+final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires a string input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = h * 31L + s.charAt(i + j).toLong
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nGrams * 2)
+    var st = 0
+    while (st + w <= nGrams) {
+      var mn = hashes(st)
+      var j = 1
+      while (j < w) {
+        if (hashes(st + j) < mn) mn = hashes(st + j)
+        j += 1
+      }
+      seen.add(mn)
+      st += 1
+    }
+    new GenericArrayData(
+      seen.iterator.asScala.map(l => l.longValue(): Any).toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def apply(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expression(text), k, w))
+}
+
 /** SimHash-64 over pre-hashed tokens (Array[Long]): each hash votes ±1
   * per bit; the fingerprint bit is the vote sign. Fully codegen'd — one
   * pass with a local long[64] vote table, replacing 64 separate

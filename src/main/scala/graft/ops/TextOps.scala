@@ -165,21 +165,14 @@ object TextOps {
   val q50WinnowFingerprint: Q = (spark, dir) => {
     val k = 7
     val w = 4
-    val pows = Seq(887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
-    val grams = transform(
-      sequence(lit(1), length(col("text")) - lit(k - 1)),
-      i => pows.zipWithIndex.map { case (p, j) =>
-        ascii(col("text").substr(i + lit(j), lit(1))).cast("long") * p
-      }.reduce(_ + _))
-    // guard: reference `hashes` twice so CollapseProject cannot inline
-    // the gram computation into the window lambda (per-window re-eval)
-    val mins = when(size(col("hashes")) >= 0,
-      transform(sequence(lit(1), size(col("hashes")) - lit(w - 1)),
-        s => array_min(slice(col("hashes"), s, lit(w)))))
+    // native single-pass gram-hash + window-min + distinct
+    // (graft.functions.WinnowFingerprints): identical codepoint/int64
+    // arithmetic to the transform/array_min HOF pipeline, ~7 interpreted
+    // substr+ascii evaluations per character collapsed into a java loop
     Tables.balanced(spark, dir, "documents")
       .filter(length(col("text")) >= k + w - 1)
-      .withColumn("hashes", grams)
-      .select(col("doc_id"), array_distinct(mins).as("fps"))
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprints(col("text"), k, w).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),
         aggregate(col("fps"), lit(0L), (a, x) => a + x).as("fp_sum"),

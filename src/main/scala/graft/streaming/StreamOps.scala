@@ -101,12 +101,12 @@ object StreamOps {
     *
     * Stateful streaming creates one state store per shuffle partition per
     * trigger; for the harness's small static inputs 32 stores are pure
-    * overhead, so the stream runs with 8 (a real deployment sizes this to
+    * overhead, so the stream runs with 2 (a real deployment sizes this to
     * state volume). The setting is restored afterwards. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       val q = stream.writeStream
         .format("memory")

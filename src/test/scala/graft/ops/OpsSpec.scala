@@ -124,6 +124,34 @@ class DedupSpec extends SparkSpec {
     assert(viaCol == Seq("a b c", "b c d"))
   }
 
+  test("WinnowFingerprints matches the HOF pipeline and registers in SQL") {
+    import org.apache.spark.sql.functions._
+    val k = 7; val w = 4
+    val pows = Seq(887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaa", "abcdefghij")
+    val df = spark.createDataFrame(texts.map(Tuple1(_))).toDF("text")
+    // reference form: transform/sequence gram hashes → window minima
+    val grams = transform(sequence(lit(1), length(col("text")) - lit(k - 1)),
+      i => pows.zipWithIndex.map { case (p, j) =>
+        ascii(col("text").substr(i + lit(j), lit(1))).cast("long") * p
+      }.reduce(_ + _))
+    val mins = when(size(col("hashes")) >= 0,
+      transform(sequence(lit(1), size(col("hashes")) - lit(w - 1)),
+        s => array_min(slice(col("hashes"), s, lit(w)))))
+    val viaHof = df.withColumn("hashes", grams)
+      .select(array_sort(array_distinct(mins)).as("fps"))
+      .collect().map(_.getSeq[Long](0))
+    val viaNative = df.select(array_sort(
+        graft.functions.WinnowFingerprints(col("text"), k, w)).as("fps"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaHof.toSeq == viaNative.toSeq)
+    // short-input edge: below k+w-1 chars → empty fingerprint set
+    val short = spark.sql("SELECT winnow_fingerprints('abcdefghi', 7, 4) f")
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("approx_count_distinct stays within 5% of exact (q29 vs q09)") {
     val exact = Relational.q09CountDistinct(spark, sf)
       .select("l_returnflag", "n_orders").as[(String, Long)].collect().toMap
