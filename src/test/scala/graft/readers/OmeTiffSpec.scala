@@ -485,6 +485,24 @@ class OmeTiffSpec extends SparkSpec {
     assert(back.rawMetadata.exists(_.contains("<OME")))
   }
 
+  test("RGB + tiled + compressed TIFF roundtrip (interleaved tile crop)") {
+    val arr = NDArray.tabulate(Seq(20, 18, 3))(idx =>
+      (idx(0) * 12 + idx(1) * 5 + idx(2) * 41) % 256)
+    val png = tmp("rgbt-src.png")
+    new BioImage(spark, new ArrayLikeReader(Seq(arr), Seq(Some("YXS")),
+      Seq(None))).save(png)
+    val img8 = BioSpark.open(spark, png)
+    val uri = tmp("rgb-tiled.ome.tiff")
+    OmeTiffWriter.save(img8, uri, None, TiffOptions(
+      compression = TiffFormat.CompressionDeflate, tile = Some((16, 16))))
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims('Y') == 20 && back.dims('X') == 18 && back.dims('S') == 3)
+    val nd = back.getImageData("YXS")
+    for (y <- 0 until 20; x <- 0 until 18; s <- 0 until 3)
+      assert(nd.array(y, x, s) == ((y * 12 + x * 5 + s * 41) % 256).toDouble,
+        s"($y,$x,$s)")
+  }
+
   test("RGB PNG write path (TwoDWriter analog)") {
     val arr = NDArray.tabulate(Seq(4, 6, 3))(idx =>
       (idx(0) * 40 + idx(1) * 9 + idx(2) * 2) % 256)
