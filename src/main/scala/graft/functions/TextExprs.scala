@@ -83,8 +83,11 @@ final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       s"winnow_fingerprints requires a string input, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // CODEPOINTS, not UTF-16 units — matches ord()/length() semantics on
+    // both engines for any text, not just the BMP
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
     if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
     val nGrams = n - k + 1
     val hashes = new Array[Long](nGrams)
@@ -93,7 +96,7 @@ final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       var h = 0L
       var j = 0
       while (j < k) {
-        h = h * 31L + s.charAt(i + j).toLong
+        h = h * 31L + cps(i + j).toLong
         j += 1
       }
       hashes(i) = h

@@ -227,11 +227,16 @@ object SimilarityOps {
     e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
 
-  /** Every vector scored against every (broadcast) centroid. */
-  private def ivfScored(e: DataFrame): DataFrame =
-    e.join(broadcast(ivfCentroids(e)))
+  /** `vectors` scored against every (broadcast) centroid. */
+  private def ivfScoredAgainst(vectors: DataFrame,
+      centroids: DataFrame): DataFrame =
+    vectors.join(broadcast(centroids))
       .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
         l2sq(col("embedding"), col("c_emb")).as("d2"))
+
+  /** Every vector scored against every centroid. */
+  private def ivfScored(e: DataFrame): DataFrame =
+    ivfScoredAgainst(e, ivfCentroids(e))
 
   /** IVF list assignment: nearest centroid per vector via a PARTIAL-
     * AGGREGATABLE argmin (min over (d2, cent_id) structs — map-side
@@ -284,7 +289,10 @@ object SimilarityOps {
     val assigned = ivfAssigned(e).repartition(col("cent_id"))
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cent_id"))
-    val probes = ivfScored(e.filter(col("vec_id") < 10))
+    // score queries against the FULL centroid set (filtering first would
+    // shrink the quantizer to the query subset's own low ids)
+    val probes = ivfScoredAgainst(e.filter(col("vec_id") < 10),
+        ivfCentroids(e))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

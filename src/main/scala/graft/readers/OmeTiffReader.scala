@@ -35,13 +35,14 @@ private[readers] final case class TiffSeg(
   *     PlaneRow records. Scene/T/C/Z selection prunes catalog rows before
   *     any pixel byte is read — the dask-graph slicing analog.
   *
-  * Format coverage: uncompressed, Deflate (8/32946) and LZW (5) segments,
-  * horizontal-predictor (2) undifferencing, strip- and tile-organized
-  * IFDs (TileWidth/TileLength/TileOffsets, tag 322–325); tiled planes
-  * read as mosaic tiles so a Y/X slice prunes whole tiles, and edge tiles
-  * (padded to full tile size on disk per TIFF 6.0) are cropped to the
-  * image bounds. Multi-sample (RGB) strips are rejected explicitly rather
-  * than mis-decoded.
+  * Format coverage: uncompressed, Deflate (8/32946), LZW (5) and PackBits
+  * (32773) segments, horizontal-predictor (2) undifferencing, strip- and
+  * tile-organized IFDs (TileWidth/TileLength/TileOffsets, tag 322–325),
+  * classic and BigTIFF; tiled planes read as mosaic tiles so a Y/X slice
+  * prunes whole tiles, and edge tiles (padded to full tile size on disk
+  * per TIFF 6.0) are cropped to the image bounds. Chunky (interleaved)
+  * RGB reads as per-sample bands with a trailing S dim; planar RGB and
+  * other sample counts are rejected explicitly rather than mis-decoded.
   *
   * Plane→(t,c,z) assignment follows the OME DimensionOrder attribute;
   * plain TIFFs (no OME-XML) read as one scene with planes stacked on Z,
@@ -66,7 +67,7 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
     if (!TiffFormat.compressionSupported(ifd.compression))
       throw new UnsupportedFileFormatError(
         s"'$path' uses TIFF compression ${ifd.compression}; supported: " +
-          "none (1), LZW (5), Deflate (8/32946)")
+          "none (1), LZW (5), Deflate (8/32946), PackBits (32773)")
     if (ifd.samplesPerPixel != 1 && ifd.samplesPerPixel != 3)
       throw new UnsupportedFileFormatError(
         s"'$path' has SamplesPerPixel=${ifd.samplesPerPixel}; supported: " +
@@ -310,13 +311,26 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               try in.close() catch { case _: Throwable => () }))
           it.flatMap { seg =>
             val spp = seg.spp
-            val raw = seg.offsets.zip(seg.counts).map { case (o, n) =>
+            val parts = seg.offsets.zip(seg.counts).map { case (o, n) =>
               val buf = new Array[Byte](n.toInt)
               in.readFully(o, buf)
               TiffFormat.decodeSegment(buf, seg.compression, seg.predictor,
                 rowSamples = seg.segW * spp, bits = seg.bits,
                 samplesPerPixel = spp, order = order)
-            }.reduce(_ ++ _)
+            }
+            // single allocation (a RowsPerStrip=1 file has h strips —
+            // pairwise ++ would copy the accumulated array per strip)
+            val raw =
+              if (parts.length == 1) parts.head
+              else {
+                val out = new Array[Byte](parts.map(_.length).sum)
+                var off = 0
+                parts.foreach { p =>
+                  System.arraycopy(p, 0, out, off, p.length)
+                  off += p.length
+                }
+                out
+              }
             // interleaved samples (chunky): one PlaneRow per sample band
             val px = TiffFormat.decodePlane(raw, seg.bits, seg.sampleFormat,
               order)

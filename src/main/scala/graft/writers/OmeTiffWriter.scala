@@ -100,6 +100,22 @@ object OmeTiffWriter extends BioWriter {
     val planeCounts = layouts.map(s => s.t * s.c * s.z)
     val totalPlanes = planeCounts.sum
 
+    // uncompressed classic-TIFF sizes are exactly computable up front —
+    // reject oversized saves BEFORE truncating the destination (the
+    // in-loop guard still covers compressed writes, whose sizes are only
+    // known as planes stream)
+    if (!big && opts.compression == TiffFormat.CompressionNone) {
+      val estimate = xmlOffset + xmlPadded + layouts.zip(planeCounts).map {
+        case (s, n) =>
+          val raw = s.h.toLong * s.w * s.nS * TiffFormat.bytesPerSample(s.pt)
+          n.toLong * (TiffFormat.ifdSize(12) + 2L * 2 * s.nS + raw + raw % 2 +
+            16L * ((s.h / 16 + 1) * (s.w / 16 + 1))) // tile-array slack
+      }.sum
+      require(estimate < (1L << 32),
+        "image exceeds classic TIFF 4 GiB limit — write with " +
+          "TiffOptions(bigTiff = true) or use the parquet plane store")
+    }
+
     val fs = FileSystem.get(new Path(uri).toUri,
       img.spark.sparkContext.hadoopConfiguration)
     val out = new BufferedOutputStream(fs.create(new Path(uri), true), 1 << 20)
@@ -128,6 +144,9 @@ object OmeTiffWriter extends BioWriter {
           var si = 0
           var tcz: (Int, Int, Int) = null
           while (si < nS) {
+            require(it.hasNext,
+              s"scene ${sel(i)}: plane rows ended mid-sample-group " +
+                s"(after $seen complete planes, sample $si of $nS)")
             val row = it.next()
             val key = (row.getInt(0), row.getInt(1), row.getInt(2))
             if (tcz == null) tcz = key
@@ -185,7 +204,10 @@ object OmeTiffWriter extends BioWriter {
           val nEntries = baseEntryCount + layoutEntryCount
           val ifdOff = pos
           val ifdSize = TiffFormat.ifdSize(nEntries, big)
-          val shortOol = if (nS > 1) 2 * 2 * nS else 0
+          // BigTIFF's 8-byte value slot holds 3 shorts INLINE (BigTIFF
+          // requires inline when the data fits); classic TIFF's 4-byte
+          // slot cannot, so the arrays go out-of-line after the IFD
+          val shortOol = if (nS > 1 && !big) 2 * 2 * nS else 0
           val tileOol =
             if (opts.tile.isDefined && n > 1) 2 * offSize * n else 0
           val bitsArrOff = ifdOff + ifdSize
@@ -198,17 +220,24 @@ object OmeTiffWriter extends BioWriter {
               "TiffOptions(bigTiff = true) or use the parquet plane store")
           val nextIfd = if (planeIdx == totalPlanes - 1) 0L else endPos
 
+          // little-endian shorts packed into the inline value slot
+          def packedShorts(v: Long): Long =
+            (0 until nS).map(i => (v & 0xffffL) << (16 * i)).reduce(_ | _)
           val baseEntries = Seq(
             TiffFormat.Entry(TiffFormat.TagImageWidth, TiffFormat.TypeLong, 1, s.w),
             TiffFormat.Entry(TiffFormat.TagImageLength, TiffFormat.TypeLong, 1, s.h),
             TiffFormat.Entry(TiffFormat.TagBitsPerSample, TiffFormat.TypeShort, nS,
-              if (nS == 1) bps * 8L else bitsArrOff),
+              if (nS == 1) bps * 8L
+              else if (big) packedShorts(bps * 8L)
+              else bitsArrOff),
             TiffFormat.Entry(TiffFormat.TagCompression, TiffFormat.TypeShort, 1, opts.compression),
             TiffFormat.Entry(TiffFormat.TagPhotometric, TiffFormat.TypeShort, 1,
               if (nS == 3) 2 else 1), // RGB vs BlackIsZero
             TiffFormat.Entry(TiffFormat.TagSamplesPerPixel, TiffFormat.TypeShort, 1, nS),
             TiffFormat.Entry(TiffFormat.TagSampleFormat, TiffFormat.TypeShort, nS,
-              if (nS == 1) TiffFormat.sampleFormat(s.pt) else sfArrOff)) ++
+              if (nS == 1) TiffFormat.sampleFormat(s.pt)
+              else if (big) packedShorts(TiffFormat.sampleFormat(s.pt))
+              else sfArrOff)) ++
             (if (planeIdx == 0)
               Seq(TiffFormat.Entry(TiffFormat.TagImageDescription,
                 TiffFormat.TypeAscii, xmlBytes.length, xmlOffset))

@@ -35,8 +35,11 @@ object PngWriter extends BioWriter {
     val nS = if (d.order.contains('S')) d('S').toInt else 1
     require(nS == 1 || nS == 3,
       s"PNG supports 1 (gray) or 3 (RGB) samples, got S=$nS")
-    val sixteen = nS == 1 &&
-      img.meta.pixelType == graft.core.PixelType.UInt16
+    val deep = img.meta.pixelType == graft.core.PixelType.UInt16
+    require(nS == 1 || !deep,
+      "16-bit RGB PNG output is not supported (8-bit RGB or 16-bit " +
+        "grayscale only) — refusing to clamp 16-bit samples to 255")
+    val sixteen = nS == 1 && deep
     val reduce = d.order.filter(c => c != 'Y' && c != 'X' && c != 'S')
       .map(c => c -> (Sel.Index(0): Sel)).toMap
     val buf = new BufferedImage(w, h,

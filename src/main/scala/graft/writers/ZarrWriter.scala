@@ -58,18 +58,18 @@ object ZarrWriter extends BioWriter {
   }
 
   /** The chunk-row plan for the CURRENT scene: (level, t, c, z, yi, xi,
-    * bands). Returns tileDirect=true when chunks come straight from
-    * mosaic tile rows (aligned grid, single level, no samples). */
+    * bands). Returns the tile grid when chunks come straight from mosaic
+    * tile rows (aligned grid, single level, no samples). */
   private[graft] def sceneChunkRows(img: BioImage, levels: Int,
-      nS: Int): (DataFrame, Boolean) = {
-    val tileDirect = levels == 1 && nS == 1 &&
-      alignedTileGrid(img).isDefined
-    if (tileDirect) {
-      val (th, tw) = alignedTileGrid(img).get
+      nS: Int): (DataFrame, Option[(Int, Int)]) = {
+    val grid =
+      if (levels == 1 && nS == 1) alignedTileGrid(img) else None
+    if (grid.isDefined) {
+      val (th, tw) = grid.get
       (img.planes.select(col("level"), col("t"), col("c"), col("z"),
         (col("y0") / th).cast("int").as("yi"),
         (col("x0") / tw).cast("int").as("xi"),
-        array(col("pixels")).as("bands")), true)
+        array(col("pixels")).as("bands")), grid)
     } else {
       val levelDfs = Iterator.iterate(img.stitchedPlanes)(Plane.poolHalf)
         .take(levels).toSeq
@@ -88,7 +88,7 @@ object ZarrWriter extends BioWriter {
             .select(col("level"), col("t"), col("c"), col("z"),
               lit(0).as("yi"), lit(0).as("xi"), col("bands"))
       }.reduce(_ unionByName _)
-      (unioned, false)
+      (unioned, None)
     }
   }
 
@@ -137,18 +137,15 @@ object ZarrWriter extends BioWriter {
           sSamples = nS,
           timeUnit = m.timeInterval.map(_ => "second"),
           spaceUnit = m.physicalPixelSizes.map(_ => "micrometer")))
-      val (chunkRows, tileDirect) = sceneChunkRows(img, levels, nS)
+      val (chunkRows, tileGrid) = sceneChunkRows(img, levels, nS)
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
       val sTail = if (nS > 1) Seq(nS.toLong) else Seq.empty
-      val (chunkH0, chunkW0) =
-        if (tileDirect) {
-          val (th, tw) = alignedTileGrid(img).get
-          (th.toLong, tw.toLong)
-        } else (0L, 0L)
       (0 until levels).foreach { l =>
-        val (chl, cwl) =
-          if (tileDirect) (chunkH0, chunkW0) else (hs(l), ws(l))
+        val (chl, cwl) = tileGrid match {
+          case Some((th, tw)) => (th.toLong, tw.toLong)
+          case None           => (hs(l), ws(l))
+        }
         writeDoc(s"$uri/$g/$l/.zarray", ZarrFormat.zarray(
           Seq(t, c, z, hs(l), ws(l)) ++ sTail,
           Seq(1L, 1L, 1L, chl, cwl) ++ sTail, dtype,

@@ -503,6 +503,24 @@ class OmeTiffSpec extends SparkSpec {
         s"($y,$x,$s)")
   }
 
+  test("BigTIFF + RGB: sample arrays pack into the 8-byte inline slot") {
+    val arr = NDArray.tabulate(Seq(6, 9, 3))(idx =>
+      (idx(0) * 30 + idx(1) * 7 + idx(2) * 11) % 256)
+    val png = tmp("bigrgb-src.png")
+    new BioImage(spark, new ArrayLikeReader(Seq(arr), Seq(Some("YXS")),
+      Seq(None))).save(png)
+    val img8 = BioSpark.open(spark, png)
+    val uri = tmp("big-rgb.ome.tiff")
+    OmeTiffWriter.save(img8, uri, None, TiffOptions(bigTiff = true))
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims('S') == 3)
+    assert(back.meta.pixelType == PixelType.UInt8)
+    val nd = back.getImageData("YXS")
+    for (y <- 0 until 6; x <- 0 until 9; s <- 0 until 3)
+      assert(nd.array(y, x, s) == ((y * 30 + x * 7 + s * 11) % 256).toDouble,
+        s"($y,$x,$s)")
+  }
+
   test("RGB PNG write path (TwoDWriter analog)") {
     val arr = NDArray.tabulate(Seq(4, 6, 3))(idx =>
       (idx(0) * 40 + idx(1) * 9 + idx(2) * 2) % 256)

@@ -331,8 +331,8 @@ class ZarrSpec extends SparkSpec {
       new ArrayLikeReader(Seq(arr), Seq(Some("MYX")), Seq(None),
         tilePositions = Seq(Seq((0, 0), (0, 4), (3, 0), (3, 4)))))
     // the fast path engages and its plan has NO aggregation
-    val (rows, tileDirect) = ZarrWriter.sceneChunkRows(img, levels = 1, nS = 1)
-    assert(tileDirect)
+    val (rows, tileGrid) = ZarrWriter.sceneChunkRows(img, levels = 1, nS = 1)
+    assert(tileGrid.contains((3, 4)))
     val plan = rows.queryExecution.executedPlan.toString
     assert(!plan.contains("Aggregate") && !plan.contains("collect_list"),
       plan)
