@@ -196,6 +196,56 @@ object TextOps {
       | list_min(fps) AS fp_min, list_max(fps) AS fp_max
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Fingerprint-overlap near-duplicate pairs — what winnowing is FOR
+    * (the MOSS scheme): documents sharing ≥3 winnow fingerprints are
+    * candidate near-dups. Scale shape mirrors q39: ubiquitous
+    * fingerprints are capped at document frequency ≤ 20 (the stop-gram
+    * analog, mirrored in the oracle) so the self-join is bounded by
+    * Σ min(freq,K)²; the DF-cap window shuffles on `fp`, exactly the
+    * join's partitioning, so both sides reuse one exchange. */
+  val q51WinnowPairs: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val w = 4
+    val f = Tables.balanced(spark, dir, "documents")
+      .filter(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints(col("text"), k, w))
+          .as("fp"))
+    val capped = f
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= 20)
+      .drop("df")
+      .repartition(col("fp"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q51Oracle: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 10),
+      |h AS (SELECT doc_id, list_transform(range(1, length(text) - 5), i ->
+      |  ord(text[i])::BIGINT*887503681 + ord(text[i+1])::BIGINT*28629151 +
+      |  ord(text[i+2])::BIGINT*923521 + ord(text[i+3])::BIGINT*29791 +
+      |  ord(text[i+4])::BIGINT*961 + ord(text[i+5])::BIGINT*31 +
+      |  ord(text[i+6])::BIGINT) AS hs
+      | FROM d),
+      |m AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, len(hs) - 2), s -> list_min(hs[s:s+3]))) AS fps FROM h),
+      |f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+      |df AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+      |ff AS (SELECT f.doc_id, f.fp FROM f JOIN df USING (fp)),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  count(*) AS n_shared
+      | FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -204,6 +254,7 @@ object TextOps {
     "q34_normalized_dedup" -> q34NormalizedDedup,
     "q35_sha_fingerprint" -> q35ShaFingerprint,
     "q50_winnow_fingerprint" -> q50WinnowFingerprint,
+    "q51_winnow_pairs" -> q51WinnowPairs,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -214,5 +265,6 @@ object TextOps {
     "q34_normalized_dedup" -> q34Oracle,
     "q35_sha_fingerprint" -> q35Oracle,
     "q50_winnow_fingerprint" -> q50Oracle,
+    "q51_winnow_pairs" -> q51Oracle,
   )
 }

@@ -14,7 +14,8 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(df.columns.nonEmpty)
       // q39/q40 candidate pairs can legitimately be empty on tiny data
       val n = df.count()
-      if (!Set("q39_jaccard_pairs", "q40_minhash_lsh").contains(name))
+      if (!Set("q39_jaccard_pairs", "q40_minhash_lsh",
+          "q51_winnow_pairs").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }
