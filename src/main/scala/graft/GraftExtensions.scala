@@ -17,6 +17,10 @@ import graft.functions.{CosineSimilarity, SimHash64, WinnowFingerprints, WordShi
   * (The Column API in graft.functions works without this.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // plane-store value predicates rewrite to px_min/px_max plane bounds
+    // (post-hoc resolution: must precede ColumnPruning, which would strip
+    // the not-yet-referenced stats columns)
+    ext.injectPostHocResolutionRule(_ => graft.plans.PushPixelValueFilter)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst rule: rewrite pixel-VALUE predicates against the plane
+  * store's per-plane statistics (SURVEY §4's custom-rule slot).
+  *
+  * The plane table's long-form pixel view is
+  * `Generate(posexplode(pixels))`; a predicate on the exploded value `v`
+  * cannot be pushed below the Generate by the built-in rules because it
+  * references generator output. But when the Generate's child carries the
+  * store's `px_min`/`px_max` columns (one min/max per plane,
+  * ParquetPlaneStore), a value bound implies a PLANE-level bound: a plane
+  * with px_max < lo contains no pixel ≥ lo. This rule inserts that
+  * implied filter BELOW the Generate, where the ordinary pushdown rules
+  * carry it into the parquet scan (`PushedFilters`) and row-group
+  * statistics skip whole planes without reading their pixel arrays.
+  *
+  * Registered as a POST-HOC RESOLUTION rule (GraftExtensions): it must
+  * run before ColumnPruning, which would otherwise strip the (so far
+  * unreferenced) stats columns in the same optimizer batch and erase the
+  * opportunity. At analysis time the filter sits above the projection
+  * chain of the pixel view, so the rule walks Projects that pass `v`
+  * through untouched. Sound because the inserted bound is implied
+  * (conservative): it only removes plane rows none of whose elements can
+  * satisfy the original predicate, which still applies above the
+  * Generate. The px-stats guard keeps it idempotent across fixed-point
+  * analysis runs.
+  */
+object PushPixelValueFilter extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      rewrite(cond, child).map(c => f.copy(child = c)).getOrElse(f)
+  }
+
+  /** Walk Projects (which may add/drop columns but pass `v` through by
+    * exprId) down to a Generate whose child has the stats columns. */
+  private def rewrite(cond: Expression,
+      plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case p: Project =>
+      rewrite(cond, p.child).map(c => p.copy(child = c))
+    case g: Generate
+        if g.generator.isInstanceOf[ExplodeBase] &&
+          g.child.output.exists(_.name == "px_min") &&
+          g.child.output.exists(_.name == "px_max") &&
+          !alreadyGuarded(g.child) =>
+      val vAttr = g.generatorOutput.last // (pos,) value
+      val pxMin = g.child.output.find(_.name == "px_min").get
+      val pxMax = g.child.output.find(_.name == "px_max").get
+      val bounds = splitConjunctivePredicates(cond)
+        .flatMap(boundFor(_, vAttr, pxMin, pxMax))
+      if (bounds.isEmpty) None
+      else Some(g.copy(child = Filter(bounds.reduce(And), g.child)))
+    case _ => None
+  }
+
+  private def alreadyGuarded(p: LogicalPlan): Boolean = p match {
+    case Filter(c, _) =>
+      c.references.exists(a => a.name == "px_min" || a.name == "px_max")
+    case _ => false
+  }
+
+  /** The plane-level bound implied by one conjunct on the pixel value. */
+  private def boundFor(e: Expression, v: Attribute, pxMin: Attribute,
+      pxMax: Attribute): Option[Expression] = e match {
+    case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+      Some(GreaterThanOrEqual(pxMax, l))
+    case GreaterThan(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+      Some(GreaterThan(pxMax, l))
+    case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+      Some(LessThanOrEqual(pxMin, l))
+    case LessThan(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+      Some(LessThan(pxMin, l))
+    case EqualTo(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+      Some(And(LessThanOrEqual(pxMin, l), GreaterThanOrEqual(pxMax, l)))
+    // reversed operand order
+    case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+      Some(LessThanOrEqual(pxMin, l))
+    case GreaterThan(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+      Some(LessThan(pxMin, l))
+    case LessThanOrEqual(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+      Some(GreaterThanOrEqual(pxMax, l))
+    case LessThan(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+      Some(GreaterThan(pxMax, l))
+    case EqualTo(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+      Some(And(LessThanOrEqual(pxMin, l), GreaterThanOrEqual(pxMax, l)))
+    case _ => None
+  }
+}

@@ -88,25 +88,27 @@ object ParquetPlaneStore {
       .parquet(s"$uri/catalog")
   }
 
-  /** Pixel rows of one scene/level with value in [lo, hi]. The range
-    * predicate is applied FIRST against the stored per-plane px_min /
-    * px_max columns — a top-level double comparison that parquet pushes
-    * into the scan (`PushedFilters`) and answers from row-group
-    * statistics, so planes that cannot match are skipped without reading
-    * their pixel arrays. The exact per-pixel predicate then applies after
-    * the explode. Stores written before the stats columns existed fall
-    * back to a plain scan. */
+  /** Pixel rows of one scene/level with value in [lo, hi]. The query is
+    * written naturally — explode, then filter on `v` — and the engine's
+    * PushPixelValueFilter optimizer rule rewrites the value bounds into
+    * plane-level px_min/px_max predicates BELOW the explode, which
+    * parquet pushes into the scan (`PushedFilters`) and answers from
+    * row-group statistics: planes that cannot match are skipped without
+    * reading their pixel arrays. Stores written before the stats columns
+    * existed simply scan every plane (the rule needs the columns). */
   def pixelsInRange(spark: SparkSession, uri: String, sceneIdx: Int,
       level: Int, lo: Double, hi: Double): DataFrame = {
-    var df = spark.read.parquet(s"$uri/planes")
+    val df = spark.read.parquet(s"$uri/planes")
       .filter(col("scene_idx") === sceneIdx && col("level") === level)
-    if (df.columns.contains("px_max"))
-      df = df.filter(col("px_max") >= lo && col("px_min") <= hi)
-    graft.core.Plane.pixels(
-      df.withColumn("scene_idx", col("scene_idx").cast("int"))
-        .withColumn("level", col("level").cast("int"))
-        .select("scene_idx", "level", "m", "t", "c", "z", "s",
-          "y0", "x0", "h", "w", "pixels"))
+      .withColumn("scene_idx", col("scene_idx").cast("int"))
+      .withColumn("level", col("level").cast("int"))
+    val stats = Seq("px_min", "px_max").filter(df.columns.contains).map(col)
+    df.select(Seq(col("scene_idx"), col("level"), col("m"), col("t"),
+        col("c"), col("z"), col("s"), col("w"), col("y0"), col("x0")) ++
+        stats :+ posexplode(col("pixels")).as(Seq("pos", "v")): _*)
+      .withColumn("y", (col("pos") / col("w")).cast("int") + col("y0"))
+      .withColumn("x", pmod(col("pos"), col("w")).cast("int") + col("x0"))
+      .drop(Seq("pos", "w", "y0", "x0") ++ stats.map(_.toString): _*)
       .filter(col("v") >= lo && col("v") <= hi)
   }
 }

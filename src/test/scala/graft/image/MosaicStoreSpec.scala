@@ -207,4 +207,44 @@ class StoreSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("px_min") <= 460.0)
     assert(pruned.count() == 1)
   }
+
+  test("PushPixelValueFilter rule: the synthesized plane bound sits below " +
+      "the explode; stats never leak into the output; no-stats scans " +
+      "are untouched") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
+    import org.apache.spark.sql.functions._
+    val arr = NDArray.tabulate(Seq(3, 4, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 8 + idx(2))
+    val img = BioSpark.fromArray(spark, arr)
+    val dir = Files.createTempDirectory("graft-rule").toString + "/r.graft"
+    ParquetPlaneStore.save(img, dir)
+    val px = ParquetPlaneStore.pixelsInRange(spark, dir, 0, 0, 150.0, 250.0)
+    // plane-level Filter referencing the stats, with no Generate beneath
+    val lp = px.queryExecution.optimizedPlan
+    val planeFilter = lp.collect {
+      case f: Filter if f.condition.references.exists(a =>
+        a.name == "px_max") &&
+        f.collect { case g: Generate => g }.isEmpty => f
+    }
+    assert(planeFilter.nonEmpty, lp.toString)
+    // the stats columns do not leak into the result schema
+    assert(!px.columns.contains("px_min") && !px.columns.contains("px_max"))
+    assert(px.select("z", "v").collect().forall { r =>
+      r.getDouble(1) >= 150.0 && r.getDouble(1) <= 250.0 })
+    // a store without stats columns still answers correctly (rule no-ops)
+    val legacy = Files.createTempDirectory("graft-rule").toString + "/l.graft"
+    ParquetPlaneStore.save(img, legacy)
+    // strip the stats columns to simulate a pre-stats store
+    val stripped = spark.read.parquet(s"$legacy/planes")
+      .drop("px_min", "px_max")
+    val tmpDir = legacy + "/planes_nostats"
+    stripped.write.parquet(tmpDir)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$legacy/planes"), true)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .rename(new org.apache.hadoop.fs.Path(tmpDir),
+        new org.apache.hadoop.fs.Path(s"$legacy/planes"))
+    val px2 = ParquetPlaneStore.pixelsInRange(spark, legacy, 0, 0, 150.0, 250.0)
+    assert(px2.count() == px.count())
+  }
 }
