@@ -10,7 +10,8 @@ import graft.image.{BioImage, Sel}
 /** 2D PNG sink — the analog of the reference registry's TwoDWriter
   * (/root/reference/README.md:78-85): the CURRENT scene's (T=0, C=0, Z=0)
   * plane, written as 8- or 16-bit grayscale PNG (values clamped to the
-  * type range). Three-sample (S=3) scenes write interleaved 8-bit RGB. */
+  * type range). Three-sample (S=3) scenes write interleaved RGB at the
+  * source bit depth (8- or 16-bit per channel). */
 object PngWriter extends BioWriter {
   override def name: String = "PngWriter"
   override def supportedExtensions: Seq[String] = Seq(".png")
@@ -35,17 +36,26 @@ object PngWriter extends BioWriter {
     val nS = if (d.order.contains('S')) d('S').toInt else 1
     require(nS == 1 || nS == 3,
       s"PNG supports 1 (gray) or 3 (RGB) samples, got S=$nS")
-    val deep = img.meta.pixelType == graft.core.PixelType.UInt16
-    require(nS == 1 || !deep,
-      "16-bit RGB PNG output is not supported (8-bit RGB or 16-bit " +
-        "grayscale only) — refusing to clamp 16-bit samples to 255")
-    val sixteen = nS == 1 && deep
+    val sixteen = img.meta.pixelType == graft.core.PixelType.UInt16
     val reduce = d.order.filter(c => c != 'Y' && c != 'X' && c != 'S')
       .map(c => c -> (Sel.Index(0): Sel)).toMap
-    val buf = new BufferedImage(w, h,
-      if (nS == 3) BufferedImage.TYPE_INT_RGB
-      else if (sixteen) BufferedImage.TYPE_USHORT_GRAY
-      else BufferedImage.TYPE_BYTE_GRAY)
+    val buf =
+      if (nS == 3 && sixteen) {
+        // 16-bit RGB has no standard BufferedImage TYPE_*: build an
+        // interleaved ushort component image (PNG supports 16-bit/channel)
+        import java.awt.image.{ComponentColorModel, DataBuffer, Raster}
+        import java.awt.color.ColorSpace
+        val cm = new ComponentColorModel(
+          ColorSpace.getInstance(ColorSpace.CS_sRGB),
+          Array(16, 16, 16), false, false, java.awt.Transparency.OPAQUE,
+          DataBuffer.TYPE_USHORT)
+        val r = Raster.createInterleavedRaster(
+          DataBuffer.TYPE_USHORT, w, h, 3, null)
+        new BufferedImage(cm, r, false, null)
+      } else new BufferedImage(w, h,
+        if (nS == 3) BufferedImage.TYPE_INT_RGB
+        else if (sixteen) BufferedImage.TYPE_USHORT_GRAY
+        else BufferedImage.TYPE_BYTE_GRAY)
     val raster = buf.getRaster
     val maxV = if (sixteen) 65535 else 255
     val nd =

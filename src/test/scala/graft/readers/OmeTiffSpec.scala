@@ -503,6 +503,40 @@ class OmeTiffSpec extends SparkSpec {
         s"($y,$x,$s)")
   }
 
+  test("16-bit RGB PNG: foreign fixture reads as UInt16 YXS and our " +
+      "writer reproduces it at full depth") {
+    import javax.imageio.ImageIO
+    import java.awt.image.{BufferedImage, ComponentColorModel, DataBuffer, Raster}
+    import java.awt.color.ColorSpace
+    // foreign 16-bit RGB PNG with values far beyond 8-bit range
+    val (h, w) = (5, 7)
+    val cm = new ComponentColorModel(
+      ColorSpace.getInstance(ColorSpace.CS_sRGB),
+      Array(16, 16, 16), false, false, java.awt.Transparency.OPAQUE,
+      DataBuffer.TYPE_USHORT)
+    val r = Raster.createInterleavedRaster(DataBuffer.TYPE_USHORT, w, h, 3, null)
+    val src = new BufferedImage(cm, r, false, null)
+    def v(y: Int, x: Int, s: Int): Int = 1000 * (y + 1) + 100 * x + 17 * s
+    for (y <- 0 until h; x <- 0 until w; s <- 0 until 3)
+      src.getRaster.setSample(x, y, s, v(y, x, s))
+    val f = new java.io.File(tmp("deep-rgb.png"))
+    assert(ImageIO.write(src, "png", f))
+    val img = BioSpark.open(spark, f.getPath)
+    assert(img.meta.pixelType == PixelType.UInt16)
+    assert(img.dims('S') == 3)
+    val nd = img.getImageData("YXS")
+    for (y <- 0 until h; x <- 0 until w; s <- 0 until 3)
+      assert(nd.array(y, x, s) == v(y, x, s).toDouble, s"($y,$x,$s)")
+    // engine writes it back at 16 bits per channel
+    val out = tmp("deep-rgb-out.png")
+    img.save(out)
+    val back = BioSpark.open(spark, out)
+    assert(back.meta.pixelType == PixelType.UInt16)
+    val nd2 = back.getImageData("YXS")
+    for (y <- 0 until h; x <- 0 until w; s <- 0 until 3)
+      assert(nd2.array(y, x, s) == v(y, x, s).toDouble, s"rt ($y,$x,$s)")
+  }
+
   test("BigTIFF + RGB: sample arrays pack into the 8-byte inline slot") {
     val arr = NDArray.tabulate(Seq(6, 9, 3))(idx =>
       (idx(0) * 30 + idx(1) * 7 + idx(2) * 11) % 256)
