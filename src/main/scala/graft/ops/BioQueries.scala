@@ -568,6 +568,31 @@ object BioQueries {
       | min(pv) AS min_v, max(pv) AS max_v
       |FROM p GROUP BY t ORDER BY t""".stripMargin
 
+  // ---------------------------------------------------------------- b22
+  /** S16 + E14 rule end-to-end: a pixel-VALUE range scan over the plane
+    * store. The query is written naturally (explode, then filter v); the
+    * PushPixelValueFilter Catalyst rule rewrites the bounds against the
+    * store's per-plane px_min/px_max so the parquet scan's row-group
+    * statistics skip planes that cannot match. The oracle regenerates the
+    * grid and applies the same value predicate. */
+  val b22StoreValueScan: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(6, 5, 5))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = BioSpark.fromArray(spark, arr) // ZYX
+    val uri = s"/tmp/graft_b22_${java.util.UUID.randomUUID()}.graft"
+    ParquetPlaneStore.save(img, uri)
+    ParquetPlaneStore.pixelsInRange(spark, uri, 0, 0, 220.0, 410.0)
+      .select(col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("z"), col("y"), col("x"))
+  }
+
+  val b22Oracle: String =
+    """SELECT z, y, x, CAST(z*100 + y*10 + x AS DOUBLE) AS v
+      |FROM range(6) a(z), range(5) b(y), range(5) c(x)
+      |WHERE z*100 + y*10 + x BETWEEN 220 AND 410
+      |ORDER BY z, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -590,6 +615,7 @@ object BioQueries {
     "b19_zarr_blosc_ragged" -> b19ZarrBloscRagged,
     "b20_rgb_roundtrip" -> b20RgbRoundtrip,
     "b21_frame_pipeline" -> b21FramePipeline,
+    "b22_store_value_scan" -> b22StoreValueScan,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -614,5 +640,6 @@ object BioQueries {
     "b19_zarr_blosc_ragged" -> b19Oracle,
     "b20_rgb_roundtrip" -> b20Oracle,
     "b21_frame_pipeline" -> b21Oracle,
+    "b22_store_value_scan" -> b22Oracle,
   )
 }
