@@ -43,7 +43,7 @@ object PushPixelValueFilter extends Rule[LogicalPlan] with PredicateHelper {
     case p: Project =>
       rewrite(cond, p.child).map(c => p.copy(child = c))
     case g: Generate
-        if g.generator.isInstanceOf[ExplodeBase] &&
+        if explodesPixels(g.generator) &&
           g.child.output.exists(_.name == "px_min") &&
           g.child.output.exists(_.name == "px_max") &&
           !alreadyGuarded(g.child) =>
@@ -55,6 +55,17 @@ object PushPixelValueFilter extends Rule[LogicalPlan] with PredicateHelper {
       if (bounds.isEmpty) None
       else Some(g.copy(child = Filter(bounds.reduce(And), g.child)))
     case _ => None
+  }
+
+  /** Only the plane-store schema convention: the exploded array must be
+    * the `pixels` column itself — px_min/px_max columns next to some
+    * OTHER exploded array carry no guarantee about its elements. */
+  private def explodesPixels(gen: Expression): Boolean = gen match {
+    case e: ExplodeBase => e.child match {
+      case a: Attribute => a.name == "pixels"
+      case _            => false
+    }
+    case _ => false
   }
 
   private def alreadyGuarded(p: LogicalPlan): Boolean = p match {

@@ -246,5 +246,16 @@ class StoreSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(s"$legacy/planes"))
     val px2 = ParquetPlaneStore.pixelsInRange(spark, legacy, 0, 0, 150.0, 250.0)
     assert(px2.count() == px.count())
+
+    // a table that HAPPENS to have px_min/px_max columns but explodes a
+    // different array must NOT be rewritten (the stats carry no guarantee
+    // about that array's elements)
+    import spark.implicits._
+    val decoy = Seq((Seq(1.0, 900.0), 5.0, 10.0))
+      .toDF("other", "px_min", "px_max")
+      .select(col("px_min"), col("px_max"),
+        posexplode(col("other")).as(Seq("pos", "v")))
+      .filter(col("v") >= 200.0)
+    assert(decoy.count() == 1) // 900.0 survives despite px_max = 10
   }
 }
