@@ -30,18 +30,20 @@ final case class PlaneRow(
 
 object Plane {
   /** Long-form pixel view of a plane table: one row per pixel with LOCAL
-    * (per-tile) y/x coordinates. */
-  def pixels(planes: DataFrame): DataFrame =
-    planes.select(col("scene_idx"), col("level"), col("m"), col("t"),
-        col("c"), col("z"), col("s"), col("w"), col("y0"), col("x0"),
-        posexplode(col("pixels")).as(Seq("pos", "v")))
+    * (per-tile) y/x coordinates. `keep` passes extra input columns (e.g.
+    * the store's px_min/px_max stats) through the explode. */
+  def pixels(planes: DataFrame, keep: Seq[String] = Seq.empty): DataFrame =
+    planes.select(Seq(col("scene_idx"), col("level"), col("m"), col("t"),
+        col("c"), col("z"), col("s"), col("w"), col("y0"), col("x0")) ++
+        keep.map(col) :+
+        posexplode(col("pixels")).as(Seq("pos", "v")): _*)
       .withColumn("y", (col("pos") / col("w")).cast("int"))
       .withColumn("x", pmod(col("pos"), col("w")).cast("int"))
       .drop("pos", "w")
 
   /** Pixel view in STITCHED mosaic space (y/x shifted by tile offsets). */
-  def stitchedPixels(planes: DataFrame): DataFrame =
-    pixels(planes)
+  def stitchedPixels(planes: DataFrame, keep: Seq[String] = Seq.empty): DataFrame =
+    pixels(planes, keep)
       .withColumn("y", col("y") + col("y0"))
       .withColumn("x", col("x") + col("x0"))
       .drop("y0", "x0")

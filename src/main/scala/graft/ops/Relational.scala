@@ -365,8 +365,13 @@ object Relational {
   /** Running-total window with ROWS frame. l_quantity is integral-valued
     * so the running double sum is exact — no rounding needed. */
   val q15WindowRunning: Q = (spark, dir) => {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem;
+    // l_quantity + l_extendedprice complete a total order, without which
+    // the ROWS running frame is underdetermined on the tied pair and the
+    // oracle (recomputed per check) can legally disagree
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "lineitem")
       .withColumn("run_qty", sum(col("l_quantity")).over(w))
@@ -378,7 +383,8 @@ object Relational {
   val q15Oracle: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       | sum(l_quantity) OVER (PARTITION BY l_suppkey
-      |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+      |     l_quantity, l_extendedprice
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
       |FROM lineitem
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin

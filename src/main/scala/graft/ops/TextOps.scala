@@ -213,11 +213,13 @@ object TextOps {
       .select(col("doc_id"),
         explode(graft.functions.WinnowFingerprints(col("text"), k, w))
           .as("fp"))
+    // the DF-cap window's exchange already hash-partitions on fp, which
+    // is exactly the self-join's required distribution — both sides
+    // reuse that one exchange (no extra repartition)
     val capped = f
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= 20)
       .drop("df")
-      .repartition(col("fp"))
     capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -43,29 +43,62 @@ object PushPixelValueFilter extends Rule[LogicalPlan] with PredicateHelper {
     case p: Project =>
       rewrite(cond, p.child).map(c => p.copy(child = c))
     case g: Generate
-        if explodesPixels(g.generator) &&
-          g.child.output.exists(_.name == "px_min") &&
+        if g.child.output.exists(_.name == "px_min") &&
           g.child.output.exists(_.name == "px_max") &&
           !alreadyGuarded(g.child) =>
-      val vAttr = g.generatorOutput.last // (pos,) value
-      val pxMin = g.child.output.find(_.name == "px_min").get
-      val pxMax = g.child.output.find(_.name == "px_max").get
-      val bounds = splitConjunctivePredicates(cond)
-        .flatMap(boundFor(_, vAttr, pxMin, pxMax))
-      if (bounds.isEmpty) None
-      else Some(g.copy(child = Filter(bounds.reduce(And), g.child)))
+      (explodedPixels(g.generator) match {
+        case Some(pixels) =>
+          val pxMin = g.child.output.find(_.name == "px_min").get
+          val pxMax = g.child.output.find(_.name == "px_max").get
+          // all three columns must flow UNMODIFIED from the same leaf —
+          // a derived/renamed pixels array (or one joined in from another
+          // relation) is not described by these stats
+          if (!sameLeafUnmodified(g.child, Seq(pixels, pxMin, pxMax)))
+            None
+          else {
+            val vAttr = g.generatorOutput.last // (pos,) value
+            val bounds = splitConjunctivePredicates(cond)
+              .flatMap(boundFor(_, vAttr, pxMin, pxMax))
+            if (bounds.isEmpty) None
+            else Some(g.copy(child = Filter(bounds.reduce(And), g.child)))
+          }
+        case None => None
+      })
     case _ => None
   }
 
-  /** Only the plane-store schema convention: the exploded array must be
-    * the `pixels` column itself — px_min/px_max columns next to some
-    * OTHER exploded array carry no guarantee about its elements. */
-  private def explodesPixels(gen: Expression): Boolean = gen match {
-    case e: ExplodeBase => e.child match {
-      case a: Attribute => a.name == "pixels"
-      case _            => false
+  /** The plane-store schema convention: the exploded array must be the
+    * `pixels` column itself. */
+  private def explodedPixels(gen: Expression): Option[Attribute] =
+    gen match {
+      case e: ExplodeBase => e.child match {
+        case a: Attribute if a.name == "pixels" => Some(a)
+        case _                                  => None
+      }
+      case _ => None
     }
-    case _ => false
+
+  /** True iff every attribute traces through pass-through Projects and
+    * Filters to the SAME leaf relation, unmodified (no computed aliases,
+    * no joins/unions in between). */
+  private def sameLeafUnmodified(plan: LogicalPlan,
+      attrs: Seq[Attribute]): Boolean = {
+    def producer(p: LogicalPlan, a: Attribute): Option[LogicalPlan] = p match {
+      case l: LeafNode =>
+        if (l.output.exists(_.exprId == a.exprId)) Some(l) else None
+      case proj: Project =>
+        proj.projectList.find(_.exprId == a.exprId).flatMap {
+          case att: Attribute         => producer(proj.child, att)
+          case Alias(att: Attribute, _) => producer(proj.child, att)
+          case _                      => None // computed — not a pass-through
+        }
+      case f: Filter    => producer(f.child, a)
+      case s: SubqueryAlias => producer(s.child, a)
+      case _ => None // joins, unions, aggregates: don't risk it
+    }
+    val leaves = attrs.map(producer(plan, _))
+    leaves.forall(_.isDefined) &&
+      leaves.flatten.distinct.lengthCompare(1) == 0
   }
 
   private def alreadyGuarded(p: LogicalPlan): Boolean = p match {
@@ -74,30 +107,38 @@ object PushPixelValueFilter extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** The plane-level bound implied by one conjunct on the pixel value. */
+  /** The plane-level bound implied by one conjunct on the pixel value.
+    * Every bound is null-safe: rows from pre-stats parquet files in a
+    * mixed-schema store read the stats as NULL and must not be dropped. */
   private def boundFor(e: Expression, v: Attribute, pxMin: Attribute,
-      pxMax: Attribute): Option[Expression] = e match {
-    case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
-      Some(GreaterThanOrEqual(pxMax, l))
-    case GreaterThan(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
-      Some(GreaterThan(pxMax, l))
-    case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
-      Some(LessThanOrEqual(pxMin, l))
-    case LessThan(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
-      Some(LessThan(pxMin, l))
-    case EqualTo(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
-      Some(And(LessThanOrEqual(pxMin, l), GreaterThanOrEqual(pxMax, l)))
-    // reversed operand order
-    case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
-      Some(LessThanOrEqual(pxMin, l))
-    case GreaterThan(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
-      Some(LessThan(pxMin, l))
-    case LessThanOrEqual(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
-      Some(GreaterThanOrEqual(pxMax, l))
-    case LessThan(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
-      Some(GreaterThan(pxMax, l))
-    case EqualTo(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
-      Some(And(LessThanOrEqual(pxMin, l), GreaterThanOrEqual(pxMax, l)))
-    case _ => None
+      pxMax: Attribute): Option[Expression] = {
+    def ns(stat: Attribute, bound: Expression): Option[Expression] =
+      Some(Or(IsNull(stat), bound))
+    e match {
+      case GreaterThanOrEqual(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMax, GreaterThanOrEqual(pxMax, l))
+      case GreaterThan(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMax, GreaterThan(pxMax, l))
+      case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMin, LessThanOrEqual(pxMin, l))
+      case LessThan(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMin, LessThan(pxMin, l))
+      case EqualTo(a: Attribute, l) if a.semanticEquals(v) && l.foldable =>
+        Some(And(Or(IsNull(pxMin), LessThanOrEqual(pxMin, l)),
+          Or(IsNull(pxMax), GreaterThanOrEqual(pxMax, l))))
+      // reversed operand order
+      case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMin, LessThanOrEqual(pxMin, l))
+      case GreaterThan(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMin, LessThan(pxMin, l))
+      case LessThanOrEqual(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMax, GreaterThanOrEqual(pxMax, l))
+      case LessThan(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+        ns(pxMax, GreaterThan(pxMax, l))
+      case EqualTo(l, a: Attribute) if a.semanticEquals(v) && l.foldable =>
+        Some(And(Or(IsNull(pxMin), LessThanOrEqual(pxMin, l)),
+          Or(IsNull(pxMax), GreaterThanOrEqual(pxMax, l))))
+      case _ => None
+    }
   }
 }

@@ -88,27 +88,27 @@ object ParquetPlaneStore {
       .parquet(s"$uri/catalog")
   }
 
-  /** Pixel rows of one scene/level with value in [lo, hi]. The query is
-    * written naturally — explode, then filter on `v` — and the engine's
-    * PushPixelValueFilter optimizer rule rewrites the value bounds into
-    * plane-level px_min/px_max predicates BELOW the explode, which
-    * parquet pushes into the scan (`PushedFilters`) and answers from
-    * row-group statistics: planes that cannot match are skipped without
-    * reading their pixel arrays. Stores written before the stats columns
-    * existed simply scan every plane (the rule needs the columns). */
+  /** Pixel rows of one scene/level with value in [lo, hi], in STITCHED
+    * coordinates (tile y0/x0 folded into y/x). The plane-level
+    * px_min/px_max bounds are applied explicitly — null-safe, so rows
+    * from pre-stats parquet files in a mixed-schema store survive — and
+    * the parquet scan answers them from row-group statistics
+    * (`PushedFilters`): planes that cannot match are skipped without
+    * reading their pixel arrays. (In sessions with GraftExtensions
+    * installed, the PushPixelValueFilter rule derives the same bounds for
+    * ANY naturally-written explode-then-filter query; this helper carries
+    * them itself so it prunes in bare sessions too.) */
   def pixelsInRange(spark: SparkSession, uri: String, sceneIdx: Int,
       level: Int, lo: Double, hi: Double): DataFrame = {
-    val df = spark.read.parquet(s"$uri/planes")
+    var df = spark.read.parquet(s"$uri/planes")
       .filter(col("scene_idx") === sceneIdx && col("level") === level)
       .withColumn("scene_idx", col("scene_idx").cast("int"))
       .withColumn("level", col("level").cast("int"))
-    val stats = Seq("px_min", "px_max").filter(df.columns.contains).map(col)
-    df.select(Seq(col("scene_idx"), col("level"), col("m"), col("t"),
-        col("c"), col("z"), col("s"), col("w"), col("y0"), col("x0")) ++
-        stats :+ posexplode(col("pixels")).as(Seq("pos", "v")): _*)
-      .withColumn("y", (col("pos") / col("w")).cast("int") + col("y0"))
-      .withColumn("x", pmod(col("pos"), col("w")).cast("int") + col("x0"))
-      .drop(Seq("pos", "w", "y0", "x0") ++ stats.map(_.toString): _*)
+    if (df.columns.contains("px_max"))
+      df = df.filter(
+        (col("px_max").isNull || col("px_max") >= lo) &&
+          (col("px_min").isNull || col("px_min") <= hi))
+    graft.core.Plane.stitchedPixels(df)
       .filter(col("v") >= lo && col("v") <= hi)
   }
 }

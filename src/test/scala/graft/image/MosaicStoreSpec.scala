@@ -213,24 +213,48 @@ class StoreSpec extends SparkSpec {
       "are untouched") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate}
     import org.apache.spark.sql.functions._
+    import graft.core.Plane
     val arr = NDArray.tabulate(Seq(3, 4, 4))(idx =>
       idx(0) * 100.0 + idx(1) * 8 + idx(2))
     val img = BioSpark.fromArray(spark, arr)
     val dir = Files.createTempDirectory("graft-rule").toString + "/r.graft"
     ParquetPlaneStore.save(img, dir)
+    def planeFilterBelowExplode(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.references.exists(a =>
+          a.name == "px_max") &&
+          f.collect { case g: Generate => g }.isEmpty => f
+      }
+    // a NATURAL query — explode with the stats columns in scope, then a
+    // plain value filter: only the RULE can have inserted the plane bound
+    val scan = spark.read.parquet(s"$dir/planes")
+      .filter(col("scene_idx") === 0 && col("level") === 0)
+      .withColumn("scene_idx", col("scene_idx").cast("int"))
+      .withColumn("level", col("level").cast("int"))
+    val natural = Plane.pixels(scan, keep = Seq("px_min", "px_max"))
+      .filter(col("v") >= 150.0 && col("v") <= 250.0)
+    assert(planeFilterBelowExplode(natural).nonEmpty,
+      natural.queryExecution.optimizedPlan.toString)
+    assert(natural.count() ===
+      (for (z <- 0 until 3; y <- 0 until 4; x <- 0 until 4;
+        v = z * 100.0 + y * 8 + x if v >= 150 && v <= 250) yield v).size)
+    // the helper prunes too (explicit null-safe guard) and stays clean
     val px = ParquetPlaneStore.pixelsInRange(spark, dir, 0, 0, 150.0, 250.0)
-    // plane-level Filter referencing the stats, with no Generate beneath
-    val lp = px.queryExecution.optimizedPlan
-    val planeFilter = lp.collect {
-      case f: Filter if f.condition.references.exists(a =>
-        a.name == "px_max") &&
-        f.collect { case g: Generate => g }.isEmpty => f
-    }
-    assert(planeFilter.nonEmpty, lp.toString)
-    // the stats columns do not leak into the result schema
+    assert(planeFilterBelowExplode(px).nonEmpty)
     assert(!px.columns.contains("px_min") && !px.columns.contains("px_max"))
     assert(px.select("z", "v").collect().forall { r =>
       r.getDouble(1) >= 150.0 && r.getDouble(1) <= 250.0 })
+    // a DERIVED pixels column (same name, transformed values) must NOT be
+    // pruned by the original column's stats
+    val derived = Plane.pixels(
+      scan.withColumn("pixels", transform(col("pixels"), p => p * 2)),
+      keep = Seq("px_min", "px_max"))
+      .filter(col("v") >= 420.0)
+    assert(planeFilterBelowExplode(derived).isEmpty,
+      derived.queryExecution.optimizedPlan.toString)
+    val expectDerived = (for (z <- 0 until 3; y <- 0 until 4; x <- 0 until 4;
+      v = 2 * (z * 100.0 + y * 8 + x) if v >= 420.0) yield v).size
+    assert(derived.count() === expectDerived)
     // a store without stats columns still answers correctly (rule no-ops)
     val legacy = Files.createTempDirectory("graft-rule").toString + "/l.graft"
     ParquetPlaneStore.save(img, legacy)
