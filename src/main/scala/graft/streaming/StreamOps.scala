@@ -107,15 +107,26 @@ object StreamOps {
       outputMode: String = "append"): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // state-store + offset-log checkpoints are pure fsync overhead for a
+    // drain-once harness run; tmpfs (when present) removes the disk I/O
+    val ckpt =
+      if (new java.io.File("/dev/shm").isDirectory)
+        Some(s"/dev/shm/graft-ckpt-$name")
+      else None
     try {
-      val q = stream.writeStream
+      val writer = stream.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
-        .start()
+      ckpt.foreach(writer.option("checkpointLocation", _))
+      val q = writer.start()
       try q.processAllAvailable()
       finally q.stop() // never leak a running stream on mid-batch failure
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ckpt.foreach(p => scala.util.Try(
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))))
+    }
     spark.table(name)
   }
 }
