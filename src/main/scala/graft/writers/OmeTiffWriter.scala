@@ -166,11 +166,21 @@ object OmeTiffWriter extends BioWriter {
             si += 1
           }
 
-          // encode + compress this plane's segments (one strip, or tiles)
+          // encode + compress this plane's segments: ~256 KiB strips (so
+          // strip-streaming readers never buffer a whole plane), or tiles
+          val rowBytes = math.max(1, s.w * nS * bps)
+          val rps = math.max(1, math.min(s.h, (256 * 1024) / rowBytes))
           val segments: Seq[Array[Byte]] = opts.tile match {
             case None =>
-              Seq(TiffFormat.compress(
-                TiffFormat.encodePlane(px, s.pt), opts.compression))
+              val nStrips = (s.h + rps - 1) / rps
+              (0 until nStrips).map { si =>
+                val r0 = si * rps
+                val rN = math.min(rps, s.h - r0)
+                val slice = java.util.Arrays.copyOfRange(px,
+                  r0 * s.w * nS, (r0 + rN) * s.w * nS)
+                TiffFormat.compress(
+                  TiffFormat.encodePlane(slice, s.pt), opts.compression)
+              }
             case Some((tw, tl)) =>
               val nx = (s.w + tw - 1) / tw
               val ny = (s.h + tl - 1) / tl
@@ -208,8 +218,8 @@ object OmeTiffWriter extends BioWriter {
           // requires inline when the data fits); classic TIFF's 4-byte
           // slot cannot, so the arrays go out-of-line after the IFD
           val shortOol = if (nS > 1 && !big) 2 * 2 * nS else 0
-          val tileOol =
-            if (opts.tile.isDefined && n > 1) 2 * offSize * n else 0
+          // offset/bytecount arrays (strips or tiles) when >1 segment
+          val tileOol = if (n > 1) 2 * offSize * n else 0
           val bitsArrOff = ifdOff + ifdSize
           val sfArrOff = bitsArrOff + 2L * nS
           val dataStart = ifdOff + ifdSize + shortOol + tileOol
@@ -243,14 +253,16 @@ object OmeTiffWriter extends BioWriter {
                 TiffFormat.TypeAscii, xmlBytes.length, xmlOffset))
             else Seq.empty)
 
+          val offArrOff = ifdOff + ifdSize + shortOol
+          val cntArrOff = offArrOff + offSize.toLong * n
           val layoutEntries = opts.tile match {
             case None => Seq(
-              TiffFormat.Entry(TiffFormat.TagStripOffsets, offType, 1, segOffsets(0)),
-              TiffFormat.Entry(TiffFormat.TagRowsPerStrip, TiffFormat.TypeLong, 1, s.h),
-              TiffFormat.Entry(TiffFormat.TagStripByteCounts, offType, 1, segments(0).length))
+              TiffFormat.Entry(TiffFormat.TagStripOffsets, offType, n,
+                if (n == 1) segOffsets(0) else offArrOff),
+              TiffFormat.Entry(TiffFormat.TagRowsPerStrip, TiffFormat.TypeLong, 1, rps),
+              TiffFormat.Entry(TiffFormat.TagStripByteCounts, offType, n,
+                if (n == 1) segments(0).length else cntArrOff))
             case Some((tw, tl)) =>
-              val offArrOff = ifdOff + ifdSize + shortOol
-              val cntArrOff = offArrOff + offSize.toLong * n
               Seq(
                 TiffFormat.Entry(TiffFormat.TagTileWidth, TiffFormat.TypeLong, 1, tw),
                 TiffFormat.Entry(TiffFormat.TagTileLength, TiffFormat.TypeLong, 1, tl),

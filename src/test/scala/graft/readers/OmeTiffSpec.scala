@@ -269,6 +269,26 @@ class OmeTiffSpec extends SparkSpec {
     assert(nd.array(1, 0, 1) == 2.0)
   }
 
+  test("tall planes split into ~256 KiB strips (streaming-reader-friendly) " +
+      "and roundtrip") {
+    // 600x64 float64: rowBytes=512 → rps=512 → 2 strips per plane
+    val img = BioSpark.fromArray(spark, NDArray.tabulate(Seq(600, 64))(idx =>
+      idx(0) * 1000.0 + idx(1)))
+    val uri = tmp("strips.ome.tiff")
+    img.save(uri)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(uri))
+    val read = (off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    val (_, ifds) = TiffFormat.parseIfds(read)
+    assert(ifds.head.stripOffsets.length == 2, ifds.head.stripOffsets)
+    assert(ifds.head.rowsPerStrip == 512)
+    val back = BioSpark.open(spark, uri)
+    val nd = back.getImageData("YX")
+    assert(nd.array(599, 63) == 599063.0)
+    assert(nd.array(511, 0) == 511000.0) // last row of strip 0
+    assert(nd.array(512, 0) == 512000.0) // first row of strip 1
+  }
+
   test("deflate-compressed roundtrip (strips)") {
     val img = BioSpark.fromArray(spark, formulaic(Seq(2, 5, 7))) // ZYX
     val uri = tmp("deflate.ome.tiff")
