@@ -307,12 +307,28 @@ object TiffFormat {
           "deflate/8/32946, PackBits/32773)")
     }
 
-  /** Compress one strip/tile segment. */
-  def compress(bytes: Array[Byte], compression: Int): Array[Byte] =
+  /** Compress one strip/tile segment. `rowBytes` > 0 gives the segment's
+    * row stride; PackBits restarts its encoder at each row boundary (what
+    * libtiff emits — strict per-row decoders reject runs that span rows).
+    * The stateless PackBits decoder reads the concatenation identically. */
+  def compress(bytes: Array[Byte], compression: Int,
+      rowBytes: Int = 0): Array[Byte] =
     compression match {
       case CompressionNone     => bytes
       case CompressionLZW      => Lzw.encode(bytes)
-      case CompressionPackBits => PackBits.encode(bytes)
+      case CompressionPackBits =>
+        if (rowBytes <= 0 || bytes.length <= rowBytes) PackBits.encode(bytes)
+        else {
+          val out = new java.io.ByteArrayOutputStream(bytes.length + 16)
+          var off = 0
+          while (off < bytes.length) {
+            val n = math.min(rowBytes, bytes.length - off)
+            out.write(PackBits.encode(
+              java.util.Arrays.copyOfRange(bytes, off, off + n)))
+            off += n
+          }
+          out.toByteArray
+        }
       case CompressionDeflate | CompressionDeflateLegacy => deflate(bytes)
       case other => throw new IllegalArgumentException(
         s"unsupported TIFF compression $other")
@@ -615,10 +631,17 @@ object TiffFormat {
     * bytes. `rowSamples` = segment row width × samplesPerPixel. */
   def decodeSegment(bytes: Array[Byte], compression: Int, predictor: Int,
       rowSamples: Int, bits: Int, samplesPerPixel: Int,
-      order: ByteOrder): Array[Byte] = {
+      order: ByteOrder, sampleFormat: Int = 1): Array[Byte] = {
     val raw = decompress(bytes, compression)
     predictor match {
       case 1 => ()
+      case 2 if sampleFormat == 3 =>
+        // predictor 2 is integer horizontal differencing; applying it to
+        // IEEE floats would decode to garbage silently (the spec defines
+        // predictor 3 for floats) — never mis-decode, reject instead
+        throw new IllegalArgumentException(
+          "TIFF predictor 2 (horizontal differencing) is only defined for " +
+            "integer samples; this file has SampleFormat=3 (IEEE float)")
       case 2 => undoPredictor(raw, rowSamples, bits, samplesPerPixel, order)
       case p => throw new IllegalArgumentException(
         s"unsupported TIFF predictor $p (supported: 1, 2)")

@@ -89,8 +89,12 @@ object PushPixelValueFilter extends Rule[LogicalPlan] with PredicateHelper {
       case proj: Project =>
         proj.projectList.find(_.exprId == a.exprId).flatMap {
           case att: Attribute         => producer(proj.child, att)
-          case Alias(att: Attribute, _) => producer(proj.child, att)
-          case _                      => None // computed — not a pass-through
+          // a RENAME is not a pass-through: stats resolved by the
+          // post-projection names must describe a leaf attribute of the
+          // same name, else `pixels` could alias an unrelated array
+          case Alias(att: Attribute, _) if att.name == a.name =>
+            producer(proj.child, att)
+          case _                      => None // computed/renamed — don't trust
         }
       case f: Filter    => producer(f.child, a)
       case s: SubqueryAlias => producer(s.child, a)

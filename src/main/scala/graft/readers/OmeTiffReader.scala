@@ -316,7 +316,8 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               in.readFully(o, buf)
               TiffFormat.decodeSegment(buf, seg.compression, seg.predictor,
                 rowSamples = seg.segW * spp, bits = seg.bits,
-                samplesPerPixel = spp, order = order)
+                samplesPerPixel = spp, order = order,
+                sampleFormat = seg.sampleFormat)
             }
             // single allocation (a RowsPerStrip=1 file has h strips —
             // pairwise ++ would copy the accumulated array per strip)

@@ -116,10 +116,18 @@ object OmeTiffWriter extends BioWriter {
           "TiffOptions(bigTiff = true) or use the parquet plane store")
     }
 
-    val fs = FileSystem.get(new Path(uri).toUri,
+    val dest = new Path(uri)
+    val fs = FileSystem.get(dest.toUri,
       img.spark.sparkContext.hadoopConfiguration)
-    val out = new BufferedOutputStream(fs.create(new Path(uri), true), 1 << 20)
+    // stream into a temporary sibling and promote on success: the in-loop
+    // 4 GiB guard (or any mid-write failure) must never leave a truncated
+    // partial at the destination or destroy an existing file there
+    val tmp = new Path(Option(dest.getParent).getOrElse(new Path("/")),
+      "." + dest.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 20)
     try {
+      try {
       var pos = 0L
       def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
 
@@ -179,7 +187,8 @@ object OmeTiffWriter extends BioWriter {
                 val slice = java.util.Arrays.copyOfRange(px,
                   r0 * s.w * nS, (r0 + rN) * s.w * nS)
                 TiffFormat.compress(
-                  TiffFormat.encodePlane(slice, s.pt), opts.compression)
+                  TiffFormat.encodePlane(slice, s.pt), opts.compression,
+                  rowBytes = rowBytes)
               }
             case Some((tw, tl)) =>
               val nx = (s.w + tw - 1) / tw
@@ -197,7 +206,8 @@ object OmeTiffWriter extends BioWriter {
                   r += 1
                 }
                 TiffFormat.compress(
-                  TiffFormat.encodePlane(tile, s.pt), opts.compression)
+                  TiffFormat.encodePlane(tile, s.pt), opts.compression,
+                  rowBytes = tw * nS * bps)
               }
           }
           val segPadded = segments.map(b => b.length + (b.length & 1))
@@ -300,7 +310,16 @@ object OmeTiffWriter extends BioWriter {
         require(seen == planeCounts(i),
           s"scene ${sel(i)}: expected ${planeCounts(i)} planes, saw $seen")
       }
-      img.setScene(saved)
-    } finally out.close()
+        img.setScene(saved)
+      } finally out.close()
+      // promote: replace any existing destination only after a full write
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"failed to rename $tmp to $uri")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 }

@@ -281,5 +281,21 @@ class StoreSpec extends SparkSpec {
         posexplode(col("other")).as(Seq("pos", "v")))
       .filter(col("v") >= 200.0)
     assert(decoy.count() == 1) // 900.0 survives despite px_max = 10
+
+    // an UNMODIFIED array RENAMED to `pixels` traces to the same leaf but
+    // is not the column the stats describe — the rule must not fire
+    // (LocalRelation folds filters in the optimizer, so assert on the
+    // analyzed plan plus the row count)
+    val sneaky = Seq((Seq(1.0, 2.0), Seq(500.0, 900.0), 1.0, 2.0))
+      .toDF("small", "big", "px_min", "px_max") // stats describe `small`
+      .withColumn("pixels", col("big"))
+      .select(col("px_min"), col("px_max"),
+        posexplode(col("pixels")).as(Seq("pos", "v")))
+      .filter(col("v") >= 200.0)
+    assert(sneaky.queryExecution.analyzed.collect {
+      case f: Filter if f.condition.references.exists(_.name == "px_max") &&
+        f.collect { case g: Generate => g }.isEmpty => f
+    }.isEmpty, sneaky.queryExecution.analyzed.toString)
+    assert(sneaky.count() == 2) // 500 and 900 survive despite px_max = 2
   }
 }

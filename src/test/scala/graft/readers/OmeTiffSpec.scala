@@ -76,6 +76,37 @@ class TiffFormatSpec extends org.scalatest.funsuite.AnyFunSuite {
         TiffFormat.PackBits.encode(data)).toSeq == data.toSeq)
   }
 
+  test("predictor 2 on IEEE-float samples is rejected, never mis-decoded") {
+    import java.nio.ByteOrder
+    val raw = Array.fill[Byte](16)(0)
+    val e = intercept[IllegalArgumentException] {
+      TiffFormat.decodeSegment(raw, TiffFormat.CompressionNone, predictor = 2,
+        rowSamples = 4, bits = 32, samplesPerPixel = 1,
+        order = ByteOrder.LITTLE_ENDIAN, sampleFormat = 3)
+    }
+    assert(e.getMessage.contains("float"))
+    // per-row PackBits segments (libtiff shape) decode to the same bytes
+    val rows = Array.tabulate[Byte](48)(i => (i % 5).toByte)
+    val perRow = TiffFormat.compress(rows, TiffFormat.CompressionPackBits,
+      rowBytes = 12)
+    assert(TiffFormat.PackBits.decode(perRow).toSeq == rows.toSeq)
+    // runs must not span the 12-byte row boundary: each row starts a fresh
+    // control byte, so the stream splits into 4 independently-decodable rows
+    var off = 0
+    for (_ <- 0 until 4) {
+      var end = off
+      var produced = 0
+      while (produced < 12) {
+        val n = perRow(end)
+        if (n >= 0) { produced += n + 1; end += n + 2 }
+        else if (n != -128) { produced += 1 - n; end += 2 }
+        else end += 1
+      }
+      assert(produced == 12, "row boundary crossed by a PackBits run")
+      off = end
+    }
+  }
+
   test("predictor 2 undo: 8-bit and 16-bit horizontal differencing") {
     import java.nio.ByteOrder
     // 8-bit, 2 rows of 3: each row differenced independently
@@ -421,9 +452,11 @@ class OmeTiffSpec extends SparkSpec {
     }
   }
 
-  test("JDK ImageIO reads back our LZW- and Deflate-compressed output") {
+  test("JDK ImageIO reads back our LZW-, Deflate- and PackBits-compressed " +
+      "output") {
     import javax.imageio.ImageIO
-    for (comp <- Seq(TiffFormat.CompressionLZW, TiffFormat.CompressionDeflate)) {
+    for (comp <- Seq(TiffFormat.CompressionLZW, TiffFormat.CompressionDeflate,
+        TiffFormat.CompressionPackBits)) {
       // route through PNG so the image carries a UInt8 pixel type ImageIO
       // can consume on the TIFF side
       val arr = NDArray.tabulate(Seq(30, 20))(idx => (idx(0) * 3 + idx(1)) % 251)
