@@ -45,7 +45,10 @@ object DedupOps {
     * sides. `na`/`nb` are the full distinct-shingle counts (taken before
     * the cap), so capping only prunes candidate *discovery*, not the
     * Jaccard denominator. */
-  val q39JaccardPairs: Q = (spark, dir) => {
+  /** q39's pair pipeline without the presentation sort — shared by q52's
+    * clustering, which feeds the pairs into further shuffling ops where a
+    * sort would be a wasted exchange. */
+  def jaccardPairsCore(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The word-count pre-filter is equivalent to "has shingles" but cheap
     // in the scan; explode_outer (not explode) prevents the optimizer from
@@ -73,8 +76,10 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")))
       .filter(col("inter") >= 2)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  val q39JaccardPairs: Q = (spark, dir) =>
+    jaccardPairsCore(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
   val q39Oracle: String =
     """WITH sh AS (
@@ -195,14 +200,122 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- connected components
+  /** Exact connected components over an undirected edge list by iterated
+    * min-label propagation (hash-min): every round each node adopts the
+    * smallest label among itself and its neighbors; the fixpoint assigns
+    * every node the minimum id of its component. Each round is one shuffle
+    * join + one aggregate over the (sparse) edge list — O(E) work, never
+    * materializing anything quadratic — and rounds are bounded by
+    * component diameter, which for near-dup clusters (dense cliques knit
+    * by shared shingles) is tiny. Lineage is truncated per round
+    * (`localCheckpoint`) so the plan stays constant-size across
+    * iterations; a cluster deployment would use reliable `checkpoint` to
+    * an HDFS dir instead. Convergence is detected by the strictly
+    * decreasing label sum — one scalar aggregate, no extra join. For
+    * graphs with genuinely deep components, swap the propagation step for
+    * alternating large-star/small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — same per-round shape,
+    * O(log²) round bound.
+    *
+    * Input: two id columns (an undirected edge per row). Output:
+    * (node, label) for every node that appears in an edge — isolated
+    * nodes are their own singleton cluster and are deliberately not
+    * enumerated, keeping the output proportional to the duplicate set,
+    * not the corpus. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("node"), col(dstCol).as("nbr"))
+      .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
+      .localCheckpoint() // reused every round — cut off the pair pipeline
+    var labels = sym.groupBy(col("node"))
+      .agg(least(col("node"), min(col("nbr"))).as("label"))
+      .localCheckpoint()
+    // labels only ever decrease, and strictly iff something changed, so
+    // the (exact, integer) decimal sum is a complete convergence signal
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val cand = sym.join(labels, "node")
+        .groupBy(col("nbr").as("node"))
+        .agg(min(col("label")).as("cand"))
+      val next = labels.join(cand, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("cand"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+
+  // ---------------------------------------------------------------- q52
+  /** Near-dup cluster assignment: q39's exact-Jaccard pairs at ≥ 0.6
+    * become undirected edges; connected components give each document the
+    * minimum doc_id of its duplicate cluster. `is_rep` marks the one
+    * document a dedup pipeline would keep per cluster. The full
+    * discover→cluster→pick-representative dedup story, end to end. */
+  val q52DedupClusters: Q = (spark, dir) => {
+    val pairs = jaccardPairsCore(spark, dir)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Transitive closure over the same pairs via recursive CTE; min
+    * reachable id = cluster id. Set-semantic UNION terminates the
+    * recursion. */
+  val q52Oracle: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3 THEN
+      |    list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [] END)) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shc AS (SELECT doc_id, s FROM sh
+      |  QUALIFY count(*) OVER (PARTITION BY s) <= 20),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pr AS (SELECT doc_a, doc_b FROM p
+      |  JOIN sz na ON na.doc_id = doc_a JOIN sz nb ON nb.doc_id = doc_b
+      |  WHERE inter >= 2
+      |    AND inter * 1.0 / (na.n + nb.n - inter) >= 0.6),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+      |  UNION ALL SELECT doc_b, doc_a FROM pr),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a)
+      |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_rep
+      |FROM lab ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
     "q41_simhash" -> q41SimHash,
+    "q52_dedup_clusters" -> q52DedupClusters,
   )
 
   /** q40/q41 use xxhash64 → no SQL oracle; spec-tested instead. */
   val oracles: ListMap[String, String] = ListMap(
     "q39_jaccard_pairs" -> q39Oracle,
+    "q52_dedup_clusters" -> q52Oracle,
   )
 }

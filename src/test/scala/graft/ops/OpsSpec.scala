@@ -54,6 +54,19 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not be a candidate")
   }
 
+  test("connectedComponents: transitive chains collapse to the min id, " +
+      "disjoint components stay apart") {
+    // chain 5-3-8 plus an isolated pair (1,9): hash-min needs >1 round
+    // for the chain, so this pins the propagation, not just the init
+    val edges = Seq((5L, 3L), (3L, 8L), (9L, 1L), (40L, 41L), (41L, 42L),
+      (42L, 43L), (43L, 44L)) // a 5-node path: diameter 4
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 1L -> 1L, 9L -> 1L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L, 43L -> 40L, 44L -> 40L))
+  }
+
   test("SimHash: near-dups have small hamming distance, unrelated large") {
     val docs = Seq((0L, base), (1L, base.replace("lazy", "sleepy")),
       (2L, "completely different text about spark catalyst optimizer " +
