@@ -329,6 +329,121 @@ object SimilarityOps {
        |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos_sim
        |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Fixed-point scale for deterministic k-means accumulation: 2^20.
+    * Multiplying by a power of two is exact in IEEE doubles, so the
+    * quantization floor(x·2^20)/2^20 and the de-scaling divisions are all
+    * bit-deterministic — and integer sums commute, unlike float sums. */
+  private val KmFix = 1048576.0
+
+  /** Vectors quantized to the 2^-20 grid (exact in doubles). */
+  def kmeansQuantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * KmFix) / KmFix)
+
+  /** Lloyd's k-means over the embedding corpus, engineered for both
+    * determinism and scale:
+    *
+    *   - *Deterministic accumulation.* Naive k-means is irreproducible on
+    *     a cluster: double addition is non-associative, so partial
+    *     aggregation order changes the centroids run to run. Vectors are
+    *     quantized to a 2^-20 fixed-point grid and per-dimension sums run
+    *     in exact int64 — every round is bit-reproducible at any
+    *     parallelism (and oracle-checkable against DuckDB).
+    *   - *Map-only assignment.* Centroids ride along as ONE broadcast
+    *     array row; the nearest-centroid argmin is a `least`-fold over
+    *     that array inside the row — no per-centroid row explosion, no
+    *     corpus shuffle. (`least` evaluates each operand once, so the
+    *     distance fold runs exactly once per centroid.)
+    *   - *Combinable update.* The centroid rebuild shuffles only
+    *     (cent_id, dim, partial sum) after map-side combine: k·d rows per
+    *     task, independent of corpus size.
+    *
+    * Init = the k lowest-id vectors (deterministic; k-means++ would add
+    * seeded randomness the oracle can't mirror). Empty clusters drop out,
+    * as in the reference Lloyd formulation.
+    *
+    * Returns (cent_id, c /* array<double> */, n_vectors) after `iters`
+    * rounds. */
+  def kmeansTrain(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val q = e.select(col("vec_id"),
+      kmeansQuantize(col("embedding")).as("emb"))
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c"),
+        lit(1L).as("n"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val centsArr = cents.agg(
+        array_sort(collect_list(struct(col("cent_id"), col("c"))))
+          .as("cents"))
+      // (d2, cent_id) pairs are unique per row, so the least-fold is
+      // order-independent even though the array is sorted for determinism
+      val init = struct(lit(Double.PositiveInfinity).as("d2"),
+        lit(Long.MaxValue).as("cent_id"))
+      val best = aggregate(col("cents"), init, (acc, c) =>
+        least(acc, struct(l2sq(col("emb"), c.getField("c")).as("d2"),
+          c.getField("cent_id").as("cent_id"))))
+      val assigned = q.crossJoin(broadcast(centsArr))
+        .select(col("emb"), best.getField("cent_id").as("cent_id"))
+      cents = assigned
+        .select(col("cent_id"),
+          posexplode(transform(col("emb"), x => (x * KmFix).cast("long"))))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            (col("s").cast("double") / col("n") / KmFix).as("v")))),
+          s => s.getField("v")).as("c"),
+          max(col("n")).as("n"))
+        .localCheckpoint()
+    }
+    cents.withColumnRenamed("n", "n_vectors")
+  }
+
+  /** k-means-trained IVF quantizer (k=16, 3 Lloyd rounds): per-centroid
+    * member count and centroid norm. The trained upgrade of q48's
+    * lowest-id quantizer — same inverted-list architecture, better list
+    * balance. */
+  val q53KmeansCentroids: Q = (spark, dir) =>
+    kmeansTrain(Tables(spark, dir, "embeddings"), k = 16, iters = 3)
+      .select(col("cent_id"), col("n_vectors"),
+        round(sqrt(aggregate(col("c"), lit(0.0), (a, x) => a + x * x)), 4)
+          .as("c_norm"))
+      .orderBy(col("cent_id"))
+
+  /** One Lloyd round in DuckDB: assign to the argmin centroid, then
+    * per-dimension exact-integer mean on the 2^-20 grid. */
+  private def kmIterSql(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""s$i AS (SELECT e.vec_id, e.emb, $prev.cent_id,
+       |  list_sum(list_transform(range(0, len(e.emb)), j ->
+       |    (e.emb[j+1]-$prev.c[j+1])*(e.emb[j+1]-$prev.c[j+1]))) AS d2
+       | FROM e, $prev),
+       |a$i AS (SELECT vec_id, emb, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cent_id) AS rn FROM s$i) WHERE rn = 1),
+       |x$i AS (SELECT cent_id,
+       |    unnest(range(0, len(emb))) AS j,
+       |    unnest(list_transform(emb, x -> CAST(x*1048576 AS BIGINT))) AS fx
+       |  FROM a$i),
+       |m$i AS (SELECT cent_id, j,
+       |    CAST(sum(fx) AS DOUBLE)/count(*)/1048576 AS v, count(*) AS n
+       |  FROM x$i GROUP BY cent_id, j),
+       |c$i AS (SELECT cent_id, list(v ORDER BY j) AS c, max(n) AS n
+       |  FROM m$i GROUP BY cent_id)""".stripMargin
+  }
+
+  val q53Oracle: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[],
+       |    x -> floor(x*1048576)/1048576) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS c FROM e WHERE vec_id < 16),
+       |${kmIterSql(1)},
+       |${kmIterSql(2)},
+       |${kmIterSql(3)}
+       |SELECT cent_id, n AS n_vectors,
+       | round(sqrt(list_inner_product(c, c)), 4) AS c_norm
+       |FROM c3 ORDER BY cent_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -337,6 +452,7 @@ object SimilarityOps {
     "q44_ann_probe" -> q44AnnProbe,
     "q48_ivf_assign" -> q48IvfAssign,
     "q49_ivf_probe" -> q49IvfProbe,
+    "q53_kmeans_centroids" -> q53KmeansCentroids,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -347,5 +463,6 @@ object SimilarityOps {
     "q44_ann_probe" -> q44Oracle,
     "q48_ivf_assign" -> q48Oracle,
     "q49_ivf_probe" -> q49Oracle,
+    "q53_kmeans_centroids" -> q53Oracle,
   )
 }
