@@ -388,6 +388,44 @@ object TiffFormat {
     }
   }
 
+  /** Undo TIFF Predictor 3 (floating-point horizontal differencing, TIFF
+    * Technical Note 3 / libtiff fpAcc): within each row the encoder split
+    * every sample into byte planes — all most-significant bytes first,
+    * then the next plane, … (MSB-first regardless of the file byte
+    * order) — then byte-differenced the whole row. Decode reverses both:
+    * cumulative byte sum across the row, then de-interleave the planes
+    * back into per-sample bytes, emitted in `order` so downstream sample
+    * decoding is uniform with the other predictors. */
+  def undoFloatPredictor(data: Array[Byte], rowSamples: Int, bits: Int,
+      order: ByteOrder): Unit = {
+    val bytesPer = bits / 8
+    val rowBytes = rowSamples * bytesPer
+    val nRows = data.length / rowBytes
+    val big = order == ByteOrder.BIG_ENDIAN
+    val tmp = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowBytes
+      var i = 1
+      while (i < rowBytes) {
+        data(base + i) = (data(base + i) + data(base + i - 1)).toByte
+        i += 1
+      }
+      i = 0
+      while (i < rowSamples) {
+        var j = 0 // j-th significance plane; j = 0 is the MSB
+        while (j < bytesPer) {
+          val at = if (big) j else bytesPer - 1 - j
+          tmp(i * bytesPer + at) = data(base + j * rowSamples + i)
+          j += 1
+        }
+        i += 1
+      }
+      System.arraycopy(tmp, 0, data, base, rowBytes)
+      r += 1
+    }
+  }
+
   // ------------------------------------------------------------- writing
 
   /** One IFD entry; numeric value must fit inline (≤ 4 bytes) unless it is
@@ -643,8 +681,14 @@ object TiffFormat {
           "TIFF predictor 2 (horizontal differencing) is only defined for " +
             "integer samples; this file has SampleFormat=3 (IEEE float)")
       case 2 => undoPredictor(raw, rowSamples, bits, samplesPerPixel, order)
+      case 3 if sampleFormat == 3 && (bits == 32 || bits == 64) =>
+        undoFloatPredictor(raw, rowSamples, bits, order)
+      case 3 => throw new IllegalArgumentException(
+        "TIFF predictor 3 (floating-point differencing) is only defined " +
+          s"for IEEE float samples; this file has SampleFormat=$sampleFormat" +
+          s"/$bits bits")
       case p => throw new IllegalArgumentException(
-        s"unsupported TIFF predictor $p (supported: 1, 2)")
+        s"unsupported TIFF predictor $p (supported: 1, 2, 3)")
     }
     raw
   }

@@ -378,6 +378,101 @@ class OmeTiffSpec extends SparkSpec {
     assert(nd.array(1, 3, 4) == 134.0)
   }
 
+  test("predictor 3: byte-split float differencing decodes, both sample " +
+      "widths and byte orders") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // encode = MSB-first byte planes per row, then row-wise byte diff —
+    // the libtiff fpDiff shape
+    def encodeP3(vals: Array[Double], rowSamples: Int, bits: Int): Array[Byte] = {
+      val bp = bits / 8
+      val rowBytes = rowSamples * bp
+      val out = new Array[Byte](vals.length * bp)
+      for (r <- 0 until vals.length / rowSamples) {
+        val base = r * rowBytes
+        for (i <- 0 until rowSamples) {
+          val bitsOf =
+            if (bp == 4) java.lang.Float.floatToIntBits(
+              vals(r * rowSamples + i).toFloat).toLong & 0xffffffffL
+            else java.lang.Double.doubleToLongBits(vals(r * rowSamples + i))
+          for (j <- 0 until bp) // plane j = j-th most significant byte
+            out(base + j * rowSamples + i) =
+              ((bitsOf >> (8 * (bp - 1 - j))) & 0xff).toByte
+        }
+        for (x <- (rowBytes - 1) to 1 by -1)
+          out(base + x) = (out(base + x) - out(base + x - 1)).toByte
+      }
+      out
+    }
+    val vals = Array.tabulate(12)(i => i * 1.5 - 3.25)
+    for ((bits, order) <- Seq((32, ByteOrder.LITTLE_ENDIAN),
+        (32, ByteOrder.BIG_ENDIAN), (64, ByteOrder.LITTLE_ENDIAN),
+        (64, ByteOrder.BIG_ENDIAN))) {
+      val enc = encodeP3(vals, rowSamples = 4, bits = bits)
+      val dec = TiffFormat.decodeSegment(enc, TiffFormat.CompressionNone,
+        predictor = 3, rowSamples = 4, bits = bits, samplesPerPixel = 1,
+        order = order, sampleFormat = 3)
+      val got = TiffFormat.decodePlane(dec, bits, 3, order)
+      assert(got.toSeq == vals.toSeq, s"bits=$bits order=$order")
+    }
+    // predictor 3 on integer samples is rejected
+    intercept[IllegalArgumentException] {
+      TiffFormat.decodeSegment(new Array[Byte](8), TiffFormat.CompressionNone,
+        predictor = 3, rowSamples = 4, bits = 16, samplesPerPixel = 1,
+        order = ByteOrder.LITTLE_ENDIAN, sampleFormat = 1)
+    }
+  }
+
+  test("foreign float32 deflate + predictor-3 strip fixture decodes " +
+      "end-to-end") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val w = 5; val h = 3
+    val vals = Array.tabulate(h * w)(i => i * 0.25f - 1.5f)
+    val bp = 4
+    val raw = new Array[Byte](h * w * bp)
+    for (y <- 0 until h) {
+      val base = y * w * bp
+      for (x <- 0 until w) {
+        val bits = java.lang.Float.floatToIntBits(vals(y * w + x))
+        for (j <- 0 until bp)
+          raw(base + j * w + x) = ((bits >> (8 * (bp - 1 - j))) & 0xff).toByte
+      }
+      for (k <- (w * bp - 1) to 1 by -1)
+        raw(base + k) = (raw(base + k) - raw(base + k - 1)).toByte
+    }
+    val enc = TiffFormat.deflate(raw)
+    val b = ByteBuffer.allocate(1024).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42)
+    val ifdOff = 8 + enc.length + (enc.length & 1)
+    b.putInt(ifdOff)
+    b.put(enc)
+    b.position(ifdOff)
+    b.putShort(10)
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      if (typ == 3 && count == 1) b.putShort(value.toShort).putShort(0)
+      else b.putInt(value)
+    }
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 1, 32)
+    entry(259, 3, 1, 8) // deflate
+    entry(262, 3, 1, 1)
+    entry(273, 4, 1, 8) // strip offset
+    entry(278, 4, 1, h)
+    entry(279, 4, 1, enc.length)
+    entry(317, 3, 1, 3) // floating-point predictor
+    entry(339, 3, 1, 3) // IEEE float
+    b.putInt(0)
+    val p = tmp("foreign-p3.tif")
+    Files.write(java.nio.file.Paths.get(p),
+      java.util.Arrays.copyOf(b.array(), b.position()))
+    val back = BioSpark.open(spark, p)
+    assert(back.meta.pixelType == graft.core.PixelType.Float32)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(nd.array(y, x) == vals(y * w + x).toDouble, s"($y,$x)")
+  }
+
   test("foreign big-endian LZW + predictor-2 tiled fixture decodes") {
     import java.nio.{ByteBuffer, ByteOrder}
     // 4x4 uint8 plane as ONE 16x16... keep it minimal: 4x4 image, 16x16
