@@ -444,6 +444,88 @@ object SimilarityOps {
        | round(sqrt(list_inner_product(c, c)), 4) AS c_norm
        |FROM c3 ORDER BY cent_id""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** Product quantization with asymmetric-distance (ADC) probing — the
+    * memory-bound complement of IVF: vectors compress to M sub-space code
+    * ids (here 4×16 dims, 16 codes each → 4 bytes/vector instead of
+    * 256), and queries rank candidates by distance to the RECONSTRUCTED
+    * corpus vector. Everything is HOF folds over one broadcast centroid
+    * array row:
+    *
+    *   - encode = per-subspace `least`-fold argmin over the centroid
+    *     slices — map-only over the corpus, no shuffle, no row explosion;
+    *   - reconstruct = concat of the winning centroids' subvectors,
+    *     computed in the same projection;
+    *   - probe = broadcast query join + exact fold distance to the
+    *     reconstruction + per-query top-k window.
+    *
+    * At 100 TB the codes (not the vectors) are what you store and scan:
+    * 64× smaller, and the scan stays map-only. The codebook here is the
+    * deterministic lowest-id quantizer (same rationale as q48); training
+    * it with q53's fixed-point k-means per subspace composes directly. */
+  val q54PqAdc: Q = (spark, dir) => {
+    val M = 4
+    val subDim = 16 // 64-dim embeddings
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("emb"))
+    val cbRow = e.filter(col("vec_id") < 16)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cent_id"),
+        col("emb").as("c")))).as("cents"))
+    def sub(v: Column, s: Column): Column = slice(v, s * subDim + 1, lit(subDim))
+    // reconstruction: for each subspace, the argmin centroid's subvector;
+    // (d2, cent_id) pairs are unique so the least-fold is order-safe
+    val init = struct(lit(Double.PositiveInfinity).as("d2"),
+      lit(Long.MaxValue).as("cent_id"))
+    def recon(emb: Column): Column =
+      flatten(transform(sequence(lit(0), lit(M - 1)), s => {
+        val code = aggregate(col("cents"), init, (acc, c) =>
+          least(acc, struct(l2sq(sub(emb, s), sub(c.getField("c"), s))
+            .as("d2"), c.getField("cent_id").as("cent_id"))))
+          .getField("cent_id")
+        sub(element_at(col("cents"), (code + 1).cast("int")).getField("c"), s)
+      }))
+    val coded = e.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), recon(col("emb")).as("recon"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        l2sq(col("q_emb"), col("recon")).as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 4).as("adc_dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q54Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |c AS (SELECT vec_id AS cent_id, emb AS c_emb FROM e WHERE vec_id < 16),
+      |sd AS (SELECT e.vec_id, s, cent_id,
+      |  list_sum(list_transform(range(1, 17), j ->
+      |    (e.emb[s*16+j] - c.c_emb[s*16+j]) *
+      |    (e.emb[s*16+j] - c.c_emb[s*16+j]))) AS d2
+      | FROM e, range(0, 4) r(s), c),
+      |code AS (SELECT vec_id, s, cent_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY d2, cent_id) AS rn FROM sd) WHERE rn = 1),
+      |recon AS (SELECT vec_id,
+      |    flatten(list(list_slice(c.c_emb, s*16+1, s*16+16) ORDER BY s)) AS r
+      |  FROM code JOIN c USING (cent_id) GROUP BY vec_id),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+      |sc AS (SELECT q_id, recon.vec_id,
+      |  list_sum(list_transform(range(0, len(q_emb)), i ->
+      |    (q_emb[i+1]-r[i+1])*(q_emb[i+1]-r[i+1]))) AS adc
+      | FROM q, recon WHERE recon.vec_id <> q_id),
+      |rk AS (SELECT q_id, vec_id, adc,
+      |  row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+      | FROM sc)
+      |SELECT q_id, rank, vec_id AS neighbor_id, round(adc, 4) AS adc_dist
+      |FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -453,6 +535,7 @@ object SimilarityOps {
     "q48_ivf_assign" -> q48IvfAssign,
     "q49_ivf_probe" -> q49IvfProbe,
     "q53_kmeans_centroids" -> q53KmeansCentroids,
+    "q54_pq_adc" -> q54PqAdc,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -464,5 +547,6 @@ object SimilarityOps {
     "q48_ivf_assign" -> q48Oracle,
     "q49_ivf_probe" -> q49Oracle,
     "q53_kmeans_centroids" -> q53Oracle,
+    "q54_pq_adc" -> q54Oracle,
   )
 }
