@@ -241,6 +241,37 @@ object EventOps {
       |FROM events
       |ORDER BY user_id, event_type, bucket_start""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** E13 stream-stream interval join end-to-end: clicks joined to the
+    * same user's purchases within the following 10 minutes, both sides
+    * watermarked so join state is evictable (StreamOps.clickPurchaseJoin).
+    * Inner stream-stream joins emit on match arrival — no window
+    * finalization — so the drained result equals the batch interval join,
+    * which the oracle runs directly at µs precision. */
+  val q56StreamJoin: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q56_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.clickPurchaseJoin(StreamOps.readEvents(spark, dir)), name)
+      .select(col("user_id"), col("click_id"), col("purch_id"),
+        col("delay_s"), col("amount"))
+      .orderBy(col("user_id"), col("click_id"), col("purch_id"))
+  }
+
+  val q56Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_ns(ts)//1000 AS us FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, us AS c_us FROM e
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purch_id, user_id, us AS p_us, value FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT user_id, click_id, purch_id,
+      | p_us//1000000 - c_us//1000000 AS delay_s,
+      | value AS amount
+      |FROM c JOIN p USING (user_id)
+      |WHERE p_us >= c_us AND p_us <= c_us + 600000000
+      |ORDER BY user_id, click_id, purch_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -251,6 +282,7 @@ object EventOps {
     "q45_stream_session" -> q45StreamSession,
     "q46_stream_sliding" -> q46StreamSliding,
     "q47_stream_dedup" -> q47StreamDedup,
+    "q56_stream_join" -> q56StreamJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -263,5 +295,6 @@ object EventOps {
     "q45_stream_session" -> q45Oracle,
     "q46_stream_sliding" -> q46Oracle,
     "q47_stream_dedup" -> q47Oracle,
+    "q56_stream_join" -> q56Oracle,
   )
 }

@@ -95,6 +95,33 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket_start")
       .select(col("user_id"), col("event_type"), col("bucket_start"))
 
+  /** Stream-stream interval join (purchase attribution): each purchase
+    * matched to the same user's clicks in the preceding 10 minutes. Both
+    * sides are watermarked and the join condition bounds event time on
+    * BOTH ends, so the state store can evict rows once the watermark
+    * passes — the canonical scalable stream-stream join shape (state is
+    * O(10 minutes of traffic per side), never unbounded). Inner joins
+    * emit on match arrival, so a drain-once run over a static file equals
+    * the batch interval join — which is exactly what the oracle checks. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_utc").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+        col("ts_utc").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purch_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("delay_s"),
+        col("value").as("amount"))
+  }
+
   /** Run any of the above to completion against a static directory via the
     * memory sink (test/bench harness; a real deployment passes a kafka or
     * file sink instead). Returns the collected result table.

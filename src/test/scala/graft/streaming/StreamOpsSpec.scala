@@ -37,6 +37,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val stream = StreamOps.readEvents(spark, sf)
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.clickPurchaseJoin(stream), "join_test")
+      .select("user_id", "click_id", "purch_id", "delay_s")
+    // batch form of the same interval join on the µs event table
+    val e = graft.Tables(spark, sf, "events")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_us"))
+    val batch = c.join(p, col("user_id") === col("p_user") &&
+        col("p_us") >= col("c_us") &&
+        col("p_us") <= col("c_us") + 600000000L)
+      .select(col("user_id"), col("click_id"), col("purch_id"),
+        (col("p_us") / 1000000).cast("long") -
+          (col("c_us") / 1000000).cast("long") as "delay_s")
+    val a = out.orderBy("user_id", "click_id", "purch_id").collect().toSeq
+    val b = batch.orderBy("user_id", "click_id", "purch_id").collect().toSeq
+    assert(a.nonEmpty && a == b, s"stream/batch mismatch: ${a.take(3)} vs ${b.take(3)}")
+  }
+
   test("stateful dedup keeps one row per (user, type)") {
     val stream = StreamOps.readEvents(spark, sf)
     val out = StreamOps.runToMemory(spark,
