@@ -526,6 +526,128 @@ object SimilarityOps {
       |SELECT q_id, rank, vec_id AS neighbor_id, round(adc, 4) AS adc_dist
       |FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** IVF + PQ with residual encoding — the composed FAISS-IVFADC
+    * architecture, and the full 100 TB ANN story in one pipeline:
+    *
+    *   1. *Coarse quantize* (q48's shape): map-only broadcast argmin
+    *      assigns each vector to its nearest of 16 coarse centroids;
+    *      `cent_id` is the storage partition key.
+    *   2. *Residual PQ encode* (q54's shape, applied to x − c): each
+    *      16-dim subspace of the residual compresses to a 4-bit code via
+    *      a `least`-fold argmin over one broadcast codebook row — map-only,
+    *      no shuffle, no row explosion. Stored bytes per vector: M codes,
+    *      not the vector.
+    *   3. *ADC probe* (q49's shape): a query probes its nprobe=2 nearest
+    *      lists only, ranking candidates by ‖(q − c) − recon(residual)‖²
+    *      against the reconstruction — exact distance to the compressed
+    *      representation, never touching the raw corpus vectors.
+    *
+    * Codebooks are deterministic (coarse: 16 lowest-id vectors; residual:
+    * the residuals of vec_ids 16–31) so the oracle can mirror them;
+    * training either with q53's fixed-point k-means composes directly. */
+  val q55IvfPqProbe: Q = (spark, dir) => {
+    val M = 4
+    val subDim = 16 // 64-dim embeddings
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("emb"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"))
+    // coarse assignment: partial-aggregatable argmin (q48's shape)
+    val scoredAll = e.join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cent_id"), col("c_emb"),
+        l2sq(col("emb"), col("c_emb")).as("d2"))
+    val wMin = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cent_id"))
+    val assigned = scoredAll
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"),
+        first(col("emb")).as("emb"))
+      .select(col("vec_id"), col("emb"), col("m.cent_id").as("cent_id"))
+    // residual r = x − c(cent_id)
+    val withRes = assigned.join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("emb"), col("c_emb"), (x, y) => x - y).as("res"))
+    // residual codebook: residuals of vec_ids 16..31, one broadcast row
+    val cbRow = withRes.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .agg(array_sort(collect_list(struct((col("vec_id") - 16).as("code_id"),
+        col("res").as("cr")))).as("cb"))
+    def sub(v: Column, s: Column): Column = slice(v, s * subDim + 1, lit(subDim))
+    val init = struct(lit(Double.PositiveInfinity).as("d2"),
+      lit(Long.MaxValue).as("code_id"))
+    // encode + reconstruct in one projection (q54's shape, on residuals)
+    def recon(res: Column): Column =
+      flatten(transform(sequence(lit(0), lit(M - 1)), s => {
+        val code = aggregate(col("cb"), init, (acc, c) =>
+          least(acc, struct(l2sq(sub(res, s), sub(c.getField("cr"), s))
+            .as("d2"), c.getField("code_id").as("code_id"))))
+          .getField("code_id")
+        sub(element_at(col("cb"), (code + 1).cast("int")).getField("cr"), s)
+      }))
+    val coded = withRes.crossJoin(broadcast(cbRow))
+      .select(col("vec_id"), col("cent_id"), recon(col("res")).as("rr"))
+      .repartition(col("cent_id"))
+    // probe side: nprobe=2 nearest lists per query, carrying c_emb for
+    // the query-residual computation (scored against the FULL centroid
+    // set — filtering first would shrink the quantizer)
+    val probes = scoredAll.filter(col("vec_id") < 10)
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("q_id"),
+        zip_with(col("emb"), col("c_emb"), (x, y) => x - y).as("q_res"),
+        col("cent_id"))
+    val scored = coded.join(broadcast(probes),
+        coded("cent_id") === probes("cent_id") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        l2sq(col("q_res"), col("rr")).as("adc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 4).as("adc_dist"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q55Oracle: String =
+    s"""WITH $ivfBaseSql,
+       |res AS (SELECT a.vec_id, a.cent_id,
+       |    list_transform(range(0, len(emb)), i -> emb[i+1]-c_emb[i+1]) AS r
+       |  FROM a JOIN c USING (cent_id)),
+       |cb AS (SELECT vec_id - 16 AS code_id, r AS cr FROM res
+       |       WHERE vec_id >= 16 AND vec_id < 32),
+       |sd AS (SELECT res.vec_id, sp, code_id,
+       |  list_sum(list_transform(range(1, 17), j ->
+       |    (res.r[sp*16+j] - cb.cr[sp*16+j]) *
+       |    (res.r[sp*16+j] - cb.cr[sp*16+j]))) AS d2
+       | FROM res, range(0, 4) t(sp), cb),
+       |code AS (SELECT vec_id, sp, code_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sp
+       |    ORDER BY d2, code_id) AS rn FROM sd) WHERE rn = 1),
+       |recon AS (SELECT vec_id,
+       |    flatten(list(list_slice(cb.cr, sp*16+1, sp*16+16) ORDER BY sp)) AS rr
+       |  FROM code JOIN cb USING (code_id) GROUP BY vec_id),
+       |coded AS (SELECT res.vec_id, res.cent_id, recon.rr
+       |  FROM res JOIN recon USING (vec_id)),
+       |p AS (SELECT vec_id AS q_id,
+       |    list_transform(range(0, len(emb)), i -> emb[i+1]-c_emb[i+1]) AS q_res,
+       |    cent_id
+       |  FROM (SELECT s.*, c.c_emb, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cent_id) AS rn FROM s JOIN c USING (cent_id)
+       |      WHERE vec_id < 10) WHERE rn <= 2),
+       |cand AS (SELECT q_id, coded.vec_id,
+       |  list_sum(list_transform(range(0, len(q_res)), i ->
+       |    (q_res[i+1]-rr[i+1])*(q_res[i+1]-rr[i+1]))) AS adc
+       | FROM p JOIN coded ON p.cent_id = coded.cent_id
+       |   AND coded.vec_id <> p.q_id),
+       |rk AS (SELECT q_id, vec_id, adc,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+       | FROM cand)
+       |SELECT q_id, rank, vec_id AS neighbor_id, round(adc, 4) AS adc_dist
+       |FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -536,6 +658,7 @@ object SimilarityOps {
     "q49_ivf_probe" -> q49IvfProbe,
     "q53_kmeans_centroids" -> q53KmeansCentroids,
     "q54_pq_adc" -> q54PqAdc,
+    "q55_ivfpq_probe" -> q55IvfPqProbe,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -548,5 +671,6 @@ object SimilarityOps {
     "q49_ivf_probe" -> q49Oracle,
     "q53_kmeans_centroids" -> q53Oracle,
     "q54_pq_adc" -> q54Oracle,
+    "q55_ivfpq_probe" -> q55Oracle,
   )
 }
