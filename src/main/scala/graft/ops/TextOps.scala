@@ -248,6 +248,56 @@ object TextOps {
       |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Chunk-level exact dedup (the C4/RefinedWeb "line dedup" pass,
+    * adapted to a corpus with no newlines): documents split into
+    * deterministic non-overlapping 10-word chunks, each chunk kept only
+    * at its corpus-global FIRST occurrence (min (doc_id, pos)); per-doc
+    * counts of total vs duplicated chunks come back out.
+    *
+    * Scale shape: one shuffle on the chunk text for the first-occurrence
+    * aggregate (map-side combinable min-struct), and the occurrence→first
+    * join arrives already co-partitioned on that key, so it adds no
+    * exchange; the per-doc rollup shuffles doc-id counts only. At 100 TB
+    * you'd group on a 128-bit chunk hash instead of the string — same
+    * plan, narrower shuffle rows. */
+  val q57ChunkDedup: Q = (spark, dir) => {
+    val chunkW = 10
+    val chunks = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), posexplode(
+        // sequence(0, -1) would DESCEND, so guard the <10-word case to an
+        // empty chunk list (the oracle's range(0, 0) likewise drops it)
+        when(size(col("ws")) < chunkW, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), (size(col("ws")) / chunkW).cast("int") - 1),
+            i => array_join(slice(col("ws"), i * chunkW + 1, lit(chunkW)), " ")))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("chunk"))
+    val firsts = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    chunks.join(firsts, "chunk")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("first.doc_id") === col("doc_id") &&
+          col("first.pos") === col("pos"), 0L).otherwise(1L)).as("n_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q57Oracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c0 AS (SELECT doc_id, ws, unnest(range(0, len(ws)//10)) AS pos FROM w),
+      |ch AS (SELECT doc_id, pos,
+      |  array_to_string(list_slice(ws, pos*10+1, pos*10+10), ' ') AS chunk
+      | FROM c0),
+      |f AS (SELECT chunk, min(struct_pack(doc_id := doc_id, pos := pos))
+      |        AS first FROM ch GROUP BY chunk)
+      |SELECT ch.doc_id, count(*) AS n_chunks,
+      | CAST(sum(CASE WHEN f.first.doc_id = ch.doc_id
+      |   AND f.first.pos = ch.pos THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+      |FROM ch JOIN f USING (chunk)
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -257,6 +307,7 @@ object TextOps {
     "q35_sha_fingerprint" -> q35ShaFingerprint,
     "q50_winnow_fingerprint" -> q50WinnowFingerprint,
     "q51_winnow_pairs" -> q51WinnowPairs,
+    "q57_chunk_dedup" -> q57ChunkDedup,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -268,5 +319,6 @@ object TextOps {
     "q35_sha_fingerprint" -> q35Oracle,
     "q50_winnow_fingerprint" -> q50Oracle,
     "q51_winnow_pairs" -> q51Oracle,
+    "q57_chunk_dedup" -> q57Oracle,
   )
 }

@@ -54,6 +54,22 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not be a candidate")
   }
 
+  test("chunk dedup counts a planted repeated chunk, drops short docs") {
+    val rep = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
+    val docs = Seq(
+      (0L, rep + " " + (1 to 10).map(i => s"u$i").mkString(" ")),
+      (1L, rep + " trailing words that do not fill a chunk"), // dup of 0's
+      (2L, "only five words right here"), // <10 words → no chunks
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q57spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.q57ChunkDedup(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    // doc 0: 2 chunks, both first occurrences; doc 1: its `rep` chunk is
+    // a corpus-level duplicate (7 trailing words drop); doc 2 disappears
+    assert(got == List((0L, 2L, 0L), (1L, 1L, 1L)), s"got $got")
+  }
+
   test("connectedComponents: transitive chains collapse to the min id, " +
       "disjoint components stay apart") {
     // chain 5-3-8 plus an isolated pair (1,9): hash-min needs >1 round
