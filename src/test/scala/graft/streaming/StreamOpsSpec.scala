@@ -61,6 +61,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b, s"stream/batch mismatch: ${a.take(3)} vs ${b.take(3)}")
   }
 
+  test("conversion funnel matches the batch funnel computation") {
+    val stream = StreamOps.readEvents(spark, sf)
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.conversionFunnel(spark, stream), "funnel_test")
+    val e = graft.Tables(spark, sf, "events")
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_us"),
+        floor(col("value") * 100).cast("long").as("c"))
+    val batch = s.join(p, col("user_id") === col("p_user") &&
+        col("p_us") >= col("signup_us"), "left")
+      .groupBy(col("user_id"), col("signup_us"))
+      .agg(count(col("p_us")).as("n_purch"),
+        coalesce(sum(col("c")), lit(0L)).as("cents"))
+    val a = out.select("user_id", "signup_us", "n_purch", "cents")
+      .orderBy("user_id").collect().toSeq
+    val b = batch.select("user_id", "signup_us", "n_purch", "cents")
+      .orderBy("user_id").collect().toSeq
+    assert(a.nonEmpty && a == b, s"stream/batch mismatch: ${a.take(3)} vs ${b.take(3)}")
+  }
+
   test("stateful dedup keeps one row per (user, type)") {
     val stream = StreamOps.readEvents(spark, sf)
     val out = StreamOps.runToMemory(spark,
