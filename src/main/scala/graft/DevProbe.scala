@@ -6,7 +6,10 @@ object DevProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.local("graft-probe")
-    for (name <- Seq("q53_kmeans_centroids", "q54_pq_adc")) {
+    for (name <- args.toSeq match {
+      case Seq() => Seq("q55_ivfpq_probe", "q57_chunk_dedup")
+      case names  => names
+    }) {
       println(s"========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

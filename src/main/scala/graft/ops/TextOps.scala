@@ -3,6 +3,7 @@ package graft.ops
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -255,12 +256,14 @@ object TextOps {
     * at its corpus-global FIRST occurrence (min (doc_id, pos)); per-doc
     * counts of total vs duplicated chunks come back out.
     *
-    * Scale shape: one shuffle on the chunk text for the first-occurrence
-    * aggregate (map-side combinable min-struct), and the occurrence→first
-    * join arrives already co-partitioned on that key, so it adds no
-    * exchange; the per-doc rollup shuffles doc-id counts only. At 100 TB
-    * you'd group on a 128-bit chunk hash instead of the string — same
-    * plan, narrower shuffle rows. */
+    * Scale shape: the first-occurrence resolution is an UNORDERED window
+    * min-struct over the chunk partition — ONE shuffle of the occurrence
+    * set on the chunk key and one pass over the exploded pipeline (a
+    * groupBy+self-join formulation would shuffle the same volume AND
+    * recompute the explode for the join side); the per-doc rollup then
+    * shuffles doc-id counts only. At 100 TB you'd partition on a 128-bit
+    * chunk hash instead of the string — same plan, narrower shuffle
+    * rows. */
   val q57ChunkDedup: Q = (spark, dir) => {
     val chunkW = 10
     val chunks = Tables.balanced(spark, dir, "documents")
@@ -274,9 +277,9 @@ object TextOps {
             i => array_join(slice(col("ws"), i * chunkW + 1, lit(chunkW)), " ")))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("chunk"))
-    val firsts = chunks.groupBy(col("chunk"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    chunks.join(firsts, "chunk")
+    val first = min(struct(col("doc_id"), col("pos")))
+      .over(Window.partitionBy(col("chunk")))
+    chunks.withColumn("first", first)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("first.doc_id") === col("doc_id") &&
