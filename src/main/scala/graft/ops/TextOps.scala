@@ -301,6 +301,49 @@ object TextOps {
       |FROM ch JOIN f USING (chunk)
       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** TF-IDF top terms per document, with an integer-scaled IDF
+    * (tf · ⌊100·N/df⌋ in pure int64) so the score — unlike a float
+    * ln(N/df) whose last ulp differs between libm implementations — is
+    * bit-identical on any engine.
+    *
+    * Scale shape: one shuffle on (doc_id, token) for TF; document
+    * frequency is a rollup of that result (vocabulary-sized, map-side
+    * combinable); DF rides back via a token join that AQE broadcasts
+    * (vocabulary ≪ corpus — at 100 TB this stays a broadcast); the corpus
+    * size joins as one broadcast scalar row; top-3 per doc is a
+    * WindowGroupLimit-pruned window on doc_id. */
+  val q59Tfidf: Q = (spark, dir) => {
+    val tf = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((100 * n_docs) DIV df)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q59Oracle: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |           FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, token, tf * (100 * n_docs // df) AS score
+      |      FROM tf JOIN df USING (token), n),
+      |r AS (SELECT doc_id, token, score, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+      |      FROM s)
+      |SELECT doc_id, rank, token, CAST(score AS BIGINT) AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -311,6 +354,7 @@ object TextOps {
     "q50_winnow_fingerprint" -> q50WinnowFingerprint,
     "q51_winnow_pairs" -> q51WinnowPairs,
     "q57_chunk_dedup" -> q57ChunkDedup,
+    "q59_tfidf" -> q59Tfidf,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -323,5 +367,6 @@ object TextOps {
     "q50_winnow_fingerprint" -> q50Oracle,
     "q51_winnow_pairs" -> q51Oracle,
     "q57_chunk_dedup" -> q57Oracle,
+    "q59_tfidf" -> q59Oracle,
   )
 }
