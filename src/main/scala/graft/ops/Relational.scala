@@ -577,6 +577,72 @@ object Relational {
       | greatest(l_tax, l_discount) AS max_rate
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** PIVOT: per-nation order revenue spread across order-year columns.
+    * The value list is explicit (1995–2001), so Catalyst compiles the
+    * pivot to ONE pass of conditional aggregates — no second group-by,
+    * no values-discovery job, and the shape is a plain two-level agg that
+    * scales like q05. Cells are rounded sums (order-sensitive float agg);
+    * empty cells stay NULL on both engines. */
+  val q60Pivot: Q = (spark, dir) => {
+    val years = 1995 to 2001
+    val joined = t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate").cast("date")).as("yr"),
+        col("o_totalprice"))
+    joined.groupBy(col("n_name"))
+      .pivot("yr", years.map(y => y: Any))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .select(col("n_name") +: years.map(y => col(y.toString).as(s"y$y")): _*)
+      .orderBy(col("n_name"))
+  }
+
+  val q60Oracle: String = {
+    val cells = (1995 to 2001).map(y =>
+      s"round(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = $y " +
+        s"THEN o_totalprice END), 2) AS y$y").mkString(",\n | ")
+    s"""SELECT n_name,
+       | $cells
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q61
+  /** UNPIVOT (melt): one month of lineitem measures widened into
+    * (metric, val) rows — the inverse reshape of q60. Catalyst expands
+    * the unpivot to an Expand node: one pass, rows×metrics output, no
+    * shuffle before the final sort. Raw row-level doubles are emitted
+    * (bit-identical across engines; no aggregation happens). */
+  val q61Unpivot: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate").between(ntz("1997-03-01"), ntz("1997-03-31")))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  val q61Oracle: String =
+    """WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity,
+      |  l_extendedprice, l_discount FROM lineitem
+      | WHERE l_shipdate BETWEEN TIMESTAMP '1997-03-01'
+      |   AND TIMESTAMP '1997-03-31')
+      |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |       l_quantity AS val FROM src
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |FROM src
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -602,6 +668,8 @@ object Relational {
     "q21_string_fns" -> q21StringFns,
     "q22_date_fns" -> q22DateFns,
     "q23_math_fns" -> q23MathFns,
+    "q60_pivot" -> q60Pivot,
+    "q61_unpivot" -> q61Unpivot,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -628,5 +696,7 @@ object Relational {
     "q21_string_fns" -> q21Oracle,
     "q22_date_fns" -> q22Oracle,
     "q23_math_fns" -> q23Oracle,
+    "q60_pivot" -> q60Oracle,
+    "q61_unpivot" -> q61Oracle,
   )
 }
