@@ -308,21 +308,21 @@ object TextOps {
     * bit-identical on any engine.
     *
     * Scale shape: one shuffle on (doc_id, token) for TF; document
-    * frequency is a rollup of that result (vocabulary-sized, map-side
-    * combinable); DF rides back via a token join that AQE broadcasts
-    * (vocabulary ≪ corpus — at 100 TB this stays a broadcast); the corpus
-    * size joins as one broadcast scalar row; top-3 per doc is a
-    * WindowGroupLimit-pruned window on doc_id. */
+    * frequency is an unordered window count over the token partition of
+    * that SAME result (a groupBy+join formulation would recompute the
+    * whole explode pipeline for the join side); the corpus size joins as
+    * one broadcast scalar row; top-3 per doc is a WindowGroupLimit-pruned
+    * window on doc_id. */
   val q59Tfidf: Q = (spark, dir) => {
     val tf = Tables.balanced(spark, dir, "documents")
       .select(col("doc_id"), explode(words).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
-    tf.join(df, "token").crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .crossJoin(broadcast(n))
       .withColumn("score", expr("tf * ((100 * n_docs) DIV df)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
