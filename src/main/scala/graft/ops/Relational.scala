@@ -643,6 +643,56 @@ object Relational {
       |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
       |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  /** Bucketed tables for the co-located join: orders and lineitem written
+    * `bucketBy(8, orderkey).sortBy(orderkey)` into a catalog database
+    * under /tmp (tag derived from the input dir, so re-runs overwrite
+    * instead of accumulating). Both sides sharing bucket count + key
+    * means the sort-merge join needs NO Exchange (and no Sort when each
+    * bucket lands in one file) — the pre-shuffled layout a 100 TB
+    * deployment maintains for its hottest join key (the OpsSpec bucketed
+    * test pins the exchange-free plan with broadcast disabled). */
+  def bucketedOrdersLineitem(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val db = s"graft_buck_$tag"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db " +
+      s"LOCATION '/tmp/graft_buck_$tag'")
+    // a fresh JVM's in-memory catalog forgets the tables but their files
+    // persist under /tmp — clear both before writing
+    for (tb <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$tb")
+      val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_buck_$tag/$tb")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.orders_b")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(s"$db.lineitem_b")
+    (spark.table(s"$db.orders_b"), spark.table(s"$db.lineitem_b"))
+  }
+
+  /** Co-located join over the bucketed tables: revenue per priority. */
+  val q62BucketedJoin: Q = (spark, dir) => {
+    val (o, l) = bucketedOrdersLineitem(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q62Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      | round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -670,6 +720,7 @@ object Relational {
     "q23_math_fns" -> q23MathFns,
     "q60_pivot" -> q60Pivot,
     "q61_unpivot" -> q61Unpivot,
+    "q62_bucketed_join" -> q62BucketedJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -698,5 +749,6 @@ object Relational {
     "q23_math_fns" -> q23Oracle,
     "q60_pivot" -> q60Oracle,
     "q61_unpivot" -> q61Oracle,
+    "q62_bucketed_join" -> q62Oracle,
   )
 }

@@ -54,6 +54,20 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not be a candidate")
   }
 
+  test("bucketed join plans without any Exchange (broadcast disabled)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (o, l) = Relational.bucketedOrdersLineitem(spark, sf)
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() > 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("chunk dedup counts a planted repeated chunk, drops short docs") {
     val rep = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
     val docs = Seq(
