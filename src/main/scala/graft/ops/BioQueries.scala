@@ -593,6 +593,43 @@ object BioQueries {
       |WHERE z*100 + y*10 + x BETWEEN 220 AND 410
       |ORDER BY z, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b23
+  /** Multimodal audio-shape pipeline: a 1-D waveform plane framed into
+    * non-overlapping 256-sample windows with per-frame RMS / peak /
+    * loud-sample features, computed as HOF folds INSIDE the plane row —
+    * no explode of individual samples, so a row shuffles at most once as
+    * frames. A real audio source swaps the synthetic wave for a byte-
+    * payload decode in the same position; the framing and feature
+    * plumbing is unchanged. Arithmetic is exact end-to-end: samples are
+    * small integers in doubles, the mean divides by a power of two, and
+    * sqrt is correctly-rounded IEEE — so no rounding is needed. */
+  val b23AudioFrames: Q = (spark, _) => {
+    val n = 4096
+    val frame = 256
+    val arr = NDArray.tabulate(Seq(n))(idx =>
+      ((idx(0) * idx(0)) % 97).toDouble)
+    val img = BioSpark.fromArray(spark, arr) // 1-D → X
+    img.planes
+      .select(posexplode(transform(
+        sequence(lit(0), lit(n / frame - 1)),
+        f => slice(col("pixels"), f * frame + 1, lit(frame)))))
+      .select(col("pos").cast("long").as("frame"), col("col").as("w"))
+      .select(col("frame"),
+        sqrt(aggregate(col("w"), lit(0.0), (a, x) => a + x * x)
+          / frame).as("rms"),
+        array_max(col("w")).as("peak"),
+        size(filter(col("w"), x => x > 50)).cast("long").as("n_loud"))
+      .orderBy(col("frame"))
+  }
+
+  val b23Oracle: String =
+    """WITH s AS (SELECT i // 256 AS frame,
+      |    CAST((i*i) % 97 AS DOUBLE) AS v
+      |  FROM range(4096) t(i))
+      |SELECT frame, sqrt(sum(v*v) / 256) AS rms, max(v) AS peak,
+      | CAST(count(*) FILTER (WHERE v > 50) AS BIGINT) AS n_loud
+      |FROM s GROUP BY frame ORDER BY frame""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -616,6 +653,7 @@ object BioQueries {
     "b20_rgb_roundtrip" -> b20RgbRoundtrip,
     "b21_frame_pipeline" -> b21FramePipeline,
     "b22_store_value_scan" -> b22StoreValueScan,
+    "b23_audio_frames" -> b23AudioFrames,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -641,5 +679,6 @@ object BioQueries {
     "b20_rgb_roundtrip" -> b20Oracle,
     "b21_frame_pipeline" -> b21Oracle,
     "b22_store_value_scan" -> b22Oracle,
+    "b23_audio_frames" -> b23Oracle,
   )
 }
