@@ -693,6 +693,28 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** Exact percentiles (median / p90 of order value per priority) via the
+    * `percentile` aggregate — the exact anchor for the approximate
+    * (`percentile_approx` / t-digest) scale path, which trades the
+    * per-group sort for a mergeable sketch when groups stop fitting in
+    * memory. Interpolated values are rounded (the two engines interleave
+    * the a+(b−a)·f arithmetic differently in the last ulp). */
+  val q63Percentiles: Q = (spark, dir) =>
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+      .orderBy(col("o_orderpriority"))
+
+  val q63Oracle: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      | round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -721,6 +743,7 @@ object Relational {
     "q60_pivot" -> q60Pivot,
     "q61_unpivot" -> q61Unpivot,
     "q62_bucketed_join" -> q62BucketedJoin,
+    "q63_percentiles" -> q63Percentiles,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -750,5 +773,6 @@ object Relational {
     "q60_pivot" -> q60Oracle,
     "q61_unpivot" -> q61Oracle,
     "q62_bucketed_join" -> q62Oracle,
+    "q63_percentiles" -> q63Oracle,
   )
 }
