@@ -344,6 +344,33 @@ object TextOps {
       |SELECT doc_id, rank, token, CAST(score AS BIGINT) AS score
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Deterministic weighted subsampling for a training mix: each source
+    * gets a weight in tenths (here ⌊source#⌋ mod 3 + 1, standing in for a
+    * configured mixture table) and a document is kept iff
+    * doc_id mod 10 < weight. Hash-free and reproducible on any engine —
+    * re-running the pipeline selects the same documents, the property a
+    * training-data freeze needs (a rand() sample is neither). Single
+    * scan, conditional aggregation, no shuffle before the rollup. */
+  val q64TrainMix: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .withColumn("w",
+        expr("CAST(substring(source, 4) AS INT) % 3 + 1").cast("long"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(pmod(col("doc_id"), lit(10)) < col("w"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy(col("source"))
+
+  val q64Oracle: String =
+    """SELECT source, CAST(CAST(substring(source, 4) AS INT) % 3 + 1
+      |   AS BIGINT) AS w,
+      | count(*) AS n_total,
+      | CAST(sum(CASE WHEN doc_id % 10 <
+      |   CAST(substring(source, 4) AS INT) % 3 + 1 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_kept
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -355,6 +382,7 @@ object TextOps {
     "q51_winnow_pairs" -> q51WinnowPairs,
     "q57_chunk_dedup" -> q57ChunkDedup,
     "q59_tfidf" -> q59Tfidf,
+    "q64_train_mix" -> q64TrainMix,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -368,5 +396,6 @@ object TextOps {
     "q51_winnow_pairs" -> q51Oracle,
     "q57_chunk_dedup" -> q57Oracle,
     "q59_tfidf" -> q59Oracle,
+    "q64_train_mix" -> q64Oracle,
   )
 }
