@@ -7,8 +7,18 @@ import org.apache.spark.sql.DataFrame
   *
   * Each query is fully materialized through the noop sink (forces every
   * operator to run, unlike count() which can prune to a metadata-only
-  * scan). One untimed warm-up of the smallest query amortizes JVM/codegen
-  * startup out of the per-query numbers.
+  * scan).
+  *
+  * Timing discipline: per query, ONE untimed warm run (codegen, parquet
+  * footer/listing caches, shuffle-file reuse warm-up) then the MEDIAN of
+  * three timed runs. Single-run numbers on this suite swing up to ~4×
+  * between identical-code rounds (JIT/GC/page-cache noise), which makes a
+  * regression gate unenforceable; the median restores comparability.
+  *
+  * q62 is reported as two rows: `q62_bucket_build` (the one-time bucketed
+  * layout build — two full shuffled writes) and `q62_bucketed_join` (the
+  * steady-state exchange-free probe over the already-built tables), so
+  * the co-located-join claim is measured on its own.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,17 +28,50 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warm-up: JIT + codegen + parquet footer caches
+    def timed(run: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    /** One untimed warm run, then median of 3. On failure, report the
+      * seconds burned so far (a failed query should stand out, not melt
+      * into the sum as 0). */
+    def medianOf3(name: String, run: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      try {
+        run() // warm
+        Seq.fill(3)(timed(run)).sorted.apply(1)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (System.nanoTime() - t0) / 1e9
+      }
+    }
+
+    // JVM-wide warm-up before any per-query timing
     try materialize(SparkEntry.queries("q20_distinct")(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val entries: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case ("q62_bucketed_join", _) => Seq(
+          "q62_bucket_build" -> (() => {
+            ops.Relational.bucketedOrdersLineitem(spark, sfDir); ()
+          }),
+          // build sorts before probe, so the tables exist by the time the
+          // probe's warm run fires
+          "q62_bucketed_join" -> (() => {
+            val (o, l) = ops.Relational.bucketedTables(spark, sfDir)
+            materialize(ops.Relational.q62Probe(o, l))
+          }),
+        )
+        case (name, fn) =>
+          Seq(name -> (() => materialize(fn(spark, sfDir))))
       }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = entries.map { case (name, run) =>
+      name -> medianOf3(name, run)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -17,6 +17,7 @@ import graft.core.PixelType
   */
 object TiffFormat {
   // TIFF tag ids
+  val TagNewSubfileType = 254
   val TagImageWidth = 256
   val TagImageLength = 257
   val TagBitsPerSample = 258
@@ -33,11 +34,14 @@ object TiffFormat {
   val TagTileLength = 323
   val TagTileOffsets = 324
   val TagTileByteCounts = 325
+  val TagSubIFDs = 330
   val TagSampleFormat = 339
+  val TagJPEGTables = 347
 
   // TIFF 6.0 Compression tag values (the subset real OME-TIFFs use)
   val CompressionNone = 1
   val CompressionLZW = 5
+  val CompressionJpeg = 7 // "new-style" JPEG (TTN2); read-only here
   val CompressionDeflate = 8 // "Adobe" deflate — what tifffile/bioformats emit
   val CompressionPackBits = 32773
   val CompressionDeflateLegacy = 32946
@@ -46,6 +50,12 @@ object TiffFormat {
     c == CompressionNone || c == CompressionLZW ||
       c == CompressionDeflate || c == CompressionDeflateLegacy ||
       c == CompressionPackBits
+
+  /** Read-side coverage is a superset of write-side: JPEG (7) decodes via
+    * javax.imageio, but the hash-checked write path never emits a lossy
+    * codec. */
+  def readSupported(c: Int): Boolean =
+    compressionSupported(c) || c == CompressionJpeg
 
   // field types
   val TypeAscii = 2
@@ -530,7 +540,10 @@ object TiffFormat {
 
   /** Parsed per-IFD facts needed to locate and decode one plane. A plane
     * is strip-organized (stripOffsets non-empty) or tile-organized
-    * (tileOffsets non-empty) — never both. */
+    * (tileOffsets non-empty) — never both. `subIfds` are the parsed
+    * reduced-resolution pyramid levels chained off tag 330 (SubIFDs);
+    * `jpegTables` is the shared JPEG tables stream (tag 347) for
+    * Compression=7 segments. */
   final case class ParsedIfd(
       width: Int,
       height: Int,
@@ -547,7 +560,9 @@ object TiffFormat {
       tileLength: Int,
       tileOffsets: Seq[Long],
       tileByteCounts: Seq[Long],
-      description: Option[String]) {
+      description: Option[String],
+      subIfds: Seq[ParsedIfd] = Seq.empty,
+      jpegTables: Option[Array[Byte]] = None) {
     def tiled: Boolean = tileOffsets.nonEmpty
   }
 
@@ -579,27 +594,24 @@ object TiffFormat {
       require(u16(buf(4, 2)) == 8,
         "BigTIFF header: offset bytesize must be 8")
 
-    var next = if (big) buf(8, 8).getLong else u32(buf(4, 4))
-    val out = Seq.newBuilder[ParsedIfd]
     // malformed/malicious chains: a next-IFD pointer looping back would
     // spin the driver forever, and a bogus entry count would allocate GBs
     val visited = scala.collection.mutable.Set.empty[Long]
     val MaxFieldValues = 1 << 24
     val entrySize = if (big) 20 else 12
-    while (next != 0) {
-      if (!visited.add(next))
-        throw new IllegalArgumentException(
-          s"corrupt TIFF: IFD chain revisits offset $next (cycle)")
+
+    /** Parse one IFD: (parsed facts, raw SubIFD offsets, next-IFD offset). */
+    def parseOne(at: Long): (ParsedIfd, Seq[Long], Long) = {
       val n =
         if (big) {
-          val c = buf(next, 8).getLong
+          val c = buf(at, 8).getLong
           if (c > 4096)
             throw new IllegalArgumentException(
               s"corrupt TIFF: IFD declares $c entries")
           c.toInt
-        } else u16(buf(next, 2))
+        } else u16(buf(at, 2))
       val countSize = if (big) 8 else 2
-      val body = buf(next + countSize, n * entrySize + slot)
+      val body = buf(at + countSize, n * entrySize + slot)
       val entries = (0 until n).map { _ =>
         val tag = u16(body)
         val typ = u16(body)
@@ -611,7 +623,7 @@ object TiffFormat {
         body.get(raw)
         (tag, typ, count, raw)
       }
-      next = slotVal(body) // the offset slot following the entry table
+      val next = slotVal(body) // the offset slot following the entry table
 
       def values(tag: Int): Seq[Long] =
         entries.find(_._1 == tag).map { case (_, typ, count, raw) =>
@@ -632,19 +644,20 @@ object TiffFormat {
       def value(tag: Int, default: Long = -1): Long =
         values(tag).headOption.getOrElse(default)
 
-      val desc = entries.find(_._1 == TagImageDescription).map {
-        case (_, _, count, raw) =>
-          val off =
-            if (count <= slot) -1L
-            else slotVal(ByteBuffer.wrap(raw).order(order))
-          val bytes =
-            if (off < 0) raw.take(count.toInt) else read(off, count.toInt)
-          // ASCII fields are NUL-terminated
-          new String(bytes, StandardCharsets.UTF_8).takeWhile(_ != '\u0000')
-      }
+      /** Raw bytes of a byte-sized field (ASCII or UNDEFINED, e.g. the
+        * JPEGTables stream). */
+      def rawBytes(tag: Int): Option[Array[Byte]] =
+        entries.find(_._1 == tag).map { case (_, _, count, raw) =>
+          if (count <= slot) raw.take(count.toInt)
+          else read(slotVal(ByteBuffer.wrap(raw).order(order)), count.toInt)
+        }
+
+      val desc = rawBytes(TagImageDescription).map(bytes =>
+        // ASCII fields are NUL-terminated
+        new String(bytes, StandardCharsets.UTF_8).takeWhile(_ != '\u0000'))
 
       val height = value(TagImageLength).toInt
-      out += ParsedIfd(
+      val parsedIfd = ParsedIfd(
         width = value(TagImageWidth).toInt,
         height = height,
         bits = value(TagBitsPerSample, 8).toInt,
@@ -660,16 +673,91 @@ object TiffFormat {
         tileLength = value(TagTileLength, 0).toInt,
         tileOffsets = values(TagTileOffsets),
         tileByteCounts = values(TagTileByteCounts),
-        description = desc)
+        description = desc,
+        jpegTables = rawBytes(TagJPEGTables))
+      (parsedIfd, values(TagSubIFDs), next)
+    }
+
+    var next = if (big) buf(8, 8).getLong else u32(buf(4, 4))
+    val out = Seq.newBuilder[ParsedIfd]
+    while (next != 0) {
+      if (!visited.add(next))
+        throw new IllegalArgumentException(
+          s"corrupt TIFF: IFD chain revisits offset $next (cycle)")
+      val (main, subOffsets, nxt) = parseOne(next)
+      // pyramid levels: each tag-330 value is an entry point that may
+      // itself chain (some writers hang all levels off one pointer) —
+      // follow and flatten, sharing the cycle guard with the main chain
+      val subs = subOffsets.flatMap { so =>
+        val lvls = Seq.newBuilder[ParsedIfd]
+        var o = so
+        while (o != 0) {
+          if (!visited.add(o))
+            throw new IllegalArgumentException(
+              s"corrupt TIFF: SubIFD chain revisits offset $o (cycle)")
+          val (sub, _, n2) = parseOne(o)
+          lvls += sub
+          o = n2
+        }
+        lvls.result()
+      }
+      out += main.copy(subIfds = subs)
+      next = nxt
     }
     (order, out.result())
+  }
+
+  /** Decode one Compression=7 (new-style JPEG, TIFF TTN2) strip/tile into
+    * interleaved 8-bit sample bytes via javax.imageio. When the IFD
+    * carries a shared JPEGTables stream (tag 347), its table segments are
+    * spliced after the segment's SOI (the tables stream is SOI‥EOI; the
+    * abbreviated segment stream omits the tables); a segment that carries
+    * its own tables decodes the same way — later DQT/DHT definitions
+    * simply override the spliced ones. Strips may be shorter than the
+    * nominal rows-per-strip (last strip), so only the width is pinned. */
+  def decodeJpegSegment(bytes: Array[Byte], tables: Option[Array[Byte]],
+      segW: Int, samplesPerPixel: Int): Array[Byte] = {
+    val stream = tables match {
+      case Some(t) if t.length > 4 =>
+        val out = new java.io.ByteArrayOutputStream(t.length + bytes.length)
+        out.write(bytes, 0, 2) // SOI from the segment
+        out.write(t, 2, t.length - 4) // tables minus their SOI and EOI
+        out.write(bytes, 2, bytes.length - 2)
+        out.toByteArray
+      case _ => bytes
+    }
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(stream))
+    if (img == null)
+      throw new IllegalArgumentException(
+        "JPEG-compressed TIFF segment failed to decode")
+    val r = img.getRaster
+    require(r.getNumBands == samplesPerPixel,
+      s"JPEG segment decodes to ${r.getNumBands} bands, IFD declares " +
+        s"SamplesPerPixel=$samplesPerPixel")
+    require(r.getWidth == segW,
+      s"JPEG segment is ${r.getWidth} wide, expected $segW")
+    val px = r.getPixels(0, 0, r.getWidth, r.getHeight,
+      null.asInstanceOf[Array[Int]])
+    val out = new Array[Byte](px.length)
+    var i = 0
+    while (i < px.length) { out(i) = px(i).toByte; i += 1 }
+    out
   }
 
   /** Decompress + predictor-undo one strip or tile segment into raw sample
     * bytes. `rowSamples` = segment row width × samplesPerPixel. */
   def decodeSegment(bytes: Array[Byte], compression: Int, predictor: Int,
       rowSamples: Int, bits: Int, samplesPerPixel: Int,
-      order: ByteOrder, sampleFormat: Int = 1): Array[Byte] = {
+      order: ByteOrder, sampleFormat: Int = 1,
+      jpegTables: Option[Array[Byte]] = None): Array[Byte] = {
+    if (compression == CompressionJpeg) {
+      if (bits != 8)
+        throw new IllegalArgumentException(
+          s"JPEG-in-TIFF supports 8-bit samples, got $bits bits")
+      return decodeJpegSegment(bytes, jpegTables,
+        segW = rowSamples / samplesPerPixel, samplesPerPixel)
+    }
     val raw = decompress(bytes, compression)
     predictor match {
       case 1 => ()
