@@ -630,6 +630,32 @@ object BioQueries {
       | CAST(count(*) FILTER (WHERE v > 50) AS BIGINT) AS n_loud
       |FROM s GROUP BY frame ORDER BY frame""".stripMargin
 
+  // ---------------------------------------------------------------- b24
+  /** S12/S15 + P6: OME-TIFF SubIFD pyramid end-to-end — a formulaic 8×8
+    * plane saved with pyramidLevels=2 (level 1 written as a SubIFD, tag
+    * 330), re-opened through plugin resolution, level 1 selected, pixels
+    * checked against the oracle's own 2×2 mean pooling. The TIFF analog
+    * of b13 (parquet store) and the zarr multiscale path — the flagship
+    * format's resolution-level API (bio_image.py:548-604). */
+  val b24TiffPyramid: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(8, 8))(idx => idx(0) * 10.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = s"/tmp/graft_b24_${java.util.UUID.randomUUID()}.ome.tiff"
+    graft.writers.OmeTiffWriter.save(img, uri, None,
+      graft.writers.TiffOptions(pyramidLevels = 2))
+    val back = BioSpark.open(spark, uri)
+    back.setResolutionLevel(1)
+    back.getImagePixels()
+      .select(col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        col("v"))
+      .orderBy(col("y"), col("x"))
+  }
+
+  val b24Oracle: String =
+    """SELECT y//2 AS y, x//2 AS x, avg(CAST(y*10 + x AS DOUBLE)) AS v
+      |FROM range(8) a(y), range(8) b(x)
+      |GROUP BY y//2, x//2 ORDER BY y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -654,6 +680,7 @@ object BioQueries {
     "b21_frame_pipeline" -> b21FramePipeline,
     "b22_store_value_scan" -> b22StoreValueScan,
     "b23_audio_frames" -> b23AudioFrames,
+    "b24_tiff_pyramid" -> b24TiffPyramid,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -680,5 +707,6 @@ object BioQueries {
     "b21_frame_pipeline" -> b21Oracle,
     "b22_store_value_scan" -> b22Oracle,
     "b23_audio_frames" -> b23Oracle,
+    "b24_tiff_pyramid" -> b24Oracle,
   )
 }

@@ -19,7 +19,8 @@ private[readers] final case class TiffSeg(
     t: Int, c: Int, z: Int, m: Int, y0: Int, x0: Int,
     cropH: Int, cropW: Int, segH: Int, segW: Int,
     bits: Int, sampleFormat: Int, compression: Int, predictor: Int,
-    spp: Int, offsets: Seq[Long], counts: Seq[Long])
+    spp: Int, offsets: Seq[Long], counts: Seq[Long],
+    jpegTables: Option[Array[Byte]])
 
 /** OME-TIFF source (S12) — the reference's flagship format family
   * (/root/reference/README.md:55-70; reader contract shape
@@ -35,14 +36,17 @@ private[readers] final case class TiffSeg(
   *     PlaneRow records. Scene/T/C/Z selection prunes catalog rows before
   *     any pixel byte is read — the dask-graph slicing analog.
   *
-  * Format coverage: uncompressed, Deflate (8/32946), LZW (5) and PackBits
-  * (32773) segments, horizontal-predictor (2) undifferencing, strip- and
+  * Format coverage: uncompressed, Deflate (8/32946), LZW (5), PackBits
+  * (32773) and new-style JPEG (7, incl. shared JPEGTables tag 347)
+  * segments, horizontal-predictor (2) undifferencing, strip- and
   * tile-organized IFDs (TileWidth/TileLength/TileOffsets, tag 322–325),
   * classic and BigTIFF; tiled planes read as mosaic tiles so a Y/X slice
   * prunes whole tiles, and edge tiles (padded to full tile size on disk
   * per TIFF 6.0) are cropped to the image bounds. Chunky (interleaved)
   * RGB reads as per-sample bands with a trailing S dim; planar RGB and
   * other sample counts are rejected explicitly rather than mis-decoded.
+  * SubIFD pyramids (tag 330) surface as resolution levels, mirroring the
+  * reference's format-agnostic level API (bio_image.py:548-604).
   *
   * Plane→(t,c,z) assignment follows the OME DimensionOrder attribute;
   * plain TIFFs (no OME-XML) read as one scene with planes stacked on Z,
@@ -64,10 +68,11 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
       littleEndian: Boolean)
 
   private def validate(ifd: TiffFormat.ParsedIfd): Unit = {
-    if (!TiffFormat.compressionSupported(ifd.compression))
+    if (!TiffFormat.readSupported(ifd.compression))
       throw new UnsupportedFileFormatError(
         s"'$path' uses TIFF compression ${ifd.compression}; supported: " +
-          "none (1), LZW (5), Deflate (8/32946), PackBits (32773)")
+          "none (1), LZW (5), JPEG (7), Deflate (8/32946), PackBits (32773)")
+    ifd.subIfds.foreach(validate)
     if (ifd.samplesPerPixel != 1 && ifd.samplesPerPixel != 3)
       throw new UnsupportedFileFormatError(
         s"'$path' has SamplesPerPixel=${ifd.samplesPerPixel}; supported: " +
@@ -234,13 +239,54 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
   override def scenes: Seq[String] = parsed.scenes.map(_.sceneId)
   override def sceneMeta(sceneIdx: Int): SceneMeta = parsed.scenes(sceneIdx)
 
-  /** True stitched dims: the IFD's ImageLength/Width (edge tiles are
-    * stored padded but cropped on read, so max(pos+tile) would overshoot
-    * for ragged grids). */
-  override def stitchedLevelDims(sceneIdx: Int, level: Int): Dimensions = {
-    if (level != 0) throw new IndexOutOfBoundsException(s"resolution level $level")
+  /** Pyramid levels: level 0 is the main IFD; levels 1..n come from its
+    * SubIFDs (tag 330). All planes of a scene must agree on the count. */
+  override def resolutionLevels(sceneIdx: Int): Seq[Int] = {
+    val counts = parsed.planes(sceneIdx).map(_.ifd.subIfds.length).distinct
+    if (counts.length != 1)
+      throw new UnsupportedFileFormatError(
+        s"'$path' scene $sceneIdx: planes disagree on SubIFD pyramid depth")
+    0 to counts.head
+  }
+
+  /** The IFD serving (plane, level): main for 0, SubIFD k-1 above. */
+  private def ifdAt(r: PlaneRef, level: Int): TiffFormat.ParsedIfd =
+    if (level == 0) r.ifd
+    else {
+      if (!r.ifd.subIfds.isDefinedAt(level - 1))
+        throw new IndexOutOfBoundsException(s"resolution level $level")
+      r.ifd.subIfds(level - 1)
+    }
+
+  /** True plane (H, W) at a level: OME-declared sizes at level 0, the
+    * SubIFD's ImageLength/Width above. */
+  private def levelPlaneDims(sceneIdx: Int, level: Int): (Int, Int) =
+    if (level == 0) parsed.planeDims(sceneIdx)
+    else {
+      val ifd = ifdAt(parsed.planes(sceneIdx).head, level)
+      (ifd.height, ifd.width)
+    }
+
+  override def levelDims(sceneIdx: Int, level: Int): Dimensions = {
+    if (level == 0) return parsed.scenes(sceneIdx).dims
+    val ifds = parsed.planes(sceneIdx).map(ifdAt(_, level))
+    val grid = gridOf(ifds)
     val d = parsed.scenes(sceneIdx).dims
-    val (h, w) = parsed.planeDims(sceneIdx)
+    val (h, w) = levelPlaneDims(sceneIdx, level)
+    sceneDims(d('T'), d('C'), d('Z'), h.toLong, w.toLong,
+      ifds.head.samplesPerPixel, grid)
+  }
+
+  override def levelTilePositions(sceneIdx: Int, level: Int): Seq[(Int, Int)] =
+    if (level == 0) parsed.scenes(sceneIdx).tilePositions
+    else tilePositionsOf(gridOf(parsed.planes(sceneIdx).map(ifdAt(_, level))))
+
+  /** True stitched dims: the level IFD's ImageLength/Width (edge tiles
+    * are stored padded but cropped on read, so max(pos+tile) would
+    * overshoot for ragged grids). */
+  override def stitchedLevelDims(sceneIdx: Int, level: Int): Dimensions = {
+    val d = levelDims(sceneIdx, level)
+    val (h, w) = levelPlaneDims(sceneIdx, level)
     if (!d.order.contains('M')) d
     else {
       val order = d.order.filter(_ != 'M')
@@ -252,29 +298,36 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
     }
   }
 
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
+    readDelayedAtLevel(spark, sceneIdx, 0)
+
   /** Distributed segment read: the segment catalog parallelizes over
     * executors; each task opens the file once and does positioned reads
     * of only its strips/tiles. */
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def readDelayedAtLevel(spark: SparkSession, sceneIdx: Int,
+      level: Int): DataFrame = {
     import spark.implicits._
     val refs = parsed.planes(sceneIdx)
-    val grid = parsed.grids(sceneIdx)
-    val (planeH, planeW) = parsed.planeDims(sceneIdx)
+    val levelRefs = refs.map(r => (r, ifdAt(r, level)))
+    val grid =
+      if (level == 0) parsed.grids(sceneIdx)
+      else gridOf(levelRefs.map(_._2))
+    val (planeH, planeW) = levelPlaneDims(sceneIdx, level)
     val sceneId = parsed.scenes(sceneIdx).sceneId
     val little = parsed.littleEndian
     val file = path
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
 
-    val segs: Seq[TiffSeg] = refs.flatMap { r =>
-      val ifd = r.ifd
+    val segs: Seq[TiffSeg] = levelRefs.flatMap { case (r, ifd) =>
       grid match {
         case None =>
           Seq(TiffSeg(r.t, r.c, r.z, m = 0, y0 = 0, x0 = 0,
             cropH = ifd.height, cropW = ifd.width,
             segH = ifd.height, segW = ifd.width,
             ifd.bits, ifd.sampleFormat, ifd.compression, ifd.predictor,
-            ifd.samplesPerPixel, ifd.stripOffsets, ifd.stripByteCounts))
+            ifd.samplesPerPixel, ifd.stripOffsets, ifd.stripByteCounts,
+            ifd.jpegTables))
         case Some(g) =>
           require(ifd.tileOffsets.length >= g.ny * g.nx,
             s"tiled IFD declares ${ifd.tileOffsets.length} tiles, " +
@@ -288,7 +341,8 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               segH = g.tl, segW = g.tw,
               ifd.bits, ifd.sampleFormat, ifd.compression, ifd.predictor,
               ifd.samplesPerPixel,
-              Seq(ifd.tileOffsets(idx)), Seq(ifd.tileByteCounts(idx)))
+              Seq(ifd.tileOffsets(idx)), Seq(ifd.tileByteCounts(idx)),
+              ifd.jpegTables)
           }
       }
     }
@@ -317,7 +371,8 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
               TiffFormat.decodeSegment(buf, seg.compression, seg.predictor,
                 rowSamples = seg.segW * spp, bits = seg.bits,
                 samplesPerPixel = spp, order = order,
-                sampleFormat = seg.sampleFormat)
+                sampleFormat = seg.sampleFormat,
+                jpegTables = seg.jpegTables)
             }
             // single allocation (a RowsPerStrip=1 file has h strips —
             // pairwise ++ would copy the accumulated array per strip)
@@ -359,7 +414,7 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
                   }
                   out
                 }
-              PlaneRow(sceneIdx, sceneId, level = 0, m = seg.m,
+              PlaneRow(sceneIdx, sceneId, level = level, m = seg.m,
                 t = seg.t, c = seg.c, z = seg.z, s = si,
                 y0 = seg.y0, x0 = seg.x0, h = seg.cropH, w = seg.cropW,
                 pixels = cropped)

@@ -737,11 +737,11 @@ class OmeTiffSpec extends SparkSpec {
     }
     val base = Seq((256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8),
       (273, 4, 1, 100), (279, 4, 1, 4))
-    // JPEG compression
-    val jpeg = fixture(base :+ ((259, 3, 1, 7)): _*)
+    // old-style JPEG (6) — only new-style (7) is read-supported
+    val jpeg = fixture(base :+ ((259, 3, 1, 6)): _*)
     val e1 = intercept[graft.core.UnsupportedFileFormatError](
       new OmeTiffReader(spark, jpeg).scenes)
-    assert(e1.getMessage.contains("compression 7"))
+    assert(e1.getMessage.contains("compression 6"))
     // 4-sample strips (only 1 and 3 supported)
     val rgba = fixture(base :+ ((277, 3, 1, 4)): _*)
     val e2 = intercept[graft.core.UnsupportedFileFormatError](
@@ -806,5 +806,120 @@ class OmeTiffSpec extends SparkSpec {
     BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2))).save(uri)
     val rep = BioSpark.defaultRegistry.feasibilityReport(spark, uri)
     assert(rep("OmeTiffReader").supported)
+  }
+
+  test("SubIFD pyramid roundtrip (strips): levels surface, pooled values " +
+      "match downsample2x, multi-plane") {
+    // 2 channels so every main IFD carries its own SubIFD chain
+    val arr = NDArray.tabulate(Seq(2, 8, 8))(idx =>
+      idx(0) * 1000.0 + idx(1) * 10.0 + idx(2))
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    val uri = tmp("pyr.ome.tiff")
+    OmeTiffWriter.save(img, uri, None, TiffOptions(pyramidLevels = 3))
+    val back = BioSpark.open(spark, uri)
+    assert(back.resolutionLevels == Seq(0, 1, 2))
+    // level 0 untouched
+    assert(back.getImageData("CYX").array(1, 7, 6) == 1076.0)
+    // level 1: 4x4, each pixel the mean of a 2x2 block
+    back.setResolutionLevel(1)
+    val l1 = back.getImageData("CYX")
+    assert(l1.array.shape == Seq(2, 4, 4))
+    for (c <- 0 until 2; y <- 0 until 4; x <- 0 until 4) {
+      val expect = (for (dy <- 0 to 1; dx <- 0 to 1)
+        yield c * 1000.0 + (y * 2 + dy) * 10.0 + (x * 2 + dx)).sum / 4
+      assert(l1.array(c, y, x) == expect, s"l1 ($c,$y,$x)")
+    }
+    // level 2: 2x2, mean of 4x4 blocks (pool of pool)
+    back.setResolutionLevel(2)
+    assert(back.getImageData("CYX").array.shape == Seq(2, 2, 2))
+    // a foreign reader ignoring tag 330 still sees the full-res planes
+    val io = javax.imageio.ImageIO.read(new java.io.File(uri))
+    assert(io != null && io.getWidth == 8 && io.getHeight == 8)
+  }
+
+  test("SubIFD pyramid + tiles + deflate: ragged level-1 grid reads " +
+      "cropped and pooled") {
+    val arr = NDArray.tabulate(Seq(20, 24))(idx => idx(0) * 30.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = tmp("pyrt.ome.tiff")
+    OmeTiffWriter.save(img, uri, None, TiffOptions(
+      compression = TiffFormat.CompressionDeflate,
+      tile = Some((16, 16)), pyramidLevels = 2))
+    val back = BioSpark.open(spark, uri)
+    assert(back.resolutionLevels == Seq(0, 1))
+    back.setResolutionLevel(1)
+    val (expected, h1, w1) =
+      OmeTiffWriter.downsample2x(arr.data, 20, 24, 1)
+    assert((h1, w1) == (10, 12))
+    val nd = back.getImageData("YX")
+    assert(nd.array.shape == Seq(10, 12))
+    for (y <- 0 until 10; x <- 0 until 12)
+      assert(nd.array(y, x) == expected(y * 12 + x), s"($y,$x)")
+  }
+
+  test("pyramidLevels stops at 1x1 instead of over-halving") {
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2)))
+    val uri = tmp("tiny-pyr.ome.tiff")
+    OmeTiffWriter.save(img, uri, None, TiffOptions(pyramidLevels = 8))
+    val back = BioSpark.open(spark, uri)
+    assert(back.resolutionLevels == Seq(0, 1)) // 2x2 → 1x1, then stop
+    back.setResolutionLevel(1)
+    assert(back.getImageData("YX").array(0, 0) == (0.0 + 1 + 10 + 11) / 4)
+  }
+
+  test("foreign JPEG-compressed TIFF (gray8, Compression=7) decodes " +
+      "identically to the JDK's own decode") {
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    import java.awt.image.BufferedImage
+    val (h, w) = (48, 64)
+    val wr = ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("JPEG")
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, (y * 5 + x * 3) % 251)
+    val f = new java.io.File(tmp("jpeg-gray.tif"))
+    val os = ImageIO.createImageOutputStream(f)
+    wr.setOutput(os)
+    wr.write(null, new IIOImage(bi, null, null), p)
+    os.close(); wr.dispose()
+    // JPEG is lossy: the correctness contract is decode-equality with the
+    // JDK's own TIFF+JPEG path on the same file, not with the source
+    val jdk = ImageIO.read(f)
+    assert(jdk != null)
+    val back = BioSpark.open(spark, f.getPath)
+    assert(back.dims('Y') == h && back.dims('X') == w)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until h; x <- 0 until w)
+      assert(nd.array(y, x) == jdk.getRaster.getSampleDouble(x, y, 0),
+        s"($y,$x)")
+  }
+
+  test("foreign JPEG-compressed RGB TIFF decodes identically to the JDK " +
+      "(YCbCr handled by the codec)") {
+    import javax.imageio.{ImageIO, ImageWriteParam, IIOImage}
+    import java.awt.image.BufferedImage
+    val (h, w) = (16, 24)
+    val wr = ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("JPEG")
+    val bi = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w; s <- 0 until 3)
+      bi.getRaster.setSample(x, y, s, (y * 16 + x * 7 + s * 40) % 256)
+    val f = new java.io.File(tmp("jpeg-rgb.tif"))
+    val os = ImageIO.createImageOutputStream(f)
+    wr.setOutput(os)
+    wr.write(null, new IIOImage(bi, null, null), p)
+    os.close(); wr.dispose()
+    val jdk = ImageIO.read(f)
+    assert(jdk != null)
+    val back = BioSpark.open(spark, f.getPath)
+    assert(back.dims('S') == 3)
+    val nd = back.getImageData("YXS")
+    for (y <- 0 until h; x <- 0 until w; s <- 0 until 3)
+      assert(nd.array(y, x, s) == jdk.getRaster.getSampleDouble(x, y, s),
+        s"($y,$x,$s)")
   }
 }
