@@ -656,6 +656,29 @@ object BioQueries {
       |FROM range(8) a(y), range(8) b(x)
       |GROUP BY y//2, x//2 ORDER BY y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b25
+  /** S13/S15 TimeSeriesWriter: a formulaic 4-frame T series saved as
+    * animated GIF (per-frame 256-gray palette → exact for 8-bit values),
+    * re-opened through plugin resolution (ImageIoReader stacks GIF
+    * frames on T), frame count/order/pixels oracle-checked. */
+  val b25GifTimeseries: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(4, 5, 6))(idx =>
+      (idx(0) * 50 + idx(1) * 7 + idx(2)) % 256)
+    val img = BioSpark.fromArray(spark, arr, Some("TYX"))
+    val uri = s"/tmp/graft_b25_${java.util.UUID.randomUUID()}.gif"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    back.getImagePixels()
+      .select(col("t").cast("long").as("t"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("t"), col("y"), col("x"))
+  }
+
+  val b25Oracle: String =
+    """SELECT t, y, x, CAST((t*50 + y*7 + x) % 256 AS DOUBLE) AS v
+      |FROM range(4) a(t), range(5) b(y), range(6) c(x)
+      |ORDER BY t, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -681,6 +704,7 @@ object BioQueries {
     "b22_store_value_scan" -> b22StoreValueScan,
     "b23_audio_frames" -> b23AudioFrames,
     "b24_tiff_pyramid" -> b24TiffPyramid,
+    "b25_gif_timeseries" -> b25GifTimeseries,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -708,5 +732,6 @@ object BioQueries {
     "b22_store_value_scan" -> b22Oracle,
     "b23_audio_frames" -> b23Oracle,
     "b24_tiff_pyramid" -> b24Oracle,
+    "b25_gif_timeseries" -> b25Oracle,
   )
 }

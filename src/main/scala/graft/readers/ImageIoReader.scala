@@ -1,5 +1,7 @@
 package graft.readers
 
+import java.awt.image.{BufferedImage, IndexColorModel}
+
 import javax.imageio.ImageIO
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -12,27 +14,72 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
   * reference's imageio-formats plugin family
   * (/root/reference/README.md:55-70). One file = one scene; grayscale
   * decodes as YX, multi-band images as YXS (trailing Samples), matching
-  * the reference's 2D(+S) behavior for these formats.
+  * the reference's 2D(+S) behavior for these formats. Multi-frame GIFs
+  * (the TimeSeriesWriter container) stack frames on T.
+  *
+  * Palette (IndexColorModel) images decode THROUGH the palette: an
+  * all-gray palette yields one gray band (so TimeSeriesWriter's
+  * 256-gray-indexed frames roundtrip exactly); a color palette expands
+  * to 3 RGB bands — raw palette indices are never surfaced as pixel
+  * values.
   *
   * These are small interchange images: the file decodes driver-side
-  * (ImageIO has no streaming tile API) into per-(sample) plane rows; the
-  * resulting DataFrame is distributed like any other plane table. Bulk
-  * pixel data at scale belongs in the Parquet plane store.
+  * (ImageIO has no streaming tile API) into per-(frame, sample) plane
+  * rows; the resulting DataFrame is distributed like any other plane
+  * table. Bulk pixel data at scale belongs in the Parquet plane store.
   */
 final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
 
-  private lazy val image: java.awt.image.BufferedImage = {
+  private lazy val frames: Seq[BufferedImage] = {
     val fs = FileSystem.get(new Path(path).toUri,
       spark.sparkContext.hadoopConfiguration)
     val in = fs.open(new Path(path))
     try {
-      val img = ImageIO.read(in)
-      if (img == null)
+      val iis = ImageIO.createImageInputStream(in)
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
         throw new UnsupportedFileFormatError(
           s"javax.imageio cannot decode '$path'")
-      img
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = math.max(1, r.getNumImages(true))
+        val fr = (0 until n).map(r.read)
+        val dims = fr.map(f => (f.getWidth, f.getHeight)).distinct
+        if (dims.length != 1)
+          throw new UnsupportedFileFormatError(
+            s"'$path' has frames of differing sizes $dims (optimized " +
+              "partial-frame GIF) — re-encode with full frames")
+        fr
+      } finally {
+        r.dispose()
+        iis.close()
+      }
     } finally in.close()
   }
+
+  private def image: BufferedImage = frames.head
+
+  /** Pixel access through the color model: (bands, sample lookup). */
+  private def decoded(bi: BufferedImage): (Int, (Int, Int, Int) => Double) =
+    bi.getColorModel match {
+      case icm: IndexColorModel =>
+        val m = icm.getMapSize
+        val r = Array.tabulate(m)(i => icm.getRed(i))
+        val g = Array.tabulate(m)(i => icm.getGreen(i))
+        val b = Array.tabulate(m)(i => icm.getBlue(i))
+        val gray = (0 until m).forall(i => r(i) == g(i) && g(i) == b(i))
+        val raster = bi.getRaster
+        if (gray) (1, (y, x, _) => r(raster.getSample(x, y, 0)).toDouble)
+        else (3, (y, x, s) => {
+          val idx = raster.getSample(x, y, 0)
+          (s match { case 0 => r(idx); case 1 => g(idx); case _ => b(idx) })
+            .toDouble
+        })
+      case _ =>
+        val raster = bi.getRaster
+        (raster.getNumBands, (y, x, s) => raster.getSampleDouble(x, y, s))
+    }
 
   override def name: String = "ImageIoReader"
   override def supportedExtensions: Seq[String] =
@@ -54,7 +101,7 @@ final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
       } finally in.close()
     } catch { case _: Throwable => false }
 
-  private def bands: Int = image.getRaster.getNumBands
+  private def bands: Int = decoded(image)._1
 
   override def scenes: Seq[String] = Seq("Image:0")
 
@@ -62,12 +109,13 @@ final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
     require(sceneIdx == 0, s"single-scene source, got scene $sceneIdx")
     val h = image.getHeight.toLong
     val w = image.getWidth.toLong
+    val t = frames.length.toLong
     val pt =
       if (image.getColorModel.getComponentSize(0) > 8) PixelType.UInt16
       else PixelType.UInt8
     val dims =
-      if (bands == 1) Dimensions("TCZYX", Seq(1L, 1L, 1L, h, w))
-      else Dimensions("TCZYXS", Seq(1L, 1L, 1L, h, w, bands.toLong))
+      if (bands == 1) Dimensions("TCZYX", Seq(t, 1L, 1L, h, w))
+      else Dimensions("TCZYXS", Seq(t, 1L, 1L, h, w, bands.toLong))
     SceneMeta(0, "Image:0", dims, channelNames = Seq.empty,
       physicalPixelSizes = None, pixelType = pt,
       tilePositions = Seq.empty, rawMetadata = None)
@@ -75,22 +123,26 @@ final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
 
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     require(sceneIdx == 0, s"single-scene source, got scene $sceneIdx")
-    val raster = image.getRaster
     val h = image.getHeight
     val w = image.getWidth
-    val rows = (0 until bands).map { s =>
-      val px = new Array[Double](h * w)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          px(y * w + x) = raster.getSampleDouble(x, y, s)
-          x += 1
+    val nS = bands
+    val rows = frames.zipWithIndex.flatMap { case (f, t) =>
+      val (fb, sample) = decoded(f)
+      require(fb == nS, s"frame $t has $fb bands, frame 0 has $nS")
+      (0 until nS).map { s =>
+        val px = new Array[Double](h * w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y * w + x) = sample(y, x, s)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        PlaneRow(0, "Image:0", level = 0, m = 0, t = t, c = 0, z = 0, s = s,
+          y0 = 0, x0 = 0, h = h, w = w, pixels = px)
       }
-      PlaneRow(0, "Image:0", level = 0, m = 0, t = 0, c = 0, z = 0, s = s,
-        y0 = 0, x0 = 0, h = h, w = w, pixels = px)
     }
     import spark.implicits._
     spark.createDataset(rows).toDF()

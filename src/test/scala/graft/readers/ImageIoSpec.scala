@@ -61,4 +61,82 @@ class ImageIoSpec extends SparkSpec {
     Files.write(java.nio.file.Paths.get(p), "hello".getBytes)
     intercept[graft.core.UnsupportedFileFormatError](BioSpark.open(spark, p))
   }
+
+  test("TimeSeriesWriter: animated gray GIF roundtrips frame count, order " +
+      "and exact pixel values") {
+    import graft.writers.{TimeSeriesWriter, Writers}
+    // 5 frames, 6x8, formulaic — every frame distinct so order is pinned
+    val arr = NDArray.tabulate(Seq(5, 6, 8))(idx =>
+      (idx(0) * 40 + idx(1) * 9 + idx(2)) % 256)
+    val img = BioSpark.fromArray(spark, arr, Some("TYX"))
+    val uri = tmp("movie.gif")
+    img.save(uri) // registry dispatch by extension
+    assert(Writers.forPath(uri) == TimeSeriesWriter)
+    val back = BioSpark.open(spark, uri)
+    assert(back.reader.name == "ImageIoReader")
+    assert(back.dims('T') == 5)
+    assert(back.dims('Y') == 6 && back.dims('X') == 8)
+    val nd = back.getImageData("TYX")
+    for (t <- 0 until 5; y <- 0 until 6; x <- 0 until 8)
+      assert(nd.array(t, y, x) == ((t * 40 + y * 9 + x) % 256).toDouble,
+        s"($t,$y,$x)")
+  }
+
+  test("TimeSeriesWriter: RGB frames decode-equal to the JDK's own GIF " +
+      "read (palette quantization is the codec's)") {
+    import graft.readers.ArrayLikeReader
+    import graft.image.BioImage
+    // few distinct colors → fits a 256-entry palette losslessly
+    val arr = NDArray.tabulate(Seq(3, 4, 5, 3))(idx =>
+      Seq(40.0 * idx(0), 200.0 - 50 * (idx(1) % 2), 30.0 * idx(3))(idx(3) % 3))
+    val img = new BioImage(spark, new ArrayLikeReader(Seq(arr),
+      Seq(Some("TYXS")), Seq(None)))
+    val uri = tmp("rgb-movie.gif")
+    img.save(uri)
+    val f = new java.io.File(uri)
+    val iis = javax.imageio.ImageIO.createImageInputStream(f)
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    assert(rd.getNumImages(true) == 3)
+    val back = BioSpark.open(spark, uri)
+    assert(back.dims('T') == 3 && back.dims('S') == 3)
+    val nd = back.getImageData("TYXS")
+    for (t <- 0 until 3) {
+      val jdk = rd.read(t)
+      val cm = jdk.getColorModel
+      for (y <- 0 until 4; x <- 0 until 5) {
+        val rgb = jdk.getRGB(x, y)
+        assert(nd.array(t, y, x, 0) == ((rgb >> 16) & 0xff).toDouble, s"r($t,$y,$x)")
+        assert(nd.array(t, y, x, 1) == ((rgb >> 8) & 0xff).toDouble, s"g($t,$y,$x)")
+        assert(nd.array(t, y, x, 2) == (rgb & 0xff).toDouble, s"b($t,$y,$x)")
+      }
+    }
+    rd.dispose(); iis.close()
+  }
+
+  test("GIF frame delay comes from time_interval metadata") {
+    import graft.readers.ArrayLikeReader
+    import graft.image.BioImage
+    val arr = NDArray.tabulate(Seq(2, 3, 3))(idx => idx(0) * 100.0)
+    val img = new BioImage(spark, new ArrayLikeReader(Seq(arr),
+      Seq(Some("TYX")), Seq(None), timeInterval = Some(0.25)))
+    val uri = tmp("timed.gif")
+    img.save(uri)
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.File(uri))
+    val rd = javax.imageio.ImageIO.getImageReaders(iis).next()
+    rd.setInput(iis)
+    val meta = rd.getImageMetadata(0)
+    val root = meta.getAsTree(meta.getNativeMetadataFormatName)
+    def find(n: org.w3c.dom.Node, name: String): Option[org.w3c.dom.Node] = {
+      var c = n.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == name) return Some(c)
+        c = c.getNextSibling
+      }
+      None
+    }
+    val gce = find(root, "GraphicControlExtension").get
+    assert(gce.getAttributes.getNamedItem("delayTime").getNodeValue == "25")
+    rd.dispose(); iis.close()
+  }
 }

@@ -786,6 +786,7 @@ class OmeTiffSpec extends SparkSpec {
     assert(Writers.forPath("/a/b.ome.tiff") == OmeTiffWriter)
     assert(Writers.forPath("/a/b.graft") == ParquetPlaneStoreWriter)
     assert(Writers.forPath("/a/b.ome.zarr") == graft.writers.ZarrWriter)
+    assert(Writers.forPath("/a/b.gif") == graft.writers.TimeSeriesWriter)
     intercept[graft.core.UnsupportedFileFormatError](
       Writers.forPath("/a/b.nd2"))
   }
