@@ -235,10 +235,12 @@ object DedupOps {
     * join + one aggregate over the (sparse) edge list — O(E) work, never
     * materializing anything quadratic — and rounds are bounded by
     * component diameter, which for near-dup clusters (dense cliques knit
-    * by shared shingles) is tiny. Lineage is truncated per round
-    * (`localCheckpoint`) so the plan stays constant-size across
-    * iterations; a cluster deployment would use reliable `checkpoint` to
-    * an HDFS dir instead. Convergence is detected by the strictly
+    * by shared shingles) is tiny. Lineage is truncated per round so the
+    * plan stays constant-size across iterations: pass `checkpointDir` for
+    * a RELIABLE checkpoint (HDFS/object-store path — survives executor
+    * loss, the cluster-scale mode); default is `localCheckpoint`
+    * (executor-memory lineage cut, fine for local mode but an executor
+    * loss kills the cut lineage). Convergence is detected by the strictly
     * decreasing label sum — one scalar aggregate, no extra join. For
     * graphs with genuinely deep components, swap the propagation step for
     * alternating large-star/small-star rounds (Kiveris et al., "Connected
@@ -251,14 +253,23 @@ object DedupOps {
     * enumerated, keeping the output proportional to the duplicate set,
     * not the corpus. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 50): DataFrame = {
-    val sym = edges
+      maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    // Reliable mode writes each round's labels to the given fault-
+    // tolerant dir; `checkpoint` is eager by default, which is exactly
+    // right here (every round's result is consumed immediately).
+    val cut: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        spark.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val sym = cut(edges
       .select(col(srcCol).as("node"), col(dstCol).as("nbr"))
-      .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr")))
-      .localCheckpoint() // reused every round — cut off the pair pipeline
-    var labels = sym.groupBy(col("node"))
-      .agg(least(col("node"), min(col("nbr"))).as("label"))
-      .localCheckpoint()
+      .union(edges.select(col(dstCol).as("node"), col(srcCol).as("nbr"))))
+      // reused every round — cut off the pair pipeline
+    var labels = cut(sym.groupBy(col("node"))
+      .agg(least(col("node"), min(col("nbr"))).as("label")))
     // labels only ever decrease, and strictly iff something changed, so
     // the (exact, integer) decimal sum is a complete convergence signal
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -271,11 +282,10 @@ object DedupOps {
       val cand = sym.join(labels, "node")
         .groupBy(col("nbr").as("node"))
         .agg(min(col("label")).as("cand"))
-      val next = labels.join(cand, Seq("node"), "left")
+      val next = cut(labels.join(cand, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("cand"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+            .as("label")))
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -740,6 +740,57 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Skewed-key join — the AQE skew-join readiness story. A hot key is
+    * manufactured deterministically (the smallest orderkey's lineitem
+    * rows replicated 500×, mirrored exactly in the oracle), then joined
+    * to orders. At real scale one hot key like this is what stalls a
+    * sort-merge join on a straggler partition; with
+    * `spark.sql.adaptive.skewJoin` (on by default) AQE splits the
+    * oversized partition into parallel sub-joins at runtime — OpsSpec
+    * pins the `skew=true` plan node with thresholds lowered to make the
+    * tiny test data register as skewed. Correctness here is unaffected
+    * by whether the split triggers, so the oracle row stays hard-green
+    * at any SF. */
+  val q65SkewJoin: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    skewedJoin(li, t(spark, dir, "orders"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** The skew-manufacturing join alone (shared with the OpsSpec plan
+    * assertion): lineitem ∪ 500 near-copies of the min-orderkey rows
+    * (price offset by the replica index — identical replicas would
+    * compress to nothing in the shuffle blocks, and AQE's skew detector
+    * reads COMPRESSED map-output sizes), joined to orders on the (now
+    * hot) key. */
+  def skewedJoin(li: DataFrame, orders: DataFrame,
+      replicate: Int = 500): DataFrame = {
+    val hk = li.agg(min(col("l_orderkey"))).first().getLong(0)
+    val hot = li.filter(col("l_orderkey") === hk)
+      .withColumn("rep", explode(sequence(lit(1), lit(replicate))))
+      .withColumn("l_extendedprice", col("l_extendedprice") + col("rep"))
+      .drop("rep")
+    li.unionAll(hot)
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  val q65Oracle: String =
+    """WITH hk AS (SELECT min(l_orderkey) AS k FROM lineitem),
+      |hot AS (SELECT l.l_orderkey, l.l_extendedprice + r.i AS l_extendedprice
+      |  FROM lineitem l, hk, range(1, 501) r(i) WHERE l.l_orderkey = hk.k),
+      |sk AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+      |  UNION ALL SELECT * FROM hot)
+      |SELECT o_orderpriority, count(*) AS n_lines,
+      | round(sum(l_extendedprice), 2) AS revenue
+      |FROM sk JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q63
   /** Exact percentiles (median / p90 of order value per priority) via the
     * `percentile` aggregate — the exact anchor for the approximate
@@ -791,6 +842,7 @@ object Relational {
     "q61_unpivot" -> q61Unpivot,
     "q62_bucketed_join" -> q62BucketedJoin,
     "q63_percentiles" -> q63Percentiles,
+    "q65_skew_join" -> q65SkewJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -822,5 +874,6 @@ object Relational {
     "q61_unpivot" -> q61Oracle,
     "q62_bucketed_join" -> q62Oracle,
     "q63_percentiles" -> q63Oracle,
+    "q65_skew_join" -> q65Oracle,
   )
 }

@@ -54,6 +54,41 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not be a candidate")
   }
 
+  test("AQE splits the manufactured hot key into a skew join " +
+      "(SortMergeJoin skew=true in the final adaptive plan)") {
+    // thresholds lowered so the tiny test data registers as skewed; the
+    // production defaults (256 MiB) fire on real hot keys at scale
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val li = graft.Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val joined = Relational.skewedJoin(li,
+        graft.Tables(spark, sf, "orders"), replicate = 5000)
+      // collect() drives THIS DataFrame's own queryExecution, so AQE
+      // finalizes the plan we assert on (count() would plan separately)
+      val n = joined.collect().length
+      assert(n > 5000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SortMergeJoin in the final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without any Exchange (broadcast disabled)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -95,6 +130,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 1L -> 1L, 9L -> 1L,
       40L -> 40L, 41L -> 40L, 42L -> 40L, 43L -> 40L, 44L -> 40L))
+  }
+
+  test("connectedComponents reliable-checkpoint mode: same labels, " +
+      "checkpoint files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val edges = Seq((5L, 3L), (3L, 8L), (9L, 1L), (40L, 41L), (41L, 42L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(edges, "doc_a", "doc_b",
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 8L -> 3L, 1L -> 1L, 9L -> 1L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L))
+    // the reliable dir was really used (rdd checkpoint files on disk)
+    def count(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(count).sum else 1
+    assert(count(new java.io.File(dir)) > 0, "no checkpoint files written")
   }
 
   test("SimHash: near-dups have small hamming distance, unrelated large") {

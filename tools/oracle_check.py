@@ -62,6 +62,7 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
 
 def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])  # optional: restrict to named queries
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -69,6 +70,8 @@ def main() -> None:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
             want = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
