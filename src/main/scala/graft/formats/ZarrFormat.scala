@@ -30,6 +30,24 @@ object ZarrFormat {
       throw new IllegalArgumentException(s"Unsupported zarr dtype '$dtype'"))
   }
 
+  /** Zarr v3 data_type name → v2-style dtype string (the internal decode
+    * currency), with endianness from the v3 `bytes` codec config. */
+  def dtypeOfV3(dataType: String, bigEndian: Boolean): String = {
+    val base = dataType match {
+      case "int8"    => "i1"
+      case "uint8"   => "u1"
+      case "int16"   => "i2"
+      case "uint16"  => "u2"
+      case "int32"   => "i4"
+      case "uint32"  => "u4"
+      case "float32" => "f4"
+      case "float64" => "f8"
+      case other => throw new IllegalArgumentException(
+        s"Unsupported zarr v3 data_type '$other'")
+    }
+    (if (base.endsWith("1")) "|" else if (bigEndian) ">" else "<") + base
+  }
+
   def bytesPer(dtype: String): Int = dtype.drop(2).toInt
 
   def byteOrder(dtype: String): ByteOrder =
@@ -212,14 +230,30 @@ object ZarrFormat {
     }
   }
 
+  /** RFC-1952 gzip (the zarr v3 `gzip` codec — distinct from v2's
+    * zlib-wrapped `zlib` codec). */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4 + 64)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
   /** Decode a chunk to doubles; `compressor` None = raw, Some("zlib") =
-    * zlib-deflated, Some("blosc") = c-blosc 1.x frame (lz4/zlib inner
-    * codecs — the NGFF-ecosystem default). */
+    * zlib-deflated (v2), Some("gzip") = gzip (v3), Some("blosc") =
+    * c-blosc 1.x frame (lz4/zlib/zstd inner codecs — the NGFF-ecosystem
+    * default), Some("zstd") = a bare zstd frame. */
   def decodeChunk(bytes: Array[Byte], dtype: String,
       compressor: Option[String] = None): Array[Double] = {
     val raw = compressor match {
       case None          => bytes
       case Some("zlib")  => TiffFormat.inflate(bytes)
+      case Some("gzip")  => gunzip(bytes)
       case Some("blosc") => bloscDecode(bytes)
       case Some("zstd") =>
         val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
@@ -229,7 +263,7 @@ object ZarrFormat {
       case Some(other) =>
         throw new IllegalArgumentException(
           s"unsupported zarr compressor '$other' " +
-            "(supported: null, zlib, blosc, zstd)")
+            "(supported: null, zlib, gzip, blosc, zstd)")
     }
     val order = byteOrder(dtype)
     val pt = pixelTypeOf(dtype)

@@ -30,10 +30,19 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
   /** `shape` is always the expanded 5D TCZYX shape; `axes` records the
     * STORED dim order (2–6 of "tczyxs", y/x last among spatial dims) for
     * chunk-key building; `sSize` > 1 = trailing sample dim (RGB), chunks
-    * hold the interleaved YXS block. */
+    * hold the interleaved YXS block.
+    *
+    * v3 additions: `keyPrefix` ("c" under the default chunk-key encoding,
+    * empty for v2 stores and the v3 "v2" encoding); `shardH`/`shardW` > 0
+    * mark a sharded array (codec `sharding_indexed`) — then chunkH/chunkW
+    * are the INNER chunk (the read/tile unit) and shardH/shardW the outer
+    * shard object, with the inner index at `shardIndexAtEnd` carrying 16
+    * bytes per inner chunk (+4 crc32c when `shardIndexCrc`). */
   private case class Level(shape: Seq[Long], axes: String, sSize: Int,
       chunkH: Int, chunkW: Int, dtype: String, compressor: Option[String],
-      separator: String, fillValue: Double) {
+      separator: String, fillValue: Double,
+      keyPrefix: String = "", shardH: Int = 0, shardW: Int = 0,
+      shardIndexCrc: Boolean = true, shardIndexAtEnd: Boolean = true) {
     def gridY: Int = ((shape(3) + chunkH - 1) / chunkH).toInt
     def gridX: Int = ((shape(4) + chunkW - 1) / chunkW).toInt
     def tiled: Boolean = gridY * gridX > 1
@@ -67,9 +76,18 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     // image groups: either the root itself is an image (has multiscales)
     // or numbered child groups are (bioformats2raw layout)
     def parseImage(group: String, idx: Int): Option[Scene] = {
-      val attrs = readDoc(sub(group, ".zattrs"))
-        .getOrElse(return None)
-      val j = JsonMethods.parse(attrs)
+      // v2: .zattrs; v3: zarr.json group node, NGFF 0.5 attrs namespaced
+      // under attributes.ome (plain attributes accepted as a fallback)
+      val v2attrs = readDoc(sub(group, ".zattrs"))
+      val v3doc = if (v2attrs.isDefined) None
+        else readDoc(sub(group, "zarr.json"))
+      val attrs = v2attrs.orElse(v3doc).getOrElse(return None)
+      val j = v2attrs match {
+        case Some(a) => JsonMethods.parse(a)
+        case None =>
+          val a = JsonMethods.parse(attrs) \ "attributes"
+          (a \ "ome") match { case JNothing => a; case ome => ome }
+      }
       val ms = (j \ "multiscales")(0)
       if (ms == JNothing) return None
       val name = ms \ "name" match {
