@@ -54,6 +54,169 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
   private def fs: FileSystem = FileSystem.get(new Path(path).toUri,
     spark.sparkContext.hadoopConfiguration)
 
+  private def jsonFill(v: JValue): Double = v match {
+    case JInt(x)     => x.toDouble
+    case JDouble(x)  => x
+    case JDecimal(x) => x.toDouble
+    case _           => 0.0
+  }
+
+  /** Shared level assembly: stored dim order from declared axes names
+    * (NGFF `axes` / v3 `dimension_names`) when consistent, else the
+    * trailing suffix of tczyx (the ArrayLike guessing rule); rank 6 means
+    * a trailing sample axis (RGB, a graft extension). `chunks` is always
+    * the READ unit (the inner chunk of a sharded array); `shardChunks`,
+    * when present, is the outer shard object shape. */
+  private def buildLevel(shapeRaw: Seq[Long], chunks: Seq[Long],
+      axesNames: Seq[String], dtype: String, compressor: Option[String],
+      separator: String, fillValue: Double, keyPrefix: String,
+      shardChunks: Option[Seq[Long]], shardIndexCrc: Boolean,
+      shardIndexAtEnd: Boolean): Level = {
+    val rank = shapeRaw.length
+    require(rank >= 2 && rank <= 6,
+      s"expected 2D-6D zarr array, got ${rank}D")
+    require(chunks.length == rank,
+      s"chunks rank ${chunks.length} != shape rank $rank")
+    val axes: String =
+      if (axesNames.length == rank &&
+        axesNames.forall(n => n.length == 1 && "tczyxs".contains(n)))
+        axesNames.mkString
+      else if (rank == 6) "tczyxs"
+      else "tczyx".takeRight(rank)
+    require(axes.endsWith("yx") || axes.endsWith("yxs"),
+      s"zarr axes '$axes' must end in y,x[,s] for the plane-chunk model")
+    def dimOf(d: Char): Long =
+      axes.indexOf(d) match { case -1 => 1L; case i => shapeRaw(i) }
+    val shape5 = Seq('t', 'c', 'z', 'y', 'x').map(dimOf)
+    val sSize = dimOf('s').toInt
+    def checkUnit(cs: Seq[Long], what: String): Unit = {
+      "tcz".foreach { d =>
+        val i = axes.indexOf(d)
+        require(i < 0 || cs(i) == 1,
+          s"expected $what $d extent of 1, got $cs")
+      }
+      val sIdx = axes.indexOf('s')
+      require(sIdx < 0 || cs(sIdx) == sSize,
+        s"expected full-sample $what (s extent $sSize), got $cs")
+    }
+    checkUnit(chunks, "chunk")
+    val (yIdx, xIdx) = (axes.indexOf('y'), axes.indexOf('x'))
+    val (ch, cw) = (chunks(yIdx).toInt, chunks(xIdx).toInt)
+    val (shH, shW) = shardChunks match {
+      case None => (0, 0)
+      case Some(sc) =>
+        require(sc.length == rank,
+          s"shard rank ${sc.length} != shape rank $rank")
+        checkUnit(sc, "shard")
+        val (h, w) = (sc(yIdx).toInt, sc(xIdx).toInt)
+        require(h % ch == 0 && w % cw == 0,
+          s"shard shape ${h}x$w not a multiple of inner chunk ${ch}x$cw")
+        (h, w)
+    }
+    // Y/X chunk grid may be ragged — edge chunks are stored padded to
+    // full chunk shape and cropped on read (v2 and v3 semantics)
+    Level(shape5, axes, sSize, ch, cw, dtype, compressor, separator,
+      fillValue, keyPrefix, shH, shW, shardIndexCrc, shardIndexAtEnd)
+  }
+
+  private def parseV2Level(zj: JValue, msAxes: Seq[String]): Level = {
+    val separator = zj \ "dimension_separator" match {
+      case JString(sep) => sep
+      case _            => "."
+    }
+    val compressor = zj \ "compressor" match {
+      case JNull => None
+      case c => (c \ "id") match {
+        case JString("zlib")  => Some("zlib")
+        case JString("blosc") => Some("blosc")
+        case JString("zstd")  => Some("zstd")
+        case other => throw new UnsupportedFileFormatError(
+          s"unsupported zarr compressor $other " +
+            "(supported: null, zlib, blosc, zstd)")
+      }
+    }
+    val shapeRaw = (zj \ "shape").children.map(_.values.toString.toLong)
+    val JString(dtype) = zj \ "dtype"
+    val chunks = (zj \ "chunks").children.map(_.values.toString.toLong)
+    buildLevel(shapeRaw, chunks, msAxes, dtype, compressor, separator,
+      jsonFill(zj \ "fill_value"), keyPrefix = "", shardChunks = None,
+      shardIndexCrc = true, shardIndexAtEnd = true)
+  }
+
+  /** Zarr v3 array node (`zarr.json`): `chunk_grid` declares the stored
+    * chunk objects; a leading `sharding_indexed` codec subdivides each
+    * into independently-readable inner chunks located by a binary index
+    * (16 bytes/chunk of little-endian offset+nbytes, `index_location`
+    * end by default, crc32c per `index_codecs`). The default chunk-key
+    * encoding prefixes keys with "c" and separates with "/". */
+  private def parseV3Level(zj: JValue, msAxes: Seq[String]): Level = {
+    zj \ "node_type" match {
+      case JString("array") => ()
+      case other => throw new UnsupportedFileFormatError(
+        s"zarr v3 dataset node_type $other is not 'array'")
+    }
+    val shapeRaw = (zj \ "shape").children.map(_.values.toString.toLong)
+    val JString(dataType) = zj \ "data_type"
+    val gridChunks = (zj \ "chunk_grid" \ "configuration" \ "chunk_shape")
+      .children.map(_.values.toString.toLong)
+    val ckeName = zj \ "chunk_key_encoding" \ "name" match {
+      case JString(n) => n
+      case _          => "default"
+    }
+    val separator = zj \ "chunk_key_encoding" \ "configuration" \
+      "separator" match {
+      case JString(s) => s
+      case _          => if (ckeName == "v2") "." else "/"
+    }
+    val keyPrefix = if (ckeName == "v2") "" else "c"
+    val dimNames = (zj \ "dimension_names").children.flatMap {
+      case JString(n) => Some(n)
+      case _          => None
+    }
+    val axesNames = if (dimNames.nonEmpty) dimNames else msAxes
+    val fill = jsonFill(zj \ "fill_value")
+    // codec chain → endianness + optional compressor id
+    def parseChain(codecs: Seq[JValue]): (Boolean, Option[String]) = {
+      var bigEndian = false
+      var comp: Option[String] = None
+      codecs.foreach { c =>
+        (c \ "name") match {
+          case JString("bytes") | JString("endian") =>
+            bigEndian = (c \ "configuration" \ "endian") == JString("big")
+          case JString("gzip")  => comp = Some("gzip")
+          case JString("zstd")  => comp = Some("zstd")
+          case JString("blosc") => comp = Some("blosc")
+          case other => throw new UnsupportedFileFormatError(
+            s"unsupported zarr v3 codec $other " +
+              "(supported: bytes, gzip, zstd, blosc, sharding_indexed)")
+        }
+      }
+      (bigEndian, comp)
+    }
+    val codecList = (zj \ "codecs").children
+    codecList.headOption match {
+      case Some(c) if (c \ "name") == JString("sharding_indexed") =>
+        val cfg = c \ "configuration"
+        val innerChunks = (cfg \ "chunk_shape").children
+          .map(_.values.toString.toLong)
+        val (bigE, comp) = parseChain((cfg \ "codecs").children)
+        val crc = (cfg \ "index_codecs").children
+          .exists(ic => (ic \ "name") == JString("crc32c"))
+        val atEnd = cfg \ "index_location" match {
+          case JString("start") => false
+          case _                => true
+        }
+        buildLevel(shapeRaw, innerChunks, axesNames,
+          ZarrFormat.dtypeOfV3(dataType, bigE), comp, separator, fill,
+          keyPrefix, Some(gridChunks), crc, atEnd)
+      case _ =>
+        val (bigE, comp) = parseChain(codecList)
+        buildLevel(shapeRaw, gridChunks, axesNames,
+          ZarrFormat.dtypeOfV3(dataType, bigE), comp, separator, fill,
+          keyPrefix, None, shardIndexCrc = true, shardIndexAtEnd = true)
+    }
+  }
+
   private def readDoc(p: String): Option[String] = {
     val f = fs
     val hp = new Path(p)
@@ -95,73 +258,20 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         case _                        => s"Image:$idx"
       }
       val datasets = (ms \ "datasets").children
+      val msAxes = (ms \ "axes").children.flatMap(a => a \ "name" match {
+        case JString(n) => Some(n)
+        case _          => None
+      })
       val levels = datasets.map { ds =>
         val JString(p) = ds \ "path"
-        val za = readDoc(sub(group, p, ".zarray"))
-          .getOrElse(throw new UnsupportedFileFormatError(
-            s"zarr dataset $group/$p has no .zarray"))
-        val zj = JsonMethods.parse(za)
-        val separator = zj \ "dimension_separator" match {
-          case JString(sep) => sep
-          case _            => "."
+        readDoc(sub(group, p, ".zarray")) match {
+          case Some(za) => parseV2Level(JsonMethods.parse(za), msAxes)
+          case None =>
+            val doc = readDoc(sub(group, p, "zarr.json"))
+              .getOrElse(throw new UnsupportedFileFormatError(
+                s"zarr dataset $group/$p has no .zarray or zarr.json"))
+            parseV3Level(JsonMethods.parse(doc), msAxes)
         }
-        val fillValue = zj \ "fill_value" match {
-          case JInt(v)     => v.toDouble
-          case JDouble(v)  => v
-          case JDecimal(v) => v.toDouble
-          case _           => 0.0
-        }
-        val compressor = zj \ "compressor" match {
-          case JNull => None
-          case c => (c \ "id") match {
-            case JString("zlib")  => Some("zlib")
-            case JString("blosc") => Some("blosc")
-            case JString("zstd")  => Some("zstd")
-            case other => throw new UnsupportedFileFormatError(
-              s"unsupported zarr compressor $other " +
-                "(supported: null, zlib, blosc, zstd)")
-          }
-        }
-        val shapeRaw = (zj \ "shape").children.map(_.values.toString.toLong)
-        val JString(dtype) = zj \ "dtype"
-        val chunks = (zj \ "chunks").children.map(_.values.toString.toLong)
-        val rank = shapeRaw.length
-        require(rank >= 2 && rank <= 6,
-          s"expected 2D-6D zarr array, got ${rank}D")
-        require(chunks.length == rank,
-          s"chunks rank ${chunks.length} != shape rank $rank")
-        // stored dim order: NGFF axes names when declared and consistent,
-        // else the trailing suffix of tczyx (the ArrayLike guessing rule);
-        // rank 6 means a trailing sample axis (RGB, a graft extension)
-        val axesNames = (ms \ "axes").children.flatMap(a => a \ "name" match {
-          case JString(n) => Some(n)
-          case _          => None
-        })
-        val axes: String =
-          if (axesNames.length == rank &&
-            axesNames.forall(n => n.length == 1 && "tczyxs".contains(n)))
-            axesNames.mkString
-          else if (rank == 6) "tczyxs"
-          else "tczyx".takeRight(rank)
-        require(axes.endsWith("yx") || axes.endsWith("yxs"),
-          s"zarr axes '$axes' must end in y,x[,s] for the plane-chunk model")
-        def dimOf(d: Char): Long =
-          axes.indexOf(d) match { case -1 => 1L; case i => shapeRaw(i) }
-        val shape5 = Seq('t', 'c', 'z', 'y', 'x').map(dimOf)
-        val sSize = dimOf('s').toInt
-        "tcz".foreach { d =>
-          val i = axes.indexOf(d)
-          require(i < 0 || chunks(i) == 1,
-            s"expected chunk $d extent of 1, got $chunks")
-        }
-        val sIdx = axes.indexOf('s')
-        require(sIdx < 0 || chunks(sIdx) == sSize,
-          s"expected full-sample chunks (s extent $sSize), got $chunks")
-        val (yIdx, xIdx) = (axes.indexOf('y'), axes.indexOf('x'))
-        // Y/X chunk grid may be ragged — edge chunks are stored padded to
-        // full chunk shape (zarr v2) and cropped on read
-        Level(shape5, axes, sSize, chunks(yIdx).toInt, chunks(xIdx).toInt,
-          dtype, compressor, separator, fillValue)
       }
       val channels = (j \ "omero" \ "channels").children.collect {
         case ch if (ch \ "label") != JNothing =>
@@ -210,7 +320,8 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     Try {
       val f = FileSystem.get(new Path(p).toUri,
         spark.sparkContext.hadoopConfiguration)
-      f.exists(new Path(s"$p/.zgroup")) || f.exists(new Path(s"$p/.zarray"))
+      f.exists(new Path(s"$p/.zgroup")) || f.exists(new Path(s"$p/.zarray")) ||
+        f.exists(new Path(s"$p/zarr.json"))
     }.getOrElse(false)
 
   override def scenes: Seq[String] = scenes_.map(_.id)
@@ -307,6 +418,9 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val compressor = lv.compressor
     val sep = lv.separator
     val fill = lv.fillValue
+    val pre = lv.keyPrefix
+    val (shH, shW) = (lv.shardH, lv.shardW)
+    val (idxCrc, idxAtEnd) = (lv.shardIndexCrc, lv.shardIndexAtEnd)
     val sid = s.id
     val base = sub(s.group, level.toString)
     val hconf = new SerializableConfiguration(
@@ -326,26 +440,57 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
         else {
           val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
           it.flatMap { case (ti, ci, zi, yi, xi) =>
-            // zarr v2 dimension_separator: "." (flat) or "/" (nested);
-            // the key has one component per STORED dim, in stored order
-            // (the sample dim is one full-extent chunk → index 0)
+            // chunk key: one component per STORED dim, in stored order
+            // (the sample dim is one full-extent chunk → index 0). v2
+            // separator "." (flat) or "/" (nested); v3 default encoding
+            // adds the "c" prefix. A sharded array stores SHARD objects —
+            // the key indexes the shard grid, the inner chunk is located
+            // via the shard's trailing (or leading) binary index.
+            val innerPerY = if (shH > 0) shH / ch else 1
+            val innerPerX = if (shW > 0) shW / cw else 1
             val idx = Map('t' -> ti, 'c' -> ci, 'z' -> zi,
-              'y' -> yi, 'x' -> xi, 's' -> 0)
-            val key = axes.map(idx).mkString(sep)
+              'y' -> yi / innerPerY, 'x' -> xi / innerPerX, 's' -> 0)
+            val key0 = axes.map(idx).mkString(sep)
+            val key = if (pre.isEmpty) key0 else pre + sep + key0
             // edge chunks are stored padded to full chunk shape; crop to
-            // the array bounds (ragged grids, zarr v2 semantics)
+            // the array bounds (ragged grids, v2 and v3 semantics)
             val cropH = math.min(ch, planeH - yi * ch)
             val cropW = math.min(cw, planeW - xi * cw)
             val p = new Path(s"$base/$key")
             val full: Option[Array[Double]] =
               if (!f.exists(p)) None // missing chunk → fill_value planes
-              else {
+              else if (shH == 0) {
                 val in = f.open(p)
                 try {
                   val n = f.getFileStatus(p).getLen.toInt
                   val bytes = new Array[Byte](n)
                   in.readFully(0, bytes)
                   Some(ZarrFormat.decodeChunk(bytes, dtype, compressor))
+                } finally in.close()
+              } else {
+                // sharding_indexed: 16 bytes per inner chunk (LE uint64
+                // offset + nbytes; all-1s = unwritten), crc32c appended
+                // to the index block when declared — two ranged reads,
+                // never the whole shard
+                val nEntries = innerPerY * innerPerX
+                val idxBytes = nEntries * 16L + (if (idxCrc) 4 else 0)
+                val in = f.open(p)
+                try {
+                  val ib = new Array[Byte](nEntries * 16)
+                  val at = if (idxAtEnd)
+                    f.getFileStatus(p).getLen - idxBytes else 0L
+                  in.readFully(at, ib, 0, ib.length)
+                  val ei = (yi % innerPerY) * innerPerX + (xi % innerPerX)
+                  val e = java.nio.ByteBuffer.wrap(ib, ei * 16, 16)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val off = e.getLong
+                  val nb = e.getLong
+                  if (off == -1L && nb == -1L) None
+                  else {
+                    val bytes = new Array[Byte](nb.toInt)
+                    in.readFully(off, bytes, 0, bytes.length)
+                    Some(ZarrFormat.decodeChunk(bytes, dtype, compressor))
+                  }
                 } finally in.close()
               }
             (0 until nS).map { si =>

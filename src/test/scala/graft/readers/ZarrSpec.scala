@@ -405,6 +405,148 @@ class ZarrSpec extends SparkSpec {
     assert(rt2.physicalPixelSizes.isEmpty)
   }
 
+  // ---- zarr v3 / NGFF 0.5 ------------------------------------------
+
+  private def ngff05Group(name: String): String =
+    s"""{"zarr_format":3,"node_type":"group","attributes":{"ome":{""" +
+      s""""version":"0.5","multiscales":[{"name":"$name","axes":[""" +
+      """{"name":"t","type":"time"},{"name":"c","type":"channel"},""" +
+      """{"name":"z","type":"space"},{"name":"y","type":"space"},""" +
+      """{"name":"x","type":"space"}],"datasets":[{"path":"0",""" +
+      """"coordinateTransformations":[{"type":"scale",""" +
+      """"scale":[1,1,1,1,1]}]}]}],""" +
+      """"omero":{"channels":[{"label":"C0"}]}}}}"""
+
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  test("zarr v3 / NGFF 0.5: default chunk-key encoding ('c' prefix, '/' " +
+      "separator), gzip codec, ragged grid") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    val root = tmp("v3.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("zarr.json", ngff05Group("Image:0").getBytes)
+    // 3x5 plane over 2x3 chunks → ragged 2x2 grid, padded edge chunks
+    put("0/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[1,1,1,3,5],""" +
+        """"data_type":"float64","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[1,1,1,2,3]}},""" +
+        """"chunk_key_encoding":{"name":"default",""" +
+        """"configuration":{"separator":"/"}},"fill_value":0,""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+        """{"name":"gzip","configuration":{"level":5}}],""" +
+        """"dimension_names":["t","c","z","y","x"]}""").getBytes)
+    for (yi <- 0 until 2; xi <- 0 until 2) {
+      val px = Array.tabulate(6) { k =>
+        val (y, x) = (yi * 2 + k / 3, xi * 3 + k % 3)
+        if (y < 3 && x < 5) y * 10.0 + x else 0.0
+      }
+      put(s"0/c/0/0/0/$yi/$xi",
+        gzipBytes(ZarrFormat.encodeChunk(px, PixelType.Float64)))
+    }
+    val back = BioSpark.open(spark, root)
+    assert(back.reader.name == "ZarrReader")
+    assert(back.scenes == Seq("Image:0"))
+    assert(back.channelNames == Seq("C0"))
+    assert(back.dims('Y') == 3 && back.dims('X') == 5)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until 3; x <- 0 until 5)
+      assert(nd.array(y, x) == y * 10.0 + x, s"($y,$x)")
+  }
+
+  test("zarr v3 sharding_indexed: inner chunks via the end-of-shard " +
+      "index (crc32c), unwritten chunk reads as fill_value") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    val root = tmp("v3shard.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("zarr.json", ngff05Group("Image:0").getBytes)
+    put("0/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[1,1,1,4,4],""" +
+        """"data_type":"float64","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[1,1,1,4,4]}},""" +
+        """"chunk_key_encoding":{"name":"default"},"fill_value":9,""" +
+        """"codecs":[{"name":"sharding_indexed","configuration":{""" +
+        """"chunk_shape":[1,1,1,2,2],""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""" +
+        """"index_codecs":[{"name":"bytes",""" +
+        """"configuration":{"endian":"little"}},{"name":"crc32c"}],""" +
+        """"index_location":"end"}}],""" +
+        """"dimension_names":["t","c","z","y","x"]}""").getBytes)
+    // one 4x4 shard = 2x2 grid of 2x2 inner chunks; (1,1) left unwritten
+    def innerChunk(yi: Int, xi: Int): Array[Byte] =
+      ZarrFormat.encodeChunk(Array.tabulate(4) { k =>
+        (yi * 2 + k / 2) * 10.0 + (xi * 2 + k % 2)
+      }, PixelType.Float64)
+    val chunks = Seq((0, 0), (0, 1), (1, 0)).map { case (y, x) =>
+      innerChunk(y, x)
+    }
+    val payload = chunks.flatten.toArray
+    val index = ByteBuffer.allocate(4 * 16).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 0L
+    chunks.foreach { c =>
+      index.putLong(off).putLong(c.length.toLong); off += c.length
+    }
+    index.putLong(-1L).putLong(-1L) // inner chunk (1,1): unwritten
+    val crc = new java.util.zip.CRC32C
+    crc.update(index.array())
+    val tail = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt)
+    put("0/c/0/0/0/0/0", payload ++ index.array() ++ tail.array())
+    val back = BioSpark.open(spark, root)
+    assert(back.dims('Y') == 4 && back.dims('X') == 4)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val expect = if (y >= 2 && x >= 2) 9.0 else y * 10.0 + x
+      assert(nd.array(y, x) == expect, s"($y,$x)")
+    }
+  }
+
+  test("zarr v3 v2-style chunk-key encoding with big-endian uint16") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.Paths
+    val root = tmp("v3be.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("zarr.json", ngff05Group("Image:0").getBytes)
+    put("0/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[1,1,1,2,3],""" +
+        """"data_type":"uint16","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[1,1,1,2,3]}},""" +
+        """"chunk_key_encoding":{"name":"v2",""" +
+        """"configuration":{"separator":"."}},"fill_value":0,""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"big"}}],""" +
+        """"dimension_names":["t","c","z","y","x"]}""").getBytes)
+    val bb = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+    Seq(0, 1, 2, 1000, 1001, 40002).foreach(v => bb.putShort(v.toShort))
+    put("0/0.0.0.0.0", bb.array())
+    val back = BioSpark.open(spark, root)
+    assert(back.meta.pixelType == graft.core.PixelType.UInt16)
+    val nd = back.getImageData("YX")
+    assert(nd.array(1, 2) == 40002.0) // unsigned past Short.MaxValue
+    assert(nd.array(1, 0) == 1000.0)
+    assert(nd.array(0, 1) == 1.0)
+  }
+
   test("writer raises on unknown selections; mosaic scenes stitch on save") {
     val img = BioSpark.fromArray(spark, NDArray.zeros(Seq(2, 2)))
     intercept[IllegalArgumentException](
