@@ -48,6 +48,14 @@ object ZarrFormat {
     (if (base.endsWith("1")) "|" else if (bigEndian) ">" else "<") + base
   }
 
+  /** PixelType → zarr v3 data_type name (the inverse of [[dtypeOfV3]]'s
+    * base mapping; endianness lives in the v3 `bytes` codec, not here). */
+  val dataTypeV3Of: Map[PixelType.Value, String] = Map(
+    PixelType.Int8 -> "int8", PixelType.UInt8 -> "uint8",
+    PixelType.Int16 -> "int16", PixelType.UInt16 -> "uint16",
+    PixelType.Int32 -> "int32", PixelType.UInt32 -> "uint32",
+    PixelType.Float32 -> "float32", PixelType.Float64 -> "float64")
+
   def bytesPer(dtype: String): Int = dtype.drop(2).toInt
 
   def byteOrder(dtype: String): ByteOrder =
@@ -276,12 +284,21 @@ object ZarrFormat {
       typesize: Int): Array[Byte] = compressor match {
     case None          => raw
     case Some("zlib")  => zlibDeflate(raw)
+    case Some("gzip")  => gzipDeflate(raw)
     case Some("blosc") => bloscEncode(raw, typesize)
     case Some("zstd")  => com.github.luben.zstd.Zstd.compress(raw, 3)
     case Some(other) =>
       throw new IllegalArgumentException(
         s"unsupported zarr compressor '$other' " +
-          "(supported: null, zlib, blosc, zstd)")
+          "(supported: null, zlib, gzip, blosc, zstd)")
+  }
+
+  /** RFC-1952 gzip encode (the zarr v3 `gzip` codec's wire format). */
+  def gzipDeflate(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    try gz.write(raw) finally gz.close()
+    bos.toByteArray
   }
 
   /** zlib-wrapped deflate (the numcodecs "zlib" codec). */
@@ -310,6 +327,62 @@ object ZarrFormat {
       """"fill_value":0,"order":"C","filters":null}"""
   }
 
+  // ------------------------------------------------------ v3 JSON emit
+
+  /** v3 codec config for the array node's `codecs` chain (distinct ids
+    * from v2's numcodecs configs: `gzip` not `zlib`, typed blosc
+    * shuffle). `typesize` feeds blosc's shuffle declaration. */
+  def codecJsonV3(compressor: Option[String], typesize: Int): String = {
+    val bytes = """{"name":"bytes","configuration":{"endian":"little"}}"""
+    compressor match {
+      case None         => s"[$bytes]"
+      case Some("gzip") => s"""[$bytes,{"name":"gzip","configuration":{"level":6}}]"""
+      case Some("zstd") =>
+        s"""[$bytes,{"name":"zstd","configuration":{"level":3,"checksum":false}}]"""
+      case Some("blosc") =>
+        s"""[$bytes,{"name":"blosc","configuration":{"cname":"lz4",""" +
+          s""""clevel":5,"shuffle":"shuffle","typesize":$typesize,""" +
+          """"blocksize":0}}]"""
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"unsupported zarr v3 compressor '$other' " +
+            "(supported: null, gzip, zstd, blosc)")
+    }
+  }
+
+  /** Zarr v3 group node carrying the given attributes JSON object. */
+  def zarrJsonGroup(attrs: String): String =
+    s"""{"zarr_format":3,"node_type":"group","attributes":$attrs}"""
+
+  /** Zarr v3 array node. `chunks` is the stored-object (chunk-grid)
+    * shape; `shardInner`, when present, declares a `sharding_indexed`
+    * leading codec whose inner chunks are the read unit (little-endian
+    * offset+nbytes index at the shard END, crc32c-checksummed — the
+    * layout the reader's ranged-read path expects). Default chunk-key
+    * encoding: "c" prefix, "/" separator. */
+  def zarrJsonArray(shape: Seq[Long], chunks: Seq[Long], dataType: String,
+      compressor: Option[String], typesize: Int, dimNames: Seq[String],
+      shardInner: Option[Seq[Long]] = None): String = {
+    val inner = codecJsonV3(compressor, typesize)
+    val codecs = shardInner match {
+      case None => inner
+      case Some(ic) =>
+        s"""[{"name":"sharding_indexed","configuration":{""" +
+          s""""chunk_shape":[${ic.mkString(",")}],"codecs":$inner,""" +
+          """"index_codecs":[{"name":"bytes","configuration":""" +
+          """{"endian":"little"}},{"name":"crc32c"}],""" +
+          """"index_location":"end"}}]"""
+    }
+    val names = dimNames.map(n => s""""${esc(n)}"""").mkString(",")
+    s"""{"zarr_format":3,"node_type":"array",""" +
+      s""""shape":[${shape.mkString(",")}],"data_type":"$dataType",""" +
+      s""""chunk_grid":{"name":"regular","configuration":""" +
+      s"""{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+      """"chunk_key_encoding":{"name":"default",""" +
+      """"configuration":{"separator":"/"}},"fill_value":0,""" +
+      s""""codecs":$codecs,"dimension_names":[$names]}"""
+  }
+
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
@@ -324,7 +397,8 @@ object ZarrFormat {
   def imageAttrs(name: String, nLevels: Int,
       scale0: Seq[Double], channelNames: Seq[String],
       sSamples: Int = 1, timeUnit: Option[String] = None,
-      spaceUnit: Option[String] = None): String = {
+      spaceUnit: Option[String] = None,
+      ngffVersion: String = "0.4"): String = {
     def u(unit: Option[String]): String =
       unit.fold("")(v => s""","unit":"${esc(v)}"""")
     val axes =
@@ -344,7 +418,7 @@ object ZarrFormat {
     }.mkString(",")
     val channels = channelNames.map(c =>
       s"""{"label":"${esc(c)}"}""").mkString(",")
-    s"""{"multiscales":[{"version":"0.4","name":"${esc(name)}",""" +
+    s"""{"multiscales":[{"version":"$ngffVersion","name":"${esc(name)}",""" +
       s""""axes":$axes,"datasets":[$datasets]}],""" +
       s""""omero":{"channels":[$channels]}}"""
   }

@@ -11,8 +11,10 @@ import graft.core.Plane
 import graft.formats.ZarrFormat
 import graft.image.BioImage
 
-/** OME-ZARR (NGFF 0.4) sink. Unlike the single-file OME-TIFF, zarr chunks
-  * are independent objects — so the pixel write is FULLY DISTRIBUTED:
+/** OME-ZARR sink — zarr v3 / NGFF 0.5 by default (`zarr.json` nodes,
+  * default "c"-prefix chunk-key encoding), zarr v2 / NGFF 0.4 behind
+  * `format = 2`. Unlike the single-file OME-TIFF, zarr chunks are
+  * independent objects — so the pixel write is FULLY DISTRIBUTED:
   * executors write their chunk files straight to the target FileSystem
   * via foreachPartition (no driver funnel, no collect), and only the
   * small JSON metadata documents are written driver-side. This is the
@@ -30,6 +32,10 @@ object ZarrWriter extends BioWriter {
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
       levels: Int): Unit =
     save(img, uri, selectScenes, levels, compressor = None)
+
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
+      levels: Int, compressor: Option[String]): Unit =
+    save(img, uri, selectScenes, levels, compressor, format = 3)
 
   /** Mosaic scenes whose tile catalog IS an exact chunk grid (positions =
     * (yi·th, xi·tw), full coverage, tile dims dividing the stitched
@@ -92,13 +98,17 @@ object ZarrWriter extends BioWriter {
     }
   }
 
-  /** `compressor`: None (raw chunks), "zlib", or "blosc" (lz4 +
-    * byte-shuffle — the bioformats2raw-default chunk wrapping). */
+  /** `compressor`: None (raw chunks), or a codec id — v2 accepts
+    * "zlib"/"zstd"/"blosc" (numcodecs configs), v3 accepts
+    * "gzip"/"zstd"/"blosc" (v3 codec chain). `format`: 3 (default,
+    * zarr v3 + NGFF 0.5) or 2 (zarr v2 + NGFF 0.4). */
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
-      levels: Int, compressor: Option[String]): Unit = {
+      levels: Int, compressor: Option[String], format: Int): Unit = {
     val spark = img.spark
     val sel = Writers.validateSelection(img, selectScenes)
     require(levels >= 1, s"levels must be >= 1, got $levels")
+    require(format == 2 || format == 3, s"zarr format must be 2 or 3, got $format")
+    val v3 = format == 3
 
     val saved = img.currentSceneIndex
     val hconf = new SerializableConfiguration(
@@ -111,8 +121,13 @@ object ZarrWriter extends BioWriter {
       finally out.close()
     }
 
-    writeDoc(s"$uri/.zgroup", ZarrFormat.zgroup)
-    writeDoc(s"$uri/.zattrs", ZarrFormat.rootAttrs(sel.length))
+    if (v3)
+      writeDoc(s"$uri/zarr.json",
+        ZarrFormat.zarrJsonGroup(ZarrFormat.rootAttrs(sel.length)))
+    else {
+      writeDoc(s"$uri/.zgroup", ZarrFormat.zgroup)
+      writeDoc(s"$uri/.zattrs", ZarrFormat.rootAttrs(sel.length))
+    }
 
     sel.zipWithIndex.foreach { case (sid, g) =>
       img.setScene(sid)
@@ -129,27 +144,41 @@ object ZarrWriter extends BioWriter {
         m.physicalPixelSizes.map(_._1).getOrElse(1.0),
         m.physicalPixelSizes.map(_._2).getOrElse(1.0),
         m.physicalPixelSizes.map(_._3).getOrElse(1.0))
-      writeDoc(s"$uri/$g/.zgroup", ZarrFormat.zgroup)
       // scene ids are REGENERATED with order preserved, the shared writer
       // contract (bio_image.py:1252-1257) — same as OME-TIFF / .graft
-      writeDoc(s"$uri/$g/.zattrs",
-        ZarrFormat.imageAttrs(s"Image:$g", levels, scale0, img.channelNames,
-          sSamples = nS,
-          timeUnit = m.timeInterval.map(_ => "second"),
-          spaceUnit = m.physicalPixelSizes.map(_ => "micrometer")))
+      val attrs = ZarrFormat.imageAttrs(s"Image:$g", levels, scale0,
+        img.channelNames, sSamples = nS,
+        timeUnit = m.timeInterval.map(_ => "second"),
+        spaceUnit = m.physicalPixelSizes.map(_ => "micrometer"),
+        ngffVersion = if (v3) "0.5" else "0.4")
+      if (v3)
+        // NGFF 0.5 namespaces the OME attrs under attributes.ome
+        writeDoc(s"$uri/$g/zarr.json",
+          ZarrFormat.zarrJsonGroup(s"""{"ome":$attrs}"""))
+      else {
+        writeDoc(s"$uri/$g/.zgroup", ZarrFormat.zgroup)
+        writeDoc(s"$uri/$g/.zattrs", attrs)
+      }
       val (chunkRows, tileGrid) = sceneChunkRows(img, levels, nS)
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
       val sTail = if (nS > 1) Seq(nS.toLong) else Seq.empty
+      val dimNames = Seq("t", "c", "z", "y", "x") ++
+        (if (nS > 1) Seq("s") else Seq.empty)
       (0 until levels).foreach { l =>
         val (chl, cwl) = tileGrid match {
           case Some((th, tw)) => (th.toLong, tw.toLong)
           case None           => (hs(l), ws(l))
         }
-        writeDoc(s"$uri/$g/$l/.zarray", ZarrFormat.zarray(
-          Seq(t, c, z, hs(l), ws(l)) ++ sTail,
-          Seq(1L, 1L, 1L, chl, cwl) ++ sTail, dtype,
-          compressor))
+        val shape = Seq(t, c, z, hs(l), ws(l)) ++ sTail
+        val chunks = Seq(1L, 1L, 1L, chl, cwl) ++ sTail
+        if (v3)
+          writeDoc(s"$uri/$g/$l/zarr.json", ZarrFormat.zarrJsonArray(
+            shape, chunks, ZarrFormat.dataTypeV3Of(pt), compressor,
+            ZarrFormat.bytesPer(dtype), dimNames))
+        else
+          writeDoc(s"$uri/$g/$l/.zarray",
+            ZarrFormat.zarray(shape, chunks, dtype, compressor))
       }
 
       // chunk files: distributed — each task writes its chunks directly.
@@ -165,7 +194,13 @@ object ZarrWriter extends BioWriter {
               new java.net.URI(target + "/"), hconf.value)
             val typesize = ZarrFormat.bytesPer(ZarrFormat.dtypeOf(pt))
             rows.foreach { r =>
-              val key = s"$target/${r.getInt(0)}/${r.getInt(1)}." +
+              // v3 default chunk-key encoding: "c" prefix, "/" separator;
+              // v2: flat "." keys (the writer's historical layout)
+              val key = if (v3)
+                s"$target/${r.getInt(0)}/c/${r.getInt(1)}/" +
+                  s"${r.getInt(2)}/${r.getInt(3)}/${r.getInt(4)}/${r.getInt(5)}" +
+                  (if (sSuffix.isEmpty) "" else "/0")
+              else s"$target/${r.getInt(0)}/${r.getInt(1)}." +
                 s"${r.getInt(2)}.${r.getInt(3)}.${r.getInt(4)}.${r.getInt(5)}$sSuffix"
               val bands = r.getSeq[scala.collection.Seq[Double]](6)
               val px =

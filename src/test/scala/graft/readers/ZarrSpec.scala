@@ -184,18 +184,27 @@ class ZarrSpec extends SparkSpec {
       == noise.toSeq)
   }
 
-  test("blosc- and zlib- and zstd-compressed writer roundtrips through " +
-      "the registry") {
-    for (comp <- Seq("blosc", "zlib", "zstd")) {
+  test("compressed writer roundtrips through the registry: v3 " +
+      "gzip/zstd/blosc, v2 zlib/zstd/blosc") {
+    val variants = Seq((3, "gzip"), (3, "zstd"), (3, "blosc"),
+      (2, "zlib"), (2, "zstd"), (2, "blosc"))
+    for ((fmt, comp) <- variants) {
       val img = BioSpark.fromArray(spark, formulaic(Seq(2, 6, 9)), Some("CYX"))
-      val uri = tmp(s"$comp.ome.zarr")
-      ZarrWriter.save(img, uri, None, levels = 1, compressor = Some(comp))
+      val uri = tmp(s"v$fmt$comp.ome.zarr")
+      ZarrWriter.save(img, uri, None, levels = 1, compressor = Some(comp),
+        format = fmt)
       val back = BioSpark.open(spark, uri)
       assert(back.rawMetadata.exists(_.contains("multiscales")))
       val nd = back.getImageData("CYX")
-      assert(nd.array(1, 5, 8) == 158.0, comp)
-      assert(nd.array(0, 2, 3) == 23.0, comp)
+      assert(nd.array(1, 5, 8) == 158.0, s"v$fmt $comp")
+      assert(nd.array(0, 2, 3) == 23.0, s"v$fmt $comp")
     }
+    // format/codec mismatches fail loudly, not silently
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 2)))
+    intercept[IllegalArgumentException](ZarrWriter.save(img,
+      tmp("bad1.zarr"), None, 1, Some("zlib"), format = 3))
+    intercept[IllegalArgumentException](ZarrWriter.save(img,
+      tmp("bad2.zarr"), None, 1, Some("gzip"), format = 2))
   }
 
   test("ragged chunk grid: 5x7 plane over 4x4 chunks (padded edge chunks " +
@@ -337,15 +346,15 @@ class ZarrSpec extends SparkSpec {
     assert(!plan.contains("Aggregate") && !plan.contains("collect_list"),
       plan)
     val uri = tmp("aligned.ome.zarr")
-    img.save(uri)
-    // .zarray declares the TILE grid as the chunk grid
+    img.save(uri) // v3 default
+    // the array node declares the TILE grid as the chunk grid
     val za = new String(Files.readAllBytes(
-      java.nio.file.Paths.get(uri, "0", "0", ".zarray")))
+      java.nio.file.Paths.get(uri, "0", "0", "zarr.json")))
     assert(za.contains(""""shape":[1,1,1,6,8]"""), za)
-    assert(za.contains(""""chunks":[1,1,1,3,4]"""), za)
+    assert(za.contains(""""chunk_shape":[1,1,1,3,4]"""), za)
     // chunk (1,0) bytes are exactly the encoded tile-2 payload
     val chunk = Files.readAllBytes(
-      java.nio.file.Paths.get(uri, "0", "0", "0.0.0.1.0"))
+      java.nio.file.Paths.get(uri, "0", "0", "c", "0", "0", "0", "1", "0"))
     val tile2 = Array.tabulate(12)(k => 200.0 + (k / 4) * 10.0 + k % 4)
     assert(chunk.toSeq ==
       ZarrFormat.encodeChunk(tile2, PixelType.Float64).toSeq)
@@ -516,6 +525,56 @@ class ZarrSpec extends SparkSpec {
       val expect = if (y >= 2 && x >= 2) 9.0 else y * 10.0 + x
       assert(nd.array(y, x) == expect, s"($y,$x)")
     }
+  }
+
+  test("v3 WRITE: ragged grid + multiscale roundtrip through the v3 " +
+      "reader; NGFF 0.5 attrs under attributes.ome; v2 behind format=2") {
+    import java.nio.file.Paths
+    // ragged: 2x5x7 CYX — aligned-grid fast path can't engage (no mosaic),
+    // whole-plane chunks; multiscale levels=2 over an 8x8 plane
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 5, 7)), Some("CYX"))
+    val uri = tmp("v3write.ome.zarr")
+    img.save(uri) // v3 is the default
+    // on-disk layout: zarr.json nodes, no v2 documents
+    assert(Files.exists(Paths.get(uri, "zarr.json")))
+    assert(Files.exists(Paths.get(uri, "0", "zarr.json")))
+    assert(Files.exists(Paths.get(uri, "0", "0", "zarr.json")))
+    assert(!Files.exists(Paths.get(uri, ".zgroup")))
+    assert(!Files.exists(Paths.get(uri, "0", "0", ".zarray")))
+    // group node: NGFF 0.5, namespaced under attributes.ome
+    val grp = new String(Files.readAllBytes(Paths.get(uri, "0", "zarr.json")))
+    assert(grp.contains(""""node_type":"group""""), grp)
+    assert(grp.contains(""""ome":{"""), grp)
+    assert(grp.contains(""""version":"0.5""""), grp)
+    // chunk objects under the default "c"-prefix encoding
+    assert(Files.exists(Paths.get(uri, "0", "0", "c", "0", "0", "0", "0", "0")))
+    val back = BioSpark.open(spark, uri)
+    assert(back.reader.name == "ZarrReader")
+    assert(back.dims.shape == Seq(1, 2, 1, 5, 7))
+    val nd = back.getImageData("CYX")
+    for (c <- 0 until 2; y <- 0 until 5; x <- 0 until 7)
+      assert(nd.array(c, y, x) == c * 100.0 + y * 10.0 + x, s"($c,$y,$x)")
+
+    // multiscale v3 write: level 1 readable with its own dims
+    val pimg = BioSpark.fromArray(spark,
+      NDArray.tabulate(Seq(8, 8))(idx => idx(0) * 10.0 + idx(1)))
+    val puri = tmp("v3pyr.ome.zarr")
+    ZarrWriter.save(pimg, puri, None, levels = 2)
+    val pback = BioSpark.open(spark, puri)
+    assert(pback.resolutionLevels == Seq(0, 1))
+    pback.setResolutionLevel(1)
+    assert(pback.dims.shape == Seq(1, 1, 1, 4, 4))
+    assert(pback.getImageData("YX").array(0, 0) == 5.5)
+
+    // v2 behind the option: historical layout intact
+    val uri2 = tmp("v2write.ome.zarr")
+    ZarrWriter.save(img, uri2, None, levels = 1, compressor = None,
+      format = 2)
+    assert(Files.exists(Paths.get(uri2, ".zgroup")))
+    assert(Files.exists(Paths.get(uri2, "0", "0", ".zarray")))
+    assert(Files.exists(Paths.get(uri2, "0", "0", "0.0.0.0.0")))
+    val back2 = BioSpark.open(spark, uri2)
+    assert(back2.getImageData("CYX").array(1, 4, 6) == 146.0)
   }
 
   test("zarr v3 v2-style chunk-key encoding with big-endian uint16") {
