@@ -679,6 +679,41 @@ object BioQueries {
       |FROM range(4) a(t), range(5) b(y), range(6) c(x)
       |ORDER BY t, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b26
+  /** S12/S15 zarr v3 WRITE end-to-end: the same formulaic CYX image saved
+    * (a) as a plain v3 store (zarr.json nodes, NGFF 0.5, gzip codec,
+    * default "c"-prefix chunk keys) and (b) as a v3 `sharding_indexed`
+    * store (whole-plane shards of 4x4 inner chunks, crc32c end index,
+    * ragged 5x7 plane → padded 8x8 shard) — both re-opened through plugin
+    * resolution and checked against the regenerating oracle. The writer
+    * analog of the hand-built v3 read fixtures behind the b19 family. */
+  val b26ZarrV3Write: Q = (spark, _) => {
+    import graft.writers.ZarrWriter
+    val run = java.util.UUID.randomUUID()
+    val arr = NDArray.tabulate(Seq(2, 5, 7))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    val uriP = s"/tmp/graft_b26_${run}_v3.ome.zarr"
+    ZarrWriter.save(img, uriP, None, levels = 1,
+      compressor = Some("gzip"), format = 3)
+    val uriS = s"/tmp/graft_b26_${run}_v3shard.ome.zarr"
+    ZarrWriter.save(img, uriS, None, levels = 1, compressor = None,
+      format = 3, shardInner = Some((4, 4)))
+    Seq(("v3", uriP), ("v3_sharded", uriS)).map { case (variant, uri) =>
+      BioSpark.open(spark, uri).getImagePixels()
+        .select(lit(variant).as("variant"),
+          col("c").cast("long").as("c"), col("y").cast("long").as("y"),
+          col("x").cast("long").as("x"), col("v"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("variant"), col("c"), col("y"), col("x"))
+  }
+
+  val b26Oracle: String =
+    """SELECT variant, c, y, x, CAST(c*100 + y*10 + x AS DOUBLE) AS v
+      |FROM (VALUES ('v3'), ('v3_sharded')) t(variant),
+      |     range(2) a(c), range(5) b(y), range(7) d(x)
+      |ORDER BY variant, c, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -705,6 +740,7 @@ object BioQueries {
     "b23_audio_frames" -> b23AudioFrames,
     "b24_tiff_pyramid" -> b24TiffPyramid,
     "b25_gif_timeseries" -> b25GifTimeseries,
+    "b26_zarr_v3_write" -> b26ZarrV3Write,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -733,5 +769,6 @@ object BioQueries {
     "b23_audio_frames" -> b23Oracle,
     "b24_tiff_pyramid" -> b24Oracle,
     "b25_gif_timeseries" -> b25Oracle,
+    "b26_zarr_v3_write" -> b26Oracle,
   )
 }

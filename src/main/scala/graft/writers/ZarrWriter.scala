@@ -67,9 +67,10 @@ object ZarrWriter extends BioWriter {
     * bands). Returns the tile grid when chunks come straight from mosaic
     * tile rows (aligned grid, single level, no samples). */
   private[graft] def sceneChunkRows(img: BioImage, levels: Int,
-      nS: Int): (DataFrame, Option[(Int, Int)]) = {
+      nS: Int, allowTileGrid: Boolean = true): (DataFrame, Option[(Int, Int)]) = {
     val grid =
-      if (levels == 1 && nS == 1) alignedTileGrid(img) else None
+      if (allowTileGrid && levels == 1 && nS == 1) alignedTileGrid(img)
+      else None
     if (grid.isDefined) {
       val (th, tw) = grid.get
       (img.planes.select(col("level"), col("t"), col("c"), col("z"),
@@ -98,16 +99,35 @@ object ZarrWriter extends BioWriter {
     }
   }
 
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
+      levels: Int, compressor: Option[String], format: Int): Unit =
+    save(img, uri, selectScenes, levels, compressor, format,
+      shardInner = None)
+
   /** `compressor`: None (raw chunks), or a codec id — v2 accepts
     * "zlib"/"zstd"/"blosc" (numcodecs configs), v3 accepts
     * "gzip"/"zstd"/"blosc" (v3 codec chain). `format`: 3 (default,
-    * zarr v3 + NGFF 0.5) or 2 (zarr v2 + NGFF 0.4). */
+    * zarr v3 + NGFF 0.5) or 2 (zarr v2 + NGFF 0.4).
+    *
+    * `shardInner` = Some((ih, iw)) writes v3 `sharding_indexed` arrays:
+    * each stored object is one whole-plane SHARD of independently-
+    * readable ih×iw inner chunks located by the end-of-shard crc32c
+    * index. This is the 100 TB object-store layout — tile-granular reads
+    * without tile-granular object counts. Inner chunks that are entirely
+    * fill_value (0) are left unwritten (index entry -1/-1) and read back
+    * as fill planes, so sparse images store sparsely. */
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
-      levels: Int, compressor: Option[String], format: Int): Unit = {
+      levels: Int, compressor: Option[String], format: Int,
+      shardInner: Option[(Int, Int)]): Unit = {
     val spark = img.spark
     val sel = Writers.validateSelection(img, selectScenes)
     require(levels >= 1, s"levels must be >= 1, got $levels")
     require(format == 2 || format == 3, s"zarr format must be 2 or 3, got $format")
+    require(shardInner.isEmpty || format == 3,
+      "sharding_indexed requires zarr format 3")
+    shardInner.foreach { case (ih, iw) =>
+      require(ih > 0 && iw > 0, s"shard inner chunk must be positive, got ${ih}x$iw")
+    }
     val v3 = format == 3
 
     val saved = img.currentSceneIndex
@@ -159,26 +179,41 @@ object ZarrWriter extends BioWriter {
         writeDoc(s"$uri/$g/.zgroup", ZarrFormat.zgroup)
         writeDoc(s"$uri/$g/.zattrs", attrs)
       }
-      val (chunkRows, tileGrid) = sceneChunkRows(img, levels, nS)
+      val (chunkRows, tileGrid) =
+        sceneChunkRows(img, levels, nS, allowTileGrid = shardInner.isEmpty)
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
       val sTail = if (nS > 1) Seq(nS.toLong) else Seq.empty
       val dimNames = Seq("t", "c", "z", "y", "x") ++
         (if (nS > 1) Seq("s") else Seq.empty)
       (0 until levels).foreach { l =>
-        val (chl, cwl) = tileGrid match {
-          case Some((th, tw)) => (th.toLong, tw.toLong)
-          case None           => (hs(l), ws(l))
-        }
         val shape = Seq(t, c, z, hs(l), ws(l)) ++ sTail
-        val chunks = Seq(1L, 1L, 1L, chl, cwl) ++ sTail
-        if (v3)
-          writeDoc(s"$uri/$g/$l/zarr.json", ZarrFormat.zarrJsonArray(
-            shape, chunks, ZarrFormat.dataTypeV3Of(pt), compressor,
-            ZarrFormat.bytesPer(dtype), dimNames))
-        else
-          writeDoc(s"$uri/$g/$l/.zarray",
-            ZarrFormat.zarray(shape, chunks, dtype, compressor))
+        shardInner match {
+          case Some((ih, iw)) =>
+            // shard = whole plane, padded up to a multiple of the inner
+            // chunk (zarr v3 requires shard % inner == 0); the grid stays
+            // 1 shard object per plane
+            val shH = ((hs(l) + ih - 1) / ih) * ih
+            val shW = ((ws(l) + iw - 1) / iw) * iw
+            writeDoc(s"$uri/$g/$l/zarr.json", ZarrFormat.zarrJsonArray(
+              shape, Seq(1L, 1L, 1L, shH, shW) ++ sTail,
+              ZarrFormat.dataTypeV3Of(pt), compressor,
+              ZarrFormat.bytesPer(dtype), dimNames,
+              shardInner = Some(Seq(1L, 1L, 1L, ih.toLong, iw.toLong) ++ sTail)))
+          case None =>
+            val (chl, cwl) = tileGrid match {
+              case Some((th, tw)) => (th.toLong, tw.toLong)
+              case None           => (hs(l), ws(l))
+            }
+            val chunks = Seq(1L, 1L, 1L, chl, cwl) ++ sTail
+            if (v3)
+              writeDoc(s"$uri/$g/$l/zarr.json", ZarrFormat.zarrJsonArray(
+                shape, chunks, ZarrFormat.dataTypeV3Of(pt), compressor,
+                ZarrFormat.bytesPer(dtype), dimNames))
+            else
+              writeDoc(s"$uri/$g/$l/.zarray",
+                ZarrFormat.zarray(shape, chunks, dtype, compressor))
+        }
       }
 
       // chunk files: distributed — each task writes its chunks directly.
@@ -187,6 +222,9 @@ object ZarrWriter extends BioWriter {
       // one interleaved chunk (a tiny keyed shuffle).
       val target = s"$uri/$g"
       val sSuffix = if (nS > 1) ".0" else ""
+      val (shIH, shIW) = shardInner.getOrElse((0, 0))
+      val planeDims: Map[Int, (Int, Int)] =
+        (0 until levels).map(l => l -> ((hs(l).toInt, ws(l).toInt))).toMap
       chunkRows.foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.nonEmpty) {
@@ -219,9 +257,77 @@ object ZarrWriter extends BioWriter {
                   }
                   out
                 }
+              val bytes =
+                if (shIH == 0)
+                  ZarrFormat.compressChunk(
+                    ZarrFormat.encodeChunk(px, pt), compressor, typesize)
+                else {
+                  // sharding_indexed: split the interleaved plane into
+                  // the inner-chunk grid; encode written chunks into the
+                  // payload, all-fill chunks get an unwritten (-1/-1)
+                  // index entry; LE offset+nbytes index + crc32c at END
+                  val (ph, pw) = planeDims(r.getInt(0))
+                  val nIy = (ph + shIH - 1) / shIH
+                  val nIx = (pw + shIW - 1) / shIW
+                  val entries = new Array[Long](nIy * nIx * 2)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  var off = 0L
+                  var iy = 0
+                  while (iy < nIy) {
+                    var ix = 0
+                    while (ix < nIx) {
+                      val block = new Array[Double](shIH * shIW * nS)
+                      var allFill = true
+                      var rr = 0
+                      while (rr < shIH) {
+                        val y = iy * shIH + rr
+                        if (y < ph) {
+                          var cc = 0
+                          while (cc < shIW) {
+                            val x = ix * shIW + cc
+                            if (x < pw) {
+                              var si = 0
+                              while (si < nS) {
+                                val v = px((y * pw + x) * nS + si)
+                                block((rr * shIW + cc) * nS + si) = v
+                                if (v != 0.0) allFill = false
+                                si += 1
+                              }
+                            }
+                            cc += 1
+                          }
+                        }
+                        rr += 1
+                      }
+                      val ei = (iy * nIx + ix) * 2
+                      if (allFill) {
+                        entries(ei) = -1L
+                        entries(ei + 1) = -1L
+                      } else {
+                        val enc = ZarrFormat.compressChunk(
+                          ZarrFormat.encodeChunk(block, pt), compressor,
+                          typesize)
+                        entries(ei) = off
+                        entries(ei + 1) = enc.length.toLong
+                        bos.write(enc)
+                        off += enc.length
+                      }
+                      ix += 1
+                    }
+                    iy += 1
+                  }
+                  val idx = java.nio.ByteBuffer
+                    .allocate(entries.length * 8 + 4)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  entries.foreach(idx.putLong)
+                  val crc = new java.util.zip.CRC32C
+                  crc.update(idx.array(), 0, entries.length * 8)
+                  idx.putInt(crc.getValue.toInt)
+                  bos.write(idx.array())
+                  bos.toByteArray
+                }
               val out = pfs.create(new Path(key), true)
-              try out.write(ZarrFormat.compressChunk(
-                ZarrFormat.encodeChunk(px, pt), compressor, typesize))
+              try out.write(bytes)
               finally out.close()
             }
           }

@@ -577,6 +577,57 @@ class ZarrSpec extends SparkSpec {
     assert(back2.getImageData("CYX").array(1, 4, 6) == 146.0)
   }
 
+  test("v3 sharded WRITE: whole-plane shards of inner chunks, crc32c " +
+      "end index, all-fill inner chunks left unwritten and read as fill") {
+    import java.nio.file.Paths
+    // 6x6 plane, 3x3 inner chunks → 2x2 inner grid in ONE shard object;
+    // the (1,1) block is all zeros and must stay unwritten
+    val arr = NDArray.tabulate(Seq(6, 6)) { idx =>
+      val (y, x) = (idx(0), idx(1))
+      if (y >= 3 && x >= 3) 0.0 else (y + 1) * 10.0 + x
+    }
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = tmp("v3shardw.ome.zarr")
+    ZarrWriter.save(img, uri, None, levels = 1, compressor = Some("gzip"),
+      format = 3, shardInner = Some((3, 3)))
+    val doc = new String(Files.readAllBytes(
+      Paths.get(uri, "0", "0", "zarr.json")))
+    assert(doc.contains("sharding_indexed"), doc)
+    assert(doc.contains(""""chunk_shape":[1,1,1,6,6]"""), doc) // shard
+    assert(doc.contains(""""chunk_shape":[1,1,1,3,3]"""), doc) // inner
+    assert(doc.contains("crc32c"), doc)
+    // the single shard object's end index marks inner (1,1) unwritten
+    val shard = Files.readAllBytes(
+      Paths.get(uri, "0", "0", "c", "0", "0", "0", "0", "0"))
+    val idx = java.nio.ByteBuffer.wrap(shard, shard.length - 4 * 16 - 4, 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val e = (0 until 8).map(_ => idx.getLong)
+    assert(e(6) == -1L && e(7) == -1L, e)
+    assert(e.grouped(2).take(3).forall(p => p.head >= 0 && p(1) > 0), e)
+    val crc = new java.util.zip.CRC32C
+    crc.update(shard, shard.length - 4 * 16 - 4, 64)
+    val stored = java.nio.ByteBuffer.wrap(shard, shard.length - 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(stored == crc.getValue.toInt)
+    // unwritten block reads back as fill_value planes
+    val nd = BioSpark.open(spark, uri).getImageData("YX")
+    for (y <- 0 until 6; x <- 0 until 6) {
+      val expect = if (y >= 3 && x >= 3) 0.0 else (y + 1) * 10.0 + x
+      assert(nd.array(y, x) == expect, s"($y,$x)")
+    }
+    // ragged grid: 5x7 plane, 4x4 inner → shard padded to 8x8, lossless
+    val rimg = BioSpark.fromArray(spark, formulaic(Seq(2, 5, 7)), Some("CYX"))
+    val ruri = tmp("v3shardragged.ome.zarr")
+    ZarrWriter.save(rimg, ruri, None, levels = 1, compressor = None,
+      format = 3, shardInner = Some((4, 4)))
+    val rnd = BioSpark.open(spark, ruri).getImageData("CYX")
+    for (c <- 0 until 2; y <- 0 until 5; x <- 0 until 7)
+      assert(rnd.array(c, y, x) == c * 100.0 + y * 10.0 + x, s"($c,$y,$x)")
+    // sharding is a v3-only construct
+    intercept[IllegalArgumentException](ZarrWriter.save(img,
+      tmp("shardv2.zarr"), None, 1, None, 2, Some((2, 2))))
+  }
+
   test("zarr v3 v2-style chunk-key encoding with big-endian uint16") {
     import java.nio.{ByteBuffer, ByteOrder}
     import java.nio.file.Paths
