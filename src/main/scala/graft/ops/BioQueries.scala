@@ -714,6 +714,45 @@ object BioQueries {
       |     range(2) a(c), range(5) b(y), range(7) d(x)
       |ORDER BY variant, c, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b27
+  /** S13/S15 TwoDWriter breadth (the reference registry's `.png, .bmp,
+    * .jpg` row): gray and RGB planes written as BMP — lossless for 8-bit
+    * payloads, so fully hash-checkable — re-opened through plugin
+    * resolution (magic-byte probe → ImageIoReader) and checked against
+    * the regenerating oracle. JPEG (DCT-lossy) ships under the
+    * decode-equality spec contract instead. */
+  val b27BmpRoundtrip: Q = (spark, _) => {
+    val run = java.util.UUID.randomUUID()
+    val gray = NDArray.tabulate(Seq(5, 6))(idx =>
+      (idx(0) * 40 + idx(1) * 7) % 256)
+    val uriG = s"/tmp/graft_b27_${run}_gray.bmp"
+    BioSpark.fromArray(spark, gray).save(uriG)
+    val rgb = NDArray.tabulate(Seq(4, 5, 3))(idx =>
+      (idx(0) * 50 + idx(1) * 11 + idx(2) * 3) % 256)
+    val uriR = s"/tmp/graft_b27_${run}_rgb.bmp"
+    new graft.image.BioImage(spark,
+      new ArrayLikeReader(Seq(rgb), Seq(Some("YXS")), Seq(None))).save(uriR)
+    val g = BioSpark.open(spark, uriG).getImagePixels()
+      .select(lit("gray").as("variant"),
+        col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        lit(0L).as("s"), col("v"))
+    val r = BioSpark.open(spark, uriR).getImagePixels()
+      .select(lit("rgb").as("variant"),
+        col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        col("s").cast("long").as("s"), col("v"))
+    g.unionByName(r).orderBy(col("variant"), col("y"), col("x"), col("s"))
+  }
+
+  val b27Oracle: String =
+    """SELECT variant, y, x, s, v FROM (
+      |  SELECT 'gray' AS variant, y, x, 0 AS s,
+      |    CAST((y*40 + x*7) % 256 AS DOUBLE) AS v
+      |  FROM range(5) a(y), range(6) b(x)
+      |  UNION ALL
+      |  SELECT 'rgb', y, x, s, CAST((y*50 + x*11 + s*3) % 256 AS DOUBLE)
+      |  FROM range(4) a(y), range(5) b(x), range(3) c(s))
+      |ORDER BY variant, y, x, s""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -741,6 +780,7 @@ object BioQueries {
     "b24_tiff_pyramid" -> b24TiffPyramid,
     "b25_gif_timeseries" -> b25GifTimeseries,
     "b26_zarr_v3_write" -> b26ZarrV3Write,
+    "b27_bmp_roundtrip" -> b27BmpRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -770,5 +810,6 @@ object BioQueries {
     "b24_tiff_pyramid" -> b24Oracle,
     "b25_gif_timeseries" -> b25Oracle,
     "b26_zarr_v3_write" -> b26Oracle,
+    "b27_bmp_roundtrip" -> b27Oracle,
   )
 }

@@ -7,14 +7,37 @@ import javax.imageio.ImageIO
 import org.apache.hadoop.fs.{FileSystem, Path}
 import graft.image.{BioImage, Sel}
 
-/** 2D PNG sink — the analog of the reference registry's TwoDWriter
-  * (/root/reference/README.md:78-85): the CURRENT scene's (T=0, C=0, Z=0)
-  * plane, written as 8- or 16-bit grayscale PNG (values clamped to the
-  * type range). Three-sample (S=3) scenes write interleaved RGB at the
-  * source bit depth (8- or 16-bit per channel). */
-object PngWriter extends BioWriter {
-  override def name: String = "PngWriter"
-  override def supportedExtensions: Seq[String] = Seq(".png")
+/** 2D image sink — the analog of the reference registry's TwoDWriter
+  * (/root/reference/README.md:78-85: `.png, .bmp, .jpg, ...`): the
+  * CURRENT scene's (T=0, C=0, Z=0) plane through the JDK's ImageIO
+  * encoders, format picked by extension.
+  *
+  * Fidelity contract per format:
+  *  - PNG: lossless; 8- or 16-bit grayscale, 8- or 16-bit/channel RGB.
+  *  - BMP: lossless; 8-bit grayscale or RGB (BMP has no 16-bit form in
+  *    the JDK encoder — UInt16 sources are rejected, never truncated
+  *    silently).
+  *  - JPEG: 8-bit grayscale or RGB, DCT-lossy — the read-back contract
+  *    is decode-equality with the JDK's own JPEG path (the bar the GIF
+  *    time-series sink established, TimeSeriesWriter.scala:21-24), not
+  *    source-equality.
+  *
+  * Like the reference's 2D writer these are small interchange formats:
+  * the plane assembles driver-side (ImageIO has no distributed encoder);
+  * bulk pixel data at scale belongs in the zarr / parquet plane sinks.
+  */
+object TwoDWriter extends BioWriter {
+  override def name: String = "TwoDWriter"
+  override def supportedExtensions: Seq[String] =
+    Seq(".png", ".bmp", ".jpg", ".jpeg")
+
+  /** ImageIO format name for a target uri. */
+  private def formatOf(uri: String): String = {
+    val lower = uri.toLowerCase.takeWhile(_ != '?')
+    if (lower.endsWith(".png")) "png"
+    else if (lower.endsWith(".bmp")) "bmp"
+    else "jpg"
+  }
 
   override def save(img: BioImage, uri: String,
       selectScenes: Option[Seq[String]]): Unit = {
@@ -25,9 +48,10 @@ object PngWriter extends BioWriter {
 
   private def saveCurrent(img: BioImage, uri: String,
       selectScenes: Option[Seq[String]]): Unit = {
+    val fmt = formatOf(uri)
     selectScenes.foreach { sel =>
       require(sel.length == 1 && img.scenes.contains(sel.head),
-        s"PNG holds exactly one 2D plane; got selection $sel")
+        s"${fmt.toUpperCase} holds exactly one 2D plane; got selection $sel")
       img.setScene(sel.head)
     }
     val d = img.dims
@@ -35,8 +59,11 @@ object PngWriter extends BioWriter {
     val w = d('X').toInt
     val nS = if (d.order.contains('S')) d('S').toInt else 1
     require(nS == 1 || nS == 3,
-      s"PNG supports 1 (gray) or 3 (RGB) samples, got S=$nS")
+      s"${fmt.toUpperCase} supports 1 (gray) or 3 (RGB) samples, got S=$nS")
     val sixteen = img.meta.pixelType == graft.core.PixelType.UInt16
+    require(!sixteen || fmt == "png",
+      s"${fmt.toUpperCase} has no 16-bit encoding; save UInt16 data as " +
+        ".png (or a zarr/tiff/plane store)")
     val reduce = d.order.filter(c => c != 'Y' && c != 'X' && c != 'S')
       .map(c => c -> (Sel.Index(0): Sel)).toMap
     val buf =
@@ -80,8 +107,8 @@ object PngWriter extends BioWriter {
       img.spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(uri), true)
     try {
-      if (!ImageIO.write(buf, "png", out))
-        throw new IllegalStateException("no PNG encoder available")
+      if (!ImageIO.write(buf, fmt, out))
+        throw new IllegalStateException(s"no $fmt encoder available")
     } finally out.close()
   }
 }

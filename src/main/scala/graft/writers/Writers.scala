@@ -39,7 +39,7 @@ object Writers {
     * engine's scale-path interchange; OME-TIFF is the reference's
     * canonical sink. */
   def default: Seq[BioWriter] =
-    Seq(OmeTiffWriter, ParquetPlaneStoreWriter, ZarrWriter, PngWriter,
+    Seq(OmeTiffWriter, ParquetPlaneStoreWriter, ZarrWriter, TwoDWriter,
       TimeSeriesWriter)
 
   def forPath(path: String, writers: Seq[BioWriter] = default): BioWriter = {

@@ -7,7 +7,7 @@ import javax.imageio.ImageIO
 
 import graft.{BioSpark, SparkSpec}
 import graft.core.NDArray
-import graft.writers.PngWriter
+import graft.writers.TwoDWriter
 
 class ImageIoSpec extends SparkSpec {
 
@@ -48,12 +48,76 @@ class ImageIoSpec extends SparkSpec {
   test("PNG writer clamps out-of-range values") {
     val arr = NDArray.tabulate(Seq(1, 3))(idx => idx(1) * 300.0 - 100)
     val uri = tmp("clamp.png")
-    PngWriter.save(BioSpark.fromArray(spark, arr), uri, None)
+    TwoDWriter.save(BioSpark.fromArray(spark, arr), uri, None)
     val back = BioSpark.open(spark, uri)
     val nd = back.getImageData("YX")
     assert(nd.array(0, 0) == 0.0) // -100 clamped
     assert(nd.array(0, 1) == 200.0)
     assert(nd.array(0, 2) == 255.0) // 500 clamped
+  }
+
+  test("BMP write: gray and RGB roundtrip losslessly via registry " +
+      "dispatch; 16-bit sources are rejected, not truncated") {
+    import graft.writers.Writers
+    val arr = NDArray.tabulate(Seq(4, 5))(idx => idx(0) * 10.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = tmp("gray.bmp")
+    img.save(uri) // Writers dispatch → TwoDWriter
+    assert(Writers.forPath(uri) == TwoDWriter)
+    val back = BioSpark.open(spark, uri)
+    assert(back.reader.name == "ImageIoReader")
+    val nd = back.getImageData("YX")
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(nd.array(y, x) == y * 10.0 + x, s"($y,$x)")
+
+    val rgb = NDArray.tabulate(Seq(3, 4, 3))(idx =>
+      (idx(0) * 60 + idx(1) * 13 + idx(2) * 7) % 256)
+    val rimg = new graft.image.BioImage(spark,
+      new ArrayLikeReader(Seq(rgb), Seq(Some("YXS")), Seq(None)))
+    val ruri = tmp("rgb.bmp")
+    rimg.save(ruri)
+    val rback = BioSpark.open(spark, ruri)
+    assert(rback.dims('S') == 3)
+    val rnd = rback.getImageData("YXS")
+    for (y <- 0 until 3; x <- 0 until 4; s <- 0 until 3)
+      assert(rnd.array(y, x, s) == ((y * 60 + x * 13 + s * 7) % 256).toDouble,
+        s"($y,$x,$s)")
+
+    // a real 16-bit source (USHORT_GRAY PNG → UInt16 on read)
+    val buf16 = new BufferedImage(2, 2, BufferedImage.TYPE_USHORT_GRAY)
+    buf16.getRaster.setSample(0, 0, 0, 1000)
+    val p16 = tmp("deep.png")
+    ImageIO.write(buf16, "png", new java.io.File(p16))
+    val u16 = BioSpark.open(spark, p16)
+    assert(u16.meta.pixelType == graft.core.PixelType.UInt16)
+    intercept[IllegalArgumentException](u16.save(tmp("bad.bmp")))
+    intercept[IllegalArgumentException](u16.save(tmp("bad.jpg")))
+  }
+
+  test("JPEG write: registry dispatch for .jpg/.jpeg; read-back is " +
+      "decode-equal to the JDK's own JPEG path (DCT loss is the codec's)") {
+    import graft.writers.Writers
+    // smooth gradient → JPEG-friendly content (loss still nonzero)
+    val arr = NDArray.tabulate(Seq(8, 8))(idx =>
+      100.0 + idx(0) * 2 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    for (ext <- Seq("jpg", "jpeg")) {
+      val uri = tmp(s"grad.$ext")
+      img.save(uri)
+      assert(Writers.forPath(uri) == TwoDWriter)
+      val back = BioSpark.open(spark, uri)
+      assert(back.dims('Y') == 8 && back.dims('X') == 8)
+      val nd = back.getImageData("YX")
+      // decode-equality: our reader sees exactly what ImageIO decodes
+      val jdk = ImageIO.read(new java.io.File(uri))
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(nd.array(y, x) == jdk.getRaster.getSample(x, y, 0).toDouble,
+          s"($y,$x)")
+      // and the codec loss is bounded for smooth content
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(math.abs(nd.array(y, x) - (100.0 + y * 2 + x)) <= 8.0,
+          s"($y,$x) drifted: ${nd.array(y, x)}")
+    }
   }
 
   test("non-image file is rejected by plugin resolution") {
