@@ -183,6 +183,18 @@ object StreamOps {
         col("value").as("amount"))
   }
 
+  /** FQCN of Spark's RocksDB state-store provider — the off-heap,
+    * disk-spilling state backend. The default HDFS-backed provider keeps
+    * every key in executor heap, which caps total streaming state at
+    * aggregate heap size; RocksDB moves state off-heap with SST spill,
+    * the right backend once keyed state approaches memory (the 100 TB
+    * deployment posture: state volume scales with key cardinality, not
+    * input size, but at billions of keys heap is still the wrong home).
+    * Enable per-query via [[runToMemory]]'s `stateStoreProvider`, or
+    * session-wide by setting the same conf at session build. */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Run any of the above to completion against a static directory via the
     * memory sink (test/bench harness; a real deployment passes a kafka or
     * file sink instead). Returns the collected result table.
@@ -190,9 +202,17 @@ object StreamOps {
     * Stateful streaming creates one state store per shuffle partition per
     * trigger; for the harness's small static inputs 32 stores are pure
     * overhead, so the stream runs with 2 (a real deployment sizes this to
-    * state volume). The setting is restored afterwards. */
+    * state volume). The setting is restored afterwards.
+    *
+    * `stateStoreProvider`: optional provider FQCN (e.g.
+    * [[RocksDBProvider]]); None keeps the session default. Restored
+    * after the run. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
-      outputMode: String = "append"): DataFrame = {
+      outputMode: String = "append",
+      stateStoreProvider: Option[String] = None): DataFrame = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     // state-store + offset-log checkpoints are pure fsync overhead for a
@@ -212,6 +232,10 @@ object StreamOps {
       finally q.stop() // never leak a running stream on mid-batch failure
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (stateStoreProvider.isDefined) prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
       ckpt.foreach(p => scala.util.Try(
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))))
     }

@@ -92,4 +92,25 @@ class StreamOpsSpec extends SparkSpec {
     val batchKeys = EventOps.q28EventDedup(spark, sf).count()
     assert(keys == batchKeys)
   }
+
+  test("RocksDB state-store provider: same stateful query, same results " +
+      "as the default HDFS-backed provider; session conf restored") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey) // the session default
+    assert(!before.exists(_.contains("RocksDB")))
+    // q47 shape (stateful dedup) on both providers
+    val rocks = StreamOps.runToMemory(spark,
+      StreamOps.dedupWithinWatermark(StreamOps.readEvents(spark, sf)),
+      "dedup_rocksdb",
+      stateStoreProvider = Some(StreamOps.RocksDBProvider))
+      .select("event_id").orderBy("event_id").collect().toSeq
+    val default = StreamOps.runToMemory(spark,
+      StreamOps.dedupWithinWatermark(StreamOps.readEvents(spark, sf)),
+      "dedup_default")
+      .select("event_id").orderBy("event_id").collect().toSeq
+    assert(rocks.nonEmpty)
+    assert(rocks == default)
+    // the provider override did not leak into the session
+    assert(spark.conf.getOption(providerKey) == before)
+  }
 }
