@@ -92,7 +92,9 @@ final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
       val in = fs.open(new Path(p))
       try {
         val magic = new Array[Byte](4)
-        in.readFully(0, magic)
+        // sequential readFully, not positioned: the stream opens at 0 and
+        // read-only remote schemes (http://) don't support positioned reads
+        in.readFully(magic)
         val png = magic(0) == 0x89.toByte && magic(1) == 'P'
         val jpg = magic(0) == 0xff.toByte && magic(1) == 0xd8.toByte
         val gif = magic(0) == 'G' && magic(1) == 'I' && magic(2) == 'F'
