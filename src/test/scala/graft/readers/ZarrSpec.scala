@@ -628,6 +628,90 @@ class ZarrSpec extends SparkSpec {
       tmp("shardv2.zarr"), None, 1, None, 2, Some((2, 2))))
   }
 
+  test("v3 sharding_indexed with index_location=start reads through the " +
+      "leading index") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    val root = tmp("v3shardstart.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("zarr.json", ngff05Group("Image:0").getBytes)
+    put("0/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[1,1,1,4,4],""" +
+        """"data_type":"float64","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[1,1,1,4,4]}},""" +
+        """"chunk_key_encoding":{"name":"default"},"fill_value":0,""" +
+        """"codecs":[{"name":"sharding_indexed","configuration":{""" +
+        """"chunk_shape":[1,1,1,2,2],""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""" +
+        """"index_codecs":[{"name":"bytes",""" +
+        """"configuration":{"endian":"little"}},{"name":"crc32c"}],""" +
+        """"index_location":"start"}}],""" +
+        """"dimension_names":["t","c","z","y","x"]}""").getBytes)
+    // index FIRST (4 entries + crc32c), then the chunk payloads —
+    // offsets are absolute within the shard object
+    def innerChunk(yi: Int, xi: Int): Array[Byte] =
+      ZarrFormat.encodeChunk(Array.tabulate(4) { k =>
+        (yi * 2 + k / 2) * 10.0 + (xi * 2 + k % 2)
+      }, PixelType.Float64)
+    val chunks = Seq((0, 0), (0, 1), (1, 0), (1, 1)).map {
+      case (y, x) => innerChunk(y, x)
+    }
+    val idxLen = 4 * 16 + 4
+    val index = ByteBuffer.allocate(4 * 16).order(ByteOrder.LITTLE_ENDIAN)
+    var off = idxLen.toLong
+    chunks.foreach { c =>
+      index.putLong(off).putLong(c.length.toLong); off += c.length
+    }
+    val crc = new java.util.zip.CRC32C
+    crc.update(index.array())
+    val tail = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt)
+    put("0/c/0/0/0/0/0",
+      index.array() ++ tail.array() ++ chunks.flatten.toArray)
+    val nd = BioSpark.open(spark, root).getImageData("YX")
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(nd.array(y, x) == y * 10.0 + x, s"($y,$x)")
+  }
+
+  test("v3 sharded WRITE composes with multiscale levels and RGB " +
+      "trailing-S payloads") {
+    // multiscale: 8x8 → 4x4, sharded 3x3 inner chunks at every level
+    val arr = NDArray.tabulate(Seq(8, 8))(idx => idx(0) * 10.0 + idx(1))
+    val img = BioSpark.fromArray(spark, arr)
+    val uri = tmp("v3shardms.ome.zarr")
+    ZarrWriter.save(img, uri, None, levels = 2, compressor = Some("zstd"),
+      format = 3, shardInner = Some((3, 3)))
+    val back = BioSpark.open(spark, uri)
+    assert(back.resolutionLevels == Seq(0, 1))
+    val nd0 = back.getImageData("YX")
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(nd0.array(y, x) == y * 10.0 + x, s"L0 ($y,$x)")
+    back.setResolutionLevel(1)
+    assert(back.dims.shape == Seq(1, 1, 1, 4, 4))
+    assert(back.getImageData("YX").array(0, 0) == 5.5)
+
+    // RGB: interleaved YXS blocks inside inner chunks
+    val rgb = NDArray.tabulate(Seq(5, 6, 3))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2) + 1)
+    val rimg = new BioImage(spark, new ArrayLikeReader(Seq(rgb),
+      Seq(Some("YXS")), Seq(None)))
+    val ruri = tmp("v3shardrgb.ome.zarr")
+    ZarrWriter.save(rimg, ruri, None, levels = 1, compressor = None,
+      format = 3, shardInner = Some((2, 4)))
+    val rback = BioSpark.open(spark, ruri)
+    assert(rback.dims.order == "TCZYXS" && rback.dims('S') == 3)
+    val rnd = rback.getImageData("YXS")
+    for (y <- 0 until 5; x <- 0 until 6; s <- 0 until 3)
+      assert(rnd.array(y, x, s) == y * 100.0 + x * 10.0 + s + 1,
+        s"($y,$x,$s)")
+  }
+
   test("zarr v3 v2-style chunk-key encoding with big-endian uint16") {
     import java.nio.{ByteBuffer, ByteOrder}
     import java.nio.file.Paths
