@@ -684,9 +684,11 @@ object BioQueries {
     * (a) as a plain v3 store (zarr.json nodes, NGFF 0.5, gzip codec,
     * default "c"-prefix chunk keys) and (b) as a v3 `sharding_indexed`
     * store (whole-plane shards of 4x4 inner chunks, crc32c end index,
-    * ragged 5x7 plane → padded 8x8 shard) — both re-opened through plugin
-    * resolution and checked against the regenerating oracle. The writer
-    * analog of the hand-built v3 read fixtures behind the b19 family. */
+    * ragged 5x7 plane → padded 8x8 shard) and (c) with an explicit 4x4
+    * stored-chunk grid (`chunk`, the large-plane geometry) — all
+    * re-opened through plugin resolution and checked against the
+    * regenerating oracle. The writer analog of the hand-built v3 read
+    * fixtures behind the b19 family. */
   val b26ZarrV3Write: Q = (spark, _) => {
     import graft.writers.ZarrWriter
     val run = java.util.UUID.randomUUID()
@@ -699,7 +701,11 @@ object BioQueries {
     val uriS = s"/tmp/graft_b26_${run}_v3shard.ome.zarr"
     ZarrWriter.save(img, uriS, None, levels = 1, compressor = None,
       format = 3, shardInner = Some((4, 4)))
-    Seq(("v3", uriP), ("v3_sharded", uriS)).map { case (variant, uri) =>
+    val uriC = s"/tmp/graft_b26_${run}_v3chunk.ome.zarr"
+    ZarrWriter.save(img, uriC, None, levels = 1, compressor = None,
+      format = 3, shardInner = None, chunk = Some((4, 4)))
+    Seq(("v3", uriP), ("v3_sharded", uriS), ("v3_chunked", uriC))
+      .map { case (variant, uri) =>
       BioSpark.open(spark, uri).getImagePixels()
         .select(lit(variant).as("variant"),
           col("c").cast("long").as("c"), col("y").cast("long").as("y"),
@@ -710,7 +716,7 @@ object BioQueries {
 
   val b26Oracle: String =
     """SELECT variant, c, y, x, CAST(c*100 + y*10 + x AS DOUBLE) AS v
-      |FROM (VALUES ('v3'), ('v3_sharded')) t(variant),
+      |FROM (VALUES ('v3'), ('v3_sharded'), ('v3_chunked')) t(variant),
       |     range(2) a(c), range(5) b(y), range(7) d(x)
       |ORDER BY variant, c, y, x""".stripMargin
 

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array, array_sort, col, collect_list, lit, struct, transform}
+import org.apache.spark.sql.functions.{array, array_repeat, array_sort, col, collect_list, concat, explode, flatten, greatest, least, lit, sequence, slice, struct, transform, when}
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.core.Plane
@@ -65,11 +65,21 @@ object ZarrWriter extends BioWriter {
 
   /** The chunk-row plan for the CURRENT scene: (level, t, c, z, yi, xi,
     * bands). Returns the tile grid when chunks come straight from mosaic
-    * tile rows (aligned grid, single level, no samples). */
+    * tile rows (aligned grid, single level, no samples).
+    *
+    * `chunk` = Some((th, tw)) re-tiles every level's planes into a
+    * th×tw chunk grid INSIDE the plan — one output row per chunk, pixels
+    * sliced by codegen'd array HOFs on the executors, edge chunks padded
+    * to full chunk shape (zarr storage semantics). This is the scale
+    * geometry for large planes: a 100k×100k plane must not become one
+    * multi-GB object (the read-side analog is the reference's
+    * `chunk_dims`, bio_image.py:92-109). */
   private[graft] def sceneChunkRows(img: BioImage, levels: Int,
-      nS: Int, allowTileGrid: Boolean = true): (DataFrame, Option[(Int, Int)]) = {
+      nS: Int, allowTileGrid: Boolean = true,
+      chunk: Option[(Int, Int)] = None): (DataFrame, Option[(Int, Int)]) = {
     val grid =
-      if (allowTileGrid && levels == 1 && nS == 1) alignedTileGrid(img)
+      if (allowTileGrid && chunk.isEmpty && levels == 1 && nS == 1)
+        alignedTileGrid(img)
       else None
     if (grid.isDefined) {
       val (th, tw) = grid.get
@@ -83,19 +93,49 @@ object ZarrWriter extends BioWriter {
       val unioned = levelDfs.map { df =>
         if (nS == 1)
           df.select(col("level"), col("t"), col("c"), col("z"),
-            lit(0).as("yi"), lit(0).as("xi"),
-            array(col("pixels")).as("bands"))
+            col("h"), col("w"), array(col("pixels")).as("bands"))
         else
           df.select(col("level"), col("t"), col("c"), col("z"), col("s"),
-            col("pixels"))
-            .groupBy(col("level"), col("t"), col("c"), col("z"))
+            col("h"), col("w"), col("pixels"))
+            .groupBy(col("level"), col("t"), col("c"), col("z"),
+              col("h"), col("w"))
             .agg(transform(
               array_sort(collect_list(struct(col("s"), col("pixels")))),
               b => b.getField("pixels")).as("bands"))
-            .select(col("level"), col("t"), col("c"), col("z"),
-              lit(0).as("yi"), lit(0).as("xi"), col("bands"))
       }.reduce(_ unionByName _)
-      (unioned, None)
+      val rows = chunk match {
+        case None =>
+          unioned.select(col("level"), col("t"), col("c"), col("z"),
+            lit(0).as("yi"), lit(0).as("xi"), col("bands"))
+        case Some((th, tw)) =>
+          // one row per (yi, xi) grid cell; each band sliced row-by-row
+          // out of the plane, zero-padded past the edges — pure column
+          // HOFs, so the fan-out runs distributed under codegen
+          unioned
+            .withColumn("nxi",
+              ((col("w") + (tw - 1)) / tw).cast("int"))
+            .withColumn("nyi",
+              ((col("h") + (th - 1)) / th).cast("int"))
+            .withColumn("ci",
+              explode(sequence(lit(0), col("nyi") * col("nxi") - 1)))
+            .withColumn("yi", (col("ci") / col("nxi")).cast("int"))
+            .withColumn("xi", (col("ci") % col("nxi")).cast("int"))
+            .withColumn("bands", transform(col("bands"), band =>
+              flatten(transform(sequence(lit(0), lit(th - 1)), r => {
+                val y = col("yi") * th + r
+                val x0 = col("xi") * tw
+                val avail = when(y < col("h"),
+                  greatest(least(col("w") - x0, lit(tw)), lit(0)))
+                  .otherwise(lit(0)).cast("int")
+                val start = when(avail > 0, y * col("w") + x0 + 1)
+                  .otherwise(lit(1)).cast("int")
+                concat(slice(band, start, avail),
+                  array_repeat(lit(0.0), lit(tw) - avail))
+              }))))
+            .select(col("level"), col("t"), col("c"), col("z"),
+              col("yi"), col("xi"), col("bands"))
+      }
+      (rows, None)
     }
   }
 
@@ -103,6 +143,12 @@ object ZarrWriter extends BioWriter {
       levels: Int, compressor: Option[String], format: Int): Unit =
     save(img, uri, selectScenes, levels, compressor, format,
       shardInner = None)
+
+  def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
+      levels: Int, compressor: Option[String], format: Int,
+      shardInner: Option[(Int, Int)]): Unit =
+    save(img, uri, selectScenes, levels, compressor, format, shardInner,
+      chunk = None)
 
   /** `compressor`: None (raw chunks), or a codec id — v2 accepts
     * "zlib"/"zstd"/"blosc" (numcodecs configs), v3 accepts
@@ -115,10 +161,16 @@ object ZarrWriter extends BioWriter {
     * index. This is the 100 TB object-store layout — tile-granular reads
     * without tile-granular object counts. Inner chunks that are entirely
     * fill_value (0) are left unwritten (index entry -1/-1) and read back
-    * as fill planes, so sparse images store sparsely. */
+    * as fill planes, so sparse images store sparsely.
+    *
+    * `chunk` = Some((th, tw)) re-tiles planes into a th×tw stored-chunk
+    * grid (each grid cell its own object; with `shardInner`, its own
+    * SHARD — then th/tw must be multiples of ih/iw). Without it each
+    * plane is one chunk — fine for microscopy-sized planes, wrong for
+    * enormous ones. */
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
       levels: Int, compressor: Option[String], format: Int,
-      shardInner: Option[(Int, Int)]): Unit = {
+      shardInner: Option[(Int, Int)], chunk: Option[(Int, Int)]): Unit = {
     val spark = img.spark
     val sel = Writers.validateSelection(img, selectScenes)
     require(levels >= 1, s"levels must be >= 1, got $levels")
@@ -127,6 +179,14 @@ object ZarrWriter extends BioWriter {
       "sharding_indexed requires zarr format 3")
     shardInner.foreach { case (ih, iw) =>
       require(ih > 0 && iw > 0, s"shard inner chunk must be positive, got ${ih}x$iw")
+    }
+    chunk.foreach { case (th, tw) =>
+      require(th > 0 && tw > 0, s"chunk must be positive, got ${th}x$tw")
+      shardInner.foreach { case (ih, iw) =>
+        require(th % ih == 0 && tw % iw == 0,
+          s"chunk ${th}x$tw must be a multiple of the shard inner " +
+            s"chunk ${ih}x$iw")
+      }
     }
     val v3 = format == 3
 
@@ -180,7 +240,8 @@ object ZarrWriter extends BioWriter {
         writeDoc(s"$uri/$g/.zattrs", attrs)
       }
       val (chunkRows, tileGrid) =
-        sceneChunkRows(img, levels, nS, allowTileGrid = shardInner.isEmpty)
+        sceneChunkRows(img, levels, nS,
+          allowTileGrid = shardInner.isEmpty, chunk = chunk)
       val hs = Iterator.iterate(h)(v => (v + 1) / 2).take(levels).toSeq
       val ws = Iterator.iterate(w)(v => (v + 1) / 2).take(levels).toSeq
       val sTail = if (nS > 1) Seq(nS.toLong) else Seq.empty
@@ -188,13 +249,18 @@ object ZarrWriter extends BioWriter {
         (if (nS > 1) Seq("s") else Seq.empty)
       (0 until levels).foreach { l =>
         val shape = Seq(t, c, z, hs(l), ws(l)) ++ sTail
+        // the stored-object base block: an explicit chunk grid, or one
+        // whole plane per object
+        val (bh, bw) = chunk match {
+          case Some((th, tw)) => (th.toLong, tw.toLong)
+          case None           => (hs(l), ws(l))
+        }
         shardInner match {
           case Some((ih, iw)) =>
-            // shard = whole plane, padded up to a multiple of the inner
-            // chunk (zarr v3 requires shard % inner == 0); the grid stays
-            // 1 shard object per plane
-            val shH = ((hs(l) + ih - 1) / ih) * ih
-            val shW = ((ws(l) + iw - 1) / iw) * iw
+            // shard = the base block, padded up to a multiple of the
+            // inner chunk (zarr v3 requires shard % inner == 0)
+            val shH = ((bh + ih - 1) / ih) * ih
+            val shW = ((bw + iw - 1) / iw) * iw
             writeDoc(s"$uri/$g/$l/zarr.json", ZarrFormat.zarrJsonArray(
               shape, Seq(1L, 1L, 1L, shH, shW) ++ sTail,
               ZarrFormat.dataTypeV3Of(pt), compressor,
@@ -203,7 +269,7 @@ object ZarrWriter extends BioWriter {
           case None =>
             val (chl, cwl) = tileGrid match {
               case Some((th, tw)) => (th.toLong, tw.toLong)
-              case None           => (hs(l), ws(l))
+              case None           => (bh, bw)
             }
             val chunks = Seq(1L, 1L, 1L, chl, cwl) ++ sTail
             if (v3)
@@ -223,8 +289,13 @@ object ZarrWriter extends BioWriter {
       val target = s"$uri/$g"
       val sSuffix = if (nS > 1) ".0" else ""
       val (shIH, shIW) = shardInner.getOrElse((0, 0))
-      val planeDims: Map[Int, (Int, Int)] =
-        (0 until levels).map(l => l -> ((hs(l).toInt, ws(l).toInt))).toMap
+      // block dims the shard extractor sees: the (padded) chunk when an
+      // explicit grid is set, else the true plane dims per level
+      val planeDims: Map[Int, (Int, Int)] = chunk match {
+        case Some((th, tw)) => (0 until levels).map(l => l -> ((th, tw))).toMap
+        case None =>
+          (0 until levels).map(l => l -> ((hs(l).toInt, ws(l).toInt))).toMap
+      }
       chunkRows.foreachPartition {
         (rows: Iterator[org.apache.spark.sql.Row]) =>
           if (rows.nonEmpty) {

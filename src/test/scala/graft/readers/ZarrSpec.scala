@@ -712,6 +712,68 @@ class ZarrSpec extends SparkSpec {
         s"($y,$x,$s)")
   }
 
+  test("chunked WRITE: chunk=(th,tw) re-tiles planes into a stored chunk " +
+      "grid in-plan (ragged edges padded); works in v2 and v3 and " +
+      "composes with sharding and multiscale") {
+    import java.nio.file.Paths
+    // 7x10 plane, 4x4 chunks → ragged 2x3 grid (all values nonzero)
+    val arr = NDArray.tabulate(Seq(7, 10))(idx => idx(0) * 10.0 + idx(1) + 1)
+    val img = BioSpark.fromArray(spark, arr)
+    def checkAll(uri: String, tag: String): Unit = {
+      val nd = BioSpark.open(spark, uri).getImageData("YX")
+      for (y <- 0 until 7; x <- 0 until 10)
+        assert(nd.array(y, x) == y * 10.0 + x + 1, s"$tag ($y,$x)")
+    }
+
+    val v3uri = tmp("v3chunked.ome.zarr")
+    ZarrWriter.save(img, v3uri, None, levels = 1, compressor = None,
+      format = 3, shardInner = None, chunk = Some((4, 4)))
+    val doc = new String(Files.readAllBytes(
+      Paths.get(v3uri, "0", "0", "zarr.json")))
+    assert(doc.contains(""""shape":[1,1,1,7,10]"""), doc)
+    assert(doc.contains(""""chunk_shape":[1,1,1,4,4]"""), doc)
+    for (yi <- 0 until 2; xi <- 0 until 3)
+      assert(Files.exists(Paths.get(v3uri, "0", "0", "c", "0", "0", "0",
+        s"$yi", s"$xi")), s"chunk ($yi,$xi)")
+    // chunk grid surfaces tile-granular reads (M = 6 mosaic rows)
+    assert(BioSpark.open(spark, v3uri).meta.dims('M') == 6)
+    checkAll(v3uri, "v3")
+
+    val v2uri = tmp("v2chunked.zarr")
+    ZarrWriter.save(img, v2uri, None, levels = 1, compressor = Some("zlib"),
+      format = 2, shardInner = None, chunk = Some((4, 4)))
+    val za = new String(Files.readAllBytes(
+      Paths.get(v2uri, "0", "0", ".zarray")))
+    assert(za.contains(""""chunks":[1,1,1,4,4]"""), za)
+    assert(Files.exists(Paths.get(v2uri, "0", "0", "0.0.0.1.2")))
+    checkAll(v2uri, "v2")
+
+    // chunk + shard: each 4x4 chunk object is a shard of 2x2 inner chunks
+    val shuri = tmp("v3chunkshard.ome.zarr")
+    ZarrWriter.save(img, shuri, None, levels = 1, compressor = None,
+      format = 3, shardInner = Some((2, 2)), chunk = Some((4, 4)))
+    val sdoc = new String(Files.readAllBytes(
+      Paths.get(shuri, "0", "0", "zarr.json")))
+    assert(sdoc.contains("sharding_indexed"), sdoc)
+    assert(sdoc.contains(""""chunk_shape":[1,1,1,4,4]"""), sdoc)
+    assert(sdoc.contains(""""chunk_shape":[1,1,1,2,2]"""), sdoc)
+    checkAll(shuri, "chunk+shard")
+    // mismatched chunk/inner geometry is rejected
+    intercept[IllegalArgumentException](ZarrWriter.save(img,
+      tmp("badgeom.zarr"), None, 1, None, 3, Some((3, 3)), Some((4, 4))))
+
+    // multiscale chunked: level 1 (4x5) gets its own ragged grid
+    val msuri = tmp("v3chunkms.ome.zarr")
+    ZarrWriter.save(img, msuri, None, levels = 2, compressor = None,
+      format = 3, shardInner = None, chunk = Some((4, 4)))
+    val back = BioSpark.open(spark, msuri)
+    checkAll(msuri, "ms L0")
+    back.setResolutionLevel(1)
+    assert(back.dims('Y') == 4 && back.dims('X') == 5)
+    // level-1 (0,0) = mean of {1,2,11,12}
+    assert(back.getImageData("YX").array(0, 0) == 6.5)
+  }
+
   test("zarr v3 v2-style chunk-key encoding with big-endian uint16") {
     import java.nio.{ByteBuffer, ByteOrder}
     import java.nio.file.Paths
