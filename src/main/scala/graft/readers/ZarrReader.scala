@@ -21,9 +21,10 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
   * files in parallel. Missing chunk objects decode as fill_value planes
   * (zarr semantics). Multiscale datasets surface as resolution levels.
   *
-  * Scope: compressor null (raw chunks), chunk shape [1,1,1,H,W] (one
-  * plane per chunk — what this engine's writer and bioformats2raw-style
-  * single-plane-chunk stores produce).
+  * Scope: zarr v2 and v3 (NGFF 0.4/0.5), raw/zlib/gzip/zstd/blosc
+  * chunks, tiled Y/X chunk grids (surfaced as mosaic tiles) incl. ragged
+  * edges, `sharding_indexed` shards with ranged inner-chunk reads,
+  * trailing-S RGB, 2D–6D arrays, per-level multiscale grids.
   */
 final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
 
