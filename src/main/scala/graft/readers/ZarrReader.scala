@@ -218,19 +218,9 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     }
   }
 
-  private def readDoc(p: String): Option[String] = {
-    val f = fs
-    val hp = new Path(p)
-    if (!f.exists(hp)) None
-    else {
-      val in = f.open(hp)
-      try {
-        val bytes = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
-        in.readFully(0, bytes)
-        Some(new String(bytes, StandardCharsets.UTF_8))
-      } finally in.close()
-    }
-  }
+  private def readDoc(p: String): Option[String] =
+    ZarrReader.readAllIfExists(fs, new Path(p))
+      .map(new String(_, StandardCharsets.UTF_8))
 
   /** join under the store root, skipping empty segments (root group). */
   private def sub(parts: String*): String =
@@ -321,8 +311,10 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     Try {
       val f = FileSystem.get(new Path(p).toUri,
         spark.sparkContext.hadoopConfiguration)
-      f.exists(new Path(s"$p/.zgroup")) || f.exists(new Path(s"$p/.zarray")) ||
-        f.exists(new Path(s"$p/zarr.json"))
+      // probe by opening (not exists()): read-only remote schemes answer
+      // exists() with a blind true, but open distinguishes 404s
+      Seq(".zgroup", ".zarray", "zarr.json").exists(d =>
+        ZarrReader.readAllIfExists(f, new Path(s"$p/$d")).isDefined)
     }.getOrElse(false)
 
   override def scenes: Seq[String] = scenes_.map(_.id)
@@ -459,16 +451,14 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
             val cropW = math.min(cw, planeW - xi * cw)
             val p = new Path(s"$base/$key")
             val full: Option[Array[Double]] =
-              if (!f.exists(p)) None // missing chunk → fill_value planes
-              else if (shH == 0) {
-                val in = f.open(p)
-                try {
-                  val n = f.getFileStatus(p).getLen.toInt
-                  val bytes = new Array[Byte](n)
-                  in.readFully(0, bytes)
-                  Some(ZarrFormat.decodeChunk(bytes, dtype, compressor))
-                } finally in.close()
-              } else {
+              if (shH == 0)
+                // open-and-read-to-EOF with not-found → fill_value: works
+                // on any Hadoop scheme, incl. read-only remotes (http://)
+                // where exists()/getFileStatus() can't probe or size
+                ZarrReader.readAllIfExists(f, p)
+                  .map(ZarrFormat.decodeChunk(_, dtype, compressor))
+              else if (!f.exists(p)) None // shard object missing entirely
+              else {
                 // sharding_indexed: 16 bytes per inner chunk (LE uint64
                 // offset + nbytes; all-1s = unwritten), crc32c appended
                 // to the index block when declared — two ranged reads,
@@ -528,4 +518,22 @@ object ZarrReader {
     name = "ZarrReader",
     extensions = Seq(".ome.zarr", ".zarr"),
     open = (spark, path, _) => new ZarrReader(spark, path))
+
+  /** Sequentially read a whole file, or None when it does not exist.
+    * FileNotFoundException on open — not exists() — is the portable
+    * missing-object signal: read-only remote schemes (http://) answer
+    * exists() with a blind true and report unknown lengths, so zarr's
+    * missing-chunk-as-fill semantics must key off the open. */
+  private[readers] def readAllIfExists(f: FileSystem,
+      p: Path): Option[Array[Byte]] =
+    try {
+      val in = f.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream(8192)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toByteArray)
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
 }

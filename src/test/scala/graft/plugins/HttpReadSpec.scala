@@ -15,6 +15,52 @@ import graft.core.NDArray
   * read-only remote case (Hadoop's HttpFileSystem, HADOOP-14383). */
 class HttpReadSpec extends SparkSpec {
 
+  /** Serve a directory tree over HTTP: 200 with file bytes, 404 when the
+    * path is not a file (http has no exists() — missing objects must
+    * surface as open-time 404s). */
+  private def serveDir(dir: java.nio.file.Path): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", exchange => {
+      val rel = exchange.getRequestURI.getPath.stripPrefix("/")
+      val f = dir.resolve(rel)
+      try {
+        if (Files.isRegularFile(f)) {
+          val bytes = Files.readAllBytes(f)
+          exchange.sendResponseHeaders(200, bytes.length.toLong)
+          exchange.getResponseBody.write(bytes)
+        } else exchange.sendResponseHeaders(404, -1)
+      } finally exchange.close()
+    })
+    server.start()
+    server
+  }
+
+  test("a zarr v3 store reads over http://: metadata discovery, executor " +
+      "chunk fetches, and missing-chunk-as-fill semantics") {
+    import graft.writers.ZarrWriter
+    val arr = NDArray.tabulate(Seq(2, 3, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2) + 1)
+    val dir = Files.createTempDirectory("graft-httpzarr")
+    val store = dir.resolve("img.ome.zarr")
+    ZarrWriter.save(BioSpark.fromArray(spark, arr, Some("CYX")),
+      store.toString, None, levels = 1)
+    // drop the c=1 chunk object: over http the reader must see the 404
+    // and produce fill_value planes (0.0), not an error
+    Files.delete(store.resolve("0/0/c/0/1/0/0/0"))
+    val server = serveDir(dir)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/img.ome.zarr"
+      val back = BioSpark.open(spark, url)
+      assert(back.reader.name == "ZarrReader")
+      assert(back.dims.shape == Seq(1, 2, 1, 3, 4))
+      val nd = back.getImageData("CYX")
+      for (y <- 0 until 3; x <- 0 until 4) {
+        assert(nd.array(0, y, x) == y * 10.0 + x + 1, s"c0 ($y,$x)")
+        assert(nd.array(1, y, x) == 0.0, s"c1 ($y,$x) should be fill")
+      }
+    } finally server.stop(0)
+  }
+
   test("BioSpark.open reads a PNG over http:// through plugin resolution") {
     // a formulaic PNG on local disk, then served over HTTP
     val arr = NDArray.tabulate(Seq(4, 5))(idx => idx(0) * 10.0 + idx(1))
