@@ -23,7 +23,8 @@ import graft.plugins.{BioReader, PluginEntry, SceneMeta}
   *
   * Scope: zarr v2 and v3 (NGFF 0.4/0.5), raw/zlib/gzip/zstd/blosc
   * chunks, tiled Y/X chunk grids (surfaced as mosaic tiles) incl. ragged
-  * edges, `sharding_indexed` shards with ranged inner-chunk reads,
+  * edges, `sharding_indexed` shards with ranged inner-chunk reads
+  * (buffered whole-shard fallback on stat-less remote schemes),
   * trailing-S RGB, 2D–6D arrays, per-level multiscale grids.
   */
 final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
@@ -457,32 +458,59 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
                 // where exists()/getFileStatus() can't probe or size
                 ZarrReader.readAllIfExists(f, p)
                   .map(ZarrFormat.decodeChunk(_, dtype, compressor))
-              else if (!f.exists(p)) None // shard object missing entirely
               else {
                 // sharding_indexed: 16 bytes per inner chunk (LE uint64
                 // offset + nbytes; all-1s = unwritten), crc32c appended
-                // to the index block when declared — two ranged reads,
-                // never the whole shard
+                // to the index block when declared. Two ranged reads —
+                // never the whole shard — on schemes that can stat and
+                // seek; read-only remotes (http://) stat a blind -1
+                // length and serve unseekable streams, so there fall
+                // back to ONE buffered read of the shard object
+                // (bounded at one stored object) and slice in memory.
+                // Missing shard = stat/open-time 404 → fill planes.
                 val nEntries = innerPerY * innerPerX
                 val idxBytes = nEntries * 16L + (if (idxCrc) 4 else 0)
-                val in = f.open(p)
-                try {
-                  val ib = new Array[Byte](nEntries * 16)
-                  val at = if (idxAtEnd)
-                    f.getFileStatus(p).getLen - idxBytes else 0L
-                  in.readFully(at, ib, 0, ib.length)
-                  val ei = (yi % innerPerY) * innerPerX + (xi % innerPerX)
-                  val e = java.nio.ByteBuffer.wrap(ib, ei * 16, 16)
+                val ei = (yi % innerPerY) * innerPerX + (xi % innerPerX)
+                def entryAt(ib: Array[Byte], base0: Int): (Long, Long) = {
+                  val e = java.nio.ByteBuffer.wrap(ib, base0 + ei * 16, 16)
                     .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                  val off = e.getLong
-                  val nb = e.getLong
-                  if (off == -1L && nb == -1L) None
-                  else {
-                    val bytes = new Array[Byte](nb.toInt)
-                    in.readFully(off, bytes, 0, bytes.length)
-                    Some(ZarrFormat.decodeChunk(bytes, dtype, compressor))
-                  }
-                } finally in.close()
+                  (e.getLong, e.getLong)
+                }
+                val statLen: Option[Long] =
+                  Try(f.getFileStatus(p).getLen).toOption
+                    .filter(_ >= idxBytes)
+                statLen match {
+                  case Some(len) =>
+                    try {
+                      val in = f.open(p)
+                      try {
+                        val ib = new Array[Byte](nEntries * 16)
+                        val at = if (idxAtEnd) len - idxBytes else 0L
+                        in.readFully(at, ib, 0, ib.length)
+                        val (off, nb) = entryAt(ib, 0)
+                        if (off == -1L && nb == -1L) None
+                        else {
+                          val bytes = new Array[Byte](nb.toInt)
+                          in.readFully(off, bytes, 0, bytes.length)
+                          Some(ZarrFormat.decodeChunk(bytes, dtype,
+                            compressor))
+                        }
+                      } finally in.close()
+                    } catch {
+                      case _: java.io.FileNotFoundException => None
+                    }
+                  case None =>
+                    ZarrReader.readAllIfExists(f, p).flatMap { all =>
+                      val b0 =
+                        if (idxAtEnd) all.length - idxBytes.toInt else 0
+                      val (off, nb) = entryAt(all, b0)
+                      if (off == -1L && nb == -1L) None
+                      else Some(ZarrFormat.decodeChunk(
+                        java.util.Arrays.copyOfRange(
+                          all, off.toInt, (off + nb).toInt),
+                        dtype, compressor))
+                    }
+                }
               }
             (0 until nS).map { si =>
               val px = full match {

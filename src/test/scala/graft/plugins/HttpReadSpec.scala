@@ -61,6 +61,43 @@ class HttpReadSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a sharded (sharding_indexed) zarr v3 store reads over http://: " +
+      "buffered-shard fallback, missing shard and unwritten inner chunk " +
+      "both surface as fill") {
+    import graft.writers.ZarrWriter
+    // c0 carries data with an all-zero bottom-right 4x4 quadrant (the
+    // writer leaves that inner chunk unwritten, index entry -1/-1); c1's
+    // whole shard object is deleted after the write. Over http:// the
+    // reader can neither stat nor seek the shard, so both cases must
+    // resolve through the single-buffered-read fallback: fill planes,
+    // not errors.
+    val arr = NDArray.tabulate(Seq(2, 8, 8)) { idx =>
+      val (c, y, x) = (idx(0), idx(1), idx(2))
+      if (c == 0 && y >= 4 && x >= 4) 0.0
+      else c * 1000.0 + y * 10.0 + x + 1
+    }
+    val dir = Files.createTempDirectory("graft-httpshard")
+    val store = dir.resolve("img.ome.zarr")
+    ZarrWriter.save(BioSpark.fromArray(spark, arr, Some("CYX")),
+      store.toString, None, levels = 1, compressor = None, format = 3,
+      shardInner = Some((4, 4)))
+    Files.delete(store.resolve("0/0/c/0/1/0/0/0"))
+    val server = serveDir(dir)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/img.ome.zarr"
+      val back = BioSpark.open(spark, url)
+      assert(back.reader.name == "ZarrReader")
+      assert(back.dims.shape == Seq(1, 2, 1, 8, 8))
+      val nd = back.getImageData("CYX")
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val want =
+          if (y >= 4 && x >= 4) 0.0 else y * 10.0 + x + 1
+        assert(nd.array(0, y, x) == want, s"c0 ($y,$x)")
+        assert(nd.array(1, y, x) == 0.0, s"c1 ($y,$x) should be fill")
+      }
+    } finally server.stop(0)
+  }
+
   test("BioSpark.open reads a PNG over http:// through plugin resolution") {
     // a formulaic PNG on local disk, then served over HTTP
     val arr = NDArray.tabulate(Seq(4, 5))(idx => idx(0) * 10.0 + idx(1))
