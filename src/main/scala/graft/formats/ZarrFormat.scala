@@ -418,7 +418,13 @@ object ZarrFormat {
     }.mkString(",")
     val channels = channelNames.map(c =>
       s"""{"label":"${esc(c)}"}""").mkString(",")
-    s"""{"multiscales":[{"version":"$ngffVersion","name":"${esc(name)}",""" +
+    // NGFF 0.4 declares the version inside each multiscales entry; 0.5
+    // moved it to the top of the "ome" namespace and removed the
+    // per-multiscale field — conformant validators key off the new spot
+    val top = if (ngffVersion == "0.5") s""""version":"0.5",""" else ""
+    val msv =
+      if (ngffVersion == "0.5") "" else s""""version":"$ngffVersion","""
+    s"""{$top"multiscales":[{$msv"name":"${esc(name)}",""" +
       s""""axes":$axes,"datasets":[$datasets]}],""" +
       s""""omero":{"channels":[$channels]}}"""
   }
