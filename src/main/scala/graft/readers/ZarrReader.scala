@@ -130,11 +130,12 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
       case JNull => None
       case c => (c \ "id") match {
         case JString("zlib")  => Some("zlib")
+        case JString("gzip")  => Some("gzip") // numcodecs GZip codec
         case JString("blosc") => Some("blosc")
         case JString("zstd")  => Some("zstd")
         case other => throw new UnsupportedFileFormatError(
           s"unsupported zarr compressor $other " +
-            "(supported: null, zlib, blosc, zstd)")
+            "(supported: null, zlib, gzip, blosc, zstd)")
       }
     }
     val shapeRaw = (zj \ "shape").children.map(_.values.toString.toLong)
@@ -177,17 +178,25 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     }
     val axesNames = if (dimNames.nonEmpty) dimNames else msAxes
     val fill = jsonFill(zj \ "fill_value")
-    // codec chain → endianness + optional compressor id
+    // codec chain → endianness + at most ONE compressor id: a second
+    // compression codec would mean doubly-compressed bytes that a
+    // single-layer decode turns into garbage, so reject it loudly
     def parseChain(codecs: Seq[JValue]): (Boolean, Option[String]) = {
       var bigEndian = false
       var comp: Option[String] = None
+      def setComp(id: String): Unit = {
+        if (comp.isDefined) throw new UnsupportedFileFormatError(
+          s"unsupported zarr v3 codec chain: multiple compression " +
+            s"codecs (${comp.get} then $id)")
+        comp = Some(id)
+      }
       codecs.foreach { c =>
         (c \ "name") match {
           case JString("bytes") | JString("endian") =>
             bigEndian = (c \ "configuration" \ "endian") == JString("big")
-          case JString("gzip")  => comp = Some("gzip")
-          case JString("zstd")  => comp = Some("zstd")
-          case JString("blosc") => comp = Some("blosc")
+          case JString("gzip")  => setComp("gzip")
+          case JString("zstd")  => setComp("zstd")
+          case JString("blosc") => setComp("blosc")
           case other => throw new UnsupportedFileFormatError(
             s"unsupported zarr v3 codec $other " +
               "(supported: bytes, gzip, zstd, blosc, sharding_indexed)")

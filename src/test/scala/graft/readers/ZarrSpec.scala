@@ -527,6 +527,58 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("v2 numcodecs gzip compressor id reads; a v3 chain with two " +
+      "compression codecs is rejected loudly") {
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    // zarr-python's GZip codec writes {"id":"gzip"} v2 stores — distinct
+    // from "zlib" (raw deflate) but the same RFC-1952 wire format the v3
+    // gzip codec uses
+    val root = tmp("v2gzip.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put(".zgroup", ZarrFormat.zgroup.getBytes)
+    put(".zattrs", ZarrFormat.imageAttrs("Image:0", 1,
+      Seq.fill(5)(1.0), Seq("C0")).getBytes)
+    put("0/.zarray",
+      ("""{"zarr_format":2,"shape":[1,1,1,2,3],"chunks":[1,1,1,2,3],""" +
+        """"dtype":"<f8","compressor":{"id":"gzip","level":5},""" +
+        """"fill_value":0,"order":"C","filters":null}""").getBytes)
+    val px = Array.tabulate(6)(k => (k / 3) * 10.0 + k % 3)
+    put("0/0.0.0.0.0", gzipBytes(ZarrFormat.encodeChunk(px, PixelType.Float64)))
+    val back = BioSpark.open(spark, root)
+    val nd = back.getImageData("YX")
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(nd.array(y, x) == y * 10.0 + x, s"($y,$x)")
+
+    // doubly-compressed v3 chain: a single-layer decode would yield
+    // garbage, so the parse must refuse it instead
+    val root2 = tmp("v3double.zarr")
+    def put2(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root2, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put2("zarr.json", ngff05Group("Image:0").getBytes)
+    put2("0/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[1,1,1,2,3],""" +
+        """"data_type":"float64","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[1,1,1,2,3]}},""" +
+        """"chunk_key_encoding":{"name":"default"},"fill_value":0,""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+        """{"name":"gzip","configuration":{"level":5}},""" +
+        """{"name":"zstd","configuration":{"level":3}}],""" +
+        """"dimension_names":["t","c","z","y","x"]}""").getBytes)
+    val err = intercept[graft.core.UnsupportedFileFormatError] {
+      BioSpark.open(spark, root2).dims
+    }
+    assert(err.getMessage.contains("multiple compression codecs"))
+  }
+
   test("v3 WRITE: ragged grid + multiscale roundtrip through the v3 " +
       "reader; NGFF 0.5 attrs under attributes.ome; v2 behind format=2") {
     import java.nio.file.Paths
@@ -544,8 +596,10 @@ class ZarrSpec extends SparkSpec {
     // group node: NGFF 0.5, namespaced under attributes.ome
     val grp = new String(Files.readAllBytes(Paths.get(uri, "0", "zarr.json")))
     assert(grp.contains(""""node_type":"group""""), grp)
-    assert(grp.contains(""""ome":{"""), grp)
-    assert(grp.contains(""""version":"0.5""""), grp)
+    // 0.5 declares the version at the top of the ome namespace (the 0.4
+    // per-multiscale field was removed) — validators key off this spot
+    assert(grp.contains(""""ome":{"version":"0.5","""), grp)
+    assert(!grp.contains("""multiscales":[{"version""""), grp)
     // chunk objects under the default "c"-prefix encoding
     assert(Files.exists(Paths.get(uri, "0", "0", "c", "0", "0", "0", "0", "0")))
     val back = BioSpark.open(spark, uri)
