@@ -274,6 +274,14 @@ final class BioImage(
   def save(uri: String, selectScenes: Option[Seq[String]] = None): Unit =
     graft.writers.Writers.save(this, uri, selectScenes)
 
+  /** Options-carrying save — the reference save's kwargs channel: each
+    * writer parses its own keys (zarr: format/levels/compressor/chunk/
+    * shardInner; tiff: compression/tile/bigTiff/pyramidLevels; jpeg:
+    * quality; plane store: levels) and raises on keys it can't honor. */
+  def save(uri: String, selectScenes: Option[Seq[String]],
+      options: Map[String, String]): Unit =
+    graft.writers.Writers.save(this, uri, selectScenes, options)
+
   /** Resolve a selection against the dim's size: negative indices count
     * from the end (reference reshape_data accepts e.g. C=(0,-1),
     * bio_image.py:776-827); out-of-range indices raise rather than

@@ -95,6 +95,30 @@ object OmeTiffWriter extends BioWriter {
       selectScenes: Option[Seq[String]]): Unit =
     save(img, uri, selectScenes, TiffOptions())
 
+  /** Facade options (BioImage.save / Writers dispatch): "compression"
+    * (none|lzw|deflate), "tile" ("WxH", multiples of 16), "bigTiff"
+    * (true|false), "pyramidLevels" — the TiffOptions surface, reachable
+    * through extension dispatch. */
+  override def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]],
+      options: Map[String, String]): Unit = {
+    WriterOptions.unknown(options,
+      Set("compression", "tile", "bigTiff", "pyramidLevels"), name)
+    val comp = options.get("compression").map(_.trim.toLowerCase) match {
+      case None | Some("none") => TiffFormat.CompressionNone
+      case Some("lzw")         => TiffFormat.CompressionLZW
+      case Some("deflate")     => TiffFormat.CompressionDeflate
+      case Some(other) => throw new IllegalArgumentException(
+        s"$name: unsupported compression '$other' (none, lzw, deflate)")
+    }
+    save(img, uri, selectScenes, TiffOptions(
+      compression = comp,
+      tile = WriterOptions.dims(options, "tile"),
+      bigTiff = WriterOptions.bool(options, "bigTiff").getOrElse(false),
+      pyramidLevels =
+        WriterOptions.int(options, "pyramidLevels").getOrElse(1)))
+  }
+
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
       opts: TiffOptions): Unit = {
     require(TiffFormat.compressionSupported(opts.compression),

@@ -29,6 +29,24 @@ object ZarrWriter extends BioWriter {
       selectScenes: Option[Seq[String]]): Unit =
     save(img, uri, selectScenes, levels = 1)
 
+  /** Facade options (BioImage.save / Writers dispatch): "format" (2|3),
+    * "levels", "compressor" (gzip/zstd/blosc; v2: zlib/zstd/blosc),
+    * "chunk" ("THxTW" stored-chunk grid), "shardInner" ("IHxIW"
+    * sharding_indexed inner chunks) — the writer's full direct-call
+    * surface, reachable through extension dispatch. */
+  override def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]],
+      options: Map[String, String]): Unit = {
+    WriterOptions.unknown(options,
+      Set("format", "levels", "compressor", "chunk", "shardInner"), name)
+    save(img, uri, selectScenes,
+      levels = WriterOptions.int(options, "levels").getOrElse(1),
+      compressor = options.get("compressor"),
+      format = WriterOptions.int(options, "format").getOrElse(3),
+      shardInner = WriterOptions.dims(options, "shardInner"),
+      chunk = WriterOptions.dims(options, "chunk"))
+  }
+
   def save(img: BioImage, uri: String, selectScenes: Option[Seq[String]],
       levels: Int): Unit =
     save(img, uri, selectScenes, levels, compressor = None)

@@ -217,6 +217,22 @@ class OmeTiffSpec extends SparkSpec {
     assert(back.omeMetadata.images.head.pixels.sizeX == 5)
   }
 
+  test("TiffOptions through the BioImage.save facade: compression, tiling " +
+      "and pyramid levels via the options map") {
+    val img = BioSpark.fromArray(spark,
+      formulaic(Seq(2, 40, 48)), Some("CYX"))
+    val uri = tmp("opts.ome.tiff")
+    img.save(uri, None, Map(
+      "compression" -> "deflate", "tile" -> "16x16", "pyramidLevels" -> "2"))
+    val back = BioSpark.open(spark, uri)
+    assert(back.resolutionLevels == Seq(0, 1))
+    val nd = back.getImageData("CYX")
+    for (c <- 0 until 2; y <- 0 until 40 by 7; x <- 0 until 48 by 11)
+      assert(nd.array(c, y, x) == c * 100.0 + y * 10.0 + x, s"($c,$y,$x)")
+    intercept[IllegalArgumentException](img.save(tmp("bad.ome.tiff"), None,
+      Map("compression" -> "jpeg2000")))
+  }
+
   test("multi-scene save renumbers ids and preserves order; selection works") {
     val arrs = (0 until 3).map(i =>
       NDArray.tabulate(Seq(2, 2))(idx => i * 100.0 + idx(0) * 10 + idx(1)))

@@ -527,6 +527,38 @@ class ZarrSpec extends SparkSpec {
     }
   }
 
+  test("writer options through the BioImage.save facade: a sharded, " +
+      "compressed, multiscale v3 store and a v2 store via extension " +
+      "dispatch; unknown keys raise") {
+    import java.nio.file.Paths
+    val img = BioSpark.fromArray(spark, formulaic(Seq(2, 8, 8)), Some("CYX"))
+    val uri = tmp("opt.ome.zarr")
+    img.save(uri, None, Map(
+      "levels" -> "2", "compressor" -> "zstd", "shardInner" -> "4x4"))
+    // sharded layout on disk: one whole-plane shard object per (c, level)
+    val grp = new String(Files.readAllBytes(Paths.get(uri, "0", "0", "zarr.json")))
+    assert(grp.contains(""""sharding_indexed""""), grp)
+    assert(grp.contains(""""zstd""""), grp)
+    val back = BioSpark.open(spark, uri)
+    assert(back.resolutionLevels == Seq(0, 1))
+    val nd = back.getImageData("CYX")
+    for (c <- 0 until 2; y <- 0 until 8; x <- 0 until 8)
+      assert(nd.array(c, y, x) == c * 100.0 + y * 10.0 + x, s"($c,$y,$x)")
+
+    // v2 behind the same facade
+    val uri2 = tmp("opt2.ome.zarr")
+    img.save(uri2, None, Map("format" -> "2", "compressor" -> "zlib"))
+    assert(Files.exists(Paths.get(uri2, ".zgroup")))
+    assert(BioSpark.open(spark, uri2).getImageData("CYX").array(1, 7, 6)
+      == 176.0)
+
+    // unknown keys and malformed dims raise instead of being dropped
+    intercept[IllegalArgumentException](
+      img.save(tmp("bad.ome.zarr"), None, Map("chunks" -> "4x4")))
+    intercept[IllegalArgumentException](
+      img.save(tmp("bad2.ome.zarr"), None, Map("chunk" -> "4x4x4")))
+  }
+
   test("v2 numcodecs gzip compressor id reads; a v3 chain with two " +
       "compression codecs is rejected loudly") {
     import java.nio.file.Paths
