@@ -31,23 +31,49 @@ object TwoDWriter extends BioWriter {
   override def supportedExtensions: Seq[String] =
     Seq(".png", ".bmp", ".jpg", ".jpeg")
 
-  /** ImageIO format name for a target uri. */
+  /** ImageIO format name for a target uri — direct callers can hand any
+    * path here, so an extension outside the registered set raises rather
+    * than silently writing JPEG bytes under a foreign name. */
   private def formatOf(uri: String): String = {
     val lower = uri.toLowerCase.takeWhile(_ != '?')
     if (lower.endsWith(".png")) "png"
     else if (lower.endsWith(".bmp")) "bmp"
-    else "jpg"
+    else if (lower.endsWith(".jpg") || lower.endsWith(".jpeg")) "jpg"
+    else throw new IllegalArgumentException(
+      s"$name cannot infer a format for '$uri' " +
+        s"(supported: ${supportedExtensions.mkString(", ")})")
   }
 
   override def save(img: BioImage, uri: String,
-      selectScenes: Option[Seq[String]]): Unit = {
+      selectScenes: Option[Seq[String]]): Unit =
+    save(img, uri, selectScenes, Map.empty[String, String])
+
+  /** Facade options: "quality" — JPEG encode quality in (0,1]
+    * (ImageIO's compression-quality parameter; default leaves the
+    * encoder's own default, ~0.75). Rejected for png/bmp (lossless). */
+  override def save(img: BioImage, uri: String,
+      selectScenes: Option[Seq[String]],
+      options: Map[String, String]): Unit = {
+    WriterOptions.unknown(options, Set("quality"), name)
+    val quality = options.get("quality").map { v =>
+      val q = try v.trim.toFloat catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"writer option quality must be a number in (0,1], got '$v'")
+      }
+      require(q > 0f && q <= 1f,
+        s"writer option quality must be in (0,1], got $q")
+      q
+    }
+    require(quality.isEmpty || formatOf(uri) == "jpg",
+      "writer option quality applies to JPEG only")
     val saved = img.currentSceneIndex
-    try saveCurrent(img, uri, selectScenes)
+    try saveCurrent(img, uri, selectScenes, quality)
     finally img.setScene(saved)
   }
 
   private def saveCurrent(img: BioImage, uri: String,
-      selectScenes: Option[Seq[String]]): Unit = {
+      selectScenes: Option[Seq[String]], quality: Option[Float]): Unit = {
     val fmt = formatOf(uri)
     selectScenes.foreach { sel =>
       require(sel.length == 1 && img.scenes.contains(sel.head),
@@ -107,8 +133,28 @@ object TwoDWriter extends BioWriter {
       img.spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(uri), true)
     try {
-      if (!ImageIO.write(buf, fmt, out))
-        throw new IllegalStateException(s"no $fmt encoder available")
+      quality match {
+        case Some(q) =>
+          // explicit JPEG quality: drive the encoder through its
+          // ImageWriteParam instead of the convenience ImageIO.write
+          val it = ImageIO.getImageWritersByFormatName(fmt)
+          if (!it.hasNext)
+            throw new IllegalStateException(s"no $fmt encoder available")
+          val writer = it.next()
+          val ios = ImageIO.createImageOutputStream(out)
+          try {
+            val param = writer.getDefaultWriteParam
+            param.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(q)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(buf, null, null),
+              param)
+          } finally { ios.flush(); writer.dispose() }
+        case None =>
+          if (!ImageIO.write(buf, fmt, out))
+            throw new IllegalStateException(s"no $fmt encoder available")
+      }
     } finally out.close()
   }
 }

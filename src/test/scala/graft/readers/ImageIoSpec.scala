@@ -120,6 +120,43 @@ class ImageIoSpec extends SparkSpec {
     }
   }
 
+  test("JPEG quality option: explicit encoder quality through the save " +
+      "facade, decode-equality at both settings, bigger file at q=1.0") {
+    import graft.writers.TwoDWriter
+    // busy content so quality actually moves the encoded size
+    val arr = NDArray.tabulate(Seq(16, 16))(idx =>
+      ((idx(0) * 31 + idx(1) * 17) % 7) * 30.0)
+    val img = BioSpark.fromArray(spark, arr)
+    val sizes = Seq("0.3", "1.0").map { q =>
+      val uri = tmp(s"q$q.jpg")
+      img.save(uri, None, Map("quality" -> q))
+      // decode-equality contract holds at every quality setting
+      val nd = BioSpark.open(spark, uri).getImageData("YX")
+      val jdk = ImageIO.read(new java.io.File(uri))
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(nd.array(y, x) == jdk.getRaster.getSample(x, y, 0).toDouble,
+          s"q=$q ($y,$x)")
+      Files.size(java.nio.file.Paths.get(uri))
+    }
+    assert(sizes(1) > sizes(0),
+      s"q=1.0 (${sizes(1)}B) should out-size q=0.3 (${sizes(0)}B)")
+    // quality is a JPEG-only knob; lossless formats reject it
+    intercept[IllegalArgumentException](
+      img.save(tmp("q.png"), None, Map("quality" -> "0.5")))
+    // out-of-range and non-numeric values fail loudly
+    intercept[IllegalArgumentException](
+      img.save(tmp("q2.jpg"), None, Map("quality" -> "1.5")))
+    intercept[IllegalArgumentException](
+      img.save(tmp("q3.jpg"), None, Map("quality" -> "hi")))
+    // direct writer calls with an unregistered extension raise instead of
+    // silently writing JPEG bytes under a foreign name
+    intercept[IllegalArgumentException](
+      TwoDWriter.save(img, tmp("img.tif"), None))
+    // unknown option keys raise on every writer
+    intercept[IllegalArgumentException](
+      img.save(tmp("q4.jpg"), None, Map("speed" -> "11")))
+  }
+
   test("non-image file is rejected by plugin resolution") {
     val p = tmp("not.png")
     Files.write(java.nio.file.Paths.get(p), "hello".getBytes)
