@@ -113,4 +113,21 @@ class StreamOpsSpec extends SparkSpec {
     // the provider override did not leak into the session
     assert(spark.conf.getOption(providerKey) == before)
   }
+
+  test("RocksDB provider parity on a second state shape: session-window " +
+      "aggregation matches the HDFS-backed provider row for row") {
+    // session windows keep merge-able per-key window state — a different
+    // state-store column-family layout than dedup's key-presence state,
+    // so provider parity on the q47 shape alone doesn't cover it
+    def run(name: String, provider: Option[String]) = {
+      val df = StreamOps.runToMemory(spark,
+        StreamOps.sessionCounts(StreamOps.readEvents(spark, sf)),
+        name, "complete", stateStoreProvider = provider)
+      df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+    }
+    val rocks = run("session_rocksdb", Some(StreamOps.RocksDBProvider))
+    val default = run("session_default", None)
+    assert(rocks.nonEmpty)
+    assert(rocks == default)
+  }
 }
