@@ -371,6 +371,63 @@ object TextOps {
       |   AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** Repetition-quality signals (the Gopher/MassiveText repetition
+    * filters): per-doc type-token ratio and the fraction of bigram slots
+    * covered by the single most frequent bigram. Heavily repetitive
+    * machine-generated text scores low TTR / high top-bigram fraction
+    * and gets filtered before training. Everything computes IN-ROW —
+    * bigrams via an index HOF, the max bigram frequency as the longest
+    * equal-run of the sorted bigram array via one `aggregate` fold — so
+    * the pass is map-only + final sort, no per-doc explode/groupBy
+    * shuffle (at 100 TB an exploded bigram shuffle would dwarf the scan). */
+  val q66Repetition: Q = (spark, dir) => {
+    val n = size(words)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val runState = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    val maxBigram = aggregate(array_sort(bigrams), runState,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs(spark, dir)
+      .select(col("doc_id"), n.as("n"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        maxBigram.as("max_bigram_n"))
+      .filter(col("n") >= 2)
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n")).as("ttr"),
+        col("max_bigram_n"),
+        (col("max_bigram_n").cast("double") / (col("n") - 1))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q66Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |b AS (SELECT doc_id, len(ws) AS n,
+      |  len(list_distinct(ws)) AS nd,
+      |  list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1]) AS bgs
+      |  FROM t WHERE len(ws) >= 2),
+      |e AS (SELECT doc_id, n, nd, unnest(bgs) AS bg FROM b),
+      |c AS (SELECT doc_id, n, nd, bg, count(*) AS cnt
+      |  FROM e GROUP BY 1, 2, 3, 4),
+      |m AS (SELECT doc_id, any_value(n) AS n, any_value(nd) AS nd,
+      |  max(cnt) AS mx FROM c GROUP BY doc_id)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      | CAST(nd AS BIGINT) AS n_distinct, nd * 1.0 / n AS ttr,
+      | CAST(mx AS BIGINT) AS max_bigram_n,
+      | mx * 1.0 / (n - 1) AS top_bigram_frac
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -383,6 +440,7 @@ object TextOps {
     "q57_chunk_dedup" -> q57ChunkDedup,
     "q59_tfidf" -> q59Tfidf,
     "q64_train_mix" -> q64TrainMix,
+    "q66_repetition" -> q66Repetition,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -397,5 +455,6 @@ object TextOps {
     "q57_chunk_dedup" -> q57Oracle,
     "q59_tfidf" -> q59Oracle,
     "q64_train_mix" -> q64Oracle,
+    "q66_repetition" -> q66Oracle,
   )
 }
