@@ -436,12 +436,29 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     } yield (ti, ci, zi, yi, xi)
     val slices = math.min(keys.length,
       spark.sparkContext.defaultParallelism).max(1)
-    spark.createDataset(keys)
-      .repartition(slices)
+    // parallelize keeps CONTIGUOUS key blocks per partition (vs
+    // repartition's round-robin shuffle): inner chunks of one shard stay
+    // adjacent in a task, so the stat-less remote fallback's per-task
+    // shard memo below actually hits — and the tiny catalog shuffle
+    // disappears
+    spark.createDataset(spark.sparkContext.parallelize(keys, slices))
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
           val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
+          // one-slot memo for the buffered-shard fallback: consecutive
+          // inner chunks of the same shard reuse one fetch instead of
+          // re-reading the object per chunk (bounded at one shard)
+          var memoPath: Path = null
+          var memoBytes: Option[Array[Byte]] = None
+          def readShardMemo(p: Path): Option[Array[Byte]] = {
+            if (p == memoPath) memoBytes
+            else {
+              val b = ZarrReader.readAllIfExists(f, p)
+              memoPath = p; memoBytes = b
+              b
+            }
+          }
           it.flatMap { case (ti, ci, zi, yi, xi) =>
             // chunk key: one component per STORED dim, in stored order
             // (the sample dim is one full-extent chunk → index 0). v2
@@ -509,7 +526,7 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
                       case _: java.io.FileNotFoundException => None
                     }
                   case None =>
-                    ZarrReader.readAllIfExists(f, p).flatMap { all =>
+                    readShardMemo(p).flatMap { all =>
                       val b0 =
                         if (idxAtEnd) all.length - idxBytes.toInt else 0
                       val (off, nb) = entryAt(all, b0)
