@@ -303,6 +303,21 @@ object EventOps {
       |GROUP BY s.user_id, s.signup_us
       |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  /** The q58 funnel re-expressed on Spark 4's `transformWithState`
+    * (StatefulProcessor + ValueState over RocksDB column-family state —
+    * the modern arbitrary-state API). Same oracle as q58: the two state
+    * APIs must agree bit-for-bit. */
+  val q67FunnelTws: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q67_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.funnelTws(spark, StreamOps.readEvents(spark, dir)),
+      name, stateStoreProvider = Some(StreamOps.RocksDBProvider))
+      .select(col("user_id"), col("signup_us"), col("n_purch"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -315,6 +330,7 @@ object EventOps {
     "q47_stream_dedup" -> q47StreamDedup,
     "q56_stream_join" -> q56StreamJoin,
     "q58_funnel_state" -> q58FunnelState,
+    "q67_funnel_tws" -> q67FunnelTws,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -329,5 +345,6 @@ object EventOps {
     "q47_stream_dedup" -> q47Oracle,
     "q56_stream_join" -> q56Oracle,
     "q58_funnel_state" -> q58Oracle,
+    "q67_funnel_tws" -> q58Oracle, // same computation, two state APIs
   )
 }

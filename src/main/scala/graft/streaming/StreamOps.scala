@@ -156,6 +156,58 @@ object StreamOps {
       .toDF()
   }
 
+  /** The conversion funnel as a Spark 4 `StatefulProcessor` — the
+    * `transformWithState` arbitrary-state API that succeeds
+    * flatMapGroupsWithState: named typed state primitives (one
+    * ValueState here) with per-state TTL and timers, each state variable
+    * its own RocksDB column family (the operator REQUIRES the RocksDB
+    * provider). Fold semantics are identical to [[conversionFunnel]];
+    * [[funnelTws]] + the parity spec pin that. */
+  class FunnelProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, FunnelEvent, FunnelOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[FunnelEvent],
+        timers: TimerValues): Iterator[FunnelOut] = {
+      val evs = it.toVector
+      val cur = if (st.exists()) st.get()
+        else FunnelState(Long.MaxValue, 0L, 0L)
+      val minSig = evs.iterator.filter(_.event_type == "signup")
+        .map(_.ts_us).minOption.getOrElse(Long.MaxValue)
+      val signupUs = math.min(cur.signupUs, minSig)
+      val purch = if (signupUs == Long.MaxValue) Vector.empty
+        else evs.filter(e =>
+          e.event_type == "purchase" && e.ts_us >= signupUs)
+      val st2 = FunnelState(signupUs, cur.nPurch + purch.size,
+        cur.cents + purch.iterator
+          .map(e => math.floor(e.value * 100).toLong).sum)
+      st.update(st2)
+      if (st2.signupUs == Long.MaxValue) Iterator.empty
+      else Iterator.single(
+        FunnelOut(uid, st2.signupUs, st2.nPurch, st2.cents))
+    }
+  }
+
+  /** [[conversionFunnel]] re-expressed on `transformWithState`. Run it
+    * with `stateStoreProvider = Some(RocksDBProvider)` — the operator
+    * rejects the HDFS-backed store. */
+  def funnelTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** Stream-stream interval join (purchase attribution): each purchase
     * matched to the same user's clicks in the preceding 10 minutes. Both
     * sides are watermarked and the join condition bounds event time on

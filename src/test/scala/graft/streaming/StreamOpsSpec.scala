@@ -130,4 +130,21 @@ class StreamOpsSpec extends SparkSpec {
     assert(rocks.nonEmpty)
     assert(rocks == default)
   }
+
+  test("transformWithState funnel (Spark 4 StatefulProcessor, RocksDB " +
+      "column-family state) matches the flatMapGroupsWithState funnel") {
+    def run(df: org.apache.spark.sql.DataFrame, name: String,
+        provider: Option[String]) =
+      StreamOps.runToMemory(spark, df, name, stateStoreProvider = provider)
+        .select("user_id", "signup_us", "n_purch", "cents")
+        .orderBy("user_id").collect().toSeq
+    val tws = run(
+      StreamOps.funnelTws(spark, StreamOps.readEvents(spark, sf)),
+      "funnel_tws", Some(StreamOps.RocksDBProvider))
+    val fmgws = run(
+      StreamOps.conversionFunnel(spark, StreamOps.readEvents(spark, sf)),
+      "funnel_fmgws", None)
+    assert(tws.nonEmpty)
+    assert(tws == fmgws)
+  }
 }
