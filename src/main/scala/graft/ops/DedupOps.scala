@@ -378,6 +378,61 @@ object DedupOps {
        |  JOIN sh sb ON sb.doc_id = cand.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** Candidate verification by exact edit distance: q40's LSH band pairs
+    * re-scored with Levenshtein distance and a normalized similarity.
+    * The O(len²) DP runs ONLY on the LSH-bounded candidate set (Σ
+    * band-bucket² pairs), never corpus² — the standard candidate-then-
+    * verify shape for fuzzy dedup; `levenshtein` is a codegen'd built-in
+    * on both engines, so the oracle is exact. `edit_sim` is computed as
+    * (maxlen − dist) · 1/maxlen with an integer numerator — the same
+    * int/int IEEE division both engines agree on bit-for-bit. */
+  val q68EditVerify: Q = (spark, dir) => {
+    val d = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val texts = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val dist = levenshtein(col("ta"), col("tb")).cast("long")
+    val maxLen = greatest(length(col("ta")), length(col("tb"))).cast("long")
+    lshCandidates(d, nHashes = 32, bands = 8)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        dist.as("edit_dist"),
+        ((maxLen - dist).cast("double") / maxLen).as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q68Oracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs FROM d),
+       |hh AS (SELECT doc_id, shs, list_transform(shs, s ->
+       |    ${polyHashSql("s")}) AS shh FROM sh),
+       |sg AS (SELECT doc_id, list_transform(range(0, 32), i ->
+       |    list_min(list_transform(shh, h ->
+       |      (h * (2654435761 + i*40503) + i*97 + 1) % 2147483647))) AS sig
+       |  FROM hh),
+       |bd AS (SELECT doc_id, b.band,
+       |    list_reduce([CAST(0 AS BIGINT)] || sig[b.band*4+1 : b.band*4+4],
+       |      (a,v) -> (a*1000003+v) % 2147483647) AS band_hash
+       |  FROM sg CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bd a JOIN bd b2 ON a.band = b2.band
+       |    AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       |  (greatest(length(da.text), length(db.text)) -
+       |     levenshtein(da.text, db.text)) * 1.0 /
+       |    greatest(length(da.text), length(db.text)) AS edit_sim
+       |FROM cand JOIN documents da ON da.doc_id = cand.doc_a
+       |  JOIN documents db ON db.doc_id = cand.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Oracle replication of the SimHash fingerprint: identical 62-bit
     * token hashes, identical bit votes, identical fingerprints. */
   val q41Oracle: String =
@@ -401,6 +456,7 @@ object DedupOps {
     "q40_minhash_lsh" -> q40MinHashLsh,
     "q41_simhash" -> q41SimHash,
     "q52_dedup_clusters" -> q52DedupClusters,
+    "q68_edit_verify" -> q68EditVerify,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -408,5 +464,6 @@ object DedupOps {
     "q40_minhash_lsh" -> q40Oracle,
     "q41_simhash" -> q41Oracle,
     "q52_dedup_clusters" -> q52Oracle,
+    "q68_edit_verify" -> q68Oracle,
   )
 }
