@@ -648,6 +648,69 @@ object SimilarityOps {
        |SELECT q_id, rank, vec_id AS neighbor_id, round(adc, 4) AS adc_dist
        |FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  /** Scalar quantization (SQ8): per-dimension min/max train pass, 8-bit
+    * codes, integer code-space top-k — the simplest embedding-compression
+    * tier (4× over float32 with no codebook training; the FAISS
+    * ScalarQuantizer analog, below PQ in the compression ladder). The
+    * train pass is ONE partial-aggregatable 64-group min/max (map-side
+    * combine makes it a scan at 100 TB); encode is map-only against the
+    * broadcast 1-row stats; the probe ranks by Σ(code−qcode)² entirely
+    * in int64 — exact on any engine, no float summation anywhere. */
+  val q69Sq8: Q = (spark, dir) => {
+    val dims = 64
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("emb"))
+    val st = e.select(posexplode(col("emb")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"),
+        col("mx")))).as("st"))
+    def codeAt(emb: Column, d: Column): Column = {
+      val s = element_at(col("st"), (d + 1).cast("int"))
+      val mn = s.getField("mn")
+      val mx = s.getField("mx")
+      val v = element_at(emb, (d + 1).cast("int"))
+      least(lit(255L), greatest(lit(0L),
+        when(mx > mn, floor((v - mn) / (mx - mn) * 255))
+          .otherwise(lit(0L)).cast("long")))
+    }
+    val codes = e.crossJoin(broadcast(st))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => codeAt(col("emb"), d)).as("codes"))
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("codes").as("qcodes"))
+    codes.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(dims - 1)), lit(0L), (acc, d) => {
+          val diff = element_at(col("codes"), (d + 1).cast("int")) -
+            element_at(col("qcodes"), (d + 1).cast("int"))
+          acc + diff * diff
+        }).as("code_dist"))
+      .orderBy(col("code_dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  val q69Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |x AS (SELECT vec_id, generate_subscripts(emb, 1) AS d,
+      |  unnest(emb) AS v FROM e),
+      |st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM x GROUP BY d),
+      |c AS (SELECT x.vec_id, x.d,
+      |  least(255, greatest(0, CASE WHEN st.mx > st.mn
+      |    THEN CAST(floor((x.v - st.mn) / (st.mx - st.mn) * 255) AS BIGINT)
+      |    ELSE 0 END)) AS cd
+      | FROM x JOIN st USING (d)),
+      |q AS (SELECT d, cd AS qc FROM c WHERE vec_id = 0)
+      |SELECT c.vec_id,
+      | CAST(sum((c.cd - q.qc) * (c.cd - q.qc)) AS BIGINT) AS code_dist
+      |FROM c JOIN q USING (d)
+      |GROUP BY c.vec_id
+      |ORDER BY code_dist, vec_id
+      |LIMIT 10""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -659,6 +722,7 @@ object SimilarityOps {
     "q53_kmeans_centroids" -> q53KmeansCentroids,
     "q54_pq_adc" -> q54PqAdc,
     "q55_ivfpq_probe" -> q55IvfPqProbe,
+    "q69_sq8_codes" -> q69Sq8,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -672,5 +736,6 @@ object SimilarityOps {
     "q53_kmeans_centroids" -> q53Oracle,
     "q54_pq_adc" -> q54Oracle,
     "q55_ivfpq_probe" -> q55Oracle,
+    "q69_sq8_codes" -> q69Oracle,
   )
 }
