@@ -382,9 +382,15 @@ object TextOps {
     * the pass is map-only + final sort, no per-doc explode/groupBy
     * shuffle (at 100 TB an exploded bigram shuffle would dwarf the scan). */
   val q66Repetition: Q = (spark, dir) => {
-    val n = size(words)
-    val bigrams = transform(sequence(lit(1), n - 1),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    // stage the split() into its own projection: the bigram lambda below
+    // reads the token array per ELEMENT, and an inlined split would be
+    // re-evaluated per element (lambda bodies are outside codegen's
+    // subexpression elimination) — O(tokens²) splits instead of one.
+    // The two non-lambda references (size/array_distinct) keep
+    // CollapseProject from inlining the alias.
+    val ws = col("ws")
+    val bigrams = transform(sequence(lit(1), size(ws) - 1),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
     val runState = struct(lit("").as("prev"), lit(0L).as("run"),
       lit(0L).as("best"))
     val maxBigram = aggregate(array_sort(bigrams), runState,
@@ -396,8 +402,9 @@ object TextOps {
       },
       acc => acc.getField("best"))
     docs(spark, dir)
-      .select(col("doc_id"), n.as("n"),
-        size(array_distinct(words)).cast("long").as("n_distinct"),
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), size(ws).as("n"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
         maxBigram.as("max_bigram_n"))
       .filter(col("n") >= 2)
       .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
