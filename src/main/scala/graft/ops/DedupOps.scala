@@ -433,6 +433,49 @@ object DedupOps {
        |  JOIN documents db ON db.doc_id = cand.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    * flag training documents sharing any word 3-gram with a held-out
+    * eval set, reporting hit counts and the contaminated fraction of
+    * each doc's shingles. Eval set = doc_id ≡ 0 (mod 97), a deterministic
+    * pseudo-benchmark. The check is an id+shingle equi-join against the
+    * DISTINCT eval shingle set — shuffle payload is one string key per
+    * (doc, shingle), never a pair join, so at 100 TB it costs one
+    * hash-partitioned pass over each corpus (and the eval side, a real
+    * benchmark suite, is broadcast-sized in practice). */
+  val q70Decontaminate: Q = (spark, dir) => {
+    val sh = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val eval_ = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("s")).distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val hits = train.join(eval_, "s")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    hits.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_hit").cast("long").as("n_hit"),
+        col("n_sh").cast("long").as("n_sh"),
+        (col("n_hit").cast("double") / col("n_sh")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM d),
+      |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+      |hit AS (SELECT doc_id, count(*) AS n_hit FROM tr JOIN ev USING (s)
+      |  GROUP BY doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id)
+      |SELECT hit.doc_id, CAST(n_hit AS BIGINT) AS n_hit,
+      | CAST(n_sh AS BIGINT) AS n_sh,
+      | n_hit * 1.0 / n_sh AS contamination
+      |FROM hit JOIN sz USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Oracle replication of the SimHash fingerprint: identical 62-bit
     * token hashes, identical bit votes, identical fingerprints. */
   val q41Oracle: String =
@@ -457,6 +500,7 @@ object DedupOps {
     "q41_simhash" -> q41SimHash,
     "q52_dedup_clusters" -> q52DedupClusters,
     "q68_edit_verify" -> q68EditVerify,
+    "q70_decontaminate" -> q70Decontaminate,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -465,5 +509,6 @@ object DedupOps {
     "q41_simhash" -> q41Oracle,
     "q52_dedup_clusters" -> q52Oracle,
     "q68_edit_verify" -> q68Oracle,
+    "q70_decontaminate" -> q70Oracle,
   )
 }
