@@ -435,6 +435,46 @@ object TextOps {
       | mx * 1.0 / (n - 1) AS top_bigram_frac
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Vocabulary build + out-of-vocabulary rate: top-50 corpus tokens by
+    * frequency (ties broken by token, fully deterministic), then each
+    * doc's token count, OOV count and OOV fraction against that vocab —
+    * the tokenizer-coverage analysis run before fixing a vocab/merges
+    * table. The frequency pass partial-aggregates map-side; the top-K is
+    * a TakeOrdered over the (already tiny) distinct-token aggregate; the
+    * vocab joins back as a broadcast — per-doc scoring never shuffles
+    * more than the (doc_id, token) pairs it aggregates. */
+  val q71VocabOov: Q = (spark, dir) => {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(words).as("t"))
+    val vocab = toks.groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(50)
+      .select(col("t"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Oracle: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |v AS (SELECT t FROM (SELECT t, count(*) AS c FROM tk GROUP BY t
+      |  ORDER BY c DESC, t LIMIT 50)),
+      |pd AS (SELECT doc_id, count(*) AS n_tokens,
+      |  sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS n_oov
+      |  FROM tk GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      | CAST(n_oov AS BIGINT) AS n_oov,
+      | n_oov * 1.0 / n_tokens AS oov_rate
+      |FROM pd ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -448,6 +488,7 @@ object TextOps {
     "q59_tfidf" -> q59Tfidf,
     "q64_train_mix" -> q64TrainMix,
     "q66_repetition" -> q66Repetition,
+    "q71_vocab_oov" -> q71VocabOov,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -463,5 +504,6 @@ object TextOps {
     "q59_tfidf" -> q59Oracle,
     "q64_train_mix" -> q64Oracle,
     "q66_repetition" -> q66Oracle,
+    "q71_vocab_oov" -> q71Oracle,
   )
 }
