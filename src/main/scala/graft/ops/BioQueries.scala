@@ -759,6 +759,40 @@ object BioQueries {
       |  FROM range(4) a(y), range(5) b(x), range(3) c(s))
       |ORDER BY variant, y, x, s""".stripMargin
 
+  // ---------------------------------------------------------------- b28
+  /** S15 options facade under the oracle gate: the same `save()` entry a
+    * reference user calls, carrying writer-specific knobs through the
+    * options map — a sharded zstd multiscale zarr v3 store and a tiled
+    * deflate pyramid OME-TIFF — re-opened through plugin resolution and
+    * hash-checked against the regenerating oracle. */
+  val b28SaveOptions: Q = (spark, _) => {
+    val run = java.util.UUID.randomUUID()
+    val arr = NDArray.tabulate(Seq(2, 6, 8))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    val uriZ = s"/tmp/graft_b28_${run}.ome.zarr"
+    img.save(uriZ, None, Map(
+      "levels" -> "2", "compressor" -> "zstd", "shardInner" -> "4x4"))
+    val uriT = s"/tmp/graft_b28_${run}.ome.tiff"
+    img.save(uriT, None, Map(
+      "compression" -> "deflate", "tile" -> "16x16",
+      "pyramidLevels" -> "2"))
+    Seq(("zarr_sharded", uriZ), ("tiff_tiled", uriT))
+      .map { case (variant, uri) =>
+        BioSpark.open(spark, uri).getImagePixels()
+          .select(lit(variant).as("variant"),
+            col("c").cast("long").as("c"), col("y").cast("long").as("y"),
+            col("x").cast("long").as("x"), col("v"))
+      }.reduce(_ unionByName _)
+      .orderBy(col("variant"), col("c"), col("y"), col("x"))
+  }
+
+  val b28Oracle: String =
+    """SELECT variant, c, y, x, CAST(c*100 + y*10 + x AS DOUBLE) AS v
+      |FROM (VALUES ('zarr_sharded'), ('tiff_tiled')) t(variant),
+      |     range(2) a(c), range(6) b(y), range(8) d(x)
+      |ORDER BY variant, c, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -787,6 +821,7 @@ object BioQueries {
     "b25_gif_timeseries" -> b25GifTimeseries,
     "b26_zarr_v3_write" -> b26ZarrV3Write,
     "b27_bmp_roundtrip" -> b27BmpRoundtrip,
+    "b28_save_options" -> b28SaveOptions,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -817,5 +852,6 @@ object BioQueries {
     "b25_gif_timeseries" -> b25Oracle,
     "b26_zarr_v3_write" -> b26Oracle,
     "b27_bmp_roundtrip" -> b27Oracle,
+    "b28_save_options" -> b28Oracle,
   )
 }
