@@ -497,7 +497,21 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
                 val nEntries = innerPerY * innerPerX
                 val idxBytes = nEntries * 16L + (if (idxCrc) 4 else 0)
                 val ei = (yi % innerPerY) * innerPerX + (xi % innerPerX)
+                // index block = 16n entry bytes [+ crc32c]; the checksum
+                // is VERIFIED when declared — a corrupted index must fail
+                // loudly, not dereference garbage offsets
                 def entryAt(ib: Array[Byte], base0: Int): (Long, Long) = {
+                  if (idxCrc) {
+                    val c = new java.util.zip.CRC32C
+                    c.update(ib, base0, nEntries * 16)
+                    val stored = java.nio.ByteBuffer
+                      .wrap(ib, base0 + nEntries * 16, 4)
+                      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+                    if (stored != c.getValue.toInt)
+                      throw new java.io.IOException(
+                        s"zarr shard index crc32c mismatch in $p: stored " +
+                          f"0x$stored%08x, computed 0x${c.getValue.toInt}%08x")
+                  }
                   val e = java.nio.ByteBuffer.wrap(ib, base0 + ei * 16, 16)
                     .order(java.nio.ByteOrder.LITTLE_ENDIAN)
                   (e.getLong, e.getLong)
@@ -510,7 +524,7 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
                     try {
                       val in = f.open(p)
                       try {
-                        val ib = new Array[Byte](nEntries * 16)
+                        val ib = new Array[Byte](idxBytes.toInt)
                         val at = if (idxAtEnd) len - idxBytes else 0L
                         in.readFully(at, ib, 0, ib.length)
                         val (off, nb) = entryAt(ib, 0)

@@ -525,6 +525,19 @@ class ZarrSpec extends SparkSpec {
       val expect = if (y >= 2 && x >= 2) 9.0 else y * 10.0 + x
       assert(nd.array(y, x) == expect, s"($y,$x)")
     }
+
+    // a flipped byte in the index block must fail the crc32c check
+    // loudly — never dereference garbage offsets
+    val idx0 = payload.length // first index byte
+    val corrupted = (payload ++ index.array() ++ tail.array()).clone()
+    corrupted(idx0) = (corrupted(idx0) ^ 0x5a).toByte
+    put("0/c/0/0/0/0/0", corrupted)
+    val err = intercept[Throwable] {
+      BioSpark.open(spark, root).getImageData("YX")
+    }
+    val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("crc32c mismatch"), msgs)
   }
 
   test("writer options through the BioImage.save facade: a sharded, " +
