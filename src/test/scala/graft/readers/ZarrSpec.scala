@@ -572,6 +572,48 @@ class ZarrSpec extends SparkSpec {
       img.save(tmp("bad2.ome.zarr"), None, Map("chunk" -> "4x4x4")))
   }
 
+  test("zarr v3 sharding_indexed with index_location=start reads (no " +
+      "crc32c declared: index is plain entry bytes before the payload)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.file.Paths
+    import graft.core.PixelType
+    import graft.formats.ZarrFormat
+    val root = tmp("v3shardstart.zarr")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    put("zarr.json", ngff05Group("Image:0").getBytes)
+    put("0/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[1,1,1,4,4],""" +
+        """"data_type":"float64","chunk_grid":{"name":"regular",""" +
+        """"configuration":{"chunk_shape":[1,1,1,4,4]}},""" +
+        """"chunk_key_encoding":{"name":"default"},"fill_value":0,""" +
+        """"codecs":[{"name":"sharding_indexed","configuration":{""" +
+        """"chunk_shape":[1,1,1,2,2],""" +
+        """"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],""" +
+        """"index_codecs":[{"name":"bytes",""" +
+        """"configuration":{"endian":"little"}}],""" +
+        """"index_location":"start"}}],""" +
+        """"dimension_names":["t","c","z","y","x"]}""").getBytes)
+    def innerChunk(yi: Int, xi: Int): Array[Byte] =
+      ZarrFormat.encodeChunk(Array.tabulate(4) { k =>
+        (yi * 2 + k / 2) * 10.0 + (xi * 2 + k % 2)
+      }, PixelType.Float64)
+    val chunks = Seq((0, 0), (0, 1), (1, 0), (1, 1)).map((innerChunk _).tupled)
+    val idxLen = 4 * 16
+    val index = ByteBuffer.allocate(idxLen).order(ByteOrder.LITTLE_ENDIAN)
+    var off = idxLen.toLong // payload begins after the leading index
+    chunks.foreach { c =>
+      index.putLong(off).putLong(c.length.toLong); off += c.length
+    }
+    put("0/c/0/0/0/0/0", index.array() ++ chunks.flatten.toArray)
+    val nd = BioSpark.open(spark, root).getImageData("YX")
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(nd.array(y, x) == y * 10.0 + x, s"($y,$x)")
+  }
+
   test("v2 numcodecs gzip compressor id reads; a v3 chain with two " +
       "compression codecs is rejected loudly") {
     import java.nio.file.Paths
