@@ -448,12 +448,16 @@ object DedupOps {
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
     val eval_ = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("s")).distinct()
-    val train = sh.filter(col("doc_id") % 97 =!= 0)
-    val hits = train.join(eval_, "s")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    hits.join(sizes, "doc_id")
+      .select(col("s")).distinct().withColumn("hit", lit(1L))
+    // ONE pass over the training shingles: the left join marks eval
+    // hits, a single per-doc aggregate yields both counts (aggregating
+    // train twice would recompute and reshuffle the explode)
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(eval_, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .filter(col("n_hit") >= 1)
       .select(col("doc_id"), col("n_hit").cast("long").as("n_hit"),
         col("n_sh").cast("long").as("n_sh"),
         (col("n_hit").cast("double") / col("n_sh")).as("contamination"))

@@ -429,11 +429,24 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     // one catalog row per CHUNK: (t,c,z) x the Y/X tile grid; tiles carry
-    // their mosaic index + offsets so the stitch is a pure projection
-    val keys = for {
-      ti <- 0 until t; ci <- 0 until c; zi <- 0 until z
-      yi <- 0 until ny; xi <- 0 until nx
-    } yield (ti, ci, zi, yi, xi)
+    // their mosaic index + offsets so the stitch is a pure projection.
+    // For sharded arrays, order inner chunks SHARD-MAJOR (all inner
+    // chunks of one shard contiguous) so the per-task shard memo below
+    // fetches each shard object once — row-major order would cross every
+    // shard column before revisiting one, evicting the memo each time
+    val keys = {
+      val raw = for {
+        ti <- 0 until t; ci <- 0 until c; zi <- 0 until z
+        yi <- 0 until ny; xi <- 0 until nx
+      } yield (ti, ci, zi, yi, xi)
+      if (shH == 0) raw
+      else {
+        val (ipy, ipx) = (shH / ch, shW / cw)
+        raw.sortBy { case (ti, ci, zi, yi, xi) =>
+          (ti, ci, zi, yi / ipy, xi / ipx, yi % ipy, xi % ipx)
+        }
+      }
+    }
     val slices = math.min(keys.length,
       spark.sparkContext.defaultParallelism).max(1)
     // parallelize keeps CONTIGUOUS key blocks per partition (vs
@@ -540,7 +553,16 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
                       case _: java.io.FileNotFoundException => None
                     }
                   case None =>
+                    // any stat failure lands here — a deliberate trade:
+                    // the result stays correct via one buffered read of
+                    // the shard (bounded at one stored object), at worst
+                    // slower than the two ranged reads a healthy
+                    // stat+seek scheme would do
                     readShardMemo(p).flatMap { all =>
+                      if (all.length < idxBytes)
+                        throw new java.io.IOException(
+                          s"zarr shard $p truncated: ${all.length} bytes " +
+                            s"< $idxBytes-byte index block")
                       val b0 =
                         if (idxAtEnd) all.length - idxBytes.toInt else 0
                       val (off, nb) = entryAt(all, b0)

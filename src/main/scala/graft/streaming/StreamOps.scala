@@ -107,6 +107,25 @@ object StreamOps {
   case class FunnelOut(user_id: Long, signup_us: Long, n_purch: Long,
       cents: Long)
 
+  /** The one funnel state fold, shared by BOTH state-API operators
+    * ([[conversionFunnel]] and [[FunnelProcessor]]) so their bit-for-bit
+    * parity — which the q67 oracle and the tws-vs-fmgws spec pin — can't
+    * drift through an edit to one copy. Within a batch the signup
+    * minimum resolves BEFORE purchases are counted; money accumulates as
+    * floor(value·100) cents in int64 (exact and order-independent). */
+  private def foldFunnel(evs: Vector[FunnelEvent],
+      cur: FunnelState): FunnelState = {
+    val minSig = evs.iterator.filter(_.event_type == "signup")
+      .map(_.ts_us).minOption.getOrElse(Long.MaxValue)
+    val signupUs = math.min(cur.signupUs, minSig)
+    val purch = if (signupUs == Long.MaxValue) Vector.empty
+      else evs.filter(e =>
+        e.event_type == "purchase" && e.ts_us >= signupUs)
+    FunnelState(signupUs, cur.nPurch + purch.size,
+      cur.cents + purch.iterator
+        .map(e => math.floor(e.value * 100).toLong).sum)
+  }
+
   /** Custom stateful operator via `flatMapGroupsWithState` — the state
     * tier below Spark's built-in windows: a per-user signup→purchase
     * conversion funnel. State per key is THREE scalars (first signup µs,
@@ -136,18 +155,8 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent],
          state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
-          val evs = it.toVector
-          val st = state.getOption.getOrElse(
-            FunnelState(Long.MaxValue, 0L, 0L))
-          val minSig = evs.iterator.filter(_.event_type == "signup")
-            .map(_.ts_us).minOption.getOrElse(Long.MaxValue)
-          val signupUs = math.min(st.signupUs, minSig)
-          val purch = if (signupUs == Long.MaxValue) Vector.empty
-            else evs.filter(e =>
-              e.event_type == "purchase" && e.ts_us >= signupUs)
-          val st2 = FunnelState(signupUs, st.nPurch + purch.size,
-            st.cents + purch.iterator
-              .map(e => math.floor(e.value * 100).toLong).sum)
+          val st2 = foldFunnel(it.toVector, state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, 0L, 0L)))
           state.update(st2)
           if (st2.signupUs == Long.MaxValue) Iterator.empty
           else Iterator.single(
@@ -173,18 +182,9 @@ object StreamOps {
         org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
     override def handleInputRows(uid: Long, it: Iterator[FunnelEvent],
         timers: TimerValues): Iterator[FunnelOut] = {
-      val evs = it.toVector
       val cur = if (st.exists()) st.get()
         else FunnelState(Long.MaxValue, 0L, 0L)
-      val minSig = evs.iterator.filter(_.event_type == "signup")
-        .map(_.ts_us).minOption.getOrElse(Long.MaxValue)
-      val signupUs = math.min(cur.signupUs, minSig)
-      val purch = if (signupUs == Long.MaxValue) Vector.empty
-        else evs.filter(e =>
-          e.event_type == "purchase" && e.ts_us >= signupUs)
-      val st2 = FunnelState(signupUs, cur.nPurch + purch.size,
-        cur.cents + purch.iterator
-          .map(e => math.floor(e.value * 100).toLong).sum)
+      val st2 = foldFunnel(it.toVector, cur)
       st.update(st2)
       if (st2.signupUs == Long.MaxValue) Iterator.empty
       else Iterator.single(

@@ -96,7 +96,8 @@ object OmeTiffWriter extends BioWriter {
     save(img, uri, selectScenes, TiffOptions())
 
   /** Facade options (BioImage.save / Writers dispatch): "compression"
-    * (none|lzw|deflate), "tile" ("WxH", multiples of 16), "bigTiff"
+    * (none|lzw|deflate), "tile" ("HxW" — height-first like the zarr
+    * writers' chunk/shardInner options, multiples of 16), "bigTiff"
     * (true|false), "pyramidLevels" — the TiffOptions surface, reachable
     * through extension dispatch. */
   override def save(img: BioImage, uri: String,
@@ -113,7 +114,9 @@ object OmeTiffWriter extends BioWriter {
     }
     save(img, uri, selectScenes, TiffOptions(
       compression = comp,
-      tile = WriterOptions.dims(options, "tile"),
+      // options syntax is HxW everywhere; TiffOptions.tile is
+      // (tileWidth, tileLength), so swap here, not at the user
+      tile = WriterOptions.dims(options, "tile").map { case (h, w) => (w, h) },
       bigTiff = WriterOptions.bool(options, "bigTiff").getOrElse(false),
       pyramidLevels =
         WriterOptions.int(options, "pyramidLevels").getOrElse(1)))

@@ -150,7 +150,11 @@ object TwoDWriter extends BioWriter {
             writer.setOutput(ios)
             writer.write(null, new javax.imageio.IIOImage(buf, null, null),
               param)
-          } finally { ios.flush(); writer.dispose() }
+          } finally {
+            // close (not just flush): the default FileCacheImageOutput-
+            // Stream frees its disk-cache temp file only on close
+            ios.close(); writer.dispose()
+          }
         case None =>
           if (!ImageIO.write(buf, fmt, out))
             throw new IllegalStateException(s"no $fmt encoder available")

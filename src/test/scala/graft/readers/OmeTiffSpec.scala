@@ -222,10 +222,17 @@ class OmeTiffSpec extends SparkSpec {
     val img = BioSpark.fromArray(spark,
       formulaic(Seq(2, 40, 48)), Some("CYX"))
     val uri = tmp("opts.ome.tiff")
+    // tile syntax is HxW (height-first, like the zarr chunk options):
+    // 32-tall x 16-wide — the non-square shape pins the orientation
     img.save(uri, None, Map(
-      "compression" -> "deflate", "tile" -> "16x16", "pyramidLevels" -> "2"))
+      "compression" -> "deflate", "tile" -> "32x16", "pyramidLevels" -> "2"))
     val back = BioSpark.open(spark, uri)
     assert(back.resolutionLevels == Seq(0, 1))
+    // 40x48 plane over 32-tall x 16-wide tiles → 2x3 tile grid; the
+    // transposed write would yield a 3x2 grid at different offsets
+    assert(back.meta.tilePositions.toSet ==
+      (for (y <- Seq(0, 32); x <- Seq(0, 16, 32)) yield (y, x)).toSet,
+      s"tile grid ${back.meta.tilePositions}")
     val nd = back.getImageData("CYX")
     for (c <- 0 until 2; y <- 0 until 40 by 7; x <- 0 until 48 by 11)
       assert(nd.array(c, y, x) == c * 100.0 + y * 10.0 + x, s"($c,$y,$x)")
