@@ -793,6 +793,40 @@ object BioQueries {
       |     range(2) a(c), range(6) b(y), range(8) d(x)
       |ORDER BY variant, c, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b29
+  /** E12 preprocessing: per-plane standardization (the vision-training
+    * normalize step) as a distributed two-pass transform over the pixel
+    * table — per-plane moment sums, then a map-only z-score joined back
+    * by plane key. Pixels are small integers, so the double moment sums
+    * are EXACT regardless of accumulation order (every partial sum is
+    * exactly representable), and the per-row z arithmetic is the same
+    * IEEE expression on both engines — no rounding needed anywhere. */
+  val b29PlaneNormalize: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(2, 6, 8))(idx =>
+      ((idx(0) * 7 + idx(1) * 5 + idx(2) * 3) % 17).toDouble)
+    val px = BioSpark.fromArray(spark, arr, Some("CYX")).getImagePixels()
+    val m = px.groupBy(col("c"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sm"),
+        sum(col("v") * col("v")).as("sm2"))
+    val mean = col("sm") / col("cnt")
+    px.join(broadcast(m), "c")
+      .select(col("c").cast("long").as("c"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"),
+        ((col("v") - mean) /
+          sqrt(col("sm2") / col("cnt") - mean * mean)).as("z"))
+      .orderBy(col("c"), col("y"), col("x"))
+  }
+
+  val b29Oracle: String =
+    """WITH p AS (SELECT c, y, x,
+      |  CAST((c*7 + y*5 + x*3) % 17 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(6) b(y), range(8) d(x)),
+      |m AS (SELECT c, count(*) AS n, sum(v) AS s, sum(v*v) AS s2
+      |  FROM p GROUP BY c)
+      |SELECT p.c, p.y, p.x,
+      | (v - s/n) / sqrt(s2/n - (s/n)*(s/n)) AS z
+      |FROM p JOIN m USING (c) ORDER BY c, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -822,6 +856,7 @@ object BioQueries {
     "b26_zarr_v3_write" -> b26ZarrV3Write,
     "b27_bmp_roundtrip" -> b27BmpRoundtrip,
     "b28_save_options" -> b28SaveOptions,
+    "b29_plane_normalize" -> b29PlaneNormalize,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -853,5 +888,6 @@ object BioQueries {
     "b26_zarr_v3_write" -> b26Oracle,
     "b27_bmp_roundtrip" -> b27Oracle,
     "b28_save_options" -> b28Oracle,
+    "b29_plane_normalize" -> b29Oracle,
   )
 }
