@@ -475,6 +475,105 @@ object TextOps {
       | n_oov * 1.0 / n_tokens AS oov_rate
       |FROM pd ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** BM25 relevance scoring of the corpus against a fixed query-term set
+    * (the retrieval scorer behind RAG indexing and quality-by-query
+    * filtering). Okapi BM25 with k1=1.2, b=0.75, computed entirely in
+    * scaled int64 arithmetic (×100 fixed-point, integer DIV) so the
+    * score — unlike the float log/division form — is bit-identical on
+    * any engine: idf ≈ ⌊100N/df⌋, dl/avgdl ≈ ⌊100·dl·N/Σdl⌋.
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the
+    * (doc_id, term) aggregation, so the shuffle carries only matching
+    * occurrences (|query| ≪ vocab); df is an unordered window count
+    * over the term partition of that same tiny aggregate; corpus stats
+    * join as one broadcast scalar row; doc length rides the explode
+    * (functionally dependent on doc_id — no second join). */
+  val q72Bm25: Q = (spark, dir) => {
+    val terms = Seq("spark", "join", "window")
+    val tf = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("t"))
+      .filter(col("t").isInCollection(terms))
+      .groupBy(col("doc_id"), col("dl"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("t_tokens"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", expr("(100 * n_docs) DIV df"))
+      .withColumn("r", expr("(100 * dl * n_docs) DIV t_tokens"))
+      .withColumn("s", expr(
+        "(idf * tf * 220) DIV (tf * 100 + (120 * (25 + (75 * r) DIV 100)) DIV 100)"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("n_match"),
+        sum(col("s")).cast("long").as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Oracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w),
+      |tf AS (SELECT doc_id, dl, t, count(*) AS tf FROM t
+      |  WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |st AS (SELECT count(*) AS n_docs, sum(len(ws)) AS t_tokens FROM w),
+      |s AS (SELECT doc_id, dl,
+      |  (((100 * n_docs) // df) * tf * 220) //
+      |   (tf * 100 + (120 * (25 + (75 * ((100 * dl * n_docs) // t_tokens))
+      |     // 100)) // 100) AS s
+      | FROM tf JOIN df USING (t), st)
+      |SELECT doc_id, CAST(dl AS BIGINT) AS dl, count(*) AS n_match,
+      | CAST(sum(s) AS BIGINT) AS bm25
+      |FROM s GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Mean-token-rarity quality score (the integer-exact stand-in for a
+    * CCNet/KenLM perplexity filter): rarity(t) = ⌊T / cnt(t)⌋ against
+    * the corpus unigram table (T = total corpus tokens), and each doc
+    * scores the tf-weighted mean rarity of its tokens. Boilerplate-heavy
+    * docs of ubiquitous tokens score low; rare-token docs score high —
+    * the same ordering a unigram LM's negative log-likelihood induces,
+    * with no float log in sight.
+    *
+    * Scale shape: one (doc_id, token) aggregation shuffle; the global
+    * unigram count is an unordered window sum over the token partition
+    * of that SAME aggregate (no second explode, no vocab join); the
+    * corpus total joins as one broadcast scalar row; the per-doc rollup
+    * shuffles doc-id partials only. */
+  val q73Rarity: Q = (spark, dir) => {
+    val tf = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val total = Tables(spark, dir, "documents")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("t_tokens"))
+    tf.withColumn("cnt", sum(col("tf")).over(Window.partitionBy(col("t"))))
+      .crossJoin(broadcast(total))
+      .withColumn("rar", expr("t_tokens DIV cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(expr("tf * rar")).cast("long").as("rarity_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("rarity_sum"),
+        (col("rarity_sum").cast("double") / col("n_tokens")).as("mean_rarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q73Oracle: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |c AS (SELECT t, sum(tf) AS cnt FROM tf GROUP BY t),
+      |st AS (SELECT count(*) AS t_tokens FROM tk),
+      |s AS (SELECT doc_id, tf, t_tokens // cnt AS rar
+      |  FROM tf JOIN c USING (t), st)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      | CAST(sum(tf * rar) AS BIGINT) AS rarity_sum,
+      | sum(tf * rar) * 1.0 / sum(tf) AS mean_rarity
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -489,6 +588,8 @@ object TextOps {
     "q64_train_mix" -> q64TrainMix,
     "q66_repetition" -> q66Repetition,
     "q71_vocab_oov" -> q71VocabOov,
+    "q72_bm25" -> q72Bm25,
+    "q73_rarity" -> q73Rarity,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -505,5 +606,7 @@ object TextOps {
     "q64_train_mix" -> q64Oracle,
     "q66_repetition" -> q66Oracle,
     "q71_vocab_oov" -> q71Oracle,
+    "q72_bm25" -> q72Oracle,
+    "q73_rarity" -> q73Oracle,
   )
 }
