@@ -711,6 +711,63 @@ object SimilarityOps {
       |ORDER BY code_dist, vec_id
       |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** ANN index-quality evaluation: recall@3 of the IVF probe (q49)
+    * against the exact brute-force top-3 (q37) per query — the metric
+    * that decides nlist/nprobe before an index ships. Composes the two
+    * existing pipelines and LEFT-joins exact neighbors to probed ones;
+    * both sides are per-query top-k (|Q|·k rows), so the join is a
+    * broadcast over tiny sets regardless of corpus size — the expensive
+    * scans underneath keep their own scale shapes. Recall is a ratio of
+    * small exact ints (IEEE-exact on any engine). */
+  val q74AnnRecall: Q = (spark, dir) => {
+    val exact = q37CosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val probed = q49IvfProbe(spark, dir)
+      .select(col("q_id").as("p_q"), col("neighbor_id").as("p_n"))
+    exact.join(broadcast(probed),
+        col("q_id") === col("p_q") && col("neighbor_id") === col("p_n"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(when(col("p_n").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  val q74Oracle: String =
+    s"""WITH $ivfBaseSql,
+       |p AS (SELECT vec_id AS q_id, emb AS q_emb, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cent_id) AS rn FROM s WHERE vec_id < 10)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT q_id, a.vec_id,
+       |  list_inner_product(q_emb, a.emb) /
+       |    (sqrt(list_inner_product(q_emb, q_emb)) *
+       |     sqrt(list_inner_product(a.emb, a.emb))) AS cos
+       | FROM p JOIN a ON p.cent_id = a.cent_id AND a.vec_id <> p.q_id),
+       |ar AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rank FROM cand) WHERE rank <= 3),
+       |xq AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+       |xs AS (SELECT q_id, e.vec_id,
+       |  list_inner_product(q_emb, emb) /
+       |    (sqrt(list_inner_product(q_emb, q_emb)) *
+       |     sqrt(list_inner_product(emb, emb))) AS cos
+       | FROM xq, e WHERE e.vec_id <> q_id),
+       |xr AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rank FROM xs) WHERE rank <= 3)
+       |SELECT xr.q_id, count(*) AS n_exact,
+       | CAST(sum(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_hit,
+       | sum(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |   / count(*) AS recall
+       |FROM xr LEFT JOIN ar ON xr.q_id = ar.q_id AND xr.vec_id = ar.vec_id
+       |GROUP BY xr.q_id ORDER BY xr.q_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -723,6 +780,7 @@ object SimilarityOps {
     "q54_pq_adc" -> q54PqAdc,
     "q55_ivfpq_probe" -> q55IvfPqProbe,
     "q69_sq8_codes" -> q69Sq8,
+    "q74_ann_recall" -> q74AnnRecall,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -737,5 +795,6 @@ object SimilarityOps {
     "q54_pq_adc" -> q54Oracle,
     "q55_ivfpq_probe" -> q55Oracle,
     "q69_sq8_codes" -> q69Oracle,
+    "q74_ann_recall" -> q74Oracle,
   )
 }
