@@ -827,6 +827,42 @@ object BioQueries {
       | (v - s/n) / sqrt(s2/n - (s/n)*(s/n)) AS z
       |FROM p JOIN m USING (c) ORDER BY c, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b30
+  /** E12 QC: per-plane fixed-bin pixel histogram (the exposure /
+    * saturation check run before an imaging batch enters training). The
+    * 8-bin counts are folded INSIDE the plane row — one `aggregate` over
+    * the pixel array building a bin-count vector, O(bins) per pixel with
+    * no per-pixel explode — so the pass is map-only per plane and only
+    * |planes|·bins tiny rows ever move. The oracle regenerates the grid,
+    * buckets in SQL, and LEFT-joins a dense bin spine so empty bins
+    * compare as explicit zeros. */
+  val b30PlaneHistogram: Q = (spark, _) => {
+    val nb = 8
+    val arr = NDArray.tabulate(Seq(2, 6, 8))(idx =>
+      ((idx(0) * 11 + idx(1) * 13 + idx(2) * 7) % 32).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    val hist = aggregate(col("pixels"),
+      array_repeat(lit(0L), nb),
+      (acc, v) => zip_with(acc, sequence(lit(0L), lit(nb - 1L)),
+        (a, b) => a + when(floor(v / 4).cast("long") === b, 1L)
+          .otherwise(0L)))
+    img.planes
+      .select(col("c").cast("long").as("c"), posexplode(hist))
+      .select(col("c"), col("pos").cast("long").as("bin"),
+        col("col").as("n_px"))
+      .orderBy(col("c"), col("bin"))
+  }
+
+  val b30Oracle: String =
+    """WITH p AS (SELECT c, CAST((c*11 + y*13 + x*7) % 32 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(6) b(y), range(8) d(x)),
+      |h AS (SELECT c, CAST(floor(v/4) AS BIGINT) AS bin, count(*) AS n
+      |  FROM p GROUP BY 1, 2),
+      |bins AS (SELECT c, bin FROM range(2) a(c), range(8) t(bin))
+      |SELECT bins.c, bins.bin, CAST(coalesce(h.n, 0) AS BIGINT) AS n_px
+      |FROM bins LEFT JOIN h ON bins.c = h.c AND bins.bin = h.bin
+      |ORDER BY bins.c, bins.bin""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -857,6 +893,7 @@ object BioQueries {
     "b27_bmp_roundtrip" -> b27BmpRoundtrip,
     "b28_save_options" -> b28SaveOptions,
     "b29_plane_normalize" -> b29PlaneNormalize,
+    "b30_plane_histogram" -> b30PlaneHistogram,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -889,5 +926,6 @@ object BioQueries {
     "b27_bmp_roundtrip" -> b27Oracle,
     "b28_save_options" -> b28Oracle,
     "b29_plane_normalize" -> b29Oracle,
+    "b30_plane_histogram" -> b30Oracle,
   )
 }
