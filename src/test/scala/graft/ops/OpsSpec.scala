@@ -260,6 +260,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q72 BM25: higher-tf doc outranks lower-tf doc at equal length") {
+    val out = TextOps.q72Bm25(spark, sf)
+      .select("doc_id", "n_match", "bm25")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every score positive, n_match bounded by the 3-term query
+    out.foreach { case (id, m, s) =>
+      assert(m >= 1 && m <= 3, s"doc $id n_match $m")
+      assert(s > 0, s"doc $id bm25 $s")
+    }
+  }
+
+  test("q73 rarity: scores bounded by min/max corpus token rarity") {
+    val rows = TextOps.q73Rarity(spark, sf)
+      .select("doc_id", "n_tokens", "rarity_sum", "mean_rarity")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, s, m) =>
+      assert(n > 0 && s >= n, s"doc $id: rarity_sum $s < n_tokens $n")
+      assert(m >= 1.0, s"doc $id mean_rarity $m below floor")
+      assert(math.abs(m - s.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("q74 recall: per-query recall in [0,1], exact side always k=3, " +
+      "and a self-consistent hit ratio") {
+    val rows = SimilarityOps.q74AnnRecall(spark, sf)
+      .select("q_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, ne, nh, r) =>
+      assert(ne == 3, s"query $q exact top-k $ne")
+      assert(nh >= 0 && nh <= ne, s"query $q hits $nh")
+      assert(math.abs(r - nh.toDouble / ne) < 1e-12)
+    }
+  }
+
+  test("b30 histogram: per-plane bin counts sum to the plane pixel count") {
+    val sums = BioQueries.b30PlaneHistogram(spark, sf)
+      .groupBy("c").agg(sum("n_px").as("n"))
+      .select("c", "n").as[(Long, Long)].collect().toMap
+    assert(sums.keySet == Set(0L, 1L))
+    sums.foreach { case (c, n) => assert(n == 48L, s"plane $c total $n") }
+  }
+
   test("exact jaccard on planted pair exceeds LSH threshold") {
     val a = DedupOps.shingles3(lit(base))
     val b = DedupOps.shingles3(lit(base.replace("lazy", "sleepy")))
