@@ -315,8 +315,10 @@ object DedupOps {
   /** Transitive closure over the same pairs via recursive CTE; min
     * reachable id = cluster id. Set-semantic UNION terminates the
     * recursion. */
-  val q52Oracle: String =
-    """WITH RECURSIVE sh AS (
+  /** Shared oracle prefix: q39 pairs → 0.6-Jaccard edges → transitive
+    * closure → per-doc min-reachable-id cluster label (CTE `lab`). */
+  private val ccLabelSql: String =
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3 THEN
       |    list_transform(range(1, len(ws) - 1),
       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
@@ -339,9 +341,54 @@ object DedupOps {
       |  UNION
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
       |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-      |  FROM reach GROUP BY a)
-      |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_rep
-      |FROM lab ORDER BY doc_id""".stripMargin
+      |  FROM reach GROUP BY a)""".stripMargin
+
+  val q52Oracle: String =
+    s"""WITH RECURSIVE $ccLabelSql
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_rep
+       |FROM lab ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** Cluster-representative selection by QUALITY: the decision step that
+    * turns q52's cluster labels into a kept/removed verdict. Real
+    * pipelines keep the best copy per near-dup cluster (longest text
+    * here, standing in for a quality score), not the arbitrary min-id —
+    * ties break to the lower doc_id so the choice is deterministic.
+    * Output: per cluster, its size and the kept doc.
+    *
+    * Scale shape: cluster labels join doc features on doc_id (labels
+    * cover only clustered docs — a small fraction of the corpus); the
+    * argmax-per-cluster is a row_number window whose cluster_id
+    * partitioning is reused by the immediately following rollup, so the
+    * pick and the count share one exchange. */
+  val q75ClusterKeep: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val labels = q52DedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val feats = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.join(feats, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        min(when(col("rn") === 1, col("n_chars"))).as("keep_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val q75Oracle: String =
+    s"""WITH RECURSIVE $ccLabelSql,
+       |q AS (SELECT lab.doc_id, cluster_id, n_chars
+       |  FROM lab JOIN documents USING (doc_id)),
+       |r AS (SELECT doc_id, cluster_id, n_chars, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM q)
+       |SELECT cluster_id, count(*) AS n_docs,
+       | CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+       | CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS keep_chars
+       |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   /** DuckDB rendering of [[graft.functions.PolyHashMod]] over a string
     * lambda variable `v`. */
@@ -505,6 +552,7 @@ object DedupOps {
     "q52_dedup_clusters" -> q52DedupClusters,
     "q68_edit_verify" -> q68EditVerify,
     "q70_decontaminate" -> q70Decontaminate,
+    "q75_cluster_keep" -> q75ClusterKeep,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -514,5 +562,6 @@ object DedupOps {
     "q52_dedup_clusters" -> q52Oracle,
     "q68_edit_verify" -> q68Oracle,
     "q70_decontaminate" -> q70Oracle,
+    "q75_cluster_keep" -> q75Oracle,
   )
 }
