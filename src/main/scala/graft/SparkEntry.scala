@@ -4,7 +4,7 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{BioQueries, DedupOps, EventOps, Relational, SimilarityOps, TextOps}
+import graft.ops.{BioQueries, DedupOps, EventOps, GraphOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,12 +26,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap.empty[String, (SparkSession, String) => DataFrame] ++
       Relational.all ++ EventOps.all ++ TextOps.all ++
-      SimilarityOps.all ++ DedupOps.all ++ BioQueries.all
+      SimilarityOps.all ++ DedupOps.all ++ GraphOps.all ++ BioQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ListMap.empty[String, String] ++
       Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
-      SimilarityOps.oracles ++ DedupOps.oracles ++ BioQueries.oracles
+      SimilarityOps.oracles ++ DedupOps.oracles ++ GraphOps.oracles ++
+      BioQueries.oracles
 }

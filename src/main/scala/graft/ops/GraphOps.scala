@@ -1,0 +1,88 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over relationally-derived graphs — the
+  * operator family behind link analysis, influence scoring and
+  * graph-based data curation at corpus scale. Complements the label
+  * propagation in [[DedupOps.connectedComponents]] (q52) with a
+  * fixed-iteration PageRank.
+  *
+  * Determinism at any parallelism is the design center, as with q53's
+  * k-means: ranks are ×10^6 fixed-point int64 and every per-edge
+  * contribution is an integer ⌊rank/deg⌋, so partial-aggregation order
+  * cannot change a single bit — float PageRank is irreproducible on a
+  * cluster for the same reason float k-means is. The damping update is
+  * r' = 150000 + ⌊85·Σcontrib/100⌋ (d = 0.85 at scale 10^6).
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q76
+  /** PageRank (3 unrolled iterations) over the part co-purchase graph:
+    * parts sharing an order are linked (the classic recommendation
+    * graph). Central catalog parts surface with the highest rank.
+    *
+    * Scale shape: edge generation is ONE self-equi-join on the order
+    * key (never a cross join — pair count is bounded by Σ per-order
+    * line-count², ~7² per order); each iteration is one hash join of
+    * the static degree-annotated edge list against the current ranks
+    * plus one aggregation, both shuffling on the SAME part-key columns,
+    * so at scale the edge list is hash-partitioned once (bucketed by
+    * src) and every iteration reuses that layout — the loop adds no new
+    * wide dependency on the big side. Three fixed iterations keep the
+    * plan static and the oracle expressible as unrolled CTE stages. */
+  val q76PageRank: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("node"),
+          expr("150000 + (85 * s) DIV 100").as("r"))
+    }
+    ranks.orderBy(col("r").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("part_id"), col("r").as("pr"))
+  }
+
+  val q76Oracle: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+      |r1 AS (SELECT dst AS node, 150000 + ((85 * sum(r // deg)) // 100) AS r
+      |  FROM ed JOIN r0 ON ed.src = r0.node GROUP BY dst),
+      |r2 AS (SELECT dst AS node, 150000 + ((85 * sum(r // deg)) // 100) AS r
+      |  FROM ed JOIN r1 ON ed.src = r1.node GROUP BY dst),
+      |r3 AS (SELECT dst AS node, 150000 + ((85 * sum(r // deg)) // 100) AS r
+      |  FROM ed JOIN r2 ON ed.src = r2.node GROUP BY dst)
+      |SELECT node AS part_id, CAST(r AS BIGINT) AS pr
+      |FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
+
+  val all: ListMap[String, Q] = ListMap(
+    "q76_pagerank" -> q76PageRank,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q76_pagerank" -> q76Oracle,
+  )
+}

@@ -305,6 +305,21 @@ class DedupSpec extends SparkSpec {
     sums.foreach { case (c, n) => assert(n == 48L, s"plane $c total $n") }
   }
 
+  test("q76 PageRank: ranks bounded by the damping fixed-point range") {
+    val rows = GraphOps.q76PageRank(spark, sf)
+      .select("part_id", "pr").as[(Long, Long)].collect()
+    assert(rows.length == 20)
+    // with r0 = 10^6 everywhere: r >= 0.15 floor; the top-20 of a
+    // connected co-purchase graph sits above the uniform start
+    rows.foreach { case (p, r) =>
+      assert(r >= 150000L, s"part $p rank $r below damping floor")
+      assert(r < 100000000L, s"part $p rank $r implausibly large")
+    }
+    assert(rows.head._2 >= 1000000L, "top rank should exceed uniform start")
+    // descending, deterministic tie-break
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("exact jaccard on planted pair exceeds LSH threshold") {
     val a = DedupOps.shingles3(lit(base))
     val b = DedupOps.shingles3(lit(base.replace("lazy", "sleepy")))
