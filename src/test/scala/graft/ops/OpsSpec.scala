@@ -320,6 +320,17 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("q77 triangles: positive descending counts over the subgraph") {
+    val rows = GraphOps.q77Triangles(spark, sf)
+      .select("part_id", "n_triangles").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, n) =>
+      assert(p < 2000, s"part $p outside the subgraph bound")
+      assert(n > 0, s"part $p reported zero triangles")
+    }
+    assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
   test("exact jaccard on planted pair exceeds LSH threshold") {
     val a = DedupOps.shingles3(lit(base))
     val b = DedupOps.shingles3(lit(base.replace("lazy", "sleepy")))
