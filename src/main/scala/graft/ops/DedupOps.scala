@@ -545,6 +545,53 @@ object DedupOps {
        |SELECT doc_id, simhash, CAST(bit_count(simhash) AS BIGINT) AS bits_set
        |FROM fp ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Corpus-overlap matrix: pairwise shingle-Jaccard between SOURCES
+    * (the "how much does source A duplicate source B" analysis that
+    * decides whether two crawls/dumps can both enter a training mix).
+    * Each source's profile is its distinct 3-shingle set; pair
+    * intersections come from ONE self-join on the shingle whose fan-out
+    * is bounded by (sources-per-shingle choose 2) ≤ |sources|² per
+    * shingle — never by corpus size; per-source set sizes ride in as a
+    * broadcast. The Jaccard ratio is an int/int IEEE division, exact on
+    * any engine. */
+  val q78SourceOverlap: Q = (spark, dir) => {
+    val ss = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("source"), explode(shingles3(col("text"))).as("s"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = ss.as("a").join(ss.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("n", "na")), "src_a")
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("n", "nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("inter") >= 5)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q78Oracle: String =
+    """WITH sh AS (SELECT DISTINCT source,
+      |  unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3),
+      |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, inter,
+      | inter * 1.0 / (na.n + nb.n - inter) AS jaccard
+      |FROM p JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
+      |WHERE inter >= 5 ORDER BY src_a, src_b""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -553,6 +600,7 @@ object DedupOps {
     "q68_edit_verify" -> q68EditVerify,
     "q70_decontaminate" -> q70Decontaminate,
     "q75_cluster_keep" -> q75ClusterKeep,
+    "q78_source_overlap" -> q78SourceOverlap,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -563,5 +611,6 @@ object DedupOps {
     "q68_edit_verify" -> q68Oracle,
     "q70_decontaminate" -> q70Oracle,
     "q75_cluster_keep" -> q75Oracle,
+    "q78_source_overlap" -> q78Oracle,
   )
 }
