@@ -40,6 +40,13 @@ object GraphOps {
   val q76PageRank: Q = (spark, dir) => {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // The static edge list needs NO manual cache/checkpoint: because the
+    // unrolled loop is one declarative plan, ReuseExchange dedupes the
+    // repeated edge-subplan shuffles across iterations (9 ReusedExchange
+    // nodes in the AQE final plan; an A/B against localCheckpoint
+    // measured the checkpoint ~20% slower — it materializes what the
+    // optimizer already shares). Iterate-until-convergence variants with
+    // a DYNAMIC loop need the connectedComponents-style lineage cut.
     val e0 = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
