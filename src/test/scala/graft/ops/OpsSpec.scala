@@ -89,6 +89,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("AQE injects a runtime bloom filter on the scan side of a " +
+      "selective shuffle join (100 TB scan-pruning path)") {
+    // thresholds lowered so the tiny test data qualifies; production
+    // defaults (10 MiB creation side) fire on real selective dims.
+    // The injected bloom_filter_might_contain prunes probe-side rows
+    // BEFORE the shuffle — at scale that is the difference between
+    // shuffling the full fact table and shuffling the matching slice.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val orders = graft.Tables(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = graft.Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") &&
+        plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without any Exchange (broadcast disabled)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
