@@ -813,6 +813,43 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Source/sink breadth beyond parquet: the documents table round-trips
+    * through JSON-lines and headered CSV (Spark's codegen'd text
+    * sources, both splittable at scale) and each come-back is
+    * fingerprinted with order-insensitive aggregates. The oracle
+    * computes the same fingerprint from the parquet ground truth, so a
+    * single lost row, mangled string, or mistyped column in either
+    * format fails the hash gate. CSV re-reads with an explicit schema —
+    * inference costs an extra pass and can widen types run-to-run. */
+  val q79TextFormats: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val base = s"/tmp/graft_q79_${java.util.UUID.randomUUID()}"
+    docs.write.mode("overwrite").json(base + "/jsonl")
+    docs.write.mode("overwrite").option("header", "true").csv(base + "/csv")
+    val j = spark.read.json(base + "/jsonl")
+    val c = spark.read.option("header", "true").schema(docs.schema)
+      .csv(base + "/csv")
+    def fp(df: DataFrame, fmt: String): DataFrame =
+      df.select(lit(fmt).as("fmt"),
+          col("doc_id").cast("long").as("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          col("n_chars").cast("long").as("n_chars"))
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"),
+          sum(col("len")).as("sum_len"), sum(col("n_chars")).as("sum_chars"))
+    fp(c, "csv").union(fp(j, "jsonl")).orderBy(col("fmt"))
+  }
+
+  val q79Oracle: String =
+    """SELECT fmt, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      | CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (VALUES ('csv'), ('jsonl')) t(fmt), documents
+      |GROUP BY fmt ORDER BY fmt""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -843,6 +880,7 @@ object Relational {
     "q62_bucketed_join" -> q62BucketedJoin,
     "q63_percentiles" -> q63Percentiles,
     "q65_skew_join" -> q65SkewJoin,
+    "q79_text_formats" -> q79TextFormats,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -875,5 +913,6 @@ object Relational {
     "q62_bucketed_join" -> q62Oracle,
     "q63_percentiles" -> q63Oracle,
     "q65_skew_join" -> q65Oracle,
+    "q79_text_formats" -> q79Oracle,
   )
 }
