@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.BioSpark
@@ -863,6 +863,58 @@ object BioQueries {
       |FROM bins LEFT JOIN h ON bins.c = h.c AND bins.bin = h.bin
       |ORDER BY bins.c, bins.bin""".stripMargin
 
+  // ---------------------------------------------------------------- b31
+  /** E12 feature extraction: 3×3 Sobel edge energy per plane — the
+    * canonical convolution preprocessing step (edge/blur/sharpness
+    * screens before an imaging batch enters training). The whole kernel
+    * runs IN-ROW: one index HOF over interior positions reads the 3×3
+    * neighborhood from the flat pixel array and folds |gx|+|gy| —
+    * map-only per plane, no per-pixel explode, same scale shape as
+    * b23/b29/b30. Pixel values are small integers carried in doubles,
+    * so every kernel sum is exact and the outputs cast to int64
+    * losslessly. */
+  val b31SobelEdges: Q = (spark, _) => {
+    val h = 6
+    val w = 8
+    val arr = NDArray.tabulate(Seq(2, h, w))(idx =>
+      ((idx(0) * 7 + idx(1) * 5 + idx(2) * 3) % 23).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    def px(y: Column, x: Column): Column =
+      element_at(col("pixels"), (y * w + x + 1).cast("int"))
+    val mags = transform(sequence(lit(0), lit((h - 2) * (w - 2) - 1)), k => {
+      // Column `/` is double division; floor+cast keeps the index exact
+      val y = (floor(k.cast("double") / (w - 2)) + 1).cast("int")
+      val x = (pmod(k, lit(w - 2)) + 1).cast("int")
+      val gx = px(y - 1, x + 1) + px(y, x + 1) * 2 + px(y + 1, x + 1) -
+        px(y - 1, x - 1) - px(y, x - 1) * 2 - px(y + 1, x - 1)
+      val gy = px(y + 1, x - 1) + px(y + 1, x) * 2 + px(y + 1, x + 1) -
+        px(y - 1, x - 1) - px(y - 1, x) * 2 - px(y - 1, x + 1)
+      abs(gx) + abs(gy)
+    })
+    img.planes
+      .select(col("c").cast("long").as("c"), mags.as("mags"))
+      .select(col("c"), size(col("mags")).cast("long").as("n_px"),
+        aggregate(col("mags"), lit(0.0), (a, m) => a + m)
+          .cast("long").as("mag_sum"),
+        array_max(col("mags")).cast("long").as("mag_max"))
+      .orderBy(col("c"))
+  }
+
+  val b31Oracle: String =
+    """WITH i AS (SELECT c, y, x
+      |  FROM range(2) a(c), range(1, 5) b(y), range(1, 7) d(x)),
+      |m AS (SELECT c, y, x,
+      |  abs( (c*7+(y-1)*5+(x+1)*3)%23 + 2*((c*7+y*5+(x+1)*3)%23)
+      |     + (c*7+(y+1)*5+(x+1)*3)%23 - (c*7+(y-1)*5+(x-1)*3)%23
+      |     - 2*((c*7+y*5+(x-1)*3)%23) - (c*7+(y+1)*5+(x-1)*3)%23 )
+      |  + abs( (c*7+(y+1)*5+(x-1)*3)%23 + 2*((c*7+(y+1)*5+x*3)%23)
+      |     + (c*7+(y+1)*5+(x+1)*3)%23 - (c*7+(y-1)*5+(x-1)*3)%23
+      |     - 2*((c*7+(y-1)*5+x*3)%23) - (c*7+(y-1)*5+(x+1)*3)%23 ) AS mag
+      |  FROM i)
+      |SELECT c, count(*) AS n_px, CAST(sum(mag) AS BIGINT) AS mag_sum,
+      | CAST(max(mag) AS BIGINT) AS mag_max
+      |FROM m GROUP BY c ORDER BY c""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -894,6 +946,7 @@ object BioQueries {
     "b28_save_options" -> b28SaveOptions,
     "b29_plane_normalize" -> b29PlaneNormalize,
     "b30_plane_histogram" -> b30PlaneHistogram,
+    "b31_sobel_edges" -> b31SobelEdges,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -927,5 +980,6 @@ object BioQueries {
     "b28_save_options" -> b28Oracle,
     "b29_plane_normalize" -> b29Oracle,
     "b30_plane_histogram" -> b30Oracle,
+    "b31_sobel_edges" -> b31Oracle,
   )
 }
