@@ -318,6 +318,69 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q80
+  /** CDC-style upsert merge: a latest-state SNAPSHOT (events before the
+    * corpus-midpoint cutoff, reduced to one row per (user, type)) has a
+    * DELTA batch (events after the cutoff) applied over it — the
+    * last-write-wins apply step every incremental ingestion pipeline
+    * runs. The merge itself is the full-outer-join + coalesce form (the
+    * MERGE INTO shape); the oracle computes the same result through the
+    * union-argmax formulation, so the hash gate proves the two
+    * formulations equivalent.
+    *
+    * Scale shape: both sides reduce via a row_number window partitioned
+    * on exactly the merge key before the join, so the two windows and
+    * the full-outer join line up on one hash partitioning; a real
+    * incremental run has |delta| ≪ |snapshot| and broadcasts the delta. */
+  val q80UpsertMerge: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"))
+    // cutoff at 90% of the time range: the delta is a thin recent slice,
+    // so some keys update ('delta') and others survive untouched
+    // ('snap') — both merge branches carry rows
+    val cut = broadcast(e.agg(
+      expr("min(ts_us) + ((max(ts_us) - min(ts_us)) * 9) DIV 10")
+        .as("cut")))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "cut")
+    val snap = latest(e.crossJoin(cut).filter(col("ts_us") < col("cut")))
+      .withColumnRenamed("event_id", "snap_id")
+      .withColumnRenamed("ts_us", "snap_us")
+    val delta = latest(e.crossJoin(cut).filter(col("ts_us") >= col("cut")))
+      .withColumnRenamed("event_id", "delta_id")
+      .withColumnRenamed("ts_us", "delta_us")
+    snap.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        when(col("delta_id").isNotNull, lit("delta")).otherwise(lit("snap"))
+          .as("src"),
+        coalesce(col("delta_id"), col("snap_id")).as("event_id"),
+        coalesce(col("delta_us"), col("snap_us")).as("ts_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q80Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts)//1000 AS us FROM events),
+      |c AS (SELECT min(us) + ((max(us) - min(us)) * 9) // 10 AS cut FROM e),
+      |r AS (SELECT user_id, event_type, event_id, us,
+      |    us >= cut AS is_delta,
+      |    row_number() OVER (PARTITION BY user_id, event_type, us >= cut
+      |      ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM e, c),
+      |l AS (SELECT * FROM r WHERE rn = 1),
+      |m AS (SELECT user_id, event_type, event_id, us, is_delta,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY is_delta DESC) AS pick
+      |  FROM l)
+      |SELECT user_id, event_type,
+      | CASE WHEN is_delta THEN 'delta' ELSE 'snap' END AS src,
+      | event_id, CAST(us AS BIGINT) AS ts_us
+      |FROM m WHERE pick = 1 ORDER BY user_id, event_type""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -331,6 +394,7 @@ object EventOps {
     "q56_stream_join" -> q56StreamJoin,
     "q58_funnel_state" -> q58FunnelState,
     "q67_funnel_tws" -> q67FunnelTws,
+    "q80_upsert_merge" -> q80UpsertMerge,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -346,5 +410,6 @@ object EventOps {
     "q56_stream_join" -> q56Oracle,
     "q58_funnel_state" -> q58Oracle,
     "q67_funnel_tws" -> q58Oracle, // same computation, two state APIs
+    "q80_upsert_merge" -> q80Oracle,
   )
 }
