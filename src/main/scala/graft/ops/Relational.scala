@@ -850,6 +850,52 @@ object Relational {
       |FROM (VALUES ('csv'), ('jsonl')) t(fmt), documents
       |GROUP BY fmt ORDER BY fmt""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** The pure-SQL surface end-to-end: TPC-H Q5 (local-supplier volume —
+    * the classic 6-table star join with the customer-and-supplier
+    * same-nation condition) submitted as SQL TEXT over registered temp
+    * views via `spark.sql`, not the DataFrame DSL. Exercises the SQL
+    * parser → analyzer → same Catalyst pipeline; the oracle is the
+    * identical query in DuckDB dialect, so plan differences between the
+    * two entry styles cannot change results. The revenue sum rounds to
+    * 2 (order-sensitive double aggregate, per the file convention). */
+  val q82SqlTpch5: Q = (spark, dir) => {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_lines
+        |FROM customer
+        | JOIN orders   ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |   AND c_nationkey = s_nationkey
+        | JOIN nation   ON s_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP_NTZ '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  val q82Oracle: String =
+    """SELECT n_name,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      | count(*) AS n_lines
+      |FROM customer
+      | JOIN orders   ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      |   AND c_nationkey = s_nationkey
+      | JOIN nation   ON s_nationkey = n_nationkey
+      | JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -881,6 +927,7 @@ object Relational {
     "q63_percentiles" -> q63Percentiles,
     "q65_skew_join" -> q65SkewJoin,
     "q79_text_formats" -> q79TextFormats,
+    "q82_sql_tpch5" -> q82SqlTpch5,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -914,5 +961,6 @@ object Relational {
     "q63_percentiles" -> q63Oracle,
     "q65_skew_join" -> q65Oracle,
     "q79_text_formats" -> q79Oracle,
+    "q82_sql_tpch5" -> q82Oracle,
   )
 }

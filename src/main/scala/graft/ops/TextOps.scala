@@ -574,6 +574,60 @@ object TextOps {
       | sum(tf * rar) * 1.0 / sum(tf) AS mean_rarity
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81
+  /** Quality stratification: corpus-quartile thresholds of `n_chars`
+    * picked by RANK (the value at position ⌈q·n⌉ — an actual corpus
+    * value, like percentile_disc), then every doc bucketed and counted per
+    * (source, stratum) — the stratified view a mixing recipe is
+    * calibrated against. Rank-based thresholds avoid interpolation
+    * entirely, so there is no float to disagree on at any scale.
+    *
+    * Scale shape: the threshold pass globally sorts only the 3-column
+    * (value, id) projection and reduces to 3 rows joined back as a
+    * broadcast; the bucketing pass is map-only + one (source, stratum)
+    * rollup. At 100 TB the exact global sort gives way to
+    * percentile_approx thresholds — q63 anchors that substitution. */
+  val q81QualityStrata: Q = (spark, dir) => {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val n = d.count()
+    def rankAt(q: Double): Long = math.ceil(q * n).toLong
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    val th = d.withColumn("rk", row_number().over(w))
+      .filter(col("rk").isin(rankAt(0.25), rankAt(0.5), rankAt(0.75)))
+      .groupBy()
+      .agg(min(when(col("rk") === rankAt(0.25), col("n_chars"))).as("t25"),
+        min(when(col("rk") === rankAt(0.5), col("n_chars"))).as("t50"),
+        min(when(col("rk") === rankAt(0.75), col("n_chars"))).as("t75"))
+    d.crossJoin(broadcast(th))
+      .select(col("source"),
+        when(col("n_chars") <= col("t25"), "q1")
+          .when(col("n_chars") <= col("t50"), "q2")
+          .when(col("n_chars") <= col("t75"), "q3")
+          .otherwise("q4").as("stratum"))
+      .groupBy(col("source"), col("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("stratum"))
+  }
+
+  val q81Oracle: String =
+    """WITH r AS (SELECT source, n_chars, row_number() OVER (
+      |    ORDER BY n_chars, doc_id) AS rk FROM documents),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |th AS (SELECT
+      |  min(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+      |    THEN n_chars END) AS t25,
+      |  min(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+      |    THEN n_chars END) AS t50,
+      |  min(CASE WHEN rk = CAST(ceil(0.75 * n) AS BIGINT)
+      |    THEN n_chars END) AS t75
+      | FROM r, n)
+      |SELECT source, CASE WHEN n_chars <= t25 THEN 'q1'
+      |  WHEN n_chars <= t50 THEN 'q2'
+      |  WHEN n_chars <= t75 THEN 'q3' ELSE 'q4' END AS stratum,
+      | count(*) AS n_docs
+      |FROM documents, th GROUP BY 1, 2 ORDER BY source, stratum""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -590,6 +644,7 @@ object TextOps {
     "q71_vocab_oov" -> q71VocabOov,
     "q72_bm25" -> q72Bm25,
     "q73_rarity" -> q73Rarity,
+    "q81_quality_strata" -> q81QualityStrata,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -608,5 +663,6 @@ object TextOps {
     "q71_vocab_oov" -> q71Oracle,
     "q72_bm25" -> q72Oracle,
     "q73_rarity" -> q73Oracle,
+    "q81_quality_strata" -> q81Oracle,
   )
 }
