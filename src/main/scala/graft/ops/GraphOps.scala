@@ -100,7 +100,10 @@ object GraphOps {
     * list — the wedge self-join fans out Σ out-deg² where out-degree is
     * capped by orientation at O(√m), and the closing join is an
     * equi-join back on the (b, c) edge key. */
-  val q77Triangles: Q = (spark, dir) => {
+  /** q77's per-node triangle counts before the presentation top-k —
+    * split out so the spec can cross-check the oriented count against a
+    * brute-force enumeration. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_partkey") < 2000)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -110,7 +113,10 @@ object GraphOps {
       .distinct()
     val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // orient u→v iff (deg, id) of u < (deg, id) of v
+    // orient u→v iff (deg, id) of u < (deg, id) of v; KEEP the head's
+    // (deg, id) so the wedge can order its two endpoints in the SAME
+    // total order — ordering them by raw id would probe closing edges
+    // against the wrong orientation and silently drop triangles
     val dd = und
       .join(deg.withColumnRenamed("u", "du").withColumnRenamed("deg", "dgu"),
         col("u") === col("du"))
@@ -118,9 +124,10 @@ object GraphOps {
         col("v") === col("dv"))
       .filter(col("dgu") < col("dgv") ||
         (col("dgu") === col("dgv") && col("u") < col("v")))
-      .select(col("u"), col("v"))
+      .select(col("u"), col("v"), col("dgv"))
     val wedges = dd.as("x").join(dd.as("y"),
-        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+        col("x.u") === col("y.u") && (col("x.dgv") < col("y.dgv") ||
+          (col("x.dgv") === col("y.dgv") && col("x.v") < col("y.v"))))
       .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
     val tris = wedges.join(dd.as("z"),
         col("b") === col("z.u") && col("c") === col("z.v"))
@@ -129,9 +136,12 @@ object GraphOps {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
       .groupBy(col("part_id"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val q77Triangles: Q = (spark, dir) =>
+    triangleCounts(spark, dir)
       .orderBy(col("n_triangles").desc, col("part_id"))
       .limit(20)
-  }
 
   val q77Oracle: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
@@ -140,11 +150,12 @@ object GraphOps {
       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
       |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
       |d AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
-      |dd AS (SELECT und.u, und.v FROM und
+      |dd AS (SELECT und.u, und.v, dv.deg AS dgv FROM und
       |  JOIN d du ON und.u = du.u JOIN d dv ON und.v = dv.u
       |  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)),
       |w AS (SELECT x.u AS a, x.v AS b, y.v AS c
-      |  FROM dd x JOIN dd y ON x.u = y.u AND x.v < y.v),
+      |  FROM dd x JOIN dd y ON x.u = y.u AND (x.dgv < y.dgv
+      |    OR (x.dgv = y.dgv AND x.v < y.v))),
       |t AS (SELECT a, b, c FROM w
       |  JOIN dd z ON w.b = z.u AND w.c = z.v),
       |n AS (SELECT unnest([a, b, c]) AS part_id FROM t)

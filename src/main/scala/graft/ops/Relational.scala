@@ -820,8 +820,12 @@ object Relational {
     * fingerprinted with order-insensitive aggregates. The oracle
     * computes the same fingerprint from the parquet ground truth, so a
     * single lost row, mangled string, or mistyped column in either
-    * format fails the hash gate. CSV re-reads with an explicit schema —
-    * inference costs an extra pass and can widen types run-to-run. */
+    * format fails the hash gate. BOTH re-reads pass the explicit
+    * schema — inference costs a full extra pass over the data and can
+    * drift types run-to-run. Boundary: the splittable CSV read
+    * (multiLine=false) requires newline-free text, which normalization
+    * guarantees here; corpora with embedded newlines take the
+    * JSON-lines path, whose escaping handles arbitrary text. */
   val q79TextFormats: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -829,7 +833,7 @@ object Relational {
     val base = s"/tmp/graft_q79_${java.util.UUID.randomUUID()}"
     docs.write.mode("overwrite").json(base + "/jsonl")
     docs.write.mode("overwrite").option("header", "true").csv(base + "/csv")
-    val j = spark.read.json(base + "/jsonl")
+    val j = spark.read.schema(docs.schema).json(base + "/jsonl")
     val c = spark.read.option("header", "true").schema(docs.schema)
       .csv(base + "/csv")
     def fp(df: DataFrame, fmt: String): DataFrame =

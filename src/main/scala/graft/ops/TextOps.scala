@@ -590,15 +590,19 @@ object TextOps {
   val q81QualityStrata: Q = (spark, dir) => {
     val d = docs(spark, dir).select(col("doc_id"), col("source"),
       col("n_chars"))
-    val n = d.count()
-    def rankAt(q: Double): Long = math.ceil(q * n).toLong
+    // corpus size rides IN-PLAN as an unbounded window count over the
+    // same single-partition sort the ranking needs — no driver-side
+    // count() action, no second scan (the q72/q73 broadcast-scalar rule)
     val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    def at(q: String): Column =
+      col("rk") === expr(s"CAST(ceil($q * n) AS BIGINT)")
     val th = d.withColumn("rk", row_number().over(w))
-      .filter(col("rk").isin(rankAt(0.25), rankAt(0.5), rankAt(0.75)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(at("0.25") || at("0.5") || at("0.75"))
       .groupBy()
-      .agg(min(when(col("rk") === rankAt(0.25), col("n_chars"))).as("t25"),
-        min(when(col("rk") === rankAt(0.5), col("n_chars"))).as("t50"),
-        min(when(col("rk") === rankAt(0.75), col("n_chars"))).as("t75"))
+      .agg(min(when(at("0.25"), col("n_chars"))).as("t25"),
+        min(when(at("0.5"), col("n_chars"))).as("t50"),
+        min(when(at("0.75"), col("n_chars"))).as("t75"))
     d.crossJoin(broadcast(th))
       .select(col("source"),
         when(col("n_chars") <= col("t25"), "q1")

@@ -368,6 +368,27 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("q77 oriented count equals brute-force triangle enumeration") {
+    // brute force: id-ordered 3-clique enumeration a<b<c over the same
+    // undirected subgraph — each triangle found exactly once
+    val li = graft.Tables(spark, sf, "lineitem")
+      .filter(col("l_partkey") < 2000)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val brute = e0.as("x").join(e0.as("y"), col("x.v") === col("y.u"))
+      .join(e0.as("z"),
+        col("x.u") === col("z.u") && col("y.v") === col("z.v"))
+      .count()
+    val oriented = GraphOps.triangleCounts(spark, sf)
+      .agg(sum("n_triangles")).as[Long].head()
+    assert(oriented == 3 * brute,
+      s"per-node credits $oriented != 3 * $brute brute-force triangles")
+    assert(brute > 0, "degenerate test graph: no triangles at all")
+  }
+
   test("exact jaccard on planted pair exceeds LSH threshold") {
     val a = DedupOps.shingles3(lit(base))
     val b = DedupOps.shingles3(lit(base.replace("lazy", "sleepy")))
