@@ -900,6 +900,86 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Correlated scalar subquery (TPC-H Q17 shape): per-brand revenue of
+    * lineitems whose quantity sits below 0.2× the per-part average —
+    * written as SQL text so Catalyst's subquery DECORRELATION is what
+    * runs (RewriteCorrelatedScalarSubquery turns the per-row subquery
+    * into one aggregate over lineitem plus a join on l_partkey; a naive
+    * engine would re-run the inner aggregate per outer row). Safe for
+    * the hash gate because l_quantity is integer-valued: the correlated
+    * avg is an exact order-independent sum/count, so the 0.2× threshold
+    * is bit-identical across engines. */
+  val q83ScalarSubquery: Q = (spark, dir) => {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT p_brand,
+        | round(sum(l_extendedprice), 2) AS below_avg_revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  val q83Oracle: String =
+    """SELECT p_brand,
+      | round(sum(l_extendedprice), 2) AS below_avg_revenue,
+      | count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** EXISTS / NOT EXISTS correlated subqueries (TPC-H Q4 shape, adapted
+    * to this schema's columns): orders in 1996Q1 split by whether any of
+    * their lineitems ships quantity > 45. Catalyst rewrites the EXISTS
+    * branch to a left-semi join and the NOT EXISTS branch to a left-anti
+    * join (RewritePredicateSubquery) — the subquery spelling of q04/q07,
+    * so the SQL entry path covers both rewrites. Both branches scan
+    * orders with the same pushed date filter. */
+  val q84ExistsSubquery: Q = (spark, dir) => {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT 'exists' AS kind, o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP_NTZ '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'not_exists' AS kind, o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP_NTZ '1996-04-01'
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY kind, o_orderpriority""".stripMargin)
+  }
+
+  val q84Oracle: String =
+    """SELECT 'exists' AS kind, o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 'not_exists' AS kind, o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY kind, o_orderpriority""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -932,6 +1012,8 @@ object Relational {
     "q65_skew_join" -> q65SkewJoin,
     "q79_text_formats" -> q79TextFormats,
     "q82_sql_tpch5" -> q82SqlTpch5,
+    "q83_scalar_subquery" -> q83ScalarSubquery,
+    "q84_exists_subquery" -> q84ExistsSubquery,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -966,5 +1048,7 @@ object Relational {
     "q65_skew_join" -> q65Oracle,
     "q79_text_formats" -> q79Oracle,
     "q82_sql_tpch5" -> q82Oracle,
+    "q83_scalar_subquery" -> q83Oracle,
+    "q84_exists_subquery" -> q84Oracle,
   )
 }

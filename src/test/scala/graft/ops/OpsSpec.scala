@@ -140,6 +140,22 @@ class DedupSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q83/q84 subqueries decorrelate: no per-row subquery survives, " +
+      "EXISTS/NOT EXISTS become semi/anti joins") {
+    // A scalar-subquery or exists-subquery expression left in the
+    // optimized plan would re-run the inner query per outer row — the
+    // O(rows × subquery) shape that cannot survive at scale. Catalyst
+    // must rewrite both into joins.
+    val p83 = Relational.q83ScalarSubquery(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!p83.contains("scalar-subquery"), p83)
+    assert(p83.contains("Join"), p83)
+    val p84 = Relational.q84ExistsSubquery(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!p84.contains("exists-subquery"), p84)
+    assert(p84.contains("LeftSemi") && p84.contains("LeftAnti"), p84)
+  }
+
   test("chunk dedup counts a planted repeated chunk, drops short docs") {
     val rep = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
     val docs = Seq(
