@@ -592,6 +592,72 @@ object DedupOps {
       |FROM p JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
       |WHERE inter >= 5 ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- q85
+  /** MinHash estimator quality: for q40's LSH candidate pairs, the
+    * signature-agreement Jaccard ESTIMATE (matching positions / 32 —
+    * what a 100 TB pipeline actually thresholds on, since signatures are
+    * 32 longs while shingle sets are unbounded) next to the exact
+    * Jaccard. The per-pair estimate error is the nHashes-vs-recall
+    * tuning signal, exactly like q74 is for IVF. Signatures join onto
+    * the (tiny) candidate set by id; the corpus-wide pass stays the one
+    * shared signature stage from [[lshCandidates]] (ReuseExchange).
+    * matches/32.0 and inter/union are int-over-int IEEE divisions —
+    * bit-identical across engines, no rounding needed. */
+  val q85MinhashEstimate: Q = (spark, dir) => {
+    val d = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val withSig = d
+      .withColumn("shh",
+        transform(col("sh"), s => graft.functions.PolyHashMod(s)))
+      .select(col("doc_id"), col("sh"),
+        minhashSignature(col("shh"), 32).as("sig"))
+    val matches = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+      x => x)).cast("long")
+    lshCandidates(d, nHashes = 32, bands = 8)
+      .join(withSig.select(col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"), col("sig").as("sig_a")), "doc_a")
+      .join(withSig.select(col("doc_id").as("doc_b"),
+        col("sh").as("sh_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        matches.as("sig_matches"),
+        (matches.cast("double") / 32).as("est_jaccard"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q85Oracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs FROM d),
+       |hh AS (SELECT doc_id, shs, list_transform(shs, s ->
+       |    ${polyHashSql("s")}) AS shh FROM sh),
+       |sg AS (SELECT doc_id, shs, list_transform(range(0, 32), i ->
+       |    list_min(list_transform(shh, h ->
+       |      (h * (2654435761 + i*40503) + i*97 + 1) % 2147483647))) AS sig
+       |  FROM hh),
+       |bd AS (SELECT doc_id, b.band,
+       |    list_reduce([CAST(0 AS BIGINT)] || sig[b.band*4+1 : b.band*4+4],
+       |      (a,v) -> (a*1000003+v) % 2147483647) AS band_hash
+       |  FROM sg CROSS JOIN (SELECT unnest(range(0, 8)) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bd a JOIN bd b2 ON a.band = b2.band
+       |    AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+       |m AS (SELECT doc_a, doc_b,
+       |    len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+       |      AS sig_matches,
+       |    len(list_intersect(sa.shs, sb.shs)) AS inter,
+       |    len(list_distinct(sa.shs || sb.shs)) AS un
+       |  FROM cand JOIN sg sa ON sa.doc_id = cand.doc_a
+       |    JOIN sg sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, CAST(sig_matches AS BIGINT) AS sig_matches,
+       |  sig_matches / 32.0 AS est_jaccard,
+       |  inter * 1.0 / un AS jaccard
+       |FROM m ORDER BY doc_a, doc_b""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -601,6 +667,7 @@ object DedupOps {
     "q70_decontaminate" -> q70Decontaminate,
     "q75_cluster_keep" -> q75ClusterKeep,
     "q78_source_overlap" -> q78SourceOverlap,
+    "q85_minhash_estimate" -> q85MinhashEstimate,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -612,5 +679,6 @@ object DedupOps {
     "q70_decontaminate" -> q70Oracle,
     "q75_cluster_keep" -> q75Oracle,
     "q78_source_overlap" -> q78Oracle,
+    "q85_minhash_estimate" -> q85Oracle,
   )
 }

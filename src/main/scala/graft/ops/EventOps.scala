@@ -381,6 +381,42 @@ object EventOps {
       | event_id, CAST(us AS BIGINT) AS ts_us
       |FROM m WHERE pick = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** PII-style redaction pass: numeric identifiers in the raw event
+    * payload are replaced with a `<NUM>` placeholder before the payloads
+    * could be shared or enter a training corpus — the scrub step every
+    * privacy-conscious data pipeline runs (here digit runs stand in for
+    * the id/phone/account patterns of real payloads; the regex slot is
+    * the same). Map-only per row (codegen'd `regexp_count` /
+    * `regexp_replace`), then one aggregate audits the pass per event
+    * type: events touched, spans redacted, distinct payload SHAPES after
+    * scrubbing (the cardinality collapse is the point of the pass), and
+    * a length fingerprint of the scrubbed text so the oracle hash-checks
+    * the actual replacement output, not just the counts. */
+  val q86PiiScrub: Q = (spark, dir) => {
+    val scrubbed = regexp_replace(col("props"), "[0-9]+", "<NUM>")
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        regexp_count(col("props"), lit("[0-9]+")).cast("long").as("hits"),
+        scrubbed.as("scrub"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("hits")).as("n_redacted"),
+        countDistinct(col("scrub")).as("n_shapes"),
+        sum(length(col("scrub"))).cast("long").as("sum_len"))
+      .orderBy(col("event_type"))
+  }
+
+  val q86Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      | CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+      |   AS n_redacted,
+      | CAST(count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g'))
+      |   AS BIGINT) AS n_shapes,
+      | CAST(sum(length(regexp_replace(props, '[0-9]+', '<NUM>', 'g')))
+      |   AS BIGINT) AS sum_len
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -395,6 +431,7 @@ object EventOps {
     "q58_funnel_state" -> q58FunnelState,
     "q67_funnel_tws" -> q67FunnelTws,
     "q80_upsert_merge" -> q80UpsertMerge,
+    "q86_pii_scrub" -> q86PiiScrub,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -411,5 +448,6 @@ object EventOps {
     "q58_funnel_state" -> q58Oracle,
     "q67_funnel_tws" -> q58Oracle, // same computation, two state APIs
     "q80_upsert_merge" -> q80Oracle,
+    "q86_pii_scrub" -> q86Oracle,
   )
 }
