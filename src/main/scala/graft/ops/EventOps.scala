@@ -381,6 +381,58 @@ object EventOps {
       | event_id, CAST(us AS BIGINT) AS ts_us
       |FROM m WHERE pick = 1 ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** E13 LEFT-OUTER stream-stream interval join end-to-end: q56's
+    * attribution join, but clicks with NO purchase in their 10-minute
+    * window also emit (NULL purchase columns) — the shape that feeds
+    * "un-attributed click" downstream consumers without a second pass.
+    * Outer rows are produced by state eviction: only once the watermark
+    * passes a click's whole match window can the engine prove no match
+    * is coming, so clicks still inside their window at drain time never
+    * finalize. The oracle reproduces both row classes: the batch
+    * interval join, plus unmatched clicks whose window end precedes the
+    * final GLOBAL watermark. Two pins the oracle must reproduce: (1)
+    * each withWatermark node tracks its own max event time, and the
+    * global watermark is the MIN across nodes — here min(max click ts,
+    * max purchase ts) − 10 min, NOT the corpus max; (2) Spark tracks
+    * event-time maxima at MILLISECOND precision, so the oracle floors
+    * to ms before subtracting the delay. Either detail wrong is
+    * one-boundary-row off at scale. */
+  val q87StreamOuterJoin: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q87_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.clickPurchaseLeftJoin(StreamOps.readEvents(spark, dir)), name)
+      .select(col("user_id"), col("click_id"), col("click_s"),
+        col("purch_id"), col("delay_s"), col("amount"))
+      .orderBy(col("user_id"), col("click_id"), col("purch_id"))
+  }
+
+  val q87Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |  epoch_ns(ts)//1000 AS us FROM events),
+      |m AS (SELECT least(
+      |        max(CASE WHEN event_type = 'click' THEN us END),
+      |        max(CASE WHEN event_type = 'purchase' THEN us END))
+      |      AS mn FROM e),
+      |c AS (SELECT event_id AS click_id, user_id, us AS c_us FROM e
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purch_id, user_id, us AS p_us, value FROM e
+      |      WHERE event_type = 'purchase'),
+      |j AS (SELECT user_id, click_id, c_us, purch_id, p_us, value
+      |      FROM c JOIN p USING (user_id)
+      |      WHERE p_us >= c_us AND p_us <= c_us + 600000000),
+      |um AS (SELECT c.user_id, c.click_id, c.c_us FROM c, m
+      |      WHERE NOT EXISTS (SELECT 1 FROM p
+      |        WHERE p.user_id = c.user_id AND p.p_us >= c.c_us
+      |          AND p.p_us <= c.c_us + 600000000)
+      |        AND c.c_us + 600000000 < (mn//1000 - 600000) * 1000)
+      |SELECT user_id, click_id, c_us//1000000 AS click_s, purch_id,
+      | p_us//1000000 - c_us//1000000 AS delay_s, value AS amount FROM j
+      |UNION ALL
+      |SELECT user_id, click_id, c_us//1000000, NULL, NULL, NULL FROM um
+      |ORDER BY user_id, click_id, purch_id""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** PII-style redaction pass: numeric identifiers in the raw event
     * payload are replaced with a `<NUM>` placeholder before the payloads
@@ -432,6 +484,7 @@ object EventOps {
     "q67_funnel_tws" -> q67FunnelTws,
     "q80_upsert_merge" -> q80UpsertMerge,
     "q86_pii_scrub" -> q86PiiScrub,
+    "q87_stream_outer_join" -> q87StreamOuterJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -449,5 +502,6 @@ object EventOps {
     "q67_funnel_tws" -> q58Oracle, // same computation, two state APIs
     "q80_upsert_merge" -> q80Oracle,
     "q86_pii_scrub" -> q86Oracle,
+    "q87_stream_outer_join" -> q87Oracle,
   )
 }

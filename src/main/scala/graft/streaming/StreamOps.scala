@@ -235,6 +235,37 @@ object StreamOps {
         col("value").as("amount"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[clickPurchaseJoin]]
+    * but every click emits — matched rows on match arrival, unmatched
+    * clicks with NULL purchase columns once the watermark passes the end
+    * of their 10-minute match window (only then can the engine PROVE no
+    * match is coming; the null row is produced by the state-eviction
+    * no-data micro-batch). Clicks still inside their window when the
+    * stream drains never finalize — the oracle mirrors that predicate
+    * exactly. Same bounded-state shape as the inner join: both sides
+    * watermarked, event time bounded on both ends. */
+  def clickPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_utc").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("p_user"),
+        col("ts_utc").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        unix_timestamp(col("c_ts")).as("click_s"),
+        col("purch_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("delay_s"),
+        col("value").as("amount"))
+  }
+
   /** FQCN of Spark's RocksDB state-store provider — the off-heap,
     * disk-spilling state backend. The default HDFS-backed provider keeps
     * every key in executor heap, which caps total streaming state at

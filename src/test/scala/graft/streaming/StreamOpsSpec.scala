@@ -131,6 +131,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(rocks == default)
   }
 
+  test("RocksDB provider parity on join state: the left-outer stream join " +
+      "(matched rows AND watermark-finalized null rows) matches HDFS") {
+    // stream-stream join state is a third column-family layout (per-side
+    // keyed row buffers + matched flags); the outer join additionally
+    // exercises eviction-time null-row generation on both providers
+    def run(name: String, provider: Option[String]) =
+      StreamOps.runToMemory(spark,
+        StreamOps.clickPurchaseLeftJoin(StreamOps.readEvents(spark, sf)),
+        name, stateStoreProvider = provider)
+        .select("user_id", "click_id", "purch_id", "delay_s")
+        .orderBy("user_id", "click_id", "purch_id").collect().toSeq
+    val rocks = run("outer_join_rocksdb", Some(StreamOps.RocksDBProvider))
+    val default = run("outer_join_default", None)
+    assert(rocks.nonEmpty)
+    assert(rocks == default)
+  }
+
   test("transformWithState funnel (Spark 4 StatefulProcessor, RocksDB " +
       "column-family state) matches the flatMapGroupsWithState funnel") {
     def run(df: org.apache.spark.sql.DataFrame, name: String,
