@@ -915,6 +915,50 @@ object BioQueries {
       | CAST(max(mag) AS BIGINT) AS mag_max
       |FROM m GROUP BY c ORDER BY c""".stripMargin
 
+  // ---------------------------------------------------------------- b32
+  /** S12/S13 `.npy` interchange end-to-end: a formulaic ZYX stack and a
+    * trailing-S RGB plane saved as numpy array files through the
+    * extension-dispatch facade, re-opened through plugin resolution
+    * (magic-probe → NpyReader, rank → dim-order guess: 5D→TCZYX,
+    * 6D→TCZYXS), pixels hash-checked against the regenerating oracle.
+    * The npy pair is the file form of the ArrayLike domain
+    * (array_like_reader.py:29-66) and the tensor interchange a
+    * training-data pipeline actually passes around (embedding matrices,
+    * feature stacks); cross-engine byte compatibility with numpy itself
+    * is pinned in NpySpec. */
+  val b32NpyRoundtrip: Q = (spark, _) => {
+    val run = java.util.UUID.randomUUID()
+    val zyx = NDArray.tabulate(Seq(2, 4, 5))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val uriZ = s"/tmp/graft_b32_${run}_zyx.npy"
+    BioSpark.fromArray(spark, zyx, Some("ZYX")).save(uriZ)
+    val rgb = NDArray.tabulate(Seq(3, 4, 3))(idx =>
+      idx(0) * 20.0 + idx(1) * 5.0 + idx(2))
+    val uriR = s"/tmp/graft_b32_${run}_yxs.npy"
+    new graft.image.BioImage(spark,
+      new ArrayLikeReader(Seq(rgb), Seq(Some("YXS")), Seq(None))).save(uriR)
+    val z = BioSpark.open(spark, uriZ).getImagePixels()
+      .select(lit("zyx").as("variant"), col("z").cast("long").as("z"),
+        col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        lit(0L).as("s"), col("v"))
+    val r = BioSpark.open(spark, uriR).getImagePixels()
+      .select(lit("yxs").as("variant"), lit(0L).as("z"),
+        col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+        col("s").cast("long").as("s"), col("v"))
+    z.unionByName(r)
+      .orderBy(col("variant"), col("z"), col("y"), col("x"), col("s"))
+  }
+
+  val b32Oracle: String =
+    """SELECT variant, z, y, x, s, v FROM (
+      |  SELECT 'zyx' AS variant, z, y, x, 0 AS s,
+      |    CAST(z*100 + y*10 + x AS DOUBLE) AS v
+      |  FROM range(2) a(z), range(4) b(y), range(5) c(x)
+      |  UNION ALL
+      |  SELECT 'yxs', 0, y, x, s, CAST(y*20 + x*5 + s AS DOUBLE)
+      |  FROM range(3) a(y), range(4) b(x), range(3) c(s))
+      |ORDER BY variant, z, y, x, s""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -947,6 +991,7 @@ object BioQueries {
     "b29_plane_normalize" -> b29PlaneNormalize,
     "b30_plane_histogram" -> b30PlaneHistogram,
     "b31_sobel_edges" -> b31SobelEdges,
+    "b32_npy_roundtrip" -> b32NpyRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -981,5 +1026,6 @@ object BioQueries {
     "b29_plane_normalize" -> b29Oracle,
     "b30_plane_histogram" -> b30Oracle,
     "b31_sobel_edges" -> b31Oracle,
+    "b32_npy_roundtrip" -> b32Oracle,
   )
 }

@@ -20,3 +20,7 @@ final class ImageIoProvider extends BioReaderProvider {
 final class ParquetPlaneProvider extends BioReaderProvider {
   override def plugin: PluginEntry = graft.writers.ParquetPlaneReader.plugin
 }
+
+final class NpyProvider extends BioReaderProvider {
+  override def plugin: PluginEntry = graft.readers.NpyReader.plugin
+}
