@@ -163,13 +163,87 @@ object GraphOps {
       |FROM n GROUP BY part_id
       |ORDER BY n_triangles DESC, part_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** k-core decomposition (k = 3) of the high-quantity co-purchase
+    * graph: iteratively peel nodes of degree < k until the remaining
+    * subgraph is stable — the dense-core extraction behind graph-based
+    * curation (keep the well-connected catalog/citation/link core, drop
+    * the fringe). The high-quantity edge filter (l_quantity ≥ 40) keeps
+    * the graph sparse enough that the peel actually bites.
+    *
+    * Scale shape: the static symmetric edge list is lineage-cut once
+    * and every round is ONE self-semi-shaped join (edges against the
+    * surviving-node set on both endpoints) plus one degree aggregate —
+    * O(E)/round on the same node-key partitioning, exactly the
+    * connectedComponents loop shape (q52), with the strictly decreasing
+    * survivor count as the convergence scalar. Output is the core's
+    * nodes with their induced (core) degree.
+    *
+    * The oracle unrolls 8 peel rounds; the fixpoint lands by round 6 at
+    * both driver scale factors (measured) and extra rounds past the
+    * fixpoint are identity, so the unroll has safe margin. */
+  val q88KCore: Q = (spark, dir) => {
+    val k = 3
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // static across rounds — cut the pair pipeline
+    var survivors = und.select(col("u")).distinct().localCheckpoint()
+    var lastDeg: DataFrame = null
+    var n = survivors.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < 50) {
+      val d = und
+        .join(survivors.withColumnRenamed("u", "su"), col("u") === col("su"))
+        .join(survivors.withColumnRenamed("u", "sv"), col("v") === col("sv"))
+        .groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .localCheckpoint()
+      val n2 = d.count()
+      converged = n2 == n
+      n = n2
+      lastDeg = d
+      survivors = d.select(col("u"))
+      round += 1
+    }
+    require(converged, s"k-core did not converge in $round rounds")
+    lastDeg.select(col("u").as("part_id"), col("d").cast("long").as("core_deg"))
+      .orderBy(col("part_id"))
+  }
+
+  val q88Oracle: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""s$i AS (SELECT e.u FROM und e
+         |  JOIN s${i - 1} a ON e.u = a.u JOIN s${i - 1} b ON e.v = b.u
+         |  GROUP BY e.u HAVING count(*) >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |  WHERE l_quantity >= 40),
+       |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |s0 AS (SELECT DISTINCT u FROM und),
+       |$rounds
+       |SELECT e.u AS part_id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM und e JOIN s8 a ON e.u = a.u JOIN s8 b ON e.v = b.u
+       |GROUP BY e.u ORDER BY part_id""".stripMargin
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q76_pagerank" -> q76PageRank,
     "q77_triangles" -> q77Triangles,
+    "q88_kcore" -> q88KCore,
   )
 
   val oracles: ListMap[String, String] = ListMap(
     "q76_pagerank" -> q76Oracle,
     "q77_triangles" -> q77Oracle,
+    "q88_kcore" -> q88Oracle,
   )
 }
