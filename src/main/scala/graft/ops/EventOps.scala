@@ -433,6 +433,65 @@ object EventOps {
       |SELECT user_id, click_id, c_us//1000000, NULL, NULL, NULL FROM um
       |ORDER BY user_id, click_id, purch_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Time-series regularization: each user's event stream re-sampled
+    * onto a dense hourly grid — empty hours materialize with n = 0 and
+    * the last observed reading FORWARD-FILLED into them (the gap-fill +
+    * LOCF step that precedes any windowed feature computation or
+    * model-ready export of irregular telemetry). Per-hour "last" is the
+    * max of a (ts, event_id, value) struct — deterministic under any
+    * partial-agg order, never a last() over an unordered aggregate.
+    *
+    * Scale shape: one (user, hour) aggregate, a per-user
+    * sequence+explode for the grid (row expansion local to each user's
+    * span — no extra shuffle), and the forward-fill window rides the
+    * same user partitioning the join already established. Bounded to
+    * users < 12 to keep the harness output stable; the plan is
+    * corpus-size-agnostic. */
+  val q89GapFill: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .filter(col("user_id") < 12)
+      .select(col("user_id"),
+        expr("ts DIV 3600000000000").cast("long").as("b"),
+        col("ts_us"), col("event_id"), col("value"))
+    val base = e.groupBy(col("user_id"), col("b"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("v"))
+    val sp = base.groupBy(col("user_id"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+    val grid = sp.select(col("user_id"),
+      explode(sequence(col("b0"), col("b1"))).as("b"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(base, Seq("user_id", "b"), "left")
+      .select(col("user_id"),
+        (col("b") * 3600).cast("long").as("bucket_start"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_ff"))
+      .orderBy(col("user_id"), col("bucket_start"))
+  }
+
+  val q89Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS b,
+      |    epoch_ns(ts)//1000 AS us, event_id, value FROM events
+      |  WHERE user_id < 12),
+      |r AS (SELECT user_id, b, value,
+      |    count(*) OVER (PARTITION BY user_id, b) AS n,
+      |    row_number() OVER (PARTITION BY user_id, b
+      |      ORDER BY us DESC, event_id DESC) AS rn FROM e),
+      |base AS (SELECT user_id, b, n, value AS v FROM r WHERE rn = 1),
+      |sp AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM base
+      |  GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM sp),
+      |j AS (SELECT g.user_id, g.b, base.n, base.v FROM grid g
+      |  LEFT JOIN base ON base.user_id = g.user_id AND base.b = g.b)
+      |SELECT user_id, CAST(b * 3600 AS BIGINT) AS bucket_start,
+      | CAST(coalesce(n, 0) AS BIGINT) AS n,
+      | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+      |FROM j ORDER BY user_id, bucket_start""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** PII-style redaction pass: numeric identifiers in the raw event
     * payload are replaced with a `<NUM>` placeholder before the payloads
@@ -485,6 +544,7 @@ object EventOps {
     "q80_upsert_merge" -> q80UpsertMerge,
     "q86_pii_scrub" -> q86PiiScrub,
     "q87_stream_outer_join" -> q87StreamOuterJoin,
+    "q89_gap_fill" -> q89GapFill,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -503,5 +563,6 @@ object EventOps {
     "q80_upsert_merge" -> q80Oracle,
     "q86_pii_scrub" -> q86Oracle,
     "q87_stream_outer_join" -> q87Oracle,
+    "q89_gap_fill" -> q89Oracle,
   )
 }
