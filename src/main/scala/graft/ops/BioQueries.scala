@@ -959,6 +959,53 @@ object BioQueries {
       |  FROM range(3) a(y), range(4) b(x), range(3) c(s))
       |ORDER BY variant, z, y, x, s""".stripMargin
 
+  // ---------------------------------------------------------------- b33
+  /** E12 segmentation-mask path: per-plane THRESHOLD MASK summarized as
+    * flat run-length encoding stats — foreground pixel count, number of
+    * maximal foreground runs, and the longest run, over the row-major
+    * flat pixel array (the layout COCO-style RLE mask storage encodes).
+    * The whole RLE scan is ONE in-row `aggregate` fold with a 4-field
+    * struct accumulator (prev bit, current run, run count, max run) —
+    * map-only per plane, no per-pixel explode, the b23/b29–b31 scale
+    * shape. All quantities are small exact integers. */
+  val b33MaskRle: Q = (spark, _) => {
+    val thr = 5.0
+    val arr = NDArray.tabulate(Seq(2, 6, 8))(idx =>
+      ((idx(0) * 7 + idx(1) * 5 + idx(2) * 3) % 11).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    val zero = struct(lit(0L).as("prev"), lit(0L).as("run"),
+      lit(0L).as("nruns"), lit(0L).as("maxrun"))
+    val folded = aggregate(col("pixels"), zero, (acc, v) => {
+      val bit = when(v > thr, 1L).otherwise(0L)
+      val run = when(bit === 1L, acc.getField("run") + 1L).otherwise(0L)
+      struct(bit.as("prev"),
+        run.as("run"),
+        (acc.getField("nruns") +
+          when(bit === 1L && acc.getField("prev") === 0L, 1L)
+            .otherwise(0L)).as("nruns"),
+        greatest(acc.getField("maxrun"), run).as("maxrun"))
+    })
+    img.planes
+      .select(col("c").cast("long").as("c"),
+        size(filter(col("pixels"), v => v > thr)).cast("long").as("n_fg"),
+        folded.getField("nruns").as("n_runs"),
+        folded.getField("maxrun").as("max_run"))
+      .orderBy(col("c"))
+  }
+
+  val b33Oracle: String =
+    """WITH px AS (SELECT c, y*8 + x AS pos,
+      |    CAST((c*7 + y*5 + x*3) % 11 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(6) b(y), range(8) d(x)),
+      |fg AS (SELECT c, pos,
+      |    pos - row_number() OVER (PARTITION BY c ORDER BY pos) AS grp
+      |  FROM px WHERE v > 5),
+      |runs AS (SELECT c, grp, count(*) AS len FROM fg GROUP BY c, grp)
+      |SELECT c, CAST(coalesce(sum(len), 0) AS BIGINT) AS n_fg,
+      | CAST(count(*) AS BIGINT) AS n_runs,
+      | CAST(coalesce(max(len), 0) AS BIGINT) AS max_run
+      |FROM runs GROUP BY c ORDER BY c""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -992,6 +1039,7 @@ object BioQueries {
     "b30_plane_histogram" -> b30PlaneHistogram,
     "b31_sobel_edges" -> b31SobelEdges,
     "b32_npy_roundtrip" -> b32NpyRoundtrip,
+    "b33_mask_rle" -> b33MaskRle,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1027,5 +1075,6 @@ object BioQueries {
     "b30_plane_histogram" -> b30Oracle,
     "b31_sobel_edges" -> b31Oracle,
     "b32_npy_roundtrip" -> b32Oracle,
+    "b33_mask_rle" -> b33Oracle,
   )
 }

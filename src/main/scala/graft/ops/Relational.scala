@@ -900,6 +900,43 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** The approximate-percentile SCALE path q63 points at, now gated:
+    * `approx_percentile` (Greenwald-Khanna summaries — mergeable
+    * fixed-size sketches, the per-group-sort escape hatch once groups
+    * stop fitting in memory) runs next to the exact percentile and the
+    * emitted `within_bound` flag asserts IN-ENGINE that every sketch
+    * value sits within 2% of its exact anchor. The oracle reproduces
+    * the exact values and a literal TRUE — the q29 HLL pattern: a
+    * sketch drifting out of bound flips the flag and fails the hash
+    * match, so the approximate path is genuinely gated even though its
+    * raw values are engine-specific. The flag also absorbs the sketch's
+    * merge-order sensitivity (partial-agg order may nudge the estimate;
+    * it cannot move it outside the bound). */
+  val q90ApproxPercentile: Q = (spark, dir) => {
+    val within = (a: Column, e: Column) =>
+      abs(a - e).cast("double") / e <= 0.02
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("a95"))
+      .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
+        (within(col("a50"), col("p50")) && within(col("a95"), col("p95")))
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q90Oracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      | round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      | TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q83
   /** Correlated scalar subquery (TPC-H Q17 shape): per-brand revenue of
     * lineitems whose quantity sits below 0.2× the per-part average —
@@ -1014,6 +1051,7 @@ object Relational {
     "q82_sql_tpch5" -> q82SqlTpch5,
     "q83_scalar_subquery" -> q83ScalarSubquery,
     "q84_exists_subquery" -> q84ExistsSubquery,
+    "q90_approx_percentile" -> q90ApproxPercentile,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1050,5 +1088,6 @@ object Relational {
     "q82_sql_tpch5" -> q82Oracle,
     "q83_scalar_subquery" -> q83Oracle,
     "q84_exists_subquery" -> q84Oracle,
+    "q90_approx_percentile" -> q90Oracle,
   )
 }
