@@ -1006,6 +1006,60 @@ object BioQueries {
       | CAST(coalesce(max(len), 0) AS BIGINT) AS max_run
       |FROM runs GROUP BY c ORDER BY c""".stripMargin
 
+  // ---------------------------------------------------------------- b34
+  /** E12 ViT-style patchify: each plane tiled into non-overlapping 4×4
+    * patches with per-patch mean and max — the patch-embedding
+    * preprocessing every vision-transformer ingest runs (and the patch
+    * grid a quality screen scores). One in-row `transform` over the
+    * patch grid computes each patch's fold by INDEX reads into the flat
+    * pixel array (the b31 Sobel access pattern), then a single
+    * posexplode turns the per-plane patch array into rows — fan-out =
+    * patches/plane, map-only before it. Patch mean is sum/16: a
+    * power-of-two division of an exact integer sum, bit-exact on both
+    * engines. */
+  val b34Patchify: Q = (spark, _) => {
+    val h = 8
+    val w = 12
+    val p = 4
+    val nPx = w / p
+    val arr = NDArray.tabulate(Seq(2, h, w))(idx =>
+      ((idx(0) * 3 + idx(1) * 7 + idx(2) * 5) % 17).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    val nPatches = (h / p) * nPx
+    val patches = transform(sequence(lit(0), lit(nPatches - 1)), pi => {
+      val py = (pi / nPx).cast("int")
+      val px = pmod(pi, lit(nPx)).cast("int")
+      val stats = aggregate(sequence(lit(0), lit(p * p - 1)),
+        struct(lit(0.0).as("s"), lit(Double.MinValue).as("mx")),
+        (acc, k) => {
+          val y = py * p + (k / p).cast("int")
+          val x = px * p + pmod(k, lit(p)).cast("int")
+          val v = element_at(col("pixels"), (y * w + x + 1).cast("int"))
+          struct((acc.getField("s") + v).as("s"),
+            greatest(acc.getField("mx"), v).as("mx"))
+        })
+      struct(py.as("py"), px.as("px"),
+        (stats.getField("s") / (p * p)).as("mean"),
+        stats.getField("mx").as("mx"))
+    })
+    img.planes
+      .select(col("c").cast("long").as("c"),
+        posexplode(patches).as(Seq("pos", "pt")))
+      .select(col("c"),
+        col("pt.py").cast("long").as("py"),
+        col("pt.px").cast("long").as("px"),
+        col("pt.mean").as("patch_mean"),
+        col("pt.mx").as("patch_max"))
+      .orderBy(col("c"), col("py"), col("px"))
+  }
+
+  val b34Oracle: String =
+    """SELECT c, y//4 AS py, x//4 AS px,
+      | avg(CAST((c*3 + y*7 + x*5) % 17 AS DOUBLE)) AS patch_mean,
+      | max(CAST((c*3 + y*7 + x*5) % 17 AS DOUBLE)) AS patch_max
+      |FROM range(2) a(c), range(8) b(y), range(12) d(x)
+      |GROUP BY c, y//4, x//4 ORDER BY c, py, px""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1040,6 +1094,7 @@ object BioQueries {
     "b31_sobel_edges" -> b31SobelEdges,
     "b32_npy_roundtrip" -> b32NpyRoundtrip,
     "b33_mask_rle" -> b33MaskRle,
+    "b34_patchify" -> b34Patchify,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1076,5 +1131,6 @@ object BioQueries {
     "b31_sobel_edges" -> b31Oracle,
     "b32_npy_roundtrip" -> b32Oracle,
     "b33_mask_rle" -> b33Oracle,
+    "b34_patchify" -> b34Oracle,
   )
 }

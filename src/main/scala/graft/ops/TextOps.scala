@@ -632,6 +632,48 @@ object TextOps {
       | count(*) AS n_docs
       |FROM documents, th GROUP BY 1, 2 ORDER BY source, stratum""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** BPE-ish pre-tokenization (the regex split stage every GPT-family
+    * tokenizer runs before merges): letter runs / digit runs / punct
+    * runs via one codegen'd `regexp_extract_all`, per-doc piece stats,
+    * and a SUBWORD BUDGET — each piece costs ⌈len/4⌉ units, the crude
+    * merge-limit proxy that tracks real BPE token counts closely enough
+    * for cost estimation (token-budget planning before the expensive
+    * exact tokenizer pass). The piece-walk folds are in-row HOFs over
+    * the extracted array; map-only, one pass, complementing q30's
+    * whitespace count. The character classes are chosen inside the
+    * Java∩RE2 common subset so both engines extract identical pieces. */
+  val q91BpePretokenize: Q = (spark, dir) => {
+    val pieces = regexp_extract_all(col("text"),
+      lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"), lit(0))
+    docs(spark, dir)
+      .select(col("doc_id"), pieces.as("pieces"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        size(array_distinct(col("pieces"))).cast("long").as("n_distinct"),
+        coalesce(array_max(transform(col("pieces"), p => length(p))), lit(0))
+          .cast("long").as("max_len"),
+        // (len+3)/4 is exact in doubles (power-of-two divisor) and the
+        // cast truncates the positive quotient — integer ceil-div
+        aggregate(col("pieces"), lit(0L),
+          (acc, p) => acc + ((length(p) + lit(3)) / lit(4)).cast("long"))
+          .as("n_subwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Oracle: String =
+    """WITH p AS (SELECT doc_id,
+      |    regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')
+      |      AS pieces
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+      | CAST(len(list_distinct(pieces)) AS BIGINT) AS n_distinct,
+      | CAST(coalesce(list_max(list_transform(pieces, x -> length(x))), 0)
+      |   AS BIGINT) AS max_len,
+      | CAST(list_sum(list_transform(pieces, x -> (length(x) + 3) // 4))
+      |   AS BIGINT) AS n_subwords
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -649,6 +691,7 @@ object TextOps {
     "q72_bm25" -> q72Bm25,
     "q73_rarity" -> q73Rarity,
     "q81_quality_strata" -> q81QualityStrata,
+    "q91_bpe_pretokenize" -> q91BpePretokenize,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -668,5 +711,6 @@ object TextOps {
     "q72_bm25" -> q72Oracle,
     "q73_rarity" -> q73Oracle,
     "q81_quality_strata" -> q81Oracle,
+    "q91_bpe_pretokenize" -> q91Oracle,
   )
 }
