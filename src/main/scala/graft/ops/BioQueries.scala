@@ -1060,6 +1060,44 @@ object BioQueries {
       |FROM range(2) a(c), range(8) b(y), range(12) d(x)
       |GROUP BY c, y//4, x//4 ORDER BY c, py, px""".stripMargin
 
+  // ---------------------------------------------------------------- b35
+  /** S12/S15 `.npz` MULTI-SCENE interchange: a two-scene image (a 2D
+    * plane and a 3D stack — different ranks, so the per-member dim
+    * guess is exercised too) saved as one numpy zip archive through the
+    * facade, re-opened through plugin resolution (PK magic → NpzReader,
+    * each member one scene in archive order), both scenes selected BY ID
+    * and pixel-checked. The np.savez shape of the reference's
+    * list-of-arrays multi-scene constructor
+    * (array_like_reader.py:165-230). */
+  val b35NpzRoundtrip: Q = (spark, _) => {
+    val a = NDArray.tabulate(Seq(3, 5))(idx => idx(0) * 10.0 + idx(1))
+    val b = NDArray.tabulate(Seq(2, 3, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = new graft.image.BioImage(spark,
+      new ArrayLikeReader(Seq(a, b), Seq(Some("YX"), Some("ZYX")),
+        Seq(None, None)))
+    val uri = s"/tmp/graft_b35_${java.util.UUID.randomUUID()}.npz"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    Seq(("Image:0", 0L), ("Image:1", 1L)).map { case (id, tag) =>
+      back.setScene(id)
+      back.getImagePixels()
+        .select(lit(tag).as("scene"), col("z").cast("long").as("z"),
+          col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+          col("v"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("scene"), col("z"), col("y"), col("x"))
+  }
+
+  val b35Oracle: String =
+    """SELECT scene, z, y, x, v FROM (
+      |  SELECT 0 AS scene, 0 AS z, y, x, CAST(y*10 + x AS DOUBLE) AS v
+      |  FROM range(3) a(y), range(5) b(x)
+      |  UNION ALL
+      |  SELECT 1, z, y, x, CAST(z*100 + y*10 + x AS DOUBLE)
+      |  FROM range(2) a(z), range(3) b(y), range(4) c(x))
+      |ORDER BY scene, z, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1095,6 +1133,7 @@ object BioQueries {
     "b32_npy_roundtrip" -> b32NpyRoundtrip,
     "b33_mask_rle" -> b33MaskRle,
     "b34_patchify" -> b34Patchify,
+    "b35_npz_roundtrip" -> b35NpzRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1132,5 +1171,6 @@ object BioQueries {
     "b32_npy_roundtrip" -> b32Oracle,
     "b33_mask_rle" -> b33Oracle,
     "b34_patchify" -> b34Oracle,
+    "b35_npz_roundtrip" -> b35Oracle,
   )
 }

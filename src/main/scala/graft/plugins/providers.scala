@@ -24,3 +24,7 @@ final class ParquetPlaneProvider extends BioReaderProvider {
 final class NpyProvider extends BioReaderProvider {
   override def plugin: PluginEntry = graft.readers.NpyReader.plugin
 }
+
+final class NpzProvider extends BioReaderProvider {
+  override def plugin: PluginEntry = graft.readers.NpzReader.plugin
+}
