@@ -61,5 +61,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"winnow_fingerprints k and w must be integer literals, got $other")
         }
       }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[graft.functions.BloomBuild].getName,
+        "bloom_build"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "bloom_build(key, mBits) takes 2 arguments")
+        val m = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_build mBits must be an integer literal, got $other")
+        }
+        graft.functions.BloomBuild(args(0), m,
+          graft.functions.BloomContains.K)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.BloomContains].getName,
+        "bloom_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "bloom_contains(bloom, key) takes 2 arguments")
+        graft.functions.BloomContains(args(0), args(1))
+      }))
   }
 }

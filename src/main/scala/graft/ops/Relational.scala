@@ -937,6 +937,72 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Bloom-filter pre-join pruning as a FIRST-CLASS op: the engine's own
+    * deterministic Bloom sketch (graft.functions.BloomSketch — a
+    * mergeable TypedImperativeAggregate bitset + codegen'd probe) built
+    * over the urgent-order keys, broadcast as one 32 KB binary, and
+    * probed per lineitem row BEFORE any shuffle — the hand-rolled form
+    * of the AQE runtime filter (spec-pinned separately), for the cases
+    * the optimizer can't inject: persisted filters, decontamination
+    * lists shipped across jobs, cross-engine pipelines.
+    *
+    * Because probe positions are engine-agnostic int64 affine mixes
+    * (the PolyHashMod family), the DuckDB oracle rebuilds the distinct
+    * position set and reproduces membership EXACTLY — n_bloom includes
+    * the sketch's actual false positives (m = 2^18 bits ⇒ ~1.6% FP at
+    * sf0.1's ~30k keys, 0 at sf0.01's — both reproduced bit-for-bit),
+    * and n_missed pins the no-false-negative invariant at literal 0. */
+  val q93BloomPrune: Q = (spark, dir) => {
+    import graft.functions.BloomSketch
+    val m = 1 << 18
+    val urgent = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    val bf = urgent.agg(BloomSketch.build(col("k"), m, 7).as("bf"))
+    val inBloom = BloomSketch.mightContain(col("bf"), col("l_orderkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .crossJoin(broadcast(bf))
+      .join(broadcast(urgent), col("l_orderkey") === col("k"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(inBloom, 1L).otherwise(0L)).as("n_bloom"),
+        sum(when(col("k").isNotNull && !inBloom, 1L).otherwise(0L))
+          .as("n_missed"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q93Oracle: String =
+    """WITH ku AS (SELECT DISTINCT o_orderkey AS k FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |pos AS (SELECT DISTINCT
+      |    (((k % 2147483647) * 2654435761 + 1) % 2147483647
+      |     + i.i * (((k % 2147483647) * 40503 + 97) % 2147483647))
+      |      % 262144 AS p
+      |  FROM ku, range(7) i(i)),
+      |lk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+      |pr AS (SELECT key,
+      |    ((key % 2147483647) * 2654435761 + 1) % 2147483647 AS h1,
+      |    ((key % 2147483647) * 40503 + 97) % 2147483647 AS h2 FROM lk),
+      |probes AS (SELECT key, (h1 + i.i * h2) % 262144 AS p
+      |  FROM pr, range(7) i(i)),
+      |hits AS (SELECT probes.key, count(*) AS nh FROM probes
+      |  JOIN pos ON pos.p = probes.p GROUP BY probes.key),
+      |mem AS (SELECT lk.key AS key, coalesce(nh, 0) = 7 AS inb
+      |  FROM lk LEFT JOIN hits ON hits.key = lk.key)
+      |SELECT l_returnflag, count(*) AS n_rows,
+      | CAST(sum(CASE WHEN ku.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_exact,
+      | CAST(sum(CASE WHEN mem.inb THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+      | CAST(sum(CASE WHEN ku.k IS NOT NULL AND NOT mem.inb THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS n_missed
+      |FROM lineitem
+      | JOIN mem ON mem.key = l_orderkey
+      | LEFT JOIN ku ON ku.k = l_orderkey
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q83
   /** Correlated scalar subquery (TPC-H Q17 shape): per-brand revenue of
     * lineitems whose quantity sits below 0.2× the per-part average —
@@ -1052,6 +1118,7 @@ object Relational {
     "q83_scalar_subquery" -> q83ScalarSubquery,
     "q84_exists_subquery" -> q84ExistsSubquery,
     "q90_approx_percentile" -> q90ApproxPercentile,
+    "q93_bloom_prune" -> q93BloomPrune,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1089,5 +1156,6 @@ object Relational {
     "q83_scalar_subquery" -> q83Oracle,
     "q84_exists_subquery" -> q84Oracle,
     "q90_approx_percentile" -> q90Oracle,
+    "q93_bloom_prune" -> q93Oracle,
   )
 }

@@ -768,6 +768,54 @@ object SimilarityOps {
        |FROM xr LEFT JOIN ar ON xr.q_id = ar.q_id AND xr.vec_id = ar.vec_id
        |GROUP BY xr.q_id ORDER BY xr.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** k-NN GRAPH construction (k = 3): every vector's top-3 neighbors by
+    * exact cosine among its LSH-bucket candidates — the neighbor graph
+    * that graph-based dedup, clustering and label propagation consume
+    * (q52/q76-style iterations run ON this output). Candidates are the
+    * symmetric form of q43's bucket pairs (Σ bucket², never corpus²);
+    * the per-node top-k is one row_number window over the node key the
+    * bucket join already shuffled on. Ranking uses the UNROUNDED cosine
+    * (bit-identical row-level IEEE on both engines) with the neighbor
+    * id as tiebreak; only the emitted value is rounded. Vectors alone
+    * in their bucket have no candidates and are absent, exactly as in
+    * a production ANN-graph build at this nlist/nprobe tier. */
+  val q92KnnGraph: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), 8).as("bucket"))
+      .repartition(col("bucket"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cos").desc, col("nbr"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("node"), col("b.vec_id").as("nbr"),
+        graft.functions.CosineSimilarity(
+          col("a.embedding"), col("b.embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("node"), col("rn").cast("long").as("rn"), col("nbr"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("node"), col("rn"))
+  }
+
+  val q92Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, ${bucketSql(8)} AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS node, b2.vec_id AS nbr,
+       |  list_inner_product(a.emb, b2.emb) /
+       |    (sqrt(list_inner_product(a.emb, a.emb)) *
+       |     sqrt(list_inner_product(b2.emb, b2.emb))) AS cos
+       | FROM b a JOIN b b2 ON a.bucket = b2.bucket
+       |   AND a.vec_id <> b2.vec_id),
+       |r AS (SELECT node, nbr, cos, row_number() OVER (
+       |    PARTITION BY node ORDER BY cos DESC, nbr) AS rn FROM p)
+       |SELECT node, CAST(rn AS BIGINT) AS rn, nbr,
+       | round(cos, 4) AS cos_sim
+       |FROM r WHERE rn <= 3 ORDER BY node, rn""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -781,6 +829,7 @@ object SimilarityOps {
     "q55_ivfpq_probe" -> q55IvfPqProbe,
     "q69_sq8_codes" -> q69Sq8,
     "q74_ann_recall" -> q74AnnRecall,
+    "q92_knn_graph" -> q92KnnGraph,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -796,5 +845,6 @@ object SimilarityOps {
     "q55_ivfpq_probe" -> q55Oracle,
     "q69_sq8_codes" -> q69Oracle,
     "q74_ann_recall" -> q74Oracle,
+    "q92_knn_graph" -> q92Oracle,
   )
 }

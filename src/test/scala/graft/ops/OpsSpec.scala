@@ -156,6 +156,38 @@ class DedupSpec extends SparkSpec {
     assert(p84.contains("LeftSemi") && p84.contains("LeftAnti"), p84)
   }
 
+  test("BloomSketch: no false negatives across partitioned build/merge, " +
+      "probe agrees with the local reference, SQL surface registered") {
+    import graft.functions.{BloomContains, BloomSketch}
+    val m = 1 << 14
+    val keys = (0L until 1000L).map(_ * 7919L)
+    // 8 partitions force partial-buffer merges through the OR path
+    val df = spark.createDataFrame(keys.map(Tuple1(_))).toDF("k")
+      .repartition(8)
+    val bloom = df.agg(BloomSketch.build(col("k"), m, 7).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // every inserted key must probe true (no false negatives, ever)
+    assert(keys.forall(BloomSketch.contains(bloom, _, m, 7)))
+    // distributed probe agrees with the local helper on absent keys
+    val absent = (0L until 2000L).map(_ * 7919L + 1L)
+    val got = spark.createDataFrame(absent.map(Tuple1(_))).toDF("k")
+      .crossJoin(spark.createDataFrame(Seq(Tuple1(bloom))).toDF("bf"))
+      .select(col("k"), BloomSketch.mightContain(col("bf"), col("k")).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(absent.forall(k =>
+      got(k) == BloomSketch.contains(bloom, k, m, 7)))
+    // some absent keys are false positives, most are not (m/n ≈ 16)
+    val fp = absent.count(got)
+    assert(fp < absent.length / 10, s"fp rate too high: $fp")
+    // SQL registration end-to-end
+    df.createOrReplaceTempView("bloom_keys")
+    val viaSql = spark.sql(
+      s"""SELECT bloom_contains((SELECT bloom_build(k, $m) FROM bloom_keys),
+         |  ${keys.head}L) AS hit""".stripMargin).head().getBoolean(0)
+    assert(viaSql)
+    assert(BloomContains.K == 7) // q93's build arity is pinned to the probe
+  }
+
   test("chunk dedup counts a planted repeated chunk, drops short docs") {
     val rep = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
     val docs = Seq(
