@@ -84,5 +84,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_contains(bloom, key) takes 2 arguments")
         graft.functions.BloomContains(args(0), args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_build"),
+      new ExpressionInfo(classOf[graft.functions.CmsBuild].getName,
+        "cms_build"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_build(key, width) takes 2 arguments")
+        val w = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"cms_build width must be an integer literal, got $other")
+        }
+        graft.functions.CmsBuild(args(0), w)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName,
+        "cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "cms_estimate(cms, key) takes 2 arguments")
+        graft.functions.CmsEstimate(args(0), args(1))
+      }))
   }
 }

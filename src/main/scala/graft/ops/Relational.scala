@@ -1003,6 +1003,53 @@ object Relational {
       | LEFT JOIN ku ON ku.k = l_orderkey
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  /** Count-min sketch frequency estimation as a FIRST-CLASS op: the
+    * engine's deterministic CM sketch (graft.functions.CountMin — a
+    * mergeable d×w counter-matrix TypedImperativeAggregate + codegen'd
+    * min-probe) built over the event user keys in ONE map-side-combined
+    * pass, broadcast as a 32 KB binary, and probed per key — per-key
+    * frequency WITHOUT shuffling the key space, the hot-key detector
+    * that feeds the salting/skew-split decision at 100 TB (the exact
+    * groupBy here exists only to exhibit the guarantee).
+    *
+    * w=1024 against sf0.1's 1500 users forces real collisions; the
+    * min-over-4-rows estimate still never undercounts (over_est >= 0 is
+    * the CM invariant, pinned per row), and because probe rows are the
+    * same int64 affine family as q93's Bloom, the DuckDB oracle rebuilds
+    * the counter matrix relationally and reproduces every estimate —
+    * collision overshoot included — EXACTLY. */
+  val q94CmsFrequency: Q = (spark, dir) => {
+    import graft.functions.CountMin
+    val keys = t(spark, dir, "events").select(col("user_id"))
+    val cms = keys.agg(CountMin.build(col("user_id"), 1024).as("cms"))
+    val exact = keys.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(broadcast(cms))
+      .select(col("user_id"), col("n_exact"),
+        CountMin.estimateCol(col("cms"), col("user_id")).as("n_est"))
+      .withColumn("over_est", col("n_est") - col("n_exact"))
+      .orderBy(col("user_id"))
+  }
+
+  val q94Oracle: String =
+    """WITH c AS (SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+      |h AS (SELECT k, n,
+      |    ((k % 2147483647) * 2654435761 + 1) % 2147483647 AS h1,
+      |    ((k % 2147483647) * 40503 + 97) % 2147483647 AS h2 FROM c),
+      |probes AS (SELECT k, (h1 + r.i * h2) % 1024 AS p, r.i AS r
+      |  FROM h, range(4) r(i)),
+      |counters AS (SELECT r, p, sum(n) AS cnt FROM probes
+      |  JOIN h USING (k) GROUP BY r, p),
+      |est AS (SELECT probes.k, min(cnt) AS n_est FROM probes
+      |  JOIN counters ON counters.r = probes.r AND counters.p = probes.p
+      |  GROUP BY probes.k)
+      |SELECT h.k AS user_id, n AS n_exact,
+      | CAST(n_est AS BIGINT) AS n_est,
+      | CAST(n_est - n AS BIGINT) AS over_est
+      |FROM h JOIN est ON est.k = h.k
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q83
   /** Correlated scalar subquery (TPC-H Q17 shape): per-brand revenue of
     * lineitems whose quantity sits below 0.2× the per-part average —
@@ -1119,6 +1166,7 @@ object Relational {
     "q84_exists_subquery" -> q84ExistsSubquery,
     "q90_approx_percentile" -> q90ApproxPercentile,
     "q93_bloom_prune" -> q93BloomPrune,
+    "q94_cms_frequency" -> q94CmsFrequency,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1157,5 +1205,6 @@ object Relational {
     "q84_exists_subquery" -> q84Oracle,
     "q90_approx_percentile" -> q90Oracle,
     "q93_bloom_prune" -> q93Oracle,
+    "q94_cms_frequency" -> q94Oracle,
   )
 }

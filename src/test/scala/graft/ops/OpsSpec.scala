@@ -188,6 +188,52 @@ class DedupSpec extends SparkSpec {
     assert(BloomContains.K == 7) // q93's build arity is pinned to the probe
   }
 
+  test("CountMin: never undercounts across partitioned build/merge, " +
+      "matches the local reference exactly, SQL surface registered") {
+    import graft.functions.{BloomSketch, CountMin}
+    val w = 256
+    // 400 distinct keys, key i inserted (i % 5) + 1 times — w=256 forces
+    // real collisions so the min-over-rows path is actually exercised
+    val keys = (0L until 400L).flatMap(i => Seq.fill((i % 5).toInt + 1)(i * 6151L))
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // 8 partitions force partial-buffer merges through the add path
+    val df = spark.createDataFrame(keys.map(Tuple1(_))).toDF("k")
+      .repartition(8)
+    val cms = df.agg(CountMin.build(col("k"), w).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    assert(cms.length == CountMin.D * w * 8)
+    // local reference counter matrix, built sequentially
+    val ref = new Array[Long](CountMin.D * w)
+    for (k <- keys; r <- 0 until CountMin.D)
+      ref(r * w + BloomSketch.pos(k, r, w)) += 1L
+    def refEst(k: Long): Long =
+      (0 until CountMin.D).map(r => ref(r * w + BloomSketch.pos(k, r, w))).min
+    // distributed estimate == sequential reference for every key (the
+    // merge path adds, so partitioning cannot change a single counter)
+    val got = spark.createDataFrame(exact.keys.map(Tuple1(_)).toSeq).toDF("k")
+      .crossJoin(spark.createDataFrame(Seq(Tuple1(cms))).toDF("cms"))
+      .select(col("k"), CountMin.estimateCol(col("cms"), col("k")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(got(k) == refEst(k), s"key $k: ${got(k)} vs ref ${refEst(k)}")
+      assert(got(k) >= n, s"CM undercount at $k: ${got(k)} < $n")
+    }
+    // collisions exist at this width, so some estimate overcounts...
+    assert(exact.exists { case (k, n) => got(k) > n })
+    // ...and a comfortably wide sketch is exact on the same data
+    val wide = df.agg(CountMin.build(col("k"), 1 << 16).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    exact.foreach { case (k, n) =>
+      assert(CountMin.estimate(wide, k) == n)
+    }
+    // SQL registration end-to-end
+    df.createOrReplaceTempView("cms_keys")
+    val viaSql = spark.sql(
+      s"""SELECT cms_estimate((SELECT cms_build(k, $w) FROM cms_keys),
+         |  ${keys.head}L) AS est""".stripMargin).head().getLong(0)
+    assert(viaSql == got(keys.head))
+  }
+
   test("chunk dedup counts a planted repeated chunk, drops short docs") {
     val rep = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
     val docs = Seq(
