@@ -658,6 +658,100 @@ object DedupOps {
        |  inter * 1.0 / un AS jaccard
        |FROM m ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Incremental batch-vs-corpus dedup with a Bloom pre-filter — the
+    * new-crawl-snapshot shape: the standing corpus (doc_id % 10 != 0)
+    * publishes ONE ~32 KB Bloom sketch of its 10-word-chunk hashes (q57's
+    * chunk convention, PolyHashMod keys); the incoming batch (doc_id %
+    * 10 = 0) probes that broadcast sketch MAP-SIDE, so only the
+    * bloom-passed candidate chunks enter the exact-verify equi-join
+    * against the corpus. At 100 TB this is the difference between
+    * shuffling every new chunk against the corpus and shuffling only the
+    * ~dup-rate+FP fraction; the sketch is built in one map-side-combined
+    * pass (set-bit updates are idempotent, so no pre-distinct either).
+    *
+    * Per batch doc: total chunks, bloom-passed candidates, exact
+    * verified dups, and the candidate excess (chunk-level Bloom false
+    * positives + hash-equal-string-different survivors, both resolved by
+    * the string-equality verify join). The affine probe positions let
+    * the DuckDB oracle reproduce candidate counts EXACTLY — false
+    * positives included — and n_fp >= 0 doubles as the no-false-negative
+    * pin: a missed dup would drive it negative. */
+  val q95IncrementalDedup: Q = (spark, dir) => {
+    import graft.functions.{BloomSketch, PolyHashMod}
+    val chunkW = 10
+    val m = 1 << 18
+    def chunksOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("ws")) < chunkW, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), (size(col("ws")) / chunkW).cast("int") - 1),
+            i => array_join(slice(col("ws"), i * chunkW + 1, lit(chunkW)), " ")))))
+      .select(col("doc_id"), col("col").as("chunk"))
+    val docs = Tables.balanced(spark, dir, "documents")
+    val corpus = chunksOf(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("chunk"))
+    val bf = corpus.agg(
+      BloomSketch.build(PolyHashMod(col("chunk")), m, 7).as("bf"))
+    val batch = chunksOf(docs.filter(col("doc_id") % 10 === 0))
+    val candidates = batch
+      .crossJoin(broadcast(bf))
+      .withColumn("cand",
+        BloomSketch.mightContain(col("bf"), PolyHashMod(col("chunk"))))
+    val verified = candidates.filter(col("cand"))
+      .join(corpus.distinct().withColumn("hit", lit(true)),
+        Seq("chunk"), "left")
+      .withColumn("in_corpus", coalesce(col("hit"), lit(false)))
+      .drop("hit")
+    candidates.filter(!col("cand"))
+      .withColumn("in_corpus", lit(false))
+      .unionByName(verified)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cand"), 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("cand") && !col("in_corpus"), 1L).otherwise(0L))
+          .as("n_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q95Oracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c0 AS (SELECT doc_id, ws, unnest(range(0, len(ws)//10)) AS pos FROM w),
+       |ch AS (SELECT doc_id,
+       |  array_to_string(list_slice(ws, pos*10+1, pos*10+10), ' ') AS chunk
+       | FROM c0),
+       |corp AS (SELECT DISTINCT chunk,
+       |    ${polyHashSql("chunk")} AS h FROM ch WHERE doc_id % 10 != 0),
+       |pos AS (SELECT DISTINCT
+       |    (((h % 2147483647) * 2654435761 + 1) % 2147483647
+       |     + i.i * (((h % 2147483647) * 40503 + 97) % 2147483647))
+       |      % 262144 AS p
+       |  FROM corp, range(7) i(i)),
+       |bat AS (SELECT doc_id, chunk, ${polyHashSql("chunk")} AS h
+       |  FROM ch WHERE doc_id % 10 = 0),
+       |bk AS (SELECT DISTINCT h FROM bat),
+       |pr AS (SELECT h,
+       |    ((h % 2147483647) * 2654435761 + 1) % 2147483647 AS h1,
+       |    ((h % 2147483647) * 40503 + 97) % 2147483647 AS h2 FROM bk),
+       |probes AS (SELECT h, (h1 + i.i * h2) % 262144 AS p
+       |  FROM pr, range(7) i(i)),
+       |hits AS (SELECT probes.h, count(*) AS nh FROM probes
+       |  JOIN pos ON pos.p = probes.p GROUP BY probes.h),
+       |mem AS (SELECT bk.h, coalesce(nh, 0) = 7 AS inb
+       |  FROM bk LEFT JOIN hits ON hits.h = bk.h),
+       |v AS (SELECT bat.doc_id, mem.inb,
+       |    bat.chunk IN (SELECT chunk FROM corp) AS dup
+       |  FROM bat JOIN mem ON mem.h = bat.h)
+       |SELECT doc_id, count(*) AS n_chunks,
+       | CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       | CAST(sum(CASE WHEN inb AND dup THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_dup,
+       | CAST(sum(CASE WHEN inb AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_fp
+       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -668,6 +762,7 @@ object DedupOps {
     "q75_cluster_keep" -> q75ClusterKeep,
     "q78_source_overlap" -> q78SourceOverlap,
     "q85_minhash_estimate" -> q85MinhashEstimate,
+    "q95_incremental_dedup" -> q95IncrementalDedup,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -680,5 +775,6 @@ object DedupOps {
     "q75_cluster_keep" -> q75Oracle,
     "q78_source_overlap" -> q78Oracle,
     "q85_minhash_estimate" -> q85Oracle,
+    "q95_incremental_dedup" -> q95Oracle,
   )
 }

@@ -234,6 +234,33 @@ class DedupSpec extends SparkSpec {
     assert(viaSql == got(keys.head))
   }
 
+  test("incremental dedup: bloom candidates cover every exact dup " +
+      "(no false negatives, independently recomputed)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.ops.DedupOps.q95IncrementalDedup(spark, dir).collect()
+    // candidate set decomposes exactly into dups + false positives
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_cand") ==
+        r.getAs[Long]("n_dup") + r.getAs[Long]("n_fp"))
+      assert(r.getAs[Long]("n_cand") <= r.getAs[Long]("n_chunks"))
+    }
+    // recompute dup chunks WITHOUT the sketch: a bloom false negative
+    // would make q95's n_dup undercount this ground truth
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) < 10, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), (size(col("ws")) / 10).cast("int") - 1),
+            i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " "))))
+        .as("chunk"))
+    val nDupTruth = docs.filter(col("doc_id") % 10 === 0)
+      .join(docs.filter(col("doc_id") % 10 =!= 0).select("chunk").distinct(),
+        Seq("chunk"), "left_semi")
+      .count()
+    assert(out.map(_.getAs[Long]("n_dup")).sum == nDupTruth)
+  }
+
   test("chunk dedup counts a planted repeated chunk, drops short docs") {
     val rep = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
     val docs = Seq(
