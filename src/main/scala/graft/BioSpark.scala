@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.NDArray
 import graft.image.{BioImage, NDStack}
 import graft.plugins.{PluginEntry, Registry}
-import graft.readers.{ArrayLikeReader, ImageIoReader, NpyReader, NpzReader, OmeTiffReader, ZarrReader}
+import graft.readers.{ArrayLikeReader, ImageIoReader, MrcReader, NpyReader, NpzReader, OmeTiffReader, ZarrReader}
 import graft.writers.ParquetPlaneReader
 
 /** One-shot functional API — the analog of the reference's module-level
@@ -23,7 +23,7 @@ object BioSpark {
     if (discovered.nonEmpty) new Registry(discovered)
     else new Registry(Seq(OmeTiffReader.plugin, ParquetPlaneReader.plugin,
       ZarrReader.plugin, ImageIoReader.plugin, NpyReader.plugin,
-      NpzReader.plugin))
+      NpzReader.plugin, MrcReader.plugin))
   }
 
   /** Open a path via plugin resolution (with s3-anon retry). */

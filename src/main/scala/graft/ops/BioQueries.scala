@@ -959,6 +959,48 @@ object BioQueries {
       |  FROM range(3) a(y), range(4) b(x), range(3) c(s))
       |ORDER BY variant, z, y, x, s""".stripMargin
 
+  // ---------------------------------------------------------------- b36
+  /** S12/S13 `.mrc` (MRC2014) interchange end-to-end: a formulaic ZYX
+    * volume (ISPG 1) and a TYX image stack (ISPG 0) saved through the
+    * extension-dispatch facade, re-opened through plugin resolution
+    * (MAP-tag + machine-stamp probe → MrcReader, sections → Z for the
+    * volume, T for the stack per the MRC2014 ISPG split), pixels
+    * hash-checked against the regenerating oracle. MRC is the cryo-EM
+    * member of the reference's microscopy format family; byte-level
+    * conformance to the published spec (both byte orders, all four
+    * modes, extended-header skip) is pinned in MrcSpec. */
+  val b36MrcRoundtrip: Q = (spark, _) => {
+    val run = java.util.UUID.randomUUID()
+    val vol = NDArray.tabulate(Seq(2, 4, 5))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val uriV = s"/tmp/graft_b36_${run}_vol.mrc"
+    BioSpark.fromArray(spark, vol, Some("ZYX")).save(uriV)
+    val stack = NDArray.tabulate(Seq(3, 2, 4))(idx =>
+      idx(0) * 50.0 + idx(1) * 8.0 + idx(2))
+    val uriS = s"/tmp/graft_b36_${run}_stack.mrc"
+    BioSpark.fromArray(spark, stack, Some("TYX")).save(uriS)
+    val v = BioSpark.open(spark, uriV).getImagePixels()
+      .select(lit("vol").as("variant"), lit(0L).as("t"),
+        col("z").cast("long").as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+    val s = BioSpark.open(spark, uriS).getImagePixels()
+      .select(lit("stack").as("variant"), col("t").cast("long").as("t"),
+        lit(0L).as("z"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+    v.unionByName(s)
+      .orderBy(col("variant"), col("t"), col("z"), col("y"), col("x"))
+  }
+
+  val b36Oracle: String =
+    """SELECT variant, t, z, y, x, v FROM (
+      |  SELECT 'vol' AS variant, 0 AS t, z, y, x,
+      |    CAST(z*100 + y*10 + x AS DOUBLE) AS v
+      |  FROM range(2) a(z), range(4) b(y), range(5) c(x)
+      |  UNION ALL
+      |  SELECT 'stack', t, 0, y, x, CAST(t*50 + y*8 + x AS DOUBLE)
+      |  FROM range(3) a(t), range(2) b(y), range(4) c(x))
+      |ORDER BY variant, t, z, y, x""".stripMargin
+
   // ---------------------------------------------------------------- b33
   /** E12 segmentation-mask path: per-plane THRESHOLD MASK summarized as
     * flat run-length encoding stats — foreground pixel count, number of
@@ -1134,6 +1176,7 @@ object BioQueries {
     "b33_mask_rle" -> b33MaskRle,
     "b34_patchify" -> b34Patchify,
     "b35_npz_roundtrip" -> b35NpzRoundtrip,
+    "b36_mrc_roundtrip" -> b36MrcRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1172,5 +1215,6 @@ object BioQueries {
     "b33_mask_rle" -> b33Oracle,
     "b34_patchify" -> b34Oracle,
     "b35_npz_roundtrip" -> b35Oracle,
+    "b36_mrc_roundtrip" -> b36Oracle,
   )
 }

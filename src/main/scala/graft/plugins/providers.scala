@@ -28,3 +28,7 @@ final class NpyProvider extends BioReaderProvider {
 final class NpzProvider extends BioReaderProvider {
   override def plugin: PluginEntry = graft.readers.NpzReader.plugin
 }
+
+final class MrcProvider extends BioReaderProvider {
+  override def plugin: PluginEntry = graft.readers.MrcReader.plugin
+}
