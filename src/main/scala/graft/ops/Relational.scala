@@ -1050,6 +1050,48 @@ object Relational {
       |FROM h JOIN est ON est.k = h.k
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Range-sorted parquet layout — the ZONE-MAP write path: lineitem
+    * rewritten `repartitionByRange(l_shipdate) + sortWithinPartitions`,
+    * so each output file covers a disjoint shipdate slice and every
+    * file/row-group footer carries tight min/max stats. A later
+    * date-range scan then prunes whole files/row-groups from the
+    * FOOTERS, before any row is read — at 100 TB the sorted layout is
+    * the difference between scanning a year and scanning the whole
+    * table (this is the layout judgement behind clustering keys /
+    * Z-ordering; the disjointness and the pushed-filter plan are
+    * spec-pinned in OpsSpec). The oracle runs the same quarter-filtered
+    * aggregate over the original table: layout must never change
+    * results. */
+  val q96SortedLayout: Q = (spark, dir) => {
+    val path = s"/tmp/graft_q96_${java.util.UUID.randomUUID()}"
+    t(spark, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(path)
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1996-01-01").cast("timestamp")
+    spark.read.parquet(path)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q96Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      | sum(l_quantity) AS sum_qty,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q83
   /** Correlated scalar subquery (TPC-H Q17 shape): per-brand revenue of
     * lineitems whose quantity sits below 0.2× the per-part average —
@@ -1167,6 +1209,7 @@ object Relational {
     "q90_approx_percentile" -> q90ApproxPercentile,
     "q93_bloom_prune" -> q93BloomPrune,
     "q94_cms_frequency" -> q94CmsFrequency,
+    "q96_sorted_layout" -> q96SortedLayout,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1206,5 +1249,6 @@ object Relational {
     "q90_approx_percentile" -> q90Oracle,
     "q93_bloom_prune" -> q93Oracle,
     "q94_cms_frequency" -> q94Oracle,
+    "q96_sorted_layout" -> q96Oracle,
   )
 }

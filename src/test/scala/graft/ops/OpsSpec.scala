@@ -188,6 +188,55 @@ class DedupSpec extends SparkSpec {
     assert(BloomContains.K == 7) // q93's build arity is pinned to the probe
   }
 
+  test("sorted layout: range-partitioned files are shipdate-disjoint " +
+      "and the range scan pushes its predicates to the footers") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q96_spec").toString
+    graft.Tables(spark, sf, "lineitem")
+      .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"))
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions(col("l_shipdate"))
+      .write.mode("overwrite").parquet(path)
+    // per-file min/max: sorted by min, each file's max precedes the next
+    // file's min (boundary ties allowed) — the zone-map property parquet
+    // footer pruning needs
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.length > 1, s"expected a multi-file layout: $files")
+    def epoch(v: Any): Long = v match {
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC)
+      case t: java.sql.Timestamp => t.getTime / 1000L
+    }
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_shipdate")), max(col("l_shipdate"))).head()
+      (epoch(r.get(0)), epoch(r.get(1)))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // a one-year slice intersects strictly fewer files than the table
+    // spans — the footer stats admit real pruning
+    val lo = java.time.LocalDate.parse("1995-01-01")
+      .toEpochDay * 86400L
+    val hi = java.time.LocalDate.parse("1996-01-01")
+      .toEpochDay * 86400L
+    val touched = ranges.count { case (mn, mx) => mx >= lo && mn < hi }
+    assert(touched < ranges.length,
+      s"range layout should localize the year slice: $ranges")
+    // and the scan-side predicates reach the parquet reader
+    val q = spark.read.parquet(path).filter(
+      col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), plan)
+  }
+
   test("CountMin: never undercounts across partitioned build/merge, " +
       "matches the local reference exactly, SQL surface registered") {
     import graft.functions.{BloomSketch, CountMin}
