@@ -392,7 +392,7 @@ object DedupOps {
 
   /** DuckDB rendering of [[graft.functions.PolyHashMod]] over a string
     * lambda variable `v`. */
-  private def polyHashSql(v: String): String =
+  private[ops] def polyHashSql(v: String): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length($v)+1), " +
       s"i -> CAST(unicode($v[i]) AS BIGINT)), (a,c) -> (a*31+c) % 2147483647)"
 

@@ -371,6 +371,39 @@ object TextOps {
       |   AS BIGINT) AS n_kept
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Deterministic per-group sampling: each source keeps its k=5
+    * documents with the smallest (content hash, doc_id) — q64's
+    * fixed-rate keep rule's sibling for FIXED-SIZE samples (the "give me
+    * 10k docs per source for eval/inspection" op). Ordering by the
+    * engine-agnostic PolyHashMod of the text makes the sample
+    * content-uniform-ish yet exactly reproducible on any engine — a
+    * rand() or xxhash64 sample is neither — and insensitive to input
+    * order (re-shuffled/re-partitioned corpora pick the same docs).
+    *
+    * Scale shape: one shuffle on source; the row_number-≤-k filter
+    * plans as a WindowGroupLimit, so each map task forwards only its
+    * local top-k per group rather than the full partition — per-group
+    * work is O(k) past the scan no matter the corpus size. */
+  val q97GroupSample: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.balanced(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        graft.functions.PolyHashMod(col("text")).as("h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val q97Oracle: String =
+    s"""WITH h AS (SELECT source, doc_id,
+       |    ${DedupOps.polyHashSql("text")} AS h FROM documents),
+       |r AS (SELECT source, doc_id, h, row_number() OVER (
+       |    PARTITION BY source ORDER BY h, doc_id) AS rank FROM h)
+       |SELECT source, doc_id, h, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   // ---------------------------------------------------------------- q66
   /** Repetition-quality signals (the Gopher/MassiveText repetition
     * filters): per-doc type-token ratio and the fraction of bigram slots
@@ -692,6 +725,7 @@ object TextOps {
     "q73_rarity" -> q73Rarity,
     "q81_quality_strata" -> q81QualityStrata,
     "q91_bpe_pretokenize" -> q91BpePretokenize,
+    "q97_group_sample" -> q97GroupSample,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -712,5 +746,6 @@ object TextOps {
     "q73_rarity" -> q73Oracle,
     "q81_quality_strata" -> q81Oracle,
     "q91_bpe_pretokenize" -> q91Oracle,
+    "q97_group_sample" -> q97Oracle,
   )
 }

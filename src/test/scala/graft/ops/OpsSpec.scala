@@ -237,6 +237,13 @@ class DedupSpec extends SparkSpec {
       plan.contains("LessThan(l_shipdate"), plan)
   }
 
+  test("group sample plans a WindowGroupLimit (per-group top-k pruned " +
+      "map-side, not a full per-group sort)") {
+    val plan = graft.ops.TextOps.q97GroupSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("CountMin: never undercounts across partitioned build/merge, " +
       "matches the local reference exactly, SQL surface registered") {
     import graft.functions.{BloomSketch, CountMin}
