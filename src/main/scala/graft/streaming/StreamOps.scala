@@ -278,6 +278,30 @@ object StreamOps {
   val RocksDBProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Idempotent per-batch writer for streaming plane/row ingest — the
+    * exactly-once `foreachBatch` recipe: every micro-batch lands in its
+    * OWN `batch=<id>` directory with overwrite semantics, so a replayed
+    * batch (post-crash recovery re-delivers the last uncommitted batch
+    * with the SAME id) overwrites its previous partial output instead of
+    * double-appending. The layout is the bronze/staging form of the
+    * parquet plane store: plane-row-schema parquet a later compaction
+    * folds into a `.graft` store; readers see a consistent multi-batch
+    * table via partition discovery. */
+  def idempotentBatchWriter(uri: String): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      df.write.mode("overwrite").parquet(s"$uri/batch=$batchId")
+
+  /** Streaming ingest into the batch-partitioned staging layout. The
+    * checkpoint location carries the batch-id ledger that makes replay
+    * ids stable across restarts — the other half of the exactly-once
+    * contract. */
+  def ingestPlanes(stream: DataFrame, uri: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(idempotentBatchWriter(uri))
+      .start()
+
   /** Run any of the above to completion against a static directory via the
     * memory sink (test/bench harness; a real deployment passes a kafka or
     * file sink instead). Returns the collected result table.
