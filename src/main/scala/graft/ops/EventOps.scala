@@ -528,6 +528,43 @@ object EventOps {
       |   AS BIGINT) AS sum_len
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Cohort retention — the signup-week × week-offset activity matrix
+    * every growth/engagement dashboard is built on: users bucketed by
+    * their FIRST active week (the cohort), then counted once per later
+    * week they return.
+    *
+    * Scale shape: ONE shuffle on user_id does all the per-user work —
+    * `groupBy(user).agg(min(wk), collect_set(wk))` computes the cohort
+    * and the distinct active weeks together (collect_set is partial-
+    * aggregatable and bounded by the corpus' week span, not event
+    * count); the explode then feeds the (cohort, offset) rollup where
+    * `count(*)` suffices — (user, offset) is unique by construction, so
+    * no countDistinct re-shuffle of user ids. The naive form (distinct +
+    * window-min + self-join + countDistinct) shuffles the user space
+    * three times; this shuffles it once. Weeks are pure integer
+    * epoch-week buckets (ts DIV 7-days-of-nanos) — engine-agnostic. */
+  val q98CohortRetention: Q = (spark, dir) => {
+    val wkNanos = 7L * 86400L * 1000000000L
+    Tables(spark, dir, "events")
+      .select(col("user_id"), expr(s"ts DIV $wkNanos").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("offset_wk"))
+  }
+
+  val q98Oracle: String =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts)//604800000000000 AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+      |SELECT cohort_wk, wk - cohort_wk AS offset_wk,
+      | CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -545,6 +582,7 @@ object EventOps {
     "q86_pii_scrub" -> q86PiiScrub,
     "q87_stream_outer_join" -> q87StreamOuterJoin,
     "q89_gap_fill" -> q89GapFill,
+    "q98_cohort_retention" -> q98CohortRetention,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -564,5 +602,6 @@ object EventOps {
     "q86_pii_scrub" -> q86Oracle,
     "q87_stream_outer_join" -> q87Oracle,
     "q89_gap_fill" -> q89Oracle,
+    "q98_cohort_retention" -> q98Oracle,
   )
 }
