@@ -235,15 +235,59 @@ object GraphOps {
        |GROUP BY e.u ORDER BY part_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q99
+  /** HITS hubs-and-authorities over the BIPARTITE customer↔part purchase
+    * graph (who-buys-what, the two-mode graph PageRank's one-mode
+    * projection destroys): two unrolled mutual-reinforcement rounds —
+    * auth¹(p) = in-degree (hub⁰ ≡ 1), hub¹(c) = Σ auth¹ over c's parts,
+    * auth²(p) = Σ hub¹ over p's buyers. Pure int64 edge sums, no
+    * normalization inside the loop (the classic per-round L2 normalize
+    * is float-irreproducible; rank ORDER is normalization-invariant, so
+    * the deterministic integer form ranks identically), ties broken by
+    * part key. q76's scale notes apply verbatim: each round is an
+    * equi-join + aggregate on the SAME two key columns, so one bucketed
+    * edge layout (by c, and by p) serves every round, and ReuseExchange
+    * already dedupes the repeated edge shuffles in the unrolled plan. */
+  val q99Hits: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "orders").select(
+        col("o_orderkey").as("ok"), col("o_custkey").as("c"))
+      .join(Tables(spark, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_partkey").as("p")), "ok")
+      .select(col("c"), col("p")).distinct()
+    val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("auth1"))
+    val h1 = e.join(a1, "p").groupBy(col("c"))
+      .agg(sum(col("auth1")).as("hub1"))
+    val a2 = e.join(h1, "c").groupBy(col("p"))
+      .agg(sum(col("hub1")).as("auth2"))
+    a1.join(a2, "p")
+      .select(col("p").as("part_id"), col("auth1"), col("auth2"))
+      .orderBy(col("auth2").desc, col("part_id")).limit(100)
+  }
+
+  val q99Oracle: String =
+    """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |a1 AS (SELECT p, count(*) AS auth1 FROM e GROUP BY p),
+      |h1 AS (SELECT c, sum(auth1) AS hub1 FROM e JOIN a1 USING (p)
+      |  GROUP BY c),
+      |a2 AS (SELECT p, sum(hub1) AS auth2 FROM e JOIN h1 USING (c)
+      |  GROUP BY p)
+      |SELECT p AS part_id, CAST(auth1 AS BIGINT) AS auth1,
+      | CAST(auth2 AS BIGINT) AS auth2
+      |FROM a1 JOIN a2 USING (p)
+      |ORDER BY auth2 DESC, part_id LIMIT 100""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q76_pagerank" -> q76PageRank,
     "q77_triangles" -> q77Triangles,
     "q88_kcore" -> q88KCore,
+    "q99_hits" -> q99Hits,
   )
 
   val oracles: ListMap[String, String] = ListMap(
     "q76_pagerank" -> q76Oracle,
     "q77_triangles" -> q77Oracle,
     "q88_kcore" -> q88Oracle,
+    "q99_hits" -> q99Oracle,
   )
 }

@@ -14,7 +14,8 @@ class DiscoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     val names = Registry.discovered().map(_.name)
     assert(names == names.sorted)
     assert(names.toSet == Set("OmeTiffReader", "ZarrReader",
-      "ImageIoReader", "ParquetPlaneReader", "NpyReader", "NpzReader"))
+      "ImageIoReader", "ParquetPlaneReader", "NpyReader", "NpzReader",
+      "MrcReader"))
   }
 
   test("version gate excludes providers outside the spec range") {
