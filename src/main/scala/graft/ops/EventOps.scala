@@ -565,6 +565,59 @@ object EventOps {
       |FROM a JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q100
+  /** SCD2 (slowly-changing-dimension) enrichment — the warehouse shape
+    * the plain as-of join (q26) approximates: the dimension's history is
+    * materialized ONCE as validity intervals ([valid_from, valid_to),
+    * open-ended current row) via one lead() window, then facts join on
+    * key + point-in-interval. vs the as-of form, the interval table is
+    * reusable across fact tables and carries explicit change audit.
+    * Here: each signup event opens a new per-user "tier" version (its
+    * value), purchases enrich with the tier in force at their timestamp;
+    * pre-signup purchases survive null-extended (left join).
+    *
+    * Scale shape: the interval build is one window over the (small)
+    * dimension-change stream; the join is an equi-join on user_id with
+    * the range as a join filter — it shuffles on the key like any SMJ,
+    * never a cross product, and each fact matches at most one interval
+    * (intervals are disjoint by construction, equal-timestamp changes
+    * tie-break by event_id into an empty interval). Microsecond
+    * timestamps (the engine-parity time base — see the file header). */
+  val q100Scd2Join: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("t"), col("value").as("tier"))
+      .withColumn("valid_to", lead(col("t"), 1).over(w))
+      .select(col("user_id").as("d_user"), col("tier"),
+        col("t").as("valid_from"), col("valid_to"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("ts_us"), col("value").as("amount"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts_us") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts_us") < col("valid_to")), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("amount"), col("tier"))
+      .orderBy(col("event_id"))
+  }
+
+  val q100Oracle: String =
+    """WITH s AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS t,
+      |    value AS tier FROM events WHERE event_type = 'signup'),
+      |d AS (SELECT user_id, tier, t AS valid_from,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      AS valid_to FROM s),
+      |p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+      |    value AS amount FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us, p.amount, d.tier
+      |FROM p LEFT JOIN d ON d.user_id = p.user_id
+      |  AND p.ts_us >= d.valid_from
+      |  AND (d.valid_to IS NULL OR p.ts_us < d.valid_to)
+      |ORDER BY p.event_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -583,6 +636,7 @@ object EventOps {
     "q87_stream_outer_join" -> q87StreamOuterJoin,
     "q89_gap_fill" -> q89GapFill,
     "q98_cohort_retention" -> q98CohortRetention,
+    "q100_scd2_join" -> q100Scd2Join,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -603,5 +657,6 @@ object EventOps {
     "q87_stream_outer_join" -> q87Oracle,
     "q89_gap_fill" -> q89Oracle,
     "q98_cohort_retention" -> q98Oracle,
+    "q100_scd2_join" -> q100Oracle,
   )
 }
