@@ -959,6 +959,66 @@ object BioQueries {
       |  FROM range(3) a(y), range(4) b(x), range(3) c(s))
       |ORDER BY variant, z, y, x, s""".stripMargin
 
+  // ---------------------------------------------------------------- b37
+  /** E12 augmentation path: the three geometric transforms a vision
+    * training pipeline applies per sample — horizontal flip, 90°
+    * clockwise rotation, center crop — each as ONE in-row index-HOF
+    * `transform` over the flat row-major pixel array (pure index
+    * remapping, no per-pixel explode until the final presentation
+    * posexplode; map-only per plane, the b23/b29–b31/b33/b34 scale
+    * shape). Emitted per-pixel so the oracle hash-checks the actual
+    * remapped geometry — flip reverses x, rot90 transposes into a
+    * (w×h) plane, crop offsets into the interior — not just counts. */
+  val b37Augment: Q = (spark, _) => {
+    val h = 6
+    val w = 8
+    val (ch, cw) = (4, 4) // center crop size
+    val arr = NDArray.tabulate(Seq(2, h, w))(idx =>
+      ((idx(0) * 7 + idx(1) * 5 + idx(2) * 3) % 23).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    def px(y: Column, x: Column): Column =
+      element_at(col("pixels"), (y * w + x + 1).cast("int"))
+    def idx(k: Column, rowW: Int): (Column, Column) =
+      ((floor(k.cast("double") / rowW)).cast("int"),
+        pmod(k, lit(rowW)).cast("int"))
+    val hflip = transform(sequence(lit(0), lit(h * w - 1)), k => {
+      val (y, x) = idx(k, w); px(y, lit(w - 1) - x)
+    })
+    val rot90 = transform(sequence(lit(0), lit(h * w - 1)), k => {
+      // out is w rows × h cols; out(y, x) = in(h-1-x, y)
+      val (y, x) = idx(k, h); px(lit(h - 1) - x, y)
+    })
+    val crop = transform(sequence(lit(0), lit(ch * cw - 1)), k => {
+      val (y, x) = idx(k, cw)
+      px(y + (h - ch) / 2, x + (w - cw) / 2)
+    })
+    def emit(variant: String, a: Column, rowW: Int) = img.planes
+      .select(lit(variant).as("variant"), col("c").cast("long").as("c"),
+        posexplode(a).as(Seq("pos", "v")))
+      .select(col("variant"), col("c"),
+        (col("pos") / rowW).cast("long").as("y"),
+        pmod(col("pos"), lit(rowW)).cast("long").as("x"), col("v"))
+    emit("crop", crop, cw)
+      .unionByName(emit("hflip", hflip, w))
+      .unionByName(emit("rot90", rot90, h))
+      .orderBy(col("variant"), col("c"), col("y"), col("x"))
+  }
+
+  val b37Oracle: String =
+    """SELECT variant, c, y, x, v FROM (
+      |  SELECT 'hflip' AS variant, c, y, x,
+      |    CAST((c*7 + y*5 + (7-x)*3) % 23 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(6) b(y), range(8) d(x)
+      |  UNION ALL
+      |  SELECT 'rot90', c, y, x,
+      |    CAST((c*7 + (5-x)*5 + y*3) % 23 AS DOUBLE)
+      |  FROM range(2) a(c), range(8) b(y), range(6) d(x)
+      |  UNION ALL
+      |  SELECT 'crop', c, y, x,
+      |    CAST((c*7 + (y+1)*5 + (x+2)*3) % 23 AS DOUBLE)
+      |  FROM range(2) a(c), range(4) b(y), range(4) d(x))
+      |ORDER BY variant, c, y, x""".stripMargin
+
   // ---------------------------------------------------------------- b36
   /** S12/S13 `.mrc` (MRC2014) interchange end-to-end: a formulaic ZYX
     * volume (ISPG 1) and a TYX image stack (ISPG 0) saved through the
@@ -1177,6 +1237,7 @@ object BioQueries {
     "b34_patchify" -> b34Patchify,
     "b35_npz_roundtrip" -> b35NpzRoundtrip,
     "b36_mrc_roundtrip" -> b36MrcRoundtrip,
+    "b37_augment" -> b37Augment,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1216,5 +1277,6 @@ object BioQueries {
     "b34_patchify" -> b34Oracle,
     "b35_npz_roundtrip" -> b35Oracle,
     "b36_mrc_roundtrip" -> b36Oracle,
+    "b37_augment" -> b37Oracle,
   )
 }
