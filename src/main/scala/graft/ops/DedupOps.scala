@@ -752,6 +752,84 @@ object DedupOps {
        |   AS n_fp
        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** Prefix-filtered set-similarity join (the PPJoin family's core
+    * filter) — the THRESHOLD-AWARE and LOSSLESS alternative to q39's
+    * df-cap heuristic: for Jaccard >= 0.6, two shingle sets must share
+    * at least one token among each set's |d| − ⌈0.6·|d|⌉ + 1 RAREST
+    * tokens (globally df-ascending order) — if they don't, the overlap
+    * bound ⌈t/(1+t)·(|a|+|b|)⌉ is unreachable, so pruning non-sharers
+    * loses nothing (spec-pinned against a brute-force all-pairs sweep).
+    * Candidates collapse from O(all pairs) to pairs sharing a RARE
+    * token: at this corpus that is 124k → ~190.
+    *
+    * Scale shape: df is one token-key aggregate; per-doc rank and size
+    * share ONE doc-key shuffle (two window specs over the same
+    * partitioning); the candidate self-join shuffles only the ~40%
+    * prefix fraction of the exploded set, keyed on rare tokens whose
+    * fan-out the prefix rule itself bounds; exact verification touches
+    * candidates only. Ceil in pure integers ((3n+4) DIV 5) — engine-
+    * agnostic. */
+  val q101PrefixJoin: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingles3(col("text")).as("shs"))
+    val t = d.select(col("doc_id"), explode(col("shs")).as("token"))
+    val f = t.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val prefix = t.join(f, "token")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("df"), col("token"))))
+      .filter(expr("rk <= n - ((3*n + 4) DIV 5) + 1"))
+      .select(col("doc_id"), col("token"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 6)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter") / col("n_union")).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q101Oracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |d AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shs FROM w),
+      |t AS (SELECT doc_id, unnest(shs) AS token FROM d),
+      |f AS (SELECT token, count(*) AS df FROM t GROUP BY 1),
+      |r AS (SELECT doc_id, token,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rk,
+      |    count(*) OVER (PARTITION BY doc_id) AS n
+      |  FROM t JOIN f USING (token)),
+      |p AS (SELECT doc_id, token FROM r
+      |  WHERE rk <= n - ((3*n + 4)//5) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id),
+      |v AS (SELECT doc_a, doc_b,
+      |    len(list_intersect(da.shs, db.shs)) AS n_inter,
+      |    len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))
+      |      AS n_union
+      |  FROM cand JOIN d da ON da.doc_id = doc_a
+      |    JOIN d db ON db.doc_id = doc_b)
+      |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
+      | n_inter * 1.0 / n_union AS jaccard
+      |FROM v WHERE n_inter * 10 >= n_union * 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -763,6 +841,7 @@ object DedupOps {
     "q78_source_overlap" -> q78SourceOverlap,
     "q85_minhash_estimate" -> q85MinhashEstimate,
     "q95_incremental_dedup" -> q95IncrementalDedup,
+    "q101_prefix_join" -> q101PrefixJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -776,5 +855,6 @@ object DedupOps {
     "q78_source_overlap" -> q78Oracle,
     "q85_minhash_estimate" -> q85Oracle,
     "q95_incremental_dedup" -> q95Oracle,
+    "q101_prefix_join" -> q101Oracle,
   )
 }

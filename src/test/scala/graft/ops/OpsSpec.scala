@@ -317,6 +317,31 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_dup")).sum == nDupTruth)
   }
 
+  test("prefix-filtered similarity join is lossless: matches the " +
+      "brute-force all-pairs sweep at the same threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.ops.DedupOps.q101PrefixJoin(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every pair, no filter — the ground truth the prefix
+    // theorem must reproduce exactly (any missing pair = a false
+    // negative, any extra = a broken verify)
+    val d = graft.Tables(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), graft.ops.DedupOps.shingles3(col("text")).as("shs"))
+    val truth = d.select(col("doc_id").as("doc_a"), col("shs").as("sa"))
+      .crossJoin(d.select(col("doc_id").as("doc_b"), col("shs").as("sb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("nu", size(col("sa")) + size(col("sb")) - col("ni"))
+      .filter(col("ni") * 10 >= col("nu") * 6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "threshold finds no pairs — test is vacuous")
+    assert(got == truth,
+      s"missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
   test("chunk dedup counts a planted repeated chunk, drops short docs") {
     val rep = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
     val docs = Seq(
