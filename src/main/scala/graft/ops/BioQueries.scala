@@ -1019,6 +1019,56 @@ object BioQueries {
       |  FROM range(2) a(c), range(4) b(y), range(4) d(x))
       |ORDER BY variant, c, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b38
+  /** E12 Z-projection — the microscopy composite every viewer renders:
+    * per channel, the MAX-intensity projection (MIP) and the exact SUM
+    * projection over the Z stack. Scale shape: ONE shuffle on the
+    * projection key (c) collects the stack's plane rows —
+    * `collect_list(struct(z, pixels))` is bounded by Z depth, a
+    * structural constant, not data volume — then the elementwise
+    * combine is an in-row `aggregate` fold of `zip_with`
+    * (greatest/plus) over the z-sorted arrays: no per-pixel explode,
+    * no per-pixel shuffle keys, ever. Both projections are exact
+    * integer math; the per-pixel oracle regenerates them from the
+    * formula with SQL max/sum over the z range. */
+  val b38ZProjection: Q = (spark, _) => {
+    val (nz, h, w) = (3, 4, 5)
+    val arr = NDArray.tabulate(Seq(2, nz, h, w))(idx =>
+      ((idx(0) * 7 + idx(1) * 11 + idx(2) * 5 + idx(3) * 3) % 23).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CZYX"))
+    val stack = img.planes
+      .groupBy(col("c"))
+      .agg(collect_list(struct(col("z"), col("pixels"))).as("zs"))
+      .withColumn("ps", transform(array_sort(col("zs")), s => s("pixels")))
+    val seed = element_at(col("ps"), 1)
+    val rest = slice(col("ps"), 2, nz - 1)
+    val proj = stack
+      .withColumn("mip", aggregate(rest, seed,
+        (acc, p) => zip_with(acc, p, (a, b) => greatest(a, b))))
+      .withColumn("sump", aggregate(rest, seed,
+        (acc, p) => zip_with(acc, p, (a, b) => a + b)))
+    def emit(variant: String, a: Column) = proj
+      .select(lit(variant).as("variant"), col("c").cast("long").as("c"),
+        posexplode(a).as(Seq("pos", "v")))
+      .select(col("variant"), col("c"),
+        (col("pos") / w).cast("long").as("y"),
+        pmod(col("pos"), lit(w)).cast("long").as("x"), col("v"))
+    emit("max", col("mip")).unionByName(emit("sum", col("sump")))
+      .orderBy(col("variant"), col("c"), col("y"), col("x"))
+  }
+
+  val b38Oracle: String =
+    """WITH px AS (SELECT c, z, y, x,
+      |    CAST((c*7 + z*11 + y*5 + x*3) % 23 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(3) b(z), range(4) d(y), range(5) e(x)),
+      |p AS (SELECT c, y, x, max(v) AS mx, sum(v) AS sm
+      |  FROM px GROUP BY c, y, x)
+      |SELECT variant, c, y, x, v FROM (
+      |  SELECT 'max' AS variant, c, y, x, mx AS v FROM p
+      |  UNION ALL
+      |  SELECT 'sum', c, y, x, sm FROM p)
+      |ORDER BY variant, c, y, x""".stripMargin
+
   // ---------------------------------------------------------------- b36
   /** S12/S13 `.mrc` (MRC2014) interchange end-to-end: a formulaic ZYX
     * volume (ISPG 1) and a TYX image stack (ISPG 0) saved through the
@@ -1238,6 +1288,7 @@ object BioQueries {
     "b35_npz_roundtrip" -> b35NpzRoundtrip,
     "b36_mrc_roundtrip" -> b36MrcRoundtrip,
     "b37_augment" -> b37Augment,
+    "b38_zprojection" -> b38ZProjection,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1278,5 +1329,6 @@ object BioQueries {
     "b35_npz_roundtrip" -> b35Oracle,
     "b36_mrc_roundtrip" -> b36Oracle,
     "b37_augment" -> b37Oracle,
+    "b38_zprojection" -> b38Oracle,
   )
 }
