@@ -1092,6 +1092,65 @@ object Relational {
       |  AND l_shipdate < TIMESTAMP '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q102
+  /** Table diff / reconciliation — the migration-validation op (did the
+    * rewrite/backfill/engine-swap preserve the data?): two snapshots
+    * FULL-OUTER joined on the key, each row classified deleted (left
+    * only) / inserted (right only) / changed (both, any compared column
+    * differs) / same, rolled up with per-status key checksums so the
+    * oracle pins WHICH rows differ, not just how many. The "new"
+    * snapshot here is a deterministic mutation of orders (every 97th
+    * key dropped, every 101st repriced, a shifted key range inserted) —
+    * standing in for the other engine's output at a real migration.
+    *
+    * Scale shape: one co-partitioned full-outer SMJ on the key (both
+    * sides shuffle once), column comparison inline in the join output,
+    * then a 4-group rollup — the whole diff is two exchanges no matter
+    * how wide the table; at 100 TB you'd bucket both snapshots on the
+    * key and the exchanges vanish (q62's layout). */
+  val q102TableDiff: Q = (spark, dir) => {
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("prio"))
+    val mutated = base
+      .filter(col("k") % 97 =!= 0)
+      .withColumn("price",
+        when(col("k") % 101 === 0, col("price") + 1.0).otherwise(col("price")))
+      .unionByName(base.filter(col("k") % 103 === 0)
+        .select((col("k") + lit(1000000000L)).as("k"), col("price"),
+          col("prio")))
+    val joined = base.as("a").join(mutated.as("b"),
+      col("a.k") === col("b.k"), "full_outer")
+    val status = when(col("b.k").isNull, "deleted")
+      .when(col("a.k").isNull, "inserted")
+      .when(col("a.price") =!= col("b.price") ||
+        col("a.prio") =!= col("b.prio"), "changed")
+      .otherwise("same")
+    joined.select(status.as("status"),
+        coalesce(col("a.k"), col("b.k")).as("k"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      .orderBy(col("status"))
+  }
+
+  val q102Oracle: String =
+    """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price,
+      |    o_orderpriority AS prio FROM orders),
+      |mut AS (
+      |  SELECT k, CASE WHEN k % 101 = 0 THEN price + 1.0 ELSE price END
+      |      AS price, prio
+      |  FROM base WHERE k % 97 != 0
+      |  UNION ALL
+      |  SELECT k + 1000000000, price, prio FROM base WHERE k % 103 = 0),
+      |j AS (SELECT coalesce(a.k, b.k) AS k,
+      |    CASE WHEN b.k IS NULL THEN 'deleted'
+      |         WHEN a.k IS NULL THEN 'inserted'
+      |         WHEN a.price != b.price OR a.prio != b.prio THEN 'changed'
+      |         ELSE 'same' END AS status
+      |  FROM base a FULL OUTER JOIN mut b ON a.k = b.k)
+      |SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   // ---------------------------------------------------------------- q83
   /** Correlated scalar subquery (TPC-H Q17 shape): per-brand revenue of
     * lineitems whose quantity sits below 0.2× the per-part average —
@@ -1210,6 +1269,7 @@ object Relational {
     "q93_bloom_prune" -> q93BloomPrune,
     "q94_cms_frequency" -> q94CmsFrequency,
     "q96_sorted_layout" -> q96SortedLayout,
+    "q102_table_diff" -> q102TableDiff,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1250,5 +1310,6 @@ object Relational {
     "q93_bloom_prune" -> q93Oracle,
     "q94_cms_frequency" -> q94Oracle,
     "q96_sorted_layout" -> q96Oracle,
+    "q102_table_diff" -> q102Oracle,
   )
 }
