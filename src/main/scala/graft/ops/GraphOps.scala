@@ -277,11 +277,68 @@ object GraphOps {
       |FROM a1 JOIN a2 USING (p)
       |ORDER BY auth2 DESC, part_id LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q103
+  /** Market-basket association mining over order baskets: co-occurrence
+    * count and LIFT for part pairs bought in the same order —
+    * lift(a,b) = P(ab)/(P(a)P(b)) = n_ab·N / (n_a·n_b), reported ×100 in
+    * integer floor division (float lift is merge-order-dependent via
+    * nothing — the inputs are exact counts — but the ×100 DIV keeps the
+    * column hash-exact anyway). Top pairs by support then lift, total
+    * order pinned by the pair keys.
+    *
+    * Scale shape: the pair discovery is q77's bounded self-equi-join on
+    * the ORDER key — Σ basket² work (baskets are ≤7 items here, a
+    * structural bound), never corpus²; per-part support rides the same
+    * distinct item set as one part-key aggregate joined back by
+    * broadcast-size maps at any realistic part count; N is one scalar
+    * crossJoin. */
+  val q103BasketLift: Q = (spark, dir) => {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val support = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val nOrders = items.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(support.select(col("p").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(support.select(col("p").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(nOrders)
+      .withColumn("lift_x100",
+        expr("(100 * n_ab * n_orders) DIV (n_a * n_b)"))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_x100"))
+      .orderBy(col("n_ab").desc, col("lift_x100").desc, col("pa"),
+        col("pb"))
+      .limit(100)
+  }
+
+  val q103Oracle: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem),
+      |s AS (SELECT p, count(*) AS n_p FROM i GROUP BY p),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM i),
+      |pr AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+      |  FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+      | CAST(sa.n_p AS BIGINT) AS n_a, CAST(sb.n_p AS BIGINT) AS n_b,
+      | CAST((100 * n_ab * n_orders) // (sa.n_p * sb.n_p) AS BIGINT)
+      |   AS lift_x100
+      |FROM pr JOIN s sa ON sa.p = pa JOIN s sb ON sb.p = pb, n
+      |ORDER BY n_ab DESC, lift_x100 DESC, pa, pb LIMIT 100""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q76_pagerank" -> q76PageRank,
     "q77_triangles" -> q77Triangles,
     "q88_kcore" -> q88KCore,
     "q99_hits" -> q99Hits,
+    "q103_basket_lift" -> q103BasketLift,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -289,5 +346,6 @@ object GraphOps {
     "q77_triangles" -> q77Oracle,
     "q88_kcore" -> q88Oracle,
     "q99_hits" -> q99Oracle,
+    "q103_basket_lift" -> q103Oracle,
   )
 }
