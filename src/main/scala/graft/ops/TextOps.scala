@@ -404,6 +404,42 @@ object TextOps {
        |SELECT source, doc_id, h, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** Deterministic train/val/test split — the dataset-freeze op: each
+    * document routes to a split by its CONTENT hash (PolyHashMod mod
+    * 10: bucket 0 → test, 1 → val, rest → train), so the assignment is
+    * reproducible on any engine, stable under re-partitioning/re-
+    * ordering, and — because the key is content, not position or id —
+    * exact duplicates land in the SAME split (no train/test leakage
+    * from dup pairs, the property an id- or rand()-based split lacks).
+    * Per (source, split): doc count, char volume, and an id checksum so
+    * the oracle pins the exact membership. Map-only routing + one
+    * rollup shuffle. */
+  val q104SplitAssign: Q = (spark, dir) => {
+    val bucket = pmod(graft.functions.PolyHashMod(col("text")), lit(10))
+    val split = when(bucket === 0, "test")
+      .when(bucket === 1, "val").otherwise("train")
+    Tables(spark, dir, "documents")
+      .select(col("source"), split.as("split"), col("doc_id"),
+        col("n_chars"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q104Oracle: String =
+    s"""WITH h AS (SELECT source, doc_id, n_chars,
+       |    ${DedupOps.polyHashSql("text")} % 10 AS b FROM documents),
+       |s AS (SELECT source, doc_id, n_chars,
+       |    CASE WHEN b = 0 THEN 'test' WHEN b = 1 THEN 'val'
+       |         ELSE 'train' END AS split FROM h)
+       |SELECT source, split, count(*) AS n_docs,
+       | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       | CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM s GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
   // ---------------------------------------------------------------- q66
   /** Repetition-quality signals (the Gopher/MassiveText repetition
     * filters): per-doc type-token ratio and the fraction of bigram slots
@@ -726,6 +762,7 @@ object TextOps {
     "q81_quality_strata" -> q81QualityStrata,
     "q91_bpe_pretokenize" -> q91BpePretokenize,
     "q97_group_sample" -> q97GroupSample,
+    "q104_split_assign" -> q104SplitAssign,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -747,5 +784,6 @@ object TextOps {
     "q81_quality_strata" -> q81Oracle,
     "q91_bpe_pretokenize" -> q91Oracle,
     "q97_group_sample" -> q97Oracle,
+    "q104_split_assign" -> q104Oracle,
   )
 }
