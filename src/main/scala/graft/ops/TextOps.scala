@@ -440,6 +440,50 @@ object TextOps {
        |FROM s GROUP BY source, split
        |ORDER BY source, split""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Inverted-index build — token → DELTA-GAP posting list, the storage
+    * shape every retrieval index (Lucene, CC index shards) actually
+    * writes: per token the doc-id-sorted postings become first-id +
+    * gaps, the form that compresses (small ints) and merges (gap lists
+    * concatenate across segments after one boundary fix-up). One
+    * shuffle on the token key: explode distinct per-doc tokens, then
+    * `sort_array(collect_list(doc_id))` per token and an in-row
+    * `aggregate` fold — gaps and their order pinned by a base-31
+    * polynomial hash mod 2^31−1 (the engine's shared hash family), so
+    * the oracle verifies the exact posting SEQUENCE, not just counts.
+    * df >= 5 bounds the emitted slice to index-worthy terms. */
+  val q105InvertedIndex: Q = (spark, dir) => {
+    val postings = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words)).as("token"))
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ps"))
+      .filter(size(col("ps")) >= 5)
+    postings.select(col("token"),
+        size(col("ps")).cast("long").as("df"),
+        element_at(col("ps"), 1).as("first_doc"),
+        (element_at(col("ps"), -1) - element_at(col("ps"), 1))
+          .as("gap_span"),
+        aggregate(
+          zip_with(slice(col("ps"), lit(2), size(col("ps")) - 1),
+            slice(col("ps"), lit(1), size(col("ps")) - 1), (a, b) => a - b),
+          lit(0L), (acc, g) => (acc * 31L + g) % 2147483647L)
+          .as("gap_hash"))
+      .orderBy(col("token"))
+  }
+
+  val q105Oracle: String =
+    """WITH t AS (SELECT DISTINCT doc_id,
+      |    unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents),
+      |p AS (SELECT token, list_sort(list(doc_id)) AS ps FROM t
+      |  GROUP BY token HAVING count(*) >= 5)
+      |SELECT token, CAST(len(ps) AS BIGINT) AS df,
+      | ps[1] AS first_doc, ps[-1] - ps[1] AS gap_span,
+      | list_reduce([CAST(0 AS BIGINT)] || list_transform(
+      |     range(2, len(ps) + 1), i -> ps[i] - ps[i-1]),
+      |   (a, g) -> (a * 31 + g) % 2147483647) AS gap_hash
+      |FROM p ORDER BY token""".stripMargin
+
   // ---------------------------------------------------------------- q66
   /** Repetition-quality signals (the Gopher/MassiveText repetition
     * filters): per-doc type-token ratio and the fraction of bigram slots
@@ -763,6 +807,7 @@ object TextOps {
     "q91_bpe_pretokenize" -> q91BpePretokenize,
     "q97_group_sample" -> q97GroupSample,
     "q104_split_assign" -> q104SplitAssign,
+    "q105_inverted_index" -> q105InvertedIndex,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -785,5 +830,6 @@ object TextOps {
     "q91_bpe_pretokenize" -> q91Oracle,
     "q97_group_sample" -> q97Oracle,
     "q104_split_assign" -> q104Oracle,
+    "q105_inverted_index" -> q105Oracle,
   )
 }
