@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep Derby metastore side effects (metastore_db/, derby.log) out of
+  // the repo CWD — they're per-run build artifacts, not sources
+  "-Dderby.system.home=/tmp/graft-derby",
+  "-Dderby.stream.error.file=/tmp/graft-derby/derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -53,8 +53,18 @@ object Bench {
     try materialize(SparkEntry.queries("q20_distinct")(spark, sfDir))
     catch { case _: Throwable => () }
 
+    // Natural-numeric order (b01…b38, q01…q108…), not lexicographic:
+    // lexicographic runs q100+ between q10 and q11, which (a) hides the
+    // newest entries mid-line when the harness keeps only the output
+    // tail, and (b) runs the newest — least battle-tested — queries
+    // before the storage-sensitive middle of the suite. Numeric order
+    // runs and prints newest last, so the captured tail always shows
+    // the round's new entries plus the grand total.
+    def naturalKey(name: String): String =
+      "\\d+".r.replaceAllIn(name, m => f"${m.matched.toInt}%04d")
+
     val entries: Seq[(String, () => Unit)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      SparkEntry.queries.toSeq.sortBy(e => naturalKey(e._1)).flatMap {
         case ("q62_bucketed_join", _) => Seq(
           "q62_bucket_build" -> (() => {
             ops.Relational.bucketedOrdersLineitem(spark, sfDir); ()
@@ -71,12 +81,22 @@ object Bench {
       }
 
     val results = entries.map { case (name, run) =>
-      name -> medianOf3(name, run)
+      val t = medianOf3(name, run)
+      // defense-in-depth between entries: no query may hand its cache
+      // debt to the next one (the r9 q101→q40/q52/q53 incident). Queries
+      // release their own stages; this catches anything that slips.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // `queries` first, summary fields LAST: the harness records only the
+    // tail of stdout, so the end of this line — newest entries, then the
+    // total — is the part guaranteed to survive truncation.
+    println(f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

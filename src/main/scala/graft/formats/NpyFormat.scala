@@ -43,7 +43,14 @@ object NpyFormat {
     }
     if (code == null)
       throw new UnsupportedFileFormatError(s"npy: malformed descr '$descr'")
-    val big = endianChar == ">"
+    // '=' means NATIVE byte order of the writing host — resolve it
+    // against this JVM's native order rather than assuming little
+    // (numpy itself normalizes to '<'/'>'/'|' on save, but '=' is legal
+    // in the descr grammar and a big-endian producer would be silently
+    // misdecoded by a little-endian assumption)
+    val big = endianChar == ">" ||
+      (endianChar == "=" &&
+        java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.BIG_ENDIAN)
     code match {
       case "i1" => (PixelType.Int8, 1, big)
       case "u1" => (PixelType.UInt8, 1, big)

@@ -69,7 +69,15 @@ final case class BloomBuild(child: Expression, mBits: Int, kHashes: Int,
     extends TypedImperativeAggregate[Array[Byte]] {
 
   require(mBits > 0 && mBits % 8 == 0, s"mBits must be a multiple of 8: $mBits")
-  require(kHashes > 0 && kHashes <= 32, s"kHashes out of range: $kHashes")
+  // The serialized sketch is a bare bitset — k is NOT encoded in it, so
+  // the probe side always hashes with BloomContains.K. A sketch built
+  // with a different k would probe with the wrong hash count and (for
+  // k < K) return FALSE NEGATIVES, silently voiding the Bloom
+  // guarantee. Refuse the mismatch at build time.
+  require(kHashes == BloomContains.K,
+    s"kHashes must equal the probe-side BloomContains.K " +
+      s"(${BloomContains.K}): got $kHashes — the sketch bytes don't " +
+      "encode k, so build and probe must agree")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

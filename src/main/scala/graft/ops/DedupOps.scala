@@ -289,10 +289,19 @@ object DedupOps {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // `next` is materialized (cut is eager) and no longer references
+      // round N−1, so free the superseded state NOW rather than letting
+      // it sit in executor storage until GC + ContextCleaner notice —
+      // under storage pressure that lag evicts blocks that are still
+      // live. (No-op in reliable-checkpoint mode: those RDDs aren't
+      // persisted, their state is on the fault-tolerant store.)
+      Checkpoints.release(labels)
       labels = next
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // the edge table served its last join; only the labels survive
+    Checkpoints.release(sym)
     labels
   }
 
@@ -815,7 +824,7 @@ object DedupOps {
         min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       .filter(expr("ub >= (3*(na + nb) + 7) DIV 8"))
       .select(col("doc_a"), col("doc_b"))
-    cand
+    val verified = cand
       .join(d.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
       .withColumn("n_inter",
@@ -825,7 +834,15 @@ object DedupOps {
       .filter(col("n_inter") * 10 >= col("n_union") * 6)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         (col("n_inter") / col("n_union")).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // The staged table must be RELEASED, not left in executor storage:
+    // the builder returns a lazy plan, so deterministic release requires
+    // running the join here — localCheckpoint the (small: surviving
+    // near-dup pairs only) verified set eagerly, then unpersist the
+    // shingle stage before handing the result back. Downstream sees a
+    // lineage-free frame; executor storage holds only the result.
+    val out = verified.localCheckpoint()
+    d.unpersist(blocking = false)
+    out.orderBy(col("doc_a"), col("doc_b"))
   }
 
   val q101Oracle: String =

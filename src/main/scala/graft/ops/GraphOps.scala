@@ -193,7 +193,8 @@ object GraphOps {
       .distinct()
     val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint() // static across rounds — cut the pair pipeline
-    var survivors = und.select(col("u")).distinct().localCheckpoint()
+    val s0 = und.select(col("u")).distinct().localCheckpoint()
+    var survivors = s0
     var lastDeg: DataFrame = null
     var n = survivors.count()
     var converged = false
@@ -208,11 +209,21 @@ object GraphOps {
       val n2 = d.count()
       converged = n2 == n
       n = n2
+      // free the superseded round's degree table the moment its
+      // successor is materialized (deterministic, vs GC-lagged cleanup)
+      if (lastDeg ne null) Checkpoints.release(lastDeg)
       lastDeg = d
       survivors = d.select(col("u"))
       round += 1
     }
     require(converged, s"k-core did not converge in $round rounds")
+    // the oracle unrolls exactly 8 peel rounds; if the fixpoint ever
+    // needs more, the gate would diverge with the engine still correct —
+    // fail loudly here instead of silently breaching the unroll margin
+    require(round <= 8,
+      s"k-core fixpoint at round $round exceeds the oracle's 8-round unroll")
+    Checkpoints.release(und)
+    Checkpoints.release(s0)
     lastDeg.select(col("u").as("part_id"), col("d").cast("long").as("core_deg"))
       .orderBy(col("part_id"))
   }

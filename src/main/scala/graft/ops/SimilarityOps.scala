@@ -384,7 +384,7 @@ object SimilarityOps {
           c.getField("cent_id").as("cent_id"))))
       val assigned = q.crossJoin(broadcast(centsArr))
         .select(col("emb"), best.getField("cent_id").as("cent_id"))
-      cents = assigned
+      val next = assigned
         .select(col("cent_id"),
           posexplode(transform(col("emb"), x => (x * KmFix).cast("long"))))
         .groupBy(col("cent_id"), col("pos"))
@@ -395,6 +395,10 @@ object SimilarityOps {
           s => s.getField("v")).as("c"),
           max(col("n")).as("n"))
         .localCheckpoint()
+      // round N is materialized — free round N−1's blocks immediately
+      // instead of leaving superseded centroids to the ContextCleaner
+      Checkpoints.release(cents)
+      cents = next
     }
     cents.withColumnRenamed("n", "n_vectors")
   }

@@ -484,6 +484,71 @@ object TextOps {
       |   (a, g) -> (a * 31 + g) % 2147483647) AS gap_hash
       |FROM p ORDER BY token""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Sequence packing — the operator between dedup and split in every
+    * pretraining pipeline: concatenate documents in a deterministic
+    * order and chop the stream into fixed-budget training sequences
+    * (B = 512 token units; cost proxy = ⌈n_chars/4⌉, q91's subword
+    * budget at document granularity). A document belongs to the
+    * sequence where it STARTS; a document whose span crosses a budget
+    * boundary is a carry-over into the next sequence(s) — exactly the
+    * concatenate-and-chunk layout GPT-family pretraining uses, where
+    * boundary docs continue with an attention-mask reset. Per sequence:
+    * docs started, docs fully contained, their token mass, the
+    * whole-doc fill ratio (tok_full/B — the packing-efficiency metric
+    * an underfilled bin-packer would also report), and an id checksum
+    * pinning exact membership.
+    *
+    * Determinism + scale shape: docs route to 8 independent shards by
+    * CONTENT hash (reproducible on any engine, stable under
+    * re-partitioning, duplicate texts co-shard), and the running sum
+    * that lays the stream out is windowed PER SHARD — so there is no
+    * global sort bottleneck: at 100 TB each shard packs independently
+    * (shards ↦ thousands, one per output file) and the only shuffle is
+    * the shard-key exchange the window needs. Order within a shard is
+    * (content hash, doc_id): total, engine-agnostic, input-order-free. */
+  val q106SequencePack: Q = (spark, dir) => {
+    val B = 512L
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.PolyHashMod(col("text")).as("h"),
+        // (n+3)/4 exact in doubles (power-of-two divisor), cast truncates
+        ((col("n_chars") + lit(3)) / lit(4)).cast("long").as("cost"))
+      .withColumn("shard", pmod(col("h"), lit(8)))
+      .withColumn("start", coalesce(
+        sum(col("cost")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("seq_no", expr(s"start DIV $B"))
+      .withColumn("full",
+        expr(s"(start + cost - 1) DIV $B") === col("seq_no"))
+      .groupBy(col("shard"), col("seq_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("full"), 1L).otherwise(0L)).as("n_full"),
+        sum(when(col("full"), col("cost")).otherwise(0L)).as("tok_full"),
+        sum(col("doc_id")).as("id_sum"))
+      .withColumn("fill_ratio", col("tok_full") / lit(B).cast("double"))
+      .orderBy(col("shard"), col("seq_no"))
+  }
+
+  val q106Oracle: String =
+    s"""WITH c AS (SELECT doc_id, ${DedupOps.polyHashSql("text")} AS h,
+       |    (n_chars + 3) // 4 AS cost FROM documents),
+       |w AS (SELECT doc_id, h, cost, h % 8 AS shard,
+       |    CAST(coalesce(sum(cost) OVER (PARTITION BY h % 8
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start FROM c),
+       |s AS (SELECT shard, doc_id, cost, start // 512 AS seq_no,
+       |    ((start + cost - 1) // 512 = start // 512) AS f FROM w)
+       |SELECT shard, seq_no, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       | CAST(sum(CASE WHEN f THEN cost ELSE 0 END) AS BIGINT) AS tok_full,
+       | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       | CAST(sum(CASE WHEN f THEN cost ELSE 0 END) AS DOUBLE) / 512
+       |   AS fill_ratio
+       |FROM s GROUP BY shard, seq_no ORDER BY shard, seq_no""".stripMargin
+
   // ---------------------------------------------------------------- q66
   /** Repetition-quality signals (the Gopher/MassiveText repetition
     * filters): per-doc type-token ratio and the fraction of bigram slots
@@ -808,6 +873,7 @@ object TextOps {
     "q97_group_sample" -> q97GroupSample,
     "q104_split_assign" -> q104SplitAssign,
     "q105_inverted_index" -> q105InvertedIndex,
+    "q106_sequence_pack" -> q106SequencePack,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -831,5 +897,6 @@ object TextOps {
     "q97_group_sample" -> q97Oracle,
     "q104_split_assign" -> q104Oracle,
     "q105_inverted_index" -> q105Oracle,
+    "q106_sequence_pack" -> q106Oracle,
   )
 }

@@ -49,6 +49,11 @@ object MrcWriter extends BioWriter {
       val mode = MrcFormat.modeOf(img.meta.pixelType)
       val data = img.getImageData("TZYX").array.data
       val bytesPer = MrcFormat.dtypeOf(mode)._2
+      // Int overflow guard (mirrors MrcReader): fail with the
+      // interchange-size contract, not a wrapped allocate()
+      require(data.length.toLong * bytesPer <= Int.MaxValue.toLong,
+        s"mrc: scene exceeds the driver-side interchange size; " +
+          "use the parquet plane store / zarr for bulk pixel data")
       val buf = ByteBuffer.allocate(data.length * bytesPer)
         .order(ByteOrder.LITTLE_ENDIAN)
       mode match {

@@ -32,6 +32,12 @@ object NpyWriter extends BioWriter {
     val descr = NpyFormat.descrOf(img.meta.pixelType)
     val data = nd.array.data
     val bytesPer = descr.last.asDigit
+    // Int overflow guard (mirrors the readers): past ~268M float64
+    // elements data.length * bytesPer wraps and allocate() would throw
+    // an opaque error — fail with the interchange-size contract instead.
+    require(data.length.toLong * bytesPer <= Int.MaxValue.toLong,
+      s"npy: scene exceeds the driver-side interchange size; " +
+        "use the parquet plane store / zarr for bulk pixel data")
     val buf = ByteBuffer.allocate(data.length * bytesPer)
       .order(ByteOrder.LITTLE_ENDIAN)
     descr.drop(1) match {

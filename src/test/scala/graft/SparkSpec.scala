@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites (one JVM-wide session, scalatest runs
@@ -21,7 +22,19 @@ object TestSpark {
   }
 }
 
-abstract class SparkSpec extends AnyFunSuite {
+abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterEach {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Cache-lifecycle guard: NO test may leave an entry in the cache
+    * manager behind (the round-9 bench regression was exactly such a
+    * leak — a persist() with no unpersist() that taxed every query run
+    * after it in the same session). Runs after every test in every
+    * suite, so a future operator that persists without releasing fails
+    * its own spec instead of degrading the whole bench. */
+  override protected def afterEach(): Unit = {
+    super.afterEach()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cache leak: a test left persisted plans in the cache manager")
+  }
 }

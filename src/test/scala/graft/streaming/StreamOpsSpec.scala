@@ -193,6 +193,7 @@ class StreamOpsSpec extends SparkSpec {
     val redelivered = spark.read.parquet(s"$uri/batch=$replayId").cache()
     assert(redelivered.count() > 0)
     StreamOps.idempotentBatchWriter(uri)(redelivered, replayId)
+    redelivered.unpersist(blocking = false)
     assert(fingerprint() == afterRun)
   }
 }
