@@ -1092,6 +1092,67 @@ object Relational {
       |  AND l_shipdate < TIMESTAMP '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Bit-spread for 16-bit Morton (Z-order) interleaving: the classic
+    * magic-number doubling — x | x<<8 masked, then <<4, <<2, <<1 —
+    * leaves x's 16 bits in the even positions of a 32-bit word. Pure
+    * int64 shifts/masks, codegen'd, deterministic. */
+  private def mortonSpread(c: Column): Column = {
+    var x = c.cast("long")
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-value of two keys (16 low bits each): a's bits even, b's odd. */
+  private[ops] def zValue(a: Column, b: Column): Column =
+    mortonSpread(pmod(a, lit(65536)))
+      .bitwiseOR(shiftleft(mortonSpread(pmod(b, lit(65536))), 1))
+
+  /** Z-order (space-filling-curve) parquet layout — q96's multi-column
+    * companion: lineitem rewritten `repartitionByRange` on the Morton
+    * interleave of (l_partkey, l_suppkey), so each output file covers a
+    * compact RECTANGLE-ish region of the 2-D key space and its footer
+    * min/max stats are tight on BOTH columns at once. A box predicate
+    * (part range AND supplier range) then prunes whole files from the
+    * footers on both dimensions — the property a single-column sort
+    * cannot give (sorting by partkey leaves every file spanning all
+    * suppliers). At 100 TB this is the clustering-key judgement call:
+    * tables are pruned on more than one dimension, and the curve buys
+    * locality in all of them for one layout pass (one range shuffle,
+    * identical cost to q96's). Per-file two-column stat tightness and
+    * the both-dims pushed-filter plan are spec-pinned in OpsSpec; the
+    * oracle runs the same box aggregate over the original table —
+    * layout must never change results. */
+  val q107ZorderLayout: Q = (spark, dir) => {
+    val path = s"/tmp/graft_q107_${java.util.UUID.randomUUID()}"
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("zv", zValue(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q107Oracle: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      | sum(l_quantity) AS sum_qty,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_partkey <= 100 AND l_suppkey <= 5
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q102
   /** Table diff / reconciliation — the migration-validation op (did the
     * rewrite/backfill/engine-swap preserve the data?): two snapshots
@@ -1269,6 +1330,7 @@ object Relational {
     "q93_bloom_prune" -> q93BloomPrune,
     "q94_cms_frequency" -> q94CmsFrequency,
     "q96_sorted_layout" -> q96SortedLayout,
+    "q107_zorder_layout" -> q107ZorderLayout,
     "q102_table_diff" -> q102TableDiff,
   )
 
@@ -1310,6 +1372,7 @@ object Relational {
     "q93_bloom_prune" -> q93Oracle,
     "q94_cms_frequency" -> q94Oracle,
     "q96_sorted_layout" -> q96Oracle,
+    "q107_zorder_layout" -> q107Oracle,
     "q102_table_diff" -> q102Oracle,
   )
 }

@@ -237,6 +237,58 @@ class DedupSpec extends SparkSpec {
       plan.contains("LessThan(l_shipdate"), plan)
   }
 
+  test("z-order layout: files carry tight TWO-column zone maps, a box " +
+      "predicate prunes files, and both predicates reach the footers") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q107_spec").toString
+    graft.Tables(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .withColumn("zv",
+        graft.ops.Relational.zValue(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.length > 1, s"expected a multi-file layout: $files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // the curve's point: a box on BOTH dimensions intersects strictly
+    // fewer files than the table spans — a partkey-only sort would leave
+    // every file spanning the full supplier range (no suppkey pruning)
+    val (pLo, pHi, sLo, sHi) = (1L, 100L, 1L, 5L)
+    val touched = ranges.count { case (pmn, pmx, smn, smx) =>
+      pmx >= pLo && pmn <= pHi && smx >= sLo && smn <= sHi
+    }
+    assert(touched < ranges.length,
+      s"z-order should localize the box on both dims: $ranges")
+    // and BOTH box predicates reach the parquet reader's footer pruning
+    // (read the scan's metadata, not the plan string — simpleString
+    // truncates long filter lists)
+    val q = spark.read.parquet(path)
+      .filter(col("l_partkey") <= 100 && col("l_suppkey") <= 5)
+    val pushed = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("LessThanOrEqual(l_partkey") &&
+      pushed.contains("LessThanOrEqual(l_suppkey"), pushed)
+    // bit-exactness of the curve itself: interleave(3,5) =
+    // spread(3)|spread(5)<<1 = 0b010111 + known corner values
+    val z = spark.range(1).select(
+      graft.ops.Relational.zValue(lit(3), lit(5)).as("a"),
+      graft.ops.Relational.zValue(lit(0), lit(0)).as("b"),
+      graft.ops.Relational.zValue(lit(65535), lit(65535)).as("c")).head()
+    assert(z.getLong(0) == 39L) // a=3→bits 0,1 even; b=5→bits 0,2 odd
+    assert(z.getLong(1) == 0L)
+    assert(z.getLong(2) == 0xFFFFFFFFL)
+  }
+
   test("group sample plans a WindowGroupLimit (per-group top-k pruned " +
       "map-side, not a full per-group sort)") {
     val plan = graft.ops.TextOps.q97GroupSample(spark, sf)
