@@ -549,6 +549,115 @@ object TextOps {
        |   AS fill_ratio
        |FROM s GROUP BY shard, seq_no ORDER BY shard, seq_no""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** The composed curation DAG — scrub → quality → strata → mix as ONE
+    * declared query, the end-to-end pipeline a real corpus run executes
+    * (each stage is proven in isolation by q86/q66/q81/q64; this pins
+    * that the COMPOSITION shares work instead of re-running stages):
+    * digit runs are redacted (q86's scrub applied to documents), the
+    * scrubbed text scores type-token ratio in integer fixed-point
+    * (q66's family), corpus quartiles of the scrubbed length stratify
+    * every doc (q81's rank thresholds), and q64's deterministic keep
+    * rule marks the training mix. Output per (source, stratum): totals,
+    * kept counts, redaction volume, quality mass — joined with the
+    * kept-corpus per-stratum token budget (what the mix actually
+    * drafts from each quality band).
+    *
+    * Plan sharing, spec-pinned in OpsSpec: the quartile-threshold
+    * subplan is built ONCE and consumed by BOTH branches through the
+    * same broadcast — ReuseExchange collapses the second copy to a
+    * ReusedExchange, so the single-partition ranking sort runs once per
+    * query, not once per consumer. The per-doc stage is map-only
+    * (codegen'd regexp + in-row HOFs); the only other exchanges are the
+    * two rollups' own aggregations. At 100 TB the exact rank threshold
+    * gives way to percentile_approx (q63 anchors that swap) and every
+    * other stage keeps its shape. */
+  val q108CurationPipeline: Q = (spark, dir) => {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("hits"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("scrub"))
+      .withColumn("slen", length(col("scrub")).cast("long"))
+      .withColumn("toks", split(col("scrub"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("ttr", expr(
+        "CAST(size(array_distinct(toks)) AS BIGINT) * 10000 DIV n_tok"))
+      .withColumn("kept", pmod(col("doc_id"), lit(10)) <
+        expr("CAST(substring(source, 4) AS INT) % 3 + 1").cast("long"))
+      .drop("toks")
+    val wnd = Window.orderBy(col("slen"), col("doc_id"))
+    def at(q: String): Column =
+      col("rk") === expr(s"CAST(ceil($q * n) AS BIGINT)")
+    val th = d.withColumn("rk", row_number().over(wnd))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .filter(at("0.25") || at("0.5") || at("0.75"))
+      .groupBy()
+      .agg(min(when(at("0.25"), col("slen"))).as("t25"),
+        min(when(at("0.5"), col("slen"))).as("t50"),
+        min(when(at("0.75"), col("slen"))).as("t75"))
+    val stratum = when(col("slen") <= col("t25"), "s1")
+      .when(col("slen") <= col("t50"), "s2")
+      .when(col("slen") <= col("t75"), "s3")
+      .otherwise("s4")
+    val perSource = d.crossJoin(broadcast(th))
+      .select(col("source"), stratum.as("stratum"), col("kept"),
+        col("hits"), col("ttr"))
+      .groupBy(col("source"), col("stratum"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("hits")).as("n_redacted"),
+        sum(col("ttr")).as("ttr_sum"))
+    val keptBudget = d.filter(col("kept")).crossJoin(broadcast(th))
+      .select(stratum.as("stratum"), col("n_tok"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("k_docs"), sum(col("n_tok")).as("k_tokens"))
+    perSource.join(keptBudget, Seq("stratum"), "left")
+      .select(col("source"), col("stratum"), col("n_total"), col("n_kept"),
+        col("n_redacted"), col("ttr_sum"),
+        coalesce(col("k_docs"), lit(0L)).as("k_docs"),
+        coalesce(col("k_tokens"), lit(0L)).as("k_tokens"))
+      .orderBy(col("source"), col("stratum"))
+  }
+
+  val q108Oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS hits,
+      |    regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrub
+      |  FROM documents),
+      |f AS (SELECT doc_id, source, hits, length(scrub) AS slen,
+      |    len(string_split(scrub, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(scrub, ' '))) * 10000
+      |      // len(string_split(scrub, ' ')) AS ttr,
+      |    doc_id % 10 < CAST(substring(source, 4) AS INT) % 3 + 1 AS kept
+      |  FROM d),
+      |r AS (SELECT slen, doc_id,
+      |    row_number() OVER (ORDER BY slen, doc_id) AS rk FROM f),
+      |n AS (SELECT count(*) AS n FROM f),
+      |th AS (SELECT
+      |  min(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+      |    THEN slen END) AS t25,
+      |  min(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+      |    THEN slen END) AS t50,
+      |  min(CASE WHEN rk = CAST(ceil(0.75 * n) AS BIGINT)
+      |    THEN slen END) AS t75
+      |  FROM r, n),
+      |s AS (SELECT source, CASE WHEN slen <= t25 THEN 's1'
+      |    WHEN slen <= t50 THEN 's2' WHEN slen <= t75 THEN 's3'
+      |    ELSE 's4' END AS stratum, kept, hits, ttr, n_tok
+      |  FROM f, th),
+      |a AS (SELECT source, stratum, count(*) AS n_total,
+      |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |    CAST(sum(hits) AS BIGINT) AS n_redacted,
+      |    CAST(sum(ttr) AS BIGINT) AS ttr_sum
+      |  FROM s GROUP BY source, stratum),
+      |b AS (SELECT stratum, count(*) AS k_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS k_tokens
+      |  FROM s WHERE kept GROUP BY stratum)
+      |SELECT source, stratum, n_total, n_kept, n_redacted, ttr_sum,
+      | coalesce(k_docs, 0) AS k_docs, coalesce(k_tokens, 0) AS k_tokens
+      |FROM a LEFT JOIN b USING (stratum)
+      |ORDER BY source, stratum""".stripMargin
+
   // ---------------------------------------------------------------- q66
   /** Repetition-quality signals (the Gopher/MassiveText repetition
     * filters): per-doc type-token ratio and the fraction of bigram slots
@@ -874,6 +983,7 @@ object TextOps {
     "q104_split_assign" -> q104SplitAssign,
     "q105_inverted_index" -> q105InvertedIndex,
     "q106_sequence_pack" -> q106SequencePack,
+    "q108_curation_pipeline" -> q108CurationPipeline,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -898,5 +1008,6 @@ object TextOps {
     "q104_split_assign" -> q104Oracle,
     "q105_inverted_index" -> q105Oracle,
     "q106_sequence_pack" -> q106Oracle,
+    "q108_curation_pipeline" -> q108Oracle,
   )
 }

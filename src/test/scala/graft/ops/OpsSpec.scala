@@ -289,6 +289,23 @@ class DedupSpec extends SparkSpec {
     assert(z.getLong(2) == 0xFFFFFFFFL)
   }
 
+  test("curation pipeline: the quartile-threshold broadcast is built " +
+      "once and REUSED by both consuming branches") {
+    val q = graft.ops.TextOps.q108CurationPipeline(spark, sf)
+    // collect() drives THIS DataFrame's own queryExecution, so AQE
+    // finalizes the plan we assert on
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("BroadcastQueryStage"),
+      s"expected the threshold broadcast to be shared, not recomputed:\n$plan")
+    // and the reuse is real: exactly one materialized broadcast of the
+    // single-row threshold frame feeds two BroadcastNestedLoopJoins
+    val nBnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nBnlj >= 2, s"expected both branches to consume the broadcast:\n$plan")
+  }
+
   test("group sample plans a WindowGroupLimit (per-group top-k pruned " +
       "map-side, not a full per-group sort)") {
     val plan = graft.ops.TextOps.q97GroupSample(spark, sf)
