@@ -289,6 +289,35 @@ class DedupSpec extends SparkSpec {
     assert(z.getLong(2) == 0xFFFFFFFFL)
   }
 
+  test("Checkpoints.release frees a localCheckpoint's storage blocks " +
+      "immediately (not GC-lagged) — the iteration-loop lifecycle") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = spark.range(1000).toDF("v").localCheckpoint()
+    val mine = sc.getPersistentRDDs.keySet.diff(before)
+    assert(mine.nonEmpty, "localCheckpoint should register persisted RDDs")
+    assert(ck.count() == 1000)
+    graft.ops.Checkpoints.release(ck)
+    // unpersist is async (blocking=false) but the registry update is
+    // driver-side and immediate
+    val after = sc.getPersistentRDDs.keySet
+    assert(mine.forall(!after.contains(_)),
+      s"release should drop the checkpoint blocks: kept ${mine.intersect(after)}")
+  }
+
+  test("q101 leaves NO cache or persistent-RDD debt beyond its own " +
+      "small checkpointed result (the round-9 bench regression class)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.ops.DedupOps.q101PrefixJoin(spark, sf)
+    out.collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q101 must unpersist its staged shingle table")
+    // only the small checkpointed RESULT may remain registered
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 2,
+      s"q101 left ${leaked.size} persisted RDDs behind (expected just its result)")
+  }
+
   test("curation pipeline: the quartile-threshold broadcast is built " +
       "once and REUSED by both consuming branches") {
     val q = graft.ops.TextOps.q108CurationPipeline(spark, sf)
