@@ -658,6 +658,127 @@ object TextOps {
       |FROM a LEFT JOIN b USING (stratum)
       |ORDER BY source, stratum""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Bigram-LM surprise scoring — the conditional upgrade of q73's
+    * unigram rarity, and the integer-exact stand-in for a CCNet/KenLM
+    * perplexity filter at its actual model order: each bigram (w,v)
+    * scores ⌊1000·cnt(w·)/cnt(w,v)⌋ — the inverse of the corpus-trained
+    * conditional probability p(v|w) in ×1000 fixed point (≥1000 by
+    * construction; ubiquitous continuations score near 1000, surprising
+    * ones high) — and each doc reports its tf-weighted mean. The same
+    * ordering a bigram LM's negative log-likelihood induces, with no
+    * float log anywhere.
+    *
+    * Scale shape: ONE explode into the (doc, bigram) aggregate; both
+    * model tables ride as unordered window sums over that SAME
+    * aggregate — denominator cnt(w,v) over the bigram partition,
+    * numerator cnt(w·) over the prefix partition — so the corpus is
+    * never re-exploded and nothing joins back (the q73 rule, one model
+    * order up). Two key exchanges + the doc rollup, total. */
+  val q109BigramSurprise: Q = (spark, dir) => {
+    val toks = split(col("text"), " ")
+    val bgs = zip_with(slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1), (a, b) => concat_ws(" ", a, b))
+    Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), explode(bgs).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("c2", sum(col("tf")).over(Window.partitionBy(col("bg"))))
+      .withColumn("c1", sum(col("tf")).over(
+        Window.partitionBy(element_at(split(col("bg"), " "), 1))))
+      .withColumn("sup", expr("c1 * 1000 DIV c2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(expr("tf * sup")).cast("long").as("surprise_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprise_sum"),
+        (col("surprise_sum").cast("double") / col("n_bigrams"))
+          .as("mean_surprise"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Oracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w),
+      |tf AS (SELECT doc_id, bg, count(*) AS tf FROM b GROUP BY 1, 2),
+      |x AS (SELECT doc_id, tf,
+      |    sum(tf) OVER (PARTITION BY bg) AS c2,
+      |    sum(tf) OVER (PARTITION BY string_split(bg, ' ')[1]) AS c1
+      |  FROM tf)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      | CAST(sum(tf * (c1 * 1000 // c2)) AS BIGINT) AS surprise_sum,
+      | sum(tf * (c1 * 1000 // c2)) * 1.0 / sum(tf) AS mean_surprise
+      |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q110
+  /** Token-budget water-filling across sources — the mix-allocation op
+    * that turns "60% of the corpus, as balanced as possible" into
+    * per-source token budgets: every source is granted min(its tokens,
+    * cap) where the cap is the water level at which the grants exactly
+    * exhaust the global budget. Small sources keep everything;
+    * oversized sources are clipped to a COMMON cap — the fairness rule
+    * every domain-mixture scheme (and every rate limiter) converges on.
+    *
+    * Closed form instead of iteration: with sources sorted by total
+    * ascending, a source saturates iff total·(remaining sources) fits
+    * in the remaining budget — an integer cross-multiply, no division
+    * rounding — and saturation is a PREFIX of the sort order, so the
+    * cap for the clipped suffix is one subtraction/division over the
+    * saturated prefix sums. Everything windows over the per-source
+    * aggregate (k rows, k = source count), so past the one per-source
+    * rollup the whole allocation costs nothing at any corpus size. */
+  val q110BudgetFill: Q = (spark, dir) => {
+    val w = Window.orderBy(col("toks"), col("source"))
+    val all = Window.partitionBy()
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(expr("CAST((n_chars + 3) DIV 4 AS BIGINT)")).as("toks"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("toks")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("budget", expr("sum(toks) OVER () * 6 DIV 10"))
+      // toks_i <= (budget - cum_{i-1}) / (k - i + 1), cross-multiplied
+      .withColumn("sat",
+        expr("toks * (k - i + 1) <= budget - (cum - toks)"))
+      .withColumn("sat_cum",
+        coalesce(max(when(col("sat"), col("cum"))).over(all), lit(0L)))
+      .withColumn("n_sat",
+        sum(when(col("sat"), 1L).otherwise(0L)).over(all))
+      .withColumn("alloc", when(col("sat"), col("toks"))
+        .otherwise(expr("(budget - sat_cum) DIV (k - n_sat)")))
+      .select(col("source"), col("toks"), col("budget"), col("sat"),
+        col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q110Oracle: String =
+    """WITH t AS (SELECT source,
+      |    CAST(sum((n_chars + 3) // 4) AS BIGINT) AS toks
+      |  FROM documents GROUP BY source),
+      |r AS (SELECT source, toks,
+      |    CAST(row_number() OVER (ORDER BY toks, source) AS BIGINT) AS i,
+      |    CAST(sum(toks) OVER (ORDER BY toks, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(toks) OVER () * 6 // 10 AS BIGINT) AS budget
+      |  FROM t),
+      |s AS (SELECT *, toks * (k - i + 1) <= budget - (cum - toks) AS sat
+      |  FROM r),
+      |f AS (SELECT *,
+      |    CAST(coalesce(max(CASE WHEN sat THEN cum END) OVER (), 0)
+      |      AS BIGINT) AS sat_cum,
+      |    CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) OVER ()
+      |      AS BIGINT) AS n_sat
+      |  FROM s)
+      |SELECT source, toks, budget, sat,
+      | CASE WHEN sat THEN toks
+      |      ELSE (budget - sat_cum) // (k - n_sat) END AS alloc
+      |FROM f ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q66
   /** Repetition-quality signals (the Gopher/MassiveText repetition
     * filters): per-doc type-token ratio and the fraction of bigram slots
@@ -984,6 +1105,8 @@ object TextOps {
     "q105_inverted_index" -> q105InvertedIndex,
     "q106_sequence_pack" -> q106SequencePack,
     "q108_curation_pipeline" -> q108CurationPipeline,
+    "q109_bigram_lm" -> q109BigramSurprise,
+    "q110_budget_fill" -> q110BudgetFill,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1009,5 +1132,7 @@ object TextOps {
     "q105_inverted_index" -> q105Oracle,
     "q106_sequence_pack" -> q106Oracle,
     "q108_curation_pipeline" -> q108Oracle,
+    "q109_bigram_lm" -> q109Oracle,
+    "q110_budget_fill" -> q110Oracle,
   )
 }
