@@ -318,6 +318,52 @@ class DedupSpec extends SparkSpec {
       s"q101 left ${leaked.size} persisted RDDs behind (expected just its result)")
   }
 
+  test("bigram-LM surprise: ONE explode serves both model tables " +
+      "(no corpus re-explode, no join-back)") {
+    val plan = graft.ops.TextOps.q109BigramSurprise(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val nGen = "Generate explode".r.findAllIn(plan).length
+    assert(nGen == 1, s"expected exactly one explode in the plan:\n$plan")
+    assert(!plan.contains("Join"), s"model tables must ride windows, not joins:\n$plan")
+  }
+
+  test("budget water-filling: grants never exceed the budget, saturated " +
+      "sources keep everything, clipped sources share one common cap") {
+    val rows = graft.ops.TextOps.q110BudgetFill(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val allocSum = rows.map(_.getAs[Long]("alloc")).sum
+    assert(allocSum <= budget, s"over-allocated: $allocSum > $budget")
+    val clippedCaps = rows.filter(!_.getAs[Boolean]("sat"))
+      .map(_.getAs[Long]("alloc")).distinct
+    assert(clippedCaps.length <= 1,
+      s"clipped sources must share one cap: ${clippedCaps.mkString(",")}")
+    rows.filter(_.getAs[Boolean]("sat")).foreach { r =>
+      assert(r.getAs[Long]("alloc") == r.getAs[Long]("toks"),
+        s"saturated source must keep its total: $r")
+    }
+    // the water level is tight: granting every clipped source one more
+    // unit would blow the budget (floor-division exactness)
+    val nClipped = rows.count(!_.getAs[Boolean]("sat"))
+    if (nClipped > 0)
+      assert(allocSum + nClipped > budget,
+        s"cap not tight: $allocSum + $nClipped <= $budget")
+  }
+
+  test("sequence packing: sequences partition the doc stream exactly — " +
+      "per-shard doc counts and id checksums reconstruct the input") {
+    val rows = graft.ops.TextOps.q106SequencePack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docsTotal = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docsTotal,
+      "every document must land in exactly one sequence")
+    val idSum = rows.map(_.getAs[Long]("id_sum")).sum
+    val expect = graft.Tables(spark, sf, "documents")
+      .agg(sum(col("doc_id"))).head().getLong(0)
+    assert(idSum == expect, "membership checksum must cover the corpus once")
+  }
+
   test("curation pipeline: the quartile-threshold broadcast is built " +
       "once and REUSED by both consuming branches") {
     val q = graft.ops.TextOps.q108CurationPipeline(spark, sf)
