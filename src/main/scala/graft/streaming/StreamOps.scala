@@ -15,22 +15,23 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Parquet schema of events with ts as raw nanos. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of an events directory with a proper event-time col. */
+  /** Streaming read of an events directory with a proper event-time col.
+    *
+    * A stream needs a declared schema before the first micro-batch, but
+    * the harness has shipped events.ts as both TIMESTAMP(NANOS) (read as
+    * long under the legacy conf) and TIMESTAMP(MICROS) — so the schema is
+    * sniffed once from the static file footer (a metadata-only read) and
+    * `ts` is normalized to int64 nanos exactly as Tables.events does for
+    * the batch path. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
     spark.readStream
-      .schema(eventsSchema)
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
+      .withColumn("ts", graft.Tables.tsAsNanos(fileSchema("ts").dataType))
       .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
   }
 
