@@ -820,6 +820,186 @@ object SimilarityOps {
        | round(cos, 4) AS cos_sim
        |FROM r WHERE rn <= 3 ORDER BY node, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q111
+  /** SemDeDup — semantic deduplication (Abbas et al. 2023): cluster the
+    * embedding corpus with k-means, then prune, WITHIN each cluster, any
+    * vector whose cosine similarity to a lower-id cluster member exceeds
+    * τ = 0.30. The clusters bound the candidate set — the pair join is
+    * Σ cluster², never corpus², which is the paper's own scale story: at
+    * 100 TB you grow k with N (k ≈ √N keeps E[cluster²] ≈ N) so each
+    * cluster's pair block stays executor-sized, and the join shuffles
+    * on cent_id, the same key the IVF layout already partitions by.
+    *
+    * Determinism: clustering is q53's fixed-point k-means (2 Lloyd
+    * rounds, int64 accumulation on the 2^-20 grid — bit-reproducible at
+    * any parallelism); the cosine is the same sequential IEEE fold the
+    * oracle's list_inner_product computes, so the τ comparison agrees
+    * bit-for-bit. Keep-lowest-id is the SemDeDup tie rule.
+    *
+    * Output: per-cluster vector count, pruned count, and the id-sum of
+    * the kept set (the membership checksum). */
+  val q111SemDedup: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+    val cents = kmeansTrain(e, k = 16, iters = 2)
+    val q = e.select(col("vec_id"), kmeansQuantize(col("embedding")).as("emb"))
+    val centsArr = cents.agg(
+      array_sort(collect_list(struct(col("cent_id"), col("c")))).as("cents"))
+    val init = struct(lit(Double.PositiveInfinity).as("d2"),
+      lit(Long.MaxValue).as("cent_id"))
+    val best = aggregate(col("cents"), init, (acc, c) =>
+      least(acc, struct(l2sq(col("emb"), c.getField("c")).as("d2"),
+        c.getField("cent_id").as("cent_id"))))
+    val assigned = q.crossJoin(broadcast(centsArr))
+      .select(col("vec_id"), col("emb"), best.getField("cent_id").as("cent_id"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("i"),
+      col("emb").as("ei"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("j"),
+      col("emb").as("ej"))
+    val pruned = a.join(b, Seq("cent_id"))
+      .filter(col("i") < col("j"))
+      .filter(graft.functions.CosineSimilarity(col("ei"), col("ej")) >= 0.30)
+      .select(col("cent_id"), col("j")).distinct()
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_pruned"),
+        sum(col("j")).cast("long").as("pruned_id_sum"))
+    assigned.groupBy(col("cent_id"))
+      .agg(count(lit(1)).cast("long").as("n_vectors"),
+        sum(col("vec_id")).cast("long").as("id_sum"))
+      .join(pruned, Seq("cent_id"), "left")
+      .select(col("cent_id"), col("n_vectors"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"),
+        (col("id_sum") - coalesce(col("pruned_id_sum"), lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy(col("cent_id"))
+  }
+
+  val q111Oracle: String =
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding::DOUBLE[],
+       |    x -> floor(x*1048576)/1048576) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS c FROM e WHERE vec_id < 16),
+       |${kmIterSql(1)},
+       |${kmIterSql(2)},
+       |s3 AS (SELECT e.vec_id, e.emb, c2.cent_id,
+       |  list_sum(list_transform(range(0, len(e.emb)), j ->
+       |    (e.emb[j+1]-c2.c[j+1])*(e.emb[j+1]-c2.c[j+1]))) AS d2
+       | FROM e, c2),
+       |a3 AS (SELECT vec_id, emb, cent_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cent_id) AS rn FROM s3) WHERE rn = 1),
+       |pr AS (SELECT DISTINCT a.cent_id, b.vec_id AS j
+       | FROM a3 a JOIN a3 b ON a.cent_id = b.cent_id
+       |   AND a.vec_id < b.vec_id
+       | WHERE list_inner_product(a.emb, b.emb) /
+       |   (sqrt(list_inner_product(a.emb, a.emb)) *
+       |    sqrt(list_inner_product(b.emb, b.emb))) >= 0.30),
+       |pg AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_pruned,
+       |    CAST(sum(j) AS BIGINT) AS pruned_id_sum
+       |  FROM pr GROUP BY cent_id),
+       |g AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       |    CAST(sum(vec_id) AS BIGINT) AS id_sum
+       |  FROM a3 GROUP BY cent_id)
+       |SELECT g.cent_id, g.n_vectors,
+       | COALESCE(pg.n_pruned, 0) AS n_pruned,
+       | g.id_sum - COALESCE(pg.pruned_id_sum, 0) AS kept_id_sum
+       |FROM g LEFT JOIN pg ON g.cent_id = pg.cent_id
+       |ORDER BY g.cent_id""".stripMargin
+
+  // ---------------------------------------------------------------- q115
+  /** Contrastive-pair mining for embedding training: for each query
+    * vector, the 2 most-similar vectors of the SAME label (positives)
+    * and the 2 most-similar of a DIFFERENT label (hard negatives —
+    * the near-misses that make a contrastive loss informative; random
+    * negatives are trivially separable).
+    *
+    * The query set broadcasts and the corpus streams past it map-only —
+    * the brute-force tier. At 100 TB the same ranking runs per IVF list
+    * (q49's probe shape) so each query scans nprobe lists, not the
+    * corpus; the kind/rank window is unchanged. Cosines are emitted RAW
+    * (row-level IEEE is bit-identical across engines; rounding would
+    * only add half-boundary risk). */
+  val q115HardNegatives: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"), col("kind"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        when(col("label") === col("q_label"), "pos").otherwise("neg")
+          .as("kind"),
+        col("vec_id"),
+        graft.functions.CosineSimilarity(col("q_emb"), col("embedding"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("q_id"), col("kind"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cos").as("cos_sim"))
+      .orderBy(col("q_id"), col("kind"), col("rank"))
+  }
+
+  val q115Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+      |  FROM e WHERE vec_id < 10),
+      |s AS (SELECT q_id,
+      |  CASE WHEN label = q_label THEN 'pos' ELSE 'neg' END AS kind,
+      |  e.vec_id,
+      |  list_inner_product(q_emb, emb) /
+      |    (sqrt(list_inner_product(q_emb, q_emb)) *
+      |     sqrt(list_inner_product(emb, emb))) AS cos
+      | FROM e, q WHERE e.vec_id <> q.q_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id, kind
+      |    ORDER BY cos DESC, vec_id) AS rank FROM s)
+      |SELECT q_id, kind, CAST(rank AS BIGINT) AS rank,
+      | vec_id AS neighbor_id, cos AS cos_sim
+      |FROM r WHERE rank <= 2 ORDER BY q_id, kind, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+  /** Cluster → label purity: per IVF cluster, the majority ground-truth
+    * label, its share, and the cluster size — the standard external
+    * evaluation of an embedding clustering (purity ≈ how well the
+    * quantizer's regions align with semantics), and the gate a curation
+    * pipeline applies before trusting cluster-level operations like
+    * SemDeDup (q111) or cluster-stratified sampling.
+    *
+    * One (cent_id, label) aggregation shuffle; cluster totals and the
+    * majority pick are windows over that k·|labels|-row aggregate, so
+    * the evaluation costs nothing beyond the assignment no matter the
+    * corpus size. Purity is integer fixed-point (⌊100·maj/n⌋) —
+    * engine-exact. Majority ties break to the lowest label. */
+  val q116ClusterPurity: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val g = ivfAssigned(Tables(spark, dir, "embeddings"))
+      .groupBy(col("cent_id"), col("label"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wTot = Window.partitionBy(col("cent_id"))
+    val wMaj = Window.partitionBy(col("cent_id"))
+      .orderBy(col("cnt").desc, col("label"))
+    g.withColumn("n_vectors", sum(col("cnt")).over(wTot))
+      .withColumn("rn", row_number().over(wMaj))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("n_vectors"),
+        col("label").as("maj_label"), col("cnt").as("maj_cnt"),
+        expr("(100 * cnt) DIV n_vectors").as("purity_pct"))
+      .orderBy(col("cent_id"))
+  }
+
+  val q116Oracle: String =
+    s"""WITH $ivfBaseSql,
+       |g AS (SELECT cent_id, label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM a GROUP BY cent_id, label),
+       |t AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY cent_id) AS BIGINT)
+       |    AS n_vectors,
+       |  row_number() OVER (PARTITION BY cent_id
+       |    ORDER BY cnt DESC, label) AS rn FROM g)
+       |SELECT cent_id, n_vectors, label AS maj_label, cnt AS maj_cnt,
+       | (100 * cnt) // n_vectors AS purity_pct
+       |FROM t WHERE rn = 1 ORDER BY cent_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -834,6 +1014,9 @@ object SimilarityOps {
     "q69_sq8_codes" -> q69Sq8,
     "q74_ann_recall" -> q74AnnRecall,
     "q92_knn_graph" -> q92KnnGraph,
+    "q111_semdedup" -> q111SemDedup,
+    "q115_hard_negatives" -> q115HardNegatives,
+    "q116_cluster_purity" -> q116ClusterPurity,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -850,5 +1033,8 @@ object SimilarityOps {
     "q69_sq8_codes" -> q69Oracle,
     "q74_ann_recall" -> q74Oracle,
     "q92_knn_graph" -> q92Oracle,
+    "q111_semdedup" -> q111Oracle,
+    "q115_hard_negatives" -> q115Oracle,
+    "q116_cluster_purity" -> q116Oracle,
   )
 }

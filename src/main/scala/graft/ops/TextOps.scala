@@ -1082,6 +1082,171 @@ object TextOps {
       |   AS BIGINT) AS n_subwords
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** DSIR-style importance weighting (Xie et al. 2023): score every doc
+    * by how much more likely its hashed n-gram features are under the
+    * TARGET distribution (here: the English subcorpus) than under the
+    * RAW corpus — the importance-resampling signal that tilts a
+    * pretraining mix toward a target domain without training a model.
+    *
+    * Features are unigrams hashed into 64 buckets (PolyHashMod — the
+    * engine-shared hash family), and the per-bucket likelihood ratio is
+    * add-one-smoothed integer fixed-point:
+    *   w(b) = ⌊1000·(tgt_b+1)·(N_raw+64) / ((raw_b+1)·(N_tgt+64))⌋
+    * — all-int64, engine-exact, no float log (the ratio ORDERING is what
+    * resampling consumes, and ⌊1000·r⌋ preserves it to 3 decimals).
+    *
+    * Scale shape: ONE (doc, bucket) aggregation shuffle; both model
+    * tables (per-bucket raw/target counts) are unordered window sums
+    * over that same 64-bucket-per-doc aggregate — no second explode, no
+    * vocab join (the q73/q109 rule); corpus totals ride as window sums
+    * over the empty partition of the SAME aggregate (≤ 64·|docs| rows,
+    * and at 100 TB the 64-row bucket model is a broadcast join off a
+    * pre-reduced aggregate instead). */
+  val q112DsirWeights: Q = (spark, dir) => {
+    val tf = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(words).as("t"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.PolyHashMod(col("t")), lit(64L)).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val wB = Window.partitionBy(col("bucket"))
+    val wAll = Window.partitionBy()
+    val tgtTf = when(col("lang") === "en", col("tf")).otherwise(0L)
+    tf.withColumn("raw_cnt", sum(col("tf")).over(wB))
+      .withColumn("tgt_cnt", sum(tgtTf).over(wB))
+      .withColumn("n_raw", sum(col("tf")).over(wAll))
+      .withColumn("n_tgt", sum(tgtTf).over(wAll))
+      .withColumn("w", expr(
+        "(1000 * (tgt_cnt + 1) * (n_raw + 64)) DIV ((raw_cnt + 1) * (n_tgt + 64))"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(expr("tf * w")).cast("long").as("imp_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("imp_sum"),
+        (col("imp_sum").cast("double") / col("n_tokens")).as("mean_imp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q112Oracle: String =
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |    unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, lang,
+       |    ${DedupOps.polyHashSql("t")} % 64 AS bucket, count(*) AS tf
+       |  FROM tk GROUP BY 1, 2, 3),
+       |c AS (SELECT bucket, sum(tf) AS raw_cnt,
+       |    sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS tgt_cnt
+       |  FROM tf GROUP BY bucket),
+       |g AS (SELECT sum(tf) AS n_raw,
+       |    sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS n_tgt FROM tf),
+       |s AS (SELECT doc_id, lang, tf,
+       |    (1000 * (tgt_cnt + 1) * (n_raw + 64))
+       |      // ((raw_cnt + 1) * (n_tgt + 64)) AS w
+       |  FROM tf JOIN c USING (bucket), g)
+       |SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       | CAST(sum(tf * w) AS BIGINT) AS imp_sum,
+       | sum(tf * w) * 1.0 / sum(tf) AS mean_imp
+       |FROM s GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q113
+  /** Retrieval-chunk inventory with cross-corpus chunk dedup: slide a
+    * fixed window (80 chars, stride 60 — the standard overlapping RAG
+    * chunking) over every document, fingerprint each chunk, and keep
+    * only the FIRST occurrence of each fingerprint corpus-wide (the
+    * chunk-granular analog of RefinedWeb's paragraph dedup — boilerplate
+    * that many docs share is stored and embedded once).
+    *
+    * Scale shape: chunking is an in-row sequence+substring projection
+    * (map-only, ~n_chars/stride rows per doc); first-occurrence is ONE
+    * window over the chunk-hash key — the only shuffle, on a key whose
+    * groups are duplicate sets (small by construction). Emitting per-doc
+    * rollups (chunks, dups, surviving chars, hash checksum) keeps the
+    * result doc-sized while pinning the full chunk assignment. */
+  val q113ChunkDedup: Q = (spark, dir) => {
+    val win = 80
+    val stride = 60
+    val ch = docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)),
+          lit(stride))).as("st"))
+      .select(col("doc_id"), expr(s"st DIV $stride").as("idx"),
+        expr(s"substring(text, st + 1, $win)").as("c"))
+      .select(col("doc_id"), col("idx"),
+        length(col("c")).cast("long").as("clen"),
+        graft.functions.PolyHashMod(col("c")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    ch.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("long").as("n_dup"),
+        sum(when(col("rn") === 1, col("clen")).otherwise(0L)).cast("long")
+          .as("kept_chars"),
+        sum(col("h")).cast("long").as("chunk_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q113Oracle: String =
+    s"""WITH st AS (SELECT doc_id, text,
+       |    unnest(generate_series(0, greatest(length(text) - 1, 0), 60))
+       |      AS st FROM documents),
+       |ch AS (SELECT doc_id, st // 60 AS idx,
+       |    substring(text, st + 1, 80) AS c FROM st),
+       |h AS (SELECT doc_id, idx, CAST(length(c) AS BIGINT) AS clen,
+       |    ${DedupOps.polyHashSql("c")} AS h FROM ch),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY h
+       |    ORDER BY doc_id, idx) AS rn FROM h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       | CAST(sum(CASE WHEN rn = 1 THEN clen ELSE 0 END) AS BIGINT)
+       |   AS kept_chars,
+       | CAST(sum(h) AS BIGINT) AS chunk_checksum
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+  /** Within-source repeated-shingle coverage — the boilerplate signal of
+    * Common-Crawl-style curation: a word 3-gram that recurs across
+    * MULTIPLE documents of the same source is template text (headers,
+    * navigation, legal footers), and a document dominated by such
+    * shingles is boilerplate. Flags shingles with within-source document
+    * frequency ≥ 2 and scores each doc's flagged share in integer
+    * fixed-point (⌊100·rep/total⌋). On this synthetic corpus df maxes
+    * at 3; production corpora use a df/|source| percentage threshold —
+    * same plan, different constant.
+    *
+    * Scale shape: per-doc distinct shingles explode once; the document
+    * frequency is an unordered window count over the (source, shingle)
+    * partition of that SAME exploded set (no self-join, no second pass
+    * — the q73 rule on a composite key); the per-doc rollup shuffles
+    * doc-id partials only. */
+  val q114BoilerplateCov: Q = (spark, dir) => {
+    val sh = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(DedupOps.shingles3(col("text")))).as("s"))
+    val wDf = Window.partitionBy(col("source"), col("s"))
+    sh.withColumn("df", count(lit(1)).over(wDf))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_rep"))
+      .select(col("doc_id"), col("source"), col("n_shingles"), col("n_rep"),
+        expr("(100 * n_rep) DIV n_shingles").as("rep_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q114Oracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM d),
+      |f AS (SELECT doc_id, source, s,
+      |    count(*) OVER (PARTITION BY source, s) AS df FROM sh)
+      |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_shingles,
+      | CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+      | CAST((100 * sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)) // count(*)
+      |   AS BIGINT) AS rep_pct
+      |FROM f GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1107,6 +1272,9 @@ object TextOps {
     "q108_curation_pipeline" -> q108CurationPipeline,
     "q109_bigram_lm" -> q109BigramSurprise,
     "q110_budget_fill" -> q110BudgetFill,
+    "q112_dsir_weights" -> q112DsirWeights,
+    "q113_chunk_dedup" -> q113ChunkDedup,
+    "q114_boilerplate_cov" -> q114BoilerplateCov,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1134,5 +1302,8 @@ object TextOps {
     "q108_curation_pipeline" -> q108Oracle,
     "q109_bigram_lm" -> q109Oracle,
     "q110_budget_fill" -> q110Oracle,
+    "q112_dsir_weights" -> q112Oracle,
+    "q113_chunk_dedup" -> q113Oracle,
+    "q114_boilerplate_cov" -> q114Oracle,
   )
 }

@@ -743,4 +743,95 @@ class DedupSpec extends SparkSpec {
         size(array_union(a, b))).as("j")).head().getDouble(0)
     assert(j > 0.5, s"planted jaccard $j")
   }
+
+  test("q111 SemDeDup: partition of the corpus, pruned strictly within " +
+      "clusters, pair join is an equi-join on cent_id (Σ cluster², " +
+      "never corpus²)") {
+    val total = graft.Tables(spark, sf, "embeddings").count()
+    val rows = SimilarityOps.q111SemDedup(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total,
+      "clusters must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pruned") < r.getAs[Long]("n_vectors"),
+        s"a cluster may never prune ALL members (lowest id survives): $r")
+    }
+    // the candidate pair join must key on cent_id — a cartesian pair
+    // enumeration would be corpus² and cannot ship
+    val plan = SimilarityOps.q111SemDedup(spark, sf)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair enumeration must not be a cartesian product:\n$plan")
+  }
+
+  test("q112 DSIR: target-language docs score higher on average than " +
+      "the rest (the importance-tilt the resampler consumes)") {
+    val rows = TextOps.q112DsirWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    assert(en.nonEmpty && rest.nonEmpty, "need both strata at this sf")
+    def mean(rs: Array[org.apache.spark.sql.Row]): Double =
+      rs.map(_.getAs[Double]("mean_imp")).sum / rs.length
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} must exceed non-target mean ${mean(rest)}")
+  }
+
+  test("q113 chunk inventory: chunk count is ⌈len/stride⌉ and dedup " +
+      "never exceeds the chunk count") {
+    val lens = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .as[(Long, Long)].collect().toMap
+    TextOps.q113ChunkDedup(spark, sf).collect().foreach { r =>
+      val len = lens(r.getAs[Long]("doc_id"))
+      val expected = if (len == 0) 1L else (len - 1) / 60 + 1
+      assert(r.getAs[Long]("n_chunks") == expected,
+        s"doc len $len: expected $expected chunks, got $r")
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+
+  test("q114 repeated-shingle coverage: integer percentage bounds and " +
+      "no join in the document-frequency pass (window over the same " +
+      "exploded set)") {
+    TextOps.q114BoilerplateCov(spark, sf).collect().foreach { r =>
+      val pct = r.getAs[Long]("rep_pct")
+      assert(pct >= 0 && pct <= 100, s"pct out of bounds: $r")
+      assert(r.getAs[Long]("n_rep") <= r.getAs[Long]("n_shingles"))
+    }
+    val plan = TextOps.q114BoilerplateCov(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"),
+      s"df must be a window over the exploded set, not a join-back:\n$plan")
+  }
+
+  test("q115 contrastive mining: ranks within kind, correct kind vs " +
+      "label, negatives distinct from the query itself") {
+    val labels = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val rows = SimilarityOps.q115HardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n != q, s"self-pair leaked: $r")
+      val sameLabel = labels(q) == labels(n)
+      val kind = r.getAs[String]("kind")
+      assert(if (kind == "pos") sameLabel else !sameLabel,
+        s"kind/label mismatch: $r")
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 2)
+    }
+  }
+
+  test("q116 cluster purity: majority count and share are consistent " +
+      "and clusters cover the corpus") {
+    val total = graft.Tables(spark, sf, "embeddings").count()
+    val rows = SimilarityOps.q116ClusterPurity(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      val maj = r.getAs[Long]("maj_cnt")
+      assert(maj >= 1 && maj <= n, s"majority out of range: $r")
+      assert(r.getAs[Long]("purity_pct") == 100 * maj / n, s"purity: $r")
+    }
+  }
 }
