@@ -618,6 +618,37 @@ object EventOps {
       |  AND (d.valid_to IS NULL OR p.ts_us < d.valid_to)
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** E13 stream-static enrichment join end-to-end: the event stream
+    * broadcast-joined to the static customer dimension (user → market
+    * segment), then 5-minute tumbling counts per segment under a
+    * 10-minute watermark — the standard "enrich the firehose against
+    * the warehouse" topology. The static side adds no stream state and
+    * no shuffle (map-side broadcast probe per micro-batch); window
+    * finalization is identical to q42's, so the oracle applies q42's
+    * watermark cutoff to the joined batch equivalent. */
+  val q117StreamStatic: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q117_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val res = StreamOps.runToMemory(spark,
+      StreamOps.staticEnrichedCounts(StreamOps.readEvents(spark, dir),
+        graft.Tables(spark, dir, "customer")), name)
+    res.select(
+        unix_timestamp(col("window_start")).as("window_start"),
+        col("c_mktsegment"), col("n"), round(col("v"), 2).as("v"))
+      .orderBy(col("window_start"), col("c_mktsegment"))
+  }
+
+  val q117Oracle: String =
+    """WITH e AS (SELECT epoch_ns(ts) AS ns, user_id, value FROM events),
+      |m AS (SELECT max(ns) AS mx FROM e),
+      |j AS (SELECT (ns // 300000000000) * 300 AS window_start,
+      |        c_mktsegment, count(*) AS n, round(sum(value), 2) AS v
+      |      FROM e JOIN customer ON c_custkey = user_id GROUP BY 1, 2)
+      |SELECT window_start, c_mktsegment, n, v FROM j, m
+      |WHERE (window_start + 300) * 1000000000 <= mx - 600000000000
+      |ORDER BY window_start, c_mktsegment""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -637,6 +668,7 @@ object EventOps {
     "q89_gap_fill" -> q89GapFill,
     "q98_cohort_retention" -> q98CohortRetention,
     "q100_scd2_join" -> q100Scd2Join,
+    "q117_stream_static" -> q117StreamStatic,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -658,5 +690,6 @@ object EventOps {
     "q89_gap_fill" -> q89Oracle,
     "q98_cohort_retention" -> q98Oracle,
     "q100_scd2_join" -> q100Oracle,
+    "q117_stream_static" -> q117Oracle,
   )
 }

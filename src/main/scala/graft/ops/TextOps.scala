@@ -1247,6 +1247,49 @@ object TextOps {
       |   AS BIGINT) AS rep_pct
       |FROM f GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** BPE merge-pair statistics — the aggregation a byte-pair-encoding
+    * tokenizer trainer loops: weighted adjacent-symbol-pair counts over
+    * the corpus, ranked. The critical scale trick is the REAL one every
+    * BPE trainer uses: reduce the corpus to its word histogram first
+    * (one map-side-combinable shuffle), then enumerate pairs over the
+    * VOCABULARY weighted by word count — pair enumeration cost is
+    * O(|vocab|·word_len), independent of corpus size. Top-20 by count
+    * (pair ascending on ties) = the first merge candidate list; a full
+    * trainer re-runs this aggregate per merge round on the re-segmented
+    * vocab, so this IS the loop body's cost shape at 100 TB. */
+  val q118BpePairs: Q = (spark, dir) => {
+    val wc = Tables.balanced(spark, dir, "documents")
+      .select(explode(words).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = wc.filter(length(col("w")) >= 2)
+      .select(col("cnt"), col("w"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("pair"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
+  val q118Oracle: String =
+    """WITH wc AS (SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |ix AS (SELECT w, cnt,
+      |    unnest(generate_series(1, length(w) - 1)) AS i
+      |  FROM wc WHERE length(w) >= 2),
+      |p AS (SELECT substring(w, i, 2) AS pair, cnt FROM ix),
+      |g AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM p GROUP BY pair),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+      |    AS BIGINT) AS rank FROM g)
+      |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1275,6 +1318,7 @@ object TextOps {
     "q112_dsir_weights" -> q112DsirWeights,
     "q113_chunk_dedup" -> q113ChunkDedup,
     "q114_boilerplate_cov" -> q114BoilerplateCov,
+    "q118_bpe_pairs" -> q118BpePairs,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1305,5 +1349,6 @@ object TextOps {
     "q112_dsir_weights" -> q112Oracle,
     "q113_chunk_dedup" -> q113Oracle,
     "q114_boilerplate_cov" -> q114Oracle,
+    "q118_bpe_pairs" -> q118Oracle,
   )
 }

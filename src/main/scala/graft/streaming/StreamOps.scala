@@ -75,6 +75,24 @@ object StreamOps {
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"))
 
+  /** Stream-static enrichment: the event stream joined to a STATIC
+    * dimension (customer → market segment) before windowed aggregation —
+    * the canonical "enrich the firehose against the warehouse" shape.
+    * The dimension is broadcast, so the join adds NO stream shuffle and
+    * no state: each micro-batch map-side-probes the dim snapshot. At
+    * 100 TB/day the dim refresh is a re-broadcast per restart (or a
+    * ForeachBatch re-read); state stays bounded by the window watermark
+    * exactly as in the un-enriched tumbling aggregate. */
+  def staticEnrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .withWatermark("ts_utc", "10 minutes")
+      .groupBy(window(col("ts_utc"), "5 minutes"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("window_start"), col("c_mktsegment"),
+        col("n"), col("v"))
+
   /** Stateful dedup on (user_id, event_type) bounded by the watermark —
     * the streaming form of EventOps.q28EventDedup. */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
@@ -336,8 +354,10 @@ object StreamOps {
         .outputMode(outputMode)
       ckpt.foreach(writer.option("checkpointLocation", _))
       val q = writer.start()
-      try q.processAllAvailable()
-      finally q.stop() // never leak a running stream on mid-batch failure
+      try {
+        q.processAllAvailable()
+        Option(q.lastProgress).foreach(lastProgresses.put(name, _))
+      } finally q.stop() // never leak a running stream on mid-batch failure
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       if (stateStoreProvider.isDefined) prevProvider match {
@@ -349,4 +369,14 @@ object StreamOps {
     }
     spark.table(name)
   }
+
+  /** Last progress of each runToMemory drain, by query name — lets specs
+    * assert the state-operator topology (e.g. that a stream-static join
+    * registered no state) after the query has stopped. */
+  private val lastProgresses = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.streaming.StreamingQueryProgress]
+
+  def lastProgressOf(name: String)
+      : Option[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    lastProgresses.get(name)
 }

@@ -822,6 +822,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q118 BPE pair stats: vocabulary-histogram counts equal the " +
+      "direct corpus-explode counts (the trainer's O(vocab) shortcut " +
+      "loses nothing)") {
+    val top = TextOps.q118BpePairs(spark, sf).collect()
+    assert(top.length == 20)
+    // brute force: enumerate pairs over EVERY token occurrence
+    val brute = graft.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    top.foreach { r =>
+      val pair = r.getAs[String]("pair")
+      assert(r.getAs[Long]("cnt") == brute(pair),
+        s"histogram-weighted count diverges for '$pair'")
+    }
+    // ranks strictly ordered by (cnt desc, pair asc)
+    val ranked = top.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("cnt"), r.getAs[String]("pair")))
+    assert(ranked.sliding(2).forall { w =>
+      w(0)._1 > w(1)._1 || (w(0)._1 == w(1)._1 && w(0)._2 < w(1)._2)
+    })
+  }
+
   test("q116 cluster purity: majority count and share are consistent " +
       "and clusters cover the corpus") {
     val total = graft.Tables(spark, sf, "embeddings").count()

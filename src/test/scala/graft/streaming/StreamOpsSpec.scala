@@ -37,6 +37,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stream-static enrichment join matches the batch join aggregate " +
+      "and keeps exactly ONE stateful operator (the window agg — the " +
+      "static side must add no state)") {
+    val stream = StreamOps.readEvents(spark, sf)
+    val dim = graft.Tables(spark, sf, "customer")
+    val name = "static_enrich_test"
+    val out = StreamOps.runToMemory(spark,
+      StreamOps.staticEnrichedCounts(stream, dim), name, "complete")
+      .select(unix_timestamp(col("window_start")).as("window_start"),
+        col("c_mktsegment"), col("n"))
+    val batch = graft.Tables(spark, sf, "events")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .withColumn("window_start",
+        (expr("ts DIV 300000000000") * 300).cast("long"))
+      .groupBy(col("window_start"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val a = out.orderBy("window_start", "c_mktsegment").collect().toSeq
+    val b = batch.orderBy("window_start", "c_mktsegment").collect().toSeq
+    assert(a == b, s"stream/batch mismatch: ${a.take(3)} vs ${b.take(3)}")
+    // one stateful operator only: the static join must not register state
+    val p = StreamOps.lastProgressOf(name)
+    assert(p.isDefined, "drain should record a last progress")
+    assert(p.get.stateOperators.length == 1,
+      s"static join added stream state: ${p.get.stateOperators.length} ops")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val stream = StreamOps.readEvents(spark, sf)
     val out = StreamOps.runToMemory(spark,
