@@ -1069,6 +1069,76 @@ object BioQueries {
       |  SELECT 'sum', c, y, x, sm FROM p)
       |ORDER BY variant, c, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b39
+  /** E12→E10 bridge — patch embeddings into the ANN stack: each plane
+    * tiles into non-overlapping 4×4 patches (b34's ViT patchify), every
+    * patch becomes a 16-dim raw-pixel vector IN-ROW (transform over the
+    * patch grid with index reads into the flat pixel array — no
+    * per-pixel explode), and patches rank by cosine similarity against
+    * a probe patch exactly as q37 ranks embedding rows. This is the
+    * patch-retrieval / near-duplicate-tile shape of a multimodal
+    * curation pipeline: once a patch is a vector column the ENTIRE
+    * similarity surface (LSH q38, IVF q48, PQ q54, SemDeDup q111)
+    * applies to imagery unchanged — only this projection is new. The
+    * probe rides as one broadcast row; ranking is map-only + one
+    * top-k window. */
+  val b39PatchEmbed: Q = (spark, _) => {
+    import org.apache.spark.sql.expressions.Window
+    val (ny, nx, p) = (8, 16, 4)
+    val (gpy, gpx) = (ny / p, nx / p) // 2 × 4 patch grid
+    val arr = NDArray.tabulate(Seq(2, ny, nx))(idx =>
+      ((idx(0) * 7 + idx(1) * 5 + idx(2) * 3) % 11 + 1).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    def vecOf(pid: Column): Column =
+      transform(sequence(lit(0), lit(p * p - 1)), k => {
+        // integer grid coordinates (Column./ is double division)
+        val py = (pid / gpx).cast("int")
+        val px = pmod(pid, lit(gpx))
+        val dy = (k / p).cast("int")
+        val dx = pmod(k, lit(p))
+        element_at(col("pixels"),
+          ((py * p + dy) * nx + (px * p + dx) + 1).cast("int"))
+      })
+    val patches = img.planes
+      .select(col("c").cast("long").as("c"),
+        posexplode(transform(sequence(lit(0), lit(gpy * gpx - 1)),
+          pid => vecOf(pid))).as(Seq("patch_id", "vec")))
+      .select(col("c"), col("patch_id").cast("long").as("patch_id"),
+        col("vec"))
+    val probe = patches
+      .filter(col("c") === 0 && col("patch_id") === 0)
+      .select(col("vec").as("pv"))
+    val w = Window.orderBy(col("cos").desc, col("c"), col("patch_id"))
+    patches.crossJoin(broadcast(probe))
+      .filter(!(col("c") === 0 && col("patch_id") === 0))
+      .select(col("c"), col("patch_id"),
+        graft.functions.CosineSimilarity(col("vec"), col("pv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("rank"), col("c"), col("patch_id"), col("cos").as("cos_sim"))
+      .orderBy(col("rank"))
+  }
+
+  val b39Oracle: String =
+    """WITH px AS (SELECT c, y, x,
+      |    CAST((c*7 + y*5 + x*3) % 11 + 1 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(8) b(y), range(16) d(x)),
+      |pp AS (SELECT c, (y // 4) * 4 + (x // 4) AS patch_id,
+      |    (y % 4) * 4 + (x % 4) AS k, v FROM px),
+      |vecs AS (SELECT c, patch_id, list(v ORDER BY k) AS vec
+      |  FROM pp GROUP BY c, patch_id),
+      |probe AS (SELECT vec AS pv FROM vecs WHERE c = 0 AND patch_id = 0),
+      |s AS (SELECT c, patch_id,
+      |    list_inner_product(vec, pv) /
+      |      (sqrt(list_inner_product(vec, vec)) *
+      |       sqrt(list_inner_product(pv, pv))) AS cos
+      |  FROM vecs, probe WHERE NOT (c = 0 AND patch_id = 0)),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cos DESC, c,
+      |    patch_id) AS BIGINT) AS rank FROM s)
+      |SELECT rank, CAST(c AS BIGINT) AS c,
+      | CAST(patch_id AS BIGINT) AS patch_id, cos AS cos_sim
+      |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------- b36
   /** S12/S13 `.mrc` (MRC2014) interchange end-to-end: a formulaic ZYX
     * volume (ISPG 1) and a TYX image stack (ISPG 0) saved through the
@@ -1289,6 +1359,7 @@ object BioQueries {
     "b36_mrc_roundtrip" -> b36MrcRoundtrip,
     "b37_augment" -> b37Augment,
     "b38_zprojection" -> b38ZProjection,
+    "b39_patch_embed" -> b39PatchEmbed,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1330,5 +1401,6 @@ object BioQueries {
     "b36_mrc_roundtrip" -> b36Oracle,
     "b37_augment" -> b37Oracle,
     "b38_zprojection" -> b38Oracle,
+    "b39_patch_embed" -> b39Oracle,
   )
 }
