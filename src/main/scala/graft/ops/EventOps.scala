@@ -649,6 +649,48 @@ object EventOps {
       |WHERE (window_start + 300) * 1000000000 <= mx - 600000000000
       |ORDER BY window_start, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Trailing-window spike detection — the ops-monitoring staple: bucket
+    * the stream into 10-minute counts per event type, then flag any
+    * bucket whose count exceeds 2× the mean of its previous four
+    * observations. The comparison is an integer cross-multiply
+    * (2·n > Σprev4 ⟺ n > 2·(Σprev4/4)) — no float mean, engine-exact.
+    * The ROWS frame is over OBSERVATIONS (gaps don't widen the
+    * baseline), and only buckets with a full 4-observation history
+    * emit.
+    *
+    * Scale shape: the bucket aggregate reduces the stream to
+    * |types|·|buckets| rows in one map-side-combinable shuffle; the
+    * trailing window runs on that aggregate, so detection costs nothing
+    * beyond the count at any event volume. */
+  val q119SpikeDetect: Q = (spark, dir) => {
+    val b = Tables(spark, dir, "events")
+      .withColumn("bucket_start",
+        (expr("ts DIV 600000000000") * 600).cast("long"))
+      .groupBy(col("event_type"), col("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket_start")).rowsBetween(-4, -1)
+    b.withColumn("prev4", sum(col("n")).over(w))
+      .withColumn("nprev", count(col("n")).over(w))
+      .filter(col("nprev") === 4)
+      .select(col("event_type"), col("bucket_start"), col("n"),
+        col("prev4"), (col("n") * 2 > col("prev4")).as("spike"))
+      .orderBy(col("event_type"), col("bucket_start"))
+  }
+
+  val q119Oracle: String =
+    """WITH b AS (SELECT event_type,
+      |    (epoch_ns(ts) // 600000000000) * 600 AS bucket_start,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT *, CAST(sum(n) OVER w AS BIGINT) AS prev4,
+      |    count(n) OVER w AS nprev FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+      |    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, bucket_start, n, prev4, n * 2 > prev4 AS spike
+      |FROM t WHERE nprev = 4 ORDER BY event_type, bucket_start""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -669,6 +711,7 @@ object EventOps {
     "q98_cohort_retention" -> q98CohortRetention,
     "q100_scd2_join" -> q100Scd2Join,
     "q117_stream_static" -> q117StreamStatic,
+    "q119_spike_detect" -> q119SpikeDetect,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -691,5 +734,6 @@ object EventOps {
     "q98_cohort_retention" -> q98Oracle,
     "q100_scd2_join" -> q100Oracle,
     "q117_stream_static" -> q117Oracle,
+    "q119_spike_detect" -> q119Oracle,
   )
 }
