@@ -1290,6 +1290,51 @@ object TextOps {
       |    AS BIGINT) AS rank FROM g)
       |SELECT rank, pair, cnt FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Linear quality-classifier inference — the fastText tier of
+    * model-based document filtering (score each doc with a trained
+    * linear model over hashed bag-of-words features; keep docs above
+    * the margin). The weight table is formulaic here (w[b] = (b·37 mod
+    * 21) − 10, fixed-point ×1 integers) so the oracle regenerates it;
+    * a real deployment swaps in trained weights via the same broadcast
+    * — inference shape is identical.
+    *
+    * score = Σ_tokens w[bucket(t)] (sum-of-weights form; the tf-mean
+    * division is deferred to a single integer DIV at the end, so
+    * everything before the margin test is exact int64). Scale shape:
+    * ONE (doc, bucket) aggregate shuffle, weights attach as a pure
+    * PROJECTION (the bucket → weight map is a closed formula — no join,
+    * no broadcast table needed), per-doc rollup on doc_id partials.
+    * Classification (margin > 0) is an integer comparison. */
+  val q120QualityClassifier: Q = (spark, dir) => {
+    val tf = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("t"))
+      .select(col("doc_id"),
+        pmod(graft.functions.PolyHashMod(col("t")), lit(64L)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("w", expr("(bucket * 37) % 21 - 10"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(expr("tf * w")).cast("long").as("score_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("score_sum"),
+        expr("score_sum DIV n_tokens").as("mean_score"),
+        (col("score_sum") > 0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q120Oracle: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, ${DedupOps.polyHashSql("t")} % 64 AS bucket,
+       |    count(*) AS tf FROM tk GROUP BY 1, 2),
+       |s AS (SELECT doc_id, tf, (bucket * 37) % 21 - 10 AS w FROM tf)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       | CAST(sum(tf * w) AS BIGINT) AS score_sum,
+       | CAST(sum(tf * w) // sum(tf) AS BIGINT) AS mean_score,
+       | sum(tf * w) > 0 AS keep
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1319,6 +1364,7 @@ object TextOps {
     "q113_chunk_dedup" -> q113ChunkDedup,
     "q114_boilerplate_cov" -> q114BoilerplateCov,
     "q118_bpe_pairs" -> q118BpePairs,
+    "q120_quality_classifier" -> q120QualityClassifier,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1350,5 +1396,6 @@ object TextOps {
     "q113_chunk_dedup" -> q113Oracle,
     "q114_boilerplate_cov" -> q114Oracle,
     "q118_bpe_pairs" -> q118Oracle,
+    "q120_quality_classifier" -> q120Oracle,
   )
 }
