@@ -1139,6 +1139,50 @@ object BioQueries {
       | CAST(patch_id AS BIGINT) AS patch_id, cos AS cos_sim
       |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- b40
+  /** Temporal frame differencing — the motion-energy / scene-cut screen
+    * of a video-frame curation pipeline (frame-sampling b21 picks
+    * frames; this decides WHICH frames changed enough to keep): per
+    * channel, consecutive T frames pair via one `lag(pixels)` window
+    * over the (c)-partitioned plane rows, |Δ| folds in-row with
+    * zip_with + aggregate (no per-pixel explode), and a frame flags as
+    * a cut when its mean |Δ| clears a threshold. One c-key exchange
+    * total — at video scale each clip's frames co-locate by clip key
+    * and the window never crosses clips; the pixel math is all in-row
+    * HOFs inside whole-stage codegen. The channel term in the
+    * synthetic pixels separates the two channels' motion energy
+    * (means ~8.5–10.6 vs ~11.1–13.2), so both flag values appear. */
+  val b40MotionEnergy: Q = (spark, _) => {
+    import org.apache.spark.sql.expressions.Window
+    val (nt, h, w) = (4, 4, 5)
+    val arr = NDArray.tabulate(Seq(2, nt, h, w))(idx =>
+      ((idx(0) * 13 + idx(1) * idx(1) * 7 + idx(2) * 5 + idx(3) * 3) % 29)
+        .toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CTYX"))
+    val win = Window.partitionBy(col("c")).orderBy(col("t"))
+    img.planes
+      .withColumn("prev", lag(col("pixels"), 1).over(win))
+      .filter(col("prev").isNotNull)
+      .withColumn("d", zip_with(col("pixels"), col("prev"),
+        (a, b) => abs(a - b)))
+      .select(col("c").cast("long").as("c"), col("t").cast("long").as("t"),
+        aggregate(col("d"), lit(0.0d), (acc, v) => acc + v).as("sum_abs"),
+        array_max(col("d")).as("max_abs"))
+      .withColumn("mean_abs", col("sum_abs") / (h * w))
+      .withColumn("cut", col("mean_abs") > lit(11.0d))
+      .orderBy(col("c"), col("t"))
+  }
+
+  val b40Oracle: String =
+    """WITH px AS (SELECT c, t, y, x,
+      |    CAST((c*13 + t*t*7 + y*5 + x*3) % 29 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(4) b(t), range(4) d(y), range(5) e(x)),
+      |d AS (SELECT p.c, p.t, abs(p.v - q.v) AS dv FROM px p JOIN px q
+      |  ON p.c = q.c AND p.y = q.y AND p.x = q.x AND q.t = p.t - 1)
+      |SELECT c, t, sum(dv) AS sum_abs, max(dv) AS max_abs,
+      | sum(dv) / 20 AS mean_abs, sum(dv) / 20 > 11.0 AS cut
+      |FROM d GROUP BY c, t ORDER BY c, t""".stripMargin
+
   // ---------------------------------------------------------------- b36
   /** S12/S13 `.mrc` (MRC2014) interchange end-to-end: a formulaic ZYX
     * volume (ISPG 1) and a TYX image stack (ISPG 0) saved through the
@@ -1360,6 +1404,7 @@ object BioQueries {
     "b37_augment" -> b37Augment,
     "b38_zprojection" -> b38ZProjection,
     "b39_patch_embed" -> b39PatchEmbed,
+    "b40_motion_energy" -> b40MotionEnergy,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1402,5 +1447,6 @@ object BioQueries {
     "b37_augment" -> b37Oracle,
     "b38_zprojection" -> b38Oracle,
     "b39_patch_embed" -> b39Oracle,
+    "b40_motion_energy" -> b40Oracle,
   )
 }

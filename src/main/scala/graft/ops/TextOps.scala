@@ -1335,6 +1335,89 @@ object TextOps {
        | sum(tf * w) > 0 AS keep
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Conjunctive retrieval — the QUERY-side of the index stack (q105
+    * builds the postings, q72 proves the scorer; this executes a
+    * search): docs containing ALL query terms, ranked by an integer
+    * tf·idf sum, top-10. The engine shape is the one a distributed
+    * search tier uses: the term filter lands BEFORE the only shuffle
+    * (non-matching tokens never leave the map side — at 100 TB the
+    * exchange carries only the posting rows for 3 terms, not the
+    * corpus), the conjunction is a count-distinct-terms = |query| test
+    * on the (doc, term) aggregate, df comes from a window over that
+    * same aggregate (no second corpus pass), n_docs attaches as one
+    * broadcast scalar, and the top-10 plans as TakeOrderedAndProject
+    * (per-partition heads, never a global sort). Ties break on doc_id
+    * so the result SET is total-order deterministic on any engine. */
+  val q121ConjunctiveSearch: Q = (spark, dir) => {
+    val terms = Seq("spark", "join", "window")
+    val tf = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), explode(words).as("t"))
+      .filter(col("t").isInCollection(terms))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("t"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("s", expr("tf * ((100 * n_docs) DIV df)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).cast("long").as("score"))
+      .filter(col("n_terms") === terms.size)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("score"))
+  }
+
+  val q121Oracle: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk
+      |  WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (SELECT doc_id, sum(tf * ((100 * n_docs) // df)) AS score,
+      |    count(*) AS n_terms FROM tf JOIN df USING (t), nd
+      |  GROUP BY doc_id)
+      |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+      |WHERE n_terms = 3 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q122
+  /** Within-document repeated-span measure — the INTRA-doc face of
+    * dedup (q57/q113 dedup across the corpus; C4's other rule drops
+    * repeated spans inside one document): per doc, sliding word
+    * trigrams built IN-ROW via an index HOF, repetition = shingles
+    * minus distinct shingles. Zero shuffle, zero joins — the whole
+    * measure is a map-only projection (whole-stage-codegen'd array
+    * ops), so at 100 TB it costs exactly one read pass and composes
+    * free with any other per-doc stage. Docs shorter than one trigram
+    * degrade to a single whole-text shingle (never an empty array). */
+  val q122IntraDocRepeat: Q = (spark, dir) =>
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, greatest(size(ws) - 3, 0)), " +
+          "i -> concat_ws(' ', slice(ws, i + 1, 3)))").as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_grams"),
+        size(array_distinct(col("sh"))).cast("long").as("n_uniq"))
+      .withColumn("n_rep", col("n_grams") - col("n_uniq"))
+      .withColumn("rep_pct", expr("(100 * n_rep) DIV n_grams"))
+      .orderBy(col("doc_id"))
+
+  val q122Oracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |c AS (SELECT doc_id, list_transform(
+      |    range(0, greatest(len(ws) - 2, 1)),
+      |    i -> array_to_string(ws[i + 1 : i + 3], ' ')) AS sh FROM w)
+      |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+      | CAST(len(list_distinct(sh)) AS BIGINT) AS n_uniq,
+      | CAST(len(sh) - len(list_distinct(sh)) AS BIGINT) AS n_rep,
+      | CAST((100 * (len(sh) - len(list_distinct(sh)))) // len(sh)
+      |   AS BIGINT) AS rep_pct
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1365,6 +1448,8 @@ object TextOps {
     "q114_boilerplate_cov" -> q114BoilerplateCov,
     "q118_bpe_pairs" -> q118BpePairs,
     "q120_quality_classifier" -> q120QualityClassifier,
+    "q121_conjunctive_search" -> q121ConjunctiveSearch,
+    "q122_intradoc_repeat" -> q122IntraDocRepeat,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1397,5 +1482,7 @@ object TextOps {
     "q114_boilerplate_cov" -> q114Oracle,
     "q118_bpe_pairs" -> q118Oracle,
     "q120_quality_classifier" -> q120Oracle,
+    "q121_conjunctive_search" -> q121Oracle,
+    "q122_intradoc_repeat" -> q122Oracle,
   )
 }

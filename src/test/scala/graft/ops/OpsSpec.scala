@@ -860,4 +860,67 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("purity_pct") == 100 * maj / n, s"purity: $r")
     }
   }
+
+  test("q121 conjunctive search: every hit contains ALL query terms, " +
+      "top-k plans as TakeOrdered (never a global sort), and the term " +
+      "filter sits below the only token exchange") {
+    val rows = TextOps.q121ConjunctiveSearch(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val hitIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val texts = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id").isInCollection(hitIds))
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hitIds.foreach { id =>
+      val toks = texts(id).split(" ").toSet
+      Seq("spark", "join", "window").foreach(t =>
+        assert(toks(t), s"doc $id missing conjunctive term '$t'"))
+    }
+    // scores non-increasing in emitted order
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    val plan = TextOps.q121ConjunctiveSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q122 intra-doc repeat: map-only (no join, no aggregate " +
+      "exchange before the final order) and the shingle algebra is " +
+      "consistent per row") {
+    val lens = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    TextOps.q122IntraDocRepeat(spark, sf).collect().foreach { r =>
+      val n = lens(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams") == math.max(n - 2, 1L),
+        s"sliding-trigram count: $r (n=$n)")
+      assert(r.getAs[Long]("n_uniq") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("n_rep") ==
+        r.getAs[Long]("n_grams") - r.getAs[Long]("n_uniq"))
+    }
+    val opt = TextOps.q122IntraDocRepeat(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Join"), s"q122 must be join-free:\n$opt")
+    assert(!opt.contains("Aggregate"),
+      s"q122 must not aggregate — the measure is in-row:\n$opt")
+  }
+
+  test("b40 motion energy: one row per consecutive frame pair, both " +
+      "cut-flag values appear, and a hand-computed cell matches") {
+    val rows = BioQueries.b40MotionEnergy(spark, sf).collect()
+    assert(rows.length == 2 * 3, s"2 channels x 3 frame pairs: got $rows")
+    assert(rows.map(_.getAs[Boolean]("cut")).toSet == Set(true, false),
+      "the t² motion ramp must produce both flag values")
+    // hand-compute c=0, t=1: sum over y,x of |px(0,1,y,x) - px(0,0,y,x)|
+    def px(c: Int, t: Int, y: Int, x: Int): Double =
+      ((c * 13 + t * t * 7 + y * 5 + x * 3) % 29).toDouble
+    val expect = (for (y <- 0 until 4; x <- 0 until 5)
+      yield math.abs(px(0, 1, y, x) - px(0, 0, y, x))).sum
+    val got = rows.find(r => r.getAs[Long]("c") == 0 &&
+      r.getAs[Long]("t") == 1).get
+    assert(got.getAs[Double]("sum_abs") == expect,
+      s"sum_abs: got $got expected $expect")
+  }
 }
