@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc resolution: must precede ColumnPruning, which would strip
     // the not-yet-referenced stats columns)
     ext.injectPostHocResolutionRule(_ => graft.plans.PushPixelValueFilter)
+    // whole-operator extension: native as-of merge join (logical node +
+    // strategy + physical operator — see graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

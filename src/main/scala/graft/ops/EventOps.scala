@@ -691,6 +691,41 @@ object EventOps {
       |SELECT event_type, bucket_start, n, prev4, n * 2 > prev4 AS spike
       |FROM t WHERE nprev = 4 ORDER BY event_type, bucket_start""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** The NATIVE as-of join (graft.plans.AsOfJoin: custom logical node →
+    * planner strategy → physical merge operator, injected via
+    * SparkSessionExtensions) on q26's exact semantics, as a genuine
+    * TWO-TABLE enrichment: purchases as-of-joined to signups on
+    * user_id. Each side shuffles once on its own key, sorts (key, time)
+    * — both requirements declared to Catalyst, so pre-bucketed tables
+    * would satisfy them exchange-free — and the merge holds O(1) state
+    * per co-partition. Same oracle family as q26, restated two-table;
+    * OpsSpec additionally pins row-for-row agreement with q26's
+    * union+window form and the AsOfJoinExec node in the plan. */
+  val q123NativeAsOf: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts_us").as("s_ts"))
+    graft.plans.AsOfJoin(purchases, signups,
+        "user_id", "ts_us", "s_user", "s_ts")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("s_ts").as("last_signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q123Oracle: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us FROM events
+      |  WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      | (SELECT max(s.ts_us) FROM s
+      |   WHERE s.user_id = p.user_id AND s.ts_us <= p.ts_us)
+      |   AS last_signup_us
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -712,6 +747,7 @@ object EventOps {
     "q100_scd2_join" -> q100Scd2Join,
     "q117_stream_static" -> q117StreamStatic,
     "q119_spike_detect" -> q119SpikeDetect,
+    "q123_native_asof" -> q123NativeAsOf,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -735,5 +771,6 @@ object EventOps {
     "q100_scd2_join" -> q100Oracle,
     "q117_stream_static" -> q117Oracle,
     "q119_spike_detect" -> q119Oracle,
+    "q123_native_asof" -> q123Oracle,
   )
 }
