@@ -1292,6 +1292,47 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY kind, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** ORC scan/sink + hive-partitioned parquet layout (q79's external-
+    * format fingerprint pattern on the columnar members of the source
+    * family): the documents table round-trips through (a) ORC — the
+    * other splittable columnar interchange format a lake ingests — and
+    * (b) parquet written `partitionBy(source)`, the directory layout
+    * whose partition values live in paths, not data pages, so a
+    * source-filtered read prunes whole directories BEFORE any I/O (the
+    * coarsest pruning tier above q96/q107's footer zone-maps; OpsSpec
+    * pins PartitionFilters + the pruned file count in the scan). Both
+    * re-reads fingerprint per source against the parquet ground truth
+    * — counts and integer sums, so any row/value drift in either
+    * format path fails the oracle exactly. */
+  val q124OrcPartitioned: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    val base = s"/tmp/graft_q124_${java.util.UUID.randomUUID()}"
+    docs.write.mode("overwrite").orc(base + "/orc")
+    docs.write.mode("overwrite").partitionBy("source")
+      .parquet(base + "/bysource")
+    val o = spark.read.orc(base + "/orc")
+    val p = spark.read.parquet(base + "/bysource")
+    def fp(df: DataFrame, fmt: String): DataFrame = df
+      .groupBy(lit(fmt).as("fmt"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        sum(length(col("text"))).cast("long").as("sum_len"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    fp(o, "orc").union(fp(p, "partitioned"))
+      .orderBy(col("fmt"), col("source"))
+  }
+
+  val q124Oracle: String =
+    """SELECT fmt, source, count(*) AS n_docs,
+      | CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      | CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (VALUES ('orc'), ('partitioned')) t(fmt), documents
+      |GROUP BY fmt, source ORDER BY fmt, source""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1332,6 +1373,7 @@ object Relational {
     "q96_sorted_layout" -> q96SortedLayout,
     "q107_zorder_layout" -> q107ZorderLayout,
     "q102_table_diff" -> q102TableDiff,
+    "q124_orc_partitioned" -> q124OrcPartitioned,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1374,5 +1416,6 @@ object Relational {
     "q96_sorted_layout" -> q96Oracle,
     "q107_zorder_layout" -> q107Oracle,
     "q102_table_diff" -> q102Oracle,
+    "q124_orc_partitioned" -> q124Oracle,
   )
 }

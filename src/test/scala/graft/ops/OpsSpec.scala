@@ -907,6 +907,21 @@ class DedupSpec extends SparkSpec {
       s"q122 must not aggregate — the measure is in-row:\n$opt")
   }
 
+  test("q124 partitioned layout: a source-filtered read prunes to one " +
+      "hive partition directory (PartitionFilters in the scan, pruned " +
+      "row count matches)") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val base = s"/tmp/graft_q124spec_${java.util.UUID.randomUUID()}"
+    docs.write.mode("overwrite").partitionBy("source").parquet(base)
+    val expected = docs.filter(col("source") === "src3").count()
+    val pruned = spark.read.parquet(base).filter(col("source") === "src3")
+    assert(pruned.count() == expected)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("src3"),
+      s"source predicate must prune partition dirs, not filter rows:\n$scan")
+  }
+
   test("b40 motion energy: one row per consecutive frame pair, both " +
       "cut-flag values appear, and a hand-computed cell matches") {
     val rows = BioQueries.b40MotionEnergy(spark, sf).collect()
