@@ -726,6 +726,41 @@ object EventOps {
       |   AS last_signup_us
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** q123's native as-of join with a TOLERANCE bound (pandas
+    * merge_asof's staleness window; kdb wj's interval): a signup only
+    * enriches a purchase made within 7 days of it — older matches are
+    * key hits but freshness misses and null-extend. Same declared
+    * distribution/ordering, same O(1) merge state (the bound is one
+    * comparison at emit time, not a bigger buffer), so the scale story
+    * is unchanged; the oracle adds the window predicate to the
+    * correlated max. */
+  val q125AsOfTolerance: Q = (spark, dir) => {
+    val tolUs = 7L * 86400L * 1000000L
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts_us").as("s_ts"))
+    graft.plans.AsOfJoin(purchases, signups,
+        "user_id", "ts_us", "s_user", "s_ts", Some(tolUs))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("s_ts").as("recent_signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q125Oracle: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us FROM events
+      |  WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id, p.ts_us,
+      | (SELECT max(s.ts_us) FROM s
+      |   WHERE s.user_id = p.user_id AND s.ts_us <= p.ts_us
+      |     AND p.ts_us - s.ts_us <= 604800000000)
+      |   AS recent_signup_us
+      |FROM p ORDER BY p.event_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -748,6 +783,7 @@ object EventOps {
     "q117_stream_static" -> q117StreamStatic,
     "q119_spike_detect" -> q119SpikeDetect,
     "q123_native_asof" -> q123NativeAsOf,
+    "q125_asof_tolerance" -> q125AsOfTolerance,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -772,5 +808,6 @@ object EventOps {
     "q117_stream_static" -> q117Oracle,
     "q119_spike_detect" -> q119Oracle,
     "q123_native_asof" -> q123Oracle,
+    "q125_asof_tolerance" -> q125Oracle,
   )
 }

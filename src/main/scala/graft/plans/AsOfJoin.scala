@@ -50,7 +50,8 @@ import org.apache.spark.sql.types.LongType
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -62,8 +63,8 @@ final case class AsOfJoinPlan(
   * `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +78,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -112,6 +114,8 @@ final case class AsOfJoinExec(
       var nextRight: InternalRow = if (ri.hasNext) ri.next() else null
       var heldRow: InternalRow = null
       var heldKey: Long = 0L
+      var heldTime: Long = 0L
+      val tol = tolerance.getOrElse(Long.MaxValue)
       li.map { l =>
         val lkv = lk.eval(l)
         val ltv = lt.eval(l)
@@ -134,11 +138,15 @@ final case class AsOfJoinExec(
                 // are reused buffers — copy before advancing past them)
                 heldRow = nextRight.copy()
                 heldKey = nkL
+                heldTime = ntL
                 nextRight = if (ri.hasNext) ri.next() else null
               } else scanning = false
             }
           }
-          if (heldRow != null && heldKey == k) proj(joined(l, heldRow))
+          // tolerance: a held row older than (t − tolerance) is a key
+          // match but a staleness miss — null-extend, don't match
+          if (heldRow != null && heldKey == k && t - heldTime <= tol)
+            proj(joined(l, heldRow))
           else proj(joined(l, nullRight))
         }
       }
@@ -153,7 +161,17 @@ final case class AsOfJoinExec(
 object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String): DataFrame =
+    apply(left, right, leftKey, leftTime, rightKey, rightTime, None)
+
+  /** With `tolerance`: a right row only matches while it is at most
+    * `tolerance` time units older than the left row (pandas
+    * merge_asof's staleness bound — a quote older than the freshness
+    * window enriches nothing). */
+  def apply(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      tolerance: Option[Long]): DataFrame = {
     val lp = left.queryExecution.analyzed
     val rp0 = right.queryExecution.analyzed
     val rp = Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
@@ -168,7 +186,9 @@ object AsOfJoin {
     Seq(lkA, ltA, rkA, rtA).foreach(a => require(a.dataType == LongType,
       s"as-of join v1 requires LongType keys/times; '${a.name}' " +
         s"is ${a.dataType.simpleString}"))
+    tolerance.foreach(tv => require(tv >= 0,
+      s"as-of join tolerance must be non-negative, got $tv"))
     DatasetBridge.ofRows(left.sparkSession,
-      AsOfJoinPlan(lp, rp, lkA, rkA, ltA, rtA))
+      AsOfJoinPlan(lp, rp, lkA, rkA, ltA, rtA, tolerance))
   }
 }

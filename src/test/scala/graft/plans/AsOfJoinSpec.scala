@@ -48,6 +48,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Set((10L, 5L), (20L, -1L)))
   }
 
+  test("tolerance: a key-matching right row older than the bound " +
+      "null-extends; a fresh one still matches; exactly-at-bound " +
+      "matches") {
+    val left = asDf(Seq((1L, 100L), (1L, 13L), (1L, 10L)), "k", "t")
+    val right = asDf(Seq((1L, 5L), (1L, 8L)), "rk", "rt")
+    val got = AsOfJoin(left, right, "k", "t", "rk", "rt", Some(5L))
+      .select(col("t"), col("rt")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // t=10: held 8, 10-8=2 <= 5 -> match. t=13: 13-8=5 <= 5 -> match
+    // (inclusive bound). t=100: 100-8 > 5 -> stale, null.
+    assert(got == Set((10L, 8L), (13L, 8L), (100L, -1L)))
+  }
+
   test("q123 native as-of agrees row-for-row with q26's union+window " +
       "compositional form") {
     val sfDir = "/root/testdata/sf0.001"
