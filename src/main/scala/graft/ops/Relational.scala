@@ -1333,6 +1333,42 @@ object Relational {
       |FROM (VALUES ('orc'), ('partitioned')) t(fmt), documents
       |GROUP BY fmt, source ORDER BY fmt, source""".stripMargin
 
+  // ---------------------------------------------------------------- q126
+  /** Dynamic partition overwrite — the idempotent partition-refresh
+    * every lake pipeline runs on q124's layout: a full snapshot lands
+    * `partitionBy(source)`, then a delta batch touching three sources
+    * re-lands with `partitionOverwriteMode=dynamic`, which replaces
+    * ONLY the partitions present in the delta (static overwrite would
+    * truncate the whole table first — OpsSpec pins exactly that
+    * difference). Re-running the delta converges to the same state —
+    * the crash-safe re-landing semantics exactly-once ingest (q-ingest)
+    * needs at the directory tier. The merged read-back fingerprints
+    * per source against a relational restatement of the merge. */
+  val q126DynamicOverwrite: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val base = s"/tmp/graft_q126_${java.util.UUID.randomUUID()}"
+    docs.write.mode("overwrite").partitionBy("source").parquet(base)
+    docs.filter(col("source").isin("src0", "src1", "src2"))
+      .withColumn("n_chars", col("n_chars") + lit(1000L))
+      .write.mode("overwrite").partitionBy("source")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(base)
+    spark.read.parquet(base)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q126Oracle: String =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      | CAST(sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+      |   THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1374,6 +1410,7 @@ object Relational {
     "q107_zorder_layout" -> q107ZorderLayout,
     "q102_table_diff" -> q102TableDiff,
     "q124_orc_partitioned" -> q124OrcPartitioned,
+    "q126_dynamic_overwrite" -> q126DynamicOverwrite,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1417,5 +1454,6 @@ object Relational {
     "q107_zorder_layout" -> q107Oracle,
     "q102_table_diff" -> q102Oracle,
     "q124_orc_partitioned" -> q124Oracle,
+    "q126_dynamic_overwrite" -> q126Oracle,
   )
 }

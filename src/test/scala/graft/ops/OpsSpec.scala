@@ -922,6 +922,35 @@ class DedupSpec extends SparkSpec {
       s"source predicate must prune partition dirs, not filter rows:\n$scan")
   }
 
+  test("q126 dynamic overwrite: only delta partitions are replaced " +
+      "(static mode truncates the table), and re-landing the delta is " +
+      "idempotent") {
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val nSources = docs.select(col("source")).distinct().count()
+    val base = s"/tmp/graft_q126spec_${java.util.UUID.randomUUID()}"
+    docs.write.mode("overwrite").partitionBy("source").parquet(base)
+    val delta = docs.filter(col("source") === "src3")
+      .withColumn("n_chars", col("n_chars") + lit(7L))
+    def land(): Unit = delta.write.mode("overwrite")
+      .partitionBy("source").option("partitionOverwriteMode", "dynamic")
+      .parquet(base)
+    land()
+    val merged = spark.read.parquet(base)
+    assert(merged.select(col("source")).distinct().count() == nSources,
+      "dynamic overwrite must leave untouched partitions in place")
+    val total1 = merged.agg(sum(col("n_chars"))).head().getLong(0)
+    land() // crash-replay: same delta again
+    val total2 = spark.read.parquet(base)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    assert(total1 == total2, "re-landing the same delta must be a no-op")
+    // static overwrite on the same path drops every other partition —
+    // the failure mode dynamic mode exists to prevent
+    delta.write.mode("overwrite").partitionBy("source").parquet(base)
+    assert(spark.read.parquet(base)
+      .select(col("source")).distinct().count() == 1)
+  }
+
   test("b40 motion energy: one row per consecutive frame pair, both " +
       "cut-flag values appear, and a hand-computed cell matches") {
     val rows = BioQueries.b40MotionEnergy(spark, sf).collect()
