@@ -1418,6 +1418,48 @@ object TextOps {
       |   AS BIGINT) AS rep_pct
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q127
+  /** Heavy hitters, two-pass: the CMS-prune → exact-verify pipeline
+    * that finds every token above a frequency share WITHOUT shuffling
+    * the vocabulary. Pass 1 folds all token occurrences into ONE 32 KB
+    * count-min sketch + the corpus total (a scalar aggregate — map
+    * partials merge, nothing keyed shuffles). Pass 2 probes the
+    * broadcast sketch MAP-SIDE: only occurrences whose estimate clears
+    * total/200 enter the exact groupBy — at 100 TB the heavy tail
+    * (nearly all of a Zipfian vocabulary) never reaches the exchange.
+    * CMS never undercounts, so the candidate set is a SUPERSET of the
+    * truth and the exact verify makes the final answer EXACT — the
+    * oracle is pure relational arithmetic with no sketch in sight
+    * (collisions can only admit extra candidates, which the verify
+    * then rejects; they can never lose one). Tokens key the sketch via
+    * PolyHashMod — a hash collision merges two tokens' estimates,
+    * which again only widens the candidate set. */
+  val q127HeavyHitters: Q = (spark, dir) => {
+    import graft.functions.{CountMin, PolyHashMod}
+    val toks = Tables.balanced(spark, dir, "documents")
+      .select(explode(words).as("t"))
+      .select(col("t"), PolyHashMod(col("t")).as("h"))
+    val sketch = toks.agg(
+      CountMin.build(col("h"), 1024).as("cms"),
+      count(lit(1)).as("total"))
+    toks.crossJoin(broadcast(sketch))
+      .filter(CountMin.estimateCol(col("cms"), col("h")) >=
+        expr("total DIV 200"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("cnt"), max(col("total")).as("tot"))
+      .filter(col("cnt") >= expr("tot DIV 200"))
+      .select(col("t").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  val q127Oracle: String =
+    """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n FROM tk),
+      |c AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t)
+      |SELECT t AS token, CAST(cnt AS BIGINT) AS cnt FROM c, tot
+      |WHERE cnt >= n // 200 ORDER BY cnt DESC, t""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1450,6 +1492,7 @@ object TextOps {
     "q120_quality_classifier" -> q120QualityClassifier,
     "q121_conjunctive_search" -> q121ConjunctiveSearch,
     "q122_intradoc_repeat" -> q122IntraDocRepeat,
+    "q127_heavy_hitters" -> q127HeavyHitters,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1484,5 +1527,6 @@ object TextOps {
     "q120_quality_classifier" -> q120Oracle,
     "q121_conjunctive_search" -> q121Oracle,
     "q122_intradoc_repeat" -> q122Oracle,
+    "q127_heavy_hitters" -> q127Oracle,
   )
 }

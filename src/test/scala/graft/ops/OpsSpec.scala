@@ -922,6 +922,25 @@ class DedupSpec extends SparkSpec {
       s"source predicate must prune partition dirs, not filter rows:\n$scan")
   }
 
+  test("q127 heavy hitters: the CMS prune loses NOTHING vs a " +
+      "sketch-free exact recompute, and the candidate set is a strict " +
+      "subset of the vocabulary (the pruning pays)") {
+    val rows = TextOps.q127HeavyHitters(spark, sf).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toSet
+    val toks = graft.Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("t")).count()
+      .filter(col("count") >= total / 200)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == exact,
+      s"two-pass answer must be exact: ${rows.diff(exact)} extra, " +
+        s"${exact.diff(rows)} missed")
+    val vocab = toks.select(col("t")).distinct().count()
+    assert(rows.size < vocab,
+      "every token a heavy hitter — threshold not selective at this sf")
+  }
+
   test("q126 dynamic overwrite: only delta partitions are replaced " +
       "(static mode truncates the table), and re-landing the delta is " +
       "idempotent") {
