@@ -1183,6 +1183,55 @@ object BioQueries {
       | sum(dv) / 20 AS mean_abs, sum(dv) / 20 > 11.0 AS cut
       |FROM d GROUP BY c, t ORDER BY c, t""".stripMargin
 
+  // ---------------------------------------------------------------- b41
+  /** Percentile contrast stretch — the vision-preprocessing normalize
+    * that b29's z-score doesn't cover: per plane, the 2nd/98th
+    * percentile bounds come from the plane's OWN sorted pixel array
+    * (exact rank pick — `sort_array` + element_at, no sketch, no
+    * cross-plane state), then every pixel rescales to ⌊(v−lo)·255 /
+    * (hi−lo)⌋ clamped to [0,255]. Entirely in-row: one sort of a
+    * plane-sized array + two index reads + one transform fold, all
+    * inside codegen — at fleet scale the normalize is free map work
+    * exactly like b29/b30. The emitted checksum (sum/min/max of the
+    * stretched plane) pins every output pixel. */
+  val b41PercentileStretch: Q = (spark, _) => {
+    val (h, w) = (8, 8)
+    val n = h * w
+    val kLo = math.ceil(0.02 * n).toInt // 2nd percentile rank
+    val kHi = math.ceil(0.98 * n).toInt // 98th
+    val arr = NDArray.tabulate(Seq(2, h, w))(idx =>
+      ((idx(0) * 31 + idx(1) * 7 + idx(2) * 13) % 97).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    img.planes
+      .withColumn("sorted", sort_array(col("pixels")))
+      .withColumn("lo", element_at(col("sorted"), kLo))
+      .withColumn("hi", element_at(col("sorted"), kHi))
+      .withColumn("sv", transform(col("pixels"), v =>
+        greatest(lit(0.0d), least(lit(255.0d),
+          floor((v - col("lo")) * 255.0d / (col("hi") - col("lo")))))))
+      .select(col("c").cast("long").as("c"), col("lo"), col("hi"),
+        aggregate(col("sv"), lit(0.0d), (acc, v) => acc + v).as("sum_sv"),
+        array_min(col("sv")).as("min_sv"),
+        array_max(col("sv")).as("max_sv"))
+      .orderBy(col("c"))
+  }
+
+  val b41Oracle: String =
+    """WITH px AS (SELECT c, y, x,
+      |    CAST((c*31 + y*7 + x*13) % 97 AS DOUBLE) AS v
+      |  FROM range(2) a(c), range(8) b(y), range(8) d(x)),
+      |k AS (SELECT c, v, row_number() OVER (PARTITION BY c ORDER BY v)
+      |    AS rn FROM px),
+      |b AS (SELECT c, max(CASE WHEN rn = 2 THEN v END) AS lo,
+      |    max(CASE WHEN rn = 63 THEN v END) AS hi FROM k GROUP BY c),
+      |s AS (SELECT px.c, lo, hi,
+      |    greatest(0, least(255,
+      |      floor((v - lo) * 255 / (hi - lo)))) AS sv
+      |  FROM px JOIN b USING (c))
+      |SELECT c, lo, hi, sum(sv) AS sum_sv, min(sv) AS min_sv,
+      | max(sv) AS max_sv
+      |FROM s GROUP BY c, lo, hi ORDER BY c""".stripMargin
+
   // ---------------------------------------------------------------- b36
   /** S12/S13 `.mrc` (MRC2014) interchange end-to-end: a formulaic ZYX
     * volume (ISPG 1) and a TYX image stack (ISPG 0) saved through the
@@ -1405,6 +1454,7 @@ object BioQueries {
     "b38_zprojection" -> b38ZProjection,
     "b39_patch_embed" -> b39PatchEmbed,
     "b40_motion_energy" -> b40MotionEnergy,
+    "b41_percentile_stretch" -> b41PercentileStretch,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1448,5 +1498,6 @@ object BioQueries {
     "b38_zprojection" -> b38Oracle,
     "b39_patch_embed" -> b39Oracle,
     "b40_motion_energy" -> b40Oracle,
+    "b41_percentile_stretch" -> b41Oracle,
   )
 }

@@ -1460,6 +1460,39 @@ object TextOps {
       |SELECT t AS token, CAST(cnt AS BIGINT) AS cnt FROM c, tot
       |WHERE cnt >= n // 200 ORDER BY cnt DESC, t""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** Classifier evaluation — the confusion matrix + per-class recall
+    * every model-based filter stage (q32 language-ID here; q120's
+    * quality classifier identically) needs before its threshold goes
+    * to production: per (true lang, predicted class) counts, each
+    * row's integer share of its true-class total (the recall diagonal
+    * / leakage off-diagonal). One aggregate on the already-map-only
+    * prediction pass + an unordered window over the k·|classes| rows —
+    * the eval costs nothing at any corpus size. */
+  val q128LangIdEval: Q = (spark, dir) =>
+    q32LangId(spark, dir)
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .withColumn("pct", expr("(100 * n) DIV lang_total"))
+      .orderBy(col("lang"), col("pred"))
+
+  val q128Oracle: String =
+    """WITH w AS (SELECT doc_id, lang,
+      |  len(list_filter(string_split(text, ' '),
+      |    x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+      |      OR x = 'to' OR x = 'in' OR x = 'is')) AS hits
+      |  FROM documents),
+      |m AS (SELECT lang,
+      |    CASE WHEN hits >= 1 THEN 'en-like' ELSE 'other' END AS pred,
+      |    count(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT lang, pred, CAST(n AS BIGINT) AS n,
+      | CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+      | CAST((100 * n) // (sum(n) OVER (PARTITION BY lang)) AS BIGINT)
+      |   AS pct
+      |FROM m ORDER BY lang, pred""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1493,6 +1526,7 @@ object TextOps {
     "q121_conjunctive_search" -> q121ConjunctiveSearch,
     "q122_intradoc_repeat" -> q122IntraDocRepeat,
     "q127_heavy_hitters" -> q127HeavyHitters,
+    "q128_langid_eval" -> q128LangIdEval,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1528,5 +1562,6 @@ object TextOps {
     "q121_conjunctive_search" -> q121Oracle,
     "q122_intradoc_repeat" -> q122Oracle,
     "q127_heavy_hitters" -> q127Oracle,
+    "q128_langid_eval" -> q128Oracle,
   )
 }
