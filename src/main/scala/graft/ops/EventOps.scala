@@ -761,6 +761,40 @@ object EventOps {
       |   AS recent_signup_us
       |FROM p ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q129
+  /** Rolling median — the robust trailing-window feature (anomaly
+    * baselines, sensor smoothing) that plain window aggregates can't
+    * express because median isn't partial-aggregatable: the trailing
+    * frame (last 4 events per user) is BOUNDED, so the window's
+    * collect_list is a fixed-size in-row array and the exact median is
+    * one sort + one index pick inside the row — no per-key state
+    * beyond the frame, no second shuffle, engine-agnostic (lower
+    * median by position, never an average of two). The frame rides
+    * the same user-key exchange every per-user feature shares. */
+  val q129RollingMedian: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id")).rowsBetween(-3, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("sorted", sort_array(collect_list(col("value")).over(w)))
+      .select(col("event_id"), col("user_id"),
+        size(col("sorted")).cast("long").as("n_win"),
+        element_at(col("sorted"),
+          expr("(size(sorted) + 1) div 2").cast("int")).as("roll_med"))
+      .orderBy(col("event_id"))
+  }
+
+  val q129Oracle: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us,
+      |    value FROM events),
+      |w AS (SELECT event_id, user_id,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vals FROM e),
+      |s AS (SELECT event_id, user_id, list_sort(vals) AS sv FROM w)
+      |SELECT event_id, user_id, CAST(len(sv) AS BIGINT) AS n_win,
+      | sv[(len(sv) + 1) // 2] AS roll_med
+      |FROM s ORDER BY event_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -784,6 +818,7 @@ object EventOps {
     "q119_spike_detect" -> q119SpikeDetect,
     "q123_native_asof" -> q123NativeAsOf,
     "q125_asof_tolerance" -> q125AsOfTolerance,
+    "q129_rolling_median" -> q129RollingMedian,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -809,5 +844,6 @@ object EventOps {
     "q119_spike_detect" -> q119Oracle,
     "q123_native_asof" -> q123Oracle,
     "q125_asof_tolerance" -> q125Oracle,
+    "q129_rolling_median" -> q129Oracle,
   )
 }

@@ -1369,6 +1369,48 @@ object Relational {
       |   THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** Mergeable HLL distinct sketches (Spark 4's Datasketches surface —
+    * `hll_sketch_agg`/`hll_union_agg`/`hll_sketch_estimate`): the
+    * count-distinct-across-rollups pattern where per-group sketches
+    * PERSIST and any later rollup unions them WITHOUT recounting the
+    * fact table — at 100 TB the only way daily/weekly/all-time unique
+    * users come from one scan. Per event type: exact distinct users
+    * next to an in-engine within-3%-of-exact flag on the lgK=14
+    * estimate (the q29/q90 sketch-gate pattern — the oracle reproduces
+    * the EXACT counts and expects the engine-bound flag literally
+    * TRUE); the `__all__` row estimates from the UNION of the per-type
+    * sketches, never from re-scanning — OpsSpec additionally pins the
+    * union estimate against a direct whole-table sketch (HLL union is
+    * lossless at equal lgK: same register state either way). */
+  val q130HllUnion: Q = (spark, dir) => {
+    val e = t(spark, dir, "events").select(col("event_type"), col("user_id"))
+    val per = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).cast("long").as("n_exact"))
+    val perOut = per.select(col("event_type").as("grp"), col("n_exact"),
+      (abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) <=
+        col("n_exact") * 0.03).as("within3pct"))
+    val allSk = per.agg(expr("hll_union_agg(sk)").as("u"))
+    val allOut = e.agg(countDistinct(col("user_id")).cast("long")
+        .as("n_exact"))
+      .crossJoin(broadcast(allSk))
+      .select(lit("__all__").as("grp"), col("n_exact"),
+        (abs(expr("hll_sketch_estimate(u)") - col("n_exact")) <=
+          col("n_exact") * 0.03).as("within3pct"))
+    perOut.unionByName(allOut).orderBy(col("grp"))
+  }
+
+  val q130Oracle: String =
+    """WITH p AS (SELECT event_type AS grp,
+      |    count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1),
+      |a AS (SELECT '__all__' AS grp, count(DISTINCT user_id) AS n_exact
+      |  FROM events)
+      |SELECT grp, CAST(n_exact AS BIGINT) AS n_exact,
+      | TRUE AS within3pct
+      |FROM (SELECT * FROM p UNION ALL SELECT * FROM a)
+      |ORDER BY grp""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1411,6 +1453,7 @@ object Relational {
     "q102_table_diff" -> q102TableDiff,
     "q124_orc_partitioned" -> q124OrcPartitioned,
     "q126_dynamic_overwrite" -> q126DynamicOverwrite,
+    "q130_hll_union" -> q130HllUnion,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1455,5 +1498,6 @@ object Relational {
     "q102_table_diff" -> q102Oracle,
     "q124_orc_partitioned" -> q124Oracle,
     "q126_dynamic_overwrite" -> q126Oracle,
+    "q130_hll_union" -> q130Oracle,
   )
 }

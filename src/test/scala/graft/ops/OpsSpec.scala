@@ -941,6 +941,25 @@ class DedupSpec extends SparkSpec {
       "every token a heavy hitter — threshold not selective at this sf")
   }
 
+  test("q130 HLL: union of per-group sketches estimates EXACTLY like " +
+      "a direct whole-table sketch (lossless merge at equal lgK) and " +
+      "every flag row is true") {
+    val e = graft.Tables(spark, sf, "events")
+      .select(col("event_type"), col("user_id"))
+    val viaUnion = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val direct = e
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")
+        .as("est")).head().getLong(0)
+    assert(viaUnion == direct,
+      s"sketch union must be lossless: union=$viaUnion direct=$direct")
+    val rows = Relational.q130HllUnion(spark, sf).collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getAs[Boolean]("within3pct")))
+  }
+
   test("q126 dynamic overwrite: only delta partitions are replaced " +
       "(static mode truncates the table), and re-landing the delta is " +
       "idempotent") {
