@@ -1411,6 +1411,68 @@ object Relational {
       |FROM (SELECT * FROM p UNION ALL SELECT * FROM a)
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------- q131
+  /** Theta-sketch set algebra (the tier q130's HLL cannot do): segment
+    * OVERLAP from persisted sketches — purchasers ∩ signups and
+    * purchasers \ signups estimated by intersecting two per-segment
+    * theta sketches, never by rescanning or joining the fact table.
+    * Exact counts ride one user-key aggregate (per-user segment flags,
+    * then four sums); each sketch is a scalar aggregate broadcast as
+    * one ~32 KB row. Below the 4096 nominal-entries bound the sketches
+    * are in exact mode, so estimates equal truth and the within-1%
+    * flags the oracle expects as literal TRUE hold with zero slack;
+    * above it they hold by the estimator's ~1.6% 1σ at the flag's
+    * margin. OpsSpec pins build-side mergeability and the exact-mode
+    * equality directly. */
+  val q131ThetaOverlap: Q = (spark, dir) => {
+    import graft.functions.Theta
+    val e = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id"))
+    val flags = e.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"),
+      max(when(col("event_type") === "signup", 1).otherwise(0)).as("s"))
+    val exact = flags.agg(
+      sum(col("p")).cast("long").as("n_p"),
+      sum(col("s")).cast("long").as("n_s"),
+      sum(col("p") * col("s")).cast("long").as("n_and"),
+      sum(col("p") * (lit(1) - col("s"))).cast("long").as("n_not"))
+    val skP = e.filter(col("event_type") === "purchase")
+      .agg(Theta.build(col("user_id")).as("sk_p"))
+    val skS = e.filter(col("event_type") === "signup")
+      .agg(Theta.build(col("user_id")).as("sk_s"))
+    exact.crossJoin(broadcast(skP)).crossJoin(broadcast(skS))
+      .select(col("n_p"), col("n_s"), col("n_and"), col("n_not"),
+        Theta.estimate(col("sk_p")).as("e_p"),
+        Theta.estimate(col("sk_s")).as("e_s"),
+        Theta.intersectEstimate(col("sk_p"), col("sk_s")).as("e_and"),
+        Theta.aNotBEstimate(col("sk_p"), col("sk_s")).as("e_not"))
+      .selectExpr("stack(4, " +
+        "'purchase', n_p, e_p, " +
+        "'purchase_and_signup', n_and, e_and, " +
+        "'purchase_not_signup', n_not, e_not, " +
+        "'signup', n_s, e_s) AS (metric, n_exact, est)")
+      .select(col("metric"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.01)
+          .as("within1pct"))
+      .orderBy(col("metric"))
+  }
+
+  val q131Oracle: String =
+    """WITH f AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+      |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT CAST(sum(p) AS BIGINT) AS n_p,
+      |    CAST(sum(s) AS BIGINT) AS n_s,
+      |    CAST(sum(p * s) AS BIGINT) AS n_and,
+      |    CAST(sum(p * (1 - s)) AS BIGINT) AS n_not FROM f)
+      |SELECT metric, n_exact, TRUE AS within1pct FROM (
+      |  SELECT 'purchase' AS metric, n_p AS n_exact FROM e
+      |  UNION ALL SELECT 'purchase_and_signup', n_and FROM e
+      |  UNION ALL SELECT 'purchase_not_signup', n_not FROM e
+      |  UNION ALL SELECT 'signup', n_s FROM e)
+      |ORDER BY metric""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1454,6 +1516,7 @@ object Relational {
     "q124_orc_partitioned" -> q124OrcPartitioned,
     "q126_dynamic_overwrite" -> q126DynamicOverwrite,
     "q130_hll_union" -> q130HllUnion,
+    "q131_theta_overlap" -> q131ThetaOverlap,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1499,5 +1562,6 @@ object Relational {
     "q124_orc_partitioned" -> q124Oracle,
     "q126_dynamic_overwrite" -> q126Oracle,
     "q130_hll_union" -> q130Oracle,
+    "q131_theta_overlap" -> q131Oracle,
   )
 }

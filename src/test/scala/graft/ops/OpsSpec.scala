@@ -960,6 +960,28 @@ class DedupSpec extends SparkSpec {
       rows.forall(_.getAs[Boolean]("within3pct")))
   }
 
+  test("q131 theta sketches: partitioned build yields the SAME sketch " +
+      "bytes as a single-partition build (order/partition-independent " +
+      "state), and exact-mode estimates equal truth") {
+    import graft.functions.Theta
+    val keys = spark.range(0, 2000).select((col("id") * 7919L).as("k"))
+    def skBytes(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(Theta.build(col("k")).as("sk")).head().getAs[Array[Byte]](0)
+    val one = skBytes(keys.coalesce(1))
+    val many = skBytes(keys.repartition(8))
+    assert(java.util.Arrays.equals(one, many),
+      "theta sketch state must be a pure function of the key set")
+    val est = spark.range(1).select(
+      Theta.estimate(lit(one)).as("e")).head().getDouble(0)
+    assert(est == 2000.0d,
+      s"below nominal entries the sketch is exact: got $est")
+    // intersection of a set with itself is the set
+    val selfInt = spark.range(1).select(
+      Theta.intersectEstimate(lit(one), lit(many)).as("e"))
+      .head().getDouble(0)
+    assert(selfInt == 2000.0d, s"self-intersection must be exact: $selfInt")
+  }
+
   test("q126 dynamic overwrite: only delta partitions are replaced " +
       "(static mode truncates the table), and re-landing the delta is " +
       "idempotent") {
