@@ -795,6 +795,45 @@ object EventOps {
       | sv[(len(sv) + 1) // 2] AS roll_med
       |FROM s ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q132
+  /** Event-time TIMERS through `transformWithState`
+    * (StreamOps.AbandonProcessor): abandoned-funnel detection — users
+    * whose signup saw NO purchase within 30 minutes, emitted by timer
+    * when the watermark passes the deadline. Timers are the one
+    * state-API surface q58/q67 don't exercise, and the only way to
+    * detect the ABSENCE of an event in a stream. The oracle restates
+    * the detection relationally with the same finalization predicate
+    * the engine applies (deadline ≤ final watermark = max event-time
+    * ms − 10 min): deadlines the watermark never reaches stay pending
+    * — real streaming semantics, not an artifact. */
+  val q132FunnelTimeout: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q132_mem_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.abandonTimeouts(spark, StreamOps.readEvents(spark, dir)),
+      name, stateStoreProvider = Some(StreamOps.RocksDBProvider))
+      .select(col("user_id"), col("signup_us"), col("deadline_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val q132Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events),
+      |wm AS (SELECT max(ts_us)//1000 - 600000 AS wm_ms FROM e),
+      |su AS (SELECT user_id, min(ts_us) AS signup_us FROM e
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (SELECT DISTINCT s.user_id FROM su s JOIN e p
+      |  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      |  AND p.ts_us >= s.signup_us
+      |  AND p.ts_us <= s.signup_us + 1800000000)
+      |SELECT s.user_id, s.signup_us,
+      | s.signup_us//1000 + 1800000 AS deadline_ms
+      |FROM su s, wm
+      |WHERE s.user_id NOT IN (SELECT user_id FROM conv)
+      |  AND s.signup_us//1000 + 1800000 <= wm_ms
+      |ORDER BY s.user_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -819,6 +858,7 @@ object EventOps {
     "q123_native_asof" -> q123NativeAsOf,
     "q125_asof_tolerance" -> q125AsOfTolerance,
     "q129_rolling_median" -> q129RollingMedian,
+    "q132_funnel_timeout" -> q132FunnelTimeout,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -845,5 +885,6 @@ object EventOps {
     "q123_native_asof" -> q123Oracle,
     "q125_asof_tolerance" -> q125Oracle,
     "q129_rolling_median" -> q129Oracle,
+    "q132_funnel_timeout" -> q132Oracle,
   )
 }

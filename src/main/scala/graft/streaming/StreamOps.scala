@@ -118,6 +118,87 @@ object StreamOps {
   case class FunnelEvent(user_id: Long, ts_us: Long, event_id: Long,
       event_type: String, value: Double)
 
+  /** Input/state/output rows of the timer-based abandon detector. */
+  case class AbandonEvent(user_id: Long, ts_us: Long, event_type: String)
+  case class AbandonState(signupUs: Long, converted: Boolean, timerMs: Long)
+  case class AbandonOut(user_id: Long, signup_us: Long, deadline_ms: Long)
+
+  /** Purchase window after signup for the abandon detector (30 min). */
+  val AbandonWindowMs: Long = 1800000L
+
+  /** EVENT-TIME TIMERS through `transformWithState` — the state-API
+    * surface the funnel operators don't touch: a user who signs up
+    * registers a timer at signup + 30 min; a purchase INSIDE that
+    * window marks the key converted; when the event-time watermark
+    * passes an unconverted key's deadline, `handleExpiredTimer` fires
+    * and emits the abandonment — the absence-of-an-event detection
+    * that no join or aggregation can express (nothing arrives to
+    * trigger output; only the timer does). State per key is three
+    * scalars + one registered timer, both in the RocksDB store, so
+    * abandoned-cart detection over 10⁹ users carries O(1) state each.
+    * A re-signup earlier than the known one re-registers the timer
+    * (deleteTimer + registerTimer — both API paths exercised). */
+  class AbandonProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, AbandonEvent, AbandonOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[AbandonState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AbandonState]("abandon",
+        org.apache.spark.sql.Encoders.product[AbandonState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[AbandonEvent],
+        timers: TimerValues): Iterator[AbandonOut] = {
+      var cur = if (st.exists()) st.get()
+        else AbandonState(Long.MaxValue, converted = false, -1L)
+      val evs = it.toVector
+      // resolve the batch's earliest signup BEFORE scanning purchases,
+      // so same-batch ordering cannot miss a conversion
+      val minSignup = evs.iterator.filter(_.event_type == "signup")
+        .map(_.ts_us).foldLeft(cur.signupUs)(math.min)
+      if (minSignup < cur.signupUs) {
+        if (cur.timerMs >= 0L) getHandle.deleteTimer(cur.timerMs)
+        val deadline = minSignup / 1000L + AbandonWindowMs
+        getHandle.registerTimer(deadline)
+        cur = cur.copy(signupUs = minSignup, timerMs = deadline)
+      }
+      if (!cur.converted && cur.signupUs != Long.MaxValue) {
+        val lim = cur.signupUs + AbandonWindowMs * 1000L
+        if (evs.exists(e => e.event_type == "purchase" &&
+            e.ts_us >= cur.signupUs && e.ts_us <= lim))
+          cur = cur.copy(converted = true)
+      }
+      st.update(cur)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AbandonOut] = {
+      val cur = st.get()
+      if (cur != null && !cur.converted && cur.signupUs != Long.MaxValue &&
+          info.getExpiryTimeInMs() == cur.timerMs)
+        Iterator.single(AbandonOut(uid, cur.signupUs, cur.timerMs))
+      else Iterator.empty
+    }
+  }
+
+  /** Abandoned-funnel stream: signups with no purchase within 30 min,
+    * emitted BY TIMER when the watermark passes the deadline. Deadlines
+    * the final watermark never reaches stay pending (exactly the
+    * streaming semantics — the oracle applies the same finalization
+    * predicate, wm = max event-time ms − 10 min). */
+  def abandonTimeouts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts_utc", "10 minutes")
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_type"), col("ts_utc"))
+      .as[AbandonEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new AbandonProcessor(), TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** Funnel state carried across micro-batches: first signup time plus
     * running purchase count / cents total after it. */
   case class FunnelState(signupUs: Long, nPurch: Long, cents: Long)
