@@ -1473,6 +1473,62 @@ object Relational {
       |  UNION ALL SELECT 'signup', n_s FROM e)
       |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** Mergeable KLL quantile sketches — the PERSISTED quantile tier that
+    * completes the sketch family (Bloom membership q93, CMS frequency
+    * q94, HLL distinct q130, theta set algebra q131): per-priority KLL
+    * sketches of order value are first-class aggregate values, and the
+    * `__all__` row answers the global median by MERGING them — never by
+    * rescanning the fact table. `approx_percentile` (q90) is one-shot:
+    * its GK summary evaporates after the query, so every new rollup
+    * costs a fact scan; at 100 TB, persisted per-segment KLL state is
+    * the only way arbitrary segment-union percentiles come from one
+    * historical scan. Gating follows the q90/q130 sketch pattern: KLL
+    * bounds normalized RANK error (~0.6% at k=800, the bound surviving
+    * merges), so each row asserts in-engine that the sketch median sits
+    * between the group's exact p45 and p55 values — a ±5% rank window
+    * with ~8σ of margin — and the oracle reproduces the exact anchors
+    * and a literal TRUE. Exact anchors ride the SAME one aggregate as
+    * the sketch build (no second fact pass). */
+  val q133KllQuantiles: Q = (spark, dir) => {
+    import graft.functions.Kll
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val per = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.45)").as("p45"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.55)").as("p55"),
+        Kll.build(col("o_totalprice")).as("sk"))
+    val perOut = per.select(col("o_orderpriority").as("grp"), col("n"),
+      round(col("p50"), 2).as("p50_exact"),
+      Kll.quantile(col("sk"), 0.5).between(col("p45"), col("p55"))
+        .as("within_rank5"))
+    val allSk = per.agg(Kll.merge(col("sk")).as("u"))
+    val allOut = o.agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.45)").as("p45"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.55)").as("p55"))
+      .crossJoin(broadcast(allSk))
+      .select(lit("__all__").as("grp"), col("n"),
+        round(col("p50"), 2).as("p50_exact"),
+        Kll.quantile(col("u"), 0.5).between(col("p45"), col("p55"))
+          .as("within_rank5"))
+    perOut.unionByName(allOut).orderBy(col("grp"))
+  }
+
+  val q133Oracle: String =
+    """WITH p AS (SELECT o_orderpriority AS grp,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT '__all__' AS grp, CAST(count(*) AS BIGINT) AS n,
+      |    round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact
+      |  FROM orders)
+      |SELECT grp, n, p50_exact, TRUE AS within_rank5
+      |FROM (SELECT * FROM p UNION ALL SELECT * FROM a)
+      |ORDER BY grp""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1517,6 +1573,7 @@ object Relational {
     "q126_dynamic_overwrite" -> q126DynamicOverwrite,
     "q130_hll_union" -> q130HllUnion,
     "q131_theta_overlap" -> q131ThetaOverlap,
+    "q133_kll_quantiles" -> q133KllQuantiles,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1563,5 +1620,6 @@ object Relational {
     "q126_dynamic_overwrite" -> q126Oracle,
     "q130_hll_union" -> q130Oracle,
     "q131_theta_overlap" -> q131Oracle,
+    "q133_kll_quantiles" -> q133Oracle,
   )
 }

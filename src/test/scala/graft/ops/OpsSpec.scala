@@ -982,6 +982,36 @@ class DedupSpec extends SparkSpec {
     assert(selfInt == 2000.0d, s"self-intersection must be exact: $selfInt")
   }
 
+  test("q133 KLL: merged per-group sketches answer the global median " +
+      "inside the rank bound, small sketches are exact, and every " +
+      "emitted flag row is true") {
+    import graft.functions.Kll
+    // below k the sketch retains everything: quantiles are exact
+    val small = spark.range(1, 101).select(col("id").cast("double").as("v"))
+    val exactMed = small.agg(Kll.build(col("v")).as("sk"))
+      .select(Kll.quantile(col("sk"), 0.5).as("m")).head().getDouble(0)
+    assert(exactMed == 50.0d || exactMed == 51.0d,
+      s"exact-mode median of 1..100 must be 50/51 (inclusive rank): " +
+        s"got $exactMed")
+    // the merge path: per-group build -> KllMerge rollup vs direct build
+    val vals = spark.range(0, 20000)
+      .select(pmod(col("id"), lit(7)).as("g"),
+        ((col("id") * 2654435761L) % 1000003L).cast("double").as("v"))
+    val viaMerge = vals.groupBy(col("g"))
+      .agg(Kll.build(col("v")).as("sk"))
+      .agg(Kll.merge(col("sk")).as("u"))
+      .select(Kll.quantile(col("u"), 0.5).as("m"))
+      .head().getDouble(0)
+    val exact = vals.agg(
+      expr("percentile(v, 0.45)"), expr("percentile(v, 0.55)")).head()
+    assert(viaMerge >= exact.getDouble(0) && viaMerge <= exact.getDouble(1),
+      s"merged-sketch median $viaMerge outside exact p45..p55 " +
+        s"(${exact.getDouble(0)}..${exact.getDouble(1)})")
+    val rows = Relational.q133KllQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("within_rank5")))
+    assert(rows.map(_.getAs[String]("grp")).contains("__all__"))
+  }
+
   test("q126 dynamic overwrite: only delta partitions are replaced " +
       "(static mode truncates the table), and re-landing the delta is " +
       "idempotent") {
