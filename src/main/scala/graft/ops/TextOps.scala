@@ -1493,6 +1493,134 @@ object TextOps {
       |   AS pct
       |FROM m ORDER BY lang, pred""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  /** PHRASE search — the positional tier of the retrieval stack (q105
+    * stores postings, q121 executes conjunctive AND; a phrase query
+    * "window join" additionally needs POSITIONS, which is why every
+    * production index stores them): token positions for ONLY the
+    * phrase's terms survive the map side (`posexplode` + an `isin`
+    * filter BEFORE the exchange — at 100 TB the shuffle carries two
+    * terms' postings, never the corpus), the phrase resolves as a
+    * positional-adjacency self-join `pos_b = pos_a + 1` on the doc
+    * key — both sides share that key, so the join is one exchange per
+    * side and the per-doc rollup (occurrence count, first hit
+    * position) reuses the same partitioning with no further shuffle.
+    * This is exactly how Lucene executes PhraseQuery: intersect
+    * postings, then align positions with a relative offset. */
+  val q134PhraseSearch: Q = (spark, dir) => {
+    val pos = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "t")))
+      .filter(col("t").isInCollection(Seq("window", "join")))
+    val a = pos.filter(col("t") === "window")
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = pos.filter(col("t") === "join")
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("pb") === col("pa") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("pa")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q134Oracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> struct_pack(pos := i - 1, bg := w[i] || ' ' || w[i+1])))
+      |    AS s FROM tk)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      | CAST(min(s.pos) AS BIGINT) AS first_pos
+      |FROM bi WHERE s.bg = 'window join'
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Content-defined chunking — the SHIFT-ROBUST boundary rule the
+    * fixed-granularity dedup passes (q57's 10-word chunks, q113's
+    * 80/60 windows) cannot provide: a single inserted word shifts
+    * every later fixed boundary, so an edited near-copy shares ~no
+    * chunks with its original. CDC (the Rabin/FastCDC family, here the
+    * word-level gear rule: cut after a word whose content hash ≡ 0
+    * mod 8, expected chunk ~8 words) decides each boundary from
+    * CONTENT alone, so an insertion perturbs only the chunk it lands
+    * in — the emitted `retained_pct` PROVES it by re-chunking every
+    * document with one word prepended and measuring surviving distinct
+    * chunks (~80–90% vs ~0% for fixed-size under the same edit).
+    * Scale shape: boundary detection, chunk assembly, and the
+    * edit-overlap compare are all IN-ROW (filter/transform/slice HOFs
+    * + array_intersect — no per-chunk explode for the robustness
+    * side); the only exchange is the per-source distinct-chunk count,
+    * and it shuffles 8-byte PolyHashMod chunk hashes, never chunk
+    * text. */
+  val q135CdcChunks: Q = (spark, dir) => {
+    import graft.functions.PolyHashMod
+    def chunksOf(ws: Column): Column = {
+      val cuts = filter(sequence(lit(1), size(ws)),
+        i => (PolyHashMod(element_at(ws, i)) % 8 === 0) || (i === size(ws)))
+      val bounds = concat(array(lit(0)), cuts)
+      transform(sequence(lit(1), size(cuts)), j =>
+        concat_ws(" ", slice(ws, element_at(bounds, j) + lit(1),
+          element_at(bounds, j + lit(1)) - element_at(bounds, j))))
+    }
+    val d = Tables.balanced(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), words.as("ws"))
+      .withColumn("chunks", chunksOf(col("ws")))
+      .withColumn("chunks2",
+        chunksOf(concat(array(lit("xEDITx")), col("ws"))))
+    val perDoc = d.select(col("source"),
+        size(col("chunks")).cast("long").as("nc"),
+        size(array_distinct(col("chunks"))).cast("long").as("den"),
+        size(array_intersect(col("chunks"), col("chunks2"))).cast("long")
+          .as("ret"))
+      .groupBy(col("source"))
+      .agg(sum(col("nc")).as("n_chunks"), sum(col("den")).as("den"),
+        sum(col("ret")).as("ret"))
+    val dist = d.select(col("source"),
+        explode(col("chunks")).as("chunk"))
+      .groupBy(col("source"))
+      .agg(countDistinct(PolyHashMod(col("chunk"))).as("n_distinct"))
+    perDoc.join(dist, Seq("source"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        expr("(100 * (n_chunks - n_distinct)) DIV n_chunks").as("dup_pct"),
+        expr("(100 * ret) DIV den").as("retained_pct"))
+      .orderBy(col("source"))
+  }
+
+  val q135Oracle: String = {
+    // NOTE: polyHashSql's internal lambda binds `i` — every enclosing
+    // lambda here must use a DIFFERENT variable name (wi/j) or the
+    // inner binding shadows the outer one and the hash reads garbage.
+    def boundsSql(ws: String): String =
+      s"""[0] || list_filter(range(1, len($ws)+1),
+         |      wi -> ${DedupOps.polyHashSql(s"$ws[wi]")} % 8 = 0
+         |        OR wi = len($ws))""".stripMargin
+    s"""WITH d AS (SELECT source, doc_id, string_split(text, ' ') AS ws,
+       |    ['xEDITx'] || string_split(text, ' ') AS ws2 FROM documents),
+       |bs AS (SELECT source, doc_id, ws, ws2,
+       |    ${boundsSql("ws")} AS b1,
+       |    ${boundsSql("ws2")} AS b2 FROM d),
+       |c AS (SELECT source, doc_id,
+       |    list_transform(range(1, len(b1)),
+       |      j -> array_to_string(ws[b1[j]+1 : b1[j+1]], ' ')) AS chunks,
+       |    list_transform(range(1, len(b2)),
+       |      j -> array_to_string(ws2[b2[j]+1 : b2[j+1]], ' ')) AS chunks2
+       |  FROM bs),
+       |pd AS (SELECT source,
+       |    CAST(sum(len(chunks)) AS BIGINT) AS n_chunks,
+       |    CAST(sum(len(list_distinct(chunks))) AS BIGINT) AS den,
+       |    CAST(sum(len(list_intersect(list_distinct(chunks),
+       |      list_distinct(chunks2)))) AS BIGINT) AS ret
+       |  FROM c GROUP BY source),
+       |dc AS (SELECT source, CAST(count(DISTINCT
+       |      ${DedupOps.polyHashSql("chunk")}) AS BIGINT) AS n_distinct
+       |  FROM (SELECT source, unnest(chunks) AS chunk FROM c)
+       |  GROUP BY source)
+       |SELECT source, n_chunks, n_distinct,
+       | (100 * (n_chunks - n_distinct)) // n_chunks AS dup_pct,
+       | (100 * ret) // den AS retained_pct
+       |FROM pd JOIN dc USING (source) ORDER BY source""".stripMargin
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1527,6 +1655,8 @@ object TextOps {
     "q122_intradoc_repeat" -> q122IntraDocRepeat,
     "q127_heavy_hitters" -> q127HeavyHitters,
     "q128_langid_eval" -> q128LangIdEval,
+    "q134_phrase_search" -> q134PhraseSearch,
+    "q135_cdc_chunks" -> q135CdcChunks,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1563,5 +1693,7 @@ object TextOps {
     "q122_intradoc_repeat" -> q122Oracle,
     "q127_heavy_hitters" -> q127Oracle,
     "q128_langid_eval" -> q128Oracle,
+    "q134_phrase_search" -> q134Oracle,
+    "q135_cdc_chunks" -> q135Oracle,
   )
 }

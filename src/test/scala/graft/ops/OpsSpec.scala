@@ -39,6 +39,34 @@ class DedupSpec extends SparkSpec {
   private val base = "the quick brown fox jumps over the lazy dog and then " +
     "runs far away into the deep green forest to hide from every hunter"
 
+  test("q135 CDC: content-defined boundaries survive a prepend edit " +
+      "that destroys every fixed-size chunk") {
+    val rows = TextOps.q135CdcChunks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // CDC: only the chunk the insertion lands in changes
+    assert(rows.forall(_.getAs[Long]("retained_pct") >= 60L),
+      rows.map(r => s"${r.getAs[String]("source")}=" +
+        s"${r.getAs[Long]("retained_pct")}").mkString(", "))
+    // the contrast: FIXED 8-word chunking under the SAME one-word
+    // prepend shifts every boundary -> near-zero surviving chunks
+    val fixedRetained = graft.Tables(spark, sf, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .select(col("ws"), concat(array(lit("xEDITx")), col("ws")).as("ws2"))
+      .selectExpr(
+        """size(array_intersect(
+          | transform(sequence(0, (size(ws) - 1) DIV 8),
+          |   j -> concat_ws(' ', slice(ws, j * 8 + 1, 8))),
+          | transform(sequence(0, (size(ws2) - 1) DIV 8),
+          |   j -> concat_ws(' ', slice(ws2, j * 8 + 1, 8))))) AS ret
+          |""".stripMargin,
+        "(size(ws) + 7) DIV 8 AS n")
+      .agg(expr("(100 * sum(ret)) DIV sum(n)").as("pct"))
+      .head().getLong(0)
+    assert(fixedRetained <= 10L,
+      s"fixed-size chunking should lose ~every chunk under a shift, " +
+        s"retained $fixedRetained%")
+  }
+
   test("MinHash-LSH surfaces a planted near-duplicate pair") {
     val docs = Seq(
       (0L, base),
