@@ -1413,6 +1413,92 @@ object BioQueries {
       |  FROM range(2) a(z), range(3) b(y), range(4) c(x))
       |ORDER BY scene, z, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b42
+  /** E12→E9 bridge — PERCEPTUAL near-duplicate detection for imagery:
+    * each plane reduces IN-ROW to a 64-bit dHash (2×2 block-mean
+    * downsample of the 16×18 plane to an 8×9 grid, then each bit =
+    * "left block brighter than its right neighbor" — the
+    * difference-hash every image-dedup pipeline runs before training),
+    * and near-dups surface by HAMMING distance, never pixel compare.
+    * The scale shape is the LSH discipline of q38/q40 applied to
+    * images: the hash is kept as 8×8-bit BANDS, candidates are pairs
+    * sharing ANY band value (map-side band-key join — by pigeonhole a
+    * pair within Hamming ≤ 7 shares at least one intact band, so the
+    * ≤ 6 verify threshold is LOSSLESS), and only candidates pay the
+    * 8-term Hamming fold. At 100 TB the band join shuffles 2-byte
+    * buckets, not planes. The fixture plants an exact duplicate
+    * (c5 ≡ c1, Hamming 0) and a perturbed near-dup (c3 = c0 + a
+    * diagonal +1 stripe, Hamming 5); unrelated planes sit far beyond
+    * the threshold. The oracle regenerates pixels → block sums → bits →
+    * all-pairs Hamming relationally. */
+  val b42PerceptualHash: Q = (spark, _) => {
+    val (nc, h, w) = (6, 16, 18)
+    val arr = NDArray.tabulate(Seq(nc, h, w)) { idx =>
+      val (c, y, x) = (idx(0), idx(1), idx(2))
+      val cc = if (c == 3) 0 else if (c == 5) 1 else c
+      val base = (cc * 37 + y * 13 + x * 7) % 29
+      (base + (if (c == 3 && (x + y) % 9 == 0) 1 else 0)).toDouble
+    }
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    val hashed = img.planes.selectExpr("CAST(c AS BIGINT) AS c",
+      // 2x2 block sums (8 rows x 9 cols); comparisons on sums == on means
+      """transform(sequence(0, 71), b ->
+        |  element_at(pixels, CAST((b DIV 9) * 36 + (b % 9) * 2 + 1 AS INT)) +
+        |  element_at(pixels, CAST((b DIV 9) * 36 + (b % 9) * 2 + 2 AS INT)) +
+        |  element_at(pixels, CAST((b DIV 9) * 36 + (b % 9) * 2 + 19 AS INT)) +
+        |  element_at(pixels, CAST((b DIV 9) * 36 + (b % 9) * 2 + 20 AS INT))) AS bs
+        |""".stripMargin)
+      .selectExpr("c",
+        """transform(sequence(0, 7), k ->
+          |  aggregate(sequence(0, 7), 0, (acc, j) -> acc * 2 +
+          |    IF(element_at(bs,
+          |        CAST((k * 8 + j) DIV 8 * 9 + (k * 8 + j) % 8 + 1 AS INT))
+          |     > element_at(bs,
+          |        CAST((k * 8 + j) DIV 8 * 9 + (k * 8 + j) % 8 + 2 AS INT)),
+          |      1, 0))) AS bands
+          |""".stripMargin)
+    val bandRows = hashed.select(col("c"),
+      posexplode(col("bands")).as(Seq("k", "b")))
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.k") === col("y.k") && col("x.b") === col("y.b") &&
+          col("x.c") < col("y.c"))
+      .select(col("x.c").as("c_a"), col("y.c").as("c_b"))
+      .distinct()
+    cand
+      .join(broadcast(hashed.select(col("c").as("c_a"),
+        col("bands").as("ba"))), "c_a")
+      .join(broadcast(hashed.select(col("c").as("c_b"),
+        col("bands").as("bb"))), "c_b")
+      .selectExpr("c_a", "c_b",
+        "CAST(aggregate(zip_with(ba, bb, (x, v) -> bit_count(x ^ v)), " +
+          "0, (a, v) -> a + v) AS BIGINT) AS hamming")
+      .filter(col("hamming") <= 6)
+      .orderBy(col("c_a"), col("c_b"))
+  }
+
+  val b42Oracle: String =
+    """WITH px AS (SELECT c, y, x, CASE
+      |    WHEN c = 3 THEN (y*13 + x*7) % 29 +
+      |      CASE WHEN (x + y) % 9 = 0 THEN 1 ELSE 0 END
+      |    WHEN c = 5 THEN (37 + y*13 + x*7) % 29
+      |    ELSE (c*37 + y*13 + x*7) % 29 END AS v
+      |  FROM range(6) a(c), range(16) b(y), range(18) d(x)),
+      |bs AS (SELECT c, y // 2 AS by, x // 2 AS bx, sum(v) AS s
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (SELECT l.c, l.by * 8 + l.bx AS i,
+      |    CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+      |  FROM bs l JOIN bs r ON l.c = r.c AND l.by = r.by
+      |    AND r.bx = l.bx + 1
+      |  WHERE l.bx < 8),
+      |ham AS (SELECT a.c AS c_a, b.c AS c_b,
+      |    CAST(sum(abs(a.bit - b.bit)) AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON a.i = b.i AND a.c < b.c
+      |  GROUP BY 1, 2)
+      |SELECT CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+      | hamming
+      |FROM ham WHERE hamming <= 6 ORDER BY c_a, c_b""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1455,6 +1541,7 @@ object BioQueries {
     "b39_patch_embed" -> b39PatchEmbed,
     "b40_motion_energy" -> b40MotionEnergy,
     "b41_percentile_stretch" -> b41PercentileStretch,
+    "b42_perceptual_hash" -> b42PerceptualHash,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1499,5 +1586,6 @@ object BioQueries {
     "b39_patch_embed" -> b39Oracle,
     "b40_motion_energy" -> b40Oracle,
     "b41_percentile_stretch" -> b41Oracle,
+    "b42_perceptual_hash" -> b42Oracle,
   )
 }
