@@ -1000,6 +1000,100 @@ object SimilarityOps {
        | (100 * cnt) // n_vectors AS purity_pct
        |FROM t WHERE rn = 1 ORDER BY cent_id""".stripMargin
 
+  // ---------------------------------------------------------------- q136
+  /** Johnson–Lindenstrauss random projection — the DIMENSIONALITY tier
+    * of the compression ladder (SQ8 q69 shrinks bits-per-dim, PQ q54
+    * shrinks via codebooks; JL shrinks the number of DIMENSIONS while
+    * provably ~preserving pairwise geometry): each 64-dim embedding
+    * maps to 16 dims through a deterministic ±1 sign matrix
+    * (Achlioptas's database-friendly construction — signs come from an
+    * integer hash of (k, i), so NO projection matrix is stored or
+    * broadcast; any worker regenerates any entry on the fly, which at
+    * 100 TB means the projection is a pure map-only pass with zero
+    * auxiliary state). The eval reports what JL actually GUARANTEES —
+    * pairwise cosine DISTORTION, not top-k identity (on a
+    * near-isotropic corpus neighbor margins are noise; distortion is
+    * the m-vs-quality dial): per probe, mean and max |cos_full −
+    * cos_proj| over the corpus at BOTH m=16 and m=32 — the m=16
+    * projection is a PREFIX of the m=32 one (signs hash from (k, i)),
+    * so both rides come from one projected column and the shrinking
+    * error (~1/√m) is visible in one result. Per-pair errors floor to
+    * integer millis before aggregation: all cross-row math is integer,
+    * and the per-row doubles are bit-identical to the oracle's
+    * list_reduce/list_inner_product replication (the q115 raw-IEEE
+    * precedent), so floor() agrees bit-for-bit. */
+  val q136JlProjection: Q = (spark, dir) => {
+    val proj = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), expr(
+        """transform(sequence(0, 31), k ->
+          |  aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, i) ->
+          |    acc + IF(((k + 1) * (i + 7) * 2654435761) % 97 < 48,
+          |        CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)) *
+          |      CAST(element_at(embedding, CAST(i + 1 AS INT)) AS DOUBLE)))
+          |""".stripMargin).as("p"))
+    val q = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("p").as("qp"))
+    def cosOf(a: String, b: String, d: Int): String =
+      s"""aggregate(zip_with(slice($a, 1, $d), slice($b, 1, $d),
+         |    (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) /
+         |(sqrt(aggregate(slice($a, 1, $d), CAST(0.0 AS DOUBLE),
+         |    (s, v) -> s + v * v)) *
+         | sqrt(aggregate(slice($b, 1, $d), CAST(0.0 AS DOUBLE),
+         |    (s, v) -> s + v * v)))""".stripMargin
+    proj.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        graft.functions.CosineSimilarity(col("q_emb"), col("embedding"))
+          .as("cf"),
+        expr(cosOf("p", "qp", 16)).as("cp16"),
+        expr(cosOf("p", "qp", 32)).as("cp32"))
+      .selectExpr("q_id",
+        "stack(2, 16, CAST(floor(abs(cf - cp16) * 1000) AS BIGINT), " +
+          "32, CAST(floor(abs(cf - cp32) * 1000) AS BIGINT)) " +
+          "AS (m, err_milli)")
+      .groupBy(col("q_id"), col("m"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        expr("sum(err_milli) DIV count(1)").as("mean_err_milli"),
+        max(col("err_milli")).as("max_err_milli"))
+      .orderBy(col("q_id"), col("m"))
+  }
+
+  val q136Oracle: String = {
+    def projSql(m: Int): String =
+      s"""list_transform(range(0, $m), k ->
+         |    list_reduce([CAST(0.0 AS DOUBLE)] ||
+         |      list_transform(range(0, 64), i ->
+         |        CASE WHEN ((k + 1) * (i + 7) * 2654435761) % 97 < 48
+         |          THEN 1.0 ELSE -1.0 END * emb[CAST(i + 1 AS INT)]),
+         |      (a, b) -> a + b))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |pr AS (SELECT vec_id, emb, ${projSql(16)} AS p16,
+       |    ${projSql(32)} AS p32 FROM e),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, p16 AS qp16,
+       |    p32 AS qp32 FROM pr WHERE vec_id < 10),
+       |pairs AS (SELECT q_id,
+       |    list_inner_product(q_emb, pr.emb) /
+       |      (sqrt(list_inner_product(q_emb, q_emb)) *
+       |       sqrt(list_inner_product(pr.emb, pr.emb))) AS cf,
+       |    list_inner_product(qp16, p16) /
+       |      (sqrt(list_inner_product(qp16, qp16)) *
+       |       sqrt(list_inner_product(p16, p16))) AS cp16,
+       |    list_inner_product(qp32, p32) /
+       |      (sqrt(list_inner_product(qp32, qp32)) *
+       |       sqrt(list_inner_product(p32, p32))) AS cp32
+       |  FROM pr, q WHERE pr.vec_id <> q_id),
+       |st AS (SELECT q_id, 16 AS m,
+       |    CAST(floor(abs(cf - cp16) * 1000) AS BIGINT) AS err
+       |  FROM pairs
+       |  UNION ALL SELECT q_id, 32,
+       |    CAST(floor(abs(cf - cp32) * 1000) AS BIGINT) FROM pairs)
+       |SELECT q_id, m, CAST(count(*) AS BIGINT) AS n_pairs,
+       | CAST(sum(err) // count(*) AS BIGINT) AS mean_err_milli,
+       | CAST(max(err) AS BIGINT) AS max_err_milli
+       |FROM st GROUP BY q_id, m ORDER BY q_id, m""".stripMargin
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -1017,6 +1111,7 @@ object SimilarityOps {
     "q111_semdedup" -> q111SemDedup,
     "q115_hard_negatives" -> q115HardNegatives,
     "q116_cluster_purity" -> q116ClusterPurity,
+    "q136_jl_projection" -> q136JlProjection,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1036,5 +1131,6 @@ object SimilarityOps {
     "q111_semdedup" -> q111Oracle,
     "q115_hard_negatives" -> q115Oracle,
     "q116_cluster_purity" -> q116Oracle,
+    "q136_jl_projection" -> q136Oracle,
   )
 }
