@@ -1621,6 +1621,95 @@ object TextOps {
        |FROM pd JOIN dc USING (source) ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q137
+  /** BPE merge LOOP — q118 scores the first round's candidates; this
+    * runs the actual trainer for 3 rounds: argmax pair → merge it
+    * everywhere → recount on the re-segmented vocabulary, each round
+    * feeding the next. Everything stays on the WORD HISTOGRAM (counts
+    * weighted by word frequency), so per-round cost is
+    * O(|vocab|·word_len) — corpus-size-independent, the property that
+    * makes BPE trainable at 100 TB from one word-count aggregate. The
+    * three rounds are UNROLLED DECLARATIVELY: each round's winning
+    * pair is a 1-row subplan broadcast into the next round's
+    * re-segmentation, so the whole training loop is ONE Catalyst plan
+    * with no driver-side collect. Segmentations live as
+    * bracket-delimited symbol strings ("[c][a][t]") — `replace` of
+    * "[a][b]"→"[ab]" is then token-boundary-safe (a bracketed symbol
+    * can never match inside another) and left-to-right non-overlapping
+    * in BOTH engines, which is exactly BPE's greedy merge semantics.
+    * Ties break on (count desc, pair asc) so every round is
+    * deterministic on any engine. */
+  val q137BpeMerges: Q = (spark, dir) => {
+    val hist0 = Tables.balanced(spark, dir, "documents")
+      .select(explode(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+      .select(expr("concat_ws('', transform(split(w, ''), " +
+        "c -> concat('[', c, ']')))").as("ws"), col("cnt"))
+    def bestPair(hist: DataFrame): DataFrame = hist
+      .select(col("cnt"),
+        expr("split(substring(ws, 2, char_length(ws) - 2), " +
+          "'\\\\]\\\\[')").as("syms"))
+      .select(col("cnt"), expr(
+        """explode(transform(sequence(1, size(syms) - 1), i ->
+          |  struct(element_at(syms, CAST(i AS INT)) AS a,
+          |         element_at(syms, CAST(i + 1 AS INT)) AS b)))
+          |""".stripMargin).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1)
+    def applyMerge(hist: DataFrame, best: DataFrame): DataFrame = hist
+      .crossJoin(broadcast(best.select(col("a").as("ma"),
+        col("b").as("mb"))))
+      .select(expr("replace(ws, concat('[', ma, '][', mb, ']'), " +
+        "concat('[', ma, mb, ']'))").as("ws"), col("cnt"))
+    val b1 = bestPair(hist0)
+    val h1 = applyMerge(hist0, b1)
+    val b2 = bestPair(h1)
+    val h2 = applyMerge(h1, b2)
+    val b3 = bestPair(h2)
+    Seq((1, b1), (2, b2), (3, b3)).map { case (r, b) =>
+      b.select(lit(r).as("round"), col("a").as("left_sym"),
+        col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
+        col("cnt"))
+    }.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  val q137Oracle: String = {
+    def pairsSql(h: String): String =
+      s"""SELECT s.a AS a, s.b AS b, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(a := sy[i], b := sy[i+1]))) AS s
+         |    FROM (SELECT cnt, string_split(ws[2:length(ws)-1], '][')
+         |        AS sy FROM $h))
+         |  GROUP BY 1, 2""".stripMargin
+    def mergeSql(h: String, b: String): String =
+      s"""SELECT replace(ws, '[' || $b.a || '][' || $b.b || ']',
+         |    '[' || $b.a || $b.b || ']') AS ws, $h.cnt AS cnt
+         |  FROM $h, $b""".stripMargin
+    s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |h0 AS (SELECT array_to_string(list_transform(
+       |      range(1, length(w) + 1), i -> '[' || w[i] || ']'), '') AS ws,
+       |    cnt FROM wc WHERE length(w) >= 2),
+       |p1 AS (${pairsSql("h0")}),
+       |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |h1 AS (${mergeSql("h0", "b1")}),
+       |p2 AS (${pairsSql("h1")}),
+       |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+       |h2 AS (${mergeSql("h1", "b2")}),
+       |p3 AS (${pairsSql("h2")}),
+       |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+       |SELECT round, left_sym, right_sym, merged, cnt FROM (
+       |  SELECT 1 AS round, a AS left_sym, b AS right_sym,
+       |    a || b AS merged, cnt FROM b1
+       |  UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
+       |  UNION ALL SELECT 3, a, b, a || b, cnt FROM b3)
+       |ORDER BY round""".stripMargin
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1657,6 +1746,7 @@ object TextOps {
     "q128_langid_eval" -> q128LangIdEval,
     "q134_phrase_search" -> q134PhraseSearch,
     "q135_cdc_chunks" -> q135CdcChunks,
+    "q137_bpe_merges" -> q137BpeMerges,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1695,5 +1785,6 @@ object TextOps {
     "q128_langid_eval" -> q128Oracle,
     "q134_phrase_search" -> q134Oracle,
     "q135_cdc_chunks" -> q135Oracle,
+    "q137_bpe_merges" -> q137Oracle,
   )
 }
