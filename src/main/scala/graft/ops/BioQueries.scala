@@ -1499,6 +1499,66 @@ object BioQueries {
       | hamming
       |FROM ham WHERE hamming <= 6 ORDER BY c_a, c_b""".stripMargin
 
+  // ---------------------------------------------------------------- b43
+  /** 1-level 2-D Haar wavelet subband energies — the texture /
+    * compressibility screen of an image-curation pipeline (flat tiles
+    * compress to nothing and train nothing; high-detail tiles carry
+    * the signal): per plane, each 2×2 block folds to its four Haar
+    * coefficients (LL average mass, LH horizontal, HL vertical, HH
+    * diagonal detail — pure adds/subtracts, EXACT in integer-valued
+    * doubles, no libm anywhere), and the per-subband absolute sums
+    * plus the detail-to-DC ratio come from one in-row fold over the
+    * 4×4 block grid. Map-only per plane — at 100 TB this is a free
+    * rider on any scan, and the ratio is the one-number keep/drop
+    * signal. The oracle regenerates pixels → per-block coefficients →
+    * subband sums relationally. */
+  val b43HaarEnergy: Q = (spark, _) => {
+    val (nc, h, w) = (3, 8, 8)
+    val arr = NDArray.tabulate(Seq(nc, h, w))(idx =>
+      ((idx(0) * 31 + idx(1) * idx(1) * 3 + idx(2) * idx(2) * 5 +
+        idx(1) * idx(2)) % 23).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    img.planes.selectExpr("CAST(c AS BIGINT) AS c",
+      // per block (4x4 grid): [a b / c d] -> (ll, lh, hl, hh)
+      """transform(sequence(0, 15), bk -> named_struct(
+        |  'a', element_at(pixels, CAST((bk DIV 4) * 16 + (bk % 4) * 2 + 1 AS INT)),
+        |  'b', element_at(pixels, CAST((bk DIV 4) * 16 + (bk % 4) * 2 + 2 AS INT)),
+        |  'cc', element_at(pixels, CAST((bk DIV 4) * 16 + (bk % 4) * 2 + 9 AS INT)),
+        |  'd', element_at(pixels, CAST((bk DIV 4) * 16 + (bk % 4) * 2 + 10 AS INT)))) AS blk
+        |""".stripMargin)
+      .selectExpr("c",
+        "CAST(aggregate(blk, CAST(0.0 AS DOUBLE), (s, p) -> " +
+          "s + p.a + p.b + p.cc + p.d) AS BIGINT) AS e_ll",
+        "CAST(aggregate(blk, CAST(0.0 AS DOUBLE), (s, p) -> " +
+          "s + abs(p.a + p.cc - p.b - p.d)) AS BIGINT) AS e_lh",
+        "CAST(aggregate(blk, CAST(0.0 AS DOUBLE), (s, p) -> " +
+          "s + abs(p.a + p.b - p.cc - p.d)) AS BIGINT) AS e_hl",
+        "CAST(aggregate(blk, CAST(0.0 AS DOUBLE), (s, p) -> " +
+          "s + abs(p.a - p.b - p.cc + p.d)) AS BIGINT) AS e_hh")
+      .selectExpr("c", "e_ll", "e_lh", "e_hl", "e_hh",
+        "(100 * (e_lh + e_hl + e_hh)) DIV e_ll AS texture_x100")
+      .orderBy(col("c"))
+  }
+
+  val b43Oracle: String =
+    """WITH px AS (SELECT c, y, x,
+      |    CAST((c*31 + y*y*3 + x*x*5 + y*x) % 23 AS DOUBLE) AS v
+      |  FROM range(3) a(c), range(8) b(y), range(8) d(x)),
+      |blk AS (SELECT c, y // 2 AS by, x // 2 AS bx,
+      |    sum(v) AS ll,
+      |    sum(CASE WHEN x % 2 = 0 THEN v ELSE -v END) AS lh,
+      |    sum(CASE WHEN y % 2 = 0 THEN v ELSE -v END) AS hl,
+      |    sum(CASE WHEN (x + y) % 2 = 0 THEN v ELSE -v END) AS hh
+      |  FROM px GROUP BY 1, 2, 3),
+      |e AS (SELECT c, CAST(sum(ll) AS BIGINT) AS e_ll,
+      |    CAST(sum(abs(lh)) AS BIGINT) AS e_lh,
+      |    CAST(sum(abs(hl)) AS BIGINT) AS e_hl,
+      |    CAST(sum(abs(hh)) AS BIGINT) AS e_hh
+      |  FROM blk GROUP BY c)
+      |SELECT CAST(c AS BIGINT) AS c, e_ll, e_lh, e_hl, e_hh,
+      | (100 * (e_lh + e_hl + e_hh)) // e_ll AS texture_x100
+      |FROM e ORDER BY c""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1542,6 +1602,7 @@ object BioQueries {
     "b40_motion_energy" -> b40MotionEnergy,
     "b41_percentile_stretch" -> b41PercentileStretch,
     "b42_perceptual_hash" -> b42PerceptualHash,
+    "b43_haar_energy" -> b43HaarEnergy,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1587,5 +1648,6 @@ object BioQueries {
     "b40_motion_energy" -> b40Oracle,
     "b41_percentile_stretch" -> b41Oracle,
     "b42_perceptual_hash" -> b42Oracle,
+    "b43_haar_energy" -> b43Oracle,
   )
 }

@@ -1529,6 +1529,53 @@ object Relational {
       |FROM (SELECT * FROM p UNION ALL SELECT * FROM a)
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * every 100 TB warehouse lives by: the standing per-priority rollup
+    * was built from history (orders before 1997-01-01) and is NEVER
+    * recomputed; a delta batch (orders from 1997 on) aggregates alone
+    * and MERGES into the base via full-outer-join + coalesced
+    * combination. count/sum/max merge losslessly; avg is carried as
+    * (sum, count) and divided only at read time — the decomposable-
+    * aggregate discipline that makes the merge exact. The oracle
+    * aggregates the WHOLE table directly, so the hash gate itself
+    * proves merged-incremental ≡ full-recompute. Scale shape: the
+    * delta aggregate touches only delta rows; the merge joins two
+    * |groups|-sized tables (broadcast-sized at any fact volume). */
+  val q139IncrementalAgg: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val cut = ntz("1997-01-01 00:00:00")
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")).as("s"),
+        max(col("o_totalprice")).as("mx"))
+    val base = agg(o.filter(col("o_orderdate") < cut))
+      .select(col("o_orderpriority"), col("n").as("bn"),
+        col("s").as("bs"), col("mx").as("bmx"))
+    val delta = agg(o.filter(col("o_orderdate") >= cut))
+      .select(col("o_orderpriority"), col("n").as("dn"),
+        col("s").as("ds"), col("mx").as("dmx"))
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"),
+        round(coalesce(col("bs"), lit(0.0d)) +
+          coalesce(col("ds"), lit(0.0d)), 2).as("total"),
+        greatest(coalesce(col("bmx"), lit(0.0d)),
+          coalesce(col("dmx"), lit(0.0d))).as("mx"))
+      .withColumn("avg_price", round(col("total") / col("n"), 2))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q139Oracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS total,
+      | max(o_totalprice) AS mx,
+      | round(round(sum(o_totalprice), 2) / count(*), 2) AS avg_price
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1574,6 +1621,7 @@ object Relational {
     "q130_hll_union" -> q130HllUnion,
     "q131_theta_overlap" -> q131ThetaOverlap,
     "q133_kll_quantiles" -> q133KllQuantiles,
+    "q139_incremental_agg" -> q139IncrementalAgg,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1621,5 +1669,6 @@ object Relational {
     "q130_hll_union" -> q130Oracle,
     "q131_theta_overlap" -> q131Oracle,
     "q133_kll_quantiles" -> q133Oracle,
+    "q139_incremental_agg" -> q139Oracle,
   )
 }

@@ -1639,42 +1639,52 @@ object TextOps {
     * in BOTH engines, which is exactly BPE's greedy merge semantics.
     * Ties break on (count desc, pair asc) so every round is
     * deterministic on any engine. */
-  val q137BpeMerges: Q = (spark, dir) => {
-    val hist0 = Tables.balanced(spark, dir, "documents")
+  private def bpeHist0(spark: SparkSession, dir: String): DataFrame =
+    Tables.balanced(spark, dir, "documents")
       .select(explode(words).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .filter(length(col("w")) >= 2)
       .select(expr("concat_ws('', transform(split(w, ''), " +
         "c -> concat('[', c, ']')))").as("ws"), col("cnt"))
-    def bestPair(hist: DataFrame): DataFrame = hist
-      .select(col("cnt"),
-        expr("split(substring(ws, 2, char_length(ws) - 2), " +
-          "'\\\\]\\\\[')").as("syms"))
-      .select(col("cnt"), expr(
-        """explode(transform(sequence(1, size(syms) - 1), i ->
-          |  struct(element_at(syms, CAST(i AS INT)) AS a,
-          |         element_at(syms, CAST(i + 1 AS INT)) AS b)))
-          |""".stripMargin).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(sum(col("cnt")).cast("long").as("cnt"))
-      .orderBy(col("cnt").desc, col("a"), col("b"))
-      .limit(1)
-    def applyMerge(hist: DataFrame, best: DataFrame): DataFrame = hist
-      .crossJoin(broadcast(best.select(col("a").as("ma"),
+
+  private def bpeBestPair(hist: DataFrame): DataFrame = hist
+    .select(col("cnt"),
+      expr("split(substring(ws, 2, char_length(ws) - 2), " +
+        "'\\\\]\\\\[')").as("syms"))
+    .select(col("cnt"), expr(
+      """explode(transform(sequence(1, size(syms) - 1), i ->
+        |  struct(element_at(syms, CAST(i AS INT)) AS a,
+        |         element_at(syms, CAST(i + 1 AS INT)) AS b)))
+        |""".stripMargin).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("cnt")).cast("long").as("cnt"))
+    .orderBy(col("cnt").desc, col("a"), col("b"))
+    .limit(1)
+
+  private def bpeApplyMerge(hist: DataFrame, best: DataFrame): DataFrame =
+    hist.crossJoin(broadcast(best.select(col("a").as("ma"),
         col("b").as("mb"))))
       .select(expr("replace(ws, concat('[', ma, '][', mb, ']'), " +
         "concat('[', ma, mb, ']'))").as("ws"), col("cnt"))
-    val b1 = bestPair(hist0)
-    val h1 = applyMerge(hist0, b1)
-    val b2 = bestPair(h1)
-    val h2 = applyMerge(h1, b2)
-    val b3 = bestPair(h2)
-    Seq((1, b1), (2, b2), (3, b3)).map { case (r, b) =>
-      b.select(lit(r).as("round"), col("a").as("left_sym"),
+
+  /** The three winning merges, each a 1-row subplan feeding the next
+    * round (shared by q137's trainer output and q138's apply pass). */
+  private def bpeBest3(spark: SparkSession, dir: String): Seq[DataFrame] = {
+    val hist0 = bpeHist0(spark, dir)
+    val b1 = bpeBestPair(hist0)
+    val h1 = bpeApplyMerge(hist0, b1)
+    val b2 = bpeBestPair(h1)
+    val h2 = bpeApplyMerge(h1, b2)
+    val b3 = bpeBestPair(h2)
+    Seq(b1, b2, b3)
+  }
+
+  val q137BpeMerges: Q = (spark, dir) =>
+    bpeBest3(spark, dir).zipWithIndex.map { case (b, i) =>
+      b.select(lit(i + 1).as("round"), col("a").as("left_sym"),
         col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
         col("cnt"))
     }.reduce(_ unionByName _).orderBy(col("round"))
-  }
 
   val q137Oracle: String = {
     def pairsSql(h: String): String =
@@ -1708,6 +1718,102 @@ object TextOps {
        |  UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
        |  UNION ALL SELECT 3, a, b, a || b, cnt FROM b3)
        |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q138
+  /** Tokenizer APPLY — the other half of q137's trainer: segment the
+    * actual corpus with the 3 learned merges and report the realized
+    * compression (chars per token), the number every corpus-budget
+    * plan (q91's ⌈len/4⌉ proxy, q110's allocation) ultimately wants
+    * measured, not guessed. Each document becomes its bracketed symbol
+    * form IN-ROW (merges can never match across the space between
+    * bracket groups, so word-internal BPE semantics hold on the whole
+    * doc string), the 3 merge pairs arrive as three 1-row broadcasts
+    * from the SAME declarative subplans q137 trains (train→apply is
+    * one Catalyst DAG, no driver round-trip), and the post-merge token
+    * count is just the count of '[' in the result. One source-key
+    * aggregate; everything else is map-only string work at any corpus
+    * size. */
+  val q138BpeApply: Q = (spark, dir) => {
+    val Seq(b1, b2, b3) = bpeBest3(spark, dir)
+    def pat(mdf: DataFrame, n: Int): DataFrame =
+      broadcast(mdf.select(
+        concat(lit("["), col("a"), lit("]["), col("b"), lit("]"))
+          .as(s"p$n"),
+        concat(lit("["), col("a"), col("b"), lit("]")).as(s"r$n")))
+    Tables.balanced(spark, dir, "documents")
+      .select(col("source"),
+        expr("concat_ws(' ', transform(split(text, ' '), w -> " +
+          "concat_ws('', transform(split(w, ''), " +
+          "c -> concat('[', c, ']')))))").as("s"),
+        expr("aggregate(transform(split(text, ' '), w -> length(w)), " +
+          "0, (a, v) -> a + v)").cast("long").as("nch"))
+      .crossJoin(pat(b1, 1)).crossJoin(pat(b2, 2)).crossJoin(pat(b3, 3))
+      .select(col("source"),
+        expr("replace(replace(replace(s, p1, r1), p2, r2), p3, r3)")
+          .as("s2"),
+        col("nch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("char_length(s2) - char_length(replace(s2, '[', ''))"))
+          .cast("long").as("n_tokens"),
+        sum(col("nch")).as("n_chars"))
+      .withColumn("chars_per_token_x100",
+        expr("(100 * n_chars) DIV n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q138Oracle: String = {
+    def pairsSql(h: String): String =
+      s"""SELECT s.a AS a, s.b AS b, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |      i -> struct_pack(a := sy[i], b := sy[i+1]))) AS s
+         |    FROM (SELECT cnt, string_split(ws[2:length(ws)-1], '][')
+         |        AS sy FROM $h))
+         |  GROUP BY 1, 2""".stripMargin
+    def mergeSql(h: String, b: String): String =
+      s"""SELECT replace(ws, '[' || $b.a || '][' || $b.b || ']',
+         |    '[' || $b.a || $b.b || ']') AS ws, $h.cnt AS cnt
+         |  FROM $h, $b""".stripMargin
+    s"""WITH wc AS (SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |h0 AS (SELECT array_to_string(list_transform(
+       |      range(1, length(w) + 1), i -> '[' || w[i] || ']'), '') AS ws,
+       |    cnt FROM wc WHERE length(w) >= 2),
+       |p1 AS (${pairsSql("h0")}),
+       |b1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |h1 AS (${mergeSql("h0", "b1")}),
+       |p2 AS (${pairsSql("h1")}),
+       |b2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+       |h2 AS (${mergeSql("h1", "b2")}),
+       |p3 AS (${pairsSql("h2")}),
+       |b3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+       |rep AS (SELECT source,
+       |    array_to_string(list_transform(string_split(text, ' '), w ->
+       |      array_to_string(list_transform(range(1, length(w) + 1),
+       |        i -> '[' || w[i] || ']'), '')), ' ') AS s,
+       |    CAST(list_reduce([CAST(0 AS BIGINT)] ||
+       |      list_transform(string_split(text, ' '),
+       |        w -> CAST(length(w) AS BIGINT)),
+       |      (a, v) -> a + v) AS BIGINT) AS nch
+       |  FROM documents),
+       |ap AS (SELECT source, replace(replace(replace(s,
+       |      '[' || b1.a || '][' || b1.b || ']',
+       |      '[' || b1.a || b1.b || ']'),
+       |      '[' || b2.a || '][' || b2.b || ']',
+       |      '[' || b2.a || b2.b || ']'),
+       |      '[' || b3.a || '][' || b3.b || ']',
+       |      '[' || b3.a || b3.b || ']') AS s2, nch
+       |  FROM rep, b1, b2, b3)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(length(s2) - length(replace(s2, '[', ''))) AS BIGINT)
+       |   AS n_tokens,
+       | CAST(sum(nch) AS BIGINT) AS n_chars,
+       | (100 * CAST(sum(nch) AS BIGINT)) //
+       |   CAST(sum(length(s2) - length(replace(s2, '[', ''))) AS BIGINT)
+       |   AS chars_per_token_x100
+       |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
 
   val all: ListMap[String, Q] = ListMap(
@@ -1747,6 +1853,7 @@ object TextOps {
     "q134_phrase_search" -> q134PhraseSearch,
     "q135_cdc_chunks" -> q135CdcChunks,
     "q137_bpe_merges" -> q137BpeMerges,
+    "q138_bpe_apply" -> q138BpeApply,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1786,5 +1893,6 @@ object TextOps {
     "q134_phrase_search" -> q134Oracle,
     "q135_cdc_chunks" -> q135Oracle,
     "q137_bpe_merges" -> q137Oracle,
+    "q138_bpe_apply" -> q138Oracle,
   )
 }
