@@ -834,6 +834,46 @@ object EventOps {
       |  AND s.signup_us//1000 + 1800000 <= wm_ms
       |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Time-decayed engagement scoring — the recency-weighted feature
+    * every ranking/retention model wants, in the only form that is
+    * engine-exact: HALVING decay (weight = 1024 >> age_hours, capped)
+    * instead of exp(−λΔt) — bit shifts replace libm's pow, so the
+    * score is pure int64 and reproducible anywhere, while keeping the
+    * property that matters (each hour of age halves the contribution;
+    * 1024 gives 10 clean half-lives of resolution). Scale shape: the
+    * reference instant is ONE broadcast scalar, the weight is map-side
+    * arithmetic on the scan, and the only exchange is the user-key
+    * aggregate — the top-20 plans as TakeOrderedAndProject, never a
+    * global sort. */
+  val q141DecayScore: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts_us"))
+    val mx = e.agg(max(col("ts_us")).as("mx"))
+    e.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("shiftright(1024L, CAST(least((mx - ts_us) DIV 3600000000, " +
+          "10) AS INT))").as("wgt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("wgt")).cast("long").as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val q141Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events),
+      |m AS (SELECT max(ts_us) AS mx FROM e),
+      |w AS (SELECT user_id,
+      |    1024 >> CAST(least((mx - ts_us) // 3600000000, 10) AS INT)
+      |      AS wgt
+      |  FROM e, m)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(wgt) AS BIGINT) AS score
+      |FROM w GROUP BY user_id
+      |ORDER BY score DESC, user_id LIMIT 20""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -858,6 +898,7 @@ object EventOps {
     "q123_native_asof" -> q123NativeAsOf,
     "q125_asof_tolerance" -> q125AsOfTolerance,
     "q129_rolling_median" -> q129RollingMedian,
+    "q141_decay_score" -> q141DecayScore,
     "q132_funnel_timeout" -> q132FunnelTimeout,
   )
 
@@ -885,6 +926,7 @@ object EventOps {
     "q123_native_asof" -> q123Oracle,
     "q125_asof_tolerance" -> q125Oracle,
     "q129_rolling_median" -> q129Oracle,
+    "q141_decay_score" -> q141Oracle,
     "q132_funnel_timeout" -> q132Oracle,
   )
 }

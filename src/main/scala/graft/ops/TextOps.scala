@@ -1816,6 +1816,57 @@ object TextOps {
        |FROM ap GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q140
+  /** Temperature-scaled source mixing — the multinomial sampling rule
+    * multilingual/multi-source pretraining uses (mT5/XLM-R style):
+    * sampling mass ∝ n^(1/τ) with τ = 2, so small sources are
+    * UP-sampled relative to their raw share and no single dump
+    * dominates. q64 applies fixed hand-set weights and q110 fills a
+    * budget by a cap — this DERIVES the weights from corpus statistics
+    * and rounds them to an exact integer allocation: w = ⌊√n⌋
+    * (integer-exact in both engines at any count), per-source quota by
+    * largest-remainder apportionment (base = ⌊B·w/Σw⌋, the leftover
+    * seats go to the largest remainders, remainder-then-source
+    * tie-break), so Σ alloc == B EXACTLY — an allocator that "mostly"
+    * sums to budget corrupts every downstream mix. Everything happens
+    * in windows over the |sources|-row aggregate: free at any corpus
+    * size. */
+  val q140TemperatureMix: Q = (spark, dir) => {
+    val budget = 500
+    val tot = Window.partitionBy()
+    Tables.balanced(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr("CAST(floor(sqrt(n_docs)) AS BIGINT)"))
+      .withColumn("wsum", sum(col("w")).over(tot))
+      .withColumn("base", expr(s"($budget * w) DIV wsum"))
+      .withColumn("rem", expr(s"($budget * w) % wsum"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(tot))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("w"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q140Oracle: String =
+    """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |    CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM s),
+      |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS wsum FROM w),
+      |b AS (SELECT *, (500 * w) // wsum AS base,
+      |    (500 * w) % wsum AS rem FROM t),
+      |r AS (SELECT *, 500 - CAST(sum(base) OVER () AS BIGINT)
+      |      AS leftover,
+      |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+      |      AS rk FROM b)
+      |SELECT source, n_docs, w,
+      | CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |   AS alloc
+      |FROM r ORDER BY source""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1854,6 +1905,7 @@ object TextOps {
     "q135_cdc_chunks" -> q135CdcChunks,
     "q137_bpe_merges" -> q137BpeMerges,
     "q138_bpe_apply" -> q138BpeApply,
+    "q140_temperature_mix" -> q140TemperatureMix,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1894,5 +1946,6 @@ object TextOps {
     "q135_cdc_chunks" -> q135Oracle,
     "q137_bpe_merges" -> q137Oracle,
     "q138_bpe_apply" -> q138Oracle,
+    "q140_temperature_mix" -> q140Oracle,
   )
 }
