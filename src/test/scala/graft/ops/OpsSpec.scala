@@ -950,6 +950,39 @@ class DedupSpec extends SparkSpec {
       s"source predicate must prune partition dirs, not filter rows:\n$scan")
   }
 
+  test("dynamic partition pruning: a runtime dim filter reaches the " +
+      "fact scan's PartitionFilters as a dynamicpruning subquery, and " +
+      "the join result matches the static-filter equivalent") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val base = s"/tmp/graft_dppspec_${java.util.UUID.randomUUID()}"
+    docs.write.mode("overwrite").partitionBy("source").parquet(base)
+    val fact = spark.read.parquet(base)
+    // the partition predicate is only known AFTER filtering the dim —
+    // exactly the star-join shape DPP exists for; a static planner
+    // would scan every partition. The dim must come from a real source
+    // (a local Seq constant-folds to a LocalRelation and the rule sees
+    // no filter) and the predicate must stay "likely selective" after
+    // optimization (EqualTo on a string — a boolean `keep` simplifies
+    // to a bare attribute, which the rule does not count).
+    val dimPath = s"$base-dim"
+    Seq(("src1", "hot"), ("src2", "hot"), ("src3", "cold"),
+      ("src4", "cold")).toDF("source", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(dim.filter(col("grp") === "hot"), Seq("source"))
+      .agg(sum(col("n_chars")).as("s"))
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan must carry a dynamicpruning partition filter:\n$plan")
+    val expect = docs
+      .filter(col("source").isInCollection(Seq("src1", "src2")))
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    assert(joined.head().getLong(0) == expect,
+      "DPP-pruned join must equal the static-filter aggregate")
+  }
+
   test("q127 heavy hitters: the CMS prune loses NOTHING vs a " +
       "sketch-free exact recompute, and the candidate set is a strict " +
       "subset of the vocabulary (the pruning pays)") {

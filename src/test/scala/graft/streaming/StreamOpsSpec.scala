@@ -258,4 +258,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L, 4L),
       s"restart must resume from checkpointed state, got $got")
   }
+
+  test("watermark observability: a late row is dropped, counted in " +
+      "numRowsDroppedByWatermark, and absent from the result") {
+    import spark.implicits._
+    // two parquet drops through one checkpointed query: batch 1 advances
+    // the watermark past batch 2's late row — the engine must drop it
+    // AND account for it (silent late-data loss is the #1 streaming
+    // correctness incident; the metric is the only way to see it)
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_wm_src").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq((1L, ts(1000)), (1L, ts(2000))).toDF("user_id", "ts_utc")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts_utc", "10 seconds")
+      .groupBy(window(col("ts_utc"), "10 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("wm_drop_test")
+      .outputMode("update").start()
+    val dropped =
+      try {
+        q.processAllAvailable() // batch 1: watermark -> 2000s - 10s
+        // late row at 100s, plus an on-time row that must still land
+        Seq((1L, ts(100)), (1L, ts(2005))).toDF("user_id", "ts_utc")
+          .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable() // batch 2: the 100s row is late
+        q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      } finally q.stop()
+    assert(dropped == 1L,
+      s"exactly the one late row must be counted dropped, got $dropped")
+    val starts = spark.table("wm_drop_test")
+      .select(unix_timestamp(col("window.start")).as("s"))
+      .as[Long].collect().toSet
+    assert(!starts.contains(100L),
+      s"late row leaked into results: windows $starts")
+    assert(starts.contains(2000L),
+      s"on-time row of the same batch must land: windows $starts")
+  }
 }
