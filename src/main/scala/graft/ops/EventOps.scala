@@ -874,6 +874,60 @@ object EventOps {
       |FROM w GROUP BY user_id
       |ORDER BY score DESC, user_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  /** Ordered k-step funnel in batch — signup → click-AFTER-signup →
+    * purchase-AFTER-that-click, the strict-sequence product-analytics
+    * query (q58/q67 run the 2-step version as streaming state
+    * machines; this is the k-step batch form over history). Each stage
+    * is a user-key aggregate of the NEXT event type constrained to
+    * follow the previous stage's instant — min-ts semantics, so a user
+    * converts on their earliest qualifying chain. All three aggregates
+    * and both joins share the user key: one shuffle establishes the
+    * partitioning and the whole chain rides it (no re-exchange), and
+    * the stage table at the end is three ints. */
+  val q143Funnel: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, Seq("user_id"))
+      .filter(col("ts_us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+    val c1 = s1.agg(count(lit(1)).as("n")).select(lit(1).as("step"),
+      lit("signup").as("stage"), col("n").cast("long").as("n_users"))
+    val c2 = s2.agg(count(lit(1)).as("n")).select(lit(2).as("step"),
+      lit("signup>click").as("stage"), col("n").cast("long").as("n_users"))
+    val c3 = s3.agg(count(lit(1)).as("n")).select(lit(3).as("step"),
+      lit("signup>click>purchase").as("stage"),
+      col("n").cast("long").as("n_users"))
+    c1.unionByName(c2).unionByName(c3).orderBy(col("step"))
+  }
+
+  val q143Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+      |SELECT step, stage, n_users FROM (
+      |  SELECT 1 AS step, 'signup' AS stage,
+      |    CAST(count(*) AS BIGINT) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'signup>click', CAST(count(*) AS BIGINT)
+      |    FROM s2
+      |  UNION ALL SELECT 3, 'signup>click>purchase',
+      |    CAST(count(*) AS BIGINT) FROM s3)
+      |ORDER BY step""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -899,6 +953,7 @@ object EventOps {
     "q125_asof_tolerance" -> q125AsOfTolerance,
     "q129_rolling_median" -> q129RollingMedian,
     "q141_decay_score" -> q141DecayScore,
+    "q143_funnel_batch" -> q143Funnel,
     "q132_funnel_timeout" -> q132FunnelTimeout,
   )
 
@@ -927,6 +982,7 @@ object EventOps {
     "q125_asof_tolerance" -> q125Oracle,
     "q129_rolling_median" -> q129Oracle,
     "q141_decay_score" -> q141Oracle,
+    "q143_funnel_batch" -> q143Oracle,
     "q132_funnel_timeout" -> q132Oracle,
   )
 }

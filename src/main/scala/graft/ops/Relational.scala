@@ -1576,6 +1576,88 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Single-pass data profiling — the ingestion-time column audit
+    * (null rate, cardinality, bounds) every pipeline runs before
+    * trusting a new drop: all four columns' statistics come from ONE
+    * aggregate over ONE scan (the multi-distinct plans as a single
+    * Expand-based aggregate — 4 distinct columns cost one pass, not
+    * four). Bounds are emitted as strings through an explicit
+    * DECIMAL(18,2) pivot for doubles so the rendering is
+    * engine-identical; the per-column rows unstack from the single
+    * aggregate row. At 100 TB profiling must be a rider on the
+    * already-paid scan — a per-column loop of queries is 4× the I/O
+    * for the same answer. */
+  val q142Profile: Q = (spark, dir) => {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+    def dec(c: String, f: String): String =
+      s"CAST(CAST($f($c) AS DECIMAL(18,2)) AS STRING)"
+    l.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
+      countDistinct(col("l_orderkey")).as("nd1"),
+      expr("CAST(min(l_orderkey) AS STRING)").as("mn1"),
+      expr("CAST(max(l_orderkey) AS STRING)").as("mx1"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn2"),
+      countDistinct(col("l_quantity")).as("nd2"),
+      expr(dec("l_quantity", "min")).as("mn2"),
+      expr(dec("l_quantity", "max")).as("mx2"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("nn3"),
+      countDistinct(col("l_extendedprice")).as("nd3"),
+      expr(dec("l_extendedprice", "min")).as("mn3"),
+      expr(dec("l_extendedprice", "max")).as("mx3"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nn4"),
+      countDistinct(col("l_returnflag")).as("nd4"),
+      min(col("l_returnflag")).as("mn4"),
+      max(col("l_returnflag")).as("mx4"))
+      .selectExpr("n_rows", """stack(4,
+        |'l_orderkey', nn1, nd1, mn1, mx1,
+        |'l_quantity', nn2, nd2, mn2, mx2,
+        |'l_extendedprice', nn3, nd3, mn3, mx3,
+        |'l_returnflag', nn4, nd4, mn4, mx4)
+        |AS (col_name, n_nulls, n_distinct, min_s, max_s)
+        |""".stripMargin)
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy(col("col_name"))
+  }
+
+  val q142Oracle: String =
+    """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS nn1,
+      | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd1,
+      | CAST(min(l_orderkey) AS VARCHAR) AS mn1,
+      | CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+      | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS nn2,
+      | CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd2,
+      | CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mn2,
+      | CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR) AS mx2,
+      | CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS nn3,
+      | CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd3,
+      | CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
+      |   AS mn3,
+      | CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR)
+      |   AS mx3,
+      | CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS nn4,
+      | CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd4,
+      | min(l_returnflag) AS mn4, max(l_returnflag) AS mx4
+      |FROM lineitem)
+      |SELECT col_name, n_rows, n_nulls, n_distinct, min_s, max_s FROM (
+      |  SELECT 'l_orderkey' AS col_name, n_rows, nn1 AS n_nulls,
+      |    nd1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+      |  UNION ALL SELECT 'l_quantity', n_rows, nn2, nd2, mn2, mx2 FROM a
+      |  UNION ALL SELECT 'l_extendedprice', n_rows, nn3, nd3, mn3, mx3
+      |    FROM a
+      |  UNION ALL SELECT 'l_returnflag', n_rows, nn4, nd4, mn4, mx4
+      |    FROM a)
+      |ORDER BY col_name""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1622,6 +1704,7 @@ object Relational {
     "q131_theta_overlap" -> q131ThetaOverlap,
     "q133_kll_quantiles" -> q133KllQuantiles,
     "q139_incremental_agg" -> q139IncrementalAgg,
+    "q142_profile" -> q142Profile,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1670,5 +1753,6 @@ object Relational {
     "q131_theta_overlap" -> q131Oracle,
     "q133_kll_quantiles" -> q133Oracle,
     "q139_incremental_agg" -> q139Oracle,
+    "q142_profile" -> q142Oracle,
   )
 }
