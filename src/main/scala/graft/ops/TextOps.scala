@@ -1667,24 +1667,35 @@ object TextOps {
       .select(expr("replace(ws, concat('[', ma, '][', mb, ']'), " +
         "concat('[', ma, mb, ']'))").as("ws"), col("cnt"))
 
-  /** The three winning merges, each a 1-row subplan feeding the next
-    * round (shared by q137's trainer output and q138's apply pass). */
-  private def bpeBest3(spark: SparkSession, dir: String): Seq[DataFrame] = {
-    val hist0 = bpeHist0(spark, dir)
-    val b1 = bpeBestPair(hist0)
-    val h1 = bpeApplyMerge(hist0, b1)
+  /** Run `body` against the staged word histogram and the three winning
+    * merges (each a 1-row subplan feeding the next round — shared by
+    * q137's trainer output and q138's apply pass). The histogram is
+    * localCheckpointed so the CORPUS is scanned exactly once no matter
+    * how many of the 6 unrolled round-subplans reference it (without
+    * the stage, each reference re-runs the word-count aggregate), and
+    * it is RELEASED before the small eager result returns — the q101
+    * stage-lifecycle discipline: no cache debt survives the query. */
+  private def bpeWithMerges(spark: SparkSession, dir: String)(
+      body: Seq[DataFrame] => DataFrame): DataFrame = {
+    val h0 = bpeHist0(spark, dir).localCheckpoint()
+    val b1 = bpeBestPair(h0)
+    val h1 = bpeApplyMerge(h0, b1)
     val b2 = bpeBestPair(h1)
     val h2 = bpeApplyMerge(h1, b2)
     val b3 = bpeBestPair(h2)
-    Seq(b1, b2, b3)
+    val out = body(Seq(b1, b2, b3)).localCheckpoint()
+    Checkpoints.release(h0)
+    out
   }
 
   val q137BpeMerges: Q = (spark, dir) =>
-    bpeBest3(spark, dir).zipWithIndex.map { case (b, i) =>
-      b.select(lit(i + 1).as("round"), col("a").as("left_sym"),
-        col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
-        col("cnt"))
-    }.reduce(_ unionByName _).orderBy(col("round"))
+    bpeWithMerges(spark, dir) { bests =>
+      bests.zipWithIndex.map { case (b, i) =>
+        b.select(lit(i + 1).as("round"), col("a").as("left_sym"),
+          col("b").as("right_sym"),
+          concat(col("a"), col("b")).as("merged"), col("cnt"))
+      }.reduce(_ unionByName _)
+    }.orderBy(col("round"))
 
   val q137Oracle: String = {
     def pairsSql(h: String): String =
@@ -1734,8 +1745,8 @@ object TextOps {
     * count is just the count of '[' in the result. One source-key
     * aggregate; everything else is map-only string work at any corpus
     * size. */
-  val q138BpeApply: Q = (spark, dir) => {
-    val Seq(b1, b2, b3) = bpeBest3(spark, dir)
+  val q138BpeApply: Q = (spark, dir) => bpeWithMerges(spark, dir) { bests =>
+    val Seq(b1, b2, b3) = bests
     def pat(mdf: DataFrame, n: Int): DataFrame =
       broadcast(mdf.select(
         concat(lit("["), col("a"), lit("]["), col("b"), lit("]"))
