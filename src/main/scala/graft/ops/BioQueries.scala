@@ -1559,6 +1559,62 @@ object BioQueries {
       | (100 * (e_lh + e_hl + e_hh)) // e_ll AS texture_x100
       |FROM e ORDER BY c""".stripMargin
 
+  // ---------------------------------------------------------------- b44
+  /** WebDataset-style `.tar` training-shard roundtrip — the container
+    * multimodal corpora actually ship in: a two-scene image (gray YX +
+    * RGB YXS) saves as one shard of PNG members with `.txt` sidecar
+    * members keyed per sample (the WebDataset grouping convention),
+    * reopens through plugin resolution (ustar magic probe picks
+    * TarReader), and each sample's pixels AND its sidecar metadata are
+    * verified — the sidecar rides back as the scene's raw metadata.
+    * Shards are the unit of scale for multimodal training I/O: each
+    * one is interchange-sized and the fleet of shards fans out across
+    * executors; this pins the single-shard encode/decode contract both
+    * directions. */
+  val b44TarShard: Q = (spark, _) => {
+    val gray = NDArray.tabulate(Seq(5, 7))(idx =>
+      ((idx(0) * 11 + idx(1) * 3) % 251).toDouble)
+    val rgb = NDArray.tabulate(Seq(4, 6, 3))(idx =>
+      ((idx(0) * 7 + idx(1) * 5 + idx(2) * 13) % 251).toDouble)
+    val img = new graft.image.BioImage(spark, ArrayLikeReader.multi(
+      Seq(gray, rgb), dimOrders = Seq(Some("YX"), Some("YXS"))))
+    val uri = s"/tmp/graft_b44_${java.util.UUID.randomUUID()}.tar"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    val metaRows = back.scenes.zipWithIndex.map { case (key, i) =>
+      back.setScene(key)
+      val sidecar = back.meta.rawMetadata.getOrElse("")
+      Seq((key, sidecar))
+    }
+    val pixelRows = Seq("000000", "000001").zipWithIndex.map {
+      case (key, tag) =>
+        back.setScene(key)
+        back.getImagePixels()
+          .select(lit(tag.toLong).as("scene"),
+            col("s").cast("long").as("s"), col("y").cast("long").as("y"),
+            col("x").cast("long").as("x"), col("v"))
+    }.reduce(_ unionByName _)
+    // sidecars carry the ORIGINAL scene ids — pin them as columns
+    val sc = metaRows.flatten
+    pixelRows
+      .withColumn("sidecar",
+        when(col("scene") === 0, sc.head._2).otherwise(sc(1)._2))
+      .orderBy(col("scene"), col("s"), col("y"), col("x"))
+  }
+
+  val b44Oracle: String =
+    """SELECT CAST(scene AS BIGINT) AS scene, CAST(s AS BIGINT) AS s,
+      | CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x, v, sidecar FROM (
+      |  SELECT 0 AS scene, 0 AS s, y, x,
+      |    CAST((y*11 + x*3) % 251 AS DOUBLE) AS v,
+      |    'Image:0' AS sidecar
+      |  FROM range(5) a(y), range(7) b(x)
+      |  UNION ALL
+      |  SELECT 1, s, y, x, CAST((y*7 + x*5 + s*13) % 251 AS DOUBLE),
+      |    'Image:1'
+      |  FROM range(3) c(s), range(4) d(y), range(6) e(x))
+      |ORDER BY scene, s, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1603,6 +1659,7 @@ object BioQueries {
     "b41_percentile_stretch" -> b41PercentileStretch,
     "b42_perceptual_hash" -> b42PerceptualHash,
     "b43_haar_energy" -> b43HaarEnergy,
+    "b44_tar_shard" -> b44TarShard,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1649,5 +1706,6 @@ object BioQueries {
     "b41_percentile_stretch" -> b41Oracle,
     "b42_perceptual_hash" -> b42Oracle,
     "b43_haar_energy" -> b43Oracle,
+    "b44_tar_shard" -> b44Oracle,
   )
 }

@@ -32,3 +32,7 @@ final class NpzProvider extends BioReaderProvider {
 final class MrcProvider extends BioReaderProvider {
   override def plugin: PluginEntry = graft.readers.MrcReader.plugin
 }
+
+final class TarProvider extends BioReaderProvider {
+  override def plugin: PluginEntry = graft.readers.TarReader.plugin
+}

@@ -62,24 +62,7 @@ final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
 
   /** Pixel access through the color model: (bands, sample lookup). */
   private def decoded(bi: BufferedImage): (Int, (Int, Int, Int) => Double) =
-    bi.getColorModel match {
-      case icm: IndexColorModel =>
-        val m = icm.getMapSize
-        val r = Array.tabulate(m)(i => icm.getRed(i))
-        val g = Array.tabulate(m)(i => icm.getGreen(i))
-        val b = Array.tabulate(m)(i => icm.getBlue(i))
-        val gray = (0 until m).forall(i => r(i) == g(i) && g(i) == b(i))
-        val raster = bi.getRaster
-        if (gray) (1, (y, x, _) => r(raster.getSample(x, y, 0)).toDouble)
-        else (3, (y, x, s) => {
-          val idx = raster.getSample(x, y, 0)
-          (s match { case 0 => r(idx); case 1 => g(idx); case _ => b(idx) })
-            .toDouble
-        })
-      case _ =>
-        val raster = bi.getRaster
-        (raster.getNumBands, (y, x, s) => raster.getSampleDouble(x, y, s))
-    }
+    ImageIoReader.decodeSamples(bi)
 
   override def name: String = "ImageIoReader"
   override def supportedExtensions: Seq[String] =
@@ -156,4 +139,28 @@ object ImageIoReader {
     name = "ImageIoReader",
     extensions = Seq(".png", ".jpg", ".jpeg", ".gif", ".bmp"),
     open = (spark, path, _) => new ImageIoReader(spark, path))
+
+  /** Pixel access through the color model: (bands, sample lookup).
+    * Shared with container readers (TarReader) that decode the same
+    * formats from in-archive bytes. */
+  private[readers] def decodeSamples(
+      bi: BufferedImage): (Int, (Int, Int, Int) => Double) =
+    bi.getColorModel match {
+      case icm: IndexColorModel =>
+        val m = icm.getMapSize
+        val r = Array.tabulate(m)(i => icm.getRed(i))
+        val g = Array.tabulate(m)(i => icm.getGreen(i))
+        val b = Array.tabulate(m)(i => icm.getBlue(i))
+        val gray = (0 until m).forall(i => r(i) == g(i) && g(i) == b(i))
+        val raster = bi.getRaster
+        if (gray) (1, (y, x, _) => r(raster.getSample(x, y, 0)).toDouble)
+        else (3, (y, x, s) => {
+          val idx = raster.getSample(x, y, 0)
+          (s match { case 0 => r(idx); case 1 => g(idx); case _ => b(idx) })
+            .toDouble
+        })
+      case _ =>
+        val raster = bi.getRaster
+        (raster.getNumBands, (y, x, s) => raster.getSampleDouble(x, y, s))
+    }
 }

@@ -92,7 +92,7 @@ object Writers {
     * canonical sink. */
   def default: Seq[BioWriter] =
     Seq(OmeTiffWriter, ParquetPlaneStoreWriter, ZarrWriter, TwoDWriter,
-      TimeSeriesWriter, NpyWriter, NpzWriter, MrcWriter)
+      TimeSeriesWriter, NpyWriter, NpzWriter, MrcWriter, TarWriter)
 
   def forPath(path: String, writers: Seq[BioWriter] = default): BioWriter = {
     val lower = path.toLowerCase.takeWhile(_ != '?')
