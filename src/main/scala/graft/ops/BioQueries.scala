@@ -1615,6 +1615,50 @@ object BioQueries {
       |  FROM range(3) c(s), range(4) d(y), range(6) e(x))
       |ORDER BY scene, s, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b45
+  /** Sharded tar EXPORT at the executor tier — the write-side scale
+    * story b44's single-shard roundtrip points at: a CZYX stack's 8
+    * planes range-partition by sample key into 2 shards, every shard
+    * is encoded and written BY ITS EXECUTOR PARTITION (no pixel visits
+    * the driver — the shape that lands a 100 TB corpus as a shard
+    * fleet), and the verification re-opens every produced shard
+    * through the ordinary TarReader plugin path, unions all samples,
+    * and checks pixels + sidecar keys against the generating formula.
+    * Shard membership is partitioner-dependent; the SAMPLE SET is not
+    * — the oracle pins the partition-invariant union. */
+  val b45ShardedExport: Q = (spark, _) => {
+    val (nc, nz, h, w) = (2, 2, 6, 5)
+    val arr = NDArray.tabulate(Seq(nc, nz, h, w))(idx =>
+      ((idx(0) * 31 + idx(1) * 17 + idx(2) * 5 + idx(3) * 3) % 251)
+        .toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CZYX"))
+    val dir = s"/tmp/graft_b45_${java.util.UUID.randomUUID()}"
+    graft.writers.ShardedTarSink.write(img.planes, dir, 2)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.getAbsolutePath).sorted
+    require(shards.length == 2, s"expected 2 shards, got ${shards.length}")
+    shards.map { p =>
+      val back = BioSpark.open(spark, p)
+      back.scenes.map { key =>
+        back.setScene(key)
+        val sidecar = back.rawMetadata.getOrElse("")
+        back.getImagePixels()
+          .select(lit(key).as("sample_key"), lit(sidecar).as("sidecar"),
+            col("y").cast("long").as("y"), col("x").cast("long").as("x"),
+            col("v"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+      .orderBy(col("sample_key"), col("y"), col("x"))
+  }
+
+  val b45Oracle: String =
+    """SELECT 't0_c' || c || '_z' || z AS sample_key,
+      | 't0_c' || c || '_z' || z AS sidecar,
+      | CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
+      | CAST((c*31 + z*17 + y*5 + x*3) % 251 AS DOUBLE) AS v
+      |FROM range(2) a(c), range(2) b(z), range(6) d(y), range(5) e(x)
+      |ORDER BY sample_key, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1660,6 +1704,7 @@ object BioQueries {
     "b42_perceptual_hash" -> b42PerceptualHash,
     "b43_haar_energy" -> b43HaarEnergy,
     "b44_tar_shard" -> b44TarShard,
+    "b45_sharded_export" -> b45ShardedExport,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1707,5 +1752,6 @@ object BioQueries {
     "b42_perceptual_hash" -> b42Oracle,
     "b43_haar_energy" -> b43Oracle,
     "b44_tar_shard" -> b44Oracle,
+    "b45_sharded_export" -> b45Oracle,
   )
 }

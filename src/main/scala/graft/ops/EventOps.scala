@@ -928,6 +928,48 @@ object EventOps {
       |    CAST(count(*) AS BIGINT) FROM s3)
       |ORDER BY step""".stripMargin
 
+  // ---------------------------------------------------------------- q145
+  /** Behavior-flow transition matrix — the first-order Markov view of
+    * user journeys ("what do users do right after X") that every
+    * product-analytics path/sankey screen is built on: per user,
+    * events order by time and consecutive event types pair via one
+    * `lag` window, then (from, to) pairs count corpus-wide with each
+    * row's integer share of its `from` row-total. One user-key window
+    * (ts tie-break on event_id makes the sequence total-order
+    * deterministic) and one pair aggregate over the k² type space —
+    * the transition matrix costs the event scan plus windows over a
+    * 25-row result at any volume. */
+  val q145PathTransitions: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(100 * n) DIV from_total").as("pct_of_from"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q145Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts)//1000 AS ts_us FROM events),
+      |s AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS to_type FROM e),
+      |g AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      | (100 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |   AS pct_of_from
+      |FROM g ORDER BY from_type, to_type""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -954,6 +996,7 @@ object EventOps {
     "q129_rolling_median" -> q129RollingMedian,
     "q141_decay_score" -> q141DecayScore,
     "q143_funnel_batch" -> q143Funnel,
+    "q145_path_transitions" -> q145PathTransitions,
     "q132_funnel_timeout" -> q132FunnelTimeout,
   )
 
@@ -983,6 +1026,7 @@ object EventOps {
     "q129_rolling_median" -> q129Oracle,
     "q141_decay_score" -> q141Oracle,
     "q143_funnel_batch" -> q143Oracle,
+    "q145_path_transitions" -> q145Oracle,
     "q132_funnel_timeout" -> q132Oracle,
   )
 }

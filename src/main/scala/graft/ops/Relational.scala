@@ -1658,6 +1658,45 @@ object Relational {
       |    FROM a)
       |ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** The normalized-rank window family in one pass — percent_rank,
+    * cume_dist, ntile(4) — over one partition+order spec, so all three
+    * ride a single sort with NO extra exchange (the planner pipelines
+    * same-spec window functions into one Window operator; a per-
+    * function query would sort three times). percent_rank/cume_dist
+    * are exact small-integer ratios ((rank−1)/(n−1), k/n) — IEEE
+    * division of exact ints is bit-identical on any engine, so no
+    * rounding is needed; tie behavior is pinned by the deterministic
+    * orderkey tie-break in the emitted top slice. */
+  val q144RankFamily: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("pr"), col("cd"), col("quartile"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val q144Oracle: String =
+    """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey,
+      | pr, cd, CAST(quartile AS BIGINT) AS quartile FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER w AS rn,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd,
+      |    ntile(4) OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1705,6 +1744,7 @@ object Relational {
     "q133_kll_quantiles" -> q133KllQuantiles,
     "q139_incremental_agg" -> q139IncrementalAgg,
     "q142_profile" -> q142Profile,
+    "q144_rank_family" -> q144RankFamily,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1754,5 +1794,6 @@ object Relational {
     "q133_kll_quantiles" -> q133Oracle,
     "q139_incremental_agg" -> q139Oracle,
     "q142_profile" -> q142Oracle,
+    "q144_rank_family" -> q144Oracle,
   )
 }

@@ -1554,19 +1554,30 @@ object TextOps {
     * text. */
   val q135CdcChunks: Q = (spark, dir) => {
     import graft.functions.PolyHashMod
-    def chunksOf(ws: Column): Column = {
-      val cuts = filter(sequence(lit(1), size(ws)),
+    // Every stage lands in its OWN named column: inlining `bounds` into
+    // the chunk-assembly lambda would re-evaluate the whole cut
+    // computation (a PolyHashMod filter over the words) once per chunk
+    // INDEX — O(len²·hash) per doc, measured 54 s at sf0.1 vs ~2 s
+    // staged. Named per-row arrays are computed once; the lambdas then
+    // do O(1) element_at reads.
+    def cutsOf(ws: Column): Column =
+      filter(sequence(lit(1), size(ws)),
         i => (PolyHashMod(element_at(ws, i)) % 8 === 0) || (i === size(ws)))
-      val bounds = concat(array(lit(0)), cuts)
+    def chunksFrom(ws: Column, cuts: Column, bounds: Column): Column =
       transform(sequence(lit(1), size(cuts)), j =>
         concat_ws(" ", slice(ws, element_at(bounds, j) + lit(1),
           element_at(bounds, j + lit(1)) - element_at(bounds, j))))
-    }
     val d = Tables.balanced(spark, dir, "documents")
       .select(col("source"), col("doc_id"), words.as("ws"))
-      .withColumn("chunks", chunksOf(col("ws")))
+      .withColumn("wse", concat(array(lit("xEDITx")), col("ws")))
+      .withColumn("cuts", cutsOf(col("ws")))
+      .withColumn("cuts2", cutsOf(col("wse")))
+      .withColumn("bounds", concat(array(lit(0)), col("cuts")))
+      .withColumn("bounds2", concat(array(lit(0)), col("cuts2")))
+      .withColumn("chunks",
+        chunksFrom(col("ws"), col("cuts"), col("bounds")))
       .withColumn("chunks2",
-        chunksOf(concat(array(lit("xEDITx")), col("ws"))))
+        chunksFrom(col("wse"), col("cuts2"), col("bounds2")))
     val perDoc = d.select(col("source"),
         size(col("chunks")).cast("long").as("nc"),
         size(array_distinct(col("chunks"))).cast("long").as("den"),
@@ -1575,8 +1586,16 @@ object TextOps {
       .groupBy(col("source"))
       .agg(sum(col("nc")).as("n_chunks"), sum(col("den")).as("den"),
         sum(col("ret")).as("ret"))
+    // explode_OUTER, deliberately: plain explode triggers
+    // InferFiltersFromGenerate, which clones the ENTIRE chunk pipeline
+    // into an inferred size(chunks)>0 pre-filter — with `bounds`
+    // expanded 3× inside it, the inlined predicate goes O(len²·hash)
+    // per doc (measured 52 s vs 2.5 s at sf0.1). Outer generate is
+    // exempt from the inference, and is semantically identical here:
+    // every doc has ≥1 chunk (the final cut is unconditional), and
+    // countDistinct ignores the nulls an empty array would add.
     val dist = d.select(col("source"),
-        explode(col("chunks")).as("chunk"))
+        explode_outer(col("chunks")).as("chunk"))
       .groupBy(col("source"))
       .agg(countDistinct(PolyHashMod(col("chunk"))).as("n_distinct"))
     perDoc.join(dist, Seq("source"))
