@@ -970,6 +970,49 @@ object EventOps {
       |   AS pct_of_from
       |FROM g ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q146
+  /** Seasonality-aware anomaly detection — q119 flags spikes against a
+    * TRAILING window, which mis-fires on daily rhythm (every morning
+    * "spikes" vs the night before); this builds the hour-of-day
+    * seasonal BASELINE per event type (mean count over the days
+    * observing that hour, integer DIV) and flags (type, day, hour)
+    * buckets whose count clears 2× their own hour's baseline — the
+    * compare-to-same-hour-yesterday discipline real alerting uses.
+    * Integer cross-multiply (n · days > 2 · hour_total) avoids the
+    * division roundoff entirely. One bucket aggregate; the baseline is
+    * a window over the tiny (type × 24) space — free at any volume. */
+  val q146SeasonalAnomaly: Q = (spark, dir) => {
+    val b = Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("ts_us DIV 86400000000").as("day"),
+        expr("(ts_us DIV 3600000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("day"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"), col("hour"))
+    b.withColumn("hour_total", sum(col("n")).over(w))
+      .withColumn("days_seen", count(lit(1)).over(w))
+      .filter(col("n") * col("days_seen") > col("hour_total") * 2)
+      .select(col("event_type"), col("day"), col("hour"), col("n"),
+        expr("(100 * n * days_seen) DIV hour_total").as("pct_of_baseline"))
+      .orderBy(col("event_type"), col("day"), col("hour"))
+  }
+
+  val q146Oracle: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_ns(ts)//1000//86400000000 AS day,
+      |    (epoch_ns(ts)//1000//3600000000) % 24 AS hour FROM events),
+      |b AS (SELECT event_type, day, hour, CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY 1, 2, 3),
+      |s AS (SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type, hour) AS BIGINT)
+      |      AS hour_total,
+      |    CAST(count(*) OVER (PARTITION BY event_type, hour) AS BIGINT)
+      |      AS days_seen FROM b)
+      |SELECT event_type, day, hour, n,
+      | (100 * n * days_seen) // hour_total AS pct_of_baseline
+      |FROM s WHERE n * days_seen > hour_total * 2
+      |ORDER BY event_type, day, hour""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -997,6 +1040,7 @@ object EventOps {
     "q141_decay_score" -> q141DecayScore,
     "q143_funnel_batch" -> q143Funnel,
     "q145_path_transitions" -> q145PathTransitions,
+    "q146_seasonal_anomaly" -> q146SeasonalAnomaly,
     "q132_funnel_timeout" -> q132FunnelTimeout,
   )
 
@@ -1027,6 +1071,7 @@ object EventOps {
     "q141_decay_score" -> q141Oracle,
     "q143_funnel_batch" -> q143Oracle,
     "q145_path_transitions" -> q145Oracle,
+    "q146_seasonal_anomaly" -> q146Oracle,
     "q132_funnel_timeout" -> q132Oracle,
   )
 }

@@ -1697,6 +1697,63 @@ object Relational {
       |    ORDER BY o_totalprice DESC, o_orderkey))
       |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** Data-quality assertion suite — the dbt-test / Great-Expectations
+    * gate every ingestion runs before a table goes live, as ONE query:
+    * key uniqueness (rows − distinct keys), referential integrity
+    * (orders → customer orphans via LEFT ANTI join — at scale the
+    * orphan probe is a broadcast of the dim key set), domain-range
+    * violations (discount outside [0, 0.1]), and null checks, each a
+    * (check_name, n_violations, pass) row. A data-quality gate must be
+    * cheap enough to run on every landing: every check here is either
+    * a rider on one scan or a key-only anti join, and the output is
+    * fixed-size regardless of volume. */
+  val q147QualityChecks: Q = (spark, dir) => {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val uniq = o.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+      .as("n")).select(lit("orders_pk_unique").as("check_name"),
+      col("n").cast("long").as("n_violations"))
+    val orphans = o.join(broadcast(c),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("orders_custkey_fk").as("check_name"),
+        col("n").cast("long").as("n_violations"))
+    val range = l.agg(sum(when(col("l_discount") < 0.0 ||
+        col("l_discount") > 0.1, 1L).otherwise(0L)).as("n"))
+      .select(lit("lineitem_discount_range").as("check_name"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_violations"))
+    val nulls = l.agg(sum(when(col("l_quantity").isNull, 1L)
+        .otherwise(0L)).as("n"))
+      .select(lit("lineitem_quantity_notnull").as("check_name"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_violations"))
+    uniq.unionByName(orphans).unionByName(range).unionByName(nulls)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  val q147Oracle: String =
+    """SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      | n_violations = 0 AS pass FROM (
+      |  SELECT 'orders_pk_unique' AS check_name,
+      |    count(*) - count(DISTINCT o_orderkey) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk', count(*) FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range',
+      |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_quantity_notnull',
+      |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM lineitem)
+      |ORDER BY check_name""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1745,6 +1802,7 @@ object Relational {
     "q139_incremental_agg" -> q139IncrementalAgg,
     "q142_profile" -> q142Profile,
     "q144_rank_family" -> q144RankFamily,
+    "q147_quality_checks" -> q147QualityChecks,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1795,5 +1853,6 @@ object Relational {
     "q139_incremental_agg" -> q139Oracle,
     "q142_profile" -> q142Oracle,
     "q144_rank_family" -> q144Oracle,
+    "q147_quality_checks" -> q147Oracle,
   )
 }
