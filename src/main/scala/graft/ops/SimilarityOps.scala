@@ -1094,6 +1094,72 @@ object SimilarityOps {
        |FROM st GROUP BY q_id, m ORDER BY q_id, m""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q148
+  /** kNN label-vote classification + per-class accuracy — the eval
+    * that tells you whether the embedding space actually SEPARATES the
+    * labels (q116 scores clusters, q128 scores a trained classifier;
+    * this scores the space itself, the first thing a data team checks
+    * before training on new embeddings). Each vector's label is
+    * predicted by MAJORITY VOTE over its q92 kNN-graph neighbors —
+    * composition, not recomputation: the candidate work stays the
+    * Σ bucket² of the LSH graph build, and the vote/accuracy layers
+    * are windows + one aggregate over the graph's 3·N edges. Ties
+    * break on (count desc, label asc); vectors absent from the graph
+    * (alone in their bucket) are excluded from the denominator,
+    * exactly like production "coverage"-qualified recall numbers. */
+  val q148KnnAccuracy: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val votes = q92KnnGraph(spark, dir)
+      .join(labels.withColumnRenamed("vec_id", "nbr")
+        .withColumnRenamed("label", "nbr_label"), Seq("nbr"))
+      .groupBy(col("node"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("n_votes").desc, col("nbr_label"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("node").as("vec_id"), col("nbr_label").as("pred"))
+    pred.join(labels, Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("(100 * n_correct) DIV n").as("accuracy_pct"))
+      .orderBy(col("label"))
+  }
+
+  val q148Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, emb, label, ${bucketSql(8)} AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS node, b2.vec_id AS nbr,
+       |  list_inner_product(a.emb, b2.emb) /
+       |    (sqrt(list_inner_product(a.emb, a.emb)) *
+       |     sqrt(list_inner_product(b2.emb, b2.emb))) AS cos
+       | FROM b a JOIN b b2 ON a.bucket = b2.bucket
+       |   AND a.vec_id <> b2.vec_id),
+       |r AS (SELECT node, nbr, row_number() OVER (
+       |    PARTITION BY node ORDER BY cos DESC, nbr) AS rn FROM p),
+       |g AS (SELECT node, nbr FROM r WHERE rn <= 3),
+       |v AS (SELECT g.node, e.label AS nbr_label,
+       |    CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM g JOIN e ON g.nbr = e.vec_id GROUP BY 1, 2),
+       |pr AS (SELECT node AS vec_id, nbr_label AS pred FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY node
+       |    ORDER BY n_votes DESC, nbr_label) AS rn FROM v) WHERE rn = 1)
+       |SELECT CAST(e.label AS BIGINT) AS label,
+       | CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(CASE WHEN pr.pred = e.label THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_correct,
+       | (100 * CAST(sum(CASE WHEN pr.pred = e.label THEN 1 ELSE 0 END)
+       |   AS BIGINT)) // CAST(count(*) AS BIGINT) AS accuracy_pct
+       |FROM pr JOIN e USING (vec_id)
+       |GROUP BY e.label ORDER BY label""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q36_vector_norms" -> q36VectorNorms,
     "q37_cosine_topk" -> q37CosineTopK,
@@ -1112,6 +1178,7 @@ object SimilarityOps {
     "q115_hard_negatives" -> q115HardNegatives,
     "q116_cluster_purity" -> q116ClusterPurity,
     "q136_jl_projection" -> q136JlProjection,
+    "q148_knn_accuracy" -> q148KnnAccuracy,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1132,5 +1199,6 @@ object SimilarityOps {
     "q115_hard_negatives" -> q115Oracle,
     "q116_cluster_purity" -> q116Oracle,
     "q136_jl_projection" -> q136Oracle,
+    "q148_knn_accuracy" -> q148Oracle,
   )
 }
