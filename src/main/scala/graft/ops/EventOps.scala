@@ -318,6 +318,38 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Per-user event-type counters through `transformWithState`
+    * MAPSTATE — completes the arbitrary-state primitive surface
+    * (ValueState q67, event-time timers q132, MapState here): each
+    * user's per-type counts live as individual RocksDB map entries, so
+    * one type's counter updates without rewriting the user's whole
+    * state. A drain-once run emits each user's rollup exactly once,
+    * which must equal the batch groupBy — the oracle. */
+  val q150TwsMapState: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q150_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.typeCountsTws(spark, StreamOps.readEvents(spark, dir)),
+      name, stateStoreProvider = Some(StreamOps.RocksDBProvider))
+      .select(col("user_id"), col("n_types"), col("n_events"),
+        col("top_type"), col("top_cnt"))
+      .orderBy(col("user_id"))
+  }
+
+  val q150Oracle: String =
+    """WITH c AS (SELECT user_id, event_type,
+      |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY n DESC, event_type) AS rn,
+      |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_types,
+      |  CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      |  FROM c)
+      |SELECT user_id, n_types, n_events, event_type AS top_type,
+      | n AS top_cnt
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q80
   /** CDC-style upsert merge: a latest-state SNAPSHOT (events before the
     * corpus-midpoint cutoff, reduced to one row per (user, type)) has a
@@ -1013,6 +1045,55 @@ object EventOps {
       |FROM s WHERE n * days_seen > hour_total * 2
       |ORDER BY event_type, day, hour""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Sliding-window DISTINCT users from persisted bucket sketches —
+    * the dashboard trick that makes "uniques in the trailing hour"
+    * affordable at any volume: exact sliding distinct is
+    * non-decomposable (you must re-touch every event in the window),
+    * but per-10-minute-bucket HLL sketches UNION across the trailing
+    * frame — the facts are scanned once, ever, and every window
+    * evaluation is a 6-sketch merge. `hll_union_agg` runs directly as
+    * a frame-bounded window aggregate over the bucket table. Gated the
+    * q130 way: the exact trailing-hour distinct (flatten + distinct of
+    * the buckets' user sets — affordable here, the thing that does NOT
+    * scale and motivates the sketch) anchors a within-3% flag the
+    * oracle reproduces as literal TRUE. */
+  val q149SlidingHll: Q = (spark, dir) => {
+    // RANGE frame (bucket values), not ROWS: a silent 10-min gap would
+    // make a rows-frame reach one bucket further back than the window
+    // semantics promise
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket")).rangeBetween(-5, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        expr("ts_us DIV 600000000").as("bucket"), col("user_id"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        collect_set(col("user_id")).as("us"))
+      .withColumn("usk", expr("hll_union_agg(sk)").over(w))
+      .withColumn("est", expr("hll_sketch_estimate(usk)"))
+      .withColumn("n_exact",
+        size(array_distinct(flatten(collect_list(col("us")).over(w))))
+          .cast("long"))
+      .select(col("event_type"), col("bucket").cast("long").as("bucket"),
+        col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.03)
+          .as("within3pct"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val q149Oracle: String =
+    """WITH e AS (SELECT event_type, epoch_ns(ts)//1000//600000000
+      |    AS bucket, user_id FROM events),
+      |b AS (SELECT DISTINCT event_type, bucket FROM e)
+      |SELECT b.event_type, CAST(b.bucket AS BIGINT) AS bucket,
+      | CAST((SELECT count(DISTINCT user_id) FROM e
+      |   WHERE e.event_type = b.event_type
+      |     AND e.bucket BETWEEN b.bucket - 5 AND b.bucket)
+      |   AS BIGINT) AS n_exact,
+      | TRUE AS within3pct
+      |FROM b ORDER BY event_type, bucket""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -1041,6 +1122,8 @@ object EventOps {
     "q143_funnel_batch" -> q143Funnel,
     "q145_path_transitions" -> q145PathTransitions,
     "q146_seasonal_anomaly" -> q146SeasonalAnomaly,
+    "q149_sliding_hll" -> q149SlidingHll,
+    "q150_tws_mapstate" -> q150TwsMapState,
     "q132_funnel_timeout" -> q132FunnelTimeout,
   )
 
@@ -1072,6 +1155,8 @@ object EventOps {
     "q143_funnel_batch" -> q143Oracle,
     "q145_path_transitions" -> q145Oracle,
     "q146_seasonal_anomaly" -> q146Oracle,
+    "q149_sliding_hll" -> q149Oracle,
+    "q150_tws_mapstate" -> q150Oracle,
     "q132_funnel_timeout" -> q132Oracle,
   )
 }

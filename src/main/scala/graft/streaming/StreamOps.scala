@@ -292,6 +292,60 @@ object StreamOps {
     }
   }
 
+  case class TypeCountOut(user_id: Long, n_types: Long, n_events: Long,
+      top_type: String, top_cnt: Long)
+
+  /** Per-user per-event-type counters on `transformWithState`
+    * MAPSTATE — the third state primitive (q67 pins ValueState, q132
+    * timers; MapState gives keyed sub-state inside each grouping key,
+    * its entries living as individual RocksDB key-values so ONE type's
+    * counter updates without rewriting the user's whole state — the
+    * per-entity-counter shape session stores actually use). Emission is
+    * the per-user rollup (distinct types, total, argmax type with
+    * count-desc/type-asc tie-break), which over a drain-once run equals
+    * the batch aggregate — q150's oracle. */
+  class TypeCountProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, FunnelEvent, TypeCountOut] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+      TTLConfig}
+    @transient private var m: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[FunnelEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCountOut] = {
+      it.foreach { e =>
+        val cur = if (m.containsKey(e.event_type)) m.getValue(e.event_type)
+          else 0L
+        m.updateValue(e.event_type, cur + 1L)
+      }
+      val entries = m.iterator().toVector
+      if (entries.isEmpty) Iterator.empty
+      else {
+        val (topType, topCnt) =
+          entries.minBy { case (t, n) => (-n, t) }
+        Iterator.single(TypeCountOut(uid, entries.length.toLong,
+          entries.map(_._2).sum, topType, topCnt))
+      }
+    }
+  }
+
+  /** Per-user type counters via MapState; RocksDB provider required. */
+  def typeCountsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** [[conversionFunnel]] re-expressed on `transformWithState`. Run it
     * with `stateStoreProvider = Some(RocksDBProvider)` — the operator
     * rejects the HDFS-backed store. */
