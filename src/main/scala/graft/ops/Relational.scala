@@ -1759,6 +1759,50 @@ object Relational {
       |  FROM lineitem)
       |ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------- q151
+  /** Versioned snapshots + TIME TRAVEL — the lakehouse commit-log
+    * discipline (`sources/VersionedTable`): v0 commits the pre-cutoff
+    * orders, v1 APPENDS the post-cutoff delta (the manifest carries
+    * v0's files forward — the commit costs the delta, not the table;
+    * the manifest rename is the atomic publish point). The query then
+    * reads BOTH versions AS OF their commit — after v1 landed — and
+    * fingerprints each snapshot; the oracle reproduces the
+    * fingerprints from the cutoff-filtered source table, so the hash
+    * gate proves snapshot isolation: v0's read is byte-stable no
+    * matter what landed after it. */
+  val q151TimeTravel: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val o = t(spark, dir, "orders")
+    val cut = ntz("1997-01-01 00:00:00")
+    val base = s"/tmp/graft_q151_${java.util.UUID.randomUUID()}"
+    val v0 = VersionedTable.commit(spark, o.filter(col("o_orderdate") < cut),
+      base)
+    val v1 = VersionedTable.commit(spark,
+      o.filter(col("o_orderdate") >= cut), base, carryForward = true)
+    def fp(df: DataFrame, v: Int): DataFrame = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).cast("long").as("key_sum"),
+      round(sum(col("o_totalprice")), 2).as("total"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("key_sum"),
+        col("total"))
+    fp(VersionedTable.read(spark, base, Some(v0)), v0)
+      .unionByName(fp(VersionedTable.read(spark, base, Some(v1)), v1))
+      .orderBy(col("version"))
+  }
+
+  val q151Oracle: String =
+    """SELECT version, n_rows, key_sum, total FROM (
+      |  SELECT CAST(0 AS BIGINT) AS version,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |    round(sum(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |  UNION ALL
+      |  SELECT 1, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2)
+      |  FROM orders)
+      |ORDER BY version""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1808,6 +1852,7 @@ object Relational {
     "q142_profile" -> q142Profile,
     "q144_rank_family" -> q144RankFamily,
     "q147_quality_checks" -> q147QualityChecks,
+    "q151_time_travel" -> q151TimeTravel,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1859,5 +1904,6 @@ object Relational {
     "q142_profile" -> q142Oracle,
     "q144_rank_family" -> q144Oracle,
     "q147_quality_checks" -> q147Oracle,
+    "q151_time_travel" -> q151Oracle,
   )
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned table snapshots with TIME-TRAVEL reads — the lakehouse
+  * commit-log discipline (Delta/Iceberg's core idea) in its minimal
+  * honest form: every commit writes its data files under an immutable
+  * `files-v<N>/` directory and then publishes a manifest
+  * `_manifest/<N>.txt` listing EVERY file visible in that snapshot
+  * (full-snapshot manifests, not deltas — readers never reconstruct
+  * state from a log replay). The manifest is written to a temp name
+  * and RENAMED into place: on HDFS-like stores rename is the atomic
+  * commit point, so a reader either sees version N complete or not at
+  * all — no torn snapshot is observable, and a crashed writer leaves
+  * only an invisible temp file plus orphaned data files that never
+  * became visible.
+  *
+  * Reads are snapshot-isolated by construction: `read(dir, Some(n))`
+  * resolves version n's manifest and scans exactly its files, however
+  * many later versions have landed since — the AS OF query. `read(dir,
+  * None)` resolves the highest published manifest. Appending a version
+  * REUSES the previous snapshot's files (the manifest just lists them
+  * again alongside the new delta's files), so commits cost the delta,
+  * not the table. */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    FileSystem.get(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(dir: String) = new Path(s"$dir/_manifest")
+
+  /** Commit `df` as version (latest + 1); `carryForward` keeps the
+    * previous snapshot's files in the new manifest (append semantics);
+    * without it the new version replaces the table's contents. Returns
+    * the committed version number. */
+  def commit(spark: SparkSession, df: DataFrame, dir: String,
+      carryForward: Boolean = true): Int = {
+    val f = fs(spark, dir)
+    val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0)
+    val dataDir = s"$dir/files-v$v"
+    df.write.parquet(dataDir)
+    val newFiles = f.listStatus(new Path(dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath)
+    val carried =
+      if (carryForward && v > 0) filesOf(spark, dir, v - 1) else Seq.empty
+    val all = carried ++ newFiles
+    f.mkdirs(manifestDir(dir))
+    val tmp = new Path(manifestDir(dir), s".$v.txt.tmp")
+    val out = f.create(tmp, true)
+    try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // the atomic commit point: version N exists iff this rename landed
+    if (!f.rename(tmp, new Path(manifestDir(dir), s"$v.txt")))
+      throw new IllegalStateException(
+        s"versioned commit $v lost the publish race at $dir")
+    v
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val f = fs(spark, dir)
+    if (!f.exists(manifestDir(dir))) None
+    else f.listStatus(manifestDir(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d+\\.txt"))
+      .map(_.stripSuffix(".txt").toInt)
+      .sorted.lastOption
+  }
+
+  def filesOf(spark: SparkSession, dir: String, version: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(manifestDir(dir), s"$version.txt")
+    if (!f.exists(p))
+      throw new IllegalArgumentException(
+        s"version $version does not exist at $dir")
+    val in = f.open(p)
+    val bytes =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Snapshot read: `version = None` reads the latest commit. */
+  def read(spark: SparkSession, dir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    spark.read.parquet(filesOf(spark, dir, v): _*)
+  }
+}

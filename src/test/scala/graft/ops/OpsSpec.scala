@@ -1073,6 +1073,32 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("grp")).contains("__all__"))
   }
 
+  test("q151 versioned table: snapshot reads are isolated from later " +
+      "commits, latest resolves, and missing versions raise") {
+    import graft.sources.VersionedTable
+    val base = s"/tmp/graft_vtspec_${java.util.UUID.randomUUID()}"
+    val a = spark.range(0, 100).toDF("id")
+    val b = spark.range(100, 150).toDF("id")
+    val v0 = VersionedTable.commit(spark, a, base)
+    assert(v0 == 0)
+    val before = VersionedTable.read(spark, base, Some(0)).count()
+    val v1 = VersionedTable.commit(spark, b, base, carryForward = true)
+    assert(v1 == 1)
+    // time travel: v0 must read byte-stable AFTER v1 landed
+    assert(VersionedTable.read(spark, base, Some(0)).count() == before)
+    assert(VersionedTable.read(spark, base, Some(0)).count() == 100)
+    assert(VersionedTable.read(spark, base).count() == 150,
+      "latest must resolve to v1's appended snapshot")
+    // replace semantics: carryForward=false starts a fresh snapshot
+    VersionedTable.commit(spark, b, base, carryForward = false)
+    assert(VersionedTable.read(spark, base).count() == 50)
+    assert(VersionedTable.read(spark, base, Some(1)).count() == 150,
+      "older snapshots survive a replacing commit")
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, base, Some(99))
+    }
+  }
+
   test("q126 dynamic overwrite: only delta partitions are replaced " +
       "(static mode truncates the table), and re-landing the delta is " +
       "idempotent") {
