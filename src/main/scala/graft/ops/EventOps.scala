@@ -350,6 +350,37 @@ object EventOps {
       | n AS top_cnt
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** Per-user recent-activity feed through `transformWithState`
+    * LISTSTATE — the last arbitrary-state primitive (ValueState q67,
+    * timers q132, MapState q150): events append to a per-user list in
+    * O(1), the state trims to the 3 most recent by (ts, event_id), and
+    * a drain-once run's rollup equals the batch top-3 window — the
+    * oracle. */
+  val q152TwsListState: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q152_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamOps.runToMemory(spark,
+      StreamOps.recentListTws(spark, StreamOps.readEvents(spark, dir)),
+      name, stateStoreProvider = Some(StreamOps.RocksDBProvider))
+      .select(col("user_id"), col("n_seen"), col("recent_ids"))
+      .orderBy(col("user_id"))
+  }
+
+  val q152Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts_us DESC, event_id DESC) AS rn,
+      |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_seen
+      |  FROM e)
+      |SELECT user_id, n_seen,
+      | string_agg(CAST(event_id AS VARCHAR), ','
+      |   ORDER BY ts_us, event_id) AS recent_ids
+      |FROM r WHERE rn <= 3
+      |GROUP BY user_id, n_seen ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q80
   /** CDC-style upsert merge: a latest-state SNAPSHOT (events before the
     * corpus-midpoint cutoff, reduced to one row per (user, type)) has a
@@ -1124,6 +1155,7 @@ object EventOps {
     "q146_seasonal_anomaly" -> q146SeasonalAnomaly,
     "q149_sliding_hll" -> q149SlidingHll,
     "q150_tws_mapstate" -> q150TwsMapState,
+    "q152_tws_liststate" -> q152TwsListState,
     "q132_funnel_timeout" -> q132FunnelTimeout,
   )
 
@@ -1157,6 +1189,7 @@ object EventOps {
     "q146_seasonal_anomaly" -> q146Oracle,
     "q149_sliding_hll" -> q149Oracle,
     "q150_tws_mapstate" -> q150Oracle,
+    "q152_tws_liststate" -> q152Oracle,
     "q132_funnel_timeout" -> q132Oracle,
   )
 }

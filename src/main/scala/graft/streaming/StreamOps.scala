@@ -346,6 +346,61 @@ object StreamOps {
       .toDF()
   }
 
+  case class RecentOut(user_id: Long, n_seen: Long, recent_ids: String)
+
+  /** Per-user LAST-3-EVENTS via `transformWithState` LISTSTATE — the
+    * fourth and final arbitrary-state primitive (ValueState q67,
+    * timers q132, MapState q150): an appendable per-key list whose
+    * entries land as consecutive RocksDB values, the
+    * recent-activity-feed shape (append is O(1); the trim rewrites
+    * only the kept tail). Events append in (ts, event_id) order and
+    * the state trims to the 3 most recent; emission is the rollup +
+    * the kept ids as a deterministic comma string. */
+  class RecentListProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, FunnelEvent, RecentOut] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode,
+      TTLConfig}
+    @transient private var seen: org.apache.spark.sql.streaming
+      .ValueState[Long] = _
+    @transient private var recent: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[(Long, Long)]("recent",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, it: Iterator[FunnelEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RecentOut] = {
+      val incoming = it.map(e => (e.ts_us, e.event_id)).toVector
+      incoming.foreach(recent.appendValue)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.length
+      seen.update(n)
+      // trim to the 3 most recent by (ts, id) — rewrite the kept tail
+      val kept = recent.get().toVector.sortBy { case (ts, id) => (ts, id) }
+        .takeRight(3)
+      recent.put(kept.toArray)
+      Iterator.single(RecentOut(uid, n,
+        kept.map(_._2).mkString(",")))
+    }
+  }
+
+  /** Per-user recent-events feed via ListState; RocksDB required. */
+  def recentListTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentListProcessor(), TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** [[conversionFunnel]] re-expressed on `transformWithState`. Run it
     * with `stateStoreProvider = Some(RocksDBProvider)` — the operator
     * rejects the HDFS-backed store. */

@@ -1097,6 +1097,28 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.read(spark, base, Some(99))
     }
+    // VACUUM discovery: files on disk referenced by NO manifest are the
+    // deletable set; removing them must not break any live snapshot.
+    // After the replacing commit, no file became orphaned (v1 still
+    // lists v0's files) — prove the audit finds nothing, then retire
+    // manifests 0-1 and prove it finds exactly their exclusive files.
+    def allDataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    }
+    def referenced(versions: Seq[Int]): Set[String] =
+      versions.flatMap(v => VersionedTable.filesOf(spark, base, v)).toSet
+    assert(allDataFiles().diff(referenced(Seq(0, 1, 2))).isEmpty,
+      "no orphans while every manifest is live")
+    val orphansAfterRetire = allDataFiles().diff(referenced(Seq(2)))
+    assert(orphansAfterRetire.nonEmpty,
+      "retiring v0/v1 must expose v0's files as vacuum candidates")
+    orphansAfterRetire.foreach(p => new java.io.File(p).delete())
+    assert(VersionedTable.read(spark, base, Some(2)).count() == 50,
+      "vacuum of orphans must not break the live snapshot")
   }
 
   test("q126 dynamic overwrite: only delta partitions are replaced " +
