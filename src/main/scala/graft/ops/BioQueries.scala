@@ -1659,6 +1659,36 @@ object BioQueries {
       |FROM range(2) a(c), range(2) b(z), range(6) d(y), range(5) e(x)
       |ORDER BY sample_key, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b46
+  /** Uncompressed-AVI video-container time series — the TimeSeriesWriter
+    * family member the reference lists as .mp4/.mkv (codec-bound, out
+    * of a zero-dependency build) realized through the one video
+    * container that is pure published layout: RIFF/AVI with raw BI_RGB
+    * DIB frames (`formats/AviFormat`). A TYX stack saves as an .avi,
+    * reopens through plugin resolution (RIFF magic probe picks
+    * AviReader; frames stack on T, gray content collapses to one
+    * band), and every pixel roundtrips EXACTLY — unlike GIF there is
+    * no palette quantization anywhere. The per-frame layout
+    * (bottom-up rows, BGR order, 4-byte row padding, even-chunk
+    * RIFF padding) is pinned byte-level in AviSpec. */
+  val b46AviTimeseries: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(4, 5, 6))(idx =>
+      ((idx(0) * 47 + idx(1) * 9 + idx(2) * 2) % 256).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("TYX"))
+    val uri = s"/tmp/graft_b46_${java.util.UUID.randomUUID()}.avi"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    back.getImagePixels()
+      .select(col("t").cast("long").as("t"), col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+      .orderBy(col("t"), col("y"), col("x"))
+  }
+
+  val b46Oracle: String =
+    """SELECT t, y, x, CAST((t*47 + y*9 + x*2) % 256 AS DOUBLE) AS v
+      |FROM range(4) a(t), range(5) b(y), range(6) c(x)
+      |ORDER BY t, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1705,6 +1735,7 @@ object BioQueries {
     "b43_haar_energy" -> b43HaarEnergy,
     "b44_tar_shard" -> b44TarShard,
     "b45_sharded_export" -> b45ShardedExport,
+    "b46_avi_timeseries" -> b46AviTimeseries,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1753,5 +1784,6 @@ object BioQueries {
     "b43_haar_energy" -> b43Oracle,
     "b44_tar_shard" -> b44Oracle,
     "b45_sharded_export" -> b45Oracle,
+    "b46_avi_timeseries" -> b46Oracle,
   )
 }

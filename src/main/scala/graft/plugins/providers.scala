@@ -36,3 +36,7 @@ final class MrcProvider extends BioReaderProvider {
 final class TarProvider extends BioReaderProvider {
   override def plugin: PluginEntry = graft.readers.TarReader.plugin
 }
+
+final class AviProvider extends BioReaderProvider {
+  override def plugin: PluginEntry = graft.readers.AviReader.plugin
+}

@@ -92,7 +92,8 @@ object Writers {
     * canonical sink. */
   def default: Seq[BioWriter] =
     Seq(OmeTiffWriter, ParquetPlaneStoreWriter, ZarrWriter, TwoDWriter,
-      TimeSeriesWriter, NpyWriter, NpzWriter, MrcWriter, TarWriter)
+      TimeSeriesWriter, NpyWriter, NpzWriter, MrcWriter, TarWriter,
+      AviWriter)
 
   def forPath(path: String, writers: Seq[BioWriter] = default): BioWriter = {
     val lower = path.toLowerCase.takeWhile(_ != '?')

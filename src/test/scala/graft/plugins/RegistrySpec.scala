@@ -15,7 +15,7 @@ class DiscoverySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(names == names.sorted)
     assert(names.toSet == Set("OmeTiffReader", "ZarrReader",
       "ImageIoReader", "ParquetPlaneReader", "NpyReader", "NpzReader",
-      "MrcReader", "TarReader"))
+      "MrcReader", "TarReader", "AviReader"))
   }
 
   test("version gate excludes providers outside the spec range") {
