@@ -1689,6 +1689,50 @@ object BioQueries {
       |FROM range(4) a(t), range(5) b(y), range(6) c(x)
       |ORDER BY t, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b47
+  /** Video-container → analysis composition: frames DECODED FROM AN
+    * AVI drive b40's motion-energy screen unchanged — the point of
+    * making .avi a first-class source is that the whole E12 analysis
+    * surface applies to video container content with zero new code.
+    * A TYX stack with quadratic motion (frame t shifts by t²) writes
+    * as raw-DIB AVI, reopens through the RIFF probe, and per-frame
+    * |Δ| energy (one lag window + in-row zip_with/aggregate folds, no
+    * per-pixel explode) plus a cut flag are verified against the
+    * generating formula. */
+  val b47AviMotion: Q = (spark, _) => {
+    import org.apache.spark.sql.expressions.Window
+    val (nt, h, w) = (4, 4, 5)
+    val arr = NDArray.tabulate(Seq(nt, h, w))(idx =>
+      ((idx(0) * idx(0) * 7 + idx(1) * 5 + idx(2) * 3) % 29).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("TYX"))
+    val uri = s"/tmp/graft_b47_${java.util.UUID.randomUUID()}.avi"
+    img.save(uri)
+    val back = BioSpark.open(spark, uri)
+    val win = Window.orderBy(col("t"))
+    back.planes
+      .withColumn("prev", lag(col("pixels"), 1).over(win))
+      .filter(col("prev").isNotNull)
+      .withColumn("d", zip_with(col("pixels"), col("prev"),
+        (a, b) => abs(a - b)))
+      .select(col("t").cast("long").as("t"),
+        aggregate(col("d"), lit(0.0d), (acc, v) => acc + v).as("sum_abs"),
+        array_max(col("d")).as("max_abs"))
+      .withColumn("is_cut", col("sum_abs") > lit(h * w * 8.0d))
+      .orderBy(col("t"))
+  }
+
+  val b47Oracle: String =
+    """WITH px AS (SELECT t, y, x,
+      |    CAST((t*t*7 + y*5 + x*3) % 29 AS DOUBLE) AS v
+      |  FROM range(4) a(t), range(4) b(y), range(5) c(x)),
+      |d AS (SELECT cur.t, sum(abs(cur.v - prev.v)) AS sum_abs,
+      |    max(abs(cur.v - prev.v)) AS max_abs
+      |  FROM px cur JOIN px prev ON prev.t = cur.t - 1
+      |    AND prev.y = cur.y AND prev.x = cur.x
+      |  GROUP BY cur.t)
+      |SELECT t, sum_abs, max_abs, sum_abs > 160.0 AS is_cut
+      |FROM d ORDER BY t""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1736,6 +1780,7 @@ object BioQueries {
     "b44_tar_shard" -> b44TarShard,
     "b45_sharded_export" -> b45ShardedExport,
     "b46_avi_timeseries" -> b46AviTimeseries,
+    "b47_avi_motion" -> b47AviMotion,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1785,5 +1830,6 @@ object BioQueries {
     "b44_tar_shard" -> b44Oracle,
     "b45_sharded_export" -> b45Oracle,
     "b46_avi_timeseries" -> b46Oracle,
+    "b47_avi_motion" -> b47Oracle,
   )
 }

@@ -1897,6 +1897,48 @@ object TextOps {
       |   AS alloc
       |FROM r ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q153
+  /** Inverted-index SEGMENT MERGE — the maintenance tier q105's
+    * Scaladoc promises ("gap lists concatenate across segments after
+    * one boundary fix-up") and every Lucene-style index lives by:
+    * postings build PER SEGMENT (disjoint doc-id ranges — here the
+    * id-space halves around max/2; in production, arrival batches),
+    * and the merged index comes from CONCATENATING each token's
+    * segment lists in segment order — segment-local sorts only, never
+    * a global re-sort (the flatten of segment-ordered lists IS the
+    * merge; the delta-gap re-encode is one in-row fold). The oracle is
+    * q105's direct full rebuild, so the hash gate itself proves
+    * merge ≡ rebuild — the q139 incremental-maintenance proof shape,
+    * applied to retrieval. */
+  val q153SegmentMerge: Q = (spark, dir) => {
+    val d = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(words)).as("token"))
+    val mid = d.agg((max(col("doc_id")) / 2).cast("long").as("mid"))
+    val seg = d.crossJoin(broadcast(mid))
+      .withColumn("seg", (col("doc_id") > col("mid")).cast("int"))
+      .groupBy(col("token"), col("seg"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ps"))
+    val merged = seg.groupBy(col("token"))
+      .agg(sort_array(collect_list(struct(col("seg"), col("ps"))))
+        .as("segs"))
+      .withColumn("ps", flatten(expr("transform(segs, s -> s.ps)")))
+      .filter(size(col("ps")) >= 5)
+    merged.select(col("token"),
+        size(col("ps")).cast("long").as("df"),
+        element_at(col("ps"), 1).as("first_doc"),
+        (element_at(col("ps"), -1) - element_at(col("ps"), 1))
+          .as("gap_span"),
+        aggregate(
+          zip_with(slice(col("ps"), lit(2), size(col("ps")) - 1),
+            slice(col("ps"), lit(1), size(col("ps")) - 1), (a, b) => a - b),
+          lit(0L), (acc, g) => (acc * 31L + g) % 2147483647L)
+          .as("gap_hash"))
+      .orderBy(col("token"))
+  }
+
+  /** Merge must equal rebuild — q105's direct-build oracle verbatim. */
+  val q153Oracle: String = q105Oracle
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1936,6 +1978,7 @@ object TextOps {
     "q137_bpe_merges" -> q137BpeMerges,
     "q138_bpe_apply" -> q138BpeApply,
     "q140_temperature_mix" -> q140TemperatureMix,
+    "q153_segment_merge" -> q153SegmentMerge,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1977,5 +2020,6 @@ object TextOps {
     "q137_bpe_merges" -> q137Oracle,
     "q138_bpe_apply" -> q138Oracle,
     "q140_temperature_mix" -> q140Oracle,
+    "q153_segment_merge" -> q153Oracle,
   )
 }
