@@ -1125,6 +1125,63 @@ object EventOps {
       | TRUE AS within3pct
       |FROM b ORDER BY event_type, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** Last-touch conversion attribution — the marketing-analytics join of
+    * every purchase to the user's most recent NON-purchase touch (click/
+    * view/signup/error) within a 1-hour lookback, credited per channel
+    * with conversion count and attributed revenue; purchases with no
+    * in-window touch land in an explicit "(none)" bucket so the credit
+    * ledger always sums to total conversions. One user-key window does
+    * all the matching: `last(..., ignoreNulls)` over an
+    * unbounded-preceding-to-previous-row frame picks the latest
+    * qualifying touch without any self-join — the classic point-in-time
+    * lookup collapsed into the same single shuffle the sessionize op
+    * pays (ts tie-break on event_id keeps the sequence total-order
+    * deterministic). The two `last` calls share one condition, so both
+    * select the same row; the channel aggregate is over the tiny k+1
+    * space. At 100 TB this is one event-scan + one user-key exchange —
+    * no pairwise purchase×touch blowup at any volume. */
+  val q154Attribution: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchTs = when(col("event_type") =!= "purchase", col("ts_us"))
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .withColumn("touch_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("touch_ts").isNotNull &&
+          col("ts_us") - col("touch_ts") <= 3600000000L, col("touch_type"))
+          .otherwise(lit("(none)")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  val q154Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts)//1000 AS ts_us FROM events),
+      |t AS (SELECT *,
+      |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |      IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+      |  last_value(CASE WHEN event_type <> 'purchase' THEN ts_us END
+      |      IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      |  FROM e)
+      |SELECT CASE WHEN touch_ts IS NOT NULL AND ts_us - touch_ts <= 3600000000
+      |         THEN touch_type ELSE '(none)' END AS channel,
+      | count(*) AS conversions, round(sum(value),2) AS attributed_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -1157,6 +1214,7 @@ object EventOps {
     "q150_tws_mapstate" -> q150TwsMapState,
     "q152_tws_liststate" -> q152TwsListState,
     "q132_funnel_timeout" -> q132FunnelTimeout,
+    "q154_attribution" -> q154Attribution,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1191,5 +1249,6 @@ object EventOps {
     "q150_tws_mapstate" -> q150Oracle,
     "q152_tws_liststate" -> q152Oracle,
     "q132_funnel_timeout" -> q132Oracle,
+    "q154_attribution" -> q154Oracle,
   )
 }

@@ -1803,6 +1803,56 @@ object Relational {
       |  FROM orders)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q155
+  /** CUSUM changepoint detection over the monthly revenue series — the
+    * classic control-chart statistic for "when did the level shift":
+    * cumulative sum of deviations from the series mean, peaking at the
+    * point where the before/after means differ most. All integer: prices
+    * land as floor-cents, and the deviation is cross-multiplied by the
+    * month count (revenue·n − total) instead of subtracting a rounded
+    * mean, so the running sum is exact and the argmax flag is
+    * engine-agnostic. The monthly aggregate is the only data-sized
+    * shuffle; the three window passes run over the ≤ #months rows that
+    * survive it (a series that grows by one row per month is driver-tiny
+    * at any data volume, so the single-partition window is free). */
+  val q155Cusum: Q = (spark, dir) => {
+    val m = t(spark, dir, "orders")
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("month"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("month"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+    val wAll = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("n_months", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("revenue_cents")).over(wAll))
+      .withColumn("cusum",
+        sum(col("revenue_cents") * col("n_months") - col("total")).over(wRun))
+      .withColumn("peak", max(abs(col("cusum"))).over(wAll))
+      .select(col("month"), col("revenue_cents"), col("cusum"),
+        (abs(col("cusum")) === col("peak")).as("is_changepoint"))
+      .orderBy(col("month"))
+  }
+
+  val q155Oracle: String =
+    """WITH m AS (SELECT
+      |    CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+      |    CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |      AS revenue_cents
+      |  FROM orders GROUP BY 1),
+      |s AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS n_months,
+      |    CAST(sum(revenue_cents) OVER () AS BIGINT) AS total FROM m),
+      |c AS (SELECT month, revenue_cents,
+      |    CAST(sum(revenue_cents*n_months - total) OVER (ORDER BY month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cusum
+      |  FROM s)
+      |SELECT month, revenue_cents, cusum,
+      | abs(cusum) = max(abs(cusum)) OVER () AS is_changepoint
+      |FROM c ORDER BY month""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1853,6 +1903,7 @@ object Relational {
     "q144_rank_family" -> q144RankFamily,
     "q147_quality_checks" -> q147QualityChecks,
     "q151_time_travel" -> q151TimeTravel,
+    "q155_cusum" -> q155Cusum,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1905,5 +1956,6 @@ object Relational {
     "q144_rank_family" -> q144Oracle,
     "q147_quality_checks" -> q147Oracle,
     "q151_time_travel" -> q151Oracle,
+    "q155_cusum" -> q155Oracle,
   )
 }
