@@ -1733,6 +1733,62 @@ object BioQueries {
       |SELECT t, sum_abs, max_abs, sum_abs > 160.0 AS is_cut
       |FROM d ORDER BY t""".stripMargin
 
+  // ---------------------------------------------------------------- b48
+  /** E12 preprocessing: BILINEAR plane resize to an arbitrary target
+    * grid — the general form of the 2× mean-pool the pyramid path uses
+    * (reference: bioio's plugins hand planes to ML pipelines that
+    * resize to model input shapes; the 6×8 → 4×5 factors 1.5/1.6 here
+    * exercise true fractional weights). Half-pixel sampling
+    * (align_corners=false, the OpenCV/PIL convention):
+    * src = (dst + 0.5)·S/S' − 0.5, held EXACTLY as the rational
+    * ((2·dst+1)·S − S') / (2·S'), so y0/x0 are integer DIVs, the
+    * fractional weights are integer remainders over denominators
+    * 2H'/2W', and the output is the exact ×(2H'·2W') fixed-point
+    * numerator — bit-identical on any engine, no float interpolation
+    * to diverge. Downsampling keeps all four taps in-bounds, so there
+    * is no clamp branch to mismatch. Per dst pixel the four taps read
+    * straight from the in-row flat pixel array (element_at after one
+    * posexplode of the dst index space) — map-only per plane, the b30
+    * scale shape: only |planes|·H'·W' rows ever move. */
+  val b48BilinearResize: Q = (spark, _) => {
+    val (h, w, dh, dw) = (6, 8, 4, 5)
+    val arr = NDArray.tabulate(Seq(2, h, w))(idx =>
+      ((idx(0) * 7 + idx(1) * 5 + idx(2) * 3) % 23).toDouble)
+    val img = BioSpark.fromArray(spark, arr, Some("CYX"))
+    img.planes
+      .select(col("c").cast("long").as("c"), col("pixels"),
+        posexplode(sequence(lit(0), lit(dh * dw - 1))))
+      .withColumn("y", expr(s"CAST(pos DIV $dw AS BIGINT)"))
+      .withColumn("x", expr(s"CAST(pos % $dw AS BIGINT)"))
+      .withColumn("sy", expr(s"(2*y + 1)*$h - $dh")) // / (2*dh)
+      .withColumn("sx", expr(s"(2*x + 1)*$w - $dw")) // / (2*dw)
+      .withColumn("y0", expr(s"sy DIV ${2 * dh}"))
+      .withColumn("fy", expr(s"sy % ${2 * dh}"))
+      .withColumn("x0", expr(s"sx DIV ${2 * dw}"))
+      .withColumn("fx", expr(s"sx % ${2 * dw}"))
+      .withColumn("p00", expr(s"element_at(pixels, CAST(y0*$w + x0 + 1 AS INT))"))
+      .withColumn("p01", expr(s"element_at(pixels, CAST(y0*$w + x0 + 2 AS INT))"))
+      .withColumn("p10", expr(s"element_at(pixels, CAST((y0+1)*$w + x0 + 1 AS INT))"))
+      .withColumn("p11", expr(s"element_at(pixels, CAST((y0+1)*$w + x0 + 2 AS INT))"))
+      .select(col("c"), col("y"), col("x"),
+        expr(s"CAST((${2 * dh} - fy)*((${2 * dw} - fx)*p00 + fx*p01)" +
+          s" + fy*((${2 * dw} - fx)*p10 + fx*p11) AS BIGINT)").as("v80"))
+      .orderBy(col("c"), col("y"), col("x"))
+  }
+
+  val b48Oracle: String =
+    """WITH d AS (SELECT c, y, x,
+      |    ((2*y+1)*6 - 4) // 8 AS y0, ((2*y+1)*6 - 4) % 8 AS fy,
+      |    ((2*x+1)*8 - 5) // 10 AS x0, ((2*x+1)*8 - 5) % 10 AS fx
+      |  FROM range(2) a(c), range(4) b(y), range(5) e(x))
+      |SELECT c, y, x, CAST(
+      |  (8-fy)*((10-fx)*((c*7 + y0*5 + x0*3) % 23)
+      |        + fx*((c*7 + y0*5 + (x0+1)*3) % 23))
+      | + fy*((10-fx)*((c*7 + (y0+1)*5 + x0*3) % 23)
+      |        + fx*((c*7 + (y0+1)*5 + (x0+1)*3) % 23))
+      | AS BIGINT) AS v80
+      |FROM d ORDER BY c, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1781,6 +1837,7 @@ object BioQueries {
     "b45_sharded_export" -> b45ShardedExport,
     "b46_avi_timeseries" -> b46AviTimeseries,
     "b47_avi_motion" -> b47AviMotion,
+    "b48_bilinear_resize" -> b48BilinearResize,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1831,5 +1888,6 @@ object BioQueries {
     "b45_sharded_export" -> b45Oracle,
     "b46_avi_timeseries" -> b46Oracle,
     "b47_avi_motion" -> b47Oracle,
+    "b48_bilinear_resize" -> b48Oracle,
   )
 }

@@ -1853,6 +1853,43 @@ object Relational {
       | abs(cusum) = max(abs(cusum)) OVER () AS is_changepoint
       |FROM c ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q156
+  /** Partition-skew planning report — the measurement that DECIDES the
+    * q65 salting / AQE-skew-split treatment and the q94 hot-key probe:
+    * per-join-key group sizes reduced to the top-10 heaviest keys, each
+    * with its ×100 integer share of all rows, plus the corpus skew
+    * statistic max·n_keys/total (max group over mean group, ×100 —
+    * 100 = perfectly uniform). One key aggregate is the only data-sized
+    * shuffle; the scalar stats reduce from the per-key table (never the
+    * facts) and attach as a 1-row broadcast, and the top-10 plans as
+    * TakeOrderedAndProject with a key tie-break so the report is
+    * deterministic under ties. At 100 TB this costs what any groupBy
+    * on the join key costs — the report a pipeline runs BEFORE picking
+    * a join strategy. */
+  val q156SkewReport: Q = (spark, dir) => {
+    val g = t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = g.agg(max(col("n")).as("max_n"),
+      count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
+    g.orderBy(col("n").desc, col("key")).limit(10)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("n"),
+        expr("(10000 * n) DIV total").as("pct_x100"),
+        expr("(100 * max_n * n_keys) DIV total").as("skew_x100"))
+      .orderBy(col("n").desc, col("key"))
+  }
+
+  val q156Oracle: String =
+    """WITH g AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |s AS (SELECT CAST(max(n) AS BIGINT) AS max_n,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(n) AS BIGINT) AS total FROM g)
+      |SELECT key, n, (10000*n)//total AS pct_x100,
+      | (100*max_n*n_keys)//total AS skew_x100
+      |FROM g, s ORDER BY n DESC, key LIMIT 10""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1904,6 +1941,7 @@ object Relational {
     "q147_quality_checks" -> q147QualityChecks,
     "q151_time_travel" -> q151TimeTravel,
     "q155_cusum" -> q155Cusum,
+    "q156_skew_report" -> q156SkewReport,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1957,5 +1995,6 @@ object Relational {
     "q147_quality_checks" -> q147Oracle,
     "q151_time_travel" -> q151Oracle,
     "q155_cusum" -> q155Oracle,
+    "q156_skew_report" -> q156Oracle,
   )
 }
