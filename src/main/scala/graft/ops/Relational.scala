@@ -1867,17 +1867,29 @@ object Relational {
     * on the join key costs — the report a pipeline runs BEFORE picking
     * a join strategy. */
   val q156SkewReport: Q = (spark, dir) => {
+    // Stage the per-key counts ONCE: the top-10 branch and the scalar
+    // stats branch sit under structurally different final aggregates,
+    // which defeats ReuseExchange — unstaged, each branch re-scans the
+    // facts and re-shuffles the key space. The staged table is #keys
+    // rows (compact vs a second fact scan at any volume) and is
+    // released before returning, with the 10-row result checkpointed
+    // first so downstream never needs the freed blocks (q101
+    // discipline).
     val g = t(spark, dir, "lineitem")
       .groupBy(col("l_partkey").as("key"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val stats = g.agg(max(col("n")).as("max_n"),
       count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
-    g.orderBy(col("n").desc, col("key")).limit(10)
+    val out = g.orderBy(col("n").desc, col("key")).limit(10)
       .crossJoin(broadcast(stats))
       .select(col("key"), col("n"),
         expr("(10000 * n) DIV total").as("pct_x100"),
         expr("(100 * max_n * n_keys) DIV total").as("skew_x100"))
       .orderBy(col("n").desc, col("key"))
+      .localCheckpoint()
+    Checkpoints.release(g)
+    out
   }
 
   val q156Oracle: String =
