@@ -97,6 +97,17 @@ object Bench {
     // tail of stdout, so the end of this line — newest entries, then the
     // total — is the part guaranteed to survive truncation.
     println(f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+    // Historical regression-watch set on its own final line: these keys
+    // sit mid-suite in natural order, so truncation hides them from the
+    // captured tail — repeat them (plus the total) LAST so every round's
+    // record contains the cross-round comparables.
+    val watchKeys = Seq("q17_window_range", "q40_minhash_lsh",
+      "q52_dedup_clusters", "q53_kmeans_centroids", "q76_pagerank",
+      "q93_bloom_prune", "q101_prefix_join", "q135_cdc_chunks")
+    val byName = results.toMap
+    val watch = watchKeys.flatMap(k => byName.get(k).map(v =>
+      "\"" + k + f"""\":$v%.3f""")).mkString("{", ",", "}")
+    println(f"""{"watch":$watch,"total":$total%.3f}""")
     spark.stop()
   }
 }

@@ -1652,8 +1652,8 @@ object BioQueries {
   }
 
   val b45Oracle: String =
-    """SELECT 't0_c' || c || '_z' || z AS sample_key,
-      | 't0_c' || c || '_z' || z AS sidecar,
+    """SELECT 's0_t0_c' || c || '_z' || z AS sample_key,
+      | 's0_t0_c' || c || '_z' || z AS sidecar,
       | CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x,
       | CAST((c*31 + z*17 + y*5 + x*3) % 251 AS DOUBLE) AS v
       |FROM range(2) a(c), range(2) b(z), range(6) d(y), range(5) e(x)

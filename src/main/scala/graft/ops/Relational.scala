@@ -1562,8 +1562,11 @@ object Relational {
           .as("n"),
         round(coalesce(col("bs"), lit(0.0d)) +
           coalesce(col("ds"), lit(0.0d)), 2).as("total"),
-        greatest(coalesce(col("bmx"), lit(0.0d)),
-          coalesce(col("dmx"), lit(0.0d))).as("mx"))
+        // greatest() skips nulls on its own; coalescing each side to a
+        // 0.0 literal would silently floor the merged max at zero for
+        // any group whose true max is negative.
+        coalesce(greatest(col("bmx"), col("dmx")), col("bmx"),
+          col("dmx")).as("mx"))
       .withColumn("avg_price", round(col("total") / col("n"), 2))
       .orderBy(col("o_orderpriority"))
   }

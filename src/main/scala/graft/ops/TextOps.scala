@@ -1671,9 +1671,14 @@ object TextOps {
       expr("split(substring(ws, 2, char_length(ws) - 2), " +
         "'\\\\]\\\\[')").as("syms"))
     .select(col("cnt"), expr(
-      """explode(transform(sequence(1, size(syms) - 1), i ->
-        |  struct(element_at(syms, CAST(i AS INT)) AS a,
-        |         element_at(syms, CAST(i + 1 AS INT)) AS b)))
+      // Guard fully-merged words: a single-symbol row would make
+      // sequence(1, 0) yield the DESCENDING [1, 0] and element_at(syms, 0)
+      // throw — emit an empty pair array instead (explode drops the row,
+      // matching the oracle's empty range(1, 0)).
+      """explode(IF(size(syms) < 2, array(),
+        |  transform(sequence(1, size(syms) - 1), i ->
+        |    struct(element_at(syms, CAST(i AS INT)) AS a,
+        |           element_at(syms, CAST(i + 1 AS INT)) AS b))))
         |""".stripMargin).as("p"))
     .groupBy(col("p.a").as("a"), col("p.b").as("b"))
     .agg(sum(col("cnt")).cast("long").as("cnt"))

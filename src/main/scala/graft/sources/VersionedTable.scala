@@ -41,9 +41,13 @@ object VersionedTable {
     val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0)
     val dataDir = s"$dir/files-v$v"
     df.write.parquet(dataDir)
+    // Manifests record FULLY QUALIFIED paths (scheme + authority):
+    // recording only the path component would lose the bucket/namenode
+    // on s3://... or hdfs://nn/... tables and make time-travel reads
+    // resolve against the default filesystem.
     val newFiles = f.listStatus(new Path(dataDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.getPath)
+      .map(s => f.makeQualified(s.getPath).toString)
     val carried =
       if (carryForward && v > 0) filesOf(spark, dir, v - 1) else Seq.empty
     val all = carried ++ newFiles

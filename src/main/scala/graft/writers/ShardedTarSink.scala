@@ -23,24 +23,44 @@ import graft.formats.TarFormat
   * plugin path. */
 object ShardedTarSink {
 
-  /** `planes` must carry (t, c, z, h, w, pixels); sample key =
-    * "t<t>_c<c>_z<z>". Returns the shard directory. */
+  /** `planes` must carry (t, c, z, h, w, pixels) — plus optionally an
+    * `s` band column, which then joins the sample key (a multi-band
+    * table without it would emit duplicate member names within a shard
+    * and make the reopened scenes ambiguous); sample key =
+    * "[s<s>_]t<t>_c<c>_z<z>". Returns the shard directory. */
   def write(planes: DataFrame, outDir: String, nShards: Int): Unit = {
+    val hasS = planes.columns.contains("s")
+    val sCol = if (hasS) col("s").cast("int") else lit(-1).as("s")
+    // Hadoop Configuration is not java-serializable and Spark's
+    // SerializableConfiguration wrapper is private[spark]; ship the
+    // driver's *resolved* conf (incl. every spark.hadoop.* override —
+    // object-store credentials, endpoints, custom fs impls) as a plain
+    // Map and rebuild it executor-side, so shards land on the
+    // configured filesystem, not the classpath-default one.
+    val confMap: Map[String, String] = {
+      val hc = planes.sparkSession.sparkContext.hadoopConfiguration
+      val it = hc.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     planes
-      .select(col("t").cast("int"), col("c").cast("int"),
+      .select(sCol, col("t").cast("int"), col("c").cast("int"),
         col("z").cast("int"), col("h").cast("int"), col("w").cast("int"),
         col("pixels"))
-      .repartitionByRange(nShards, col("t"), col("c"), col("z"))
-      .sortWithinPartitions(col("t"), col("c"), col("z"))
+      .repartitionByRange(nShards, col("s"), col("t"), col("c"), col("z"))
+      .sortWithinPartitions(col("s"), col("t"), col("c"), col("z"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val members = Seq.newBuilder[TarFormat.Member]
         var any = false
         rows.foreach { r =>
           any = true
-          val (t, c, z) = (r.getInt(0), r.getInt(1), r.getInt(2))
-          val (h, w) = (r.getInt(3), r.getInt(4))
-          val px = r.getSeq[Double](5)
-          val key = s"t${t}_c${c}_z$z"
+          val (s, t, c, z) =
+            (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+          val (h, w) = (r.getInt(4), r.getInt(5))
+          val px = r.getSeq[Double](6)
+          val key =
+            if (s >= 0) s"s${s}_t${t}_c${c}_z$z" else s"t${t}_c${c}_z$z"
           val buf = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
           val raster = buf.getRaster
           var y = 0
@@ -62,11 +82,9 @@ object ShardedTarSink {
         if (any) {
           val pid = TaskContext.getPartitionId()
           val path = new Path(f"$outDir/shard-$pid%05d.tar")
-          // executor-side: a fresh Configuration resolves the scheme's
-          // FileSystem from the classpath defaults (Hadoop Configuration
-          // is not java-serializable, so it can't ride the closure)
-          val fs = FileSystem.get(path.toUri,
-            new org.apache.hadoop.conf.Configuration())
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confMap.foreach { case (k, v) => conf.set(k, v) }
+          val fs = FileSystem.get(path.toUri, conf)
           val out = fs.create(path, true)
           try out.write(TarFormat.build(members.result()))
           finally out.close()
