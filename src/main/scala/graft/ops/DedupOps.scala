@@ -877,6 +877,129 @@ object DedupOps {
       |FROM v WHERE n_inter * 10 >= n_union * 6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Minimum cross-document repeated-span length, in tokens. */
+  val ExactSubstrK = 8
+
+  /** Cross-document EXACT repeated-substring dedup (ExactSubstr) — the
+    * suffix-array pass of "Deduplicating Training Data Makes Language
+    * Models Better" re-expressed relationally: find every span of >= K
+    * consecutive tokens that occurs verbatim in two or more DIFFERENT
+    * documents, and report each affected document's duplicated-token
+    * coverage (union of all its duplicated spans). Complements
+    * q34/q57/q113 (whole-doc / fixed-chunk / CDC-chunk duplicates) and
+    * q122 (intra-doc repeats only) with the corpus-level overlapping-
+    * span mode.
+    *
+    * Key identity: a maximal repeated span of length L >= K contains
+    * exactly L-K+1 duplicated K-token windows whose union is the full
+    * span — so anchoring on K-token windows and unioning their
+    * intervals reproduces exact span coverage with no suffix array.
+    *
+    * Scale shape (the bounded-candidate discipline): the corpus-wide
+    * pass shuffles ONLY (window-hash, doc_id, pos) — 24 bytes/anchor,
+    * never a token string; the K-token window hashes are built IN-ROW
+    * (each token PolyHashMod-hashed once, windows combined by Horner
+    * mod 2^31-1). Anchors whose hash is shared by >= 2 docs form the
+    * candidate set; only THOSE anchors ever materialize their token
+    * string, for exact (collision-proof) verification via a min/max
+    * doc window per gram. Candidate work is bounded by the true
+    * duplicate volume plus hash collisions — never corpus² — and the
+    * verification step makes the final answer independent of the hash
+    * function (a collision is dropped by the gram check; the DuckDB
+    * oracle recomputes the whole thing gram-first, so the hash-anchored
+    * plan is gated against the semantic ground truth). Interval union
+    * per doc is one ordered window: consecutive anchors i, j overlap
+    * iff j - i < K, so covered = Σ min(K, next_pos - pos). */
+  private[ops] def exactSubstrToks(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= ExactSubstrK)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+
+  /** The hash-anchored candidate set: (h, doc_id, pos) for every anchor
+    * whose K-token window hash is shared by >= 2 distinct documents.
+    * Exposed so the bounded-candidate claim is spec-pinned (candidates
+    * == true duplicated anchors + collisions, never corpus²). */
+  private[ops] def exactSubstrCandidates(toks: DataFrame): DataFrame = {
+    val K = ExactSubstrK
+    val B = 1000003L
+    val P = 2147483647L
+    val th = transform(col("t"), x => graft.functions.PolyHashMod(x))
+    val whs = transform(
+      sequence(lit(0), size(col("t")) - K),
+      i => aggregate(slice(col("th"), i + lit(1), lit(K)), lit(0L),
+        (a, c) => (a * B + c) % P))
+    // posexplode_outer, not posexplode: InferFiltersFromGenerate would
+    // clone the whole in-row hash pipeline into an inferred
+    // size(whs) > 0 filter (the q135 52s trap); _outer is exempt and
+    // identical here (whs has >= 1 element for every surviving doc).
+    val anch = toks
+      .withColumn("th", th).withColumn("whs", whs)
+      .select(col("doc_id"),
+        posexplode_outer(col("whs")).as(Seq("pos", "h")))
+    val dupH = anch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    // no broadcast() hint: the duplicated-hash set is usually tiny
+    // (AQE re-plans this to a broadcast join at runtime) but CAN grow
+    // with corpus redundancy, and a forced broadcast would OOM there.
+    anch.join(dupH, "h")
+  }
+
+  val q157ExactSubstr: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = ExactSubstrK
+    val toks = exactSubstrToks(spark, dir)
+    val cand = exactSubstrCandidates(toks)
+    val withGram = cand.join(toks, "doc_id")
+      .select(col("doc_id"), col("pos"), size(col("t")).as("n"),
+        concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K)))
+          .as("gram"))
+    val wg = Window.partitionBy(col("gram"))
+    val ver = withGram
+      .withColumn("d1", min(col("doc_id")).over(wg))
+      .withColumn("d2", max(col("doc_id")).over(wg))
+      .filter(col("d1") =!= col("d2"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    ver
+      .withColumn("np", lead(col("pos"), 1).over(wd))
+      .select(col("doc_id"), col("n"),
+        when(col("np").isNull, lit(K))
+          .otherwise(least(lit(K), col("np") - col("pos"))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        sum(col("c")).cast("long").as("dup_tokens"))
+      .withColumn("dup_ratio",
+        col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gram-first semantic recomputation — deliberately does NOT mirror
+    * the engine's hash-anchored candidate pruning, so the hash gate
+    * proves the pruned plan equals the ground-truth span coverage. */
+  val q157Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |an AS (SELECT doc_id, len(t) AS n,
+      |    unnest(range(0, len(t) - 7)) AS pos,
+      |    unnest(list_transform(range(0, len(t) - 7),
+      |      i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+      |  FROM d),
+      |v AS (SELECT doc_id, n, pos,
+      |    min(doc_id) OVER (PARTITION BY gram) AS d1,
+      |    max(doc_id) OVER (PARTITION BY gram) AS d2 FROM an),
+      |cov AS (SELECT doc_id, n, pos,
+      |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+      |  FROM v WHERE d1 <> d2)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      | CAST(SUM(CASE WHEN np IS NULL THEN 8
+      |   ELSE LEAST(8, np - pos) END) AS BIGINT) AS dup_tokens,
+      | CAST(SUM(CASE WHEN np IS NULL THEN 8
+      |   ELSE LEAST(8, np - pos) END) AS DOUBLE)
+      |   / CAST(max(n) AS DOUBLE) AS dup_ratio
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -889,6 +1012,7 @@ object DedupOps {
     "q85_minhash_estimate" -> q85MinhashEstimate,
     "q95_incremental_dedup" -> q95IncrementalDedup,
     "q101_prefix_join" -> q101PrefixJoin,
+    "q157_exact_substr" -> q157ExactSubstr,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -903,5 +1027,6 @@ object DedupOps {
     "q85_minhash_estimate" -> q85Oracle,
     "q95_incremental_dedup" -> q95Oracle,
     "q101_prefix_join" -> q101Oracle,
+    "q157_exact_substr" -> q157Oracle,
   )
 }

@@ -36,6 +36,33 @@ class QueriesSmokeSpec extends SparkSpec {
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q157 ExactSubstr: planted cross-doc span covered exactly; " +
+      "candidate set bounded by true duplicated anchors, not corpus²") {
+    val shared = (1 to 10).map(i => s"S$i")
+    val docs = Seq(
+      (0L, ((1 to 5).map(i => s"u$i") ++ shared ++
+        (6 to 10).map(i => s"u$i")).mkString(" ")),
+      (1L, ((1 to 5).map(i => s"v$i") ++ shared ++
+        (6 to 10).map(i => s"v$i")).mkString(" ")),
+      (2L, (1 to 25).map(i => s"c$i").mkString(" ")), // no overlap
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q157spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Bound pin: the 10-token shared span holds exactly 10-K+1 = 3
+    // duplicated 8-token windows per doc → 6 candidate anchors. The
+    // corpus has 3×18 = 54 anchors; a broken prune (corpus² shape)
+    // would surface all of them here.
+    val cand = DedupOps.exactSubstrCandidates(
+      DedupOps.exactSubstrToks(spark, dir))
+    assert(cand.count() == 6L)
+    // Coverage: union of the three 8-windows = the full 10-token span
+    // of each 20-token doc (5 unique + 10 shared + 5 unique).
+    val got = DedupOps.q157ExactSubstr(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got == List((0L, 20L, 10L, 0.5), (1L, 20L, 10L, 0.5)),
+      s"got $got")
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog and then " +
     "runs far away into the deep green forest to hide from every hunter"
 
