@@ -88,6 +88,51 @@ class AsOfJoinSpec extends SparkSpec {
       s"unexpected exchange count $exchanges:\n$finalSection")
   }
 
+  test("pre-bucketed (key)-sorted tables satisfy the declared " +
+      "requirements exchange-free AND sort-free") {
+    val n = 4
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"),
+      (7L, 9L, "d")).toDF("k", "t", "pay")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 9L, 102L),
+      (3L, 1L, 103L)).toDF("rk", "rt", "v")
+    // repartition(n, key) uses the same pmod(murmur3) as bucketBy(n,
+    // key), so each task holds exactly one bucket -> one file per
+    // bucket -> the scan reports both the hash partitioning AND the
+    // (key, time) sort order, and EnsureRequirements plans NOTHING.
+    // Sort-order propagation from sorted buckets moved behind a legacy
+    // flag in Spark 3 (multi-file buckets read concatenated, so the
+    // default stopped trusting it); with one file per bucket it is
+    // sound, and turning it on is what makes the scan satisfy
+    // requiredChildOrdering too — zero exchanges AND zero sorts.
+    spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    left.repartition(n, col("k")).write.mode("overwrite")
+      .bucketBy(n, "k").sortBy("k", "t").saveAsTable("asof_buck_l")
+    right.repartition(n, col("rk")).write.mode("overwrite")
+      .bucketBy(n, "rk").sortBy("rk", "rt").saveAsTable("asof_buck_r")
+    try {
+      val j = AsOfJoin(spark.table("asof_buck_l"),
+        spark.table("asof_buck_r"), "k", "t", "rk", "rt")
+      val got = j.select(col("k"), col("t"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(got == Set((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, -1L),
+        (7L, 9L, -1L)))
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("AsOfJoin "), s"strategy not applied:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of should plan zero exchanges:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"bucketed sorted as-of should plan zero sorts:\n$plan")
+    } finally {
+      spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+      spark.sql("DROP TABLE IF EXISTS asof_buck_l")
+      spark.sql("DROP TABLE IF EXISTS asof_buck_r")
+    }
+  }
+
   test("facade validates column names and the LongType contract") {
     val left = asDf(Seq((1L, 10L)), "k", "t")
     val right = asDf(Seq((1L, 10L)), "rk", "rt")
