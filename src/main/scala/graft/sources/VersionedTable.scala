@@ -36,10 +36,24 @@ object VersionedTable {
     * without it the new version replaces the table's contents. Returns
     * the committed version number. */
   def commit(spark: SparkSession, df: DataFrame, dir: String,
-      carryForward: Boolean = true): Int = {
+      carryForward: Boolean = true): Int =
+    commitAs(spark, df, dir,
+      latestVersion(spark, dir).map(_ + 1).getOrElse(0), carryForward)
+
+  /** Publish `df` as the EXPLICIT version `v` — the raw commit point,
+    * exposed so the two-committer race is deterministically testable.
+    * Each attempt writes its data under a nonce-suffixed directory
+    * (attempts never collide on the filesystem before the real race),
+    * then the manifest rename decides: Hadoop `rename` refuses an
+    * existing destination, so of two committers publishing the same
+    * version exactly ONE wins and the loser throws
+    * IllegalStateException. The loser's data directory is left behind
+    * referenced by no manifest — exactly what [[vacuum]] collects. */
+  def commitAs(spark: SparkSession, df: DataFrame, dir: String,
+      v: Int, carryForward: Boolean = true): Int = {
     val f = fs(spark, dir)
-    val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0)
-    val dataDir = s"$dir/files-v$v"
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$dir/files-v$v-$nonce"
     df.write.parquet(dataDir)
     // Manifests record FULLY QUALIFIED paths (scheme + authority):
     // recording only the path component would lose the bucket/namenode
@@ -97,5 +111,56 @@ object VersionedTable {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     spark.read.parquet(filesOf(spark, dir, v): _*)
+  }
+
+  /** Retention-based VACUUM: keep the newest `keep` published versions
+    * serveable and reclaim everything else — the operation the r10
+    * audit spec only *discovered* candidates for. Deletes (a) every
+    * data file referenced by none of the retained manifests (covers
+    * superseded snapshots AND lost-race / crashed-commit orphan
+    * directories, which no manifest ever referenced), (b) data
+    * directories left with no referenced files (removes _SUCCESS and
+    * friends), and (c) the retired manifests themselves, so a
+    * time-travel read below the horizon fails loudly ("version does
+    * not exist") instead of surfacing a file-not-found mid-scan.
+    * Reference comparison is on fully-qualified paths, so manifests
+    * written before path qualification still count. Returns the
+    * deleted data-file paths. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"vacuum must keep at least one version, got $keep")
+    val f = fs(spark, dir)
+    latestVersion(spark, dir) match {
+      case None => Seq.empty
+      case Some(latest) =>
+        val cutoff = math.max(0, latest - keep + 1)
+        val kept = (cutoff to latest)
+          .filter(v => f.exists(new Path(manifestDir(dir), s"$v.txt")))
+        val referenced = kept
+          .flatMap(v => filesOf(spark, dir, v))
+          .map(p => f.makeQualified(new Path(p)).toString).toSet
+        val dataDirs = f.listStatus(new Path(dir)).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("files-v"))
+        val deleted = Seq.newBuilder[String]
+        dataDirs.foreach { d =>
+          val files = f.listStatus(d.getPath).toSeq.filter(_.isFile)
+          val (live, dead) = files.partition(s =>
+            referenced.contains(f.makeQualified(s.getPath).toString))
+          if (live.isEmpty) {
+            // nothing referenced in this dir: drop it whole
+            dead.foreach(s => deleted += f.makeQualified(s.getPath).toString)
+            f.delete(d.getPath, true)
+          } else dead.filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { s =>
+              deleted += f.makeQualified(s.getPath).toString
+              f.delete(s.getPath, false)
+            }
+        }
+        f.listStatus(manifestDir(dir)).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.matches("\\d+\\.txt") &&
+            p.getName.stripSuffix(".txt").toInt < cutoff)
+          .foreach(p => f.delete(p, false))
+        deleted.result().filter(_.endsWith(".parquet"))
+    }
   }
 }

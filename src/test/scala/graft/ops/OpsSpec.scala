@@ -1137,7 +1137,9 @@ class DedupSpec extends SparkSpec {
         .map(_.getAbsolutePath).toSet
     }
     def referenced(versions: Seq[Int]): Set[String] =
-      versions.flatMap(v => VersionedTable.filesOf(spark, base, v)).toSet
+      versions.flatMap(v => VersionedTable.filesOf(spark, base, v))
+        .map(p => new java.net.URI(p).getPath).toSet // manifests hold
+        // fully-qualified paths; compare on the path component
     assert(allDataFiles().diff(referenced(Seq(0, 1, 2))).isEmpty,
       "no orphans while every manifest is live")
     val orphansAfterRetire = allDataFiles().diff(referenced(Seq(2)))
@@ -1146,6 +1148,64 @@ class DedupSpec extends SparkSpec {
     orphansAfterRetire.foreach(p => new java.io.File(p).delete())
     assert(VersionedTable.read(spark, base, Some(2)).count() == 50,
       "vacuum of orphans must not break the live snapshot")
+  }
+
+  test("versioned table: two committers publishing the same version — " +
+      "exactly one wins the rename, the loser throws, the table keeps " +
+      "serving the winner") {
+    import graft.sources.VersionedTable
+    val base = s"/tmp/graft_vtrace_${java.util.UUID.randomUUID()}"
+    val winner = spark.range(0, 40).toDF("id")
+    val loser = spark.range(1000, 1010).toDF("id")
+    assert(VersionedTable.commitAs(spark, winner, base, 0,
+      carryForward = false) == 0)
+    // same explicit version: the loser's data lands under its own
+    // nonce dir, then its manifest rename hits the existing 0.txt
+    intercept[IllegalStateException] {
+      VersionedTable.commitAs(spark, loser, base, 0, carryForward = false)
+    }
+    assert(VersionedTable.latestVersion(spark, base).contains(0))
+    assert(VersionedTable.read(spark, base).count() == 40,
+      "table must keep serving the winner's snapshot")
+    // the loser's orphaned data dir is vacuum's problem, not a reader's
+    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1)
+    assert(reclaimed.nonEmpty, "vacuum must reclaim the lost commit")
+    assert(VersionedTable.read(spark, base).count() == 40)
+  }
+
+  test("versioned table vacuum: retained versions all serve after the " +
+      "reclaim, carried-forward files survive via any live reference, " +
+      "below-horizon reads fail loudly, numbering continues") {
+    import graft.sources.VersionedTable
+    val base = s"/tmp/graft_vtvac_${java.util.UUID.randomUUID()}"
+    val a = spark.range(0, 100).toDF("id")
+    val b = spark.range(100, 150).toDF("id")
+    VersionedTable.commit(spark, a, base) // v0
+    VersionedTable.commit(spark, b, base, carryForward = true) // v1 = a+b
+    VersionedTable.commit(spark, b, base, carryForward = false) // v2 = b
+    // keep=2 retains v1, v2; v0's files are still referenced by v1's
+    // carry-forward manifest, so NOTHING is deletable yet
+    assert(VersionedTable.vacuum(spark, base, keep = 2).isEmpty,
+      "carried-forward files are live while any retainer references them")
+    assert(VersionedTable.read(spark, base, Some(1)).count() == 150)
+    assert(VersionedTable.read(spark, base, Some(2)).count() == 50)
+    intercept[IllegalArgumentException] { // v0's manifest is retired
+      VersionedTable.read(spark, base, Some(0))
+    }
+    // keep=1 retains only v2 (fresh snapshot): v0+v1 files reclaim
+    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1)
+    assert(reclaimed.nonEmpty)
+    reclaimed.foreach(p => assert(
+      !new java.io.File(new java.net.URI(p).getPath).exists(),
+      s"$p should be gone"))
+    assert(VersionedTable.read(spark, base).count() == 50,
+      "the retained snapshot serves after vacuum")
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, base, Some(1))
+    }
+    assert(VersionedTable.commit(spark, a, base) == 3,
+      "version numbering continues past vacuumed history")
+    assert(VersionedTable.read(spark, base).count() == 150)
   }
 
   test("q126 dynamic overwrite: only delta partitions are replaced " +
