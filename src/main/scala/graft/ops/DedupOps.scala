@@ -51,7 +51,16 @@ object DedupOps {
   /** q39's pair pipeline without the presentation sort — shared by q52's
     * clustering, which feeds the pairs into further shuffling ops where a
     * sort would be a wasted exchange. */
-  def jaccardPairsCore(spark: SparkSession, dir: String): DataFrame = {
+  def jaccardPairsCore(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsCore(spark, dir, JaccardDfCap)
+
+  /** `dfCap` is the grow-with-N knob: raising it admits more boilerplate
+    * shingles into candidate discovery, which can only ADD pairs (the
+    * denominator uses pre-cap counts), so pairs(cap) ⊆ pairs(2·cap) with
+    * identical Jaccard on the shared pairs — spec-pinned at both
+    * operating points. */
+  def jaccardPairsCore(spark: SparkSession, dir: String,
+      dfCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The word-count pre-filter is equivalent to "has shingles" but cheap
     // in the scan; explode_outer (not explode) prevents the optimizer from
@@ -67,7 +76,7 @@ object DedupOps {
     val ex = d.select(col("doc_id"), size(col("sh")).as("n"),
         explode_outer(col("sh")).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= JaccardDfCap)
+      .filter(col("df") <= dfCap)
       .select(col("doc_id"), col("s"), col("n"))
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -784,11 +784,19 @@ object SimilarityOps {
     * id as tiebreak; only the emitted value is rounded. Vectors alone
     * in their bucket have no candidates and are absent, exactly as in
     * a production ANN-graph build at this nlist/nprobe tier. */
-  val q92KnnGraph: Q = (spark, dir) => {
+  val q92KnnGraph: Q = (spark, dir) => knnGraphCore(spark, dir, nPlanes = 8)
+
+  /** `nPlanes` is the bucket-width knob: hyperplane p depends only on p,
+    * so an nPlanes-bit signature is a PREFIX of any wider one — halving
+    * nPlanes coarsens every bucket into a superset, the candidate pair
+    * set grows monotonically, and per-node best-neighbor cosine can only
+    * improve (the recall floor) — spec-pinned at 8 vs 4 planes. */
+  def knnGraphCore(spark: SparkSession, dir: String,
+      nPlanes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), 8).as("bucket"))
+        lshBucket(col("embedding"), nPlanes).as("bucket"))
       .repartition(col("bucket"))
     val w = Window.partitionBy(col("node"))
       .orderBy(col("cos").desc, col("nbr"))
@@ -838,9 +846,14 @@ object SimilarityOps {
     *
     * Output: per-cluster vector count, pruned count, and the id-sum of
     * the kept set (the membership checksum). */
-  val q111SemDedup: Q = (spark, dir) => {
+  val q111SemDedup: Q = (spark, dir) => semDedupCore(spark, dir, k = 16)
+
+  /** `k` is the grow-with-N knob (k ≈ √N): at any k the assignment is a
+    * PARTITION of the corpus (each vector lands in exactly one cluster)
+    * — spec-pinned at k=16 and k=32. */
+  def semDedupCore(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val cents = kmeansTrain(e, k = 16, iters = 2)
+    val cents = kmeansTrain(e, k = k, iters = 2)
     val q = e.select(col("vec_id"), kmeansQuantize(col("embedding")).as("emb"))
     val centsArr = cents.agg(
       array_sort(collect_list(struct(col("cent_id"), col("c")))).as("cents"))

@@ -63,6 +63,54 @@ class DedupSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("grow-with-N: doubling q39's df cap only ADDS pairs, and shared " +
+      "pairs keep bit-identical Jaccard (cap prunes discovery, never " +
+      "the denominator)") {
+    def pairs(cap: Int): Map[(Long, Long), Double] =
+      DedupOps.jaccardPairsCore(spark, sf, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val p20 = pairs(20)
+    val p40 = pairs(40)
+    assert(p20.nonEmpty, "cap=20 finds no pairs — test is vacuous")
+    assert(p20.keySet.subsetOf(p40.keySet),
+      s"cap=40 lost pairs: ${(p20.keySet -- p40.keySet).take(5)}")
+    p20.foreach { case (k, j) =>
+      assert(p40(k) == j, s"pair $k jaccard drifted: $j vs ${p40(k)}")
+    }
+  }
+
+  test("grow-with-N: q111 SemDeDup at k=32 still PARTITIONS the corpus " +
+      "— every vector in exactly one cluster at both operating points") {
+    val n = graft.Tables(spark, sf, "embeddings").count()
+    for (k <- Seq(16, 32)) {
+      val rows = SimilarityOps.semDedupCore(spark, sf, k).collect()
+      assert(rows.map(_.getAs[Long]("n_vectors")).sum == n,
+        s"k=$k cluster sizes must sum to the corpus ($n)")
+      assert(rows.length <= k, s"k=$k produced ${rows.length} clusters")
+      rows.foreach(r => assert(
+        r.getAs[Long]("n_pruned") <= r.getAs[Long]("n_vectors")))
+    }
+  }
+
+  test("grow-with-N: q92 kNN graph at half the planes (2× bucket " +
+      "width) — prefix signatures make buckets coarsen into supersets: " +
+      "node coverage grows, best-neighbor cosine never degrades") {
+    def best(nPlanes: Int): Map[Long, Double] =
+      SimilarityOps.knnGraphCore(spark, sf, nPlanes)
+        .filter(col("rn") === 1L).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Double]("cos_sim"))
+        .toMap
+    val g8 = best(8)
+    val g4 = best(4)
+    assert(g8.nonEmpty, "8-plane graph empty — test is vacuous")
+    assert(g8.keySet.subsetOf(g4.keySet),
+      s"coarser buckets lost nodes: ${(g8.keySet -- g4.keySet).take(5)}")
+    g8.foreach { case (node, c8) =>
+      assert(g4(node) >= c8,
+        s"node $node recall degraded: ${g4(node)} < $c8")
+    }
+  }
+
   private val base = "the quick brown fox jumps over the lazy dog and then " +
     "runs far away into the deep green forest to hide from every hunter"
 
