@@ -1905,6 +1905,66 @@ object Relational {
       | (100*max_n*n_keys)//total AS skew_x100
       |FROM g, s ORDER BY n DESC, key LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** Land the q158 star as ANALYZEd catalog tables (row counts + column
+    * NDV/min/max histograms-less stats) — the input the cost-based
+    * optimizer needs; raw parquet paths carry only sizeInBytes, which
+    * disables join reorder entirely. Re-landing is skipped when the
+    * session has already staged this sfDir. */
+  private def cboStarTables(spark: SparkSession, dir: String): Unit = {
+    if (spark.conf.getOption("graft.cbo.star.dir").contains(dir)) return
+    // external tables under a session-unique path: a prior JVM's
+    // warehouse leftovers can't collide with this catalog's entries
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cbo_" +
+      spark.sparkContext.applicationId
+    Seq("lineitem", "part", "supplier", "nation").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cbo_$t")
+      Tables(spark, dir, t).write.mode("overwrite")
+        .option("path", s"$base/$t")
+        .saveAsTable(s"graft_cbo_$t")
+      spark.sql(
+        s"ANALYZE TABLE graft_cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    spark.conf.set("graft.cbo.star.dir", dir)
+  }
+
+  /** Cost-based join-order evidence — the one Catalyst tier (CBO) the
+    * suite's AQE-plus-broadcast discipline never exercised. The query
+    * is written in an ADVERSARIAL syntax order: the fact chains through
+    * the wide dims (supplier, nation) first and meets the selective
+    * brand-filtered part dim LAST. With cbo + joinReorder on and column
+    * stats in the catalog, Catalyst's DP reorder moves the part join
+    * innermost (filter-first: the fact shrinks ~20× before the wide
+    * chain) — the leaf order of the optimized plan is spec-pinned
+    * against both the syntax order and the cbo-off plan (CboSpec). At
+    * 100 TB this is the difference between shuffling the full fact
+    * through two dim joins and shuffling 5% of it. */
+  val q158CboStar: Q = (spark, dir) => {
+    cboStarTables(spark, dir)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val l = spark.table("graft_cbo_lineitem")
+    val s = spark.table("graft_cbo_supplier")
+    val n = spark.table("graft_cbo_nation")
+    val p = spark.table("graft_cbo_part")
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(p.filter(col("p_brand") === "Brand#4"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy(col("n_name"))
+  }
+
+  val q158Oracle: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+      | round(sum(l_extendedprice), 2) AS total
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -1957,6 +2017,7 @@ object Relational {
     "q151_time_travel" -> q151TimeTravel,
     "q155_cusum" -> q155Cusum,
     "q156_skew_report" -> q156SkewReport,
+    "q158_cbo_star" -> q158CboStar,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2011,5 +2072,6 @@ object Relational {
     "q151_time_travel" -> q151Oracle,
     "q155_cusum" -> q155Oracle,
     "q156_skew_report" -> q156Oracle,
+    "q158_cbo_star" -> q158Oracle,
   )
 }
