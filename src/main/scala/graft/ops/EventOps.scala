@@ -897,6 +897,50 @@ object EventOps {
       |  AND s.signup_us//1000 + 1800000 <= wm_ms
       |ORDER BY s.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** Processing-time timers (StreamOps.IdleFlushProcessor): the
+    * idle-key flush — each user's totals accumulate in ValueState and
+    * flush when WALL-CLOCK time passes their re-armed deadline with no
+    * further events, the one timer mode q132's event-time surface
+    * leaves untouched. Driven through the timer-stream MemoryStream
+    * harness (StreamOps.runTimerStream): the engine's own wall-clock
+    * batches fire the armed timers (a ProcessingTime query never
+    * quiesces — that perpetual batch loop IS the mode's semantics),
+    * and the drain converges when every input key has flushed, a bound
+    * computed from the INPUT. Wall-clock decides only WHEN each key
+    * flushes; the flushed totals are pure event data, which is what
+    * makes a processing-time operator oracle-checkable at all.
+    * Provider-parameterized so the spec can pin RocksDB ≡ HDFS store
+    * parity; the declared entry runs RocksDB. */
+  def idleFlushCore(spark: SparkSession, dir: String,
+      provider: Option[String]): DataFrame = {
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    val name = "q159_mem_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    // MemoryStream feeds from the driver: the harness's clock driver,
+    // not the deployment shape (a real deployment reads kafka and the
+    // idle gaps are real time passing)
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect()
+      .map { case (u, v) => StreamOps.IdleEvent(u, v) }.toSeq
+    val nKeys = evs.iterator.map(_.user_id).toSet.size.toLong
+    StreamOps.runTimerStream(spark, evs, nKeys,
+      (df: org.apache.spark.sql.DataFrame) => StreamOps.idleFlush(spark, df),
+      name, stateStoreProvider = provider)
+      .select(col("user_id"), col("n_events"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q159IdleFlush: Q = (spark, dir) =>
+    idleFlushCore(spark, dir, Some(graft.streaming.StreamOps.RocksDBProvider))
+
+  val q159Oracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   /** Time-decayed engagement scoring — the recency-weighted feature
     * every ranking/retention model wants, in the only form that is
@@ -1214,6 +1258,7 @@ object EventOps {
     "q150_tws_mapstate" -> q150TwsMapState,
     "q152_tws_liststate" -> q152TwsListState,
     "q132_funnel_timeout" -> q132FunnelTimeout,
+    "q159_idle_flush" -> q159IdleFlush,
     "q154_attribution" -> q154Attribution,
   )
 
@@ -1249,6 +1294,7 @@ object EventOps {
     "q150_tws_mapstate" -> q150Oracle,
     "q152_tws_liststate" -> q152Oracle,
     "q132_funnel_timeout" -> q132Oracle,
+    "q159_idle_flush" -> q159Oracle,
     "q154_attribution" -> q154Oracle,
   )
 }

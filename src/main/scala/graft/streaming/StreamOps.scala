@@ -199,6 +199,72 @@ object StreamOps {
       .toDF()
   }
 
+  /** Input/state/output rows of the processing-time idle-key flusher. */
+  case class IdleEvent(user_id: Long, value: Double)
+  case class IdleState(n: Long, cents: Long, timerMs: Long)
+  case class IdleOut(user_id: Long, n_events: Long, cents: Long)
+
+  /** PROCESSING-TIME TIMERS through `transformWithState` — the timer
+    * mode q132's event-time timers leave untouched, and the only
+    * correct tool for the idle-key flush: a key whose source goes
+    * silent sees NO event to advance any watermark past it, but its
+    * wall-clock timer fires regardless — the session-flush/cache-evict
+    * primitive of a continuous deployment. Every input batch folds the
+    * key's events into three scalars and re-arms a wall-clock timer
+    * one tick past the batch's processing time (deleteTimer +
+    * registerTimer); when a later batch's processing time passes the
+    * deadline with no new events having re-armed it, the timer fires,
+    * the accumulated totals flush, and the state CLEARS — idle keys
+    * cost nothing after their flush, which is what lets 10⁹-key
+    * deployments run this with bounded state. Totals accumulate as
+    * floor(value·100) cents in int64 (the q67 discipline) so the
+    * flushed output is exact and order-independent — wall-clock time
+    * decides only WHEN a flush happens, never WHAT it contains (the
+    * oracle-determinism line for a processing-time operator). */
+  class IdleFlushProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, IdleEvent, IdleOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[IdleState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[IdleState]("idle",
+        org.apache.spark.sql.Encoders.product[IdleState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, it: Iterator[IdleEvent],
+        timers: TimerValues): Iterator[IdleOut] = {
+      val cur = if (st.exists()) st.get() else IdleState(0L, 0L, -1L)
+      var n = cur.n
+      var cents = cur.cents
+      it.foreach { e =>
+        n += 1
+        cents += math.floor(e.value * 100).toLong
+      }
+      if (cur.timerMs >= 0L) getHandle.deleteTimer(cur.timerMs)
+      val deadline = timers.getCurrentProcessingTimeInMs() + 1L
+      getHandle.registerTimer(deadline)
+      st.update(IdleState(n, cents, deadline))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[IdleOut] = {
+      val cur = st.get()
+      st.clear()
+      if (cur != null && cur.n > 0L)
+        Iterator.single(IdleOut(uid, cur.n, cur.cents))
+      else Iterator.empty
+    }
+  }
+
+  /** Idle-key flush stream over (user_id, value) rows. */
+  def idleFlush(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.as[IdleEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleFlushProcessor(),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Funnel state carried across micro-batches: first signup time plus
     * running purchase count / cents total after it. */
   case class FunnelState(signupUs: Long, nPurch: Long, cents: Long)
@@ -525,7 +591,53 @@ object StreamOps {
     * after the run. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       outputMode: String = "append",
-      stateStoreProvider: Option[String] = None): DataFrame = {
+      stateStoreProvider: Option[String] = None): DataFrame =
+    drainToMemory(spark, stream, name, outputMode, stateStoreProvider)(
+      _.processAllAvailable())
+
+  /** Drain a [[org.apache.spark.sql.execution.streaming.runtime.MemoryStream]]-driven
+    * PROCESSING-TIME-TIMER stream: feed `data`, then poll the memory
+    * sink until `expectedRows` have flushed, and stop. A
+    * TimeMode.ProcessingTime query NEVER quiesces — its
+    * shouldRunAnotherBatch is unconditionally true, so the engine
+    * keeps scheduling wall-clock batches (which is precisely what
+    * fires idle timers with no data arriving) and
+    * `processAllAvailable` would wait forever. Output-count
+    * convergence is the honest drain definition for this mode: the
+    * expected row count derives from the INPUT (one flush per key),
+    * never from the oracle. A 50 ms trigger paces the empty
+    * timer-firing batches (the default 0 ms trigger spins thousands of
+    * checkpoint-writing batches per minute). */
+  def runTimerStream[A](spark: SparkSession, data: Seq[A],
+      expectedRows: Long, mk: DataFrame => DataFrame, name: String,
+      stateStoreProvider: Option[String] = None)
+      (implicit enc: org.apache.spark.sql.Encoder[A]): DataFrame = {
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[A](enc, spark.sqlContext)
+    drainToMemory(spark, mk(ms.toDS().toDF()), name, "append",
+      stateStoreProvider,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))) { q =>
+      ms.addData(data)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table(name).count() < expectedRows &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(50L)
+        q.exception.foreach(throw _) // surface a dead stream, not a timeout
+      }
+      if (spark.table(name).count() < expectedRows)
+        throw new IllegalStateException(
+          s"timer stream $name flushed ${spark.table(name).count()} of " +
+            s"$expectedRows expected rows within 120s")
+    }
+  }
+
+  private def drainToMemory(spark: SparkSession, stream: DataFrame,
+      name: String, outputMode: String,
+      stateStoreProvider: Option[String],
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+      : DataFrame = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     stateStoreProvider.foreach(spark.conf.set(providerKey, _))
@@ -542,10 +654,11 @@ object StreamOps {
         .format("memory")
         .queryName(name)
         .outputMode(outputMode)
+      trigger.foreach(writer.trigger)
       ckpt.foreach(writer.option("checkpointLocation", _))
       val q = writer.start()
       try {
-        q.processAllAvailable()
+        drive(q)
         Option(q.lastProgress).foreach(lastProgresses.put(name, _))
       } finally q.stop() // never leak a running stream on mid-batch failure
     } finally {

@@ -140,6 +140,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(spark.conf.getOption(providerKey) == before)
   }
 
+  test("q159 processing-time timers: idle-key flush emits each key " +
+      "exactly once with totals equal to the batch aggregate, " +
+      "repeat-run deterministic on RocksDB") {
+    // transformWithState timers NEED multiple column families, which
+    // only RocksDB provides (the HDFS provider refuses with
+    // STATE_STORE_MULTIPLE_COLUMN_FAMILIES) — so the parity pin here
+    // is batch-equivalence + rerun determinism, not cross-provider.
+    import graft.ops.EventOps
+    val rocks = Some(StreamOps.RocksDBProvider)
+    val run1 = EventOps.idleFlushCore(spark, sf, rocks).collect().toSeq
+    val run2 = EventOps.idleFlushCore(spark, sf, rocks).collect().toSeq
+    assert(run1.nonEmpty)
+    assert(run1 == run2, "wall-clock timing must never change WHAT flushes")
+    // exactly-once flush: one row per input key
+    assert(run1.map(_.getLong(0)).distinct.size == run1.size)
+    // the flushed totals are exactly the batch aggregate of the input
+    val batch = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value*100) AS BIGINT)")).as("cents"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run1.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == batch)
+  }
+
   test("RocksDB provider parity on a second state shape: session-window " +
       "aggregation matches the HDFS-backed provider row for row") {
     // session windows keep merge-able per-key window state — a different
