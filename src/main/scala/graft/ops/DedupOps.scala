@@ -956,20 +956,31 @@ object DedupOps {
     anch.join(dupH, "h")
   }
 
-  val q157ExactSubstr: Q = (spark, dir) => {
+  /** Exact-verified cross-doc duplicated anchors: (doc_id, pos, n,
+    * gram) for every anchor whose K-token gram occurs in >= 2 distinct
+    * documents. Shared by q157 (coverage report) and q161 (span
+    * removal). */
+  private[ops] def exactSubstrVerified(toks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = ExactSubstrK
-    val toks = exactSubstrToks(spark, dir)
     val cand = exactSubstrCandidates(toks)
     val withGram = cand.join(toks, "doc_id")
       .select(col("doc_id"), col("pos"), size(col("t")).as("n"),
         concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K)))
           .as("gram"))
     val wg = Window.partitionBy(col("gram"))
-    val ver = withGram
+    withGram
       .withColumn("d1", min(col("doc_id")).over(wg))
       .withColumn("d2", max(col("doc_id")).over(wg))
       .filter(col("d1") =!= col("d2"))
+      .select(col("doc_id"), col("pos"), col("n"), col("gram"))
+  }
+
+  val q157ExactSubstr: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = ExactSubstrK
+    val toks = exactSubstrToks(spark, dir)
+    val ver = exactSubstrVerified(toks)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     ver
       .withColumn("np", lead(col("pos"), 1).over(wd))
@@ -1009,6 +1020,70 @@ object DedupOps {
       |   / CAST(max(n) AS DOUBLE) AS dup_ratio
       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+  /** ExactSubstr span REMOVAL — the operational half of q157's report:
+    * for every cross-doc duplicated K-token gram, the FIRST global
+    * occurrence (lowest doc_id, then lowest pos — the deterministic
+    * keep-first rule, same spirit as q52's keep-lowest-id) is the
+    * keeper; every other occurrence is cut. A token is removed iff
+    * some REMOVED anchor's window covers it (overlap with a keeper
+    * window doesn't save it — the paper's tool cuts all duplicated
+    * bytes except the first occurrence), so removed coverage is the
+    * same interval-union window as q157 restricted to removed anchors.
+    * Output: per affected doc, total / removed / retained token
+    * counts. Scale shape identical to q157 (the keeper argmin is one
+    * more window over the gram partition the verification already
+    * shuffled on). */
+  val q161ExactSubstrRemove: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = ExactSubstrK
+    val toks = exactSubstrToks(spark, dir)
+    val ver = exactSubstrVerified(toks)
+    val wk = Window.partitionBy(col("gram"))
+      .orderBy(col("doc_id"), col("pos"))
+    val removed = ver
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") > 1) // keeper (first global occurrence) survives
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    removed
+      // distinct: two grams can anchor the same (doc, pos)? no — one
+      // gram per pos — but the same pos can only appear once here
+      .withColumn("np", lead(col("pos"), 1).over(wd))
+      .select(col("doc_id"), col("n"),
+        when(col("np").isNull, lit(K))
+          .otherwise(least(lit(K), col("np") - col("pos"))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        sum(col("c")).cast("long").as("n_removed"))
+      .withColumn("n_retained", col("n_tokens") - col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q161Oracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |an AS (SELECT doc_id, len(t) AS n,
+      |    unnest(range(0, len(t) - 7)) AS pos,
+      |    unnest(list_transform(range(0, len(t) - 7),
+      |      i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+      |  FROM d),
+      |v AS (SELECT doc_id, n, pos, gram,
+      |    min(doc_id) OVER (PARTITION BY gram) AS d1,
+      |    max(doc_id) OVER (PARTITION BY gram) AS d2 FROM an),
+      |ver AS (SELECT doc_id, n, pos, gram FROM v WHERE d1 <> d2),
+      |rm AS (SELECT doc_id, n, pos FROM (SELECT doc_id, n, pos,
+      |    row_number() OVER (PARTITION BY gram
+      |      ORDER BY doc_id, pos) AS rk FROM ver) WHERE rk > 1),
+      |cov AS (SELECT doc_id, n, pos,
+      |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+      |  FROM rm)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      | CAST(SUM(CASE WHEN np IS NULL THEN 8
+      |   ELSE LEAST(8, np - pos) END) AS BIGINT) AS n_removed,
+      | CAST(max(n) AS BIGINT) - CAST(SUM(CASE WHEN np IS NULL THEN 8
+      |   ELSE LEAST(8, np - pos) END) AS BIGINT) AS n_retained
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -1022,6 +1097,7 @@ object DedupOps {
     "q95_incremental_dedup" -> q95IncrementalDedup,
     "q101_prefix_join" -> q101PrefixJoin,
     "q157_exact_substr" -> q157ExactSubstr,
+    "q161_exact_substr_remove" -> q161ExactSubstrRemove,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1037,5 +1113,6 @@ object DedupOps {
     "q95_incremental_dedup" -> q95Oracle,
     "q101_prefix_join" -> q101Oracle,
     "q157_exact_substr" -> q157Oracle,
+    "q161_exact_substr_remove" -> q161Oracle,
   )
 }

@@ -941,6 +941,49 @@ object EventOps {
       | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+  /** Mid-January cutover instant (epoch ns): history before it is the
+    * batch side, events at/after it are the stream side. */
+  private val BootCutoverNs = 1705363200000000000L
+
+  /** State bootstrap (StreamOps.BootstrapProcessor): the
+    * lambda-architecture cutover — per-user totals over the
+    * PRE-cutover history are computed in batch and seeded into the
+    * stream's ValueState via `handleInitialState`; the POST-cutover
+    * stream folds on top. Output: every user the stream touches, with
+    * totals spanning history + stream — which the oracle states as the
+    * plain batch aggregate over ALL events restricted to users active
+    * after the cutover, so the hash gate proves the cutover loses and
+    * double-counts nothing (the migration-correctness claim). */
+  val q160StateBootstrap: Q = (spark, dir) => {
+    import graft.streaming.StreamOps
+    val name = "q160_mem_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    val initial = Tables.events(spark, dir)
+      .filter(col("ts") < BootCutoverNs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value*100) AS BIGINT)")).as("cents"))
+    val stream = StreamOps.readEvents(spark, dir)
+      .filter(col("ts") >= BootCutoverNs)
+      .select(col("user_id"), col("value"))
+    StreamOps.runToMemory(spark,
+      StreamOps.bootstrapTotals(spark, stream, initial),
+      name, stateStoreProvider = Some(StreamOps.RocksDBProvider))
+      .select(col("user_id"), col("n_events"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q160Oracle: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value
+      |  FROM events),
+      |active AS (SELECT DISTINCT user_id FROM e
+      |  WHERE ts_ns >= 1705363200000000000)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM e WHERE user_id IN (SELECT user_id FROM active)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q141
   /** Time-decayed engagement scoring — the recency-weighted feature
     * every ranking/retention model wants, in the only form that is
@@ -1259,6 +1302,7 @@ object EventOps {
     "q152_tws_liststate" -> q152TwsListState,
     "q132_funnel_timeout" -> q132FunnelTimeout,
     "q159_idle_flush" -> q159IdleFlush,
+    "q160_state_bootstrap" -> q160StateBootstrap,
     "q154_attribution" -> q154Attribution,
   )
 
@@ -1295,6 +1339,7 @@ object EventOps {
     "q152_tws_liststate" -> q152Oracle,
     "q132_funnel_timeout" -> q132Oracle,
     "q159_idle_flush" -> q159Oracle,
+    "q160_state_bootstrap" -> q160Oracle,
     "q154_attribution" -> q154Oracle,
   )
 }

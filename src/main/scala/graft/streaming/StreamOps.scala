@@ -265,6 +265,63 @@ object StreamOps {
       .toDF()
   }
 
+  /** Initial-state rows / state / output of the bootstrap processor. */
+  case class BootInit(user_id: Long, n: Long, cents: Long)
+  case class BootState(n: Long, cents: Long)
+  case class BootOut(user_id: Long, n_events: Long, cents: Long)
+
+  /** STATE BOOTSTRAP through `StatefulProcessorWithInitialState` — the
+    * state-migration surface none of q67/q132/q150/q152/q159 touch:
+    * a new streaming deployment rarely starts from zero; it inherits
+    * per-key state computed in BATCH over the historical corpus (the
+    * lambda-architecture cutover, or a reprocessing migration between
+    * incompatible state schemas). `handleInitialState` seeds each
+    * key's ValueState from the batch row BEFORE any stream input for
+    * that key arrives; stream batches then fold on top, and every
+    * key touched by the stream emits its RUNNING total (history +
+    * stream) — so the drained output equals the batch aggregate over
+    * the union, which is exactly the cutover-correctness claim this
+    * operator exists to make testable. */
+  class BootstrapProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessorWithInitialState[Long, IdleEvent, BootOut,
+        BootInit] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[BootState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BootState]("boot",
+        org.apache.spark.sql.Encoders.product[BootState], TTLConfig.NONE)
+    override def handleInitialState(uid: Long, s: BootInit,
+        timers: TimerValues): Unit =
+      st.update(BootState(s.n, s.cents))
+    override def handleInputRows(uid: Long, it: Iterator[IdleEvent],
+        timers: TimerValues): Iterator[BootOut] = {
+      val cur = if (st.exists()) st.get() else BootState(0L, 0L)
+      var n = cur.n
+      var cents = cur.cents
+      it.foreach { e =>
+        n += 1
+        cents += math.floor(e.value * 100).toLong
+      }
+      st.update(BootState(n, cents))
+      Iterator.single(BootOut(uid, n, cents))
+    }
+  }
+
+  /** Bootstrap stream: fold (user_id, value) rows on top of
+    * batch-computed initial totals; emits running totals per touched
+    * key. */
+  def bootstrapTotals(spark: SparkSession, stream: DataFrame,
+      initial: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    stream.as[IdleEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new BootstrapProcessor(), TimeMode.None(),
+        OutputMode.Append(), initial.as[BootInit].groupByKey(_.user_id))
+      .toDF()
+  }
+
   /** Funnel state carried across micro-batches: first signup time plus
     * running purchase count / cents total after it. */
   case class FunnelState(signupUs: Long, nPurch: Long, cents: Long)

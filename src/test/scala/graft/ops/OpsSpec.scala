@@ -105,6 +105,70 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q161 span removal: the first global occurrence keeps its span, " +
+      "every other occurrence is cut; keeper-only docs are untouched") {
+    val shared = (1 to 10).map(i => s"S$i")
+    val docs = Seq(
+      (0L, ((1 to 5).map(i => s"u$i") ++ shared ++
+        (6 to 10).map(i => s"u$i")).mkString(" ")), // keeper (lowest id)
+      (1L, ((1 to 5).map(i => s"v$i") ++ shared ++
+        (6 to 10).map(i => s"v$i")).mkString(" ")),
+      (2L, ((1 to 5).map(i => s"w$i") ++ shared ++
+        (6 to 10).map(i => s"w$i")).mkString(" ")),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q161spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.q161ExactSubstrRemove(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // doc 0 holds every gram's first occurrence -> no removed anchors,
+    // absent; docs 1 and 2 lose the whole 10-token span
+    assert(got == List((1L, 20L, 10L, 10L), (2L, 20L, 10L, 10L)),
+      s"got $got")
+  }
+
+  test("q160 state bootstrap: drained stream totals equal the batch " +
+      "aggregate over history+stream; history-only keys emit nothing") {
+    val rows = graft.ops.EventOps.q160StateBootstrap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows.nonEmpty)
+    val cutoff = 1705363200000000000L
+    val e = graft.Tables.events(spark, sf)
+    val active = e.filter(col("ts") >= cutoff)
+      .select(col("user_id")).distinct()
+    val batch = e.join(active, Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value*100) AS BIGINT)")).as("cents"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(rows == batch, "cutover must lose and double-count nothing")
+    // micro-fixture for the key shapes sf0.001 lacks: a history-only
+    // user must NOT emit (state seeded, never touched), a mixed user
+    // folds history+stream, a stream-only user starts from zero
+    val cutMs = 1705363200000L
+    def t(offMs: Long) = new java.sql.Timestamp(cutMs + offMs)
+    val fx = Seq(
+      (1L, t(-60000L), 1L, "view", 1.0, ""), // history-only
+      (2L, t(-60000L), 2L, "view", 2.0, ""), // mixed: history half
+      (3L, t(60000L), 2L, "view", 3.0, ""),  //        stream half
+      (4L, t(60000L), 3L, "view", 4.0, ""),  // stream-only
+      (5L, t(120000L), 3L, "view", 5.0, ""),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // the harness layout is a FILE named events.parquet, not a dir
+    val fdir = java.nio.file.Files.createTempDirectory("q160spec").toString
+    fx.coalesce(1).write.mode("overwrite").parquet(s"$fdir/stage")
+    val part = new java.io.File(s"$fdir/stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$fdir/events.parquet"))
+    val got = graft.ops.EventOps.q160StateBootstrap(spark, fdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(got == List((2L, 2L, 500L), (3L, 2L, 900L)), s"got $got")
+  }
+
   test("grow-with-N: doubling q39's df cap only ADDS pairs, and shared " +
       "pairs keep bit-identical Jaccard (cap prunes discovery, never " +
       "the denominator)") {
