@@ -1965,6 +1965,39 @@ object Relational {
       | JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Lakehouse COMPACTION lifecycle proven content-lossless: orders
+    * lands as a deliberately fragmented 32-file snapshot (the
+    * streaming-fed small-file pathology), `VersionedTable.compact`
+    * rewrites it as a 4-file version, vacuum reclaims the superseded
+    * fragments — and the emitted aggregate runs over the FINAL
+    * compacted table while the oracle aggregates the RAW source, so
+    * the hash gate proves commit → compact → vacuum loses and mutates
+    * nothing. The file-count mechanics (32 → 4, fragments physically
+    * deleted, old version retired loudly) are spec-pinned in OpsSpec;
+    * the scale story is the read side: post-compaction scans schedule
+    * `targetFiles` tasks instead of one per micro-commit. */
+  val q162Compaction: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val base = s"/tmp/graft_q162_${java.util.UUID.randomUUID()}"
+    val orders = Tables(spark, dir, "orders")
+    VersionedTable.commit(spark, orders.repartition(32), base,
+      carryForward = false)
+    VersionedTable.compact(spark, base, targetFiles = 4)
+    VersionedTable.vacuum(spark, base, keep = 1)
+    VersionedTable.read(spark, base)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q162Oracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2018,6 +2051,7 @@ object Relational {
     "q155_cusum" -> q155Cusum,
     "q156_skew_report" -> q156SkewReport,
     "q158_cbo_star" -> q158CboStar,
+    "q162_compaction" -> q162Compaction,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2073,5 +2107,6 @@ object Relational {
     "q155_cusum" -> q155Oracle,
     "q156_skew_report" -> q156Oracle,
     "q158_cbo_star" -> q158Oracle,
+    "q162_compaction" -> q162Oracle,
   )
 }

@@ -813,6 +813,73 @@ object SimilarityOps {
       .orderBy(col("node"), col("rn"))
   }
 
+  // ---------------------------------------------------------------- q163
+  /** Dimension-TRUNCATION retrieval eval (the Matryoshka question):
+    * if queries ran on the first d/2 dimensions instead of all d, how
+    * often does the top-1 neighbor survive? Serving half the vector
+    * halves the ANN index's memory and bandwidth — this measures what
+    * that buys you BEFORE re-embedding anything. Same Σ bucket² shape
+    * as q92 (one bucket join feeds both rankings; the half-prefix is
+    * sliced in-row before the join so full and truncated cosine read
+    * the SAME pair row); agreement emits as pure integers (n_nodes,
+    * n_agree, pct fixed-point) — wall-to-wall engine-exact, no float
+    * leaves the plan. */
+  val q163TruncationEval: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("slice(embedding, 1, size(embedding) div 2)").as("half"),
+        lshBucket(col("embedding"), 8).as("bucket"))
+      .repartition(col("bucket"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("node"), col("b.vec_id").as("nbr"),
+        graft.functions.CosineSimilarity(
+          col("a.embedding"), col("b.embedding")).as("cf"),
+        graft.functions.CosineSimilarity(
+          col("a.half"), col("b.half")).as("ch"))
+    def top1(score: String, out: String) = pairs
+      .withColumn("r", row_number().over(Window.partitionBy(col("node"))
+        .orderBy(col(score).desc, col("nbr"))))
+      .filter(col("r") === 1).select(col("node"), col("nbr").as(out))
+    top1("cf", "nbr_full").join(top1("ch", "nbr_half"), "node")
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(when(col("nbr_full") === col("nbr_half"), 1L)
+          .otherwise(0L)).cast("long").as("n_agree"))
+      .withColumn("agree_pct_x100",
+        expr("(10000 * n_agree) DIV n_nodes"))
+  }
+
+  val q163Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+       |  FROM embeddings),
+       |h AS (SELECT vec_id, emb, emb[1:len(emb)//2] AS half,
+       |    ${bucketSql(8)} AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS node, b.vec_id AS nbr,
+       |  list_inner_product(a.emb, b.emb) /
+       |    (sqrt(list_inner_product(a.emb, a.emb)) *
+       |     sqrt(list_inner_product(b.emb, b.emb))) AS cf,
+       |  list_inner_product(a.half, b.half) /
+       |    (sqrt(list_inner_product(a.half, a.half)) *
+       |     sqrt(list_inner_product(b.half, b.half))) AS ch
+       | FROM h a JOIN h b ON a.bucket = b.bucket
+       |   AND a.vec_id <> b.vec_id),
+       |rf AS (SELECT node, nbr FROM (SELECT node, nbr, row_number()
+       |    OVER (PARTITION BY node ORDER BY cf DESC, nbr) AS r FROM p)
+       |  WHERE r = 1),
+       |rh AS (SELECT node, nbr FROM (SELECT node, nbr, row_number()
+       |    OVER (PARTITION BY node ORDER BY ch DESC, nbr) AS r FROM p)
+       |  WHERE r = 1),
+       |j AS (SELECT rf.node, rf.nbr AS nf, rh.nbr AS nh
+       |  FROM rf JOIN rh USING (node))
+       |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       | CAST(sum(CASE WHEN nf = nh THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_agree,
+       | (10000 * CAST(sum(CASE WHEN nf = nh THEN 1 ELSE 0 END)
+       |   AS BIGINT)) // CAST(count(*) AS BIGINT) AS agree_pct_x100
+       |FROM j""".stripMargin
+
   val q92Oracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |b AS (SELECT vec_id, emb, ${bucketSql(8)} AS bucket FROM e),
@@ -1187,6 +1254,7 @@ object SimilarityOps {
     "q69_sq8_codes" -> q69Sq8,
     "q74_ann_recall" -> q74AnnRecall,
     "q92_knn_graph" -> q92KnnGraph,
+    "q163_truncation_eval" -> q163TruncationEval,
     "q111_semdedup" -> q111SemDedup,
     "q115_hard_negatives" -> q115HardNegatives,
     "q116_cluster_purity" -> q116ClusterPurity,
@@ -1208,6 +1276,7 @@ object SimilarityOps {
     "q69_sq8_codes" -> q69Oracle,
     "q74_ann_recall" -> q74Oracle,
     "q92_knn_graph" -> q92Oracle,
+    "q163_truncation_eval" -> q163Oracle,
     "q111_semdedup" -> q111Oracle,
     "q115_hard_negatives" -> q115Oracle,
     "q116_cluster_purity" -> q116Oracle,

@@ -113,6 +113,21 @@ object VersionedTable {
     spark.read.parquet(filesOf(spark, dir, v): _*)
   }
 
+  /** OPTIMIZE-style COMPACTION: rewrite the current snapshot into
+    * `targetFiles` files and publish the rewrite as a NEW version with
+    * identical content — the small-file remedy every streaming-fed
+    * lakehouse table needs (a thousand 1 MB commits read as a thousand
+    * tasks until compacted; after, as `targetFiles`). Old versions
+    * keep serving untouched (compaction is just another snapshot
+    * commit); [[vacuum]] reclaims the superseded small files once the
+    * retention horizon passes them. Returns the new version. */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Int = {
+    require(targetFiles >= 1,
+      s"compaction needs at least one output file, got $targetFiles")
+    commit(spark, read(spark, dir).repartition(targetFiles), dir,
+      carryForward = false)
+  }
+
   /** Retention-based VACUUM: keep the newest `keep` published versions
     * serveable and reclaim everything else — the operation the r10
     * audit spec only *discovered* candidates for. Deletes (a) every

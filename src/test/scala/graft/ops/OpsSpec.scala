@@ -1362,6 +1362,33 @@ class DedupSpec extends SparkSpec {
     assert(VersionedTable.read(spark, base).count() == 150)
   }
 
+  test("q162 compaction: 32 fragments rewrite to 4 files with " +
+      "identical content, vacuum reclaims every fragment, the retired " +
+      "version fails loudly") {
+    import graft.sources.VersionedTable
+    val base = s"/tmp/graft_q162spec_${java.util.UUID.randomUUID()}"
+    val df = spark.range(0, 1000).toDF("id")
+    VersionedTable.commit(spark, df.repartition(32), base,
+      carryForward = false)
+    assert(VersionedTable.filesOf(spark, base, 0).size == 32)
+    val before = VersionedTable.read(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val v1 = VersionedTable.compact(spark, base, targetFiles = 4)
+    assert(v1 == 1)
+    assert(VersionedTable.filesOf(spark, base, 1).size == 4,
+      "compaction must land exactly targetFiles files")
+    val after = VersionedTable.read(spark, base)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "compaction must be content-lossless")
+    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1)
+    assert(reclaimed.size == 32, s"expected all 32 fragments reclaimed, " +
+      s"got ${reclaimed.size}")
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, base, Some(0))
+    }
+    assert(VersionedTable.read(spark, base).count() == 1000)
+  }
+
   test("q126 dynamic overwrite: only delta partitions are replaced " +
       "(static mode truncates the table), and re-landing the delta is " +
       "idempotent") {
