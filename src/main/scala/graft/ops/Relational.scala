@@ -1998,6 +1998,110 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q164
+  /** Zero-copy CLONE lifecycle: orders commits to table A, A
+    * shallow-clones to B (a manifest referencing A's files — no data
+    * copied, the millisecond fork a 100 TB experiment branch needs),
+    * B appends a delta independently, and the emitted aggregate reads
+    * B's latest snapshot — original + delta — while the oracle
+    * restates it as orders ∪ filtered-orders over the raw source, so
+    * the hash gate proves the borrowed references resolve exactly and
+    * the fork diverged without touching A (A-isolation and the
+    * zero-copy/vacuum-safety mechanics are spec-pinned in OpsSpec). */
+  val q164ShallowClone: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val stamp = java.util.UUID.randomUUID().toString
+    val srcT = s"/tmp/graft_q164a_$stamp"
+    val dstT = s"/tmp/graft_q164b_$stamp"
+    val orders = Tables(spark, dir, "orders")
+    VersionedTable.commit(spark, orders, srcT, carryForward = false)
+    VersionedTable.shallowClone(spark, srcT, dstT)
+    val delta = orders.filter(col("o_orderdate") >= ntz("1997-06-01 00:00:00"))
+    VersionedTable.commit(spark, delta, dstT, carryForward = true)
+    VersionedTable.read(spark, dstT)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q164Oracle: String =
+    """WITH u AS (SELECT o_orderpriority, o_totalprice FROM orders
+      | UNION ALL
+      | SELECT o_orderpriority, o_totalprice FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+      |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q165
+  /** k-anonymity generalization ladder — the privacy audit a corpus
+    * must pass before release, one rung past q86's PII scrub: rows
+    * group by the quasi-identifier (nation, segment, acctbal-band);
+    * groups of >= K publish at full precision (level 1); smaller
+    * groups GENERALIZE — first the band drops (level 2: nation ×
+    * segment), then the nation (level 3: segment); whatever still
+    * can't reach K reports as the suppressed residual (level 4).
+    * Every row lands on exactly one rung, so Σn across levels is the
+    * table — no silent drops. Pure groupBy ladder: each escalation
+    * re-aggregates only the REMAINDER (shrinks geometrically), and
+    * the generalized tiers aggregate pre-counted group rows, not raw
+    * rows — at 100 TB the raw scan happens once. */
+  val q165KAnonymity: Q = (spark, dir) => {
+    val K = 10
+    val g1 = Tables(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ok1 = g1.filter(col("n") >= K)
+      .select(lit(1L).as("lvl"), col("c_nationkey"),
+        col("c_mktsegment"), col("band"), col("n"))
+    val g2 = g1.filter(col("n") < K)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("n")).cast("long").as("n"))
+    val ok2 = g2.filter(col("n") >= K)
+      .select(lit(2L).as("lvl"), col("c_nationkey"),
+        col("c_mktsegment"), lit(-1L).as("band"), col("n"))
+    val g3 = g2.filter(col("n") < K)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).cast("long").as("n"))
+    val ok3 = g3.filter(col("n") >= K)
+      .select(lit(3L).as("lvl"), lit(-1L).as("c_nationkey"),
+        col("c_mktsegment"), lit(-1L).as("band"), col("n"))
+    val dropped = g3.filter(col("n") < K)
+      .select(lit(4L).as("lvl"), lit(-1L).as("c_nationkey"),
+        col("c_mktsegment"), lit(-1L).as("band"), col("n"))
+    ok1.unionByName(ok2).unionByName(ok3).unionByName(dropped)
+      .orderBy(col("lvl"), col("c_nationkey"), col("c_mktsegment"),
+        col("band"))
+  }
+
+  val q165Oracle: String =
+    """WITH c AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal/1000) AS BIGINT) AS band FROM customer),
+      |g1 AS (SELECT c_nationkey, c_mktsegment, band,
+      |    CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2, 3),
+      |e1 AS (SELECT * FROM g1 WHERE n < 10),
+      |g2 AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(sum(n) AS BIGINT) AS n FROM e1 GROUP BY 1, 2),
+      |e2 AS (SELECT * FROM g2 WHERE n < 10),
+      |g3 AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n
+      |  FROM e2 GROUP BY 1)
+      |SELECT * FROM (
+      | SELECT CAST(1 AS BIGINT) AS lvl, c_nationkey, c_mktsegment,
+      |   band, n FROM g1 WHERE n >= 10
+      | UNION ALL
+      | SELECT 2, c_nationkey, c_mktsegment, CAST(-1 AS BIGINT), n
+      | FROM g2 WHERE n >= 10
+      | UNION ALL
+      | SELECT 3, CAST(-1 AS BIGINT), c_mktsegment, CAST(-1 AS BIGINT),
+      |   n FROM g3 WHERE n >= 10
+      | UNION ALL
+      | SELECT 4, CAST(-1 AS BIGINT), c_mktsegment, CAST(-1 AS BIGINT),
+      |   n FROM g3 WHERE n < 10)
+      |ORDER BY lvl, c_nationkey, c_mktsegment, band""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2052,6 +2156,8 @@ object Relational {
     "q156_skew_report" -> q156SkewReport,
     "q158_cbo_star" -> q158CboStar,
     "q162_compaction" -> q162Compaction,
+    "q164_shallow_clone" -> q164ShallowClone,
+    "q165_k_anonymity" -> q165KAnonymity,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2108,5 +2214,7 @@ object Relational {
     "q156_skew_report" -> q156Oracle,
     "q158_cbo_star" -> q158Oracle,
     "q162_compaction" -> q162Oracle,
+    "q164_shallow_clone" -> q164Oracle,
+    "q165_k_anonymity" -> q165Oracle,
   )
 }

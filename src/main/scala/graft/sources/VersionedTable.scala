@@ -64,17 +64,40 @@ object VersionedTable {
       .map(s => f.makeQualified(s.getPath).toString)
     val carried =
       if (carryForward && v > 0) filesOf(spark, dir, v - 1) else Seq.empty
-    val all = carried ++ newFiles
+    publish(f, dir, v, carried ++ newFiles)
+  }
+
+  /** Write + atomically rename a manifest: version `v` exists iff the
+    * rename landed. Shared by [[commitAs]] and [[shallowClone]]. */
+  private def publish(f: FileSystem, dir: String, v: Int,
+      files: Seq[String]): Int = {
     f.mkdirs(manifestDir(dir))
     val tmp = new Path(manifestDir(dir), s".$v.txt.tmp")
     val out = f.create(tmp, true)
-    try out.write((all.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    // the atomic commit point: version N exists iff this rename landed
     if (!f.rename(tmp, new Path(manifestDir(dir), s"$v.txt")))
       throw new IllegalStateException(
         s"versioned commit $v lost the publish race at $dir")
     v
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta's CLONE): publish at `dstDir` a new
+    * version referencing the SOURCE table's current snapshot files —
+    * no byte of data moves, which is how a 100 TB table forks for an
+    * experiment in milliseconds. Fully-qualified manifest paths make
+    * the cross-table reference exact on any filesystem. The clone
+    * diverges independently afterwards (its commits land under its own
+    * dir), and its [[vacuum]] can never reclaim source data: vacuum
+    * sweeps only `files-v*` dirs under its OWN table root, so borrowed
+    * references are structurally out of reach. */
+  def shallowClone(spark: SparkSession, srcDir: String,
+      dstDir: String): Int = {
+    val srcV = latestVersion(spark, srcDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version to clone at $srcDir"))
+    val v = latestVersion(spark, dstDir).map(_ + 1).getOrElse(0)
+    publish(fs(spark, dstDir), dstDir, v, filesOf(spark, srcDir, srcV))
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {

@@ -1389,6 +1389,33 @@ class DedupSpec extends SparkSpec {
     assert(VersionedTable.read(spark, base).count() == 1000)
   }
 
+  test("q164 shallow clone: zero bytes copied, clone commits diverge " +
+      "without touching the source, clone vacuum never reclaims " +
+      "source files") {
+    import graft.sources.VersionedTable
+    val stamp = java.util.UUID.randomUUID().toString
+    val a = s"/tmp/graft_q164spec_a_$stamp"
+    val b = s"/tmp/graft_q164spec_b_$stamp"
+    VersionedTable.commit(spark, spark.range(0, 100).toDF("id"), a,
+      carryForward = false)
+    VersionedTable.shallowClone(spark, a, b)
+    // zero-copy: the clone's root holds ONLY a manifest dir
+    assert(!new java.io.File(b).listFiles()
+      .exists(_.getName.startsWith("files-v")),
+      "clone must not copy any data directory")
+    assert(VersionedTable.read(spark, b).count() == 100)
+    VersionedTable.commit(spark, spark.range(100, 150).toDF("id"), b,
+      carryForward = true)
+    assert(VersionedTable.read(spark, b).count() == 150)
+    assert(VersionedTable.read(spark, a).count() == 100,
+      "the source must not see the clone's commits")
+    // clone-side vacuum sweeps only the clone's own files-v* dirs:
+    // borrowed source references are structurally out of reach
+    VersionedTable.vacuum(spark, b, keep = 1)
+    assert(VersionedTable.read(spark, a).count() == 100)
+    assert(VersionedTable.read(spark, b).count() == 150)
+  }
+
   test("q126 dynamic overwrite: only delta partitions are replaced " +
       "(static mode truncates the table), and re-landing the delta is " +
       "idempotent") {
