@@ -2102,6 +2102,95 @@ object Relational {
       |   n FROM g3 WHERE n < 10)
       |ORDER BY lvl, c_nationkey, c_mktsegment, band""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  /** Row-level CHANGE FEED between snapshots — what an incremental
+    * downstream consumer replays instead of re-reading the table:
+    * orders lands as two overlapping snapshots (v0 = pre-1997,
+    * v1 = 1996-onward, a replace commit), and the feed anti-joins the
+    * two on the snapshot key: rows only in v1 are INSERTs, rows only
+    * in v0 are DELETEs, the 1996 overlap appears in neither. Emitted
+    * as per-(op, priority) rollups; the oracle restates both legs
+    * straight off the raw source filters. Scale shape: two
+    * key-partitioned anti-joins over the two snapshots — never a full
+    * recompute of the consumer's state. */
+  val q166ChangeFeed: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val base = s"/tmp/graft_q166_${java.util.UUID.randomUUID()}"
+    val orders = Tables(spark, dir, "orders")
+    val cut0 = ntz("1997-01-01 00:00:00")
+    val cut1 = ntz("1996-01-01 00:00:00")
+    VersionedTable.commit(spark,
+      orders.filter(col("o_orderdate") < cut0), base, carryForward = false)
+    VersionedTable.commit(spark,
+      orders.filter(col("o_orderdate") >= cut1), base, carryForward = false)
+    val v0 = VersionedTable.read(spark, base, Some(0))
+    val v1 = VersionedTable.read(spark, base, Some(1))
+    def leg(df: DataFrame, op: String): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(lit(op).as("op"), col("o_orderpriority"), col("n"),
+        col("total"))
+    leg(v1.join(v0, Seq("o_orderkey"), "left_anti"), "insert")
+      .unionByName(leg(v0.join(v1, Seq("o_orderkey"), "left_anti"),
+        "delete"))
+      .orderBy(col("op"), col("o_orderpriority"))
+  }
+
+  val q166Oracle: String =
+    """SELECT * FROM (
+      | SELECT 'insert' AS op, o_orderpriority,
+      |   CAST(count(*) AS BIGINT) AS n,
+      |   round(sum(o_totalprice), 2) AS total
+      | FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      | GROUP BY o_orderpriority
+      | UNION ALL
+      | SELECT 'delete', o_orderpriority, CAST(count(*) AS BIGINT),
+      |   round(sum(o_totalprice), 2)
+      | FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      | GROUP BY o_orderpriority)
+      |ORDER BY op, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q167
+  /** CSV + JSON source/sink roundtrip — the two text-serialization
+    * formats E1's parquet/ORC family was still missing, proven
+    * LOSSLESS on the worst column there is: free text (embedded
+    * commas, quotes, anything the corpus carries). documents writes
+    * as RFC-4180 CSV (explicit quote-escape so quoting survives) and
+    * reads back multiLine with the declared schema, then the same
+    * through JSON lines; the final aggregate runs over the
+    * twice-roundtripped frame while the oracle aggregates the RAW
+    * table — any codec mangling anywhere breaks the hash. JSON lines
+    * is also the shape a 100 TB ingest usually ARRIVES in; this pins
+    * the decode path end to end. */
+  val q167CsvJsonRoundtrip: Q = (spark, dir) => {
+    val base = s"/tmp/graft_q167_${java.util.UUID.randomUUID()}"
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    d.write.option("header", "true").option("escape", "\"")
+      .csv(s"$base/csv")
+    val viaCsv = spark.read.schema(d.schema)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(s"$base/csv")
+    viaCsv.write.json(s"$base/json")
+    spark.read.schema(d.schema).json(s"$base/json")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(length(col("text"))).cast("long").as("text_len"),
+        countDistinct(col("lang")).cast("long").as("n_langs"))
+      .orderBy(col("source"))
+  }
+
+  val q167Oracle: String =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(n_chars) AS BIGINT) AS chars,
+      | CAST(sum(length(text)) AS BIGINT) AS text_len,
+      | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2158,6 +2247,8 @@ object Relational {
     "q162_compaction" -> q162Compaction,
     "q164_shallow_clone" -> q164ShallowClone,
     "q165_k_anonymity" -> q165KAnonymity,
+    "q166_change_feed" -> q166ChangeFeed,
+    "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2216,5 +2307,7 @@ object Relational {
     "q162_compaction" -> q162Oracle,
     "q164_shallow_clone" -> q164Oracle,
     "q165_k_anonymity" -> q165Oracle,
+    "q166_change_feed" -> q166Oracle,
+    "q167_csv_json_roundtrip" -> q167Oracle,
   )
 }
