@@ -2046,7 +2046,11 @@ object Relational {
     * table — no silent drops. Pure groupBy ladder: each escalation
     * re-aggregates only the REMAINDER (shrinks geometrically), and
     * the generalized tiers aggregate pre-counted group rows, not raw
-    * rows — at 100 TB the raw scan happens once. */
+    * rows. The level-1 aggregate is localCheckpointed (it is
+    * |QI-groups|-sized, tiny) because FOUR union legs derive from it —
+    * unstaged, Catalyst re-plans the raw customer scan per leg; staged,
+    * the 100 TB scan happens exactly once and the ladder runs on group
+    * rows (q101 stage-lifecycle discipline: released before return). */
   val q165KAnonymity: Q = (spark, dir) => {
     val K = 10
     val g1 = Tables(spark, dir, "customer")
@@ -2054,6 +2058,7 @@ object Relational {
         floor(col("c_acctbal") / 1000).cast("long").as("band"))
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
       .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint()
     val ok1 = g1.filter(col("n") >= K)
       .select(lit(1L).as("lvl"), col("c_nationkey"),
         col("c_mktsegment"), col("band"), col("n"))
@@ -2072,9 +2077,11 @@ object Relational {
     val dropped = g3.filter(col("n") < K)
       .select(lit(4L).as("lvl"), lit(-1L).as("c_nationkey"),
         col("c_mktsegment"), lit(-1L).as("band"), col("n"))
-    ok1.unionByName(ok2).unionByName(ok3).unionByName(dropped)
-      .orderBy(col("lvl"), col("c_nationkey"), col("c_mktsegment"),
-        col("band"))
+    val out = ok1.unionByName(ok2).unionByName(ok3).unionByName(dropped)
+      .localCheckpoint()
+    Checkpoints.release(g1)
+    out.orderBy(col("lvl"), col("c_nationkey"), col("c_mktsegment"),
+      col("band"))
   }
 
   val q165Oracle: String =
