@@ -1944,6 +1944,113 @@ object TextOps {
   /** Merge must equal rebuild — q105's direct-build oracle verbatim. */
   val q153Oracle: String = q105Oracle
 
+  // ---------------------------------------------------------------- q168
+  /** Deterministic BOOTSTRAP confidence interval for a corpus statistic
+    * (mean tokens/doc) — the eval-rigor primitive: a point estimate on
+    * a trillion-token corpus means little without an uncertainty band,
+    * and classic bootstrap resampling is RNG-bound. This is the Poisson
+    * -bootstrap variant with hash-derived weights: resample b draws doc
+    * d with multiplicity mix(d,b) % 3 ∈ {0,1,2} (mean 1 — same first
+    * two moments a Poisson(1) bootstrap uses), where mix is the engine-
+    * agnostic int64 affine hash every sketch here builds on. All 64
+    * resample means compute in ONE corpus pass (the 64-way explode
+    * partial-aggregates map-side to 64 rows per partition before any
+    * shuffle), and the band emits as fixed-point (×10⁶) integer means
+    * at ranks 4/32/61 of 64 — p5 / median / p95, wall-to-wall
+    * engine-exact with zero float anywhere. */
+  val q168BootstrapCi: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val means = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), size(words).cast("long").as("len"))
+      .select(col("doc_id"), col("len"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("w", expr(
+        "((doc_id * 2654435761 + b * 40503) % 2147483647) % 3"))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("len")).cast("long").as("ws"),
+        sum(col("w")).cast("long").as("wn"))
+      .select(col("b"), expr("(1000000 * ws) DIV wn").as("mean_x1e6"))
+    val ranked = means.withColumn("r", row_number().over(
+      Window.orderBy(col("mean_x1e6"), col("b"))))
+    ranked.filter(col("r").isin(4, 32, 61))
+      .select(when(col("r") === 4, "p05").when(col("r") === 32, "p50")
+        .otherwise("p95").as("stat"), col("mean_x1e6"))
+      .orderBy(col("stat"))
+  }
+
+  val q168Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |r AS (SELECT b.b, d.doc_id, d.len,
+      |    ((d.doc_id * 2654435761 + b.b * 40503) % 2147483647) % 3 AS w
+      |  FROM d, (SELECT unnest(range(0, 64)) AS b) b),
+      |m AS (SELECT b, (1000000 * CAST(sum(w * len) AS BIGINT))
+      |    // CAST(sum(w) AS BIGINT) AS mean_x1e6
+      |  FROM r GROUP BY b),
+      |k AS (SELECT mean_x1e6, row_number() OVER (
+      |    ORDER BY mean_x1e6, b) AS rk FROM m)
+      |SELECT CASE rk WHEN 4 THEN 'p05' WHEN 32 THEN 'p50'
+      |  ELSE 'p95' END AS stat, mean_x1e6
+      |FROM k WHERE rk IN (4, 32, 61) ORDER BY stat""".stripMargin
+
+  // ---------------------------------------------------------------- q169
+  /** PADDING-efficiency report — the inference-batching question: fixed
+    * batches of 16 sequences pad every member to the batch max, so
+    * batch composition decides how many FLOPs are wasted on pad
+    * tokens. Two deterministic strategies over the same corpus: arrival
+    * order (doc_id) vs length-bucketed (sort by length first — the
+    * standard bucketed-batching trick). Per strategy: batch id =
+    * (rank-1) DIV 16, padded = 16 × batch max, waste = padded − useful;
+    * the report emits both strategies' totals and fixed-point waste
+    * rates, and the oracle recomputes both orderings independently —
+    * the bucketed row's waste_pct is the measured saving. One scan,
+    * two rank windows, one rollup. */
+  val q169PaddingReport: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.balanced(spark, dir, "documents")
+      .select(col("doc_id"), size(words).cast("long").as("len"))
+    def report(strategy: String, order: Seq[Column]): DataFrame = d
+      .withColumn("rk", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("batch", expr("(rk - 1) DIV 16"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).cast("long").as("bn"),
+        max(col("len")).as("mx"), sum(col("len")).cast("long").as("useful"))
+      .agg(count(lit(1)).cast("long").as("n_batches"),
+        sum(col("bn") * col("mx")).cast("long").as("padded"),
+        sum(col("useful")).cast("long").as("useful"))
+      .select(lit(strategy).as("strategy"), col("n_batches"),
+        col("padded"), col("useful"),
+        expr("(10000 * (padded - useful)) DIV padded").as("waste_pct_x100"))
+    report("arrival", Seq(col("doc_id")))
+      .unionByName(report("bucketed", Seq(col("len"), col("doc_id"))))
+      .orderBy(col("strategy"))
+  }
+
+  val q169Oracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |a AS (SELECT len, (row_number() OVER (ORDER BY doc_id) - 1) // 16
+      |    AS batch FROM d),
+      |ab AS (SELECT batch, CAST(count(*) AS BIGINT) AS bn, max(len) AS mx,
+      |    CAST(sum(len) AS BIGINT) AS useful FROM a GROUP BY batch),
+      |ar AS (SELECT 'arrival' AS strategy,
+      |    CAST(count(*) AS BIGINT) AS n_batches,
+      |    CAST(sum(bn * mx) AS BIGINT) AS padded,
+      |    CAST(sum(useful) AS BIGINT) AS useful FROM ab),
+      |s AS (SELECT len, (row_number() OVER (ORDER BY len, doc_id) - 1)
+      |    // 16 AS batch FROM d),
+      |sb AS (SELECT batch, CAST(count(*) AS BIGINT) AS bn, max(len) AS mx,
+      |    CAST(sum(len) AS BIGINT) AS useful FROM s GROUP BY batch),
+      |sr AS (SELECT 'bucketed', CAST(count(*) AS BIGINT),
+      |    CAST(sum(bn * mx) AS BIGINT), CAST(sum(useful) AS BIGINT)
+      |  FROM sb)
+      |SELECT strategy, n_batches, padded, useful,
+      | (10000 * (padded - useful)) // padded AS waste_pct_x100
+      |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr)
+      |ORDER BY strategy""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -1984,6 +2091,8 @@ object TextOps {
     "q138_bpe_apply" -> q138BpeApply,
     "q140_temperature_mix" -> q140TemperatureMix,
     "q153_segment_merge" -> q153SegmentMerge,
+    "q168_bootstrap_ci" -> q168BootstrapCi,
+    "q169_padding_report" -> q169PaddingReport,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2026,5 +2135,7 @@ object TextOps {
     "q138_bpe_apply" -> q138Oracle,
     "q140_temperature_mix" -> q140Oracle,
     "q153_segment_merge" -> q153Oracle,
+    "q168_bootstrap_ci" -> q168Oracle,
+    "q169_padding_report" -> q169Oracle,
   )
 }
