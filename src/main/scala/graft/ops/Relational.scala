@@ -2198,6 +2198,51 @@ object Relational {
       | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** Additive SCHEMA EVOLUTION across snapshots: v0 lands orders
+    * without a priority flag; v1 carry-forwards v0's files while its
+    * delta adds an `is_urgent` column. The merged-schema read surfaces
+    * the new column as null on pre-evolution files — the lakehouse
+    * evolution contract (no rewrite of history, no reader break) —
+    * and the emitted rollup groups by COALESCEd flag state, so the
+    * oracle can restate exactly which rows predate the evolution.
+    * (Without mergeSchema, Spark samples one footer and can silently
+    * DROP the evolved column — the latent failure this key pins
+    * against.) */
+  val q170SchemaEvolution: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val base = s"/tmp/graft_q170_${java.util.UUID.randomUUID()}"
+    val orders = Tables(spark, dir, "orders")
+    val cut = ntz("1997-01-01 00:00:00")
+    VersionedTable.commit(spark,
+      orders.filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+      base, carryForward = false)
+    VersionedTable.commit(spark,
+      orders.filter(col("o_orderdate") >= cut)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          (col("o_orderpriority") === "1-URGENT").as("is_urgent")),
+      base, carryForward = true)
+    VersionedTable.read(spark, base)
+      .groupBy(coalesce(col("is_urgent").cast("string"),
+        lit("pre_evolution")).as("flag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("flag"))
+  }
+
+  val q170Oracle: String =
+    """SELECT CASE
+      |   WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |     THEN 'pre_evolution'
+      |   WHEN o_orderpriority = '1-URGENT' THEN 'true' ELSE 'false'
+      | END AS flag,
+      | CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY flag""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2256,6 +2301,7 @@ object Relational {
     "q165_k_anonymity" -> q165KAnonymity,
     "q166_change_feed" -> q166ChangeFeed,
     "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
+    "q170_schema_evolution" -> q170SchemaEvolution,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2316,5 +2362,6 @@ object Relational {
     "q165_k_anonymity" -> q165Oracle,
     "q166_change_feed" -> q166Oracle,
     "q167_csv_json_roundtrip" -> q167Oracle,
+    "q170_schema_evolution" -> q170Oracle,
   )
 }

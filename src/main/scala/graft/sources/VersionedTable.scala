@@ -128,12 +128,20 @@ object VersionedTable {
     new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** Snapshot read: `version = None` reads the latest commit. */
+  /** Snapshot read: `version = None` reads the latest commit.
+    * `mergeSchema` is on: a carry-forward commit may WIDEN the schema
+    * (the additive column evolution every long-lived table undergoes),
+    * and Spark's default single-footer sampling would silently drop
+    * the new column when an old file is sampled — with the merge, old
+    * files surface the added columns as nulls, exactly the lakehouse
+    * evolution contract. Cost is one footer read per file at planning,
+    * which the manifest's explicit file list already bounds. */
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-    spark.read.parquet(filesOf(spark, dir, v): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(filesOf(spark, dir, v): _*)
   }
 
   /** OPTIMIZE-style COMPACTION: rewrite the current snapshot into
