@@ -920,33 +920,19 @@ object DedupOps {
     * plan is gated against the semantic ground truth). Interval union
     * per doc is one ordered window: consecutive anchors i, j overlap
     * iff j - i < K, so covered = Σ min(K, next_pos - pos). */
-  private[ops] def exactSubstrToks(spark: SparkSession,
-      dir: String): DataFrame =
+  private[ops] def exactSubstrToks(spark: SparkSession, dir: String,
+      k: Int = ExactSubstrK): DataFrame =
     Tables.balanced(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= ExactSubstrK)
+      .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
 
   /** The hash-anchored candidate set: (h, doc_id, pos) for every anchor
     * whose K-token window hash is shared by >= 2 distinct documents.
     * Exposed so the bounded-candidate claim is spec-pinned (candidates
     * == true duplicated anchors + collisions, never corpus²). */
-  private[ops] def exactSubstrCandidates(toks: DataFrame): DataFrame = {
-    val K = ExactSubstrK
-    val B = 1000003L
-    val P = 2147483647L
-    val th = transform(col("t"), x => graft.functions.PolyHashMod(x))
-    val whs = transform(
-      sequence(lit(0), size(col("t")) - K),
-      i => aggregate(slice(col("th"), i + lit(1), lit(K)), lit(0L),
-        (a, c) => (a * B + c) % P))
-    // posexplode_outer, not posexplode: InferFiltersFromGenerate would
-    // clone the whole in-row hash pipeline into an inferred
-    // size(whs) > 0 filter (the q135 52s trap); _outer is exempt and
-    // identical here (whs has >= 1 element for every surviving doc).
-    val anch = toks
-      .withColumn("th", th).withColumn("whs", whs)
-      .select(col("doc_id"),
-        posexplode_outer(col("whs")).as(Seq("pos", "h")))
+  private[ops] def exactSubstrCandidates(toks: DataFrame,
+      K: Int = ExactSubstrK): DataFrame = {
+    val anch = exactSubstrAnchors(toks, K)
     val dupH = anch.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))
@@ -960,10 +946,10 @@ object DedupOps {
     * gram) for every anchor whose K-token gram occurs in >= 2 distinct
     * documents. Shared by q157 (coverage report) and q161 (span
     * removal). */
-  private[ops] def exactSubstrVerified(toks: DataFrame): DataFrame = {
+  private[ops] def exactSubstrVerified(toks: DataFrame,
+      K: Int = ExactSubstrK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = ExactSubstrK
-    val cand = exactSubstrCandidates(toks)
+    val cand = exactSubstrCandidates(toks, K)
     val withGram = cand.join(toks, "doc_id")
       .select(col("doc_id"), col("pos"), size(col("t")).as("n"),
         concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K)))
@@ -976,11 +962,17 @@ object DedupOps {
       .select(col("doc_id"), col("pos"), col("n"), col("gram"))
   }
 
-  val q157ExactSubstr: Q = (spark, dir) => {
+  val q157ExactSubstr: Q = (spark, dir) => exactSubstrCoverage(spark, dir)
+
+  /** q157's body with the span length exposed — the grow-with-N knob:
+    * a 2K-window duplicate implies every K-window inside it is also a
+    * duplicate, so coverage at 2K is a SUBSET of coverage at K per doc
+    * (spec-pinned at K=8 vs 16). */
+  def exactSubstrCoverage(spark: SparkSession, dir: String,
+      K: Int = ExactSubstrK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = ExactSubstrK
-    val toks = exactSubstrToks(spark, dir)
-    val ver = exactSubstrVerified(toks)
+    val toks = exactSubstrToks(spark, dir, K)
+    val ver = exactSubstrVerified(toks, K)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     ver
       .withColumn("np", lead(col("pos"), 1).over(wd))
@@ -1084,6 +1076,102 @@ object DedupOps {
       |   ELSE LEAST(8, np - pos) END) AS BIGINT) AS n_retained
       |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q171
+  /** INCREMENTAL ExactSubstr — ingest-time span decontamination, the
+    * continuous-pipeline face of q157 (and the span analogue of q95's
+    * whole-doc Bloom gate): an arriving batch (source 'src0') is
+    * screened against the EXISTING corpus for K-token spans the corpus
+    * already contains, BEFORE the batch is admitted. Hash-first
+    * discipline throughout: both sides emit only (hash, doc, pos)
+    * through the wide pass; the candidate hash set is the INTERSECTION
+    * of the two distinct-hash sets (bounded by true overlap +
+    * collisions), and only candidate anchors on either side
+    * materialize token strings for the exact gram semi-join. Coverage
+    * per batch doc is the q157 interval-union window. The oracle
+    * recomputes gram-first, so the pruned plan gates against ground
+    * truth. Corpus-internal duplication is deliberately IGNORED —
+    * admission asks only "does the corpus already have this span". */
+  val q171IncrementalSubstr: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = ExactSubstrK
+    val toks = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= K)
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("t"))
+    val batchToks = toks.filter(col("source") === "src0")
+      .select(col("doc_id"), col("t"))
+    val corpToks = toks.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("t"))
+    val bAnch = exactSubstrAnchors(batchToks, K)
+    val cAnch = exactSubstrAnchors(corpToks, K)
+    val candH = bAnch.select(col("h")).distinct()
+      .join(cAnch.select(col("h")).distinct(), "h")
+    def grams(anch: DataFrame, tk: DataFrame): DataFrame = anch
+      .join(candH, "h").join(tk, "doc_id")
+      .select(col("doc_id"), col("pos"), size(col("t")).as("n"),
+        concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K)))
+          .as("gram"))
+    val verified = grams(bAnch, batchToks)
+      .join(grams(cAnch, corpToks).select(col("gram")).distinct(),
+        Seq("gram"), "left_semi")
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    verified
+      .withColumn("np", lead(col("pos"), 1).over(wd))
+      .select(col("doc_id"), col("n"),
+        when(col("np").isNull, lit(K))
+          .otherwise(least(lit(K), col("np") - col("pos"))).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        sum(col("c")).cast("long").as("contaminated_tokens"))
+      .withColumn("contamination_ratio",
+        col("contaminated_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (hash, doc_id, pos) anchors over a token-array frame — the narrow
+    * wide-pass payload shared by q157's candidates and q171's
+    * two-sided screen. */
+  private def exactSubstrAnchors(toks: DataFrame, K: Int): DataFrame = {
+    val B = 1000003L
+    val P = 2147483647L
+    val th = transform(col("t"), x => graft.functions.PolyHashMod(x))
+    val whs = transform(
+      sequence(lit(0), size(col("t")) - K),
+      i => aggregate(slice(col("th"), i + lit(1), lit(K)), lit(0L),
+        (a, c) => (a * B + c) % P))
+    // posexplode_outer, not posexplode: InferFiltersFromGenerate would
+    // clone the whole in-row hash pipeline into an inferred
+    // size(whs) > 0 filter (the q135 52s trap); _outer is exempt and
+    // identical here (whs has >= 1 element for every surviving doc).
+    toks
+      .withColumn("th", th).withColumn("whs", whs)
+      .select(col("doc_id"),
+        posexplode_outer(col("whs")).as(Seq("pos", "h")))
+  }
+
+  val q171Oracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |an AS (SELECT doc_id, source, len(t) AS n,
+      |    unnest(range(0, len(t) - 7)) AS pos,
+      |    unnest(list_transform(range(0, len(t) - 7),
+      |      i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+      |  FROM d),
+      |cg AS (SELECT DISTINCT gram FROM an WHERE source <> 'src0'),
+      |hit AS (SELECT doc_id, n, pos FROM an WHERE source = 'src0'
+      |  AND gram IN (SELECT gram FROM cg)),
+      |cov AS (SELECT doc_id, n, pos,
+      |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS np
+      |  FROM hit)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+      | CAST(SUM(CASE WHEN np IS NULL THEN 8
+      |   ELSE LEAST(8, np - pos) END) AS BIGINT) AS contaminated_tokens,
+      | CAST(SUM(CASE WHEN np IS NULL THEN 8
+      |   ELSE LEAST(8, np - pos) END) AS DOUBLE)
+      |   / CAST(max(n) AS DOUBLE) AS contamination_ratio
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q39_jaccard_pairs" -> q39JaccardPairs,
     "q40_minhash_lsh" -> q40MinHashLsh,
@@ -1098,6 +1186,7 @@ object DedupOps {
     "q101_prefix_join" -> q101PrefixJoin,
     "q157_exact_substr" -> q157ExactSubstr,
     "q161_exact_substr_remove" -> q161ExactSubstrRemove,
+    "q171_incremental_substr" -> q171IncrementalSubstr,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1114,5 +1203,6 @@ object DedupOps {
     "q101_prefix_join" -> q101Oracle,
     "q157_exact_substr" -> q157Oracle,
     "q161_exact_substr_remove" -> q161Oracle,
+    "q171_incremental_substr" -> q171Oracle,
   )
 }

@@ -105,6 +105,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("grow-with-N: ExactSubstr at 2K — longer spans are a strict " +
+      "subset criterion, so per-doc coverage can only shrink") {
+    val c8 = DedupOps.exactSubstrCoverage(spark, sf, K = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val c16 = DedupOps.exactSubstrCoverage(spark, sf, K = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c8.nonEmpty, "no dup spans at K=8 — test is vacuous")
+    // every doc flagged at K=16 is flagged at K=8 with >= coverage
+    // (a duplicated 16-window contains nine duplicated 8-windows)
+    c16.foreach { case (doc, cov16) =>
+      assert(c8.contains(doc), s"doc $doc flagged only at K=16")
+      assert(c8(doc) >= cov16,
+        s"doc $doc coverage grew with K: ${c8(doc)} < $cov16")
+    }
+  }
+
   test("q161 span removal: the first global occurrence keeps its span, " +
       "every other occurrence is cut; keeper-only docs are untouched") {
     val shared = (1 to 10).map(i => s"S$i")
