@@ -173,6 +173,82 @@ object PolyHashMod {
     ColumnBridge.column(PolyHashMod(ColumnBridge.expression(text)))
 }
 
+/** Rolling K-token window hashes over a token array, in ONE pass: each
+  * token [[PolyHashMod]]-hashed once, windows combined by the base-B
+  * Horner polynomial mod 2^31−1, and each subsequent window derived
+  * from the previous in O(1) — subtract the outgoing token's
+  * B^(K−1)-weighted term, shift, add the incoming token. Total O(len),
+  * replacing ExactSubstr's declarative transform∘aggregate∘slice form,
+  * which re-folded K terms per position (O(len·K)) and materialized a
+  * K-slice array per window. Values are IDENTICAL to the declarative
+  * fold (same B, same per-step mod), so the DuckDB-facing contracts
+  * are untouched; all intermediates stay under 2^62 (operands < 2^31,
+  * B < 2^20).
+  *
+  * CodegenFallback: per-row java loop, same rationale as WordShingles —
+  * the loop IS the optimization; wrapping it in codegen would only
+  * inline the call. */
+final case class WindowPolyHash(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val B = 1000003L
+  private val P = 2147483647L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if k >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"window_poly_hash requires array<string> and k >= 1, got " +
+          s"${child.dataType.catalogString}, k=$k")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val cps = arr.getUTF8String(i).toString.codePoints().toArray
+      var h = 0L
+      var j = 0
+      while (j < cps.length) {
+        h = (h * 31L + cps(j).toLong) % P
+        j += 1
+      }
+      th(i) = h
+      i += 1
+    }
+    var bk = 1L // B^(k-1) mod P
+    i = 0
+    while (i < k - 1) { bk = (bk * B) % P; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var wh = 0L
+    i = 0
+    while (i < k) { wh = (wh * B + th(i)) % P; i += 1 }
+    out(0) = wh
+    i = 1
+    while (i <= n - k) {
+      val sub = (th(i - 1) * bk) % P
+      wh = (((wh - sub + P) % P) * B + th(i + k - 1)) % P
+      out(i) = wh
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WindowPolyHash = copy(child = newChild)
+}
+
+object WindowPolyHash {
+  def apply(tokens: Column, k: Int): Column =
+    ColumnBridge.column(WindowPolyHash(ColumnBridge.expression(tokens), k))
+}
+
 /** SimHash-64 over pre-hashed tokens (Array[Long]): each hash votes ±1
   * per bit; the fingerprint bit is the vote sign. Fully codegen'd — one
   * pass with a local long[64] vote table, replacing 64 separate

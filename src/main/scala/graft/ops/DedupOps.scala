@@ -1132,23 +1132,18 @@ object DedupOps {
   /** (hash, doc_id, pos) anchors over a token-array frame — the narrow
     * wide-pass payload shared by q157's candidates and q171's
     * two-sided screen. */
-  private def exactSubstrAnchors(toks: DataFrame, K: Int): DataFrame = {
-    val B = 1000003L
-    val P = 2147483647L
-    val th = transform(col("t"), x => graft.functions.PolyHashMod(x))
-    val whs = transform(
-      sequence(lit(0), size(col("t")) - K),
-      i => aggregate(slice(col("th"), i + lit(1), lit(K)), lit(0L),
-        (a, c) => (a * B + c) % P))
-    // posexplode_outer, not posexplode: InferFiltersFromGenerate would
-    // clone the whole in-row hash pipeline into an inferred
-    // size(whs) > 0 filter (the q135 52s trap); _outer is exempt and
-    // identical here (whs has >= 1 element for every surviving doc).
+  private def exactSubstrAnchors(toks: DataFrame, K: Int): DataFrame =
+    // WindowPolyHash: one native O(len) rolling pass (each token hashed
+    // once, O(1) per window) — same values as the declarative
+    // transform∘aggregate∘slice fold it replaced, without the per-window
+    // K-slice re-fold. posexplode_outer, not posexplode:
+    // InferFiltersFromGenerate would clone the hash pipeline into an
+    // inferred size(whs) > 0 filter (the q135 52s trap); _outer is
+    // exempt and identical here (whs non-empty for every surviving doc).
     toks
-      .withColumn("th", th).withColumn("whs", whs)
+      .withColumn("whs", graft.functions.WindowPolyHash(col("t"), K))
       .select(col("doc_id"),
         posexplode_outer(col("whs")).as(Seq("pos", "h")))
-  }
 
   val q171Oracle: String =
     """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
