@@ -1129,6 +1129,48 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q172
+  /** Cross-SOURCE span-contamination matrix — the governance heat map
+    * over the ExactSubstr stack: for every pair of sources, how many
+    * distinct K-token spans do they share verbatim? (Which feeds
+    * "which crawls copied which", licensing triage, and
+    * mixture-weight double-count corrections.) The engine rides the
+    * hash-anchored prune: only verified cross-doc duplicated anchors
+    * materialize grams, then distinct (gram, source) pairs join per
+    * gram — Σ per-gram |sources|² is capped by the source-universe
+    * size squared, never corpus². A gram shared by ≥2 sources
+    * necessarily spans ≥2 docs, so pruning to cross-doc duplicates
+    * first loses nothing (the gram-first oracle has no prune — the
+    * hash gate proves the equivalence). */
+  val q172SourceSpanMatrix: Q = (spark, dir) => {
+    val K = ExactSubstrK
+    val toks = Tables.balanced(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= K)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val ver = exactSubstrVerified(toks.select(col("doc_id"), col("t")), K)
+    val gs = ver.join(toks.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("gram"), col("source")).distinct()
+    gs.as("a").join(gs.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q172Oracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+      |an AS (SELECT doc_id, source,
+      |    unnest(list_transform(range(0, len(t) - 7),
+      |      i -> array_to_string(t[i+1:i+8], ' '))) AS gram
+      |  FROM d),
+      |g AS (SELECT DISTINCT gram, source FROM an)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      | CAST(count(*) AS BIGINT) AS n_shared_grams
+      |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** (hash, doc_id, pos) anchors over a token-array frame — the narrow
     * wide-pass payload shared by q157's candidates and q171's
     * two-sided screen. */
@@ -1182,6 +1224,7 @@ object DedupOps {
     "q157_exact_substr" -> q157ExactSubstr,
     "q161_exact_substr_remove" -> q161ExactSubstrRemove,
     "q171_incremental_substr" -> q171IncrementalSubstr,
+    "q172_source_span_matrix" -> q172SourceSpanMatrix,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1199,5 +1242,6 @@ object DedupOps {
     "q157_exact_substr" -> q157Oracle,
     "q161_exact_substr_remove" -> q161Oracle,
     "q171_incremental_substr" -> q171Oracle,
+    "q172_source_span_matrix" -> q172Oracle,
   )
 }
