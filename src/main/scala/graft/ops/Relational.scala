@@ -1941,20 +1941,35 @@ object Relational {
     * through two dim joins and shuffling 5% of it. */
   val q158CboStar: Q = (spark, dir) => {
     cboStarTables(spark, dir)
+    // CBO flags are scoped to this builder: save the prior values and
+    // restore them in the finally (the drainToMemory providerClass
+    // discipline) so a shared Bench/Verify session doesn't carry CBO on
+    // into every later query's optimization. The reordered plan is
+    // locked into the returned Dataset's QueryExecution (lazy vals
+    // cache) by forcing executedPlan while the flags are still on.
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    val l = spark.table("graft_cbo_lineitem")
-    val s = spark.table("graft_cbo_supplier")
-    val n = spark.table("graft_cbo_nation")
-    val p = spark.table("graft_cbo_part")
-    l.join(s, col("l_suppkey") === col("s_suppkey"))
-      .join(n, col("s_nationkey") === col("n_nationkey"))
-      .join(p.filter(col("p_brand") === "Brand#4"),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("n_name"))
-      .agg(count(lit(1)).cast("long").as("n_items"),
-        round(sum(col("l_extendedprice")), 2).as("total"))
-      .orderBy(col("n_name"))
+    try {
+      val l = spark.table("graft_cbo_lineitem")
+      val s = spark.table("graft_cbo_supplier")
+      val n = spark.table("graft_cbo_nation")
+      val p = spark.table("graft_cbo_part")
+      val df = l.join(s, col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(p.filter(col("p_brand") === "Brand#4"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).cast("long").as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("n_name"))
+      df.queryExecution.executedPlan
+      df
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
   }
 
   val q158Oracle: String =
@@ -1984,7 +1999,9 @@ object Relational {
     VersionedTable.commit(spark, orders.repartition(32), base,
       carryForward = false)
     VersionedTable.compact(spark, base, targetFiles = 4)
-    VersionedTable.vacuum(spark, base, keep = 1)
+    // single-writer session-local table: no concurrent commit to race,
+    // so the just-written fragments reclaim immediately
+    VersionedTable.vacuum(spark, base, keep = 1, graceMs = 0L)
     VersionedTable.read(spark, base)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).cast("long").as("n"),

@@ -25,6 +25,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * not the table. */
 object VersionedTable {
 
+  /** Default [[vacuum]] concurrent-commit grace window. */
+  val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -171,10 +174,22 @@ object VersionedTable {
     * not exist") instead of surfacing a file-not-found mid-scan.
     * Reference comparison is on fully-qualified paths, so manifests
     * written before path qualification still count. Returns the
-    * deleted data-file paths. */
-  def vacuum(spark: SparkSession, dir: String, keep: Int): Seq[String] = {
+    * deleted data-file paths.
+    *
+    * `graceMs` is the concurrent-writer guard (Delta vacuum's retention
+    * window): a data directory whose newest entry is younger than the
+    * grace is SKIPPED even when no retained manifest references it,
+    * because an in-flight [[commitAs]] writes its nonce data dir FIRST
+    * and only then renames its manifest into visibility — without the
+    * grace, a vacuum racing that gap deletes files the about-to-publish
+    * manifest references, leaving a snapshot that fails mid-scan. The
+    * default (15 min) comfortably covers a commit's write-to-rename
+    * window; tests and single-writer callers pass 0 explicitly. */
+  def vacuum(spark: SparkSession, dir: String, keep: Int,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     require(keep >= 1, s"vacuum must keep at least one version, got $keep")
     val f = fs(spark, dir)
+    val horizon = System.currentTimeMillis() - graceMs
     latestVersion(spark, dir) match {
       case None => Seq.empty
       case Some(latest) =>
@@ -186,6 +201,14 @@ object VersionedTable {
           .map(p => f.makeQualified(new Path(p)).toString).toSet
         val dataDirs = f.listStatus(new Path(dir)).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("files-v"))
+          .filter { d =>
+            // newest mtime across the dir and its files: a dir being
+            // actively written is young on either signal
+            val entries = f.listStatus(d.getPath).toSeq
+            val newest = (d.getModificationTime +:
+              entries.map(_.getModificationTime)).max
+            newest <= horizon
+          }
         val deleted = Seq.newBuilder[String]
         dataDirs.foreach { d =>
           val files = f.listStatus(d.getPath).toSeq.filter(_.isFile)

@@ -664,10 +664,22 @@ object StreamOps {
     * expected row count derives from the INPUT (one flush per key),
     * never from the oracle. A 50 ms trigger paces the empty
     * timer-firing batches (the default 0 ms trigger spins thousands of
-    * checkpoint-writing batches per minute). */
+    * checkpoint-writing batches per minute).
+    *
+    * CONTRACT: all of `data` is fed in ONE addData call, i.e. one
+    * input batch. Count-based convergence is only a correct drain
+    * under that shape — if a key's events were split across input
+    * batches, its idle timer could fire BETWEEN them and the key would
+    * flush twice, so `expectedRows` rows could arrive with duplicated
+    * keys and missing ones. The single-batch feed makes each key's
+    * state complete before any timer can fire, and the count bound
+    * then equals one flush per distinct key. `deadlineMs` bounds the
+    * wall-clock wait (timer flushes are wall-clock-paced; slow CI can
+    * need more than the default). */
   def runTimerStream[A](spark: SparkSession, data: Seq[A],
       expectedRows: Long, mk: DataFrame => DataFrame, name: String,
-      stateStoreProvider: Option[String] = None)
+      stateStoreProvider: Option[String] = None,
+      deadlineMs: Long = 120000L)
       (implicit enc: org.apache.spark.sql.Encoder[A]): DataFrame = {
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[A](enc, spark.sqlContext)
@@ -675,8 +687,8 @@ object StreamOps {
       stateStoreProvider,
       trigger = Some(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime("50 milliseconds"))) { q =>
-      ms.addData(data)
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      ms.addData(data) // the whole input as ONE batch — see CONTRACT
+      val deadline = System.nanoTime() + deadlineMs * 1000 * 1000
       while (spark.table(name).count() < expectedRows &&
           System.nanoTime() < deadline) {
         Thread.sleep(50L)
@@ -685,7 +697,16 @@ object StreamOps {
       if (spark.table(name).count() < expectedRows)
         throw new IllegalStateException(
           s"timer stream $name flushed ${spark.table(name).count()} of " +
-            s"$expectedRows expected rows within 120s")
+            s"$expectedRows expected rows within ${deadlineMs}ms")
+      // enforce the one-flush-per-key invariant the count bound assumes:
+      // duplicated keys reaching expectedRows would otherwise pass
+      val out = spark.table(name)
+      val keyed = out.groupBy(out.columns.head).count()
+        .filter(col("count") > 1).count()
+      if (keyed > 0)
+        throw new IllegalStateException(
+          s"timer stream $name flushed $keyed key(s) more than once — " +
+            "the single-addData-batch contract was violated")
     }
   }
 

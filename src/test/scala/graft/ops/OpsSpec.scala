@@ -72,20 +72,20 @@ class DedupSpec extends SparkSpec {
       Seq("part", "supplier", "nation").sortBy(t =>
         leaves.indexWhere(_.contains(s"graft_cbo_$t")))
     }
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
     val reordered = Relational.q158CboStar(spark, sf)
     try {
       assert(leafOrder(reordered).head == "part",
         s"CBO should join the brand-filtered part dim first, " +
           s"got ${leafOrder(reordered)}")
       // causality: same query with cbo off keeps the written order
-      // (part LAST) — the reorder is the stats-driven optimizer's doing
+      // (part LAST) — the reorder is the stats-driven optimizer's doing.
+      // q158CboStar scopes its own flags (restores on exit), so the
+      // off-contrast just sets them off here and rebuilds manually.
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-      val syntax = Relational.q158CboStar(spark, sf)
-      // q158CboStar re-enables cbo internally; rebuild with it off
-      spark.conf.set("spark.sql.cbo.enabled", "false")
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-      val off = syntax.sparkSession.table("graft_cbo_lineitem")
+      val off = spark.table("graft_cbo_lineitem")
         .join(spark.table("graft_cbo_supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .join(spark.table("graft_cbo_nation"),
@@ -100,8 +100,8 @@ class DedupSpec extends SparkSpec {
       val rows = reordered.collect()
       assert(rows.nonEmpty)
     } finally {
-      spark.conf.set("spark.sql.cbo.enabled", "true")
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
     }
   }
 
@@ -1337,8 +1337,15 @@ class DedupSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, base).contains(0))
     assert(VersionedTable.read(spark, base).count() == 40,
       "table must keep serving the winner's snapshot")
-    // the loser's orphaned data dir is vacuum's problem, not a reader's
-    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1)
+    // the loser's orphaned data dir is vacuum's problem, not a reader's —
+    // but NOT inside the grace window: a young unreferenced dir is
+    // indistinguishable from an in-flight commit that has written data
+    // and not yet renamed its manifest, so default-grace vacuum must
+    // leave it alone (deleting it would tear the racing snapshot)
+    assert(VersionedTable.vacuum(spark, base, keep = 1).isEmpty,
+      "a just-written unreferenced dir sits inside the commit grace " +
+        "window and must survive default-grace vacuum")
+    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1, graceMs = 0L)
     assert(reclaimed.nonEmpty, "vacuum must reclaim the lost commit")
     assert(VersionedTable.read(spark, base).count() == 40)
   }
@@ -1355,7 +1362,7 @@ class DedupSpec extends SparkSpec {
     VersionedTable.commit(spark, b, base, carryForward = false) // v2 = b
     // keep=2 retains v1, v2; v0's files are still referenced by v1's
     // carry-forward manifest, so NOTHING is deletable yet
-    assert(VersionedTable.vacuum(spark, base, keep = 2).isEmpty,
+    assert(VersionedTable.vacuum(spark, base, keep = 2, graceMs = 0L).isEmpty,
       "carried-forward files are live while any retainer references them")
     assert(VersionedTable.read(spark, base, Some(1)).count() == 150)
     assert(VersionedTable.read(spark, base, Some(2)).count() == 50)
@@ -1363,7 +1370,7 @@ class DedupSpec extends SparkSpec {
       VersionedTable.read(spark, base, Some(0))
     }
     // keep=1 retains only v2 (fresh snapshot): v0+v1 files reclaim
-    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1)
+    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1, graceMs = 0L)
     assert(reclaimed.nonEmpty)
     reclaimed.foreach(p => assert(
       !new java.io.File(new java.net.URI(p).getPath).exists(),
@@ -1396,7 +1403,7 @@ class DedupSpec extends SparkSpec {
     val after = VersionedTable.read(spark, base)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(after == before, "compaction must be content-lossless")
-    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1)
+    val reclaimed = VersionedTable.vacuum(spark, base, keep = 1, graceMs = 0L)
     assert(reclaimed.size == 32, s"expected all 32 fragments reclaimed, " +
       s"got ${reclaimed.size}")
     intercept[IllegalArgumentException] {
@@ -1427,7 +1434,7 @@ class DedupSpec extends SparkSpec {
       "the source must not see the clone's commits")
     // clone-side vacuum sweeps only the clone's own files-v* dirs:
     // borrowed source references are structurally out of reach
-    VersionedTable.vacuum(spark, b, keep = 1)
+    VersionedTable.vacuum(spark, b, keep = 1, graceMs = 0L)
     assert(VersionedTable.read(spark, a).count() == 100)
     assert(VersionedTable.read(spark, b).count() == 150)
   }
