@@ -1789,6 +1789,41 @@ object BioQueries {
       | AS BIGINT) AS v80
       |FROM d ORDER BY c, y, x""".stripMargin
 
+  // ---------------------------------------------------------------- b49
+  /** DataSource V2 entry (S5/S11 mechanism tier,
+    * `sources/BioioDataSource.scala`): a 4×2×8×8 TCYX scene saves as a
+    * chunked (4×4 stored-chunk grid) OME-ZARR v3 store, then is read
+    * back through `spark.read.format("bioio")` — NO facade import —
+    * with t/c predicates that PUSH DOWN into the scan
+    * (`pushedFilters`) and prune the chunk-object catalog before any
+    * chunk is fetched (8 of 64 objects read; pinned in BioioV2Spec).
+    * Each surviving tile row folds its pixels in-row; the oracle
+    * regenerates the per-tile sums from the generating formula. */
+  val b49V2Source: Q = (spark, _) => {
+    val arr = NDArray.tabulate(Seq(4, 2, 8, 8))(idx =>
+      idx(0) * 1000.0 + idx(1) * 100.0 + idx(2) * 10.0 + idx(3))
+    val img = BioSpark.fromArray(spark, arr, Some("TCYX"))
+    val uri = s"/tmp/graft_b49_${java.util.UUID.randomUUID()}.ome.zarr"
+    img.save(uri, None, Map("chunk" -> "4x4"))
+    spark.read.format("bioio").load(uri)
+      .filter(col("t").isin(1, 2) && col("c") === 1)
+      .select(col("t").cast("long").as("t"), col("c").cast("long").as("c"),
+        col("m").cast("long").as("m"), col("y0").cast("long").as("y0"),
+        col("x0").cast("long").as("x0"),
+        aggregate(col("pixels"), lit(0.0d), (a, x) => a + x).as("px_sum"))
+      .orderBy(col("t"), col("m"))
+  }
+
+  val b49Oracle: String =
+    """SELECT CAST(tt AS BIGINT) AS t, CAST(1 AS BIGINT) AS c,
+      | CAST(my*2 + mx AS BIGINT) AS m, CAST(my*4 AS BIGINT) AS y0,
+      | CAST(mx*4 AS BIGINT) AS x0,
+      | CAST(sum(tt*1000 + 100 + (my*4 + dy)*10 + mx*4 + dx) AS DOUBLE)
+      |   AS px_sum
+      |FROM (VALUES (1), (2)) s(tt), range(2) a(my), range(2) b(mx),
+      |     range(4) c2(dy), range(4) d(dx)
+      |GROUP BY tt, my, mx ORDER BY t, m""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1838,6 +1873,7 @@ object BioQueries {
     "b46_avi_timeseries" -> b46AviTimeseries,
     "b47_avi_motion" -> b47AviMotion,
     "b48_bilinear_resize" -> b48BilinearResize,
+    "b49_v2_source" -> b49V2Source,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1889,5 +1925,6 @@ object BioQueries {
     "b46_avi_timeseries" -> b46Oracle,
     "b47_avi_motion" -> b47Oracle,
     "b48_bilinear_resize" -> b48Oracle,
+    "b49_v2_source" -> b49Oracle,
   )
 }

@@ -77,6 +77,26 @@ trait BioReader {
       })
     }
   }
+
+  /** Plane rows decoded DRIVER-side — implemented by the
+    * single-small-object formats whose `readDelayed` already decodes at
+    * the driver (createDataset over locally-built rows); feeds the
+    * default [[v2ScanWork]]. Distributed readers (TIFF, zarr) override
+    * [[v2ScanWork]] directly and never implement this. */
+  def localPlaneRows(sceneIdx: Int, level: Int): Seq[graft.core.PlaneRow] =
+    throw new UnsupportedOperationException(
+      s"$name does not expose driver-side plane rows; read it through " +
+        "the BioImage facade")
+
+  /** DataSource V2 scan work for one (scene, level), pruned by the
+    * pushed-filter predicate BEFORE decode. Default: one inline unit of
+    * driver-decoded rows (the existing cost shape of single-object
+    * formats). Distributed readers override with [[DeferredRows]] whose
+    * descriptor catalogs (TIFF segments, zarr chunk keys) are pruned by
+    * `pred` so unmatched stored objects are never read. */
+  def v2ScanWork(sceneIdx: Int, level: Int,
+      pred: PlanePredicate): Seq[ScanWork] =
+    Seq(InlineRows(localPlaneRows(sceneIdx, level).filter(pred.acceptsPlane)))
 }
 
 /** A constructable plugin: how to open a path as a BioReader. */

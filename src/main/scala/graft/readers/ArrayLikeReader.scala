@@ -96,7 +96,8 @@ final class ArrayLikeReader(
     * (m,t,c,z,s,y,x); unknown dims are REDUCED at index 0 (reference
     * normalization semantics, tests/test_array_like_reader.py:1050-1059).
     */
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def localPlaneRows(sceneIdx: Int, level: Int): Seq[PlaneRow] = {
+    require(level == 0, s"single-level source, got level $level")
     val arr = arrays(sceneIdx)
     val order = resolvedOrders(sceneIdx)
     val sid = scenes(sceneIdx)
@@ -115,7 +116,7 @@ final class ArrayLikeReader(
         (0 until arr.shape(pos(d))).flatMap(i => tails.map(_ + (d -> i)))
     }
     val tiles = sceneMeta(sceneIdx).tilePositions
-    val rows = combos(nonPlane.toSeq).map { sel =>
+    combos(nonPlane.toSeq).map { sel =>
       val px = new Array[Double](h * w)
       val idx = new Array[Int](arr.rank) // unknown dims stay 0 (reduced)
       sel.foreach { case (d, i) => idx(pos(d)) = i }
@@ -138,8 +139,11 @@ final class ArrayLikeReader(
         z = sel.getOrElse('Z', 0), s = sel.getOrElse('S', 0),
         y0 = ty, x0 = tx, h = h, w = w, pixels = px)
     }
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
-    spark.createDataset(rows).toDF()
+    spark.createDataset(localPlaneRows(sceneIdx, 0)).toDF()
   }
 }
 

@@ -73,11 +73,12 @@ final class AviReader(spark: SparkSession, path: String) extends BioReader {
       timeInterval = Some(1.0 / video.fps))
   }
 
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def localPlaneRows(sceneIdx: Int, level: Int): Seq[PlaneRow] = {
     require(sceneIdx == 0, s"single-scene source, got scene $sceneIdx")
+    require(level == 0, s"single-level source, got level $level")
     val (h, w) = (video.height, video.width)
     val nS = if (isGray) 1 else 3
-    val rows = video.frames.zipWithIndex.flatMap { case (f, t) =>
+    video.frames.zipWithIndex.flatMap { case (f, t) =>
       (0 until nS).map { s =>
         val px = new Array[Double](h * w)
         var i = 0
@@ -89,8 +90,11 @@ final class AviReader(spark: SparkSession, path: String) extends BioReader {
           y0 = 0, x0 = 0, h = h, w = w, pixels = px)
       }
     }
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
-    spark.createDataset(rows).toDF()
+    spark.createDataset(localPlaneRows(sceneIdx, 0)).toDF()
   }
 }
 

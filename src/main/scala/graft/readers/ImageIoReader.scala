@@ -106,12 +106,13 @@ final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
       tilePositions = Seq.empty, rawMetadata = None)
   }
 
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def localPlaneRows(sceneIdx: Int, level: Int): Seq[PlaneRow] = {
     require(sceneIdx == 0, s"single-scene source, got scene $sceneIdx")
+    require(level == 0, s"single-level source, got level $level")
     val h = image.getHeight
     val w = image.getWidth
     val nS = bands
-    val rows = frames.zipWithIndex.flatMap { case (f, t) =>
+    frames.zipWithIndex.flatMap { case (f, t) =>
       val (fb, sample) = decoded(f)
       require(fb == nS, s"frame $t has $fb bands, frame 0 has $nS")
       (0 until nS).map { s =>
@@ -129,8 +130,11 @@ final class ImageIoReader(spark: SparkSession, path: String) extends BioReader {
           y0 = 0, x0 = 0, h = h, w = w, pixels = px)
       }
     }
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
-    spark.createDataset(rows).toDF()
+    spark.createDataset(localPlaneRows(sceneIdx, 0)).toDF()
   }
 }
 

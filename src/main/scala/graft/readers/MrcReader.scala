@@ -120,11 +120,12 @@ final class MrcReader(spark: SparkSession, path: String) extends BioReader {
           s"'labels': ${h.labels.mkString("['", "', '", "']")}}"))
   }
 
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def localPlaneRows(sceneIdx: Int, level: Int): Seq[PlaneRow] = {
     require(sceneIdx == 0, s"single-scene source, got scene $sceneIdx")
+    require(level == 0, s"single-level source, got level $level")
     val h = header
     val planeSize = h.ny * h.nx
-    val rows = (0 until h.nz).map { sec =>
+    (0 until h.nz).map { sec =>
       val px = new Array[Double](planeSize)
       var i = 0
       while (i < planeSize) { px(i) = elem(sec * planeSize + i); i += 1 }
@@ -133,8 +134,11 @@ final class MrcReader(spark: SparkSession, path: String) extends BioReader {
         z = if (h.isStack) 0 else sec,
         s = 0, y0 = 0, x0 = 0, h = h.ny, w = h.nx, pixels = px)
     }
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
-    spark.createDataset(rows).toDF()
+    spark.createDataset(localPlaneRows(sceneIdx, 0)).toDF()
   }
 }
 

@@ -164,10 +164,15 @@ final class NpyReader(spark: SparkSession, path: String) extends BioReader {
     arr.sceneMeta(0, "Image:0")
   }
 
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def localPlaneRows(sceneIdx: Int, level: Int): Seq[graft.core.PlaneRow] = {
     require(sceneIdx == 0, s"single-scene source, got scene $sceneIdx")
+    require(level == 0, s"single-level source, got level $level")
+    arr.planeRows(0, "Image:0")
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
-    spark.createDataset(arr.planeRows(0, "Image:0")).toDF()
+    spark.createDataset(localPlaneRows(sceneIdx, 0)).toDF()
   }
 }
 

@@ -75,12 +75,17 @@ final class NpzReader(spark: SparkSession, path: String) extends BioReader {
     a.sceneMeta(sceneIdx, id)
   }
 
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def localPlaneRows(sceneIdx: Int, level: Int): Seq[graft.core.PlaneRow] = {
     require(sceneIdx >= 0 && sceneIdx < members.length,
       s"scene $sceneIdx out of range 0..${members.length - 1}")
+    require(level == 0, s"single-level source, got level $level")
     val (id, a) = members(sceneIdx)
+    a.planeRows(sceneIdx, id)
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
-    spark.createDataset(a.planeRows(sceneIdx, id)).toDF()
+    spark.createDataset(localPlaneRows(sceneIdx, 0)).toDF()
   }
 }
 

@@ -301,25 +301,18 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
     readDelayedAtLevel(spark, sceneIdx, 0)
 
-  /** Distributed segment read: the segment catalog parallelizes over
-    * executors; each task opens the file once and does positioned reads
-    * of only its strips/tiles. */
-  override def readDelayedAtLevel(spark: SparkSession, sceneIdx: Int,
-      level: Int): DataFrame = {
-    import spark.implicits._
+  /** Per-level segment catalog: one entry per strip-organized plane or
+    * per stored tile — the unit of positioned IO. Shared by the facade
+    * read path and the DataSource V2 scan (which prunes it by pushed
+    * plane predicates before any pixel byte is read). */
+  private def segCatalog(sceneIdx: Int, level: Int): Seq[TiffSeg] = {
     val refs = parsed.planes(sceneIdx)
     val levelRefs = refs.map(r => (r, ifdAt(r, level)))
     val grid =
       if (level == 0) parsed.grids(sceneIdx)
       else gridOf(levelRefs.map(_._2))
     val (planeH, planeW) = levelPlaneDims(sceneIdx, level)
-    val sceneId = parsed.scenes(sceneIdx).sceneId
-    val little = parsed.littleEndian
-    val file = path
-    val hconf = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-
-    val segs: Seq[TiffSeg] = levelRefs.flatMap { case (r, ifd) =>
+    levelRefs.flatMap { case (r, ifd) =>
       grid match {
         case None =>
           Seq(TiffSeg(r.t, r.c, r.z, m = 0, y0 = 0, x0 = 0,
@@ -346,83 +339,54 @@ final class OmeTiffReader(spark: SparkSession, path: String) extends BioReader {
           }
       }
     }
+  }
 
+  /** Distributed segment read: the segment catalog parallelizes over
+    * executors; each task opens the file once and does positioned reads
+    * of only its strips/tiles. */
+  override def readDelayedAtLevel(spark: SparkSession, sceneIdx: Int,
+      level: Int): DataFrame = {
+    import spark.implicits._
+    val sceneId = parsed.scenes(sceneIdx).sceneId
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val segs = segCatalog(sceneIdx, level)
     val slices = math.min(segs.length,
       spark.sparkContext.defaultParallelism).max(1)
+    // bind instance members to locals BEFORE the partial application:
+    // eta-expansion over `path`/`parsed` would capture `this` (the
+    // non-serializable reader) to evaluate them lazily
+    val file = path
+    val little = parsed.littleEndian
+    val decode = OmeTiffReader.decodeSegs(file, little, hconf, sceneIdx,
+      sceneId, level) _
     spark.createDataset(segs)
       .repartition(slices)
-      .mapPartitions { it =>
-        if (!it.hasNext) Iterator.empty
-        else {
-          val order =
-            if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
-          val fs = FileSystem.get(new Path(file).toUri, hconf.value)
-          val in = fs.open(new Path(file))
-          // the FS cache shares FileSystem objects but does NOT close
-          // streams — tie the stream's lifetime to the task
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ =>
-              try in.close() catch { case _: Throwable => () }))
-          it.flatMap { seg =>
-            val spp = seg.spp
-            val parts = seg.offsets.zip(seg.counts).map { case (o, n) =>
-              val buf = new Array[Byte](n.toInt)
-              in.readFully(o, buf)
-              TiffFormat.decodeSegment(buf, seg.compression, seg.predictor,
-                rowSamples = seg.segW * spp, bits = seg.bits,
-                samplesPerPixel = spp, order = order,
-                sampleFormat = seg.sampleFormat,
-                jpegTables = seg.jpegTables)
-            }
-            // single allocation (a RowsPerStrip=1 file has h strips —
-            // pairwise ++ would copy the accumulated array per strip)
-            val raw =
-              if (parts.length == 1) parts.head
-              else {
-                val out = new Array[Byte](parts.map(_.length).sum)
-                var off = 0
-                parts.foreach { p =>
-                  System.arraycopy(p, 0, out, off, p.length)
-                  off += p.length
-                }
-                out
-              }
-            // interleaved samples (chunky): one PlaneRow per sample band
-            val px = TiffFormat.decodePlane(raw, seg.bits, seg.sampleFormat,
-              order)
-            (0 until spp).map { si =>
-              val band =
-                if (spp == 1) px
-                else {
-                  val out = new Array[Double](seg.segH * seg.segW)
-                  var k = 0
-                  while (k < out.length) {
-                    out(k) = px(k * spp + si)
-                    k += 1
-                  }
-                  out
-                }
-              val cropped =
-                if (seg.cropH == seg.segH && seg.cropW == seg.segW) band
-                else {
-                  val out = new Array[Double](seg.cropH * seg.cropW)
-                  var r2 = 0
-                  while (r2 < seg.cropH) {
-                    System.arraycopy(band, r2 * seg.segW, out,
-                      r2 * seg.cropW, seg.cropW)
-                    r2 += 1
-                  }
-                  out
-                }
-              PlaneRow(sceneIdx, sceneId, level = level, m = seg.m,
-                t = seg.t, c = seg.c, z = seg.z, s = si,
-                y0 = seg.y0, x0 = seg.x0, h = seg.cropH, w = seg.cropW,
-                pixels = cropped)
-            }
-          }
-        }
-      }
+      .mapPartitions(decode)
       .toDF()
+  }
+
+  /** V2 scan: the seg catalog pruned by pushed (m,t,c,z) predicates —
+    * unmatched strips/tiles are never fetched — then blocked into
+    * contiguous executor tasks of deferred decode work. */
+  override def v2ScanWork(sceneIdx: Int, level: Int,
+      pred: graft.plugins.PlanePredicate): Seq[graft.plugins.ScanWork] = {
+    val sceneId = parsed.scenes(sceneIdx).sceneId
+    val kept = segCatalog(sceneIdx, level)
+      .filter(sg => pred.acceptsCoords(sg.m, sg.t, sg.c, sg.z))
+    if (kept.isEmpty) return Seq.empty
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val little = parsed.littleEndian
+    val file = path
+    val slices = math.min(kept.length,
+      spark.sparkContext.defaultParallelism).max(1)
+    val per = (kept.length + slices - 1) / slices
+    kept.grouped(per).map { block =>
+      graft.plugins.DeferredRows(block.length,
+        () => OmeTiffReader.decodeSegs(file, little, hconf, sceneIdx,
+          sceneId, level)(block.iterator))
+    }.toSeq
   }
 }
 
@@ -431,4 +395,83 @@ object OmeTiffReader {
     name = "OmeTiffReader",
     extensions = Seq(".ome.tiff", ".ome.tif", ".tiff", ".tif"),
     open = (spark, path, _) => new OmeTiffReader(spark, path))
+
+  /** Executor-side segment decode (curried so it serializes as a pure
+    * closure over scalars): positioned reads of each segment's byte
+    * ranges, decompress, de-interleave sample bands, crop edge padding.
+    * Runs inside both the facade's `mapPartitions` and the V2
+    * partition reader. */
+  private[readers] def decodeSegs(file: String, little: Boolean,
+      hconf: SerializableConfiguration, sceneIdx: Int, sceneId: String,
+      level: Int)(it: Iterator[TiffSeg]): Iterator[PlaneRow] = {
+    if (!it.hasNext) Iterator.empty
+    else {
+      val order =
+        if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+      val fs = FileSystem.get(new Path(file).toUri, hconf.value)
+      val in = fs.open(new Path(file))
+      // the FS cache shares FileSystem objects but does NOT close
+      // streams — tie the stream's lifetime to the task
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: Throwable => () }))
+      it.flatMap { seg =>
+        val spp = seg.spp
+        val parts = seg.offsets.zip(seg.counts).map { case (o, n) =>
+          val buf = new Array[Byte](n.toInt)
+          in.readFully(o, buf)
+          TiffFormat.decodeSegment(buf, seg.compression, seg.predictor,
+            rowSamples = seg.segW * spp, bits = seg.bits,
+            samplesPerPixel = spp, order = order,
+            sampleFormat = seg.sampleFormat,
+            jpegTables = seg.jpegTables)
+        }
+        // single allocation (a RowsPerStrip=1 file has h strips —
+        // pairwise ++ would copy the accumulated array per strip)
+        val raw =
+          if (parts.length == 1) parts.head
+          else {
+            val out = new Array[Byte](parts.map(_.length).sum)
+            var off = 0
+            parts.foreach { p =>
+              System.arraycopy(p, 0, out, off, p.length)
+              off += p.length
+            }
+            out
+          }
+        // interleaved samples (chunky): one PlaneRow per sample band
+        val px = TiffFormat.decodePlane(raw, seg.bits, seg.sampleFormat,
+          order)
+        (0 until spp).map { si =>
+          val band =
+            if (spp == 1) px
+            else {
+              val out = new Array[Double](seg.segH * seg.segW)
+              var k = 0
+              while (k < out.length) {
+                out(k) = px(k * spp + si)
+                k += 1
+              }
+              out
+            }
+          val cropped =
+            if (seg.cropH == seg.segH && seg.cropW == seg.segW) band
+            else {
+              val out = new Array[Double](seg.cropH * seg.cropW)
+              var r2 = 0
+              while (r2 < seg.cropH) {
+                System.arraycopy(band, r2 * seg.segW, out,
+                  r2 * seg.cropW, seg.cropW)
+                r2 += 1
+              }
+              out
+            }
+          PlaneRow(sceneIdx, sceneId, level = level, m = seg.m,
+            t = seg.t, c = seg.c, z = seg.z, s = si,
+            y0 = seg.y0, x0 = seg.x0, h = seg.cropH, w = seg.cropW,
+            pixels = cropped)
+        }
+      }
+    }
+  }
 }

@@ -110,13 +110,14 @@ final class TarReader(spark: SparkSession, path: String) extends BioReader {
       tilePositions = Seq.empty, rawMetadata = sidecar)
   }
 
-  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
+  override def localPlaneRows(sceneIdx: Int, level: Int): Seq[PlaneRow] = {
+    require(level == 0, s"single-level source, got level $level")
     val (key, _, _) = samples(sceneIdx)
     val bi = decoded(sceneIdx)
     val (bands, sample) = ImageIoReader.decodeSamples(bi)
     val h = bi.getHeight
     val w = bi.getWidth
-    val rows = (0 until bands).map { s =>
+    (0 until bands).map { s =>
       val px = new Array[Double](h * w)
       var y = 0
       while (y < h) {
@@ -130,8 +131,11 @@ final class TarReader(spark: SparkSession, path: String) extends BioReader {
       PlaneRow(sceneIdx, key, level = 0, m = 0, t = 0, c = 0, z = 0, s = s,
         y0 = 0, x0 = 0, h = h, w = w, pixels = px)
     }
+  }
+
+  override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame = {
     import spark.implicits._
-    spark.createDataset(rows).toDF()
+    spark.createDataset(localPlaneRows(sceneIdx, 0)).toDF()
   }
 }
 

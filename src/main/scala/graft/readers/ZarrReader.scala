@@ -405,57 +405,120 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
   override def readDelayed(spark: SparkSession, sceneIdx: Int): DataFrame =
     readDelayedAtLevel(spark, sceneIdx, 0)
 
+  /** Chunk-key catalog for one level: (t,c,z) x the stored Y/X grid,
+    * shard-major ordered for sharded arrays so a task's per-shard memo
+    * hits on consecutive inner chunks. Shared by the facade read and
+    * the V2 scan (which prunes it by pushed plane predicates before
+    * any chunk object is fetched). */
+  private def chunkKeys(lv: Level): Seq[(Int, Int, Int, Int, Int)] = {
+    val Seq(t, c, z, _, _) = lv.shape.map(_.toInt)
+    val (ny, nx) = (lv.gridY, lv.gridX)
+    val raw = for {
+      ti <- 0 until t; ci <- 0 until c; zi <- 0 until z
+      yi <- 0 until ny; xi <- 0 until nx
+    } yield (ti, ci, zi, yi, xi)
+    if (lv.shardH == 0) raw
+    else {
+      val (ipy, ipx) = (lv.shardH / lv.chunkH, lv.shardW / lv.chunkW)
+      raw.sortBy { case (ti, ci, zi, yi, xi) =>
+        (ti, ci, zi, yi / ipy, xi / ipx, yi % ipy, xi % ipx)
+      }
+    }
+  }
+
+  /** Serializable decode parameters for [[ZarrReader.decodeKeys]]. */
+  private def decodeParams(sceneIdx: Int, level: Int): ZarrDecodeParams = {
+    val s = scenes_(sceneIdx)
+    val lv = s.levels(level)
+    val Seq(_, _, _, planeH, planeW) = lv.shape.map(_.toInt)
+    ZarrDecodeParams(
+      base = sub(s.group, level.toString),
+      hconf = new SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration),
+      sceneIdx = sceneIdx, sid = s.id, level = level, axes = lv.axes,
+      dtype = lv.dtype, compressor = lv.compressor, sep = lv.separator,
+      pre = lv.keyPrefix, fill = lv.fillValue, ch = lv.chunkH,
+      cw = lv.chunkW, planeH = planeH, planeW = planeW, nx = lv.gridX,
+      nS = lv.sSize, shH = lv.shardH, shW = lv.shardW,
+      idxCrc = lv.shardIndexCrc, idxAtEnd = lv.shardIndexAtEnd)
+  }
+
   override def readDelayedAtLevel(spark: SparkSession, sceneIdx: Int,
       level: Int): DataFrame = {
     import spark.implicits._
     val s = scenes_(sceneIdx)
     if (!s.levels.isDefinedAt(level))
       throw new IndexOutOfBoundsException(s"resolution level $level")
-    val lv = s.levels(level)
-    val Seq(t, c, z, planeH, planeW) = lv.shape.map(_.toInt)
-    val (ch, cw) = (lv.chunkH, lv.chunkW)
-    val (ny, nx) = (lv.gridY, lv.gridX)
-    val nS = lv.sSize
-    val axes = lv.axes
-    val dtype = lv.dtype
-    val compressor = lv.compressor
-    val sep = lv.separator
-    val fill = lv.fillValue
-    val pre = lv.keyPrefix
-    val (shH, shW) = (lv.shardH, lv.shardW)
-    val (idxCrc, idxAtEnd) = (lv.shardIndexCrc, lv.shardIndexAtEnd)
-    val sid = s.id
-    val base = sub(s.group, level.toString)
-    val hconf = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    // one catalog row per CHUNK: (t,c,z) x the Y/X tile grid; tiles carry
-    // their mosaic index + offsets so the stitch is a pure projection.
-    // For sharded arrays, order inner chunks SHARD-MAJOR (all inner
-    // chunks of one shard contiguous) so the per-task shard memo below
-    // fetches each shard object once — row-major order would cross every
-    // shard column before revisiting one, evicting the memo each time
-    val keys = {
-      val raw = for {
-        ti <- 0 until t; ci <- 0 until c; zi <- 0 until z
-        yi <- 0 until ny; xi <- 0 until nx
-      } yield (ti, ci, zi, yi, xi)
-      if (shH == 0) raw
-      else {
-        val (ipy, ipx) = (shH / ch, shW / cw)
-        raw.sortBy { case (ti, ci, zi, yi, xi) =>
-          (ti, ci, zi, yi / ipy, xi / ipx, yi % ipy, xi % ipx)
-        }
-      }
-    }
+    val keys = chunkKeys(s.levels(level))
     val slices = math.min(keys.length,
       spark.sparkContext.defaultParallelism).max(1)
+    // bind the params to a local BEFORE the partial application:
+    // eta-expansion over `decodeParams(...)` would capture `this` (the
+    // non-serializable reader) to evaluate it lazily
+    val params = decodeParams(sceneIdx, level)
+    val decode = ZarrReader.decodeKeys(params) _
     // parallelize keeps CONTIGUOUS key blocks per partition (vs
     // repartition's round-robin shuffle): inner chunks of one shard stay
     // adjacent in a task, so the stat-less remote fallback's per-task
-    // shard memo below actually hits — and the tiny catalog shuffle
-    // disappears
+    // shard memo actually hits — and the tiny catalog shuffle disappears
     spark.createDataset(spark.sparkContext.parallelize(keys, slices))
-      .mapPartitions { it =>
+      .mapPartitions(decode)
+      .toDF()
+  }
+
+  /** V2 scan: the chunk-key catalog pruned by pushed (m,t,c,z)
+    * predicates — unmatched chunk/shard OBJECTS are never fetched (the
+    * directory-of-objects layout makes zarr the format where pushdown
+    * prunes whole stored files) — then blocked into contiguous
+    * executor tasks. `objects` counts distinct stored objects (shards
+    * collapse their inner chunks). */
+  override def v2ScanWork(sceneIdx: Int, level: Int,
+      pred: graft.plugins.PlanePredicate): Seq[graft.plugins.ScanWork] = {
+    val s = scenes_(sceneIdx)
+    if (!s.levels.isDefinedAt(level))
+      throw new IndexOutOfBoundsException(s"resolution level $level")
+    val lv = s.levels(level)
+    val kept = chunkKeys(lv).filter { case (ti, ci, zi, yi, xi) =>
+      pred.acceptsCoords(yi * lv.gridX + xi, ti, ci, zi)
+    }
+    if (kept.isEmpty) return Seq.empty
+    val params = decodeParams(sceneIdx, level)
+    def objOf(k: (Int, Int, Int, Int, Int)): (Int, Int, Int, Int, Int) =
+      if (lv.shardH == 0) k
+      else {
+        val (ipy, ipx) = (lv.shardH / lv.chunkH, lv.shardW / lv.chunkW)
+        (k._1, k._2, k._3, k._4 / ipy, k._5 / ipx)
+      }
+    val slices = math.min(kept.length,
+      spark.sparkContext.defaultParallelism).max(1)
+    val per = (kept.length + slices - 1) / slices
+    kept.grouped(per).map { block =>
+      graft.plugins.DeferredRows(block.map(objOf).distinct.size,
+        () => ZarrReader.decodeKeys(params)(block.iterator))
+    }.toSeq
+  }
+}
+
+/** Serializable per-level decode parameters — everything the executor-
+  * side chunk decode needs, shared by the facade read path and the V2
+  * partition reader. */
+private[readers] final case class ZarrDecodeParams(
+    base: String, hconf: SerializableConfiguration, sceneIdx: Int,
+    sid: String, level: Int, axes: String, dtype: String,
+    compressor: Option[String], sep: String, pre: String, fill: Double,
+    ch: Int, cw: Int, planeH: Int, planeW: Int, nx: Int, nS: Int,
+    shH: Int, shW: Int, idxCrc: Boolean, idxAtEnd: Boolean)
+
+object ZarrReader {
+  /** Executor-side chunk decode (curried so it serializes as a pure
+    * closure over [[ZarrDecodeParams]] scalars): fetch each chunk (or
+    * locate the inner chunk inside its shard via the binary index),
+    * decompress, de-interleave the sample band, crop edge padding.
+    * Runs inside both the facade's `mapPartitions` and the V2
+    * partition reader. */
+  private[readers] def decodeKeys(p: ZarrDecodeParams)(
+      it: Iterator[(Int, Int, Int, Int, Int)]): Iterator[PlaneRow] = {
+    import p._
         if (!it.hasNext) Iterator.empty
         else {
           val f = FileSystem.get(new java.net.URI(base + "/"), hconf.value)
@@ -598,12 +661,8 @@ final class ZarrReader(spark: SparkSession, path: String) extends BioReader {
             }
           }
         }
-      }
-      .toDF()
   }
-}
 
-object ZarrReader {
   val plugin: PluginEntry = PluginEntry(
     name = "ZarrReader",
     extensions = Seq(".ome.zarr", ".zarr"),
