@@ -44,6 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShingles(args(0), n)
       }))
     ext.injectFunction((
+      FunctionIdentifier("shingle_gen"),
+      new ExpressionInfo(classOf[graft.functions.ShingleGenerate].getName,
+        "shingle_gen"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_gen(text, n) takes 2 arguments")
+        val n = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_gen n must be an integer literal, got $other")
+        }
+        graft.functions.ShingleGenerate(args(0), n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {

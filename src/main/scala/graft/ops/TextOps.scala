@@ -451,10 +451,18 @@ object TextOps {
     * `aggregate` fold — gaps and their order pinned by a base-31
     * polynomial hash mod 2^31−1 (the engine's shared hash family), so
     * the oracle verifies the exact posting SEQUENCE, not just counts.
-    * df >= 5 bounds the emitted slice to index-worthy terms. */
+    * df >= 5 bounds the emitted slice to index-worthy terms.
+    *
+    * The token emission runs through the native [[ShingleGenerate]]
+    * GENERATOR (§2.6's declared UDTF tier) instead of
+    * `explode(array_distinct(split))`: one deduped pass per row, no
+    * intermediate split/distinct arrays, and the row-emission loop
+    * stays inside whole-stage codegen (OpsSpec pins the planned
+    * generator class and the codegen'd Generate node). */
   val q105InvertedIndex: Q = (spark, dir) => {
     val postings = Tables.balanced(spark, dir, "documents")
-      .select(col("doc_id"), explode(array_distinct(words)).as("token"))
+      .select(col("doc_id"),
+        graft.functions.ShingleGenerate(col("text"), 1).as("token"))
       .groupBy(col("token"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ps"))
       .filter(size(col("ps")) >= 5)

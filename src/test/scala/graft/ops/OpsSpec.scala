@@ -1484,4 +1484,32 @@ class DedupSpec extends SparkSpec {
     assert(got.getAs[Double]("sum_abs") == expect,
       s"sum_abs: got $got expected $expect")
   }
+
+  test("q105 token emission: the native ShingleGenerate GENERATOR plans " +
+      "inside a WholeStageCodegen span and is bit-compatible with " +
+      "explode(array_distinct(split))") {
+    val df = TextOps.q105InvertedIndex(spark, sf)
+    df.collect()
+    val genLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("Generate") &&
+        l.contains("shinglegenerate")).getOrElse("")
+    assert(genLine.nonEmpty, "q105 must plan the native generator")
+    assert(genLine.contains("*("),
+      s"Generate must sit inside a WholeStageCodegen span, got: $genLine")
+    // bit-compatibility at n=2: generator rows == explode(array_distinct)
+    // of the HOF shingle build, same multiset
+    val docs = graft.Tables(spark, sf, "documents").limit(50)
+    val viaGen = docs.select(col("doc_id"),
+        graft.functions.ShingleGenerate(col("text"), 2).as("sh"))
+      .orderBy("doc_id", "sh").collect().toSeq
+    val viaExplode = docs.select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 2)).as("sh"))
+      .orderBy("doc_id", "sh").collect().toSeq
+    assert(viaGen == viaExplode && viaGen.nonEmpty)
+    // SQL registration via SparkSessionExtensions
+    val sqlRows = spark.sql("SELECT shingle_gen('a b a c', 1) AS t")
+      .collect().map(_.getString(0)).toSeq
+    assert(sqlRows == Seq("a", "b", "c"),
+      s"shingle_gen SQL form must emit distinct first-seen rows, got $sqlRows")
+  }
 }
