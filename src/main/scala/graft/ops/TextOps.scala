@@ -2059,6 +2059,236 @@ object TextOps {
       |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr)
       |ORDER BY strategy""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer — the OTHER
+    * production tokenizer family next to the BPE merge loop
+    * (q137/q138): hard EM over a seed substring vocabulary. Seed =
+    * every character seen plus the top-40 substrings (length 2–4) of
+    * the word histogram by occurrence weight; then two unrolled E/M
+    * rounds — the E-step VITERBI-segments each histogram word under the
+    * current model, the M-step re-estimates piece frequencies from the
+    * chosen segmentations (add-one-smoothed MLE), and pieces the
+    * segmentation never uses prune at exactly-zero loss delta (the
+    * SentencePiece prune rule at its zero threshold: an unused piece's
+    * removal changes no reachable segmentation).
+    *
+    * Engine-exact by construction: piece log-likelihoods are
+    * MITCHELL-approximation fixed-point log2 values — 1024·⌊log2 n⌋
+    * plus a linear mantissa interpolation, computed from
+    * `length(bin(n))` and one integer divide, strictly monotone in n
+    * and bit-identical on any engine — so the Viterbi DP compares only
+    * int64s, and score ties break to the LONGEST piece
+    * deterministically. The DP itself is an 8-position COLUMN CASCADE
+    * (words truncated to 8 chars, pieces ≤ 4 chars — the SentencePiece
+    * max-piece-length cap): b_i = best prefix score, bp_i = chosen
+    * piece length, then an unrolled backtrack emits the winning pieces
+    * — no per-row array DP, every column multiply-referenced so
+    * CollapseProject cannot inline the recurrence (the
+    * keepMaterialized rule). Scale shape: everything past the one
+    * token aggregate runs on the WORD HISTOGRAM
+    * (corpus-size-independent per round, the q118/q137 discipline);
+    * the model rides as a ≤ ~80-entry broadcast map; per-round cost is
+    * O(|hist| · 8 · 4). The DuckDB oracle replays the identical
+    * cascade (same generated column text, dialect-translated lookups),
+    * so the hash gate proves the full EM — seed, both E-steps, both
+    * M-steps, the prune, and the per-round losses carried on every
+    * output row. UnigramSpec pins the hard-EM monotone loss decrease. */
+  private val UnigramMiss = s"CAST(${-(1L << 40)} AS BIGINT)"
+
+  private def log2fpSpark(x: String): String =
+    s"(1024 * (length(bin($x)) - 1) + (($x * 1024) DIV " +
+      s"shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1)) - 1024)"
+
+  private def log2fpDuck(x: String): String =
+    s"(1024 * (length(bin($x)) - 1) + (($x * 1024) // " +
+      s"(CAST(1 AS BIGINT) << (length(bin($x)) - 1))) - 1024)"
+
+  /** The shared Viterbi cascade text, as LEVELS of (name, expr) pairs:
+    * within a level an expression may reference same-level names only
+    * laterally at depth <= 2 (so DuckDB's textual lateral-alias
+    * inlining stays linear); across levels only real columns are
+    * referenced. Spark flattens the levels into a withColumn chain;
+    * the DuckDB oracle materializes one CTE per level — without the
+    * level barriers DuckDB inlines the whole recurrence textually and
+    * the expansion is 4^8. `look` renders a model-map lookup;
+    * `arrFilter` renders the null-dropping array build (the two
+    * dialect differences). */
+  private def unigramCascade(look: String => String,
+      arrFilter: Seq[String] => String): Seq[Seq[(String, String)]] = {
+    val levels = Seq.newBuilder[Seq[(String, String)]]
+    levels += Seq("b0" -> "CAST(0 AS BIGINT)")
+    for (i <- 1 to 8) {
+      val cands = (1 to math.min(4, i)).map(l =>
+        s"(b${i - l} + ${look(s"substr(w, ${i - l + 1}, $l)")})")
+      val g = if (cands.size == 1) cands.head
+        else s"greatest(${cands.mkString(", ")})"
+      val arms = (math.min(4, i) to 1 by -1).map(l =>
+        s"WHEN b$i = (b${i - l} + ${look(s"substr(w, ${i - l + 1}, $l)")}) " +
+          s"THEN $l").mkString(" ")
+      levels += Seq(
+        s"b$i" -> s"CASE WHEN length(w) >= $i THEN $g END",
+        s"bp$i" -> s"CASE WHEN length(w) >= $i THEN (CASE $arms END) END")
+    }
+    levels += Seq("pos0" -> "length(w)")
+    for (j <- 1 to 8) {
+      val bpAt = (1 to 8).map(i => s"WHEN pos${j - 1} = $i THEN bp$i")
+        .mkString(" ")
+      levels += Seq(
+        s"q$j" -> s"CASE WHEN pos${j - 1} >= 1 THEN (CASE $bpAt END) END",
+        s"pc$j" ->
+          s"CASE WHEN pos${j - 1} >= 1 THEN substr(w, pos${j - 1} - q$j + 1, q$j) END",
+        s"pos$j" ->
+          s"CASE WHEN pos${j - 1} >= 1 THEN pos${j - 1} - q$j ELSE 0 END")
+    }
+    levels += Seq(
+      "vbest" -> s"CASE ${(1 to 8).map(i =>
+        s"WHEN length(w) = $i THEN b$i").mkString(" ")} END",
+      "pcs" -> arrFilter((1 to 8).map(i => s"pc$i")))
+    levels.result()
+  }
+
+  /** DuckDB rendering of one E-step: a chain of MATERIALIZED CTEs (one
+    * per cascade level) from `base` (must provide w, cnt, m), ending in
+    * CTE `out` with (w, cnt, vbest, pcs). */
+  private def unigramEstepDuck(prefix: String, base: String,
+      out: String): String = {
+    val look = (k: String) => s"coalesce(map_extract(m, $k)[1], $UnigramMiss)"
+    val arrF = (pcs: Seq[String]) =>
+      s"list_filter([${pcs.mkString(", ")}], x -> x IS NOT NULL)"
+    val levels = unigramCascade(look, arrF)
+    val ctes = Seq.newBuilder[String]
+    var prev = base
+    levels.zipWithIndex.foreach { case (cols, k) =>
+      val name = if (k == levels.size - 1) out else s"$prefix$k"
+      val sel = cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      // the model map is only consulted by the b/bp levels — drop it at
+      // the backtrack boundary so later materialized levels don't carry
+      // a per-row map copy
+      val star = if (cols.head._1 == "pos0") "* EXCLUDE (m)" else "*"
+      ctes += s"$name AS MATERIALIZED (SELECT $star, $sel FROM $prev)"
+      prev = name
+    }
+    ctes.result().mkString(",\n")
+  }
+
+  /** Full trainer; returns (top-20 frame with losses, loss1, loss2) —
+    * the losses separately so UnigramSpec pins monotonicity without
+    * re-running. */
+  def unigramLmCore(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.balanced(spark, dir, "documents")
+      .select(explode(words).as("tk"))
+      .filter(length(col("tk")) >= 1)
+      .select(substring(col("tk"), 1, 8).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val pieces = hist.select(col("cnt"), explode(expr(
+        "flatten(transform(sequence(1, length(w)), st -> " +
+          "transform(sequence(1, least(4, length(w) - st + 1)), " +
+          "ln -> substr(w, st, ln))))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("f0"))
+    val chars = pieces.filter(length(col("p")) === 1)
+    val multi = pieces.filter(length(col("p")) > 1)
+      .orderBy(col("f0").desc, col("p")).limit(40)
+    val vocab0 = chars.unionByName(multi)
+
+    def modelMap(v: DataFrame, fcol: String): DataFrame = {
+      val t = v.agg(sum(col(fcol)).cast("long").as("tf"))
+      v.crossJoin(broadcast(t))
+        .select(col("p"),
+          expr(s"${log2fpSpark(fcol)} - ${log2fpSpark("tf")}").as("sc"))
+        .agg(map_from_entries(collect_list(struct(col("p"), col("sc"))))
+          .as("m"))
+    }
+
+    def estep(model: DataFrame): DataFrame = {
+      val look = (k: String) => s"coalesce(try_element_at(m, $k), $UnigramMiss)"
+      val arrF = (pcs: Seq[String]) =>
+        s"filter(array(${pcs.mkString(", ")}), x -> x IS NOT NULL)"
+      var df = hist.crossJoin(broadcast(model))
+      unigramCascade(look, arrF).flatten.foreach { case (n, e) =>
+        df = df.withColumn(n, expr(e))
+      }
+      df.select(col("w"), col("cnt"), col("vbest"), col("pcs"))
+    }
+
+    def mstep(seg: DataFrame): DataFrame =
+      seg.select(col("cnt"), explode(col("pcs")).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("fu"))
+
+    // Each E-step output feeds THREE consumers (loss, M-step counts,
+    // and — via the pruned vocab — the next round), so it is staged
+    // eagerly: unstaged, Catalyst re-plans the whole 40-column cascade
+    // per consumer (the q165 union-leg trap) and the optimizer's
+    // constraint propagation over the chained CASE aliases blows the
+    // driver heap. Staging cuts the lineage at histogram size.
+    val seg1 = estep(modelMap(vocab0, "f0")).localCheckpoint()
+    val loss1 = seg1.agg(sum(expr("cnt * (-vbest)")).cast("long").as("loss1"))
+    val f1 = mstep(seg1)
+    val vocab1 = vocab0.join(f1, Seq("p"), "left")
+      .filter(length(col("p")) === 1 || col("fu").isNotNull)
+      .select(col("p"), (coalesce(col("fu"), lit(0L)) + 1).as("f1"))
+    val seg2 = estep(modelMap(vocab1, "f1")).localCheckpoint()
+    val loss2 = seg2.agg(sum(expr("cnt * (-vbest)")).cast("long").as("loss2"))
+    val f2 = mstep(seg2)
+    val out = f2.orderBy(col("fu").desc, col("p")).limit(20)
+      .crossJoin(broadcast(loss1)).crossJoin(broadcast(loss2))
+      .select(col("p").as("piece"), col("fu").cast("long").as("est_cnt"),
+        col("loss1"), col("loss2"))
+      .orderBy(col("est_cnt").desc, col("piece"))
+      .localCheckpoint()
+    graft.ops.Checkpoints.release(seg1)
+    graft.ops.Checkpoints.release(seg2)
+    graft.ops.Checkpoints.release(hist)
+    out
+  }
+
+  val q173UnigramLm: Q = (spark, dir) => unigramLmCore(spark, dir)
+
+  val q173Oracle: String = {
+    s"""WITH toks AS (SELECT substr(tk, 1, 8) AS w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+       |  WHERE length(tk) >= 1),
+       |hist AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM toks GROUP BY w),
+       |pieces AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS f0 FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(
+       |      range(1, length(w) + 1), st -> list_transform(
+       |        range(1, least(4, length(w) - st + 1) + 1),
+       |        ln -> substr(w, st, ln))))) AS p
+       |    FROM hist) GROUP BY p),
+       |chars AS (SELECT p, f0 FROM pieces WHERE length(p) = 1),
+       |multi AS (SELECT p, f0 FROM pieces WHERE length(p) > 1
+       |  ORDER BY f0 DESC, p LIMIT 40),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |m0 AS (SELECT map(list(p), list(sc)) AS m FROM (
+       |    SELECT p, ${log2fpDuck("f0")} - ${log2fpDuck("tf")} AS sc
+       |    FROM vocab0, (SELECT CAST(sum(f0) AS BIGINT) AS tf
+       |      FROM vocab0))),
+       |e1base AS (SELECT w, cnt, m FROM hist, m0),
+       |${unigramEstepDuck("e1c", "e1base", "e1")},
+       |f1 AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS fu FROM (
+       |    SELECT cnt, unnest(pcs) AS p FROM e1) GROUP BY p),
+       |l1 AS (SELECT CAST(sum(cnt * (-vbest)) AS BIGINT) AS loss1 FROM e1),
+       |vocab1 AS MATERIALIZED (
+       |  SELECT vocab0.p AS p, coalesce(fu, 0) + 1 AS f1
+       |  FROM vocab0 LEFT JOIN f1 ON vocab0.p = f1.p
+       |  WHERE length(vocab0.p) = 1 OR fu IS NOT NULL),
+       |m1 AS (SELECT map(list(p), list(sc)) AS m FROM (
+       |    SELECT p, ${log2fpDuck("f1")} - ${log2fpDuck("tf")} AS sc
+       |    FROM vocab1, (SELECT CAST(sum(f1) AS BIGINT) AS tf
+       |      FROM vocab1))),
+       |e2base AS (SELECT w, cnt, m FROM hist, m1),
+       |${unigramEstepDuck("e2c", "e2base", "e2")},
+       |f2 AS (SELECT p, CAST(sum(cnt) AS BIGINT) AS fu FROM (
+       |    SELECT cnt, unnest(pcs) AS p FROM e2) GROUP BY p),
+       |l2 AS (SELECT CAST(sum(cnt * (-vbest)) AS BIGINT) AS loss2 FROM e2),
+       |top AS (SELECT p, fu FROM f2 ORDER BY fu DESC, p LIMIT 20)
+       |SELECT p AS piece, fu AS est_cnt, l1.loss1 AS loss1,
+       | l2.loss2 AS loss2
+       |FROM top, l1, l2 ORDER BY est_cnt DESC, piece""".stripMargin
+  }
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -2101,6 +2331,7 @@ object TextOps {
     "q153_segment_merge" -> q153SegmentMerge,
     "q168_bootstrap_ci" -> q168BootstrapCi,
     "q169_padding_report" -> q169PaddingReport,
+    "q173_unigram_lm" -> q173UnigramLm,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2145,5 +2376,6 @@ object TextOps {
     "q153_segment_merge" -> q153Oracle,
     "q168_bootstrap_ci" -> q168Oracle,
     "q169_padding_report" -> q169Oracle,
+    "q173_unigram_lm" -> q173Oracle,
   )
 }

@@ -1512,4 +1512,21 @@ class DedupSpec extends SparkSpec {
     assert(sqlRows == Seq("a", "b", "c"),
       s"shingle_gen SQL form must emit distinct first-seen rows, got $sqlRows")
   }
+
+  test("q173 unigram-LM: hard-EM Viterbi loss DECREASES across the two " +
+      "E/M rounds, and the learned pieces respect the length cap") {
+    val out = TextOps.unigramLmCore(spark, sf).collect()
+    assert(out.length == 20)
+    val l1 = out.head.getAs[Long]("loss1")
+    val l2 = out.head.getAs[Long]("loss2")
+    assert(l2 < l1,
+      s"re-estimated model must fit the corpus strictly better on this " +
+        s"fixture: loss1=$l1 loss2=$l2")
+    out.foreach { r =>
+      val p = r.getAs[String]("piece")
+      assert(p.length >= 1 && p.length <= 4, s"piece length cap: '$p'")
+      assert(r.getAs[Long]("est_cnt") > 0)
+    }
+    assert(out.map(_.getAs[String]("piece")).distinct.length == 20)
+  }
 }
