@@ -1129,6 +1129,93 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------- q174
+  /** STREAMING ExactSubstr — q171's ingest-time span screen given its
+    * streaming face (the last LLM-dedup mode that had none): arriving
+    * micro-batches of documents probe the STANDING corpus's anchor
+    * hashes and emit contamination coverage, all inside Structured
+    * Streaming. Composition of three proven shapes:
+    *
+    *   1. The standing corpus publishes (a) its distinct (hash, gram)
+    *      store — the join target — and (b) a 32 KB Bloom sketch of
+    *      the hash set, probed MAP-SIDE on the stream (the q95 gate)
+    *      so only sketch-passed anchors materialize their K-token
+    *      gram. Both are built once before the stream starts; a real
+    *      deployment rebuilds them on corpus-refresh cadence.
+    *   2. The stream computes its rolling window hashes IN-ROW
+    *      (WindowPolyHash, the q157 pass), Bloom-screens, then
+    *      stream-static LEFT SEMI joins the survivors against the
+    *      gram store on (hash, gram) — exact verification, so Bloom
+    *      false positives drop and the answer is exact.
+    *   3. Per-doc coverage: positions collect under a complete-mode
+    *      doc-key aggregate and the q157 interval union folds IN-ROW
+    *      over the sorted position list after the drain (window
+    *      functions are not stream-legal; the in-row fold is the
+    *      stream-shaped equivalent).
+    *
+    * The oracle is q171's verbatim — the drained streaming answer must
+    * restate the batch screen exactly. */
+  val q174StreamSubstr: Q = (spark, dir) => {
+    import graft.functions.BloomSketch
+    import graft.streaming.StreamOps
+    val K = ExactSubstrK
+    val corpToks = Tables.balanced(spark, dir, "documents")
+      .filter(col("source") =!= "src0")
+      .filter(size(split(col("text"), " ")) >= K)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val corpStore = exactSubstrAnchors(corpToks, K)
+      .join(corpToks, "doc_id")
+      .select(col("h"),
+        concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K))).as("gram"))
+      .distinct()
+      .localCheckpoint()
+    // 32 KB of driver-held sketch state shipped into the stream as a
+    // literal — the q95 broadcast gate in its streaming form
+    val mBits = 1 << 18
+    val bloomBytes = corpStore
+      .agg(BloomSketch.build(col("h"), mBits, 7).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val stream = StreamOps.readDocuments(spark, dir)
+      .filter(col("source") === "src0")
+      .filter(size(split(col("text"), " ")) >= K)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val anchors = stream
+      .withColumn("whs", graft.functions.WindowPolyHash(col("t"), K))
+      .select(col("doc_id"), col("t"), size(col("t")).as("n"),
+        posexplode_outer(col("whs")).as(Seq("pos", "h")))
+      .filter(BloomSketch.mightContain(lit(bloomBytes), col("h")))
+      .withColumn("gram",
+        concat_ws(" ", slice(col("t"), col("pos") + 1, lit(K))))
+      .drop("t")
+    val verified = anchors.join(corpStore, Seq("h", "gram"), "left_semi")
+    val agg = verified.groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n"), collect_list(col("pos")).as("ps"))
+    val name = "q174_mem_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val drained = StreamOps.runToMemory(spark, agg, name,
+      outputMode = "complete")
+    val out = drained
+      .withColumn("sp", sort_array(col("ps")))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        expr(s"aggregate(sequence(1, size(sp)), CAST(0 AS BIGINT), " +
+          s"(acc, i) -> acc + CASE WHEN i = size(sp) " +
+          s"THEN CAST($K AS BIGINT) ELSE least(CAST($K AS BIGINT), " +
+          s"CAST(element_at(sp, i + 1) - element_at(sp, i) AS BIGINT)) " +
+          s"END)").as("contaminated_tokens"))
+      .withColumn("contamination_ratio",
+        col("contaminated_tokens").cast("double") /
+          col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    Checkpoints.release(corpStore)
+    out
+  }
+
+  /** The streaming screen restates the batch screen: q171's oracle
+    * verbatim (def, not val: q171Oracle initializes later in the
+    * object). */
+  def q174Oracle: String = q171Oracle
+
   // ---------------------------------------------------------------- q172
   /** Cross-SOURCE span-contamination matrix — the governance heat map
     * over the ExactSubstr stack: for every pair of sources, how many
@@ -1225,6 +1312,7 @@ object DedupOps {
     "q161_exact_substr_remove" -> q161ExactSubstrRemove,
     "q171_incremental_substr" -> q171IncrementalSubstr,
     "q172_source_span_matrix" -> q172SourceSpanMatrix,
+    "q174_stream_substr" -> q174StreamSubstr,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1243,5 +1331,6 @@ object DedupOps {
     "q161_exact_substr_remove" -> q161Oracle,
     "q171_incremental_substr" -> q171Oracle,
     "q172_source_span_matrix" -> q172Oracle,
+    "q174_stream_substr" -> q174Oracle,
   )
 }

@@ -35,6 +35,18 @@ object StreamOps {
       .withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** File-source stream over the documents table — the ingest-directory
+    * shape for arriving text batches (schema sniffed from the static
+    * footer, as [[readEvents]] does for events). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    spark.readStream
+      .schema(fileSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   /** Tumbling 5-minute window counts with a 10-minute watermark (late
     * rows beyond the watermark are dropped from state). */
   def tumblingCounts(events: DataFrame): DataFrame =

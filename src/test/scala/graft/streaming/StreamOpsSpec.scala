@@ -324,4 +324,15 @@ class StreamOpsSpec extends SparkSpec {
     assert(starts.contains(2000L),
       s"on-time row of the same batch must land: windows $starts")
   }
+
+  test("q174 streaming ExactSubstr: the drained stream screen equals " +
+      "the q171 batch screen row-for-row") {
+    val streamed = graft.ops.DedupOps.q174StreamSubstr(spark, sf)
+      .collect().toSeq
+    val batch = graft.ops.DedupOps.q171IncrementalSubstr(spark, sf)
+      .collect().toSeq
+    assert(streamed.nonEmpty, "fixture must contain contaminated docs")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+  }
 }
