@@ -2260,6 +2260,76 @@ object Relational {
       | round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** The lakehouse CATALOG tier (`sources/GraftLakeCatalog`) end-to-end
+    * through Spark's NATIVE SQL surface — no facade call anywhere in
+    * the query: CTAS creates the versioned table (v0 empty + v1 data),
+    * INSERT INTO appends the post-cutoff delta as an atomic
+    * carry-forward commit (v2), INSERT OVERWRITE replaces the contents
+    * (v3) — and then every prior snapshot is read back with
+    * `VERSION AS OF` plus the latest via a far-future `TIMESTAMP AS
+    * OF` (publish-time resolution, Delta/Iceberg's rule). The
+    * fingerprints prove snapshot ISOLATION through the catalog: v1's
+    * numbers are byte-stable after two later commits including a full
+    * overwrite, and the oracle restates each snapshot from the raw
+    * source with the filter that defined it. Writes ride the V1Write
+    * fallback into VersionedTable.commit, so SQL INSERTs inherit the
+    * manifest-rename atomic commit point; reads are Spark's own
+    * ParquetTable over the snapshot's file list (full pushdown stack).
+    * Each run registers a nonce-named catalog so reruns never share
+    * cached catalog state. */
+  val q175LakeCatalogSql: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lake_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q175_$nonce")
+    val o = t(spark, dir, "orders")
+    val cut = ntz("1997-01-01 00:00:00")
+    o.filter(col("o_orderdate") < cut)
+      .createOrReplaceTempView("q175_pre")
+    o.filter(col("o_orderdate") >= cut)
+      .createOrReplaceTempView("q175_post")
+    o.filter(col("o_orderstatus") === "F")
+      .createOrReplaceTempView("q175_f")
+    spark.sql(s"CREATE TABLE $cat.orders_v AS SELECT * FROM q175_pre")
+    spark.sql(s"INSERT INTO $cat.orders_v SELECT * FROM q175_post")
+    spark.sql(s"INSERT OVERWRITE $cat.orders_v SELECT * FROM q175_f")
+    def fp(v: Long, from: String): String =
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  count(*) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $from""".stripMargin
+    spark.sql(
+      s"""SELECT * FROM (
+         |${fp(1, s"$cat.orders_v VERSION AS OF 1")}
+         |UNION ALL ${fp(2, s"$cat.orders_v VERSION AS OF 2")}
+         |UNION ALL ${fp(3, s"$cat.orders_v VERSION AS OF 3")}
+         |UNION ALL ${fp(99,
+        s"$cat.orders_v TIMESTAMP AS OF '9999-01-01 00:00:00'")}
+         |) ORDER BY version""".stripMargin)
+  }
+
+  val q175Oracle: String =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |    round(sum(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |  UNION ALL
+      |  SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2) FROM orders
+      |  UNION ALL
+      |  SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2) FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT 99, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2) FROM orders WHERE o_orderstatus = 'F'
+      |) ORDER BY version""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2319,6 +2389,7 @@ object Relational {
     "q166_change_feed" -> q166ChangeFeed,
     "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
     "q170_schema_evolution" -> q170SchemaEvolution,
+    "q175_lake_catalog_sql" -> q175LakeCatalogSql,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2380,5 +2451,6 @@ object Relational {
     "q166_change_feed" -> q166Oracle,
     "q167_csv_json_roundtrip" -> q167Oracle,
     "q170_schema_evolution" -> q170Oracle,
+    "q175_lake_catalog_sql" -> q175Oracle,
   )
 }

@@ -1,0 +1,298 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark V2 `TableCatalog` over [[VersionedTable]] — the catalog tier
+  * of the mini-lakehouse, giving the manifest/snapshot store Spark's
+  * NATIVE SQL surface instead of a facade call:
+  *
+  * {{{
+  *   spark.sql.catalog.lake      = graft.sources.GraftLakeCatalog
+  *   spark.sql.catalog.lake.root = /data/lake
+  *
+  *   CREATE TABLE lake.ns.t (...)            -- empty version 0
+  *   INSERT INTO lake.ns.t SELECT ...        -- append commit (v+1)
+  *   INSERT OVERWRITE lake.ns.t SELECT ...   -- replace commit (v+1)
+  *   SELECT * FROM lake.ns.t                 -- latest snapshot
+  *   SELECT * FROM lake.ns.t VERSION AS OF 2 -- time travel
+  *   SELECT * FROM lake.ns.t TIMESTAMP AS OF '2026-01-01'
+  * }}}
+  *
+  * Identifiers map to directories: `lake.a.b.t` → `<root>/a/b/t`, and a
+  * directory IS a table iff it has a published `_manifest/`. Writes go
+  * through the V1Write fallback (`toInsertableRelation`) straight into
+  * [[VersionedTable.commit]], so every SQL INSERT inherits the atomic
+  * manifest-rename commit point, append-costs-the-delta carry-forward,
+  * and two-committer race semantics the facade already proves — the
+  * catalog adds no second write path to keep consistent. Reads
+  * construct Spark's own `ParquetTable` over the snapshot's manifest
+  * file list, so the full V2 scan stack applies unchanged: predicate
+  * pushdown, column pruning, and (with
+  * `spark.sql.parquet.aggregatePushdown`) count/min/max pushdown —
+  * all spec-pinned in GraftLakeCatalogSpec.
+  *
+  * `TIMESTAMP AS OF` resolves against manifest PUBLISH times (the
+  * rename instant, read as manifest mtime): the chosen snapshot is the
+  * newest version published at-or-before the requested instant, which
+  * is exactly Delta/Iceberg's rule. Spark hands the instant down in
+  * MICROseconds since the epoch.
+  *
+  * Reference: the reference has no catalog/SQL surface at all
+  * (`/root/reference/README.md` — a Python imaging API); this is part
+  * of the §2.6 extension surface, mechanism-matched to Spark.
+  */
+final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs: FileSystem =
+    FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new
+      IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String =
+    (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def dirOf(namespace: Array[String]): String =
+    (root +: namespace.toSeq).mkString("/")
+
+  private def isTable(dir: String): Boolean =
+    fs.exists(new Path(s"$dir/_manifest"))
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(dirOf(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = new Path(dirOf(namespace))
+    if (!fs.exists(d)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && isTable(s.getPath.toString))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = dirOf(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    new GraftLakeTable(ident, d, None)
+  }
+
+  /** `VERSION AS OF <v>` — explicit snapshot pin. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = dirOf(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName version identifiers are integers, got '$version'")
+    }
+    // resolve eagerly so a bad AS OF fails at analysis, not mid-scan
+    VersionedTable.filesOf(spark, d, v)
+    new GraftLakeTable(ident, d, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — newest version PUBLISHED at-or-before the
+    * instant (manifest rename time); `timestamp` arrives in micros. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = dirOf(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val tsMs = timestamp / 1000L
+    val manifests = fs.listStatus(new Path(s"$d/_manifest")).toSeq
+      .filter(_.getPath.getName.matches("\\d+\\.txt"))
+    val v = manifests
+      .filter(_.getModificationTime <= tsMs)
+      .map(_.getPath.getName.stripSuffix(".txt").toInt)
+      .sorted.lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no version of ${ident.toString} existed at " +
+          s"timestamp $tsMs ms (earliest publish: " +
+          s"${manifests.map(_.getModificationTime).min} ms)"))
+    new GraftLakeTable(ident, d, Some(v))
+  }
+
+  /** CREATE TABLE — publishes version 0 as an EMPTY snapshot carrying
+    * the declared schema (one schema-bearing empty parquet file), so
+    * the table is immediately loadable and the first INSERT is an
+    * ordinary append commit. Partition transforms are rejected: the
+    * manifest store versions whole snapshots, not partitions. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"$catalogName tables version whole snapshots; " +
+        "PARTITIONED BY is not supported")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val empty = spark.createDataFrame(
+      new util.ArrayList[Row](), schema)
+    VersionedTable.commit(spark, empty, dirOf(ident), carryForward = false)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER TABLE is not supported; schema widens " +
+        "implicitly on append (mergeSchema reads)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = dirOf(ident)
+    if (!isTable(d)) false
+    else fs.delete(new Path(d), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(
+        catalogName +: newIdent.namespace().toSeq)
+    if (!fs.rename(new Path(dirOf(oldIdent)), new Path(dirOf(newIdent))))
+      throw new IllegalStateException(
+        s"rename ${oldIdent.toString} -> ${newIdent.toString} failed")
+  }
+
+  // -------------------------------------------------- SupportsNamespaces
+  // Namespaces are directories without a _manifest; the root itself is
+  // the (implicit, always-existing) empty namespace.
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(new Path(dirOf(namespace))) &&
+        !isTable(dirOf(namespace)))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    val d = new Path(dirOf(namespace))
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && !isTable(s.getPath.toString) &&
+        s.getPath.getName != "_manifest")
+      .map(s => namespace :+ s.getPath.getName)
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(new Path(dirOf(namespace)))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      if (!cascade && fs.listStatus(new Path(dirOf(namespace))).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(new Path(dirOf(namespace)), true)
+    }
+  }
+}
+
+/** One snapshot of a lake table. Reads delegate to Spark's own
+  * `ParquetTable` built over the snapshot's manifest file list (full V2
+  * pushdown stack for free — filters, column pruning, aggregate
+  * pushdown); writes are REJECTED on pinned snapshots and otherwise go
+  * through the V1Write fallback into [[VersionedTable.commit]]:
+  * INSERT INTO appends (carry-forward commit), INSERT OVERWRITE
+  * replaces (the WriteBuilder's truncate() flips carry-forward off) —
+  * in both cases the new version is published by the same atomic
+  * manifest rename as the facade path, so readers never observe a torn
+  * snapshot and a lost race throws instead of corrupting. */
+final class GraftLakeTable(ident: Identifier, dir: String,
+    version: Option[Int]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Resolved once per load: AS-OF pins the version; latest otherwise.
+    * mergeSchema mirrors [[VersionedTable.read]] — carry-forward
+    * commits may widen the schema and single-footer sampling would
+    * silently drop evolved columns. */
+  private lazy val delegate: ParquetTable = {
+    val v = version.orElse(VersionedTable.latestVersion(spark, dir))
+      .getOrElse(throw new NoSuchTableException(ident))
+    ParquetTable(ident.toString, spark,
+      new CaseInsensitiveStringMap(
+        Map("mergeSchema" -> "true").asJava),
+      VersionedTable.filesOf(spark, dir, v),
+      None, classOf[ParquetFileFormat])
+  }
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType =
+    (delegate: Table).schema()
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"cannot write to time-travel snapshot ${ident.toString} " +
+        s"VERSION AS OF ${version.get}")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              VersionedTable.commit(SparkSession.active, data, dir,
+                carryForward = !(replace || overwrite))
+              ()
+            }
+          }
+      }
+    }
+  }
+}

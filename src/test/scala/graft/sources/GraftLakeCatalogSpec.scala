@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+
+import graft.SparkSpec
+
+/** V2 TableCatalog over VersionedTable: native SQL DDL/DML/time-travel
+  * — CREATE/CTAS/INSERT INTO/INSERT OVERWRITE/VERSION AS OF/TIMESTAMP
+  * AS OF — all riding the facade's atomic manifest commits, plus the
+  * full parquet pushdown stack on catalog reads. */
+class GraftLakeCatalogSpec extends SparkSpec {
+
+  private val n = new AtomicInteger(0)
+
+  /** Fresh catalog per test: catalog instances cache their root at
+    * initialize and CatalogManager caches instances by name, so each
+    * test gets a unique name -> unique root. */
+  private def freshCatalog(): String = {
+    val cat = s"glc_test_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_lake_spec_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("create + insert + overwrite + version-as-of round trip") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    // v0 is the empty created snapshot
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === 0)
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 'c')")           // v2
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === 3)
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (9, 'z')")      // v3
+    // latest is the overwrite
+    assert(spark.sql(s"SELECT k FROM $cat.t").collect()
+      .map(_.getInt(0)).toSeq === Seq(9))
+    // every prior snapshot still serves, unchanged — snapshot isolation
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0").count() === 0)
+    assert(spark.sql(
+      s"SELECT sum(k) FROM $cat.t VERSION AS OF 1").collect()(0)
+      .getLong(0) === 3L)
+    assert(spark.sql(
+      s"SELECT sum(k) FROM $cat.t VERSION AS OF 2").collect()(0)
+      .getLong(0) === 6L)
+    assert(spark.sql(
+      s"SELECT sum(k) FROM $cat.t VERSION AS OF 3").collect()(0)
+      .getLong(0) === 9L)
+  }
+
+  test("CTAS creates and populates through the catalog") {
+    val cat = freshCatalog()
+    spark.range(5).createOrReplaceTempView("glc_ctas_src")
+    spark.sql(
+      s"CREATE TABLE $cat.c AS SELECT id, id * 2 AS dbl FROM glc_ctas_src")
+    assert(spark.sql(s"SELECT sum(dbl) FROM $cat.c").collect()(0)
+      .getLong(0) === 20L)
+    spark.catalog.dropTempView("glc_ctas_src")
+  }
+
+  test("timestamp-as-of resolves the newest version published at-or-before") {
+    val cat = freshCatalog()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")                // v0
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")              // v1
+    spark.sql(s"INSERT INTO $cat.t VALUES (2)")              // v2
+    // pin manifest publish times to known instants (UTC)
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .toEpochMilli
+    Seq(0, 1, 2).foreach(v => fs.setTimes(
+      new Path(s"$root/t/_manifest/$v.txt"), base + v * 60000L, -1))
+    def sumAt(ts: String): Long =
+      spark.sql(s"SELECT coalesce(sum(k), 0) FROM $cat.t " +
+        s"TIMESTAMP AS OF '$ts'").collect()(0).getLong(0)
+    assert(sumAt("2026-01-01 00:00:30") === 0L)  // only v0 published
+    assert(sumAt("2026-01-01 00:01:00") === 1L)  // v1 exactly at-or-before
+    assert(sumAt("2026-01-01 00:05:00") === 3L)  // newest = v2
+    val err = intercept[Exception] { sumAt("2025-12-31 00:00:00") }
+    assert(err.getMessage.contains("no version"))
+  }
+
+  test("writes to a time-travel snapshot are rejected") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[TableCatalog]
+    val snap = catalog.loadTable(Identifier.of(Array.empty, "t"), "0")
+      .asInstanceOf[GraftLakeTable]
+    val err = intercept[UnsupportedOperationException] {
+      snap.newWriteBuilder(null)
+    }
+    assert(err.getMessage.contains("time-travel snapshot"))
+  }
+
+  test("catalog reads push filters and prune columns like any V2 parquet scan") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING, w STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a','x'), (2,'b','y')")
+    val df = spark.sql(s"SELECT v FROM $cat.t WHERE k = 2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,2)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("w:"),
+      s"column w not pruned:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("b"))
+  }
+
+  test("aggregate pushdown reaches the catalog scan when enabled") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2), (3)")
+    val prior = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.sql(s"SELECT count(*) FROM $cat.t")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+        s"aggregate not pushed:\n$plan")
+      assert(df.collect()(0).getLong(0) === 3L)
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prior)
+  }
+
+  test("list/rename/drop table and namespace surfaces") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t1 (k INT)")
+    spark.sql(s"CREATE TABLE $cat.ns.t2 (k INT)")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).sorted.toSeq === Seq("t1", "t2"))
+    // RENAME TO takes a catalog-relative multipart name
+    spark.sql(s"ALTER TABLE $cat.ns.t2 RENAME TO ns.t3")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).sorted.toSeq === Seq("t1", "t3"))
+    spark.sql(s"DROP TABLE $cat.ns.t3")
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).toSeq === Seq("t1"))
+    val err = intercept[TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE $cat.ns.t1 (k INT)")
+    }
+    assert(err.getMessage.contains("t1"))
+    val miss = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.ns.missing").collect()
+    }
+    assert(miss.getMessage.contains("missing"))
+  }
+
+  test("partitioned create is rejected loudly") {
+    val cat = freshCatalog()
+    val err = intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) PARTITIONED BY (d)")
+    }
+    assert(err.getMessage.contains("PARTITIONED BY"))
+  }
+
+  test("schema widens across commits and old snapshots keep their shape") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)") // v1
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    // widen via the facade (catalog INSERT checks the declared schema);
+    // the catalog's mergeSchema read must surface the evolved column
+    import spark.implicits._
+    VersionedTable.commit(spark,
+      Seq((2, "x")).toDF("k", "extra"), s"$root/t") // v2, carry-forward
+    val latest = spark.sql(s"SELECT * FROM $cat.t ORDER BY k")
+    assert(latest.columns.toSeq === Seq("k", "extra"))
+    assert(latest.collect().map(r =>
+      (r.getInt(0), Option(r.getString(1)))).toSeq ===
+      Seq((1, None), (2, Some("x"))))
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+      .columns.toSeq === Seq("k"))
+  }
+}
