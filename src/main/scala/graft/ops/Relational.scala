@@ -2330,6 +2330,64 @@ object Relational {
       |    round(sum(o_totalprice), 2) FROM orders WHERE o_orderstatus = 'F'
       |) ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q176
+  /** SQL `DELETE FROM` + `TRUNCATE TABLE` through the lake catalog —
+    * the copy-on-write DML tier (GraftLakeTable.deleteWhere →
+    * VersionedTable.deleteWhere): the delete condition crosses Spark's
+    * V2 Predicate surface, translates to a Column, and executes as the
+    * two-phase COW commit — phase 1 finds TOUCHED files with the
+    * predicate pushed to parquet footers and returns only (file, n)
+    * rows; phase 2 rewrites survivors of touched files only, while
+    * every untouched file carries forward by reference (byte-identical
+    * manifest path — spec-pinned in GraftLakeCatalogSpec). At 100 TB a
+    * selective delete costs two scans of the touched sliver plus a
+    * manifest write, never a table rewrite. The emitted fingerprints
+    * prove the full DML lifecycle: v1 = CTAS load, v2 = post-DELETE
+    * (three-valued semantics: only TRUE-condition rows leave), v3 =
+    * post-TRUNCATE (schema-preserving empty commit) — and v1 is
+    * byte-stable AFTER both, read back through `VERSION AS OF`, so
+    * deletes never mutate history (GDPR-style erasure still vacuums old
+    * versions; that lifecycle is q164's). Oracle restates each snapshot
+    * from the raw source with the filter that defined it. */
+  val q176LakeDeleteSql: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lake_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q176_$nonce")
+    t(spark, dir, "orders").createOrReplaceTempView("q176_src")
+    spark.sql(s"CREATE TABLE $cat.orders_v AS SELECT * FROM q176_src")
+    spark.sql(s"DELETE FROM $cat.orders_v " +
+      "WHERE o_orderstatus = 'O' AND o_totalprice < 150000.0")
+    spark.sql(s"TRUNCATE TABLE $cat.orders_v")
+    def fp(v: Long): String =
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  count(*) AS n_rows,
+         |  coalesce(CAST(sum(o_orderkey) AS BIGINT), 0) AS key_sum,
+         |  round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+         |FROM $cat.orders_v VERSION AS OF $v""".stripMargin
+    spark.sql(
+      s"""SELECT * FROM (
+         |${fp(1)} UNION ALL ${fp(2)} UNION ALL ${fp(3)}
+         |) ORDER BY version""".stripMargin)
+  }
+
+  val q176Oracle: String =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    coalesce(CAST(sum(o_orderkey) AS BIGINT), 0) AS key_sum,
+      |    round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 2, count(*), coalesce(CAST(sum(o_orderkey) AS BIGINT), 0),
+      |    round(coalesce(sum(o_totalprice), 0.0), 2) FROM orders
+      |  WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 150000.0)
+      |  UNION ALL
+      |  SELECT 3, 0, 0, 0.0
+      |) ORDER BY version""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2390,6 +2448,7 @@ object Relational {
     "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
     "q170_schema_evolution" -> q170SchemaEvolution,
     "q175_lake_catalog_sql" -> q175LakeCatalogSql,
+    "q176_lake_delete_sql" -> q176LakeDeleteSql,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2452,5 +2511,6 @@ object Relational {
     "q167_csv_json_roundtrip" -> q167Oracle,
     "q170_schema_evolution" -> q170Oracle,
     "q175_lake_catalog_sql" -> q175Oracle,
+    "q176_lake_delete_sql" -> q176Oracle,
   )
 }

@@ -5,14 +5,18 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.graftbridge.PredicateBridge
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -244,7 +248,7 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   * snapshot and a lost race throws instead of corrupting. */
 final class GraftLakeTable(ident: Identifier, dir: String,
     version: Option[Int]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -275,6 +279,42 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
 
+  /** `DELETE FROM` lands here when every conjunct of the condition
+    * translates (the analyzer ANDs the array): V2 predicates → the
+    * stable V1 filter algebra → a `Column`, executed by
+    * [[VersionedTable.deleteWhere]]'s copy-on-write commit — untouched
+    * files carry forward by reference, only files containing matches
+    * rewrite (spec-pinned). An untranslatable condition makes
+    * `canDeleteWhere` return false and Spark fails the statement
+    * loudly rather than silently widening the delete. `TRUNCATE TABLE`
+    * overrides the scan-everything default with a schema-preserving
+    * empty commit. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    version.isEmpty &&
+      predicates.forall(p =>
+        PredicateBridge.toV1(p).flatMap(GraftLakeTable.toColumn).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"cannot delete from time-travel snapshot ${ident.toString} " +
+        s"VERSION AS OF ${version.get}")
+    val cond = predicates.toSeq
+      .map(p => PredicateBridge.toV1(p).flatMap(GraftLakeTable.toColumn)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"cannot translate delete predicate $p")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    VersionedTable.deleteWhere(spark, dir, cond)
+    ()
+  }
+
+  override def truncateTable(): Boolean = {
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"cannot truncate time-travel snapshot ${ident.toString} " +
+        s"VERSION AS OF ${version.get}")
+    VersionedTable.truncate(spark, dir)
+    true
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (version.isDefined) throw new UnsupportedOperationException(
       s"cannot write to time-travel snapshot ${ident.toString} " +
@@ -295,4 +335,37 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       }
     }
   }
+}
+
+object GraftLakeTable {
+
+  /** V1 `Filter` → `Column`, total over the algebra a DELETE condition
+    * can reach after Spark's own V2 translation (comparison, IN, null
+    * tests, string matches, boolean combinators); None rejects the
+    * whole statement via `canDeleteWhere` — the delete either runs
+    * exactly or not at all. Dotted attribute names arrive V1-quoted;
+    * the lake's tables are flat, so plain `col` resolution is exact. */
+  private[sources] def toColumn(f: sources.Filter): Option[Column] =
+    f match {
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case sources.Not(c) => toColumn(c).map(not)
+      case _ => None
+    }
 }

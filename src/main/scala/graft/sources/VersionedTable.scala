@@ -55,19 +55,27 @@ object VersionedTable {
   def commitAs(spark: SparkSession, df: DataFrame, dir: String,
       v: Int, carryForward: Boolean = true): Int = {
     val f = fs(spark, dir)
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = s"$dir/files-v$v-$nonce"
-    df.write.parquet(dataDir)
-    // Manifests record FULLY QUALIFIED paths (scheme + authority):
-    // recording only the path component would lose the bucket/namenode
-    // on s3://... or hdfs://nn/... tables and make time-travel reads
-    // resolve against the default filesystem.
-    val newFiles = f.listStatus(new Path(dataDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => f.makeQualified(s.getPath).toString)
+    val newFiles = writeDataFiles(spark, df, dir, v)
     val carried =
       if (carryForward && v > 0) filesOf(spark, dir, v - 1) else Seq.empty
     publish(f, dir, v, carried ++ newFiles)
+  }
+
+  /** Land `df` under an immutable nonce data dir for version `v` and
+    * return the fully qualified paths of the parquet files written.
+    * Manifests record FULLY QUALIFIED paths (scheme + authority):
+    * recording only the path component would lose the bucket/namenode
+    * on s3://... or hdfs://nn/... tables and make time-travel reads
+    * resolve against the default filesystem. */
+  private def writeDataFiles(spark: SparkSession, df: DataFrame,
+      dir: String, v: Int): Seq[String] = {
+    val f = fs(spark, dir)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$dir/files-v$v-$nonce"
+    df.write.parquet(dataDir)
+    f.listStatus(new Path(dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => f.makeQualified(s.getPath).toString)
   }
 
   /** Write + atomically rename a manifest: version `v` exists iff the
@@ -161,6 +169,70 @@ object VersionedTable {
     commit(spark, read(spark, dir).repartition(targetFiles), dir,
       carryForward = false)
   }
+
+  /** Per-file outcome of a [[deleteWhere]] commit. */
+  final case class DeleteResult(version: Int, deletedRows: Long,
+      rewrittenFiles: Int, carriedFiles: Int)
+
+  /** Copy-on-write DELETE (Delta's delete shape): remove the rows where
+    * `cond` is TRUE and publish the result as a new version —
+    * rewriting ONLY the files that contain matching rows. Two phases,
+    * both distributed:
+    *
+    *  1. Find the TOUCHED files: scan with `cond` pushed down and
+    *     aggregate match counts by `_metadata.file_path`. Parquet
+    *     footer stats prune entire non-matching files from this scan,
+    *     so on a selective delete over a well-laid-out table (q96
+    *     range / q107 Z-order) phase 1 reads a sliver; only file
+    *     identities and counts come back to the driver (one row per
+    *     touched file — manifest-sized, never data-sized).
+    *  2. Rewrite ONLY the touched files with survivors (rows where
+    *     `cond` is not TRUE — NULL survives, matching SQL DELETE's
+    *     three-valued semantics) into a fresh data dir; every
+    *     untouched file carries forward BY REFERENCE, byte-identical
+    *     path strings in the new manifest, zero IO.
+    *
+    * On a 100 TB table a delete touching 0.1% of files costs two scans
+    * of that 0.1% (find + rewrite) plus a manifest write — never a
+    * table rewrite. The commit publishes through the same atomic
+    * manifest rename as every other write; prior snapshots keep
+    * serving the deleted rows (time travel), and [[vacuum]] reclaims
+    * the replaced files once retention passes. A no-match delete still
+    * publishes a (file-identical) version, so DML always advances the
+    * version counter deterministically. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): DeleteResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val f = fs(spark, dir)
+    val files = filesOf(spark, dir, v)
+    val newV = v + 1
+    if (files.isEmpty)
+      return DeleteResult(publish(f, dir, newV, files), 0L, 0, 0)
+    val snap = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val perFile = snap.filter(cond)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (new Path(r.getString(0)).toString,
+        r.getLong(1))).toMap
+    val (touched, kept) =
+      files.partition(p => perFile.contains(new Path(p).toString))
+    if (touched.isEmpty)
+      return DeleteResult(publish(f, dir, newV, files), 0L, 0, files.size)
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(touched: _*)
+      .filter(not(coalesce(cond, lit(false))))
+    val newFiles = writeDataFiles(spark, survivors, dir, newV)
+    publish(f, dir, newV, kept ++ newFiles)
+    DeleteResult(newV, perFile.values.sum, touched.size, kept.size)
+  }
+
+  /** TRUNCATE: publish an empty snapshot that PRESERVES the current
+    * schema (one schema-bearing empty parquet file) — no data scan at
+    * all, unlike a delete-everything. Prior versions keep serving. */
+  def truncate(spark: SparkSession, dir: String): Int =
+    commit(spark, read(spark, dir).limit(0), dir, carryForward = false)
 
   /** Retention-based VACUUM: keep the newest `keep` published versions
     * serveable and reclaim everything else — the operation the r10

@@ -160,6 +160,82 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("PARTITIONED BY"))
   }
 
+  test("DELETE FROM removes matches, keeps NULL-condition rows, old snapshots intact") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b'), " +
+      "(NULL,'n'), (5,'e')")                                   // v1
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 3")               // v2
+    // k=NULL survives: `k < 3` is NULL there, and SQL DELETE removes
+    // only TRUE-condition rows
+    assert(spark.sql(s"SELECT v FROM $cat.t ORDER BY v").collect()
+      .map(_.getString(0)).toSeq === Seq("e", "n"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 4L)
+    // compound + IN conditions translate too
+    spark.sql(s"DELETE FROM $cat.t WHERE k IN (5) AND v = 'e'") // v3
+    assert(spark.sql(s"SELECT v FROM $cat.t").collect()
+      .map(_.getString(0)).toSeq === Seq("n"))
+  }
+
+  test("DELETE is copy-on-write: untouched files carry forward by reference") {
+    val cat = freshCatalog()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 10)")    // v1
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(100, 110)") // v2
+    val before = VersionedTable.filesOf(spark, s"$root/t", 2)
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 105")                  // v3
+    val after = VersionedTable.filesOf(spark, s"$root/t", 3)
+    // v1's files (k<10: no matches) appear in v3's manifest verbatim;
+    // of v2's files, exactly those containing k=105 are replaced by
+    // rewritten survivors — the rest carry forward by reference too
+    val v1Files = before.filter(_.contains("files-v1"))
+    assert(v1Files.nonEmpty && v1Files.forall(after.contains),
+      s"untouched files were rewritten:\nbefore=$before\nafter=$after")
+    val replaced = before.filter(_.contains("files-v2"))
+      .filterNot(after.contains)
+    assert(replaced.nonEmpty, "no touched file was replaced")
+    val touched105 = spark.read.parquet(before: _*)
+      .filter(org.apache.spark.sql.functions.col("k") === 105)
+      .select(org.apache.spark.sql.functions
+        .col("_metadata.file_path")).distinct().collect()
+      .map(r => new Path(r.getString(0)).toString).toSet
+    assert(replaced.map(p => new Path(p).toString).toSet === touched105,
+      s"rewrite set != files containing the match:\n" +
+        s"replaced=$replaced\ntouched=$touched105")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 19L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 2")
+      .collect()(0).getLong(0) === 20L)
+  }
+
+  test("TRUNCATE TABLE empties via schema-preserving commit; history serves") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b')") // v1
+    spark.sql(s"TRUNCATE TABLE $cat.t")                      // v2
+    val latest = spark.sql(s"SELECT * FROM $cat.t")
+    assert(latest.count() === 0)
+    assert(latest.columns.toSeq === Seq("k", "v"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 2L)
+  }
+
+  test("untranslatable DELETE condition fails loudly, table unchanged") {
+    val cat = freshCatalog()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'bb')")
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t WHERE length(v) > 1")
+    }
+    // the failed statement committed nothing
+    assert(VersionedTable.latestVersion(spark, s"$root/t") === Some(1))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 2L)
+  }
+
   test("schema widens across commits and old snapshots keep their shape") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k INT)")
