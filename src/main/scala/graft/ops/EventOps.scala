@@ -1269,6 +1269,86 @@ object EventOps {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** Streaming CDC upsert into the LAKE CATALOG — the
+    * Delta/Iceberg-style "stream merge" every CDC-to-lakehouse
+    * pipeline runs, composed from two tiers this engine already
+    * proves separately: the file-source event stream and the
+    * catalog's group-based COW `MERGE INTO` (q177). The event log
+    * replays as 4 ingest files consumed one per micro-batch
+    * (`maxFilesPerTrigger=1` + `Trigger.AvailableNow`), and each
+    * batch `foreachBatch`-merges into the versioned per-user state
+    * table: the batch is PRE-REDUCED to one row per key (argmax by
+    * (ts_us, event_id) — so the merge source is distinct-keyed and
+    * bounded by the batch's key count, never its row count), then
+    * `MERGE ... WHEN MATCHED AND s newer THEN UPDATE / WHEN NOT
+    * MATCHED THEN INSERT` applies latest-wins. The gate makes the
+    * result independent of batch order AND replay (an older or equal
+    * (ts, id) never overwrites — exactly-once state from
+    * at-least-once delivery, the CDC invariant). Each micro-batch is
+    * one atomic manifest commit, so readers see upsert N or N+1,
+    * never a torn batch, and the version history IS the ingest
+    * audit log (spec pins v4 = create + 4 merges). Emitted result:
+    * the final state table, which the oracle restates as the global
+    * per-user argmax over the raw log — streaming-incremental ≡
+    * batch. Scale: per-batch cost is the merge's COW rewrite; a real
+    * deployment key-partitions/Z-orders the state table so the
+    * phase-1 group prune touches only files owning the batch's keys
+    * (the q96/q107 layouts), and the pre-reduce keeps the shuffled
+    * source at distinct-keys size. */
+  val q178CdcUpsert: Q = (spark, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lake_$nonce"
+    val base = s"/tmp/graft_q178_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"$base/lake")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .repartition(4)
+      .write.parquet(s"$base/ingest")
+    spark.sql(s"CREATE TABLE $cat.state " +
+      "(user_id BIGINT, ts_us BIGINT, event_id BIGINT, value DOUBLE)")
+    val schema = spark.read.parquet(s"$base/ingest").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/ingest")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("value"))
+          .createOrReplaceTempView(s"q178_batch_$nonce")
+        batch.sparkSession.sql(
+          s"""MERGE INTO $cat.state AS t USING q178_batch_$nonce AS s
+             |ON t.user_id = s.user_id
+             |WHEN MATCHED AND (s.ts_us > t.ts_us OR
+             |  (s.ts_us = t.ts_us AND s.event_id > t.event_id))
+             |  THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.sql(s"SELECT user_id, ts_us, event_id, value FROM $cat.state " +
+      "ORDER BY user_id")
+  }
+
+  val q178Oracle: String =
+    """SELECT user_id, ts_us, event_id, value FROM (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -1303,6 +1383,7 @@ object EventOps {
     "q132_funnel_timeout" -> q132FunnelTimeout,
     "q159_idle_flush" -> q159IdleFlush,
     "q160_state_bootstrap" -> q160StateBootstrap,
+    "q178_cdc_lake_upsert" -> q178CdcUpsert,
     "q154_attribution" -> q154Attribution,
   )
 
@@ -1340,6 +1421,7 @@ object EventOps {
     "q132_funnel_timeout" -> q132Oracle,
     "q159_idle_flush" -> q159Oracle,
     "q160_state_bootstrap" -> q160Oracle,
+    "q178_cdc_lake_upsert" -> q178Oracle,
     "q154_attribution" -> q154Oracle,
   )
 }

@@ -2388,6 +2388,80 @@ object Relational {
       |  SELECT 3, 0, 0, 0.0
       |) ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  /** SQL `UPDATE` + `MERGE INTO` through the lake catalog — the
+    * group-based copy-on-write row-level tier
+    * (GraftLakeRowLevelOperation): Spark's own rewrite plans
+    * (RewriteUpdateTable / RewriteMergeIntoTable) plan a ReplaceData
+    * over the operation's scan, the scan's pushFilters prunes GROUPS
+    * (files that might contain matches, found by a footer-pruned
+    * phase-1 job over `_metadata.file_path`) while deliberately
+    * keeping every row of surviving files (parquet row filtering here
+    * would silently drop the unmatched rows the rewrite must copy
+    * forward), and the feedback lands through Spark's V2 parquet write
+    * with the commit publishing untouched files BY REFERENCE plus the
+    * rewrite — one atomic manifest rename, optimistic-concurrency
+    * loud-fail on a racing committer. Lifecycle proven by fingerprint:
+    * v1 = CTAS (¾ of orders), v2 = UPDATE adds 1000 to every
+    * F-status total, v3 = MERGE resets matched (even-key) rows to the
+    * source's original totals and inserts the missing quarter — and
+    * v1/v2 stay byte-stable under `VERSION AS OF` after both
+    * rewrites. The oracle restates every snapshot from the raw source
+    * arithmetically (the merge algebra collapses to one CASE over all
+    * orders), so the hash gate proves the rewrite loses, duplicates,
+    * and resurrects nothing. */
+  val q177LakeUpdateMergeSql: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lake_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q177_$nonce")
+    t(spark, dir, "orders").createOrReplaceTempView("q177_src")
+    spark.sql(s"CREATE TABLE $cat.orders_v AS " +
+      "SELECT * FROM q177_src WHERE o_orderkey % 4 <> 0")
+    spark.sql(s"UPDATE $cat.orders_v " +
+      "SET o_totalprice = o_totalprice + 1000.0 " +
+      "WHERE o_orderstatus = 'F'")
+    spark.sql(
+      s"""MERGE INTO $cat.orders_v AS t
+         |USING (SELECT * FROM q177_src WHERE o_orderkey % 2 = 0) AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    def fp(v: Long): String =
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  count(*) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $cat.orders_v VERSION AS OF $v""".stripMargin
+    spark.sql(
+      s"""SELECT * FROM (
+         |${fp(1)} UNION ALL ${fp(2)} UNION ALL ${fp(3)}
+         |) ORDER BY version""".stripMargin)
+  }
+
+  val q177Oracle: String =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |    round(sum(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_orderkey % 4 <> 0
+      |  UNION ALL
+      |  SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice +
+      |      CASE WHEN o_orderstatus = 'F' THEN 1000.0 ELSE 0.0 END), 2)
+      |  FROM orders WHERE o_orderkey % 4 <> 0
+      |  UNION ALL
+      |  SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+      |      WHEN o_orderstatus = 'F' THEN o_totalprice + 1000.0
+      |      ELSE o_totalprice END), 2)
+      |  FROM orders
+      |) ORDER BY version""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2449,6 +2523,7 @@ object Relational {
     "q170_schema_evolution" -> q170SchemaEvolution,
     "q175_lake_catalog_sql" -> q175LakeCatalogSql,
     "q176_lake_delete_sql" -> q176LakeDeleteSql,
+    "q177_lake_update_merge_sql" -> q177LakeUpdateMergeSql,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2512,5 +2587,6 @@ object Relational {
     "q170_schema_evolution" -> q170Oracle,
     "q175_lake_catalog_sql" -> q175Oracle,
     "q176_lake_delete_sql" -> q176Oracle,
+    "q177_lake_update_merge_sql" -> q177Oracle,
   )
 }

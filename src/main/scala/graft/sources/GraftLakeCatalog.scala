@@ -7,11 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit, not}
@@ -248,9 +248,27 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   * snapshot and a lost race throws instead of corrupting. */
 final class GraftLakeTable(ident: Identifier, dir: String,
     version: Option[Int]) extends Table
-    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `UPDATE` / `MERGE INTO` / non-metadata `DELETE` — the group-based
+    * copy-on-write rewrite ([[GraftLakeRowLevelOperation]]); groups
+    * are files, untouched files carry forward by reference. Plain
+    * DELETE still short-circuits through [[deleteWhere]] when its
+    * condition translates (Spark's metadata-only delete rule asks
+    * [[canDeleteWhere]] first). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"cannot modify time-travel snapshot ${ident.toString} " +
+        s"VERSION AS OF ${version.get}")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftLakeRowLevelOperation(dir, info.command, schema())
+    }
+  }
 
   /** Resolved once per load: AS-OF pins the version; latest otherwise.
     * mergeSchema mirrors [[VersionedTable.read]] — carry-forward

@@ -69,10 +69,25 @@ object VersionedTable {
     * resolve against the default filesystem. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame,
       dir: String, v: Int): Seq[String] = {
-    val f = fs(spark, dir)
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = s"$dir/files-v$v-$nonce"
+    val dataDir = s"$dir/files-v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     df.write.parquet(dataDir)
+    listDataFiles(spark, dir, dataDir)
+  }
+
+  /** Publish an explicit file list as version `v` — the manifest-only
+    * commit point for writers that land their data files through
+    * Spark's own V2 file write (the lake catalog's row-level
+    * operations) rather than [[writeDataFiles]]. Same atomic rename,
+    * same loser-throws race semantics. */
+  private[sources] def publishVersion(spark: SparkSession, dir: String,
+      v: Int, files: Seq[String]): Int =
+    publish(fs(spark, dir), dir, v, files)
+
+  /** Fully qualified parquet paths under a landed data directory. */
+  private[sources] def listDataFiles(spark: SparkSession, dir: String,
+      dataDir: String): Seq[String] = {
+    val f = fs(spark, dir)
     f.listStatus(new Path(dataDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => f.makeQualified(s.getPath).toString)

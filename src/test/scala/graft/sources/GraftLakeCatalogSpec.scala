@@ -222,18 +222,122 @@ class GraftLakeCatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 2L)
   }
 
-  test("untranslatable DELETE condition fails loudly, table unchanged") {
+  test("untranslatable DELETE condition rides the row-level rewrite") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'bb'), (3,'ccc')")
+    // length(v) has no V1 filter form -> canDeleteWhere false -> Spark
+    // falls back to the group-based copy-on-write rewrite
+    spark.sql(s"DELETE FROM $cat.t WHERE length(v) > 1")
+    assert(spark.sql(s"SELECT v FROM $cat.t").collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 3L)
+  }
+
+  test("UPDATE rewrites matches in place, old snapshots intact") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(s"UPDATE $cat.t SET v = concat(v, '!') WHERE k >= 2")
+    assert(spark.sql(s"SELECT v FROM $cat.t ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b!", "c!"))
+    assert(spark.sql(s"SELECT v FROM $cat.t VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+  }
+
+  test("UPDATE is copy-on-write: files without matches carry forward by reference") {
+    val cat = freshCatalog()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 10)")    // v1
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(100, 110)") // v2
+    val before = VersionedTable.filesOf(spark, s"$root/t", 2)
+    spark.sql(s"UPDATE $cat.t SET k = k + 1000 WHERE k >= 100")     // v3
+    val after = VersionedTable.filesOf(spark, s"$root/t", 3)
+    val v1Files = before.filter(_.contains("files-v1"))
+    assert(v1Files.nonEmpty && v1Files.forall(after.contains),
+      s"match-free files were rewritten:\nbefore=$before\nafter=$after")
+    assert(before.filter(_.contains("files-v2"))
+      .exists(p => !after.contains(p)), "no touched file was replaced")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === (0 until 10).sum + (1100 until 1110).sum)
+  }
+
+  test("MERGE INTO: matched update + not-matched insert, one commit") {
     val cat = freshCatalog()
     val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
     spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
-    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'bb')")
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.t WHERE length(v) > 1")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b')") // v1
+    import spark.implicits._
+    Seq((2, "B"), (3, "C")).toDF("k", "v")
+      .createOrReplaceTempView("glc_merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING glc_merge_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+         |""".stripMargin)                                   // v2
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "B"), (3, "C")))
+    // exactly one version committed, prior snapshot intact
+    assert(VersionedTable.latestVersion(spark, s"$root/t") === Some(2))
+    assert(spark.sql(s"SELECT v FROM $cat.t VERSION AS OF 1 ORDER BY k")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    spark.catalog.dropTempView("glc_merge_src")
+  }
+
+  test("MERGE with DELETE clause and NOT MATCHED BY SOURCE") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1,'a'), (2,'b'), (9,'z')")
+    import spark.implicits._
+    Seq((1, "keep"), (2, "del")).toDF("k", "cmd")
+      .createOrReplaceTempView("glc_merge_src2")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING glc_merge_src2 AS s ON t.k = s.k
+         |WHEN MATCHED AND s.cmd = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.cmd
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'orphan'
+         |""".stripMargin)
+    assert(spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "keep"), (9, "orphan")))
+    spark.catalog.dropTempView("glc_merge_src2")
+  }
+
+  test("CDC upsert shape: gated MERGE is latest-wins, per-batch versioned, replay-idempotent") {
+    val cat = freshCatalog()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.state (k BIGINT, ts BIGINT, v STRING)")
+    def mergeBatch(rows: String): Unit = {
+      spark.sql(s"SELECT * FROM VALUES $rows AS t(k, ts, v)")
+        .createOrReplaceTempView("glc_cdc_batch")
+      spark.sql(
+        s"""MERGE INTO $cat.state AS t USING glc_cdc_batch AS s
+           |ON t.k = s.k
+           |WHEN MATCHED AND s.ts > t.ts THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      ()
     }
-    // the failed statement committed nothing
-    assert(VersionedTable.latestVersion(spark, s"$root/t") === Some(1))
-    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
-      .getLong(0) === 2L)
+    mergeBatch("(1L, 10L, 'a1'), (2L, 10L, 'b1')") // v1
+    mergeBatch("(1L, 20L, 'a2'), (3L, 5L, 'c1')")  // v2: update 1, insert 3
+    // out-of-order late batch: older ts for k=1 must NOT overwrite
+    mergeBatch("(1L, 15L, 'aSTALE')")              // v3 (no-op content-wise)
+    def state(): Seq[(Long, Long, String)] =
+      spark.sql(s"SELECT k, ts, v FROM $cat.state ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = Seq((1L, 20L, "a2"), (2L, 10L, "b1"), (3L, 5L, "c1"))
+    assert(state() === expected)
+    // one atomic version per batch: create=v0 + 3 merges
+    assert(VersionedTable.latestVersion(spark, s"$root/state") === Some(3))
+    // at-least-once delivery: REPLAY batch 2 verbatim -> state unchanged
+    mergeBatch("(1L, 20L, 'a2'), (3L, 5L, 'c1')")
+    assert(state() === expected)
+    // every intermediate snapshot still serves (the ingest audit log)
+    assert(spark.sql(s"SELECT v FROM $cat.state VERSION AS OF 1 " +
+      "WHERE k = 1").collect().map(_.getString(0)).toSeq === Seq("a1"))
   }
 
   test("schema widens across commits and old snapshots keep their shape") {
