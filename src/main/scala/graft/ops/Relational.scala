@@ -2462,6 +2462,56 @@ object Relational {
       |  FROM orders
       |) ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** The `versions` METADATA TABLE (`sources/GraftLakeMetadata.scala`)
+    * — lakehouse observability as plain SQL, Iceberg's `.snapshots` /
+    * Delta's `DESCRIBE HISTORY` shape: `SELECT ... FROM
+    * <cat>.<table>.versions` returns one row per published snapshot
+    * with exact row counts taken from parquet FOOTERS — zero data
+    * bytes scanned, so auditing a 100 TB table's full commit history
+    * costs manifest-sized driver IO instead of #versions × count(*)
+    * jobs. The query rebuilds q175's DML history (CTAS → INSERT →
+    * OVERWRITE) and reads the audit trail back through the metadata
+    * table; the oracle restates each version's row count from the raw
+    * source with the filter that defined it, so the hash gate proves
+    * footer-count == count(*) for every snapshot. */
+  val q179LakeVersionsMeta: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lake_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q179_$nonce")
+    val o = t(spark, dir, "orders")
+    val cut = ntz("1997-01-01 00:00:00")
+    o.filter(col("o_orderdate") < cut)
+      .createOrReplaceTempView("q179_pre")
+    o.filter(col("o_orderdate") >= cut)
+      .createOrReplaceTempView("q179_post")
+    o.filter(col("o_orderstatus") === "F")
+      .createOrReplaceTempView("q179_f")
+    spark.sql(s"CREATE TABLE $cat.orders_v AS SELECT * FROM q179_pre")
+    spark.sql(s"INSERT INTO $cat.orders_v SELECT * FROM q179_post")
+    spark.sql(s"INSERT OVERWRITE $cat.orders_v SELECT * FROM q179_f")
+    spark.sql(
+      s"""SELECT version, total_rows, n_files >= 1 AS files_ok
+         |FROM $cat.orders_v.versions ORDER BY version""".stripMargin)
+  }
+
+  val q179Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 0 AS version,
+      |    CAST(count(*) FILTER (WHERE FALSE) AS BIGINT) AS total_rows,
+      |    TRUE AS files_ok FROM orders
+      |  UNION ALL
+      |  SELECT 1, count(*), TRUE FROM orders
+      |    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |  UNION ALL
+      |  SELECT 2, count(*), TRUE FROM orders
+      |  UNION ALL
+      |  SELECT 3, count(*), TRUE FROM orders WHERE o_orderstatus = 'F'
+      |) ORDER BY version""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2524,6 +2574,7 @@ object Relational {
     "q175_lake_catalog_sql" -> q175LakeCatalogSql,
     "q176_lake_delete_sql" -> q176LakeDeleteSql,
     "q177_lake_update_merge_sql" -> q177LakeUpdateMergeSql,
+    "q179_lake_versions_meta" -> q179LakeVersionsMeta,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2588,5 +2639,6 @@ object Relational {
     "q175_lake_catalog_sql" -> q175Oracle,
     "q176_lake_delete_sql" -> q176Oracle,
     "q177_lake_update_merge_sql" -> q177Oracle,
+    "q179_lake_versions_meta" -> q179Oracle,
   )
 }

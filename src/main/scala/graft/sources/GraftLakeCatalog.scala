@@ -105,8 +105,17 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val d = dirOf(ident)
-    if (!isTable(d)) throw new NoSuchTableException(ident)
-    new GraftLakeTable(ident, d, None)
+    if (isTable(d)) return new GraftLakeTable(ident, d, None)
+    // `<cat>.<table>.versions` — the metadata-table suffix resolves
+    // against the PARENT when the child is not itself a table
+    if (GraftLakeVersionsTable.MetadataTableNames.contains(ident.name()) &&
+        ident.namespace().nonEmpty) {
+      val parent = dirOf(ident.namespace())
+      if (isTable(parent))
+        return new GraftLakeVersionsTable(
+          ident.namespace().mkString("."), parent)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF <v>` — explicit snapshot pin. */

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Iceberg-style METADATA TABLE over a lake table's commit log:
+  * `SELECT * FROM <catalog>.<table>.versions` returns one row per
+  * published snapshot — `(version, n_files, total_rows)` — computed
+  * entirely from the manifests plus parquet FOOTER record counts. No
+  * data byte is scanned: on a 100 TB table the query costs one footer
+  * read per listed file (manifest-sized driver IO, the same planning
+  * cost any scan of that snapshot would pay), which is why lakehouse
+  * observability ships as metadata tables instead of `count(*)` jobs.
+  * Footer counts are exact parquet metadata, so `total_rows` equals
+  * `count(*)` of the snapshot bit-for-bit and the q179 oracle can gate
+  * it against the raw source.
+  *
+  * The rows are computed DRIVER-side at scan build (there are
+  * #versions of them) and shipped as one input partition — the shape
+  * every catalog metadata table uses (Iceberg's `.snapshots`, Delta's
+  * `DESCRIBE HISTORY`). */
+final class GraftLakeVersionsTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"$tableName.versions"
+
+  override def schema(): StructType = GraftLakeVersionsTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = GraftLakeVersionsTable.Schema
+      override def description(): String = s"GraftLakeVersions($dir)"
+      override def toBatch: Batch = {
+        val s = spark
+        val conf = s.sparkContext.hadoopConfiguration
+        val latest = VersionedTable.latestVersion(s, dir)
+        val rows: Array[(Int, Int, Long)] =
+          (0 to latest.getOrElse(-1)).flatMap { v =>
+            // vacuum may have retired low versions; skip gaps
+            val files = try VersionedTable.filesOf(s, dir, v) catch {
+              case _: IllegalArgumentException => null
+            }
+            Option(files).map { fs =>
+              val n = fs.map(p => ParquetFileReader.open(
+                HadoopInputFile.fromPath(new Path(p), conf)) match {
+                case r => try r.getRecordCount finally r.close()
+              }).sum
+              (v, fs.size, n)
+            }
+          }.toArray
+        new GraftLakeVersionsBatch(rows)
+      }
+    }
+  }
+}
+
+object GraftLakeVersionsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("total_rows", LongType, nullable = false)))
+
+  /** `<cat>.<table>.versions` resolves here when the parent directory
+    * is a table and the child is not itself one. */
+  val MetadataTableNames: Set[String] = Set("versions")
+}
+
+private final class GraftLakeVersionsBatch(
+    rows: Array[(Int, Int, Long)]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(new GraftLakeVersionsPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val data = p.asInstanceOf[GraftLakeVersionsPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
+          override def get(): InternalRow = {
+            val (v, nf, nr) = data(i)
+            InternalRow(v, nf, nr)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private final class GraftLakeVersionsPartition(
+    val rows: Array[(Int, Int, Long)]) extends InputPartition

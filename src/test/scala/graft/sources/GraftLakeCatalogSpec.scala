@@ -340,6 +340,31 @@ class GraftLakeCatalogSpec extends SparkSpec {
       "WHERE k = 1").collect().map(_.getString(0)).toSeq === Seq("a1"))
   }
 
+  test("versions metadata table reports exact footer counts per snapshot") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")                    // v0
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 7)")  // v1
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10, 15)") // v2
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 10")               // v3
+    val meta = spark.sql(
+      s"SELECT version, n_files, total_rows FROM $cat.t.versions " +
+        "ORDER BY version").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(meta.map(_._1) === Seq(0, 1, 2, 3))
+    assert(meta.map(_._3) === Seq(0L, 7L, 12L, 7L))
+    assert(meta.forall(_._2 >= 1))
+    // footer counts equal a real count(*) of each snapshot
+    meta.foreach { case (v, _, n) =>
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $v")
+        .collect()(0).getLong(0) === n)
+    }
+    // a genuinely missing child still errors
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM $cat.t.nope").collect()
+    }
+    assert(err.getMessage.contains("nope"))
+  }
+
   test("schema widens across commits and old snapshots keep their shape") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k INT)")
