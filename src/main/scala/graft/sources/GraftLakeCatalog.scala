@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.graftbridge.PredicateBridge
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A Spark V2 `TableCatalog` over [[VersionedTable]] — the catalog tier
@@ -167,11 +167,40 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` — additive evolution ONLY, the
+    * lakehouse-safe subset: each added column is appended by
+    * publishing a carry-forward commit whose delta is one
+    * schema-bearing EMPTY parquet file, so the widened schema
+    * surfaces through the same mergeSchema reads that already serve
+    * implicit widening ([[VersionedTable.read]]), prior data is
+    * untouched (new column reads NULL over old files), and prior
+    * snapshots keep their exact shape under `VERSION AS OF`. Rename/
+    * drop/retype are rejected: they would re-interpret bytes already
+    * committed, which a footer-schema store cannot do losslessly. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE is not supported; schema widens " +
-        "implicitly on append (mergeSchema reads)")
+      changes: TableChange*): Table = {
+    val d = dirOf(ident)
+    if (!isTable(d)) throw new NoSuchTableException(ident)
+    val current = (loadTable(ident): Table).schema()
+    val widened = changes.foldLeft(current) {
+      case (sch, add: TableChange.AddColumn) =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: nested ADD COLUMN is not supported " +
+              s"(${add.fieldNames().mkString(".")})")
+        if (sch.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))))
+          throw new IllegalArgumentException(
+            s"column ${add.fieldNames()(0)} already exists")
+        sch.add(StructField(add.fieldNames()(0), add.dataType(),
+          nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"$catalogName: only ADD COLUMN is supported, got " +
+          other.getClass.getSimpleName)
+    }
+    val empty = spark.createDataFrame(new util.ArrayList[Row](), widened)
+    VersionedTable.commit(spark, empty, d, carryForward = true)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident)

@@ -365,6 +365,30 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("ALTER TABLE ADD COLUMN widens additively; other alters reject") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")        // v1
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra STRING") // v2
+    assert(spark.table(s"$cat.t").columns.toSeq === Seq("k", "extra"))
+    // old rows surface NULL for the new column; inserts carry it
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 'x')")         // v3
+    assert(spark.sql(s"SELECT k, extra FROM $cat.t ORDER BY k").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSeq ===
+      Seq((1, None), (2, None), (3, Some("x"))))
+    // pre-alter snapshot keeps its exact shape
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
+      .columns.toSeq === Seq("k"))
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra STRING")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists"))
+    val drop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN extra")
+    }
+    assert(drop.getMessage.contains("ADD COLUMN"))
+  }
+
   test("schema widens across commits and old snapshots keep their shape") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k INT)")
