@@ -1326,14 +1326,45 @@ object EventOps {
           .select(col("user_id"), col("ts_us"), col("event_id"),
             col("value"))
           .createOrReplaceTempView(s"q178_batch_$nonce")
-        batch.sparkSession.sql(
-          s"""MERGE INTO $cat.state AS t USING q178_batch_$nonce AS s
-             |ON t.user_id = s.user_id
-             |WHEN MATCHED AND (s.ts_us > t.ts_us OR
-             |  (s.ts_us = t.ts_us AND s.event_id > t.event_id))
-             |  THEN UPDATE SET *
-             |WHEN NOT MATCHED THEN INSERT *
-             |""".stripMargin)
+        // batch key BOUNDS as a target-only conjunct: equality implies
+        // it for every source row (semantics unchanged), but as a
+        // pushable predicate it feeds the merge's footer-stats group
+        // prune, so on a key-clustered table (q96/q107 layouts) the
+        // rewrite touches only files owning the batch's key range —
+        // the Delta production pattern for CDC merges (spec-pinned in
+        // GraftLakeCatalogSpec "bounded MERGE carries forward...").
+        // The micro-batch is file-backed, so the bounds come from the
+        // batch files' own parquet FOOTERS (driver metadata IO, no
+        // job); an agg job is only the fallback for non-file sources.
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val footerBounds: Option[(Long, Long)] =
+          try {
+            val rs = batch.inputFiles.toSeq.map(f => graft.sources
+              .LakeFileStats.read(f, conf).cols("user_id"))
+            val los = rs.map(_.min); val his = rs.map(_.max)
+            if (rs.nonEmpty && los.forall(_.isDefined) &&
+              his.forall(_.isDefined))
+              Some((los.map(_.get.asInstanceOf[Long]).min,
+                his.map(_.get.asInstanceOf[Long]).max))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        val bounds = footerBounds.orElse {
+          val r = batch.agg(min(col("user_id")), max(col("user_id")))
+            .collect()(0)
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
+        if (bounds.isDefined) { // empty micro-batch: nothing to merge
+          val (lo, hi) = bounds.get
+          batch.sparkSession.sql(
+            s"""MERGE INTO $cat.state AS t USING q178_batch_$nonce AS s
+               |ON t.user_id = s.user_id
+               |  AND t.user_id BETWEEN $lo AND $hi
+               |WHEN MATCHED AND (s.ts_us > t.ts_us OR
+               |  (s.ts_us = t.ts_us AND s.event_id > t.event_id))
+               |  THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *
+               |""".stripMargin)
+        }
         ()
       }
       .start()

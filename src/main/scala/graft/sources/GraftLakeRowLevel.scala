@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable, ParquetWrite}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,12 +27,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    EVERY row of each surviving group, so the builder deliberately
   *    does NOT forward those filters into parquet (footer/page pruning
   *    would silently drop unmatched rows of touched files, which the
-  *    rewrite must copy forward). Instead it runs its own distributed
-  *    phase-1 job — `filter(cond)` aggregated to
-  *    `_metadata.file_path` — where parquet pushdown IS safe (only
-  *    file identities come back), selects the files that might contain
-  *    matches, and scans those in full. A selective UPDATE on a 100 TB
-  *    table reads and rewrites the touched sliver, never the table.
+  *    rewrite must copy forward). Instead it prunes from parquet
+  *    FOOTER statistics on the driver ([[LakeFileStats]] — min/max/
+  *    nullCount per file, conservative possibility test over the V1
+  *    filter algebra): no cluster job at all, manifest-sized metadata
+  *    IO, the Delta/Iceberg stats-pruning discipline. A selective
+  *    UPDATE on a 100 TB table reads and rewrites the touched sliver,
+  *    never the table.
   *  - **Write side**: the rewritten rows land through Spark's own V2
   *    parquet write ([[ParquetWrite]]) into a fresh immutable
   *    `files-v<N>-<nonce>/` dir; `commit` then publishes a manifest
@@ -155,10 +157,168 @@ private final class OpStrippingWriterFactory(
   }
 }
 
+/** Per-file column statistics merged across parquet row groups, plus
+  * a CONSERVATIVE possibility test over the V1 filter algebra — the
+  * Delta/Iceberg group-pruning discipline, computed from FOOTERS on
+  * the driver with no cluster job (a rewrite's group prune costs
+  * manifest-sized metadata IO, exactly like planning any scan of that
+  * snapshot). "Conservative" is the load-bearing word: `possible`
+  * returns false only when the stats PROVE no row can match —
+  * unknown types, missing stats, negations, and mixed numeric
+  * families all answer true, so pruning can only ever keep extra
+  * files, never lose a group. */
+private[graft] object LakeFileStats {
+
+  /** Per-column (min, max, nullCount) over the whole file; None =
+    * unknown. Values normalized to Long / Double / String / Boolean. */
+  final case class ColStats(min: Option[Any], max: Option[Any],
+      nullCount: Option[Long])
+  final case class FileStats(cols: Map[String, ColStats], rowCount: Long)
+
+  def read(path: String, conf: org.apache.hadoop.conf.Configuration)
+      : FileStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      // per column: merged bounds, summed nulls, and a poison flag for
+      // any block whose non-null range cannot be determined
+      final case class Acc(min: Option[Any], max: Option[Any],
+          nulls: Option[Long], poisoned: Boolean)
+      val acc = scala.collection.mutable.Map.empty[String, Acc]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.size == 1) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            val isString = c.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            def norm(v: AnyRef): Option[Any] =
+              c.getPrimitiveType.getPrimitiveTypeName match {
+                case INT32 | INT64 => Some(v.asInstanceOf[Number]
+                  .longValue())
+                case FLOAT | DOUBLE => Some(v.asInstanceOf[Number]
+                  .doubleValue())
+                case BOOLEAN => Some(v.asInstanceOf[java.lang.Boolean]
+                  .booleanValue())
+                case BINARY if isString => Some(
+                  v.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8)
+                case _ => None
+              }
+            val nullsB =
+              if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+              else None
+            val allNull = nullsB.contains(b.getRowCount)
+            val (mnB, mxB) =
+              if (allNull || st == null || !st.hasNonNullValue)
+                (None, None)
+              else (norm(st.genericGetMin.asInstanceOf[AnyRef]),
+                norm(st.genericGetMax.asInstanceOf[AnyRef]))
+            // poisoned: the block HAS non-null rows but no usable range
+            val poisonB = !allNull && (mnB.isEmpty || mxB.isEmpty)
+            val p = acc.getOrElse(name,
+              Acc(None, None, Some(0L), poisoned = false))
+            acc(name) = Acc(
+              pick(p.min, mnB, keepFirst = le),
+              pick(p.max, mxB, keepFirst = ge),
+              for (x <- p.nulls; y <- nullsB) yield x + y,
+              p.poisoned || poisonB)
+          }
+        }
+      }
+      FileStats(acc.map { case (n, a) =>
+        n -> (if (a.poisoned) ColStats(None, None, a.nulls)
+        else ColStats(a.min, a.max, a.nulls))
+      }.toMap, rowCount)
+    } finally r.close()
+  }
+
+  private def le(a: Any, b: Any): Boolean = cmp(a, b).exists(_ <= 0)
+  private def ge(a: Any, b: Any): Boolean = cmp(a, b).exists(_ >= 0)
+
+  /** Merge bounds where None is NEUTRAL (an all-null block contributes
+    * no range); undeterminable blocks are handled via the poison flag. */
+  private def pick(a: Option[Any], b: Option[Any],
+      keepFirst: (Any, Any) => Boolean): Option[Any] = (a, b) match {
+    case (Some(x), Some(y)) => Some(if (keepFirst(x, y)) x else y)
+    case (Some(x), None) => Some(x)
+    case (None, y) => y
+  }
+
+  /** Same-family comparison; None = incomparable (conservative). */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** Normalize a V1 filter literal into the stats value domain. */
+  private def normLit(v: Any): Option[Any] = v match {
+    case x: Int => Some(x.toLong)
+    case x: Long => Some(x)
+    case x: Short => Some(x.toLong)
+    case x: Byte => Some(x.toLong)
+    case x: Float => Some(x.toDouble)
+    case x: Double => Some(x)
+    case x: String => Some(x)
+    case x: Boolean => Some(x)
+    case _ => None
+  }
+
+  /** May any row of the file match `f`? False only on stats PROOF. */
+  def possible(f: Filter, fs: FileStats): Boolean = {
+    def range(a: String): Option[(Any, Any)] =
+      fs.cols.get(a).flatMap(c => for (mn <- c.min; mx <- c.max)
+        yield (mn, mx))
+    def test(attr: String, v: Any)(p: (Int, Int) => Boolean): Boolean =
+      (range(attr), normLit(v)) match {
+        case (Some((mn, mx)), Some(x)) =>
+          (cmp(mn, x), cmp(mx, x)) match {
+            case (Some(cMin), Some(cMax)) => p(cMin, cMax)
+            case _ => true
+          }
+        case _ => true
+      }
+    f match {
+      case sources.AlwaysFalse() => false
+      case sources.EqualTo(a, v) =>
+        test(a, v)((cMin, cMax) => cMin <= 0 && cMax >= 0)
+      case sources.EqualNullSafe(a, v) if v != null =>
+        test(a, v)((cMin, cMax) => cMin <= 0 && cMax >= 0) ||
+          possible(sources.IsNull(a), fs)
+      case sources.GreaterThan(a, v) => test(a, v)((_, cMax) => cMax > 0)
+      case sources.GreaterThanOrEqual(a, v) =>
+        test(a, v)((_, cMax) => cMax >= 0)
+      case sources.LessThan(a, v) => test(a, v)((cMin, _) => cMin < 0)
+      case sources.LessThanOrEqual(a, v) =>
+        test(a, v)((cMin, _) => cMin <= 0)
+      case sources.In(a, vs) =>
+        vs.isEmpty || vs.exists(v => possible(sources.EqualTo(a, v), fs))
+      case sources.IsNull(a) =>
+        fs.cols.get(a).flatMap(_.nullCount).forall(_ > 0)
+      case sources.IsNotNull(a) =>
+        fs.cols.get(a).flatMap(_.nullCount).forall(_ < fs.rowCount)
+      case sources.And(l, r) => possible(l, fs) && possible(r, fs)
+      case sources.Or(l, r) => possible(l, fs) || possible(r, fs)
+      case _ => true // Not(...), string matches, unknown: no proof
+    }
+  }
+}
+
 /** Scan builder whose filter pushdown prunes GROUPS (files), never
   * rows — see [[GraftLakeRowLevelOperation]]. Starts conservative
-  * (whole snapshot selected) and narrows only when the phase-1 job
-  * proves files match-free. */
+  * (whole snapshot selected) and narrows only when footer stats prove
+  * files match-free ([[LakeFileStats]] — driver-side metadata IO, no
+  * cluster job). */
 final class LakeScanBuilder(dir: String, allFiles: Seq[String],
     schema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder
@@ -172,19 +332,14 @@ final class LakeScanBuilder(dir: String, allFiles: Seq[String],
   def selectedFiles: Seq[String] = selected
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val conds = filters.toSeq.flatMap(f =>
-      GraftLakeTable.toColumn(f).map(c => (f, c)))
-    if (conds.nonEmpty && allFiles.nonEmpty) {
+    if (filters.nonEmpty && allFiles.nonEmpty) {
       try {
-        val cond = conds.map(_._2).reduce(_ && _)
-        val touched = spark.read.option("mergeSchema", "true")
-          .parquet(allFiles: _*)
-          .filter(cond)
-          .select(col("_metadata.file_path"))
-          .distinct().collect()
-          .map(r => new Path(r.getString(0)).toString).toSet
-        selected = allFiles.filter(p => touched(new Path(p).toString))
-        pruningFilters = conds.map(_._1).toArray
+        val conf = spark.sparkContext.hadoopConfiguration
+        selected = allFiles.filter { p =>
+          val stats = LakeFileStats.read(p, conf)
+          filters.forall(f => LakeFileStats.possible(f, stats))
+        }
+        pruningFilters = filters
       } catch {
         case NonFatal(_) => selected = allFiles // conservative: no prune
       }

@@ -365,6 +365,37 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(err.getMessage.contains("nope"))
   }
 
+  test("bounded MERGE carries forward files outside the key range by reference") {
+    val cat = freshCatalog()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0L FROM range(0, 10)")    // v1
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 0L FROM range(100, 110)") // v2
+    val before = VersionedTable.filesOf(spark, s"$root/t", 2)
+    // the q178 CDC shape: ON-clause key bounds are a target-only
+    // conjunct the rewrite scan's phase-1 prune can act on — files
+    // whose footer stats exclude [100, 105] never rewrite
+    spark.sql(s"SELECT * FROM VALUES (100L, 7L), (105L, 7L) AS s(k, v)")
+      .createOrReplaceTempView("glc_bounded_src")
+    spark.sql(
+      s"""MERGE INTO $cat.t AS t USING glc_bounded_src AS s
+         |ON t.k = s.k AND t.k BETWEEN 100 AND 105
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)                                              // v3
+    val after = VersionedTable.filesOf(spark, s"$root/t", 3)
+    val v1Files = before.filter(_.contains("files-v1"))
+    assert(v1Files.nonEmpty && v1Files.forall(after.contains),
+      s"out-of-range files were rewritten:\nbefore=$before\nafter=$after")
+    assert(before.filter(_.contains("files-v2"))
+      .exists(p => !after.contains(p)), "no in-range file was replaced")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t").collect()(0)
+      .getLong(0) === 14L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 20L)
+    spark.catalog.dropTempView("glc_bounded_src")
+  }
+
   test("ALTER TABLE ADD COLUMN widens additively; other alters reject") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k INT)")
