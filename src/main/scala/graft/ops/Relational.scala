@@ -1106,7 +1106,7 @@ object Relational {
   }
 
   /** Z-value of two keys (16 low bits each): a's bits even, b's odd. */
-  private[ops] def zValue(a: Column, b: Column): Column =
+  private[graft] def zValue(a: Column, b: Column): Column =
     mortonSpread(pmod(a, lit(65536)))
       .bitwiseOR(shiftleft(mortonSpread(pmod(b, lit(65536))), 1))
 
@@ -2512,6 +2512,52 @@ object Relational {
       |  SELECT 3, count(*), TRUE FROM orders WHERE o_orderstatus = 'F'
       |) ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** V2 CATALOG FUNCTIONS (`sources/GraftLakeFunctions.scala`) — the
+    * third and last catalog surface after tables and namespaces:
+    * `SELECT <cat>.morton2(l_partkey, l_suppkey)` resolves through
+    * `FunctionCatalog.loadFunction`, binds as a V2 `ScalarFunction`,
+    * and executes through the MAGIC `invoke(long, long): Long` path
+    * (exact-signature primitive call the resolver compiles to
+    * `Invoke` — codegen-friendly, no per-row boxing; the
+    * `produceResult` row fallback is spec-pinned equal). morton2 is
+    * q107's Z-order curve as a user-callable function — what a
+    * caller uses to WRITE key-clustered layouts that the lake's
+    * footer-stats group pruning and zone-map scans then exploit. The
+    * oracle restates the interleave with DuckDB's own int64 bit ops,
+    * so the hash gate proves the curve bit-identical across engines. */
+  val q180CatalogFunction: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lake_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q180_$nonce")
+    t(spark, dir, "lineitem").createOrReplaceTempView("q180_src")
+    spark.sql(
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+         |  $cat.morton2(l_partkey, l_suppkey) AS z
+         |FROM q180_src WHERE l_orderkey <= 200
+         |ORDER BY l_orderkey, line_no""".stripMargin)
+  }
+
+  val q180Oracle: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+      |    l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+      |  FROM lineitem WHERE l_orderkey <= 200),
+      |s1 AS (SELECT *, (a | (a << 8)) & 16711935 AS a1,
+      |  (b | (b << 8)) & 16711935 AS b1 FROM src),
+      |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+      |  (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+      |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+      |  (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+      |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+      |  (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+      |SELECT l_orderkey, line_no,
+      |  CAST(a4 | (b4 << 1) AS BIGINT) AS z
+      |FROM s4 ORDER BY l_orderkey, line_no""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2575,6 +2621,7 @@ object Relational {
     "q176_lake_delete_sql" -> q176LakeDeleteSql,
     "q177_lake_update_merge_sql" -> q177LakeUpdateMergeSql,
     "q179_lake_versions_meta" -> q179LakeVersionsMeta,
+    "q180_catalog_function" -> q180CatalogFunction,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2640,5 +2687,6 @@ object Relational {
     "q176_lake_delete_sql" -> q176Oracle,
     "q177_lake_update_merge_sql" -> q177Oracle,
     "q179_lake_versions_meta" -> q179Oracle,
+    "q180_catalog_function" -> q180Oracle,
   )
 }

@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -60,7 +62,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`/root/reference/README.md` — a Python imaging API); this is part
   * of the §2.6 extension surface, mechanism-matched to Spark.
   */
-final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -220,6 +223,22 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"rename ${oldIdent.toString} -> ${newIdent.toString} failed")
   }
+
+  // ---------------------------------------------------- FunctionCatalog
+  // Catalog-scoped SQL functions (GraftLakeFunctions): built-in to the
+  // catalog, addressable from any namespace level so both
+  // `SELECT <cat>.morton2(...)` and `<cat>.ns.morton2(...)` resolve.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    GraftLakeFunctions.names
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftLakeFunctions.load(ident.name()).getOrElse(
+      throw new NoSuchFunctionException(ident))
 
   // -------------------------------------------------- SupportsNamespaces
   // Namespaces are directories without a _manifest; the root itself is

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataTypes, LongType, StructType}
+
+/** Catalog-scoped SQL functions for the lake catalog — the THIRD V2
+  * catalog surface next to tables and namespaces
+  * (`FunctionCatalog`): `SELECT <cat>.morton2(a, b)` resolves through
+  * `loadFunction` to an [[UnboundFunction]], binds against the actual
+  * argument schema, and executes through the V2 [[ScalarFunction]]
+  * contract. Each bound function here carries the MAGIC method
+  * (`invoke` with exact primitive signature): Spark's resolver
+  * compiles the call into a codegen-friendly `Invoke` on the function
+  * instance — no per-row `InternalRow` boxing — and falls back to
+  * `produceResult` only when the magic lookup fails (both paths are
+  * implemented and must agree; spec-pinned).
+  *
+  * `morton2` is the q107 Z-order curve exposed as a catalog function:
+  * pure int64 shifts/masks (engine-exact, DuckDB-restatable), the
+  * curve a caller needs to WRITE key-clustered layouts that the
+  * lake's footer-stats group pruning (LakeFileStats) and zone-map
+  * scans (q96/q107) can then exploit. */
+object GraftLakeFunctions {
+
+  val names: Seq[String] = Seq("morton2")
+
+  def load(name: String): Option[UnboundFunction] =
+    name.toLowerCase match {
+      case "morton2" => Some(Morton2)
+      case _ => None
+    }
+
+  /** 2-D Morton (Z-order) interleave of the low 16 bits of each key —
+    * bit-identical to `Relational.zValue` (q107) and to the DuckDB
+    * restatement in q180's oracle. */
+  object Morton2 extends UnboundFunction {
+    override def name(): String = "morton2"
+    override def description(): String =
+      "morton2(a BIGINT, b BIGINT) -> BIGINT: Z-order interleave of " +
+        "the low 16 bits of a (even positions) and b (odd positions)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 2 ||
+        !inputType.fields.forall(_.dataType == LongType))
+        throw new UnsupportedOperationException(
+          s"morton2 expects (BIGINT, BIGINT), got $inputType")
+      Morton2Bound
+    }
+  }
+
+  object Morton2Bound extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(DataTypes.LongType, DataTypes.LongType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      DataTypes.LongType
+    override def name(): String = "morton2"
+    override def canonicalName(): String = "graft.lake.morton2"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = false
+
+    private def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+
+    /** MAGIC method: exact-signature primitive call the resolver
+      * compiles to `Invoke` (whole-stage-codegen friendly). Matches
+      * q107's `zValue`: non-negative keys mod 65536 interleaved. */
+    def invoke(a: Long, b: Long): Long =
+      spread(Math.floorMod(a, 65536L)) |
+        (spread(Math.floorMod(b, 65536L)) << 1)
+
+    /** Row fallback — must agree with [[invoke]] (spec-pinned). */
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getLong(0), input.getLong(1))
+  }
+}

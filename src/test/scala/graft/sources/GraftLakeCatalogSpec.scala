@@ -420,6 +420,36 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(drop.getMessage.contains("ADD COLUMN"))
   }
 
+  test("catalog function morton2 resolves via FunctionCatalog, magic == row path == zValue") {
+    val cat = freshCatalog()
+    // resolves as <cat>.morton2 (catalog + empty namespace)
+    val viaSql = spark.sql(
+      s"SELECT $cat.morton2(id, id + 3) AS z FROM range(0, 100)")
+      .collect().map(_.getLong(0)).toSeq
+    // must agree with the q107 zValue expression bit-for-bit
+    import spark.implicits._
+    val viaExpr = spark.range(0, 100).toDF("id")
+      .select(graft.ops.Relational.zValue(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("id") + 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql === viaExpr)
+    // row fallback agrees with the magic method
+    val bound = GraftLakeFunctions.Morton2Bound
+    (0L until 100L).foreach { i =>
+      assert(bound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(i, i + 3)) ===
+        bound.invoke(i, i + 3))
+    }
+    // SHOW FUNCTIONS surfaces it; unknown names fail loudly
+    assert(spark.sql(s"SHOW FUNCTIONS IN $cat").collect()
+      .exists(_.getString(0).contains("morton2")))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT $cat.nope(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("schema widens across commits and old snapshots keep their shape") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k INT)")
