@@ -2558,6 +2558,67 @@ object Relational {
       |  CAST(a4 | (b4 << 1) AS BIGINT) AS z
       |FROM s4 ORDER BY l_orderkey, line_no""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** MERGE-ON-READ deletes (positional deletion vectors — Iceberg v2
+    * positional deletes / Delta DVs) through plain SQL: the table is
+    * created with `TBLPROPERTIES('graft.delete.mode'='merge-on-read')`
+    * and each `DELETE FROM` records only the (file, row position) of
+    * matching rows in a small delete file — ZERO data rewrite, the
+    * O(matches) delete a 100 TB table wants for frequent small
+    * erasures — while reads apply the mask inside each partition
+    * reader (one whole file per partition, sorted-positions
+    * merge-join skip, no join, no shuffle —
+    * `sources/GraftLakeDvScan.scala`). Successive deletes UNION their
+    * masks; time travel reads any pre-delete snapshot unmasked;
+    * `compact` (q162's op) materializes survivors and restores the
+    * full pushdown stack. The emitted fingerprints cover v1 (load),
+    * v2 (after DELETE status='F'), v3 (after a second DELETE on
+    * price) — each restated by the oracle from the raw source with
+    * the cumulative filters, so the hash gate proves mask apply ≡
+    * actual deletion, across BOTH delete generations, with history
+    * byte-stable. */
+  val q181LakeMorDeleteSql: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lake_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q181_$nonce")
+    t(spark, dir, "orders").createOrReplaceTempView("q181_src")
+    spark.sql(s"CREATE TABLE $cat.orders_v " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read') " +
+      "AS SELECT * FROM q181_src")
+    spark.sql(s"DELETE FROM $cat.orders_v WHERE o_orderstatus = 'F'")
+    spark.sql(s"DELETE FROM $cat.orders_v WHERE o_totalprice >= 200000.0")
+    def fp(v: Long): String =
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  count(*) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $cat.orders_v VERSION AS OF $v""".stripMargin
+    spark.sql(
+      s"""SELECT * FROM (
+         |${fp(1)} UNION ALL ${fp(2)} UNION ALL ${fp(3)}
+         |) ORDER BY version""".stripMargin)
+  }
+
+  val q181Oracle: String =
+    """SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |    round(sum(o_totalprice), 2) AS total
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2) FROM orders
+      |  WHERE NOT o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2) FROM orders
+      |  WHERE NOT o_orderstatus = 'F' AND NOT o_totalprice >= 200000.0
+      |) ORDER BY version""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
@@ -2622,6 +2683,7 @@ object Relational {
     "q177_lake_update_merge_sql" -> q177LakeUpdateMergeSql,
     "q179_lake_versions_meta" -> q179LakeVersionsMeta,
     "q180_catalog_function" -> q180CatalogFunction,
+    "q181_lake_mor_delete_sql" -> q181LakeMorDeleteSql,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2688,5 +2750,6 @@ object Relational {
     "q177_lake_update_merge_sql" -> q177Oracle,
     "q179_lake_versions_meta" -> q179Oracle,
     "q180_catalog_function" -> q180Oracle,
+    "q181_lake_mor_delete_sql" -> q181Oracle,
   )
 }

@@ -164,9 +164,11 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       s"$catalogName tables version whole snapshots; " +
         "PARTITIONED BY is not supported")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val d = dirOf(ident)
     val empty = spark.createDataFrame(
       new util.ArrayList[Row](), schema)
-    VersionedTable.commit(spark, empty, dirOf(ident), carryForward = false)
+    VersionedTable.commit(spark, empty, d, carryForward = false)
+    GraftLakeTable.writeProperties(spark, d, properties)
     loadTable(ident)
   }
 
@@ -331,28 +333,43 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     * mergeSchema mirrors [[VersionedTable.read]] — carry-forward
     * commits may widen the schema and single-footer sampling would
     * silently drop evolved columns. */
-  private lazy val delegate: ParquetTable = {
+  private lazy val snapshot: VersionedTable.Snapshot = {
     val v = version.orElse(VersionedTable.latestVersion(spark, dir))
       .getOrElse(throw new NoSuchTableException(ident))
+    VersionedTable.snapshotOf(spark, dir, v)
+  }
+
+  private lazy val delegate: ParquetTable =
     ParquetTable(ident.toString, spark,
       new CaseInsensitiveStringMap(
         Map("mergeSchema" -> "true").asJava),
-      VersionedTable.filesOf(spark, dir, v),
+      snapshot.dataFiles,
       None, classOf[ParquetFileFormat])
-  }
 
   override def name(): String = ident.toString
 
   override def schema(): StructType =
     (delegate: Table).schema()
 
+  override def properties(): util.Map[String, String] =
+    GraftLakeTable.readProperties(spark, dir)
+
+  private def deleteMode: String =
+    Option(properties().get(GraftLakeTable.DeleteModeProp))
+      .getOrElse("copy-on-write")
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Snapshots with merge-on-read delete files read through the
+    * DV-applying scan ([[GraftLakeDvScanBuilder]]); clean snapshots
+    * use Spark's ParquetTable scan stack directly. */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    if (snapshot.deleteFiles.isEmpty) delegate.newScanBuilder(options)
+    else new GraftLakeDvScanBuilder(delegate, schema(),
+      snapshot.deleteFiles, options)
 
   /** `DELETE FROM` lands here when every conjunct of the condition
     * translates (the analyzer ANDs the array): V2 predicates → the
@@ -369,6 +386,10 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       predicates.forall(p =>
         PredicateBridge.toV1(p).flatMap(GraftLakeTable.toColumn).isDefined)
 
+  /** Dispatch by `graft.delete.mode`: `merge-on-read` records
+    * positional delete files (zero data rewrite — and the only legal
+    * mode once DVs are outstanding), anything else runs the
+    * copy-on-write rewrite. */
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     if (version.isDefined) throw new UnsupportedOperationException(
       s"cannot delete from time-travel snapshot ${ident.toString} " +
@@ -378,7 +399,9 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         .getOrElse(throw new UnsupportedOperationException(
           s"cannot translate delete predicate $p")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    VersionedTable.deleteWhere(spark, dir, cond)
+    if (deleteMode == "merge-on-read" || snapshot.deleteFiles.nonEmpty)
+      VersionedTable.deleteWhereMergeOnRead(spark, dir, cond)
+    else VersionedTable.deleteWhere(spark, dir, cond)
     ()
   }
 
@@ -413,6 +436,45 @@ final class GraftLakeTable(ident: Identifier, dir: String,
 }
 
 object GraftLakeTable {
+
+  /** Table property selecting the DELETE strategy:
+    * `copy-on-write` (default) rewrites touched files;
+    * `merge-on-read` records positional delete files. */
+  val DeleteModeProp = "graft.delete.mode"
+
+  private def propsPath(dir: String) = new Path(s"$dir/_properties")
+
+  private[sources] def writeProperties(spark: SparkSession, dir: String,
+      properties: java.util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val user = properties.asScala.filter(_._1.startsWith("graft."))
+    if (user.nonEmpty) {
+      val f = FileSystem.get(new Path(dir).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      val out = f.create(propsPath(dir), true)
+      try out.write(user.map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private[sources] def readProperties(spark: SparkSession,
+      dir: String): java.util.Map[String, String] = {
+    val f = FileSystem.get(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val p = propsPath(dir)
+    if (!f.exists(p)) return java.util.Collections.emptyMap()
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m = new java.util.HashMap[String, String]()
+    text.split("\n").filter(_.contains("=")).foreach { l =>
+      val i = l.indexOf('=')
+      m.put(l.take(i), l.drop(i + 1))
+    }
+    m
+  }
 
   /** V1 `Filter` → `Column`, total over the algebra a DELETE condition
     * can reach after Spark's own V2 translation (comparison, IN, null

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog scan for a snapshot carrying MERGE-ON-READ delete files
+  * (positional deletion vectors). The V2 parquet stack has no
+  * `_metadata.row_index`, so positions are recovered structurally:
+  * the delegate scan's partitions are RE-PLANNED to exactly one WHOLE
+  * file per partition, and — crucially — no predicate is pushed into
+  * parquet (predicate pushdown is the only thing that makes the
+  * reader skip rows), so each partition yields every row of its file
+  * in file order and a running counter IS the row's position, the
+  * same 0-based file position the delete files record. The reader
+  * then walks its file's sorted delete positions merge-join style:
+  * O(1) per row, no lookup structure per row, masks applied
+  * per-partition with zero joins or shuffles — the DV read shape.
+  * Filters the optimizer wanted pushed are simply left for the
+  * post-scan Filter node (rows are masked first, then filtered — the
+  * correct order), and aggregate pushdown is deliberately absent: a
+  * footer-count would count masked rows. Column pruning still
+  * delegates (dropping columns never drops rows). Compact the table
+  * to return to the full pushdown stack — DV chains are a
+  * between-compactions state, not a resting state. */
+final class GraftLakeDvScanBuilder(table: ParquetTable,
+    tableSchema: StructType, deleteFiles: Seq[String],
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val inner = table.newScanBuilder(options)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner match {
+      case p: SupportsPushDownRequiredColumns =>
+        p.pruneColumns(requiredSchema)
+      case _ =>
+    }
+
+  override def build(): Scan = {
+    // load the mask once, driver-side; deleted-rows-sized by
+    // construction (or the table is due a compact)
+    val deletes: Map[String, Array[Long]] = spark.read
+      .parquet(deleteFiles: _*)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) =>
+        f -> rows.map(_.getLong(1)).distinct.sorted
+      }
+    new GraftLakeDvScan(inner.build(), deletes)
+  }
+}
+
+final class GraftLakeDvScan(inner: Scan,
+    deletes: Map[String, Array[Long]]) extends Scan {
+
+  override def readSchema(): StructType = inner.readSchema()
+
+  override def description(): String =
+    s"GraftLakeDvScan(masked=${deletes.valuesIterator.map(_.length).sum})"
+
+  override def toBatch: Batch = {
+    val ib = inner.toBatch
+    new Batch {
+      /** One WHOLE file per partition: position = row counter. */
+      override def planInputPartitions(): Array[InputPartition] = {
+        val files = ib.planInputPartitions().toSeq.flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"unexpected non-file partition $other under DV scan")
+        }
+        files
+          .groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+          .zipWithIndex
+          .map { case ((_, splits), i) =>
+            val whole = splits.head.copy(start = 0L,
+              length = splits.head.fileSize)
+            FilePartition(i, Array(whole)): InputPartition
+          }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new DvReaderFactory(ib.createReaderFactory(), deletes)
+    }
+  }
+}
+
+private final class DvReaderFactory(inner: PartitionReaderFactory,
+    deletes: Map[String, Array[Long]]) extends PartitionReaderFactory {
+
+  // masking happens row-wise; never hand out raw columnar batches
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val file = p.asInstanceOf[FilePartition].files.head.filePath.toString
+    // normalize both sides through Path: the facade records
+    // _metadata.file_path strings, the V2 reader carries SparkPath
+    val key = new org.apache.hadoop.fs.Path(file).toString
+    val masked: Array[Long] = deletes.iterator
+      .find { case (f, _) =>
+        new org.apache.hadoop.fs.Path(f).toString == key
+      }
+      .map(_._2).getOrElse(Array.emptyLongArray)
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private var di = 0
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (r.next()) {
+          pos += 1
+          if (di < masked.length && masked(di) == pos) {
+            di += 1 // masked: skip
+          } else {
+            current = r.get()
+            return true
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = r.close()
+    }
+  }
+}

@@ -49,18 +49,24 @@ final class GraftLakeVersionsTable(tableName: String, dir: String)
         val s = spark
         val conf = s.sparkContext.hadoopConfiguration
         val latest = VersionedTable.latestVersion(s, dir)
+        def footerRows(p: String): Long = {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(p), conf))
+          try r.getRecordCount finally r.close()
+        }
         val rows: Array[(Int, Int, Long)] =
           (0 to latest.getOrElse(-1)).flatMap { v =>
             // vacuum may have retired low versions; skip gaps
-            val files = try VersionedTable.filesOf(s, dir, v) catch {
+            val snap = try VersionedTable.snapshotOf(s, dir, v) catch {
               case _: IllegalArgumentException => null
             }
-            Option(files).map { fs =>
-              val n = fs.map(p => ParquetFileReader.open(
-                HadoopInputFile.fromPath(new Path(p), conf)) match {
-                case r => try r.getRecordCount finally r.close()
-              }).sum
-              (v, fs.size, n)
+            Option(snap).map { sn =>
+              // live rows = data footer counts minus merge-on-read
+              // masks (positions never duplicate: the MoR delete
+              // records only still-live rows)
+              val n = sn.dataFiles.map(footerRows).sum -
+                sn.deleteFiles.map(footerRows).sum
+              (v, sn.dataFiles.size, n)
             }
           }.toArray
         new GraftLakeVersionsBatch(rows)

@@ -56,24 +56,51 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
 
   private def spark: SparkSession = SparkSession.active
 
-  /** Snapshot pinned at operation creation: the statement reads and
-    * replaces THIS version, and the commit publishes `pinnedV + 1`. */
-  private val pinnedV: Int =
+  /** Snapshot pinned at first USE (lazy: the analyzer builds this
+    * operation eagerly even for deletes the optimizer later converts
+    * to the metadata-only path — eager IO here would tax those): the
+    * statement reads and replaces THIS version, and the commit
+    * publishes `pinnedV + 1`. */
+  private lazy val pinnedV: Int =
     VersionedTable.latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-  private val snapshotFiles: Seq[String] =
-    VersionedTable.filesOf(spark, dir, pinnedV)
+  private lazy val snap: VersionedTable.Snapshot =
+    VersionedTable.snapshotOf(spark, dir, pinnedV)
+  private def snapshotFiles: Seq[String] = snap.dataFiles
 
-  private val scans = mutable.Buffer.empty[LakeScanBuilder]
+  private val scans = mutable.Buffer.empty[LakeRewriteScan]
 
   override def command(): Command = cmd
 
   override def description(): String =
     s"GraftLakeRowLevel($cmd, $dir @ v$pinnedV)"
 
+  /** Clean snapshots get the group-pruning scan; snapshots with
+    * outstanding merge-on-read delete files read through the
+    * DV-APPLYING scan (only LIVE rows feed the rewrite — a raw scan
+    * would resurrect masked rows) with every file selected, so the
+    * commit publishes a fully materialized clean snapshot: a
+    * row-level rewrite on a DV table doubles as its compaction,
+    * Delta's copy-on-write-over-DV semantics. */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
-    val b = new LakeScanBuilder(dir, snapshotFiles, schema, options)
+    val b: ScanBuilder with LakeRewriteScan =
+      if (snap.deleteFiles.isEmpty)
+        new LakeScanBuilder(dir, snapshotFiles, schema, options)
+      else {
+        val inner = new GraftLakeDvScanBuilder(
+          ParquetTable("lake_rewrite_dv_scan", spark,
+            new CaseInsensitiveStringMap(
+              java.util.Collections.singletonMap("mergeSchema", "true")),
+            snap.dataFiles, Some(schema),
+            classOf[ParquetFileFormat]),
+          schema, snap.deleteFiles, options)
+        new ScanBuilder with LakeRewriteScan {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            inner.build()
+          override def selectedFiles: Seq[String] = snap.dataFiles
+        }
+      }
     scans.synchronized { scans += b }
     b
   }
@@ -110,7 +137,13 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
               val replaced = replacedFiles.toSet
               val kept = snapshotFiles.filterNot(replaced.contains)
               val fresh = VersionedTable.listDataFiles(s, dir, dataDir)
-              VersionedTable.publishVersion(s, dir, newV, kept ++ fresh)
+              // DV path replaces every file (scan applied the masks),
+              // so the published snapshot is clean; on the pruned COW
+              // path no masks existed to carry
+              val deletes =
+                if (kept.isEmpty) Seq.empty[String] else snap.deleteFiles
+              VersionedTable.publishVersion(s, dir, newV, kept ++ fresh,
+                deletes)
               ()
             }
             override def abort(msgs: Array[WriterCommitMessage]): Unit =
@@ -314,6 +347,12 @@ private[graft] object LakeFileStats {
   }
 }
 
+/** A rewrite scan that can report which snapshot files it selected —
+  * the groups the statement's commit must replace. */
+private[sources] trait LakeRewriteScan {
+  def selectedFiles: Seq[String]
+}
+
 /** Scan builder whose filter pushdown prunes GROUPS (files), never
   * rows — see [[GraftLakeRowLevelOperation]]. Starts conservative
   * (whole snapshot selected) and narrows only when footer stats prove
@@ -321,7 +360,7 @@ private[graft] object LakeFileStats {
   * cluster job). */
 final class LakeScanBuilder(dir: String, allFiles: Seq[String],
     schema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder
+    extends ScanBuilder with LakeRewriteScan
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private def spark: SparkSession = SparkSession.active

@@ -56,9 +56,12 @@ object VersionedTable {
       v: Int, carryForward: Boolean = true): Int = {
     val f = fs(spark, dir)
     val newFiles = writeDataFiles(spark, df, dir, v)
-    val carried =
-      if (carryForward && v > 0) filesOf(spark, dir, v - 1) else Seq.empty
-    publish(f, dir, v, carried ++ newFiles)
+    val prior =
+      if (carryForward && v > 0) snapshotOf(spark, dir, v - 1)
+      else Snapshot(Seq.empty, Seq.empty)
+    // an append on a merge-on-read table carries the DELETE files too —
+    // dropping them would resurrect deleted rows
+    publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles)
   }
 
   /** Land `df` under an immutable nonce data dir for version `v` and
@@ -81,8 +84,8 @@ object VersionedTable {
     * operations) rather than [[writeDataFiles]]. Same atomic rename,
     * same loser-throws race semantics. */
   private[sources] def publishVersion(spark: SparkSession, dir: String,
-      v: Int, files: Seq[String]): Int =
-    publish(fs(spark, dir), dir, v, files)
+      v: Int, files: Seq[String], deletes: Seq[String] = Seq.empty): Int =
+    publish(fs(spark, dir), dir, v, files, deletes)
 
   /** Fully qualified parquet paths under a landed data directory. */
   private[sources] def listDataFiles(spark: SparkSession, dir: String,
@@ -94,13 +97,17 @@ object VersionedTable {
   }
 
   /** Write + atomically rename a manifest: version `v` exists iff the
-    * rename landed. Shared by [[commitAs]] and [[shallowClone]]. */
+    * rename landed. Shared by [[commitAs]] and [[shallowClone]].
+    * Positional DELETE files (merge-on-read) are recorded as `D <path>`
+    * lines; plain lines are data files, so pre-DV manifests parse
+    * unchanged. */
   private def publish(f: FileSystem, dir: String, v: Int,
-      files: Seq[String]): Int = {
+      files: Seq[String], deletes: Seq[String] = Seq.empty): Int = {
     f.mkdirs(manifestDir(dir))
     val tmp = new Path(manifestDir(dir), s".$v.txt.tmp")
     val out = f.create(tmp, true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val lines = files ++ deletes.map(d => s"D $d")
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new Path(manifestDir(dir), s"$v.txt")))
       throw new IllegalStateException(
@@ -123,7 +130,8 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"no committed version to clone at $srcDir"))
     val v = latestVersion(spark, dstDir).map(_ + 1).getOrElse(0)
-    publish(fs(spark, dstDir), dstDir, v, filesOf(spark, srcDir, srcV))
+    val snap = snapshotOf(spark, srcDir, srcV)
+    publish(fs(spark, dstDir), dstDir, v, snap.dataFiles, snap.deleteFiles)
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
@@ -136,7 +144,13 @@ object VersionedTable {
       .sorted.lastOption
   }
 
-  def filesOf(spark: SparkSession, dir: String, version: Int): Seq[String] = {
+  /** One snapshot's file sets: data files plus the positional DELETE
+    * files (merge-on-read deletion vectors) masking rows in them. */
+  final case class Snapshot(dataFiles: Seq[String],
+      deleteFiles: Seq[String])
+
+  def snapshotOf(spark: SparkSession, dir: String,
+      version: Int): Snapshot = {
     val f = fs(spark, dir)
     val p = new Path(manifestDir(dir), s"$version.txt")
     if (!f.exists(p))
@@ -151,8 +165,15 @@ object VersionedTable {
         while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
         bos.toByteArray
       } finally in.close()
-    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    val lines = new String(bytes, "UTF-8").split("\n").toSeq
+      .filter(_.nonEmpty)
+    val (del, data) = lines.partition(_.startsWith("D "))
+    Snapshot(data, del.map(_.stripPrefix("D ")))
   }
+
+  /** A snapshot's DATA files (the pre-DV manifest view). */
+  def filesOf(spark: SparkSession, dir: String, version: Int): Seq[String] =
+    snapshotOf(spark, dir, version).dataFiles
 
   /** Snapshot read: `version = None` reads the latest commit.
     * `mergeSchema` is on: a carry-forward commit may WIDEN the schema
@@ -166,8 +187,74 @@ object VersionedTable {
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(latestVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-    spark.read.option("mergeSchema", "true")
-      .parquet(filesOf(spark, dir, v): _*)
+    val snap = snapshotOf(spark, dir, v)
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(snap.dataFiles: _*)
+    if (snap.deleteFiles.isEmpty) data
+    else {
+      // merge-on-read: mask (file, position) pairs recorded by the
+      // snapshot's DELETE files. The anti join keys on the scan's own
+      // metadata columns; the delete side is deleted-rows-sized (tiny
+      // next to data) so Catalyst broadcasts it and the mask applies
+      // MAP-side — no data shuffle, the DV-apply shape.
+      import org.apache.spark.sql.functions.col
+      val dels = spark.read.parquet(snap.deleteFiles: _*)
+        .select(col("file_path").as("__graft_df"),
+          col("row_index").as("__graft_dp"))
+        .distinct()
+      data
+        .withColumn("__graft_f", col("_metadata.file_path"))
+        .withColumn("__graft_p", col("_metadata.row_index"))
+        .join(dels, col("__graft_f") === col("__graft_df") &&
+          col("__graft_p") === col("__graft_dp"), "left_anti")
+        .drop("__graft_f", "__graft_p")
+    }
+  }
+
+  /** MERGE-ON-READ DELETE (Iceberg v2 positional deletes / Delta
+    * deletion vectors): instead of rewriting any data file, record the
+    * (file, row position) of every matching row in a small DELETE file
+    * and publish a snapshot referencing the SAME data files plus the
+    * new mask — the O(matches) delete, zero data rewrite, the shape a
+    * 100 TB table wants for frequent small deletes (GDPR row erasure,
+    * CDC tombstones). Reads apply the mask map-side ([[read]]);
+    * [[compact]] materializes survivors and drops the masks (the
+    * Iceberg `rewrite` that keeps DV chains short). `cond` evaluates
+    * against the LIVE view (already-masked rows can't re-match, though
+    * re-recording a position would be harmless — apply is idempotent).
+    * Positions ride `_metadata.row_index`, stable per parquet file. */
+  def deleteWhereMergeOnRead(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val snap = snapshotOf(spark, dir, v)
+    val newV = v + 1
+    if (snap.dataFiles.isEmpty)
+      return publish(fs(spark, dir), dir, newV, snap.dataFiles,
+        snap.deleteFiles)
+    // materialize (file, pos) BEFORE masking: metadata columns only
+    // resolve on the scan relation itself, not across the anti join
+    val data = spark.read.option("mergeSchema", "true")
+      .parquet(snap.dataFiles: _*)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("row_index", col("_metadata.row_index"))
+    val live =
+      if (snap.deleteFiles.isEmpty) data
+      else data.join(
+        spark.read.parquet(snap.deleteFiles: _*)
+          .select(col("file_path").as("__graft_df"),
+            col("row_index").as("__graft_dp")).distinct(),
+        col("file_path") === col("__graft_df") &&
+          col("row_index") === col("__graft_dp"), "left_anti")
+    val positions = live.filter(cond)
+      .select(col("file_path"), col("row_index"))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = s"$dir/files-v$newV-$nonce"
+    positions.write.parquet(delDir)
+    val newDeletes = listDataFiles(spark, dir, delDir)
+    publish(fs(spark, dir), dir, newV, snap.dataFiles,
+      snap.deleteFiles ++ newDeletes)
   }
 
   /** OPTIMIZE-style COMPACTION: rewrite the current snapshot into
@@ -221,6 +308,11 @@ object VersionedTable {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val f = fs(spark, dir)
+    if (snapshotOf(spark, dir, v).deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"copy-on-write delete at $dir would resurrect rows masked by " +
+          "outstanding merge-on-read delete files; use " +
+          "deleteWhereMergeOnRead or compact() first")
     val files = filesOf(spark, dir, v)
     val newV = v + 1
     if (files.isEmpty)
@@ -284,7 +376,10 @@ object VersionedTable {
         val kept = (cutoff to latest)
           .filter(v => f.exists(new Path(manifestDir(dir), s"$v.txt")))
         val referenced = kept
-          .flatMap(v => filesOf(spark, dir, v))
+          .flatMap { v =>
+            val s = snapshotOf(spark, dir, v)
+            s.dataFiles ++ s.deleteFiles // DV files are live references
+          }
           .map(p => f.makeQualified(new Path(p)).toString).toSet
         val dataDirs = f.listStatus(new Path(dir)).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("files-v"))

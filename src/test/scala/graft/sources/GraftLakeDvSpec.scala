@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+
+/** Merge-on-read positional deletes (deletion vectors): zero-rewrite
+  * DELETE via (file, row_index) masks, DV-applying reads on both the
+  * facade and the catalog scan, carry-forward across appends, compact
+  * as the materialize step, and loud refusal of every operation that
+  * would resurrect masked rows. */
+class GraftLakeDvSpec extends SparkSpec {
+
+  private val n = new AtomicInteger(0)
+
+  private def freshCatalog(): String = {
+    val cat = s"glc_dv_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_lake_dv_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def freshDir(): String =
+    s"/tmp/graft_dv_facade_${java.util.UUID.randomUUID()}"
+
+  test("facade MoR delete masks rows with zero data rewrite; deletes union") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.commit(spark,
+      (0 until 10).map(i => (i, s"r$i")).toDF("k", "v"), dir)  // v0
+    VersionedTable.commit(spark,
+      (100 until 110).map(i => (i, s"r$i")).toDF("k", "v"), dir) // v1
+    val dataBefore = VersionedTable.filesOf(spark, dir, 1)
+    VersionedTable.deleteWhereMergeOnRead(spark, dir,
+      org.apache.spark.sql.functions.col("k") < 3)              // v2
+    val s2 = VersionedTable.snapshotOf(spark, dir, 2)
+    assert(s2.dataFiles === dataBefore, "data files were rewritten")
+    assert(s2.deleteFiles.nonEmpty)
+    assert(VersionedTable.read(spark, dir).count() === 17)
+    // second delete UNIONS with the first
+    VersionedTable.deleteWhereMergeOnRead(spark, dir,
+      org.apache.spark.sql.functions.col("k") >= 105)           // v3
+    val s3 = VersionedTable.snapshotOf(spark, dir, 3)
+    assert(s3.dataFiles === dataBefore)
+    assert(s3.deleteFiles.size > s2.deleteFiles.size)
+    assert(VersionedTable.read(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("k")).collect()(0)
+      .getLong(0) === ((3 until 10).sum + (100 until 105).sum))
+    // pre-delete snapshots still serve everything
+    assert(VersionedTable.read(spark, dir, Some(1)).count() === 20)
+    // compact MATERIALIZES the masks: clean snapshot, same content
+    VersionedTable.compact(spark, dir, 2)                       // v4
+    val s4 = VersionedTable.snapshotOf(spark, dir, 4)
+    assert(s4.deleteFiles.isEmpty)
+    assert(VersionedTable.read(spark, dir).count() === 12)
+  }
+
+  test("facade COW delete refuses on outstanding DVs") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.commit(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"),
+      dir)
+    VersionedTable.deleteWhereMergeOnRead(spark, dir,
+      org.apache.spark.sql.functions.col("k") === 1)
+    val cow = intercept[UnsupportedOperationException] {
+      VersionedTable.deleteWhere(spark, dir,
+        org.apache.spark.sql.functions.col("k") === 2)
+    }
+    assert(cow.getMessage.contains("resurrect"))
+  }
+
+  test("catalog merge-on-read mode: SQL DELETE writes DVs, reads apply them") {
+    val cat = freshCatalog()
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('r', id) " +
+      "FROM range(0, 20)")                                      // v1
+    val dataBefore = VersionedTable.filesOf(spark, s"$root/t", 1)
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 10")               // v2
+    val s2 = VersionedTable.snapshotOf(spark, s"$root/t", 2)
+    assert(s2.dataFiles === dataBefore, "MoR delete rewrote data files")
+    assert(s2.deleteFiles.nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 10L)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === (10 until 20).sum)
+    // filters still push and return masked-correct results
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 2").collect()
+      .isEmpty)
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 13").collect()
+      .map(_.getString(0)).toSeq === Seq("r13"))
+    // time travel: pre-delete snapshot unmasked
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 20L)
+    // footer-count aggregate pushdown must NOT bypass the mask
+    val prior = spark.conf.get("spark.sql.parquet.aggregatePushdown",
+      "false")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 10L)
+    finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prior)
+    // appends CARRY the masks
+    spark.sql(s"INSERT INTO $cat.t VALUES (1000, 'new')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 11L)
+    // UPDATE on outstanding DVs reads LIVE rows through the DV scan
+    // and publishes a fully MATERIALIZED clean snapshot (the rewrite
+    // doubles as compaction) — masked rows must not resurrect
+    spark.sql(s"UPDATE $cat.t SET v = 'x' WHERE k = 13")       // v4
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 11L)
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 13").collect()
+      .map(_.getString(0)).toSeq === Seq("x"))
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 2").collect()
+      .isEmpty, "masked row resurrected by the rewrite")
+    val s4 = VersionedTable.snapshotOf(spark, s"$root/t", 4)
+    assert(s4.deleteFiles.isEmpty, "rewrite did not materialize DVs")
+    // versions metadata table reports LIVE rows per snapshot
+    val meta = spark.sql(s"SELECT version, total_rows " +
+      s"FROM $cat.t.versions ORDER BY version").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(meta === Seq((0, 0L), (1, 20L), (2, 10L), (3, 11L),
+      (4, 11L)))
+  }
+
+  test("CDC spec shape still works on a copy-on-write table (mode default)") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 1")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    // default mode: the delete was COW — no delete files in the snapshot
+    val s = VersionedTable.snapshotOf(spark, s"$root/t", 2)
+    assert(s.deleteFiles.isEmpty)
+    assert(spark.sql(s"SELECT k FROM $cat.t").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+  }
+}
