@@ -1380,6 +1380,50 @@ object EventOps {
       |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
       |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** STREAMING READ of the lake table — the lakehouse-as-message-bus
+    * composition closing the loop q178 opened (stream INTO the lake;
+    * this streams OUT of it): the event log lands as three APPEND
+    * commits (the ingest history), `VersionedTable.readStream` exposes
+    * the table as a file-source stream — each commit's immutable
+    * delta dir IS the stream's input, per-file exactly-once tracking,
+    * new commits surface on the next trigger with no manifest polling
+    * — and a complete-mode per-user aggregate drains over it one file
+    * per micro-batch. The oracle restates the drained aggregate over
+    * the raw log, so the gate proves stream-out ≡ batch over the full
+    * commit history. Append-only is the contract (spec pins the loud
+    * refusal on DV tables); a downstream job gets incremental,
+    * replayable delivery of every commit without Kafka in the middle
+    * — at 100 TB the stream reads each delta once, never the table. */
+  val q182LakeStreamRead: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    import graft.streaming.StreamOps
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val base = s"/tmp/graft_q182_$nonce/table"
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("value"), col("ts_us"))
+    val cut1 = 1705363200000000L // 2024-01-16 (µs)
+    val cut2 = 1706227200000000L // 2024-01-26 (µs)
+    VersionedTable.commit(spark, ev.filter(col("ts_us") < cut1), base)
+    VersionedTable.commit(spark,
+      ev.filter(col("ts_us") >= cut1 && col("ts_us") < cut2), base)
+    VersionedTable.commit(spark, ev.filter(col("ts_us") >= cut2), base)
+    val agg = VersionedTable.readStream(spark, base)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(floor(value*100) AS BIGINT)")).as("cents"))
+    StreamOps.runToMemory(spark, agg, s"q182_mem_$nonce", "complete")
+      .orderBy(col("user_id"))
+  }
+
+  /** Same restatement as q159's: the per-user totals over the whole
+    * log — the stream must deliver every commit exactly once. */
+  val q182Oracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -1415,6 +1459,7 @@ object EventOps {
     "q159_idle_flush" -> q159IdleFlush,
     "q160_state_bootstrap" -> q160StateBootstrap,
     "q178_cdc_lake_upsert" -> q178CdcUpsert,
+    "q182_lake_stream_read" -> q182LakeStreamRead,
     "q154_attribution" -> q154Attribution,
   )
 
@@ -1453,6 +1498,7 @@ object EventOps {
     "q159_idle_flush" -> q159Oracle,
     "q160_state_bootstrap" -> q160Oracle,
     "q178_cdc_lake_upsert" -> q178Oracle,
+    "q182_lake_stream_read" -> q182Oracle,
     "q154_attribution" -> q154Oracle,
   )
 }

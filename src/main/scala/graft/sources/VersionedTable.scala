@@ -257,6 +257,35 @@ object VersionedTable {
       snap.deleteFiles ++ newDeletes)
   }
 
+  /** STREAMING read of an APPEND-ONLY lake table (Delta's streaming
+    * source, the lakehouse-as-message-bus shape): each commit's delta
+    * lands in its own immutable `files-v<N>-<nonce>/` dir and
+    * carry-forward manifests re-reference older dirs without copying,
+    * so for a table whose history is commits/INSERT INTOs the glob
+    * `files-v*` IS the table content and Spark's file source streams
+    * it with per-file exactly-once tracking — new commits surface as
+    * new files on the next trigger, no manifest polling needed.
+    * Append-only is a CONTRACT, checked as far as a snapshot can:
+    * outstanding merge-on-read delete files refuse loudly (a file
+    * stream cannot un-deliver masked rows); overwrites/compaction
+    * rewrite history and are likewise out of contract (Delta's
+    * `ignoreChanges` caveat) — stream from a clone if you need both. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val snap = snapshotOf(spark, dir, v)
+    if (snap.deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"streaming read of $dir: table has merge-on-read delete " +
+          "files; a file stream cannot mask deleted rows — compact() " +
+          "first or stream from a clone")
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(snap.dataFiles: _*).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/files-v*")
+  }
+
   /** OPTIMIZE-style COMPACTION: rewrite the current snapshot into
     * `targetFiles` files and publish the rewrite as a NEW version with
     * identical content — the small-file remedy every streaming-fed

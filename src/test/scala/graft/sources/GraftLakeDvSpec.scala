@@ -126,6 +126,36 @@ class GraftLakeDvSpec extends SparkSpec {
       (4, 11L)))
   }
 
+  test("lake streaming source delivers commits incrementally; refuses DV tables") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.commit(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      dir)                                                       // v0
+    val name = s"glc_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = VersionedTable.readStream(spark, dir)
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 2)
+      // a LIVE append surfaces on the next trigger — no restart
+      VersionedTable.commit(spark,
+        Seq((1L, 5L), (3L, 30L)).toDF("k", "v"), dir)            // v1
+      q.processAllAvailable()
+      assert(spark.table(name).orderBy($"k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((1L, 15L), (2L, 20L), (3L, 30L)))
+    } finally q.stop()
+    // DV tables refuse: a file stream cannot mask deleted rows
+    VersionedTable.deleteWhereMergeOnRead(spark, dir,
+      org.apache.spark.sql.functions.col("k") === 2)
+    val err = intercept[UnsupportedOperationException] {
+      VersionedTable.readStream(spark, dir)
+    }
+    assert(err.getMessage.contains("compact"))
+  }
+
   test("CDC spec shape still works on a copy-on-write table (mode default)") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
