@@ -2289,6 +2289,72 @@ object TextOps {
        |FROM top, l1, l2 ORDER BY est_cnt DESC, piece""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q183
+  /** Incremental ingest dedup with LAKE-BACKED state — q47's stateful
+    * dedup with the state moved from a streaming state store into a
+    * VERSIONED TABLE, the shape a 100 TB ingest pipeline actually
+    * runs: the seen-set survives restarts, is queryable/time-travelable
+    * like any table, and each ingest batch advances it by ONE atomic
+    * append commit (costing the batch's novel keys, not the corpus).
+    * The corpus arrives as three doc_id-ordered batches; each batch
+    * (1) dedups within itself (first id wins, one window), (2) probes
+    * the state table's CURRENT snapshot with an equi-join to mark
+    * cross-batch dups, (3) appends its novel normalized keys as a
+    * carry-forward commit. Snapshot isolation does the bookkeeping:
+    * each batch's decision plan pins the file list it probed, so later
+    * commits cannot leak into earlier decisions. The oracle restates
+    * all of it as one window over the whole corpus (`doc_id <> min
+    * doc_id per norm`) — incremental-with-state ≡ global batch, the
+    * same invariant q95 proves for the Bloom-gated variant, here with
+    * EXACT state and durable commits. */
+  val q183LakeIngestDedup: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val stateDir = s"/tmp/graft_q183_$nonce/seen"
+    val d = docs(spark, dir).select(col("doc_id"),
+      lower(regexp_replace(col("text"), "[^a-zA-Z ]", "")).as("norm"))
+    val mx = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val batches = Seq(
+      d.filter(col("doc_id") <= mx / 3),
+      d.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+      d.filter(col("doc_id") > 2 * mx / 3))
+    VersionedTable.commit(spark,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("norm",
+            org.apache.spark.sql.types.StringType)))),
+      stateDir, carryForward = false)
+    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    val decisions = batches.map { b =>
+      val seen = VersionedTable.read(spark, stateDir)
+        .select(col("norm").as("seen_norm"))
+      val marked = b
+        .withColumn("rn", row_number().over(w))
+        .join(seen, col("norm") === col("seen_norm"), "left")
+        .withColumn("is_dup",
+          col("rn") > 1 || col("seen_norm").isNotNull)
+        .localCheckpoint() // pin decisions BEFORE the state advances
+      VersionedTable.commit(spark,
+        marked.filter(col("rn") === 1 && col("seen_norm").isNull)
+          .select(col("norm")),
+        stateDir, carryForward = true)
+      marked.select(col("doc_id"), col("is_dup"))
+    }
+    val out = decisions.reduce(_ union _).orderBy(col("doc_id"))
+      .localCheckpoint()
+    decisions.foreach(graft.ops.Checkpoints.release)
+    out
+  }
+
+  val q183Oracle: String =
+    """WITH n AS (SELECT doc_id,
+      |  lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS norm
+      | FROM documents)
+      |SELECT doc_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_dup
+      |FROM n ORDER BY doc_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -2332,6 +2398,7 @@ object TextOps {
     "q168_bootstrap_ci" -> q168BootstrapCi,
     "q169_padding_report" -> q169PaddingReport,
     "q173_unigram_lm" -> q173UnigramLm,
+    "q183_lake_ingest_dedup" -> q183LakeIngestDedup,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2377,5 +2444,6 @@ object TextOps {
     "q168_bootstrap_ci" -> q168Oracle,
     "q169_padding_report" -> q169Oracle,
     "q173_unigram_lm" -> q173Oracle,
+    "q183_lake_ingest_dedup" -> q183Oracle,
   )
 }
