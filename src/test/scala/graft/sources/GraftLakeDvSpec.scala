@@ -156,6 +156,32 @@ class GraftLakeDvSpec extends SparkSpec {
     assert(err.getMessage.contains("compact"))
   }
 
+  test("shallow clone preserves masks; vacuum keeps referenced DV files") {
+    import spark.implicits._
+    val dir = freshDir()
+    val cloneDir = freshDir()
+    VersionedTable.commit(spark,
+      (0 until 10).map(i => (i.toLong, i.toLong)).toDF("k", "v"), dir)
+    VersionedTable.deleteWhereMergeOnRead(spark, dir,
+      org.apache.spark.sql.functions.col("k") < 4)              // v1
+    // clone references BOTH data and delete files: same live view
+    VersionedTable.shallowClone(spark, dir, cloneDir)
+    assert(VersionedTable.read(spark, cloneDir).count() === 6)
+    assert(VersionedTable.snapshotOf(spark, cloneDir, 0)
+      .deleteFiles.nonEmpty, "clone dropped the masks")
+    // append on the DV table carries masks forward
+    VersionedTable.commit(spark, Seq((100L, 100L)).toDF("k", "v"), dir)
+    assert(VersionedTable.read(spark, dir).count() === 7)
+    assert(VersionedTable.snapshotOf(spark, dir, 2)
+      .deleteFiles.nonEmpty, "append dropped the masks")
+    // vacuum to the newest version only: DV files it references
+    // survive, and the table still serves the masked view
+    VersionedTable.vacuum(spark, dir, keep = 1, graceMs = 0L)
+    assert(VersionedTable.read(spark, dir).count() === 7)
+    assert(VersionedTable.read(spark, dir)
+      .filter($"k" < 4).count() === 0)
+  }
+
   test("CDC spec shape still works on a copy-on-write table (mode default)") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
