@@ -247,12 +247,19 @@ object VersionedTable {
             col("row_index").as("__graft_dp")).distinct(),
         col("file_path") === col("__graft_df") &&
           col("row_index") === col("__graft_dp"), "left_anti")
+    // one delete file per commit: the mask is matches-sized (tiny), so
+    // repartition(1) shuffles only the matches — never the scan
     val positions = live.filter(cond)
       .select(col("file_path"), col("row_index"))
+      .repartition(1)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val delDir = s"$dir/files-v$newV-$nonce"
     positions.write.parquet(delDir)
-    val newDeletes = listDataFiles(spark, dir, delDir)
+    val written = listDataFiles(spark, dir, delDir)
+    // a no-match delete publishes a (mask-identical) version without
+    // referencing the empty file
+    val newDeletes =
+      if (spark.read.parquet(delDir).isEmpty) Seq.empty else written
     publish(fs(spark, dir), dir, newV, snap.dataFiles,
       snap.deleteFiles ++ newDeletes)
   }
