@@ -257,9 +257,14 @@ object VersionedTable {
     positions.write.parquet(delDir)
     val written = listDataFiles(spark, dir, delDir)
     // a no-match delete publishes a (mask-identical) version without
-    // referencing the empty file
-    val newDeletes =
-      if (spark.read.parquet(delDir).isEmpty) Seq.empty else written
+    // referencing the empty file; emptiness read from the footer
+    // (driver metadata IO, no job)
+    val newDeletes = if (written.forall { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(p), spark.sparkContext.hadoopConfiguration))
+      try r.getRecordCount == 0L finally r.close()
+    }) Seq.empty else written
     publish(fs(spark, dir), dir, newV, snap.dataFiles,
       snap.deleteFiles ++ newDeletes)
   }
