@@ -182,6 +182,15 @@ class GraftLakeDvSpec extends SparkSpec {
       .filter($"k" < 4).count() === 0)
   }
 
+  test("SHOW TBLPROPERTIES surfaces the persisted delete mode") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("graft.delete.mode") === Some("merge-on-read"))
+  }
+
   test("CDC spec shape still works on a copy-on-write table (mode default)") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
