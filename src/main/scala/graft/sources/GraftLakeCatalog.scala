@@ -145,10 +145,16 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val v = manifests
       .filter(_.getModificationTime <= tsMs)
       .map(_.getPath.getName.stripSuffix(".txt").toInt)
-      .sorted.lastOption.getOrElse(throw new IllegalArgumentException(
-        s"no version of ${ident.toString} existed at " +
-          s"timestamp $tsMs ms (earliest publish: " +
-          s"${manifests.map(_.getModificationTime).min} ms)"))
+      .sorted.lastOption.getOrElse {
+        // a crashed first commit can leave _manifest empty: report
+        // "never published" instead of throwing on min of nothing
+        val earliest = manifests.map(_.getModificationTime).minOption
+          .map(m => s"earliest publish: $m ms")
+          .getOrElse("no version was ever published")
+        throw new IllegalArgumentException(
+          s"no version of ${ident.toString} existed at " +
+            s"timestamp $tsMs ms ($earliest)")
+      }
     new GraftLakeTable(ident, d, Some(v))
   }
 
@@ -165,10 +171,13 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         "PARTITIONED BY is not supported")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val d = dirOf(ident)
+    // properties first: an unsupported key must reject BEFORE the
+    // manifest publish makes the table exist (a crash here leaves only
+    // a _properties file, which isTable ignores)
+    GraftLakeTable.writeProperties(spark, d, properties)
     val empty = spark.createDataFrame(
       new util.ArrayList[Row](), schema)
     VersionedTable.commit(spark, empty, d, carryForward = false)
-    GraftLakeTable.writeProperties(spark, d, properties)
     loadTable(ident)
   }
 
@@ -287,9 +296,15 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace) || namespace.isEmpty) false
     else {
-      if (!cascade && fs.listStatus(new Path(dirOf(namespace))).nonEmpty)
-        throw new IllegalStateException(
-          s"namespace ${namespace.mkString(".")} is not empty")
+      // emptiness counts only what list(Tables|Namespaces) would show
+      // as children; Spark's error class surfaces this as the proper
+      // DROP NAMESPACE analysis error, not an internal failure
+      val children = fs.listStatus(new Path(dirOf(namespace))).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName != "_manifest")
+      if (!cascade && children.nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace,
+            s"it contains ${children.size} tables or namespaces", None)
       fs.delete(new Path(dirOf(namespace)), true)
     }
   }
@@ -444,17 +459,42 @@ object GraftLakeTable {
 
   private def propsPath(dir: String) = new Path(s"$dir/_properties")
 
+  /** Property keys Spark's own DDL machinery attaches to every CREATE
+    * TABLE (provider, owner, …) — managed by Spark, not user intent,
+    * so they are neither persisted nor grounds for rejection. */
+  private val SparkManagedProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+
   private[sources] def writeProperties(spark: SparkSession, dir: String,
       properties: java.util.Map[String, String]): Unit = {
     import scala.jdk.CollectionConverters._
-    val user = properties.asScala.filter(_._1.startsWith("graft."))
+    val (user, rest) = properties.asScala.toMap
+      .partition(_._1.startsWith("graft."))
+    // dropping a property silently would make TBLPROPERTIES lie;
+    // unsupported keys fail the CREATE loudly instead
+    val unsupported = rest.keySet -- SparkManagedProps
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      "graft lake tables only persist 'graft.'-prefixed table " +
+        s"properties; unsupported: ${unsupported.toSeq.sorted.mkString(", ")}")
     if (user.nonEmpty) {
       val f = FileSystem.get(new Path(dir).toUri,
         spark.sparkContext.hadoopConfiguration)
-      val out = f.create(propsPath(dir), true)
-      try out.write(user.map { case (k, v) => s"$k=$v" }
+      // tmp + rename: same publish discipline as manifests — a crash
+      // mid-write must not leave a truncated properties file
+      val tmp = new Path(dir,
+        s"._properties.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = f.create(tmp, true)
+      try out.write(user.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      f.delete(propsPath(dir), false)
+      if (!f.rename(tmp, propsPath(dir)))
+        throw new IllegalStateException(
+          s"failed to publish table properties at $dir")
     }
   }
 

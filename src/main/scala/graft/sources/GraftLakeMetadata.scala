@@ -2,9 +2,6 @@ package graft.sources
 
 import java.util
 
-import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
@@ -49,11 +46,10 @@ final class GraftLakeVersionsTable(tableName: String, dir: String)
         val s = spark
         val conf = s.sparkContext.hadoopConfiguration
         val latest = VersionedTable.latestVersion(s, dir)
-        def footerRows(p: String): Long = {
-          val r = ParquetFileReader.open(
-            HadoopInputFile.fromPath(new Path(p), conf))
-          try r.getRecordCount finally r.close()
-        }
+        // fallback routes through LakeFileStats so its footerReads
+        // counter audits ALL footer IO this table performs
+        def footerRows(p: String): Long =
+          LakeFileStats.read(p, conf).rowCount
         val rows: Array[(Int, Int, Long)] =
           (0 to latest.getOrElse(-1)).flatMap { v =>
             // vacuum may have retired low versions; skip gaps
@@ -61,11 +57,16 @@ final class GraftLakeVersionsTable(tableName: String, dir: String)
               case _: IllegalArgumentException => null
             }
             Option(snap).map { sn =>
-              // live rows = data footer counts minus merge-on-read
-              // masks (positions never duplicate: the MoR delete
-              // records only still-live rows)
-              val n = sn.dataFiles.map(footerRows).sum -
-                sn.deleteFiles.map(footerRows).sum
+              // live rows = data row counts minus merge-on-read masks
+              // (positions never duplicate: the MoR delete records
+              // only still-live rows). Counts come from the MANIFEST's
+              // embedded stats — zero footer IO on stats-bearing
+              // snapshots; only pre-stats manifests pay a footer read
+              // per uncovered file.
+              def rowsOf(p: String): Long =
+                sn.stats.get(p).map(_.rowCount).getOrElse(footerRows(p))
+              val n = sn.dataFiles.map(rowsOf).sum -
+                sn.deleteFiles.map(rowsOf).sum
               (v, sn.dataFiles.size, n)
             }
           }.toArray

@@ -86,7 +86,8 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
       options: CaseInsensitiveStringMap): ScanBuilder = {
     val b: ScanBuilder with LakeRewriteScan =
       if (snap.deleteFiles.isEmpty)
-        new LakeScanBuilder(dir, snapshotFiles, schema, options)
+        new LakeScanBuilder(dir, snapshotFiles, schema, options,
+          snap.stats)
       else {
         val inner = new GraftLakeDvScanBuilder(
           ParquetTable("lake_rewrite_dv_scan", spark,
@@ -142,8 +143,10 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
               // path no masks existed to carry
               val deletes =
                 if (kept.isEmpty) Seq.empty[String] else snap.deleteFiles
+              // carried files keep manifest stats by reference; only
+              // the fresh files' footers are read at publish
               VersionedTable.publishVersion(s, dir, newV, kept ++ fresh,
-                deletes)
+                deletes, snap.stats, snap.meta)
               ()
             }
             override def abort(msgs: Array[WriterCommitMessage]): Unit =
@@ -208,6 +211,12 @@ private[graft] object LakeFileStats {
       nullCount: Option[Long])
   final case class FileStats(cols: Map[String, ColStats], rowCount: Long)
 
+  /** Footer opens performed by [[read]] — the instrumentation hook the
+    * manifest-stats specs pin "zero footer IO during group pruning"
+    * against. Commit-time stats computation counts here too (that IS
+    * a footer read); the specs measure the pruning phase alone. */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def read(path: String, conf: org.apache.hadoop.conf.Configuration)
       : FileStats = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -215,6 +224,7 @@ private[graft] object LakeFileStats {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import scala.jdk.CollectionConverters._
+    footerReads.incrementAndGet()
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
     try {
@@ -307,8 +317,11 @@ private[graft] object LakeFileStats {
     case _ => None
   }
 
-  /** May any row of the file match `f`? False only on stats PROOF. */
+  /** May any row of the file match `f`? False only on stats PROOF.
+    * A zero-row file (CREATE TABLE's schema bearer, an emptied
+    * snapshot) proves every filter impossible. */
   def possible(f: Filter, fs: FileStats): Boolean = {
+    if (fs.rowCount == 0L) return false
     def range(a: String): Option[(Any, Any)] =
       fs.cols.get(a).flatMap(c => for (mn <- c.min; mx <- c.max)
         yield (mn, mx))
@@ -345,6 +358,122 @@ private[graft] object LakeFileStats {
       case _ => true // Not(...), string matches, unknown: no proof
     }
   }
+
+  // ------------------------------------------------ manifest serialization
+  // Stats persist INTO the manifest at commit time (the Delta/Iceberg
+  // stats discipline) so group pruning, CDC merge bounds, and the
+  // `versions` metadata table never re-open parquet footers. One line
+  // of JSON per file; values carry a one-letter type tag (l/d/s/b) so
+  // Long-vs-Double round-trips exactly. Jackson escapes control chars,
+  // so the JSON is single-line by construction and safe to append
+  // tab-separated after the manifest's path field.
+
+  /** Longest string bound persisted verbatim; longer strings truncate
+    * Iceberg-style: min → prefix (≤ actual min, conservative), max →
+    * prefix with its last char bumped (≥ actual max) or dropped when
+    * no char can bump — pruning only ever KEEPS extra files. */
+  private val MaxBoundLen = 64
+
+  private def truncMin(s: String): String =
+    if (s.length <= MaxBoundLen) s
+    else {
+      val cut = if (Character.isHighSurrogate(s.charAt(MaxBoundLen - 1)))
+        MaxBoundLen - 1 else MaxBoundLen
+      s.substring(0, cut)
+    }
+
+  private def truncMax(s: String): Option[String] =
+    if (s.length <= MaxBoundLen) Some(s)
+    else {
+      val t = truncMin(s)
+      // bump the rightmost bumpable char; stay below the surrogate
+      // range so the result is always valid UTF-16
+      val i = t.lastIndexWhere(c => c < 0xD7FF)
+      if (i < 0) None
+      else Some(t.substring(0, i) + (t.charAt(i) + 1).toChar)
+    }
+
+  import org.json4s._
+
+  private def tagged(v: Any): Option[JObject] = v match {
+    case x: Long => Some(JObject("l" -> JLong(x)))
+    case x: Double =>
+      // NaN/Inf are not JSON; drop the bound (conservative)
+      if (java.lang.Double.isFinite(x)) Some(JObject("d" -> JDouble(x)))
+      else None
+    case x: String => Some(JObject("s" -> JString(x)))
+    case x: Boolean => Some(JObject("b" -> JBool(x)))
+    case _ => None
+  }
+
+  private def untag(j: JValue): Option[Any] = j match {
+    case JObject(fields) => fields.headOption.flatMap {
+      case ("l", v) => numLong(v)
+      case ("d", v) => num(v)
+      case ("s", JString(s)) => Some(s)
+      case ("b", JBool(b)) => Some(b)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def num(j: JValue): Option[Double] = j match {
+    case JLong(n) => Some(n.toDouble)
+    case JInt(n) => Some(n.toDouble)
+    case JDouble(n) => Some(n)
+    case JDecimal(n) => Some(n.toDouble)
+    case _ => None
+  }
+
+  private def numLong(j: JValue): Option[Long] = j match {
+    case JLong(n) => Some(n)
+    case JInt(n) => Some(n.toLong)
+    case JDouble(n) => Some(n.toLong)
+    case JDecimal(n) => Some(n.toLong)
+    case _ => None
+  }
+
+  def toJson(fs: FileStats): String = {
+    val cols = fs.cols.toSeq.sortBy(_._1).map { case (name, c) =>
+      val mn = c.min.map {
+        case s: String => truncMin(s)
+        case other => other
+      }.flatMap(tagged)
+      val mx = c.max.flatMap {
+        case s: String => truncMax(s)
+        case other => Some(other)
+      }.flatMap(tagged)
+      val fields = mn.map("min" -> (_: JValue)).toList ++
+        mx.map("max" -> (_: JValue)).toList ++
+        c.nullCount.map(n => "nulls" -> (JLong(n): JValue)).toList
+      name -> (JObject(fields: _*): JValue)
+    }
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        JObject("rows" -> JLong(fs.rowCount),
+          "cols" -> JObject(cols: _*))))
+  }
+
+  def fromJson(s: String): Option[FileStats] =
+    try {
+      val j = org.json4s.jackson.JsonMethods.parse(s)
+      numLong(j \ "rows").map { rows =>
+        val cols = (j \ "cols") match {
+          case JObject(fields) => fields.map { case (name, cj) =>
+            val nulls = cj \ "nulls" match {
+              case JNothing => None
+              case v => numLong(v)
+            }
+            // an "l"-tagged min with a "d"-tagged max would compare as
+            // incomparable downstream — fromJson keeps them as-is; cmp's
+            // same-family rule already answers conservatively
+            name -> ColStats(untag(cj \ "min"), untag(cj \ "max"), nulls)
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        FileStats(cols, rows)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** A rewrite scan that can report which snapshot files it selected —
@@ -355,11 +484,16 @@ private[sources] trait LakeRewriteScan {
 
 /** Scan builder whose filter pushdown prunes GROUPS (files), never
   * rows — see [[GraftLakeRowLevelOperation]]. Starts conservative
-  * (whole snapshot selected) and narrows only when footer stats prove
-  * files match-free ([[LakeFileStats]] — driver-side metadata IO, no
-  * cluster job). */
+  * (whole snapshot selected) and narrows only when stats prove files
+  * match-free. Stats come from the MANIFEST when the commit embedded
+  * them (`manifestStats` — zero IO of any kind here, the
+  * Delta/Iceberg discipline; spec-pinned via
+  * [[LakeFileStats.footerReads]]); a pre-stats file falls back to one
+  * driver-side footer read, and its stats get embedded by the next
+  * commit. */
 final class LakeScanBuilder(dir: String, allFiles: Seq[String],
-    schema: StructType, options: CaseInsensitiveStringMap)
+    schema: StructType, options: CaseInsensitiveStringMap,
+    manifestStats: Map[String, LakeFileStats.FileStats] = Map.empty)
     extends ScanBuilder with LakeRewriteScan
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
@@ -375,7 +509,8 @@ final class LakeScanBuilder(dir: String, allFiles: Seq[String],
       try {
         val conf = spark.sparkContext.hadoopConfiguration
         selected = allFiles.filter { p =>
-          val stats = LakeFileStats.read(p, conf)
+          val stats = manifestStats.getOrElse(p,
+            LakeFileStats.read(p, conf))
           filters.forall(f => LakeFileStats.possible(f, stats))
         }
         pruningFilters = filters

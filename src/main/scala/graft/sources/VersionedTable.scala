@@ -53,15 +53,25 @@ object VersionedTable {
     * IllegalStateException. The loser's data directory is left behind
     * referenced by no manifest — exactly what [[vacuum]] collects. */
   def commitAs(spark: SparkSession, df: DataFrame, dir: String,
-      v: Int, carryForward: Boolean = true): Int = {
+      v: Int, carryForward: Boolean = true,
+      meta: Map[String, String] = Map.empty): Int = {
     val f = fs(spark, dir)
     val newFiles = writeDataFiles(spark, df, dir, v)
     val prior =
       if (carryForward && v > 0) snapshotOf(spark, dir, v - 1)
       else Snapshot(Seq.empty, Seq.empty)
     // an append on a merge-on-read table carries the DELETE files too —
-    // dropping them would resurrect deleted rows
-    publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles)
+    // dropping them would resurrect deleted rows. Stats: carried files
+    // keep their manifest stats by reference; only the delta's footers
+    // are read (delta-sized driver IO, once per file per lifetime).
+    // Snapshot metadata (stream epoch markers) carries forward so an
+    // idempotence check survives interleaved non-stream commits.
+    // only the DELTA's footers are read: a pre-stats carried file stays
+    // stats-less (consumers fall back) rather than turning one append
+    // into O(table) footer IO
+    publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles,
+      prior.stats ++ statsFor(spark, newFiles, prior.stats),
+      prior.meta ++ meta)
   }
 
   /** Land `df` under an immutable nonce data dir for version `v` and
@@ -82,10 +92,34 @@ object VersionedTable {
     * commit point for writers that land their data files through
     * Spark's own V2 file write (the lake catalog's row-level
     * operations) rather than [[writeDataFiles]]. Same atomic rename,
-    * same loser-throws race semantics. */
+    * same loser-throws race semantics. `knownStats` carries prior
+    * manifests' per-file stats forward; files not covered (the fresh
+    * ones) get their footers read once here. */
   private[sources] def publishVersion(spark: SparkSession, dir: String,
-      v: Int, files: Seq[String], deletes: Seq[String] = Seq.empty): Int =
-    publish(fs(spark, dir), dir, v, files, deletes)
+      v: Int, files: Seq[String], deletes: Seq[String] = Seq.empty,
+      knownStats: Map[String, LakeFileStats.FileStats] = Map.empty,
+      meta: Map[String, String] = Map.empty): Int =
+    publish(fs(spark, dir), dir, v, files, deletes,
+      statsFor(spark, files ++ deletes, knownStats), meta)
+
+  /** Per-file stats for the manifest: `known` entries ride along
+    * untouched (carry-forward files never re-open); uncovered files
+    * read their footer ONCE here — the commit-time stats write that
+    * every later group prune / bounds probe / `versions` row reads
+    * back for free. Best-effort per file: an unreadable footer (foreign
+    * format, corrupt) just omits that file's stats, and every consumer
+    * treats missing stats conservatively. */
+  private def statsFor(spark: SparkSession, files: Seq[String],
+      known: Map[String, LakeFileStats.FileStats])
+      : Map[String, LakeFileStats.FileStats] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.flatMap { p =>
+      known.get(p).orElse {
+        try Some(LakeFileStats.read(p, conf))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }.map(p -> _)
+    }.toMap
+  }
 
   /** Fully qualified parquet paths under a landed data directory. */
   private[sources] def listDataFiles(spark: SparkSession, dir: String,
@@ -98,15 +132,35 @@ object VersionedTable {
 
   /** Write + atomically rename a manifest: version `v` exists iff the
     * rename landed. Shared by [[commitAs]] and [[shallowClone]].
-    * Positional DELETE files (merge-on-read) are recorded as `D <path>`
-    * lines; plain lines are data files, so pre-DV manifests parse
-    * unchanged. */
+    *
+    * Line format (backward compatible — pre-stats manifests parse
+    * unchanged):
+    *  - `<path>` or `<path>\t<statsJson>` — data file, optionally with
+    *    its per-column (min,max,nulls)+rowCount stats embedded at
+    *    commit time ([[LakeFileStats.toJson]]; Jackson escapes control
+    *    chars so the JSON never contains a raw tab/newline);
+    *  - `D <path>[\t<statsJson>]` — positional merge-on-read DELETE
+    *    file;
+    *  - `M <key>=<value>` — snapshot metadata (streaming epoch
+    *    markers, clustering declarations), atomic WITH the commit
+    *    because it rides the same rename.
+    */
   private def publish(f: FileSystem, dir: String, v: Int,
-      files: Seq[String], deletes: Seq[String] = Seq.empty): Int = {
+      files: Seq[String], deletes: Seq[String] = Seq.empty,
+      stats: Map[String, LakeFileStats.FileStats] = Map.empty,
+      meta: Map[String, String] = Map.empty): Int = {
     f.mkdirs(manifestDir(dir))
     val tmp = new Path(manifestDir(dir), s".$v.txt.tmp")
     val out = f.create(tmp, true)
-    val lines = files ++ deletes.map(d => s"D $d")
+    def line(p: String): String =
+      stats.get(p).map(s => s"$p\t${LakeFileStats.toJson(s)}")
+        .getOrElse(p)
+    meta.foreach { case (k, mv) =>
+      require(!k.contains('=') && !k.contains('\n') && !mv.contains('\n'),
+        s"manifest metadata key/value must be =/newline-free: $k=$mv")
+    }
+    val lines = meta.toSeq.sortBy(_._1).map { case (k, mv) => s"M $k=$mv" } ++
+      files.map(line) ++ deletes.map(d => s"D ${line(d)}")
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new Path(manifestDir(dir), s"$v.txt")))
@@ -131,7 +185,10 @@ object VersionedTable {
         s"no committed version to clone at $srcDir"))
     val v = latestVersion(spark, dstDir).map(_ + 1).getOrElse(0)
     val snap = snapshotOf(spark, srcDir, srcV)
-    publish(fs(spark, dstDir), dstDir, v, snap.dataFiles, snap.deleteFiles)
+    // stats travel with the borrowed references; snapshot META does
+    // not (epoch markers describe the SOURCE table's streams)
+    publish(fs(spark, dstDir), dstDir, v, snap.dataFiles,
+      snap.deleteFiles, snap.stats)
   }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
@@ -145,9 +202,14 @@ object VersionedTable {
   }
 
   /** One snapshot's file sets: data files plus the positional DELETE
-    * files (merge-on-read deletion vectors) masking rows in them. */
+    * files (merge-on-read deletion vectors) masking rows in them,
+    * plus the manifest-embedded per-file stats (empty map on pre-stats
+    * manifests — every consumer falls back to footer reads) and the
+    * snapshot metadata (`M` lines). */
   final case class Snapshot(dataFiles: Seq[String],
-      deleteFiles: Seq[String])
+      deleteFiles: Seq[String],
+      stats: Map[String, LakeFileStats.FileStats] = Map.empty,
+      meta: Map[String, String] = Map.empty)
 
   def snapshotOf(spark: SparkSession, dir: String,
       version: Int): Snapshot = {
@@ -167,8 +229,22 @@ object VersionedTable {
       } finally in.close()
     val lines = new String(bytes, "UTF-8").split("\n").toSeq
       .filter(_.nonEmpty)
-    val (del, data) = lines.partition(_.startsWith("D "))
-    Snapshot(data, del.map(_.stripPrefix("D ")))
+    val (metaLines, fileLines) = lines.partition(_.startsWith("M "))
+    val meta = metaLines.map(_.stripPrefix("M ")).flatMap { l =>
+      val i = l.indexOf('=')
+      if (i < 0) None else Some(l.take(i) -> l.drop(i + 1))
+    }.toMap
+    val (del, data) = fileLines.partition(_.startsWith("D "))
+    def split(l: String): (String, Option[LakeFileStats.FileStats]) = {
+      val i = l.indexOf('\t')
+      if (i < 0) (l, None)
+      else (l.take(i), LakeFileStats.fromJson(l.drop(i + 1)))
+    }
+    val dataParsed = data.map(split)
+    val delParsed = del.map(l => split(l.stripPrefix("D ")))
+    val stats = (dataParsed ++ delParsed)
+      .collect { case (p0, Some(s)) => p0 -> s }.toMap
+    Snapshot(dataParsed.map(_._1), delParsed.map(_._1), stats, meta)
   }
 
   /** A snapshot's DATA files (the pre-DV manifest view). */
@@ -232,41 +308,46 @@ object VersionedTable {
     val newV = v + 1
     if (snap.dataFiles.isEmpty)
       return publish(fs(spark, dir), dir, newV, snap.dataFiles,
-        snap.deleteFiles)
+        snap.deleteFiles, snap.stats, snap.meta)
     // materialize (file, pos) BEFORE masking: metadata columns only
-    // resolve on the scan relation itself, not across the anti join
+    // resolve on the scan relation itself, not across the anti join.
+    // RESERVED names internally — a user column named file_path /
+    // row_index must keep feeding `cond`, not be shadowed by metadata
+    // (the delete-file OUTPUT schema still uses the public names).
     val data = spark.read.option("mergeSchema", "true")
       .parquet(snap.dataFiles: _*)
-      .withColumn("file_path", col("_metadata.file_path"))
-      .withColumn("row_index", col("_metadata.row_index"))
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
     val live =
       if (snap.deleteFiles.isEmpty) data
       else data.join(
         spark.read.parquet(snap.deleteFiles: _*)
           .select(col("file_path").as("__graft_df"),
             col("row_index").as("__graft_dp")).distinct(),
-        col("file_path") === col("__graft_df") &&
-          col("row_index") === col("__graft_dp"), "left_anti")
+        col("__graft_fp") === col("__graft_df") &&
+          col("__graft_ri") === col("__graft_dp"), "left_anti")
     // one delete file per commit: the mask is matches-sized (tiny), so
     // repartition(1) shuffles only the matches — never the scan
     val positions = live.filter(cond)
-      .select(col("file_path"), col("row_index"))
+      .select(col("__graft_fp").as("file_path"),
+        col("__graft_ri").as("row_index"))
       .repartition(1)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val delDir = s"$dir/files-v$newV-$nonce"
     positions.write.parquet(delDir)
     val written = listDataFiles(spark, dir, delDir)
     // a no-match delete publishes a (mask-identical) version without
-    // referencing the empty file; emptiness read from the footer
-    // (driver metadata IO, no job)
-    val newDeletes = if (written.forall { p =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(p), spark.sparkContext.hadoopConfiguration))
-      try r.getRecordCount == 0L finally r.close()
-    }) Seq.empty else written
+    // referencing the empty file; emptiness comes from the stats read
+    // the manifest needs anyway (one footer open per written file)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writtenStats = written.map(p => p -> LakeFileStats.read(p, conf))
+    val newDeletes =
+      if (writtenStats.forall(_._2.rowCount == 0L)) Seq.empty[String]
+      else written
     publish(fs(spark, dir), dir, newV, snap.dataFiles,
-      snap.deleteFiles ++ newDeletes)
+      snap.deleteFiles ++ newDeletes,
+      snap.stats ++ writtenStats.filter(ws => newDeletes.contains(ws._1)),
+      snap.meta)
   }
 
   /** STREAMING read of an APPEND-ONLY lake table (Delta's streaming
@@ -309,8 +390,12 @@ object VersionedTable {
   def compact(spark: SparkSession, dir: String, targetFiles: Int): Int = {
     require(targetFiles >= 1,
       s"compaction needs at least one output file, got $targetFiles")
-    commit(spark, read(spark, dir).repartition(targetFiles), dir,
-      carryForward = false)
+    // content-preserving rewrite: snapshot META (epoch markers) must
+    // survive, unlike a user INSERT OVERWRITE which replaces the table
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    commitAs(spark, read(spark, dir).repartition(targetFiles), dir,
+      v + 1, carryForward = false, meta = snapshotOf(spark, dir, v).meta)
   }
 
   /** Per-file outcome of a [[deleteWhere]] commit. */
@@ -349,15 +434,18 @@ object VersionedTable {
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val f = fs(spark, dir)
-    if (snapshotOf(spark, dir, v).deleteFiles.nonEmpty)
+    val prior = snapshotOf(spark, dir, v)
+    if (prior.deleteFiles.nonEmpty)
       throw new UnsupportedOperationException(
         s"copy-on-write delete at $dir would resurrect rows masked by " +
           "outstanding merge-on-read delete files; use " +
           "deleteWhereMergeOnRead or compact() first")
-    val files = filesOf(spark, dir, v)
+    val files = prior.dataFiles
     val newV = v + 1
     if (files.isEmpty)
-      return DeleteResult(publish(f, dir, newV, files), 0L, 0, 0)
+      return DeleteResult(
+        publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta),
+        0L, 0, 0)
     val snap = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val perFile = snap.filter(cond)
       .groupBy(col("_metadata.file_path").as("fp"))
@@ -367,12 +455,17 @@ object VersionedTable {
     val (touched, kept) =
       files.partition(p => perFile.contains(new Path(p).toString))
     if (touched.isEmpty)
-      return DeleteResult(publish(f, dir, newV, files), 0L, 0, files.size)
+      return DeleteResult(
+        publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta),
+        0L, 0, files.size)
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(touched: _*)
       .filter(not(coalesce(cond, lit(false))))
     val newFiles = writeDataFiles(spark, survivors, dir, newV)
-    publish(f, dir, newV, kept ++ newFiles)
+    publish(f, dir, newV, kept ++ newFiles, Seq.empty,
+      prior.stats.view.filterKeys(kept.toSet).toMap ++
+        statsFor(spark, newFiles, Map.empty),
+      prior.meta)
     DeleteResult(newV, perFile.values.sum, touched.size, kept.size)
   }
 
