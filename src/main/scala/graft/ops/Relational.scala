@@ -2175,6 +2175,67 @@ object Relational {
       | GROUP BY o_orderpriority)
       |ORDER BY op, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** STREAMING change feed drained and FOLDED back into table state —
+    * the composition the batch change feed (q166) and the lake stream
+    * (q182) left open: orders lands as two overlapping REPLACE
+    * snapshots (v0 = pre-1997, v1 = 1996-onward) plus a merge-on-read
+    * DELETE of the urgent tier (v2 — masks only, zero rewrite), and
+    * [[graft.sources.VersionedTable.changeFeedStream]] replays the
+    * whole history as op-tagged row deltas: v1's rewrite emits v0's
+    * rows as `delete` and v1's as `insert` (same commit version —
+    * the re-assertion), v2 emits the masked rows' CONTENT as `delete`
+    * read from the parent files at the recorded positions. The
+    * consumer-side fold (per key, keep the max-version ops; an
+    * `insert` there means live) reconstructs the final snapshot
+    * exactly, which the oracle restates straight off the raw source —
+    * proving stream-replay ≡ state, the CDC consumer contract. Scale:
+    * planning is manifest-diff sized per version, delete content is
+    * read via per-file position slices (never a join), and the fold
+    * is one key-partitioned window — the consumer never re-reads the
+    * table. */
+  val q184LakeChangeStream: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    import graft.streaming.StreamOps
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val base = s"/tmp/graft_q184_$nonce"
+    val orders = t(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"), col("o_totalprice"))
+    val cut0 = ntz("1997-01-01 00:00:00")
+    val cut1 = ntz("1996-01-01 00:00:00")
+    VersionedTable.commit(spark,
+      orders.filter(col("o_orderdate") < cut0), base,
+      carryForward = false)                                          // v0
+    VersionedTable.commit(spark,
+      orders.filter(col("o_orderdate") >= cut1), base,
+      carryForward = false)                                          // v1
+    VersionedTable.deleteWhereMergeOnRead(spark, base,
+      col("o_orderpriority") === "1-URGENT")                         // v2
+    val feed = StreamOps.runToMemory(spark,
+      VersionedTable.changeFeedStream(spark, base,
+        maxVersionsPerTrigger = 8),
+      s"q184_mem_$nonce", "append")
+    val w = Window.partitionBy(col("o_orderkey"))
+    val live = feed
+      .withColumn("maxv", max(col("_commit_version")).over(w))
+      .filter(col("_commit_version") === col("maxv") &&
+        col("_change_type") === "insert")
+    live.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q184Oracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderpriority <> '1-URGENT'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q167
   /** CSV + JSON source/sink roundtrip — the two text-serialization
     * formats E1's parquet/ORC family was still missing, proven
@@ -2676,6 +2737,7 @@ object Relational {
     "q164_shallow_clone" -> q164ShallowClone,
     "q165_k_anonymity" -> q165KAnonymity,
     "q166_change_feed" -> q166ChangeFeed,
+    "q184_lake_change_stream" -> q184LakeChangeStream,
     "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
     "q170_schema_evolution" -> q170SchemaEvolution,
     "q175_lake_catalog_sql" -> q175LakeCatalogSql,
@@ -2743,6 +2805,7 @@ object Relational {
     "q164_shallow_clone" -> q164Oracle,
     "q165_k_anonymity" -> q165Oracle,
     "q166_change_feed" -> q166Oracle,
+    "q184_lake_change_stream" -> q184Oracle,
     "q167_csv_json_roundtrip" -> q167Oracle,
     "q170_schema_evolution" -> q170Oracle,
     "q175_lake_catalog_sql" -> q175Oracle,

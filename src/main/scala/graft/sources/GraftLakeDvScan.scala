@@ -68,46 +68,58 @@ final class GraftLakeDvScan(inner: Scan,
   override def toBatch: Batch = {
     val ib = inner.toBatch
     new Batch {
-      /** One WHOLE file per partition: position = row counter. */
+      /** One WHOLE file per partition: position = row counter. Each
+        * partition carries ONLY its own file's delete positions —
+        * resolved here at plan time (the driver already holds the
+        * whole map), so the task closure ships a slice proportional
+        * to that file's masked rows, not the table's, and the reader
+        * never scans other files' positions. */
       override def planInputPartitions(): Array[InputPartition] = {
         val files = ib.planInputPartitions().toSeq.flatMap {
           case fp: FilePartition => fp.files
           case other => throw new IllegalStateException(
             s"unexpected non-file partition $other under DV scan")
         }
+        // facade-recorded _metadata.file_path strings and the V2
+        // reader's SparkPath normalize through hadoop Path
+        val byKey = deletes.map { case (f, ps) =>
+          new org.apache.hadoop.fs.Path(f).toString -> ps
+        }
         files
           .groupBy(_.filePath.toString).toSeq.sortBy(_._1)
           .zipWithIndex
-          .map { case ((_, splits), i) =>
+          .map { case ((path, splits), i) =>
             val whole = splits.head.copy(start = 0L,
               length = splits.head.fileSize)
-            FilePartition(i, Array(whole)): InputPartition
+            val key = new org.apache.hadoop.fs.Path(path).toString
+            new DvInputPartition(FilePartition(i, Array(whole)),
+              byKey.getOrElse(key, Array.emptyLongArray)): InputPartition
           }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new DvReaderFactory(ib.createReaderFactory(), deletes)
+        new DvReaderFactory(ib.createReaderFactory())
     }
   }
 }
 
-private final class DvReaderFactory(inner: PartitionReaderFactory,
-    deletes: Map[String, Array[Long]]) extends PartitionReaderFactory {
+/** A whole-file partition plus exactly ITS delete positions (sorted). */
+private[sources] final class DvInputPartition(val file: FilePartition,
+    val positions: Array[Long]) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    file.preferredLocations()
+}
+
+private final class DvReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
 
   // masking happens row-wise; never hand out raw columnar batches
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val r = inner.createReader(p)
-    val file = p.asInstanceOf[FilePartition].files.head.filePath.toString
-    // normalize both sides through Path: the facade records
-    // _metadata.file_path strings, the V2 reader carries SparkPath
-    val key = new org.apache.hadoop.fs.Path(file).toString
-    val masked: Array[Long] = deletes.iterator
-      .find { case (f, _) =>
-        new org.apache.hadoop.fs.Path(f).toString == key
-      }
-      .map(_._2).getOrElse(Array.emptyLongArray)
+    val dv = p.asInstanceOf[DvInputPartition]
+    val r = inner.createReader(dv.file)
+    val masked: Array[Long] = dv.positions
     new PartitionReader[InternalRow] {
       private var pos = -1L
       private var di = 0

@@ -350,33 +350,44 @@ object VersionedTable {
       snap.meta)
   }
 
-  /** STREAMING read of an APPEND-ONLY lake table (Delta's streaming
-    * source, the lakehouse-as-message-bus shape): each commit's delta
-    * lands in its own immutable `files-v<N>-<nonce>/` dir and
-    * carry-forward manifests re-reference older dirs without copying,
-    * so for a table whose history is commits/INSERT INTOs the glob
-    * `files-v*` IS the table content and Spark's file source streams
-    * it with per-file exactly-once tracking — new commits surface as
-    * new files on the next trigger, no manifest polling needed.
-    * Append-only is a CONTRACT, checked as far as a snapshot can:
-    * outstanding merge-on-read delete files refuse loudly (a file
-    * stream cannot un-deliver masked rows); overwrites/compaction
-    * rewrite history and are likewise out of contract (Delta's
-    * `ignoreChanges` caveat) — stream from a clone if you need both. */
+  /** STREAMING read of a lake table (Delta's streaming source, the
+    * lakehouse-as-message-bus shape), MANIFEST-derived
+    * ([[GraftLakeStreamProvider]]): offsets are versions, a fresh
+    * stream delivers the pinned current snapshot first (merge-on-read
+    * masks APPLIED), and each later trigger delivers one committed
+    * version's delta — per-file exactly-once from the commit log
+    * itself, never from directory globs (which would surface
+    * COW-replaced files, loser-commit orphans, and delete-position
+    * files no manifest references). Append-only is enforced PER
+    * VERSION across the streamed range: a version that removed files
+    * (overwrite, COW rewrite, compaction) or added merge-on-read
+    * masks fails that batch loudly — use [[changeFeedStream]] for
+    * row-level +/- deltas instead, or stream from a clone. */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
-    val v = latestVersion(spark, dir).getOrElse(
+    latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-    val snap = snapshotOf(spark, dir, v)
-    if (snap.deleteFiles.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"streaming read of $dir: table has merge-on-read delete " +
-          "files; a file stream cannot mask deleted rows — compact() " +
-          "first or stream from a clone")
-    val schema = spark.read.option("mergeSchema", "true")
-      .parquet(snap.dataFiles: _*).schema
-    spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/files-v*")
+    spark.readStream.format("graft-lake").option("dir", dir).load()
+  }
+
+  /** STREAMING CHANGE FEED (Delta CDF's streaming mode): row-level
+    * deltas across versions, op-tagged `_change_type`
+    * (insert/delete) + `_commit_version` — inserts from each commit's
+    * added files, delete CONTENT for copy-on-write-replaced files
+    * (minus already-masked rows) and for merge-on-read masks (read
+    * from the parent data files at the masked positions). A
+    * downstream consumer reconstructs any snapshot's state by folding
+    * ops per key in version order — spec-pinned against the batch
+    * change feed (q166) and oracle-gated (q184). */
+  def changeFeedStream(spark: SparkSession, dir: String,
+      startingVersion: Int = 0,
+      maxVersionsPerTrigger: Int = 1): DataFrame = {
+    latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    spark.readStream.format("graft-lake").option("dir", dir)
+      .option("changeFeed", "true")
+      .option("startingVersion", startingVersion.toString)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .load()
   }
 
   /** OPTIMIZE-style COMPACTION: rewrite the current snapshot into

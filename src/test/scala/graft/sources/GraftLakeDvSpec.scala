@@ -146,14 +146,30 @@ class GraftLakeDvSpec extends SparkSpec {
       assert(spark.table(name).orderBy($"k").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq ===
         Seq((1L, 15L), (2L, 20L), (3L, 30L)))
+      // a MoR delete is NOT append-only: the running plain stream
+      // fails AT THAT VERSION'S batch (per-version contract check,
+      // not just a creation-time glance at the latest snapshot)
+      VersionedTable.deleteWhereMergeOnRead(spark, dir,
+        org.apache.spark.sql.functions.col("k") === 2)             // v2
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(err).exists(_.contains("not append-only")),
+        s"expected per-version refusal, got: ${msgs(err).mkString(" | ")}")
     } finally q.stop()
-    // DV tables refuse: a file stream cannot mask deleted rows
-    VersionedTable.deleteWhereMergeOnRead(spark, dir,
-      org.apache.spark.sql.functions.col("k") === 2)
-    val err = intercept[UnsupportedOperationException] {
-      VersionedTable.readStream(spark, dir)
-    }
-    assert(err.getMessage.contains("compact"))
+    // a FRESH stream on the DV table starts from the pinned snapshot
+    // with masks APPLIED — deleted rows never enter the stream
+    val name2 = s"glc_stream_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q2 = VersionedTable.readStream(spark, dir)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted ===
+        Seq((1L, 5L), (1L, 10L), (3L, 30L)))
+    } finally q2.stop()
   }
 
   test("shallow clone preserves masks; vacuum keeps referenced DV files") {
@@ -189,6 +205,47 @@ class GraftLakeDvSpec extends SparkSpec {
     val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(props.get("graft.delete.mode") === Some("merge-on-read"))
+  }
+
+  test("DV partitions carry only their own file's delete positions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = freshDir()
+    VersionedTable.commit(spark,
+      (0 until 40).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+        .repartition(4), dir)
+    // hits rows spread over every file
+    VersionedTable.deleteWhereMergeOnRead(spark, dir,
+      org.apache.spark.sql.functions.col("k") % 4 === 0)
+    val snap = VersionedTable.snapshotOf(spark, dir, 1)
+    assert(snap.deleteFiles.nonEmpty)
+    // ground truth straight from the delete files
+    val truth: Map[String, Seq[Long]] = spark.read
+      .parquet(snap.deleteFiles: _*).collect()
+      .groupBy(r => new org.apache.hadoop.fs.Path(r.getString(0)).toString)
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).toSeq.sorted }
+    val table = ParquetTable("dv_slice_test", spark,
+      new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("mergeSchema", "true")),
+      snap.dataFiles, None, classOf[ParquetFileFormat])
+    val scan = new GraftLakeDvScanBuilder(table,
+      spark.read.parquet(snap.dataFiles: _*).schema,
+      snap.deleteFiles, CaseInsensitiveStringMap.empty()).build()
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length === snap.dataFiles.size)
+    parts.foreach { p =>
+      val dv = p.asInstanceOf[DvInputPartition]
+      val file = new org.apache.hadoop.fs.Path(
+        dv.file.files.head.filePath.toString).toString
+      // exactly this file's positions — nothing of any other file's
+      assert(dv.positions.toSeq ===
+        truth.getOrElse(file, Seq.empty[Long]),
+        s"partition for $file must carry its own slice only")
+    }
+    // and the sliced read still serves the masked view
+    assert(VersionedTable.read(spark, dir).count() === 30)
   }
 
   test("CDC spec shape still works on a copy-on-write table (mode default)") {

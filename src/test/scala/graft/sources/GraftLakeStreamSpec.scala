@@ -1,0 +1,130 @@
+package graft.sources
+
+import org.apache.spark.sql.functions.{col, max, sum}
+
+import graft.SparkSpec
+
+/** Manifest-derived lake streaming: version offsets, snapshot-then-
+  * delta delivery, per-version append contract, and the streaming
+  * CHANGE FEED (op-tagged row deltas including merge-on-read delete
+  * content) — the composition of q166's batch diff with q182's
+  * incremental delivery. */
+class GraftLakeStreamSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    s"/tmp/graft_lakestream_${java.util.UUID.randomUUID()}"
+
+  private def drain(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val name = s"gls_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("change feed emits op-tagged deltas incl. MoR delete content; folding reconstructs state") {
+    import spark.implicits._
+    val dir = freshDir()
+    // v0: initial load (two files)
+    VersionedTable.commit(spark,
+      (0 until 20).map(i => (i.toLong, s"v0-$i")).toDF("k", "s")
+        .repartition(2), dir, carryForward = false)
+    // v1: append
+    VersionedTable.commit(spark,
+      (20 until 25).map(i => (i.toLong, s"v1-$i")).toDF("k", "s"), dir)
+    // v2: COW delete (rewrites touched files; k<3 removed)
+    VersionedTable.deleteWhere(spark, dir, col("k") < 3L)
+    // v3: MoR delete (masks only; k in [10,12) removed)
+    VersionedTable.deleteWhereMergeOnRead(spark, dir,
+      col("k") >= 10L && col("k") < 12L)
+    val feed = drain(VersionedTable.changeFeedStream(spark, dir))
+    assert(feed.columns.takeRight(2).toSeq ===
+      Seq("_change_type", "_commit_version"))
+    // MoR delete content surfaced with the right tag and version
+    val morDeletes = feed
+      .filter(col("_change_type") === "delete" &&
+        col("_commit_version") === 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(morDeletes.toSeq === Seq((10L, "v0-10"), (11L, "v0-11")))
+    // the COW rewrite emits the replaced file's rows as deletes and
+    // its survivors as re-inserts at the same version
+    assert(feed.filter(col("_commit_version") === 2 &&
+      col("_change_type") === "delete").count() > 0)
+    assert(feed.filter(col("_commit_version") === 2 &&
+      col("_change_type") === "insert").count() > 0)
+    // folding ops per key in version order reconstructs the final
+    // state exactly (same-version insert+delete: insert wins — a
+    // rewrite re-asserts the row)
+    val latest = feed.withColumn("maxv",
+      max(col("_commit_version"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      .filter(col("_commit_version") === col("maxv"))
+    val reconstructed = latest
+      .groupBy(col("k"))
+      .agg(max(org.apache.spark.sql.functions
+        .when(col("_change_type") === "insert", col("s"))).as("s"))
+      .filter(col("s").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val actual = VersionedTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(reconstructed === actual)
+    assert(actual.size === 20) // 25 - 3 (COW) - 2 (MoR)
+  }
+
+  test("startingVersion replays per-version deltas, not a snapshot") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.commit(spark, Seq((1L, "a")).toDF("k", "s"), dir)
+    VersionedTable.commit(spark, Seq((2L, "b")).toDF("k", "s"), dir)
+    VersionedTable.commit(spark, Seq((3L, "c")).toDF("k", "s"), dir)
+    // replay from v1: v0's rows never appear
+    val feed = drain(spark.readStream.format("graft-lake")
+      .option("dir", dir).option("startingVersion", "1").load())
+    assert(feed.collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("a vacuumed version in the streamed range fails with the retention message") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0 until 4).foreach { i =>
+      VersionedTable.commit(spark,
+        Seq((i.toLong, s"r$i")).toDF("k", "s"), dir)
+    }
+    VersionedTable.vacuum(spark, dir, keep = 1, graceMs = 0L)
+    val err = intercept[Exception] {
+      drain(spark.readStream.format("graft-lake")
+        .option("dir", dir).option("startingVersion", "0").load())
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("vacuumed")),
+      s"expected retention error, got: ${msgs(err).mkString(" | ")}")
+    // snapshot-mode start (no startingVersion) is unaffected: it pins
+    // the CURRENT snapshot, which retention always keeps
+    assert(drain(VersionedTable.readStream(spark, dir)).count() === 4)
+  }
+
+  test("live appends drain one version per trigger after the snapshot batch") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.commit(spark, Seq((1L, 1L)).toDF("k", "v"), dir)
+    val name = s"gls_inc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = VersionedTable.readStream(spark, dir)
+      .groupBy(col("k")).agg(sum(col("v")).as("s"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1)
+      VersionedTable.commit(spark, Seq((2L, 2L)).toDF("k", "v"), dir)
+      VersionedTable.commit(spark, Seq((3L, 3L)).toDF("k", "v"), dir)
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 3)
+      // offsets advanced through BOTH live versions
+      val progress = q.lastProgress
+      assert(progress != null)
+    } finally q.stop()
+  }
+}
