@@ -121,6 +121,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ExactSubstr at K=32 over long docs: candidate set is exactly " +
+      "the >=2-doc anchors — sub-K spans contribute nothing, unique " +
+      "text contributes nothing, coverage is the planted span") {
+    // 6 docs × 500 tokens. Docs 0/1 share a 64-token span (different
+    // positions); docs 2/3 share a 31-token span (one below K — must
+    // be invisible at K=32); docs 4/5 are fully unique.
+    val span64 = (1 to 64).map(i => s"X$i")
+    val span31 = (1 to 31).map(i => s"Y$i")
+    def doc(id: Long, planted: Seq[String], at: Int): (Long, String) = {
+      val fill = (0 until 500 - planted.size).map(i => s"d${id}t$i")
+      (id, (fill.take(at) ++ planted ++ fill.drop(at)).mkString(" "))
+    }
+    val docs = Seq(
+      doc(0L, span64, 100), doc(1L, span64, 300),
+      doc(2L, span31, 50), doc(3L, span31, 200),
+      doc(4L, Seq.empty, 0), doc(5L, Seq.empty, 0),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q157k32").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val toks = DedupOps.exactSubstrToks(spark, dir, 32)
+    // the corpus holds 6×(500-31) = 2814 anchors; only the 64-token
+    // span's (64-32+1) = 33 windows per doc are duplicated at K=32 —
+    // a broken prune (corpus² shape) or a K-8 leak (the 31-span) would
+    // both surface here
+    val cand = DedupOps.exactSubstrCandidates(toks, K = 32)
+    assert(cand.count() === 66L,
+      "candidates must be exactly the 2x33 planted >=2-doc anchors")
+    assert(cand.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+    // coverage = the planted span, position-independent
+    val cov = DedupOps.exactSubstrCoverage(spark, dir, K = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cov.toSeq === Seq((0L, 500L, 64L), (1L, 500L, 64L)),
+      s"got ${cov.toSeq}")
+  }
+
   test("q161 span removal: the first global occurrence keeps its span, " +
       "every other occurrence is cut; keeper-only docs are untouched") {
     val shared = (1 to 10).map(i => s"S$i")
