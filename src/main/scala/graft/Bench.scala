@@ -98,7 +98,8 @@ object Bench {
           """([a-zA-Z0-9_]+)\\?":([0-9.]+)""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter { case (k, _) =>
-              k.headOption.exists(c => c == 'q' || c == 'b') }
+              k == "canary" ||
+                k.headOption.exists(c => c == 'q' || c == 'b') }
             .toMap
         }.getOrElse(Map.empty)
     }
@@ -130,6 +131,30 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> t
     }
+    // Machine-speed CANARY: a fixed CPU-bound splitmix64 loop (no IO,
+    // no allocation, cache-resident, single thread), median of 3.
+    // Three rounds running (r10 q135, r11 q127, r12 whole-run ~1.2-1.4x)
+    // the official record needed hand adjudication against ambient
+    // container drift; dividing cross-round totals by the canary ratio
+    // normalizes that away. ~1s on a quiet machine.
+    def canaryRun(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 400000000L) {
+        var z = (acc ^ i) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        acc = z ^ (z >>> 31)
+        i += 1L
+      }
+      if (acc == 42L) System.err.println("canary collision") // defeat DCE
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = Seq.fill(3)(canaryRun()).sorted.apply(1)
+    val machineRatio = prevRecord.get("canary")
+      .filter(_ > 0).map(canary / _)
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -150,7 +175,9 @@ object Bench {
     val rerun = rerunLog.map { case (k, first, isolated) =>
       "\"" + k + f"""\":{"first":$first%.3f,"isolated":$isolated%.3f}"""
     }.mkString("{", ",", "}")
-    println(f"""{"watch":$watch,"rerun":$rerun,"total":$total%.3f}""")
+    val ratioField = machineRatio
+      .map(r => f""","machine_ratio":$r%.3f""").getOrElse("")
+    println(f"""{"watch":$watch,"rerun":$rerun,"canary":$canary%.3f$ratioField,"total":$total%.3f}""")
     spark.stop()
   }
 }

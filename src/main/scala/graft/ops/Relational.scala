@@ -2236,6 +2236,69 @@ object Relational {
       |  AND o_orderpriority <> '1-URGENT'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Write-side CLUSTERING as a table property — declare
+    * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
+    * INSERT/compact range-partitions its output so each data file owns
+    * a DISJOINT key range (Iceberg's write.sort-order / Delta's
+    * OPTIMIZE ZORDER discipline, enforced at commit instead of as an
+    * after-pass). The payoff at 100 TB is structural: manifest-stats
+    * group pruning (q176/q177), bounded CDC merges (q178), and footer
+    * zone-maps prune maximally BY CONSTRUCTION — a bounded MERGE on a
+    * clustered table rewrites exactly the files owning the key range
+    * (spec-pinned 1 vs 4 in GraftLakeClusteringSpec). Here: orders
+    * lands through catalog SQL INSERT, compacts to 8 files, and the
+    * per-file (min,max) read from MANIFEST stats (driver metadata,
+    * zero data IO) must tile the key space without overlap — the
+    * in-engine `files_disjoint`/`eight_files` gates ride the result
+    * row, and the content aggregate proves the re-layout lost
+    * nothing. */
+  val q185ClusteredWrite: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakec_$nonce"
+    val root = s"/tmp/graft_q185_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .createOrReplaceTempView(s"q185_src_$nonce")
+    spark.sql(s"""CREATE TABLE $cat.t (o_orderkey BIGINT,
+      | o_orderpriority STRING, o_totalprice DOUBLE)
+      | TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')"""
+      .stripMargin)
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM q185_src_$nonce")
+    VersionedTable.compact(spark, s"$root/t", targetFiles = 8)
+    val v = VersionedTable.latestVersion(spark, s"$root/t").get
+    val ranges = VersionedTable.snapshotOf(spark, s"$root/t", v)
+      .stats.values.filter(_.rowCount > 0)
+      .map { st =>
+        val c = st.cols("o_orderkey")
+        (c.min.get.asInstanceOf[Long], c.max.get.asInstanceOf[Long])
+      }.toSeq.sortBy(_._1)
+    val disjoint = ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => hi < lo2
+      case _ => true
+    }
+    spark.sql(s"SELECT * FROM $cat.t")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("files_disjoint", lit(disjoint))
+      .withColumn("eight_files", lit(ranges.size == 8))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q185Oracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS total,
+      | TRUE AS files_disjoint, TRUE AS eight_files
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin
+
   // ---------------------------------------------------------------- q167
   /** CSV + JSON source/sink roundtrip — the two text-serialization
     * formats E1's parquet/ORC family was still missing, proven
@@ -2738,6 +2801,7 @@ object Relational {
     "q165_k_anonymity" -> q165KAnonymity,
     "q166_change_feed" -> q166ChangeFeed,
     "q184_lake_change_stream" -> q184LakeChangeStream,
+    "q185_lake_clustered_write" -> q185ClusteredWrite,
     "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
     "q170_schema_evolution" -> q170SchemaEvolution,
     "q175_lake_catalog_sql" -> q175LakeCatalogSql,
@@ -2806,6 +2870,7 @@ object Relational {
     "q165_k_anonymity" -> q165Oracle,
     "q166_change_feed" -> q166Oracle,
     "q184_lake_change_stream" -> q184Oracle,
+    "q185_lake_clustered_write" -> q185Oracle,
     "q167_csv_json_roundtrip" -> q167Oracle,
     "q170_schema_evolution" -> q170Oracle,
     "q175_lake_catalog_sql" -> q175Oracle,

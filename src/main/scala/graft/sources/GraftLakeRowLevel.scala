@@ -118,8 +118,29 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = {
+      override def build(): Write = {
+        // a declared-clustered table's rewrite declares its layout to
+        // SPARK (RequiresDistributionAndOrdering): V2Writes inserts the
+        // range shuffle + sort, so replacement files come back with
+        // disjoint key ranges exactly like commit-path files
+        val ordering = VersionedTable.clusteringV2Sort(spark, dir)
+        if (ordering.isEmpty) new Write {
+          override def toBatch: BatchWrite = batchWrite(info)
+        } else new Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .ordered(ordering)
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            ordering
+          override def toBatch: BatchWrite = batchWrite(info)
+        }
+      }
+    }
+
+  private def batchWrite(info: LogicalWriteInfo): BatchWrite = {
           val newV = pinnedV + 1
           val dataDir = s"$dir/files-v$newV-" +
             java.util.UUID.randomUUID().toString.take(8)
@@ -152,9 +173,7 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
             override def abort(msgs: Array[WriterCommitMessage]): Unit =
               inner.abort(msgs)
           }
-        }
-      }
-    }
+  }
 }
 
 /** Adapts a plain file-writer factory to the rows a group-based

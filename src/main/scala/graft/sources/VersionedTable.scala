@@ -54,9 +54,13 @@ object VersionedTable {
     * referenced by no manifest — exactly what [[vacuum]] collects. */
   def commitAs(spark: SparkSession, df: DataFrame, dir: String,
       v: Int, carryForward: Boolean = true,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty,
+      applyDeclaredClustering: Boolean = true): Int = {
     val f = fs(spark, dir)
-    val newFiles = writeDataFiles(spark, df, dir, v)
+    val out =
+      if (applyDeclaredClustering) clusterFor(spark, dir, df, None)
+      else df
+    val newFiles = writeDataFiles(spark, out, dir, v)
     val prior =
       if (carryForward && v > 0) snapshotOf(spark, dir, v - 1)
       else Snapshot(Seq.empty, Seq.empty)
@@ -73,6 +77,91 @@ object VersionedTable {
       prior.stats ++ statsFor(spark, newFiles, prior.stats),
       prior.meta ++ meta)
   }
+
+  /** Write-side CLUSTERING declaration, the
+    * `TBLPROPERTIES('graft.write.ordered-by'='user_id')` contract
+    * (Delta's OPTIMIZE ZORDER / Iceberg's write.sort-order as a TABLE
+    * property, enforced at every commit rather than as an after-pass):
+    * a comma-separated list of column names, or `morton2(a,b)` for the
+    * q107 Z-order curve. Every data-landing path honors it —
+    * [[commitAs]]/[[commit]] (facade writes, catalog INSERT/CTAS/
+    * OVERWRITE through the V1 fallback), [[compact]], and the row-level
+    * rewrites (UPDATE/MERGE/DELETE declare it to Spark via
+    * `RequiresDistributionAndOrdering`, so the replacement files come
+    * back range-clustered too). The payoff is structural, not
+    * advisory: `repartitionByRange` gives every data file a DISJOINT
+    * key range, so manifest-stats group pruning (q176/q177), bounded
+    * CDC merges (q178), and footer zone-map skipping prune maximally
+    * by construction instead of by luck of arrival order. */
+  private[sources] def clusteringSpec(spark: SparkSession,
+      dir: String): Option[Seq[String]] =
+    Option(GraftLakeTable.readProperties(spark, dir)
+        .get("graft.write.ordered-by"))
+      // split on commas OUTSIDE parens: `a,morton2(x,y)` is two terms
+      .map(_.split(""",(?![^(]*\))""").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+  private val Morton2Spec = """(?i)morton2\(([^,()]+),([^,()]+)\)""".r
+
+  /** Clustering terms as Columns against `df` — loud on a missing
+    * column: a declared-clustered table being written without its
+    * cluster key is a contract violation, not a layout preference. */
+  private def clusterColumns(spec: Seq[String],
+      df: DataFrame): Seq[org.apache.spark.sql.Column] = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    def ref(name: String): org.apache.spark.sql.Column = {
+      val n = name.trim
+      if (!have.contains(n.toLowerCase))
+        throw new IllegalArgumentException(
+          s"graft.write.ordered-by references column '$n' absent from " +
+            s"the write's schema ${df.columns.mkString("(", ",", ")")}")
+      org.apache.spark.sql.functions.col(n)
+    }
+    spec.map {
+      case Morton2Spec(a, b) => graft.ops.Relational.zValue(ref(a), ref(b))
+      case name => ref(name)
+    }
+  }
+
+  /** The clustering declaration as connector-API sort orders, for the
+    * row-level write path: a Write exposing these through
+    * `RequiresDistributionAndOrdering` makes SPARK insert the range
+    * shuffle + sort above the rewrite plan (V2Writes'
+    * DistributionAndOrderingUtils), so UPDATE/MERGE/DELETE replacement
+    * files come back clustered without the connector touching the
+    * query. `morton2(a,b)` rides as an ApplyTransform resolved against
+    * the catalog's own FunctionCatalog (the q180 magic-invoke path). */
+  private[sources] def clusteringV2Sort(spark: SparkSession,
+      dir: String): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    clusteringSpec(spark, dir).map(_.map { term =>
+      val e = term match {
+        case Morton2Spec(a, b) => Expressions.apply("morton2",
+          Expressions.column(a.trim), Expressions.column(b.trim))
+        case name => Expressions.column(name.trim)
+      }
+      Expressions.sort(e, SortDirection.ASCENDING)
+    }.toArray).getOrElse(Array.empty)
+  }
+
+  /** Apply declared clustering to an outgoing commit: range-partition
+    * (disjoint per-file key ranges) + sort within partitions (parquet
+    * row-group zone-maps monotone inside each file). No declaration →
+    * `df` unchanged. AQE coalesces adjacent range partitions on small
+    * commits, which preserves disjointness. */
+  private[sources] def clusterFor(spark: SparkSession, dir: String,
+      df: DataFrame, numPartitions: Option[Int]): DataFrame =
+    clusteringSpec(spark, dir) match {
+      case Some(spec) =>
+        val cs = clusterColumns(spec, df)
+        val ranged = numPartitions match {
+          case Some(n) => df.repartitionByRange(n, cs: _*)
+          case None => df.repartitionByRange(cs: _*)
+        }
+        ranged.sortWithinPartitions(cs: _*)
+      case None => df
+    }
 
   /** Land `df` under an immutable nonce data dir for version `v` and
     * return the fully qualified paths of the parquet files written.
@@ -405,8 +494,15 @@ object VersionedTable {
     // survive, unlike a user INSERT OVERWRITE which replaces the table
     val v = latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-    commitAs(spark, read(spark, dir).repartition(targetFiles), dir,
-      v + 1, carryForward = false, meta = snapshotOf(spark, dir, v).meta)
+    // declared clustering wins over a plain round-robin repartition:
+    // compaction is exactly when the table re-earns its layout
+    val out =
+      if (clusteringSpec(spark, dir).isDefined)
+        clusterFor(spark, dir, read(spark, dir), Some(targetFiles))
+      else read(spark, dir).repartition(targetFiles)
+    commitAs(spark, out, dir, v + 1, carryForward = false,
+      meta = snapshotOf(spark, dir, v).meta,
+      applyDeclaredClustering = false)
   }
 
   /** Per-file outcome of a [[deleteWhere]] commit. */
