@@ -8,8 +8,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, SupportsDeleteV2, SupportsNamespaces, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -63,7 +64,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * of the §2.6 extension surface, mechanism-matched to Spark.
   */
 final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -251,6 +252,34 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     GraftLakeFunctions.load(ident.name()).getOrElse(
       throw new NoSuchFunctionException(ident))
 
+  // ---------------------------------------------------- ProcedureCatalog
+  // Lifecycle maintenance as SQL: `CALL <cat>.system.compact(...)` /
+  // `CALL <cat>.system.vacuum(...)` (GraftLakeProcedures). The `system`
+  // namespace is conventional (Iceberg's shape) but not enforced —
+  // procedures resolve from any namespace level, like the catalog
+  // functions above.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftLakeProcedures.names
+      .map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftLakeProcedures.load(ident.name(), resolveTableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.toString}; known: " +
+          GraftLakeProcedures.names.mkString(", ")))
+
+  /** 'ns.t' / 't' (catalog-relative) -> table directory, loud on a
+    * path that holds no published table. */
+  private def resolveTableDir(table: String): String = {
+    val parts = table.split('.').toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table name '$table'")
+    val d = dirOf(Identifier.of(parts.init.toArray, parts.last))
+    if (!isTable(d)) throw new NoSuchTableException(
+      Identifier.of(parts.init.toArray, parts.last))
+    d
+  }
+
   // -------------------------------------------------- SupportsNamespaces
   // Namespaces are directories without a _manifest; the root itself is
   // the (implicit, always-existing) empty namespace.
@@ -375,7 +404,8 @@ final class GraftLakeTable(ident: Identifier, dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** Snapshots with merge-on-read delete files read through the
     * DV-applying scan ([[GraftLakeDvScanBuilder]]); clean snapshots
@@ -435,17 +465,49 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame,
-                overwrite: Boolean): Unit = {
-              VersionedTable.commit(SparkSession.active, data, dir,
-                carryForward = !(replace || overwrite))
-              ()
-            }
-          }
+      override def build(): Write = {
+        // a declared-clustered table's writes range-shuffle in SPARK
+        // (RequiresDistributionAndOrdering) — per micro-batch on the
+        // streaming path, on the prepared plan for the V1 batch path
+        // (so commitAs must NOT re-cluster: one shuffle, not two)
+        val ordering = VersionedTable.clusteringV2Sort(
+          SparkSession.active, dir)
+        if (ordering.isEmpty) new LakeWrite(replace, info)
+        else new LakeWrite(replace, info)
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .ordered(ordering)
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            ordering
+        }
       }
+    }
+  }
+
+  private class LakeWrite(replace: Boolean, info: LogicalWriteInfo)
+      extends V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame,
+            overwrite: Boolean): Unit = {
+          // the V1 fallback exec does NOT apply
+          // RequiresDistributionAndOrdering (measured: files arrive
+          // in plan order), so declared clustering happens in
+          // commitAs — exactly one shuffle
+          VersionedTable.commit(SparkSession.active, data, dir,
+            carryForward = !(replace || overwrite))
+          ()
+        }
+      }
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      if (replace) throw new UnsupportedOperationException(
+        s"streaming into ${ident.toString}: only append output " +
+          "mode is supported (complete/truncate is not)")
+      new GraftLakeStreamingWrite(dir, info)
     }
   }
 }

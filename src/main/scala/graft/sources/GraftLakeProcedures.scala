@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Lifecycle maintenance as SQL PROCEDURES — Iceberg's
+  * `CALL catalog.system.rewrite_data_files` shape on Spark 4's native
+  * `ProcedureCatalog`/`BoundProcedure` stack, so table upkeep is
+  * reachable from plain SQL like every other lake operation:
+  *
+  *  - `CALL <cat>.system.compact(table => 'ns.t', target_files => 4)`
+  *    rewrites the current snapshot into N files (declared clustering
+  *    applies — compaction is exactly when a table re-earns its
+  *    layout) and publishes it as a new version; returns (version,
+  *    data_files).
+  *  - `CALL <cat>.system.vacuum(table => 'ns.t', keep => 2)` deletes
+  *    files unreachable from the last `keep` versions past the
+  *    concurrent-commit grace window; returns (deleted_files).
+  *
+  * Both return their result through a [[LocalScan]] — driver-computed
+  * metadata rows, no cluster job beyond the rewrite itself. Named and
+  * positional arguments, `SHOW PROCEDURES` and `DESCRIBE PROCEDURE`
+  * all ride Spark's analyzer, not custom parsing. */
+private[sources] object GraftLakeProcedures {
+
+  val names: Seq[String] = Seq("compact", "vacuum")
+
+  /** `resolveDir` maps the procedure's `table` argument ('t' or
+    * 'ns.t', catalog-relative) to the table directory, failing loudly
+    * on a non-table. */
+  def load(name: String,
+      resolveDir: String => String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact" => Some(CompactProc(resolveDir))
+      case "vacuum" => Some(VacuumProc(resolveDir))
+      case _ => None
+    }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private final case class ResultScan(schema: StructType,
+      row: InternalRow) extends LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+  }
+
+  private def one(s: Scan): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList(s).iterator()
+
+  private final case class CompactProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "compact(table, target_files): rewrite the current snapshot " +
+        "into target_files files (declared clustering applies) and " +
+        "publish it as a new version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("target_files", DataTypes.IntegerType)
+        .defaultValue("1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val v = VersionedTable.compact(spark, dir,
+        targetFiles = input.getInt(1))
+      val files = VersionedTable.filesOf(spark, dir, v).size
+      one(ResultScan(
+        StructType(Seq(StructField("version", DataTypes.IntegerType),
+          StructField("data_files", DataTypes.IntegerType))),
+        InternalRow(v, files)))
+    }
+  }
+
+  private final case class VacuumProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "vacuum(table, keep, grace_ms): delete files unreachable from " +
+        "the last `keep` versions, past the concurrent-commit grace " +
+        "window"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("keep", DataTypes.IntegerType)
+        .defaultValue("1").build(),
+      ProcedureParameter.in("grace_ms", DataTypes.LongType)
+        .defaultValue(String.valueOf(
+          VersionedTable.DefaultVacuumGraceMs)).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val deleted = VersionedTable.vacuum(spark, dir,
+        keep = input.getInt(1), graceMs = input.getLong(2))
+      one(ResultScan(
+        StructType(Seq(
+          StructField("deleted_files", DataTypes.IntegerType),
+          StructField("first_deleted", DataTypes.StringType, true))),
+        InternalRow(deleted.size,
+          deleted.sorted.headOption
+            .map(UTF8String.fromString).orNull)))
+    }
+  }
+}

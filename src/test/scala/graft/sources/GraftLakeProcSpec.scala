@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** SQL `CALL` procedures over the lake catalog: compact + vacuum as
+  * first-class analyzer-resolved statements (Spark 4 ProcedureCatalog),
+  * replaying the facade lifecycle through plain SQL. */
+class GraftLakeProcSpec extends SparkSpec {
+
+  private val n = new AtomicInteger(0)
+
+  private def freshCatalog(): (String, String) = {
+    val cat = s"glproc_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_lake_proc_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  test("CALL system.compact rewrites to target_files and bumps the version") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    (1 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.t VALUES ($i)")) // v1..v5
+    // 5 one-row files + the empty CREATE commit's schema file
+    assert(VersionedTable.filesOf(spark, s"$root/t", 5).size === 6)
+    val r = spark.sql(
+      s"CALL $cat.system.compact(table => 't', target_files => 2)")
+      .collect()(0)
+    assert(r.getInt(0) === 6 && r.getInt(1) === 2)
+    assert(VersionedTable.filesOf(spark, s"$root/t", 6).size === 2)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === 15L)
+    // positional arguments resolve too
+    val r2 = spark.sql(s"CALL $cat.system.compact('t', 1)").collect()(0)
+    assert(r2.getInt(0) === 7 && r2.getInt(1) === 1)
+  }
+
+  test("CALL system.vacuum deletes only below-horizon files; content intact") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (1), (2)")  // v1
+    spark.sql(s"INSERT OVERWRITE $cat.ns.t VALUES (9)")  // v2: v1 files dead
+    val dir = s"$root/ns/t"
+    val deadBefore = VersionedTable.filesOf(spark, dir, 1)
+    // grace_ms default keeps everything younger than 15 min
+    val kept = spark.sql(
+      s"CALL $cat.system.vacuum(table => 'ns.t', keep => 1)")
+      .collect()(0)
+    assert(kept.getInt(0) === 0, "grace window must protect young files")
+    val r = spark.sql(
+      s"CALL $cat.system.vacuum(table => 'ns.t', keep => 1, grace_ms => 0L)")
+      .collect()(0)
+    assert(r.getInt(0) > 0)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(deadBefore.forall(f => !fs.exists(new Path(f))),
+      "replaced v1 files must be gone")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.ns.t").collect()(0)
+      .getLong(0) === 9L)
+  }
+
+  test("compact through CALL honors declared clustering") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='k')")
+    scala.util.Random.shuffle((0L until 1000L).toList).toDF("k")
+      .createOrReplaceTempView("glproc_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT k FROM glproc_src")
+    spark.sql(s"CALL $cat.system.compact(table => 't', target_files => 3)")
+    val v = VersionedTable.latestVersion(spark, s"$root/t").get
+    val rs = VersionedTable.snapshotOf(spark, s"$root/t", v)
+      .stats.values.filter(_.rowCount > 0)
+      .map(st => (st.cols("k").min.get.asInstanceOf[Long],
+        st.cols("k").max.get.asInstanceOf[Long])).toSeq.sortBy(_._1)
+    assert(rs.size === 3)
+    rs.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $rs")
+      case _ => ()
+    }
+    spark.catalog.dropTempView("glproc_src")
+  }
+
+  test("SHOW PROCEDURES lists; unknown CALL and non-table fail loudly") {
+    val (cat, _) = freshCatalog()
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
+      .map(_.toString).mkString
+    assert(listed.contains("compact") && listed.contains("vacuum"))
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.no_such_proc('t')")
+    }
+    assert(e1.getMessage.toLowerCase.contains("routine") &&
+      e1.getMessage.contains("no_such_proc"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact(table => 'missing')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e2.getMessage.toLowerCase.contains("not found") ||
+      e2.getMessage.toLowerCase.contains("missing"))
+  }
+}
