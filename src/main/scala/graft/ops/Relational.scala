@@ -2015,6 +2015,109 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q186
+  /** q162's compaction lifecycle replayed through PLAIN SQL — the
+    * Iceberg `CALL catalog.system.rewrite_data_files` shape on Spark
+    * 4's native ProcedureCatalog: orders lands fragmented (32-file
+    * INSERT), `CALL system.compact(table => 't', target_files => 4)`
+    * rewrites it, `CALL system.vacuum(keep => 1, grace_ms => 0)`
+    * reclaims the fragments — no facade API in sight, the analyzer
+    * resolves and type-checks the procedure arguments. The CALL
+    * results gate in-engine (`four_files`: compact returned exactly 4
+    * data files; `reclaimed`: vacuum physically deleted fragments) and
+    * the final aggregate reads the compacted table while the oracle
+    * aggregates the raw source — SQL-only lifecycle, zero loss. */
+  val q186LakeCallMaintenance: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakep_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q186_$nonce")
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .repartition(32)
+      .createOrReplaceTempView(s"q186_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t " +
+      s"AS SELECT * FROM q186_src_$nonce")
+    val c = spark.sql(
+      s"CALL $cat.system.compact(table => 't', target_files => 4)")
+      .collect()(0)
+    val v = spark.sql(
+      s"CALL $cat.system.vacuum(table => 't', keep => 1, grace_ms => 0L)")
+      .collect()(0)
+    spark.sql(s"SELECT * FROM $cat.t")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("four_files", lit(c.getInt(1) == 4))
+      .withColumn("reclaimed", lit(v.getInt(0) > 0))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q186Oracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS total,
+      | TRUE AS four_files, TRUE AS reclaimed
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q187
+  /** NATIVE streaming sink into the lake catalog —
+    * `writeStream.toTable("lake.t")` with no foreachBatch: the table's
+    * V2 Write exposes `STREAMING_WRITE`
+    * ([[graft.sources.GraftLakeStreamingWrite]]), each micro-batch
+    * lands executor-written parquet and commits as ONE lake version
+    * through the same atomic manifest rename as every batch write,
+    * with the epoch id recorded in snapshot metadata so a replayed
+    * epoch publishes nothing (exactly-once from at-least-once —
+    * spec-pinned in GraftLakeStreamSpec). Here the events log replays
+    * as 4 ingest files drained one per trigger, so the table's version
+    * history IS the ingest audit (in-engine `four_epochs` gate pins
+    * create + 4 epoch commits = v4), and the final aggregate over the
+    * streamed table equals the oracle's over the raw log — streamed
+    * arrival ≡ batch load. */
+  val q187LakeStreamSink: Q = (spark, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakes_$nonce"
+    val base = s"/tmp/graft_q187_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"$base/lake")
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartition(4)
+      .write.parquet(s"$base/ingest")
+    spark.sql(s"CREATE TABLE $cat.sink (event_id BIGINT, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE)")
+    val schema = spark.read.parquet(s"$base/ingest").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/ingest")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.sink")
+    q.awaitTermination()
+    val v = graft.sources.VersionedTable
+      .latestVersion(spark, s"$base/lake/sink")
+    spark.sql(s"SELECT * FROM $cat.sink")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        round(sum(col("value")), 2).as("sum_v"))
+      .withColumn("four_epochs", lit(v.contains(4)))
+      .orderBy(col("event_type"))
+  }
+
+  val q187Oracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(value), 2) AS sum_v,
+      | TRUE AS four_epochs
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -2802,6 +2905,8 @@ object Relational {
     "q166_change_feed" -> q166ChangeFeed,
     "q184_lake_change_stream" -> q184LakeChangeStream,
     "q185_lake_clustered_write" -> q185ClusteredWrite,
+    "q186_lake_call_maintenance" -> q186LakeCallMaintenance,
+    "q187_lake_stream_sink" -> q187LakeStreamSink,
     "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
     "q170_schema_evolution" -> q170SchemaEvolution,
     "q175_lake_catalog_sql" -> q175LakeCatalogSql,
@@ -2871,6 +2976,8 @@ object Relational {
     "q166_change_feed" -> q166Oracle,
     "q184_lake_change_stream" -> q184Oracle,
     "q185_lake_clustered_write" -> q185Oracle,
+    "q186_lake_call_maintenance" -> q186Oracle,
+    "q187_lake_stream_sink" -> q187Oracle,
     "q167_csv_json_roundtrip" -> q167Oracle,
     "q170_schema_evolution" -> q170Oracle,
     "q175_lake_catalog_sql" -> q175Oracle,

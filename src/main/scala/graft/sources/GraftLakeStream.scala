@@ -337,6 +337,131 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
     new LakeStreamReaderFactory(changeFeed)
 }
 
+/** NATIVE streaming SINK for a lake catalog table —
+  * `df.writeStream.toTable("lake.ns.t")` with no foreachBatch in
+  * sight: the table's Write exposes this through
+  * `TableCapability.STREAMING_WRITE`, and each micro-batch commits as
+  * one lake version through the same atomic manifest rename as every
+  * batch write. Exactly-once from at-least-once replay is the
+  * connector's job here (Delta's transaction-log discipline): the
+  * committed snapshot's metadata records `graft.stream.epoch.<queryId>
+  * -> epochId`, and a replayed epoch (failure between our commit and
+  * the checkpoint's) finds its marker already at-or-past the incoming
+  * id and publishes NOTHING — same version, no duplicate rows
+  * (spec-pinned). Executors land parquet via Spark's own row encoder
+  * ([[org.apache.spark.sql.graftbridge.ParquetRowWriterBridge]]) into
+  * a per-epoch staging dir; the epoch commit renames it to a
+  * `files-v<N>-<nonce>` data dir (one metadata op, never a data copy)
+  * and publishes carry-forward, so a streamed table is
+  * indistinguishable from an INSERT-per-batch one — time travel, stats,
+  * change feed, CALL compact all apply. Files open lazily, so an
+  * empty epoch publishes nothing rather than a file per partition. */
+private[sources] final class GraftLakeStreamingWrite(dir: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def spark: SparkSession = SparkSession.active
+  private val queryId: String = info.queryId()
+  private val epochKey = s"graft.stream.epoch.$queryId"
+  private val stagingRoot =
+    s"$dir/_staging-stream-${queryId.replace("-", "").take(16)}"
+
+  override def createStreamingWriterFactory(
+      p: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LakeStreamWriterFactory(stagingRoot,
+      org.apache.spark.sql.graftbridge.ParquetRowWriterBridge
+        .prepare(spark, info.schema()))
+
+  private def fsOf: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fsOf
+    val epochDir = new org.apache.hadoop.fs.Path(
+      stagingRoot, s"epoch-$epochId")
+    val latest = VersionedTable.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"streaming write into $dir: table vanished mid-stream"))
+    val snap = VersionedTable.snapshotOf(spark, dir, latest)
+    val already = snap.meta.get(epochKey).map(_.toLong)
+    if (already.exists(_ >= epochId)) {
+      // replayed epoch (we committed, the checkpoint didn't): the
+      // rows are already in version `latest` or earlier — drop the
+      // staged duplicates and publish nothing
+      f.delete(epochDir, true)
+      return
+    }
+    val staged =
+      if (!f.exists(epochDir)) Seq.empty
+      else f.listStatus(epochDir).toSeq.filter(_.isFile)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+    if (staged.isEmpty) { f.delete(epochDir, true); return }
+    val newV = latest + 1
+    val dataDir = s"$dir/files-v$newV-stream" +
+      java.util.UUID.randomUUID().toString.take(8)
+    if (!f.rename(epochDir, new org.apache.hadoop.fs.Path(dataDir)))
+      throw new IllegalStateException(
+        s"failed to stage epoch $epochId of $queryId into $dataDir")
+    val fresh = VersionedTable.listDataFiles(spark, dir, dataDir)
+    VersionedTable.publishVersion(spark, dir, newV,
+      snap.dataFiles ++ fresh, snap.deleteFiles, snap.stats,
+      snap.meta + (epochKey -> epochId.toString))
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    fsOf.delete(new org.apache.hadoop.fs.Path(
+      stagingRoot, s"epoch-$epochId"), true)
+    ()
+  }
+}
+
+private final case class LakeFileMessage(path: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private final class LakeStreamWriterFactory(stagingRoot: String,
+    prepared: org.apache.spark.sql.graftbridge.ParquetRowWriterBridge.Prepared)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val path = s"$stagingRoot/epoch-$epochId/" +
+        s"part-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+      private var w: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+      private var n = 0L
+
+      override def write(row: InternalRow): Unit = {
+        if (w == null) w = prepared.open(path) // lazy: empty task, no file
+        w.write(row)
+        n += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (w != null) w.close()
+        LakeFileMessage(path, n)
+      }
+
+      override def abort(): Unit = {
+        if (w != null) {
+          w.close()
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(p, false)
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
 /** One whole data file + the position policy to apply: `emitOnly`
   * non-null emits exactly those sorted positions (deleted-row
   * content); otherwise every position except the sorted `except`

@@ -106,6 +106,136 @@ class GraftLakeStreamSpec extends SparkSpec {
     assert(drain(VersionedTable.readStream(spark, dir)).count() === 4)
   }
 
+  test("native streaming sink: writeStream.toTable commits one version " +
+      "per epoch; batch SQL and time travel read the streamed table") {
+    import spark.implicits._
+    val cat = s"glsink_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = s"/tmp/graft_lakesink_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+        spark.sqlContext)
+    val q = ms.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$root/_ckpt")
+      .toTable(s"$cat.t")
+    try {
+      ms.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable() // epoch 0 -> v1
+      ms.addData((3L, 30L))
+      q.processAllAvailable() // epoch 1 -> v2
+      assert(spark.sql(s"SELECT sum(v) FROM $cat.t").collect()(0)
+        .getLong(0) === 60L)
+      // each epoch is a first-class version: time travel serves it
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+        .collect()(0).getLong(0) === 2L)
+      assert(VersionedTable.latestVersion(spark, s"$root/t") === Some(2))
+      // an empty epoch publishes nothing
+      q.processAllAvailable()
+      assert(VersionedTable.latestVersion(spark, s"$root/t") === Some(2))
+    } finally q.stop()
+    // the streamed table is a normal lake table: batch INSERT composes
+    spark.sql(s"INSERT INTO $cat.t VALUES (4, 40)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 4L)
+  }
+
+  test("epoch replay publishes no duplicate version and no duplicate rows") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val cat = s"glsink_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = s"/tmp/graft_lakesink_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    val dir = s"$root/t"
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "replay-spec-query"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        rowSchema
+      override def options()
+          : org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    val t = new GraftLakeTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "t"), dir, None)
+    val sw = t.newWriteBuilder(info).build().toStreaming
+    val phys = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    def commitEpoch(epoch: Long, values: Seq[Long]): Unit = {
+      val f = sw.createStreamingWriterFactory(phys)
+      val w = f.createWriter(0, epoch, epoch)
+      values.foreach(v => w.write(InternalRow(v)))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    commitEpoch(7L, Seq(1L, 2L))
+    val vAfter = VersionedTable.latestVersion(spark, dir)
+    // the checkpoint lost our commit and the engine replays epoch 7:
+    // the snapshot's epoch marker wins — same version, no extra rows
+    commitEpoch(7L, Seq(1L, 2L))
+    assert(VersionedTable.latestVersion(spark, dir) === vAfter)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 2L)
+    // progress resumes on the NEXT epoch
+    commitEpoch(8L, Seq(3L))
+    assert(VersionedTable.latestVersion(spark, dir) ===
+      vAfter.map(_ + 1))
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === 6L)
+  }
+
+  test("streaming into a clustered table range-shuffles each epoch " +
+      "(RequiresDistributionAndOrdering on the streaming write)") {
+    import spark.implicits._
+    val cat = s"glsink_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = s"/tmp/graft_lakesink_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='k')")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](
+        implicitly[org.apache.spark.sql.Encoder[Long]],
+        spark.sqlContext)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // streaming queries pin confs at START — set before toTable
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = ms.toDS().toDF("k").repartition(4).writeStream
+      .option("checkpointLocation", s"$root/_ckpt")
+      .toTable(s"$cat.t")
+    try {
+      ms.addData(scala.util.Random.shuffle((0L until 400L).toList): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.set(coalesceKey, prevCoalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    val v = VersionedTable.latestVersion(spark, s"$root/t").get
+    val rs = VersionedTable.snapshotOf(spark, s"$root/t", v)
+      .stats.values.filter(_.rowCount > 0)
+      .map(st => (st.cols("k").min.get.asInstanceOf[Long],
+        st.cols("k").max.get.asInstanceOf[Long])).toSeq.sortBy(_._1)
+    assert(rs.size > 1, s"need multiple epoch files, got $rs")
+    rs.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping epoch file ranges: $rs")
+      case _ => ()
+    }
+  }
+
   test("live appends drain one version per trigger after the snapshot batch") {
     import spark.implicits._
     val dir = freshDir()
