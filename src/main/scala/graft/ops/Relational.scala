@@ -2118,6 +2118,71 @@ object Relational {
       | TRUE AS four_epochs
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** RESTORE + CLONE through SQL procedures — lifecycle governance
+    * with zero data movement: orders lands as v1 (pre-1997 CTAS) then
+    * v2 (an INSERT OVERWRITE that "corrupts" the table with the
+    * post-1997 slice); `CALL system.clone('t','t2')` forks the
+    * corrupted state for the post-mortem (the clone's v0 REFERENCES
+    * v2's files — the in-engine `zero_copy` gate pins file-list
+    * equality from the manifests, no bytes moved), and
+    * `CALL system.restore(table => 't', version => 1)` rolls the table
+    * back by publishing v1's file list as v3 — history preserved, the
+    * bad v2 stays time-travelable. The emitted rows fingerprint BOTH
+    * branches (restored table = pre slice, clone = post slice) against
+    * the raw source. Delta's RESTORE/CLONE shape on the analyzer's own
+    * CALL path. */
+  val q188LakeRestoreClone: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_laker_$nonce"
+    val root = s"/tmp/graft_q188_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val cut = ntz("1997-01-01 00:00:00")
+    o.filter(col("o_orderdate") < cut)
+      .createOrReplaceTempView(s"q188_pre_$nonce")
+    o.filter(col("o_orderdate") >= cut)
+      .createOrReplaceTempView(s"q188_post_$nonce")
+    spark.sql(
+      s"CREATE TABLE $cat.t AS SELECT * FROM q188_pre_$nonce")   // v0+v1
+    spark.sql(
+      s"INSERT OVERWRITE $cat.t SELECT * FROM q188_post_$nonce") // v2
+    spark.sql(s"CALL $cat.system.clone(source => 't', target => 't2')")
+    val r = spark.sql(
+      s"CALL $cat.system.restore(table => 't', version => 1)")
+      .collect()(0)
+    val zeroCopy = VersionedTable.filesOf(spark, s"$root/t", 2).toSet ==
+      VersionedTable.filesOf(spark, s"$root/t2", 0).toSet
+    def branch(name: String, from: String) = spark.sql(
+      s"""SELECT '$name' AS branch, count(*) AS n,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  round(sum(o_totalprice), 2) AS total FROM $from""".stripMargin)
+    branch("clone_of_bad", s"$cat.t2")
+      .unionAll(branch("restored", s"$cat.t"))
+      .withColumn("zero_copy", lit(zeroCopy))
+      .withColumn("rolled_back", lit(r.getInt(1) == 1 && r.getInt(0) == 3))
+      .orderBy(col("branch"))
+  }
+
+  val q188Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'clone_of_bad' AS branch, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |    round(sum(o_totalprice), 2) AS total,
+      |    TRUE AS zero_copy, TRUE AS rolled_back
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  UNION ALL
+      |  SELECT 'restored', CAST(count(*) AS BIGINT),
+      |    CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2), TRUE, TRUE
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |) ORDER BY branch""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -2907,6 +2972,7 @@ object Relational {
     "q185_lake_clustered_write" -> q185ClusteredWrite,
     "q186_lake_call_maintenance" -> q186LakeCallMaintenance,
     "q187_lake_stream_sink" -> q187LakeStreamSink,
+    "q188_lake_restore_clone" -> q188LakeRestoreClone,
     "q167_csv_json_roundtrip" -> q167CsvJsonRoundtrip,
     "q170_schema_evolution" -> q170SchemaEvolution,
     "q175_lake_catalog_sql" -> q175LakeCatalogSql,
@@ -2978,6 +3044,7 @@ object Relational {
     "q185_lake_clustered_write" -> q185Oracle,
     "q186_lake_call_maintenance" -> q186Oracle,
     "q187_lake_stream_sink" -> q187Oracle,
+    "q188_lake_restore_clone" -> q188Oracle,
     "q167_csv_json_roundtrip" -> q167Oracle,
     "q170_schema_evolution" -> q170Oracle,
     "q175_lake_catalog_sql" -> q175Oracle,

@@ -264,7 +264,8 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       .map(n => Identifier.of(namespace, n)).toArray
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
-    GraftLakeProcedures.load(ident.name(), resolveTableDir).getOrElse(
+    GraftLakeProcedures.load(ident.name(), resolveTableDir,
+      resolveNewTableDir).getOrElse(
       throw new IllegalArgumentException(
         s"unknown procedure ${ident.toString}; known: " +
           GraftLakeProcedures.names.mkString(", ")))
@@ -277,6 +278,17 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val d = dirOf(Identifier.of(parts.init.toArray, parts.last))
     if (!isTable(d)) throw new NoSuchTableException(
       Identifier.of(parts.init.toArray, parts.last))
+    d
+  }
+
+  /** Like [[resolveTableDir]] but for a table being CREATED (clone
+    * target): must not already exist. */
+  private def resolveNewTableDir(table: String): String = {
+    val parts = table.split('.').toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table name '$table'")
+    val id = Identifier.of(parts.init.toArray, parts.last)
+    val d = dirOf(id)
+    if (isTable(d)) throw new TableAlreadyExistsException(id)
     d
   }
 

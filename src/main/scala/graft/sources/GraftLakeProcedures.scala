@@ -27,16 +27,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * all ride Spark's analyzer, not custom parsing. */
 private[sources] object GraftLakeProcedures {
 
-  val names: Seq[String] = Seq("compact", "vacuum")
+  val names: Seq[String] = Seq("compact", "vacuum", "restore", "clone")
 
-  /** `resolveDir` maps the procedure's `table` argument ('t' or
-    * 'ns.t', catalog-relative) to the table directory, failing loudly
-    * on a non-table. */
-  def load(name: String,
-      resolveDir: String => String): Option[UnboundProcedure] =
+  /** `resolveDir` maps a procedure's table argument ('t' or 'ns.t',
+    * catalog-relative) to the table directory, failing loudly on a
+    * non-table; `resolveNewDir` resolves a CLONE TARGET, which must
+    * NOT already be a table. */
+  def load(name: String, resolveDir: String => String,
+      resolveNewDir: String => String): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "compact" => Some(CompactProc(resolveDir))
       case "vacuum" => Some(VacuumProc(resolveDir))
+      case "restore" => Some(RestoreProc(resolveDir))
+      case "clone" => Some(CloneProc(resolveDir, resolveNewDir))
       case _ => None
     }
 
@@ -69,6 +72,56 @@ private[sources] object GraftLakeProcedures {
       val v = VersionedTable.compact(spark, dir,
         targetFiles = input.getInt(1))
       val files = VersionedTable.filesOf(spark, dir, v).size
+      one(ResultScan(
+        StructType(Seq(StructField("version", DataTypes.IntegerType),
+          StructField("data_files", DataTypes.IntegerType))),
+        InternalRow(v, files)))
+    }
+  }
+
+  private final case class RestoreProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "restore(table, version): publish an old snapshot's file list " +
+        "as a NEW version (zero-copy rollback; history preserved)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("version", DataTypes.IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val target = input.getInt(1)
+      val v = VersionedTable.restore(spark, dir, target)
+      one(ResultScan(
+        StructType(Seq(StructField("version", DataTypes.IntegerType),
+          StructField("restored_version", DataTypes.IntegerType))),
+        InternalRow(v, target)))
+    }
+  }
+
+  private final case class CloneProc(resolveDir: String => String,
+      resolveNewDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "clone(source, target): zero-copy shallow clone — the target's " +
+        "first version references the source's current snapshot files " +
+        "(table properties travel); the fork then diverges independently"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", DataTypes.StringType).build(),
+      ProcedureParameter.in("target", DataTypes.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = resolveDir(input.getUTF8String(0).toString)
+      val dst = resolveNewDir(input.getUTF8String(1).toString)
+      val v = VersionedTable.shallowClone(spark, src, dst)
+      // clustering / delete-mode declarations travel with the fork
+      GraftLakeTable.writeProperties(spark, dst,
+        GraftLakeTable.readProperties(spark, src))
+      val files = VersionedTable.filesOf(spark, dst, v).size
       one(ResultScan(
         StructType(Seq(StructField("version", DataTypes.IntegerType),
           StructField("data_files", DataTypes.IntegerType))),

@@ -280,6 +280,23 @@ object VersionedTable {
       snap.deleteFiles, snap.stats)
   }
 
+  /** ROLLBACK as a forward commit (Delta's RESTORE): publish version
+    * `toVersion`'s exact file list — data, delete masks, stats,
+    * metadata — as a NEW version `latest + 1`. Zero data movement
+    * (manifest references only), and history is PRESERVED: the bad
+    * versions stay time-travelable for the post-mortem, unlike a
+    * destructive rollback. Fails loudly if the target manifest was
+    * vacuumed past retention. */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val latest = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    require(toVersion >= 0 && toVersion <= latest,
+      s"cannot restore $dir to version $toVersion: history is 0..$latest")
+    val snap = snapshotOf(spark, dir, toVersion)
+    publish(fs(spark, dir), dir, latest + 1, snap.dataFiles,
+      snap.deleteFiles, snap.stats, snap.meta)
+  }
+
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
     if (!f.exists(manifestDir(dir))) None

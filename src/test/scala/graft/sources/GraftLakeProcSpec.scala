@@ -87,6 +87,60 @@ class GraftLakeProcSpec extends SparkSpec {
     spark.catalog.dropTempView("glproc_src")
   }
 
+  test("CALL system.restore publishes the old snapshot forward; history intact") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")      // v1
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (99)")     // v2 (the bad one)
+    val r = spark.sql(
+      s"CALL $cat.system.restore(table => 't', version => 1)")
+      .collect()(0)
+    assert(r.getInt(0) === 3 && r.getInt(1) === 1)
+    // state is v1's again...
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === 3L)
+    // ...and the bad version is still time-travelable (post-mortem)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t VERSION AS OF 2")
+      .collect()(0).getLong(0) === 99L)
+    // out-of-range restore fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.restore('t', 9)").collect()
+    }
+    assert(e.getMessage.contains("history is 0..3"))
+    assert(VersionedTable.latestVersion(spark, s"$root/t") === Some(3))
+  }
+
+  test("CALL system.clone forks zero-copy; properties travel; fork diverges") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.src (k BIGINT) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='k')")
+    spark.sql(s"INSERT INTO $cat.src VALUES (1), (2), (3)")
+    val r = spark.sql(
+      s"CALL $cat.system.clone(source => 'src', target => 'fork')")
+      .collect()(0)
+    assert(r.getInt(0) === 0)
+    // the clone references the SOURCE's files — zero data copied
+    val srcFiles = VersionedTable.filesOf(spark, s"$root/src", 1).toSet
+    val forkFiles = VersionedTable.filesOf(spark, s"$root/fork", 0).toSet
+    assert(forkFiles === srcFiles)
+    // declared properties traveled: SHOW TBLPROPERTIES + enforced
+    // clustering on the fork's own commits
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.fork").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(props.get("graft.write.ordered-by") === Some("k"))
+    // fork diverges without touching src
+    spark.sql(s"INSERT INTO $cat.fork VALUES (10)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.fork").collect()(0)
+      .getLong(0) === 4L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.src").collect()(0)
+      .getLong(0) === 3L)
+    // cloning onto an existing table refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.clone('src', 'fork')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+  }
+
   test("SHOW PROCEDURES lists; unknown CALL and non-table fail loudly") {
     val (cat, _) = freshCatalog()
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat").collect()
