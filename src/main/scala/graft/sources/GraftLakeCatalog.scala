@@ -426,7 +426,13 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       options: CaseInsensitiveStringMap): ScanBuilder =
     if (snapshot.deleteFiles.isEmpty) delegate.newScanBuilder(options)
     else new GraftLakeDvScanBuilder(delegate, schema(),
-      snapshot.deleteFiles, options)
+      snapshot.deleteFiles, options,
+      // planner row estimate = manifest row total − masks, only when
+      // the manifest's stats cover every data file
+      totalRows =
+        if (snapshot.dataFiles.forall(snapshot.stats.contains))
+          Some(snapshot.dataFiles.map(snapshot.stats(_).rowCount).sum)
+        else None)
 
   /** `DELETE FROM` lands here when every conjunct of the condition
     * translates (the analyzer ANDs the array): V2 predicates → the

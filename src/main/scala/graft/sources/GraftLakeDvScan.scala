@@ -29,7 +29,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * between-compactions state, not a resting state. */
 final class GraftLakeDvScanBuilder(table: ParquetTable,
     tableSchema: StructType, deleteFiles: Seq[String],
-    options: CaseInsensitiveStringMap) extends ScanBuilder
+    options: CaseInsensitiveStringMap,
+    totalRows: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns {
 
   private def spark: SparkSession = SparkSession.active
@@ -53,17 +54,49 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
       .map { case (f, rows) =>
         f -> rows.map(_.getLong(1)).distinct.sorted
       }
-    new GraftLakeDvScan(inner.build(), deletes)
+    new GraftLakeDvScan(inner.build(), deletes, totalRows)
   }
 }
 
 final class GraftLakeDvScan(inner: Scan,
-    deletes: Map[String, Array[Long]]) extends Scan {
+    deletes: Map[String, Array[Long]],
+    totalRows: Option[Long] = None) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = inner.readSchema()
 
   override def description(): String =
     s"GraftLakeDvScan(masked=${deletes.valuesIterator.map(_.length).sum})"
+
+  /** LIVE-row statistics for the planner, from MANIFEST row counts
+    * minus the masked rows — so join-side decisions (broadcast vs
+    * shuffle, CBO reorder) see the table the query will actually
+    * read: a DV table that masked 90% of its rows should broadcast
+    * like the small table it now is. The delegate's byte estimate is
+    * scaled proportionally; without a manifest total (pre-stats
+    * table) the delegate's estimate passes through unchanged. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val masked = deletes.valuesIterator.map(_.length.toLong).sum
+    val baseBytes: java.util.OptionalLong = inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics().sizeInBytes()
+      case _ => java.util.OptionalLong.empty()
+    }
+    val live = totalRows.map(t => math.max(0L, t - masked))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        (live, totalRows) match {
+          case (Some(l), Some(t)) if t > 0 && baseBytes.isPresent =>
+            java.util.OptionalLong.of(
+              math.max(1L, baseBytes.getAsLong / t * l))
+          case _ => baseBytes
+        }
+      override def numRows(): java.util.OptionalLong =
+        live.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 
   override def toBatch: Batch = {
     val ib = inner.toBatch

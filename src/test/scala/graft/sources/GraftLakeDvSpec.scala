@@ -248,6 +248,28 @@ class GraftLakeDvSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() === 30)
   }
 
+  test("DV scan reports LIVE row statistics from manifest totals") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = freshDir()
+    VersionedTable.commit(spark,
+      (0 until 40).map(i => (i.toLong, i * 2L)).toDF("k", "v")
+        .repartition(2), dir)
+    VersionedTable.deleteWhereMergeOnRead(spark, dir, $"k" < 10L)
+    val tbl = new GraftLakeTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "t"), dir, None)
+    val scan = tbl.newScanBuilder(CaseInsensitiveStringMap.empty())
+      .build()
+    val st = scan.asInstanceOf[SupportsReportStatistics]
+      .estimateStatistics()
+    // planner sees the 30 LIVE rows, not the 40 on disk — broadcast
+    // and CBO decisions follow the masked reality
+    assert(st.numRows().isPresent && st.numRows().getAsLong === 30L)
+    assert(st.sizeInBytes().isPresent && st.sizeInBytes().getAsLong > 0)
+  }
+
   test("CDC spec shape still works on a copy-on-write table (mode default)") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")

@@ -236,6 +236,41 @@ class GraftLakeStreamSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end pipe: stream INTO the table (native sink), change " +
+      "feed OUT — the drained feed folds back to the table's state") {
+    import spark.implicits._
+    val cat = s"glpipe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = s"/tmp/graft_lakepipe_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](
+        implicitly[org.apache.spark.sql.Encoder[Long]],
+        spark.sqlContext)
+    val q = ms.toDS().toDF("k").writeStream
+      .option("checkpointLocation", s"$root/_ckpt")
+      .toTable(s"$cat.t")
+    try {
+      ms.addData(1L, 2L); q.processAllAvailable()
+      ms.addData(3L); q.processAllAvailable()
+    } finally q.stop()
+    // a DELETE after ingestion, so the feed carries both ops
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 2")
+    val feed = drain(VersionedTable.changeFeedStream(spark, s"$root/t",
+      maxVersionsPerTrigger = 8))
+    val live = feed.withColumn("maxv",
+      max(col("_commit_version"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k")))
+      .filter(col("_commit_version") === col("maxv") &&
+        col("_change_type") === "insert")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(live === Seq(1L, 3L))
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === live)
+  }
+
   test("live appends drain one version per trigger after the snapshot batch") {
     import spark.implicits._
     val dir = freshDir()
