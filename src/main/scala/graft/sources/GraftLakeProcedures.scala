@@ -66,11 +66,19 @@ private[sources] object GraftLakeProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", DataTypes.StringType).build(),
       ProcedureParameter.in("target_files", DataTypes.IntegerType)
-        .defaultValue("1").build())
+        .defaultValue("1").build(),
+      // the 100 TB mode: size files, not counts; >0 wins over
+      // target_files
+      ProcedureParameter.in("target_size_mb", DataTypes.LongType)
+        .defaultValue("0").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
-      val v = VersionedTable.compact(spark, dir,
-        targetFiles = input.getInt(1))
+      val sizeMb = input.getLong(2)
+      val v =
+        if (sizeMb > 0)
+          VersionedTable.compactToSize(spark, dir, sizeMb * 1024 * 1024)
+        else VersionedTable.compact(spark, dir,
+          targetFiles = input.getInt(1))
       val files = VersionedTable.filesOf(spark, dir, v).size
       one(ResultScan(
         StructType(Seq(StructField("version", DataTypes.IntegerType),

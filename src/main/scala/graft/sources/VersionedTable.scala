@@ -522,6 +522,24 @@ object VersionedTable {
       applyDeclaredClustering = false)
   }
 
+  /** SIZE-targeted compaction — the 100 TB operating mode: you size
+    * FILES (e.g. 512 MB–1 GB for parquet), not file counts. Computes
+    * the target count from the current snapshot's on-disk bytes
+    * (driver metadata IO only) and delegates to [[compact]], declared
+    * clustering included. */
+  def compactToSize(spark: SparkSession, dir: String,
+      targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0,
+      s"target file size must be positive, got $targetFileBytes")
+    val v = latestVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val f = fs(spark, dir)
+    val total = snapshotOf(spark, dir, v).dataFiles
+      .map(p => f.getFileStatus(new Path(p)).getLen).sum
+    compact(spark, dir, math.max(1L,
+      math.ceil(total.toDouble / targetFileBytes).toLong).toInt)
+  }
+
   /** Per-file outcome of a [[deleteWhere]] commit. */
   final case class DeleteResult(version: Int, deletedRows: Long,
       rewrittenFiles: Int, carriedFiles: Int)

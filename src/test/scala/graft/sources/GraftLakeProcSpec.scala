@@ -41,6 +41,31 @@ class GraftLakeProcSpec extends SparkSpec {
     assert(r2.getInt(0) === 7 && r2.getInt(1) === 1)
   }
 
+  test("compact by target_size_mb computes the file count from on-disk bytes") {
+    import org.apache.hadoop.fs.Path
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, pad STRING)")
+    (1 to 4).foreach(i => spark.sql(
+      s"INSERT INTO $cat.t SELECT id, repeat('x', 100) FROM range(1000)"))
+    val dir = s"$root/t"
+    val v = VersionedTable.latestVersion(spark, dir).get
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val total = VersionedTable.filesOf(spark, dir, v)
+      .map(p => fs.getFileStatus(new Path(p)).getLen).sum
+    // pick a size that divides the table into >1 files
+    val targetBytes = total / 3
+    val expect = math.ceil(total.toDouble / targetBytes).toInt
+    VersionedTable.compactToSize(spark, dir, targetBytes)
+    assert(VersionedTable.filesOf(spark, dir, v + 1).size === expect)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 4000L)
+    // size wins over target_files through the CALL surface
+    val r = spark.sql(s"CALL $cat.system.compact(table => 't', " +
+      "target_size_mb => 1024L)").collect()(0)
+    assert(r.getInt(1) === 1) // everything fits one 1 GB file
+  }
+
   test("CALL system.vacuum deletes only below-horizon files; content intact") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.ns.t (k BIGINT)")
