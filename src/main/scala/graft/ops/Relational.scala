@@ -2183,6 +2183,235 @@ object Relational {
       |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
       |) ORDER BY branch""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** METADATA-ONLY aggregates from manifest statistics — the
+    * Delta/Iceberg "answer count(*) from the transaction log" shape
+    * ([[graft.sources.LakeStatsAggregate]]): lineitem lands in the
+    * lake over two commits, then COUNT(*)/COUNT(col)/MIN/MAX collapse
+    * to ONE driver-computed row read straight from the manifest's
+    * per-file stats — no cluster job, no data-file open, and (the
+    * in-engine gates) ZERO parquet footer reads during the aggregate
+    * with the stats-served counter advancing. On a 100 TB / 10⁶-file
+    * table this is the difference between a metadata lookup and a
+    * full scan. The values themselves hash-gate against DuckDB
+    * aggregating the raw source. */
+  val q189LakeStatsAgg: Q = (spark, dir) => {
+    import graft.sources.{LakeFileStats, LakeStatsAggregate}
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakeg_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q189_$nonce")
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    li.filter(col("l_orderkey") % 2 === 0)
+      .createOrReplaceTempView(s"q189_even_$nonce")
+    li.filter(col("l_orderkey") % 2 =!= 0)
+      .createOrReplaceTempView(s"q189_odd_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT * FROM q189_even_$nonce")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM q189_odd_$nonce")
+    val footersBefore = LakeFileStats.footerReads.get()
+    val servedBefore = LakeStatsAggregate.served.get()
+    val r = spark.sql(
+      s"""SELECT count(*) AS n, count(l_returnflag) AS n_flag,
+         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+         |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+         |  max(l_linenumber) AS max_line
+         |FROM $cat.t""".stripMargin).collect()(0)
+    val statsAnswered =
+      LakeStatsAggregate.served.get() > servedBefore &&
+        LakeFileStats.footerReads.get() == footersBefore
+    import spark.implicits._
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5), r.getInt(6), statsAnswered))
+      .toDF("n", "n_flag", "min_key", "max_key", "min_flag",
+        "max_flag", "max_line", "zero_io")
+  }
+
+  val q189Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      | CAST(count(l_returnflag) AS BIGINT) AS n_flag,
+      | min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      | min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+      | max(l_linenumber) AS max_line, TRUE AS zero_io
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  /** RUNTIME FILE PRUNING on a star join — Iceberg's
+    * DPP-over-file-stats shape ([[graft.sources.LakeRuntimeFilterScan]]):
+    * lineitem lands range-clustered by `l_suppkey`
+    * (`graft.write.ordered-by`, so each data file owns a disjoint key
+    * slice), supplier filters to one nation, and at EXECUTION time
+    * Spark's dynamic-pruning subquery hands the surviving supplier
+    * keys to the fact scan, which drops every file whose manifest
+    * [min,max] misses them — before a single task launches. The
+    * in-engine gate pins that the runtime filter fired AND pruned
+    * (kept < total files); the revenue aggregate hash-gates against
+    * DuckDB's plain join. At 100 TB this is the fact-table sliver
+    * read every star schema wants. */
+  val q190LakeRuntimePrune: Q = (spark, dir) => {
+    import graft.sources.LakeRuntimeFilterScan
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakex_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q190_$nonce")
+    t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(8)
+      .createOrReplaceTempView(s"q190_fact_$nonce")
+    spark.sql(s"CREATE TABLE $cat.fact (l_suppkey BIGINT, " +
+      "l_extendedprice DOUBLE, l_discount DOUBLE) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='l_suppkey')")
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM q190_fact_$nonce")
+    t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .createOrReplaceTempView(s"q190_supp_$nonce")
+    LakeRuntimeFilterScan.lastPrune.set(-1L)
+    val r = spark.sql(
+      s"""SELECT count(*) AS n,
+         |  coalesce(round(sum(f.l_extendedprice * (1 - f.l_discount)), 2),
+         |    0.0D) AS revenue
+         |FROM $cat.fact f
+         |JOIN q190_supp_$nonce s ON f.l_suppkey = s.s_suppkey
+         |WHERE s.s_nationkey = 5""".stripMargin).collect()(0)
+    val packed = LakeRuntimeFilterScan.lastPrune.get()
+    val prunedFiles = packed >= 0 &&
+      (packed >> 32).toInt < (packed & 0xffffffffL).toInt
+    import spark.implicits._
+    Seq((r.getLong(0), r.getDouble(1), prunedFiles))
+      .toDF("n", "revenue", "runtime_pruned")
+  }
+
+  val q190Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      | coalesce(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2),
+      |   0.0) AS revenue,
+      | TRUE AS runtime_pruned
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |WHERE s.s_nationkey = 5""".stripMargin
+
+  // ---------------------------------------------------------------- q191
+  /** TAGS — named immutable snapshot refs with retention pinning
+    * (Iceberg's tags, [[graft.sources.VersionedTable.createTag]]):
+    * orders lands pre-1997 and is tagged 'baseline'; an INSERT
+    * OVERWRITE replaces the table with the post-1997 slice; vacuum
+    * with keep=1 then reclaims every untagged old version — but the
+    * tagged snapshot stays fully serveable BY NAME
+    * (`VERSION AS OF 'baseline'`), which is the "the snapshot we
+    * trained on stays reproducible" governance contract. In-engine
+    * gates: the `.refs` metadata table lists the pin, the untagged
+    * v0 is really gone (loud failure), and both branches' aggregates
+    * hash-gate against the raw source. */
+  val q191LakeTags: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_laket_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q191_$nonce")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val cut = ntz("1997-01-01 00:00:00")
+    o.filter(col("o_orderdate") < cut)
+      .createOrReplaceTempView(s"q191_pre_$nonce")
+    o.filter(col("o_orderdate") >= cut)
+      .createOrReplaceTempView(s"q191_post_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT * FROM q191_pre_$nonce")
+    spark.sql(s"CALL $cat.system.create_tag(table => 't', " +
+      "tag => 'baseline')")                                   // pins v1
+    spark.sql(s"INSERT OVERWRITE $cat.t SELECT * FROM q191_post_$nonce")
+    spark.sql(s"CALL $cat.system.vacuum(table => 't', keep => 1, " +
+      "grace_ms => 0L)")
+    val refs = spark.sql(s"SELECT * FROM $cat.t.refs").collect()
+    val pinListed = refs.length == 1 &&
+      refs(0).getString(0) == "baseline" && refs(0).getInt(1) == 1
+    val untaggedGone =
+      try { spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0").collect()
+        false } catch { case _: Exception => true }
+    def branch(name: String, asOf: String) = spark.sql(
+      s"""SELECT '$name' AS branch, count(*) AS n,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $cat.t $asOf""".stripMargin)
+    branch("latest", "")
+      .unionAll(branch("tagged", "VERSION AS OF 'baseline'"))
+      .withColumn("pin_listed", lit(pinListed))
+      .withColumn("untagged_gone", lit(untaggedGone))
+      .orderBy(col("branch"))
+  }
+
+  val q191Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'latest' AS branch, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |    round(sum(o_totalprice), 2) AS total,
+      |    TRUE AS pin_listed, TRUE AS untagged_gone
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  UNION ALL
+      |  SELECT 'tagged', CAST(count(*) AS BIGINT),
+      |    CAST(sum(o_orderkey) AS BIGINT),
+      |    round(sum(o_totalprice), 2), TRUE, TRUE
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |) ORDER BY branch""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+  /** OPERATION-TAGGED COMMIT HISTORY — Delta's `DESCRIBE HISTORY`
+    * discipline: every publish path records its operation label into
+    * the manifest it renames into place (`M graft.op=...`, atomic
+    * with the commit; [[graft.sources.VersionedTable.OpMetaKey]]), and
+    * the `versions` metadata table surfaces it, so a table's audit
+    * trail — who-did-what per version — is one metadata query, no log
+    * replay. The query runs a six-stage lifecycle (CTAS → COW DELETE →
+    * UPDATE → CALL compact → INSERT OVERWRITE) and emits the history
+    * rows; the oracle restates every version's operation AND live row
+    * count from the raw source, so the hash gate proves both the
+    * labels and the per-snapshot counts. */
+  val q192LakeHistory: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakeh_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q192_$nonce")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_totalprice"))
+    o.createOrReplaceTempView(s"q192_src_$nonce")
+    o.filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00"))
+      .createOrReplaceTempView(s"q192_post_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t AS " +
+      s"SELECT * FROM q192_src_$nonce")                       // v0+v1
+    spark.sql(s"DELETE FROM $cat.t WHERE o_orderstatus = 'P'") // v2
+    spark.sql(s"UPDATE $cat.t SET o_totalprice = 0.0 " +
+      "WHERE o_orderstatus = 'F'")                             // v3
+    spark.sql(s"CALL $cat.system.compact(table => 't', " +
+      "target_files => 2)")                                    // v4
+    spark.sql(s"INSERT OVERWRITE $cat.t " +
+      s"SELECT * FROM q192_post_$nonce")                       // v5
+    spark.sql(
+      s"""SELECT version, operation, total_rows
+         |FROM $cat.t.versions ORDER BY version""".stripMargin)
+  }
+
+  val q192Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 0 AS version, 'create' AS operation,
+      |    CAST(count(*) FILTER (WHERE FALSE) AS BIGINT) AS total_rows
+      |  FROM orders
+      |  UNION ALL SELECT 1, 'append', count(*) FROM orders
+      |  UNION ALL SELECT 2, 'delete', count(*) FROM orders
+      |    WHERE o_orderstatus <> 'P'
+      |  UNION ALL SELECT 3, 'update', count(*) FROM orders
+      |    WHERE o_orderstatus <> 'P'
+      |  UNION ALL SELECT 4, 'compact', count(*) FROM orders
+      |    WHERE o_orderstatus <> 'P'
+      |  UNION ALL SELECT 5, 'overwrite', count(*) FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |) ORDER BY version""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -2981,6 +3210,10 @@ object Relational {
     "q179_lake_versions_meta" -> q179LakeVersionsMeta,
     "q180_catalog_function" -> q180CatalogFunction,
     "q181_lake_mor_delete_sql" -> q181LakeMorDeleteSql,
+    "q189_lake_stats_agg" -> q189LakeStatsAgg,
+    "q190_lake_runtime_prune" -> q190LakeRuntimePrune,
+    "q191_lake_tags" -> q191LakeTags,
+    "q192_lake_history" -> q192LakeHistory,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3053,5 +3286,9 @@ object Relational {
     "q179_lake_versions_meta" -> q179Oracle,
     "q180_catalog_function" -> q180Oracle,
     "q181_lake_mor_delete_sql" -> q181Oracle,
+    "q189_lake_stats_agg" -> q189Oracle,
+    "q190_lake_runtime_prune" -> q190Oracle,
+    "q191_lake_tags" -> q191Oracle,
+    "q192_lake_history" -> q192Oracle,
   )
 }

@@ -115,21 +115,23 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     if (GraftLakeVersionsTable.MetadataTableNames.contains(ident.name()) &&
         ident.namespace().nonEmpty) {
       val parent = dirOf(ident.namespace())
-      if (isTable(parent))
-        return new GraftLakeVersionsTable(
-          ident.namespace().mkString("."), parent)
+      if (isTable(parent)) return ident.name() match {
+        case "refs" =>
+          new GraftLakeRefsTable(ident.namespace().mkString("."), parent)
+        case _ =>
+          new GraftLakeVersionsTable(
+            ident.namespace().mkString("."), parent)
+      }
     }
     throw new NoSuchTableException(ident)
   }
 
-  /** `VERSION AS OF <v>` — explicit snapshot pin. */
+  /** `VERSION AS OF <v>` — explicit snapshot pin: an integer version,
+    * or a TAG name (`VERSION AS OF 'prod'`, Iceberg's ref syntax). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val d = dirOf(ident)
     if (!isTable(d)) throw new NoSuchTableException(ident)
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$catalogName version identifiers are integers, got '$version'")
-    }
+    val v = VersionedTable.resolveRef(spark, d, version)
     // resolve eagerly so a bad AS OF fails at analysis, not mid-scan
     VersionedTable.filesOf(spark, d, v)
     new GraftLakeTable(ident, d, Some(v))
@@ -178,7 +180,8 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     GraftLakeTable.writeProperties(spark, d, properties)
     val empty = spark.createDataFrame(
       new util.ArrayList[Row](), schema)
-    VersionedTable.commit(spark, empty, d, carryForward = false)
+    VersionedTable.commit(spark, empty, d, carryForward = false,
+      op = Some("create"))
     loadTable(ident)
   }
 
@@ -213,7 +216,8 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           other.getClass.getSimpleName)
     }
     val empty = spark.createDataFrame(new util.ArrayList[Row](), widened)
-    VersionedTable.commit(spark, empty, d, carryForward = true)
+    VersionedTable.commit(spark, empty, d, carryForward = true,
+      op = Some("add-column"))
     loadTable(ident)
   }
 
@@ -421,10 +425,17 @@ final class GraftLakeTable(ident: Identifier, dir: String,
 
   /** Snapshots with merge-on-read delete files read through the
     * DV-applying scan ([[GraftLakeDvScanBuilder]]); clean snapshots
-    * use Spark's ParquetTable scan stack directly. */
+    * use Spark's ParquetTable scan stack wrapped with the
+    * manifest-stats read optimizations ([[LakeReadScanBuilder]]:
+    * metadata-only aggregates + runtime file pruning). */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    if (snapshot.deleteFiles.isEmpty) delegate.newScanBuilder(options)
+    if (snapshot.deleteFiles.isEmpty)
+      delegate.newScanBuilder(options) match {
+        case f: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
+          new LakeReadScanBuilder(f, schema(), snapshot)
+        case other => other
+      }
     else new GraftLakeDvScanBuilder(delegate, schema(),
       snapshot.deleteFiles, options,
       // planner row estimate = manifest row total − masks, only when

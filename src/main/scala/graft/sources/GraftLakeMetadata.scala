@@ -11,8 +11,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Iceberg-style METADATA TABLE over a lake table's commit log:
   * `SELECT * FROM <catalog>.<table>.versions` returns one row per
-  * published snapshot — `(version, n_files, total_rows)` — computed
-  * entirely from the manifests plus parquet FOOTER record counts. No
+  * published snapshot — `(version, n_files, total_rows, operation)` —
+  * computed entirely from the manifests plus parquet FOOTER record
+  * counts. `operation` is the commit's recorded label
+  * ([[VersionedTable.OpMetaKey]]: create/append/overwrite/delete/
+  * update/merge/compact/truncate/restore/clone/add-column/
+  * stream-append — Delta's DESCRIBE HISTORY discipline; NULL on
+  * manifests published before labels existed). No
   * data byte is scanned: on a 100 TB table the query costs one footer
   * read per listed file (manifest-sized driver IO, the same planning
   * cost any scan of that snapshot would pay), which is why lakehouse
@@ -50,7 +55,7 @@ final class GraftLakeVersionsTable(tableName: String, dir: String)
         // counter audits ALL footer IO this table performs
         def footerRows(p: String): Long =
           LakeFileStats.read(p, conf).rowCount
-        val rows: Array[(Int, Int, Long)] =
+        val rows: Array[(Int, Int, Long, String)] =
           (0 to latest.getOrElse(-1)).flatMap { v =>
             // vacuum may have retired low versions; skip gaps
             val snap = try VersionedTable.snapshotOf(s, dir, v) catch {
@@ -67,7 +72,8 @@ final class GraftLakeVersionsTable(tableName: String, dir: String)
                 sn.stats.get(p).map(_.rowCount).getOrElse(footerRows(p))
               val n = sn.dataFiles.map(rowsOf).sum -
                 sn.deleteFiles.map(rowsOf).sum
-              (v, sn.dataFiles.size, n)
+              (v, sn.dataFiles.size, n,
+                sn.meta.getOrElse(VersionedTable.OpMetaKey, null))
             }
           }.toArray
         new GraftLakeVersionsBatch(rows)
@@ -80,15 +86,56 @@ object GraftLakeVersionsTable {
   val Schema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
     StructField("n_files", IntegerType, nullable = false),
-    StructField("total_rows", LongType, nullable = false)))
+    StructField("total_rows", LongType, nullable = false),
+    StructField("operation", org.apache.spark.sql.types.StringType,
+      nullable = true)))
 
-  /** `<cat>.<table>.versions` resolves here when the parent directory
-    * is a table and the child is not itself one. */
-  val MetadataTableNames: Set[String] = Set("versions")
+  /** `<cat>.<table>.versions` / `.refs` resolve here when the parent
+    * directory is a table and the child is not itself one. */
+  val MetadataTableNames: Set[String] = Set("versions", "refs")
+}
+
+/** `SELECT * FROM <catalog>.<table>.refs` — one row per named ref
+  * (tag), `(name, version)`; Iceberg's `.refs` metadata table.
+  * Driver-computed from the `_refs` directory, like `.versions`. */
+final class GraftLakeRefsTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"$tableName.refs"
+
+  override def schema(): StructType = GraftLakeRefsTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = {
+      val refRows = VersionedTable.tags(spark, dir).toSeq.sortBy(_._1)
+        .map { case (n, v) =>
+          InternalRow(org.apache.spark.unsafe.types.UTF8String
+            .fromString(n), v)
+        }.toArray
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = refRows
+        override def readSchema(): StructType = GraftLakeRefsTable.Schema
+        override def description(): String = s"GraftLakeRefs($dir)"
+      }
+    }
+  }
+}
+
+object GraftLakeRefsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("name", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("version", IntegerType, nullable = false)))
 }
 
 private final class GraftLakeVersionsBatch(
-    rows: Array[(Int, Int, Long)]) extends Batch {
+    rows: Array[(Int, Int, Long, String)]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     Array(new GraftLakeVersionsPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -100,8 +147,10 @@ private final class GraftLakeVersionsBatch(
           private var i = -1
           override def next(): Boolean = { i += 1; i < data.length }
           override def get(): InternalRow = {
-            val (v, nf, nr) = data(i)
-            InternalRow(v, nf, nr)
+            val (v, nf, nr, op) = data(i)
+            InternalRow(v, nf, nr,
+              Option(op).map(org.apache.spark.unsafe.types.UTF8String
+                .fromString).orNull)
           }
           override def close(): Unit = ()
         }
@@ -110,4 +159,4 @@ private final class GraftLakeVersionsBatch(
 }
 
 private final class GraftLakeVersionsPartition(
-    val rows: Array[(Int, Int, Long)]) extends InputPartition
+    val rows: Array[(Int, Int, Long, String)]) extends InputPartition

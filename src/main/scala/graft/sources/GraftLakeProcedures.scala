@@ -27,7 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * all ride Spark's analyzer, not custom parsing. */
 private[sources] object GraftLakeProcedures {
 
-  val names: Seq[String] = Seq("compact", "vacuum", "restore", "clone")
+  val names: Seq[String] = Seq("compact", "vacuum", "restore", "clone",
+    "create_tag", "drop_tag")
 
   /** `resolveDir` maps a procedure's table argument ('t' or 'ns.t',
     * catalog-relative) to the table directory, failing loudly on a
@@ -40,6 +41,8 @@ private[sources] object GraftLakeProcedures {
       case "vacuum" => Some(VacuumProc(resolveDir))
       case "restore" => Some(RestoreProc(resolveDir))
       case "clone" => Some(CloneProc(resolveDir, resolveNewDir))
+      case "create_tag" => Some(CreateTagProc(resolveDir))
+      case "drop_tag" => Some(DropTagProc(resolveDir))
       case _ => None
     }
 
@@ -134,6 +137,60 @@ private[sources] object GraftLakeProcedures {
         StructType(Seq(StructField("version", DataTypes.IntegerType),
           StructField("data_files", DataTypes.IntegerType))),
         InternalRow(v, files)))
+    }
+  }
+
+  private final case class CreateTagProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "create_tag(table, tag, version): pin a snapshot under an " +
+        "immutable name — addressable as VERSION AS OF '<tag>' and " +
+        "retained by vacuum regardless of the keep horizon; " +
+        "version < 0 (the default) tags the latest"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("tag", DataTypes.StringType).build(),
+      ProcedureParameter.in("version", DataTypes.IntegerType)
+        .defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      val v = input.getInt(2) match {
+        case neg if neg < 0 =>
+          VersionedTable.latestVersion(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"no committed version to tag at $dir"))
+        case explicit => explicit
+      }
+      VersionedTable.createTag(spark, dir, tag, v)
+      one(ResultScan(
+        StructType(Seq(StructField("tag", DataTypes.StringType),
+          StructField("version", DataTypes.IntegerType))),
+        InternalRow(UTF8String.fromString(tag), v)))
+    }
+  }
+
+  private final case class DropTagProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "drop_tag(table, tag): remove a named snapshot pin; the " +
+        "snapshot then ages out under the normal vacuum horizon"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("tag", DataTypes.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      val existed = VersionedTable.dropTag(spark, dir, tag)
+      one(ResultScan(
+        StructType(Seq(StructField("dropped", DataTypes.BooleanType))),
+        InternalRow(existed)))
     }
   }
 

@@ -167,7 +167,8 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
               // carried files keep manifest stats by reference; only
               // the fresh files' footers are read at publish
               VersionedTable.publishVersion(s, dir, newV, kept ++ fresh,
-                deletes, snap.stats, snap.meta)
+                deletes, snap.stats, snap.meta,
+                op = cmd.toString.toLowerCase)
               ()
             }
             override def abort(msgs: Array[WriterCommitMessage]): Unit =
@@ -225,9 +226,13 @@ private final class OpStrippingWriterFactory(
 private[graft] object LakeFileStats {
 
   /** Per-column (min, max, nullCount) over the whole file; None =
-    * unknown. Values normalized to Long / Double / String / Boolean. */
+    * unknown. Values normalized to Long / Double / String / Boolean.
+    * `truncated` marks bounds that survived the manifest's
+    * string-bound truncation ([[toJson]]): still valid for
+    * conservative pruning, but NOT the exact min/max — the
+    * stats-answered aggregate path must refuse them. */
   final case class ColStats(min: Option[Any], max: Option[Any],
-      nullCount: Option[Long])
+      nullCount: Option[Long], truncated: Boolean = false)
   final case class FileStats(cols: Map[String, ColStats], rowCount: Long)
 
   /** Footer opens performed by [[read]] — the instrumentation hook the
@@ -462,9 +467,17 @@ private[graft] object LakeFileStats {
         case s: String => truncMax(s)
         case other => Some(other)
       }.flatMap(tagged)
+      // a bound that truncation changed (or dropped) is still a valid
+      // conservative range but no longer the exact min/max; the flag
+      // tells the stats-aggregate path to refuse this column
+      val trunc = c.truncated ||
+        c.min.exists { case s: String => truncMin(s) != s; case _ => false } ||
+        c.max.exists { case s: String => !truncMax(s).contains(s)
+          case _ => false }
       val fields = mn.map("min" -> (_: JValue)).toList ++
         mx.map("max" -> (_: JValue)).toList ++
-        c.nullCount.map(n => "nulls" -> (JLong(n): JValue)).toList
+        c.nullCount.map(n => "nulls" -> (JLong(n): JValue)).toList ++
+        (if (trunc) List("t" -> (JBool(true): JValue)) else Nil)
       name -> (JObject(fields: _*): JValue)
     }
     org.json4s.jackson.JsonMethods.compact(
@@ -486,7 +499,12 @@ private[graft] object LakeFileStats {
             // an "l"-tagged min with a "d"-tagged max would compare as
             // incomparable downstream — fromJson keeps them as-is; cmp's
             // same-family rule already answers conservatively
-            name -> ColStats(untag(cj \ "min"), untag(cj \ "max"), nulls)
+            val trunc = cj \ "t" match {
+              case JBool(b) => b
+              case _ => false
+            }
+            name -> ColStats(untag(cj \ "min"), untag(cj \ "max"),
+              nulls, trunc)
           }.toMap
           case _ => Map.empty[String, ColStats]
         }

@@ -1,0 +1,331 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, SupportsPushDownAggregates, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+import org.apache.spark.sql.graftbridge.{DelegatingFileScanBuilder, PredicateBridge}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The lake catalog's READ scan builder: Spark's own parquet pushdown
+  * stack (filters, column pruning, nested pruning — all forwarded to
+  * the wrapped `ParquetScanBuilder`) plus the two manifest-stats read
+  * optimizations Delta/Iceberg ship and plain `ParquetTable` cannot:
+  *
+  *  1. **Metadata-only aggregates** ([[LakeStatsAggregate]]):
+  *     `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` with no
+  *     WHERE and no GROUP BY are answered entirely from the
+  *     manifest's per-file stats — the scan collapses to a
+  *     [[LocalScan]] with ONE driver-computed row: zero cluster jobs,
+  *     zero data-file opens, zero footer reads on a stats-bearing
+  *     table (spec-pinned via [[LakeFileStats.footerReads]]). On a
+  *     100 TB table `SELECT count(*)` costs one manifest read.
+  *     Anything the stats cannot answer EXACTLY (filters present,
+  *     grouping, unsupported function or type, truncated string
+  *     bounds, a file without stats) falls through to the wrapped
+  *     builder unchanged — parquet's own footer-aggregate pushdown
+  *     still applies when enabled.
+  *  2. **Runtime file pruning** ([[LakeRuntimeFilterScan]]): the
+  *     built scan declares every fully-stats-covered column as a
+  *     runtime filter attribute (`SupportsRuntimeV2Filtering`), so
+  *     Spark's dynamic-pruning planner hands it the build side's join
+  *     keys at EXECUTION time and files whose [min,max] provably miss
+  *     every key are dropped before their tasks launch — Iceberg's
+  *     DPP-over-file-stats shape, sharpest on range-clustered tables
+  *     (`graft.write.ordered-by`) where each file owns a disjoint key
+  *     slice. Star-join fact scans read the dimension-selected
+  *     sliver, not the table.
+  */
+final class LakeReadScanBuilder(inner: FileScanBuilder,
+    tableSchema: StructType, snap: VersionedTable.Snapshot)
+    extends DelegatingFileScanBuilder(inner)
+    with SupportsPushDownAggregates {
+
+  private var answered: Option[(StructType, InternalRow)] = None
+
+  private def tryAnswer(agg: Aggregation): Boolean = {
+    if (answered.isEmpty && !innerHasFilters)
+      answered = LakeStatsAggregate.answer(agg, tableSchema, snap)
+    answered.isDefined
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    tryAnswer(agg) || (inner match {
+      case a: SupportsPushDownAggregates => a.supportCompletePushDown(agg)
+      case _ => false
+    })
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    tryAnswer(agg) || (inner match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(agg)
+      case _ => false
+    })
+
+  override def build(): Scan = answered match {
+    case Some((schema, row)) => new LakeStatsAggScan(schema, row)
+    case None => new LakeRuntimeFilterScan(innerBuild(), snap)
+  }
+}
+
+/** One driver-computed row carrying a fully stats-answered aggregate —
+  * planned as a LocalTableScan: no jobs, no file IO. */
+final class LakeStatsAggScan(schema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"GraftLakeStatsAgg(${schema.fieldNames.mkString(", ")})"
+}
+
+/** Answers a V2 [[Aggregation]] exactly from manifest file stats, or
+  * refuses ([[answer]] = None). Exactness is the contract — every
+  * refusal below exists because stats could be conservative there:
+  *
+  *  - filters / grouping: not representable over whole-file stats;
+  *  - `COUNT(DISTINCT)`: not derivable from per-file counts;
+  *  - float/double MIN/MAX: parquet stats exclude NaN, SQL's don't;
+  *  - timestamp: the stats value's unit (millis/micros) is not
+  *    recorded; decimal/binary/nested: not normalized;
+  *  - truncated string bounds: valid range, not the exact extremum;
+  *  - a file with rows but no usable stats for the column: its rows
+  *    could hold the true extremum ([[LakeFileStats]] poisoning). A
+  *    file whose stats LACK the column entirely is sound to skip —
+  *    parquet footers list every physical column, so absence means
+  *    the column post-dates the file (schema evolution) and reads as
+  *    all-NULL there.
+  */
+private[graft] object LakeStatsAggregate {
+
+  /** Stats-answered aggregates served, for spec pinning. */
+  val served = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def answer(agg: Aggregation, schema: StructType,
+      snap: VersionedTable.Snapshot)
+      : Option[(StructType, InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (snap.deleteFiles.nonEmpty) return None // masked rows: not exact
+    if (!snap.dataFiles.forall(snap.stats.contains)) return None
+    val stats = snap.dataFiles.map(snap.stats)
+    val answers = agg.aggregateExpressions.toSeq.map(one(_, schema, stats))
+    if (answers.exists(_.isEmpty)) None
+    else {
+      served.incrementAndGet()
+      val fields = answers.flatten
+      Some((StructType(fields.map(_._1)),
+        InternalRow.fromSeq(fields.map(_._2))))
+    }
+  }
+
+  private def one(f: AggregateFunc, schema: StructType,
+      stats: Seq[LakeFileStats.FileStats])
+      : Option[(StructField, Any)] = f match {
+    case _: CountStar =>
+      Some((StructField("count(*)", LongType, nullable = false),
+        stats.map(_.rowCount).sum))
+    case c: Count if !c.isDistinct =>
+      colOf(c.column(), schema).flatMap { case (name, _) =>
+        // count(col) = rows minus nulls; needs a null count per file
+        // (a file without the column is all-null: contributes 0)
+        val per = stats.map { fs =>
+          fs.cols.get(name) match {
+            case None => Some(0L)
+            case Some(cs) => cs.nullCount.map(n => fs.rowCount - n)
+          }
+        }
+        if (per.exists(_.isEmpty)) None
+        else Some((StructField(s"count($name)", LongType,
+          nullable = false), per.flatten.sum))
+      }
+    case m: Min =>
+      colOf(m.column(), schema).flatMap { case (name, dt) =>
+        extremum(name, dt, stats, isMin = true).map(v =>
+          (StructField(s"min($name)", dt, nullable = true), v))
+      }
+    case m: Max =>
+      colOf(m.column(), schema).flatMap { case (name, dt) =>
+        extremum(name, dt, stats, isMin = false).map(v =>
+          (StructField(s"max($name)", dt, nullable = true), v))
+      }
+    case _ => None
+  }
+
+  /** Top-level column reference → (name, type), supported types only. */
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType): Option[(String, DataType)] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      val n = r.fieldNames()(0)
+      schema.fields.find(_.name.equalsIgnoreCase(n)).collect {
+        case sf if supported(sf.dataType) => (sf.name, sf.dataType)
+      }
+    case _ => None
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         DateType | StringType => true
+    case _ => false
+  }
+
+  /** Fold per-file bounds into the exact MIN/MAX; None = refuse.
+    * All-null column across every file → Some(null) (SQL MIN/MAX over
+    * no non-null rows). */
+  private def extremum(name: String, dt: DataType,
+      stats: Seq[LakeFileStats.FileStats], isMin: Boolean): Option[Any] = {
+    // per file: None = refuse, Some(None) = contributes nothing,
+    // Some(Some(v)) = exact file extremum
+    val per: Seq[Option[Option[Any]]] = stats.map { fs =>
+      if (fs.rowCount == 0L) Some(None)
+      else fs.cols.get(name) match {
+        case None => Some(None) // column absent: all-null in this file
+        case Some(cs) if cs.truncated => None
+        case Some(cs) if cs.nullCount.contains(fs.rowCount) => Some(None)
+        case Some(cs) =>
+          (if (isMin) cs.min else cs.max) match {
+            case None => None // rows present, range unknown: refuse
+            case some => Some(some)
+          }
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else {
+      val bounds = per.flatten.flatten
+      if (bounds.isEmpty) Some(null) // no non-null row anywhere
+      else bounds.tail
+        .foldLeft(Option[Any](bounds.head)) { (accOpt, v) =>
+          accOpt.flatMap(a => cmpSame(a, v).map(c =>
+            if ((isMin && c <= 0) || (!isMin && c >= 0)) a else v))
+        } // None here = incomparable bound families: refuse
+        .flatMap(best => internal(dt, best))
+    }
+  }
+
+  private def cmpSame(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** Stats value → Catalyst internal value of the column's type. */
+  private def internal(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (LongType, x: Long) => Some(x)
+    case (IntegerType, x: Long) if x >= Int.MinValue && x <= Int.MaxValue =>
+      Some(x.toInt)
+    case (ShortType, x: Long) if x >= Short.MinValue && x <= Short.MaxValue =>
+      Some(x.toShort)
+    case (ByteType, x: Long) if x >= Byte.MinValue && x <= Byte.MaxValue =>
+      Some(x.toByte)
+    case (DateType, x: Long) if x >= Int.MinValue && x <= Int.MaxValue =>
+      Some(x.toInt) // days since epoch, parquet DATE = INT32
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (BooleanType, b: Boolean) => Some(b)
+    case _ => None
+  }
+}
+
+/** Wraps the stock parquet scan with `SupportsRuntimeV2Filtering`:
+  * at execution time Spark's dynamic-pruning subquery delivers the
+  * build side's distinct join keys as IN predicates, and files whose
+  * manifest stats PROVE no key can match are dropped from the batch —
+  * per-file, conservative ([[LakeFileStats.possible]]: missing stats
+  * keep the file), with the inner reader factory, columnar path, and
+  * statistics untouched. Split bundles re-form over the kept files
+  * only, so pruning removes whole tasks, not just rows. */
+final class LakeRuntimeFilterScan(inner: Scan,
+    snap: VersionedTable.Snapshot) extends Scan
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** (kept, total) of the last runtime prune, for spec pinning. */
+  @volatile private var pruned: Option[Set[String]] = None
+
+  override def readSchema(): StructType = inner.readSchema()
+
+  override def description(): String = {
+    val extra = pruned.map(k =>
+      s", RuntimePrunedFiles: ${snap.dataFiles.size - k.size}/" +
+        s"${snap.dataFiles.size}").getOrElse("")
+    inner.description() + extra
+  }
+
+  /** Every top-level column with usable bounds in at least one file's
+    * stats — the columns a runtime IN-filter could prune on. */
+  override def filterAttributes(): Array[NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    snap.dataFiles.flatMap(f => snap.stats.get(f).toSeq)
+      .flatMap(_.cols.collect {
+        case (n, cs) if cs.min.isDefined && cs.max.isDefined => n
+      })
+      .distinct.map(Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.toSeq.flatMap(p => PredicateBridge.toV1(p))
+    if (v1.nonEmpty) {
+      val kept = snap.dataFiles.filter { p =>
+        snap.stats.get(p).forall(fs =>
+          v1.forall(f => LakeFileStats.possible(f, fs)))
+      }.map(p => new Path(p).toString).toSet
+      pruned = Some(kept)
+      LakeRuntimeFilterScan.lastPrune.set(
+        (kept.size.toLong << 32) | snap.dataFiles.size.toLong)
+    }
+  }
+
+  override def toBatch: Batch = {
+    val ib = inner.toBatch
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        pruned match {
+          case None => ib.planInputPartitions()
+          case Some(kept) =>
+            val parts = ib.planInputPartitions()
+            if (!parts.forall(_.isInstanceOf[FilePartition])) parts
+            else
+              // drop pruned files from each split bundle; re-index
+              // the surviving bundles densely
+              parts.toSeq
+                .map { case fp: FilePartition =>
+                  fp.files.filter(f => kept.contains(
+                    new Path(f.filePath.toString).toString))
+                }
+                .filter(_.nonEmpty)
+                .zipWithIndex
+                .map { case (fs, i) =>
+                  FilePartition(i, fs): InputPartition }
+                .toArray
+        }
+      override def createReaderFactory(): PartitionReaderFactory =
+        ib.createReaderFactory()
+    }
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    inner.supportedCustomMetrics()
+
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    inner.reportDriverMetrics()
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+}
+
+object LakeRuntimeFilterScan {
+  /** (kept << 32 | total) of the most recent runtime prune on this
+    * JVM — spec instrumentation, mirroring [[LakeFileStats.footerReads]]. */
+  val lastPrune = new java.util.concurrent.atomic.AtomicLong(-1L)
+}

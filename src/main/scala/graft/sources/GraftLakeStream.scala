@@ -409,7 +409,8 @@ private[sources] final class GraftLakeStreamingWrite(dir: String,
     val fresh = VersionedTable.listDataFiles(spark, dir, dataDir)
     VersionedTable.publishVersion(spark, dir, newV,
       snap.dataFiles ++ fresh, snap.deleteFiles, snap.stats,
-      snap.meta + (epochKey -> epochId.toString))
+      snap.meta + (epochKey -> epochId.toString),
+      op = "stream-append")
     ()
   }
 

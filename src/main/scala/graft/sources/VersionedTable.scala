@@ -28,6 +28,11 @@ object VersionedTable {
   /** Default [[vacuum]] concurrent-commit grace window. */
   val DefaultVacuumGraceMs: Long = 15L * 60 * 1000
 
+  /** Snapshot-metadata key recording the commit's operation label —
+    * surfaced as the `operation` column of the `versions` metadata
+    * table (Delta's DESCRIBE HISTORY shape). */
+  val OpMetaKey = "graft.op"
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     FileSystem.get(new Path(dir).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -37,11 +42,14 @@ object VersionedTable {
   /** Commit `df` as version (latest + 1); `carryForward` keeps the
     * previous snapshot's files in the new manifest (append semantics);
     * without it the new version replaces the table's contents. Returns
-    * the committed version number. */
+    * the committed version number. `op` labels the commit in the
+    * history ([[GraftLakeVersionsTable]]'s `operation` column);
+    * unlabeled commits record append/overwrite from `carryForward`. */
   def commit(spark: SparkSession, df: DataFrame, dir: String,
-      carryForward: Boolean = true): Int =
+      carryForward: Boolean = true, op: Option[String] = None): Int =
     commitAs(spark, df, dir,
-      latestVersion(spark, dir).map(_ + 1).getOrElse(0), carryForward)
+      latestVersion(spark, dir).map(_ + 1).getOrElse(0), carryForward,
+      op = op)
 
   /** Publish `df` as the EXPLICIT version `v` — the raw commit point,
     * exposed so the two-committer race is deterministically testable.
@@ -55,7 +63,8 @@ object VersionedTable {
   def commitAs(spark: SparkSession, df: DataFrame, dir: String,
       v: Int, carryForward: Boolean = true,
       meta: Map[String, String] = Map.empty,
-      applyDeclaredClustering: Boolean = true): Int = {
+      applyDeclaredClustering: Boolean = true,
+      op: Option[String] = None): Int = {
     val f = fs(spark, dir)
     val out =
       if (applyDeclaredClustering) clusterFor(spark, dir, df, None)
@@ -75,7 +84,8 @@ object VersionedTable {
     // into O(table) footer IO
     publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles,
       prior.stats ++ statsFor(spark, newFiles, prior.stats),
-      prior.meta ++ meta)
+      prior.meta ++ meta,
+      op.getOrElse(if (carryForward) "append" else "overwrite"))
   }
 
   /** Write-side CLUSTERING declaration, the
@@ -187,9 +197,10 @@ object VersionedTable {
   private[sources] def publishVersion(spark: SparkSession, dir: String,
       v: Int, files: Seq[String], deletes: Seq[String] = Seq.empty,
       knownStats: Map[String, LakeFileStats.FileStats] = Map.empty,
-      meta: Map[String, String] = Map.empty): Int =
+      meta: Map[String, String] = Map.empty,
+      op: String = "write"): Int =
     publish(fs(spark, dir), dir, v, files, deletes,
-      statsFor(spark, files ++ deletes, knownStats), meta)
+      statsFor(spark, files ++ deletes, knownStats), meta, op)
 
   /** Per-file stats for the manifest: `known` entries ride along
     * untouched (carry-forward files never re-open); uncovered files
@@ -233,11 +244,16 @@ object VersionedTable {
     *  - `M <key>=<value>` — snapshot metadata (streaming epoch
     *    markers, clustering declarations), atomic WITH the commit
     *    because it rides the same rename.
-    */
+    *
+    * `op` is the commit's OPERATION label (`M graft.op=<op>` — the
+    * Delta DESCRIBE HISTORY discipline): carried metadata persists
+    * across commits, but the op is always THIS commit's, overriding
+    * whatever the prior snapshot recorded. */
   private def publish(f: FileSystem, dir: String, v: Int,
       files: Seq[String], deletes: Seq[String] = Seq.empty,
       stats: Map[String, LakeFileStats.FileStats] = Map.empty,
-      meta: Map[String, String] = Map.empty): Int = {
+      meta: Map[String, String] = Map.empty,
+      op: String = "write"): Int = {
     f.mkdirs(manifestDir(dir))
     val tmp = new Path(manifestDir(dir), s".$v.txt.tmp")
     val out = f.create(tmp, true)
@@ -248,7 +264,8 @@ object VersionedTable {
       require(!k.contains('=') && !k.contains('\n') && !mv.contains('\n'),
         s"manifest metadata key/value must be =/newline-free: $k=$mv")
     }
-    val lines = meta.toSeq.sortBy(_._1).map { case (k, mv) => s"M $k=$mv" } ++
+    val lines = (meta + (OpMetaKey -> op)).toSeq.sortBy(_._1)
+      .map { case (k, mv) => s"M $k=$mv" } ++
       files.map(line) ++ deletes.map(d => s"D ${line(d)}")
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
@@ -277,7 +294,7 @@ object VersionedTable {
     // stats travel with the borrowed references; snapshot META does
     // not (epoch markers describe the SOURCE table's streams)
     publish(fs(spark, dstDir), dstDir, v, snap.dataFiles,
-      snap.deleteFiles, snap.stats)
+      snap.deleteFiles, snap.stats, op = "clone")
   }
 
   /** ROLLBACK as a forward commit (Delta's RESTORE): publish version
@@ -294,8 +311,77 @@ object VersionedTable {
       s"cannot restore $dir to version $toVersion: history is 0..$latest")
     val snap = snapshotOf(spark, dir, toVersion)
     publish(fs(spark, dir), dir, latest + 1, snap.dataFiles,
-      snap.deleteFiles, snap.stats, snap.meta)
+      snap.deleteFiles, snap.stats, snap.meta, op = "restore")
   }
+
+  // ------------------------------------------------------------- tags
+  // Named immutable refs to versions (Iceberg's tags): a tag makes a
+  // snapshot addressable by name (`VERSION AS OF 'prod'`) and PINS it
+  // against [[vacuum]] — the governance primitive for "the snapshot we
+  // trained the model on stays reproducible" without freezing the
+  // whole history. Stored one file per tag under `_refs/` with the
+  // same tmp+rename publish discipline as manifests: creating a tag
+  // that exists loses the rename race and throws, so tags are
+  // immutable once published (drop + recreate to move — an explicit,
+  // auditable act).
+
+  private def refsDir(dir: String) = new Path(s"$dir/_refs")
+
+  /** Legal tag names; must not parse as an integer so `AS OF <ref>`
+    * stays unambiguous between versions and tags. */
+  private val TagName = "[A-Za-z_][A-Za-z0-9_.-]*".r
+
+  def createTag(spark: SparkSession, dir: String, name: String,
+      version: Int): Unit = {
+    require(TagName.matches(name),
+      s"illegal tag name '$name' (want ${TagName.regex})")
+    val f = fs(spark, dir)
+    // the tag must reference a still-serveable snapshot
+    snapshotOf(spark, dir, version)
+    f.mkdirs(refsDir(dir))
+    val tmp = new Path(refsDir(dir),
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(s"$version\n".getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new Path(refsDir(dir), name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"tag '$name' already exists at $dir (tags are immutable; " +
+          "drop it first to retarget)")
+    }
+  }
+
+  /** Returns true iff the tag existed. */
+  def dropTag(spark: SparkSession, dir: String, name: String): Boolean =
+    fs(spark, dir).delete(new Path(refsDir(dir), name), false)
+
+  /** All tags, name → pinned version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Int] = {
+    val f = fs(spark, dir)
+    if (!f.exists(refsDir(dir))) Map.empty
+    else f.listStatus(refsDir(dir)).toSeq
+      .filter(s => s.isFile && TagName.matches(s.getPath.getName))
+      .flatMap { s =>
+        val in = f.open(s.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        text.toIntOption.map(s.getPath.getName -> _)
+      }.toMap
+  }
+
+  /** `AS OF <ref>` resolution: an integer is a version, anything else
+    * a tag name. Loud on an unknown tag. */
+  def resolveRef(spark: SparkSession, dir: String, ref: String): Int =
+    ref.toIntOption.getOrElse {
+      tags(spark, dir).getOrElse(ref, throw new IllegalArgumentException(
+        s"no tag '$ref' at $dir; known tags: " +
+          (tags(spark, dir).keys.toSeq.sorted.mkString(", ") match {
+            case "" => "(none)"
+            case s => s
+          })))
+    }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
@@ -414,7 +500,7 @@ object VersionedTable {
     val newV = v + 1
     if (snap.dataFiles.isEmpty)
       return publish(fs(spark, dir), dir, newV, snap.dataFiles,
-        snap.deleteFiles, snap.stats, snap.meta)
+        snap.deleteFiles, snap.stats, snap.meta, op = "delete")
     // materialize (file, pos) BEFORE masking: metadata columns only
     // resolve on the scan relation itself, not across the anti join.
     // RESERVED names internally — a user column named file_path /
@@ -453,7 +539,7 @@ object VersionedTable {
     publish(fs(spark, dir), dir, newV, snap.dataFiles,
       snap.deleteFiles ++ newDeletes,
       snap.stats ++ writtenStats.filter(ws => newDeletes.contains(ws._1)),
-      snap.meta)
+      snap.meta, op = "delete")
   }
 
   /** STREAMING read of a lake table (Delta's streaming source, the
@@ -519,7 +605,7 @@ object VersionedTable {
       else read(spark, dir).repartition(targetFiles)
     commitAs(spark, out, dir, v + 1, carryForward = false,
       meta = snapshotOf(spark, dir, v).meta,
-      applyDeclaredClustering = false)
+      applyDeclaredClustering = false, op = Some("compact"))
   }
 
   /** SIZE-targeted compaction — the 100 TB operating mode: you size
@@ -586,7 +672,8 @@ object VersionedTable {
     val newV = v + 1
     if (files.isEmpty)
       return DeleteResult(
-        publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta),
+        publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta,
+          op = "delete"),
         0L, 0, 0)
     val snap = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val perFile = snap.filter(cond)
@@ -598,7 +685,8 @@ object VersionedTable {
       files.partition(p => perFile.contains(new Path(p).toString))
     if (touched.isEmpty)
       return DeleteResult(
-        publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta),
+        publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta,
+          op = "delete"),
         0L, 0, files.size)
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(touched: _*)
@@ -607,7 +695,7 @@ object VersionedTable {
     publish(f, dir, newV, kept ++ newFiles, Seq.empty,
       prior.stats.view.filterKeys(kept.toSet).toMap ++
         statsFor(spark, newFiles, Map.empty),
-      prior.meta)
+      prior.meta, op = "delete")
     DeleteResult(newV, perFile.values.sum, touched.size, kept.size)
   }
 
@@ -615,10 +703,12 @@ object VersionedTable {
     * schema (one schema-bearing empty parquet file) — no data scan at
     * all, unlike a delete-everything. Prior versions keep serving. */
   def truncate(spark: SparkSession, dir: String): Int =
-    commit(spark, read(spark, dir).limit(0), dir, carryForward = false)
+    commit(spark, read(spark, dir).limit(0), dir, carryForward = false,
+      op = Some("truncate"))
 
   /** Retention-based VACUUM: keep the newest `keep` published versions
-    * serveable and reclaim everything else — the operation the r10
+    * (plus every TAGGED version — tags are retention pins, see
+    * [[createTag]]) serveable and reclaim everything else — the operation the r10
     * audit spec only *discovered* candidates for. Deletes (a) every
     * data file referenced by none of the retained manifests (covers
     * superseded snapshots AND lost-race / crashed-commit orphan
@@ -649,7 +739,10 @@ object VersionedTable {
       case None => Seq.empty
       case Some(latest) =>
         val cutoff = math.max(0, latest - keep + 1)
-        val kept = (cutoff to latest)
+        // tagged versions are retention PINS: their manifests and
+        // files stay serveable below the horizon ([[createTag]])
+        val tagged = tags(spark, dir).values.toSet
+        val kept = ((cutoff to latest) ++ tagged).distinct.sorted
           .filter(v => f.exists(new Path(manifestDir(dir), s"$v.txt")))
         val referenced = kept
           .flatMap { v =>
@@ -684,8 +777,12 @@ object VersionedTable {
         }
         f.listStatus(manifestDir(dir)).toSeq
           .map(_.getPath)
-          .filter(p => p.getName.matches("\\d+\\.txt") &&
-            p.getName.stripSuffix(".txt").toInt < cutoff)
+          .filter { p =>
+            p.getName.matches("\\d+\\.txt") && {
+              val v = p.getName.stripSuffix(".txt").toInt
+              v < cutoff && !tagged.contains(v)
+            }
+          }
           .foreach(p => f.delete(p, false))
         deleted.result().filter(_.endsWith(".parquet"))
     }

@@ -113,19 +113,47 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("b"))
   }
 
-  test("aggregate pushdown reaches the catalog scan when enabled") {
+  test("aggregate pushdown reaches the catalog scan — stats-answered " +
+      "from the manifest, parquet footer pushdown as fallback") {
     val cat = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k INT)")
     spark.sql(s"INSERT INTO $cat.t VALUES (1), (2), (3)")
+    // the manifest-stats path intercepts ahead of parquet's own
+    // footer aggregates: COUNT collapses to a driver-local row with
+    // no conf required (GraftLakeAggPruneSpec pins the IO mechanics)
+    val df = spark.sql(s"SELECT count(*) FROM $cat.t")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"aggregate not answered from manifest stats:\n$plan")
+    assert(df.collect()(0).getLong(0) === 3L)
+    // a shape the stats refuse (sum) still runs correctly through the
+    // delegated parquet stack with the conf on
     val prior = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try {
-      val df = spark.sql(s"SELECT count(*) FROM $cat.t")
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
-        s"aggregate not pushed:\n$plan")
-      assert(df.collect()(0).getLong(0) === 3L)
-    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prior)
+    try assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === 6L)
+    finally spark.conf.set("spark.sql.parquet.aggregatePushdown", prior)
+  }
+
+  test("commit history records operation labels (DESCRIBE HISTORY " +
+      "shape) across every publish path") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.h (k INT) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $cat.h VALUES (1), (2), (3)")
+    spark.sql(s"ALTER TABLE $cat.h ADD COLUMN w STRING")
+    spark.sql(s"DELETE FROM $cat.h WHERE k = 2") // merge-on-read mask
+    spark.sql(s"TRUNCATE TABLE $cat.h")
+    spark.sql(s"CALL $cat.system.restore(table => 'h', version => 1)")
+    val hist = spark.sql(
+      s"SELECT version, operation FROM $cat.h.versions ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist === Seq((0, "create"), (1, "append"), (2, "add-column"),
+      (3, "delete"), (4, "truncate"), (5, "restore")))
+    // a clone's borrowed first version is labeled at the fork
+    spark.sql(s"CALL $cat.system.clone(source => 'h', target => 'h2')")
+    assert(spark.sql(s"SELECT operation FROM $cat.h2.versions")
+      .collect().map(_.getString(0)).toSeq === Seq("clone"))
   }
 
   test("list/rename/drop table and namespace surfaces") {
