@@ -107,11 +107,22 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
   }
 
   /** Files whose groups the statement read — everything the commit
-    * must replace. No scans planned (degenerate) → conservative all. */
+    * must replace. No scans planned (degenerate) → conservative all.
+    * When Spark's runtime group filter narrowed a scan at execution
+    * ([[RowLevelOperationRuntimeGroupFiltering]] — only the scan
+    * under ReplaceData, i.e. the WRITE's input, ever receives runtime
+    * predicates), the replaced set must equal exactly THAT scan's
+    * final selection: unioning in the matching-rows subquery scan's
+    * wider static selection would remove files whose rows the write
+    * never produced — the row-loss trap. A runtime-dropped file is
+    * stats-PROVEN to hold no matching row, so carrying it forward by
+    * reference is exact. */
   private def replacedFiles: Seq[String] = scans.synchronized {
     if (scans.isEmpty) snapshotFiles
     else {
-      val sel = scans.flatMap(_.selectedFiles).toSet
+      val narrowed = scans.filter(_.runtimeNarrowed)
+      val sel = (if (narrowed.nonEmpty) narrowed else scans)
+        .flatMap(_.selectedFiles).toSet
       snapshotFiles.filter(sel.contains)
     }
   }
@@ -514,9 +525,13 @@ private[graft] object LakeFileStats {
 }
 
 /** A rewrite scan that can report which snapshot files it selected —
-  * the groups the statement's commit must replace. */
+  * the groups the statement's commit must replace. `runtimeNarrowed`
+  * marks a scan whose selection was tightened by Spark's runtime
+  * group filter at execution: that scan IS the ReplaceData write
+  * input, so its selection alone defines the replaced set. */
 private[sources] trait LakeRewriteScan {
   def selectedFiles: Seq[String]
+  def runtimeNarrowed: Boolean = false
 }
 
 /** Scan builder whose filter pushdown prunes GROUPS (files), never
@@ -537,9 +552,19 @@ final class LakeScanBuilder(dir: String, allFiles: Seq[String],
   private def spark: SparkSession = SparkSession.active
 
   @volatile private var selected: Seq[String] = allFiles
+  @volatile private[sources] var runtimeSelected: Option[Seq[String]] = None
   private var pruningFilters: Array[Filter] = Array.empty
 
-  def selectedFiles: Seq[String] = selected
+  def selectedFiles: Seq[String] = runtimeSelected.getOrElse(selected)
+
+  override def runtimeNarrowed: Boolean = runtimeSelected.isDefined
+
+  private[sources] def staticSelected: Seq[String] = selected
+
+  private[sources] def stats: Map[String, LakeFileStats.FileStats] =
+    manifestStats
+
+  private[sources] def tableDir: String = dir
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (filters.nonEmpty && allFiles.nonEmpty) {
@@ -566,10 +591,131 @@ final class LakeScanBuilder(dir: String, allFiles: Seq[String],
     * pruning (still re-evaluated by the rewrite plan above the scan). */
   override def pushedFilters(): Array[Filter] = pruningFilters
 
+  /** The group scan, wrapped for RUNTIME group filtering
+    * ([[LakeGroupScan]]): Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` computes the command's
+    * actual matching keys in a subquery at execution and hands them
+    * here as IN predicates — files whose manifest stats prove no key
+    * present drop from the rewrite AND from the replaced set
+    * (a MERGE against an arbitrary source rewrites only the files
+    * holding its keys, beyond what the static condition could prove
+    * at plan time — Iceberg's runtime group filter shape). */
   override def build(): Scan =
-    ParquetTable("lake_rewrite_scan", spark,
-      new CaseInsensitiveStringMap(java.util.Collections.singletonMap(
-        "mergeSchema", "true")),
-      selected, Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options).build()
+    new LakeGroupScan(
+      ParquetTable("lake_rewrite_scan", spark,
+        new CaseInsensitiveStringMap(java.util.Collections.singletonMap(
+          "mergeSchema", "true")),
+        selected, Some(schema), classOf[ParquetFileFormat])
+        .newScanBuilder(options).build(),
+      this)
+}
+
+/** Rewrite scan wrapper carrying `SupportsRuntimeV2Filtering` for
+  * group-based row-level operations: runtime predicates narrow the
+  * file set conservatively via manifest stats, the batch re-forms
+  * split bundles over surviving files only, and the narrowed
+  * selection is pushed back into the builder so the COMMIT replaces
+  * exactly what the write read. Reader factory, columnar path, and
+  * statistics delegate unchanged. */
+private[sources] final class LakeGroupScan(inner: Scan,
+    builder: LakeScanBuilder) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override def readSchema(): StructType = inner.readSchema()
+
+  override def description(): String = {
+    val extra =
+      if (builder.runtimeNarrowed)
+        s", RuntimeGroupPrunedFiles: " +
+          s"${builder.staticSelected.size - builder.selectedFiles.size}/" +
+          s"${builder.staticSelected.size}"
+      else ""
+    inner.description() + extra
+  }
+
+  /** Exactly ONE attribute: Spark's runtime group filter builds a
+    * single IN-subquery over a struct of ALL declared attributes, and
+    * a struct IN does not translate to a V2 predicate (the filter
+    * then never reaches the scan) — Iceberg declares only `_file` for
+    * the same reason. The clustering key is the column whose per-file
+    * ranges are disjoint by construction (maximum prune power); an
+    * unclustered table falls back to the first stats-covered column
+    * (conservative: wrong pick only costs prune opportunities). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = inner.readSchema().fieldNames.map(_.toLowerCase).toSet
+    val covered = LakeFilePrune.attrs(builder.staticSelected, builder.stats)
+      .map(_.fieldNames()(0))
+      .filter(c => out.contains(c.toLowerCase))
+    val clusterHead = VersionedTable
+      .clusteringSpec(SparkSession.active, builder.tableDir)
+      .flatMap(_.headOption)
+      .map(_.trim)
+      .filter(c => covered.exists(_.equalsIgnoreCase(c)))
+    clusterHead.orElse(covered.sorted.headOption)
+      .map(c => Array(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c)))
+      .getOrElse(Array.empty)
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    LakeGroupScan.filterCalls.incrementAndGet()
+    LakeFilePrune.keep(builder.staticSelected, builder.stats, predicates)
+      .foreach { kept =>
+        builder.runtimeSelected = Some(kept)
+        LakeGroupScan.lastPrune.set(
+          (kept.size.toLong << 32) | builder.staticSelected.size.toLong)
+      }
+  }
+
+  override def toBatch: Batch = {
+    val ib = inner.toBatch
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        builder.runtimeSelected match {
+          case None => ib.planInputPartitions()
+          case Some(keptSeq) =>
+            val kept = keptSeq.map(p => new Path(p).toString).toSet
+            val parts = ib.planInputPartitions()
+            if (!parts.forall(_.isInstanceOf[FilePartition])) parts
+            else parts.toSeq
+              .map { case fp: FilePartition =>
+                fp.files.filter(f => kept.contains(
+                  new Path(f.filePath.toString).toString))
+              }
+              .filter(_.nonEmpty)
+              .zipWithIndex
+              .map { case (fs, i) =>
+                FilePartition(i, fs): InputPartition }
+              .toArray
+        }
+      override def createReaderFactory(): PartitionReaderFactory =
+        ib.createReaderFactory()
+    }
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+}
+
+private[graft] object LakeGroupScan {
+  /** Spec instrumentation, mirroring [[LakeRuntimeFilterScan.lastPrune]]:
+    * runtime group-filter invocations and the last (kept<<32|total). */
+  val filterCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+  val lastPrune = new java.util.concurrent.atomic.AtomicLong(-1L)
 }

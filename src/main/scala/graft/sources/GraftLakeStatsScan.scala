@@ -229,6 +229,40 @@ private[graft] object LakeStatsAggregate {
   }
 }
 
+/** Shared manifest-stats runtime pruning: which columns a scan can
+  * declare as runtime filter attributes, and which files survive a
+  * set of runtime predicates. Conservative by construction — files
+  * without stats (or untranslatable predicates) are kept. */
+private[sources] object LakeFilePrune {
+
+  /** Every top-level column with usable bounds in at least one file's
+    * stats — the columns a runtime IN-filter could prune on. */
+  def attrs(files: Seq[String],
+      stats: Map[String, LakeFileStats.FileStats])
+      : Array[NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    files.flatMap(f => stats.get(f).toSeq)
+      .flatMap(_.cols.collect {
+        case (n, cs) if cs.min.isDefined && cs.max.isDefined => n
+      })
+      .distinct.map(Expressions.column).toArray
+  }
+
+  /** Files whose stats admit at least one row matching every
+    * translatable predicate; None when nothing translated (no pruning
+    * signal at all). */
+  def keep(files: Seq[String],
+      stats: Map[String, LakeFileStats.FileStats],
+      predicates: Array[Predicate]): Option[Seq[String]] = {
+    val v1 = predicates.toSeq.flatMap(p => PredicateBridge.toV1(p))
+    if (v1.isEmpty) None
+    else Some(files.filter { p =>
+      stats.get(p).forall(fs => v1.forall(f =>
+        LakeFileStats.possible(f, fs)))
+    })
+  }
+}
+
 /** Wraps the stock parquet scan with `SupportsRuntimeV2Filtering`:
   * at execution time Spark's dynamic-pruning subquery delivers the
   * build side's distinct join keys as IN predicates, and files whose
@@ -253,29 +287,23 @@ final class LakeRuntimeFilterScan(inner: Scan,
     inner.description() + extra
   }
 
-  /** Every top-level column with usable bounds in at least one file's
-    * stats — the columns a runtime IN-filter could prune on. */
+  /** Stats-covered columns RESTRICTED to the scan's (possibly
+    * column-pruned) output — declaring a pruned-away column would
+    * fail DPP's attribute resolution at planning. */
   override def filterAttributes(): Array[NamedReference] = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    snap.dataFiles.flatMap(f => snap.stats.get(f).toSeq)
-      .flatMap(_.cols.collect {
-        case (n, cs) if cs.min.isDefined && cs.max.isDefined => n
-      })
-      .distinct.map(Expressions.column).toArray
+    val out = inner.readSchema().fieldNames.map(_.toLowerCase).toSet
+    LakeFilePrune.attrs(snap.dataFiles, snap.stats)
+      .filter(r => out.contains(r.fieldNames()(0).toLowerCase))
   }
 
-  override def filter(predicates: Array[Predicate]): Unit = {
-    val v1 = predicates.toSeq.flatMap(p => PredicateBridge.toV1(p))
-    if (v1.nonEmpty) {
-      val kept = snap.dataFiles.filter { p =>
-        snap.stats.get(p).forall(fs =>
-          v1.forall(f => LakeFileStats.possible(f, fs)))
-      }.map(p => new Path(p).toString).toSet
-      pruned = Some(kept)
-      LakeRuntimeFilterScan.lastPrune.set(
-        (kept.size.toLong << 32) | snap.dataFiles.size.toLong)
-    }
-  }
+  override def filter(predicates: Array[Predicate]): Unit =
+    LakeFilePrune.keep(snap.dataFiles, snap.stats, predicates)
+      .foreach { keptFiles =>
+        val kept = keptFiles.map(p => new Path(p).toString).toSet
+        pruned = Some(kept)
+        LakeRuntimeFilterScan.lastPrune.set(
+          (kept.size.toLong << 32) | snap.dataFiles.size.toLong)
+      }
 
   override def toBatch: Batch = {
     val ib = inner.toBatch

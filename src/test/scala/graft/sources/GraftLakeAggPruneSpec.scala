@@ -165,6 +165,61 @@ class GraftLakeAggPruneSpec extends SparkSpec {
       s"expected file pruning on a clustered table, kept $kept/$total")
   }
 
+  test("runtime group filtering narrows a source-driven MERGE to the " +
+      "files holding its keys, with zero row loss") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.fact (k INT, v INT) " +
+      s"TBLPROPERTIES('graft.write.ordered-by'='k')")
+    spark.range(0, 1000).selectExpr("CAST(id AS INT) AS k",
+      "CAST(id AS INT) AS v").repartition(4)
+      .createOrReplaceTempView("glap_rgf_src")
+    // tiny rows: AQE would coalesce the clustering range-shuffle into
+    // 1-2 files and leave nothing to prune — pin the partition count
+    val coalescePrior =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    val shufflePrior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try spark.sql(s"INSERT INTO $cat.fact SELECT * FROM glap_rgf_src")
+    finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        coalescePrior)
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePrior)
+    }
+    val dir = s"$root/fact"
+    val vBefore = VersionedTable.latestVersion(spark, dir).get
+    val before = VersionedTable.filesOf(spark, dir, vBefore)
+    assert(before.size >= 4, s"want >=4 clustered files, ${before.size}")
+    // source keys live in ONE file's range; the merge condition
+    // references the source, so static group pruning cannot narrow —
+    // only the runtime group filter can
+    spark.range(10, 20).selectExpr("CAST(id AS INT) AS k",
+      "CAST(-1 AS INT) AS nv").createOrReplaceTempView("glap_rgf_delta")
+    spark.sql(
+      s"""MERGE INTO $cat.fact f USING glap_rgf_delta d ON f.k = d.k
+         |WHEN MATCHED THEN UPDATE SET v = d.nv""".stripMargin)
+    val vAfter = VersionedTable.latestVersion(spark, dir).get
+    val after = VersionedTable.filesOf(spark, dir, vAfter)
+    val carried = before.toSet.intersect(after.toSet)
+    val replaced = before.size - carried.size
+    assert(replaced < before.size,
+      s"runtime group filter should carry most files, replaced " +
+        s"$replaced/${before.size}")
+    // zero row loss, exact update semantics
+    assert(spark.sql(s"SELECT count(*) FROM $cat.fact").collect()(0)
+      .getLong(0) === 1000L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.fact WHERE v = -1").collect()(0)
+      .getLong(0) === 10L)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.fact WHERE k >= 10 AND k < 20")
+      .collect()(0).getLong(0) === -10L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.fact WHERE v = k").collect()(0)
+      .getLong(0) === 990L)
+  }
+
   test("runtime pruning is conservative: selective keys keep only " +
       "their files and never drop matching rows") {
     import spark.implicits._
