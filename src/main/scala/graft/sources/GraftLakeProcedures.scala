@@ -198,9 +198,10 @@ private[sources] object GraftLakeProcedures {
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = "vacuum"
     override def description(): String =
-      "vacuum(table, keep, grace_ms): delete files unreachable from " +
-        "the last `keep` versions, past the concurrent-commit grace " +
-        "window"
+      "vacuum(table, keep, grace_ms, dry_run): delete files " +
+        "unreachable from the last `keep` versions, past the " +
+        "concurrent-commit grace window; dry_run => true reports the " +
+        "reclaimable set without deleting anything"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -209,16 +210,24 @@ private[sources] object GraftLakeProcedures {
         .defaultValue("1").build(),
       ProcedureParameter.in("grace_ms", DataTypes.LongType)
         .defaultValue(String.valueOf(
-          VersionedTable.DefaultVacuumGraceMs)).build())
+          VersionedTable.DefaultVacuumGraceMs)).build(),
+      ProcedureParameter.in("dry_run", DataTypes.BooleanType)
+        .defaultValue("false").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
-      val deleted = VersionedTable.vacuum(spark, dir,
+      val plan = VersionedTable.vacuumPlan(spark, dir,
         keep = input.getInt(1), graceMs = input.getLong(2))
+      val dryRun = input.getBoolean(3)
+      val deleted =
+        if (dryRun) plan.reported
+        else VersionedTable.vacuumApply(spark, dir, plan)
       one(ResultScan(
         StructType(Seq(
           StructField("deleted_files", DataTypes.IntegerType),
+          StructField("reclaimed_bytes", DataTypes.LongType),
+          StructField("dry_run", DataTypes.BooleanType),
           StructField("first_deleted", DataTypes.StringType, true))),
-        InternalRow(deleted.size,
+        InternalRow(deleted.size, plan.reclaimedBytes, dryRun,
           deleted.sorted.headOption
             .map(UTF8String.fromString).orNull)))
     }

@@ -731,12 +731,29 @@ object VersionedTable {
     * default (15 min) comfortably covers a commit's write-to-rename
     * window; tests and single-writer callers pass 0 explicitly. */
   def vacuum(spark: SparkSession, dir: String, keep: Int,
-      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] =
+    vacuumApply(spark, dir, vacuumPlan(spark, dir, keep, graceMs))
+
+  /** What [[vacuum]] would reclaim, computed WITHOUT deleting anything
+    * — the `dry_run` surface (Delta's `VACUUM ... DRY RUN`).
+    * `wholeDirs` are data directories no retained manifest references
+    * at all (dropped recursively, removing _SUCCESS and friends),
+    * `soloFiles` are dead parquet files inside directories that still
+    * serve live files, `manifests` are the retired manifest paths,
+    * `reported` is the parquet-file list [[vacuum]] returns, and
+    * `reclaimedBytes` sums every reclaimed file's payload — the number
+    * an operator wants BEFORE committing to a deletion at 100 TB. */
+  final case class VacuumPlan(wholeDirs: Seq[String],
+      soloFiles: Seq[String], manifests: Seq[String],
+      reported: Seq[String], reclaimedBytes: Long)
+
+  def vacuumPlan(spark: SparkSession, dir: String, keep: Int,
+      graceMs: Long = DefaultVacuumGraceMs): VacuumPlan = {
     require(keep >= 1, s"vacuum must keep at least one version, got $keep")
     val f = fs(spark, dir)
     val horizon = System.currentTimeMillis() - graceMs
     latestVersion(spark, dir) match {
-      case None => Seq.empty
+      case None => VacuumPlan(Nil, Nil, Nil, Nil, 0L)
       case Some(latest) =>
         val cutoff = math.max(0, latest - keep + 1)
         // tagged versions are retention PINS: their manifests and
@@ -760,22 +777,30 @@ object VersionedTable {
               entries.map(_.getModificationTime)).max
             newest <= horizon
           }
+        val wholeDirs = Seq.newBuilder[String]
+        val soloFiles = Seq.newBuilder[String]
         val deleted = Seq.newBuilder[String]
+        var bytes = 0L
         dataDirs.foreach { d =>
           val files = f.listStatus(d.getPath).toSeq.filter(_.isFile)
           val (live, dead) = files.partition(s =>
             referenced.contains(f.makeQualified(s.getPath).toString))
           if (live.isEmpty) {
             // nothing referenced in this dir: drop it whole
-            dead.foreach(s => deleted += f.makeQualified(s.getPath).toString)
-            f.delete(d.getPath, true)
+            dead.foreach { s =>
+              deleted += f.makeQualified(s.getPath).toString
+              bytes += s.getLen
+            }
+            wholeDirs += d.getPath.toString
           } else dead.filter(_.getPath.getName.endsWith(".parquet"))
             .foreach { s =>
-              deleted += f.makeQualified(s.getPath).toString
-              f.delete(s.getPath, false)
+              val q = f.makeQualified(s.getPath).toString
+              deleted += q
+              soloFiles += q
+              bytes += s.getLen
             }
         }
-        f.listStatus(manifestDir(dir)).toSeq
+        val manifests = f.listStatus(manifestDir(dir)).toSeq
           .map(_.getPath)
           .filter { p =>
             p.getName.matches("\\d+\\.txt") && {
@@ -783,8 +808,19 @@ object VersionedTable {
               v < cutoff && !tagged.contains(v)
             }
           }
-          .foreach(p => f.delete(p, false))
-        deleted.result().filter(_.endsWith(".parquet"))
+          .map(_.toString)
+        VacuumPlan(wholeDirs.result(), soloFiles.result(), manifests,
+          deleted.result().filter(_.endsWith(".parquet")), bytes)
     }
+  }
+
+  /** Execute a [[vacuumPlan]]; returns the reclaimed parquet paths. */
+  private[sources] def vacuumApply(spark: SparkSession, dir: String,
+      plan: VacuumPlan): Seq[String] = {
+    val f = fs(spark, dir)
+    plan.wholeDirs.foreach(d => f.delete(new Path(d), true))
+    plan.soloFiles.foreach(p => f.delete(new Path(p), false))
+    plan.manifests.foreach(m => f.delete(new Path(m), false))
+    plan.reported
   }
 }

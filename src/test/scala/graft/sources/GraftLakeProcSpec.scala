@@ -90,6 +90,36 @@ class GraftLakeProcSpec extends SparkSpec {
       .getLong(0) === 9L)
   }
 
+  test("vacuum dry_run reports the reclaimable set without deleting") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")  // v1
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (9)")  // v2: v1 files dead
+    val dir = s"$root/t"
+    val dead = VersionedTable.filesOf(spark, dir, 1)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dry = spark.sql(s"CALL $cat.system.vacuum(table => 't', " +
+      "keep => 1, grace_ms => 0L, dry_run => true)").collect()(0)
+    assert(dry.getInt(0) > 0, "dry run must report reclaimable files")
+    assert(dry.getLong(1) > 0L, "dry run must report reclaimable bytes")
+    assert(dry.getBoolean(2))
+    assert(dead.forall(f => fs.exists(new Path(f))),
+      "dry run must not delete anything")
+    // time travel below the horizon still serves after the dry run
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 3L)
+    val real = spark.sql(s"CALL $cat.system.vacuum(table => 't', " +
+      "keep => 1, grace_ms => 0L)").collect()(0)
+    assert(real.getInt(0) === dry.getInt(0),
+      "real vacuum must reclaim exactly what the dry run promised")
+    assert(real.getLong(1) === dry.getLong(1))
+    assert(!real.getBoolean(2))
+    assert(dead.forall(f => !fs.exists(new Path(f))))
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === 9L)
+  }
+
   test("compact through CALL honors declared clustering") {
     import spark.implicits._
     val (cat, root) = freshCatalog()
