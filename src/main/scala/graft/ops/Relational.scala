@@ -2412,6 +2412,97 @@ object Relational {
       |    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       |) ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** RUNTIME GROUP FILTERING on a source-driven MERGE —
+    * Iceberg's runtime group filter on row-level operations
+    * ([[graft.sources.LakeGroupScan]]): lineitem lands range-clustered
+    * by `l_orderkey`, and the MERGE's source holds keys from ONE
+    * narrow slice. The merge condition references the source, so
+    * static group pruning cannot narrow the rewrite at plan time —
+    * Spark's RowLevelOperationRuntimeGroupFiltering computes the
+    * source's ACTUAL keys in an execution-time subquery and the scan
+    * drops every file whose manifest [min,max] provably misses them,
+    * so only the files holding merge keys are rewritten and the rest
+    * carry forward by reference. In-engine gates pin (a) the runtime
+    * filter fired and narrowed (kept < total), and (b) files really
+    * carried across the commit (before ∩ after non-empty); the
+    * post-merge aggregate hash-gates against DuckDB restating the
+    * update arithmetically. At 100 TB this is the difference between
+    * rewriting a 3-file sliver and rewriting the table. */
+  val q193LakeRgfMerge: Q = (spark, dir) => {
+    import graft.sources.{LakeGroupScan, VersionedTable}
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakem_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q193_$nonce")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .createOrReplaceTempView(s"q193_fact_$nonce")
+    spark.sql(s"CREATE TABLE $cat.fact (l_orderkey BIGINT, " +
+      "l_linenumber BIGINT, l_quantity DOUBLE) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='l_orderkey')")
+    // tiny rows: AQE would coalesce the clustering range-shuffle into
+    // 1-2 files and leave nothing to prune — pin the partition count
+    // for the INSERT only, restore after
+    val coalescePrior =
+      spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val shufflePrior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+      "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try spark.sql(
+      s"INSERT INTO $cat.fact SELECT * FROM q193_fact_$nonce")
+    finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        coalescePrior)
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePrior)
+    }
+    val tdir = s"/tmp/graft_q193_$nonce/fact"
+    val vBefore = VersionedTable.latestVersion(spark, tdir).get
+    val before = VersionedTable.filesOf(spark, tdir, vBefore).toSet
+    // merge keys from one narrow clustered slice; the condition
+    // references the SOURCE, so only the runtime filter can narrow
+    spark.sql(s"SELECT DISTINCT l_orderkey AS k FROM q193_fact_$nonce " +
+      "WHERE l_orderkey < 100")
+      .createOrReplaceTempView(s"q193_delta_$nonce")
+    LakeGroupScan.lastPrune.set(-1L)
+    spark.sql(
+      s"""MERGE INTO $cat.fact f USING q193_delta_$nonce d
+         |ON f.l_orderkey = d.k
+         |WHEN MATCHED THEN UPDATE SET l_quantity = f.l_quantity + 100.0D
+         |""".stripMargin)
+    val packed = LakeGroupScan.lastPrune.get()
+    val runtimeNarrowed = packed >= 0 &&
+      (packed >> 32).toInt < (packed & 0xffffffffL).toInt
+    val vAfter = VersionedTable.latestVersion(spark, tdir).get
+    val after = VersionedTable.filesOf(spark, tdir, vAfter).toSet
+    val carried = before.intersect(after).nonEmpty &&
+      (before -- after).size < before.size
+    val r = spark.sql(
+      s"""SELECT count(*) AS n,
+         |  round(sum(l_quantity), 2) AS total_qty,
+         |  CAST(sum(CASE WHEN l_orderkey < 100 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS updated_rows
+         |FROM $cat.fact""".stripMargin).collect()(0)
+    import spark.implicits._
+    Seq((r.getLong(0), r.getDouble(1), r.getLong(2),
+      runtimeNarrowed, carried))
+      .toDF("n", "total_qty", "updated_rows", "runtime_narrowed",
+        "carried_files")
+  }
+
+  val q193Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      | round(sum(l_quantity +
+      |   CASE WHEN l_orderkey < 100 THEN 100.0 ELSE 0.0 END), 2)
+      |   AS total_qty,
+      | CAST(sum(CASE WHEN l_orderkey < 100 THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS updated_rows,
+      | TRUE AS runtime_narrowed, TRUE AS carried_files
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -3214,6 +3305,7 @@ object Relational {
     "q190_lake_runtime_prune" -> q190LakeRuntimePrune,
     "q191_lake_tags" -> q191LakeTags,
     "q192_lake_history" -> q192LakeHistory,
+    "q193_lake_rgf_merge" -> q193LakeRgfMerge,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3290,5 +3382,6 @@ object Relational {
     "q190_lake_runtime_prune" -> q190Oracle,
     "q191_lake_tags" -> q191Oracle,
     "q192_lake_history" -> q192Oracle,
+    "q193_lake_rgf_merge" -> q193Oracle,
   )
 }
