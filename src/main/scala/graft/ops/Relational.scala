@@ -2503,6 +2503,129 @@ object Relational {
       | TRUE AS runtime_narrowed, TRUE AS carried_files
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** BRANCHES + WRITE-AUDIT-PUBLISH — Iceberg's branch refs and
+    * `spark.wap.branch` ([[graft.sources.VersionedTable.createBranch]],
+    * `spark.graft.wap.branch`): the table holds two thirds of orders;
+    * the last third lands while the session's WAP branch is set, so
+    * it stages on branch 'audit' — commits claim ordinary numbered
+    * manifests carrying a branch label that default reads skip. The
+    * audit happens by the SAME table name inside the WAP session
+    * (gate: staged count == full), main stays untouched outside it
+    * (gate: main count == partial while staged), the `.refs`
+    * metadata table lists the branch, and `CALL system.fast_forward`
+    * publishes the audited snapshot to main BY REFERENCE — one
+    * manifest rename, zero data copied. The emitted aggregate reads
+    * post-publish main and hash-gates against plain orders: the
+    * write-audit-publish loop is content-exact. */
+  val q194LakeWap: Q = (spark, dir) => {
+    import graft.sources.GraftLakeTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakew_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q194_$nonce")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 3 =!= 0)
+      .createOrReplaceTempView(s"q194_main_$nonce")
+    o.filter(col("o_orderkey") % 3 === 0)
+      .createOrReplaceTempView(s"q194_late_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT * FROM q194_main_$nonce")
+    val mainN = spark.sql(s"SELECT count(*) FROM $cat.t")
+      .collect()(0).getLong(0)
+    val fullN = o.count()
+    spark.conf.set(GraftLakeTable.WapBranchConf, "audit")
+    val (stagedVisible, mainIsolated, refListed) =
+      try {
+        spark.sql(s"INSERT INTO $cat.t SELECT * FROM q194_late_$nonce")
+        val inWap = spark.sql(s"SELECT count(*) FROM $cat.t")
+          .collect()(0).getLong(0)
+        spark.conf.unset(GraftLakeTable.WapBranchConf)
+        val outside = spark.sql(s"SELECT count(*) FROM $cat.t")
+          .collect()(0).getLong(0)
+        val refs = spark.sql(
+          s"SELECT name, kind FROM $cat.t.refs").collect()
+        (inWap == fullN, outside == mainN,
+          refs.length == 1 && refs(0).getString(0) == "audit" &&
+            refs(0).getString(1) == "branch")
+      } finally spark.conf.unset(GraftLakeTable.WapBranchConf)
+    spark.sql(s"CALL $cat.system.fast_forward(table => 't', " +
+      "branch => 'audit')")
+    spark.sql(
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $cat.t""".stripMargin)
+      .withColumn("staged_visible_in_wap", lit(stagedVisible))
+      .withColumn("main_isolated", lit(mainIsolated))
+      .withColumn("ref_listed", lit(refListed))
+  }
+
+  val q194Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      | round(sum(o_totalprice), 2) AS total,
+      | TRUE AS staged_visible_in_wap, TRUE AS main_isolated,
+      | TRUE AS ref_listed
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+  /** `.files` METADATA TABLE — Iceberg's `files`
+    * ([[graft.sources.GraftLakeFilesTable]]): one row per HEAD-snapshot
+    * file with on-disk bytes, manifest row count, and per-column
+    * bounds, computed from the manifest with zero data IO — the
+    * layout-audit surface. lineitem lands range-clustered by
+    * `l_orderkey`; the query audits the layout FROM the metadata
+    * table alone: manifest row counts sum to the exact table count
+    * (hash-gated against DuckDB), every file has positive size and
+    * stats coverage, and the per-file [min,max] key ranges are
+    * pairwise DISJOINT — the clustered-layout contract q185 writes,
+    * proven here by metadata query instead of a data scan. */
+  val q195LakeFilesMeta: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakef_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q195_$nonce")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .createOrReplaceTempView(s"q195_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t (l_orderkey BIGINT, " +
+      "l_quantity DOUBLE) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='l_orderkey')")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM q195_src_$nonce")
+    val files = spark.sql(s"SELECT * FROM $cat.t.files " +
+      "WHERE content = 'data' AND row_count > 0").collect()
+    val sumRows = files.map(_.getLong(3)).sum
+    val sizesPositive = files.forall(_.getLong(2) > 0L)
+    val statsPresent = files.forall(r => !r.isNullAt(4))
+    // per-file l_orderkey ranges decoded from the manifest stats JSON
+    val ranges = files.flatMap(r =>
+      graft.sources.LakeFileStats.fromJson(r.getString(4))
+        .flatMap(_.cols.get("l_orderkey"))
+        .flatMap(c => for { mn <- c.min; mx <- c.max } yield
+          (mn.asInstanceOf[Number].longValue(),
+            mx.asInstanceOf[Number].longValue())))
+    val disjoint = ranges.length == files.length &&
+      ranges.sortBy(_._1).sliding(2).forall {
+        case Array((_, hi), (lo, _)) => hi <= lo
+        case _ => true
+      }
+    import spark.implicits._
+    Seq((sumRows, sizesPositive, statsPresent, disjoint))
+      .toDF("total_rows", "sizes_positive", "stats_present",
+        "ranges_disjoint")
+  }
+
+  val q195Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+      | TRUE AS sizes_positive, TRUE AS stats_present,
+      | TRUE AS ranges_disjoint
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -3306,6 +3429,8 @@ object Relational {
     "q191_lake_tags" -> q191LakeTags,
     "q192_lake_history" -> q192LakeHistory,
     "q193_lake_rgf_merge" -> q193LakeRgfMerge,
+    "q194_lake_wap" -> q194LakeWap,
+    "q195_lake_files_meta" -> q195LakeFilesMeta,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3383,5 +3508,7 @@ object Relational {
     "q191_lake_tags" -> q191Oracle,
     "q192_lake_history" -> q192Oracle,
     "q193_lake_rgf_merge" -> q193Oracle,
+    "q194_lake_wap" -> q194Oracle,
+    "q195_lake_files_meta" -> q195Oracle,
   )
 }

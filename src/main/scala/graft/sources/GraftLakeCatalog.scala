@@ -118,6 +118,8 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       if (isTable(parent)) return ident.name() match {
         case "refs" =>
           new GraftLakeRefsTable(ident.namespace().mkString("."), parent)
+        case "files" =>
+          new GraftLakeFilesTable(ident.namespace().mkString("."), parent)
         case _ =>
           new GraftLakeVersionsTable(
             ident.namespace().mkString("."), parent)
@@ -372,6 +374,25 @@ final class GraftLakeTable(ident: Identifier, dir: String,
 
   private def spark: SparkSession = SparkSession.active
 
+  /** The session's write-audit-publish branch
+    * (`SET spark.graft.wap.branch = audit_x`, Iceberg's WAP contract):
+    * while set, this table's default READS resolve the branch head
+    * (falling back to main if the table has no such branch yet) and
+    * batch APPENDS/OVERWRITES stage onto the branch instead of main —
+    * audit the staged state by the same table name, then
+    * `CALL system.fast_forward` to publish or drop the branch to
+    * discard. Row-level DML, TRUNCATE, and streaming writes refuse
+    * under WAP (stage those directly via branch commits if needed). */
+  private def wapBranch: Option[String] =
+    Option(spark.conf.get(GraftLakeTable.WapBranchConf, null))
+      .map(_.trim).filter(_.nonEmpty)
+
+  private def refuseUnderWap(what: String): Unit = wapBranch.foreach(b =>
+    throw new UnsupportedOperationException(
+      s"$what on ${ident.toString} is not supported while " +
+        s"${GraftLakeTable.WapBranchConf}='$b' is set — fast_forward " +
+        "or drop the branch first"))
+
   /** `UPDATE` / `MERGE INTO` / non-metadata `DELETE` — the group-based
     * copy-on-write rewrite ([[GraftLakeRowLevelOperation]]); groups
     * are files, untouched files carry forward by reference. Plain
@@ -383,18 +404,24 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     if (version.isDefined) throw new UnsupportedOperationException(
       s"cannot modify time-travel snapshot ${ident.toString} " +
         s"VERSION AS OF ${version.get}")
+    refuseUnderWap("row-level DML")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new GraftLakeRowLevelOperation(dir, info.command, schema())
     }
   }
 
-  /** Resolved once per load: AS-OF pins the version; latest otherwise.
-    * mergeSchema mirrors [[VersionedTable.read]] — carry-forward
-    * commits may widen the schema and single-footer sampling would
-    * silently drop evolved columns. */
+  /** Resolved once per load: AS-OF pins the version; under a WAP
+    * branch the branch head (main if this table has no such branch);
+    * the table's HEAD otherwise (branch-staged manifests are not the
+    * table). mergeSchema mirrors [[VersionedTable.read]] —
+    * carry-forward commits may widen the schema and single-footer
+    * sampling would silently drop evolved columns. */
   private lazy val snapshot: VersionedTable.Snapshot = {
-    val v = version.orElse(VersionedTable.latestVersion(spark, dir))
+    val v = version
+      .orElse(wapBranch.flatMap(
+        VersionedTable.branches(spark, dir).get(_)))
+      .orElse(VersionedTable.headVersion(spark, dir))
       .getOrElse(throw new NoSuchTableException(ident))
     VersionedTable.snapshotOf(spark, dir, v)
   }
@@ -483,6 +510,7 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     if (version.isDefined) throw new UnsupportedOperationException(
       s"cannot truncate time-travel snapshot ${ident.toString} " +
         s"VERSION AS OF ${version.get}")
+    refuseUnderWap("TRUNCATE")
     VersionedTable.truncate(spark, dir)
     true
   }
@@ -525,9 +553,12 @@ final class GraftLakeTable(ident: Identifier, dir: String,
           // the V1 fallback exec does NOT apply
           // RequiresDistributionAndOrdering (measured: files arrive
           // in plan order), so declared clustering happens in
-          // commitAs — exactly one shuffle
+          // commitAs — exactly one shuffle. Under a WAP branch the
+          // commit stages onto the branch (created at head on first
+          // write) and main stays untouched until fast_forward.
           VersionedTable.commit(SparkSession.active, data, dir,
-            carryForward = !(replace || overwrite))
+            carryForward = !(replace || overwrite),
+            branch = wapBranch)
           ()
         }
       }
@@ -536,12 +567,18 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       if (replace) throw new UnsupportedOperationException(
         s"streaming into ${ident.toString}: only append output " +
           "mode is supported (complete/truncate is not)")
+      refuseUnderWap("streaming write")
       new GraftLakeStreamingWrite(dir, info)
     }
   }
 }
 
 object GraftLakeTable {
+
+  /** Session conf naming the write-audit-publish branch: while set,
+    * lake-table reads resolve the branch and batch writes stage onto
+    * it (Iceberg's `spark.wap.branch`). */
+  val WapBranchConf = "spark.graft.wap.branch"
 
   /** Table property selecting the DELETE strategy:
     * `copy-on-write` (default) rewrites touched files;

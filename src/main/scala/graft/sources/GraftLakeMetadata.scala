@@ -90,9 +90,9 @@ object GraftLakeVersionsTable {
     StructField("operation", org.apache.spark.sql.types.StringType,
       nullable = true)))
 
-  /** `<cat>.<table>.versions` / `.refs` resolve here when the parent
-    * directory is a table and the child is not itself one. */
-  val MetadataTableNames: Set[String] = Set("versions", "refs")
+  /** `<cat>.<table>.versions` / `.refs` / `.files` resolve here when
+    * the parent directory is a table and the child is not itself one. */
+  val MetadataTableNames: Set[String] = Set("versions", "refs", "files")
 }
 
 /** `SELECT * FROM <catalog>.<table>.refs` — one row per named ref
@@ -113,10 +113,16 @@ final class GraftLakeRefsTable(tableName: String, dir: String)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
     override def build(): Scan = {
-      val refRows = VersionedTable.tags(spark, dir).toSeq.sortBy(_._1)
-        .map { case (n, v) =>
+      val refRows =
+        (VersionedTable.tags(spark, dir).toSeq.map {
+          case (n, v) => (n, v, "tag") } ++
+          VersionedTable.branches(spark, dir).toSeq.map {
+            case (n, v) => (n, v, "branch") })
+        .sortBy(_._1)
+        .map { case (n, v, kind) =>
           InternalRow(org.apache.spark.unsafe.types.UTF8String
-            .fromString(n), v)
+            .fromString(n), v,
+            org.apache.spark.unsafe.types.UTF8String.fromString(kind))
         }.toArray
       new org.apache.spark.sql.connector.read.LocalScan {
         override def rows(): Array[InternalRow] = refRows
@@ -131,7 +137,81 @@ object GraftLakeRefsTable {
   val Schema: StructType = StructType(Seq(
     StructField("name", org.apache.spark.sql.types.StringType,
       nullable = false),
-    StructField("version", IntegerType, nullable = false)))
+    StructField("version", IntegerType, nullable = false),
+    StructField("kind", org.apache.spark.sql.types.StringType,
+      nullable = false)))
+}
+
+/** `SELECT * FROM <catalog>.<table>.files` — one row per file of the
+  * HEAD snapshot (Iceberg's `files` metadata table): content
+  * ('data' | 'delete'), path, on-disk bytes, manifest row count, and
+  * the per-column (min, max, nulls) bounds as a JSON string — the
+  * layout-audit surface ("are my file sizes right? are key ranges
+  * disjoint?") that otherwise takes a footer-crawling job. Row counts
+  * and bounds come from the MANIFEST's embedded stats (zero data/
+  * footer IO on stats-bearing snapshots; NULL where a pre-stats
+  * manifest lacks them); sizes are one driver `getFileStatus` per
+  * file — manifest-sized metadata IO, the same cost planning any scan
+  * of the snapshot pays. */
+final class GraftLakeFilesTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"$tableName.files"
+
+  override def schema(): StructType = GraftLakeFilesTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val s = spark
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val v = VersionedTable.headVersion(s, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $dir"))
+      val snap = VersionedTable.snapshotOf(s, dir, v)
+      def rowsFor(paths: Seq[String], content: String) =
+        paths.map { p =>
+          val size =
+            try f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+            catch { case _: java.io.FileNotFoundException => -1L }
+          val st = snap.stats.get(p)
+          InternalRow(
+            UTF8String.fromString(content),
+            UTF8String.fromString(p),
+            size,
+            st.map(x => java.lang.Long.valueOf(x.rowCount)).orNull,
+            st.map(x => UTF8String.fromString(
+              LakeFileStats.toJson(x))).orNull)
+        }
+      val all = (rowsFor(snap.dataFiles, "data") ++
+        rowsFor(snap.deleteFiles, "delete")).toArray
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = all
+        override def readSchema(): StructType =
+          GraftLakeFilesTable.Schema
+        override def description(): String = s"GraftLakeFiles($dir@v$v)"
+      }
+    }
+  }
+}
+
+object GraftLakeFilesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("content", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("file_path", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = true),
+    StructField("column_stats", org.apache.spark.sql.types.StringType,
+      nullable = true)))
 }
 
 private final class GraftLakeVersionsBatch(

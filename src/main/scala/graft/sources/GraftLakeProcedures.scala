@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftLakeProcedures {
 
   val names: Seq[String] = Seq("compact", "vacuum", "restore", "clone",
-    "create_tag", "drop_tag")
+    "create_tag", "drop_tag", "create_branch", "drop_branch",
+    "fast_forward")
 
   /** `resolveDir` maps a procedure's table argument ('t' or 'ns.t',
     * catalog-relative) to the table directory, failing loudly on a
@@ -43,6 +44,9 @@ private[sources] object GraftLakeProcedures {
       case "clone" => Some(CloneProc(resolveDir, resolveNewDir))
       case "create_tag" => Some(CreateTagProc(resolveDir))
       case "drop_tag" => Some(DropTagProc(resolveDir))
+      case "create_branch" => Some(CreateBranchProc(resolveDir))
+      case "drop_branch" => Some(DropBranchProc(resolveDir))
+      case "fast_forward" => Some(FastForwardProc(resolveDir))
       case _ => None
     }
 
@@ -160,7 +164,9 @@ private[sources] object GraftLakeProcedures {
       val tag = input.getUTF8String(1).toString
       val v = input.getInt(2) match {
         case neg if neg < 0 =>
-          VersionedTable.latestVersion(spark, dir).getOrElse(
+          // the HEAD — "tag what the table currently is", never a
+          // branch-staged manifest that happens to be newest
+          VersionedTable.headVersion(spark, dir).getOrElse(
             throw new IllegalArgumentException(
               s"no committed version to tag at $dir"))
         case explicit => explicit
@@ -191,6 +197,86 @@ private[sources] object GraftLakeProcedures {
       one(ResultScan(
         StructType(Seq(StructField("dropped", DataTypes.BooleanType))),
         InternalRow(existed)))
+    }
+  }
+
+  private final case class CreateBranchProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "create_branch(table, branch, version): pin a MUTABLE ref for " +
+        "write-audit-publish staging; version < 0 (the default) " +
+        "branches from the current head"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("branch", DataTypes.StringType).build(),
+      ProcedureParameter.in("version", DataTypes.IntegerType)
+        .defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val branch = input.getUTF8String(1).toString
+      val v = input.getInt(2) match {
+        case neg if neg < 0 =>
+          VersionedTable.headVersion(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"no committed version to branch at $dir"))
+        case explicit => explicit
+      }
+      VersionedTable.createBranch(spark, dir, branch, v)
+      one(ResultScan(
+        StructType(Seq(StructField("branch", DataTypes.StringType),
+          StructField("version", DataTypes.IntegerType))),
+        InternalRow(UTF8String.fromString(branch), v)))
+    }
+  }
+
+  private final case class DropBranchProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "drop_branch(table, branch): discard staged work — the " +
+        "branch's commits then age out under the normal vacuum horizon"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("branch", DataTypes.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val existed = VersionedTable.dropBranch(spark, dir,
+        input.getUTF8String(1).toString)
+      one(ResultScan(
+        StructType(Seq(StructField("dropped", DataTypes.BooleanType))),
+        InternalRow(existed)))
+    }
+  }
+
+  private final case class FastForwardProc(resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "fast_forward(table, branch): PUBLISH the audited branch to " +
+        "main — re-publishes the branch head's snapshot as the next " +
+        "main version by reference (zero data copied)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build(),
+      ProcedureParameter.in("branch", DataTypes.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val branch = input.getUTF8String(1).toString
+      val fromV = VersionedTable.branches(spark, dir).getOrElse(branch,
+        throw new IllegalArgumentException(
+          s"no branch '$branch' to fast-forward"))
+      val v = VersionedTable.fastForward(spark, dir, branch)
+      one(ResultScan(
+        StructType(Seq(
+          StructField("version", DataTypes.IntegerType),
+          StructField("from_branch_version", DataTypes.IntegerType))),
+        InternalRow(v, fromV)))
     }
   }
 

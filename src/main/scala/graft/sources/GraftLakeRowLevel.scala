@@ -59,10 +59,11 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
   /** Snapshot pinned at first USE (lazy: the analyzer builds this
     * operation eagerly even for deletes the optimizer later converts
     * to the metadata-only path — eager IO here would tax those): the
-    * statement reads and replaces THIS version, and the commit
-    * publishes `pinnedV + 1`. */
+    * statement reads and replaces the table's HEAD (branch-staged
+    * manifests are not the table), and the commit publishes the next
+    * free version number. */
   private lazy val pinnedV: Int =
-    VersionedTable.latestVersion(spark, dir).getOrElse(
+    VersionedTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
   private lazy val snap: VersionedTable.Snapshot =
     VersionedTable.snapshotOf(spark, dir, pinnedV)
@@ -152,7 +153,9 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
     }
 
   private def batchWrite(info: LogicalWriteInfo): BatchWrite = {
-          val newV = pinnedV + 1
+          // next FREE number, not pinnedV+1: branch-staged manifests
+          // share the sequence, and a collision would fail the rename
+          val newV = VersionedTable.nextVersion(spark, dir)
           val dataDir = s"$dir/files-v$newV-" +
             java.util.UUID.randomUUID().toString.take(8)
           val inner = ParquetWrite(Seq(dataDir), "parquet",

@@ -68,7 +68,7 @@ final class GraftLakeStreamProvider extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = dirFrom(options)
-    val v = VersionedTable.latestVersion(spark, dir).getOrElse(
+    val v = VersionedTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val snap = VersionedTable.snapshotOf(spark, dir, v)
     val data = spark.read.option("mergeSchema", "true")
@@ -162,13 +162,13 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
   /** Pinned at stream construction: the snapshot a fresh stream
     * delivers first (plain mode without startingVersion). */
   private lazy val startSnapshotV: Int =
-    VersionedTable.latestVersion(spark, dir).getOrElse(
+    VersionedTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
 
   @volatile private var availableNowTarget: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = VersionedTable.latestVersion(spark, dir)
+    availableNowTarget = VersionedTable.headVersion(spark, dir)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -185,7 +185,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = asLake(start)
-    val latest = VersionedTable.latestVersion(spark, dir).getOrElse(s.v)
+    val latest = VersionedTable.headVersion(spark, dir).getOrElse(s.v)
     val target = availableNowTarget.map(math.min(_, latest))
       .getOrElse(latest)
     if (s.origin) {
@@ -198,7 +198,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
   }
 
   override def reportLatestOffset(): Offset = {
-    val latest = VersionedTable.latestVersion(spark, dir)
+    val latest = VersionedTable.headVersion(spark, dir)
     latest.map(LakeStreamOffset(_, origin = false)).orNull
   }
 
@@ -251,9 +251,26 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
           masks.getOrElse(norm(f), Array.emptyLongArray), "insert", e.v))
       }
     } else {
-      var prev = snapshotOr(s.v)
+      // the diff base is the last MAIN-LINE snapshot at or below the
+      // start offset: offsets chunked by maxVersionsPerTrigger can
+      // land on a branch-staged version, and diffing against the
+      // branch would hide its files from the later fast-forward delta
+      var prev = {
+        var i = s.v
+        var sn = snapshotOr(i)
+        while (i >= 0 && sn.meta.contains(VersionedTable.BranchMetaKey)) {
+          i -= 1
+          sn = snapshotOr(i)
+        }
+        sn
+      }
       ((s.v + 1) to e.v).foreach { v =>
         val cur = snapshotOr(v)
+        // branch-staged manifests are NOT main-line commits: skip them
+        // entirely (their rows reach the stream only through the
+        // fast-forward manifest that publishes them to main)
+        if (cur.meta.contains(VersionedTable.BranchMetaKey)) ()
+        else {
         val prevData = prev.dataFiles.toSet
         val curData = cur.dataFiles.toSet
         val added = cur.dataFiles.filterNot(prevData.contains)
@@ -299,6 +316,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
           }
         }
         prev = cur
+        }
       }
     }
     val items = work.result()
@@ -383,7 +401,7 @@ private[sources] final class GraftLakeStreamingWrite(dir: String,
     val f = fsOf
     val epochDir = new org.apache.hadoop.fs.Path(
       stagingRoot, s"epoch-$epochId")
-    val latest = VersionedTable.latestVersion(spark, dir).getOrElse(
+    val latest = VersionedTable.headVersion(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"streaming write into $dir: table vanished mid-stream"))
     val snap = VersionedTable.snapshotOf(spark, dir, latest)
@@ -400,7 +418,9 @@ private[sources] final class GraftLakeStreamingWrite(dir: String,
       else f.listStatus(epochDir).toSeq.filter(_.isFile)
         .filter(_.getPath.getName.endsWith(".parquet"))
     if (staged.isEmpty) { f.delete(epochDir, true); return }
-    val newV = latest + 1
+    // next FREE number (branch-staged manifests share the sequence),
+    // content based on the HEAD snapshot resolved above
+    val newV = VersionedTable.nextVersion(spark, dir)
     val dataDir = s"$dir/files-v$newV-stream" +
       java.util.UUID.randomUUID().toString.take(8)
     if (!f.rename(epochDir, new org.apache.hadoop.fs.Path(dataDir)))

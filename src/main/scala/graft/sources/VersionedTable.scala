@@ -40,16 +40,38 @@ object VersionedTable {
   private def manifestDir(dir: String) = new Path(s"$dir/_manifest")
 
   /** Commit `df` as version (latest + 1); `carryForward` keeps the
-    * previous snapshot's files in the new manifest (append semantics);
+    * HEAD snapshot's files in the new manifest (append semantics);
     * without it the new version replaces the table's contents. Returns
     * the committed version number. `op` labels the commit in the
     * history ([[GraftLakeVersionsTable]]'s `operation` column);
-    * unlabeled commits record append/overwrite from `carryForward`. */
+    * unlabeled commits record append/overwrite from `carryForward`.
+    *
+    * `branch` stages the commit on a named branch instead of main
+    * (write-audit-publish): the commit bases on the BRANCH's head
+    * (created implicitly at the main head on first write, Iceberg's
+    * `wap.branch` behavior), carries the `graft.branch` label so
+    * default reads skip it, and advances the branch ref; main is
+    * untouched until [[fastForward]]. */
   def commit(spark: SparkSession, df: DataFrame, dir: String,
-      carryForward: Boolean = true, op: Option[String] = None): Int =
-    commitAs(spark, df, dir,
-      latestVersion(spark, dir).map(_ + 1).getOrElse(0), carryForward,
-      op = op)
+      carryForward: Boolean = true, op: Option[String] = None,
+      branch: Option[String] = None): Int = branch match {
+    case None =>
+      commitAs(spark, df, dir, nextVersion(spark, dir), carryForward,
+        op = op, baseVersion = headVersion(spark, dir))
+    case Some(b) =>
+      val base = branches(spark, dir).get(b).getOrElse {
+        val h = headVersion(spark, dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot stage branch '$b': no committed version at $dir"))
+        createBranch(spark, dir, b, h)
+        h
+      }
+      val v = commitAs(spark, df, dir, nextVersion(spark, dir),
+        carryForward, meta = Map(BranchMetaKey -> b), op = op,
+        baseVersion = Some(base))
+      moveBranch(spark, dir, b, v)
+      v
+  }
 
   /** Publish `df` as the EXPLICIT version `v` — the raw commit point,
     * exposed so the two-committer race is deterministically testable.
@@ -64,14 +86,19 @@ object VersionedTable {
       v: Int, carryForward: Boolean = true,
       meta: Map[String, String] = Map.empty,
       applyDeclaredClustering: Boolean = true,
-      op: Option[String] = None): Int = {
+      op: Option[String] = None,
+      baseVersion: Option[Int] = None): Int = {
     val f = fs(spark, dir)
     val out =
       if (applyDeclaredClustering) clusterFor(spark, dir, df, None)
       else df
     val newFiles = writeDataFiles(spark, out, dir, v)
+    // carry-forward base: explicit when given (main commits base on
+    // HEAD, branch commits on the branch head — with branch manifests
+    // in the number sequence, v-1 may be a different line's commit)
+    val base = baseVersion.getOrElse(v - 1)
     val prior =
-      if (carryForward && v > 0) snapshotOf(spark, dir, v - 1)
+      if (carryForward && base >= 0) snapshotOf(spark, dir, base)
       else Snapshot(Seq.empty, Seq.empty)
     // an append on a merge-on-read table carries the DELETE files too —
     // dropping them would resurrect deleted rows. Stats: carried files
@@ -286,7 +313,7 @@ object VersionedTable {
     * references are structurally out of reach. */
   def shallowClone(spark: SparkSession, srcDir: String,
       dstDir: String): Int = {
-    val srcV = latestVersion(spark, srcDir).getOrElse(
+    val srcV = headVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(
         s"no committed version to clone at $srcDir"))
     val v = latestVersion(spark, dstDir).map(_ + 1).getOrElse(0)
@@ -354,7 +381,133 @@ object VersionedTable {
 
   /** Returns true iff the tag existed. */
   def dropTag(spark: SparkSession, dir: String, name: String): Boolean =
-    fs(spark, dir).delete(new Path(refsDir(dir), name), false)
+    tags(spark, dir).contains(name) &&
+      fs(spark, dir).delete(new Path(refsDir(dir), name), false)
+
+  // --------------------------------------------------------- branches
+  // Named MUTABLE refs (Iceberg's branches): a branch stages commits
+  // off to the side of the main line — branch commits claim ordinary
+  // numbered manifests but carry `M graft.branch=<name>`, so
+  // [[headVersion]] (what default reads resolve) skips them, and the
+  // branch ref file tracks the branch's own head. [[fastForward]]
+  // publishes the audited branch snapshot as the next MAIN version by
+  // reference (zero data copied — a manifest write, like [[restore]]).
+  // This is the write-audit-publish contract: stage, inspect by name,
+  // then make it the table in one atomic manifest rename. Branch refs
+  // share the `_refs/` store with tags (payload `branch:<v>` vs a
+  // tag's bare int, so each listing ignores the other kind).
+
+  /** Snapshot-metadata key labeling a commit as staged on a branch —
+    * [[headVersion]] skips manifests carrying it. */
+  val BranchMetaKey = "graft.branch"
+
+  /** The version DEFAULT reads resolve: the newest manifest NOT
+    * staged on a branch. Scans manifests newest-first; with no
+    * branch commits outstanding (the common case) this reads exactly
+    * one manifest, which the caller's snapshotOf was about to read
+    * anyway. */
+  def headVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val f = fs(spark, dir)
+    if (!f.exists(manifestDir(dir))) None
+    else f.listStatus(manifestDir(dir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d+\\.txt"))
+      .map(_.stripSuffix(".txt").toInt)
+      .sorted(Ordering.Int.reverse)
+      .find(v => !snapshotOf(spark, dir, v).meta.contains(BranchMetaKey))
+  }
+
+  /** The next free version number (manifest renames make claiming it
+    * atomic); branch-staged manifests count — version numbers are a
+    * single sequence across main and branches. */
+  private[sources] def nextVersion(spark: SparkSession, dir: String): Int =
+    latestVersion(spark, dir).map(_ + 1).getOrElse(0)
+
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      version: Int): Unit = {
+    require(TagName.matches(name),
+      s"illegal branch name '$name' (want ${TagName.regex})")
+    val f = fs(spark, dir)
+    snapshotOf(spark, dir, version) // must reference a serveable snapshot
+    f.mkdirs(refsDir(dir))
+    val tmp = new Path(refsDir(dir),
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(s"branch:$version\n".getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new Path(refsDir(dir), name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"ref '$name' already exists at $dir")
+    }
+  }
+
+  /** Advance an existing branch ref. Not atomic against a concurrent
+    * move of the SAME branch (delete + rename; single-writer per
+    * branch is the operating assumption, as with Delta) — but the
+    * manifest the ref points at is immutable, so readers only ever
+    * see a fully published snapshot or a loud missing-ref error. */
+  private def moveBranch(spark: SparkSession, dir: String, name: String,
+      version: Int): Unit = {
+    require(branches(spark, dir).contains(name),
+      s"no branch '$name' at $dir")
+    val f = fs(spark, dir)
+    val tmp = new Path(refsDir(dir),
+      s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(s"branch:$version\n".getBytes("UTF-8"))
+    finally out.close()
+    f.delete(new Path(refsDir(dir), name), false)
+    if (!f.rename(tmp, new Path(refsDir(dir), name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"branch '$name' move lost a race at $dir")
+    }
+  }
+
+  /** Returns true iff the branch existed. */
+  def dropBranch(spark: SparkSession, dir: String,
+      name: String): Boolean =
+    branches(spark, dir).contains(name) &&
+      fs(spark, dir).delete(new Path(refsDir(dir), name), false)
+
+  /** All branches, name → head version. */
+  def branches(spark: SparkSession, dir: String): Map[String, Int] = {
+    val f = fs(spark, dir)
+    if (!f.exists(refsDir(dir))) Map.empty
+    else f.listStatus(refsDir(dir)).toSeq
+      .filter(s => s.isFile && TagName.matches(s.getPath.getName))
+      .flatMap { s =>
+        val in = f.open(s.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (text.startsWith("branch:"))
+          text.stripPrefix("branch:").toIntOption
+            .map(s.getPath.getName -> _)
+        else None
+      }.toMap
+  }
+
+  /** PUBLISH a branch to main: re-publish the branch head's snapshot
+    * (files, delete files, stats, metadata minus the branch label) as
+    * the next MAIN version — zero data copied, one manifest rename,
+    * exactly [[restore]]'s shape. The branch ref survives (drop it to
+    * release its pins). Returns the new main version. */
+  def fastForward(spark: SparkSession, dir: String,
+      branch: String): Int = {
+    val bv = branches(spark, dir).getOrElse(branch,
+      throw new IllegalArgumentException(
+        s"no branch '$branch' at $dir; known branches: " +
+          (branches(spark, dir).keys.toSeq.sorted.mkString(", ") match {
+            case "" => "(none)"
+            case s => s
+          })))
+    val snap = snapshotOf(spark, dir, bv)
+    publish(fs(spark, dir), dir, nextVersion(spark, dir),
+      snap.dataFiles, snap.deleteFiles, snap.stats,
+      snap.meta - BranchMetaKey, op = "fast-forward")
+  }
 
   /** All tags, name → pinned version. */
   def tags(spark: SparkSession, dir: String): Map[String, Int] = {
@@ -372,16 +525,19 @@ object VersionedTable {
   }
 
   /** `AS OF <ref>` resolution: an integer is a version, anything else
-    * a tag name. Loud on an unknown tag. */
+    * a tag or branch name (a branch resolves to its current head).
+    * Loud on an unknown ref. */
   def resolveRef(spark: SparkSession, dir: String, ref: String): Int =
-    ref.toIntOption.getOrElse {
-      tags(spark, dir).getOrElse(ref, throw new IllegalArgumentException(
-        s"no tag '$ref' at $dir; known tags: " +
-          (tags(spark, dir).keys.toSeq.sorted.mkString(", ") match {
+    ref.toIntOption
+      .orElse(tags(spark, dir).get(ref))
+      .orElse(branches(spark, dir).get(ref))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no tag or branch '$ref' at $dir; known refs: " +
+          ((tags(spark, dir).keys ++ branches(spark, dir).keys)
+            .toSeq.sorted.mkString(", ") match {
             case "" => "(none)"
             case s => s
           })))
-    }
 
   def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
     val f = fs(spark, dir)
@@ -453,7 +609,7 @@ object VersionedTable {
     * which the manifest's explicit file list already bounds. */
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(latestVersion(spark, dir)).getOrElse(
+    val v = version.orElse(headVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val snap = snapshotOf(spark, dir, v)
     val data = spark.read.option("mergeSchema", "true")
@@ -494,10 +650,10 @@ object VersionedTable {
   def deleteWhereMergeOnRead(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.col
-    val v = latestVersion(spark, dir).getOrElse(
+    val v = headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val snap = snapshotOf(spark, dir, v)
-    val newV = v + 1
+    val newV = nextVersion(spark, dir)
     if (snap.dataFiles.isEmpty)
       return publish(fs(spark, dir), dir, newV, snap.dataFiles,
         snap.deleteFiles, snap.stats, snap.meta, op = "delete")
@@ -595,7 +751,7 @@ object VersionedTable {
       s"compaction needs at least one output file, got $targetFiles")
     // content-preserving rewrite: snapshot META (epoch markers) must
     // survive, unlike a user INSERT OVERWRITE which replaces the table
-    val v = latestVersion(spark, dir).getOrElse(
+    val v = headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     // declared clustering wins over a plain round-robin repartition:
     // compaction is exactly when the table re-earns its layout
@@ -603,8 +759,8 @@ object VersionedTable {
       if (clusteringSpec(spark, dir).isDefined)
         clusterFor(spark, dir, read(spark, dir), Some(targetFiles))
       else read(spark, dir).repartition(targetFiles)
-    commitAs(spark, out, dir, v + 1, carryForward = false,
-      meta = snapshotOf(spark, dir, v).meta,
+    commitAs(spark, out, dir, nextVersion(spark, dir),
+      carryForward = false, meta = snapshotOf(spark, dir, v).meta,
       applyDeclaredClustering = false, op = Some("compact"))
   }
 
@@ -617,7 +773,7 @@ object VersionedTable {
       targetFileBytes: Long): Int = {
     require(targetFileBytes > 0,
       s"target file size must be positive, got $targetFileBytes")
-    val v = latestVersion(spark, dir).getOrElse(
+    val v = headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val f = fs(spark, dir)
     val total = snapshotOf(spark, dir, v).dataFiles
@@ -659,7 +815,7 @@ object VersionedTable {
   def deleteWhere(spark: SparkSession, dir: String,
       cond: org.apache.spark.sql.Column): DeleteResult = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
-    val v = latestVersion(spark, dir).getOrElse(
+    val v = headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val f = fs(spark, dir)
     val prior = snapshotOf(spark, dir, v)
@@ -669,7 +825,7 @@ object VersionedTable {
           "outstanding merge-on-read delete files; use " +
           "deleteWhereMergeOnRead or compact() first")
     val files = prior.dataFiles
-    val newV = v + 1
+    val newV = nextVersion(spark, dir)
     if (files.isEmpty)
       return DeleteResult(
         publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta,
@@ -755,12 +911,29 @@ object VersionedTable {
     latestVersion(spark, dir) match {
       case None => VacuumPlan(Nil, Nil, Nil, Nil, 0L)
       case Some(latest) =>
-        val cutoff = math.max(0, latest - keep + 1)
-        // tagged versions are retention PINS: their manifests and
-        // files stay serveable below the horizon ([[createTag]])
-        val tagged = tags(spark, dir).values.toSet
+        // the retention window counts MAIN versions: branch-staged
+        // manifests above the head must not consume the keep budget
+        // (with keep=1 they'd silently retire the head itself)
+        val head = headVersion(spark, dir).getOrElse(latest)
+        val cutoff = math.max(0, head - keep + 1)
+        // tagged versions and branch HEADS are retention PINS: their
+        // manifests and files stay serveable below the horizon
+        // ([[createTag]], [[createBranch]])
+        val tagged = tags(spark, dir).values.toSet ++
+          branches(spark, dir).values.toSet
         val kept = ((cutoff to latest) ++ tagged).distinct.sorted
           .filter(v => f.exists(new Path(manifestDir(dir), s"$v.txt")))
+          // a branch-labeled manifest in the window survives only as
+          // its branch's HEAD (or tagged): superseded staged commits
+          // are garbage. The grace guards the implicit-create race —
+          // a just-renamed branch manifest whose ref move hasn't
+          // landed yet looks unpinned for a moment.
+          .filter { v =>
+            tagged.contains(v) ||
+              !snapshotOf(spark, dir, v).meta.contains(BranchMetaKey) ||
+              f.getFileStatus(new Path(manifestDir(dir), s"$v.txt"))
+                .getModificationTime > horizon
+          }
         val referenced = kept
           .flatMap { v =>
             val s = snapshotOf(spark, dir, v)
@@ -800,13 +973,12 @@ object VersionedTable {
               bytes += s.getLen
             }
         }
+        val keptSet = kept.toSet
         val manifests = f.listStatus(manifestDir(dir)).toSeq
           .map(_.getPath)
           .filter { p =>
-            p.getName.matches("\\d+\\.txt") && {
-              val v = p.getName.stripSuffix(".txt").toInt
-              v < cutoff && !tagged.contains(v)
-            }
+            p.getName.matches("\\d+\\.txt") &&
+              !keptSet.contains(p.getName.stripSuffix(".txt").toInt)
           }
           .map(_.toString)
         VacuumPlan(wholeDirs.result(), soloFiles.result(), manifests,

@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Branches + write-audit-publish (Iceberg's branch refs and
+  * `spark.wap.branch`): commits staged on a branch are invisible to
+  * main until `fast_forward` publishes them by reference; while the
+  * WAP conf is set, lake reads resolve the branch and batch writes
+  * stage onto it. Retention treats branch heads as pins, and the
+  * retention window counts MAIN versions only. */
+class GraftLakeBranchSpec extends SparkSpec {
+
+  private val n = new AtomicInteger(0)
+
+  private def freshCatalog(): (String, String) = {
+    val cat = s"glbr_test_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_lake_branch_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def withWap[A](branch: String)(body: => A): A = {
+    spark.conf.set(GraftLakeTable.WapBranchConf, branch)
+    try body
+    finally spark.conf.unset(GraftLakeTable.WapBranchConf)
+  }
+
+  test("facade: branch commits stay off main until fastForward") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_branch_f_${java.util.UUID.randomUUID()}"
+    VersionedTable.commit(spark, Seq(1, 2).toDF("k"), dir,
+      carryForward = false)                                   // v0 main
+    VersionedTable.commit(spark, Seq(3).toDF("k"), dir,
+      branch = Some("audit"))                                 // v1 staged
+    // default read = main head, untouched by the staged commit
+    assert(VersionedTable.read(spark, dir).count() === 2L)
+    assert(VersionedTable.headVersion(spark, dir) === Some(0))
+    assert(VersionedTable.latestVersion(spark, dir) === Some(1))
+    // the branch resolves by name and carries main + delta
+    val bv = VersionedTable.resolveRef(spark, dir, "audit")
+    assert(VersionedTable.read(spark, dir, Some(bv)).count() === 3L)
+    // second staged commit advances the branch, not main
+    VersionedTable.commit(spark, Seq(4).toDF("k"), dir,
+      branch = Some("audit"))                                 // v2 staged
+    assert(VersionedTable.read(spark, dir).count() === 2L)
+    assert(VersionedTable.branches(spark, dir)("audit") === 2)
+    // publish: one manifest write, zero data copied
+    val v = VersionedTable.fastForward(spark, dir, "audit")
+    assert(VersionedTable.headVersion(spark, dir) === Some(v))
+    assert(VersionedTable.read(spark, dir).as[Int].collect().sorted
+      === Array(1, 2, 3, 4))
+    // the published manifest references the staged files byte-identically
+    val staged = VersionedTable.filesOf(spark, dir, 2).toSet
+    assert(VersionedTable.filesOf(spark, dir, v).toSet === staged)
+  }
+
+  test("WAP: reads and writes follow the session branch; main " +
+      "publishes only on fast_forward") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")          // v1 main
+    withWap("etl_audit") {
+      // stages on the branch (created implicitly at head)
+      spark.sql(s"INSERT INTO $cat.t VALUES (3), (4)")
+      // session reads resolve the staged state by the SAME table name
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+        .getLong(0) === 4L)
+    }
+    // conf cleared: main is untouched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0)
+      .getLong(0) === 2L)
+    // audit by explicit ref without the conf
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t VERSION AS OF 'etl_audit'")
+      .collect()(0).getLong(0) === 4L)
+    // refs metadata table lists the branch with its kind
+    assert(spark.sql(
+      s"SELECT name, kind FROM $cat.t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("etl_audit", "branch")))
+    // publish
+    val r = spark.sql(s"CALL $cat.system.fast_forward(table => 't', " +
+      "branch => 'etl_audit')").collect()(0)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === 10L)
+    // the published version is a main-line commit: history labels it
+    val hist = spark.sql(s"SELECT operation FROM $cat.t.versions " +
+      s"WHERE version = ${r.getInt(0)}").collect()
+    assert(hist.map(_.getString(0)).toSeq === Seq("fast-forward"))
+    val _ = root
+  }
+
+  test("WAP: row-level DML, TRUNCATE, and a second table's reads " +
+      "without the branch fall back to main") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.a (k INT)")
+    spark.sql(s"INSERT INTO $cat.a VALUES (1)")
+    spark.sql(s"CREATE TABLE $cat.b (k INT)")
+    spark.sql(s"INSERT INTO $cat.b VALUES (7)")
+    withWap("wip") {
+      spark.sql(s"INSERT INTO $cat.a VALUES (2)") // creates branch on a
+      // b has no 'wip' branch: reads fall back to its main head
+      assert(spark.sql(s"SELECT sum(k) FROM $cat.b").collect()(0)
+        .getLong(0) === 7L)
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(s"UPDATE $cat.a SET k = 9 WHERE k = 1")
+      }
+      assert(e.getMessage.contains("wap"))
+      val t = intercept[UnsupportedOperationException] {
+        spark.sql(s"TRUNCATE TABLE $cat.a")
+      }
+      assert(t.getMessage.contains("wap"))
+    }
+    // discard the staged work
+    assert(spark.sql(s"CALL $cat.system.drop_branch(table => 'a', " +
+      "branch => 'wip')").collect()(0).getBoolean(0))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.a").collect()(0)
+      .getLong(0) === 1L)
+  }
+
+  test("vacuum: branch heads are pins and the retention window " +
+      "counts main versions only") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_branch_v_${java.util.UUID.randomUUID()}"
+    VersionedTable.commit(spark, Seq(1).toDF("k"), dir,
+      carryForward = false)                                   // v0 main
+    VersionedTable.commit(spark, Seq(2).toDF("k"), dir,
+      branch = Some("stage"))                                 // v1 staged
+    VersionedTable.commit(spark, Seq(3).toDF("k"), dir,
+      branch = Some("stage"))                                 // v2 staged
+    // keep=1 must keep MAIN's head v0 (not count v1/v2 against it),
+    // and the branch head v2 is a pin; superseded v1 ages out
+    val deleted = VersionedTable.vacuum(spark, dir, keep = 1,
+      graceMs = 0L)
+    assert(VersionedTable.read(spark, dir).as[Int].collect().toSeq
+      === Seq(1), "main head must survive keep=1")
+    val bv = VersionedTable.branches(spark, dir)("stage")
+    assert(VersionedTable.read(spark, dir, Some(bv)).count() === 3L,
+      "pinned branch head must stay serveable")
+    // v1's delta file was only referenced by the superseded branch
+    // commit... but v2 carries it forward (append), so nothing from
+    // v1's data dies; the v1 MANIFEST however is retired
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(s"$dir/_manifest/1.txt")),
+      "superseded branch manifest below the pin ages out")
+    val _ = deleted
+  }
+
+  test("streaming source skips branch-staged commits; fast-forward " +
+      "delivers them exactly once") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_branch_s_${java.util.UUID.randomUUID()}"
+    val ckpt = s"/tmp/graft_branch_ck_${java.util.UUID.randomUUID()}"
+    VersionedTable.commit(spark, Seq(1).toDF("k"), dir,
+      carryForward = false)                                   // v0
+    VersionedTable.commit(spark, Seq(2).toDF("k"), dir)       // v1 main
+    VersionedTable.commit(spark, Seq(99).toDF("k"), dir,
+      branch = Some("wip"))                                   // v2 staged
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def drain(): Unit = {
+      val q = VersionedTable.readStream(spark, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k").collect().foreach(r => out.add(r.getInt(0)))
+          ()
+        }.start()
+      q.awaitTermination(60000)
+      ()
+    }
+    drain()
+    assert(out.asScala().toSeq.sorted === Seq(1, 2),
+      "staged 99 must not stream before publish")
+    VersionedTable.fastForward(spark, dir, "wip")             // v3 main
+    drain()
+    assert(out.asScala().toSeq.sorted === Seq(1, 2, 99),
+      "fast-forward delivers the staged rows exactly once")
+  }
+
+  private implicit class QueueOps(
+      q: java.util.concurrent.ConcurrentLinkedQueue[Int]) {
+    def asScala(): Seq[Int] = {
+      val b = Seq.newBuilder[Int]
+      q.forEach(i => b += i)
+      b.result()
+    }
+  }
+}

@@ -69,8 +69,9 @@ class GraftLakeTagSpec extends SparkSpec {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'nope'").collect()
     }
-    assert(e.getMessage.contains("no tag 'nope'") ||
-      Option(e.getCause).exists(_.getMessage.contains("no tag 'nope'")))
+    assert(e.getMessage.contains("no tag or branch 'nope'") ||
+      Option(e.getCause).exists(
+        _.getMessage.contains("no tag or branch 'nope'")))
   }
 
   test("vacuum retains tagged snapshots as pins; drop_tag releases") {
