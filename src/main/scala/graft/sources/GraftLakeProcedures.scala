@@ -65,9 +65,11 @@ private[sources] object GraftLakeProcedures {
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = "compact"
     override def description(): String =
-      "compact(table, target_files): rewrite the current snapshot " +
-        "into target_files files (declared clustering applies) and " +
-        "publish it as a new version"
+      "compact(table, target_files, target_size_mb, order_by): " +
+        "rewrite the current snapshot into target_files files and " +
+        "publish it as a new version; order_by overrides the " +
+        "declared clustering for this rewrite (OPTIMIZE ZORDER BY — " +
+        "same term syntax, e.g. 'k' or 'morton2(a,b)')"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -77,15 +79,19 @@ private[sources] object GraftLakeProcedures {
       // the 100 TB mode: size files, not counts; >0 wins over
       // target_files
       ProcedureParameter.in("target_size_mb", DataTypes.LongType)
-        .defaultValue("0").build())
+        .defaultValue("0").build(),
+      ProcedureParameter.in("order_by", DataTypes.StringType)
+        .defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
       val sizeMb = input.getLong(2)
+      val orderBy = Option(input.getUTF8String(3))
+        .map(_.toString.trim).filter(_.nonEmpty)
       val v =
         if (sizeMb > 0)
           VersionedTable.compactToSize(spark, dir, sizeMb * 1024 * 1024)
         else VersionedTable.compact(spark, dir,
-          targetFiles = input.getInt(1))
+          targetFiles = input.getInt(1), orderBy = orderBy)
       val files = VersionedTable.filesOf(spark, dir, v).size
       one(ResultScan(
         StructType(Seq(StructField("version", DataTypes.IntegerType),
@@ -284,10 +290,12 @@ private[sources] object GraftLakeProcedures {
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = "vacuum"
     override def description(): String =
-      "vacuum(table, keep, grace_ms, dry_run): delete files " +
-        "unreachable from the last `keep` versions, past the " +
+      "vacuum(table, keep, grace_ms, dry_run, retain_ms): delete " +
+        "files unreachable from the last `keep` versions, past the " +
         "concurrent-commit grace window; dry_run => true reports the " +
-        "reclaimable set without deleting anything"
+        "reclaimable set without deleting anything; retain_ms > 0 " +
+        "additionally keeps every version younger than the window " +
+        "(Delta's RETAIN)"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -298,11 +306,14 @@ private[sources] object GraftLakeProcedures {
         .defaultValue(String.valueOf(
           VersionedTable.DefaultVacuumGraceMs)).build(),
       ProcedureParameter.in("dry_run", DataTypes.BooleanType)
-        .defaultValue("false").build())
+        .defaultValue("false").build(),
+      ProcedureParameter.in("retain_ms", DataTypes.LongType)
+        .defaultValue("0").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = resolveDir(input.getUTF8String(0).toString)
       val plan = VersionedTable.vacuumPlan(spark, dir,
-        keep = input.getInt(1), graceMs = input.getLong(2))
+        keep = input.getInt(1), graceMs = input.getLong(2),
+        retainMs = input.getLong(4))
       val dryRun = input.getBoolean(3)
       val deleted =
         if (dryRun) plan.reported

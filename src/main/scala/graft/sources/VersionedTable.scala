@@ -134,7 +134,13 @@ object VersionedTable {
       dir: String): Option[Seq[String]] =
     Option(GraftLakeTable.readProperties(spark, dir)
         .get("graft.write.ordered-by"))
-      // split on commas OUTSIDE parens: `a,morton2(x,y)` is two terms
+      .flatMap(parseClusterSpec)
+
+  /** Comma-separated clustering terms, split OUTSIDE parens:
+    * `a,morton2(x,y)` is two terms. */
+  private[sources] def parseClusterSpec(
+      s: String): Option[Seq[String]] =
+    Option(s)
       .map(_.split(""",(?![^(]*\))""").map(_.trim)
         .filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
@@ -190,15 +196,22 @@ object VersionedTable {
   private[sources] def clusterFor(spark: SparkSession, dir: String,
       df: DataFrame, numPartitions: Option[Int]): DataFrame =
     clusteringSpec(spark, dir) match {
-      case Some(spec) =>
-        val cs = clusterColumns(spec, df)
-        val ranged = numPartitions match {
-          case Some(n) => df.repartitionByRange(n, cs: _*)
-          case None => df.repartitionByRange(cs: _*)
-        }
-        ranged.sortWithinPartitions(cs: _*)
+      case Some(spec) => clusterWith(spec, df, numPartitions)
       case None => df
     }
+
+  /** Range-partition + sort by explicit terms (the [[clusterFor]]
+    * mechanics with the spec supplied by the caller — e.g. a
+    * compaction's one-off `order_by` override). */
+  private[sources] def clusterWith(spec: Seq[String], df: DataFrame,
+      numPartitions: Option[Int]): DataFrame = {
+    val cs = clusterColumns(spec, df)
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, cs: _*)
+      case None => df.repartitionByRange(cs: _*)
+    }
+    ranged.sortWithinPartitions(cs: _*)
+  }
 
   /** Land `df` under an immutable nonce data dir for version `v` and
     * return the fully qualified paths of the parquet files written.
@@ -746,19 +759,25 @@ object VersionedTable {
     * keep serving untouched (compaction is just another snapshot
     * commit); [[vacuum]] reclaims the superseded small files once the
     * retention horizon passes them. Returns the new version. */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int): Int = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int,
+      orderBy: Option[String] = None): Int = {
     require(targetFiles >= 1,
       s"compaction needs at least one output file, got $targetFiles")
     // content-preserving rewrite: snapshot META (epoch markers) must
     // survive, unlike a user INSERT OVERWRITE which replaces the table
     val v = headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-    // declared clustering wins over a plain round-robin repartition:
-    // compaction is exactly when the table re-earns its layout
-    val out =
-      if (clusteringSpec(spark, dir).isDefined)
-        clusterFor(spark, dir, read(spark, dir), Some(targetFiles))
-      else read(spark, dir).repartition(targetFiles)
+    // layout priority: an explicit one-off `orderBy` (Delta's OPTIMIZE
+    // ZORDER BY — same term syntax as graft.write.ordered-by, incl.
+    // morton2(a,b)) wins over the table's declared clustering, which
+    // wins over a plain round-robin repartition: compaction is exactly
+    // when the table re-earns its layout
+    val spec = orderBy.flatMap(parseClusterSpec)
+      .orElse(clusteringSpec(spark, dir))
+    val out = spec match {
+      case Some(s) => clusterWith(s, read(spark, dir), Some(targetFiles))
+      case None => read(spark, dir).repartition(targetFiles)
+    }
     commitAs(spark, out, dir, nextVersion(spark, dir),
       carryForward = false, meta = snapshotOf(spark, dir, v).meta,
       applyDeclaredClustering = false, op = Some("compact"))
@@ -887,8 +906,10 @@ object VersionedTable {
     * default (15 min) comfortably covers a commit's write-to-rename
     * window; tests and single-writer callers pass 0 explicitly. */
   def vacuum(spark: SparkSession, dir: String, keep: Int,
-      graceMs: Long = DefaultVacuumGraceMs): Seq[String] =
-    vacuumApply(spark, dir, vacuumPlan(spark, dir, keep, graceMs))
+      graceMs: Long = DefaultVacuumGraceMs,
+      retainMs: Long = 0L): Seq[String] =
+    vacuumApply(spark, dir,
+      vacuumPlan(spark, dir, keep, graceMs, retainMs))
 
   /** What [[vacuum]] would reclaim, computed WITHOUT deleting anything
     * — the `dry_run` surface (Delta's `VACUUM ... DRY RUN`).
@@ -903,11 +924,17 @@ object VersionedTable {
       soloFiles: Seq[String], manifests: Seq[String],
       reported: Seq[String], reclaimedBytes: Long)
 
+  /** `retainMs > 0` adds TIME-based retention (Delta's
+    * `RETAIN n HOURS`): every version whose manifest is younger than
+    * `now - retainMs` stays serveable regardless of the count window —
+    * the "time travel works for the last N days" operating contract. */
   def vacuumPlan(spark: SparkSession, dir: String, keep: Int,
-      graceMs: Long = DefaultVacuumGraceMs): VacuumPlan = {
+      graceMs: Long = DefaultVacuumGraceMs,
+      retainMs: Long = 0L): VacuumPlan = {
     require(keep >= 1, s"vacuum must keep at least one version, got $keep")
     val f = fs(spark, dir)
     val horizon = System.currentTimeMillis() - graceMs
+    val retainHorizon = System.currentTimeMillis() - retainMs
     latestVersion(spark, dir) match {
       case None => VacuumPlan(Nil, Nil, Nil, Nil, 0L)
       case Some(latest) =>
@@ -918,9 +945,16 @@ object VersionedTable {
         val cutoff = math.max(0, head - keep + 1)
         // tagged versions and branch HEADS are retention PINS: their
         // manifests and files stay serveable below the horizon
-        // ([[createTag]], [[createBranch]])
+        // ([[createTag]], [[createBranch]]); young manifests are
+        // time-pinned when retainMs is set
+        val timePinned: Set[Int] =
+          if (retainMs <= 0) Set.empty
+          else f.listStatus(manifestDir(dir)).toSeq
+            .filter(s => s.getPath.getName.matches("\\d+\\.txt") &&
+              s.getModificationTime >= retainHorizon)
+            .map(_.getPath.getName.stripSuffix(".txt").toInt).toSet
         val tagged = tags(spark, dir).values.toSet ++
-          branches(spark, dir).values.toSet
+          branches(spark, dir).values.toSet ++ timePinned
         val kept = ((cutoff to latest) ++ tagged).distinct.sorted
           .filter(v => f.exists(new Path(manifestDir(dir), s"$v.txt")))
           // a branch-labeled manifest in the window survives only as

@@ -90,6 +90,55 @@ class GraftLakeProcSpec extends SparkSpec {
       .getLong(0) === 9L)
   }
 
+  test("compact order_by gives an unclustered table disjoint per-file " +
+      "key ranges (OPTIMIZE ZORDER shape)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    // interleaved inserts: arrival order scatters k across files
+    spark.sql(s"INSERT INTO $cat.t SELECT id * 2, id FROM range(500)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id * 2 + 1, id FROM range(500)")
+    val dir = s"$root/t"
+    val r = spark.sql(s"CALL $cat.system.compact(table => 't', " +
+      "target_files => 3, order_by => 'k')").collect()(0)
+    assert(r.getInt(1) >= 2, "want multiple output files")
+    val v = VersionedTable.latestVersion(spark, dir).get
+    val snap = VersionedTable.snapshotOf(spark, dir, v)
+    val ranges = snap.dataFiles.flatMap(p =>
+      snap.stats.get(p).flatMap(_.cols.get("k")).flatMap(c =>
+        for { mn <- c.min; mx <- c.max } yield
+          (mn.asInstanceOf[Number].longValue(),
+            mx.asInstanceOf[Number].longValue())))
+    assert(ranges.size === snap.dataFiles.size)
+    assert(ranges.sortBy(_._1).sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"order_by compaction must produce disjoint ranges: $ranges")
+    // content preserved
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.t").collect()(0)
+      .getLong(0) === 1000L)
+  }
+
+  test("vacuum retain_ms time-pins young versions below the count " +
+      "window") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1), (2)")  // v1
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (9)")  // v2: v1 files dead
+    val timePinned = spark.sql(
+      s"CALL $cat.system.vacuum(table => 't', keep => 1, " +
+        "grace_ms => 0L, retain_ms => 3600000L)").collect()(0)
+    assert(timePinned.getInt(0) === 0,
+      "versions younger than retain_ms must survive")
+    // time travel below the count horizon still serves
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 3L)
+    val reclaimed = spark.sql(
+      s"CALL $cat.system.vacuum(table => 't', keep => 1, " +
+        "grace_ms => 0L)").collect()(0)
+    assert(reclaimed.getInt(0) > 0)
+    val _ = root
+  }
+
   test("vacuum dry_run reports the reclaimable set without deleting") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
