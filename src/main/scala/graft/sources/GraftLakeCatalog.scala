@@ -201,8 +201,30 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       changes: TableChange*): Table = {
     val d = dirOf(ident)
     if (!isTable(d)) throw new NoSuchTableException(ident)
+    // SET/UNSET TBLPROPERTIES: merge into the _properties file (same
+    // 'graft.'-only validation and tmp+rename publish as CREATE).
+    // Declaring clustering on an existing table affects FUTURE writes
+    // only — compaction is how the table re-earns its layout.
+    val (propChanges, rest) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) {
+      val cur = GraftLakeTable.readProperties(spark, d)
+      val next = new util.HashMap[String, String](cur)
+      propChanges.foreach {
+        case s: TableChange.SetProperty =>
+          next.put(s.property(), s.value())
+        case r: TableChange.RemoveProperty =>
+          next.remove(r.property())
+        case _ => ()
+      }
+      GraftLakeTable.writeProperties(spark, d, next)
+      if (rest.isEmpty) return loadTable(ident)
+    }
     val current = (loadTable(ident): Table).schema()
-    val widened = changes.foldLeft(current) {
+    val widened = rest.foldLeft(current) {
       case (sch, add: TableChange.AddColumn) =>
         if (add.fieldNames().length != 1)
           throw new UnsupportedOperationException(
@@ -607,9 +629,9 @@ object GraftLakeTable {
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       "graft lake tables only persist 'graft.'-prefixed table " +
         s"properties; unsupported: ${unsupported.toSeq.sorted.mkString(", ")}")
+    val f = FileSystem.get(new Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
     if (user.nonEmpty) {
-      val f = FileSystem.get(new Path(dir).toUri,
-        spark.sparkContext.hadoopConfiguration)
       // tmp + rename: same publish discipline as manifests — a crash
       // mid-write must not leave a truncated properties file
       val tmp = new Path(dir,
@@ -623,6 +645,11 @@ object GraftLakeTable {
       if (!f.rename(tmp, propsPath(dir)))
         throw new IllegalStateException(
           s"failed to publish table properties at $dir")
+    } else {
+      // UNSET of the last property: an orphaned file would make
+      // SHOW TBLPROPERTIES lie (no-op when the file never existed)
+      f.delete(propsPath(dir), false)
+      ()
     }
   }
 

@@ -65,11 +65,20 @@ final class GraftLakeStreamProvider extends TableProvider
       .getOrElse(throw new IllegalArgumentException(
         "graft-lake stream requires option 'dir' (table directory)"))
 
+  private def branchFrom(
+      options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("branch")).map(_.trim).filter(_.nonEmpty)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = dirFrom(options)
-    val v = VersionedTable.headVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val v = branchFrom(options) match {
+      case Some(b) => VersionedTable.branches(spark, dir).getOrElse(b,
+        throw new IllegalArgumentException(
+          s"no branch '$b' to stream at $dir"))
+      case None => VersionedTable.headVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $dir"))
+    }
     val snap = VersionedTable.snapshotOf(spark, dir, v)
     val data = spark.read.option("mergeSchema", "true")
       .parquet(snap.dataFiles: _*).schema
@@ -88,17 +97,20 @@ final class GraftLakeStreamProvider extends TableProvider
       startingVersion =
         Option(options.get("startingVersion")).map(_.toInt),
       maxVersionsPerTrigger =
-        options.getInt("maxVersionsPerTrigger", 1))
+        options.getInt("maxVersionsPerTrigger", 1),
+      branch = branchFrom(options))
   }
 }
 
 private[sources] final class GraftLakeStreamTable(dir: String,
     outputSchema: StructType, changeFeed: Boolean,
-    startingVersion: Option[Int], maxVersionsPerTrigger: Int)
+    startingVersion: Option[Int], maxVersionsPerTrigger: Int,
+    branch: Option[String])
     extends Table with SupportsRead {
 
   override def name(): String =
-    s"graft-lake-stream($dir${if (changeFeed) ", cdf" else ""})"
+    s"graft-lake-stream($dir${if (changeFeed) ", cdf" else ""}" +
+      s"${branch.map(b => s", branch=$b").getOrElse("")})"
 
   override def schema(): StructType = outputSchema
 
@@ -118,7 +130,7 @@ private[sources] final class GraftLakeStreamTable(dir: String,
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
         new GraftLakeMicroBatchStream(dir, dataSchema, changeFeed,
-          startingVersion, maxVersionsPerTrigger)
+          startingVersion, maxVersionsPerTrigger, branch)
     }
   }
 }
@@ -150,9 +162,25 @@ private[sources] object LakeStreamOffset {
 
 private[sources] final class GraftLakeMicroBatchStream(dir: String,
     dataSchema: StructType, changeFeed: Boolean,
-    startingVersion: Option[Int], maxVersionsPerTrigger: Int)
+    startingVersion: Option[Int], maxVersionsPerTrigger: Int,
+    branch: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  /** The line this stream follows: with `branch`, its head and ONLY
+    * its labeled commits; without, main\'s head and only unlabeled
+    * commits (branch-staged rows arrive via the fast-forward delta). */
+  private def lineHead: Option[Int] = branch match {
+    case Some(b) => VersionedTable.branches(spark, dir).get(b)
+    case None => VersionedTable.headVersion(spark, dir)
+  }
+
+  private def onLine(sn: VersionedTable.Snapshot): Boolean =
+    branch match {
+      case Some(b) =>
+        sn.meta.get(VersionedTable.BranchMetaKey).contains(b)
+      case None => !sn.meta.contains(VersionedTable.BranchMetaKey)
+    }
 
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
@@ -162,13 +190,15 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
   /** Pinned at stream construction: the snapshot a fresh stream
     * delivers first (plain mode without startingVersion). */
   private lazy val startSnapshotV: Int =
-    VersionedTable.headVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $dir"))
+    lineHead.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version${branch.map(b => s" on branch \'$b\'")
+          .getOrElse("")} at $dir"))
 
   @volatile private var availableNowTarget: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = VersionedTable.headVersion(spark, dir)
+    availableNowTarget = lineHead
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -185,7 +215,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = asLake(start)
-    val latest = VersionedTable.headVersion(spark, dir).getOrElse(s.v)
+    val latest = lineHead.getOrElse(s.v)
     val target = availableNowTarget.map(math.min(_, latest))
       .getOrElse(latest)
     if (s.origin) {
@@ -198,7 +228,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
   }
 
   override def reportLatestOffset(): Offset = {
-    val latest = VersionedTable.headVersion(spark, dir)
+    val latest = lineHead
     latest.map(LakeStreamOffset(_, origin = false)).orNull
   }
 
@@ -251,14 +281,15 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
           masks.getOrElse(norm(f), Array.emptyLongArray), "insert", e.v))
       }
     } else {
-      // the diff base is the last MAIN-LINE snapshot at or below the
+      // the diff base is the last ON-LINE snapshot at or below the
       // start offset: offsets chunked by maxVersionsPerTrigger can
-      // land on a branch-staged version, and diffing against the
-      // branch would hide its files from the later fast-forward delta
+      // land on another line\'s version, and diffing against it would
+      // corrupt the delta (e.g. hide staged files from the later
+      // fast-forward delta on the main line)
       var prev = {
         var i = s.v
         var sn = snapshotOr(i)
-        while (i >= 0 && sn.meta.contains(VersionedTable.BranchMetaKey)) {
+        while (i >= 0 && !onLine(sn)) {
           i -= 1
           sn = snapshotOr(i)
         }
@@ -266,10 +297,11 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
       }
       ((s.v + 1) to e.v).foreach { v =>
         val cur = snapshotOr(v)
-        // branch-staged manifests are NOT main-line commits: skip them
-        // entirely (their rows reach the stream only through the
-        // fast-forward manifest that publishes them to main)
-        if (cur.meta.contains(VersionedTable.BranchMetaKey)) ()
+        // other lines\' manifests are not this stream\'s commits: skip
+        // them entirely (main skips branch-staged versions — their
+        // rows arrive via fast-forward; a branch stream skips main
+        // and other branches)
+        if (!onLine(cur)) ()
         else {
         val prevData = prev.dataFiles.toSet
         val curData = cur.dataFiles.toSet

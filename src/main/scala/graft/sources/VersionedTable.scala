@@ -724,10 +724,12 @@ object VersionedTable {
     * (overwrite, COW rewrite, compaction) or added merge-on-read
     * masks fails that batch loudly — use [[changeFeedStream]] for
     * row-level +/- deltas instead, or stream from a clone. */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
+  def readStream(spark: SparkSession, dir: String,
+      branch: Option[String] = None): DataFrame = {
     latestVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-    spark.readStream.format("graft-lake").option("dir", dir).load()
+    val r = spark.readStream.format("graft-lake").option("dir", dir)
+    branch.fold(r)(b => r.option("branch", b)).load()
   }
 
   /** STREAMING CHANGE FEED (Delta CDF's streaming mode): row-level

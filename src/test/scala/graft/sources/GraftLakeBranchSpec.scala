@@ -185,6 +185,49 @@ class GraftLakeBranchSpec extends SparkSpec {
       "fast-forward delivers the staged rows exactly once")
   }
 
+  test("a branch stream follows ONLY its branch's commits") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_branch_bs_${java.util.UUID.randomUUID()}"
+    val ckpt = s"/tmp/graft_branch_bck_${java.util.UUID.randomUUID()}"
+    VersionedTable.commit(spark, Seq(1).toDF("k"), dir,
+      carryForward = false)                                   // v0 main
+    VersionedTable.commit(spark, Seq(10).toDF("k"), dir,
+      branch = Some("exp"))                                   // v1 exp
+    VersionedTable.commit(spark, Seq(2).toDF("k"), dir)       // v2 main
+    VersionedTable.commit(spark, Seq(11).toDF("k"), dir,
+      branch = Some("exp"))                                   // v3 exp
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def drain(): Unit = {
+      val q = VersionedTable.readStream(spark, dir, Some("exp"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("k").collect().foreach(r => out.add(r.getInt(0)))
+          ()
+        }.start()
+      q.awaitTermination(60000)
+      ()
+    }
+    // first drain: the branch head snapshot (base + both staged rows)
+    drain()
+    assert(out.asScala().toSeq.sorted === Seq(1, 10, 11),
+      "branch snapshot = base + staged deltas, no unrelated main rows")
+    // main appends don't reach the branch stream; a new staged commit does
+    VersionedTable.commit(spark, Seq(3).toDF("k"), dir)       // v4 main
+    VersionedTable.commit(spark, Seq(12).toDF("k"), dir,
+      branch = Some("exp"))                                   // v5 exp
+    drain()
+    assert(out.asScala().toSeq.sorted === Seq(1, 10, 11, 12),
+      "only the branch's own delta streams")
+    // unknown branch refuses loudly
+    val e = intercept[Exception] {
+      VersionedTable.readStream(spark, dir, Some("nope"))
+        .writeStream.format("noop").start()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   private implicit class QueueOps(
       q: java.util.concurrent.ConcurrentLinkedQueue[Int]) {
     def asScala(): Seq[Int] = {

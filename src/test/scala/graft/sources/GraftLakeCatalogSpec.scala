@@ -496,4 +496,45 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1")
       .columns.toSeq === Seq("k"))
   }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES declares clustering on an " +
+      "existing table; non-graft keys reject") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id * 2, id FROM range(400)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id * 2 + 1, id FROM range(400)")
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES(" +
+      "'graft.write.ordered-by'='k')")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .get("graft.write.ordered-by") === Some("k"))
+    // compaction now applies the newly declared layout: disjoint
+    // per-file key ranges from the manifest stats
+    spark.sql(s"CALL $cat.system.compact(table => 't', " +
+      "target_files => 3)")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val dir = s"$root/t"
+    val v = VersionedTable.latestVersion(spark, dir).get
+    val snap = VersionedTable.snapshotOf(spark, dir, v)
+    val ranges = snap.dataFiles.flatMap(p =>
+      snap.stats.get(p).flatMap(_.cols.get("k")).flatMap(c =>
+        for { mn <- c.min; mx <- c.max } yield
+          (mn.asInstanceOf[Number].longValue(),
+            mx.asInstanceOf[Number].longValue())))
+    assert(ranges.size === snap.dataFiles.size && ranges.size >= 2)
+    assert(ranges.sortBy(_._1).sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"declared-after-the-fact clustering must apply: $ranges")
+    // UNSET removes the declaration
+    spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES(" +
+      "'graft.write.ordered-by')")
+    assert(!spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .map(_.getString(0)).contains("graft.write.ordered-by"))
+    // non-graft keys still reject loudly (no silent drops)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('foo'='bar')")
+    }
+    assert(e.getMessage.contains("graft."))
+  }
 }
