@@ -55,7 +55,7 @@ final class GraftLakeVersionsTable(tableName: String, dir: String)
         // counter audits ALL footer IO this table performs
         def footerRows(p: String): Long =
           LakeFileStats.read(p, conf).rowCount
-        val rows: Array[(Int, Int, Long, String)] =
+        val rows: Array[(Int, Int, Long, String, String)] =
           (0 to latest.getOrElse(-1)).flatMap { v =>
             // vacuum may have retired low versions; skip gaps
             val snap = try VersionedTable.snapshotOf(s, dir, v) catch {
@@ -73,7 +73,8 @@ final class GraftLakeVersionsTable(tableName: String, dir: String)
               val n = sn.dataFiles.map(rowsOf).sum -
                 sn.deleteFiles.map(rowsOf).sum
               (v, sn.dataFiles.size, n,
-                sn.meta.getOrElse(VersionedTable.OpMetaKey, null))
+                sn.meta.getOrElse(VersionedTable.OpMetaKey, null),
+                sn.meta.getOrElse(VersionedTable.BranchMetaKey, null))
             }
           }.toArray
         new GraftLakeVersionsBatch(rows)
@@ -88,6 +89,11 @@ object GraftLakeVersionsTable {
     StructField("n_files", IntegerType, nullable = false),
     StructField("total_rows", LongType, nullable = false),
     StructField("operation", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    // NULL on main-line commits; the staging branch's name on
+    // branch-labeled manifests — history shows WHAT each numbered
+    // version was staged on
+    StructField("branch", org.apache.spark.sql.types.StringType,
       nullable = true)))
 
   /** `<cat>.<table>.versions` / `.refs` / `.files` resolve here when
@@ -215,7 +221,7 @@ object GraftLakeFilesTable {
 }
 
 private final class GraftLakeVersionsBatch(
-    rows: Array[(Int, Int, Long, String)]) extends Batch {
+    rows: Array[(Int, Int, Long, String, String)]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     Array(new GraftLakeVersionsPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
@@ -227,9 +233,11 @@ private final class GraftLakeVersionsBatch(
           private var i = -1
           override def next(): Boolean = { i += 1; i < data.length }
           override def get(): InternalRow = {
-            val (v, nf, nr, op) = data(i)
+            val (v, nf, nr, op, br) = data(i)
             InternalRow(v, nf, nr,
               Option(op).map(org.apache.spark.unsafe.types.UTF8String
+                .fromString).orNull,
+              Option(br).map(org.apache.spark.unsafe.types.UTF8String
                 .fromString).orNull)
           }
           override def close(): Unit = ()
@@ -239,4 +247,4 @@ private final class GraftLakeVersionsBatch(
 }
 
 private final class GraftLakeVersionsPartition(
-    val rows: Array[(Int, Int, Long, String)]) extends InputPartition
+    val rows: Array[(Int, Int, Long, String, String)]) extends InputPartition

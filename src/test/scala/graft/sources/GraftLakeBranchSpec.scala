@@ -89,10 +89,15 @@ class GraftLakeBranchSpec extends SparkSpec {
       "branch => 'etl_audit')").collect()(0)
     assert(spark.sql(s"SELECT sum(k) FROM $cat.t").collect()(0)
       .getLong(0) === 10L)
-    // the published version is a main-line commit: history labels it
-    val hist = spark.sql(s"SELECT operation FROM $cat.t.versions " +
-      s"WHERE version = ${r.getInt(0)}").collect()
+    // the published version is a main-line commit: history labels it,
+    // and the versions table shows which line each commit staged on
+    val hist = spark.sql(s"SELECT operation, branch " +
+      s"FROM $cat.t.versions WHERE version = ${r.getInt(0)}").collect()
     assert(hist.map(_.getString(0)).toSeq === Seq("fast-forward"))
+    assert(hist.forall(_.isNullAt(1)), "fast-forward is main-line")
+    val staged = spark.sql(s"SELECT version FROM $cat.t.versions " +
+      "WHERE branch = 'etl_audit'").collect()
+    assert(staged.nonEmpty, "history must show the staged commit's line")
     val _ = root
   }
 
