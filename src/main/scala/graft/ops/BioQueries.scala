@@ -1824,6 +1824,53 @@ object BioQueries {
       |     range(4) c2(dy), range(4) d(dx)
       |GROUP BY tt, my, mx ORDER BY t, m""".stripMargin
 
+  // ---------------------------------------------------------------- b50
+  /** VERSIONED IMAGING DATASET — the bio tier composed with the lake
+    * tier ([[graft.sources.VersionedTable]]): an image's long-form
+    * plane pixels commit as snapshot v0, a calibration pass
+    * (brightness +10) publishes v1 as an atomic overwrite, and BOTH
+    * datasets stay addressable — the head read serves the calibrated
+    * pixels while `VERSION AS OF 0` reproduces the original
+    * bit-for-bit. This is the "the snapshot we trained on stays
+    * reproducible" contract applied to imaging data: a 100 TB plane
+    * store re-calibrated in place keeps every prior training run's
+    * input addressable by version (and taggable, vacuumable, and
+    * streamable like any lake table). The oracle restates both
+    * versions arithmetically from the tabulated pixel function. */
+  val b50VersionedPlanes: Q = (spark, _) => {
+    import graft.sources.VersionedTable
+    val arr = NDArray.tabulate(Seq(2, 3, 4))(idx =>
+      idx(0) * 100.0 + idx(1) * 10.0 + idx(2))
+    val img = new graft.image.BioImage(spark,
+      ArrayLikeReader.multi(Seq(arr)))
+    val px = img.getImagePixels()
+      .select(col("z").cast("long").as("z"),
+        col("y").cast("long").as("y"),
+        col("x").cast("long").as("x"), col("v"))
+    val dir = s"/tmp/graft_b50_${java.util.UUID.randomUUID()}"
+    VersionedTable.commit(spark, px, dir, carryForward = false) // v0
+    VersionedTable.commit(spark,                                 // v1
+      px.withColumn("v", col("v") + 10.0d), dir, carryForward = false,
+      op = Some("calibrate"))
+    def branch(name: String, version: Option[Int]) =
+      VersionedTable.read(spark, dir, version)
+        .select(lit(name).as("snapshot"), col("z"), col("y"),
+          col("x"), col("v"))
+    branch("calibrated", None)        // head = v1
+      .unionAll(branch("original", Some(0)))
+      .orderBy(col("snapshot"), col("z"), col("y"), col("x"))
+  }
+
+  val b50Oracle: String =
+    """SELECT * FROM (
+      |  SELECT 'calibrated' AS snapshot, z, y, x,
+      |    CAST(z*100 + y*10 + x + 10 AS DOUBLE) AS v
+      |  FROM range(2) a(z), range(3) b(y), range(4) c(x)
+      |  UNION ALL
+      |  SELECT 'original', z, y, x, CAST(z*100 + y*10 + x AS DOUBLE)
+      |  FROM range(2) a(z), range(3) b(y), range(4) c(x)
+      |) ORDER BY snapshot, z, y, x""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "b01_ome_ids" -> b01OmeIds,
     "b02_dim_guess" -> b02DimGuess,
@@ -1874,6 +1921,7 @@ object BioQueries {
     "b47_avi_motion" -> b47AviMotion,
     "b48_bilinear_resize" -> b48BilinearResize,
     "b49_v2_source" -> b49V2Source,
+    "b50_versioned_planes" -> b50VersionedPlanes,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1926,5 +1974,6 @@ object BioQueries {
     "b47_avi_motion" -> b47Oracle,
     "b48_bilinear_resize" -> b48Oracle,
     "b49_v2_source" -> b49Oracle,
+    "b50_versioned_planes" -> b50Oracle,
   )
 }
