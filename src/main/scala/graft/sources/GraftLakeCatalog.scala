@@ -400,11 +400,11 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     * (`SET spark.graft.wap.branch = audit_x`, Iceberg's WAP contract):
     * while set, this table's default READS resolve the branch head
     * (falling back to main if the table has no such branch yet) and
-    * batch APPENDS/OVERWRITES stage onto the branch instead of main —
-    * audit the staged state by the same table name, then
+    * batch APPENDS/OVERWRITES and row-level DML (UPDATE/MERGE/DELETE,
+    * rebased onto the branch head) stage onto the branch instead of
+    * main — audit the staged state by the same table name, then
     * `CALL system.fast_forward` to publish or drop the branch to
-    * discard. Row-level DML, TRUNCATE, and streaming writes refuse
-    * under WAP (stage those directly via branch commits if needed). */
+    * discard. TRUNCATE and streaming writes refuse under WAP. */
   private def wapBranch: Option[String] =
     Option(spark.conf.get(GraftLakeTable.WapBranchConf, null))
       .map(_.trim).filter(_.nonEmpty)
@@ -426,10 +426,12 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     if (version.isDefined) throw new UnsupportedOperationException(
       s"cannot modify time-travel snapshot ${ident.toString} " +
         s"VERSION AS OF ${version.get}")
-    refuseUnderWap("row-level DML")
+    // under WAP the rewrite bases on the branch head and its commit
+    // stages onto the branch — DML participates in write-audit-publish
+    val wap = wapBranch
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftLakeRowLevelOperation(dir, info.command, schema())
+        new GraftLakeRowLevelOperation(dir, info.command, schema(), wap)
     }
   }
 
@@ -506,6 +508,10 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     * empty commit. */
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     version.isEmpty &&
+      // the metadata-delete shortcut targets MAIN ([[VersionedTable
+      // .deleteWhere]]); under WAP, declining here routes the DELETE
+      // through the row-level operation, which stages on the branch
+      wapBranch.isEmpty &&
       predicates.forall(p =>
         PredicateBridge.toV1(p).flatMap(GraftLakeTable.toColumn).isDefined)
 

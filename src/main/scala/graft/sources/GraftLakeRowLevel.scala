@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * .vacuum]] reclaims replaced files after retention.
   */
 final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
-    schema: StructType) extends RowLevelOperation {
+    schema: StructType, branch: Option[String] = None)
+    extends RowLevelOperation {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -60,11 +61,17 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
     * operation eagerly even for deletes the optimizer later converts
     * to the metadata-only path — eager IO here would tax those): the
     * statement reads and replaces the table's HEAD (branch-staged
-    * manifests are not the table), and the commit publishes the next
-    * free version number. */
-  private lazy val pinnedV: Int =
-    VersionedTable.headVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $dir"))
+    * manifests are not the table) — or, under a WAP branch, THAT
+    * branch's head (created at the main head on first use) — and the
+    * commit publishes the next free version number, labeled and
+    * ref-advanced when staged. */
+  private lazy val pinnedV: Int = branch match {
+    case Some(b) => VersionedTable.ensureBranch(spark, dir, b)
+    case None =>
+      VersionedTable.headVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $dir"))
+  }
   private lazy val snap: VersionedTable.Snapshot =
     VersionedTable.snapshotOf(spark, dir, pinnedV)
   private def snapshotFiles: Seq[String] = snap.dataFiles
@@ -179,10 +186,19 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
               val deletes =
                 if (kept.isEmpty) Seq.empty[String] else snap.deleteFiles
               // carried files keep manifest stats by reference; only
-              // the fresh files' footers are read at publish
+              // the fresh files' footers are read at publish. Staged
+              // (WAP) DML labels the manifest and advances the branch
+              // ref — main is untouched until fast_forward.
+              val meta = branch match {
+                case Some(b) =>
+                  snap.meta + (VersionedTable.BranchMetaKey -> b)
+                case None => snap.meta
+              }
               VersionedTable.publishVersion(s, dir, newV, kept ++ fresh,
-                deletes, snap.stats, snap.meta,
+                deletes, snap.stats, meta,
                 op = cmd.toString.toLowerCase)
+              branch.foreach(b =>
+                VersionedTable.moveBranch(s, dir, b, newV))
               ()
             }
             override def abort(msgs: Array[WriterCommitMessage]): Unit =

@@ -59,19 +59,25 @@ object VersionedTable {
       commitAs(spark, df, dir, nextVersion(spark, dir), carryForward,
         op = op, baseVersion = headVersion(spark, dir))
     case Some(b) =>
-      val base = branches(spark, dir).get(b).getOrElse {
-        val h = headVersion(spark, dir).getOrElse(
-          throw new IllegalArgumentException(
-            s"cannot stage branch '$b': no committed version at $dir"))
-        createBranch(spark, dir, b, h)
-        h
-      }
+      val base = ensureBranch(spark, dir, b)
       val v = commitAs(spark, df, dir, nextVersion(spark, dir),
         carryForward, meta = Map(BranchMetaKey -> b), op = op,
         baseVersion = Some(base))
       moveBranch(spark, dir, b, v)
       v
   }
+
+  /** The branch's head, creating the branch at the MAIN head on first
+    * use (Iceberg's implicit wap.branch creation). */
+  private[sources] def ensureBranch(spark: SparkSession, dir: String,
+      name: String): Int =
+    branches(spark, dir).getOrElse(name, {
+      val h = headVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot stage branch '$name': no committed version at $dir"))
+      createBranch(spark, dir, name, h)
+      h
+    })
 
   /** Publish `df` as the EXPLICIT version `v` — the raw commit point,
     * exposed so the two-committer race is deterministically testable.
@@ -460,7 +466,7 @@ object VersionedTable {
     * branch is the operating assumption, as with Delta) — but the
     * manifest the ref points at is immutable, so readers only ever
     * see a fully published snapshot or a loud missing-ref error. */
-  private def moveBranch(spark: SparkSession, dir: String, name: String,
+  private[sources] def moveBranch(spark: SparkSession, dir: String, name: String,
       version: Int): Unit = {
     require(branches(spark, dir).contains(name),
       s"no branch '$name' at $dir")

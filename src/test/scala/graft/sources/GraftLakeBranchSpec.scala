@@ -101,11 +101,11 @@ class GraftLakeBranchSpec extends SparkSpec {
     val _ = root
   }
 
-  test("WAP: row-level DML, TRUNCATE, and a second table's reads " +
-      "without the branch fall back to main") {
+  test("WAP: row-level DML stages on the branch; TRUNCATE refuses; " +
+      "a second table's reads without the branch fall back to main") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.a (k INT)")
-    spark.sql(s"INSERT INTO $cat.a VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.a VALUES (1), (5)")
     spark.sql(s"CREATE TABLE $cat.b (k INT)")
     spark.sql(s"INSERT INTO $cat.b VALUES (7)")
     withWap("wip") {
@@ -113,19 +113,33 @@ class GraftLakeBranchSpec extends SparkSpec {
       // b has no 'wip' branch: reads fall back to its main head
       assert(spark.sql(s"SELECT sum(k) FROM $cat.b").collect()(0)
         .getLong(0) === 7L)
-      val e = intercept[UnsupportedOperationException] {
-        spark.sql(s"UPDATE $cat.a SET k = 9 WHERE k = 1")
-      }
-      assert(e.getMessage.contains("wap"))
+      // UPDATE/DELETE rebase on the BRANCH head and stage onto it
+      spark.sql(s"UPDATE $cat.a SET k = 9 WHERE k = 1")
+      spark.sql(s"DELETE FROM $cat.a WHERE k = 5")
+      assert(spark.sql(s"SELECT sum(k) FROM $cat.a").collect()(0)
+        .getLong(0) === 11L, "staged view: {9, 2}")
       val t = intercept[UnsupportedOperationException] {
         spark.sql(s"TRUNCATE TABLE $cat.a")
       }
       assert(t.getMessage.contains("wap"))
     }
-    // discard the staged work
-    assert(spark.sql(s"CALL $cat.system.drop_branch(table => 'a', " +
-      "branch => 'wip')").collect()(0).getBoolean(0))
-    assert(spark.sql(s"SELECT count(*) FROM $cat.a").collect()(0)
+    // main untouched by ANY of the staged statements
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.a").collect()(0)
+      .getLong(0) === 6L)
+    // publish, then the staged DML is the table
+    spark.sql(s"CALL $cat.system.fast_forward(table => 'a', " +
+      "branch => 'wip')")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.a").collect()(0)
+      .getLong(0) === 11L)
+    // and a discarded branch leaves no trace (new branch on b)
+    withWap("scrap") {
+      spark.sql(s"DELETE FROM $cat.b WHERE k = 7")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.b").collect()(0)
+        .getLong(0) === 0L)
+    }
+    assert(spark.sql(s"CALL $cat.system.drop_branch(table => 'b', " +
+      "branch => 'scrap')").collect()(0).getBoolean(0))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.b").collect()(0)
       .getLong(0) === 1L)
   }
 
