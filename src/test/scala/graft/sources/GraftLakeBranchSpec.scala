@@ -247,6 +247,51 @@ class GraftLakeBranchSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("change feed composes with branch scope: row-level +/- deltas " +
+      "of the staged line only") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_branch_cf_${java.util.UUID.randomUUID()}"
+    val ckpt = s"/tmp/graft_branch_cfk_${java.util.UUID.randomUUID()}"
+    VersionedTable.commit(spark, Seq(1).toDF("k"), dir,
+      carryForward = false)                                   // v0 main
+    VersionedTable.commit(spark, Seq(10).toDF("k"), dir,
+      branch = Some("exp"))                                   // v1 exp
+    VersionedTable.commit(spark, Seq(20).toDF("k"), dir,
+      carryForward = false, branch = Some("exp"))             // v2 exp ow
+    val out =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Int)]()
+    val q = spark.readStream.format("graft-lake")
+      .option("dir", dir).option("changeFeed", "true")
+      .option("branch", "exp").option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "10")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_change_type", "_commit_version", "k").collect()
+          .foreach(r => out.add((r.getString(0), r.getInt(1),
+            r.getInt(2))))
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    val events = {
+      val b = Seq.newBuilder[(String, Int, Int)]
+      out.forEach(e => b += e)
+      b.result().sorted
+    }
+    // replay from 0 on branch scope: main's v0 is not on the line, so
+    // the branch's first commit delivers its FULL state as inserts;
+    // the staged overwrite then deletes it and inserts the new state
+    assert(events === Seq(
+      ("delete", 2, 1), ("delete", 2, 10),
+      ("insert", 1, 1), ("insert", 1, 10), ("insert", 2, 20)))
+    // folding the ops per key leaves exactly the branch head's state
+    assert(VersionedTable.read(spark, dir,
+      Some(VersionedTable.branches(spark, dir)("exp")))
+      .as[Int].collect().toSeq === Seq(20))
+  }
+
   private implicit class QueueOps(
       q: java.util.concurrent.ConcurrentLinkedQueue[Int]) {
     def asScala(): Seq[Int] = {
