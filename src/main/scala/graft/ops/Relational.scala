@@ -2626,6 +2626,52 @@ object Relational {
       | TRUE AS ranges_disjoint
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  /** `_file` METADATA COLUMN — Iceberg's `_file`
+    * ([[graft.sources.LakeFileColumnScan]], SupportsMetadataColumns):
+    * per-row data-file lineage resolved only when referenced, with
+    * split granularity and filter pushdown preserved (splits re-plan
+    * one-per-partition and the reader appends the path as a
+    * per-partition constant). The query groups the table BY `_file`
+    * and cross-checks the result against the `.files` metadata table:
+    * the observed path set equals the manifest's data files exactly,
+    * and every per-file observed count equals that file's manifest
+    * row count — scan-level lineage and manifest bookkeeping agree
+    * row-for-row. Total hash-gates against DuckDB. */
+  val q196FileLineage: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakefl_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q196_$nonce")
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .createOrReplaceTempView(s"q196_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t (l_orderkey BIGINT, " +
+      "l_quantity DOUBLE) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='l_orderkey')")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM q196_src_$nonce")
+    val observed = spark.sql(
+      s"SELECT _file, count(*) AS n FROM $cat.t GROUP BY _file")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val manifest = spark.sql(
+      s"SELECT file_path, row_count FROM $cat.t.files " +
+        "WHERE content = 'data' AND row_count > 0")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val pathsMatch = observed.keySet == manifest.keySet
+    val countsMatch = observed.forall { case (p, n) =>
+      manifest.get(p).contains(n) }
+    import spark.implicits._
+    Seq((observed.values.sum, pathsMatch, countsMatch))
+      .toDF("total_rows", "paths_match_manifest", "counts_match")
+  }
+
+  val q196Oracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+      | TRUE AS paths_match_manifest, TRUE AS counts_match
+      |FROM lineitem""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -3431,6 +3477,7 @@ object Relational {
     "q193_lake_rgf_merge" -> q193LakeRgfMerge,
     "q194_lake_wap" -> q194LakeWap,
     "q195_lake_files_meta" -> q195LakeFilesMeta,
+    "q196_file_lineage" -> q196FileLineage,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3510,5 +3557,6 @@ object Relational {
     "q193_lake_rgf_merge" -> q193Oracle,
     "q194_lake_wap" -> q194Oracle,
     "q195_lake_files_meta" -> q195Oracle,
+    "q196_file_lineage" -> q196Oracle,
   )
 }

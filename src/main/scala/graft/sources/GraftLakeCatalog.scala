@@ -392,9 +392,30 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
 final class GraftLakeTable(ident: Identifier, dir: String,
     version: Option[Int]) extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** `_file` METADATA COLUMN (Iceberg's `_file`): the data file
+    * serving each row — per-row lineage for layout debugging
+    * (`SELECT _file, count(*) ... GROUP BY _file`) and targeted
+    * maintenance, resolved only when referenced. Absent on snapshots
+    * with outstanding merge-on-read masks: the DV scan re-plans rows
+    * positionally and a wrong-but-plausible path would be worse than
+    * a loud unresolved-column error — compact first. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (snapshot.deleteFiles.nonEmpty) Array.empty
+    else Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "path of the data file serving the row"
+      })
 
   /** The session's write-audit-publish branch
     * (`SET spark.graft.wap.branch = audit_x`, Iceberg's WAP contract):

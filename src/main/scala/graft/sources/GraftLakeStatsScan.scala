@@ -48,6 +48,7 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     with SupportsPushDownAggregates {
 
   private var answered: Option[(StructType, InternalRow)] = None
+  private var wantsFile = false
 
   private def tryAnswer(agg: Aggregation): Boolean = {
     if (answered.isEmpty && !innerHasFilters)
@@ -67,9 +68,94 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
       case _ => false
     })
 
+  /** The `_file` METADATA column is produced by THIS layer, not
+    * parquet: strip it before forwarding (the file builder would
+    * reject an unknown field) and remember to append it at read. */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantsFile = requiredSchema.fieldNames.contains("_file")
+    super.pruneColumns(
+      if (wantsFile)
+        StructType(requiredSchema.fields.filterNot(_.name == "_file"))
+      else requiredSchema)
+  }
+
   override def build(): Scan = answered match {
     case Some((schema, row)) => new LakeStatsAggScan(schema, row)
+    case None if wantsFile => new LakeFileColumnScan(innerBuild())
     case None => new LakeRuntimeFilterScan(innerBuild(), snap)
+  }
+}
+
+/** Scan producing the `_file` metadata column: the delegate's split
+  * bundles are re-planned ONE SPLIT PER PARTITION (same splits, same
+  * pushdown, no bin-packing — granularity and filter pushdown are
+  * preserved, unlike the DV scan's whole-file requirement) so each
+  * partition knows its file statically and the reader appends it as
+  * a per-partition constant — no per-row path computation, no UDF. */
+final class LakeFileColumnScan(inner: Scan) extends Scan {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+  override def readSchema(): StructType =
+    inner.readSchema()
+      .add("_file", org.apache.spark.sql.types.StringType,
+        nullable = false)
+
+  override def description(): String =
+    inner.description() + ", MetadataCol: _file"
+
+  override def toBatch: Batch = {
+    val ib = inner.toBatch
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        ib.planInputPartitions().toSeq
+          .flatMap {
+            case fp: FilePartition => fp.files
+            case other => throw new IllegalStateException(
+              s"unexpected non-file partition $other under _file scan")
+          }
+          .zipWithIndex
+          .map { case (pf, i) =>
+            // normalized through hadoop Path so the emitted value is
+            // byte-identical to manifest paths (and `.files` rows) —
+            // `file:///x` and `file:/x` must not read as two files
+            new FileColPartition(FilePartition(i, Array(pf)),
+              new Path(pf.filePath.toString).toString): InputPartition
+          }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new FileColReaderFactory(ib.createReaderFactory())
+    }
+  }
+}
+
+/** One split plus its file path (the per-partition `_file` constant). */
+private final class FileColPartition(val part: FilePartition,
+    val path: String) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    part.preferredLocations()
+}
+
+private final class FileColReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  // the appended constant is row-wise; never hand out columnar batches
+  override def supportColumnarReads(
+      p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    false
+
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val fc = p.asInstanceOf[FileColPartition]
+    val r = inner.createReader(fc.part)
+    val tag = InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(fc.path))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = joined(r.get(), tag)
+      override def close(): Unit = r.close()
+    }
   }
 }
 
