@@ -406,7 +406,9 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     * a loud unresolved-column error — compact first. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (snapshot.deleteFiles.nonEmpty) Array.empty
+    if (snapshot.deleteFiles.nonEmpty ||
+        schema().fieldNames.exists(_.equalsIgnoreCase("_file")))
+      Array.empty
     else Array(
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = "_file"

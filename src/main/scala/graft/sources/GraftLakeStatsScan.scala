@@ -70,9 +70,13 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
 
   /** The `_file` METADATA column is produced by THIS layer, not
     * parquet: strip it before forwarding (the file builder would
-    * reject an unknown field) and remember to append it at read. */
+    * reject an unknown field) and remember to append it at read. A
+    * DATA column named `_file` shadows the metadata column (Spark's
+    * SupportsMetadataColumns contract) — it must pass through to
+    * parquet untouched. */
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    wantsFile = requiredSchema.fieldNames.contains("_file")
+    wantsFile = requiredSchema.fieldNames.contains("_file") &&
+      !tableSchema.fieldNames.exists(_.equalsIgnoreCase("_file"))
     super.pruneColumns(
       if (wantsFile)
         StructType(requiredSchema.fields.filterNot(_.name == "_file"))

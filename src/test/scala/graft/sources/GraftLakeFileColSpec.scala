@@ -41,6 +41,17 @@ class GraftLakeFileColSpec extends SparkSpec {
       .getLong(0) === 150L)
   }
 
+  test("a DATA column named _file shadows the metadata column") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.s (k BIGINT, _file STRING)")
+    spark.sql(s"INSERT INTO $cat.s VALUES (1, 'user-a'), (2, 'user-b')")
+    // the user's column wins: values come from the data, not the scan
+    assert(spark.sql(s"SELECT _file FROM $cat.s ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("user-a", "user-b"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.s").collect()(0)
+      .getLong(0) === 2L)
+  }
+
   test("_file is absent on DV-masked snapshots (loud, not wrong)") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.d (k BIGINT) " +
