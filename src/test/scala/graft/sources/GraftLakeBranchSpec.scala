@@ -247,6 +247,41 @@ class GraftLakeBranchSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("interleaved main and branch commits never cross lines: each " +
+      "line reads only its own chain at every step") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_branch_il_${java.util.UUID.randomUUID()}"
+    def main_ = VersionedTable.read(spark, dir).as[Int].collect().sorted
+    def branch_ = VersionedTable.read(spark, dir, Some(
+      VersionedTable.branches(spark, dir)("x"))).as[Int].collect().sorted
+    VersionedTable.commit(spark, Seq(1).toDF("k"), dir,
+      carryForward = false)                                 // v0 main
+    VersionedTable.commit(spark, Seq(10).toDF("k"), dir,
+      branch = Some("x"))                                   // v1 x: base v0
+    assert(main_.toSeq === Seq(1) && branch_.toSeq === Seq(1, 10))
+    VersionedTable.commit(spark, Seq(2).toDF("k"), dir)     // v2 main: base v0
+    // the main append based on HEAD (v0), not on the staged v1
+    assert(main_.toSeq === Seq(1, 2) && branch_.toSeq === Seq(1, 10))
+    VersionedTable.commit(spark, Seq(11).toDF("k"), dir,
+      branch = Some("x"))                                   // v3 x: base v1
+    // the branch append based on ITS head (v1), not on main's v2
+    assert(main_.toSeq === Seq(1, 2) &&
+      branch_.toSeq === Seq(1, 10, 11))
+    VersionedTable.commit(spark, Seq(3).toDF("k"), dir)     // v4 main
+    assert(main_.toSeq === Seq(1, 2, 3) &&
+      branch_.toSeq === Seq(1, 10, 11))
+    // version numbers interleave in one sequence; lines stay disjoint
+    assert(VersionedTable.latestVersion(spark, dir) === Some(4))
+    assert(VersionedTable.headVersion(spark, dir) === Some(4))
+    assert(VersionedTable.branches(spark, dir)("x") === 3)
+    // fast-forward merges the BRANCH state (not main's later appends):
+    // publishing is by reference to the branch snapshot, explicit
+    val v = VersionedTable.fastForward(spark, dir, "x")
+    assert(v === 5)
+    assert(main_.toSeq === Seq(1, 10, 11),
+      "fast-forward publishes the branch snapshot as-is")
+  }
+
   test("change feed composes with branch scope: row-level +/- deltas " +
       "of the staged line only") {
     import spark.implicits._
