@@ -452,7 +452,9 @@ object VersionedTable {
     val tmp = new Path(refsDir(dir),
       s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write(s"branch:$version\n".getBytes("UTF-8"))
+    // head@base: the fork point rides in the ref so [[fastForward]]
+    // can verify main has not diverged since the branch was cut
+    try out.write(s"branch:$version@$version\n".getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new Path(refsDir(dir), name))) {
       f.delete(tmp, false)
@@ -467,14 +469,15 @@ object VersionedTable {
     * manifest the ref points at is immutable, so readers only ever
     * see a fully published snapshot or a loud missing-ref error. */
   private[sources] def moveBranch(spark: SparkSession, dir: String, name: String,
-      version: Int): Unit = {
-    require(branches(spark, dir).contains(name),
-      s"no branch '$name' at $dir")
+      version: Int, newBase: Option[Int] = None): Unit = {
+    val base = branchBases(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(s"no branch '$name' at $dir"))
     val f = fs(spark, dir)
     val tmp = new Path(refsDir(dir),
       s".$name.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write(s"branch:$version\n".getBytes("UTF-8"))
+    try out.write(
+      s"branch:$version@${newBase.getOrElse(base)}\n".getBytes("UTF-8"))
     finally out.close()
     f.delete(new Path(refsDir(dir), name), false)
     if (!f.rename(tmp, new Path(refsDir(dir), name))) {
@@ -491,7 +494,19 @@ object VersionedTable {
       fs(spark, dir).delete(new Path(refsDir(dir), name), false)
 
   /** All branches, name → head version. */
-  def branches(spark: SparkSession, dir: String): Map[String, Int] = {
+  def branches(spark: SparkSession, dir: String): Map[String, Int] =
+    branchRefs(spark, dir).map { case (n, (head, _)) => n -> head }
+
+  /** All branches, name → fork-base version (the main version the
+    * branch was cut from, advanced on every [[fastForward]]). */
+  private[sources] def branchBases(spark: SparkSession,
+      dir: String): Map[String, Int] =
+    branchRefs(spark, dir).map { case (n, (_, base)) => n -> base }
+
+  /** Parse `_refs` branch payloads: `branch:<head>@<base>`, with
+    * `branch:<head>` (no fork point recorded) read as base = head. */
+  private def branchRefs(spark: SparkSession,
+      dir: String): Map[String, (Int, Int)] = {
     val f = fs(spark, dir)
     if (!f.exists(refsDir(dir))) Map.empty
     else f.listStatus(refsDir(dir)).toSeq
@@ -501,18 +516,29 @@ object VersionedTable {
         val text =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
-        if (text.startsWith("branch:"))
-          text.stripPrefix("branch:").toIntOption
-            .map(s.getPath.getName -> _)
-        else None
+        if (!text.startsWith("branch:")) None
+        else text.stripPrefix("branch:").split("@") match {
+          case Array(h, b) =>
+            for { hv <- h.toIntOption; bv <- b.toIntOption }
+              yield s.getPath.getName -> (hv, bv)
+          case Array(h) =>
+            h.toIntOption.map(hv => s.getPath.getName -> (hv, hv))
+          case _ => None
+        }
       }.toMap
   }
 
   /** PUBLISH a branch to main: re-publish the branch head's snapshot
     * (files, delete files, stats, metadata minus the branch label) as
     * the next MAIN version — zero data copied, one manifest rename,
-    * exactly [[restore]]'s shape. The branch ref survives (drop it to
-    * release its pins). Returns the new main version. */
+    * exactly [[restore]]'s shape. TRUE fast-forward only (Iceberg's
+    * fast_forward contract): if main advanced past the branch's fork
+    * point, publishing would silently DISCARD those main commits, so
+    * the call refuses loudly — rebase by restaging, or drop the
+    * branch. On success the branch's fork point advances to the new
+    * main version, so continued staging and a later second publish
+    * keep working. The branch ref survives (drop it to release its
+    * pins). Returns the new main version. */
   def fastForward(spark: SparkSession, dir: String,
       branch: String): Int = {
     val bv = branches(spark, dir).getOrElse(branch,
@@ -522,10 +548,19 @@ object VersionedTable {
             case "" => "(none)"
             case s => s
           })))
+    val base = branchBases(spark, dir)(branch)
+    val head = headVersion(spark, dir)
+    if (!head.contains(base))
+      throw new IllegalStateException(
+        s"cannot fast-forward '$branch' at $dir: main is at " +
+          s"${head.getOrElse(-1)} but the branch forked from $base — " +
+          "main advanced since; restage the branch or drop it")
     val snap = snapshotOf(spark, dir, bv)
-    publish(fs(spark, dir), dir, nextVersion(spark, dir),
+    val v = publish(fs(spark, dir), dir, nextVersion(spark, dir),
       snap.dataFiles, snap.deleteFiles, snap.stats,
       snap.meta - BranchMetaKey, op = "fast-forward")
+    moveBranch(spark, dir, branch, bv, newBase = Some(v))
+    v
   }
 
   /** All tags, name → pinned version. */

@@ -274,12 +274,34 @@ class GraftLakeBranchSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, dir) === Some(4))
     assert(VersionedTable.headVersion(spark, dir) === Some(4))
     assert(VersionedTable.branches(spark, dir)("x") === 3)
-    // fast-forward merges the BRANCH state (not main's later appends):
-    // publishing is by reference to the branch snapshot, explicit
-    val v = VersionedTable.fastForward(spark, dir, "x")
-    assert(v === 5)
-    assert(main_.toSeq === Seq(1, 10, 11),
-      "fast-forward publishes the branch snapshot as-is")
+    // main advanced past the fork (v0 → v2, v4): publishing the
+    // branch would silently discard main's commits — refuse loudly
+    // (Iceberg's fast_forward contract), main untouched
+    val e = intercept[IllegalStateException] {
+      VersionedTable.fastForward(spark, dir, "x")
+    }
+    assert(e.getMessage.contains("main advanced"))
+    assert(main_.toSeq === Seq(1, 2, 3))
+  }
+
+  test("fast-forward advances the fork point: stage, publish, keep " +
+      "staging, publish again") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_branch_ff_${java.util.UUID.randomUUID()}"
+    VersionedTable.commit(spark, Seq(1).toDF("k"), dir,
+      carryForward = false)                                  // v0 main
+    VersionedTable.commit(spark, Seq(2).toDF("k"), dir,
+      branch = Some("x"))                                    // v1 x
+    val p1 = VersionedTable.fastForward(spark, dir, "x")     // v2 main
+    assert(VersionedTable.read(spark, dir).count() === 2L)
+    // continued staging after publish: the fork point moved to the
+    // published version, so the second publish is a true fast-forward
+    VersionedTable.commit(spark, Seq(3).toDF("k"), dir,
+      branch = Some("x"))                                    // v3 x
+    val p2 = VersionedTable.fastForward(spark, dir, "x")     // v4 main
+    assert(p2 > p1)
+    assert(VersionedTable.read(spark, dir)
+      .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
 
   test("change feed composes with branch scope: row-level +/- deltas " +
