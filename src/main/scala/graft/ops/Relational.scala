@@ -2672,6 +2672,81 @@ object Relational {
       | TRUE AS paths_match_manifest, TRUE AS counts_match
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+  /** STORAGE-PARTITIONED JOIN ([[graft.sources.LakePartitioning]] /
+    * [[graft.sources.LakeKeyGroupedScan]]) — Iceberg's SPJ: orders
+    * and customer land `PARTITIONED BY (bucket(8, custkey))` (every
+    * data file claims ONE bucket in its path; the engine-agnostic
+    * `bucket` function routes writes AND resolves the reported
+    * transform through the catalog's FunctionCatalog), the scans
+    * report `KeyGroupedPartitioning`, and the fact⋈dim join plans
+    * with ZERO exchanges — co-partitioned layouts replace the
+    * biggest shuffle a 100 TB star schema has. The in-engine gate
+    * pins an exchange-free executed join plan (broadcast disabled so
+    * the gate can't be satisfied by a broadcast join); the segment
+    * revenue rollup hash-gates against DuckDB's plain join. */
+  val q197LakeSpj: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakesp_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q197_$nonce")
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .createOrReplaceTempView(s"q197_fact_$nonce")
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView(s"q197_dim_$nonce")
+    spark.sql(s"CREATE TABLE $cat.fact (o_custkey BIGINT, " +
+      "o_totalprice DOUBLE) PARTITIONED BY (bucket(8, o_custkey))")
+    spark.sql(s"CREATE TABLE $cat.dim (c_custkey BIGINT, " +
+      "c_mktsegment STRING) PARTITIONED BY (bucket(8, c_custkey))")
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM q197_fact_$nonce")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM q197_dim_$nonce")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // gate: the join itself is exchange-free (filtered slice keeps
+      // the collect cheap; SPJ planning is data-independent)
+      val gate = spark.sql(
+        s"""SELECT f.o_custkey, d.c_mktsegment
+           |FROM $cat.fact f JOIN $cat.dim d
+           |ON f.o_custkey = d.c_custkey
+           |WHERE f.o_custkey < 64""".stripMargin)
+      gate.collect()
+      val spjFree = !gate.queryExecution.executedPlan.toString
+        .toLowerCase.contains("exchange")
+      val agg = spark.sql(
+        s"""SELECT d.c_mktsegment, count(*) AS n,
+           |  round(sum(f.o_totalprice), 2) AS revenue
+           |FROM $cat.fact f JOIN $cat.dim d
+           |ON f.o_custkey = d.c_custkey
+           |GROUP BY d.c_mktsegment""".stripMargin)
+        .collect()
+      import spark.implicits._
+      agg.toSeq.map(r =>
+          (r.getString(0), r.getLong(1), r.getDouble(2), spjFree))
+        .toDF("c_mktsegment", "n", "revenue", "spj_zero_shuffle")
+        .orderBy(col("c_mktsegment"))
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val q197Oracle: String =
+    """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o.o_totalprice), 2) AS revenue,
+      | TRUE AS spj_zero_shuffle
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -3478,6 +3553,7 @@ object Relational {
     "q194_lake_wap" -> q194LakeWap,
     "q195_lake_files_meta" -> q195LakeFilesMeta,
     "q196_file_lineage" -> q196FileLineage,
+    "q197_lake_spj" -> q197LakeSpj,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3558,5 +3634,6 @@ object Relational {
     "q194_lake_wap" -> q194Oracle,
     "q195_lake_files_meta" -> q195Oracle,
     "q196_file_lineage" -> q196Oracle,
+    "q197_lake_spj" -> q197Oracle,
   )
 }

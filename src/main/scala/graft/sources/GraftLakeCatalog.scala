@@ -166,20 +166,35 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
   /** CREATE TABLE — publishes version 0 as an EMPTY snapshot carrying
     * the declared schema (one schema-bearing empty parquet file), so
     * the table is immediately loadable and the first INSERT is an
-    * ordinary append commit. Partition transforms are rejected: the
-    * manifest store versions whole snapshots, not partitions. */
+    * ordinary append commit. `PARTITIONED BY (col)` /
+    * `PARTITIONED BY (bucket(n, col))` persists as the
+    * `graft.partitioning` property ([[LakePartitioning]]): every
+    * commit routes rows so each data file owns ONE partition value,
+    * and reads report key-grouped partitioning — the
+    * storage-partitioned-join layout. The spec is structural and
+    * immutable (declared here only, never via ALTER): changing it
+    * later would falsify committed files' key claims. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      s"$catalogName tables version whole snapshots; " +
-        "PARTITIONED BY is not supported")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (properties.containsKey(LakePartitioning.Prop))
+      throw new UnsupportedOperationException(
+        s"${LakePartitioning.Prop} is derived from PARTITIONED BY; " +
+          "it cannot be set as a table property")
     val d = dirOf(ident)
     // properties first: an unsupported key must reject BEFORE the
     // manifest publish makes the table exist (a crash here leaves only
     // a _properties file, which isTable ignores)
-    GraftLakeTable.writeProperties(spark, d, properties)
+    val withPart = LakePartitioning.fromTransforms(partitions, schema)
+      match {
+        case None => properties
+        case Some(serialized) =>
+          val m = new util.HashMap[String, String](properties)
+          m.put(LakePartitioning.Prop, serialized)
+          m
+      }
+    GraftLakeTable.writeProperties(spark, d, withPart)
     val empty = spark.createDataFrame(
       new util.ArrayList[Row](), schema)
     VersionedTable.commit(spark, empty, d, carryForward = false,
@@ -209,6 +224,22 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
         true
       case _ => false
+    }
+    // the partition spec is structural: every committed file's
+    // path-recorded key claim was routed by it — re-declaring it
+    // would silently falsify the key-grouped scan
+    propChanges.foreach {
+      case s: TableChange.SetProperty
+          if s.property() == LakePartitioning.Prop =>
+        throw new UnsupportedOperationException(
+          s"${LakePartitioning.Prop} is immutable (declared by " +
+            "CREATE TABLE ... PARTITIONED BY)")
+      case r: TableChange.RemoveProperty
+          if r.property() == LakePartitioning.Prop =>
+        throw new UnsupportedOperationException(
+          s"${LakePartitioning.Prop} is immutable (declared by " +
+            "CREATE TABLE ... PARTITIONED BY)")
+      case _ => ()
     }
     if (propChanges.nonEmpty) {
       val cur = GraftLakeTable.readProperties(spark, d)
@@ -485,6 +516,48 @@ final class GraftLakeTable(ident: Identifier, dir: String,
   override def schema(): StructType =
     (delegate: Table).schema()
 
+  /** The declared partition transform ([[LakePartitioning]]), if any —
+    * what `DESCRIBE TABLE` shows and what Spark's
+    * `V2ScanPartitioningAndOrdering` resolves against the catalog's
+    * own `bucket` function for storage-partitioned joins. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partSpec.map(s => Array(s.transform)).getOrElse(Array.empty)
+
+  private lazy val partSpec: Option[LakePartitioning.Spec] =
+    LakePartitioning.specOf(spark, dir)
+
+  /** Per-data-file partition key claims for the CURRENT snapshot —
+    * `Some(map)` iff EVERY file either claims a value in its path or
+    * is stats-proven empty (dropped from the map): only then is
+    * key-grouped scanning sound. A file landed by a non-routing
+    * writer (row-level rewrite, streaming epoch) degrades the table
+    * to ordinary scans until compaction re-earns the layout. */
+  private lazy val partKeys: Option[Map[String, Option[Any]]] =
+    partSpec.flatMap { spec =>
+      val kt = LakePartitioning.keyType(spec, schema())
+      // per file: None = unsound (degrade the whole table),
+      // Some(None) = proven-empty file (skip), Some(Some(kv)) = claim
+      val entries: Seq[Option[Option[(String, Option[Any])]]] =
+        snapshot.dataFiles.map { p =>
+          val norm = new org.apache.hadoop.fs.Path(p).toString
+          LakePartitioning.rawValueOfPath(norm) match {
+            case Some(raw) =>
+              LakePartitioning.keyValue(spec, kt, raw)
+                .map(v => Some(norm -> v))
+            case None =>
+              if (snapshot.stats.get(p).exists(_.rowCount == 0L))
+                Some(None)
+              else None
+          }
+        }
+      if (entries.exists(_.isEmpty)) None
+      else {
+        val m = entries.flatten.flatten.toMap
+        if (m.isEmpty) None else Some(m)
+      }
+    }
+
   override def properties(): util.Map[String, String] =
     GraftLakeTable.readProperties(spark, dir)
 
@@ -507,7 +580,8 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     if (snapshot.deleteFiles.isEmpty)
       delegate.newScanBuilder(options) match {
         case f: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
-          new LakeReadScanBuilder(f, schema(), snapshot)
+          new LakeReadScanBuilder(f, schema(), snapshot,
+            partSpec.zip(partKeys).headOption)
         case other => other
       }
     else new GraftLakeDvScanBuilder(delegate, schema(),
@@ -619,6 +693,11 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         s"streaming into ${ident.toString}: only append output " +
           "mode is supported (complete/truncate is not)")
       refuseUnderWap("streaming write")
+      if (partSpec.isDefined) throw new UnsupportedOperationException(
+        s"streaming into partitioned table ${ident.toString} is not " +
+          "supported yet: the epoch writer does not route rows by " +
+          s"${LakePartitioning.Prop} — write through foreachBatch + " +
+          "INSERT INTO instead")
       new GraftLakeStreamingWrite(dir, info)
     }
   }

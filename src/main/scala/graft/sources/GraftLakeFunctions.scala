@@ -23,11 +23,12 @@ import org.apache.spark.sql.types.{DataTypes, LongType, StructType}
   * scans (q96/q107) can then exploit. */
 object GraftLakeFunctions {
 
-  val names: Seq[String] = Seq("morton2")
+  val names: Seq[String] = Seq("morton2", "bucket")
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase match {
       case "morton2" => Some(Morton2)
+      case "bucket" => Some(BucketFn)
       case _ => None
     }
 
@@ -76,5 +77,101 @@ object GraftLakeFunctions {
     /** Row fallback — must agree with [[invoke]] (spec-pinned). */
     override def produceResult(input: InternalRow): java.lang.Long =
       invoke(input.getLong(0), input.getLong(1))
+  }
+
+  /** `bucket(n, key)` — the partition-transform function behind
+    * `PARTITIONED BY (bucket(n, col))` ([[LakePartitioning]]) and the
+    * function Spark's `V2ScanPartitioningAndOrdering` loads (name
+    * `bucket`, empty namespace) to resolve a bucket transform into a
+    * `TransformExpression` for storage-partitioned joins. Semantics
+    * are ENGINE-AGNOSTIC on purpose (DuckDB-restatable, unlike
+    * murmur): integral keys route by `floorMod(key, n)`, strings by
+    * the [[graft.functions.PolyHashMod]] base-31 polynomial mod n —
+    * bit-identical to [[LakePartitioning.routeColumn]]'s write-side
+    * routing, which is the SPJ correctness contract (equal keys land
+    * in the same bucket on every table and on any Spark-side
+    * re-shuffle via `v2.bucketing.shuffle.enabled`). Null keys bucket
+    * to 0, matching the write path. */
+  object BucketFn extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n INT, key BIGINT|INT|STRING) -> INT: deterministic " +
+        "partition bucket (floorMod for integral keys, base-31 " +
+        "polynomial hash mod n for strings)"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 2 ||
+        inputType.fields(0).dataType != DataTypes.IntegerType)
+        throw new UnsupportedOperationException(
+          s"bucket expects (INT n, key), got $inputType")
+      inputType.fields(1).dataType match {
+        case DataTypes.LongType => BucketLong
+        case DataTypes.IntegerType => BucketInt
+        case DataTypes.ShortType | DataTypes.ByteType => BucketInt
+        case DataTypes.StringType => BucketString
+        case other => throw new UnsupportedOperationException(
+          s"bucket key must be integral or string, got $other")
+      }
+    }
+  }
+
+  private[sources] def bucketOfLong(n: Int, key: Long): Int =
+    Math.floorMod(key, n.toLong).toInt
+
+  private[sources] def bucketOfString(n: Int, key: String): Int = {
+    // PolyHashMod: base-31 codepoint polynomial mod 2^31-1, then mod n
+    val cps = key.codePoints().toArray
+    var h = 0L
+    var i = 0
+    while (i < cps.length) {
+      h = (h * 31L + cps(i).toLong) % 2147483647L
+      i += 1
+    }
+    (h % n.toLong).toInt
+  }
+
+  object BucketLong extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(DataTypes.IntegerType, DataTypes.LongType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      DataTypes.IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.lake.bucket"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = false
+    /** MAGIC method (codegen `Invoke` path). */
+    def invoke(n: Int, key: Long): Int = bucketOfLong(n, key)
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(1)) 0 else bucketOfLong(input.getInt(0), input.getLong(1))
+  }
+
+  object BucketInt extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(DataTypes.IntegerType, DataTypes.IntegerType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      DataTypes.IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.lake.bucket"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = false
+    def invoke(n: Int, key: Int): Int = bucketOfLong(n, key.toLong)
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(1)) 0
+      else bucketOfLong(input.getInt(0), input.getInt(1).toLong)
+  }
+
+  object BucketString extends ScalarFunction[java.lang.Integer] {
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(DataTypes.IntegerType, DataTypes.StringType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      DataTypes.IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.lake.bucket"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = false
+    def invoke(n: Int, key: org.apache.spark.unsafe.types.UTF8String): Int =
+      if (key == null) 0 else bucketOfString(n, key.toString)
+    override def produceResult(input: InternalRow): java.lang.Integer =
+      if (input.isNullAt(1)) 0
+      else bucketOfString(input.getInt(0), input.getUTF8String(1).toString)
   }
 }

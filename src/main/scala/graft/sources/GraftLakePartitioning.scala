@@ -1,0 +1,357 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Declared TABLE PARTITIONING for lake tables — the Iceberg
+  * `PARTITIONED BY (bucket(8, k))` / `PARTITIONED BY (k)` contract,
+  * and the mechanism behind STORAGE-PARTITIONED JOINS (SPJ): two lake
+  * tables partitioned by the same transform join WITHOUT a shuffle,
+  * because the scan reports `KeyGroupedPartitioning` and every input
+  * partition declares its key ([[HasPartitionKey]]), so Spark's
+  * `EnsureRequirements` matches the two sides' layouts instead of
+  * exchanging both. At 100 TB the fact-fact join shuffle is THE
+  * dominant cost; co-partitioned layouts remove it entirely.
+  *
+  * Mechanics:
+  *  - the spec persists as the `graft.partitioning` table property
+  *    (`bucket(N,col)` or `identity(col)`), written by CREATE TABLE's
+  *    transforms and immutable afterwards (re-partitioning committed
+  *    data would falsify every existing file's key claim);
+  *  - every data-landing commit routes rows by the transform value and
+  *    writes `partitionBy(__graft_part)`, so each data file holds
+  *    EXACTLY ONE partition value, recorded in its path (hive-style
+  *    `__graft_part=<v>` — the path IS the metadata, no manifest
+  *    format change, and carry-forward/clone/fast-forward preserve it
+  *    for free);
+  *  - the read scan ([[LakeKeyGroupedScan]]) groups file splits by
+  *    that value, one [[HasPartitionKey]] group per distinct value,
+  *    delegating the actual reading (columnar parquet path included)
+  *    to Spark's own reader factory;
+  *  - `bucket(N, col)` is an ENGINE-AGNOSTIC function (floorMod for
+  *    integral keys, the [[graft.functions.PolyHashMod]] base-31
+  *    polynomial for strings — both DuckDB-restatable), exposed
+  *    through the catalog's FunctionCatalog as the `bucket` function
+  *    so Spark's `V2ScanPartitioningAndOrdering` can resolve the
+  *    transform ([[GraftLakeFunctions.BucketFn]]) and, when only one
+  *    side is partitioned, shuffle the other side WITH the same
+  *    function (`spark.sql.sources.v2.bucketing.shuffle.enabled`).
+  *
+  * Degradation is graceful and correctness-preserving: a file landed
+  * by a path that does not route (row-level COW rewrites, streaming
+  * epochs, merge-on-read masks) simply has no key claim, the scan
+  * stops reporting key-grouping, and joins fall back to ordinary
+  * exchanges until `compact` re-earns the layout — the same
+  * between-compactions contract as the DV stack.
+  */
+object LakePartitioning {
+
+  /** Table property carrying the partition spec. */
+  val Prop = "graft.partitioning"
+
+  /** Reserved routing column name (never lands in file data: it is
+    * consumed by `partitionBy`). */
+  val PartCol = "__graft_part"
+
+  /** Hive's null-partition directory name (matches what
+    * `partitionBy` writes for a null routing value). */
+  val NullPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  sealed trait Spec {
+    def column: String
+    def transform: Transform
+    def serialized: String
+  }
+
+  /** `PARTITIONED BY (col)` — one partition per distinct value. */
+  final case class IdentitySpec(column: String) extends Spec {
+    override def transform: Transform = Expressions.identity(column)
+    override def serialized: String = s"identity($column)"
+  }
+
+  /** `PARTITIONED BY (bucket(N, col))` — N hash buckets. */
+  final case class BucketSpec(buckets: Int, column: String) extends Spec {
+    override def transform: Transform = Expressions.bucket(buckets, column)
+    override def serialized: String = s"bucket($buckets,$column)"
+  }
+
+  private val BucketRe = """(?i)bucket\((\d+)\s*,\s*([^,()\s]+)\)""".r
+  private val IdentityRe = """(?i)identity\(([^,()\s]+)\)""".r
+
+  def parse(s: String): Option[Spec] = s.trim match {
+    case BucketRe(n, c) => Some(BucketSpec(n.toInt, c))
+    case IdentityRe(c) => Some(IdentitySpec(c))
+    case _ => None
+  }
+
+  /** The table's declared spec, if any (one property read). */
+  def specOf(spark: SparkSession, dir: String): Option[Spec] =
+    Option(GraftLakeTable.readProperties(spark, dir).get(Prop))
+      .flatMap(parse)
+
+  /** CREATE TABLE transforms → property value. Exactly one transform,
+    * identity or single-column bucket — loud otherwise: silently
+    * accepting an unsupported transform would write files whose key
+    * claims are wrong. */
+  def fromTransforms(transforms: Array[Transform],
+      schema: StructType): Option[String] = {
+    if (transforms.isEmpty) return None
+    require(transforms.length == 1,
+      "graft lake tables support exactly ONE partition transform, " +
+        s"got ${transforms.length}: ${transforms.mkString(", ")}")
+    val t = transforms(0)
+    val spec = t.name().toLowerCase match {
+      case "identity" =>
+        refOf(t).map(IdentitySpec(_)).getOrElse(unsupported(t))
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: Literal[_] if l.dataType() == IntegerType =>
+            l.value().asInstanceOf[Int]
+        }
+        (n, refOf(t)) match {
+          case (Some(b), Some(c)) =>
+            require(b >= 1 && b <= 100000,
+              s"bucket count must be in [1, 100000], got $b")
+            BucketSpec(b, c)
+          case _ => unsupported(t)
+        }
+      case _ => unsupported(t)
+    }
+    val field = schema.fields.find(
+      _.name.equalsIgnoreCase(spec.column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"partition column '${spec.column}' is not in the table schema " +
+          schema.fieldNames.mkString("(", ",", ")")))
+    validateType(spec, field.dataType)
+    Some(spec.copy2(field.name).serialized // exact-case column name
+    )
+  }
+
+  private def unsupported(t: Transform): Nothing =
+    throw new UnsupportedOperationException(
+      s"unsupported partition transform '$t': graft lake tables " +
+        "support identity(col) and bucket(n, col) over a single column")
+
+  private def refOf(t: Transform): Option[String] = {
+    val refs = t.references()
+    if (refs.length == 1 && refs(0).fieldNames().length == 1)
+      Some(refs(0).fieldNames()(0))
+    else None
+  }
+
+  private implicit class SpecOps(private val s: Spec) extends AnyVal {
+    def copy2(col: String): Spec = s match {
+      case IdentitySpec(_) => IdentitySpec(col)
+      case BucketSpec(n, _) => BucketSpec(n, col)
+    }
+  }
+
+  private def validateType(spec: Spec, dt: DataType): Unit = {
+    val ok = spec match {
+      case _: BucketSpec => dt match {
+        case IntegerType | LongType | ShortType | ByteType |
+             StringType => true
+        case _ => false
+      }
+      case _: IdentitySpec => dt match {
+        case IntegerType | LongType | ShortType | ByteType |
+             StringType | DateType => true
+        case _ => false
+      }
+    }
+    if (!ok) throw new UnsupportedOperationException(
+      s"partitioning ${spec.serialized} over ${dt.catalogString} is " +
+        "not supported (integral/string keys; identity also DATE)")
+  }
+
+  /** The routing expression — the value `partitionBy` will put in the
+    * file path. MUST agree with [[GraftLakeFunctions.BucketFn]] (both
+    * sides of an SPJ and any Spark-side re-shuffle must place a key in
+    * the same bucket) and be DuckDB-restatable for oracles. Null keys:
+    * bucket routes them to bucket 0 deterministically (null join keys
+    * never match, but the rows must land somewhere co-located);
+    * identity keeps Hive's null-partition directory. */
+  def routeColumn(spec: Spec, df: DataFrame): Column = {
+    val have = df.columns.find(_.equalsIgnoreCase(spec.column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$Prop references column '${spec.column}' absent from the " +
+          s"write's schema ${df.columns.mkString("(", ",", ")")}"))
+    val c = col(have)
+    spec match {
+      case IdentitySpec(_) => c
+      case BucketSpec(n, _) =>
+        val dt = df.schema(df.schema.fieldIndex(have)).dataType
+        val hashed = dt match {
+          case StringType => graft.functions.PolyHashMod(c)
+          case _ => c.cast(LongType)
+        }
+        coalesce(pmod(hashed, lit(n.toLong)), lit(0L)).cast(IntegerType)
+    }
+  }
+
+  /** The partition value a data file claims, parsed from its path —
+    * raw (still hive-escaped) directory value, or None for a file
+    * landed by a non-routing writer. */
+  def rawValueOfPath(path: String): Option[String] = {
+    val marker = s"/$PartCol="
+    val i = path.indexOf(marker)
+    if (i < 0) None
+    else {
+      val rest = path.substring(i + marker.length)
+      val j = rest.indexOf('/')
+      if (j < 0) None else Some(rest.substring(0, j))
+    }
+  }
+
+  /** Raw path value → the partition key as a Catalyst internal value
+    * of the transform's result type. None = unparseable (treat the
+    * file as unvalued: degrade, never guess). */
+  def keyValue(spec: Spec, keyType: DataType,
+      raw: String): Option[Option[Any]] = {
+    if (raw == NullPartitionName) return Some(None)
+    val s = unescapePath(raw)
+    try {
+      val v: Any = spec match {
+        case _: BucketSpec => s.toInt
+        case _: IdentitySpec => keyType match {
+          case IntegerType => s.toInt
+          case LongType => s.toLong
+          case ShortType => s.toShort
+          case ByteType => s.toByte
+          case StringType => UTF8String.fromString(s)
+          case DateType =>
+            java.time.LocalDate.parse(s).toEpochDay.toInt
+          case _ => return None
+        }
+      }
+      Some(Some(v))
+    } catch { case _: IllegalArgumentException | _: java.time.format.DateTimeParseException => None }
+  }
+
+  /** The key type the scan's [[HasPartitionKey]] rows carry. */
+  def keyType(spec: Spec, schema: StructType): DataType = spec match {
+    case _: BucketSpec => IntegerType
+    case IdentitySpec(c) =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(NullType)
+  }
+
+  /** Hive path unescaping (`%2F` → `/`, …) — mirrors the escaping
+    * `partitionBy` applies when writing partition directories. */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => sb.append(ch); i += 1
+        }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+/** Key-grouped read scan over a partitioned lake table: the delegate
+  * parquet scan's split bundles re-form ONE GROUP PER PARTITION VALUE,
+  * each group a [[FilePartition]] (the inner reader factory — columnar
+  * batches included — is reused untouched) that also declares its key
+  * ([[HasPartitionKey]]), and the scan reports
+  * [[KeyGroupedPartitioning]] over the table's transform. With
+  * `spark.sql.sources.v2.bucketing.enabled=true` Spark's
+  * `EnsureRequirements` then plans joins between co-partitioned tables
+  * WITHOUT exchanges — the storage-partitioned join.
+  *
+  * Files with no key claim (proven 0-row schema carriers) are dropped;
+  * the builder only engages this scan when every OTHER data file
+  * claims a value, so the grouping is total. Runtime file pruning is
+  * deliberately NOT declared here: Spark requires key-grouped
+  * partition values to be stable under runtime filtering, and the SPJ
+  * itself removes the join shuffle DPP would have fed. */
+final class LakeKeyGroupedScan(inner: Scan,
+    spec: LakePartitioning.Spec,
+    keyOfPath: Map[String, Option[Any]],
+    keyType: DataType)
+    extends Scan
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private val distinctRaw: Seq[Option[Any]] =
+    keyOfPath.values.toSeq.distinct
+
+  override def readSchema(): StructType = inner.readSchema()
+
+  override def description(): String =
+    inner.description() +
+      s", KeyGrouped: ${spec.serialized} (${distinctRaw.size} values)"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(Array(spec.transform), distinctRaw.size)
+
+  override def toBatch: Batch = {
+    val ib = inner.toBatch
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val files = ib.planInputPartitions().toSeq.flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"unexpected non-file partition $other under key-grouped scan")
+        }
+        files
+          .flatMap { pf =>
+            // files without a key claim were proven 0-row by the
+            // builder — no rows to serve, drop the split
+            val norm = new org.apache.hadoop.fs.Path(
+              pf.filePath.toString).toString
+            keyOfPath.get(norm).map(k => (k, pf))
+          }
+          .groupBy(_._1)
+          .toSeq
+          .sortBy(_._2.head._2.filePath.toString)
+          .zipWithIndex
+          .map { case ((key, pfs), i) =>
+            new KeyedFilePartition(i, pfs.map(_._2).toArray,
+              InternalRow(key.orNull)): InputPartition
+          }
+          .toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        ib.createReaderFactory()
+    }
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+}
+
+/** A split bundle that is still a [[FilePartition]] (the stock parquet
+  * reader factory and its columnar path apply unchanged) AND declares
+  * the single partition-transform value every row in it carries. */
+private[sources] final class KeyedFilePartition(
+    idx: Int,
+    fileSplits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+    extends FilePartition(idx, fileSplits) with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}

@@ -43,12 +43,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     sliver, not the table.
   */
 final class LakeReadScanBuilder(inner: FileScanBuilder,
-    tableSchema: StructType, snap: VersionedTable.Snapshot)
+    tableSchema: StructType, snap: VersionedTable.Snapshot,
+    partInfo: Option[(LakePartitioning.Spec, Map[String, Option[Any]])] =
+      None)
     extends DelegatingFileScanBuilder(inner)
     with SupportsPushDownAggregates {
 
   private var answered: Option[(StructType, InternalRow)] = None
   private var wantsFile = false
+  private var prunedTo: Option[StructType] = None
 
   private def tryAnswer(agg: Aggregation): Boolean = {
     if (answered.isEmpty && !innerHasFilters)
@@ -77,16 +80,34 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantsFile = requiredSchema.fieldNames.contains("_file") &&
       !tableSchema.fieldNames.exists(_.equalsIgnoreCase("_file"))
-    super.pruneColumns(
+    val forInner =
       if (wantsFile)
         StructType(requiredSchema.fields.filterNot(_.name == "_file"))
-      else requiredSchema)
+      else requiredSchema
+    prunedTo = Some(forInner)
+    super.pruneColumns(forInner)
   }
+
+  /** Key-grouped (SPJ) scanning is sound and USEFUL only when the
+    * table declares partitioning, every data file claims its value
+    * ([[GraftLakeTable.partKeys]] verified that), and the partition
+    * column survives column pruning — Spark resolves the reported
+    * transform against the scan OUTPUT, and a query that dropped the
+    * key can't join on it anyway. */
+  private def keyGrouped: Option[LakeKeyGroupedScan] =
+    partInfo.collect {
+      case (spec, keys)
+          if prunedTo.forall(_.fieldNames.exists(
+            _.equalsIgnoreCase(spec.column))) =>
+        new LakeKeyGroupedScan(innerBuild(), spec, keys,
+          LakePartitioning.keyType(spec, tableSchema))
+    }
 
   override def build(): Scan = answered match {
     case Some((schema, row)) => new LakeStatsAggScan(schema, row)
     case None if wantsFile => new LakeFileColumnScan(innerBuild())
-    case None => new LakeRuntimeFilterScan(innerBuild(), snap)
+    case None => keyGrouped.getOrElse(
+      new LakeRuntimeFilterScan(innerBuild(), snap))
   }
 }
 

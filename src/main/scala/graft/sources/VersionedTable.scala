@@ -95,10 +95,19 @@ object VersionedTable {
       op: Option[String] = None,
       baseVersion: Option[Int] = None): Int = {
     val f = fs(spark, dir)
+    // declared PARTITIONING wins over declared clustering for the
+    // shuffle (one shuffle per commit, never two): rows route to their
+    // partition value and, when clustering is ALSO declared, sort
+    // within the routed partitions so zone-maps stay monotone per file
+    val partSpec = LakePartitioning.specOf(spark, dir)
     val out =
-      if (applyDeclaredClustering) clusterFor(spark, dir, df, None)
+      if (partSpec.isDefined) df
+      else if (applyDeclaredClustering) clusterFor(spark, dir, df, None)
       else df
-    val newFiles = writeDataFiles(spark, out, dir, v)
+    val newFiles = writeDataFiles(spark, out, dir, v, partSpec,
+      if (partSpec.isDefined && applyDeclaredClustering)
+        clusteringSpec(spark, dir)
+      else None)
     // carry-forward base: explicit when given (main commits base on
     // HEAD, branch commits on the branch head — with branch manifests
     // in the number sequence, v-1 may be a different line's commit)
@@ -226,10 +235,52 @@ object VersionedTable {
     * on s3://... or hdfs://nn/... tables and make time-travel reads
     * resolve against the default filesystem. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame,
-      dir: String, v: Int): Seq[String] = {
+      dir: String, v: Int,
+      partSpec: Option[LakePartitioning.Spec] = None,
+      sortSpec: Option[Seq[String]] = None): Seq[String] = {
     val dataDir = s"$dir/files-v$v-" +
       java.util.UUID.randomUUID().toString.take(8)
-    df.write.parquet(dataDir)
+    partSpec match {
+      case None => df.write.parquet(dataDir)
+      case Some(spec) =>
+        // declared partitioning: route by the transform value and let
+        // `partitionBy` give every data file EXACTLY ONE value,
+        // recorded hive-style in its path (`__graft_part=<v>` — the
+        // key claim [[LakeKeyGroupedScan]] groups on). The routing
+        // column is consumed by partitionBy and never lands in file
+        // bytes. One shuffle: repartition on the routing value
+        // (bounded at the bucket count for bucket specs), plus an
+        // optional within-partition sort when clustering is also
+        // declared.
+        require(!df.columns.exists(
+          _.equalsIgnoreCase(LakePartitioning.PartCol)),
+          s"column name ${LakePartitioning.PartCol} is reserved by " +
+            "declared table partitioning")
+        val route = LakePartitioning.routeColumn(spec, df)
+        val routed = df.withColumn(LakePartitioning.PartCol, route)
+        val shuffled = spec match {
+          case LakePartitioning.BucketSpec(n, _) =>
+            routed.repartition(n,
+              org.apache.spark.sql.functions.col(LakePartitioning.PartCol))
+          case _ =>
+            routed.repartition(
+              org.apache.spark.sql.functions.col(LakePartitioning.PartCol))
+        }
+        val sorted = sortSpec match {
+          case Some(s) => shuffled.sortWithinPartitions(
+            clusterColumns(s, routed): _*)
+          case None => shuffled
+        }
+        sorted.write.partitionBy(LakePartitioning.PartCol).parquet(dataDir)
+        // an EMPTY partitioned write lands no parquet file at all —
+        // CREATE TABLE's schema carrier would vanish. Land the plain
+        // empty schema file instead (0 rows: no key claim needed, the
+        // key-grouped scan drops proven-empty files).
+        if (listDataFiles(spark, dir, dataDir).isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            df.schema).coalesce(1).write.mode("overwrite").parquet(dataDir)
+    }
     listDataFiles(spark, dir, dataDir)
   }
 
@@ -271,7 +322,15 @@ object VersionedTable {
   private[sources] def listDataFiles(spark: SparkSession, dir: String,
       dataDir: String): Seq[String] = {
     val f = fs(spark, dir)
-    f.listStatus(new Path(dataDir)).toSeq
+    val top = f.listStatus(new Path(dataDir)).toSeq
+    // partitioned commits nest one hive-style `__graft_part=<v>`
+    // directory level; flat and partitioned layouts never mix within
+    // one landed data dir
+    val stats = top ++ top
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"${LakePartitioning.PartCol}="))
+      .flatMap(s => f.listStatus(s.getPath).toSeq)
+    stats
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => f.makeQualified(s.getPath).toString)
   }

@@ -180,12 +180,19 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(miss.getMessage.contains("missing"))
   }
 
-  test("partitioned create is rejected loudly") {
+  test("single-transform partitioning accepted; multi-transform rejected loudly") {
     val cat = freshCatalog()
-    val err = intercept[UnsupportedOperationException] {
-      spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) PARTITIONED BY (d)")
+    // identity/bucket single-transform partitioning is supported
+    // (GraftLakeSpjSpec covers behavior); >1 transform is not
+    spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) PARTITIONED BY (d)")
+    assert(spark.sql(s"SHOW TBLPROPERTIES $cat.p").collect()
+      .exists(r => r.getString(0) == "graft.partitioning" &&
+        r.getString(1) == "identity(d)"))
+    val err = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE $cat.p2 (k INT, d STRING) " +
+        "PARTITIONED BY (d, bucket(4, k))")
     }
-    assert(err.getMessage.contains("PARTITIONED BY"))
+    assert(err.getMessage.contains("ONE partition transform"))
   }
 
   test("DELETE FROM removes matches, keeps NULL-condition rows, old snapshots intact") {

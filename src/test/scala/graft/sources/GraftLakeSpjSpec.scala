@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Declared table PARTITIONING + STORAGE-PARTITIONED JOINS
+  * ([[LakePartitioning]] / [[LakeKeyGroupedScan]]): two lake tables
+  * `PARTITIONED BY` the same transform join WITHOUT a shuffle — the
+  * scan reports `KeyGroupedPartitioning`, every input partition
+  * declares its key, and `EnsureRequirements` matches the layouts
+  * instead of exchanging 100 TB twice. */
+class GraftLakeSpjSpec extends SparkSpec {
+
+  private val n = new AtomicInteger(0)
+
+  private def freshCatalog(): (String, String) = {
+    val cat = s"glspj_test_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_lake_spj_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  /** Run `body` with storage-partitioned joins enabled and broadcast
+    * joins disabled (tiny test tables would otherwise broadcast and
+    * hide the exchange question entirely). */
+  private def withSpj[T](body: => T): T = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Exchanges in the FINAL executed plan (AQE included): collect the
+    * adaptive plan's final physical tree after execution. */
+  private def exchanges(df: DataFrame): Int = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    "(?i)exchange".r.findAllIn(s).length
+  }
+
+  private def filesOf(root: String, table: String): Seq[String] = {
+    val dir = s"$root/$table"
+    val v = VersionedTable.latestVersion(spark, dir).get
+    VersionedTable.snapshotOf(spark, dir, v).dataFiles
+  }
+
+  test("bucket-partitioned write: every data file claims exactly one bucket") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 1000L).toDF("k").withColumn("v", col("k") * 7L)
+      .createOrReplaceTempView("glspj_src1")
+    spark.sql(s"INSERT INTO $cat.t SELECT k, v FROM glspj_src1")
+    val claims = filesOf(root, "t")
+      .filter(p => !p.contains("files-v0-")) // v0 = empty schema carrier
+      .map(p => LakePartitioning.rawValueOfPath(p))
+    assert(claims.nonEmpty && claims.forall(_.isDefined))
+    assert(claims.flatten.map(_.toInt).toSet == Set(0, 1, 2, 3))
+    // each file's rows all hash to the file's claimed bucket
+    claims.flatten.map(_.toInt).distinct.foreach { b =>
+      val fs = filesOf(root, "t").filter(
+        LakePartitioning.rawValueOfPath(_).contains(b.toString))
+      val got = spark.read.parquet(fs: _*)
+        .select(pmod(col("k"), lit(4L)).cast("int")).distinct().collect()
+        .map(_.getInt(0)).toSet
+      assert(got == Set(b), s"bucket $b files hold rows of buckets $got")
+    }
+    // full contents survive the routing
+    assert(spark.sql(s"SELECT sum(k) AS s, sum(v) AS sv, count(*) AS c " +
+      s"FROM $cat.t").collect()(0).toSeq ==
+      Seq(499500L, 3496500L, 1000L))
+  }
+
+  test("SPJ: co-bucketed tables join with ZERO exchanges, result exact") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.a (k BIGINT, va BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.b (k BIGINT, vb BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 500L).toDF("k").withColumn("va", col("k") + 1L)
+      .createOrReplaceTempView("glspj_a")
+    (0L until 500L by 2L).toDF("k").withColumn("vb", col("k") * 3L)
+      .createOrReplaceTempView("glspj_b")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM glspj_a")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM glspj_b")
+    withSpj {
+      val j = spark.sql(
+        s"SELECT a.k, a.va, b.vb FROM $cat.a a JOIN $cat.b b ON a.k = b.k")
+      assert(exchanges(j) == 0,
+        s"expected a storage-partitioned join with no exchanges:\n" +
+          j.queryExecution.executedPlan)
+      val rows = j.collect()
+      assert(rows.length == 250)
+      assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum ==
+        (0L until 500L by 2L).map(k => (k + 1) + k * 3).sum)
+    }
+    // sanity: with v2 bucketing forced OFF (default is ON in Spark 4)
+    // the same join must plan exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val j2 = spark.sql(
+        s"SELECT a.k, a.va, b.vb FROM $cat.a a JOIN $cat.b b ON a.k = b.k")
+      assert(exchanges(j2) > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("SPJ: identity-partitioned tables join shuffle-free") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.ia (g INT, x BIGINT) " +
+      "PARTITIONED BY (g)")
+    spark.sql(s"CREATE TABLE $cat.ib (g INT, y BIGINT) " +
+      "PARTITIONED BY (g)")
+    (0 until 400).map(i => (i % 5, i.toLong)).toDF("g", "x")
+      .createOrReplaceTempView("glspj_ia")
+    (0 until 400).map(i => (i % 5, i.toLong * 2))
+      .toDF("g", "y").createOrReplaceTempView("glspj_ib")
+    spark.sql(s"INSERT INTO $cat.ia SELECT * FROM glspj_ia")
+    spark.sql(s"INSERT INTO $cat.ib SELECT * FROM glspj_ib")
+    withSpj {
+      val j = spark.sql(
+        s"""SELECT a.g, a.x, b.y FROM $cat.ia a
+           |JOIN $cat.ib b ON a.g = b.g""".stripMargin)
+      assert(exchanges(j) == 0,
+        s"expected identity SPJ without exchanges:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.collect().length == 80 * 80 * 5)
+    }
+  }
+
+  test("degrade + re-earn: COW rewrite drops key grouping, compact restores it") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.da (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.db (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 200L).toDF("k").withColumn("v", col("k"))
+      .createOrReplaceTempView("glspj_da")
+    (0L until 200L).toDF("k").withColumn("w", col("k"))
+      .createOrReplaceTempView("glspj_db")
+    spark.sql(s"INSERT INTO $cat.da SELECT * FROM glspj_da")
+    spark.sql(s"INSERT INTO $cat.db SELECT * FROM glspj_db")
+    // the row-level COW rewrite lands files WITHOUT a key claim
+    spark.sql(s"UPDATE $cat.da SET v = v + 1000 WHERE k < 10")
+    val unclaimed = filesOf(root, "da").exists(p =>
+      LakePartitioning.rawValueOfPath(p).isEmpty &&
+        !p.contains("files-v0-"))
+    assert(unclaimed, "UPDATE should land non-routing files")
+    withSpj {
+      val j = spark.sql(
+        s"SELECT a.k, a.v, b.w FROM $cat.da a JOIN $cat.db b ON a.k = b.k")
+      assert(exchanges(j) > 0, "degraded table must fall back to exchanges")
+      // correctness is unconditional
+      assert(j.collect().count(_.getLong(1) >= 1000L) == 10)
+    }
+    // compaction routes again → the layout (and the SPJ) is re-earned
+    spark.sql(s"CALL $cat.system.compact(table => 'da', target_files => 4)")
+    withSpj {
+      val j = spark.sql(
+        s"SELECT a.k, a.v, b.w FROM $cat.da a JOIN $cat.db b ON a.k = b.k")
+      assert(exchanges(j) == 0,
+        s"compact must restore the key-grouped layout:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.collect().count(_.getLong(1) >= 1000L) == 10)
+    }
+  }
+
+  test("partition spec is immutable and validated") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.p (k BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.partitioning") == "bucket(8,k)")
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES(" +
+        "'graft.partitioning'='bucket(4,k)')")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.p UNSET TBLPROPERTIES(" +
+        "'graft.partitioning')")
+    }
+    // unsupported transforms and types reject loudly at CREATE
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad1 (t TIMESTAMP_NTZ, v INT) " +
+        "PARTITIONED BY (days(t))")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad2 (d DOUBLE, v INT) " +
+        "PARTITIONED BY (d)")
+    }
+  }
+
+  test("bucket catalog function agrees with write-side routing, null-safe") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    // magic-invoke path (SQL) vs the routing expression
+    val got = spark.sql(
+      s"SELECT $cat.bucket(8, CAST(-3 AS BIGINT)) AS b1, " +
+        s"$cat.bucket(8, 'hello') AS b2").collect()(0)
+    assert(got.getInt(0) == java.lang.Math.floorMod(-3L, 8L).toInt)
+    assert(got.getInt(1) ==
+      GraftLakeFunctions.bucketOfString(8, "hello"))
+    // produceResult agrees with invoke
+    assert(GraftLakeFunctions.BucketLong.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(8, -3L)) ==
+      GraftLakeFunctions.BucketLong.invoke(8, -3L))
+    // a null key routes to bucket 0 and still reads back
+    spark.sql(s"CREATE TABLE $cat.nn (k BIGINT, v INT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    Seq((Some(5L), 1), (None, 2)).toDF("k", "v")
+      .createOrReplaceTempView("glspj_nulls")
+    spark.sql(s"INSERT INTO $cat.nn SELECT * FROM glspj_nulls")
+    val back = spark.sql(s"SELECT k, v FROM $cat.nn ORDER BY v").collect()
+    assert(back.length == 2 && back(1).isNullAt(0))
+  }
+
+  test("empty partitioned CREATE stays loadable; key grouping needs data") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.e")
+      .collect()(0).getLong(0) == 0L)
+    // DESCRIBE surfaces the transform through Table.partitioning()
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.e").collect()
+      .map(_.getString(0))
+    assert(desc.exists(_.contains("Part")),
+      s"DESCRIBE should list partitioning: ${desc.mkString("|")}")
+  }
+}
