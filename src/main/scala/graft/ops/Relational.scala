@@ -2747,6 +2747,70 @@ object Relational {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  /** SCHEMA EVOLUTION — RENAME/DROP COLUMN via column mapping
+    * ([[graft.sources.LakeColumnMapping]], Delta's columnMapping /
+    * Iceberg's field-id discipline): orders lands as (k, price,
+    * status); `RENAME COLUMN price TO amount` and `DROP COLUMN
+    * status` are MANIFEST-ONLY commits (zero data IO — the same
+    * files serve the new schema through logical↔physical name
+    * translation at the scan boundary); time travel serves the
+    * pre-rename names exactly; re-adding the dropped name reads NULL
+    * over old files (fresh physical name — the resurrection trap);
+    * appends after the rename land under the original physical name
+    * so every file stays consistent. In-engine gates pin the
+    * rename/drop commits carried the SAME files and time-travel
+    * totals match; the final aggregate hash-gates against DuckDB
+    * restating the lifecycle from the raw source. */
+  val q198LakeRenameDrop: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakecm_$nonce"
+    val root = s"/tmp/graft_q198_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      .createOrReplaceTempView(s"q198_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, price DOUBLE, " +
+      "status STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM q198_src_$nonce") // v1
+    val filesV1 = VersionedTable.filesOf(spark, s"$root/t", 1)
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN price TO amount") // v2
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN status")            // v3
+    // manifest-only evolution: v3 serves the SAME data files as v1
+    val sameFiles =
+      VersionedTable.filesOf(spark, s"$root/t", 3) == filesV1
+    // time travel: the pre-rename snapshot keeps its exact shape
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n, round(sum(price), 2) AS total " +
+        s"FROM $cat.t VERSION AS OF 1").collect()(0)
+    // re-add the dropped name: old files MUST read NULL (fresh
+    // physical name), the appended row carries a real value
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN status STRING")      // v4
+    spark.sql(s"INSERT INTO $cat.t VALUES (0, 1.0, 'zz')")         // v5
+    val fin = spark.sql(
+      s"""SELECT count(*) AS n, round(sum(amount), 2) AS total,
+         |  count(status) AS n_status
+         |FROM $cat.t""".stripMargin).collect()(0)
+    val ttMatch = v1.getLong(0) == fin.getLong(0) - 1
+    import spark.implicits._
+    Seq((fin.getLong(0), fin.getDouble(1), fin.getLong(2),
+        sameFiles && ttMatch))
+      .toDF("n", "total", "n_status", "evolution_exact")
+  }
+
+  val q198Oracle: String =
+    """SELECT CAST(count(*) + 1 AS BIGINT) AS n,
+      | round(sum(o_totalprice) + 1.0, 2) AS total,
+      | CAST(1 AS BIGINT) AS n_status,
+      | TRUE AS evolution_exact
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -3554,6 +3618,7 @@ object Relational {
     "q195_lake_files_meta" -> q195LakeFilesMeta,
     "q196_file_lineage" -> q196FileLineage,
     "q197_lake_spj" -> q197LakeSpj,
+    "q198_lake_rename_drop" -> q198LakeRenameDrop,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3635,5 +3700,6 @@ object Relational {
     "q195_lake_files_meta" -> q195Oracle,
     "q196_file_lineage" -> q196Oracle,
     "q197_lake_spj" -> q197Oracle,
+    "q198_lake_rename_drop" -> q198Oracle,
   )
 }

@@ -254,26 +254,146 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       GraftLakeTable.writeProperties(spark, d, next)
       if (rest.isEmpty) return loadTable(ident)
     }
-    val current = (loadTable(ident): Table).schema()
-    val widened = rest.foldLeft(current) {
-      case (sch, add: TableChange.AddColumn) =>
-        if (add.fieldNames().length != 1)
-          throw new UnsupportedOperationException(
-            s"$catalogName: nested ADD COLUMN is not supported " +
-              s"(${add.fieldNames().mkString(".")})")
-        if (sch.fieldNames.exists(_.equalsIgnoreCase(add.fieldNames()(0))))
-          throw new IllegalArgumentException(
-            s"column ${add.fieldNames()(0)} already exists")
-        sch.add(StructField(add.fieldNames()(0), add.dataType(),
-          nullable = true))
-      case (_, other) => throw new UnsupportedOperationException(
-        s"$catalogName: only ADD COLUMN is supported, got " +
-          other.getClass.getSimpleName)
+    val head = VersionedTable.headVersion(spark, d).getOrElse(
+      throw new NoSuchTableException(ident))
+    val snap = VersionedTable.snapshotOf(spark, d, head)
+    val logical = (loadTable(ident): Table).schema()
+    val baseMapping = LakeColumnMapping.fromMeta(snap.meta)
+      .getOrElse(LakeColumnMapping.identityOf(logical))
+    val hasEvolution = rest.exists {
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn =>
+        true
+      case _ => false
     }
-    val empty = spark.createDataFrame(new util.ArrayList[Row](), widened)
-    VersionedTable.commit(spark, empty, d, carryForward = true,
-      op = Some("add-column"))
+    // ---- additive-only fast path on a never-mapped table: the
+    // original contract (empty widened-schema carrier file, no
+    // mapping metadata introduced)
+    if (!hasEvolution && baseMapping.isIdentity) {
+      val widened = rest.foldLeft(logical) {
+        case (sch, add: TableChange.AddColumn) =>
+          val n0 = singleName(add.fieldNames())
+          if (sch.fieldNames.exists(_.equalsIgnoreCase(n0)))
+            throw new IllegalArgumentException(
+              s"column $n0 already exists")
+          sch.add(StructField(n0, add.dataType(), nullable = true))
+        case (_, other) => throw new UnsupportedOperationException(
+          s"$catalogName: unsupported ALTER TABLE change " +
+            other.getClass.getSimpleName +
+            " (supported: ADD/RENAME/DROP COLUMN, TBLPROPERTIES)")
+      }
+      val empty = spark.createDataFrame(new util.ArrayList[Row](), widened)
+      VersionedTable.commit(spark, empty, d, carryForward = true,
+        op = Some("add-column"))
+      return loadTable(ident)
+    }
+    // ---- COLUMN MAPPING path ([[LakeColumnMapping]]): RENAME / DROP
+    // touch zero data bytes — the new schema is snapshot METADATA,
+    // atomic with its manifest, exact under time travel. Guards:
+    // outstanding merge-on-read masks and WAP staging interact with
+    // rewrites the mapped state refuses, and structural columns
+    // (partition / clustering keys) route every write — renaming them
+    // would falsify committed layouts.
+    if (snap.deleteFiles.nonEmpty) throw new UnsupportedOperationException(
+      s"RENAME/DROP COLUMN on ${ident.toString} with outstanding " +
+        "merge-on-read delete files is not supported — compact first")
+    if (Option(spark.conf.get(GraftLakeTable.WapBranchConf, null))
+        .exists(_.trim.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"RENAME/DROP COLUMN on ${ident.toString} under " +
+          s"${GraftLakeTable.WapBranchConf} is not supported — " +
+          "fast_forward or drop the branch first")
+    val structural: Set[String] = (
+      LakePartitioning.specOf(spark, d).map(_.column).toSeq ++
+        VersionedTable.clusteringSpec(spark, d).toSeq.flatten
+          .flatMap(term => "[A-Za-z_][A-Za-z0-9_]*".r
+            .findAllIn(term).filterNot(_.equalsIgnoreCase("morton2")))
+      ).map(_.toLowerCase).toSet
+    def guardStructural(name: String, what: String): Unit =
+      if (structural.contains(name.toLowerCase))
+        throw new UnsupportedOperationException(
+          s"cannot $what column '$name': it routes this table's " +
+            "declared partitioning/clustering layout")
+    val logicalTypes = logical.fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    var m = baseMapping
+    var carriers = Seq.empty[StructField] // physical fields for adds
+    rest.foreach {
+      case add: TableChange.AddColumn =>
+        val n = singleName(add.fieldNames())
+        if (m.fields.exists(_._1.equalsIgnoreCase(n)))
+          throw new IllegalArgumentException(s"column $n already exists")
+        val phys = LakeColumnMapping.freshPhysical(
+          m, LakeColumnMapping.validateName(n), head + 1)
+        m = m.copy(fields = m.fields :+ (n -> phys))
+        carriers :+= StructField(phys, add.dataType(), nullable = true)
+      case r: TableChange.RenameColumn =>
+        val from = singleName(r.fieldNames())
+        val to = LakeColumnMapping.validateName(r.newName())
+        val entry = m.fields.find(_._1.equalsIgnoreCase(from)).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $from"))
+        guardStructural(from, "rename")
+        if (m.fields.exists(f => !(f eq entry) &&
+            f._1.equalsIgnoreCase(to)))
+          throw new IllegalArgumentException(s"column $to already exists")
+        m = m.copy(fields = m.fields.map(f =>
+          if (f eq entry) (to, f._2) else f))
+      case del: TableChange.DeleteColumn =>
+        val n = singleName(del.fieldNames())
+        m.fields.find(_._1.equalsIgnoreCase(n)) match {
+          case None =>
+            if (!del.ifExists())
+              throw new IllegalArgumentException(s"no such column: $n")
+          case Some(entry) =>
+            guardStructural(n, "drop")
+            if (m.fields.length == 1)
+              throw new UnsupportedOperationException(
+                "cannot drop a table's last column")
+            m = LakeColumnMapping.Mapping(m.fields.filterNot(_ eq entry),
+              m.dropped :+ entry._2)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: unsupported ALTER TABLE change " +
+          other.getClass.getSimpleName +
+          " (supported: ADD/RENAME/DROP COLUMN, TBLPROPERTIES)")
+    }
+    val op = rest.toSeq.map(_.getClass.getSimpleName).distinct match {
+      case Seq("RenameColumn") => "rename-column"
+      case Seq("DeleteColumn") => "drop-column"
+      case Seq("AddColumn") => "add-column"
+      case _ => "alter-schema"
+    }
+    if (carriers.nonEmpty) {
+      // ADD on a mapped table: the carrier file must land the new
+      // columns under their PHYSICAL names next to the existing
+      // physical schema — commitAs must not re-map it
+      val physSchema = StructType(
+        baseMapping.fields.map { case (l, p) =>
+          val f = logicalTypes(l.toLowerCase)
+          StructField(p, f.dataType, f.nullable)
+        } ++ carriers)
+      val empty = spark.createDataFrame(
+        new util.ArrayList[Row](), physSchema)
+      VersionedTable.commitAs(spark, empty, d,
+        VersionedTable.nextVersion(spark, d), carryForward = true,
+        meta = m.metaEntries, op = Some(op),
+        baseVersion = Some(head), applyColumnMapping = false)
+    } else {
+      // pure rename/drop: a manifest-only commit — the SAME files,
+      // stats carried by reference, zero data IO
+      VersionedTable.publishVersion(spark, d,
+        VersionedTable.nextVersion(spark, d), snap.dataFiles,
+        snap.deleteFiles, snap.stats,
+        snap.meta ++ m.metaEntries, op = op)
+    }
     loadTable(ident)
+  }
+
+  private def singleName(names: Array[String]): String = {
+    if (names.length != 1)
+      throw new UnsupportedOperationException(
+        s"$catalogName: nested column changes are not supported " +
+          s"(${names.mkString(".")})")
+    names(0)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -480,6 +600,12 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     if (version.isDefined) throw new UnsupportedOperationException(
       s"cannot modify time-travel snapshot ${ident.toString} " +
         s"VERSION AS OF ${version.get}")
+    // row-level rewrites land replacement files under LOGICAL names;
+    // mixing them with mapped physical files would corrupt reads
+    if (mapping.isDefined) throw new UnsupportedOperationException(
+      s"row-level DML on column-mapped table ${ident.toString} is " +
+        "not supported — CALL system.compact first (it rewrites files " +
+        "under the current logical names and clears the mapping)")
     // under WAP the rewrite bases on the branch head and its commit
     // stages onto the branch — DML participates in write-audit-publish
     val wap = wapBranch
@@ -513,8 +639,17 @@ final class GraftLakeTable(ident: Identifier, dir: String,
 
   override def name(): String = ident.toString
 
-  override def schema(): StructType =
-    (delegate: Table).schema()
+  /** Active COLUMN MAPPING ([[LakeColumnMapping]]) for the resolved
+    * snapshot — version-pinned, so `VERSION AS OF` a pre-rename
+    * snapshot serves the old names. Identity mappings cost nothing. */
+  private[sources] lazy val mapping: Option[LakeColumnMapping.Mapping] =
+    LakeColumnMapping.fromMeta(snapshot.meta).filterNot(_.isIdentity)
+
+  override def schema(): StructType = mapping match {
+    case Some(m) =>
+      LakeColumnMapping.logicalSchema(m, (delegate: Table).schema())
+    case None => (delegate: Table).schema()
+  }
 
   /** The declared partition transform ([[LakePartitioning]]), if any —
     * what `DESCRIBE TABLE` shows and what Spark's
@@ -580,8 +715,13 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     if (snapshot.deleteFiles.isEmpty)
       delegate.newScanBuilder(options) match {
         case f: org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =>
-          new LakeReadScanBuilder(f, schema(), snapshot,
-            partSpec.zip(partKeys).headOption)
+          // mapped tables: stats re-key to logical so every manifest
+          // consumer downstream speaks the table's logical names
+          val snapForRead = mapping
+            .map(LakeColumnMapping.statsToLogical(_, snapshot))
+            .getOrElse(snapshot)
+          new LakeReadScanBuilder(f, schema(), snapForRead,
+            partSpec.zip(partKeys).headOption, mapping)
         case other => other
       }
     else new GraftLakeDvScanBuilder(delegate, schema(),
@@ -609,6 +749,8 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       // .deleteWhere]]); under WAP, declining here routes the DELETE
       // through the row-level operation, which stages on the branch
       wapBranch.isEmpty &&
+      // mapped tables: route to the row-level path's loud refusal
+      mapping.isEmpty &&
       predicates.forall(p =>
         PredicateBridge.toV1(p).flatMap(GraftLakeTable.toColumn).isDefined)
 

@@ -45,13 +45,37 @@ import org.apache.spark.unsafe.types.UTF8String
 final class LakeReadScanBuilder(inner: FileScanBuilder,
     tableSchema: StructType, snap: VersionedTable.Snapshot,
     partInfo: Option[(LakePartitioning.Spec, Map[String, Option[Any]])] =
-      None)
+      None,
+    mapping: Option[LakeColumnMapping.Mapping] = None)
     extends DelegatingFileScanBuilder(inner)
     with SupportsPushDownAggregates {
 
   private var answered: Option[(StructType, InternalRow)] = None
   private var wantsFile = false
   private var prunedTo: Option[StructType] = None
+
+  /** COLUMN MAPPING boundary ([[LakeColumnMapping]]): the inner
+    * parquet builder speaks PHYSICAL file-column names; Spark speaks
+    * the table's LOGICAL schema. Pruning and pushed filters translate
+    * logical→physical on the way in; the built scan presents its
+    * output logical again ([[LakeMappedScan]] — rows are positional,
+    * zero per-row cost). Residual filters hand back the ORIGINAL
+    * logical expressions (a translated residual would not re-resolve
+    * above the scan); if the inner builder returns anything we cannot
+    * match back, ALL filters stay above the scan — re-filtering is
+    * free, a dropped filter is wrong. */
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    mapping match {
+      case None => super.pushFilters(filters)
+      case Some(m) =>
+        val translated = filters.map(LakeColumnMapping.exprToPhysical(m, _))
+        val residual = super.pushFilters(translated)
+        val back = residual.map(r => translated.indexWhere(_ eq r))
+        if (back.contains(-1)) filters
+        else back.map(filters)
+    }
 
   private def tryAnswer(agg: Aggregation): Boolean = {
     if (answered.isEmpty && !innerHasFilters)
@@ -85,7 +109,17 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
         StructType(requiredSchema.fields.filterNot(_.name == "_file"))
       else requiredSchema
     prunedTo = Some(forInner)
-    super.pruneColumns(forInner)
+    super.pruneColumns(mapping match {
+      case Some(m) => LakeColumnMapping.pruneToPhysical(m, forInner)
+      case None => forInner
+    })
+  }
+
+  /** The built physical scan, re-presented under logical names when a
+    * mapping is active — every wrapper downstream composes over this. */
+  private def logicalBuild(): Scan = mapping match {
+    case Some(m) => new LakeMappedScan(innerBuild(), m)
+    case None => innerBuild()
   }
 
   /** Key-grouped (SPJ) scanning is sound and USEFUL only when the
@@ -99,15 +133,15 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
       case (spec, keys)
           if prunedTo.forall(_.fieldNames.exists(
             _.equalsIgnoreCase(spec.column))) =>
-        new LakeKeyGroupedScan(innerBuild(), spec, keys,
+        new LakeKeyGroupedScan(logicalBuild(), spec, keys,
           LakePartitioning.keyType(spec, tableSchema))
     }
 
   override def build(): Scan = answered match {
     case Some((schema, row)) => new LakeStatsAggScan(schema, row)
-    case None if wantsFile => new LakeFileColumnScan(innerBuild())
+    case None if wantsFile => new LakeFileColumnScan(logicalBuild())
     case None => keyGrouped.getOrElse(
-      new LakeRuntimeFilterScan(innerBuild(), snap))
+      new LakeRuntimeFilterScan(logicalBuild(), snap))
   }
 }
 

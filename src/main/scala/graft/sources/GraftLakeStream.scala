@@ -80,6 +80,15 @@ final class GraftLakeStreamProvider extends TableProvider
         throw new IllegalArgumentException(s"no committed version at $dir"))
     }
     val snap = VersionedTable.snapshotOf(spark, dir, v)
+    // streaming reads files with an ENFORCED schema by name — on a
+    // column-mapped table the physical names would surface (or read
+    // as nulls under the logical schema); refuse loudly, compact
+    // re-earns identity naming
+    LakeColumnMapping.fromMeta(snap.meta).filterNot(_.isIdentity)
+      .foreach(_ => throw new UnsupportedOperationException(
+        s"streaming from a column-mapped table at $dir is not " +
+          "supported — run compact first (it rewrites files under " +
+          "the current logical names and clears the mapping)"))
     val data = spark.read.option("mergeSchema", "true")
       .parquet(snap.dataFiles: _*).schema
     if (options.getBoolean("changeFeed", false))

@@ -93,21 +93,9 @@ object VersionedTable {
       meta: Map[String, String] = Map.empty,
       applyDeclaredClustering: Boolean = true,
       op: Option[String] = None,
-      baseVersion: Option[Int] = None): Int = {
+      baseVersion: Option[Int] = None,
+      applyColumnMapping: Boolean = true): Int = {
     val f = fs(spark, dir)
-    // declared PARTITIONING wins over declared clustering for the
-    // shuffle (one shuffle per commit, never two): rows route to their
-    // partition value and, when clustering is ALSO declared, sort
-    // within the routed partitions so zone-maps stay monotone per file
-    val partSpec = LakePartitioning.specOf(spark, dir)
-    val out =
-      if (partSpec.isDefined) df
-      else if (applyDeclaredClustering) clusterFor(spark, dir, df, None)
-      else df
-    val newFiles = writeDataFiles(spark, out, dir, v, partSpec,
-      if (partSpec.isDefined && applyDeclaredClustering)
-        clusteringSpec(spark, dir)
-      else None)
     // carry-forward base: explicit when given (main commits base on
     // HEAD, branch commits on the branch head — with branch manifests
     // in the number sequence, v-1 may be a different line's commit)
@@ -115,6 +103,35 @@ object VersionedTable {
     val prior =
       if (carryForward && base >= 0) snapshotOf(spark, dir, base)
       else Snapshot(Seq.empty, Seq.empty)
+    // COLUMN MAPPING ([[LakeColumnMapping]]): appends to a renamed /
+    // column-dropped table land their delta under the table's
+    // PHYSICAL names, so every file keeps one consistent physical
+    // name per column. Full-replace commits (overwrite / compact /
+    // truncate: carryForward = false) write CURRENT logical names and
+    // CLEAR the mapping — prior.meta is not carried there, and any
+    // explicitly carried meta (compact preserves epoch markers) is
+    // stripped of the schema keys below.
+    val mapped =
+      if (carryForward && applyColumnMapping)
+        LakeColumnMapping.fromMeta(prior.meta)
+          .filterNot(_.isIdentity)
+          .map(LakeColumnMapping.toPhysical(df, _))
+          .getOrElse(df)
+      else df
+    // declared PARTITIONING wins over declared clustering for the
+    // shuffle (one shuffle per commit, never two): rows route to their
+    // partition value and, when clustering is ALSO declared, sort
+    // within the routed partitions so zone-maps stay monotone per file
+    val partSpec = LakePartitioning.specOf(spark, dir)
+    val out =
+      if (partSpec.isDefined) mapped
+      else if (applyDeclaredClustering)
+        clusterFor(spark, dir, mapped, None)
+      else mapped
+    val newFiles = writeDataFiles(spark, out, dir, v, partSpec,
+      if (partSpec.isDefined && applyDeclaredClustering)
+        clusteringSpec(spark, dir)
+      else None)
     // an append on a merge-on-read table carries the DELETE files too —
     // dropping them would resurrect deleted rows. Stats: carried files
     // keep their manifest stats by reference; only the delta's footers
@@ -124,9 +141,18 @@ object VersionedTable {
     // only the DELTA's footers are read: a pre-stats carried file stays
     // stats-less (consumers fall back) rather than turning one append
     // into O(table) footer IO
+    // full-replace commits re-earn identity naming: never carry the
+    // column-mapping keys into a manifest whose files were rewritten
+    // under logical names (compact passes the prior snapshot's meta
+    // to preserve epoch markers — the schema keys must not ride along)
+    val cleanMeta =
+      if (carryForward) meta
+      else meta.filter { case (k, _) =>
+        k != LakeColumnMapping.MapMeta && k != LakeColumnMapping.DroppedMeta
+      }
     publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles,
       prior.stats ++ statsFor(spark, newFiles, prior.stats),
-      prior.meta ++ meta,
+      prior.meta ++ cleanMeta,
       op.getOrElse(if (carryForward) "append" else "overwrite"))
   }
 
@@ -727,7 +753,7 @@ object VersionedTable {
     val snap = snapshotOf(spark, dir, v)
     val data = spark.read.option("mergeSchema", "true")
       .parquet(snap.dataFiles: _*)
-    if (snap.deleteFiles.isEmpty) data
+    val masked = if (snap.deleteFiles.isEmpty) data
     else {
       // merge-on-read: mask (file, position) pairs recorded by the
       // snapshot's DELETE files. The anti join keys on the scan's own
@@ -746,6 +772,13 @@ object VersionedTable {
           col("__graft_p") === col("__graft_dp"), "left_anti")
         .drop("__graft_f", "__graft_p")
     }
+    // column-mapped snapshot: present the logical schema (physical
+    // file columns selected + aliased; dropped physicals fall away).
+    // AFTER the DV mask — `_metadata` only resolves on the raw scan.
+    LakeColumnMapping.fromMeta(snap.meta)
+      .filterNot(_.isIdentity)
+      .map(LakeColumnMapping.toLogical(masked, _))
+      .getOrElse(masked)
   }
 
   /** MERGE-ON-READ DELETE (Iceberg v2 positional deletes / Delta
@@ -766,6 +799,14 @@ object VersionedTable {
     val v = headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val snap = snapshotOf(spark, dir, v)
+    // a column-mapped table's positional deletes would evaluate the
+    // condition over PHYSICAL names — refuse rather than record a
+    // wrong mask; compact re-earns identity naming first
+    LakeColumnMapping.fromMeta(snap.meta).filterNot(_.isIdentity)
+      .foreach(_ => throw new UnsupportedOperationException(
+        s"merge-on-read delete on a column-mapped table at $dir is " +
+          "not supported — run compact first (it rewrites files " +
+          "under the current logical names and clears the mapping)"))
     val newV = nextVersion(spark, dir)
     if (snap.dataFiles.isEmpty)
       return publish(fs(spark, dir), dir, newV, snap.dataFiles,
@@ -945,6 +986,14 @@ object VersionedTable {
         s"copy-on-write delete at $dir would resurrect rows masked by " +
           "outstanding merge-on-read delete files; use " +
           "deleteWhereMergeOnRead or compact() first")
+    // the partial rewrite would land survivor files under LOGICAL
+    // names while untouched files keep the old physical names — the
+    // mixed state corrupts mapped reads; compact first
+    LakeColumnMapping.fromMeta(prior.meta).filterNot(_.isIdentity)
+      .foreach(_ => throw new UnsupportedOperationException(
+        s"copy-on-write delete on a column-mapped table at $dir is " +
+          "not supported — run compact first (it rewrites files " +
+          "under the current logical names and clears the mapping)"))
     val files = prior.dataFiles
     val newV = nextVersion(spark, dir)
     if (files.isEmpty)

@@ -449,10 +449,14 @@ class GraftLakeCatalogSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra STRING")
     }
     assert(dup.getMessage.toLowerCase.contains("exists"))
-    val drop = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN extra")
+    // DROP COLUMN is supported via column mapping
+    // (GraftLakeColumnMappingSpec covers behavior); retyping is not
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN extra")
+    assert(spark.table(s"$cat.t").columns.toSeq === Seq("k"))
+    val retype = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE BIGINT")
     }
-    assert(drop.getMessage.contains("ADD COLUMN"))
+    assert(retype.getMessage.contains("unsupported ALTER TABLE change"))
   }
 
   test("catalog function morton2 resolves via FunctionCatalog, magic == row path == zValue") {
