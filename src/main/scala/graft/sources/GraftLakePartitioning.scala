@@ -243,6 +243,40 @@ object LakePartitioning {
         .getOrElse(NullType)
   }
 
+  /** A pushed-filter VALUE (external Scala form, as V1 filters carry
+    * it) → the internal claim a matching file must hold — the static
+    * partition-pruning translation. None = unconvertible: the filter
+    * contributes no pruning (conservative, never wrong). */
+  def claimFor(spec: Spec, keyType: DataType, v: Any): Option[Any] =
+    spec match {
+      case BucketSpec(n, _) => v match {
+        case l: Long => Some(GraftLakeFunctions.bucketOfLong(n, l))
+        case i: Int => Some(GraftLakeFunctions.bucketOfLong(n, i.toLong))
+        case s: Short => Some(GraftLakeFunctions.bucketOfLong(n, s.toLong))
+        case b: Byte => Some(GraftLakeFunctions.bucketOfLong(n, b.toLong))
+        case s: String => Some(GraftLakeFunctions.bucketOfString(n, s))
+        case u: UTF8String =>
+          Some(GraftLakeFunctions.bucketOfString(n, u.toString))
+        case _ => None
+      }
+      case _: IdentitySpec => (keyType, v) match {
+        case (LongType, l: Long) => Some(l)
+        case (LongType, i: Int) => Some(i.toLong)
+        case (IntegerType, i: Int) => Some(i)
+        case (IntegerType, l: Long)
+            if l >= Int.MinValue && l <= Int.MaxValue => Some(l.toInt)
+        case (ShortType, s: Short) => Some(s)
+        case (ByteType, b: Byte) => Some(b)
+        case (StringType, s: String) => Some(UTF8String.fromString(s))
+        case (StringType, u: UTF8String) => Some(u)
+        case (DateType, d: java.sql.Date) =>
+          Some(d.toLocalDate.toEpochDay.toInt)
+        case (DateType, ld: java.time.LocalDate) =>
+          Some(ld.toEpochDay.toInt)
+        case _ => None
+      }
+    }
+
   /** Hive path unescaping (`%2F` → `/`, …) — mirrors the escaping
     * `partitionBy` applies when writing partition directories. */
   private def unescapePath(s: String): String = {

@@ -122,27 +122,80 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     case None => innerBuild()
   }
 
+  /** STATIC PARTITION PRUNING: on a partitioned table, a pushed
+    * `EqualTo`/`In` filter on the partition column keeps only the
+    * files claiming the matching transform value — EXACT (the claim
+    * is the routing contract, not a statistic) and the real win on
+    * BUCKET layouts, where a point lookup on `bucket(1024, k)` scans
+    * 1/1024 of the files and min/max stats can't prune at all (the
+    * hash isn't monotone). Filters with unconvertible values
+    * contribute no pruning; null-claiming files drop under any
+    * equality filter (null never matches `=`/IN). Composes with both
+    * downstream scan shapes: the key-grouped scan reads the pruned
+    * map, the runtime-filter scan seeds its kept-set with it. */
+  private def partPruned
+      : Option[(LakePartitioning.Spec, Map[String, Option[Any]])] =
+    partInfo.map { case (spec, keys) =>
+      val kt = LakePartitioning.keyType(spec, tableSchema)
+      val allowed: Seq[Set[Any]] = inner.pushedFilters.toSeq
+        .flatMap(p => org.apache.spark.sql.graftbridge.PredicateBridge
+          .toV1(p).toSeq)
+        .flatMap {
+          case org.apache.spark.sql.sources.EqualTo(a, v)
+              if a.equalsIgnoreCase(spec.column) =>
+            LakePartitioning.claimFor(spec, kt, v).map(Set(_))
+          case org.apache.spark.sql.sources.In(a, vs)
+              if a.equalsIgnoreCase(spec.column) =>
+            val cs = vs.toSeq.map(LakePartitioning.claimFor(spec, kt, _))
+            if (cs.exists(_.isEmpty)) None else Some(cs.flatten.toSet)
+          case _ => None
+        }
+      if (allowed.isEmpty) (spec, keys)
+      else {
+        val want = allowed.reduce(_ intersect _)
+        val kept = keys.filter {
+          case (_, Some(claim)) => want.contains(claim)
+          case (_, None) => false // null claim: `=`/IN never match null
+        }
+        LakeReadScanBuilder.lastPartitionPrune.set(
+          (kept.size.toLong << 32) | keys.size.toLong)
+        (spec, kept)
+      }
+    }
+
   /** Key-grouped (SPJ) scanning is sound and USEFUL only when the
     * table declares partitioning, every data file claims its value
     * ([[GraftLakeTable.partKeys]] verified that), and the partition
     * column survives column pruning — Spark resolves the reported
     * transform against the scan OUTPUT, and a query that dropped the
     * key can't join on it anyway. */
-  private def keyGrouped: Option[LakeKeyGroupedScan] =
-    partInfo.collect {
-      case (spec, keys)
-          if prunedTo.forall(_.fieldNames.exists(
-            _.equalsIgnoreCase(spec.column))) =>
-        new LakeKeyGroupedScan(logicalBuild(), spec, keys,
-          LakePartitioning.keyType(spec, tableSchema))
-    }
-
   override def build(): Scan = answered match {
     case Some((schema, row)) => new LakeStatsAggScan(schema, row)
     case None if wantsFile => new LakeFileColumnScan(logicalBuild())
-    case None => keyGrouped.getOrElse(
-      new LakeRuntimeFilterScan(logicalBuild(), snap))
+    case None => partPruned match {
+      case Some((spec, keys))
+          if keys.nonEmpty && prunedTo.forall(_.fieldNames.exists(
+            _.equalsIgnoreCase(spec.column))) =>
+        new LakeKeyGroupedScan(logicalBuild(), spec, keys,
+          LakePartitioning.keyType(spec, tableSchema))
+      case Some((_, keys)) =>
+        // partition column pruned from the output (no SPJ use) or
+        // every file statically pruned: ordinary scan, seeded with
+        // the statically-kept file set
+        new LakeRuntimeFilterScan(logicalBuild(), snap,
+          staticKeep = Some(keys.keySet))
+      case None =>
+        new LakeRuntimeFilterScan(logicalBuild(), snap)
+    }
   }
+}
+
+object LakeReadScanBuilder {
+  /** (kept << 32 | total) of the most recent STATIC partition prune —
+    * spec/gate instrumentation, mirroring
+    * [[LakeRuntimeFilterScan.lastPrune]]. */
+  val lastPartitionPrune =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
 }
 
 /** Scan producing the `_file` metadata column: the delegate's split
@@ -417,11 +470,14 @@ private[sources] object LakeFilePrune {
   * statistics untouched. Split bundles re-form over the kept files
   * only, so pruning removes whole tasks, not just rows. */
 final class LakeRuntimeFilterScan(inner: Scan,
-    snap: VersionedTable.Snapshot) extends Scan
+    snap: VersionedTable.Snapshot,
+    staticKeep: Option[Set[String]] = None) extends Scan
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
-  /** (kept, total) of the last runtime prune, for spec pinning. */
-  @volatile private var pruned: Option[Set[String]] = None
+  /** Kept files: seeded by a static partition prune (if any), further
+    * narrowed by runtime filters — the two prunes INTERSECT. */
+  @volatile private var pruned: Option[Set[String]] =
+    staticKeep.map(_.map(p => new Path(p).toString))
 
   override def readSchema(): StructType = inner.readSchema()
 
@@ -444,7 +500,12 @@ final class LakeRuntimeFilterScan(inner: Scan,
   override def filter(predicates: Array[Predicate]): Unit =
     LakeFilePrune.keep(snap.dataFiles, snap.stats, predicates)
       .foreach { keptFiles =>
-        val kept = keptFiles.map(p => new Path(p).toString).toSet
+        val runtime = keptFiles.map(p => new Path(p).toString).toSet
+        val kept = staticKeep match {
+          case Some(s) => runtime
+            .intersect(s.map(p => new Path(p).toString))
+          case None => runtime
+        }
         pruned = Some(kept)
         LakeRuntimeFilterScan.lastPrune.set(
           (kept.size.toLong << 32) | snap.dataFiles.size.toLong)

@@ -236,6 +236,40 @@ class GraftLakeSpjSpec extends SparkSpec {
     assert(back.length == 2 && back(1).isNullAt(0))
   }
 
+  test("static partition pruning: point lookup on a bucket table reads one bucket") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.pp (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (0L until 800L).toDF("k").withColumn("v", col("k") * 3L)
+      .createOrReplaceTempView("glspj_pp")
+    spark.sql(s"INSERT INTO $cat.pp SELECT * FROM glspj_pp")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    // k = 13 → bucket 5: exactly the files claiming bucket 5 survive
+    val r = spark.sql(s"SELECT v FROM $cat.pp WHERE k = 13").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(39L))
+    val packed = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(packed >= 0, "static partition prune did not fire")
+    val (kept, total) = ((packed >> 32).toInt, (packed & 0xffffffffL).toInt)
+    assert(kept < total && kept >= 1,
+      s"expected a strict file prune, got $kept/$total")
+    // IN list over two buckets keeps at most those buckets' files
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val r2 = spark.sql(
+      s"SELECT count(*) AS c FROM $cat.pp WHERE k IN (13, 14, 21)")
+      .collect()(0).getLong(0)
+    assert(r2 == 3L)
+    val p2 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p2 >= 0 && (p2 >> 32).toInt < (p2 & 0xffffffffL).toInt)
+    // stats can't do this: bucket hashes aren't monotone, so the
+    // [min,max] of k in every file spans nearly the whole domain —
+    // the claim-based prune is the only exact one (sanity: every file
+    // holds a wide k range)
+    val wide = spark.sql(s"SELECT _file, max(k) - min(k) AS span " +
+      s"FROM $cat.pp GROUP BY _file").collect()
+    assert(wide.forall(_.getLong(1) > 100L))
+  }
+
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
