@@ -793,19 +793,32 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         // a declared-clustered table's writes range-shuffle in SPARK
         // (RequiresDistributionAndOrdering) — per micro-batch on the
         // streaming path, on the prepared plan for the V1 batch path
-        // (so commitAs must NOT re-cluster: one shuffle, not two)
+        // (so commitAs must NOT re-cluster: one shuffle, not two).
+        // A PARTITIONED table's streaming writes cluster on the
+        // transform instead (resolved through this catalog's own
+        // `bucket` function), so each task feeds few fanout files.
         val ordering = VersionedTable.clusteringV2Sort(
           SparkSession.active, dir)
-        if (ordering.isEmpty) new LakeWrite(replace, info)
-        else new LakeWrite(replace, info)
-            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-          override def requiredDistribution()
-              : org.apache.spark.sql.connector.distributions.Distribution =
-            org.apache.spark.sql.connector.distributions.Distributions
-              .ordered(ordering)
-          override def requiredOrdering()
-              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            ordering
+        val dist = partSpec match {
+          case Some(s) =>
+            Some(org.apache.spark.sql.connector.distributions
+              .Distributions.clustered(Array(s.transform)))
+          case None if ordering.nonEmpty =>
+            Some(org.apache.spark.sql.connector.distributions
+              .Distributions.ordered(ordering))
+          case None => None
+        }
+        dist match {
+          case None => new LakeWrite(replace, info)
+          case Some(d) => new LakeWrite(replace, info)
+              with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              d
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              if (partSpec.isDefined) Array.empty else ordering
+          }
         }
       }
     }
@@ -835,11 +848,6 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         s"streaming into ${ident.toString}: only append output " +
           "mode is supported (complete/truncate is not)")
       refuseUnderWap("streaming write")
-      if (partSpec.isDefined) throw new UnsupportedOperationException(
-        s"streaming into partitioned table ${ident.toString} is not " +
-          "supported yet: the epoch writer does not route rows by " +
-          s"${LakePartitioning.Prop} — write through foreachBatch + " +
-          "INSERT INTO instead")
       new GraftLakeStreamingWrite(dir, info)
     }
   }

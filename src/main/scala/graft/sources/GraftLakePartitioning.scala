@@ -277,6 +277,67 @@ object LakePartitioning {
       }
     }
 
+  /** Directory-name escaping for the STREAMING fanout writer's
+    * partition dirs. Over-escapes relative to Hive (anything outside
+    * `[A-Za-z0-9_.-]`), which is safe: [[unescapePath]] decodes any
+    * `%XX`, so batch-written (Hive-escaped) and stream-written dirs
+    * parse identically. */
+  private[sources] def escapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      if (c.isLetterOrDigit && c < 128 || c == '_' || c == '.' || c == '-')
+        sb.append(c)
+      else sb.append(f"%%${c.toInt}%02X")
+    }
+    sb.toString
+  }
+
+  /** Per-row routing for the streaming fanout writer: InternalRow →
+    * the `__graft_part=<v>` directory component its bytes belong in.
+    * MUST agree with [[routeColumn]] (the batch path) — same bucket
+    * function, same identity rendering as `partitionBy` (dates as
+    * ISO-8601, nulls as Hive's default-partition name for identity
+    * and bucket 0 for bucket specs). */
+  def rowRouter(spec: Spec, schema: StructType)
+      : InternalRow => String = {
+    val ord = schema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.column))
+    require(ord >= 0,
+      s"$Prop references column '${spec.column}' absent from the " +
+        s"stream's schema ${schema.fieldNames.mkString("(", ",", ")")}")
+    val dt = schema.fields(ord).dataType
+    spec match {
+      case BucketSpec(n, _) => row =>
+        if (row.isNullAt(ord)) "0"
+        else dt match {
+          case LongType => GraftLakeFunctions.bucketOfLong(
+            n, row.getLong(ord)).toString
+          case IntegerType => GraftLakeFunctions.bucketOfLong(
+            n, row.getInt(ord).toLong).toString
+          case ShortType => GraftLakeFunctions.bucketOfLong(
+            n, row.getShort(ord).toLong).toString
+          case ByteType => GraftLakeFunctions.bucketOfLong(
+            n, row.getByte(ord).toLong).toString
+          case StringType => GraftLakeFunctions.bucketOfString(
+            n, row.getUTF8String(ord).toString).toString
+          case other => throw new UnsupportedOperationException(
+            s"bucket over ${other.catalogString}")
+        }
+      case IdentitySpec(_) => row =>
+        if (row.isNullAt(ord)) NullPartitionName
+        else dt match {
+          case LongType => row.getLong(ord).toString
+          case IntegerType => row.getInt(ord).toString
+          case ShortType => row.getShort(ord).toString
+          case ByteType => row.getByte(ord).toString
+          case StringType => escapePath(row.getUTF8String(ord).toString)
+          case DateType => java.time.LocalDate
+            .ofEpochDay(row.getInt(ord).toLong).toString
+          case other => throw new UnsupportedOperationException(
+            s"identity partition over ${other.catalogString}")
+        }
+    }
+  }
+
   /** Hive path unescaping (`%2F` → `/`, …) — mirrors the escaping
     * `partitionBy` applies when writing partition directories. */
   private def unescapePath(s: String): String = {

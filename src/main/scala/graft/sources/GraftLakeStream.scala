@@ -428,10 +428,19 @@ private[sources] final class GraftLakeStreamingWrite(dir: String,
     s"$dir/_staging-stream-${queryId.replace("-", "").take(16)}"
 
   override def createStreamingWriterFactory(
-      p: PhysicalWriteInfo): StreamingDataWriterFactory =
+      p: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // PARTITIONED tables stream through the FANOUT writer: each task
+    // routes rows into one open file per partition value it sees
+    // (`__graft_part=<v>/` subdirs inside the epoch staging dir — the
+    // same key-claim layout the batch path writes), so a streamed
+    // partitioned table keeps its SPJ/static-prune contract with no
+    // compaction debt beyond file counts
+    val router = LakePartitioning.specOf(spark, dir)
+      .map(LakePartitioning.rowRouter(_, info.schema()))
     new LakeStreamWriterFactory(stagingRoot,
       org.apache.spark.sql.graftbridge.ParquetRowWriterBridge
-        .prepare(spark, info.schema()))
+        .prepare(spark, info.schema()), router)
+  }
 
   private def fsOf: org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(
@@ -456,8 +465,15 @@ private[sources] final class GraftLakeStreamingWrite(dir: String,
     }
     val staged =
       if (!f.exists(epochDir)) Seq.empty
-      else f.listStatus(epochDir).toSeq.filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".parquet"))
+      else {
+        // fanout epochs nest one __graft_part=<v> directory level
+        val top = f.listStatus(epochDir).toSeq
+        (top ++ top.filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"${LakePartitioning.PartCol}="))
+          .flatMap(s => f.listStatus(s.getPath).toSeq))
+          .filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+      }
     if (staged.isEmpty) { f.delete(epochDir, true); return }
     // next FREE number (branch-staged manifests share the sequence),
     // content based on the HEAD snapshot resolved above
@@ -487,32 +503,44 @@ private final case class LakeFileMessage(path: String, rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private final class LakeStreamWriterFactory(stagingRoot: String,
-    prepared: org.apache.spark.sql.graftbridge.ParquetRowWriterBridge.Prepared)
+    prepared: org.apache.spark.sql.graftbridge.ParquetRowWriterBridge.Prepared,
+    router: Option[InternalRow => String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val path = s"$stagingRoot/epoch-$epochId/" +
-        s"part-$partitionId-$taskId-" +
-        java.util.UUID.randomUUID().toString.take(8) + ".parquet"
-      private var w: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+      private def freshPath(sub: String): String =
+        s"$stagingRoot/epoch-$epochId/$sub" +
+          s"part-$partitionId-$taskId-" +
+          java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+
+      // unrouted: at most one lazy writer; routed (partitioned
+      // table): a FANOUT writer per partition value seen by this task
+      private val open = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, org.apache.parquet.hadoop.ParquetWriter[InternalRow])]
       private var n = 0L
 
       override def write(row: InternalRow): Unit = {
-        if (w == null) w = prepared.open(path) // lazy: empty task, no file
+        val key = router.map(r =>
+          s"${LakePartitioning.PartCol}=${r(row)}/").getOrElse("")
+        val (_, w) = open.getOrElseUpdate(key, {
+          val p = freshPath(key)
+          (p, prepared.open(p)) // lazy: empty task, no file
+        })
         w.write(row)
         n += 1
       }
 
       override def commit(): WriterCommitMessage = {
-        if (w != null) w.close()
-        LakeFileMessage(path, n)
+        open.values.foreach(_._2.close())
+        LakeFileMessage(
+          open.values.headOption.map(_._1).getOrElse(""), n)
       }
 
       override def abort(): Unit = {
-        if (w != null) {
+        open.values.foreach { case (path, w) =>
           w.close()
           val p = new org.apache.hadoop.fs.Path(path)
           p.getFileSystem(new org.apache.hadoop.conf.Configuration())

@@ -270,6 +270,59 @@ class GraftLakeSpjSpec extends SparkSpec {
     assert(wide.forall(_.getLong(1) > 100L))
   }
 
+  test("streaming into a partitioned table: fanout epochs keep the key-claim layout") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.st (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.sd (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+        spark.sqlContext)
+    val q = ms.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$root/_ckpt_spj")
+      .toTable(s"$cat.st")
+    try {
+      ms.addData((0L until 100L).map(k => (k, k * 2)): _*)
+      q.processAllAvailable() // epoch 0 -> v1
+      ms.addData((100L until 160L).map(k => (k, k * 2)): _*)
+      q.processAllAvailable() // epoch 1 -> v2
+    } finally q.stop()
+    // every streamed data file claims exactly one bucket in its path
+    val dir = s"$root/st"
+    val files = VersionedTable.snapshotOf(spark, dir,
+      VersionedTable.latestVersion(spark, dir).get).dataFiles
+      .filterNot(_.contains("files-v0-"))
+    assert(files.nonEmpty &&
+      files.forall(LakePartitioning.rawValueOfPath(_).isDefined),
+      s"unclaimed streamed files: $files")
+    // and each file's rows hash to its claimed bucket
+    files.groupBy(LakePartitioning.rawValueOfPath(_).get).foreach {
+      case (b, fs) =>
+        val got = spark.read.parquet(fs: _*)
+          .select(pmod(col("k"), lit(4L)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        assert(got == Set(b.toInt), s"bucket $b holds $got")
+    }
+    // a streamed partitioned table joins shuffle-free
+    (0L until 160L).toDF("k").withColumn("w", col("k") * 5L)
+      .createOrReplaceTempView("glspj_sd")
+    spark.sql(s"INSERT INTO $cat.sd SELECT * FROM glspj_sd")
+    withSpj {
+      val j = spark.sql(
+        s"SELECT a.k, a.v, b.w FROM $cat.st a JOIN $cat.sd b ON a.k = b.k")
+      assert(exchanges(j) == 0,
+        s"streamed partitioned table must keep SPJ:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.collect().length == 160)
+    }
+    // totals exact after the fanout routing
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.st").collect()(0)
+      .getLong(0) == (0L until 160L).map(_ * 2).sum)
+  }
+
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
