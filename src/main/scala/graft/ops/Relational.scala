@@ -2811,6 +2811,97 @@ object Relational {
       | TRUE AS evolution_exact
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q199
+  /** PARTITION-LAYOUT EXPLOITATION beyond the join — the two other
+    * scale dividends of `PARTITIONED BY (bucket(n, k))`
+    * ([[graft.sources.LakePartitioning]]) plus its observability
+    * surface: (1) STATIC PARTITION PRUNING — a point lookup keeps
+    * only the files claiming `bucket(k)`, exact by the routing
+    * contract where min/max zone-maps cannot prune a hash layout at
+    * all (gate: kept < total via
+    * [[graft.sources.LakeReadScanBuilder.lastPartitionPrune]]);
+    * (2) SHUFFLE-FREE AGGREGATION — `GROUP BY k` satisfies its
+    * clustered distribution straight from the scan's
+    * KeyGroupedPartitioning, zero exchanges (gate: executed plan);
+    * (3) the `.partitions` metadata table reports per-value file/row
+    * layout from manifest claims — zero data IO — and its row total
+    * must equal the table count exactly. Aggregates hash-gate
+    * against DuckDB. */
+  val q199LakePartitionLayout: Q = (spark, dir) => {
+    import graft.sources.LakeReadScanBuilder
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakepl_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q199_$nonce")
+    t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"))
+      .createOrReplaceTempView(s"q199_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.t (l_suppkey BIGINT, " +
+      "l_extendedprice DOUBLE) PARTITIONED BY (bucket(8, l_suppkey))")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM q199_src_$nonce")
+    // (1) static prune: the lookup reads one bucket's files
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val point = spark.sql(
+      s"""SELECT count(*) AS n, coalesce(round(sum(l_extendedprice), 2),
+         |  0.0D) AS s
+         |FROM $cat.t WHERE l_suppkey = 5""".stripMargin).collect()(0)
+    val packed = LakeReadScanBuilder.lastPartitionPrune.get()
+    val pruneFired = packed >= 0 &&
+      (packed >> 32).toInt < (packed & 0xffffffffL).toInt
+    // (2) shuffle-free rollup over the partition key
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prior = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val (top, aggFree) =
+      try {
+        val agg = spark.sql(
+          s"""SELECT l_suppkey, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM $cat.t GROUP BY l_suppkey""".stripMargin)
+        val rows = agg.collect()
+        val free = !agg.queryExecution.executedPlan.toString
+          .toLowerCase.contains("exchange")
+        (rows.sortBy(r => (-r.getLong(1), r.getLong(0))).take(5), free)
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    // (3) .partitions integrity: per-value rows sum to the table count
+    val parts = spark.sql(
+      s"SELECT sum(row_count) AS r, count(*) AS nv FROM $cat.t.partitions")
+      .collect()(0)
+    val total = spark.sql(s"SELECT count(*) AS c FROM $cat.t")
+      .collect()(0).getLong(0)
+    val partsExact = parts.getLong(0) == total && parts.getLong(1) == 8L
+    import spark.implicits._
+    top.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        point.getLong(0), point.getDouble(1),
+        pruneFired && aggFree && partsExact))
+      .toDF("l_suppkey", "n", "revenue", "point_n", "point_sum",
+        "layout_exploited")
+      .orderBy(col("l_suppkey"))
+  }
+
+  val q199Oracle: String =
+    """WITH agg AS (
+      |  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |    round(sum(l_extendedprice), 2) AS revenue
+      |  FROM lineitem GROUP BY l_suppkey
+      |  ORDER BY n DESC, l_suppkey LIMIT 5
+      |), pt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS point_n,
+      |    coalesce(round(sum(l_extendedprice), 2), 0.0) AS point_sum
+      |  FROM lineitem WHERE l_suppkey = 5
+      |)
+      |SELECT a.l_suppkey, a.n, a.revenue, pt.point_n, pt.point_sum,
+      |  TRUE AS layout_exploited
+      |FROM agg a CROSS JOIN pt ORDER BY a.l_suppkey""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -3619,6 +3710,7 @@ object Relational {
     "q196_file_lineage" -> q196FileLineage,
     "q197_lake_spj" -> q197LakeSpj,
     "q198_lake_rename_drop" -> q198LakeRenameDrop,
+    "q199_lake_partition_layout" -> q199LakePartitionLayout,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3701,5 +3793,6 @@ object Relational {
     "q196_file_lineage" -> q196Oracle,
     "q197_lake_spj" -> q197Oracle,
     "q198_lake_rename_drop" -> q198Oracle,
+    "q199_lake_partition_layout" -> q199Oracle,
   )
 }

@@ -120,6 +120,9 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           new GraftLakeRefsTable(ident.namespace().mkString("."), parent)
         case "files" =>
           new GraftLakeFilesTable(ident.namespace().mkString("."), parent)
+        case "partitions" =>
+          new GraftLakePartitionsTable(
+            ident.namespace().mkString("."), parent)
         case _ =>
           new GraftLakeVersionsTable(
             ident.namespace().mkString("."), parent)

@@ -98,7 +98,86 @@ object GraftLakeVersionsTable {
 
   /** `<cat>.<table>.versions` / `.refs` / `.files` resolve here when
     * the parent directory is a table and the child is not itself one. */
-  val MetadataTableNames: Set[String] = Set("versions", "refs", "files")
+  val MetadataTableNames: Set[String] =
+    Set("versions", "refs", "files", "partitions")
+}
+
+/** `SELECT * FROM <catalog>.<table>.partitions` — one row per
+  * partition VALUE of the head snapshot (Iceberg's `partitions`
+  * metadata table): `(partition, file_count, row_count, size_bytes)`.
+  * The layout-health surface for declared-partitioned tables
+  * ([[LakePartitioning]]): skewed buckets, missing values, and
+  * unrouted debt show up as rows. Files landed by non-routing writers
+  * (row-level rewrites before a compaction) group under partition =
+  * NULL — a non-empty NULL row is exactly "this table has layout debt,
+  * compact it". Driver-computed from manifest claims + stats: zero
+  * data IO. Refuses on an unpartitioned table (the row shape would be
+  * a lie). */
+final class GraftLakePartitionsTable(tableName: String, dir: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"$tableName.partitions"
+
+  override def schema(): StructType = GraftLakePartitionsTable.Schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val s = spark
+      if (LakePartitioning.specOf(s, dir).isEmpty)
+        throw new UnsupportedOperationException(
+          s"$tableName is not partitioned — `.partitions` only " +
+            "applies to PARTITIONED BY tables")
+      val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val v = VersionedTable.headVersion(s, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $dir"))
+      val snap = VersionedTable.snapshotOf(s, dir, v)
+      val grouped = snap.dataFiles
+        // the v-created empty schema carrier has no rows to report
+        .filterNot(p => snap.stats.get(p).exists(_.rowCount == 0L) &&
+          LakePartitioning.rawValueOfPath(p).isEmpty)
+        .groupBy(p => LakePartitioning.rawValueOfPath(p))
+      val out = grouped.toSeq
+        .sortBy { case (k, _) => k.getOrElse("￿") }
+        .map { case (value, paths) =>
+          val rc = paths.map(p => snap.stats.get(p).map(_.rowCount))
+          val bytes = paths.map { p =>
+            try f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
+            catch { case _: java.io.FileNotFoundException => 0L }
+          }.sum
+          InternalRow(
+            value.map(UTF8String.fromString).orNull,
+            paths.size,
+            if (rc.exists(_.isEmpty)) null
+            else java.lang.Long.valueOf(rc.flatten.sum),
+            bytes)
+        }.toArray
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType =
+          GraftLakePartitionsTable.Schema
+        override def description(): String =
+          s"GraftLakePartitions($dir@v$v)"
+      }
+    }
+  }
+}
+
+object GraftLakePartitionsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = false)))
 }
 
 /** `SELECT * FROM <catalog>.<table>.refs` — one row per named ref

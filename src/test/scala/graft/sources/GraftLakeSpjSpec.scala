@@ -323,6 +323,51 @@ class GraftLakeSpjSpec extends SparkSpec {
       .getLong(0) == (0L until 160L).map(_ * 2).sum)
   }
 
+  test(".partitions metadata table reports per-value layout incl. unrouted debt") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.pm (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 400L).toDF("k").withColumn("v", col("k"))
+      .createOrReplaceTempView("glspj_pm")
+    spark.sql(s"INSERT INTO $cat.pm SELECT * FROM glspj_pm")
+    val rows = spark.sql(s"SELECT * FROM $cat.pm.partitions").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(0)).toSet == Set("0", "1", "2", "3"))
+    assert(rows.map(_.getLong(2)).sum == 400L)
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getLong(3) > 0L))
+    // an unrouted rewrite shows up as the NULL (layout-debt) row
+    spark.sql(s"UPDATE $cat.pm SET v = -1 WHERE k = 7")
+    val withDebt = spark.sql(s"SELECT * FROM $cat.pm.partitions")
+      .collect()
+    assert(withDebt.exists(_.isNullAt(0)),
+      s"expected a NULL layout-debt row: ${withDebt.mkString("|")}")
+    assert(withDebt.map(_.getLong(2)).sum == 400L)
+    // refuses on an unpartitioned table
+    spark.sql(s"CREATE TABLE $cat.flat (k BIGINT)")
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"SELECT * FROM $cat.flat.partitions").collect()
+    }
+  }
+
+  test("GROUP BY the partition key aggregates without an exchange") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.ag (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 400L).toDF("k").withColumn("v", col("k"))
+      .createOrReplaceTempView("glspj_ag")
+    spark.sql(s"INSERT INTO $cat.ag SELECT * FROM glspj_ag")
+    withSpj {
+      val a = spark.sql(
+        s"SELECT k, sum(v) AS s FROM $cat.ag GROUP BY k")
+      assert(exchanges(a) == 0,
+        s"partition-key aggregation must not exchange:\n" +
+          a.queryExecution.executedPlan)
+      assert(a.collect().length == 400)
+    }
+  }
+
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
