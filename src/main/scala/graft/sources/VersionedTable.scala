@@ -1125,14 +1125,27 @@ object VersionedTable {
             s.dataFiles ++ s.deleteFiles // DV files are live references
           }
           .map(p => f.makeQualified(new Path(p)).toString).toSet
+        // partitioned commits nest files one `__graft_part=<v>` level
+        // down — classification MUST see them, or a data dir whose
+        // only top-level entry is _SUCCESS would read as "nothing
+        // referenced" and a whole-dir drop would take LIVE files with it
+        def filesWithin(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+          val top = f.listStatus(d).toSeq
+          top.filter(_.isFile) ++ top
+            .filter(s => s.isDirectory && s.getPath.getName
+              .startsWith(s"${LakePartitioning.PartCol}="))
+            .flatMap(s => f.listStatus(s.getPath).toSeq.filter(_.isFile))
+        }
         val dataDirs = f.listStatus(new Path(dir)).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("files-v"))
           .filter { d =>
-            // newest mtime across the dir and its files: a dir being
-            // actively written is young on either signal
+            // newest mtime across the dir, its entries, and nested
+            // partition files: a dir being actively written is young
+            // on any signal
             val entries = f.listStatus(d.getPath).toSeq
             val newest = (d.getModificationTime +:
-              entries.map(_.getModificationTime)).max
+              (entries ++ filesWithin(d.getPath))
+                .map(_.getModificationTime)).max
             newest <= horizon
           }
         val wholeDirs = Seq.newBuilder[String]
@@ -1140,7 +1153,7 @@ object VersionedTable {
         val deleted = Seq.newBuilder[String]
         var bytes = 0L
         dataDirs.foreach { d =>
-          val files = f.listStatus(d.getPath).toSeq.filter(_.isFile)
+          val files = filesWithin(d.getPath)
           val (live, dead) = files.partition(s =>
             referenced.contains(f.makeQualified(s.getPath).toString))
           if (live.isEmpty) {

@@ -368,6 +368,87 @@ class GraftLakeSpjSpec extends SparkSpec {
     }
   }
 
+  test("one-side shuffle: joining an UNPARTITIONED table shuffles only that side") {
+    // the 100 TB story: the partitioned fact never moves — Spark
+    // re-shuffles the unpartitioned side WITH the catalog's own
+    // bucket function (v2.bucketing.shuffle.enabled evaluates
+    // BucketFn to route rows into the fact's existing buckets)
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.fact (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 600L).toDF("k").withColumn("v", col("k") * 2L)
+      .createOrReplaceTempView("glspj_f1s")
+    spark.sql(s"INSERT INTO $cat.fact SELECT * FROM glspj_f1s")
+    (0L until 600L by 3L).map(k => (k, k + 7L)).toDF("k", "w")
+      .createOrReplaceTempView("glspj_d1s")
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = keys.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT f.k, f.v, d.w FROM $cat.fact f
+           |JOIN glspj_d1s d ON f.k = d.k""".stripMargin)
+      j.collect()
+      // AQE renders Final and Initial plan sections — count the final
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val n = "(?i)exchange ".r.findAllIn(plan + " ").length
+      assert(j.collect().length == 200)
+      // exactly one side exchanges (the in-memory dim), and it
+      // re-buckets WITH the catalog's own function — the shuffle is
+      // `keygroupedpartitioning(transformexpression(BucketLong...))`,
+      // never a plain hashpartitioning of both sides
+      assert(n == 1,
+        s"expected exactly one exchange (dim side), got $n:\n$plan")
+      assert(plan.contains("keygroupedpartitioning") &&
+        plan.toLowerCase.contains("bucketlong"),
+        s"dim side must re-bucket with the catalog bucket function:\n$plan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("vacuum sees nested partition files: live data survives, superseded versions reclaim whole") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.vc (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 200L).toDF("k").withColumn("v", col("k"))
+      .createOrReplaceTempView("glspj_vc1")
+    spark.sql(s"INSERT INTO $cat.vc SELECT * FROM glspj_vc1")       // v1
+    (500L until 600L).toDF("k").withColumn("v", col("k"))
+      .createOrReplaceTempView("glspj_vc2")
+    spark.sql(s"INSERT OVERWRITE $cat.vc SELECT * FROM glspj_vc2")  // v2
+    val dir = s"$root/vc"
+    val liveFiles = VersionedTable.snapshotOf(spark, dir, 2).dataFiles
+    // the HEAD's nested partition files are LIVE references — a
+    // non-recursive classifier would see only _SUCCESS at the top of
+    // each dir, call the whole dir unreferenced, and take them
+    val reclaimed = spark.sql(
+      s"CALL $cat.system.vacuum(table => 'vc', keep => 1, " +
+        "grace_ms => 0L)").collect()
+    assert(reclaimed.nonEmpty)
+    val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    liveFiles.foreach { p =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(p)),
+        s"vacuum deleted a LIVE partitioned file: $p")
+    }
+    // v1's superseded partitioned files are actually gone
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.vc VERSION AS OF 1").collect()
+    }.getMessage.nonEmpty)
+    // and the table still answers exactly
+    assert(spark.sql(s"SELECT count(*) AS c, sum(k) AS s FROM $cat.vc")
+      .collect()(0).toSeq == Seq(100L, (500L until 600L).sum))
+  }
+
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
