@@ -306,7 +306,7 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"${GraftLakeTable.WapBranchConf} is not supported — " +
           "fast_forward or drop the branch first")
     val structural: Set[String] = (
-      LakePartitioning.specOf(spark, d).map(_.column).toSeq ++
+      LakePartitioning.specOf(spark, d).toSeq.flatten.map(_.column) ++
         VersionedTable.clusteringSpec(spark, d).toSeq.flatten
           .flatMap(term => "[A-Za-z_][A-Za-z0-9_]*".r
             .findAllIn(term).filterNot(_.equalsIgnoreCase("morton2")))
@@ -660,29 +660,33 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     * own `bucket` function for storage-partitioned joins. */
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partSpec.map(s => Array(s.transform)).getOrElse(Array.empty)
+    partSpec.map(_.map(_.transform).toArray).getOrElse(Array.empty)
 
-  private lazy val partSpec: Option[LakePartitioning.Spec] =
+  private lazy val partSpec: Option[Seq[LakePartitioning.Spec]] =
     LakePartitioning.specOf(spark, dir)
 
-  /** Per-data-file partition key claims for the CURRENT snapshot —
-    * `Some(map)` iff EVERY file either claims a value in its path or
-    * is stats-proven empty (dropped from the map): only then is
-    * key-grouped scanning sound. A file landed by a non-routing
-    * writer (row-level rewrite, streaming epoch) degrades the table
-    * to ordinary scans until compaction re-earns the layout. */
-  private lazy val partKeys: Option[Map[String, Option[Any]]] =
-    partSpec.flatMap { spec =>
-      val kt = LakePartitioning.keyType(spec, schema())
+  /** Per-data-file partition key-tuple claims for the CURRENT
+    * snapshot — `Some(map)` iff EVERY file either claims a value
+    * tuple in its path or is stats-proven empty (dropped from the
+    * map): only then is key-grouped scanning sound. A file landed by
+    * a non-routing writer (row-level rewrite) degrades the table to
+    * ordinary scans until compaction re-earns the layout. */
+  private lazy val partKeys: Option[Map[String, Seq[Option[Any]]]] =
+    partSpec.flatMap { specs =>
+      val kts = LakePartitioning.keyTypes(specs, schema())
       // per file: None = unsound (degrade the whole table),
       // Some(None) = proven-empty file (skip), Some(Some(kv)) = claim
-      val entries: Seq[Option[Option[(String, Option[Any])]]] =
+      val entries: Seq[Option[Option[(String, Seq[Option[Any]])]]] =
         snapshot.dataFiles.map { p =>
           val norm = new org.apache.hadoop.fs.Path(p).toString
-          LakePartitioning.rawValueOfPath(norm) match {
-            case Some(raw) =>
-              LakePartitioning.keyValue(spec, kt, raw)
-                .map(v => Some(norm -> v))
+          LakePartitioning.rawValuesOfPath(norm, specs.size) match {
+            case Some(raws) =>
+              val vs = specs.lazyZip(kts).lazyZip(raws).map {
+                (spec, kt, raw) =>
+                  LakePartitioning.keyValue(spec, kt, raw)
+              }
+              if (vs.exists(_.isEmpty)) None
+              else Some(Some(norm -> vs.flatten.toSeq))
             case None =>
               if (snapshot.stats.get(p).exists(_.rowCount == 0L))
                 Some(None)
@@ -803,9 +807,12 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         val ordering = VersionedTable.clusteringV2Sort(
           SparkSession.active, dir)
         val dist = partSpec match {
-          case Some(s) =>
+          case Some(specs) =>
             Some(org.apache.spark.sql.connector.distributions
-              .Distributions.clustered(Array(s.transform)))
+              .Distributions.clustered(
+                specs.map(_.transform
+                  : org.apache.spark.sql.connector.expressions.Expression)
+                  .toArray))
           case None if ordering.nonEmpty =>
             Some(org.apache.spark.sql.connector.distributions
               .Distributions.ordered(ordering))

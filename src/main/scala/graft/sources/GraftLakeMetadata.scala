@@ -130,21 +130,24 @@ final class GraftLakePartitionsTable(tableName: String, dir: String)
     override def build(): Scan = {
       import org.apache.spark.unsafe.types.UTF8String
       val s = spark
-      if (LakePartitioning.specOf(s, dir).isEmpty)
+      val specs = LakePartitioning.specOf(s, dir).getOrElse(
         throw new UnsupportedOperationException(
           s"$tableName is not partitioned — `.partitions` only " +
-            "applies to PARTITIONED BY tables")
+            "applies to PARTITIONED BY tables"))
       val f = new org.apache.hadoop.fs.Path(dir).getFileSystem(
         s.sparkContext.hadoopConfiguration)
       val v = VersionedTable.headVersion(s, dir).getOrElse(
         throw new IllegalArgumentException(
           s"no committed version at $dir"))
       val snap = VersionedTable.snapshotOf(s, dir, v)
+      def claim(p: String): Option[String] =
+        LakePartitioning.rawValuesOfPath(p, specs.size)
+          .map(_.mkString("/"))
       val grouped = snap.dataFiles
         // the v-created empty schema carrier has no rows to report
         .filterNot(p => snap.stats.get(p).exists(_.rowCount == 0L) &&
-          LakePartitioning.rawValueOfPath(p).isEmpty)
-        .groupBy(p => LakePartitioning.rawValueOfPath(p))
+          claim(p).isEmpty)
+        .groupBy(claim)
       val out = grouped.toSeq
         .sortBy { case (k, _) => k.getOrElse("￿") }
         .map { case (value, paths) =>

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, Transform}
@@ -11,30 +12,31 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Declared TABLE PARTITIONING for lake tables — the Iceberg
-  * `PARTITIONED BY (bucket(8, k))` / `PARTITIONED BY (k)` contract,
-  * and the mechanism behind STORAGE-PARTITIONED JOINS (SPJ): two lake
-  * tables partitioned by the same transform join WITHOUT a shuffle,
+  * `PARTITIONED BY (region, bucket(8, k))` contract, and the
+  * mechanism behind STORAGE-PARTITIONED JOINS (SPJ): two lake tables
+  * partitioned by the same transform list join WITHOUT a shuffle,
   * because the scan reports `KeyGroupedPartitioning` and every input
-  * partition declares its key ([[HasPartitionKey]]), so Spark's
-  * `EnsureRequirements` matches the two sides' layouts instead of
-  * exchanging both. At 100 TB the fact-fact join shuffle is THE
-  * dominant cost; co-partitioned layouts remove it entirely.
+  * partition declares its composite key ([[HasPartitionKey]]), so
+  * Spark's `EnsureRequirements` matches the two sides' layouts
+  * instead of exchanging both. At 100 TB the fact-fact join shuffle
+  * is THE dominant cost; co-partitioned layouts remove it entirely.
   *
   * Mechanics:
   *  - the spec persists as the `graft.partitioning` table property
-  *    (`bucket(N,col)` or `identity(col)`), written by CREATE TABLE's
+  *    (comma-joined transform terms, e.g.
+  *    `identity(region),bucket(8,k)`), written by CREATE TABLE's
   *    transforms and immutable afterwards (re-partitioning committed
   *    data would falsify every existing file's key claim);
-  *  - every data-landing commit routes rows by the transform value and
-  *    writes `partitionBy(__graft_part)`, so each data file holds
-  *    EXACTLY ONE partition value, recorded in its path (hive-style
-  *    `__graft_part=<v>` — the path IS the metadata, no manifest
-  *    format change, and carry-forward/clone/fast-forward preserve it
-  *    for free);
+  *  - every data-landing commit routes rows by the transform values
+  *    and writes `partitionBy(__graft_part, __graft_part1, …)`, so
+  *    each data file holds EXACTLY ONE value per level, recorded in
+  *    its path (hive-style nested `__graft_part=<v>/…` — the path IS
+  *    the metadata, no manifest format change, and carry-forward/
+  *    clone/fast-forward preserve it for free);
   *  - the read scan ([[LakeKeyGroupedScan]]) groups file splits by
-  *    that value, one [[HasPartitionKey]] group per distinct value,
-  *    delegating the actual reading (columnar parquet path included)
-  *    to Spark's own reader factory;
+  *    that value tuple, one [[HasPartitionKey]] group per distinct
+  *    tuple, delegating the actual reading (columnar parquet path
+  *    included) to Spark's own reader factory;
   *  - `bucket(N, col)` is an ENGINE-AGNOSTIC function (floorMod for
   *    integral keys, the [[graft.functions.PolyHashMod]] base-31
   *    polynomial for strings — both DuckDB-restatable), exposed
@@ -45,10 +47,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    function (`spark.sql.sources.v2.bucketing.shuffle.enabled`).
   *
   * Degradation is graceful and correctness-preserving: a file landed
-  * by a path that does not route (row-level COW rewrites, streaming
-  * epochs, merge-on-read masks) simply has no key claim, the scan
-  * stops reporting key-grouping, and joins fall back to ordinary
-  * exchanges until `compact` re-earns the layout — the same
+  * by a path that does not route (row-level COW rewrites,
+  * merge-on-read masks) simply has no key claim, the scan stops
+  * reporting key-grouping, and joins fall back to ordinary exchanges
+  * until `compact` re-earns the layout — the same
   * between-compactions contract as the DV stack.
   */
 object LakePartitioning {
@@ -56,9 +58,15 @@ object LakePartitioning {
   /** Table property carrying the partition spec. */
   val Prop = "graft.partitioning"
 
-  /** Reserved routing column name (never lands in file data: it is
-    * consumed by `partitionBy`). */
-  val PartCol = "__graft_part"
+  /** Reserved routing column prefix (never lands in file data: the
+    * columns are consumed by `partitionBy`). */
+  val PartColPrefix = "__graft_part"
+
+  /** Level-0 routing column name (levels 1+ are suffixed). */
+  val PartCol: String = partCol(0)
+
+  def partCol(level: Int): String =
+    if (level == 0) PartColPrefix else s"$PartColPrefix$level"
 
   /** Hive's null-partition directory name (matches what
     * `partitionBy` writes for a null routing value). */
@@ -85,59 +93,74 @@ object LakePartitioning {
   private val BucketRe = """(?i)bucket\((\d+)\s*,\s*([^,()\s]+)\)""".r
   private val IdentityRe = """(?i)identity\(([^,()\s]+)\)""".r
 
-  def parse(s: String): Option[Spec] = s.trim match {
+  private def parseOne(s: String): Option[Spec] = s.trim match {
     case BucketRe(n, c) => Some(BucketSpec(n.toInt, c))
     case IdentityRe(c) => Some(IdentitySpec(c))
     case _ => None
   }
 
-  /** The table's declared spec, if any (one property read). */
-  def specOf(spark: SparkSession, dir: String): Option[Spec] =
+  /** Property value → ordered transform list (terms comma-split
+    * OUTSIDE parens); None when any term is unparseable. */
+  def parse(s: String): Option[Seq[Spec]] = {
+    val terms = s.split(""",(?![^(]*\))""").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val parsed = terms.map(parseOne)
+    if (terms.isEmpty || parsed.exists(_.isEmpty)) None
+    else Some(parsed.flatten)
+  }
+
+  /** The table's declared spec list, if any (one property read). */
+  def specOf(spark: SparkSession, dir: String): Option[Seq[Spec]] =
     Option(GraftLakeTable.readProperties(spark, dir).get(Prop))
       .flatMap(parse)
 
-  /** CREATE TABLE transforms → property value. Exactly one transform,
-    * identity or single-column bucket — loud otherwise: silently
-    * accepting an unsupported transform would write files whose key
-    * claims are wrong. */
+  /** CREATE TABLE transforms → property value. Identity and
+    * single-column bucket transforms over distinct columns — loud
+    * otherwise: silently accepting an unsupported transform would
+    * write files whose key claims are wrong. */
   def fromTransforms(transforms: Array[Transform],
       schema: StructType): Option[String] = {
     if (transforms.isEmpty) return None
-    require(transforms.length == 1,
-      "graft lake tables support exactly ONE partition transform, " +
-        s"got ${transforms.length}: ${transforms.mkString(", ")}")
-    val t = transforms(0)
-    val spec = t.name().toLowerCase match {
-      case "identity" =>
-        refOf(t).map(IdentitySpec(_)).getOrElse(unsupported(t))
-      case "bucket" =>
-        val n = t.arguments().collectFirst {
-          case l: Literal[_] if l.dataType() == IntegerType =>
-            l.value().asInstanceOf[Int]
-        }
-        (n, refOf(t)) match {
-          case (Some(b), Some(c)) =>
-            require(b >= 1 && b <= 100000,
-              s"bucket count must be in [1, 100000], got $b")
-            BucketSpec(b, c)
-          case _ => unsupported(t)
-        }
-      case _ => unsupported(t)
+    require(transforms.length <= 4,
+      s"graft lake tables support at most 4 partition transforms, " +
+        s"got ${transforms.length}")
+    val specs = transforms.toSeq.map { t =>
+      val spec = t.name().toLowerCase match {
+        case "identity" =>
+          refOf(t).map(IdentitySpec(_)).getOrElse(unsupported(t))
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: Literal[_] if l.dataType() == IntegerType =>
+              l.value().asInstanceOf[Int]
+          }
+          (n, refOf(t)) match {
+            case (Some(b), Some(c)) =>
+              require(b >= 1 && b <= 100000,
+                s"bucket count must be in [1, 100000], got $b")
+              BucketSpec(b, c)
+            case _ => unsupported(t)
+          }
+        case _ => unsupported(t)
+      }
+      val field = schema.fields.find(
+        _.name.equalsIgnoreCase(spec.column)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '${spec.column}' is not in the table " +
+            s"schema ${schema.fieldNames.mkString("(", ",", ")")}"))
+      validateType(spec, field.dataType)
+      spec.copy2(field.name) // exact-case column name
     }
-    val field = schema.fields.find(
-      _.name.equalsIgnoreCase(spec.column)).getOrElse(
-      throw new IllegalArgumentException(
-        s"partition column '${spec.column}' is not in the table schema " +
-          schema.fieldNames.mkString("(", ",", ")")))
-    validateType(spec, field.dataType)
-    Some(spec.copy2(field.name).serialized // exact-case column name
-    )
+    val cols = specs.map(_.column.toLowerCase)
+    require(cols.distinct.size == cols.size,
+      s"partition transforms must reference distinct columns: " +
+        specs.map(_.serialized).mkString(", "))
+    Some(specs.map(_.serialized).mkString(","))
   }
 
   private def unsupported(t: Transform): Nothing =
     throw new UnsupportedOperationException(
       s"unsupported partition transform '$t': graft lake tables " +
-        "support identity(col) and bucket(n, col) over a single column")
+        "support identity(col) and bucket(n, col) over single columns")
 
   private def refOf(t: Transform): Option[String] = {
     val refs = t.references()
@@ -171,13 +194,14 @@ object LakePartitioning {
         "not supported (integral/string keys; identity also DATE)")
   }
 
-  /** The routing expression — the value `partitionBy` will put in the
-    * file path. MUST agree with [[GraftLakeFunctions.BucketFn]] (both
-    * sides of an SPJ and any Spark-side re-shuffle must place a key in
-    * the same bucket) and be DuckDB-restatable for oracles. Null keys:
-    * bucket routes them to bucket 0 deterministically (null join keys
-    * never match, but the rows must land somewhere co-located);
-    * identity keeps Hive's null-partition directory. */
+  /** The routing expression for one level — the value `partitionBy`
+    * will put in the file path. MUST agree with
+    * [[GraftLakeFunctions.BucketFn]] (both sides of an SPJ and any
+    * Spark-side re-shuffle must place a key in the same bucket) and
+    * be DuckDB-restatable for oracles. Null keys: bucket routes them
+    * to bucket 0 deterministically (null join keys never match, but
+    * the rows must land somewhere co-located); identity keeps Hive's
+    * null-partition directory. */
   def routeColumn(spec: Spec, df: DataFrame): Column = {
     val have = df.columns.find(_.equalsIgnoreCase(spec.column)).getOrElse(
       throw new IllegalArgumentException(
@@ -196,23 +220,34 @@ object LakePartitioning {
     }
   }
 
-  /** The partition value a data file claims, parsed from its path —
-    * raw (still hive-escaped) directory value, or None for a file
-    * landed by a non-routing writer. */
-  def rawValueOfPath(path: String): Option[String] = {
-    val marker = s"/$PartCol="
-    val i = path.indexOf(marker)
-    if (i < 0) None
-    else {
-      val rest = path.substring(i + marker.length)
+  /** The partition values a data file claims, parsed from its path in
+    * level order — raw (still hive-escaped) directory values, or None
+    * for a file landed by a non-routing writer (or with the wrong
+    * number of levels for this spec). */
+  def rawValuesOfPath(path: String, arity: Int): Option[Seq[String]] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < arity) {
+      val marker = s"/${partCol(i)}="
+      val at = path.indexOf(marker)
+      if (at < 0) return None
+      val rest = path.substring(at + marker.length)
       val j = rest.indexOf('/')
-      if (j < 0) None else Some(rest.substring(0, j))
+      if (j < 0) return None
+      out += rest.substring(0, j)
+      i += 1
     }
+    Some(out.result())
   }
+
+  /** Level-0 claim — convenience for single-level layouts (specs,
+    * layout audits). */
+  def rawValueOfPath(path: String): Option[String] =
+    rawValuesOfPath(path, 1).map(_.head)
 
   /** Raw path value → the partition key as a Catalyst internal value
     * of the transform's result type. None = unparseable (treat the
-    * file as unvalued: degrade, never guess). */
+    * file as unvalued: degrade, never guess); Some(None) = null key. */
   def keyValue(spec: Spec, keyType: DataType,
       raw: String): Option[Option[Any]] = {
     if (raw == NullPartitionName) return Some(None)
@@ -235,13 +270,14 @@ object LakePartitioning {
     } catch { case _: IllegalArgumentException | _: java.time.format.DateTimeParseException => None }
   }
 
-  /** The key type the scan's [[HasPartitionKey]] rows carry. */
-  def keyType(spec: Spec, schema: StructType): DataType = spec match {
-    case _: BucketSpec => IntegerType
-    case IdentitySpec(c) =>
-      schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-        .getOrElse(NullType)
-  }
+  /** The key types the scan's [[HasPartitionKey]] rows carry. */
+  def keyTypes(specs: Seq[Spec], schema: StructType): Seq[DataType] =
+    specs.map {
+      case _: BucketSpec => IntegerType
+      case IdentitySpec(c) =>
+        schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+          .getOrElse(NullType)
+    }
 
   /** A pushed-filter VALUE (external Scala form, as V1 filters carry
     * it) → the internal claim a matching file must hold — the static
@@ -293,12 +329,20 @@ object LakePartitioning {
   }
 
   /** Per-row routing for the streaming fanout writer: InternalRow →
-    * the `__graft_part=<v>` directory component its bytes belong in.
-    * MUST agree with [[routeColumn]] (the batch path) — same bucket
-    * function, same identity rendering as `partitionBy` (dates as
-    * ISO-8601, nulls as Hive's default-partition name for identity
-    * and bucket 0 for bucket specs). */
-  def rowRouter(spec: Spec, schema: StructType)
+    * the nested `__graft_part=<v>/…` directory path its bytes belong
+    * in. MUST agree with [[routeColumn]] (the batch path) — same
+    * bucket function, same identity rendering as `partitionBy`
+    * (dates as ISO-8601, nulls as Hive's default-partition name for
+    * identity and bucket 0 for bucket specs). */
+  def rowRouter(specs: Seq[Spec], schema: StructType)
+      : InternalRow => String = {
+    val levels = specs.map(levelRouter(_, schema))
+    row => levels.zipWithIndex
+      .map { case (r, i) => s"${partCol(i)}=${r(row)}" }
+      .mkString("", "/", "/")
+  }
+
+  private def levelRouter(spec: Spec, schema: StructType)
       : InternalRow => String = {
     val ord = schema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.column))
     require(ord >= 0,
@@ -338,6 +382,20 @@ object LakePartitioning {
     }
   }
 
+  /** All plain files under `dir`, descending into (arbitrarily
+    * nested) `__graft_part*=` partition directories — the ONE listing
+    * rule every consumer (commit listing, vacuum classification,
+    * streaming epoch staging) shares, so none of them can disagree
+    * about what a landed data dir contains. */
+  private[sources] def leafFiles(f: FileSystem,
+      dir: Path): Seq[FileStatus] = {
+    val entries = f.listStatus(dir).toSeq
+    entries.filter(_.isFile) ++ entries
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$PartColPrefix"))
+      .flatMap(s => leafFiles(f, s.getPath))
+  }
+
   /** Hive path unescaping (`%2F` → `/`, …) — mirrors the escaping
     * `partitionBy` applies when writing partition directories. */
   private def unescapePath(s: String): String = {
@@ -359,40 +417,44 @@ object LakePartitioning {
 }
 
 /** Key-grouped read scan over a partitioned lake table: the delegate
-  * parquet scan's split bundles re-form ONE GROUP PER PARTITION VALUE,
-  * each group a [[FilePartition]] (the inner reader factory — columnar
-  * batches included — is reused untouched) that also declares its key
-  * ([[HasPartitionKey]]), and the scan reports
-  * [[KeyGroupedPartitioning]] over the table's transform. With
-  * `spark.sql.sources.v2.bucketing.enabled=true` Spark's
-  * `EnsureRequirements` then plans joins between co-partitioned tables
-  * WITHOUT exchanges — the storage-partitioned join.
+  * parquet scan's split bundles re-form ONE GROUP PER PARTITION VALUE
+  * TUPLE, each group a [[FilePartition]] (the inner reader factory —
+  * columnar batches included — is reused untouched) that also
+  * declares its composite key ([[HasPartitionKey]]), and the scan
+  * reports [[KeyGroupedPartitioning]] over the table's transform
+  * list. With `spark.sql.sources.v2.bucketing.enabled=true` Spark's
+  * `EnsureRequirements` then plans joins between co-partitioned
+  * tables WITHOUT exchanges — the storage-partitioned join.
   *
-  * Files with no key claim (proven 0-row schema carriers) are dropped;
-  * the builder only engages this scan when every OTHER data file
-  * claims a value, so the grouping is total. Runtime file pruning is
-  * deliberately NOT declared here: Spark requires key-grouped
-  * partition values to be stable under runtime filtering, and the SPJ
-  * itself removes the join shuffle DPP would have fed. */
+  * Files with no key claim (proven 0-row schema carriers) are
+  * dropped; the builder only engages this scan when every OTHER data
+  * file claims a value tuple, so the grouping is total. Runtime file
+  * pruning is deliberately NOT declared here: Spark requires
+  * key-grouped partition values to be stable under runtime
+  * filtering, and the SPJ itself removes the join shuffle DPP would
+  * have fed. */
 final class LakeKeyGroupedScan(inner: Scan,
-    spec: LakePartitioning.Spec,
-    keyOfPath: Map[String, Option[Any]],
-    keyType: DataType)
+    specs: Seq[LakePartitioning.Spec],
+    keyOfPath: Map[String, Seq[Option[Any]]],
+    keyTypes: Seq[DataType])
     extends Scan
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  private val distinctRaw: Seq[Option[Any]] =
+  private val distinctTuples: Seq[Seq[Option[Any]]] =
     keyOfPath.values.toSeq.distinct
 
   override def readSchema(): StructType = inner.readSchema()
 
   override def description(): String =
     inner.description() +
-      s", KeyGrouped: ${spec.serialized} (${distinctRaw.size} values)"
+      s", KeyGrouped: ${specs.map(_.serialized).mkString(",")} " +
+      s"(${distinctTuples.size} values)"
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(spec.transform), distinctRaw.size)
+    new KeyGroupedPartitioning(
+      specs.map(_.transform: org.apache.spark.sql.connector.expressions.Expression).toArray,
+      distinctTuples.size)
 
   override def toBatch: Batch = {
     val ib = inner.toBatch
@@ -407,8 +469,7 @@ final class LakeKeyGroupedScan(inner: Scan,
           .flatMap { pf =>
             // files without a key claim were proven 0-row by the
             // builder — no rows to serve, drop the split
-            val norm = new org.apache.hadoop.fs.Path(
-              pf.filePath.toString).toString
+            val norm = new Path(pf.filePath.toString).toString
             keyOfPath.get(norm).map(k => (k, pf))
           }
           .groupBy(_._1)
@@ -417,7 +478,7 @@ final class LakeKeyGroupedScan(inner: Scan,
           .zipWithIndex
           .map { case ((key, pfs), i) =>
             new KeyedFilePartition(i, pfs.map(_._2).toArray,
-              InternalRow(key.orNull)): InputPartition
+              InternalRow.fromSeq(key.map(_.orNull))): InputPartition
           }
           .toArray
       }
@@ -442,7 +503,7 @@ final class LakeKeyGroupedScan(inner: Scan,
 
 /** A split bundle that is still a [[FilePartition]] (the stock parquet
   * reader factory and its columnar path apply unchanged) AND declares
-  * the single partition-transform value every row in it carries. */
+  * the single partition-transform value tuple every row in it carries. */
 private[sources] final class KeyedFilePartition(
     idx: Int,
     fileSplits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],

@@ -44,8 +44,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class LakeReadScanBuilder(inner: FileScanBuilder,
     tableSchema: StructType, snap: VersionedTable.Snapshot,
-    partInfo: Option[(LakePartitioning.Spec, Map[String, Option[Any]])] =
-      None,
+    partInfo: Option[(Seq[LakePartitioning.Spec],
+      Map[String, Seq[Option[Any]]])] = None,
     mapping: Option[LakeColumnMapping.Mapping] = None)
     extends DelegatingFileScanBuilder(inner)
     with SupportsPushDownAggregates {
@@ -134,32 +134,43 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     * downstream scan shapes: the key-grouped scan reads the pruned
     * map, the runtime-filter scan seeds its kept-set with it. */
   private def partPruned
-      : Option[(LakePartitioning.Spec, Map[String, Option[Any]])] =
-    partInfo.map { case (spec, keys) =>
-      val kt = LakePartitioning.keyType(spec, tableSchema)
-      val allowed: Seq[Set[Any]] = inner.pushedFilters.toSeq
+      : Option[(Seq[LakePartitioning.Spec],
+        Map[String, Seq[Option[Any]]])] =
+    partInfo.map { case (specs, keys) =>
+      val kts = LakePartitioning.keyTypes(specs, tableSchema)
+      val v1 = inner.pushedFilters.toSeq
         .flatMap(p => org.apache.spark.sql.graftbridge.PredicateBridge
           .toV1(p).toSeq)
-        .flatMap {
-          case org.apache.spark.sql.sources.EqualTo(a, v)
-              if a.equalsIgnoreCase(spec.column) =>
-            LakePartitioning.claimFor(spec, kt, v).map(Set(_))
-          case org.apache.spark.sql.sources.In(a, vs)
-              if a.equalsIgnoreCase(spec.column) =>
-            val cs = vs.toSeq.map(LakePartitioning.claimFor(spec, kt, _))
-            if (cs.exists(_.isEmpty)) None else Some(cs.flatten.toSet)
-          case _ => None
+      // per LEVEL: the set of claims an `=`/IN filter allows there
+      // (None = that level is unconstrained)
+      val allowedPerLevel: Seq[Option[Set[Any]]] =
+        specs.zip(kts).map { case (spec, kt) =>
+          val sets: Seq[Set[Any]] = v1.flatMap {
+            case org.apache.spark.sql.sources.EqualTo(a, v)
+                if a.equalsIgnoreCase(spec.column) =>
+              LakePartitioning.claimFor(spec, kt, v).map(Set(_))
+            case org.apache.spark.sql.sources.In(a, vs)
+                if a.equalsIgnoreCase(spec.column) =>
+              val cs = vs.toSeq.map(
+                LakePartitioning.claimFor(spec, kt, _))
+              if (cs.exists(_.isEmpty)) None
+              else Some(cs.flatten.toSet)
+            case _ => None
+          }
+          if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
         }
-      if (allowed.isEmpty) (spec, keys)
+      if (allowedPerLevel.forall(_.isEmpty)) (specs, keys)
       else {
-        val want = allowed.reduce(_ intersect _)
-        val kept = keys.filter {
-          case (_, Some(claim)) => want.contains(claim)
-          case (_, None) => false // null claim: `=`/IN never match null
+        val kept = keys.filter { case (_, claims) =>
+          claims.zip(allowedPerLevel).forall {
+            case (_, None) => true // unconstrained level
+            case (Some(claim), Some(want)) => want.contains(claim)
+            case (None, Some(_)) => false // null: `=`/IN never match
+          }
         }
         LakeReadScanBuilder.lastPartitionPrune.set(
           (kept.size.toLong << 32) | keys.size.toLong)
-        (spec, kept)
+        (specs, kept)
       }
     }
 
@@ -173,13 +184,14 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     case Some((schema, row)) => new LakeStatsAggScan(schema, row)
     case None if wantsFile => new LakeFileColumnScan(logicalBuild())
     case None => partPruned match {
-      case Some((spec, keys))
-          if keys.nonEmpty && prunedTo.forall(_.fieldNames.exists(
-            _.equalsIgnoreCase(spec.column))) =>
-        new LakeKeyGroupedScan(logicalBuild(), spec, keys,
-          LakePartitioning.keyType(spec, tableSchema))
+      case Some((specs, keys))
+          if keys.nonEmpty && specs.forall(s =>
+            prunedTo.forall(_.fieldNames.exists(
+              _.equalsIgnoreCase(s.column)))) =>
+        new LakeKeyGroupedScan(logicalBuild(), specs, keys,
+          LakePartitioning.keyTypes(specs, tableSchema))
       case Some((_, keys)) =>
-        // partition column pruned from the output (no SPJ use) or
+        // a partition column pruned from the output (no SPJ use) or
         // every file statically pruned: ordinary scan, seeded with
         // the statically-kept file set
         new LakeRuntimeFilterScan(logicalBuild(), snap,

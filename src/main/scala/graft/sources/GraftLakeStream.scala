@@ -465,15 +465,10 @@ private[sources] final class GraftLakeStreamingWrite(dir: String,
     }
     val staged =
       if (!f.exists(epochDir)) Seq.empty
-      else {
-        // fanout epochs nest one __graft_part=<v> directory level
-        val top = f.listStatus(epochDir).toSeq
-        (top ++ top.filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith(s"${LakePartitioning.PartCol}="))
-          .flatMap(s => f.listStatus(s.getPath).toSeq))
-          .filter(_.isFile)
+      else
+        // fanout epochs nest __graft_part*=<v> directory levels
+        LakePartitioning.leafFiles(f, epochDir)
           .filter(_.getPath.getName.endsWith(".parquet"))
-      }
     if (staged.isEmpty) { f.delete(epochDir, true); return }
     // next FREE number (branch-staged manifests share the sequence),
     // content based on the HEAD snapshot resolved above
@@ -523,8 +518,7 @@ private final class LakeStreamWriterFactory(stagingRoot: String,
       private var n = 0L
 
       override def write(row: InternalRow): Unit = {
-        val key = router.map(r =>
-          s"${LakePartitioning.PartCol}=${r(row)}/").getOrElse("")
+        val key = router.map(_(row)).getOrElse("")
         val (_, w) = open.getOrElseUpdate(key, {
           val p = freshPath(key)
           (p, prepared.open(p)) // lazy: empty task, no file

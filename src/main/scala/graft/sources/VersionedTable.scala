@@ -262,42 +262,46 @@ object VersionedTable {
     * resolve against the default filesystem. */
   private def writeDataFiles(spark: SparkSession, df: DataFrame,
       dir: String, v: Int,
-      partSpec: Option[LakePartitioning.Spec] = None,
+      partSpec: Option[Seq[LakePartitioning.Spec]] = None,
       sortSpec: Option[Seq[String]] = None): Seq[String] = {
     val dataDir = s"$dir/files-v$v-" +
       java.util.UUID.randomUUID().toString.take(8)
     partSpec match {
       case None => df.write.parquet(dataDir)
-      case Some(spec) =>
-        // declared partitioning: route by the transform value and let
-        // `partitionBy` give every data file EXACTLY ONE value,
-        // recorded hive-style in its path (`__graft_part=<v>` — the
-        // key claim [[LakeKeyGroupedScan]] groups on). The routing
-        // column is consumed by partitionBy and never lands in file
-        // bytes. One shuffle: repartition on the routing value
-        // (bounded at the bucket count for bucket specs), plus an
+      case Some(specs) =>
+        // declared partitioning: route by the transform values and
+        // let `partitionBy` give every data file EXACTLY ONE value
+        // per level, recorded hive-style in its path
+        // (`__graft_part=<v>/…` — the key claims
+        // [[LakeKeyGroupedScan]] groups on). The routing columns are
+        // consumed by partitionBy and never land in file bytes. One
+        // shuffle: repartition on the routing values (bounded at the
+        // bucket-count product for all-bucket specs), plus an
         // optional within-partition sort when clustering is also
         // declared.
         require(!df.columns.exists(
-          _.equalsIgnoreCase(LakePartitioning.PartCol)),
-          s"column name ${LakePartitioning.PartCol} is reserved by " +
-            "declared table partitioning")
-        val route = LakePartitioning.routeColumn(spec, df)
-        val routed = df.withColumn(LakePartitioning.PartCol, route)
-        val shuffled = spec match {
-          case LakePartitioning.BucketSpec(n, _) =>
-            routed.repartition(n,
-              org.apache.spark.sql.functions.col(LakePartitioning.PartCol))
-          case _ =>
-            routed.repartition(
-              org.apache.spark.sql.functions.col(LakePartitioning.PartCol))
+          _.toLowerCase.startsWith(LakePartitioning.PartColPrefix)),
+          s"column prefix ${LakePartitioning.PartColPrefix} is " +
+            "reserved by declared table partitioning")
+        val names = specs.indices.map(LakePartitioning.partCol)
+        val routed = specs.zip(names).foldLeft(df) {
+          case (d, (spec, name)) =>
+            d.withColumn(name, LakePartitioning.routeColumn(spec, df))
         }
+        val routeCols = names
+          .map(org.apache.spark.sql.functions.col)
+        val buckets = specs.collect {
+          case LakePartitioning.BucketSpec(n, _) => n }
+        val shuffled =
+          if (buckets.size == specs.size)
+            routed.repartition(buckets.product, routeCols: _*)
+          else routed.repartition(routeCols: _*)
         val sorted = sortSpec match {
           case Some(s) => shuffled.sortWithinPartitions(
             clusterColumns(s, routed): _*)
           case None => shuffled
         }
-        sorted.write.partitionBy(LakePartitioning.PartCol).parquet(dataDir)
+        sorted.write.partitionBy(names: _*).parquet(dataDir)
         // an EMPTY partitioned write lands no parquet file at all —
         // CREATE TABLE's schema carrier would vanish. Land the plain
         // empty schema file instead (0 rows: no key claim needed, the
@@ -348,16 +352,11 @@ object VersionedTable {
   private[sources] def listDataFiles(spark: SparkSession, dir: String,
       dataDir: String): Seq[String] = {
     val f = fs(spark, dir)
-    val top = f.listStatus(new Path(dataDir)).toSeq
-    // partitioned commits nest one hive-style `__graft_part=<v>`
-    // directory level; flat and partitioned layouts never mix within
+    // partitioned commits nest hive-style `__graft_part*=<v>`
+    // directory levels; flat and partitioned layouts never mix within
     // one landed data dir
-    val stats = top ++ top
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(s"${LakePartitioning.PartCol}="))
-      .flatMap(s => f.listStatus(s.getPath).toSeq)
-    stats
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    LakePartitioning.leafFiles(f, new Path(dataDir))
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
       .map(s => f.makeQualified(s.getPath).toString)
   }
 
@@ -1125,17 +1124,12 @@ object VersionedTable {
             s.dataFiles ++ s.deleteFiles // DV files are live references
           }
           .map(p => f.makeQualified(new Path(p)).toString).toSet
-        // partitioned commits nest files one `__graft_part=<v>` level
+        // partitioned commits nest files `__graft_part*=<v>` levels
         // down — classification MUST see them, or a data dir whose
         // only top-level entry is _SUCCESS would read as "nothing
         // referenced" and a whole-dir drop would take LIVE files with it
-        def filesWithin(d: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-          val top = f.listStatus(d).toSeq
-          top.filter(_.isFile) ++ top
-            .filter(s => s.isDirectory && s.getPath.getName
-              .startsWith(s"${LakePartitioning.PartCol}="))
-            .flatMap(s => f.listStatus(s.getPath).toSeq.filter(_.isFile))
-        }
+        def filesWithin(d: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+          LakePartitioning.leafFiles(f, d)
         val dataDirs = f.listStatus(new Path(dir)).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("files-v"))
           .filter { d =>

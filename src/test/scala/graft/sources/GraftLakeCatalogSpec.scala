@@ -180,19 +180,21 @@ class GraftLakeCatalogSpec extends SparkSpec {
     assert(miss.getMessage.contains("missing"))
   }
 
-  test("single-transform partitioning accepted; multi-transform rejected loudly") {
+  test("partitioning transforms persist; duplicate columns reject loudly") {
     val cat = freshCatalog()
-    // identity/bucket single-transform partitioning is supported
-    // (GraftLakeSpjSpec covers behavior); >1 transform is not
-    spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) PARTITIONED BY (d)")
+    // identity/bucket transforms are supported, multi-level included
+    // (GraftLakeSpjSpec covers behavior)
+    spark.sql(s"CREATE TABLE $cat.p (k INT, d STRING) " +
+      "PARTITIONED BY (d, bucket(4, k))")
     assert(spark.sql(s"SHOW TBLPROPERTIES $cat.p").collect()
       .exists(r => r.getString(0) == "graft.partitioning" &&
-        r.getString(1) == "identity(d)"))
+        r.getString(1) == "identity(d),bucket(4,k)"))
+    // two transforms over the SAME column would double-route
     val err = intercept[IllegalArgumentException] {
       spark.sql(s"CREATE TABLE $cat.p2 (k INT, d STRING) " +
-        "PARTITIONED BY (d, bucket(4, k))")
+        "PARTITIONED BY (k, bucket(4, k))")
     }
-    assert(err.getMessage.contains("ONE partition transform"))
+    assert(err.getMessage.contains("distinct columns"))
   }
 
   test("DELETE FROM removes matches, keeps NULL-condition rows, old snapshots intact") {

@@ -449,6 +449,62 @@ class GraftLakeSpjSpec extends SparkSpec {
       .collect()(0).toSeq == Seq(100L, (500L until 600L).sum))
   }
 
+  test("multi-column partitioning: composite-key SPJ, per-level pruning, tuple claims") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.ma (g INT, k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g, bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.mb (g INT, k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (g, bucket(4, k))")
+    val rows = (0 until 300).map(i => (i % 3, i.toLong, i.toLong * 2))
+    rows.toDF("g", "k", "v").createOrReplaceTempView("glspj_ma")
+    rows.map { case (g, k, _) => (g, k, k * 5) }
+      .toDF("g", "k", "w").createOrReplaceTempView("glspj_mb")
+    spark.sql(s"INSERT INTO $cat.ma SELECT * FROM glspj_ma")
+    spark.sql(s"INSERT INTO $cat.mb SELECT * FROM glspj_mb")
+    // every data file claims one (g, bucket) TUPLE, nested in order
+    val files = VersionedTable.snapshotOf(spark, s"$root/ma",
+      VersionedTable.latestVersion(spark, s"$root/ma").get).dataFiles
+      .filterNot(_.contains("files-v0-"))
+    val claims = files.map(LakePartitioning.rawValuesOfPath(_, 2))
+    assert(claims.nonEmpty && claims.forall(_.exists(_.size == 2)))
+    assert(claims.flatten.map(_.head).toSet == Set("0", "1", "2"))
+    // composite-key SPJ: join on BOTH partition keys, zero exchanges
+    withSpj {
+      val j = spark.sql(
+        s"""SELECT a.g, a.k, a.v, b.w FROM $cat.ma a
+           |JOIN $cat.mb b ON a.g = b.g AND a.k = b.k""".stripMargin)
+      assert(exchanges(j) == 0,
+        s"composite SPJ must not exchange:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.collect().length == 300)
+    }
+    // per-level static pruning: identity level alone, then both
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ma WHERE g = 1")
+      .collect()(0).getLong(0) == 100L)
+    val p1 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p1 >= 0 && (p1 >> 32).toInt < (p1 & 0xffffffffL).toInt)
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(
+      s"SELECT v FROM $cat.ma WHERE g = 1 AND k = 13").collect()
+      .map(_.getLong(0)).toSeq == Seq(26L))
+    val p2 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p2 >= 0 && (p2 >> 32).toInt <= (p1 >> 32).toInt,
+      "constraining both levels must keep no more files than one")
+    // .partitions reports slash-joined tuples that sum to the count
+    val parts = spark.sql(s"SELECT * FROM $cat.ma.partitions").collect()
+    assert(parts.forall(_.getString(0).contains("/")))
+    assert(parts.map(_.getLong(2)).sum == 300L)
+    // partition columns are structural at every level
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.ma RENAME COLUMN g TO h")
+    }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.ma DROP COLUMN k")
+    }
+  }
+
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
