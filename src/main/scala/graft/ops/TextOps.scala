@@ -2355,6 +2355,70 @@ object TextOps {
       |  doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_dup
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q200
+  /** SHUFFLE-FREE EXACT DEDUP over a partitioned corpus — the q34
+    * dedup pass integrated with the lake's declared layout
+    * ([[graft.sources.LakePartitioning]]): the corpus lands
+    * `PARTITIONED BY (bucket(16, norm))` on its normalization key, so
+    * equal texts are CO-LOCATED BY CONSTRUCTION and the dedup
+    * `GROUP BY norm` satisfies its clustered distribution straight
+    * from the scan's KeyGroupedPartitioning — ZERO exchanges where
+    * the plain q34 pass shuffles the whole corpus. At 100 TB this is
+    * the difference between an ingest-dedup that moves every byte
+    * once per pass and one that moves nothing: the layout is paid
+    * once at write (where the data is moving anyway) and every
+    * dedup / first-occurrence / group-stats pass after that is
+    * map-side. The in-engine gate pins the exchange-free executed
+    * plan; results hash-gate against DuckDB's plain dedup (q34's
+    * oracle shape). */
+  val q200LakeDedupSpj: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakedd_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q200_$nonce")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^a-zA-Z ]", "")).as("norm"))
+      .createOrReplaceTempView(s"q200_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.corpus (doc_id BIGINT, norm STRING) " +
+      "PARTITIONED BY (bucket(16, norm))")
+    spark.sql(s"INSERT INTO $cat.corpus SELECT * FROM q200_src_$nonce")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prior = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dedup = spark.sql(
+        s"""SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
+           |  substring(norm, 1, 40) AS norm_prefix
+           |FROM $cat.corpus
+           |GROUP BY norm""".stripMargin)
+      val rows = dedup.collect()
+      val free = !dedup.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).toLowerCase.contains("exchange")
+      import spark.implicits._
+      rows.toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), free))
+        .toDF("keep_id", "n_dups", "norm_prefix", "dedup_zero_shuffle")
+        .orderBy(col("keep_id"))
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val q200Oracle: String =
+    """WITH g AS (SELECT lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS norm,
+      |  min(doc_id) AS keep_id, count(*) AS n_dups
+      | FROM documents GROUP BY 1)
+      |SELECT keep_id, n_dups, substring(norm, 1, 40) AS norm_prefix,
+      |  TRUE AS dedup_zero_shuffle
+      |FROM g ORDER BY keep_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -2399,6 +2463,7 @@ object TextOps {
     "q169_padding_report" -> q169PaddingReport,
     "q173_unigram_lm" -> q173UnigramLm,
     "q183_lake_ingest_dedup" -> q183LakeIngestDedup,
+    "q200_lake_dedup_spj" -> q200LakeDedupSpj,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2445,5 +2510,6 @@ object TextOps {
     "q169_padding_report" -> q169Oracle,
     "q173_unigram_lm" -> q173Oracle,
     "q183_lake_ingest_dedup" -> q183Oracle,
+    "q200_lake_dedup_spj" -> q200Oracle,
   )
 }
