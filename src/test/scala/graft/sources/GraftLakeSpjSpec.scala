@@ -505,6 +505,45 @@ class GraftLakeSpjSpec extends SparkSpec {
     }
   }
 
+  test("DATE identity partitioning: ISO dir values, typed claims, static prune") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.dt (d DATE, v BIGINT) " +
+      "PARTITIONED BY (d)")
+    Seq(("2024-01-05", 1L), ("2024-01-05", 2L), ("2024-02-11", 3L),
+        ("2024-03-20", 4L))
+      .toDF("ds", "v")
+      .select(to_date(col("ds")).as("d"), col("v"))
+      .createOrReplaceTempView("glspj_dt")
+    spark.sql(s"INSERT INTO $cat.dt SELECT * FROM glspj_dt")
+    // claims are ISO-8601 in the path, parsed back as typed DATE keys
+    val files = VersionedTable.snapshotOf(spark, s"$root/dt",
+      VersionedTable.latestVersion(spark, s"$root/dt").get).dataFiles
+      .filterNot(_.contains("files-v0-"))
+    assert(files.flatMap(LakePartitioning.rawValueOfPath(_)).toSet ==
+      Set("2024-01-05", "2024-02-11", "2024-03-20"))
+    // a date point filter statically prunes to that day's files
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val got = spark.sql(
+      s"SELECT v FROM $cat.dt WHERE d = DATE'2024-01-05'").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    val p = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p >= 0 && (p >> 32).toInt < (p & 0xffffffffL).toInt,
+      "date identity prune did not fire")
+    // two date-partitioned tables join shuffle-free on the date key
+    spark.sql(s"CREATE TABLE $cat.dt2 (d DATE, w BIGINT) " +
+      "PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $cat.dt2 SELECT d, v * 10 FROM glspj_dt")
+    withSpj {
+      val j = spark.sql(
+        s"SELECT a.d, a.v, b.w FROM $cat.dt a JOIN $cat.dt2 b ON a.d = b.d")
+      assert(exchanges(j) == 0,
+        s"date SPJ must not exchange:\n${j.queryExecution.executedPlan}")
+      assert(j.collect().length == 2 * 2 + 1 + 1) // per-day products
+    }
+  }
+
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
