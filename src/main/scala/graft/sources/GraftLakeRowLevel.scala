@@ -138,35 +138,69 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        // a declared-clustered table's rewrite declares its layout to
-        // SPARK (RequiresDistributionAndOrdering): V2Writes inserts the
-        // range shuffle + sort, so replacement files come back with
-        // disjoint key ranges exactly like commit-path files
+        // a PARTITIONED table's rewrite clusters on the transforms
+        // (so each task feeds few fanout files) and routes rows into
+        // per-value claim dirs — replacement files keep the key-claim
+        // layout and the SPJ contract SURVIVES row-level DML. A
+        // declared-clustered table's rewrite declares its sort layout
+        // instead (RequiresDistributionAndOrdering): V2Writes inserts
+        // the range shuffle + sort, so replacement files come back
+        // with disjoint key ranges exactly like commit-path files.
+        val partSpecs = LakePartitioning.specOf(spark, dir)
         val ordering = VersionedTable.clusteringV2Sort(spark, dir)
-        if (ordering.isEmpty) new Write {
-          override def toBatch: BatchWrite = batchWrite(info)
-        } else new Write
-            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
-          override def requiredDistribution()
-              : org.apache.spark.sql.connector.distributions.Distribution =
-            org.apache.spark.sql.connector.distributions.Distributions
-              .ordered(ordering)
-          override def requiredOrdering()
-              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            ordering
-          override def toBatch: BatchWrite = batchWrite(info)
+        val dist = partSpecs match {
+          case Some(specs) =>
+            Some(org.apache.spark.sql.connector.distributions
+              .Distributions.clustered(
+                specs.map(_.transform
+                  : org.apache.spark.sql.connector.expressions.Expression)
+                  .toArray))
+          case None if ordering.nonEmpty =>
+            Some(org.apache.spark.sql.connector.distributions
+              .Distributions.ordered(ordering))
+          case None => None
+        }
+        dist match {
+          case None => new Write {
+            override def toBatch: BatchWrite = batchWrite(info, partSpecs)
+          }
+          case Some(d) => new Write
+              with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              d
+            override def requiredOrdering()
+                : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              if (partSpecs.isDefined) Array.empty else ordering
+            override def toBatch: BatchWrite = batchWrite(info, partSpecs)
+          }
         }
       }
     }
 
-  private def batchWrite(info: LogicalWriteInfo): BatchWrite = {
+  private def batchWrite(info: LogicalWriteInfo,
+      partSpecs: Option[Seq[LakePartitioning.Spec]]): BatchWrite = {
           // next FREE number, not pinnedV+1: branch-staged manifests
           // share the sequence, and a collision would fail the rename
           val newV = VersionedTable.nextVersion(spark, dir)
           val dataDir = s"$dir/files-v$newV-" +
             java.util.UUID.randomUUID().toString.take(8)
-          val inner = ParquetWrite(Seq(dataDir), "parquet",
-            (_: org.apache.spark.sql.types.DataType) => true, info).toBatch
+          val inner = partSpecs match {
+            case None =>
+              ParquetWrite(Seq(dataDir), "parquet",
+                (_: org.apache.spark.sql.types.DataType) => true, info)
+                .toBatch
+            case Some(specs) =>
+              // partition-routing fanout: claims restore with the
+              // rewrite, published from the tasks' COMMIT MESSAGES
+              // (a speculative attempt's stray files are never
+              // referenced; vacuum sweeps them)
+              new LakeFanoutBatchWrite(dataDir,
+                org.apache.spark.sql.graftbridge.ParquetRowWriterBridge
+                  .prepare(spark, info.schema()),
+                LakePartitioning.rowRouter(specs, info.schema()),
+                spark.sparkContext.hadoopConfiguration)
+          }
           new BatchWrite {
             override def createBatchWriterFactory(
                 p: PhysicalWriteInfo): DataWriterFactory =
@@ -179,7 +213,10 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
               val s = spark
               val replaced = replacedFiles.toSet
               val kept = snapshotFiles.filterNot(replaced.contains)
-              val fresh = VersionedTable.listDataFiles(s, dir, dataDir)
+              val fresh = inner match {
+                case f: LakeFanoutBatchWrite => f.committedFiles(s, msgs)
+                case _ => VersionedTable.listDataFiles(s, dir, dataDir)
+              }
               // DV path replaces every file (scan applied the masks),
               // so the published snapshot is clean; on the pruned COW
               // path no masks existed to carry
@@ -205,6 +242,94 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
               inner.abort(msgs)
           }
   }
+}
+
+/** Partition-routing BATCH write for row-level rewrites over a
+  * PARTITIONED table: each task opens one parquet file per partition
+  * value it sees under the staged data dir's nested
+  * `__graft_part*=<v>/` claim dirs (the same layout every other
+  * routing writer lands), and its commit message carries the exact
+  * file paths — the publish references ONLY message-committed files,
+  * so a speculative or failed attempt's strays are never referenced
+  * and vacuum sweeps them. */
+private final class LakeFanoutBatchWrite(dataDir: String,
+    prepared: org.apache.spark.sql.graftbridge.ParquetRowWriterBridge.Prepared,
+    router: org.apache.spark.sql.catalyst.InternalRow => String,
+    @transient hadoopConf: org.apache.hadoop.conf.Configuration)
+    extends BatchWrite {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createBatchWriterFactory(
+      p: PhysicalWriteInfo): DataWriterFactory =
+    LakeFanoutWriterFactory(dataDir, prepared, router)
+
+  override def useCommitCoordinator(): Boolean = true
+
+  override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(p, true)
+    ()
+  }
+
+  /** The committed replacement files — exactly the tasks' messages,
+    * fully qualified to manifest form. */
+  def committedFiles(spark: SparkSession,
+      msgs: Array[WriterCommitMessage]): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(dataDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    msgs.toSeq.collect { case LakeBatchFilesMessage(paths) =>
+      paths.map(p =>
+        f.makeQualified(new org.apache.hadoop.fs.Path(p)).toString)
+    }.flatten
+  }
+}
+
+private final case class LakeBatchFilesMessage(paths: Seq[String])
+    extends WriterCommitMessage
+
+/** Serializable fanout task writer: one open parquet file per
+  * partition value the task sees, nested claim dirs, paths reported
+  * through the commit message. */
+private final case class LakeFanoutWriterFactory(dataDir: String,
+    prepared: org.apache.spark.sql.graftbridge.ParquetRowWriterBridge.Prepared,
+    router: org.apache.spark.sql.catalyst.InternalRow => String)
+    extends DataWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val open = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, org.apache.parquet.hadoop.ParquetWriter[InternalRow])]
+
+      override def write(row: InternalRow): Unit = {
+        val sub = router(row)
+        val (_, w) = open.getOrElseUpdate(sub, {
+          val p0 = s"$dataDir/${sub}part-$partitionId-$taskId-" +
+            java.util.UUID.randomUUID().toString.take(8) + ".parquet"
+          (p0, prepared.open(p0))
+        })
+        w.write(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        open.values.foreach(_._2.close())
+        LakeBatchFilesMessage(open.values.map(_._1).toSeq)
+      }
+
+      override def abort(): Unit =
+        open.values.foreach { case (path, w) =>
+          w.close()
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(p, false)
+        }
+
+      override def close(): Unit = ()
+    }
 }
 
 /** Adapts a plain file-writer factory to the rows a group-based

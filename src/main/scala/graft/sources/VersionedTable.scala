@@ -1016,7 +1016,10 @@ object VersionedTable {
     val survivors = spark.read.option("mergeSchema", "true")
       .parquet(touched: _*)
       .filter(not(coalesce(cond, lit(false))))
-    val newFiles = writeDataFiles(spark, survivors, dir, newV)
+    // a partitioned table's survivors re-route so the rewrite keeps
+    // every file's key claim (the SPJ layout survives COW deletes)
+    val newFiles = writeDataFiles(spark, survivors, dir, newV,
+      LakePartitioning.specOf(spark, dir))
     publish(f, dir, newV, kept ++ newFiles, Seq.empty,
       prior.stats.view.filterKeys(kept.toSet).toMap ++
         statsFor(spark, newFiles, Map.empty),

@@ -148,7 +148,7 @@ class GraftLakeSpjSpec extends SparkSpec {
     }
   }
 
-  test("degrade + re-earn: COW rewrite drops key grouping, compact restores it") {
+  test("row-level DML keeps the key-claim layout: SPJ survives UPDATE/DELETE") {
     val (cat, root) = freshCatalog()
     import spark.implicits._
     spark.sql(s"CREATE TABLE $cat.da (k BIGINT, v BIGINT) " +
@@ -161,28 +161,34 @@ class GraftLakeSpjSpec extends SparkSpec {
       .createOrReplaceTempView("glspj_db")
     spark.sql(s"INSERT INTO $cat.da SELECT * FROM glspj_da")
     spark.sql(s"INSERT INTO $cat.db SELECT * FROM glspj_db")
-    // the row-level COW rewrite lands files WITHOUT a key claim
+    // the row-level rewrite routes its replacement files — claims hold
     spark.sql(s"UPDATE $cat.da SET v = v + 1000 WHERE k < 10")
-    val unclaimed = filesOf(root, "da").exists(p =>
-      LakePartitioning.rawValueOfPath(p).isEmpty &&
-        !p.contains("files-v0-"))
-    assert(unclaimed, "UPDATE should land non-routing files")
-    withSpj {
-      val j = spark.sql(
-        s"SELECT a.k, a.v, b.w FROM $cat.da a JOIN $cat.db b ON a.k = b.k")
-      assert(exchanges(j) > 0, "degraded table must fall back to exchanges")
-      // correctness is unconditional
-      assert(j.collect().count(_.getLong(1) >= 1000L) == 10)
+    val files = filesOf(root, "da").filterNot(_.contains("files-v0-"))
+    assert(files.forall(LakePartitioning.rawValueOfPath(_).isDefined),
+      s"UPDATE must land routed replacement files: $files")
+    // each replacement file's rows hash to its claimed bucket
+    files.groupBy(LakePartitioning.rawValueOfPath(_).get).foreach {
+      case (b, fs) =>
+        val got = spark.read.parquet(fs: _*)
+          .select(pmod(col("k"), lit(4L)).cast("int"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        assert(got == Set(b.toInt), s"bucket $b holds $got after UPDATE")
     }
-    // compaction routes again → the layout (and the SPJ) is re-earned
-    spark.sql(s"CALL $cat.system.compact(table => 'da', target_files => 4)")
     withSpj {
       val j = spark.sql(
         s"SELECT a.k, a.v, b.w FROM $cat.da a JOIN $cat.db b ON a.k = b.k")
       assert(exchanges(j) == 0,
-        s"compact must restore the key-grouped layout:\n" +
+        s"SPJ must survive row-level DML:\n" +
           j.queryExecution.executedPlan)
       assert(j.collect().count(_.getLong(1) >= 1000L) == 10)
+    }
+    // DELETE (COW row-level on a partitioned table) keeps it too
+    spark.sql(s"DELETE FROM $cat.da WHERE k = 5")
+    withSpj {
+      val j = spark.sql(
+        s"SELECT a.k FROM $cat.da a JOIN $cat.db b ON a.k = b.k")
+      assert(exchanges(j) == 0)
+      assert(j.collect().length == 199)
     }
   }
 
@@ -336,13 +342,23 @@ class GraftLakeSpjSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSet == Set("0", "1", "2", "3"))
     assert(rows.map(_.getLong(2)).sum == 400L)
     assert(rows.forall(r => r.getInt(1) >= 1 && r.getLong(3) > 0L))
-    // an unrouted rewrite shows up as the NULL (layout-debt) row
-    spark.sql(s"UPDATE $cat.pm SET v = -1 WHERE k = 7")
+    // a foreign non-routing writer (every graft path routes now)
+    // shows up as the NULL (layout-debt) row
+    val dir = s"/tmp" // placeholder, replaced below
+    val tdir = spark.conf.get(s"spark.sql.catalog.$cat.root") + "/pm"
+    val stray = s"$tdir/files-vX-foreign"
+    (900L to 901L).toDF("k").withColumn("v", col("k"))
+      .coalesce(1).write.parquet(stray)
+    val strayFile = VersionedTable.listDataFiles(spark, tdir, stray)
+    val head = VersionedTable.latestVersion(spark, tdir).get
+    val snap0 = VersionedTable.snapshotOf(spark, tdir, head)
+    VersionedTable.publishVersion(spark, tdir, head + 1,
+      snap0.dataFiles ++ strayFile, Seq.empty, snap0.stats, snap0.meta)
     val withDebt = spark.sql(s"SELECT * FROM $cat.pm.partitions")
       .collect()
     assert(withDebt.exists(_.isNullAt(0)),
       s"expected a NULL layout-debt row: ${withDebt.mkString("|")}")
-    assert(withDebt.map(_.getLong(2)).sum == 400L)
+    assert(withDebt.map(_.getLong(2)).sum == 402L)
     // refuses on an unpartitioned table
     spark.sql(s"CREATE TABLE $cat.flat (k BIGINT)")
     intercept[UnsupportedOperationException] {
