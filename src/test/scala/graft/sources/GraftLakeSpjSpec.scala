@@ -560,6 +560,76 @@ class GraftLakeSpjSpec extends SparkSpec {
     }
   }
 
+  test("CTAS with PARTITIONED BY routes the selected rows") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    (0L until 160L).toDF("k").withColumn("v", col("k") * 9L)
+      .createOrReplaceTempView("glspj_ctas")
+    spark.sql(s"CREATE TABLE $cat.ct PARTITIONED BY (bucket(4, k)) " +
+      s"AS SELECT * FROM glspj_ctas")
+    val files = filesOf(root, "ct").filterNot(_.contains("files-v0-"))
+    assert(files.nonEmpty &&
+      files.forall(LakePartitioning.rawValueOfPath(_).isDefined),
+      s"CTAS must land routed files: $files")
+    assert(spark.sql(s"SELECT sum(v) AS s FROM $cat.ct")
+      .collect()(0).getLong(0) == (0L until 160L).map(_ * 9).sum)
+    // and the new table joins shuffle-free against a co-bucketed one
+    spark.sql(s"CREATE TABLE $cat.ct2 PARTITIONED BY (bucket(4, k)) " +
+      s"AS SELECT k, v * 2 AS w FROM glspj_ctas")
+    withSpj {
+      val j = spark.sql(
+        s"SELECT a.k FROM $cat.ct a JOIN $cat.ct2 b ON a.k = b.k")
+      assert(exchanges(j) == 0)
+      assert(j.collect().length == 160)
+    }
+  }
+
+  test("join on a SUBSET of composite partition keys stays shuffle-free (opt-in)") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.sa (g INT, k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (g, bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.sb (g INT, k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (g, bucket(4, k))")
+    val rows = (0 until 200).map(i => (i % 2, i.toLong, i.toLong))
+    rows.toDF("g", "k", "v").createOrReplaceTempView("glspj_sa")
+    rows.toDF("g", "k", "w").createOrReplaceTempView("glspj_sb")
+    spark.sql(s"INSERT INTO $cat.sa SELECT * FROM glspj_sa")
+    spark.sql(s"INSERT INTO $cat.sb SELECT * FROM glspj_sb")
+    val extra = Seq(
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val prior = extra.map { case (c, _) =>
+      c -> scala.util.Try(spark.conf.get(c)).toOption }
+    extra.foreach { case (c, v) => spark.conf.set(c, v) }
+    try withSpj {
+      // join on k only — a strict subset of (g, bucket(k)). Both
+      // partition columns must survive pruning (the reported
+      // transforms resolve against the scan output), so the
+      // projection keeps g on both sides.
+      val j = spark.sql(
+        s"""SELECT a.g, a.k, a.v, b.g, b.w FROM $cat.sa a
+           |JOIN $cat.sb b ON a.k = b.k""".stripMargin)
+      assert(exchanges(j) == 0,
+        s"subset-key SPJ must not exchange:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.collect().length == 200)
+    } finally prior.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+  }
+
+  test("SHOW CREATE TABLE round-trips the partition transforms") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.sc (g INT, k BIGINT) " +
+      "PARTITIONED BY (g, bucket(8, k))")
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.sc").collect()(0)
+      .getString(0)
+    assert(ddl.contains("PARTITIONED BY") && ddl.contains("bucket(8, k)"),
+      s"DDL must surface the transforms: $ddl")
+  }
+
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (k BIGINT, v INT) " +
