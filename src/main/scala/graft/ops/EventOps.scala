@@ -1424,6 +1424,62 @@ object EventOps {
       | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- q201
+  /** TIME-PARTITIONED EVENT TABLE — `PARTITIONED BY (days(ts))`
+    * ([[graft.sources.LakePartitioning.DaysSpec]]), the canonical lake
+    * layout for event logs: every commit routes rows into per-UTC-day
+    * files (ISO day claims in the paths), and a time-RANGE query
+    * statically prunes to its days BEFORE any task launches — the
+    * pruning rides the CATALYST filters the scan builder receives, so
+    * it fires even where parquet refuses the pushdown
+    * (TIMESTAMP_NTZ). Here a 10-day window over the 30-day event log
+    * keeps 1/3 of the files (gate: kept < total via
+    * [[graft.sources.LakeReadScanBuilder.lastPartitionPrune]]); the
+    * daily rollup hash-gates against DuckDB over the raw log. At
+    * 100 TB this is "scan the week, not the decade". */
+  val q201LakeTimePartition: Q = (spark, dir) => {
+    import graft.sources.LakeReadScanBuilder
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_laketp_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q201_$nonce")
+    Tables(spark, dir, "events")
+      .select(
+        expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").as("ets"),
+        col("user_id"), col("value"))
+      .createOrReplaceTempView(s"q201_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.ev (ets TIMESTAMP_NTZ, " +
+      "user_id BIGINT, value DOUBLE) PARTITIONED BY (days(ets))")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM q201_src_$nonce")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val rows = spark.sql(
+      s"""SELECT CAST(ets AS DATE) AS day, count(*) AS n,
+         |  round(sum(value), 2) AS total
+         |FROM $cat.ev
+         |WHERE ets >= TIMESTAMP_NTZ'2024-01-10 00:00:00'
+         |  AND ets < TIMESTAMP_NTZ'2024-01-20 00:00:00'
+         |GROUP BY 1""".stripMargin).collect()
+    val packed = LakeReadScanBuilder.lastPartitionPrune.get()
+    val pruned = packed >= 0 &&
+      (packed >> 32).toInt < (packed & 0xffffffffL).toInt
+    import spark.implicits._
+    rows.toSeq
+      .map(r => (r.getDate(0), r.getLong(1), r.getDouble(2), pruned))
+      .toDF("day", "n", "total", "time_pruned")
+      .orderBy(col("day"))
+  }
+
+  val q201Oracle: String =
+    """SELECT CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day,
+      | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total,
+      | TRUE AS time_pruned
+      |FROM events
+      |WHERE make_timestamp(epoch_ns(ts)//1000) >= TIMESTAMP '2024-01-10'
+      |  AND make_timestamp(epoch_ns(ts)//1000) < TIMESTAMP '2024-01-20'
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -1459,6 +1515,7 @@ object EventOps {
     "q159_idle_flush" -> q159IdleFlush,
     "q160_state_bootstrap" -> q160StateBootstrap,
     "q178_cdc_lake_upsert" -> q178CdcUpsert,
+    "q201_lake_time_partition" -> q201LakeTimePartition,
     "q182_lake_stream_read" -> q182LakeStreamRead,
     "q154_attribution" -> q154Attribution,
   )
@@ -1498,6 +1555,7 @@ object EventOps {
     "q159_idle_flush" -> q159Oracle,
     "q160_state_bootstrap" -> q160Oracle,
     "q178_cdc_lake_upsert" -> q178Oracle,
+    "q201_lake_time_partition" -> q201Oracle,
     "q182_lake_stream_read" -> q182Oracle,
     "q154_attribution" -> q154Oracle,
   )

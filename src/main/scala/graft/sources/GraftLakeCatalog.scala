@@ -806,14 +806,21 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         // `bucket` function), so each task feeds few fanout files.
         val ordering = VersionedTable.clusteringV2Sort(
           SparkSession.active, dir)
-        val dist = partSpec match {
+        // days transforms are excluded from the DECLARED distribution:
+        // Spark's DistributionAndOrderingUtils cannot resolve a days
+        // transform in a write distribution ("not currently
+        // supported") — routing still lands per-day files, the
+        // distribution is a fanout-width optimization only
+        val distributable = partSpec.map(_.filterNot(
+          _.isInstanceOf[LakePartitioning.DaysSpec])).filter(_.nonEmpty)
+        val dist = distributable match {
           case Some(specs) =>
             Some(org.apache.spark.sql.connector.distributions
               .Distributions.clustered(
                 specs.map(_.transform
                   : org.apache.spark.sql.connector.expressions.Expression)
                   .toArray))
-          case None if ordering.nonEmpty =>
+          case None if partSpec.isEmpty && ordering.nonEmpty =>
             Some(org.apache.spark.sql.connector.distributions
               .Distributions.ordered(ordering))
           case None => None

@@ -90,12 +90,22 @@ object LakePartitioning {
     override def serialized: String = s"bucket($buckets,$column)"
   }
 
+  /** `PARTITIONED BY (days(ts))` — one partition per UTC day
+    * (Iceberg's days transform), the canonical event-table layout:
+    * time-range scans prune to their days statically. */
+  final case class DaysSpec(column: String) extends Spec {
+    override def transform: Transform = Expressions.days(column)
+    override def serialized: String = s"days($column)"
+  }
+
   private val BucketRe = """(?i)bucket\((\d+)\s*,\s*([^,()\s]+)\)""".r
   private val IdentityRe = """(?i)identity\(([^,()\s]+)\)""".r
+  private val DaysRe = """(?i)days\(([^,()\s]+)\)""".r
 
   private def parseOne(s: String): Option[Spec] = s.trim match {
     case BucketRe(n, c) => Some(BucketSpec(n.toInt, c))
     case IdentityRe(c) => Some(IdentitySpec(c))
+    case DaysRe(c) => Some(DaysSpec(c))
     case _ => None
   }
 
@@ -128,6 +138,8 @@ object LakePartitioning {
       val spec = t.name().toLowerCase match {
         case "identity" =>
           refOf(t).map(IdentitySpec(_)).getOrElse(unsupported(t))
+        case "days" =>
+          refOf(t).map(DaysSpec(_)).getOrElse(unsupported(t))
         case "bucket" =>
           val n = t.arguments().collectFirst {
             case l: Literal[_] if l.dataType() == IntegerType =>
@@ -173,6 +185,7 @@ object LakePartitioning {
     def copy2(col: String): Spec = s match {
       case IdentitySpec(_) => IdentitySpec(col)
       case BucketSpec(n, _) => BucketSpec(n, col)
+      case DaysSpec(_) => DaysSpec(col)
     }
   }
 
@@ -188,10 +201,15 @@ object LakePartitioning {
              StringType | DateType => true
         case _ => false
       }
+      case _: DaysSpec => dt match {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
     }
     if (!ok) throw new UnsupportedOperationException(
       s"partitioning ${spec.serialized} over ${dt.catalogString} is " +
-        "not supported (integral/string keys; identity also DATE)")
+        "not supported (integral/string keys; identity also DATE; " +
+        "days over DATE/TIMESTAMP)")
   }
 
   /** The routing expression for one level — the value `partitionBy`
@@ -210,6 +228,13 @@ object LakePartitioning {
     val c = col(have)
     spec match {
       case IdentitySpec(_) => c
+      case DaysSpec(_) =>
+        // UTC day (session TZ is pinned UTC) — partitionBy renders
+        // the DATE value ISO-8601, same claim form the parser reads
+        df.schema(df.schema.fieldIndex(have)).dataType match {
+          case DateType => c
+          case _ => to_date(c)
+        }
       case BucketSpec(n, _) =>
         val dt = df.schema(df.schema.fieldIndex(have)).dataType
         val hashed = dt match {
@@ -255,6 +280,8 @@ object LakePartitioning {
     try {
       val v: Any = spec match {
         case _: BucketSpec => s.toInt
+        case _: DaysSpec =>
+          java.time.LocalDate.parse(s).toEpochDay.toInt
         case _: IdentitySpec => keyType match {
           case IntegerType => s.toInt
           case LongType => s.toLong
@@ -274,6 +301,7 @@ object LakePartitioning {
   def keyTypes(specs: Seq[Spec], schema: StructType): Seq[DataType] =
     specs.map {
       case _: BucketSpec => IntegerType
+      case _: DaysSpec => DateType
       case IdentitySpec(c) =>
         schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
           .getOrElse(NullType)
@@ -295,6 +323,20 @@ object LakePartitioning {
           Some(GraftLakeFunctions.bucketOfString(n, u.toString))
         case _ => None
       }
+      case _: DaysSpec => v match {
+        // the filter value's UTC day — session TZ is pinned UTC, so
+        // this agrees with the write path's `to_date`
+        case t: java.sql.Timestamp =>
+          Some(Math.floorDiv(t.getTime, 86400000L).toInt)
+        case i: java.time.Instant =>
+          Some(Math.floorDiv(i.toEpochMilli, 86400000L).toInt)
+        case ldt: java.time.LocalDateTime =>
+          Some(ldt.toLocalDate.toEpochDay.toInt)
+        case d: java.sql.Date =>
+          Some(d.toLocalDate.toEpochDay.toInt)
+        case ld: java.time.LocalDate => Some(ld.toEpochDay.toInt)
+        case _ => None
+      }
       case _: IdentitySpec => (keyType, v) match {
         case (LongType, l: Long) => Some(l)
         case (LongType, i: Int) => Some(i.toLong)
@@ -312,6 +354,119 @@ object LakePartitioning {
         case _ => None
       }
     }
+
+  /** Claim-space total order (within one level's claim type). */
+  private def cmpClaim(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Int, y: Int) => Some(Integer.compare(x, y))
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Short, y: Short) => Some(java.lang.Short.compare(x, y))
+    case (x: Byte, y: Byte) => Some(java.lang.Byte.compare(x, y))
+    case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** A filter LITERAL's internal Catalyst value → the claim a
+    * matching file must hold. Internal forms: Long micros for
+    * timestamps (UTC session), Int days for dates, UTF8String for
+    * strings — so this is the claim-space twin of [[claimFor]]. */
+  private def claimForInternal(spec: Spec, keyType: DataType,
+      lit: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Option[Any] = {
+    if (lit.value == null) return None
+    (spec, lit.dataType, lit.value) match {
+      case (BucketSpec(n, _), LongType, l: Long) =>
+        Some(GraftLakeFunctions.bucketOfLong(n, l))
+      case (BucketSpec(n, _), IntegerType, i: Int) =>
+        Some(GraftLakeFunctions.bucketOfLong(n, i.toLong))
+      case (BucketSpec(n, _), ShortType, s: Short) =>
+        Some(GraftLakeFunctions.bucketOfLong(n, s.toLong))
+      case (BucketSpec(n, _), ByteType, b: Byte) =>
+        Some(GraftLakeFunctions.bucketOfLong(n, b.toLong))
+      case (BucketSpec(n, _), StringType, u: UTF8String) =>
+        Some(GraftLakeFunctions.bucketOfString(n, u.toString))
+      case (_: DaysSpec, TimestampType | TimestampNTZType, m: Long) =>
+        Some(Math.floorDiv(m, 86400000000L).toInt)
+      case (_: DaysSpec, DateType, d: Int) => Some(d)
+      case (_: IdentitySpec, dt, v) if dt == keyType => v match {
+        case _: Int | _: Long | _: Short | _: Byte | _: UTF8String =>
+          Some(v)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** A conservative per-file claim predicate from one CATALYST filter
+    * expression on this level's partition column — None when the
+    * expression does not constrain this level. Works on the filters
+    * Spark hands the scan builder BEFORE parquet pushdown, so pruning
+    * applies even to types parquet refuses to push (TIMESTAMP_NTZ).
+    * `=`/IN apply to every transform; RANGE filters apply to the
+    * MONOTONE transforms (identity, days): an identity claim IS the
+    * row value so bounds are exact, while a days claim widens each
+    * bound to its whole UTC day (a file on the boundary day is kept —
+    * the in-file filter still applies). Incomparable claims keep the
+    * file; null claims drop under any emitted predicate (all are
+    * null-rejecting). */
+  def claimPredicate(spec: Spec, keyType: DataType,
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Option[Any] => Boolean] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def on(a: ce.Expression): Boolean = a match {
+      case ar: ce.AttributeReference =>
+        ar.name.equalsIgnoreCase(spec.column)
+      case _ => false
+    }
+    def conv(l: ce.Literal): Option[Any] =
+      claimForInternal(spec, keyType, l)
+    def nn(p: Any => Boolean): Option[Option[Any] => Boolean] =
+      Some(c => c.exists(p))
+    val monotone = spec match {
+      case _: IdentitySpec | _: DaysSpec => true
+      case _: BucketSpec => false
+    }
+    val widen = spec.isInstanceOf[DaysSpec]
+    def gt(l: ce.Literal, orEqual: Boolean) = conv(l).flatMap(w =>
+      nn(c => cmpClaim(c, w).forall(r =>
+        if (widen || orEqual) r >= 0 else r > 0)))
+    def lt(l: ce.Literal, orEqual: Boolean) = conv(l).flatMap(w =>
+      nn(c => cmpClaim(c, w).forall(r =>
+        if (widen || orEqual) r <= 0 else r < 0)))
+    e match {
+      case ce.EqualTo(a, l: ce.Literal) if on(a) =>
+        conv(l).flatMap(w => nn(c => c == w))
+      case ce.EqualTo(l: ce.Literal, a) if on(a) =>
+        conv(l).flatMap(w => nn(c => c == w))
+      case ce.In(a, vs) if on(a) &&
+          vs.forall(_.isInstanceOf[ce.Literal]) =>
+        val ws = vs.map(v => conv(v.asInstanceOf[ce.Literal]))
+        if (ws.exists(_.isEmpty)) None
+        else { val set = ws.flatten.toSet; nn(set.contains) }
+      case ce.InSet(a, hset) if on(a) =>
+        val dt = e.children.head.dataType
+        val ws = hset.toSeq.map(v =>
+          claimForInternal(spec, keyType, ce.Literal(v, dt)))
+        if (ws.exists(_.isEmpty)) None
+        else { val set = ws.flatten.toSet; nn(set.contains) }
+      case ce.GreaterThan(a, l: ce.Literal) if monotone && on(a) =>
+        gt(l, orEqual = false)
+      case ce.GreaterThan(l: ce.Literal, a) if monotone && on(a) =>
+        lt(l, orEqual = false)
+      case ce.GreaterThanOrEqual(a, l: ce.Literal) if monotone && on(a) =>
+        gt(l, orEqual = true)
+      case ce.GreaterThanOrEqual(l: ce.Literal, a) if monotone && on(a) =>
+        lt(l, orEqual = true)
+      case ce.LessThan(a, l: ce.Literal) if monotone && on(a) =>
+        lt(l, orEqual = false)
+      case ce.LessThan(l: ce.Literal, a) if monotone && on(a) =>
+        gt(l, orEqual = false)
+      case ce.LessThanOrEqual(a, l: ce.Literal) if monotone && on(a) =>
+        lt(l, orEqual = true)
+      case ce.LessThanOrEqual(l: ce.Literal, a) if monotone && on(a) =>
+        gt(l, orEqual = true)
+      case _ => None
+    }
+  }
 
   /** Directory-name escaping for the STREAMING fanout writer's
     * partition dirs. Over-escapes relative to Hive (anything outside
@@ -365,6 +520,18 @@ object LakePartitioning {
             n, row.getUTF8String(ord).toString).toString
           case other => throw new UnsupportedOperationException(
             s"bucket over ${other.catalogString}")
+        }
+      case DaysSpec(_) => row =>
+        if (row.isNullAt(ord)) NullPartitionName
+        else dt match {
+          case DateType => java.time.LocalDate
+            .ofEpochDay(row.getInt(ord).toLong).toString
+          case TimestampType | TimestampNTZType =>
+            // internal micros (UTC session) → ISO day
+            java.time.LocalDate.ofEpochDay(
+              Math.floorDiv(row.getLong(ord), 86400000000L)).toString
+          case other => throw new UnsupportedOperationException(
+            s"days partition over ${other.catalogString}")
         }
       case IdentitySpec(_) => row =>
         if (row.isNullAt(ord)) NullPartitionName

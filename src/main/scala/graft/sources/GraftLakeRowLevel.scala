@@ -148,14 +148,18 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
         // with disjoint key ranges exactly like commit-path files.
         val partSpecs = LakePartitioning.specOf(spark, dir)
         val ordering = VersionedTable.clusteringV2Sort(spark, dir)
-        val dist = partSpecs match {
+        // days transforms excluded: unresolvable in a declared write
+        // distribution (see GraftLakeTable.newWriteBuilder)
+        val distributable = partSpecs.map(_.filterNot(
+          _.isInstanceOf[LakePartitioning.DaysSpec])).filter(_.nonEmpty)
+        val dist = distributable match {
           case Some(specs) =>
             Some(org.apache.spark.sql.connector.distributions
               .Distributions.clustered(
                 specs.map(_.transform
                   : org.apache.spark.sql.connector.expressions.Expression)
                   .toArray))
-          case None if ordering.nonEmpty =>
+          case None if partSpecs.isEmpty && ordering.nonEmpty =>
             Some(org.apache.spark.sql.connector.distributions
               .Distributions.ordered(ordering))
           case None => None

@@ -64,9 +64,17 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     * above the scan); if the inner builder returns anything we cannot
     * match back, ALL filters stay above the scan — re-filtering is
     * free, a dropped filter is wrong. */
+  /** Every filter Spark handed this builder, BEFORE parquet decides
+    * what it can push — partition-claim pruning reads these, so it
+    * fires even for types parquet refuses (TIMESTAMP_NTZ ranges). */
+  private var catalystFilters
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    Seq.empty
+
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    catalystFilters = catalystFilters ++ filters
     mapping match {
       case None => super.pushFilters(filters)
       case Some(m) =>
@@ -76,6 +84,7 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
         if (back.contains(-1)) filters
         else back.map(filters)
     }
+  }
 
   private def tryAnswer(agg: Aggregation): Boolean = {
     if (answered.isEmpty && !innerHasFilters)
@@ -138,34 +147,21 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
         Map[String, Seq[Option[Any]]])] =
     partInfo.map { case (specs, keys) =>
       val kts = LakePartitioning.keyTypes(specs, tableSchema)
-      val v1 = inner.pushedFilters.toSeq
-        .flatMap(p => org.apache.spark.sql.graftbridge.PredicateBridge
-          .toV1(p).toSeq)
-      // per LEVEL: the set of claims an `=`/IN filter allows there
-      // (None = that level is unconstrained)
-      val allowedPerLevel: Seq[Option[Set[Any]]] =
+      // per LEVEL: conservative claim predicates from every filter
+      // Spark handed the builder that constrains that level — `=`/IN
+      // on any transform, RANGES on the monotone ones (identity,
+      // days). Catalyst-side, so unpushable-to-parquet types still
+      // prune.
+      val predsPerLevel: Seq[Seq[Option[Any] => Boolean]] =
         specs.zip(kts).map { case (spec, kt) =>
-          val sets: Seq[Set[Any]] = v1.flatMap {
-            case org.apache.spark.sql.sources.EqualTo(a, v)
-                if a.equalsIgnoreCase(spec.column) =>
-              LakePartitioning.claimFor(spec, kt, v).map(Set(_))
-            case org.apache.spark.sql.sources.In(a, vs)
-                if a.equalsIgnoreCase(spec.column) =>
-              val cs = vs.toSeq.map(
-                LakePartitioning.claimFor(spec, kt, _))
-              if (cs.exists(_.isEmpty)) None
-              else Some(cs.flatten.toSet)
-            case _ => None
-          }
-          if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+          catalystFilters.flatMap(
+            LakePartitioning.claimPredicate(spec, kt, _))
         }
-      if (allowedPerLevel.forall(_.isEmpty)) (specs, keys)
+      if (predsPerLevel.forall(_.isEmpty)) (specs, keys)
       else {
         val kept = keys.filter { case (_, claims) =>
-          claims.zip(allowedPerLevel).forall {
-            case (_, None) => true // unconstrained level
-            case (Some(claim), Some(want)) => want.contains(claim)
-            case (None, Some(_)) => false // null: `=`/IN never match
+          claims.zip(predsPerLevel).forall { case (claim, preds) =>
+            preds.forall(_(claim))
           }
         }
         LakeReadScanBuilder.lastPartitionPrune.set(

@@ -210,7 +210,7 @@ class GraftLakeSpjSpec extends SparkSpec {
     // unsupported transforms and types reject loudly at CREATE
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.bad1 (t TIMESTAMP_NTZ, v INT) " +
-        "PARTITIONED BY (days(t))")
+        "PARTITIONED BY (years(t))")
     }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.bad2 (d DOUBLE, v INT) " +
@@ -628,6 +628,58 @@ class GraftLakeSpjSpec extends SparkSpec {
       .getString(0)
     assert(ddl.contains("PARTITIONED BY") && ddl.contains("bucket(8, k)"),
       s"DDL must surface the transforms: $ddl")
+  }
+
+  test("days(ts) partitioning: ISO day claims, time-range static pruning") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.ev (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    // 4 UTC days × 6 events each
+    val rows = for (d <- 5 to 8; h <- 0 until 6)
+      yield (s"2024-03-0${d}T0$h:30:00", (d * 10 + h).toLong)
+    rows.toDF("s", "v")
+      .select(to_timestamp_ntz(col("s")).as("ts"), col("v"))
+      .createOrReplaceTempView("glspj_ev")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM glspj_ev")
+    // claims are the ISO UTC days
+    val files = filesOf(root, "ev").filterNot(_.contains("files-v0-"))
+    assert(files.flatMap(LakePartitioning.rawValueOfPath(_)).toSet ==
+      Set("2024-03-05", "2024-03-06", "2024-03-07", "2024-03-08"))
+    // the canonical event-table scan: a time-RANGE query prunes to
+    // its days before any task launches
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val got = spark.sql(
+      s"""SELECT count(*) AS n, sum(v) AS s FROM $cat.ev
+         |WHERE ts >= TIMESTAMP_NTZ'2024-03-06 00:00:00'
+         |  AND ts < TIMESTAMP_NTZ'2024-03-08 00:00:00'""".stripMargin)
+      .collect()(0)
+    assert(got.getLong(0) == 12)
+    assert(got.getLong(1) ==
+      rows.filter(r => r._1 >= "2024-03-06" && r._1 < "2024-03-08")
+        .map(_._2).sum)
+    val p = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p >= 0, "days range prune did not fire")
+    val (kept, total) = ((p >> 32).toInt, (p & 0xffffffffL).toInt)
+    assert(kept < total, s"expected a strict prune, got $kept/$total")
+    // boundary day widening: ts < 06T03:30 keeps day 06 (conservative)
+    // but still answers exactly through the in-file filter — day 05's
+    // six events plus day 06's 00:30/01:30/02:30
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $cat.ev
+         |WHERE ts < TIMESTAMP_NTZ'2024-03-06 03:30:00'""".stripMargin)
+      .collect()(0).getLong(0) == 6 + 3)
+    // identity ranges prune too (exact bounds, no widening)
+    spark.sql(s"CREATE TABLE $cat.idr (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("k", "v")
+      .createOrReplaceTempView("glspj_idr")
+    spark.sql(s"INSERT INTO $cat.idr SELECT * FROM glspj_idr")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.idr WHERE k > 2")
+      .collect()(0).getLong(0) == 7L)
+    val p2 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p2 >= 0 && (p2 >> 32).toInt < (p2 & 0xffffffffL).toInt)
   }
 
   test("empty partitioned CREATE stays loadable; key grouping needs data") {
