@@ -9,12 +9,15 @@ import org.apache.spark.sql.types.{DataTypes, LongType, StructType}
   * (`FunctionCatalog`): `SELECT <cat>.morton2(a, b)` resolves through
   * `loadFunction` to an [[UnboundFunction]], binds against the actual
   * argument schema, and executes through the V2 [[ScalarFunction]]
-  * contract. Each bound function here carries the MAGIC method
-  * (`invoke` with exact primitive signature): Spark's resolver
-  * compiles the call into a codegen-friendly `Invoke` on the function
-  * instance — no per-row `InternalRow` boxing — and falls back to
-  * `produceResult` only when the magic lookup fails (both paths are
-  * implemented and must agree; spec-pinned).
+  * contract. `morton2` carries the MAGIC method (`invoke` with exact
+  * primitive signature): Spark's resolver compiles the call into a
+  * codegen-friendly `Invoke` on the function instance — no per-row
+  * `InternalRow` boxing — falling back to `produceResult` only when
+  * the magic lookup fails (both paths implemented and spec-pinned to
+  * agree). The `bucket` family deliberately does NOT: its contract
+  * routes null keys to bucket 0, and a primitive-arg magic method
+  * would null-propagate on the Invoke path — produceResult is its
+  * single evaluation path so every caller agrees on nulls.
   *
   * `morton2` is the q107 Z-order curve exposed as a catalog function:
   * pure int64 shifts/masks (engine-exact, DuckDB-restatable), the
@@ -138,8 +141,11 @@ object GraftLakeFunctions {
     override def canonicalName(): String = "graft.lake.bucket"
     override def isDeterministic: Boolean = true
     override def isResultNullable: Boolean = false
-    /** MAGIC method (codegen `Invoke` path). */
-    def invoke(n: Int, key: Long): Int = bucketOfLong(n, key)
+    // deliberately NO magic invoke method: a primitive-arg `invoke`
+    // would null-propagate on the codegen Invoke path while the
+    // documented contract (and the write router) buckets null keys
+    // to 0 — produceResult is the single evaluation path, so both
+    // sides of a one-side-shuffle SPJ agree on nulls
     override def produceResult(input: InternalRow): java.lang.Integer =
       if (input.isNullAt(1)) 0 else bucketOfLong(input.getInt(0), input.getLong(1))
   }
@@ -153,7 +159,7 @@ object GraftLakeFunctions {
     override def canonicalName(): String = "graft.lake.bucket"
     override def isDeterministic: Boolean = true
     override def isResultNullable: Boolean = false
-    def invoke(n: Int, key: Int): Int = bucketOfLong(n, key.toLong)
+    // no magic invoke — see BucketLong's null-contract note
     override def produceResult(input: InternalRow): java.lang.Integer =
       if (input.isNullAt(1)) 0
       else bucketOfLong(input.getInt(0), input.getInt(1).toLong)
@@ -168,8 +174,9 @@ object GraftLakeFunctions {
     override def canonicalName(): String = "graft.lake.bucket"
     override def isDeterministic: Boolean = true
     override def isResultNullable: Boolean = false
-    def invoke(n: Int, key: org.apache.spark.unsafe.types.UTF8String): Int =
-      if (key == null) 0 else bucketOfString(n, key.toString)
+    // no magic invoke — see BucketLong's null-contract note (the
+    // UTF8String overload handled null itself, but Invoke's
+    // null-propagation fires BEFORE the method body runs)
     override def produceResult(input: InternalRow): java.lang.Integer =
       if (input.isNullAt(1)) 0
       else bucketOfString(input.getInt(0), input.getUTF8String(1).toString)

@@ -471,14 +471,19 @@ object LakePartitioning {
   /** Directory-name escaping for the STREAMING fanout writer's
     * partition dirs. Over-escapes relative to Hive (anything outside
     * `[A-Za-z0-9_.-]`), which is safe: [[unescapePath]] decodes any
-    * `%XX`, so batch-written (Hive-escaped) and stream-written dirs
-    * parse identically. */
+    * `%XX` byte run, so batch-written (Hive-escaped, ASCII-only
+    * escapes) and stream-written dirs parse identically. Escapes the
+    * UTF-8 BYTES (`%XX` per byte, Hive's own discipline) — a per-char
+    * `%XXXX` form for codepoints past 0xFF would not round-trip
+    * through a two-digit decoder, falsifying the file's key claim. */
   private[sources] def escapePath(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    s.foreach { c =>
-      if (c.isLetterOrDigit && c < 128 || c == '_' || c == '.' || c == '-')
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder(bytes.length)
+    bytes.foreach { b =>
+      val c = (b & 0xFF).toChar
+      if (c < 128 && (c.isLetterOrDigit || c == '_' || c == '.' || c == '-'))
         sb.append(c)
-      else sb.append(f"%%${c.toInt}%02X")
+      else sb.append(f"%%${b & 0xFF}%02X")
     }
     sb.toString
   }
@@ -564,21 +569,33 @@ object LakePartitioning {
   }
 
   /** Hive path unescaping (`%2F` → `/`, …) — mirrors the escaping
-    * `partitionBy` applies when writing partition directories. */
+    * `partitionBy` applies when writing partition directories.
+    * Consecutive `%XX` escapes decode as a UTF-8 BYTE run (so
+    * [[escapePath]]'s multi-byte sequences reassemble exactly);
+    * Hive's own escapes are ASCII-only single bytes, which the same
+    * rule decodes unchanged. Literal non-ASCII chars (Hive leaves
+    * them raw) pass through untouched. */
   private def unescapePath(s: String): String = {
     val sb = new StringBuilder(s.length)
+    val run = new java.io.ByteArrayOutputStream(8)
+    def flush(): Unit = if (run.size() > 0) {
+      sb.append(new String(run.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (ch == '%' && i + 2 < s.length) {
         try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          run.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
           i += 3
         } catch {
-          case _: NumberFormatException => sb.append(ch); i += 1
+          case _: NumberFormatException => flush(); sb.append(ch); i += 1
         }
-      } else { sb.append(ch); i += 1 }
+      } else { flush(); sb.append(ch); i += 1 }
     }
+    flush()
     sb.toString
   }
 }
@@ -603,7 +620,9 @@ object LakePartitioning {
 final class LakeKeyGroupedScan(inner: Scan,
     specs: Seq[LakePartitioning.Spec],
     keyOfPath: Map[String, Seq[Option[Any]]],
-    keyTypes: Seq[DataType])
+    keyTypes: Seq[DataType],
+    provenEmpty: Set[String] = Set.empty,
+    staticallyPruned: Set[String] = Set.empty)
     extends Scan
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -634,10 +653,29 @@ final class LakeKeyGroupedScan(inner: Scan,
         }
         files
           .flatMap { pf =>
-            // files without a key claim were proven 0-row by the
-            // builder — no rows to serve, drop the split
-            val norm = new Path(pf.filePath.toString).toString
-            keyOfPath.get(norm).map(k => (k, pf))
+            // DECODED path (SparkPath.toString is URL-encoded; the
+            // claim map keys are decoded manifest paths — an encoded
+            // lookup would silently drop any file whose identity
+            // partition value holds a non-URI-safe char)
+            val norm = pf.filePath.toPath.toString
+            keyOfPath.get(norm) match {
+              case some @ Some(_) => some.map(k => (k, pf))
+              case None if provenEmpty.contains(norm) ||
+                  staticallyPruned.contains(norm) =>
+                // stats-proven 0-row schema carrier, or a file the
+                // static partition prune PROVED claim-mismatched:
+                // no servable rows, dropping the split is exact
+                None
+              case None =>
+                // a claimed file failing the lookup means the two
+                // normalizations diverged — silently dropping it
+                // would LOSE ROWS; fail loudly instead
+                throw new IllegalStateException(
+                  s"key-grouped scan: data file $norm has no " +
+                    "partition-key claim and is not stats-proven " +
+                    "empty — path normalization diverged between " +
+                    "the manifest and the scan")
+            }
           }
           .groupBy(_._1)
           .toSeq

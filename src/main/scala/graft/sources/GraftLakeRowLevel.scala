@@ -272,9 +272,11 @@ private final class LakeFanoutBatchWrite(dataDir: String,
   override def commit(msgs: Array[WriterCommitMessage]): Unit = ()
 
   override def abort(msgs: Array[WriterCommitMessage]): Unit = {
+    // driver-side cleanup: the SESSION Hadoop conf (spark.hadoop.*
+    // credentials included) — a bare new Configuration() would fail
+    // silently on configured filesystems, leaving strays to vacuum
     val p = new org.apache.hadoop.fs.Path(dataDir)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      .delete(p, true)
+    p.getFileSystem(hadoopConf).delete(p, true)
     ()
   }
 
@@ -327,9 +329,10 @@ private final case class LakeFanoutWriterFactory(dataDir: String,
       override def abort(): Unit =
         open.values.foreach { case (path, w) =>
           w.close()
+          // task-side cleanup with the SAME captured session conf the
+          // writer opened the file with, never a bare Configuration()
           val p = new org.apache.hadoop.fs.Path(path)
-          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .delete(p, false)
+          p.getFileSystem(prepared.hadoopConf).delete(p, false)
         }
 
       override def close(): Unit = ()
@@ -833,8 +836,9 @@ private[sources] final class LakeGroupScan(inner: Scan,
             if (!parts.forall(_.isInstanceOf[FilePartition])) parts
             else parts.toSeq
               .map { case fp: FilePartition =>
+                // decoded lookup: kept is keyed by manifest paths
                 fp.files.filter(f => kept.contains(
-                  new Path(f.filePath.toString).toString))
+                  f.filePath.toPath.toString))
               }
               .filter(_.nonEmpty)
               .zipWithIndex

@@ -185,7 +185,15 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
             prunedTo.forall(_.fieldNames.exists(
               _.equalsIgnoreCase(s.column)))) =>
         new LakeKeyGroupedScan(logicalBuild(), specs, keys,
-          LakePartitioning.keyTypes(specs, tableSchema))
+          LakePartitioning.keyTypes(specs, tableSchema),
+          provenEmpty = snap.dataFiles
+            .filter(p => snap.stats.get(p).exists(_.rowCount == 0L))
+            .map(p => new Path(p).toString).toSet,
+          // claims the STATIC prune removed: the scan drops their
+          // splits by design; only a claim-less, non-empty file is
+          // the loud normalization-divergence case
+          staticallyPruned =
+            partInfo.map(_._2.keySet -- keys.keySet).getOrElse(Set.empty))
       case Some((_, keys)) =>
         // a partition column pruned from the output (no SPJ use) or
         // every file statically pruned: ordinary scan, seeded with
@@ -235,11 +243,12 @@ final class LakeFileColumnScan(inner: Scan) extends Scan {
           }
           .zipWithIndex
           .map { case (pf, i) =>
-            // normalized through hadoop Path so the emitted value is
+            // DECODED (SparkPath.toPath) so the emitted value is
             // byte-identical to manifest paths (and `.files` rows) —
-            // `file:///x` and `file:/x` must not read as two files
+            // `file:///x` and `file:/x` must not read as two files,
+            // and a space in a partition value must not surface %20
             new FileColPartition(FilePartition(i, Array(pf)),
-              new Path(pf.filePath.toString).toString): InputPartition
+              pf.filePath.toPath.toString): InputPartition
           }.toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new FileColReaderFactory(ib.createReaderFactory())
@@ -533,8 +542,9 @@ final class LakeRuntimeFilterScan(inner: Scan,
               // the surviving bundles densely
               parts.toSeq
                 .map { case fp: FilePartition =>
+                  // decoded lookup: kept is keyed by manifest paths
                   fp.files.filter(f => kept.contains(
-                    new Path(f.filePath.toString).toString))
+                    f.filePath.toPath.toString))
                 }
                 .filter(_.nonEmpty)
                 .zipWithIndex

@@ -378,7 +378,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
         case other => throw new IllegalStateException(
           s"unexpected non-file partition $other under lake stream")
       }
-      .groupBy(f => norm(f.filePath.toString))
+      .groupBy(f => f.filePath.toPath.toString) // decoded, manifest form
       .map { case (p, splits) =>
         p -> FilePartition(0,
           Array(splits.head.copy(start = 0L,
@@ -494,7 +494,10 @@ private[sources] final class GraftLakeStreamingWrite(dir: String,
   }
 }
 
-private final case class LakeFileMessage(path: String, rows: Long)
+/** Informational only today (commitEpoch lists the staging dir), but
+  * carries EVERY file the task landed so the message never lies if it
+  * becomes authoritative — the batch fanout path's discipline. */
+private final case class LakeFileMessage(paths: Seq[String], rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private final class LakeStreamWriterFactory(stagingRoot: String,
@@ -529,16 +532,16 @@ private final class LakeStreamWriterFactory(stagingRoot: String,
 
       override def commit(): WriterCommitMessage = {
         open.values.foreach(_._2.close())
-        LakeFileMessage(
-          open.values.headOption.map(_._1).getOrElse(""), n)
+        LakeFileMessage(open.values.map(_._1).toSeq, n)
       }
 
       override def abort(): Unit = {
         open.values.foreach { case (path, w) =>
           w.close()
+          // task-side cleanup with the SAME captured session conf
+          // the writer opened the file with (spark.hadoop.* intact)
           val p = new org.apache.hadoop.fs.Path(path)
-          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .delete(p, false)
+          p.getFileSystem(prepared.hadoopConf).delete(p, false)
         }
       }
 

@@ -56,6 +56,12 @@ object ParquetRowWriterBridge {
         .withConf(sc.value)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build()
+
+    /** The captured session Hadoop conf — task-side cleanup (abort
+      * paths) must resolve filesystems with the SAME conf the writer
+      * opened them with (`spark.hadoop.*` credentials included), not
+      * a bare `new Configuration()`. */
+    def hadoopConf: Configuration = sc.value
   }
 
   private final class RowBuilder(path: Path, conf: Configuration)

@@ -228,10 +228,21 @@ class GraftLakeSpjSpec extends SparkSpec {
     assert(got.getInt(0) == java.lang.Math.floorMod(-3L, 8L).toInt)
     assert(got.getInt(1) ==
       GraftLakeFunctions.bucketOfString(8, "hello"))
-    // produceResult agrees with invoke
+    // produceResult is the SINGLE evaluation path (no magic invoke:
+    // a primitive-arg magic method would null-propagate while the
+    // contract buckets null keys to 0) — and it must agree with the
+    // write-side routing
     assert(GraftLakeFunctions.BucketLong.produceResult(
       org.apache.spark.sql.catalyst.InternalRow(8, -3L)) ==
-      GraftLakeFunctions.BucketLong.invoke(8, -3L))
+      java.lang.Math.floorMod(-3L, 8L).toInt)
+    assert(GraftLakeFunctions.BucketLong.getClass.getMethods
+      .forall(_.getName != "invoke"),
+      "bucket functions must not expose a null-propagating magic invoke")
+    // null key → bucket 0 on the function path, same as the router
+    assert(GraftLakeFunctions.BucketLong.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(8, null)) == 0)
+    assert(GraftLakeFunctions.BucketString.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(8, null)) == 0)
     // a null key routes to bucket 0 and still reads back
     spark.sql(s"CREATE TABLE $cat.nn (k BIGINT, v INT) " +
       "PARTITIONED BY (bucket(4, k))")
@@ -693,5 +704,74 @@ class GraftLakeSpjSpec extends SparkSpec {
       .map(_.getString(0))
     assert(desc.exists(_.contains("Part")),
       s"DESCRIBE should list partitioning: ${desc.mkString("|")}")
+  }
+
+  test("identity string partitions with space/percent/non-ASCII values: no silent row loss") {
+    // the claim map keys by DECODED manifest paths; the scan must look
+    // files up in the SAME form — an URL-encoded lookup (%20 for a
+    // space) silently dropped the file as 'proven 0-row'
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.odd (region STRING, v BIGINT) " +
+      "PARTITIONED BY (region)")
+    // non-ASCII values are covered by the router/escape round-trip
+    // tests below; the local filesystem in this environment rejects
+    // non-ASCII names outright (sun.jnu.encoding=POSIX), so the
+    // end-to-end path pins the ASCII-but-URI-unsafe cases
+    val vals = Seq("100%", "a b", "eq=v", "plain")
+    vals.zipWithIndex.map { case (r, i) => (r, i.toLong) }
+      .toDF("region", "v").createOrReplaceTempView("glspj_odd")
+    spark.sql(s"INSERT INTO $cat.odd SELECT * FROM glspj_odd")
+    // full scan serves EVERY row (the bug dropped whole files)
+    val back = spark.sql(s"SELECT region, v FROM $cat.odd ORDER BY v")
+      .collect()
+    assert(back.map(_.getString(0)).toSeq == vals.toSeq,
+      s"rows lost or mangled: ${back.map(_.getString(0)).mkString(",")}")
+    // static partition pruning still fires — and prunes EXACTLY
+    vals.foreach { r =>
+      val got = spark.table(s"$cat.odd")
+        .where(col("region") === lit(r)).select("v").collect()
+      assert(got.length == 1, s"point lookup on '$r' got ${got.length}")
+    }
+    val prune = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(prune >= 0 && (prune >> 32) < (prune & 0xFFFFFFFFL),
+      "static pruning should have dropped sibling partitions")
+  }
+
+  test("escapePath percent-encodes UTF-8 bytes; unescapePath reassembles exactly") {
+    val cases = Seq("a b", "100%", "héllo", "€5", "x=y/z",
+      "你好", "emoji 😀 tail", "plain-_.9")
+    cases.foreach { s =>
+      val esc = LakePartitioning.escapePath(s)
+      // escaped form is URI/dir safe: only [A-Za-z0-9_.-%] remain
+      assert(esc.forall(c => c == '%' ||
+        (c < 128 && (c.isLetterOrDigit || "_.-".contains(c)))),
+        s"unsafe char survives escaping: '$s' -> '$esc'")
+      // round-trip through the claim parser's decoder
+      val spec = LakePartitioning.IdentitySpec("k")
+      val kv = LakePartitioning.keyValue(spec,
+        org.apache.spark.sql.types.StringType, esc)
+      assert(kv.flatMap(_.map(_.toString)) == Some(s),
+        s"'$s' -> '$esc' decoded as ${kv.flatMap(_.map(_.toString))}")
+    }
+    // multi-byte codepoints emit one %XX PER BYTE (e.g. € = 3 bytes),
+    // never a 3-4 hex-digit run a two-digit decoder would mangle
+    assert(LakePartitioning.escapePath("€") == "%E2%82%AC")
+  }
+
+  test("streaming fanout router and batch claims agree on exotic identity values") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("region", StringType),
+      StructField("v", LongType)))
+    val specs = Seq(LakePartitioning.IdentitySpec("region"))
+    val router = LakePartitioning.rowRouter(specs, schema)
+    Seq("a b", "100%", "héllo€").foreach { r =>
+      val sub = router(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r), 1L))
+      val raw = sub.stripPrefix("__graft_part=").stripSuffix("/")
+      val kv = LakePartitioning.keyValue(specs.head, StringType, raw)
+      assert(kv.flatMap(_.map(_.toString)) == Some(r),
+        s"stream-routed claim for '$r' decoded as $kv")
+    }
   }
 }
