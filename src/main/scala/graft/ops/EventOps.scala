@@ -1480,6 +1480,59 @@ object EventOps {
       |  AND make_timestamp(epoch_ns(ts)//1000) < TIMESTAMP '2024-01-20'
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q203
+  /** MONTHS-PARTITIONED ORDER TABLE — `PARTITIONED BY (months(od))`
+    * ([[graft.sources.LakePartitioning.MonthsSpec]]), Iceberg's
+    * epoch-month transform: the 80-month order history lands one
+    * partition per UTC month, and a YEAR-RANGE query statically
+    * prunes to its 12 months before any task launches (months is
+    * monotone, so the q201 range-prune generalizes — gate: kept <
+    * total via [[graft.sources.LakeReadScanBuilder
+    * .lastPartitionPrune]]). The monthly revenue rollup hash-gates
+    * against DuckDB over the raw orders. At 100 TB: scan the year,
+    * not the decade — at coarser granularity than days, so the
+    * manifest stays small on multi-year tables. */
+  val q203LakeMonthsPartition: Q = (spark, dir) => {
+    import graft.sources.LakeReadScanBuilder
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakemo_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q203_$nonce")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("od"),
+        col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView(s"q203_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.ord (od DATE, o_orderkey BIGINT, " +
+      "o_totalprice DOUBLE) PARTITIONED BY (months(od))")
+    spark.sql(s"INSERT INTO $cat.ord SELECT * FROM q203_src_$nonce")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val rows = spark.sql(
+      s"""SELECT date_trunc('month', od) AS mon, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS revenue
+         |FROM $cat.ord
+         |WHERE od >= DATE'1998-01-01' AND od < DATE'1999-01-01'
+         |GROUP BY 1""".stripMargin).collect()
+    val packed = LakeReadScanBuilder.lastPartitionPrune.get()
+    val pruned = packed >= 0 &&
+      (packed >> 32).toInt < (packed & 0xffffffffL).toInt
+    import spark.implicits._
+    rows.toSeq
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), pruned))
+      .toDF("mon", "n", "revenue", "month_pruned")
+      .orderBy(col("mon"))
+  }
+
+  val q203Oracle: String =
+    """SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+      | CAST(count(*) AS BIGINT) AS n,
+      | round(sum(o_totalprice), 2) AS revenue, TRUE AS month_pruned
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+      |GROUP BY 1 ORDER BY mon""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q24_json_extract" -> q24Json,
     "q25_tumbling_window" -> q25TumblingWindow,
@@ -1516,6 +1569,7 @@ object EventOps {
     "q160_state_bootstrap" -> q160StateBootstrap,
     "q178_cdc_lake_upsert" -> q178CdcUpsert,
     "q201_lake_time_partition" -> q201LakeTimePartition,
+    "q203_lake_months_partition" -> q203LakeMonthsPartition,
     "q182_lake_stream_read" -> q182LakeStreamRead,
     "q154_attribution" -> q154Attribution,
   )
@@ -1556,6 +1610,7 @@ object EventOps {
     "q160_state_bootstrap" -> q160Oracle,
     "q178_cdc_lake_upsert" -> q178Oracle,
     "q201_lake_time_partition" -> q201Oracle,
+    "q203_lake_months_partition" -> q203Oracle,
     "q182_lake_stream_read" -> q182Oracle,
     "q154_attribution" -> q154Oracle,
   )

@@ -2419,6 +2419,76 @@ object TextOps {
       |  TRUE AS dedup_zero_shuffle
       |FROM g ORDER BY keep_id""".stripMargin
 
+  // --------------------------------------------------------------- q202
+  /** TRUNCATE-PARTITIONED CORPUS — `PARTITIONED BY (truncate(2, norm))`
+    * ([[graft.sources.LakePartitioning.TruncateSpec]]), Iceberg's width
+    * truncation as the text-corpus layout: every document routes into
+    * the file of its normalized key's 2-codepoint PREFIX, so
+    * shared-prefix keys co-locate without hashing away their order.
+    * Truncate is monotone, so a RANGE filter on the raw key prunes
+    * statically to its prefix files (gate: kept < total via
+    * [[graft.sources.LakeReadScanBuilder.lastPartitionPrune]]), and —
+    * because the scan reports a width-curried single-leaf transform
+    * (`truncate_w2(norm)`; Spark's satisfies0 disqualifies any
+    * transform with a literal leaf) — the per-prefix GROUP BY runs
+    * with ZERO exchanges, gated in-engine like q200. At 100 TB this
+    * is the dedup/sort layout that range-scans a shard of the key
+    * space and never shuffles for prefix rollups. */
+  val q202LakeTruncateCorpus: Q = (spark, dir) => {
+    import graft.sources.LakeReadScanBuilder
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_laketr_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q202_$nonce")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "[^a-zA-Z ]", "")).as("norm"))
+      .createOrReplaceTempView(s"q202_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.corpus (doc_id BIGINT, norm STRING) " +
+      "PARTITIONED BY (truncate(2, norm))")
+    spark.sql(s"INSERT INTO $cat.corpus SELECT * FROM q202_src_$nonce")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prior = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+      val agg = spark.sql(
+        s"""SELECT substring(norm, 1, 2) AS pfx,
+           |  count(*) AS n, min(doc_id) AS first_id
+           |FROM $cat.corpus
+           |WHERE norm >= 'm'
+           |GROUP BY norm""".stripMargin)
+      val rows = agg.collect()
+      val packed = LakeReadScanBuilder.lastPartitionPrune.get()
+      val pruned = packed >= 0 &&
+        (packed >> 32).toInt < (packed & 0xffffffffL).toInt
+      val free = !agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).toLowerCase.contains("exchange")
+      import spark.implicits._
+      rows.toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          pruned, free))
+        .toDF("pfx", "n", "first_id", "prefix_pruned", "zero_shuffle")
+        .orderBy(col("first_id"))
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val q202Oracle: String =
+    """WITH g AS (SELECT lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS norm,
+      |  CAST(count(*) AS BIGINT) AS n, min(doc_id) AS first_id
+      | FROM documents GROUP BY 1)
+      |SELECT substring(norm, 1, 2) AS pfx, n, first_id,
+      |  TRUE AS prefix_pruned, TRUE AS zero_shuffle
+      |FROM g WHERE norm >= 'm' ORDER BY first_id""".stripMargin
+
   val all: ListMap[String, Q] = ListMap(
     "q30_token_count" -> q30TokenCount,
     "q31_quality_score" -> q31QualityScore,
@@ -2464,6 +2534,7 @@ object TextOps {
     "q173_unigram_lm" -> q173UnigramLm,
     "q183_lake_ingest_dedup" -> q183LakeIngestDedup,
     "q200_lake_dedup_spj" -> q200LakeDedupSpj,
+    "q202_lake_truncate_corpus" -> q202LakeTruncateCorpus,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -2511,5 +2582,6 @@ object TextOps {
     "q173_unigram_lm" -> q173Oracle,
     "q183_lake_ingest_dedup" -> q183Oracle,
     "q200_lake_dedup_spj" -> q200Oracle,
+    "q202_lake_truncate_corpus" -> q202Oracle,
   )
 }

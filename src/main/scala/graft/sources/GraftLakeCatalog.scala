@@ -228,26 +228,64 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         true
       case _ => false
     }
-    // the partition spec is structural: every committed file's
-    // path-recorded key claim was routed by it — re-declaring it
-    // would silently falsify the key-grouped scan
+    // PARTITION-SPEC EVOLUTION (Iceberg's per-file spec binding):
+    // SET on graft.partitioning re-declares the layout for FUTURE
+    // writes only — committed files keep the spec they were routed
+    // by (their birth version is structural in the path, the history
+    // property maps versions to generations), so evolution is one
+    // property write: zero data moves, per-generation pruning keeps
+    // working, and compaction migrates the table forward to re-earn
+    // single-spec layouts (SPJ / zero-exchange aggs). UNSET stays
+    // refused: dropping the declaration would orphan the history.
+    // The history property itself is engine-maintained.
     propChanges.foreach {
       case s: TableChange.SetProperty
-          if s.property() == LakePartitioning.Prop =>
+          if s.property() == LakePartitioning.HistoryProp =>
         throw new UnsupportedOperationException(
-          s"${LakePartitioning.Prop} is immutable (declared by " +
-            "CREATE TABLE ... PARTITIONED BY)")
+          s"${LakePartitioning.HistoryProp} is engine-maintained " +
+            "(written by ALTER TABLE ... SET " +
+            s"TBLPROPERTIES('${LakePartitioning.Prop}'=...))")
       case r: TableChange.RemoveProperty
-          if r.property() == LakePartitioning.Prop =>
+          if r.property() == LakePartitioning.HistoryProp ||
+            r.property() == LakePartitioning.Prop =>
         throw new UnsupportedOperationException(
-          s"${LakePartitioning.Prop} is immutable (declared by " +
-            "CREATE TABLE ... PARTITIONED BY)")
+          s"${r.property()} cannot be UNSET (evolve the spec with " +
+            s"SET TBLPROPERTIES('${LakePartitioning.Prop}'=...) " +
+            "instead)")
       case _ => ()
     }
     if (propChanges.nonEmpty) {
       val cur = GraftLakeTable.readProperties(spark, d)
       val next = new util.HashMap[String, String](cur)
       propChanges.foreach {
+        case s: TableChange.SetProperty
+            if s.property() == LakePartitioning.Prop =>
+          val newSpecs = LakePartitioning.parse(s.value()).getOrElse(
+            throw new IllegalArgumentException(
+              s"unparseable partition spec '${s.value()}' (supported: " +
+                "identity(col), bucket(n, col), truncate(w, col), " +
+                "days/months/years/hours(col))"))
+          val schema = (loadTable(ident): Table).schema()
+          val canonical = LakePartitioning.validateSpecs(newSpecs, schema)
+            .map(_.serialized).mkString(",")
+          val curSpec = Option(cur.get(LakePartitioning.Prop))
+            .getOrElse("")
+          if (canonical != curSpec) {
+            if (Option(spark.conf.get(GraftLakeTable.WapBranchConf, null))
+                .exists(_.trim.nonEmpty))
+              throw new UnsupportedOperationException(
+                "partition-spec evolution under an active WAP branch " +
+                  "is not supported — fast_forward or drop the branch " +
+                  "first")
+            val head = VersionedTable.headVersion(spark, d).getOrElse(
+              throw new NoSuchTableException(ident))
+            val entry = s"$head:$curSpec"
+            val hist = Option(cur.get(LakePartitioning.HistoryProp))
+              .filter(_.trim.nonEmpty)
+            next.put(LakePartitioning.HistoryProp,
+              hist.map(_ + ";" + entry).getOrElse(entry))
+            next.put(LakePartitioning.Prop, canonical)
+          }
         case s: TableChange.SetProperty =>
           next.put(s.property(), s.value())
         case r: TableChange.RemoveProperty =>
@@ -665,6 +703,58 @@ final class GraftLakeTable(ident: Identifier, dir: String,
   private lazy val partSpec: Option[Seq[LakePartitioning.Spec]] =
     LakePartitioning.specOf(spark, dir)
 
+  /** Spec-evolution history ([[LakePartitioning.HistoryProp]]) —
+    * empty on never-evolved tables, where the single-spec fast paths
+    * below apply unchanged. */
+  private lazy val partHistory
+      : Seq[(Int, Option[Seq[LakePartitioning.Spec]])] =
+    Option(properties().get(LakePartitioning.HistoryProp))
+      .map(LakePartitioning.parseHistory).getOrElse(Seq.empty)
+
+  /** True iff every live data file was routed by the CURRENT spec —
+    * the soundness gate for key-grouped scanning on evolved tables: a
+    * pre-evolution file's path claim parses under ITS generation, not
+    * the current one (and may even parse under both with different
+    * meanings), so SPJ re-engages only once compaction has migrated
+    * every file forward. */
+  private lazy val allCurrentGen: Boolean =
+    partHistory.isEmpty || snapshot.dataFiles.forall { p =>
+      LakePartitioning.fileVersionOfPath(p).exists(v =>
+        LakePartitioning.specForFileVersion(partHistory, partSpec, v)
+          == partSpec)
+    }
+
+  /** Per-GENERATION claim maps for static pruning on evolved tables
+    * (empty on never-evolved ones — [[partKeys]] serves those): each
+    * generation's files parse under that generation's spec; files
+    * that fail to parse or belong to an unpartitioned generation fall
+    * out of every map and are always kept (conservative). */
+  private lazy val pruneGens
+      : Seq[(Seq[LakePartitioning.Spec], Map[String, Seq[Option[Any]]])] =
+    if (partHistory.isEmpty) Seq.empty
+    else {
+      val byGen = snapshot.dataFiles.groupBy { p =>
+        LakePartitioning.fileVersionOfPath(p).flatMap(v =>
+          LakePartitioning.specForFileVersion(partHistory, partSpec, v))
+      }
+      byGen.toSeq.collect { case (Some(specs), files) =>
+        val kts = LakePartitioning.keyTypes(specs, schema())
+        val claims = files.flatMap { p =>
+          val norm = new org.apache.hadoop.fs.Path(p).toString
+          LakePartitioning.rawValuesOfPath(norm, specs.size).flatMap {
+            raws =>
+              val vs = specs.lazyZip(kts).lazyZip(raws).map {
+                (spec, kt, raw) =>
+                  LakePartitioning.keyValue(spec, kt, raw)
+              }
+              if (vs.exists(_.isEmpty)) None
+              else Some(norm -> vs.flatten.toSeq)
+          }
+        }.toMap
+        (specs, claims)
+      }.filter(_._2.nonEmpty)
+    }
+
   /** Per-data-file partition key-tuple claims for the CURRENT
     * snapshot — `Some(map)` iff EVERY file either claims a value
     * tuple in its path or is stats-proven empty (dropped from the
@@ -672,7 +762,7 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     * a non-routing writer (row-level rewrite) degrades the table to
     * ordinary scans until compaction re-earns the layout. */
   private lazy val partKeys: Option[Map[String, Seq[Option[Any]]]] =
-    partSpec.flatMap { specs =>
+    partSpec.filter(_ => allCurrentGen).flatMap { specs =>
       val kts = LakePartitioning.keyTypes(specs, schema())
       // per file: None = unsound (degrade the whole table),
       // Some(None) = proven-empty file (skip), Some(Some(kv)) = claim
@@ -728,7 +818,8 @@ final class GraftLakeTable(ident: Identifier, dir: String,
             .map(LakeColumnMapping.statsToLogical(_, snapshot))
             .getOrElse(snapshot)
           new LakeReadScanBuilder(f, schema(), snapForRead,
-            partSpec.zip(partKeys).headOption, mapping)
+            partSpec.zip(partKeys).headOption, mapping,
+            pruneGens = if (partKeys.isEmpty) pruneGens else Seq.empty)
         case other => other
       }
     else new GraftLakeDvScanBuilder(delegate, schema(),
@@ -806,13 +897,17 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         // `bucket` function), so each task feeds few fanout files.
         val ordering = VersionedTable.clusteringV2Sort(
           SparkSession.active, dir)
-        // days transforms are excluded from the DECLARED distribution:
-        // Spark's DistributionAndOrderingUtils cannot resolve a days
-        // transform in a write distribution ("not currently
-        // supported") — routing still lands per-day files, the
-        // distribution is a fanout-width optimization only
-        val distributable = partSpec.map(_.filterNot(
-          _.isInstanceOf[LakePartitioning.DaysSpec])).filter(_.nonEmpty)
+        // only identity/bucket transforms enter the DECLARED
+        // distribution: Spark's DistributionAndOrderingUtils cannot
+        // resolve the time/truncate transforms in a write
+        // distribution ("not currently supported") — routing still
+        // lands per-value files, the distribution is a fanout-width
+        // optimization only
+        val distributable = partSpec.map(_.filter {
+          case _: LakePartitioning.IdentitySpec |
+               _: LakePartitioning.BucketSpec => true
+          case _ => false
+        }).filter(_.nonEmpty)
         val dist = distributable match {
           case Some(specs) =>
             Some(org.apache.spark.sql.connector.distributions

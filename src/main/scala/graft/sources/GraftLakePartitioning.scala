@@ -58,6 +58,19 @@ object LakePartitioning {
   /** Table property carrying the partition spec. */
   val Prop = "graft.partitioning"
 
+  /** PARTITION-SPEC EVOLUTION history (Iceberg's per-file spec
+    * binding): `;`-joined entries `<uptoVersion>:<spec-or-empty>`,
+    * ascending. Entry `(V, S)` claims every data file born at commit
+    * version ≤ V (and above the previous entry's bound) was routed by
+    * spec S — an empty S marks an unpartitioned generation. A file's
+    * birth version is already structural (`files-v<N>-` in its path),
+    * so evolution is a PROPERTY WRITE: zero data moves, old files
+    * keep pruning under their own spec, new commits route by the new
+    * one, and compaction (a full rewrite at the head version)
+    * migrates everything forward, re-earning single-spec layouts
+    * (SPJ, zero-exchange aggs). */
+  val HistoryProp = "graft.partitioning.history"
+
   /** Reserved routing column prefix (never lands in file data: the
     * columns are consumed by `partitionBy`). */
   val PartColPrefix = "__graft_part"
@@ -76,6 +89,15 @@ object LakePartitioning {
     def column: String
     def transform: Transform
     def serialized: String
+    /** The transform the READ SCAN reports for key grouping. Defaults
+      * to [[transform]]; truncate overrides with a width-curried
+      * single-arg function name because Spark's
+      * `KeyGroupedPartitioning.satisfies0` requires every expression
+      * leaf to be a clustering key — a width LITERAL leaf (which only
+      * bucket escapes, via Spark's special-cased `numBucketsOpt`
+      * hoisting) would disqualify the partitioning from every SPJ and
+      * zero-exchange aggregate. */
+    def reportedTransform: Transform = transform
   }
 
   /** `PARTITIONED BY (col)` — one partition per distinct value. */
@@ -98,14 +120,62 @@ object LakePartitioning {
     override def serialized: String = s"days($column)"
   }
 
+  /** `PARTITIONED BY (months(ts))` — one partition per UTC month,
+    * claimed as MONTHS SINCE 1970-01 (Iceberg's epoch-month int).
+    * Monotone in the column, so range filters prune statically
+    * exactly like days, at month granularity. */
+  final case class MonthsSpec(column: String) extends Spec {
+    override def transform: Transform = Expressions.months(column)
+    override def serialized: String = s"months($column)"
+  }
+
+  /** `PARTITIONED BY (years(ts))` — one partition per UTC year,
+    * claimed as YEARS SINCE 1970 (Iceberg's epoch-year int). */
+  final case class YearsSpec(column: String) extends Spec {
+    override def transform: Transform = Expressions.years(column)
+    override def serialized: String = s"years($column)"
+  }
+
+  /** `PARTITIONED BY (hours(ts))` — one partition per UTC hour,
+    * claimed as HOURS SINCE EPOCH (Iceberg's epoch-hour int). */
+  final case class HoursSpec(column: String) extends Spec {
+    override def transform: Transform = Expressions.hours(column)
+    override def serialized: String = s"hours($column)"
+  }
+
+  /** `PARTITIONED BY (truncate(w, col))` — Iceberg's width truncation:
+    * strings keep their first `w` CODEPOINTS (the standard text-corpus
+    * layout — shared-prefix keys co-locate), integral keys floor to a
+    * multiple of `w` (`v - floorMod(v, w)`). Monotone in the column,
+    * so prefix `=` AND range filters both prune statically. */
+  final case class TruncateSpec(width: Int, column: String) extends Spec {
+    override def transform: Transform =
+      Expressions.apply("truncate",
+        Expressions.literal(width), Expressions.column(column))
+    override def serialized: String = s"truncate($width,$column)"
+    // single-leaf form for SPJ/zero-exchange-agg (see the Spec doc);
+    // the DDL surface (SHOW CREATE TABLE, .partitions) keeps the
+    // standard 2-arg truncate above
+    override def reportedTransform: Transform =
+      Expressions.apply(s"truncate_w$width", Expressions.column(column))
+  }
+
   private val BucketRe = """(?i)bucket\((\d+)\s*,\s*([^,()\s]+)\)""".r
   private val IdentityRe = """(?i)identity\(([^,()\s]+)\)""".r
   private val DaysRe = """(?i)days\(([^,()\s]+)\)""".r
+  private val MonthsRe = """(?i)months\(([^,()\s]+)\)""".r
+  private val YearsRe = """(?i)years\(([^,()\s]+)\)""".r
+  private val HoursRe = """(?i)hours\(([^,()\s]+)\)""".r
+  private val TruncateRe = """(?i)truncate\((\d+)\s*,\s*([^,()\s]+)\)""".r
 
   private def parseOne(s: String): Option[Spec] = s.trim match {
     case BucketRe(n, c) => Some(BucketSpec(n.toInt, c))
     case IdentityRe(c) => Some(IdentitySpec(c))
     case DaysRe(c) => Some(DaysSpec(c))
+    case MonthsRe(c) => Some(MonthsSpec(c))
+    case YearsRe(c) => Some(YearsSpec(c))
+    case HoursRe(c) => Some(HoursSpec(c))
+    case TruncateRe(w, c) => Some(TruncateSpec(w.toInt, c))
     case _ => None
   }
 
@@ -124,6 +194,57 @@ object LakePartitioning {
     Option(GraftLakeTable.readProperties(spark, dir).get(Prop))
       .flatMap(parse)
 
+  /** A data file's birth commit version — structural in its path
+    * (`files-v<N>-<nonce>/…`), which is what makes per-file spec
+    * binding a metadata operation. */
+  def fileVersionOfPath(p: String): Option[Int] =
+    FileVersionRe.findFirstMatchIn(p).map(_.group(1).toInt)
+
+  private val FileVersionRe = """/files-v(\d+)-""".r
+
+  /** Parsed [[HistoryProp]]: (uptoVersion, specs-or-None) ascending.
+    * Unparseable entries are dropped (a corrupt history entry can
+    * only make pruning MORE conservative, never wrong: its files fall
+    * out of every generation map and are always kept). */
+  def parseHistory(s: String): Seq[(Int, Option[Seq[Spec]])] =
+    s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { e =>
+      e.split(":", 2) match {
+        case Array(v, spec) if v.forall(_.isDigit) && v.nonEmpty =>
+          Some((v.toInt,
+            if (spec.trim.isEmpty) None else parse(spec.trim)))
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+  /** The spec generation a file born at `fileV` was routed by. */
+  def specForFileVersion(history: Seq[(Int, Option[Seq[Spec]])],
+      current: Option[Seq[Spec]], fileV: Int): Option[Seq[Spec]] =
+    history.find(_._1 >= fileV).map(_._2).getOrElse(current)
+
+  /** Validate a spec list against a table schema (column existence,
+    * transform/type compatibility, distinct columns) and return it
+    * with exact-case column names — shared by CREATE
+    * ([[fromTransforms]]) and spec evolution (ALTER SET [[Prop]]). */
+  def validateSpecs(specs: Seq[Spec], schema: StructType): Seq[Spec] = {
+    require(specs.nonEmpty && specs.length <= 4,
+      s"graft lake tables support 1-4 partition transforms, " +
+        s"got ${specs.length}")
+    val out = specs.map { sp =>
+      val field = schema.fields.find(
+        _.name.equalsIgnoreCase(sp.column)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '${sp.column}' is not in the table " +
+            s"schema ${schema.fieldNames.mkString("(", ",", ")")}"))
+      validateType(sp, field.dataType)
+      sp.copy2(field.name)
+    }
+    val cols = out.map(_.column.toLowerCase)
+    require(cols.distinct.size == cols.size,
+      s"partition transforms must reference distinct columns: " +
+        out.map(_.serialized).mkString(", "))
+    out
+  }
+
   /** CREATE TABLE transforms → property value. Identity and
     * single-column bucket transforms over distinct columns — loud
     * otherwise: silently accepting an unsupported transform would
@@ -135,44 +256,50 @@ object LakePartitioning {
       s"graft lake tables support at most 4 partition transforms, " +
         s"got ${transforms.length}")
     val specs = transforms.toSeq.map { t =>
+      def intArg: Option[Int] = t.arguments().collectFirst {
+        case l: Literal[_] if l.dataType() == IntegerType =>
+          l.value().asInstanceOf[Int]
+      }
       val spec = t.name().toLowerCase match {
         case "identity" =>
           refOf(t).map(IdentitySpec(_)).getOrElse(unsupported(t))
         case "days" =>
           refOf(t).map(DaysSpec(_)).getOrElse(unsupported(t))
+        case "months" =>
+          refOf(t).map(MonthsSpec(_)).getOrElse(unsupported(t))
+        case "years" =>
+          refOf(t).map(YearsSpec(_)).getOrElse(unsupported(t))
+        case "hours" =>
+          refOf(t).map(HoursSpec(_)).getOrElse(unsupported(t))
         case "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: Literal[_] if l.dataType() == IntegerType =>
-              l.value().asInstanceOf[Int]
-          }
-          (n, refOf(t)) match {
+          (intArg, refOf(t)) match {
             case (Some(b), Some(c)) =>
               require(b >= 1 && b <= 100000,
                 s"bucket count must be in [1, 100000], got $b")
               BucketSpec(b, c)
             case _ => unsupported(t)
           }
+        case "truncate" =>
+          // accept both argument orders (truncate(4, s) / truncate(s, 4))
+          (intArg, refOf(t)) match {
+            case (Some(w), Some(c)) =>
+              require(w >= 1 && w <= 100000,
+                s"truncate width must be in [1, 100000], got $w")
+              TruncateSpec(w, c)
+            case _ => unsupported(t)
+          }
         case _ => unsupported(t)
       }
-      val field = schema.fields.find(
-        _.name.equalsIgnoreCase(spec.column)).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column '${spec.column}' is not in the table " +
-            s"schema ${schema.fieldNames.mkString("(", ",", ")")}"))
-      validateType(spec, field.dataType)
-      spec.copy2(field.name) // exact-case column name
+      spec
     }
-    val cols = specs.map(_.column.toLowerCase)
-    require(cols.distinct.size == cols.size,
-      s"partition transforms must reference distinct columns: " +
-        specs.map(_.serialized).mkString(", "))
-    Some(specs.map(_.serialized).mkString(","))
+    Some(validateSpecs(specs, schema).map(_.serialized).mkString(","))
   }
 
   private def unsupported(t: Transform): Nothing =
     throw new UnsupportedOperationException(
       s"unsupported partition transform '$t': graft lake tables " +
-        "support identity(col) and bucket(n, col) over single columns")
+        "support identity(col), bucket(n, col), truncate(w, col), " +
+        "days/months/years/hours(col) over single columns")
 
   private def refOf(t: Transform): Option[String] = {
     val refs = t.references()
@@ -186,6 +313,10 @@ object LakePartitioning {
       case IdentitySpec(_) => IdentitySpec(col)
       case BucketSpec(n, _) => BucketSpec(n, col)
       case DaysSpec(_) => DaysSpec(col)
+      case MonthsSpec(_) => MonthsSpec(col)
+      case YearsSpec(_) => YearsSpec(col)
+      case HoursSpec(_) => HoursSpec(col)
+      case TruncateSpec(w, _) => TruncateSpec(w, col)
     }
   }
 
@@ -201,15 +332,44 @@ object LakePartitioning {
              StringType | DateType => true
         case _ => false
       }
-      case _: DaysSpec => dt match {
+      case _: DaysSpec | _: MonthsSpec | _: YearsSpec => dt match {
         case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      case _: HoursSpec => dt match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      case _: TruncateSpec => dt match {
+        case IntegerType | LongType | StringType => true
         case _ => false
       }
     }
     if (!ok) throw new UnsupportedOperationException(
       s"partitioning ${spec.serialized} over ${dt.catalogString} is " +
-        "not supported (integral/string keys; identity also DATE; " +
-        "days over DATE/TIMESTAMP)")
+        "not supported (bucket: integral/string; identity also DATE; " +
+        "days/months/years over DATE/TIMESTAMP; hours over TIMESTAMP; " +
+        "truncate over INT/BIGINT/STRING)")
+  }
+
+  /** Months since 1970-01 of an epoch day (Iceberg's epoch-month). */
+  private[sources] def monthsOfEpochDay(d: Long): Int = {
+    val ld = java.time.LocalDate.ofEpochDay(d)
+    (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+  }
+
+  /** Years since 1970 of an epoch day (Iceberg's epoch-year). */
+  private[sources] def yearsOfEpochDay(d: Long): Int =
+    java.time.LocalDate.ofEpochDay(d).getYear - 1970
+
+  /** Iceberg integral truncation: floor to a multiple of `w`. */
+  private[sources] def truncLong(w: Int, v: Long): Long =
+    v - Math.floorMod(v, w.toLong)
+
+  /** Iceberg string truncation: first `w` CODEPOINTS. */
+  private[sources] def truncString(w: Int, s: String): String = {
+    if (s.codePointCount(0, s.length) <= w) s
+    else s.substring(0, s.offsetByCodePoints(0, w))
   }
 
   /** The routing expression for one level — the value `partitionBy`
@@ -218,25 +378,42 @@ object LakePartitioning {
     * Spark-side re-shuffle must place a key in the same bucket) and
     * be DuckDB-restatable for oracles. Null keys: bucket routes them
     * to bucket 0 deterministically (null join keys never match, but
-    * the rows must land somewhere co-located); identity keeps Hive's
-    * null-partition directory. */
+    * the rows must land somewhere co-located); every other transform
+    * keeps Hive's null-partition directory. */
   def routeColumn(spec: Spec, df: DataFrame): Column = {
     val have = df.columns.find(_.equalsIgnoreCase(spec.column)).getOrElse(
       throw new IllegalArgumentException(
         s"$Prop references column '${spec.column}' absent from the " +
           s"write's schema ${df.columns.mkString("(", ",", ")")}"))
     val c = col(have)
+    lazy val dt = df.schema(df.schema.fieldIndex(have)).dataType
     spec match {
       case IdentitySpec(_) => c
       case DaysSpec(_) =>
         // UTC day (session TZ is pinned UTC) — partitionBy renders
         // the DATE value ISO-8601, same claim form the parser reads
-        df.schema(df.schema.fieldIndex(have)).dataType match {
+        dt match {
           case DateType => c
           case _ => to_date(c)
         }
+      case MonthsSpec(_) =>
+        // epoch-month int (session TZ pinned UTC, so year()/month()
+        // agree with the claim parser's LocalDate arithmetic)
+        ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1))
+          .cast(IntegerType)
+      case YearsSpec(_) => (year(c) - lit(1970)).cast(IntegerType)
+      case HoursSpec(_) =>
+        // epoch-hour int: ts→long casts floor to SECONDS; the double
+        // quotient is exact to ~1e-10 at epoch magnitudes, far from
+        // the 1-second claim boundary
+        floor(c.cast(TimestampType).cast(LongType) / lit(3600))
+          .cast(IntegerType)
+      case TruncateSpec(w, _) => dt match {
+        case StringType => substring(c, 1, w)
+        case LongType => c - pmod(c, lit(w.toLong))
+        case _ => (c - pmod(c, lit(w))).cast(IntegerType)
+      }
       case BucketSpec(n, _) =>
-        val dt = df.schema(df.schema.fieldIndex(have)).dataType
         val hashed = dt match {
           case StringType => graft.functions.PolyHashMod(c)
           case _ => c.cast(LongType)
@@ -282,6 +459,13 @@ object LakePartitioning {
         case _: BucketSpec => s.toInt
         case _: DaysSpec =>
           java.time.LocalDate.parse(s).toEpochDay.toInt
+        case _: MonthsSpec | _: YearsSpec | _: HoursSpec => s.toInt
+        case _: TruncateSpec => keyType match {
+          case IntegerType => s.toInt
+          case LongType => s.toLong
+          case StringType => UTF8String.fromString(s)
+          case _ => return None
+        }
         case _: IdentitySpec => keyType match {
           case IntegerType => s.toInt
           case LongType => s.toLong
@@ -302,9 +486,10 @@ object LakePartitioning {
     specs.map {
       case _: BucketSpec => IntegerType
       case _: DaysSpec => DateType
-      case IdentitySpec(c) =>
-        schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-          .getOrElse(NullType)
+      case _: MonthsSpec | _: YearsSpec | _: HoursSpec => IntegerType
+      case spec @ (_: IdentitySpec | _: TruncateSpec) =>
+        schema.fields.find(_.name.equalsIgnoreCase(spec.column))
+          .map(_.dataType).getOrElse(NullType)
     }
 
   /** A pushed-filter VALUE (external Scala form, as V1 filters carry
@@ -323,18 +508,27 @@ object LakePartitioning {
           Some(GraftLakeFunctions.bucketOfString(n, u.toString))
         case _ => None
       }
-      case _: DaysSpec => v match {
-        // the filter value's UTC day — session TZ is pinned UTC, so
-        // this agrees with the write path's `to_date`
+      case _: DaysSpec => epochDayOf(v)
+      case _: MonthsSpec => epochDayOf(v).map(d => monthsOfEpochDay(d.toLong))
+      case _: YearsSpec => epochDayOf(v).map(d => yearsOfEpochDay(d.toLong))
+      case _: HoursSpec => v match {
         case t: java.sql.Timestamp =>
-          Some(Math.floorDiv(t.getTime, 86400000L).toInt)
+          Some(Math.floorDiv(t.getTime, 3600000L).toInt)
         case i: java.time.Instant =>
-          Some(Math.floorDiv(i.toEpochMilli, 86400000L).toInt)
+          Some(Math.floorDiv(i.toEpochMilli, 3600000L).toInt)
         case ldt: java.time.LocalDateTime =>
-          Some(ldt.toLocalDate.toEpochDay.toInt)
-        case d: java.sql.Date =>
-          Some(d.toLocalDate.toEpochDay.toInt)
-        case ld: java.time.LocalDate => Some(ld.toEpochDay.toInt)
+          Some(Math.floorDiv(
+            ldt.toEpochSecond(java.time.ZoneOffset.UTC), 3600L).toInt)
+        case _ => None
+      }
+      case TruncateSpec(w, _) => (keyType, v) match {
+        case (LongType, l: Long) => Some(truncLong(w, l))
+        case (LongType, i: Int) => Some(truncLong(w, i.toLong))
+        case (IntegerType, i: Int) => Some(truncLong(w, i.toLong).toInt)
+        case (StringType, s: String) =>
+          Some(UTF8String.fromString(truncString(w, s)))
+        case (StringType, u: UTF8String) =>
+          Some(UTF8String.fromString(truncString(w, u.toString)))
         case _ => None
       }
       case _: IdentitySpec => (keyType, v) match {
@@ -354,6 +548,20 @@ object LakePartitioning {
         case _ => None
       }
     }
+
+  /** A pushed-filter VALUE's UTC epoch day (session TZ pinned UTC) —
+    * shared by the days/months/years claim translations. */
+  private def epochDayOf(v: Any): Option[Int] = v match {
+    case t: java.sql.Timestamp =>
+      Some(Math.floorDiv(t.getTime, 86400000L).toInt)
+    case i: java.time.Instant =>
+      Some(Math.floorDiv(i.toEpochMilli, 86400000L).toInt)
+    case ldt: java.time.LocalDateTime =>
+      Some(ldt.toLocalDate.toEpochDay.toInt)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case ld: java.time.LocalDate => Some(ld.toEpochDay.toInt)
+    case _ => None
+  }
 
   /** Claim-space total order (within one level's claim type). */
   private def cmpClaim(a: Any, b: Any): Option[Int] = (a, b) match {
@@ -387,6 +595,24 @@ object LakePartitioning {
       case (_: DaysSpec, TimestampType | TimestampNTZType, m: Long) =>
         Some(Math.floorDiv(m, 86400000000L).toInt)
       case (_: DaysSpec, DateType, d: Int) => Some(d)
+      case (_: MonthsSpec, TimestampType | TimestampNTZType, m: Long) =>
+        Some(monthsOfEpochDay(Math.floorDiv(m, 86400000000L)))
+      case (_: MonthsSpec, DateType, d: Int) =>
+        Some(monthsOfEpochDay(d.toLong))
+      case (_: YearsSpec, TimestampType | TimestampNTZType, m: Long) =>
+        Some(yearsOfEpochDay(Math.floorDiv(m, 86400000000L)))
+      case (_: YearsSpec, DateType, d: Int) =>
+        Some(yearsOfEpochDay(d.toLong))
+      case (_: HoursSpec, TimestampType | TimestampNTZType, m: Long) =>
+        Some(Math.floorDiv(m, 3600000000L).toInt)
+      case (TruncateSpec(w, _), LongType, l: Long) if keyType == LongType =>
+        Some(truncLong(w, l))
+      case (TruncateSpec(w, _), IntegerType, i: Int)
+          if keyType == IntegerType =>
+        Some(truncLong(w, i.toLong).toInt)
+      case (TruncateSpec(w, _), StringType, u: UTF8String)
+          if keyType == StringType =>
+        Some(UTF8String.fromString(truncString(w, u.toString)))
       case (_: IdentitySpec, dt, v) if dt == keyType => v match {
         case _: Int | _: Long | _: Short | _: Byte | _: UTF8String =>
           Some(v)
@@ -402,12 +628,13 @@ object LakePartitioning {
     * Spark hands the scan builder BEFORE parquet pushdown, so pruning
     * applies even to types parquet refuses to push (TIMESTAMP_NTZ).
     * `=`/IN apply to every transform; RANGE filters apply to the
-    * MONOTONE transforms (identity, days): an identity claim IS the
-    * row value so bounds are exact, while a days claim widens each
-    * bound to its whole UTC day (a file on the boundary day is kept —
-    * the in-file filter still applies). Incomparable claims keep the
-    * file; null claims drop under any emitted predicate (all are
-    * null-rejecting). */
+    * MONOTONE transforms (identity, days/months/years/hours,
+    * truncate): an identity claim IS the row value so bounds are
+    * exact, while the floor transforms widen each bound to its whole
+    * unit — day/month/year/hour, or truncate's width bucket (a file
+    * on the boundary unit is kept — the in-file filter still
+    * applies). Incomparable claims keep the file; null claims drop
+    * under any emitted predicate (all are null-rejecting). */
   def claimPredicate(spec: Spec, keyType: DataType,
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[Option[Any] => Boolean] = {
@@ -419,13 +646,29 @@ object LakePartitioning {
     }
     def conv(l: ce.Literal): Option[Any] =
       claimForInternal(spec, keyType, l)
-    def nn(p: Any => Boolean): Option[Option[Any] => Boolean] =
-      Some(c => c.exists(p))
-    val monotone = spec match {
-      case _: IdentitySpec | _: DaysSpec => true
-      case _: BucketSpec => false
+    // A null claim usually drops under any predicate here (real NULL
+    // keys never match =/range) — EXCEPT string-keyed identity/
+    // truncate levels: `partitionBy` routes EMPTY-STRING keys into
+    // Hive's default-partition dir too, so a null claim may cover
+    // rows whose key is ''. Probing the predicate with '' keeps the
+    // file exactly when an empty-string row could match.
+    val nullClaimProbe: Option[Any] = spec match {
+      case _: IdentitySpec | _: TruncateSpec if keyType == StringType =>
+        Some(UTF8String.fromString(""))
+      case _ => None
     }
-    val widen = spec.isInstanceOf[DaysSpec]
+    def nn(p: Any => Boolean): Option[Option[Any] => Boolean] =
+      Some(c => c.orElse(nullClaimProbe).exists(p))
+    val monotone = spec match {
+      case _: BucketSpec => false
+      case _ => true // identity + every floor transform
+    }
+    // floor transforms (days/months/years/hours/truncate): a claim
+    // covers a whole unit, so range bounds widen to the unit edge
+    val widen = spec match {
+      case _: IdentitySpec | _: BucketSpec => false
+      case _ => true
+    }
     def gt(l: ce.Literal, orEqual: Boolean) = conv(l).flatMap(w =>
       nn(c => cmpClaim(c, w).forall(r =>
         if (widen || orEqual) r >= 0 else r > 0)))
@@ -538,6 +781,38 @@ object LakePartitioning {
           case other => throw new UnsupportedOperationException(
             s"days partition over ${other.catalogString}")
         }
+      case spec @ (_: MonthsSpec | _: YearsSpec) => row =>
+        if (row.isNullAt(ord)) NullPartitionName
+        else {
+          val epochDay = dt match {
+            case DateType => row.getInt(ord).toLong
+            case TimestampType | TimestampNTZType =>
+              Math.floorDiv(row.getLong(ord), 86400000000L)
+            case other => throw new UnsupportedOperationException(
+              s"${spec.serialized} over ${other.catalogString}")
+          }
+          (if (spec.isInstanceOf[MonthsSpec]) monthsOfEpochDay(epochDay)
+           else yearsOfEpochDay(epochDay)).toString
+        }
+      case HoursSpec(_) => row =>
+        if (row.isNullAt(ord)) NullPartitionName
+        else dt match {
+          case TimestampType | TimestampNTZType =>
+            Math.floorDiv(row.getLong(ord), 3600000000L).toString
+          case other => throw new UnsupportedOperationException(
+            s"hours partition over ${other.catalogString}")
+        }
+      case TruncateSpec(w, _) => row =>
+        if (row.isNullAt(ord)) NullPartitionName
+        else dt match {
+          case LongType => truncLong(w, row.getLong(ord)).toString
+          case IntegerType =>
+            truncLong(w, row.getInt(ord).toLong).toString
+          case StringType => escapePath(
+            truncString(w, row.getUTF8String(ord).toString))
+          case other => throw new UnsupportedOperationException(
+            s"truncate partition over ${other.catalogString}")
+        }
       case IdentitySpec(_) => row =>
         if (row.isNullAt(ord)) NullPartitionName
         else dt match {
@@ -639,7 +914,7 @@ final class LakeKeyGroupedScan(inner: Scan,
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      specs.map(_.transform: org.apache.spark.sql.connector.expressions.Expression).toArray,
+      specs.map(_.reportedTransform: org.apache.spark.sql.connector.expressions.Expression).toArray,
       distinctTuples.size)
 
   override def toBatch: Batch = {

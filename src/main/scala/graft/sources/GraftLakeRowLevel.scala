@@ -148,10 +148,16 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
         // with disjoint key ranges exactly like commit-path files.
         val partSpecs = LakePartitioning.specOf(spark, dir)
         val ordering = VersionedTable.clusteringV2Sort(spark, dir)
-        // days transforms excluded: unresolvable in a declared write
-        // distribution (see GraftLakeTable.newWriteBuilder)
-        val distributable = partSpecs.map(_.filterNot(
-          _.isInstanceOf[LakePartitioning.DaysSpec])).filter(_.nonEmpty)
+        // only identity/bucket are declarable in a write distribution:
+        // Spark's DistributionAndOrderingUtils cannot resolve the
+        // time/truncate transforms there (see GraftLakeTable
+        // .newWriteBuilder) — routing still lands per-value files,
+        // the distribution is a fanout-width optimization only
+        val distributable = partSpecs.map(_.filter {
+          case _: LakePartitioning.IdentitySpec |
+               _: LakePartitioning.BucketSpec => true
+          case _ => false
+        }).filter(_.nonEmpty)
         val dist = distributable match {
           case Some(specs) =>
             Some(org.apache.spark.sql.connector.distributions

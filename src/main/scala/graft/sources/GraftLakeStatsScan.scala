@@ -46,7 +46,9 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     tableSchema: StructType, snap: VersionedTable.Snapshot,
     partInfo: Option[(Seq[LakePartitioning.Spec],
       Map[String, Seq[Option[Any]]])] = None,
-    mapping: Option[LakeColumnMapping.Mapping] = None)
+    mapping: Option[LakeColumnMapping.Mapping] = None,
+    pruneGens: Seq[(Seq[LakePartitioning.Spec],
+      Map[String, Seq[Option[Any]]])] = Seq.empty)
     extends DelegatingFileScanBuilder(inner)
     with SupportsPushDownAggregates {
 
@@ -170,6 +172,46 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
       }
     }
 
+  /** PER-GENERATION static pruning on SPEC-EVOLVED tables (mixed
+    * generations — [[partPruned]] serves single-spec tables): every
+    * generation's files prune under the predicates of THEIR OWN spec,
+    * files outside every generation map (unpartitioned generations,
+    * unparseable claims) are always kept. Returns the kept file set
+    * only when at least one predicate fired somewhere, so a
+    * filter-less scan stays on the stock path. */
+  private def genStaticKeep: Option[Set[String]] =
+    if (pruneGens.isEmpty) None
+    else {
+      var fired = false
+      val keptSets = pruneGens.map { case (specs, keys) =>
+        val kts = LakePartitioning.keyTypes(specs, tableSchema)
+        val preds: Seq[Seq[Option[Any] => Boolean]] =
+          specs.zip(kts).map { case (spec, kt) =>
+            catalystFilters.flatMap(
+              LakePartitioning.claimPredicate(spec, kt, _))
+          }
+        if (preds.forall(_.isEmpty)) keys.keySet
+        else {
+          fired = true
+          keys.filter { case (_, claims) =>
+            claims.zip(preds).forall { case (claim, ps) =>
+              ps.forall(_(claim))
+            }
+          }.keySet
+        }
+      }
+      if (!fired) None
+      else {
+        val claimed = pruneGens.iterator.flatMap(_._2.keySet).toSet
+        val kept = keptSets.flatten.toSet
+        LakeReadScanBuilder.lastPartitionPrune.set(
+          (kept.size.toLong << 32) | claimed.size.toLong)
+        val all = snap.dataFiles
+          .map(p => new Path(p).toString).toSet
+        Some(kept ++ (all -- claimed))
+      }
+    }
+
   /** Key-grouped (SPJ) scanning is sound and USEFUL only when the
     * table declares partitioning, every data file claims its value
     * ([[GraftLakeTable.partKeys]] verified that), and the partition
@@ -200,8 +242,14 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
         // the statically-kept file set
         new LakeRuntimeFilterScan(logicalBuild(), snap,
           staticKeep = Some(keys.keySet))
-      case None =>
-        new LakeRuntimeFilterScan(logicalBuild(), snap)
+      case None => genStaticKeep match {
+        case Some(keep) =>
+          // spec-evolved table, mixed generations: per-generation
+          // static prune seeded into the ordinary scan
+          new LakeRuntimeFilterScan(logicalBuild(), snap,
+            staticKeep = Some(keep))
+        case None => new LakeRuntimeFilterScan(logicalBuild(), snap)
+      }
     }
   }
 }

@@ -192,30 +192,129 @@ class GraftLakeSpjSpec extends SparkSpec {
     }
   }
 
-  test("partition spec is immutable and validated") {
+  test("partition spec evolution is validated; UNSET and history writes refused") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.p (k BIGINT, s STRING) " +
       "PARTITIONED BY (bucket(8, k))")
     val props = spark.sql(s"SHOW TBLPROPERTIES $cat.p").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("graft.partitioning") == "bucket(8,k)")
-    intercept[UnsupportedOperationException] {
+    // evolution VALIDATES the new spec like CREATE does
+    intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES(" +
-        "'graft.partitioning'='bucket(4,k)')")
+        "'graft.partitioning'='bucket(4,nope)')") // no such column
     }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES(" +
+        "'graft.partitioning'='days(k)')") // days over BIGINT
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES(" +
+        "'graft.partitioning'='wat(k)')") // unparseable
+    }
+    // UNSET would orphan the generation history; the history property
+    // itself is engine-maintained
     intercept[UnsupportedOperationException] {
       spark.sql(s"ALTER TABLE $cat.p UNSET TBLPROPERTIES(" +
         "'graft.partitioning')")
     }
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES(" +
+        "'graft.partitioning.history'='0:bucket(2,k)')")
+    }
+    // a VALID evolution lands: new current spec + history entry
+    spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES(" +
+      "'graft.partitioning'='truncate(3, s)')")
+    val props2 = spark.sql(s"SHOW TBLPROPERTIES $cat.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2("graft.partitioning") == "truncate(3,s)")
+    assert(props2("graft.partitioning.history").matches("""\d+:bucket\(8,k\)"""),
+      s"history: ${props2.get("graft.partitioning.history")}")
+    // a no-op re-declaration appends nothing
+    spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES(" +
+      "'graft.partitioning'='truncate(3,s)')")
+    val props3 = spark.sql(s"SHOW TBLPROPERTIES $cat.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props3("graft.partitioning.history") ==
+      props2("graft.partitioning.history"))
     // unsupported transforms and types reject loudly at CREATE
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.bad1 (t TIMESTAMP_NTZ, v INT) " +
-        "PARTITIONED BY (years(t))")
+        "PARTITIONED BY (years(v))")
     }
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.bad2 (d DOUBLE, v INT) " +
         "PARTITIONED BY (d)")
     }
+  }
+
+  test("spec evolution: per-generation pruning, SPJ degrade and compact re-earn") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    // generation 0: identity(region)
+    spark.sql(s"CREATE TABLE $cat.ev (region STRING, k BIGINT, " +
+      "v BIGINT) PARTITIONED BY (region)")
+    val gen0 = Seq(("east", 1L, 10L), ("east", 2L, 20L),
+      ("west", 3L, 30L), ("west", 4L, 40L), ("north", 5L, 50L))
+    gen0.toDF("region", "k", "v").createOrReplaceTempView("glspj_ev0")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM glspj_ev0")
+    // evolve: bucket(8, k) — committed files keep their claims
+    spark.sql(s"ALTER TABLE $cat.ev SET TBLPROPERTIES(" +
+      "'graft.partitioning'='bucket(8, k)')")
+    val gen1 = Seq(("south", 6L, 60L), ("east", 7L, 70L),
+      ("west", 8L, 80L))
+    gen1.toDF("region", "k", "v").createOrReplaceTempView("glspj_ev1")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM glspj_ev1")
+    // full scan serves BOTH generations
+    assert(spark.sql(s"SELECT sum(v), count(*) FROM $cat.ev")
+      .collect()(0).toSeq == Seq(360L, 8L))
+    // gen-0 pruning still fires: region = 'east' drops gen-0 files of
+    // other regions (gen-1 files keep — bucket(8,k) says nothing
+    // about region)
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.ev WHERE region = 'east'")
+      .collect()(0).getLong(0) == 100L)
+    val p0 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p0 >= 0 && (p0 >> 32).toInt < (p0 & 0xffffffffL).toInt,
+      s"gen-0 identity prune should fire, got $p0")
+    // gen-1 pruning fires on the NEW key: k = 7 keeps one gen-1
+    // bucket (all gen-0 files kept — their spec says nothing about k)
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(s"SELECT v FROM $cat.ev WHERE k = 7")
+      .collect().map(_.getLong(0)).toSeq == Seq(70L))
+    val p1 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p1 >= 0 && (p1 >> 32).toInt < (p1 & 0xffffffffL).toInt,
+      s"gen-1 bucket prune should fire, got $p1")
+    // mixed generations DEGRADE SPJ: a self-join shuffles
+    spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (1L to 8L).map(k => (k, k * 100)).toDF("k", "w")
+      .createOrReplaceTempView("glspj_dim")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM glspj_dim")
+    withSpj {
+      val j = spark.sql(s"SELECT e.k, e.v, d.w FROM $cat.ev e " +
+        s"JOIN $cat.dim d ON e.k = d.k")
+      assert(exchanges(j) > 0,
+        "mixed-generation table must NOT claim key-grouped layout")
+      assert(j.collect().length == 8)
+    }
+    // compact migrates every file to the current spec → SPJ re-earned
+    VersionedTable.compact(spark, s"$root/ev", 4)
+    val claims = filesOf(root, "ev")
+      .flatMap(LakePartitioning.rawValueOfPath(_))
+    assert(claims.nonEmpty && claims.forall(_.forall(_.isDigit)),
+      s"post-compact claims should be bucket ints: $claims")
+    withSpj {
+      val j2 = spark.sql(s"SELECT e.k, e.v, d.w FROM $cat.ev e " +
+        s"JOIN $cat.dim d ON e.k = d.k")
+      assert(exchanges(j2) == 0,
+        "compaction must re-earn the zero-exchange SPJ")
+      assert(j2.collect().length == 8)
+    }
+    // content identical through the whole lifecycle
+    assert(spark.sql(s"SELECT sum(v), count(*) FROM $cat.ev")
+      .collect()(0).toSeq == Seq(360L, 8L))
   }
 
   test("bucket catalog function agrees with write-side routing, null-safe") {
@@ -738,6 +837,39 @@ class GraftLakeSpjSpec extends SparkSpec {
       "static pruning should have dropped sibling partitions")
   }
 
+  test("empty-string partition keys: Hive-default claim never loses rows to pruning") {
+    // partitionBy routes '' into __HIVE_DEFAULT_PARTITION__ — the same
+    // dir as real NULLs — so a null claim may cover empty-string rows;
+    // pruning must keep that file whenever '' could match the filter
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.es (k STRING, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    Seq(("", 1L), ("alpha", 2L), ("beta", 3L)).toDF("k", "v")
+      .createOrReplaceTempView("glspj_es")
+    spark.sql(s"INSERT INTO $cat.es SELECT * FROM glspj_es")
+    // point lookup on '' finds its row
+    assert(spark.sql(s"SELECT v FROM $cat.es WHERE k = ''")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a range including '' keeps it; one excluding it still prunes
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.es WHERE k < 'b'")
+      .collect()(0).getLong(0) == 3L)
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.es WHERE k >= 'b'")
+      .collect()(0).getLong(0) == 3L)
+    val p = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p >= 0 && (p >> 32).toInt < (p & 0xffffffffL).toInt,
+      "k >= 'b' should prune the ''/alpha files")
+    // truncate-partitioned: same contract
+    spark.sql(s"CREATE TABLE $cat.est (k STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(2, k))")
+    Seq(("", 10L), ("aa", 20L)).toDF("k", "v")
+      .createOrReplaceTempView("glspj_est")
+    spark.sql(s"INSERT INTO $cat.est SELECT * FROM glspj_est")
+    assert(spark.sql(s"SELECT v FROM $cat.est WHERE k = ''")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
+
   test("escapePath percent-encodes UTF-8 bytes; unescapePath reassembles exactly") {
     val cases = Seq("a b", "100%", "héllo", "€5", "x=y/z",
       "你好", "emoji 😀 tail", "plain-_.9")
@@ -757,6 +889,133 @@ class GraftLakeSpjSpec extends SparkSpec {
     // multi-byte codepoints emit one %XX PER BYTE (e.g. € = 3 bytes),
     // never a 3-4 hex-digit run a two-digit decoder would mangle
     assert(LakePartitioning.escapePath("€") == "%E2%82%AC")
+  }
+
+  test("truncate(w, s) partitioning: prefix claims, =/range pruning, SPJ") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    // the standard text-corpus layout: shared-prefix keys co-locate
+    spark.sql(s"CREATE TABLE $cat.doc (norm STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(2, norm))")
+    val words = Seq("alpha", "alloy", "bravo", "brine", "ceres",
+      "cedar", "delta", "dingo")
+    words.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+      .toDF("norm", "v").createOrReplaceTempView("glspj_doc")
+    spark.sql(s"INSERT INTO $cat.doc SELECT * FROM glspj_doc")
+    // claims are the 2-codepoint prefixes
+    val claims = filesOf(root, "doc").filterNot(_.contains("files-v0-"))
+      .flatMap(LakePartitioning.rawValueOfPath(_)).toSet
+    assert(claims == Set("al", "br", "ce", "de", "di"),
+      s"got claims $claims")
+    // point lookup prunes to ONE prefix partition
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(s"SELECT v FROM $cat.doc WHERE norm = 'bravo'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val p1 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p1 >= 0 && (p1 >> 32).toInt == 1,
+      s"point lookup should keep exactly the 'br' file, got $p1")
+    // RANGE prune: truncate is monotone, bounds widen to the prefix
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.doc WHERE norm >= 'ce'")
+      .collect()(0).getLong(0) == 4L)
+    val p2 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p2 >= 0 && (p2 >> 32).toInt < (p2 & 0xffffffffL).toInt,
+      s"range prune should drop the al/br files, got $p2")
+    // SPJ: a second corpus truncate-partitioned the same way joins
+    // on the raw key with ZERO exchanges (prefix groups align)
+    spark.sql(s"CREATE TABLE $cat.doc2 (norm STRING, w BIGINT) " +
+      "PARTITIONED BY (truncate(2, norm))")
+    words.map(w => (w, w.length.toLong)).toDF("norm", "w")
+      .createOrReplaceTempView("glspj_doc2")
+    spark.sql(s"INSERT INTO $cat.doc2 SELECT * FROM glspj_doc2")
+    withSpj {
+      val j = spark.sql(s"SELECT a.norm, a.v, b.w FROM $cat.doc a " +
+        s"JOIN $cat.doc2 b ON a.norm = b.norm")
+      assert(exchanges(j) == 0, "truncate SPJ should plan no exchange")
+      assert(j.collect().length == words.length)
+    }
+    // integral truncation floors to multiples of w
+    spark.sql(s"CREATE TABLE $cat.ik (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (truncate(100, k))")
+    Seq(-150L, -1L, 0L, 99L, 100L, 250L).map(k => (k, k * 2))
+      .toDF("k", "v").createOrReplaceTempView("glspj_ik")
+    spark.sql(s"INSERT INTO $cat.ik SELECT * FROM glspj_ik")
+    val ikClaims = filesOf(root, "ik").filterNot(_.contains("files-v0-"))
+      .flatMap(LakePartitioning.rawValueOfPath(_)).map(_.toLong).toSet
+    assert(ikClaims == Set(-200L, -100L, 0L, 100L, 200L),
+      s"integral truncate claims wrong: $ikClaims")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ik WHERE k >= 100")
+      .collect()(0).getLong(0) == 700L)
+    val p3 = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p3 >= 0 && (p3 >> 32).toInt < (p3 & 0xffffffffL).toInt)
+  }
+
+  test("months/years/hours partitioning: epoch-unit claims, range pruning") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.ord (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    // 2023-11 .. 2024-02: epoch-months 646..649
+    val rows = for (m <- Seq("2023-11", "2023-12", "2024-01", "2024-02");
+                    d <- Seq("03", "17"))
+      yield (s"$m-${d}T12:00:00", 1L)
+    rows.toDF("s", "v")
+      .select(to_timestamp_ntz(col("s")).as("ts"), col("v"))
+      .createOrReplaceTempView("glspj_ord")
+    spark.sql(s"INSERT INTO $cat.ord SELECT * FROM glspj_ord")
+    val mClaims = filesOf(root, "ord").filterNot(_.contains("files-v0-"))
+      .flatMap(LakePartitioning.rawValueOfPath(_)).map(_.toInt).toSet
+    assert(mClaims == Set(646, 647, 648, 649), s"month claims $mClaims")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $cat.ord
+         |WHERE ts >= TIMESTAMP_NTZ'2024-01-01 00:00:00'""".stripMargin)
+      .collect()(0).getLong(0) == 4L)
+    val p = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(p >= 0 && (p >> 32).toInt == 2 && (p & 0xffffffffL).toInt == 4,
+      s"month range prune should keep 2/4, got $p")
+    // years over DATE
+    spark.sql(s"CREATE TABLE $cat.yr (d DATE, v BIGINT) " +
+      "PARTITIONED BY (years(d))")
+    Seq("1995-06-01", "1996-01-01", "1997-12-31").zipWithIndex
+      .map { case (d, i) => (java.sql.Date.valueOf(d), i.toLong) }
+      .toDF("d", "v").createOrReplaceTempView("glspj_yr")
+    spark.sql(s"INSERT INTO $cat.yr SELECT * FROM glspj_yr")
+    val yClaims = filesOf(root, "yr").filterNot(_.contains("files-v0-"))
+      .flatMap(LakePartitioning.rawValueOfPath(_)).map(_.toInt).toSet
+    assert(yClaims == Set(25, 26, 27), s"year claims $yClaims")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.yr WHERE d >= DATE'1997-01-01'")
+      .collect()(0).getLong(0) == 2L)
+    val py = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(py >= 0 && (py >> 32).toInt == 1, s"year prune got $py")
+    // hours over TIMESTAMP_NTZ
+    spark.sql(s"CREATE TABLE $cat.hr (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (hours(ts))")
+    Seq("2024-03-05T00:10:00", "2024-03-05T00:50:00",
+      "2024-03-05T01:10:00", "2024-03-05T02:10:00")
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toDF("s", "v")
+      .select(to_timestamp_ntz(col("s")).as("ts"), col("v"))
+      .createOrReplaceTempView("glspj_hr")
+    spark.sql(s"INSERT INTO $cat.hr SELECT * FROM glspj_hr")
+    val hClaims = filesOf(root, "hr").filterNot(_.contains("files-v0-"))
+      .flatMap(LakePartitioning.rawValueOfPath(_)).map(_.toLong).toSet
+    // 2024-03-05 = epoch day 19787 → 00:00 UTC = epoch-hour 474888
+    assert(hClaims == Set(474888L, 474889L, 474890L),
+      s"hour claims $hClaims")
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $cat.hr
+         |WHERE ts < TIMESTAMP_NTZ'2024-03-05 01:00:00'""".stripMargin)
+      .collect()(0).getLong(0) == 2L)
+    // boundary widening keeps the 01:00 hour too (conservative; the
+    // in-file filter still answers exactly) — 2 of 3 files
+    val ph = LakeReadScanBuilder.lastPartitionPrune.get()
+    assert(ph >= 0 && (ph >> 32).toInt == 2, s"hour prune got $ph")
   }
 
   test("streaming fanout router and batch claims agree on exotic identity values") {
