@@ -2902,6 +2902,118 @@ object Relational {
       |  TRUE AS layout_exploited
       |FROM agg a CROSS JOIN pt ORDER BY a.l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** PARTITION-SPEC EVOLUTION lifecycle (Iceberg's per-file spec
+    * binding, [[graft.sources.LakePartitioning.HistoryProp]]): the
+    * customer table starts `PARTITIONED BY (c_nationkey)` (identity),
+    * half the rows commit, then `ALTER TABLE ... SET TBLPROPERTIES`
+    * re-declares `bucket(8, c_custkey)` — ONE property write, zero
+    * data moves — and the other half commits under the new layout.
+    * Gates, all hash-verified through the oracle output: (1) a
+    * nation lookup still prunes the GEN-0 files by their identity
+    * claims; (2) a customer point lookup prunes the GEN-1 files by
+    * their bucket claims (each generation prunes under ITS OWN spec;
+    * the other generation's files are conservatively kept); (3) after
+    * `compact` migrates every file to the current spec, `GROUP BY
+    * c_custkey` runs with ZERO exchanges — the re-earned key-grouped
+    * layout. At 100 TB this is the difference between fixing a
+    * mis-chosen initial layout with a metadata commit + incremental
+    * compaction vs rewriting the table before anything improves. */
+  val q204LakeSpecEvolution: Q = (spark, dir) => {
+    import graft.sources.{LakeReadScanBuilder, VersionedTable}
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakesev_$nonce"
+    val root = s"/tmp/graft_q204_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_custkey"), col("c_acctbal"))
+      .createOrReplaceTempView(s"q204_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.c (c_nationkey BIGINT, " +
+      "c_custkey BIGINT, c_acctbal DOUBLE) " +
+      "PARTITIONED BY (c_nationkey)")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM q204_src_$nonce " +
+      "WHERE c_custkey % 2 = 0")
+    // the evolution: one property write, committed files untouched
+    spark.sql(s"ALTER TABLE $cat.c SET TBLPROPERTIES(" +
+      "'graft.partitioning'='bucket(8, c_custkey)')")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM q204_src_$nonce " +
+      "WHERE c_custkey % 2 = 1")
+    // (1) gen-0 pruning: nation lookup drops other nations' gen-0 files
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val nat = spark.sql(s"SELECT count(*) AS n, " +
+      s"round(sum(c_acctbal), 2) AS bal FROM $cat.c " +
+      "WHERE c_nationkey = 5").collect()(0)
+    val p0 = LakeReadScanBuilder.lastPartitionPrune.get()
+    val gen0Pruned = p0 >= 0 &&
+      (p0 >> 32).toInt < (p0 & 0xffffffffL).toInt
+    // (2) gen-1 pruning: customer point lookup drops other buckets
+    LakeReadScanBuilder.lastPartitionPrune.set(-1L)
+    val pt = spark.sql(s"SELECT round(sum(c_acctbal), 2) AS b " +
+      s"FROM $cat.c WHERE c_custkey = 421").collect()(0)
+    val p1 = LakeReadScanBuilder.lastPartitionPrune.get()
+    val gen1Pruned = p1 >= 0 &&
+      (p1 >> 32).toInt < (p1 & 0xffffffffL).toInt
+    // (3) compact migrates to the current spec; the per-customer
+    // rollup then satisfies its distribution straight from the scan
+    VersionedTable.compact(spark, s"$root/c", 8)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+    val prior = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val (nCust, aggFree) =
+      try {
+        val agg = spark.sql(s"SELECT c_custkey, count(*) AS n " +
+          s"FROM $cat.c GROUP BY c_custkey")
+        val n = agg.collect().length.toLong
+        val free = !agg.queryExecution.executedPlan.toString
+          .toLowerCase.contains("exchange")
+        (n, free)
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    // final state: per-nation rollup over BOTH generations' rows
+    val rows = spark.sql(
+      s"""SELECT c_nationkey, count(*) AS n,
+         |  round(sum(c_acctbal), 2) AS bal FROM $cat.c
+         |GROUP BY c_nationkey""".stripMargin).collect()
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        nat.getLong(0), nat.getDouble(1), pt.getDouble(0), nCust,
+        gen0Pruned && gen1Pruned && aggFree))
+      .toDF("c_nationkey", "n", "bal", "nat5_n", "nat5_bal",
+        "cust421_bal", "n_cust", "evolution_exploited")
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q204Oracle: String =
+    """WITH nat AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS nat5_n,
+      |    round(sum(c_acctbal), 2) AS nat5_bal
+      |  FROM customer WHERE c_nationkey = 5
+      |), pt AS (
+      |  SELECT round(sum(c_acctbal), 2) AS cust421_bal
+      |  FROM customer WHERE c_custkey = 421
+      |), nc AS (
+      |  SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust
+      |  FROM customer
+      |)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(c_acctbal), 2) AS bal,
+      |  nat.nat5_n, nat.nat5_bal, pt.cust421_bal, nc.n_cust,
+      |  TRUE AS evolution_exploited
+      |FROM customer CROSS JOIN nat CROSS JOIN pt CROSS JOIN nc
+      |GROUP BY c_nationkey, nat.nat5_n, nat.nat5_bal, pt.cust421_bal,
+      |  nc.n_cust
+      |ORDER BY c_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Zero-copy CLONE lifecycle: orders commits to table A, A
     * shallow-clones to B (a manifest referencing A's files — no data
@@ -3711,6 +3823,7 @@ object Relational {
     "q197_lake_spj" -> q197LakeSpj,
     "q198_lake_rename_drop" -> q198LakeRenameDrop,
     "q199_lake_partition_layout" -> q199LakePartitionLayout,
+    "q204_lake_spec_evolution" -> q204LakeSpecEvolution,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3794,5 +3907,6 @@ object Relational {
     "q197_lake_spj" -> q197Oracle,
     "q198_lake_rename_drop" -> q198Oracle,
     "q199_lake_partition_layout" -> q199Oracle,
+    "q204_lake_spec_evolution" -> q204Oracle,
   )
 }
