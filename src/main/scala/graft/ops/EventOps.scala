@@ -1480,6 +1480,111 @@ object EventOps {
       |  AND make_timestamp(epoch_ns(ts)//1000) < TIMESTAMP '2024-01-20'
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** WRITE-ONLY CDC UPSERT via EQUALITY DELETES
+    * ([[graft.sources.VersionedTable.upsertByKeysMergeOnRead]] —
+    * Iceberg's equality-delete files): the same latest-event-per-user
+    * task as q178, but where q178's MERGE must READ the matching
+    * target files to rewrite them (even with runtime group filtering
+    * bounding WHICH files), every micro-batch here lands ONE atomic
+    * commit of (batch keys as an equality-delete file + batch rows as
+    * data files) and never opens a target file — O(batch) IO per
+    * trigger at any table size. Sequence scoping (a delete applies
+    * only to files born BEFORE it) is what keeps the batch's own rows
+    * alive and lets a later corrections batch supersede in-place. The
+    * keyed feed arrives range-partitioned by user (the Flink-CDC
+    * per-key-ordered shape), a corrections batch then overrides three
+    * users write-only, and `compact` folds all masks back into data
+    * files (gate: zero delete files after). Final state hash-gates
+    * against DuckDB. */
+  val q205EqDeleteUpsert: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    import org.apache.spark.sql.streaming.Trigger
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val base = s"/tmp/graft_q205_$nonce"
+    val state = s"$base/state"
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .repartitionByRange(4, col("user_id"))
+      .write.parquet(s"$base/ingest")
+    // seed the table (empty, schema-bearing) so every upsert appends
+    VersionedTable.commit(spark,
+      spark.read.parquet(s"$base/ingest").limit(0)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value")), state)
+    val schema = spark.read.parquet(s"$base/ingest").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/ingest")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-key latest within the batch (each user's whole history
+        // arrives in one batch — the feed is key-partitioned), then
+        // ONE write-only commit: keys-as-equality-delete + rows
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val latest = batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("value"))
+        if (!latest.isEmpty)
+          VersionedTable.upsertByKeysMergeOnRead(
+            batch.sparkSession, state, latest, Seq("user_id"))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // masks outstanding, every one an equality delete, and the ingest
+    // data files untouched since their birth commits
+    val vIngest = VersionedTable.latestVersion(spark, state).get
+    val sIngest = VersionedTable.snapshotOf(spark, state, vIngest)
+    val masksAreEq = sIngest.deleteFiles.nonEmpty &&
+      sIngest.deleteFiles.forall(VersionedTable.isEqualityDelete)
+    // corrections feed: three users superseded write-only
+    val corrections = Seq(
+      (0L, 4102444800000000L, 0L, 11.5),
+      (1L, 4102444800000000L, 0L, 12.5),
+      (2L, 4102444800000000L, 0L, 13.5))
+    import spark.implicits._
+    VersionedTable.upsertByKeysMergeOnRead(spark, state,
+      corrections.toDF("user_id", "ts_us", "event_id", "value"),
+      Seq("user_id"))
+    // compact folds every mask into data files
+    val vc = VersionedTable.compact(spark, state, 4)
+    val folded = VersionedTable
+      .snapshotOf(spark, state, vc).deleteFiles.isEmpty
+    VersionedTable.read(spark, state)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value"),
+        lit(masksAreEq && folded).as("write_only_upsert"))
+      .orderBy(col("user_id"))
+  }
+
+  val q205Oracle: String =
+    """WITH latest AS (
+      |  SELECT user_id, ts_us, event_id, value FROM (
+      |    SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1
+      |), corrected AS (
+      |  SELECT * FROM latest WHERE user_id > 2
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (0, 4102444800000000, 0, 11.5),
+      |    (1, 4102444800000000, 0, 12.5),
+      |    (2, 4102444800000000, 0, 13.5))
+      |    AS c(user_id, ts_us, event_id, value)
+      |)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(ts_us AS BIGINT) AS ts_us,
+      |  CAST(event_id AS BIGINT) AS event_id, value,
+      |  TRUE AS write_only_upsert
+      |FROM corrected ORDER BY user_id""".stripMargin
+
   // --------------------------------------------------------------- q203
   /** MONTHS-PARTITIONED ORDER TABLE — `PARTITIONED BY (months(od))`
     * ([[graft.sources.LakePartitioning.MonthsSpec]]), Iceberg's
@@ -1570,6 +1675,7 @@ object EventOps {
     "q178_cdc_lake_upsert" -> q178CdcUpsert,
     "q201_lake_time_partition" -> q201LakeTimePartition,
     "q203_lake_months_partition" -> q203LakeMonthsPartition,
+    "q205_eq_delete_upsert" -> q205EqDeleteUpsert,
     "q182_lake_stream_read" -> q182LakeStreamRead,
     "q154_attribution" -> q154Attribution,
   )
@@ -1611,6 +1717,7 @@ object EventOps {
     "q178_cdc_lake_upsert" -> q178Oracle,
     "q201_lake_time_partition" -> q201Oracle,
     "q203_lake_months_partition" -> q203Oracle,
+    "q205_eq_delete_upsert" -> q205Oracle,
     "q182_lake_stream_read" -> q182Oracle,
     "q154_attribution" -> q154Oracle,
   )

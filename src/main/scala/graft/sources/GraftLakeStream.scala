@@ -268,12 +268,23 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
 
   /** (file → sorted positions) recorded by `deleteFiles` — a
     * deleted-rows-sized driver collect, only performed for versions
-    * that actually changed masks. */
-  private def masksOf(deleteFiles: Seq[String]): Map[String, Array[Long]] =
+    * that actually changed masks. EQUALITY deletes (key-schema files,
+    * [[VersionedTable.isEqualityDelete]]) have no positional reading
+    * and no per-version row identity the stream could replay — refuse
+    * loudly rather than misread their key columns as positions;
+    * compaction folds them into data files and re-opens the stream
+    * path. */
+  private def masksOf(deleteFiles: Seq[String]): Map[String, Array[Long]] = {
+    deleteFiles.find(VersionedTable.isEqualityDelete).foreach(f =>
+      throw new UnsupportedOperationException(
+        s"streaming read of $dir: snapshot carries equality-delete " +
+          s"file $f — equality masks cannot replay as a stream; " +
+          "compact the table first"))
     if (deleteFiles.isEmpty) Map.empty
     else spark.read.parquet(deleteFiles: _*).collect()
       .groupBy(r => norm(r.getString(0)))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
+  }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {

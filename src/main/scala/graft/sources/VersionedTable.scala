@@ -752,23 +752,30 @@ object VersionedTable {
     val snap = snapshotOf(spark, dir, v)
     val data = spark.read.option("mergeSchema", "true")
       .parquet(snap.dataFiles: _*)
+    val (eqDels, posDels) = snap.deleteFiles.partition(isEqualityDelete)
     val masked = if (snap.deleteFiles.isEmpty) data
     else {
-      // merge-on-read: mask (file, position) pairs recorded by the
-      // snapshot's DELETE files. The anti join keys on the scan's own
-      // metadata columns; the delete side is deleted-rows-sized (tiny
-      // next to data) so Catalyst broadcasts it and the mask applies
-      // MAP-side — no data shuffle, the DV-apply shape.
+      // merge-on-read: positional masks anti-join on (file, position)
+      // pairs, equality masks on key tuples scoped by birth version.
+      // `_metadata` resolves only on the raw scan relation, so both
+      // columns materialize FIRST, before any join. The delete sides
+      // are mask-sized (tiny next to data), so Catalyst broadcasts
+      // them and the masks apply MAP-side — no data shuffle, the
+      // DV-apply shape.
       import org.apache.spark.sql.functions.col
-      val dels = spark.read.parquet(snap.deleteFiles: _*)
-        .select(col("file_path").as("__graft_df"),
-          col("row_index").as("__graft_dp"))
-        .distinct()
-      data
+      val tagged = data
         .withColumn("__graft_f", col("_metadata.file_path"))
         .withColumn("__graft_p", col("_metadata.row_index"))
-        .join(dels, col("__graft_f") === col("__graft_df") &&
+      val posMasked = if (posDels.isEmpty) tagged
+      else {
+        val dels = spark.read.parquet(posDels: _*)
+          .select(col("file_path").as("__graft_df"),
+            col("row_index").as("__graft_dp"))
+          .distinct()
+        tagged.join(dels, col("__graft_f") === col("__graft_df") &&
           col("__graft_p") === col("__graft_dp"), "left_anti")
+      }
+      applyEqDeletes(spark, posMasked, eqDels, col("__graft_f"))
         .drop("__graft_f", "__graft_p")
     }
     // column-mapped snapshot: present the logical schema (physical
@@ -778,6 +785,155 @@ object VersionedTable {
       .filterNot(_.isIdentity)
       .map(LakeColumnMapping.toLogical(masked, _))
       .getOrElse(masked)
+  }
+
+  /** EQUALITY-DELETE file marker: equality deletes land under
+    * `files-v<N>-eq<nonce>/` — the `eq` infix can never collide with
+    * the positional/data nonce (a UUID prefix, hex-only: 'q' is not a
+    * hex digit), so the manifest needs no format change to carry both
+    * delete kinds. */
+  def isEqualityDelete(p: String): Boolean =
+    EqDeleteRe.findFirstIn(p).isDefined
+
+  private val EqDeleteRe = """/files-v\d+-eq[0-9a-f]+/""".r
+
+  /** Apply EQUALITY-DELETE files to a raw data scan: each delete file
+    * holds the KEY TUPLES to drop (its parquet schema IS the key set,
+    * Iceberg's equality_ids made self-describing), null-safe (`<=>`,
+    * Iceberg's equality-delete null semantics), and SCOPED BY SEQUENCE:
+    * a delete committed at version D applies only to data files BORN
+    * BEFORE D (`files-v<fileV>` with fileV < D) — the rule that lets an
+    * upsert batch commit its delete keys and its replacement rows
+    * atomically without the keys eating the fresh rows. The delete
+    * side is keys-sized, so every anti join broadcasts and applies
+    * map-side. `data` must still expose `_metadata` (raw parquet scan,
+    * before any projection). */
+  private[sources] def applyEqDeletes(spark: SparkSession,
+      data: DataFrame, eqFiles: Seq[String],
+      filePathCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit, regexp_extract}
+    if (eqFiles.isEmpty) return data
+    eqFiles.foldLeft(data) { (df, ef) =>
+      val delV = LakePartitioning.fileVersionOfPath(ef).getOrElse(
+        throw new IllegalStateException(
+          s"equality-delete file $ef carries no version in its path"))
+      val keys = spark.read.parquet(ef).distinct()
+      val cond = keys.columns.map(k =>
+        df(k) <=> keys(k)).reduce(_ && _) &&
+        regexp_extract(filePathCol,
+          "/files-v(\\d+)-", 1).cast("int") < lit(delV)
+      df.join(broadcast(keys), cond, "left_anti")
+    }
+  }
+
+  /** MERGE-ON-READ EQUALITY DELETE (Iceberg's equality-delete files):
+    * record the KEYS to delete — an O(keys) WRITE with zero target
+    * reads, where even [[deleteWhereMergeOnRead]] must scan matching
+    * files to locate row positions. The write path of streaming CDC
+    * upsert at 100 TB: the batch lands its keys + rows and never opens
+    * a target file. Keys apply null-safely to every data file born
+    * BEFORE this commit; [[compact]] folds the masks back into data
+    * files. `keys` columns must name table columns of integral,
+    * string, date or timestamp type (floats refuse: NaN/-0.0 equality
+    * is not a sane delete predicate). */
+  def deleteByKeysMergeOnRead(spark: SparkSession, dir: String,
+      keys: DataFrame): Int = {
+    val v = headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val snap = snapshotOf(spark, dir, v)
+    LakeColumnMapping.fromMeta(snap.meta).filterNot(_.isIdentity)
+      .foreach(_ => throw new UnsupportedOperationException(
+        s"equality delete on a column-mapped table at $dir is not " +
+          "supported — run compact first"))
+    val newV = nextVersion(spark, dir)
+    val written = writeEqDeleteFile(spark, dir, newV, keys)
+    publish(fs(spark, dir), dir, newV, snap.dataFiles,
+      snap.deleteFiles ++ written.map(_._1),
+      snap.stats ++ written.toMap.map { case (p, s) => p -> s },
+      snap.meta, op = "delete")
+  }
+
+  /** MERGE-ON-READ UPSERT BY KEY (the CDC shape equality deletes
+    * exist for): ONE atomic commit that records the batch's key
+    * tuples as an equality delete (killing every older version of
+    * those keys in-place, no target file opened) and lands the
+    * batch's rows as ordinary data files (born AT this commit, so the
+    * delete — which scopes to files born BEFORE it — never eats
+    * them). O(batch) total IO; re-running the read at any version
+    * time-travels exactly. */
+  def upsertByKeysMergeOnRead(spark: SparkSession, dir: String,
+      batch: DataFrame, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val v = headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val snap = snapshotOf(spark, dir, v)
+    LakeColumnMapping.fromMeta(snap.meta).filterNot(_.isIdentity)
+      .foreach(_ => throw new UnsupportedOperationException(
+        s"equality-delete upsert on a column-mapped table at $dir is " +
+          "not supported — run compact first"))
+    val newV = nextVersion(spark, dir)
+    val cols = keyCols.map(k => batch.columns.find(_.equalsIgnoreCase(k))
+      .getOrElse(throw new IllegalArgumentException(
+        s"upsert key '$k' is not in the batch schema " +
+          batch.columns.mkString("(", ",", ")"))))
+    val eqWritten = writeEqDeleteFile(spark, dir, newV,
+      batch.select(cols.map(org.apache.spark.sql.functions.col): _*))
+    val dataFiles = writeDataFiles(spark, batch, dir, newV,
+      LakePartitioning.specOf(spark, dir))
+    publish(fs(spark, dir), dir, newV,
+      snap.dataFiles ++ dataFiles,
+      snap.deleteFiles ++ eqWritten.map(_._1),
+      snap.stats ++ statsFor(spark, dataFiles, Map.empty) ++
+        eqWritten.toMap.map { case (p, s) => p -> s },
+      snap.meta, op = "upsert")
+  }
+
+  /** Validate + land one equality-delete file for version `v`; empty
+    * key sets land nothing (the publish stays mask-free). Validation
+    * samples the NEWEST data file's footer (one metadata read — the
+    * write path must stay O(batch), never O(table)); commits always
+    * land the full current schema, so the newest file carries every
+    * column an equality key may name. */
+  private def writeEqDeleteFile(spark: SparkSession, dir: String,
+      v: Int, keys: DataFrame): Seq[(String, LakeFileStats.FileStats)] = {
+    val snap = snapshotOf(spark, dir, headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir")))
+    val table =
+      if (snap.dataFiles.isEmpty) keys.schema
+      else spark.read.parquet(snap.dataFiles.maxBy(p =>
+        LakePartitioning.fileVersionOfPath(p).getOrElse(-1))).schema
+    keys.schema.fields.foreach { f =>
+      val tf = table.fields.find(_.name.equalsIgnoreCase(f.name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"equality-delete key '${f.name}' is not a table column " +
+            table.fieldNames.mkString("(", ",", ")")))
+      require(tf.dataType == f.dataType,
+        s"equality-delete key '${f.name}' is ${f.dataType.catalogString}" +
+          s" but the table column is ${tf.dataType.catalogString}")
+      val ok = f.dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"equality-delete key '${f.name}' has unsupported " +
+        s"type ${f.dataType.catalogString} (integral/string/date/" +
+        "timestamp keys only)")
+    }
+    val nonce = java.util.UUID.randomUUID().toString
+      .replaceAll("[^0-9a-f]", "").take(8)
+    val eqDir = s"$dir/files-v$v-eq$nonce"
+    keys.distinct().repartition(1).write.parquet(eqDir)
+    val written = listDataFiles(spark, dir, eqDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stats = written.map(p => p -> LakeFileStats.read(p, conf))
+    if (stats.forall(_._2.rowCount == 0L)) Seq.empty else stats
   }
 
   /** MERGE-ON-READ DELETE (Iceberg v2 positional deletes / Delta
@@ -815,14 +971,17 @@ object VersionedTable {
     // RESERVED names internally — a user column named file_path /
     // row_index must keep feeding `cond`, not be shadowed by metadata
     // (the delete-file OUTPUT schema still uses the public names).
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(snap.dataFiles: _*)
-      .withColumn("__graft_fp", col("_metadata.file_path"))
-      .withColumn("__graft_ri", col("_metadata.row_index"))
+    val (eqDels, posDels) = snap.deleteFiles.partition(isEqualityDelete)
+    val data = applyEqDeletes(spark,
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.dataFiles: _*)
+        .withColumn("__graft_fp", col("_metadata.file_path"))
+        .withColumn("__graft_ri", col("_metadata.row_index")),
+      eqDels, col("__graft_fp"))
     val live =
-      if (snap.deleteFiles.isEmpty) data
+      if (posDels.isEmpty) data
       else data.join(
-        spark.read.parquet(snap.deleteFiles: _*)
+        spark.read.parquet(posDels: _*)
           .select(col("file_path").as("__graft_df"),
             col("row_index").as("__graft_dp")).distinct(),
         col("__graft_fp") === col("__graft_df") &&
