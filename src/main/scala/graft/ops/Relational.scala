@@ -3235,6 +3235,80 @@ object Relational {
       |  AND o_orderpriority <> '1-URGENT'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** CHANGE-FEED UPDATE PRE/POST IMAGES (Delta CDF's
+    * `update_preimage`/`update_postimage`): with a declared CDC key
+    * (`graft.cdc.key` table property), a version whose delta both
+    * removes and adds rows re-tags the keys present on BOTH sides as
+    * an update pair — the delete leg is the preimage, the insert leg
+    * the postimage — so a downstream incremental aggregate
+    * SUBTRACTS-THEN-ADDS instead of reprocessing the partition.
+    * Orders lands identity-partitioned by priority, an UPDATE bumps
+    * the URGENT tier (the group-filtered COW rewrites exactly that
+    * partition), and the drained feed's update-version rollup
+    * hash-gates against DuckDB: preimage totals are the original
+    * urgent rows, postimage totals the bumped ones, counts equal —
+    * and the subtract-then-add fold over the whole feed must equal
+    * the final table total (gate). Pairing is delta-scoped at plan
+    * time (two key-column scans of the version's files), never
+    * table-sized. */
+  val q206CdfUpdateImages: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    import graft.streaming.StreamOps
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakeui_$nonce"
+    val root = s"/tmp/graft_q206_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .createOrReplaceTempView(s"q206_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, " +
+      "o_orderpriority STRING, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (o_orderpriority) " +
+      "TBLPROPERTIES('graft.cdc.key'='o_orderkey')")
+    spark.sql(s"INSERT INTO $cat.ord SELECT * FROM q206_src_$nonce")
+    spark.sql(s"UPDATE $cat.ord SET o_totalprice = o_totalprice + 100.0 " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    val updV = VersionedTable.latestVersion(spark, s"$root/ord").get
+    val feed = StreamOps.runToMemory(spark,
+      VersionedTable.changeFeedStream(spark, s"$root/ord"),
+      s"q206_mem_$nonce", "append")
+    // subtract-then-add over the whole feed ≡ final table total
+    val folded = feed.agg(round(sum(
+      when(col("_change_type").isin("insert", "update_postimage"),
+        col("o_totalprice"))
+        .otherwise(-col("o_totalprice"))), 2)).collect()(0).getDouble(0)
+    val actual = spark.sql(
+      s"SELECT round(sum(o_totalprice), 2) FROM $cat.ord")
+      .collect()(0).getDouble(0)
+    val foldExact = folded == actual
+    val rows = feed.filter(col("_commit_version") === updV)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .collect()
+    import spark.implicits._
+    rows.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), foldExact))
+      .toDF("op", "n", "total", "fold_exact")
+      .orderBy(col("op"))
+  }
+
+  val q206Oracle: String =
+    """SELECT op, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(price), 2) AS total, TRUE AS fold_exact
+      |FROM (
+      |  SELECT 'update_preimage' AS op, o_totalprice AS price
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT 'update_postimage', o_totalprice + 100.0
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY op ORDER BY op""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -3824,6 +3898,7 @@ object Relational {
     "q198_lake_rename_drop" -> q198LakeRenameDrop,
     "q199_lake_partition_layout" -> q199LakePartitionLayout,
     "q204_lake_spec_evolution" -> q204LakeSpecEvolution,
+    "q206_cdf_update_images" -> q206CdfUpdateImages,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3908,5 +3983,6 @@ object Relational {
     "q198_lake_rename_drop" -> q198Oracle,
     "q199_lake_partition_layout" -> q199Oracle,
     "q204_lake_spec_evolution" -> q204Oracle,
+    "q206_cdf_update_images" -> q206Oracle,
   )
 }

@@ -286,12 +286,55 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
       .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
   }
 
+  /** Declared CDC pairing key (`graft.cdc.key` table property): with
+    * it, a version that both removes and adds rows emits UPDATE
+    * pre/post images (Delta CDF's `update_preimage`/`update_postimage`)
+    * for the keys present on BOTH sides of the delta, letting a
+    * downstream incremental aggregate subtract-then-add instead of
+    * reprocessing; without it the feed stays insert/delete. The key
+    * should identify a row uniquely per snapshot — that is the
+    * declarer's contract, exactly as in Delta/Flink CDC. */
+  private lazy val cdcKey
+      : Option[(Array[Int], Array[org.apache.spark.sql.types.DataType])] =
+    if (!changeFeed) None
+    else Option(GraftLakeTable.readProperties(spark, dir)
+        .get(GraftLakeMicroBatchStream.CdcKeyProp))
+      .map { s =>
+        val names = s.split(",").map(_.trim).filter(_.nonEmpty)
+        require(names.nonEmpty,
+          s"${GraftLakeMicroBatchStream.CdcKeyProp} is empty")
+        val ords = names.map { n =>
+          val i = dataSchema.fieldNames.indexWhere(_.equalsIgnoreCase(n))
+          if (i < 0) throw new IllegalArgumentException(
+            s"${GraftLakeMicroBatchStream.CdcKeyProp} column '$n' is " +
+              "not in the stream schema " +
+              dataSchema.fieldNames.mkString("(", ",", ")"))
+          i
+        }
+        (ords, ords.map(dataSchema.fields(_).dataType))
+      }
+
+  /** Key tuples (internal form) of a delta-scoped key scan. */
+  private def keysOf(df: org.apache.spark.sql.DataFrame,
+      keyNames: Seq[String]): Set[Vector[Any]] = {
+    val proj = df.select(keyNames.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+    val types = proj.schema.fields.map(_.dataType)
+    proj.queryExecution.toRdd.map(_.copy()).collect()
+      .map(r => types.indices.map(i => r.get(i, types(i))).toVector)
+      .toSet
+  }
+
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
+    import org.apache.spark.sql.functions.col
     val s = asLake(start)
     val e = asLake(end)
     // work items: (file, emitOnly|null, except, op, version)
     val work = Seq.newBuilder[(String, Array[Long], Array[Long], String, Int)]
+    // per-version UPDATE pairing sets (cdcKey mode): keys on BOTH
+    // sides of that version's delta re-tag as update pre/post images
+    val updByVersion = scala.collection.mutable.Map.empty[Int, Set[Vector[Any]]]
     if (s.origin) {
       // full snapshot of e.v with its masks applied
       val snap = snapshotOr(e.v)
@@ -357,15 +400,71 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
             prevMasks.getOrElse(norm(f), Array.emptyLongArray),
             "delete", v))
         }
-        if (newDeleteFiles.nonEmpty) {
-          // newly masked positions: deleted row CONTENT read from the
-          // parent data files (positions minus anything prev masked)
-          masksOf(newDeleteFiles).foreach { case (f, ps) =>
+        // newly masked positions: deleted row CONTENT read from the
+        // parent data files (positions minus anything prev masked)
+        val freshMasked: Seq[(String, Array[Long])] =
+          if (newDeleteFiles.isEmpty) Seq.empty
+          else masksOf(newDeleteFiles).toSeq.flatMap { case (f, ps) =>
             val already =
               prevMasks.getOrElse(f, Array.emptyLongArray).toSet
             val fresh = ps.filterNot(already.contains)
-            if (fresh.nonEmpty) work += ((f, fresh, null, "delete", v))
+            if (fresh.isEmpty) None else Some((f, fresh))
           }
+        freshMasked.foreach { case (f, fresh) =>
+          work += ((f, fresh, null, "delete", v))
+        }
+        // UPDATE pairing (cdcKey mode): delta-scoped key scans of the
+        // delete leg (removed files' live rows + freshly masked
+        // content) and the insert leg; the intersection re-tags as
+        // update pre/post images at read. Driver memory is
+        // update-sized per version, never table-sized.
+        if (cdcKey.isDefined && added.nonEmpty &&
+            (removed.nonEmpty || freshMasked.nonEmpty)) {
+          val keyNames =
+            cdcKey.get._1.toSeq.map(dataSchema.fields(_).name)
+          val addedKeys = keysOf(
+            spark.read.schema(dataSchema).parquet(added: _*), keyNames)
+          def maskDf(pairs: Seq[(String, Array[Long])]) = {
+            val rows = pairs.flatMap { case (f, ps) =>
+              ps.map(p => org.apache.spark.sql.Row(norm(f), p)) }
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__graft_mf",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("__graft_mp",
+                  org.apache.spark.sql.types.LongType))))
+          }
+          val removedLive: Option[org.apache.spark.sql.DataFrame] =
+            if (removed.isEmpty) None
+            else {
+              val raw = spark.read.schema(dataSchema)
+                .parquet(removed: _*)
+                .withColumn("__graft_f", col("_metadata.file_path"))
+                .withColumn("__graft_p", col("_metadata.row_index"))
+              val masked = prevMasks.toSeq
+                .map { case (f, ps) => (f, ps) }
+              Some(
+                if (masked.isEmpty) raw
+                else raw.join(maskDf(masked),
+                  col("__graft_f") === col("__graft_mf") &&
+                    col("__graft_p") === col("__graft_mp"), "left_anti"))
+            }
+          val maskedContent: Option[org.apache.spark.sql.DataFrame] =
+            if (freshMasked.isEmpty) None
+            else Some(spark.read.schema(dataSchema)
+              .parquet(freshMasked.map(_._1): _*)
+              .withColumn("__graft_f", col("_metadata.file_path"))
+              .withColumn("__graft_p", col("_metadata.row_index"))
+              .join(maskDf(freshMasked),
+                col("__graft_f") === col("__graft_mf") &&
+                  col("__graft_p") === col("__graft_mp"), "left_semi"))
+          val removedKeys = (removedLive.toSeq ++ maskedContent.toSeq)
+            .map(df => keysOf(df, keyNames))
+            .foldLeft(Set.empty[Vector[Any]])(_ ++ _)
+          val upd = addedKeys.intersect(removedKeys)
+          if (upd.nonEmpty) updByVersion(v) = upd
         }
         prev = cur
         }
@@ -397,14 +496,24 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
       }
     val innerFactory = ib.createReaderFactory()
     items.zipWithIndex.map { case ((f, emitOnly, except, op, v), i) =>
+      val upd = updByVersion.get(v).orNull
       new LakeStreamPartition(i,
         wholeByPath(norm(f)), innerFactory, emitOnly, except,
-        if (changeFeed) op else null, v): InputPartition
+        if (changeFeed) op else null, v,
+        updKeys = upd,
+        keyOrds = if (upd == null) null else cdcKey.get._1,
+        keyTypes = if (upd == null) null else cdcKey.get._2)
+        : InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LakeStreamReaderFactory(changeFeed)
+}
+
+private[sources] object GraftLakeMicroBatchStream {
+  /** Table property declaring the CDC pairing key for update images. */
+  val CdcKeyProp = "graft.cdc.key"
 }
 
 /** NATIVE streaming SINK for a lake catalog table —
@@ -567,7 +676,11 @@ private final class LakeStreamWriterFactory(stagingRoot: String,
 private[sources] final class LakeStreamPartition(val index: Int,
     val file: FilePartition, val innerFactory: PartitionReaderFactory,
     val emitOnly: Array[Long], val except: Array[Long],
-    val op: String, val version: Int) extends InputPartition {
+    val op: String, val version: Int,
+    val updKeys: Set[Vector[Any]] = null,
+    val keyOrds: Array[Int] = null,
+    val keyTypes: Array[org.apache.spark.sql.types.DataType] = null)
+    extends InputPartition {
   override def preferredLocations(): Array[String] =
     file.preferredLocations()
 }
@@ -584,11 +697,26 @@ private final class LakeStreamReaderFactory(changeFeed: Boolean)
     val tag =
       if (part.op == null) null
       else InternalRow(UTF8String.fromString(part.op), part.version)
+    // UPDATE pairing: a row whose declared key is on BOTH sides of
+    // this version's delta re-tags as an update image — the delete
+    // leg as the preimage, the insert leg as the postimage
+    val updTag =
+      if (part.op == null || part.updKeys == null) null
+      else InternalRow(UTF8String.fromString(
+        if (part.op == "insert") "update_postimage"
+        else "update_preimage"), part.version)
     val joined = new JoinedRow
     new PartitionReader[InternalRow] {
       private var pos = -1L
       private var i = 0 // cursor into emitOnly/except
       private var current: InternalRow = _
+
+      private def tagFor(row: InternalRow): InternalRow = {
+        if (updTag == null) return tag
+        val key = Vector.tabulate(part.keyOrds.length)(k =>
+          row.get(part.keyOrds(k), part.keyTypes(k)))
+        if (part.updKeys.contains(key)) updTag else tag
+      }
 
       override def next(): Boolean = {
         while (r.next()) {
@@ -604,7 +732,10 @@ private final class LakeStreamReaderFactory(changeFeed: Boolean)
               } else true
             }
           if (emit) {
-            current = if (tag == null) r.get() else joined(r.get(), tag)
+            current = if (tag == null) r.get() else {
+              val row = r.get()
+              joined(row, tagFor(row))
+            }
             return true
           }
         }

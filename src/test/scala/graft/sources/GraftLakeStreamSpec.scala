@@ -72,6 +72,70 @@ class GraftLakeStreamSpec extends SparkSpec {
     assert(actual.size === 20) // 25 - 3 (COW) - 2 (MoR)
   }
 
+  test("cdc key: change feed pairs rewrite legs into update pre/post images") {
+    import spark.implicits._
+    val cat = s"glsu_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) " +
+      "TBLPROPERTIES('graft.cdc.key'='k')")
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("k", "grp", "v").createOrReplaceTempView("glsu_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM glsu_src") // v1
+    // UPDATE rewrites only partition 'a' (group-filtered COW); with
+    // the declared key the feed pairs its legs into update images
+    spark.sql(s"UPDATE $cat.t SET v = v + 1000 WHERE grp = 'a'") // v2
+    // MERGE: one matched update, one unmatched insert           // v3
+    Seq((2L, "a", 9999L), (5L, "c", 50L)).toDF("k", "grp", "v")
+      .createOrReplaceTempView("glsu_batch")
+    spark.sql(s"MERGE INTO $cat.t AS t USING glsu_batch AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val feed = drain(VersionedTable.changeFeedStream(spark, s"$root/t"))
+    val v2 = feed.filter(col("_commit_version") === 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getString(feed.columns.indexOf("_change_type")))).sorted.toSeq
+    assert(v2 === Seq((1L, 10L, "update_preimage"),
+      (1L, 1010L, "update_postimage"),
+      (2L, 20L, "update_preimage"),
+      (2L, 1020L, "update_postimage")), s"v2 feed: $v2")
+    // MERGE: matched key pairs, new key stays a plain insert
+    val v3 = feed.filter(col("_commit_version") === 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        r.getString(feed.columns.indexOf("_change_type")))).sorted.toSeq
+    assert(v3.contains((5L, 50L, "insert")), s"v3 feed: $v3")
+    assert(v3.contains((2L, 9999L, "update_postimage")), s"v3 feed: $v3")
+    assert(v3.contains((2L, 1020L, "update_preimage")), s"v3 feed: $v3")
+    // subtract-then-add over the images reconstructs the final sum
+    val folded = feed.collect().map { r =>
+      val op = r.getString(feed.columns.indexOf("_change_type"))
+      val sign = if (op == "insert" || op == "update_postimage") 1L else -1L
+      sign * r.getLong(2)
+    }.sum
+    val actual = spark.sql(s"SELECT sum(v) FROM $cat.t")
+      .collect()(0).getLong(0)
+    assert(folded === actual, s"incremental fold $folded != $actual")
+    // without the property the same history stays insert/delete
+    val cat2 = s"glsu2_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root2 = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.root", root2)
+    spark.sql(s"CREATE TABLE $cat2.t (k BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $cat2.t SELECT * FROM glsu_src")
+    spark.sql(s"UPDATE $cat2.t SET v = v + 1000 WHERE grp = 'a'")
+    val plain = drain(
+      VersionedTable.changeFeedStream(spark, s"$root2/t"))
+    val ops = plain.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(ops.subsetOf(Set("insert", "delete")), s"got ops $ops")
+  }
+
   test("startingVersion replays per-version deltas, not a snapshot") {
     import spark.implicits._
     val dir = freshDir()
