@@ -2902,6 +2902,85 @@ object Relational {
       |  TRUE AS layout_exploited
       |FROM agg a CROSS JOIN pt ORDER BY a.l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+  /** SORT-FREE CLUSTERED MERGE JOIN — the composition of the
+    * zero-exchange SPJ (q197) with scan-reported SORT ORDER
+    * (`SupportsReportOrdering`): both sides land
+    * `PARTITIONED BY (bucket(8, l_orderkey))` AND
+    * `ordered-by l_orderkey`, every routed commit writes one
+    * key-sorted file per bucket, and the scan DECLARES that ordering
+    * (sound exactly when each key group is single-file —
+    * [[graft.sources.LakeKeyGroupedScan.outputOrdering]]), so the
+    * merge join plans with ZERO exchanges and ZERO sort nodes — the
+    * fact⋈fact join at 100 TB costs a streaming zip of pre-sorted
+    * files. Gates ride the output row (exchange-free + sort-free,
+    * both from the executed plan); the join aggregate hash-gates
+    * against DuckDB. */
+  val q207SortFreeJoin: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakesf_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q207_$nonce")
+    val li = t(spark, dir, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .createOrReplaceTempView(s"q207_rev_$nonce")
+    li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("double").as("qty"))
+      .createOrReplaceTempView(s"q207_qty_$nonce")
+    spark.sql(s"CREATE TABLE $cat.rev (l_orderkey BIGINT, " +
+      "revenue DOUBLE) PARTITIONED BY (bucket(8, l_orderkey)) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='l_orderkey')")
+    spark.sql(s"CREATE TABLE $cat.qty (l_orderkey BIGINT, " +
+      "qty DOUBLE) PARTITIONED BY (bucket(8, l_orderkey)) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='l_orderkey')")
+    spark.sql(s"INSERT INTO $cat.rev SELECT * FROM q207_rev_$nonce")
+    spark.sql(s"INSERT INTO $cat.qty SELECT * FROM q207_qty_$nonce")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true")
+    val prior = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT r.l_orderkey, r.revenue, q.qty
+           |FROM $cat.rev r JOIN $cat.qty q
+           |ON r.l_orderkey = q.l_orderkey
+           |WHERE q.qty >= 100""".stripMargin)
+      val rows = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val free = !plan.toLowerCase.contains("exchange") &&
+        "(?i)\\bsort\\b".r.findAllIn(plan).isEmpty
+      import spark.implicits._
+      rows.toSeq
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), free))
+        .toDF("l_orderkey", "revenue", "qty", "sort_free_spj")
+        .orderBy(col("l_orderkey"))
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  val q207Oracle: String =
+    """WITH rev AS (
+      |  SELECT l_orderkey, round(sum(l_extendedprice), 2) AS revenue
+      |  FROM lineitem GROUP BY l_orderkey
+      |), qty AS (
+      |  SELECT l_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |)
+      |SELECT r.l_orderkey, r.revenue, q.qty, TRUE AS sort_free_spj
+      |FROM rev r JOIN qty q ON r.l_orderkey = q.l_orderkey
+      |WHERE q.qty >= 100
+      |ORDER BY r.l_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q204
   /** PARTITION-SPEC EVOLUTION lifecycle (Iceberg's per-file spec
     * binding, [[graft.sources.LakePartitioning.HistoryProp]]): the
@@ -3899,6 +3978,7 @@ object Relational {
     "q199_lake_partition_layout" -> q199LakePartitionLayout,
     "q204_lake_spec_evolution" -> q204LakeSpecEvolution,
     "q206_cdf_update_images" -> q206CdfUpdateImages,
+    "q207_sort_free_join" -> q207SortFreeJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -3984,5 +4064,6 @@ object Relational {
     "q199_lake_partition_layout" -> q199Oracle,
     "q204_lake_spec_evolution" -> q204Oracle,
     "q206_cdf_update_images" -> q206Oracle,
+    "q207_sort_free_join" -> q207Oracle,
   )
 }

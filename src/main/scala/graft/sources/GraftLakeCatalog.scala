@@ -286,6 +286,15 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               hist.map(_ + ";" + entry).getOrElse(entry))
             next.put(LakePartitioning.Prop, canonical)
           }
+        case s: TableChange.SetProperty
+            if s.property() == "graft.write.ordered-by" =>
+          // stamp the version clustering takes effect at: committed
+          // files are NOT re-sorted by a declaration, so the scan's
+          // ordering report must exclude any file born before it
+          next.put("graft.write.ordered-by.since",
+            (VersionedTable.headVersion(spark, d).getOrElse(-1) + 1)
+              .toString)
+          next.put(s.property(), s.value())
         case s: TableChange.SetProperty =>
           next.put(s.property(), s.value())
         case r: TableChange.RemoveProperty =>
@@ -790,6 +799,30 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       }
     }
 
+  /** Scan-reported SORT ORDER (`SupportsReportOrdering`): a clustered
+    * table's files are written ordered by `graft.write.ordered-by`,
+    * so a key-grouped scan whose groups are single-file can DECLARE
+    * that ordering and spare the query its Sort nodes (merge joins /
+    * windows over the cluster key run sort-free on top of the
+    * zero-exchange SPJ). Sound only when every live file was born AT
+    * OR AFTER the declaration (`graft.write.ordered-by.since` — a
+    * late ALTER does not re-sort committed files); the single-file-
+    * per-group condition is checked where the groups are formed
+    * ([[LakeKeyGroupedScan]]). */
+  private lazy val orderingToReport
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val ord = VersionedTable.clusteringV2Sort(spark, dir)
+    if (ord.isEmpty) ord
+    else {
+      val since = Option(properties().get("graft.write.ordered-by.since"))
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
+      val allClustered = snapshot.dataFiles.forall(p =>
+        LakePartitioning.fileVersionOfPath(p).exists(_ >= since))
+      if (allClustered) ord
+      else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+    }
+  }
+
   override def properties(): util.Map[String, String] =
     GraftLakeTable.readProperties(spark, dir)
 
@@ -819,7 +852,8 @@ final class GraftLakeTable(ident: Identifier, dir: String,
             .getOrElse(snapshot)
           new LakeReadScanBuilder(f, schema(), snapForRead,
             partSpec.zip(partKeys).headOption, mapping,
-            pruneGens = if (partKeys.isEmpty) pruneGens else Seq.empty)
+            pruneGens = if (partKeys.isEmpty) pruneGens else Seq.empty,
+            reportOrdering = orderingToReport)
         case other => other
       }
     else new GraftLakeDvScanBuilder(delegate, schema(),

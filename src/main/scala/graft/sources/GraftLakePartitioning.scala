@@ -897,13 +897,30 @@ final class LakeKeyGroupedScan(inner: Scan,
     keyOfPath: Map[String, Seq[Option[Any]]],
     keyTypes: Seq[DataType],
     provenEmpty: Set[String] = Set.empty,
-    staticallyPruned: Set[String] = Set.empty)
+    staticallyPruned: Set[String] = Set.empty,
+    clusterOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty)
     extends Scan
     with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private val distinctTuples: Seq[Seq[Option[Any]]] =
     keyOfPath.values.toSeq.distinct
+
+  /** Reported SORT ORDER: each input partition is one key group; its
+    * rows are genuinely ordered by the cluster terms only when the
+    * group is a SINGLE file (clustered writes sort within each file;
+    * two files concatenate two sorted runs). Ordering is reported
+    * exactly when every group is single-file — after each routed
+    * commit or a compaction — and silently withdrawn otherwise (a
+    * sort node reappears; never a wrong merge-join). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (clusterOrdering.nonEmpty &&
+      keyOfPath.size == distinctTuples.size) clusterOrdering
+    else Array.empty
 
   override def readSchema(): StructType = inner.readSchema()
 

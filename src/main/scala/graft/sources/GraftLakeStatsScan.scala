@@ -48,7 +48,10 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
       Map[String, Seq[Option[Any]]])] = None,
     mapping: Option[LakeColumnMapping.Mapping] = None,
     pruneGens: Seq[(Seq[LakePartitioning.Spec],
-      Map[String, Seq[Option[Any]]])] = Seq.empty)
+      Map[String, Seq[Option[Any]]])] = Seq.empty,
+    reportOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty)
     extends DelegatingFileScanBuilder(inner)
     with SupportsPushDownAggregates {
 
@@ -235,7 +238,8 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
           // splits by design; only a claim-less, non-empty file is
           // the loud normalization-divergence case
           staticallyPruned =
-            partInfo.map(_._2.keySet -- keys.keySet).getOrElse(Set.empty))
+            partInfo.map(_._2.keySet -- keys.keySet).getOrElse(Set.empty),
+          clusterOrdering = reportOrdering)
       case Some((_, keys)) =>
         // a partition column pruned from the output (no SPJ use) or
         // every file statically pruned: ordinary scan, seeded with

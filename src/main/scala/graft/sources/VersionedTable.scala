@@ -297,8 +297,14 @@ object VersionedTable {
             routed.repartition(buckets.product, routeCols: _*)
           else routed.repartition(routeCols: _*)
         val sorted = sortSpec match {
+          // route cols FIRST: the V1 file writer requires its input
+          // sorted by the partition columns and would insert its own
+          // (cluster-order-destroying) sort otherwise; with the
+          // routing prefix the write is sort-free AND every emitted
+          // file is genuinely ordered by the cluster terms — the
+          // invariant the scan-reported ordering claims
           case Some(s) => shuffled.sortWithinPartitions(
-            clusterColumns(s, routed): _*)
+            (routeCols ++ clusterColumns(s, routed)): _*)
           case None => shuffled
         }
         sorted.write.partitionBy(names: _*).parquet(dataDir)

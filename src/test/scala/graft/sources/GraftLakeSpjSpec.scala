@@ -1018,6 +1018,86 @@ class GraftLakeSpjSpec extends SparkSpec {
     assert(ph >= 0 && (ph >> 32).toInt == 2, s"hour prune got $ph")
   }
 
+  test("scan-reported ordering: clustered SPJ merge-join runs sort-free") {
+    val (cat, root) = freshCatalog()
+    import spark.implicits._
+    def sorts(df: DataFrame): Int = {
+      df.collect()
+      "(?i)\\bsort\\b".r.findAllIn(
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).length
+    }
+    spark.sql(s"CREATE TABLE $cat.a (k BIGINT, va BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='k')")
+    spark.sql(s"CREATE TABLE $cat.b (k BIGINT, vb BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES('graft.write.ordered-by'='k')")
+    (0L until 400L).map(k => (k, k + 1)).toDF("k", "va")
+      .createOrReplaceTempView("glspj_soa")
+    (0L until 400L by 2L).map(k => (k, k * 3)).toDF("k", "vb")
+      .createOrReplaceTempView("glspj_sob")
+    spark.sql(s"INSERT INTO $cat.a SELECT * FROM glspj_soa")
+    spark.sql(s"INSERT INTO $cat.b SELECT * FROM glspj_sob")
+    withSpj {
+      // disable shuffled-hash preference so the join is a merge join
+      val prior = scala.util.Try(
+        spark.conf.get("spark.sql.join.preferSortMergeJoin")).toOption
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      try {
+        val j = spark.sql(s"SELECT a.k, a.va, b.vb FROM $cat.a a " +
+          s"JOIN $cat.b b ON a.k = b.k")
+        assert(exchanges(j) == 0, "SPJ must stay exchange-free")
+        assert(sorts(j) == 0,
+          "single-file-per-group clustered scans must merge-join " +
+            "sort-free:\n" + j.queryExecution.executedPlan)
+        assert(j.collect().map(r => r.getLong(1) + r.getLong(2)).sum ==
+          (0L until 400L by 2L).map(k => (k + 1) + k * 3).sum)
+      } finally prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.join.preferSortMergeJoin", v)
+        case None =>
+          spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+      }
+    }
+    // a second commit makes groups multi-file: ordering withdraws
+    // (sorts reappear) but results stay exact
+    spark.sql(s"INSERT INTO $cat.a SELECT k + 1000, va FROM glspj_soa")
+    withSpj {
+      val j2 = spark.sql(s"SELECT a.k FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.k = b.k")
+      assert(j2.collect().length == 200)
+      assert(sorts(j2) > 0,
+        "multi-file groups must NOT claim ordering")
+    }
+    // compact re-earns single-file groups → sort-free again
+    VersionedTable.compact(spark, s"$root/a", 4)
+    withSpj {
+      val j3 = spark.sql(s"SELECT a.k, b.vb FROM $cat.a a " +
+        s"JOIN $cat.b b ON a.k = b.k")
+      assert(exchanges(j3) == 0 && sorts(j3) == 0,
+        "compaction must re-earn the sort-free merge join:\n" +
+          j3.queryExecution.executedPlan)
+      assert(j3.collect().length == 200)
+    }
+    // a LATE ordered-by declaration must not claim ordering for files
+    // born before it
+    spark.sql(s"CREATE TABLE $cat.c (k BIGINT, vc BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 100L).map(k => (99L - k, k)).toDF("k", "vc")
+      .createOrReplaceTempView("glspj_soc")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM glspj_soc")
+    spark.sql(s"ALTER TABLE $cat.c SET TBLPROPERTIES(" +
+      "'graft.write.ordered-by'='k')")
+    withSpj {
+      val j4 = spark.sql(s"SELECT c.k FROM $cat.c c " +
+        s"JOIN $cat.b b ON c.k = b.k")
+      assert(sorts(j4) > 0,
+        "pre-declaration files must NOT be claimed sorted")
+      assert(j4.collect().length == 50)
+    }
+  }
+
   test("streaming fanout router and batch claims agree on exotic identity values") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("region", StringType),
