@@ -2747,6 +2747,73 @@ object Relational {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  /** TYPE WIDENING as a METADATA-ONLY commit
+    * ([[graft.sources.LakeTypeWidening]], Delta's type-widening
+    * feature): customer balances land as INT cents / FLOAT scores,
+    * `ALTER COLUMN ... TYPE BIGINT/DOUBLE` publishes one zero-IO
+    * commit, the committed narrow files serve through the WIDE
+    * logical type (the parquet readers' native int32→long /
+    * float→double upcast — no rewrite, no cast node per file), an
+    * append lands values beyond int range, and time travel below the
+    * widen commit still serves the NARROW type (gate: pre-widen
+    * schema is IntegerType). The post-widen rollup over BOTH file
+    * generations hash-gates against DuckDB. At 100 TB an outgrown
+    * key type is one manifest write, not a table rewrite. */
+  val q208TypeWidening: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakew_$nonce"
+    val root = s"/tmp/graft_q208_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        (col("c_acctbal") * 100).cast("int").as("cents"))
+      .createOrReplaceTempView(s"q208_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
+      "c_nationkey INT, cents INT)")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM q208_src_$nonce")
+    val dataFilesBefore =
+      VersionedTable.filesOf(spark, s"$root/c", 1).toSet
+    spark.sql(s"ALTER TABLE $cat.c ALTER COLUMN cents TYPE BIGINT")
+    // zero-IO gate: the widen commit references the SAME data files
+    val vW = VersionedTable.latestVersion(spark, s"$root/c").get
+    val zeroIo = VersionedTable.snapshotOf(spark, s"$root/c", vW)
+      .dataFiles.toSet == dataFilesBefore
+    // append beyond int range — lands wide
+    spark.sql(s"INSERT INTO $cat.c VALUES (900001, 0, 5000000000)")
+    // time travel below the widen serves the narrow type
+    val narrow = spark.sql(s"SELECT cents FROM $cat.c VERSION AS OF 1")
+      .schema("cents").dataType ==
+      org.apache.spark.sql.types.IntegerType
+    val rows = spark.sql(
+      s"""SELECT c_nationkey, count(*) AS n, sum(cents) AS total_cents
+         |FROM $cat.c GROUP BY c_nationkey""".stripMargin).collect()
+    import spark.implicits._
+    rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        zeroIo && narrow))
+      .toDF("c_nationkey", "n", "total_cents", "widen_metadata_only")
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q208Oracle: String =
+    """WITH base AS (
+      |  -- trunc(): Spark's double->int cast truncates toward zero
+      |  -- where DuckDB's rounds
+      |  SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+      |    CAST(trunc(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer
+      |  UNION ALL SELECT 0, 5000000000
+      |)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents,
+      |  TRUE AS widen_metadata_only
+      |FROM base GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- q198
   /** SCHEMA EVOLUTION — RENAME/DROP COLUMN via column mapping
     * ([[graft.sources.LakeColumnMapping]], Delta's columnMapping /
@@ -3979,6 +4046,7 @@ object Relational {
     "q204_lake_spec_evolution" -> q204LakeSpecEvolution,
     "q206_cdf_update_images" -> q206CdfUpdateImages,
     "q207_sort_free_join" -> q207SortFreeJoin,
+    "q208_type_widening" -> q208TypeWidening,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4065,5 +4133,6 @@ object Relational {
     "q204_lake_spec_evolution" -> q204Oracle,
     "q206_cdf_update_images" -> q206Oracle,
     "q207_sort_free_join" -> q207Oracle,
+    "q208_type_widening" -> q208Oracle,
   )
 }

@@ -310,6 +310,52 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val logical = (loadTable(ident): Table).schema()
     val baseMapping = LakeColumnMapping.fromMeta(snap.meta)
       .getOrElse(LakeColumnMapping.identityOf(logical))
+    // ---- TYPE WIDENING ([[LakeTypeWidening]]): ALTER COLUMN ... TYPE
+    // publishes a metadata-only commit recording the widened logical
+    // type; narrow files upcast natively at read, appends land wide,
+    // time travel serves the narrow type, narrowing refuses.
+    val widens = rest.collect { case u: TableChange.UpdateColumnType => u }
+    if (widens.nonEmpty) {
+      if (widens.size != rest.size)
+        throw new UnsupportedOperationException(
+          "ALTER COLUMN TYPE cannot combine with other column changes " +
+            "in one statement")
+      if (!baseMapping.isIdentity)
+        throw new UnsupportedOperationException(
+          "type widening on a column-mapped table is not supported — " +
+            "run compact first")
+      if (snap.deleteFiles.nonEmpty)
+        throw new UnsupportedOperationException(
+          "type widening with outstanding merge-on-read delete files " +
+            "is not supported — compact first")
+      val structural: Set[String] = (
+        LakePartitioning.specOf(spark, d).toSeq.flatten.map(_.column) ++
+          VersionedTable.clusteringSpec(spark, d).toSeq.flatten
+            .flatMap(term => "[A-Za-z_][A-Za-z0-9_]*".r
+              .findAllIn(term).filterNot(_.equalsIgnoreCase("morton2")))
+        ).map(_.toLowerCase).toSet
+      val prior = LakeTypeWidening.fromMeta(snap.meta)
+      val added = widens.map { u =>
+        val name = singleName(u.fieldNames())
+        val field = logical.fields.find(_.name.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no such column: $name"))
+        if (structural.contains(name.toLowerCase))
+          throw new UnsupportedOperationException(
+            s"cannot widen column '$name': it routes this table's " +
+              "declared partitioning/clustering layout")
+        if (!LakeTypeWidening.isWidening(field.dataType, u.newDataType()))
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN $name TYPE ${u.newDataType().catalogString}: " +
+              s"only lossless widenings of ${field.dataType.catalogString}" +
+              " are supported (byte<smallint<int<bigint, float->double)")
+        field.name.toLowerCase -> u.newDataType()
+      }.toMap
+      VersionedTable.publishMetaOnly(spark, d,
+        Map(LakeTypeWidening.Meta ->
+          LakeTypeWidening.toMeta(prior ++ added)), op = "widen-column")
+      return loadTable(ident)
+    }
     val hasEvolution = rest.exists {
       case _: TableChange.RenameColumn | _: TableChange.DeleteColumn =>
         true
@@ -680,12 +726,35 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     VersionedTable.snapshotOf(spark, dir, v)
   }
 
+  /** Type-widening overrides for the resolved snapshot —
+    * version-pinned like the column mapping, so time travel below the
+    * widen commit serves the narrow type. */
+  private[sources] lazy val widenOverrides
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    LakeTypeWidening.fromMeta(snapshot.meta)
+
   private lazy val delegate: ParquetTable =
-    ParquetTable(ident.toString, spark,
-      new CaseInsensitiveStringMap(
-        Map("mergeSchema" -> "true").asJava),
-      snapshot.dataFiles,
-      None, classOf[ParquetFileFormat])
+    if (widenOverrides.isEmpty)
+      ParquetTable(ident.toString, spark,
+        new CaseInsensitiveStringMap(
+          Map("mergeSchema" -> "true").asJava),
+        snapshot.dataFiles,
+        None, classOf[ParquetFileFormat])
+    else {
+      // widened tables carry an EXPLICIT schema: schema merging would
+      // refuse the int/long file mix, while the parquet readers
+      // natively upcast narrow files to the declared wide type. The
+      // base column set comes from the newest file — every commit
+      // writes the full current schema.
+      val newest = snapshot.dataFiles.maxBy(p =>
+        LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
+      val wide = LakeTypeWidening.widen(
+        spark.read.parquet(newest).schema, widenOverrides)
+      ParquetTable(ident.toString, spark,
+        CaseInsensitiveStringMap.empty(),
+        snapshot.dataFiles,
+        Some(wide), classOf[ParquetFileFormat])
+    }
 
   override def name(): String = ident.toString
 

@@ -378,6 +378,9 @@ private[graft] object LakeStatsAggregate {
     if (agg.groupByExpressions.nonEmpty) return None
     if (snap.deleteFiles.nonEmpty) return None // masked rows: not exact
     if (!snap.dataFiles.forall(snap.stats.contains)) return None
+    // a type-widened snapshot mixes narrow and wide per-file stats —
+    // MIN/MAX would surface a narrow-typed value into a wide column
+    if (LakeTypeWidening.fromMeta(snap.meta).nonEmpty) return None
     val stats = snap.dataFiles.map(snap.stats)
     val answers = agg.aggregateExpressions.toSeq.map(one(_, schema, stats))
     if (answers.exists(_.isEmpty)) None

@@ -148,7 +148,11 @@ object VersionedTable {
     val cleanMeta =
       if (carryForward) meta
       else meta.filter { case (k, _) =>
-        k != LakeColumnMapping.MapMeta && k != LakeColumnMapping.DroppedMeta
+        k != LakeColumnMapping.MapMeta &&
+          k != LakeColumnMapping.DroppedMeta &&
+          // a full rewrite lands every file WIDE — the override is
+          // spent (compact passes prior meta for epoch markers only)
+          k != LakeTypeWidening.Meta
       }
     publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles,
       prior.stats ++ statsFor(spark, newFiles, prior.stats),
@@ -756,8 +760,22 @@ object VersionedTable {
     val v = version.orElse(headVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val snap = snapshotOf(spark, dir, v)
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(snap.dataFiles: _*)
+    val widen = LakeTypeWidening.fromMeta(snap.meta)
+    val data =
+      if (widen.isEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(snap.dataFiles: _*)
+      else {
+        // widened snapshot: explicit wide schema (merging refuses the
+        // narrow/wide file mix; the readers upcast natively). Newest
+        // file carries the full column set — commits write the full
+        // current schema.
+        val newest = snap.dataFiles.maxBy(p =>
+          LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
+        spark.read.schema(LakeTypeWidening.widen(
+          spark.read.parquet(newest).schema, widen))
+          .parquet(snap.dataFiles: _*)
+      }
     val (eqDels, posDels) = snap.deleteFiles.partition(isEqualityDelete)
     val masked = if (snap.deleteFiles.isEmpty) data
     else {
@@ -791,6 +809,19 @@ object VersionedTable {
       .filterNot(_.isIdentity)
       .map(LakeColumnMapping.toLogical(masked, _))
       .getOrElse(masked)
+  }
+
+  /** Publish a METADATA-ONLY commit: identical files, masks and
+    * stats, snapshot meta merged with `add` — the zero-IO commit
+    * shape schema changes (type widening) ride. */
+  private[sources] def publishMetaOnly(spark: SparkSession, dir: String,
+      add: Map[String, String], op: String): Int = {
+    val v = headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val snap = snapshotOf(spark, dir, v)
+    val newV = nextVersion(spark, dir)
+    publish(fs(spark, dir), dir, newV, snap.dataFiles,
+      snap.deleteFiles, snap.stats, snap.meta ++ add, op)
   }
 
   /** EQUALITY-DELETE file marker: equality deletes land under

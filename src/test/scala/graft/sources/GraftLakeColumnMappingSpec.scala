@@ -165,4 +165,62 @@ class GraftLakeColumnMappingSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k, w FROM $cat.o").collect()(0)
       .toSeq == Seq(5L, 50L))
   }
+
+  test("type widening: narrow files serve wide, appends land wide, time travel narrow") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.w (k INT, x FLOAT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.w VALUES " +
+      "(1, CAST(1.5 AS FLOAT), 'a'), (2, CAST(2.5 AS FLOAT), 'b')")
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.w ALTER COLUMN x TYPE DOUBLE")
+    // schema is wide; old (narrow) rows serve through it
+    val sch = spark.table(s"$cat.w").schema
+    assert(sch("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("x").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.w").collect()(0)
+      .getLong(0) == 3L)
+    // appends land wide: a value beyond int range round-trips
+    spark.sql(s"INSERT INTO $cat.w VALUES (5000000000, 3.25, 'c')")
+    assert(spark.sql(s"SELECT sum(k), round(sum(x), 2) FROM $cat.w")
+      .collect()(0).toSeq == Seq(5000000003L, 7.25))
+    // facade read agrees (mixed narrow/wide files, one wide schema)
+    assert(VersionedTable.read(spark, s"$root/w")
+      .agg(org.apache.spark.sql.functions.sum("k")).collect()(0)
+      .getLong(0) == 5000000003L)
+    // time travel below the widen commit serves the NARROW type
+    val v0 = spark.sql(s"SELECT k FROM $cat.w VERSION AS OF 1")
+    assert(v0.schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(v0.collect().map(_.getInt(0)).sum == 3)
+    // compact rewrites everything wide and drops the override
+    VersionedTable.compact(spark, s"$root/w", 1)
+    val meta = VersionedTable.snapshotOf(spark, s"$root/w",
+      VersionedTable.latestVersion(spark, s"$root/w").get).meta
+    assert(!meta.contains(LakeTypeWidening.Meta),
+      "compact must clear the widen override")
+    assert(spark.sql(s"SELECT sum(k) FROM $cat.w").collect()(0)
+      .getLong(0) == 5000000003L)
+    assert(spark.table(s"$cat.w").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("type widening refuses narrowing, unrelated types and structural columns") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.r (k BIGINT, x DOUBLE, s STRING, " +
+      "b INT) PARTITIONED BY (bucket(4, b))")
+    spark.sql(s"INSERT INTO $cat.r VALUES (1, 1.0, 'a', 1)")
+    intercept[Exception] { // narrowing
+      spark.sql(s"ALTER TABLE $cat.r ALTER COLUMN k TYPE INT")
+    }
+    intercept[Exception] { // unrelated
+      spark.sql(s"ALTER TABLE $cat.r ALTER COLUMN s TYPE BIGINT")
+    }
+    intercept[Exception] { // structural (partition key): a widening
+      // of b would falsify every committed file's bucket claim
+      spark.sql(s"ALTER TABLE $cat.r ALTER COLUMN b TYPE BIGINT")
+    }
+    // still intact
+    assert(spark.sql(s"SELECT k FROM $cat.r").collect()(0)
+      .getLong(0) == 1L)
+  }
 }
