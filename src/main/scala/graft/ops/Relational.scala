@@ -3048,6 +3048,76 @@ object Relational {
       |WHERE q.qty >= 100
       |ORDER BY r.l_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+  /** MANIFEST BLOOM FILTERS for point-lookup pruning
+    * ([[graft.sources.LakeFileStats.FileStats.blooms]] —
+    * Iceberg-puffin / Delta-index shaped secondary stats): the orders
+    * table lands UNCLUSTERED (every file spans ~the full key range,
+    * so min/max zone maps cannot prune a point lookup at all) with
+    * `graft.bloom.columns` declaring the key; each commit embeds one
+    * 8 KiB [[graft.functions.BloomSketch]] bitset per file per column
+    * in the manifest, and a pushed `=`/IN drops every file whose
+    * bloom proves the key absent BEFORE tasks launch (gate: kept <
+    * total via [[graft.sources.LakeReadScanBuilder.lastBloomPrune]]).
+    * The lookups hash-gate against DuckDB; a provably-absent key must
+    * return zero rows having opened (almost) nothing. At 100 TB this
+    * is the GDPR / entity-lookup path on a table whose layout serves
+    * some other query. */
+  val q209BloomPointLookup: Q = (spark, dir) => {
+    import graft.sources.LakeReadScanBuilder
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakebl_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", s"/tmp/graft_q209_$nonce")
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8) // hash-distributed: min/max useless for lookups
+      .createOrReplaceTempView(s"q209_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES('graft.bloom.columns'='o_orderkey')")
+    spark.sql(s"INSERT INTO $cat.ord SELECT * FROM q209_src_$nonce")
+    LakeReadScanBuilder.lastBloomPrune.set(-1L)
+    val hit = spark.sql(s"SELECT o_custkey, o_totalprice " +
+      s"FROM $cat.ord WHERE o_orderkey = 1189").collect()(0)
+    val p1 = LakeReadScanBuilder.lastBloomPrune.get()
+    val hitPruned = p1 >= 0 &&
+      (p1 >> 32).toInt < (p1 & 0xffffffffL).toInt
+    // provably-absent key: zero rows, files dropped by bitset alone
+    LakeReadScanBuilder.lastBloomPrune.set(-1L)
+    val missRows = spark.sql(
+      s"SELECT count(*) AS c FROM $cat.ord WHERE o_orderkey = -42")
+      .collect()(0).getLong(0)
+    val p2 = LakeReadScanBuilder.lastBloomPrune.get()
+    val missPruned = p2 >= 0 &&
+      (p2 >> 32).toInt < (p2 & 0xffffffffL).toInt
+    val in = spark.sql(
+      s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |FROM $cat.ord
+         |WHERE o_orderkey IN (1189, 4, 7, 999999999)""".stripMargin)
+      .collect()(0)
+    import spark.implicits._
+    Seq((hit.getLong(0), hit.getDouble(1), missRows, in.getLong(0),
+      in.getDouble(1), hitPruned && missPruned))
+      .toDF("cust_1189", "price_1189", "miss_rows", "in_n", "in_total",
+        "bloom_pruned")
+  }
+
+  val q209Oracle: String =
+    """WITH hit AS (
+      |  SELECT o_custkey AS cust_1189, o_totalprice AS price_1189
+      |  FROM orders WHERE o_orderkey = 1189
+      |), inq AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS in_n,
+      |    round(sum(o_totalprice), 2) AS in_total
+      |  FROM orders WHERE o_orderkey IN (1189, 4, 7, 999999999)
+      |)
+      |SELECT hit.cust_1189, hit.price_1189, CAST(0 AS BIGINT) AS miss_rows,
+      |  inq.in_n, inq.in_total, TRUE AS bloom_pruned
+      |FROM hit CROSS JOIN inq""".stripMargin
+
   // ---------------------------------------------------------------- q204
   /** PARTITION-SPEC EVOLUTION lifecycle (Iceberg's per-file spec
     * binding, [[graft.sources.LakePartitioning.HistoryProp]]): the
@@ -4047,6 +4117,7 @@ object Relational {
     "q206_cdf_update_images" -> q206CdfUpdateImages,
     "q207_sort_free_join" -> q207SortFreeJoin,
     "q208_type_widening" -> q208TypeWidening,
+    "q209_bloom_point_lookup" -> q209BloomPointLookup,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4134,5 +4205,6 @@ object Relational {
     "q206_cdf_update_images" -> q206Oracle,
     "q207_sort_free_join" -> q207Oracle,
     "q208_type_widening" -> q208Oracle,
+    "q209_bloom_point_lookup" -> q209Oracle,
   )
 }

@@ -401,7 +401,15 @@ private[graft] object LakeFileStats {
     * stats-answered aggregate path must refuse them. */
   final case class ColStats(min: Option[Any], max: Option[Any],
       nullCount: Option[Long], truncated: Boolean = false)
-  final case class FileStats(cols: Map[String, ColStats], rowCount: Long)
+
+  /** Per-file manifest stats. `blooms` (col → [[graft.functions
+    * .BloomSketch]] bitset, built at commit when `graft.bloom.columns`
+    * declares the columns) answers what min/max cannot: POINT-LOOKUP
+    * pruning on a hash-distributed key — every file of an unclustered
+    * table spans the full key range, but a `k = ?` probe drops every
+    * file whose bloom proves absence, before any task launches. */
+  final case class FileStats(cols: Map[String, ColStats], rowCount: Long,
+      blooms: Map[String, Array[Byte]] = Map.empty)
 
   /** Footer opens performed by [[read]] — the instrumentation hook the
     * manifest-stats specs pin "zero footer IO during group pruning"
@@ -648,10 +656,17 @@ private[graft] object LakeFileStats {
         (if (trunc) List("t" -> (JBool(true): JValue)) else Nil)
       name -> (JObject(fields: _*): JValue)
     }
+    val blooms =
+      if (fs.blooms.isEmpty) Nil
+      else List("blooms" -> (JObject(fs.blooms.toSeq.sortBy(_._1)
+        .map { case (n, bits) =>
+          n -> (JString(java.util.Base64.getEncoder
+            .encodeToString(bits)): JValue)
+        }: _*): JValue))
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
-        JObject("rows" -> JLong(fs.rowCount),
-          "cols" -> JObject(cols: _*))))
+        JObject(("rows" -> (JLong(fs.rowCount): JValue)) ::
+          ("cols" -> (JObject(cols: _*): JValue)) :: blooms: _*)))
   }
 
   def fromJson(s: String): Option[FileStats] =
@@ -676,7 +691,17 @@ private[graft] object LakeFileStats {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
-        FileStats(cols, rows)
+        val blooms = (j \ "blooms") match {
+          case JObject(fields) => fields.flatMap {
+            case (name, JString(b64)) =>
+              try Some(name ->
+                java.util.Base64.getDecoder.decode(b64))
+              catch { case _: IllegalArgumentException => None }
+            case _ => None
+          }.toMap
+          case _ => Map.empty[String, Array[Byte]]
+        }
+        FileStats(cols, rows, blooms)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -215,6 +215,57 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
       }
     }
 
+  /** MANIFEST-BLOOM point-lookup pruning ([[LakeFileStats.FileStats
+    * .blooms]]): a pushed `=`/IN on a bloom-bearing integral column
+    * drops every file whose bitset proves ALL sought values absent —
+    * the prune min/max cannot make on a hash-distributed key. Files
+    * without a bloom for the column are kept (row-level-rewritten
+    * files re-earn theirs at compaction). Returns DECODED paths. */
+  private def bloomDropped: Set[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def asLong(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    val probes: Seq[(String, Seq[Long])] = catalystFilters.flatMap {
+      case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
+        asLong(l.value).map(v => a.name -> Seq(v))
+      case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
+        asLong(l.value).map(v => a.name -> Seq(v))
+      case ce.In(a: ce.AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        val ls = vs.map(v => asLong(v.asInstanceOf[ce.Literal].value))
+        if (ls.exists(_.isEmpty)) None else Some(a.name -> ls.flatten)
+      case ce.InSet(a: ce.AttributeReference, hset) =>
+        val ls = hset.toSeq.map(asLong)
+        if (ls.exists(_.isEmpty)) None else Some(a.name -> ls.flatten)
+      case _ => None
+    }
+    if (probes.isEmpty) return Set.empty
+    val dropped = snap.dataFiles.filter { p =>
+      snap.stats.get(p).exists { fs =>
+        probes.exists { case (c, vals) =>
+          fs.blooms.collectFirst {
+            case (bc, bits) if bc.equalsIgnoreCase(c) => bits
+          }.exists { bits =>
+            val mBits = bits.length * 8
+            vals.forall(v =>
+              !graft.functions.BloomSketch.contains(bits, v, mBits, 7))
+          }
+        }
+      }
+    }.map(p => new Path(p).toString).toSet
+    if (dropped.nonEmpty) {
+      val total = snap.dataFiles.size
+      LakeReadScanBuilder.lastBloomPrune.set(
+        ((total - dropped.size).toLong << 32) | total.toLong)
+    }
+    dropped
+  }
+
   /** Key-grouped (SPJ) scanning is sound and USEFUL only when the
     * table declares partitioning, every data file claims its value
     * ([[GraftLakeTable.partKeys]] verified that), and the partition
@@ -224,11 +275,15 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
   override def build(): Scan = answered match {
     case Some((schema, row)) => new LakeStatsAggScan(schema, row)
     case None if wantsFile => new LakeFileColumnScan(logicalBuild())
-    case None => partPruned match {
-      case Some((specs, keys))
-          if keys.nonEmpty && specs.forall(s =>
+    case None =>
+      val bloomDrop = bloomDropped
+      partPruned match {
+      case Some((specs, keys0))
+          if keys0.nonEmpty && specs.forall(s =>
             prunedTo.forall(_.fieldNames.exists(
-              _.equalsIgnoreCase(s.column)))) =>
+              _.equalsIgnoreCase(s.column)))) &&
+            (keys0.keySet -- bloomDrop).nonEmpty =>
+        val keys = keys0 -- bloomDrop
         new LakeKeyGroupedScan(logicalBuild(), specs, keys,
           LakePartitioning.keyTypes(specs, tableSchema),
           provenEmpty = snap.dataFiles
@@ -242,17 +297,21 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
           clusterOrdering = reportOrdering)
       case Some((_, keys)) =>
         // a partition column pruned from the output (no SPJ use) or
-        // every file statically pruned: ordinary scan, seeded with
-        // the statically-kept file set
+        // every file statically/bloom pruned: ordinary scan, seeded
+        // with the kept file set
         new LakeRuntimeFilterScan(logicalBuild(), snap,
-          staticKeep = Some(keys.keySet))
-      case None => genStaticKeep match {
-        case Some(keep) =>
+          staticKeep = Some(keys.keySet -- bloomDrop))
+      case None => (genStaticKeep, bloomDrop) match {
+        case (Some(keep), bd) =>
           // spec-evolved table, mixed generations: per-generation
           // static prune seeded into the ordinary scan
           new LakeRuntimeFilterScan(logicalBuild(), snap,
-            staticKeep = Some(keep))
-        case None => new LakeRuntimeFilterScan(logicalBuild(), snap)
+            staticKeep = Some(keep -- bd))
+        case (None, bd) if bd.nonEmpty =>
+          new LakeRuntimeFilterScan(logicalBuild(), snap,
+            staticKeep = Some(snap.dataFiles
+              .map(p => new Path(p).toString).toSet -- bd))
+        case _ => new LakeRuntimeFilterScan(logicalBuild(), snap)
       }
     }
   }
@@ -263,6 +322,10 @@ object LakeReadScanBuilder {
     * spec/gate instrumentation, mirroring
     * [[LakeRuntimeFilterScan.lastPrune]]. */
   val lastPartitionPrune =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** (kept << 32 | total) of the most recent MANIFEST-BLOOM prune. */
+  val lastBloomPrune =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 }
 

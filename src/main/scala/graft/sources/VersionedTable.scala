@@ -155,7 +155,8 @@ object VersionedTable {
           k != LakeTypeWidening.Meta
       }
     publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles,
-      prior.stats ++ statsFor(spark, newFiles, prior.stats),
+      prior.stats ++ withBlooms(spark, dir, newFiles,
+        statsFor(spark, newFiles, prior.stats)),
       prior.meta ++ cleanMeta,
       op.getOrElse(if (carryForward) "append" else "overwrite"))
   }
@@ -356,6 +357,66 @@ object VersionedTable {
         catch { case scala.util.control.NonFatal(_) => None }
       }.map(p -> _)
     }.toMap
+  }
+
+  /** MANIFEST BLOOM FILTERS: when the table declares
+    * `graft.bloom.columns` (integral columns, comma-separated), every
+    * commit enriches its FRESH files' manifest stats with a per-file
+    * [[graft.functions.BloomSketch]] bitset over each declared column
+    * — one delta-scoped job (the files were just written; this is
+    * their one read). Blooms answer what min/max cannot: point-lookup
+    * pruning on a hash-distributed key, where every file of an
+    * unclustered table spans the whole range. Sizing via
+    * `graft.bloom.bits` (default 65536 = 8 KiB/file/col in the
+    * manifest, ~1% FP at 5k distinct keys). Files landed by row-level
+    * rewrites carry no bloom (kept conservatively) until compaction
+    * re-earns them. */
+  private def withBlooms(spark: SparkSession, dir: String,
+      files: Seq[String], stats: Map[String, LakeFileStats.FileStats])
+      : Map[String, LakeFileStats.FileStats] = {
+    import org.apache.spark.sql.functions.col
+    val props = GraftLakeTable.readProperties(spark, dir)
+    val declared = Option(props.get("graft.bloom.columns"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    if (declared.isEmpty || files.isEmpty) return stats
+    val mBits = Option(props.get("graft.bloom.bits"))
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(65536)
+    require(mBits > 0 && mBits % 8 == 0,
+      s"graft.bloom.bits must be a positive multiple of 8, got $mBits")
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val cols = declared.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft.bloom.columns names '$c', absent from the commit " +
+            s"schema ${df.columns.mkString("(", ",", ")")}"))
+      f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => f.name
+        case other => throw new IllegalArgumentException(
+          s"graft.bloom.columns supports integral keys only; '$c' is " +
+            other.catalogString)
+      }
+    }
+    val aggs = cols.map(c => graft.functions.BloomSketch
+      .build(col(c).cast("long"), mBits, 7).as(c))
+    val byFile = df
+      .groupBy(col("_metadata.file_path").as("__graft_bf"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => new Path(r.getString(0)).toString ->
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(i + 1)).map(c -> _.asInstanceOf[Array[Byte]])
+        }.toMap)
+      .toMap
+    stats.map { case (p, fs) =>
+      byFile.get(new Path(p).toString) match {
+        case Some(bl) => p -> fs.copy(blooms = fs.blooms ++ bl)
+        case None => p -> fs
+      }
+    }
   }
 
   /** Fully qualified parquet paths under a landed data directory. */

@@ -237,4 +237,51 @@ class GraftLakeStatsSpec extends SparkSpec {
     val delSchema = spark.read.parquet(snap.deleteFiles: _*).schema
     assert(delSchema.fieldNames.toSeq === Seq("file_path", "row_index"))
   }
+
+  test("manifest blooms: point lookup on an unclustered key prunes files min/max cannot") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.bl (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.bloom.columns'='k')")
+    // hash-distributed layout: every file spans ~the full key range,
+    // so min/max stats keep every file for a point lookup
+    (0L until 4000L).map(k => (k, k * 3))
+      .toDF("k", "v").repartition(8, col("k") % 7)
+      .createOrReplaceTempView("glbl_src")
+    spark.sql(s"INSERT INTO $cat.bl SELECT * FROM glbl_src")
+    val snap = VersionedTable.snapshotOf(spark, s"$root/bl",
+      VersionedTable.latestVersion(spark, s"$root/bl").get)
+    val bloomed = snap.dataFiles.filter(p =>
+      snap.stats.get(p).exists(_.blooms.contains("k")))
+    assert(bloomed.size >= 3, s"expected per-file blooms, " +
+      s"got ${bloomed.size} of ${snap.dataFiles.size}")
+    // point lookup: the bloom drops files the value provably misses
+    LakeReadScanBuilder.lastBloomPrune.set(-1L)
+    assert(spark.sql(s"SELECT v FROM $cat.bl WHERE k = 1234")
+      .collect().map(_.getLong(0)).toSeq == Seq(3702L))
+    val p1 = LakeReadScanBuilder.lastBloomPrune.get()
+    assert(p1 >= 0 && (p1 >> 32).toInt < (p1 & 0xffffffffL).toInt,
+      s"bloom prune should fire on a point lookup, got $p1")
+    // absent key: every file provably misses it -> zero rows, and the
+    // prune kept (almost) nothing
+    LakeReadScanBuilder.lastBloomPrune.set(-1L)
+    assert(spark.sql(s"SELECT v FROM $cat.bl WHERE k = 999999")
+      .collect().isEmpty)
+    val p2 = LakeReadScanBuilder.lastBloomPrune.get()
+    assert(p2 >= 0 && (p2 >> 32).toInt < (p2 & 0xffffffffL).toInt)
+    // IN probes prune too; results exact
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.bl WHERE k IN (10, 20, 999999)")
+      .collect()(0).getLong(0) == 90L)
+    // stats JSON round-trips the bitsets
+    val fs = snap.stats(bloomed.head)
+    val back = LakeFileStats.fromJson(LakeFileStats.toJson(fs)).get
+    assert(back.blooms("k").toSeq == fs.blooms("k").toSeq)
+    // a declared non-integral bloom column refuses at the first
+    // commit (CREATE's schema carrier)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.bad (s STRING) " +
+        "TBLPROPERTIES('graft.bloom.columns'='s')")
+    }
+  }
 }
