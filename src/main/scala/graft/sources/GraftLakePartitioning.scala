@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.util.chaining._
+
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -936,6 +938,18 @@ final class LakeKeyGroupedScan(inner: Scan,
 
   override def toBatch: Batch = {
     val ib = inner.toBatch
+    // PARTIALLY-CLUSTERED SPJ (skew fan-out): with
+    // `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    // .enabled`, the scan emits ONE keyed partition PER FILE and lets
+    // Spark's own grouping either merge same-key splits (the default
+    // SPJ) or keep the bigger side ungrouped and REPLICATE the other
+    // side's matching partition over them — a hot key fans out to as
+    // many tasks as it has files instead of serializing one. Without
+    // the conf the scan groups per key tuple itself (exactly one
+    // partition per value, the deterministic q197 shape).
+    val perFile = org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
+        ".enabled", "false") == "true"
     new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
         val files = ib.planInputPartitions().toSeq.flatMap {
@@ -969,13 +983,24 @@ final class LakeKeyGroupedScan(inner: Scan,
                     "the manifest and the scan")
             }
           }
-          .groupBy(_._1)
-          .toSeq
-          .sortBy(_._2.head._2.filePath.toString)
-          .zipWithIndex
-          .map { case ((key, pfs), i) =>
-            new KeyedFilePartition(i, pfs.map(_._2).toArray,
-              InternalRow.fromSeq(key.map(_.orNull))): InputPartition
+          .pipe { keyed =>
+            if (perFile)
+              keyed.sortBy(_._2.filePath.toString).zipWithIndex
+                .map { case ((key, pf), i) =>
+                  new KeyedFilePartition(i, Array(pf),
+                    InternalRow.fromSeq(key.map(_.orNull)))
+                    : InputPartition
+                }
+            else
+              keyed.groupBy(_._1)
+                .toSeq
+                .sortBy(_._2.head._2.filePath.toString)
+                .zipWithIndex
+                .map { case ((key, pfs), i) =>
+                  new KeyedFilePartition(i, pfs.map(_._2).toArray,
+                    InternalRow.fromSeq(key.map(_.orNull)))
+                    : InputPartition
+                }
           }
           .toArray
       }

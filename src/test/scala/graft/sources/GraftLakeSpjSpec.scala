@@ -1098,6 +1098,65 @@ class GraftLakeSpjSpec extends SparkSpec {
     }
   }
 
+  test("partially-clustered SPJ: a hot key fans out over its files, still exchange-free") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.fact (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // three commits → three files PER BUCKET on the fact side (the
+    // skew shape: one hot bucket would serialize one task without
+    // partial clustering)
+    (0 until 3).foreach { c =>
+      (0L until 400L).map(k => (k, k + c))
+        .toDF("k", "v").createOrReplaceTempView(s"glspj_pc$c")
+      spark.sql(s"INSERT INTO $cat.fact SELECT * FROM glspj_pc$c")
+    }
+    (0L until 400L).map(k => (k, k * 2)).toDF("k", "w")
+      .createOrReplaceTempView("glspj_pcd")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM glspj_pcd")
+    val expected = (0 until 3).flatMap(c =>
+      (0L until 400L).map(k => (k + c) + k * 2)).sum
+    withSpj {
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution" +
+          ".enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val prior = keys.map { case (k, _) =>
+        k -> scala.util.Try(spark.conf.get(k)).toOption }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val j = spark.sql(s"SELECT f.v, d.w FROM $cat.fact f " +
+          s"JOIN $cat.dim d ON f.k = d.k")
+        assert(exchanges(j) == 0,
+          "partially-clustered SPJ must stay exchange-free:\n" +
+            j.queryExecution.executedPlan)
+        // the join fans out beyond one task per bucket: count the
+        // output tasks doing real work
+        val busy = j.withColumn("pid",
+          org.apache.spark.sql.functions.spark_partition_id())
+          .groupBy("pid").count().collect().length
+        assert(busy > 4,
+          s"hot buckets should fan out over their files, got $busy tasks")
+        assert(j.collect().map(r => r.getLong(0) + r.getLong(1)).sum ==
+          expected)
+      } finally prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // without the conf the deterministic one-partition-per-value
+    // grouping still answers exactly (q197 stays green)
+    withSpj {
+      val j2 = spark.sql(s"SELECT f.v, d.w FROM $cat.fact f " +
+        s"JOIN $cat.dim d ON f.k = d.k")
+      assert(exchanges(j2) == 0)
+      assert(j2.collect().map(r => r.getLong(0) + r.getLong(1)).sum ==
+        expected)
+    }
+  }
+
   test("streaming fanout router and batch claims agree on exotic identity values") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("region", StringType),
