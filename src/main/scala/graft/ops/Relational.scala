@@ -3168,8 +3168,8 @@ object Relational {
       (p0 >> 32).toInt < (p0 & 0xffffffffL).toInt
     // (2) gen-1 pruning: customer point lookup drops other buckets
     LakeReadScanBuilder.lastPartitionPrune.set(-1L)
-    val pt = spark.sql(s"SELECT round(sum(c_acctbal), 2) AS b " +
-      s"FROM $cat.c WHERE c_custkey = 421").collect()(0)
+    val pt = spark.sql(s"SELECT coalesce(round(sum(c_acctbal), 2), " +
+      s"0.0D) AS b FROM $cat.c WHERE c_custkey = 42").collect()(0)
     val p1 = LakeReadScanBuilder.lastPartitionPrune.get()
     val gen1Pruned = p1 >= 0 &&
       (p1 >> 32).toInt < (p1 & 0xffffffffL).toInt
@@ -3214,8 +3214,8 @@ object Relational {
       |    round(sum(c_acctbal), 2) AS nat5_bal
       |  FROM customer WHERE c_nationkey = 5
       |), pt AS (
-      |  SELECT round(sum(c_acctbal), 2) AS cust421_bal
-      |  FROM customer WHERE c_custkey = 421
+      |  SELECT coalesce(round(sum(c_acctbal), 2), 0.0) AS cust421_bal
+      |  FROM customer WHERE c_custkey = 42
       |), nc AS (
       |  SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust
       |  FROM customer
