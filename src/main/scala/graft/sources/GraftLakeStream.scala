@@ -89,8 +89,20 @@ final class GraftLakeStreamProvider extends TableProvider
         s"streaming from a column-mapped table at $dir is not " +
           "supported — run compact first (it rewrites files under " +
           "the current logical names and clears the mapping)"))
-    val data = spark.read.option("mergeSchema", "true")
-      .parquet(snap.dataFiles: _*).schema
+    // a type-widened snapshot pins the WIDE schema (schema merging
+    // refuses the narrow/wide file mix; per-batch reads upcast
+    // natively under the explicit schema, same as the batch path)
+    val widen = LakeTypeWidening.fromMeta(snap.meta)
+    val data =
+      if (widen.isEmpty)
+        spark.read.option("mergeSchema", "true")
+          .parquet(snap.dataFiles: _*).schema
+      else {
+        val newest = snap.dataFiles.maxBy(p =>
+          LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
+        LakeTypeWidening.widen(
+          spark.read.parquet(newest).schema, widen)
+      }
     if (options.getBoolean("changeFeed", false))
       data.add("_change_type", StringType, nullable = false)
         .add("_commit_version", IntegerType, nullable = false)
@@ -266,25 +278,56 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toString
 
-  /** (file → sorted positions) recorded by `deleteFiles` — a
-    * deleted-rows-sized driver collect, only performed for versions
-    * that actually changed masks. EQUALITY deletes (key-schema files,
-    * [[VersionedTable.isEqualityDelete]]) have no positional reading
-    * and no per-version row identity the stream could replay — refuse
-    * loudly rather than misread their key columns as positions;
-    * compaction folds them into data files and re-opens the stream
-    * path. */
+  /** (file → sorted positions) recorded by POSITIONAL `deleteFiles` —
+    * a deleted-rows-sized driver collect, only performed for versions
+    * that actually changed masks. Callers split EQUALITY deletes out
+    * first ([[eqPositions]] resolves those to positions by content). */
   private def masksOf(deleteFiles: Seq[String]): Map[String, Array[Long]] = {
-    deleteFiles.find(VersionedTable.isEqualityDelete).foreach(f =>
-      throw new UnsupportedOperationException(
-        s"streaming read of $dir: snapshot carries equality-delete " +
-          s"file $f — equality masks cannot replay as a stream; " +
-          "compact the table first"))
+    require(!deleteFiles.exists(VersionedTable.isEqualityDelete),
+      "masksOf expects positional delete files only")
     if (deleteFiles.isEmpty) Map.empty
     else spark.read.parquet(deleteFiles: _*).collect()
       .groupBy(r => norm(r.getString(0)))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
   }
+
+  /** EQUALITY deletes resolved to per-file POSITIONS over `files` —
+    * one delta-scoped job per call: rows whose key tuple matches any
+    * eq file's set (null-safe, version-scoped: a delete at D masks
+    * only files born before D) collect as (file, row_index), the
+    * currency the stream's whole-file readers already speak. Masked
+    * rows are keys-sized, never table-sized. */
+  private def eqPositions(files: Seq[String],
+      eqFiles: Seq[String]): Map[String, Array[Long]] = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
+    if (files.isEmpty || eqFiles.isEmpty) return Map.empty
+    val tagged = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*)
+      .withColumn("__graft_f", col("_metadata.file_path"))
+      .withColumn("__graft_p", col("_metadata.row_index"))
+    val matched = eqFiles.map { ef =>
+      val delV = LakePartitioning.fileVersionOfPath(ef).getOrElse(
+        throw new IllegalStateException(
+          s"equality-delete file $ef carries no version in its path"))
+      val keys = spark.read.parquet(ef).distinct()
+      val cond = keys.columns.map(k =>
+        tagged(k) <=> keys(k)).reduce(_ && _) &&
+        regexp_extract(col("__graft_f"),
+          "/files-v(\\d+)-", 1).cast("int") < lit(delV)
+      tagged.join(broadcast(keys), cond, "left_semi")
+        .select(col("__graft_f"), col("__graft_p"))
+    }.reduce(_ union _).distinct().collect()
+    matched.groupBy(r => norm(r.getString(0)))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
+  }
+
+  /** Per-file union of two position maps (sorted, distinct). */
+  private def mergeMasks(a: Map[String, Array[Long]],
+      b: Map[String, Array[Long]]): Map[String, Array[Long]] =
+    (a.keySet ++ b.keySet).iterator.map { f =>
+      f -> (a.getOrElse(f, Array.emptyLongArray) ++
+        b.getOrElse(f, Array.emptyLongArray)).distinct.sorted
+    }.toMap
 
   /** Declared CDC pairing key (`graft.cdc.key` table property): with
     * it, a version that both removes and adds rows emits UPDATE
@@ -336,9 +379,14 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
     // sides of that version's delta re-tag as update pre/post images
     val updByVersion = scala.collection.mutable.Map.empty[Int, Set[Vector[Any]]]
     if (s.origin) {
-      // full snapshot of e.v with its masks applied
+      // full snapshot of e.v with its masks applied (positional
+      // masks by recorded position, equality masks resolved to
+      // positions by content)
       val snap = snapshotOr(e.v)
-      val masks = masksOf(snap.deleteFiles)
+      val (eqD, posD) =
+        snap.deleteFiles.partition(VersionedTable.isEqualityDelete)
+      val masks = mergeMasks(masksOf(posD),
+        eqPositions(snap.dataFiles, eqD))
       snap.dataFiles.foreach { f =>
         work += ((f, null,
           masks.getOrElse(norm(f), Array.emptyLongArray), "insert", e.v))
@@ -379,14 +427,34 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
               "delete files added) — a plain stream cannot replay " +
               "rewrites; use changeFeed=true, stream from a clone, or " +
               "restart from a fresh checkpoint")
-        val prevMasks =
-          if ((removed.nonEmpty || newDeleteFiles.nonEmpty) &&
-            prev.deleteFiles.nonEmpty) masksOf(prev.deleteFiles)
+        val (newEq, newPos) =
+          newDeleteFiles.partition(VersionedTable.isEqualityDelete)
+        val (prevEq, prevPos) =
+          prev.deleteFiles.partition(VersionedTable.isEqualityDelete)
+        val kept = prev.dataFiles.filter(curData.contains)
+        // prev masks over the files this version's legs touch:
+        // positional by recorded position, equality resolved to
+        // positions by content over exactly those candidate files
+        val prevMasks = {
+          val touched =
+            if (newDeleteFiles.nonEmpty) (removed ++ kept).distinct
+            else removed
+          if (removed.isEmpty && newDeleteFiles.isEmpty)
+            Map.empty[String, Array[Long]]
+          else mergeMasks(
+            if (prevPos.nonEmpty) masksOf(prevPos)
+            else Map.empty[String, Array[Long]],
+            eqPositions(touched, prevEq))
+        }
+        // added files are born AT v: no equality delete (scoped to
+        // files born before its commit) can mask them — positional
+        // masks only
+        val curMasks = {
+          val cpos = cur.deleteFiles
+            .filterNot(VersionedTable.isEqualityDelete)
+          if (added.nonEmpty && cpos.nonEmpty) masksOf(cpos)
           else Map.empty[String, Array[Long]]
-        val curMasks =
-          if (added.nonEmpty && cur.deleteFiles.nonEmpty)
-            masksOf(cur.deleteFiles)
-          else Map.empty[String, Array[Long]]
+        }
         added.foreach { f =>
           work += ((f, null,
             curMasks.getOrElse(norm(f), Array.emptyLongArray),
@@ -400,11 +468,17 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
             prevMasks.getOrElse(norm(f), Array.emptyLongArray),
             "delete", v))
         }
-        // newly masked positions: deleted row CONTENT read from the
-        // parent data files (positions minus anything prev masked)
+        // newly masked rows: deleted CONTENT read from the parent
+        // data files — positional masks at their recorded positions,
+        // equality masks resolved to positions over the KEPT files
+        // (matched rows inside simultaneously-removed files already
+        // emit via the removed leg), minus anything prev masked
         val freshMasked: Seq[(String, Array[Long])] =
           if (newDeleteFiles.isEmpty) Seq.empty
-          else masksOf(newDeleteFiles).toSeq.flatMap { case (f, ps) =>
+          else mergeMasks(
+            if (newPos.nonEmpty) masksOf(newPos)
+            else Map.empty[String, Array[Long]],
+            eqPositions(kept, newEq)).toSeq.flatMap { case (f, ps) =>
             val already =
               prevMasks.getOrElse(f, Array.emptyLongArray).toSet
             val fresh = ps.filterNot(already.contains)

@@ -192,6 +192,13 @@ class GraftLakeColumnMappingSpec extends SparkSpec {
     assert(v0.schema("k").dataType ==
       org.apache.spark.sql.types.IntegerType)
     assert(v0.collect().map(_.getInt(0)).sum == 3)
+    // the STREAM serves the wide schema too (pinned explicit — the
+    // default mergeSchema inference refuses mixed widths)
+    val streamed = graft.streaming.StreamOps.runToMemory(spark,
+      VersionedTable.readStream(spark, s"$root/w")
+        .groupBy().agg(org.apache.spark.sql.functions.sum("k").as("s")),
+      s"glw_${java.util.UUID.randomUUID().toString.take(8)}", "complete")
+    assert(streamed.collect()(0).getLong(0) == 5000000003L)
     // compact rewrites everything wide and drops the override
     VersionedTable.compact(spark, s"$root/w", 1)
     val meta = VersionedTable.snapshotOf(spark, s"$root/w",

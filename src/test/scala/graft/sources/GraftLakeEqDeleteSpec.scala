@@ -118,22 +118,33 @@ class GraftLakeEqDeleteSpec extends SparkSpec {
       .getLong(0) === 10L)
   }
 
-  test("compact folds equality deletes into data files; stream refuses before") {
+  test("compact folds equality deletes; streams apply them as masks / content deltas") {
     import spark.implicits._
     val dir = freshDir()
     VersionedTable.commit(spark,
       (0 until 20).map(i => (i.toLong, i * 10L)).toDF("k", "v"), dir)
     VersionedTable.upsertByKeysMergeOnRead(spark, dir,
       Seq((5L, 555L), (19L, 999L)).toDF("k", "v"), Seq("k"))
-    // a plain stream cannot replay equality masks — loud refusal
-    val ex = intercept[Exception] {
-      graft.streaming.StreamOps.runToMemory(spark,
-        VersionedTable.readStream(spark, dir)
-          .groupBy().agg(count(lit(1)).as("n")),
-        s"eq_refuse_${n.incrementAndGet()}", "complete")
-    }
-    assert(exMessageChain(ex).contains("equality"),
-      s"expected equality-delete refusal, got: ${exMessageChain(ex)}")
+    // a plain stream's ORIGIN snapshot applies equality masks by
+    // content: it delivers exactly the live view
+    val drained = graft.streaming.StreamOps.runToMemory(spark,
+      VersionedTable.readStream(spark, dir)
+        .groupBy().agg(count(lit(1)).as("n"), sum("v").as("s")),
+      s"eq_origin_${n.incrementAndGet()}", "complete").collect()(0)
+    assert(drained.getLong(0) === 20L)
+    assert(drained.getLong(1) ===
+      (0 until 20).map(_ * 10L).sum - 50L - 190L + 555L + 999L)
+    // the CHANGE FEED replays an upsert version as delete CONTENT
+    // (the superseded rows, resolved from keys to rows) + inserts
+    val feed = graft.streaming.StreamOps.runToMemory(spark,
+      VersionedTable.changeFeedStream(spark, dir),
+      s"eq_cdf_${n.incrementAndGet()}", "append")
+    val v1 = feed.filter(col("_commit_version") === 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(feed.columns.indexOf("_change_type")))).sorted.toSeq
+    assert(v1 === Seq((5L, 50L, "delete"), (5L, 555L, "insert"),
+      (19L, 190L, "delete"), (19L, 999L, "insert")), s"v1 feed: $v1")
     val v = VersionedTable.compact(spark, dir, 2)
     val snap = VersionedTable.snapshotOf(spark, dir, v)
     assert(snap.deleteFiles.isEmpty,
@@ -145,12 +156,24 @@ class GraftLakeEqDeleteSpec extends SparkSpec {
     assert(got(4) === ((4L, 40L)))
   }
 
-  private def exMessageChain(e: Throwable): String = {
-    val sb = new StringBuilder
-    var c: Throwable = e
-    while (c != null) { sb.append(Option(c.getMessage).getOrElse(""))
-      .append(" | "); c = c.getCause }
-    sb.toString
+  test("cdc key: an equality upsert's change feed pairs into update images") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.u (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.cdc.key'='k')")
+    spark.sql(s"INSERT INTO $cat.u VALUES (1, 10), (2, 20), (3, 30)")
+    VersionedTable.upsertByKeysMergeOnRead(spark, s"$root/u",
+      Seq((2L, 2222L), (4L, 40L)).toDF("k", "v"), Seq("k"))
+    val feed = graft.streaming.StreamOps.runToMemory(spark,
+      VersionedTable.changeFeedStream(spark, s"$root/u"),
+      s"eq_upd_${n.incrementAndGet()}", "append")
+    val vUp = feed.filter(col("_commit_version") === 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(feed.columns.indexOf("_change_type")))).sorted.toSeq
+    assert(vUp === Seq((2L, 20L, "update_preimage"),
+      (2L, 2222L, "update_postimage"), (4L, 40L, "insert")),
+      s"upsert feed: $vUp")
   }
 
   test("equality + positional masks compose; validation refuses bad keys") {
