@@ -140,17 +140,31 @@ final class GraftLakePartitionsTable(tableName: String, dir: String)
         throw new IllegalArgumentException(
           s"no committed version at $dir"))
       val snap = VersionedTable.snapshotOf(s, dir, v)
+      // SPEC EVOLUTION: each file reports under ITS generation's spec
+      // (per-file binding via birth version), so an evolved table's
+      // layout reads per generation instead of as unrouted debt
+      val history = Option(GraftLakeTable.readProperties(s, dir)
+          .get(LakePartitioning.HistoryProp))
+        .map(LakePartitioning.parseHistory).getOrElse(Seq.empty)
+      def genOf(p: String): Option[Seq[LakePartitioning.Spec]] =
+        if (history.isEmpty) Some(specs)
+        else LakePartitioning.fileVersionOfPath(p).flatMap(fv =>
+          LakePartitioning.specForFileVersion(history, Some(specs), fv))
       def claim(p: String): Option[String] =
-        LakePartitioning.rawValuesOfPath(p, specs.size)
-          .map(_.mkString("/"))
+        genOf(p).flatMap(g =>
+          LakePartitioning.rawValuesOfPath(p, g.size)
+            .map(_.mkString("/")))
+      def specLabel(p: String): String =
+        genOf(p).map(_.map(_.serialized).mkString(","))
+          .getOrElse("unpartitioned")
       val grouped = snap.dataFiles
         // the v-created empty schema carrier has no rows to report
         .filterNot(p => snap.stats.get(p).exists(_.rowCount == 0L) &&
           claim(p).isEmpty)
-        .groupBy(claim)
+        .groupBy(p => (specLabel(p), claim(p)))
       val out = grouped.toSeq
-        .sortBy { case (k, _) => k.getOrElse("￿") }
-        .map { case (value, paths) =>
+        .sortBy { case ((sp, k), _) => (sp, k.getOrElse("￿")) }
+        .map { case ((sp, value), paths) =>
           val rc = paths.map(p => snap.stats.get(p).map(_.rowCount))
           val bytes = paths.map { p =>
             try f.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen
@@ -158,6 +172,7 @@ final class GraftLakePartitionsTable(tableName: String, dir: String)
           }.sum
           InternalRow(
             value.map(UTF8String.fromString).orNull,
+            UTF8String.fromString(sp),
             paths.size,
             if (rc.exists(_.isEmpty)) null
             else java.lang.Long.valueOf(rc.flatten.sum),
@@ -178,6 +193,8 @@ object GraftLakePartitionsTable {
   val Schema: StructType = StructType(Seq(
     StructField("partition", org.apache.spark.sql.types.StringType,
       nullable = true),
+    StructField("spec", org.apache.spark.sql.types.StringType,
+      nullable = false),
     StructField("file_count", IntegerType, nullable = false),
     StructField("row_count", LongType, nullable = true),
     StructField("size_bytes", LongType, nullable = false)))

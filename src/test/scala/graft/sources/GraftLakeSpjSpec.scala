@@ -286,6 +286,17 @@ class GraftLakeSpjSpec extends SparkSpec {
     val p1 = LakeReadScanBuilder.lastPartitionPrune.get()
     assert(p1 >= 0 && (p1 >> 32).toInt < (p1 & 0xffffffffL).toInt,
       s"gen-1 bucket prune should fire, got $p1")
+    // .partitions reports PER GENERATION: identity values under the
+    // old spec, bucket ints under the new one
+    val parts = spark.sql(
+      s"SELECT spec, partition FROM $cat.ev.partitions").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySpec = parts.groupBy(_._1)
+    assert(bySpec.keySet == Set("identity(region)", "bucket(8,k)"),
+      s"generation specs: ${bySpec.keySet}")
+    assert(bySpec("identity(region)").map(_._2).toSet
+      .subsetOf(Set("east", "west", "north")))
+    assert(bySpec("bucket(8,k)").map(_._2).forall(_.forall(_.isDigit)))
     // mixed generations DEGRADE SPJ: a self-join shuffles
     spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, w BIGINT) " +
       "PARTITIONED BY (bucket(8, k))")
@@ -450,8 +461,9 @@ class GraftLakeSpjSpec extends SparkSpec {
     val rows = spark.sql(s"SELECT * FROM $cat.pm.partitions").collect()
     assert(rows.length == 4)
     assert(rows.map(_.getString(0)).toSet == Set("0", "1", "2", "3"))
-    assert(rows.map(_.getLong(2)).sum == 400L)
-    assert(rows.forall(r => r.getInt(1) >= 1 && r.getLong(3) > 0L))
+    assert(rows.map(_.getString(1)).toSet == Set("bucket(4,k)"))
+    assert(rows.map(_.getLong(3)).sum == 400L)
+    assert(rows.forall(r => r.getInt(2) >= 1 && r.getLong(4) > 0L))
     // a foreign non-routing writer (every graft path routes now)
     // shows up as the NULL (layout-debt) row
     val dir = s"/tmp" // placeholder, replaced below
@@ -468,7 +480,7 @@ class GraftLakeSpjSpec extends SparkSpec {
       .collect()
     assert(withDebt.exists(_.isNullAt(0)),
       s"expected a NULL layout-debt row: ${withDebt.mkString("|")}")
-    assert(withDebt.map(_.getLong(2)).sum == 402L)
+    assert(withDebt.map(_.getLong(3)).sum == 402L)
     // refuses on an unpartitioned table
     spark.sql(s"CREATE TABLE $cat.flat (k BIGINT)")
     intercept[UnsupportedOperationException] {
@@ -619,9 +631,10 @@ class GraftLakeSpjSpec extends SparkSpec {
     assert(p2 >= 0 && (p2 >> 32).toInt <= (p1 >> 32).toInt,
       "constraining both levels must keep no more files than one")
     // .partitions reports slash-joined tuples that sum to the count
-    val parts = spark.sql(s"SELECT * FROM $cat.ma.partitions").collect()
+    val parts = spark.sql(
+      s"SELECT partition, row_count FROM $cat.ma.partitions").collect()
     assert(parts.forall(_.getString(0).contains("/")))
-    assert(parts.map(_.getLong(2)).sum == 300L)
+    assert(parts.map(_.getLong(1)).sum == 300L)
     // partition columns are structural at every level
     intercept[UnsupportedOperationException] {
       spark.sql(s"ALTER TABLE $cat.ma RENAME COLUMN g TO h")
@@ -1095,6 +1108,53 @@ class GraftLakeSpjSpec extends SparkSpec {
       assert(sorts(j4) > 0,
         "pre-declaration files must NOT be claimed sorted")
       assert(j4.collect().length == 50)
+    }
+  }
+
+  test("time-transform SPJ: co-partitioned days()/months() tables join exchange-free") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE TABLE $cat.ev (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql(s"CREATE TABLE $cat.wx (ts TIMESTAMP_NTZ, w BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    val rows = for (d <- 5 to 8; h <- 0 until 4)
+      yield (s"2024-03-0${d}T0$h:00:00", (d * 10 + h).toLong)
+    rows.toDF("s", "v")
+      .select(to_timestamp_ntz(col("s")).as("ts"), col("v"))
+      .createOrReplaceTempView("glspj_tev")
+    rows.toDF("s", "w")
+      .select(to_timestamp_ntz(col("s")).as("ts"),
+        (col("w") * 2).as("w"))
+      .createOrReplaceTempView("glspj_twx")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM glspj_tev")
+    spark.sql(s"INSERT INTO $cat.wx SELECT * FROM glspj_twx")
+    withSpj {
+      // the timestamp equi-join: equal ts ⇒ same day partition, so
+      // the days() transform co-locates every match
+      val j = spark.sql(s"SELECT e.v, x.w FROM $cat.ev e " +
+        s"JOIN $cat.wx x ON e.ts = x.ts")
+      assert(exchanges(j) == 0,
+        "days() SPJ should plan no exchange:\n" +
+          j.queryExecution.executedPlan)
+      assert(j.collect().map(r => r.getLong(1) - 2 * r.getLong(0)).sum
+        == 0L)
+      assert(j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).contains("Join"))
+    }
+    // months() co-partitioning joins exchange-free too
+    spark.sql(s"CREATE TABLE $cat.ma (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"CREATE TABLE $cat.mb (ts TIMESTAMP_NTZ, w BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"INSERT INTO $cat.ma SELECT * FROM glspj_tev")
+    spark.sql(s"INSERT INTO $cat.mb SELECT * FROM glspj_twx")
+    withSpj {
+      val j2 = spark.sql(s"SELECT a.v, b.w FROM $cat.ma a " +
+        s"JOIN $cat.mb b ON a.ts = b.ts")
+      assert(exchanges(j2) == 0,
+        "months() SPJ should plan no exchange")
+      assert(j2.collect().length == rows.length)
     }
   }
 
