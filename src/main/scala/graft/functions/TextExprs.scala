@@ -153,16 +153,8 @@ final case class PolyHashMod(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"poly_hash_mod requires a string input, got ${child.dataType.catalogString}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
-    var h = 0L
-    var i = 0
-    while (i < cps.length) {
-      h = (h * 31L + cps(i).toLong) % 2147483647L
-      i += 1
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashMod.hash(input.asInstanceOf[UTF8String].toString)
 
   override protected def withNewChildInternal(newChild: Expression): PolyHashMod =
     copy(child = newChild)
@@ -171,6 +163,19 @@ final case class PolyHashMod(child: Expression)
 object PolyHashMod {
   def apply(text: Column): Column =
     ColumnBridge.column(PolyHashMod(ColumnBridge.expression(text)))
+
+  /** The scalar form (shared with driver-side probe sites, e.g. the
+    * manifest-bloom string probes). */
+  def hash(s: String): Long = {
+    val cps = s.codePoints().toArray
+    var h = 0L
+    var i = 0
+    while (i < cps.length) {
+      h = (h * 31L + cps(i).toLong) % 2147483647L
+      i += 1
+    }
+    h
+  }
 }
 
 /** Rolling K-token window hashes over a token array, in ONE pass: each

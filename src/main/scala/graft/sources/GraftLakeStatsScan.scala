@@ -223,11 +223,17 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     * files re-earn theirs at compaction). Returns DECODED paths. */
   private def bloomDropped: Set[String] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
+    // probe values normalize to the bitset's key domain: integrals
+    // as-is, strings through the same engine-agnostic PolyHashMod the
+    // build used (base-31 codepoint polynomial mod 2^31-1)
     def asLong(v: Any): Option[Long] = v match {
       case i: Int => Some(i.toLong)
       case l: Long => Some(l)
       case s: Short => Some(s.toLong)
       case b: Byte => Some(b.toLong)
+      case u: UTF8String =>
+        Some(graft.functions.PolyHashMod.hash(u.toString))
+      case s: String => Some(graft.functions.PolyHashMod.hash(s))
       case _ => None
     }
     val probes: Seq[(String, Seq[Long])] = catalystFilters.flatMap {

@@ -394,21 +394,31 @@ object VersionedTable {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => f.name
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => f
         case other => throw new IllegalArgumentException(
-          s"graft.bloom.columns supports integral keys only; '$c' is " +
-            other.catalogString)
+          s"graft.bloom.columns supports integral and string keys; " +
+            s"'$c' is ${other.catalogString}")
       }
     }
-    val aggs = cols.map(c => graft.functions.BloomSketch
-      .build(col(c).cast("long"), mBits, 7).as(c))
+    // string keys enter the bitset through the engine-agnostic
+    // PolyHashMod (base-31 codepoint polynomial mod 2^31-1 — the same
+    // hash the bucket transform and the read-side probe use)
+    val aggs = cols.map { f =>
+      val key = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          graft.functions.PolyHashMod(col(f.name))
+        case _ => col(f.name).cast("long")
+      }
+      graft.functions.BloomSketch.build(key, mBits, 7).as(f.name)
+    }
     val byFile = df
       .groupBy(col("_metadata.file_path").as("__graft_bf"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => new Path(r.getString(0)).toString ->
         cols.zipWithIndex.flatMap { case (c, i) =>
-          Option(r.get(i + 1)).map(c -> _.asInstanceOf[Array[Byte]])
+          Option(r.get(i + 1)).map(c.name -> _.asInstanceOf[Array[Byte]])
         }.toMap)
       .toMap
     stats.map { case (p, fs) =>

@@ -277,11 +277,28 @@ class GraftLakeStatsSpec extends SparkSpec {
     val fs = snap.stats(bloomed.head)
     val back = LakeFileStats.fromJson(LakeFileStats.toJson(fs)).get
     assert(back.blooms("k").toSeq == fs.blooms("k").toSeq)
-    // a declared non-integral bloom column refuses at the first
+    // STRING keys bloom through the engine-agnostic PolyHashMod
+    spark.sql(s"CREATE TABLE $cat.sb (email STRING, v BIGINT) " +
+      "TBLPROPERTIES('graft.bloom.columns'='email')")
+    (0L until 3000L).map(i => (s"user$i@example.com", i))
+      .toDF("email", "v").repartition(6, col("v") % 5)
+      .createOrReplaceTempView("glbl_src2")
+    spark.sql(s"INSERT INTO $cat.sb SELECT * FROM glbl_src2")
+    LakeReadScanBuilder.lastBloomPrune.set(-1L)
+    assert(spark.sql(
+      s"SELECT v FROM $cat.sb WHERE email = 'user777@example.com'")
+      .collect().map(_.getLong(0)).toSeq == Seq(777L))
+    val ps = LakeReadScanBuilder.lastBloomPrune.get()
+    assert(ps >= 0 && (ps >> 32).toInt < (ps & 0xffffffffL).toInt,
+      s"string bloom prune should fire, got $ps")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.sb WHERE email = 'ghost@nowhere'")
+      .collect()(0).getLong(0) == 0L)
+    // a declared unsupported-type bloom column refuses at the first
     // commit (CREATE's schema carrier)
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.bad (s STRING) " +
-        "TBLPROPERTIES('graft.bloom.columns'='s')")
+      spark.sql(s"CREATE TABLE $cat.bad (d DOUBLE) " +
+        "TBLPROPERTIES('graft.bloom.columns'='d')")
     }
   }
 }
