@@ -295,8 +295,11 @@ final class GraftLakeFilesTable(tableName: String, dir: String)
             st.map(x => UTF8String.fromString(
               LakeFileStats.toJson(x))).orNull)
         }
+      val (eqDel, posDel) = snap.deleteFiles
+        .partition(VersionedTable.isEqualityDelete)
       val all = (rowsFor(snap.dataFiles, "data") ++
-        rowsFor(snap.deleteFiles, "delete")).toArray
+        rowsFor(posDel, "position-delete") ++
+        rowsFor(eqDel, "equality-delete")).toArray
       new org.apache.spark.sql.connector.read.LocalScan {
         override def rows(): Array[InternalRow] = all
         override def readSchema(): StructType =

@@ -176,6 +176,46 @@ class GraftLakeEqDeleteSpec extends SparkSpec {
       s"upsert feed: $vUp")
   }
 
+  test("row-level MERGE over an eq-masked table reads live rows and carries masks") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 10 FROM range(0, 10)")
+    // eq-upsert kills k=3's original row in-place
+    VersionedTable.upsertByKeysMergeOnRead(spark, s"$root/t",
+      Seq((3L, 333L)).toDF("k", "v"), Seq("k"))
+    // the `.files` metadata table labels the delete kinds
+    val kinds0 = spark.sql(s"SELECT content, count(*) FROM " +
+      s"$cat.t.files GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds0.contains("equality-delete"), s"kinds: $kinds0")
+    // MERGE must see the LIVE view (333, not 30) and never resurrect
+    Seq((3L, 1L), (4L, 1L)).toDF("k", "d")
+      .createOrReplaceTempView("gleq_m")
+    spark.sql(s"MERGE INTO $cat.t AS t USING gleq_m AS s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.d")
+    val got = spark.sql(s"SELECT k, v FROM $cat.t WHERE k IN (3, 4)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((3L, 334L), (4L, 41L)), s"got $got")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t")
+      .collect()(0).getLong(0) === 10L)
+    // a full-rewrite MERGE (every file touched) correctly DROPS the
+    // masks: the rewrite read the live view, nothing resurrects
+    val afterMerge = VersionedTable.snapshotOf(spark, s"$root/t",
+      VersionedTable.latestVersion(spark, s"$root/t").get)
+    assert(afterMerge.deleteFiles.isEmpty)
+    // compact; vacuum reclaims the superseded eq-delete files
+    VersionedTable.compact(spark, s"$root/t", 1)
+    val reclaimed = VersionedTable.vacuum(spark, s"$root/t", keep = 1,
+      graceMs = 0L).size
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.t").collect()(0)
+      .getLong(0) === (0 until 10).map(_ * 10L).sum - 30 + 334 + 1)
+    val live = VersionedTable.snapshotOf(spark, s"$root/t",
+      VersionedTable.latestVersion(spark, s"$root/t").get)
+    assert(live.deleteFiles.isEmpty)
+    assert(reclaimed > 0, "vacuum should reclaim superseded files")
+  }
+
   test("equality + positional masks compose; validation refuses bad keys") {
     import spark.implicits._
     val dir = freshDir()
