@@ -34,6 +34,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Total JVM GC time so far, in seconds — per-query deltas make
+      * ambient memory pressure MEASURABLE in the artifact instead of
+      * argued after the fact (a query whose wall time doubles while
+      * its GC delta explodes was a degraded sweep, not a plan
+      * regression). */
+    def gcSeconds(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
+
     /** One untimed warm run, then median of 3. On failure, report the
       * seconds burned so far (a failed query should stand out, not melt
       * into the sum as 0). */
@@ -47,6 +58,33 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           (System.nanoTime() - t0) / 1e9
       }
+    }
+
+    /** IO CANARY: raw sequential read of a fixed parquet payload
+      * (java stream, no Spark, no parsing) — start-vs-end drift
+      * flags in-sweep IO/page-cache degradation the CPU canary is
+      * blind to (the r12–r14 ambient-drift diagnosis, made
+      * measurable). Returns seconds per readthrough, median of 3. */
+    def ioCanary(): Double = {
+      val dir = new java.io.File(s"$sfDir/lineitem.parquet")
+      val files = Option(dir.listFiles())
+        .getOrElse(Array(new java.io.File(s"$sfDir/lineitem.parquet")))
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      def readAll(): Long = {
+        val buf = new Array[Byte](1 << 20)
+        var total = 0L
+        files.foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { total += n; n = in.read(buf) }
+          } finally in.close()
+        }
+        total
+      }
+      readAll() // warm (page cache state equalized across rounds)
+      Seq.fill(3)(timed(() => { readAll(); () })).sorted.apply(1)
     }
 
     // JVM-wide warm-up before any per-query timing
@@ -104,10 +142,41 @@ object Bench {
         }.getOrElse(Map.empty)
     }
 
+    // CPU canary definition moved up: it now also samples DURING the
+    // sweep (every ~50 entries), so in-sweep interference is visible
+    // in the artifact itself, not just end-of-run.
+    def canaryRun(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 400000000L) {
+        var z = (acc ^ i) + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        acc = z ^ (z >>> 31)
+        i += 1L
+      }
+      if (acc == 42L) System.err.println("canary collision") // defeat DCE
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val ioStart = ioCanary()
+    val midCanaries = scala.collection.mutable.ListBuffer
+      .empty[(Int, Double)]
+    val gcLog = scala.collection.mutable.ListBuffer
+      .empty[(String, Double)]
     val rerunLog = scala.collection.mutable.ListBuffer
       .empty[(String, Double, Double)]
+    var entryIdx = 0
     val results = entries.map { case (name, run) =>
+      entryIdx += 1
+      if (entryIdx % 50 == 0) midCanaries += ((entryIdx, canaryRun()))
+      val gc0 = gcSeconds()
       var t = medianOf3(name, run)
+      val gcDelta = gcSeconds() - gc0
+      // only report NOTABLE GC (>0.2 s over warm+3 runs): the tail
+      // line must stay parseable, not drown in 260 near-zero entries
+      if (gcDelta > 0.2) gcLog += ((name, gcDelta))
       // Outlier self-defense: an entry reading >3x its previous-round
       // record (and above the 1 s noise floor) re-measures ONCE,
       // isolated (caches cleared), in the same process — both readings
@@ -131,27 +200,17 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       name -> t
     }
-    // Machine-speed CANARY: a fixed CPU-bound splitmix64 loop (no IO,
-    // no allocation, cache-resident, single thread), median of 3.
-    // Three rounds running (r10 q135, r11 q127, r12 whole-run ~1.2-1.4x)
-    // the official record needed hand adjudication against ambient
-    // container drift; dividing cross-round totals by the canary ratio
-    // normalizes that away. ~1s on a quiet machine.
-    def canaryRun(): Double = {
-      val t0 = System.nanoTime()
-      var acc = 0L
-      var i = 0L
-      while (i < 400000000L) {
-        var z = (acc ^ i) + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        acc = z ^ (z >>> 31)
-        i += 1L
-      }
-      if (acc == 42L) System.err.println("canary collision") // defeat DCE
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Machine-speed CANARY (end-of-sweep official reading): a fixed
+    // CPU-bound splitmix64 loop (no IO, no allocation, cache-resident,
+    // single thread), median of 3. Three rounds running (r10 q135,
+    // r11 q127, r12 whole-run ~1.2-1.4x) the official record needed
+    // hand adjudication against ambient container drift; dividing
+    // cross-round totals by the canary ratio normalizes that away.
+    // ~1s on a quiet machine. The io canary + mid-sweep cpu samples
+    // above catch what this end-of-run reading cannot: interference
+    // that came and went DURING the sweep.
     val canary = Seq.fill(3)(canaryRun()).sorted.apply(1)
+    val ioEnd = ioCanary()
     val machineRatio = prevRecord.get("canary")
       .filter(_ > 0).map(canary / _)
 
@@ -177,7 +236,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val ratioField = machineRatio
       .map(r => f""","machine_ratio":$r%.3f""").getOrElse("")
-    println(f"""{"watch":$watch,"rerun":$rerun,"canary":$canary%.3f$ratioField,"total":$total%.3f}""")
+    val gcField = gcLog.map { case (k, s) =>
+      "\"" + k + f"""\":$s%.3f""" }.mkString("{", ",", "}")
+    val midField = midCanaries.map { case (at, s) =>
+      f"""{"after":$at,"sec":$s%.3f}""" }.mkString("[", ",", "]")
+    println(f"""{"watch":$watch,"rerun":$rerun,"gc_sec":$gcField,""" +
+      f""""cpu_mid":$midField,"io_canary":{"start":$ioStart%.3f,""" +
+      f""""end":$ioEnd%.3f},"canary":$canary%.3f$ratioField,""" +
+      f""""total":$total%.3f}""")
     spark.stop()
   }
 }

@@ -1,11 +1,13 @@
 package graft.sources
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Catalog scan for a snapshot carrying MERGE-ON-READ delete files
@@ -16,9 +18,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * parquet (predicate pushdown is the only thing that makes the
   * reader skip rows), so each partition yields every row of its file
   * in file order and a running counter IS the row's position, the
-  * same 0-based file position the delete files record. The reader
-  * then walks its file's sorted delete positions merge-join style:
-  * O(1) per row, no lookup structure per row, masks applied
+  * same 0-based file position the delete files record. Each
+  * partition carries only ITS file's positions, as a roaring-style
+  * compressed bitmap ([[PositionBitmap]] — ~2 B/position sparse,
+  * ≤ 8 KiB per 64 Ki rows dense) probed O(1) per row; masks apply
   * per-partition with zero joins or shuffles — the DV read shape.
   * Filters the optimizer wanted pushed are simply left for the
   * post-scan Filter node (rows are masked first, then filtered — the
@@ -26,7 +29,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * footer-count would count masked rows. Column pruning still
   * delegates (dropping columns never drops rows). Compact the table
   * to return to the full pushdown stack — DV chains are a
-  * between-compactions state, not a resting state. */
+  * between-compactions state, not a resting state.
+  *
+  * EQUALITY deletes ship scale-shaped: key tuples load ONCE on the
+  * driver (bounded by `spark.graft.lake.eqDelete.maxKeys` — beyond
+  * the budget the scan refuses and tells you to compact, so driver
+  * memory is bounded by contract, not hope), are hashed into
+  * [[UnsafeRow]] sets, and reach executors through a SINGLE
+  * `SparkContext.broadcast` — one ship per executor, NOT a copy in
+  * every task closure, so task-launch bytes stay independent of both
+  * file count and key count (each [[DvInputPartition]] carries only
+  * the INDICES of the deletes that apply to its file). The per-row
+  * probe is an `UnsafeProjection` of the key ordinals hashed against
+  * the set — byte comparison, zero boxing (null-safe by the unsafe
+  * format's null bitset, matching the `<=>` write-side contract). */
 final class GraftLakeDvScanBuilder(table: ParquetTable,
     tableSchema: StructType, deleteFiles: Seq[String],
     options: CaseInsensitiveStringMap,
@@ -65,30 +81,51 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
   }
 
   override def build(): Scan = {
-    // load the masks once, driver-side; deleted-rows/keys-sized by
-    // construction (or the table is due a compact)
-    val positions: Map[String, Array[Long]] =
+    // load the positional masks once, driver-side, straight into
+    // compressed bitmaps; deleted-rows-sized by construction (or the
+    // table is due a compact)
+    val positions: Map[String, PositionBitmap] =
       if (posFiles.isEmpty) Map.empty
       else spark.read
         .parquet(posFiles: _*)
         .collect()
         .groupBy(_.getString(0))
         .map { case (f, rows) =>
-          f -> rows.map(_.getLong(1)).distinct.sorted
+          f -> PositionBitmap.of(rows.iterator.map(_.getLong(1)))
         }
+    // DRIVER-MEMORY BUDGET before any key materializes: footer row
+    // counts (one metadata read per delete file) bound what collect()
+    // would pull; a table past the budget must compact (or CALL
+    // system.convert_deletes) — refusal beats an OOM'd driver.
+    if (eqFiles.nonEmpty) {
+      val budget = GraftLakeDvScan.eqKeyBudget(spark)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val totalKeys =
+        eqFiles.map(f => LakeFileStats.read(f, conf).rowCount).sum
+      if (totalKeys > budget) throw new IllegalStateException(
+        s"outstanding equality-delete keys ($totalKeys) exceed " +
+          s"${GraftLakeDvScan.EqKeyBudgetConf}=$budget — CALL " +
+          "system.compact or system.convert_deletes first (driver " +
+          "memory for the key sets is bounded by contract)")
+    }
     // equality deletes: each file's parquet schema IS its key set;
-    // keys load in INTERNAL form (UTF8String / epoch ints) so the
-    // reader compares without conversion. Applicability is by
-    // sequence: a delete born at version D masks files born BEFORE D.
+    // keys load in INTERNAL form and hash as UnsafeRows so the
+    // executor probe is a byte compare, never a boxed tuple.
+    // Applicability is by sequence: a delete born at version D masks
+    // files born BEFORE D.
     val eqDeletes: Seq[EqDelete] = eqFiles.map { f =>
       val df = spark.read.parquet(f).distinct()
       val delV = LakePartitioning.fileVersionOfPath(f).getOrElse(
         throw new IllegalStateException(
           s"equality-delete file $f carries no version in its path"))
       val types = df.schema.fields.map(_.dataType)
-      val keys = df.queryExecution.toRdd.map(_.copy()).collect()
-        .map(r => types.indices.map(i => r.get(i, types(i))).toVector)
-        .toSet
+      val proj = UnsafeProjection.create(types)
+      val keys = new java.util.HashSet[UnsafeRow]()
+      // executor-side copy: the scan iterator REUSES its row buffer,
+      // so uncopied rows all alias the partition's last row
+      df.queryExecution.toRdd.map(_.copy()).toLocalIterator.foreach { r =>
+        keys.add(proj(r).copy())
+      }
       EqDelete(delV, df.columns.toSeq, types.toSeq, keys)
     }
     new GraftLakeDvScan(inner.build(), positions, totalRows,
@@ -96,15 +133,37 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
   }
 }
 
+private[sources] object GraftLakeDvScan {
+  /** Hard cap on equality-delete keys a scan may materialize on the
+    * driver (and broadcast). Past it the scan REFUSES with a
+    * compact-first error: an equality-delete chain is a
+    * between-compactions state, and the budget is what makes that a
+    * contract instead of advice. */
+  val EqKeyBudgetConf = "spark.graft.lake.eqDelete.maxKeys"
+  val EqKeyBudgetDefault = 4000000L
+
+  def eqKeyBudget(spark: SparkSession): Long =
+    spark.conf.getOption(EqKeyBudgetConf).map(_.toLong)
+      .getOrElse(EqKeyBudgetDefault)
+}
+
 /** One equality-delete file, driver-loaded: masks every key tuple in
-  * `keys` on data files born before `version`. */
+  * `keys` (hashed UnsafeRows over `types`) on data files born before
+  * `version`. */
 private[sources] final case class EqDelete(version: Int,
     cols: Seq[String],
-    types: Seq[org.apache.spark.sql.types.DataType],
-    keys: Set[Vector[Any]]) extends Serializable
+    types: Seq[DataType],
+    keys: java.util.HashSet[UnsafeRow]) extends Serializable
+
+/** The resolved, executor-facing form of all of a scan's equality
+  * deletes — ONE broadcast value for the whole scan. */
+private[sources] final case class ResolvedEqDeletes(
+    ordinals: Array[Array[Int]],
+    types: Array[Array[DataType]],
+    keys: Array[java.util.HashSet[UnsafeRow]]) extends Serializable
 
 final class GraftLakeDvScan(inner: Scan,
-    deletes: Map[String, Array[Long]],
+    deletes: Map[String, PositionBitmap],
     totalRows: Option[Long] = None,
     eqDeletes: Seq[EqDelete] = Seq.empty,
     projectTo: Option[StructType] = None) extends Scan
@@ -114,7 +173,7 @@ final class GraftLakeDvScan(inner: Scan,
     projectTo.getOrElse(inner.readSchema())
 
   override def description(): String =
-    s"GraftLakeDvScan(masked=${deletes.valuesIterator.map(_.length).sum}" +
+    s"GraftLakeDvScan(masked=${deletes.valuesIterator.map(_.cardinality).sum}" +
       (if (eqDeletes.isEmpty) ")"
        else s", eqKeys=${eqDeletes.map(_.keys.size).sum})")
 
@@ -127,7 +186,7 @@ final class GraftLakeDvScan(inner: Scan,
     * table) the delegate's estimate passes through unchanged. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val masked = deletes.valuesIterator.map(_.length.toLong).sum
+    val masked = deletes.valuesIterator.map(_.cardinality).sum
     val baseBytes: java.util.OptionalLong = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
         s.estimateStatistics().sizeInBytes()
@@ -152,11 +211,14 @@ final class GraftLakeDvScan(inner: Scan,
     val ib = inner.toBatch
     new Batch {
       /** One WHOLE file per partition: position = row counter. Each
-        * partition carries ONLY its own file's delete positions —
+        * partition carries ONLY its own file's delete bitmap —
         * resolved here at plan time (the driver already holds the
-        * whole map), so the task closure ships a slice proportional
-        * to that file's masked rows, not the table's, and the reader
-        * never scans other files' positions. */
+        * whole map), so the task closure ships a mask proportional
+        * to that file's masked rows (compressed), not the table's,
+        * and the reader never scans other files' positions. The
+        * equality-delete key sets ship once, via broadcast; each
+        * partition carries only the INDICES of the deletes that
+        * APPLY to its file (born before the delete's version). */
       override def planInputPartitions(): Array[InputPartition] = {
         val files = ib.planInputPartitions().toSeq.flatMap {
           case fp: FilePartition => fp.files
@@ -169,8 +231,7 @@ final class GraftLakeDvScan(inner: Scan,
           new org.apache.hadoop.fs.Path(f).toString -> ps
         }
         // equality keys resolve to ordinals in the INNER read schema
-        // here at plan time; each partition ships only the deletes
-        // that APPLY to its file (born before the delete's version)
+        // here at plan time
         val innerSchema = inner.readSchema()
         def ordinal(c: String): Int = {
           val i = innerSchema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
@@ -179,8 +240,6 @@ final class GraftLakeDvScan(inner: Scan,
               innerSchema.fieldNames.mkString("(", ",", ")"))
           i
         }
-        val resolved = eqDeletes.map(e =>
-          (e.version, e.cols.map(ordinal).toArray, e.types.toArray, e.keys))
         val projection = projectTo.map(p =>
           p.fieldNames.map(ordinal).toSeq)
         files
@@ -191,30 +250,56 @@ final class GraftLakeDvScan(inner: Scan,
               length = splits.head.fileSize)
             val key = new org.apache.hadoop.fs.Path(path).toString
             val born = LakePartitioning.fileVersionOfPath(key)
-            val applicable = resolved.filter { case (dv, _, _, _) =>
-              born.exists(_ < dv)
-            }
+            val applicable = eqDeletes.indices.filter(j =>
+              born.exists(_ < eqDeletes(j).version)).toArray
             new DvInputPartition(FilePartition(i, Array(whole)),
-              byKey.getOrElse(key, Array.emptyLongArray),
+              byKey.getOrElse(key, EmptyMask),
               applicable, projection): InputPartition
           }.toArray
       }
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        // ONE broadcast for all of the scan's equality-delete keys —
+        // the factory's broadcast handle serializes as a reference,
+        // so the value ships once per executor regardless of task
+        // count. Created here (not per partition) and only when
+        // equality deletes exist at all.
+        val resolvedEq: Option[Broadcast[ResolvedEqDeletes]] =
+          if (eqDeletes.isEmpty) None
+          else {
+            val innerSchema = inner.readSchema()
+            def ordinal(c: String): Int = {
+              val i = innerSchema.fieldNames
+                .indexWhere(_.equalsIgnoreCase(c))
+              if (i < 0) throw new IllegalStateException(
+                s"equality-delete key '$c' missing from the read " +
+                  "schema " +
+                  innerSchema.fieldNames.mkString("(", ",", ")"))
+              i
+            }
+            val resolved = ResolvedEqDeletes(
+              eqDeletes.map(_.cols.map(ordinal).toArray).toArray,
+              eqDeletes.map(_.types.toArray).toArray,
+              eqDeletes.map(_.keys).toArray)
+            Some(SparkSession.active.sparkContext.broadcast(resolved))
+          }
         new DvReaderFactory(ib.createReaderFactory(),
-          projectTo, inner.readSchema())
+          projectTo, inner.readSchema(), resolvedEq)
+      }
     }
   }
+
+  private val EmptyMask = new PositionBitmap
 }
 
-/** A whole-file partition plus exactly ITS delete positions (sorted)
-  * and the equality deletes that apply to its file (each as resolved
-  * key ordinals + types + the key-tuple set), plus the output
-  * projection when the read widened for equality keys. */
+/** A whole-file partition plus exactly ITS positional delete bitmap
+  * and the INDICES (into the scan's broadcast [[ResolvedEqDeletes]])
+  * of the equality deletes that apply to its file, plus the output
+  * projection when the read widened for equality keys. Deliberately
+  * carries NO key material — closure size is independent of key and
+  * file counts (spec-pinned). */
 private[sources] final class DvInputPartition(val file: FilePartition,
-    val positions: Array[Long],
-    val eq: Seq[(Int, Array[Int],
-      Array[org.apache.spark.sql.types.DataType], Set[Vector[Any]])] =
-      Seq.empty,
+    val mask: PositionBitmap,
+    val eqIdx: Array[Int] = Array.emptyIntArray,
     val projection: Option[Seq[Int]] = None) extends InputPartition {
   override def preferredLocations(): Array[String] =
     file.preferredLocations()
@@ -222,7 +307,8 @@ private[sources] final class DvInputPartition(val file: FilePartition,
 
 private final class DvReaderFactory(inner: PartitionReaderFactory,
     projectTo: Option[StructType] = None,
-    innerSchema: StructType = new StructType())
+    innerSchema: StructType = new StructType(),
+    eqBroadcast: Option[Broadcast[ResolvedEqDeletes]] = None)
     extends PartitionReaderFactory {
 
   // masking happens row-wise; never hand out raw columnar batches
@@ -232,8 +318,25 @@ private final class DvReaderFactory(inner: PartitionReaderFactory,
       p: InputPartition): PartitionReader[InternalRow] = {
     val dv = p.asInstanceOf[DvInputPartition]
     val r = inner.createReader(dv.file)
-    val masked: Array[Long] = dv.positions
-    val eqDels = dv.eq
+    val mask = dv.mask
+    // executor-side: pull the broadcast value (one per executor) and
+    // compile an UnsafeProjection per applicable delete — the probe
+    // is projection + hash-set lookup on bytes, no per-row boxing
+    val probes: Array[(UnsafeProjection, java.util.HashSet[UnsafeRow])] =
+      eqBroadcast match {
+        case Some(bc) if dv.eqIdx.nonEmpty =>
+          val all = bc.value
+          dv.eqIdx.map { j =>
+            val ords = all.ordinals(j)
+            val types = all.types(j)
+            val proj = UnsafeProjection.create(
+              ords.toIndexedSeq.zip(types).map { case (o, t) =>
+                BoundReference(o, t, nullable = true)
+              })
+            (proj, all.keys(j))
+          }
+        case _ => Array.empty
+      }
     val projector = (projectTo, dv.projection) match {
       case (Some(schema), Some(ords)) =>
         val pr = org.apache.spark.sql.catalyst.ProjectingInternalRow(
@@ -243,24 +346,24 @@ private final class DvReaderFactory(inner: PartitionReaderFactory,
     }
     new PartitionReader[InternalRow] {
       private var pos = -1L
-      private var di = 0
       private var current: InternalRow = _
 
-      private def eqMasked(row: InternalRow): Boolean =
-        eqDels.exists { case (_, ords, types, keys) =>
-          val tuple = Vector.tabulate(ords.length)(i =>
-            row.get(ords(i), types(i)))
-          keys.contains(tuple)
+      private def eqMasked(row: InternalRow): Boolean = {
+        var i = 0
+        while (i < probes.length) {
+          val (proj, keys) = probes(i)
+          if (keys.contains(proj(row))) return true
+          i += 1
         }
+        false
+      }
 
       override def next(): Boolean = {
         while (r.next()) {
           pos += 1
-          if (di < masked.length && masked(di) == pos) {
-            di += 1 // positionally masked: skip
-          } else {
+          if (!mask.contains(pos)) {
             val row = r.get()
-            if (eqDels.isEmpty || !eqMasked(row)) {
+            if (probes.isEmpty || !eqMasked(row)) {
               current = projector match {
                 case Some(pr) => pr.project(row); pr
                 case None => row

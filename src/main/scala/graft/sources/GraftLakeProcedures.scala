@@ -29,7 +29,7 @@ private[sources] object GraftLakeProcedures {
 
   val names: Seq[String] = Seq("compact", "vacuum", "restore", "clone",
     "create_tag", "drop_tag", "create_branch", "drop_branch",
-    "fast_forward")
+    "fast_forward", "convert_deletes")
 
   /** `resolveDir` maps a procedure's table argument ('t' or 'ns.t',
     * catalog-relative) to the table directory, failing loudly on a
@@ -47,6 +47,7 @@ private[sources] object GraftLakeProcedures {
       case "create_branch" => Some(CreateBranchProc(resolveDir))
       case "drop_branch" => Some(DropBranchProc(resolveDir))
       case "fast_forward" => Some(FastForwardProc(resolveDir))
+      case "convert_deletes" => Some(ConvertDeletesProc(resolveDir))
       case _ => None
     }
 
@@ -97,6 +98,34 @@ private[sources] object GraftLakeProcedures {
         StructType(Seq(StructField("version", DataTypes.IntegerType),
           StructField("data_files", DataTypes.IntegerType))),
         InternalRow(v, files)))
+    }
+  }
+
+  private final case class ConvertDeletesProc(
+      resolveDir: String => String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "convert_deletes"
+    override def description(): String =
+      "convert_deletes(table): fold outstanding equality-delete " +
+        "files into one positional delete file (compressed-bitmap " +
+        "masks) without rewriting any data file — the maintenance " +
+        "that keeps a busy CDC table's delete chain scan-cheap " +
+        "between full compactions"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", DataTypes.StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = resolveDir(input.getUTF8String(0).toString)
+      val before = VersionedTable.latestVersion(spark, dir)
+        .map(v => VersionedTable.snapshotOf(spark, dir, v)
+          .deleteFiles.count(VersionedTable.isEqualityDelete))
+        .getOrElse(0)
+      val v = VersionedTable.convertEqDeletes(spark, dir)
+      one(ResultScan(
+        StructType(Seq(StructField("version", DataTypes.IntegerType),
+          StructField("folded_eq_files", DataTypes.IntegerType))),
+        InternalRow(v, before)))
     }
   }
 

@@ -1118,6 +1118,74 @@ object VersionedTable {
       snap.meta, op = "delete")
   }
 
+  /** FOLD EQUALITY DELETES INTO POSITIONAL MASKS (Iceberg's
+    * `rewrite_position_delete_files` / convert-equality-deletes
+    * maintenance): resolve every outstanding equality-delete key
+    * against the data files it applies to, record the matching
+    * (file, position) pairs as ONE positional delete file, and
+    * publish a snapshot that references the SAME data files with the
+    * equality files dropped — O(matches) written, zero data rewrite.
+    * The point at 100 TB: a busy CDC table accumulates key-sized
+    * equality masks whose DRIVER-side resolution cost grows with key
+    * count ([[GraftLakeDvScanBuilder]]'s budget refuses past the
+    * contract); folding converts them to position bitmaps —
+    * compressed, per-file, probe-O(1) — WITHOUT the full compact
+    * rewrite. Matching runs as broadcast SEMI joins over the raw
+    * scan (keys are tiny next to data: map-side, no data shuffle),
+    * scoped by birth version exactly like the read path. Returns the
+    * new version. */
+  def convertEqDeletes(spark: SparkSession, dir: String): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
+    val v = headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $dir"))
+    val snap = snapshotOf(spark, dir, v)
+    val (eqDels, posDels) = snap.deleteFiles.partition(isEqualityDelete)
+    if (eqDels.isEmpty) return v // nothing to fold
+    val newV = nextVersion(spark, dir)
+    // raw scan with (file, position); rows ALREADY positionally
+    // masked need no re-recording (apply is idempotent, but the fold
+    // should stay matches-sized) — subtract the existing masks first
+    val tagged = spark.read.option("mergeSchema", "true")
+      .parquet(snap.dataFiles: _*)
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+    val live =
+      if (posDels.isEmpty) tagged
+      else tagged.join(
+        spark.read.parquet(posDels: _*)
+          .select(col("file_path").as("__graft_df"),
+            col("row_index").as("__graft_dp")).distinct(),
+        col("__graft_fp") === col("__graft_df") &&
+          col("__graft_ri") === col("__graft_dp"), "left_anti")
+    val positions = eqDels.map { ef =>
+      val delV = LakePartitioning.fileVersionOfPath(ef).getOrElse(
+        throw new IllegalStateException(
+          s"equality-delete file $ef carries no version in its path"))
+      val keys = spark.read.parquet(ef).distinct()
+      val cond = keys.columns.map(k =>
+        live(k) <=> keys(k)).reduce(_ && _) &&
+        regexp_extract(col("__graft_fp"),
+          "/files-v(\\d+)-", 1).cast("int") < lit(delV)
+      live.join(broadcast(keys), cond, "left_semi")
+        .select(col("__graft_fp").as("file_path"),
+          col("__graft_ri").as("row_index"))
+    }.reduce(_ unionAll _).distinct().repartition(1)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = s"$dir/files-v$newV-$nonce"
+    positions.write.parquet(delDir)
+    val written = listDataFiles(spark, dir, delDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writtenStats = written.map(p => p -> LakeFileStats.read(p, conf))
+    val newDeletes =
+      if (writtenStats.forall(_._2.rowCount == 0L)) Seq.empty[String]
+      else written
+    publish(fs(spark, dir), dir, newV, snap.dataFiles,
+      posDels ++ newDeletes,
+      (snap.stats -- eqDels) ++
+        writtenStats.filter(ws => newDeletes.contains(ws._1)),
+      snap.meta, op = "convert_deletes")
+  }
+
   /** STREAMING read of a lake table (Delta's streaming source, the
     * lakehouse-as-message-bus shape), MANIFEST-derived
     * ([[GraftLakeStreamProvider]]): offsets are versions, a fresh

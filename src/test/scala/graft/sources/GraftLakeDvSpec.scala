@@ -240,7 +240,7 @@ class GraftLakeDvSpec extends SparkSpec {
       val file = new org.apache.hadoop.fs.Path(
         dv.file.files.head.filePath.toString).toString
       // exactly this file's positions — nothing of any other file's
-      assert(dv.positions.toSeq ===
+      assert(dv.mask.iterator.toSeq ===
         truth.getOrElse(file, Seq.empty[Long]),
         s"partition for $file must carry its own slice only")
     }
