@@ -3118,6 +3118,86 @@ object Relational {
       |  inq.in_n, inq.in_total, TRUE AS bloom_pruned
       |FROM hit CROSS JOIN inq""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** ROW LINEAGE lifecycle ([[graft.sources.LakeRowLineage]] —
+    * Iceberg v3 row lineage / Delta row tracking): customer lands in
+    * ONE custkey-ordered file on a `graft.row.lineage` table, so
+    * `_row_id` is deterministically `rank(c_custkey) - 1` (manifest
+    * `firstRowId` + position — assignment is commit-time manifest
+    * arithmetic, zero data IO). An UPDATE rewrites a slice (Spark's
+    * metadata-ful ReplaceData carries `_row_id` through
+    * `DataWriter.write(meta, row)` and NULLIFIES
+    * `_last_updated_version` per the preserve-on-update contract),
+    * then compaction rewrites EVERY file — and the in-engine gate
+    * pins that no row id moved across either rewrite, while updated
+    * rows stamp the update's commit version and copied rows keep
+    * their birth stamp. The rollup over (id sums, update stamps)
+    * hash-gates against DuckDB's row_number reconstruction. At
+    * 100 TB this is what makes a change-feed consumer idempotent
+    * across the upstream table's own maintenance. */
+  val q210RowLineage: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakerl_$nonce"
+    val root = s"/tmp/graft_q210_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("int").as("c_nationkey"))
+      .repartition(1).sortWithinPartitions("c_custkey")
+      .createOrReplaceTempView(s"q210_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
+      "c_nationkey INT) TBLPROPERTIES('graft.row.lineage'='true')")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM q210_src_$nonce") // v1
+    def ids(): Map[Long, (Long, Int)] = spark.sql(
+      s"SELECT c_custkey, _row_id, _last_updated_version FROM $cat.c")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val born = ids()
+    spark.sql(s"UPDATE $cat.c SET c_nationkey = c_nationkey " +
+      "WHERE c_custkey % 10 = 0")                                  // v2
+    val filesBefore = VersionedTable.filesOf(spark, s"$root/c",
+      VersionedTable.latestVersion(spark, s"$root/c").get).toSet
+    spark.sql(s"CALL $cat.system.compact(table => 'c', " +
+      "target_files => 2)")                                        // v3
+    val after = ids()
+    val filesAfter = VersionedTable.filesOf(spark, s"$root/c",
+      VersionedTable.latestVersion(spark, s"$root/c").get).toSet
+    // gates: every id survived update + compact; the compact really
+    // rewrote the files; stamps follow the preservation contract
+    val idsStable =
+      after.view.mapValues(_._1).toMap == born.view.mapValues(_._1).toMap
+    val rewrote = filesAfter.intersect(filesBefore).isEmpty
+    val stamps = after.forall { case (k, (_, lu)) =>
+      if (k % 10 == 0) lu == 2 else lu == born(k)._2
+    }
+    spark.sql(
+      s"""SELECT c_nationkey, count(*) AS n,
+         |  sum(_row_id) AS sum_row_id,
+         |  sum(CASE WHEN _last_updated_version = 2 THEN 1 ELSE 0 END)
+         |    AS n_updated
+         |FROM $cat.c GROUP BY c_nationkey""".stripMargin)
+      .withColumn("lineage_stable",
+        lit(idsStable && rewrote && stamps))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q210Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey,
+      |    row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+      |  FROM customer
+      |)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(rid) AS BIGINT) AS sum_row_id,
+      |  CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_updated,
+      |  TRUE AS lineage_stable
+      |FROM base GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- q204
   /** PARTITION-SPEC EVOLUTION lifecycle (Iceberg's per-file spec
     * binding, [[graft.sources.LakePartitioning.HistoryProp]]): the
@@ -4118,6 +4198,7 @@ object Relational {
     "q207_sort_free_join" -> q207SortFreeJoin,
     "q208_type_widening" -> q208TypeWidening,
     "q209_bloom_point_lookup" -> q209BloomPointLookup,
+    "q210_row_lineage" -> q210RowLineage,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4206,5 +4287,6 @@ object Relational {
     "q207_sort_free_join" -> q207Oracle,
     "q208_type_widening" -> q208Oracle,
     "q209_bloom_point_lookup" -> q209Oracle,
+    "q210_row_lineage" -> q210Oracle,
   )
 }

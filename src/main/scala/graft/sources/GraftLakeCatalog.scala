@@ -656,15 +656,49 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     if (snapshot.deleteFiles.nonEmpty ||
         schema().fieldNames.exists(_.equalsIgnoreCase("_file")))
       Array.empty
-    else Array(
-      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+    else {
+      val file = new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = "_file"
         override def dataType(): org.apache.spark.sql.types.DataType =
           org.apache.spark.sql.types.StringType
         override def isNullable: Boolean = false
         override def comment(): String =
           "path of the data file serving the row"
-      })
+      }
+      // ROW LINEAGE metadata columns ([[LakeRowLineage]]) on enabled
+      // tables. `_row_id` keeps Spark's PRESERVE_ON_UPDATE default
+      // (true): an UPDATE carries it into the replacement row.
+      // `_last_updated_version` declares preserve_on_update = false:
+      // Spark's rewrite NULLIFIES it for updated rows, and the null
+      // materializes → the read serves the replacement file's birth =
+      // the update's own commit version. MERGE reinserts nullify both
+      // (PRESERVE_ON_REINSERT default false) → fresh identity.
+      if (!lineageOn) Array(file)
+      else Array(file,
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = LakeRowLineage.RowIdCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.LongType
+          override def isNullable: Boolean = true
+          override def comment(): String =
+            "stable row id (survives compaction and row-level rewrites)"
+        },
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = LakeRowLineage.LastUpdCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.IntegerType
+          override def isNullable: Boolean = true
+          override def comment(): String =
+            "version that last wrote the row"
+          override def metadataInJSON(): String =
+            """{"__preserve_on_update": false}"""
+        })
+    }
+
+  /** Row lineage declared for this table (property, or an inherited
+    * id watermark in the resolved snapshot's meta)? */
+  private[sources] lazy val lineageOn: Boolean =
+    VersionedTable.lineageEnabled(spark, dir, snapshot.meta)
 
   /** The session's write-audit-publish branch
     * (`SET spark.graft.wap.branch = audit_x`, Iceberg's WAP contract):
@@ -748,8 +782,21 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       // writes the full current schema.
       val newest = snapshot.dataFiles.maxBy(p =>
         LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
-      val wide = LakeTypeWidening.widen(
+      val wide0 = LakeTypeWidening.widen(
         spark.read.parquet(newest).schema, widenOverrides)
+      // materialized lineage columns must stay readable even when the
+      // newest file (a fresh append) lacks them — the lineage scan
+      // reads them from older rewritten files
+      val wide =
+        if (snapshot.stats.valuesIterator.exists(
+            _.cols.contains(LakeRowLineage.PhysRowId)) &&
+            !wide0.fieldNames.exists(_.equalsIgnoreCase(
+              LakeRowLineage.PhysRowId)))
+          wide0.add(LakeRowLineage.PhysRowId,
+              org.apache.spark.sql.types.LongType)
+            .add(LakeRowLineage.PhysLastUpd,
+              org.apache.spark.sql.types.IntegerType)
+        else wide0
       ParquetTable(ident.toString, spark,
         CaseInsensitiveStringMap.empty(),
         snapshot.dataFiles,
@@ -764,10 +811,16 @@ final class GraftLakeTable(ident: Identifier, dir: String,
   private[sources] lazy val mapping: Option[LakeColumnMapping.Mapping] =
     LakeColumnMapping.fromMeta(snapshot.meta).filterNot(_.isIdentity)
 
-  override def schema(): StructType = mapping match {
-    case Some(m) =>
-      LakeColumnMapping.logicalSchema(m, (delegate: Table).schema())
-    case None => (delegate: Table).schema()
+  override def schema(): StructType = {
+    val s = mapping match {
+      case Some(m) =>
+        LakeColumnMapping.logicalSchema(m, (delegate: Table).schema())
+      case None => (delegate: Table).schema()
+    }
+    // hidden physical lineage columns (materialized by rewrites on
+    // lineage tables) are served as METADATA columns, never data
+    StructType(s.fields.filterNot(f =>
+      LakeRowLineage.isInternalCol(f.name)))
   }
 
   /** The declared partition transform ([[LakePartitioning]]), if any —
@@ -922,7 +975,18 @@ final class GraftLakeTable(ident: Identifier, dir: String,
           new LakeReadScanBuilder(f, schema(), snapForRead,
             partSpec.zip(partKeys).headOption, mapping,
             pruneGens = if (partKeys.isEmpty) pruneGens else Seq.empty,
-            reportOrdering = orderingToReport)
+            reportOrdering = orderingToReport,
+            lineage =
+              if (lineageOn)
+                Some((LakeRowLineage.perFile(snapshot),
+                  (delegate: Table).schema()))
+              else None,
+            rebuildInner = () => delegate.newScanBuilder(options) match {
+              case fb: org.apache.spark.sql.execution.datasources.v2
+                  .FileScanBuilder => fb
+              case other => throw new IllegalStateException(
+                s"unexpected delegate builder $other")
+            })
         case other => other
       }
     else new GraftLakeDvScanBuilder(delegate, schema(),

@@ -83,6 +83,30 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
   override def description(): String =
     s"GraftLakeRowLevel($cmd, $dir @ v$pinnedV)"
 
+  /** ROW LINEAGE through the rewrite ([[LakeRowLineage]]): when the
+    * table declares it (and the snapshot is mask-free — the DV scan
+    * cannot serve positions AND lineage, and a silent full id churn
+    * would be worse than the loud refusal below), the operation asks
+    * Spark for the lineage METADATA columns; the group-based
+    * `ReplaceData` plan then reads them ([[LakeScanBuilder]] serves
+    * them via [[LakeLineageScan]]), nullifies per the preservation
+    * contract (update → null `_last_updated_version`, reinsert → null
+    * both), and hands them back to the write
+    * (`DataWriter.write(meta, row)`), which MATERIALIZES them as the
+    * hidden physical columns — ids survive UPDATE/MERGE/DELETE. */
+  private lazy val lineageOn: Boolean =
+    VersionedTable.lineageEnabled(spark, dir, snap.meta) &&
+      snap.deleteFiles.isEmpty
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (!lineageOn) Array.empty
+    else Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(LakeRowLineage.RowIdCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(LakeRowLineage.LastUpdCol))
+
   /** Clean snapshots get the group-pruning scan; snapshots with
     * outstanding merge-on-read delete files read through the
     * DV-APPLYING scan (only LIVE rows feed the rewrite — a raw scan
@@ -92,10 +116,21 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
     * Delta's copy-on-write-over-DV semantics. */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a lineage table with outstanding masks would silently re-id
+    // every row through the full-materialize rewrite — refuse loudly
+    if (snap.deleteFiles.nonEmpty &&
+        VersionedTable.lineageEnabled(spark, dir, snap.meta))
+      throw new UnsupportedOperationException(
+        s"row-level DML on row-lineage table $dir with outstanding " +
+          "merge-on-read delete files would lose row ids — CALL " +
+          "system.compact first (it materializes lineage and folds " +
+          "the masks)")
     val b: ScanBuilder with LakeRewriteScan =
       if (snap.deleteFiles.isEmpty)
         new LakeScanBuilder(dir, snapshotFiles, schema, options,
-          snap.stats)
+          snap.stats,
+          lineage =
+            if (lineageOn) Some(LakeRowLineage.perFile(snap)) else None)
       else {
         val inner = new GraftLakeDvScanBuilder(
           ParquetTable("lake_rewrite_dv_scan", spark,
@@ -195,26 +230,52 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
           val newV = VersionedTable.nextVersion(spark, dir)
           val dataDir = s"$dir/files-v$newV-" +
             java.util.UUID.randomUUID().toString.take(8)
+          // lineage rewrites land the carried metadata as the hidden
+          // physical columns: the file schema widens by two nullable
+          // fields and the writer joins them on per row
+          // ([[LineageWriterFactory]])
+          val writeSchema =
+            if (!lineageOn) info.schema()
+            else StructType(info.schema().fields ++ Seq(
+              org.apache.spark.sql.types.StructField(
+                LakeRowLineage.PhysRowId,
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField(
+                LakeRowLineage.PhysLastUpd,
+                org.apache.spark.sql.types.IntegerType)))
+          val writeInfo: LogicalWriteInfo =
+            if (!lineageOn) info
+            else new LogicalWriteInfo {
+              override def options(): CaseInsensitiveStringMap =
+                info.options()
+              override def queryId(): String = info.queryId()
+              override def schema(): StructType = writeSchema
+            }
           val inner = partSpecs match {
             case None =>
               ParquetWrite(Seq(dataDir), "parquet",
-                (_: org.apache.spark.sql.types.DataType) => true, info)
-                .toBatch
+                (_: org.apache.spark.sql.types.DataType) => true,
+                writeInfo).toBatch
             case Some(specs) =>
               // partition-routing fanout: claims restore with the
               // rewrite, published from the tasks' COMMIT MESSAGES
               // (a speculative attempt's stray files are never
-              // referenced; vacuum sweeps them)
+              // referenced; vacuum sweeps them). Partition columns
+              // keep their ordinals under the widened schema (lineage
+              // fields append at the END), so the router is exact.
               new LakeFanoutBatchWrite(dataDir,
                 org.apache.spark.sql.graftbridge.ParquetRowWriterBridge
-                  .prepare(spark, info.schema()),
-                LakePartitioning.rowRouter(specs, info.schema()),
+                  .prepare(spark, writeSchema),
+                LakePartitioning.rowRouter(specs, writeSchema),
                 spark.sparkContext.hadoopConfiguration)
           }
           new BatchWrite {
             override def createBatchWriterFactory(
                 p: PhysicalWriteInfo): DataWriterFactory =
-              new OpStrippingWriterFactory(
+              if (lineageOn)
+                new LineageWriterFactory(
+                  inner.createBatchWriterFactory(p))
+              else new OpStrippingWriterFactory(
                 inner.createBatchWriterFactory(p), info.schema())
             override def useCommitCoordinator(): Boolean =
               inner.useCommitCoordinator()
@@ -407,9 +468,14 @@ private[graft] object LakeFileStats {
     * declares the columns) answers what min/max cannot: POINT-LOOKUP
     * pruning on a hash-distributed key — every file of an unclustered
     * table spans the full key range, but a `k = ?` probe drops every
-    * file whose bloom proves absence, before any task launches. */
+    * file whose bloom proves absence, before any task launches.
+    * `firstRowId` is the file's ROW-LINEAGE id base (Iceberg v3
+    * `first_row_id`): assigned once at commit on lineage-enabled
+    * tables ([[LakeRowLineage.assignRowIds]]), carried by reference
+    * forever after. */
   final case class FileStats(cols: Map[String, ColStats], rowCount: Long,
-      blooms: Map[String, Array[Byte]] = Map.empty)
+      blooms: Map[String, Array[Byte]] = Map.empty,
+      firstRowId: Option[Long] = None)
 
   /** Footer opens performed by [[read]] — the instrumentation hook the
     * manifest-stats specs pin "zero footer IO during group pruning"
@@ -663,10 +729,12 @@ private[graft] object LakeFileStats {
           n -> (JString(java.util.Base64.getEncoder
             .encodeToString(bits)): JValue)
         }: _*): JValue))
+    val frid = fs.firstRowId
+      .map(b => "frid" -> (JLong(b): JValue)).toList
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         JObject(("rows" -> (JLong(fs.rowCount): JValue)) ::
-          ("cols" -> (JObject(cols: _*): JValue)) :: blooms: _*)))
+          ("cols" -> (JObject(cols: _*): JValue)) :: blooms ::: frid: _*)))
   }
 
   def fromJson(s: String): Option[FileStats] =
@@ -701,7 +769,7 @@ private[graft] object LakeFileStats {
           }.toMap
           case _ => Map.empty[String, Array[Byte]]
         }
-        FileStats(cols, rows, blooms)
+        FileStats(cols, rows, blooms, firstRowId = numLong(j \ "frid"))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }
@@ -727,11 +795,23 @@ private[sources] trait LakeRewriteScan {
   * commit. */
 final class LakeScanBuilder(dir: String, allFiles: Seq[String],
     schema: StructType, options: CaseInsensitiveStringMap,
-    manifestStats: Map[String, LakeFileStats.FileStats] = Map.empty)
+    manifestStats: Map[String, LakeFileStats.FileStats] = Map.empty,
+    lineage: Option[Map[String, LakeRowLineage.FileLineage]] = None)
     extends ScanBuilder with LakeRewriteScan
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read
+      .SupportsPushDownRequiredColumns {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** Column pruning never drops rows, so group semantics are safe;
+    * recorded to detect a LINEAGE request (the metadata columns the
+    * rewrite plan reads when [[GraftLakeRowLevelOperation
+    * .requiredMetadataAttributes]] declared them). */
+  private var requested: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    requested = Some(requiredSchema)
 
   @volatile private var selected: Seq[String] = allFiles
   @volatile private[sources] var runtimeSelected: Option[Seq[String]] = None
@@ -782,14 +862,61 @@ final class LakeScanBuilder(dir: String, allFiles: Seq[String],
     * (a MERGE against an arbitrary source rewrites only the files
     * holding its keys, beyond what the static condition could prove
     * at plan time — Iceberg's runtime group filter shape). */
-  override def build(): Scan =
-    new LakeGroupScan(
-      ParquetTable("lake_rewrite_scan", spark,
+  override def build(): Scan = {
+    val wantsLineage = lineage.isDefined && requested.exists(r =>
+      r.fieldNames.exists(n =>
+        n.equalsIgnoreCase(LakeRowLineage.RowIdCol) ||
+          n.equalsIgnoreCase(LakeRowLineage.LastUpdCol)))
+    if (!wantsLineage)
+      new LakeGroupScan(
+        ParquetTable("lake_rewrite_scan", spark,
+          new CaseInsensitiveStringMap(java.util.Collections.singletonMap(
+            "mergeSchema", "true")),
+          selected, Some(schema), classOf[ParquetFileFormat])
+          .newScanBuilder(options).build(),
+        this)
+    else {
+      // lineage-serving rewrite scan: the parquet table's declared
+      // schema gains the hidden physical lineage columns (absent
+      // files read them as null — the manifest fallback covers
+      // those), the inner builder prunes to data + physical lineage,
+      // and [[LakeLineageScan]] appends the metadata columns over
+      // whole-file partitions. Runtime group narrowing is bypassed
+      // here (conservative: the static selection is replaced), and no
+      // parquet predicates were ever pushed — positions stay exact.
+      val req = requested.get
+      val dataFields = req.fields.filterNot(f =>
+        f.name.equalsIgnoreCase(LakeRowLineage.RowIdCol) ||
+          f.name.equalsIgnoreCase(LakeRowLineage.LastUpdCol))
+      val mats = Seq(
+        org.apache.spark.sql.types.StructField(
+          LakeRowLineage.PhysRowId,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          LakeRowLineage.PhysLastUpd,
+          org.apache.spark.sql.types.IntegerType))
+        .filterNot(m => dataFields.exists(
+          _.name.equalsIgnoreCase(m.name)))
+      val wide = StructType(schema.fields.filterNot(f =>
+        LakeRowLineage.isInternalCol(f.name)) ++ mats)
+      val innerB = ParquetTable("lake_rewrite_scan", spark,
         new CaseInsensitiveStringMap(java.util.Collections.singletonMap(
           "mergeSchema", "true")),
-        selected, Some(schema), classOf[ParquetFileFormat])
-        .newScanBuilder(options).build(),
-      this)
+        selected, Some(wide), classOf[ParquetFileFormat])
+        .newScanBuilder(options)
+      val innerReq = StructType(dataFields ++ mats)
+      innerB match {
+        case p: org.apache.spark.sql.connector.read
+            .SupportsPushDownRequiredColumns => p.pruneColumns(innerReq)
+        case _ =>
+      }
+      val built = innerB.build()
+      // the commit replaces this builder's STATIC selection (runtime
+      // group narrowing does not flow through the lineage wrapper —
+      // conservative, never lossy)
+      new LakeLineageScan(built, req, built.readSchema(), lineage.get)
+    }
+  }
 }
 
 /** Rewrite scan wrapper carrying `SupportsRuntimeV2Filtering` for

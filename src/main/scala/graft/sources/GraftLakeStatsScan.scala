@@ -51,12 +51,18 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
       Map[String, Seq[Option[Any]]])] = Seq.empty,
     reportOrdering
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty)
+      Array.empty,
+    lineage: Option[(Map[String, LakeRowLineage.FileLineage],
+      StructType)] = None,
+    rebuildInner: () => FileScanBuilder = () =>
+      throw new IllegalStateException("no rebuildInner provided"))
     extends DelegatingFileScanBuilder(inner)
     with SupportsPushDownAggregates {
 
   private var answered: Option[(StructType, InternalRow)] = None
   private var wantsFile = false
+  private var wantsLineage = false
+  private var requestedFull: Option[StructType] = None
   private var prunedTo: Option[StructType] = None
 
   /** COLUMN MAPPING boundary ([[LakeColumnMapping]]): the inner
@@ -116,11 +122,22 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     * SupportsMetadataColumns contract) — it must pass through to
     * parquet untouched. */
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    wantsFile = requiredSchema.fieldNames.contains("_file") &&
+    requestedFull = Some(requiredSchema)
+    wantsLineage = lineage.isDefined &&
+      requiredSchema.fieldNames.exists(n =>
+        n.equalsIgnoreCase(LakeRowLineage.RowIdCol) ||
+          n.equalsIgnoreCase(LakeRowLineage.LastUpdCol))
+    wantsFile = !wantsLineage &&
+      requiredSchema.fieldNames.contains("_file") &&
       !tableSchema.fieldNames.exists(_.equalsIgnoreCase("_file"))
     val forInner =
       if (wantsFile)
         StructType(requiredSchema.fields.filterNot(_.name == "_file"))
+      else if (wantsLineage)
+        StructType(requiredSchema.fields.filterNot(f =>
+          f.name.equalsIgnoreCase(LakeRowLineage.RowIdCol) ||
+            f.name.equalsIgnoreCase(LakeRowLineage.LastUpdCol) ||
+            f.name.equalsIgnoreCase("_file")))
       else requiredSchema
     prunedTo = Some(forInner)
     super.pruneColumns(mapping match {
@@ -134,6 +151,54 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
   private def logicalBuild(): Scan = mapping match {
     case Some(m) => new LakeMappedScan(innerBuild(), m)
     case None => innerBuild()
+  }
+
+  /** ROW-LINEAGE read ([[LakeLineageScan]]): a FRESH delegate builder
+    * with NO pushed parquet filters (positions must count every row of
+    * a file — the [[GraftLakeDvScan]] discipline; Spark re-applies the
+    * predicates in the post-scan Filter since [[pushFilters]] returned
+    * them as residual), pruned to the requested data columns plus the
+    * materialized physical lineage columns when any live file carries
+    * them. FILE-granular pruning still composes: static partition
+    * claims, per-generation claims and manifest blooms drop whole
+    * files, which never breaks position counting. */
+  private def buildLineageScan(): Scan = {
+    val (perFile, delegateSchema) = lineage.get
+    val req = requestedFull.getOrElse(tableSchema)
+    val dataFields = req.fields.filterNot(f =>
+      f.name.equalsIgnoreCase(LakeRowLineage.RowIdCol) ||
+        f.name.equalsIgnoreCase(LakeRowLineage.LastUpdCol) ||
+        (f.name.equalsIgnoreCase("_file") &&
+          !tableSchema.fieldNames.exists(_.equalsIgnoreCase("_file"))))
+    // materialized lineage columns exist only on rewritten files —
+    // and never together with an active mapping (row-level DML is
+    // refused on mapped tables; compact clears the mapping)
+    val mats = delegateSchema.fields.filter(f =>
+      LakeRowLineage.isInternalCol(f.name))
+    val fresh = rebuildInner()
+    val innerReq = StructType((mapping match {
+      case Some(m) =>
+        LakeColumnMapping.pruneToPhysical(m, StructType(dataFields))
+          .fields
+      case None => dataFields
+    }) ++ mats)
+    fresh.pruneColumns(innerReq)
+    val built = fresh.build()
+    val logicalScan = mapping match {
+      case Some(m) => new LakeMappedScan(built, m)
+      case None => built
+    }
+    val keep: Option[Set[String]] = {
+      val bd = bloomDropped
+      val static = partPruned.map(_._2.keySet).orElse(genStaticKeep)
+      (static, bd) match {
+        case (None, s) if s.isEmpty => None
+        case (st, s) => Some(st.getOrElse(snap.dataFiles
+          .map(p => new Path(p).toString).toSet) -- s)
+      }
+    }
+    new LakeLineageScan(logicalScan, req, logicalScan.readSchema(),
+      perFile, keep)
   }
 
   /** STATIC PARTITION PRUNING: on a partitioned table, a pushed
@@ -280,6 +345,7 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     * key can't join on it anyway. */
   override def build(): Scan = answered match {
     case Some((schema, row)) => new LakeStatsAggScan(schema, row)
+    case None if wantsLineage => buildLineageScan()
     case None if wantsFile => new LakeFileColumnScan(logicalBuild())
     case None =>
       val bloomDrop = bloomDropped

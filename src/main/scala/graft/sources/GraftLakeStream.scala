@@ -103,10 +103,13 @@ final class GraftLakeStreamProvider extends TableProvider
         LakeTypeWidening.widen(
           spark.read.parquet(newest).schema, widen)
       }
+    // hidden physical lineage columns never surface in streamed rows
+    val visible = StructType(data.fields.filterNot(f =>
+      LakeRowLineage.isInternalCol(f.name)))
     if (options.getBoolean("changeFeed", false))
-      data.add("_change_type", StringType, nullable = false)
+      visible.add("_change_type", StringType, nullable = false)
         .add("_commit_version", IntegerType, nullable = false)
-    else data
+    else visible
   }
 
   override def getTable(schema: StructType,

@@ -462,9 +462,19 @@ object VersionedTable {
     * whatever the prior snapshot recorded. */
   private def publish(f: FileSystem, dir: String, v: Int,
       files: Seq[String], deletes: Seq[String] = Seq.empty,
-      stats: Map[String, LakeFileStats.FileStats] = Map.empty,
-      meta: Map[String, String] = Map.empty,
+      stats0: Map[String, LakeFileStats.FileStats] = Map.empty,
+      meta0: Map[String, String] = Map.empty,
       op: String = "write"): Int = {
+    // ROW LINEAGE id assignment rides EVERY commit path through this
+    // single choke point: manifest arithmetic only (no data IO — see
+    // [[LakeRowLineage.assignRowIds]]). Enabled once the watermark
+    // meta exists (carried forever after) or the table property
+    // declares it (one tiny _properties read per commit).
+    val (stats, meta) =
+      if (meta0.contains(LakeRowLineage.NextKey) ||
+          LakeRowLineage.declared(f, dir))
+        LakeRowLineage.assignRowIds(files, stats0, meta0)
+      else (stats0, meta0)
     f.mkdirs(manifestDir(dir))
     val tmp = new Path(manifestDir(dir), s".$v.txt.tmp")
     val out = f.create(tmp, true)
@@ -827,7 +837,11 @@ object VersionedTable {
     * evolution contract. Cost is one footer read per file at planning,
     * which the manifest's explicit file list already bounds. */
   def read(spark: SparkSession, dir: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None): DataFrame =
+    readImpl(spark, dir, version, keepLineage = false)
+
+  private def readImpl(spark: SparkSession, dir: String,
+      version: Option[Int], keepLineage: Boolean): DataFrame = {
     val v = version.orElse(headVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val snap = snapshotOf(spark, dir, v)
@@ -843,12 +857,35 @@ object VersionedTable {
         // current schema.
         val newest = snap.dataFiles.maxBy(p =>
           LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
-        spark.read.schema(LakeTypeWidening.widen(
-          spark.read.parquet(newest).schema, widen))
-          .parquet(snap.dataFiles: _*)
+        val wide = LakeTypeWidening.widen(
+          spark.read.parquet(newest).schema, widen)
+        // lineage-materializing reads must see the hidden physical
+        // columns even when the NEWEST file (a fresh append) lacks
+        // them — older rewritten files still carry ids
+        val pinned =
+          if (keepLineage && snap.stats.valuesIterator.exists(
+              _.cols.contains(LakeRowLineage.PhysRowId)) &&
+              !wide.fieldNames.exists(_.equalsIgnoreCase(
+                LakeRowLineage.PhysRowId)))
+            wide.add(LakeRowLineage.PhysRowId,
+                org.apache.spark.sql.types.LongType)
+              .add(LakeRowLineage.PhysLastUpd,
+                org.apache.spark.sql.types.IntegerType)
+          else wide
+        spark.read.schema(pinned).parquet(snap.dataFiles: _*)
       }
     val (eqDels, posDels) = snap.deleteFiles.partition(isEqualityDelete)
-    val masked = if (snap.deleteFiles.isEmpty) data
+    // lineage-materializing reads (the facade rewrites' input —
+    // compact, COW-delete survivors) compute the hidden physical
+    // lineage columns from the SAME raw (file, position) tags the
+    // masks ride, BEFORE any mask join drops rows, so a rewrite lands
+    // every surviving row's identity and lineage survives compaction
+    // even over masked snapshots
+    val lineaged =
+      if (!keepLineage) data
+      else LakeRowLineage.materializeCols(spark, data,
+        LakeRowLineage.perFile(snap))
+    val masked = if (snap.deleteFiles.isEmpty) lineaged
     else {
       // merge-on-read: positional masks anti-join on (file, position)
       // pairs, equality masks on key tuples scoped by birth version.
@@ -858,7 +895,7 @@ object VersionedTable {
       // them and the masks apply MAP-side — no data shuffle, the
       // DV-apply shape.
       import org.apache.spark.sql.functions.col
-      val tagged = data
+      val tagged = lineaged
         .withColumn("__graft_f", col("_metadata.file_path"))
         .withColumn("__graft_p", col("_metadata.row_index"))
       val posMasked = if (posDels.isEmpty) tagged
@@ -876,11 +913,35 @@ object VersionedTable {
     // column-mapped snapshot: present the logical schema (physical
     // file columns selected + aliased; dropped physicals fall away).
     // AFTER the DV mask — `_metadata` only resolves on the raw scan.
-    LakeColumnMapping.fromMeta(snap.meta)
+    // In keepLineage mode the hidden lineage columns ride through the
+    // logical projection (toLogical would otherwise drop them).
+    val logical = LakeColumnMapping.fromMeta(snap.meta)
       .filterNot(_.isIdentity)
-      .map(LakeColumnMapping.toLogical(masked, _))
+      .map { m =>
+        if (!keepLineage) LakeColumnMapping.toLogical(masked, m)
+        else {
+          val lin = Seq(LakeRowLineage.PhysRowId,
+            LakeRowLineage.PhysLastUpd)
+            .filter(c => masked.columns.exists(_.equalsIgnoreCase(c)))
+          masked.select(LakeColumnMapping.toLogicalCols(masked, m) ++
+            lin.map(c => masked(c)): _*)
+        }
+      }
       .getOrElse(masked)
+    // hidden physical lineage columns (materialized by rewrites on
+    // lineage-enabled tables) never surface on the data read
+    if (keepLineage) logical
+    else logical.drop(LakeRowLineage.PhysRowId,
+      LakeRowLineage.PhysLastUpd)
   }
+
+  /** Lineage enabled for this table (property or an already-assigned
+    * watermark in the snapshot meta)? */
+  private[sources] def lineageEnabled(spark: SparkSession, dir: String,
+      meta: Map[String, String]): Boolean =
+    meta.contains(LakeRowLineage.NextKey) ||
+      Option(GraftLakeTable.readProperties(spark, dir)
+        .get(LakeRowLineage.Prop)).exists(_.equalsIgnoreCase("true"))
 
   /** Publish a METADATA-ONLY commit: identical files, masks and
     * stats, snapshot meta merged with `add` — the zero-IO commit
@@ -1251,9 +1312,17 @@ object VersionedTable {
     // when the table re-earns its layout
     val spec = orderBy.flatMap(parseClusterSpec)
       .orElse(clusteringSpec(spark, dir))
+    // lineage-enabled tables compact THROUGH their row identity: the
+    // rewrite input carries materialized `__graft_row_id`/`__graft_
+    // last_upd`, so ids survive the file rewrite (Iceberg v3's
+    // preserve-on-rewrite contract)
+    val input =
+      if (lineageEnabled(spark, dir, snapshotOf(spark, dir, v).meta))
+        readImpl(spark, dir, None, keepLineage = true)
+      else read(spark, dir)
     val out = spec match {
-      case Some(s) => clusterWith(s, read(spark, dir), Some(targetFiles))
-      case None => read(spark, dir).repartition(targetFiles)
+      case Some(s) => clusterWith(s, input, Some(targetFiles))
+      case None => input.repartition(targetFiles)
     }
     commitAs(spark, out, dir, nextVersion(spark, dir),
       carryForward = false, meta = snapshotOf(spark, dir, v).meta,
@@ -1348,8 +1417,16 @@ object VersionedTable {
         publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta,
           op = "delete"),
         0L, 0, files.size)
-    val survivors = spark.read.option("mergeSchema", "true")
+    val rawTouched = spark.read.option("mergeSchema", "true")
       .parquet(touched: _*)
+    // lineage tables: survivors of the COW rewrite carry their
+    // materialized identity into the replacement files
+    val linTouched =
+      if (lineageEnabled(spark, dir, prior.meta))
+        LakeRowLineage.materializeCols(spark, rawTouched,
+          LakeRowLineage.perFile(prior))
+      else rawTouched
+    val survivors = linTouched
       .filter(not(coalesce(cond, lit(false))))
     // a partitioned table's survivors re-route so the rewrite keeps
     // every file's key claim (the SPJ layout survives COW deletes)
