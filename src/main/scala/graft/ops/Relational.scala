@@ -3605,6 +3605,76 @@ object Relational {
       |  FROM orders WHERE o_orderpriority = '1-URGENT')
       |GROUP BY op ORDER BY op""".stripMargin
 
+  // ---------------------------------------------------------------- q211
+  /** BATCH INCREMENTAL READ — Delta's `table_changes(from, to)`
+    * ([[graft.sources.VersionedTable.tableChanges]]): the change feed
+    * q206 drains as a STREAM, re-served as one batch DataFrame —
+    * the surface a downstream backfill actually hits first
+    * (`table_changes(checkpointed, head)` instead of a full re-read).
+    * Same lifecycle as q206 (orders + cdc key, UPDATE bumps the
+    * urgent tier) plus a merge-on-read DELETE of the high tier (mask
+    * only, zero rewrite — the batch feed reads the deleted CONTENT
+    * from the parent files), and the in-engine gate pins the batch
+    * feed ROW-EQUAL (exceptAll both ways) to the drained stream over
+    * the same commits. The full-feed rollup hash-gates against
+    * DuckDB. Scale shape: pure DataFrame composition — per-version
+    * masks broadcast, nothing row-proportional on the driver (the
+    * stream collects masks per trigger; the batch feed doesn't). */
+  val q211TableChanges: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    import graft.streaming.StreamOps
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_laketc_$nonce"
+    val root = s"/tmp/graft_q211_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .createOrReplaceTempView(s"q211_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.ord (o_orderkey BIGINT, " +
+      "o_orderpriority STRING, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (o_orderpriority) " +
+      "TBLPROPERTIES('graft.cdc.key'='o_orderkey')")
+    spark.sql(s"INSERT INTO $cat.ord SELECT * FROM q211_src_$nonce")
+    spark.sql(s"UPDATE $cat.ord SET o_totalprice = o_totalprice + 100.0 " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    VersionedTable.deleteWhereMergeOnRead(spark, s"$root/ord",
+      col("o_orderpriority") === lit("2-HIGH"))
+    val batch = VersionedTable.tableChanges(spark, s"$root/ord", 0)
+    // gate: batch ≡ stream, row for row, over the same commits
+    val streamed = StreamOps.runToMemory(spark,
+      VersionedTable.changeFeedStream(spark, s"$root/ord"),
+      s"q211_mem_$nonce", "append")
+      .select(batch.columns.map(col): _*)
+    val feedsEqual = batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty
+    batch
+      .groupBy(col("_change_type").as("op"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("feeds_equal", lit(feedsEqual))
+      .orderBy(col("op"))
+  }
+
+  val q211Oracle: String =
+    """SELECT op, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(price), 2) AS total, TRUE AS feeds_equal
+      |FROM (
+      |  SELECT 'insert' AS op, o_totalprice AS price FROM orders
+      |  UNION ALL
+      |  SELECT 'update_preimage', o_totalprice
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT 'update_postimage', o_totalprice + 100.0
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT 'delete', o_totalprice
+      |  FROM orders WHERE o_orderpriority = '2-HIGH')
+      |GROUP BY op ORDER BY op""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -4199,6 +4269,7 @@ object Relational {
     "q208_type_widening" -> q208TypeWidening,
     "q209_bloom_point_lookup" -> q209BloomPointLookup,
     "q210_row_lineage" -> q210RowLineage,
+    "q211_table_changes" -> q211TableChanges,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4288,5 +4359,6 @@ object Relational {
     "q208_type_widening" -> q208Oracle,
     "q209_bloom_point_lookup" -> q209Oracle,
     "q210_row_lineage" -> q210Oracle,
+    "q211_table_changes" -> q211Oracle,
   )
 }
