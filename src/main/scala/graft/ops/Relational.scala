@@ -3675,6 +3675,71 @@ object Relational {
       |  FROM orders WHERE o_orderpriority = '2-HIGH')
       |GROUP BY op ORDER BY op""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  /** DEFAULT COLUMN VALUES as metadata-only schema evolution
+    * ([[graft.sources.LakeDefaults]] — Iceberg v3 initial/write
+    * defaults, the third zero-IO evolution next to rename/drop q198
+    * and widening q208): customer lands, `ALTER TABLE ADD COLUMN
+    * segment STRING DEFAULT 'standard'` publishes ONE property-only
+    * commit (gate: identical data files), every committed row
+    * backfills 'standard' through the readers' existence-default
+    * machinery, an INSERT omitting the column writes the default
+    * (analyzer CURRENT_DEFAULT), explicit values and explicit NULL
+    * stick, and time travel below the add serves absence (gate).
+    * The segment rollup hash-gates against DuckDB. At 100 TB: adding
+    * a backfilled column is one manifest write, not a table
+    * rewrite. */
+  val q212DefaultValues: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakedf_$nonce"
+    val root = s"/tmp/graft_q212_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_nationkey").cast("int").as("c_nationkey"))
+      .createOrReplaceTempView(s"q212_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
+      "c_nationkey INT)")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM q212_src_$nonce") // v1
+    val filesBefore = VersionedTable.filesOf(spark, s"$root/c", 1).toSet
+    spark.sql(s"ALTER TABLE $cat.c ADD COLUMN segment STRING " +
+      "DEFAULT 'standard'")                                        // v2
+    val v2 = VersionedTable.latestVersion(spark, s"$root/c").get
+    val zeroIo = VersionedTable
+      .snapshotOf(spark, s"$root/c", v2).dataFiles.toSet == filesBefore
+    // write-default, explicit value, explicit NULL
+    spark.sql(s"INSERT INTO $cat.c (c_custkey, c_nationkey) " +
+      "VALUES (900003, 2)")
+    spark.sql(s"INSERT INTO $cat.c VALUES (900001, 0, 'gold'), " +
+      "(900002, 1, NULL)")
+    // time travel below the add serves ABSENCE
+    val preAdd = !spark.sql(s"SELECT * FROM $cat.c VERSION AS OF 1")
+      .columns.map(_.toLowerCase).contains("segment")
+    spark.sql(
+      s"""SELECT coalesce(segment, 'absent') AS segment,
+         |  count(*) AS n, sum(c_custkey) AS sum_k
+         |FROM $cat.c GROUP BY 1""".stripMargin)
+      .withColumn("default_metadata_only", lit(zeroIo && preAdd))
+      .orderBy(col("segment"))
+  }
+
+  val q212Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, 'standard' AS segment FROM customer
+      |  UNION ALL SELECT 900003, 'standard'
+      |  UNION ALL SELECT 900001, 'gold'
+      |  UNION ALL SELECT 900002, NULL
+      |)
+      |SELECT coalesce(segment, 'absent') AS segment,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_k,
+      |  TRUE AS default_metadata_only
+      |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -4270,6 +4335,7 @@ object Relational {
     "q209_bloom_point_lookup" -> q209BloomPointLookup,
     "q210_row_lineage" -> q210RowLineage,
     "q211_table_changes" -> q211TableChanges,
+    "q212_default_values" -> q212DefaultValues,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4360,5 +4426,6 @@ object Relational {
     "q209_bloom_point_lookup" -> q209Oracle,
     "q210_row_lineage" -> q210Oracle,
     "q211_table_changes" -> q211Oracle,
+    "q212_default_values" -> q212Oracle,
   )
 }

@@ -177,10 +177,27 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     * storage-partitioned-join layout. The spec is structural and
     * immutable (declared here only, never via ALTER): changing it
     * later would falsify committed files' key claims. */
+  /** DEFAULT-value DDL is admitted ([[LakeDefaults]]) so the parser
+    * accepts `ADD COLUMN ... DEFAULT <const>` and the analyzer fills
+    * `CURRENT_DEFAULT` into INSERTs that omit the column. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // defaults are an ALTER-time evolution here: a CREATE-time default
+    // would vanish in the carrier file's parquet roundtrip — refuse
+    // loudly rather than silently dropping it
+    schema.fields.find(_.metadata.contains(LakeDefaults.CurrentKey))
+      .foreach(f => throw new UnsupportedOperationException(
+        s"column '${f.name}': CREATE TABLE with DEFAULT is not " +
+          "supported — add the column with ALTER TABLE ... ADD " +
+          "COLUMN ... DEFAULT after creation"))
     if (properties.containsKey(LakePartitioning.Prop))
       throw new UnsupportedOperationException(
         s"${LakePartitioning.Prop} is derived from PARTITIONED BY; " +
@@ -351,9 +368,21 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
               " are supported (byte<smallint<int<bigint, float->double)")
         field.name.toLowerCase -> u.newDataType()
       }.toMap
+      // a widened DEFAULT column re-types its backfill entry with it
+      // (the constant SQL parses into the wide type; old files then
+      // backfill wide, meta-only columns append wide)
+      val retypedDefaults = added.flatMap { case (lname, wideDt) =>
+        snap.meta.get(LakeDefaults.metaKey(lname)).map { v =>
+          val (n0, _, sql) = LakeDefaults.fromMeta(
+            Map(LakeDefaults.metaKey(lname) -> v)).head
+          LakeDefaults.metaKey(lname) ->
+            LakeDefaults.encode(n0, wideDt, sql)
+        }
+      }
       VersionedTable.publishMetaOnly(spark, d,
         Map(LakeTypeWidening.Meta ->
-          LakeTypeWidening.toMeta(prior ++ added)), op = "widen-column")
+          LakeTypeWidening.toMeta(prior ++ added)) ++ retypedDefaults,
+        op = "widen-column")
       return loadTable(ident)
     }
     val hasEvolution = rest.exists {
@@ -361,25 +390,43 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         true
       case _ => false
     }
-    // ---- additive-only fast path on a never-mapped table: the
-    // original contract (empty widened-schema carrier file, no
-    // mapping metadata introduced)
+    // ---- additive-only fast path on a never-mapped table. Two
+    // shapes: a DEFAULT-carrying add ([[LakeDefaults]]) is a
+    // PROPERTY-ONLY commit — zero IO, the schema and the backfill
+    // value both served from snapshot meta (old files fill via the
+    // readers' existence-default machinery, new files write the
+    // value, time travel below the add serves absence); a plain add
+    // keeps the original empty-carrier-file contract.
     if (!hasEvolution && baseMapping.isIdentity) {
+      var defaultMeta = Map.empty[String, String]
       val widened = rest.foldLeft(logical) {
         case (sch, add: TableChange.AddColumn) =>
           val n0 = singleName(add.fieldNames())
-          if (sch.fieldNames.exists(_.equalsIgnoreCase(n0)))
+          if (sch.fieldNames.exists(_.equalsIgnoreCase(n0)) ||
+              defaultMeta.contains(LakeDefaults.metaKey(n0)))
             throw new IllegalArgumentException(
               s"column $n0 already exists")
-          sch.add(StructField(n0, add.dataType(), nullable = true))
+          if (add.defaultValue() != null) {
+            defaultMeta += (LakeDefaults.metaKey(n0) ->
+              LakeDefaults.encode(n0, add.dataType(),
+                LakeDefaults.sqlOf(add.defaultValue())))
+            sch
+          } else sch.add(StructField(n0, add.dataType(),
+            nullable = true))
         case (_, other) => throw new UnsupportedOperationException(
           s"$catalogName: unsupported ALTER TABLE change " +
             other.getClass.getSimpleName +
             " (supported: ADD/RENAME/DROP COLUMN, TBLPROPERTIES)")
       }
-      val empty = spark.createDataFrame(new util.ArrayList[Row](), widened)
-      VersionedTable.commit(spark, empty, d, carryForward = true,
-        op = Some("add-column"))
+      if (widened ne logical) {
+        val empty = spark.createDataFrame(
+          new util.ArrayList[Row](), widened)
+        VersionedTable.commit(spark, empty, d, carryForward = true,
+          op = Some("add-column"))
+      }
+      if (defaultMeta.nonEmpty)
+        VersionedTable.publishMetaOnly(spark, d, defaultMeta,
+          op = "add-column")
       return loadTable(ident)
     }
     // ---- COLUMN MAPPING path ([[LakeColumnMapping]]): RENAME / DROP
@@ -411,31 +458,75 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
             "declared partitioning/clustering layout")
     val logicalTypes = logical.fields
       .map(f => f.name.toLowerCase -> f).toMap
-    var m = baseMapping
+    // META-ONLY default columns ([[LakeDefaults]] adds that no file
+    // carries yet) are not physical: the mapping machinery must not
+    // see them (a mapping entry with no backing file corrupts mapped
+    // reads) — their rename/drop is pure meta re-keying below
+    val rawFields: Set[String] =
+      if (snap.dataFiles.isEmpty) Set.empty
+      else spark.read.option("mergeSchema", "true")
+        .parquet(snap.dataFiles: _*).schema.fieldNames
+        .map(_.toLowerCase).toSet
+    val metaOnlyDefaults: Set[String] =
+      LakeDefaults.fromMeta(snap.meta).map(_._1).filter { nm =>
+        val phys = baseMapping.physicalOf(nm).getOrElse(nm)
+        !rawFields.contains(phys.toLowerCase)
+      }.map(_.toLowerCase).toSet
+    var m = baseMapping.copy(fields = baseMapping.fields
+      .filterNot(f => metaOnlyDefaults.contains(f._1.toLowerCase)))
     var carriers = Seq.empty[StructField] // physical fields for adds
+    var defaultMeta = Map.empty[String, String]
+    var removedDefaults = Set.empty[String]
+    def isMetaOnly(nm: String): Boolean =
+      metaOnlyDefaults.contains(nm.toLowerCase) &&
+        !removedDefaults.contains(LakeDefaults.metaKey(nm))
     rest.foreach {
       case add: TableChange.AddColumn =>
         val n = singleName(add.fieldNames())
-        if (m.fields.exists(_._1.equalsIgnoreCase(n)))
+        if (m.fields.exists(_._1.equalsIgnoreCase(n)) || isMetaOnly(n))
           throw new IllegalArgumentException(s"column $n already exists")
         val phys = LakeColumnMapping.freshPhysical(
           m, LakeColumnMapping.validateName(n), head + 1)
         m = m.copy(fields = m.fields :+ (n -> phys))
         carriers :+= StructField(phys, add.dataType(), nullable = true)
+        // DEFAULT on a mapped add: the backfill value keys by LOGICAL
+        // name (reads enrich the logical schema; pruneToPhysical
+        // carries the metadata onto the physical request)
+        if (add.defaultValue() != null)
+          defaultMeta += (LakeDefaults.metaKey(n) ->
+            LakeDefaults.encode(n, add.dataType(),
+              LakeDefaults.sqlOf(add.defaultValue())))
       case r: TableChange.RenameColumn =>
         val from = singleName(r.fieldNames())
         val to = LakeColumnMapping.validateName(r.newName())
-        val entry = m.fields.find(_._1.equalsIgnoreCase(from)).getOrElse(
-          throw new IllegalArgumentException(s"no such column: $from"))
         guardStructural(from, "rename")
-        if (m.fields.exists(f => !(f eq entry) &&
-            f._1.equalsIgnoreCase(to)))
+        if (m.fields.exists(_._1.equalsIgnoreCase(to)) || isMetaOnly(to))
           throw new IllegalArgumentException(s"column $to already exists")
-        m = m.copy(fields = m.fields.map(f =>
-          if (f eq entry) (to, f._2) else f))
+        def rekeyDefault(): Unit =
+          snap.meta.get(LakeDefaults.metaKey(from)).foreach { v =>
+            val (_, dt, sql) = LakeDefaults.fromMeta(
+              Map(LakeDefaults.metaKey(from) -> v)).head
+            removedDefaults += LakeDefaults.metaKey(from)
+            defaultMeta += (LakeDefaults.metaKey(to) ->
+              LakeDefaults.encode(to, dt, sql))
+          }
+        if (isMetaOnly(from)) rekeyDefault() // pure meta re-key
+        else {
+          val entry = m.fields.find(_._1.equalsIgnoreCase(from))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no such column: $from"))
+          m = m.copy(fields = m.fields.map(f =>
+            if (f eq entry) (to, f._2) else f))
+          // a defaulted column renames its backfill entry with it
+          rekeyDefault()
+        }
       case del: TableChange.DeleteColumn =>
         val n = singleName(del.fieldNames())
-        m.fields.find(_._1.equalsIgnoreCase(n)) match {
+        if (isMetaOnly(n)) {
+          guardStructural(n, "drop")
+          // meta-only default: dropping it is pure meta removal
+          removedDefaults += LakeDefaults.metaKey(n)
+        } else m.fields.find(_._1.equalsIgnoreCase(n)) match {
           case None =>
             if (!del.ifExists())
               throw new IllegalArgumentException(s"no such column: $n")
@@ -446,6 +537,8 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
                 "cannot drop a table's last column")
             m = LakeColumnMapping.Mapping(m.fields.filterNot(_ eq entry),
               m.dropped :+ entry._2)
+            // dropping a defaulted column retires its backfill entry
+            removedDefaults += LakeDefaults.metaKey(n)
         }
       case other => throw new UnsupportedOperationException(
         s"$catalogName: unsupported ALTER TABLE change " +
@@ -471,15 +564,25 @@ final class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         new util.ArrayList[Row](), physSchema)
       VersionedTable.commitAs(spark, empty, d,
         VersionedTable.nextVersion(spark, d), carryForward = true,
-        meta = m.metaEntries, op = Some(op),
+        meta = m.metaEntries ++ defaultMeta, op = Some(op),
         baseVersion = Some(head), applyColumnMapping = false)
+      // commitAs carries prior meta forward; retired default keys
+      // (dropped columns) need an explicit strip
+      if (removedDefaults.nonEmpty) {
+        val v = VersionedTable.headVersion(spark, d).get
+        val sn = VersionedTable.snapshotOf(spark, d, v)
+        VersionedTable.publishVersion(spark, d,
+          VersionedTable.nextVersion(spark, d), sn.dataFiles,
+          sn.deleteFiles, sn.stats, sn.meta -- removedDefaults, op = op)
+      }
     } else {
       // pure rename/drop: a manifest-only commit — the SAME files,
       // stats carried by reference, zero data IO
       VersionedTable.publishVersion(spark, d,
         VersionedTable.nextVersion(spark, d), snap.dataFiles,
         snap.deleteFiles, snap.stats,
-        snap.meta ++ m.metaEntries, op = op)
+        (snap.meta -- removedDefaults) ++ m.metaEntries ++ defaultMeta,
+        op = op)
     }
     loadTable(ident)
   }
@@ -818,9 +921,13 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       case None => (delegate: Table).schema()
     }
     // hidden physical lineage columns (materialized by rewrites on
-    // lineage tables) are served as METADATA columns, never data
-    StructType(s.fields.filterNot(f =>
-      LakeRowLineage.isInternalCol(f.name)))
+    // lineage tables) are served as METADATA columns, never data;
+    // declared DEFAULT columns enrich with the resolver metadata
+    // (and append entirely when no file carries them yet)
+    LakeDefaults.enrichFromMeta(
+      StructType(s.fields.filterNot(f =>
+        LakeRowLineage.isInternalCol(f.name))),
+      snapshot.meta)
   }
 
   /** The declared partition transform ([[LakePartitioning]]), if any —

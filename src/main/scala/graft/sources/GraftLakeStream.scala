@@ -103,9 +103,11 @@ final class GraftLakeStreamProvider extends TableProvider
         LakeTypeWidening.widen(
           spark.read.parquet(newest).schema, widen)
       }
-    // hidden physical lineage columns never surface in streamed rows
-    val visible = StructType(data.fields.filterNot(f =>
-      LakeRowLineage.isInternalCol(f.name)))
+    // hidden physical lineage columns never surface in streamed rows;
+    // declared DEFAULT columns enrich (old files backfill at read)
+    val visible = LakeDefaults.enrichFromMeta(
+      StructType(data.fields.filterNot(f =>
+        LakeRowLineage.isInternalCol(f.name))), snap.meta)
     if (options.getBoolean("changeFeed", false))
       visible.add("_change_type", StringType, nullable = false)
         .add("_commit_version", IntegerType, nullable = false)

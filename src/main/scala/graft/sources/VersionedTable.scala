@@ -846,11 +846,21 @@ object VersionedTable {
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val snap = snapshotOf(spark, dir, v)
     val widen = LakeTypeWidening.fromMeta(snap.meta)
+    val defaults = LakeDefaults.fromMeta(snap.meta)
     val data =
-      if (widen.isEmpty)
+      if (widen.isEmpty && defaults.isEmpty)
         spark.read.option("mergeSchema", "true")
           .parquet(snap.dataFiles: _*)
-      else {
+      else if (widen.isEmpty) {
+        // DEFAULT columns ride the requested schema's resolver
+        // metadata: files that physically lack the column backfill
+        // the declared constant, files written after the add serve
+        // their stored values ([[LakeDefaults]])
+        val merged = spark.read.option("mergeSchema", "true")
+          .parquet(snap.dataFiles: _*).schema
+        spark.read.schema(LakeDefaults.enrich(merged, defaults))
+          .parquet(snap.dataFiles: _*)
+      } else {
         // widened snapshot: explicit wide schema (merging refuses the
         // narrow/wide file mix; the readers upcast natively). Newest
         // file carries the full column set — commits write the full
@@ -872,7 +882,8 @@ object VersionedTable {
               .add(LakeRowLineage.PhysLastUpd,
                 org.apache.spark.sql.types.IntegerType)
           else wide
-        spark.read.schema(pinned).parquet(snap.dataFiles: _*)
+        spark.read.schema(LakeDefaults.enrich(pinned, defaults))
+          .parquet(snap.dataFiles: _*)
       }
     val (eqDels, posDels) = snap.deleteFiles.partition(isEqualityDelete)
     // lineage-materializing reads (the facade rewrites' input —
@@ -933,6 +944,23 @@ object VersionedTable {
     if (keepLineage) logical
     else logical.drop(LakeRowLineage.PhysRowId,
       LakeRowLineage.PhysLastUpd)
+  }
+
+  /** Raw merged read of (a subset of) a snapshot's data files with
+    * declared DEFAULT columns enriched ([[LakeDefaults]]) — condition
+    * evaluation in the rewrite paths must see backfilled values, not
+    * the nulls a plain merged read serves for old files. */
+  private def rawDefaulted(spark: SparkSession, snap: Snapshot,
+      files: Seq[String]): DataFrame = {
+    val defaults = LakeDefaults.fromMeta(snap.meta)
+    if (defaults.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else {
+      val merged = spark.read.option("mergeSchema", "true")
+        .parquet(files: _*).schema
+      spark.read.schema(LakeDefaults.enrich(merged, defaults))
+        .parquet(files: _*)
+    }
   }
 
   /** Lineage enabled for this table (property or an already-assigned
@@ -1142,8 +1170,7 @@ object VersionedTable {
     // (the delete-file OUTPUT schema still uses the public names).
     val (eqDels, posDels) = snap.deleteFiles.partition(isEqualityDelete)
     val data = applyEqDeletes(spark,
-      spark.read.option("mergeSchema", "true")
-        .parquet(snap.dataFiles: _*)
+      rawDefaulted(spark, snap, snap.dataFiles)
         .withColumn("__graft_fp", col("_metadata.file_path"))
         .withColumn("__graft_ri", col("_metadata.row_index")),
       eqDels, col("__graft_fp"))
@@ -1322,10 +1349,12 @@ object VersionedTable {
     def onMain(sn: Snapshot): Boolean =
       !sn.meta.contains(BranchMetaKey)
     val endSnap = snapshotOf(spark, dir, endV)
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      spark.read.option("mergeSchema", "true")
-        .parquet(endSnap.dataFiles: _*).schema.fields
-        .filterNot(f => LakeRowLineage.isInternalCol(f.name)))
+    val dataSchema = LakeDefaults.enrichFromMeta(
+      org.apache.spark.sql.types.StructType(
+        spark.read.option("mergeSchema", "true")
+          .parquet(endSnap.dataFiles: _*).schema.fields
+          .filterNot(f => LakeRowLineage.isInternalCol(f.name))),
+      endSnap.meta)
     val outCols = dataSchema.fieldNames.toSeq.map(col) ++
       Seq(col("_change_type"), col("_commit_version"))
     val cdcKeys: Seq[String] =
@@ -1578,7 +1607,7 @@ object VersionedTable {
         publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta,
           op = "delete"),
         0L, 0, 0)
-    val snap = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val snap = rawDefaulted(spark, prior, files)
     val perFile = snap.filter(cond)
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(count(lit(1)).as("n"))
@@ -1591,8 +1620,7 @@ object VersionedTable {
         publish(f, dir, newV, files, Seq.empty, prior.stats, prior.meta,
           op = "delete"),
         0L, 0, files.size)
-    val rawTouched = spark.read.option("mergeSchema", "true")
-      .parquet(touched: _*)
+    val rawTouched = rawDefaulted(spark, prior, touched)
     // lineage tables: survivors of the COW rewrite carry their
     // materialized identity into the replacement files
     val linTouched =
