@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc resolution: must precede ColumnPruning, which would strip
     // the not-yet-referenced stats columns)
     ext.injectPostHocResolutionRule(_ => graft.plans.PushPixelValueFilter)
+    // shredded-JSON serving: get_json_object over a declared lake path
+    // rewrites to the materialized column (resolution batch — Spark's
+    // AddMetadataColumns then threads the attribute to the scan)
+    ext.injectResolutionRule(s => graft.sources.LakeJsonShred.ShredRewrite(s))
     // whole-operator extension: native as-of merge join (logical node +
     // strategy + physical operator — see graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -3740,6 +3740,64 @@ object Relational {
       |  TRUE AS default_metadata_only
       |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+  /** SHREDDED JSON storage ([[graft.sources.LakeJsonShred]] — the
+    * parse-once variant-shredding shape): events lands on a table
+    * declaring `graft.json.shred'='props:$.k'`, so ingest
+    * materializes the path into a hidden column and the q24-style
+    * aggregate's `get_json_object(props, '$.k')` REWRITES to a plain
+    * columnar read — the in-engine gate pins that the executed plan's
+    * ReadSchema contains the shredded column and NOT the raw string,
+    * and a second gate recomputes the same aggregate through the raw
+    * parse path and requires identical results. Hash-gated against
+    * DuckDB's json_extract_string. At 100 TB: declared paths cost one
+    * parse at ingest instead of one parse per row per query, and the
+    * raw JSON column (usually the table's widest) prunes out of the
+    * scan entirely. */
+  val q213JsonShred: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakejs_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"/tmp/graft_q213_$nonce")
+    graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("props"))
+      .createOrReplaceTempView(s"q213_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.e (event_type STRING, props STRING) " +
+      "TBLPROPERTIES('graft.json.shred'='props:$.k')")
+    spark.sql(s"INSERT INTO $cat.e SELECT * FROM q213_src_$nonce")
+    def agg(src: String): DataFrame = spark.sql(
+      s"""SELECT event_type,
+         |  sum(CAST(get_json_object(props, '$$.k') AS BIGINT)) AS k_sum,
+         |  max(CAST(get_json_object(props, '$$.k') AS BIGINT)) AS k_max,
+         |  count(*) AS n
+         |FROM $src GROUP BY event_type""".stripMargin)
+    val shredded = agg(s"$cat.e")
+    // gate 1: the shredded plan reads the materialized column, never
+    // the raw JSON string
+    val rs = shredded.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("|")
+    val planShredded = rs.contains("__shred_k") && !rs.contains("props")
+    // gate 2: the raw parse path answers identically
+    val raw = agg(s"q213_src_$nonce")
+    val sameAnswers = shredded.exceptAll(raw).isEmpty &&
+      raw.exceptAll(shredded).isEmpty
+    shredded
+      .withColumn("shred_plan_only", lit(planShredded && sameAnswers))
+      .orderBy(col("event_type"))
+  }
+
+  val q213Oracle: String =
+    """SELECT event_type,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |   AS BIGINT) AS k_sum,
+      | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |   AS BIGINT) AS k_max,
+      | count(*) AS n, TRUE AS shred_plan_only
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -4336,6 +4394,7 @@ object Relational {
     "q210_row_lineage" -> q210RowLineage,
     "q211_table_changes" -> q211TableChanges,
     "q212_default_values" -> q212DefaultValues,
+    "q213_json_shred" -> q213JsonShred,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4427,5 +4486,6 @@ object Relational {
     "q210_row_lineage" -> q210Oracle,
     "q211_table_changes" -> q211Oracle,
     "q212_default_values" -> q212Oracle,
+    "q213_json_shred" -> q213Oracle,
   )
 }

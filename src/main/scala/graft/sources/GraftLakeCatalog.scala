@@ -776,8 +776,26 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       // materializes → the read serves the replacement file's birth =
       // the update's own commit version. MERGE reinserts nullify both
       // (PRESERVE_ON_REINSERT default false) → fresh identity.
-      if (!lineageOn) Array(file)
-      else Array(file,
+      // shredded-JSON columns serve through the metadata surface so
+      // the rewrite can reference them while SELECT * stays clean
+      val shreds: Array[org.apache.spark.sql.connector.catalog
+          .MetadataColumn] =
+        LakeJsonShred.fromProps(properties()).toArray
+          .flatMap { case (_, paths) => paths.map { p =>
+            new org.apache.spark.sql.connector.catalog.MetadataColumn {
+              override def name(): String =
+                LakeJsonShred.shredColName(p)
+              override def dataType()
+                  : org.apache.spark.sql.types.DataType =
+                org.apache.spark.sql.types.StringType
+              override def isNullable: Boolean = true
+              override def comment(): String =
+                s"shredded JSON path $p"
+            }: org.apache.spark.sql.connector.catalog.MetadataColumn
+          }}
+      if (!lineageOn) Array(file) ++ shreds
+      else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+        file,
         new org.apache.spark.sql.connector.catalog.MetadataColumn {
           override def name(): String = LakeRowLineage.RowIdCol
           override def dataType(): org.apache.spark.sql.types.DataType =
@@ -795,13 +813,28 @@ final class GraftLakeTable(ident: Identifier, dir: String,
             "version that last wrote the row"
           override def metadataInJSON(): String =
             """{"__preserve_on_update": false}"""
-        })
+        }) ++ shreds
     }
 
   /** Row lineage declared for this table (property, or an inherited
     * id watermark in the resolved snapshot's meta)? */
   private[sources] lazy val lineageOn: Boolean =
     VersionedTable.lineageEnabled(spark, dir, snapshot.meta)
+
+  /** SHREDDED-JSON serving gate ([[LakeJsonShred]]): Some((src,
+    * paths)) only when the table declares shredding AND every live
+    * data file physically carries every shredded column (manifest
+    * stats column inventory — zero IO). Otherwise the rewrite stays
+    * off and declared paths parse the raw string: answers never
+    * depend on the gate, only the plan does. */
+  private[graft] lazy val shredServing: Option[(String, Seq[String])] =
+    LakeJsonShred.fromProps(properties()).filter { case (_, paths) =>
+      snapshot.dataFiles.nonEmpty && snapshot.dataFiles.forall(p =>
+        snapshot.stats.get(p).exists(fs => fs.rowCount == 0L ||
+          paths.forall(pa =>
+            fs.cols.contains(LakeJsonShred.shredColName(pa))))) &&
+        snapshot.deleteFiles.isEmpty && mapping.isEmpty
+    }
 
   /** The session's write-audit-publish branch
     * (`SET spark.graft.wap.branch = audit_x`, Iceberg's WAP contract):
@@ -920,13 +953,14 @@ final class GraftLakeTable(ident: Identifier, dir: String,
         LakeColumnMapping.logicalSchema(m, (delegate: Table).schema())
       case None => (delegate: Table).schema()
     }
-    // hidden physical lineage columns (materialized by rewrites on
-    // lineage tables) are served as METADATA columns, never data;
-    // declared DEFAULT columns enrich with the resolver metadata
-    // (and append entirely when no file carries them yet)
+    // hidden physical lineage + shredded-JSON columns are served as
+    // METADATA columns, never data; declared DEFAULT columns enrich
+    // with the resolver metadata (and append entirely when no file
+    // carries them yet)
     LakeDefaults.enrichFromMeta(
       StructType(s.fields.filterNot(f =>
-        LakeRowLineage.isInternalCol(f.name))),
+        LakeRowLineage.isInternalCol(f.name) ||
+          LakeJsonShred.isShredCol(f.name))),
       snapshot.meta)
   }
 

@@ -103,11 +103,13 @@ final class GraftLakeStreamProvider extends TableProvider
         LakeTypeWidening.widen(
           spark.read.parquet(newest).schema, widen)
       }
-    // hidden physical lineage columns never surface in streamed rows;
-    // declared DEFAULT columns enrich (old files backfill at read)
+    // hidden physical lineage + shredded-JSON columns never surface
+    // in streamed rows; declared DEFAULT columns enrich (old files
+    // backfill at read)
     val visible = LakeDefaults.enrichFromMeta(
       StructType(data.fields.filterNot(f =>
-        LakeRowLineage.isInternalCol(f.name))), snap.meta)
+        LakeRowLineage.isInternalCol(f.name) ||
+          LakeJsonShred.isShredCol(f.name))), snap.meta)
     if (options.getBoolean("changeFeed", false))
       visible.add("_change_type", StringType, nullable = false)
         .add("_commit_version", IntegerType, nullable = false)

@@ -118,16 +118,26 @@ object VersionedTable {
           .map(LakeColumnMapping.toPhysical(df, _))
           .getOrElse(df)
       else df
+    // SHREDDED-JSON materialization ([[LakeJsonShred]]): declared
+    // paths parse ONCE here at ingest into hidden string columns —
+    // the steady-state read then never touches the raw JSON for them
+    val shredded = LakeJsonShred
+      .fromProps(GraftLakeTable.readProperties(spark, dir)) match {
+      case Some((src, paths))
+          if mapped.columns.exists(_.equalsIgnoreCase(src)) =>
+        LakeJsonShred.shred(mapped, src, paths)
+      case _ => mapped
+    }
     // declared PARTITIONING wins over declared clustering for the
     // shuffle (one shuffle per commit, never two): rows route to their
     // partition value and, when clustering is ALSO declared, sort
     // within the routed partitions so zone-maps stay monotone per file
     val partSpec = LakePartitioning.specOf(spark, dir)
     val out =
-      if (partSpec.isDefined) mapped
+      if (partSpec.isDefined) shredded
       else if (applyDeclaredClustering)
-        clusterFor(spark, dir, mapped, None)
-      else mapped
+        clusterFor(spark, dir, shredded, None)
+      else shredded
     val newFiles = writeDataFiles(spark, out, dir, v, partSpec,
       if (partSpec.isDefined && applyDeclaredClustering)
         clusteringSpec(spark, dir)
@@ -939,10 +949,12 @@ object VersionedTable {
         }
       }
       .getOrElse(masked)
-    // hidden physical lineage columns (materialized by rewrites on
-    // lineage-enabled tables) never surface on the data read
-    if (keepLineage) logical
-    else logical.drop(LakeRowLineage.PhysRowId,
+    // hidden physical lineage + shredded-JSON columns (materialized
+    // by writes on declaring tables) never surface on the data read
+    val noShred = logical.drop(
+      logical.columns.filter(LakeJsonShred.isShredCol).toIndexedSeq: _*)
+    if (keepLineage) noShred
+    else noShred.drop(LakeRowLineage.PhysRowId,
       LakeRowLineage.PhysLastUpd)
   }
 
