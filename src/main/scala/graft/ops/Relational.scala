@@ -3798,6 +3798,73 @@ object Relational {
       | count(*) AS n, TRUE AS shred_plan_only
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** MANIFEST NDV SKETCHES → CBO column statistics
+    * ([[graft.sources.VersionedTable.mergedNdv]],
+    * [[graft.sources.LakeNdvStats]] — Iceberg-puffin-shaped secondary
+    * stats feeding Spark's cost model): orders lands on a lake table
+    * declaring `graft.ndv.columns'='o_orderpriority'`, each commit
+    * embeds a per-file theta sketch in the manifest, and at plan time
+    * the union reports distinctCount(o_orderpriority)=5 through
+    * `SupportsReportStatistics.columnStats` — so a star-shaped join
+    * against `SELECT DISTINCT o_orderpriority` estimates 5 rows and
+    * FLIPS TO BROADCAST where the stats-less control table (same
+    * data, no declaration) stays on the shuffle join under the same
+    * confs (the in-engine plan-fact gate checks both). The rollup
+    * hash-gates against DuckDB. At 100 TB the CBO otherwise sees lake
+    * tables only through row counts — join order and build-side
+    * choices on low-cardinality dimensions fly blind. */
+  val q214NdvBroadcast: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakend_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"/tmp/graft_q214_$nonce")
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .createOrReplaceTempView(s"q214_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.dim (o_orderkey BIGINT, " +
+      "o_orderpriority STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES('graft.ndv.columns'='o_orderpriority')")
+    spark.sql(s"CREATE TABLE $cat.ctl (o_orderkey BIGINT, " +
+      "o_orderpriority STRING, o_totalprice DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM q214_src_$nonce")
+    spark.sql(s"INSERT INTO $cat.ctl SELECT * FROM q214_src_$nonce")
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      def q(tab: String): DataFrame = spark.sql(
+        s"""SELECT d.o_orderpriority,
+           |  count(*) AS n, round(sum(f.o_totalprice), 2) AS total
+           |FROM q214_src_$nonce f
+           |JOIN (SELECT DISTINCT o_orderpriority FROM $cat.$tab) d
+           |  ON f.o_orderpriority = d.o_orderpriority
+           |GROUP BY d.o_orderpriority""".stripMargin)
+      val flipped = q("dim").queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin")
+      val control = !q("ctl").queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin")
+      q("dim")
+        .withColumn("ndv_flipped_broadcast", lit(flipped && control))
+        .orderBy(col("o_orderpriority"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  val q214Oracle: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  TRUE AS ndv_flipped_broadcast
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -4395,6 +4462,7 @@ object Relational {
     "q211_table_changes" -> q211TableChanges,
     "q212_default_values" -> q212DefaultValues,
     "q213_json_shred" -> q213JsonShred,
+    "q214_ndv_broadcast" -> q214NdvBroadcast,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4487,5 +4555,6 @@ object Relational {
     "q211_table_changes" -> q211Oracle,
     "q212_default_values" -> q212Oracle,
     "q213_json_shred" -> q213Oracle,
+    "q214_ndv_broadcast" -> q214Oracle,
   )
 }

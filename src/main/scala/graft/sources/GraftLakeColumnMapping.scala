@@ -168,9 +168,13 @@ object LakeColumnMapping {
   def statsToLogical(m: Mapping,
       snap: VersionedTable.Snapshot): VersionedTable.Snapshot =
     snap.copy(stats = snap.stats.map { case (path, fs) =>
-      path -> fs.copy(cols = fs.cols.flatMap { case (p, cs) =>
-        m.logicalOf(p).map(_ -> cs)
-      })
+      path -> fs.copy(
+        cols = fs.cols.flatMap { case (p, cs) =>
+          m.logicalOf(p).map(_ -> cs)
+        },
+        ndv = fs.ndv.flatMap { case (p, sk) =>
+          m.logicalOf(p).map(_ -> sk)
+        })
     })
 
   /** Fresh physical name for ADD COLUMN on a mapped table: the

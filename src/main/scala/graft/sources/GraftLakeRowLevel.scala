@@ -472,10 +472,17 @@ private[graft] object LakeFileStats {
     * `firstRowId` is the file's ROW-LINEAGE id base (Iceberg v3
     * `first_row_id`): assigned once at commit on lineage-enabled
     * tables ([[LakeRowLineage.assignRowIds]]), carried by reference
-    * forever after. */
+    * forever after.
+    * `ndv` (col → serialized theta sketch,
+    * [[graft.functions.Theta]], built at commit when
+    * `graft.ndv.columns` declares the columns) carries per-file
+    * DISTINCT-COUNT sketches: mergeable at plan time into the scan's
+    * reported column statistics, so the CBO sees lake tables through
+    * real NDVs instead of row counts alone. */
   final case class FileStats(cols: Map[String, ColStats], rowCount: Long,
       blooms: Map[String, Array[Byte]] = Map.empty,
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      ndv: Map[String, Array[Byte]] = Map.empty)
 
   /** Footer opens performed by [[read]] — the instrumentation hook the
     * manifest-stats specs pin "zero footer IO during group pruning"
@@ -731,10 +738,18 @@ private[graft] object LakeFileStats {
         }: _*): JValue))
     val frid = fs.firstRowId
       .map(b => "frid" -> (JLong(b): JValue)).toList
+    val ndv =
+      if (fs.ndv.isEmpty) Nil
+      else List("ndv" -> (JObject(fs.ndv.toSeq.sortBy(_._1)
+        .map { case (n, bytes) =>
+          n -> (JString(java.util.Base64.getEncoder
+            .encodeToString(bytes)): JValue)
+        }: _*): JValue))
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         JObject(("rows" -> (JLong(fs.rowCount): JValue)) ::
-          ("cols" -> (JObject(cols: _*): JValue)) :: blooms ::: frid: _*)))
+          ("cols" -> (JObject(cols: _*): JValue)) ::
+          blooms ::: frid ::: ndv: _*)))
   }
 
   def fromJson(s: String): Option[FileStats] =
@@ -769,7 +784,18 @@ private[graft] object LakeFileStats {
           }.toMap
           case _ => Map.empty[String, Array[Byte]]
         }
-        FileStats(cols, rows, blooms, firstRowId = numLong(j \ "frid"))
+        val ndv = (j \ "ndv") match {
+          case JObject(fields) => fields.flatMap {
+            case (name, JString(b64)) =>
+              try Some(name ->
+                java.util.Base64.getDecoder.decode(b64))
+              catch { case _: IllegalArgumentException => None }
+            case _ => None
+          }.toMap
+          case _ => Map.empty[String, Array[Byte]]
+        }
+        FileStats(cols, rows, blooms, firstRowId = numLong(j \ "frid"),
+          ndv = ndv)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

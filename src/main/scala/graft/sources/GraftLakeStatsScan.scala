@@ -748,13 +748,14 @@ final class LakeRuntimeFilterScan(inner: Scan,
   }
 
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = inner match {
-    case s: SupportsReportStatistics => s.estimateStatistics()
-    case _ => new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
-    }
-  }
+      : org.apache.spark.sql.connector.read.Statistics =
+    LakeNdvStats.decorate(inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }, snap)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     inner.supportedCustomMetrics()
@@ -764,6 +765,66 @@ final class LakeRuntimeFilterScan(inner: Scan,
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
+}
+
+/** MANIFEST-NDV column statistics for the planner: per-file theta
+  * sketches ([[VersionedTable.mergedNdv]]) union at plan time into
+  * per-column distinct counts reported through the V2 `columnStats`
+  * surface — `DataSourceV2Relation.transformV2Stats` converts them to
+  * catalyst `ColumnStat`s, so with CBO on, join order and broadcast
+  * decisions over `SELECT DISTINCT k`-shaped subqueries see the real
+  * cardinality instead of the child's row count. Null counts ride
+  * along from the manifest min/max stats when fully covered. */
+private[sources] object LakeNdvStats {
+
+  def decorate(base: org.apache.spark.sql.connector.read.Statistics,
+      snap: VersionedTable.Snapshot)
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val ndv = VersionedTable.mergedNdv(snap)
+    if (ndv.isEmpty) return base
+    // CBO's hasCountStats gate needs nullCount NEXT TO distinctCount;
+    // empty files contribute zero nulls by construction
+    val nulls: Map[String, Long] = ndv.keySet.flatMap { c =>
+      val per = snap.dataFiles.map(p => snap.stats.get(p).flatMap(fs =>
+        if (fs.rowCount == 0L) Some(0L)
+        else fs.cols.find(_._1.equalsIgnoreCase(c))
+          .flatMap(_._2.nullCount)))
+      if (per.exists(_.isEmpty)) None else Some(c -> per.flatten.sum)
+    }.toMap
+    // CBO's aggregate estimation needs the child ROW COUNT next to the
+    // distinct counts; serve it from the manifest when fully covered
+    val totalRows: Option[Long] =
+      if (snap.dataFiles.forall(snap.stats.contains))
+        Some(snap.dataFiles.map(snap.stats(_).rowCount).sum)
+      else None
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        if (base.numRows().isPresent) base.numRows()
+        else totalRows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        ndv.foreach { case (c, n) =>
+          val nc = nulls.get(c)
+          m.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(c),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+              override def nullCount(): java.util.OptionalLong =
+                nc.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            })
+        }
+        m
+      }
+    }
+  }
 }
 
 object LakeRuntimeFilterScan {

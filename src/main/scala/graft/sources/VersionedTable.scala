@@ -165,8 +165,9 @@ object VersionedTable {
           k != LakeTypeWidening.Meta
       }
     publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles,
-      prior.stats ++ withBlooms(spark, dir, newFiles,
-        statsFor(spark, newFiles, prior.stats)),
+      prior.stats ++ withNdv(spark, dir, newFiles,
+        withBlooms(spark, dir, newFiles,
+          statsFor(spark, newFiles, prior.stats))),
       prior.meta ++ cleanMeta,
       op.getOrElse(if (carryForward) "append" else "overwrite"))
   }
@@ -437,6 +438,94 @@ object VersionedTable {
         case None => p -> fs
       }
     }
+  }
+
+  /** MANIFEST NDV SKETCHES: when the table declares
+    * `graft.ndv.columns` (integral or string columns,
+    * comma-separated), every commit enriches its FRESH files'
+    * manifest stats with a per-file [[graft.functions.Theta]] sketch
+    * of each declared column — one delta-scoped job, same discipline
+    * as [[withBlooms]]. Theta sketches MERGE losslessly, so plan time
+    * unions the per-file sketches (manifest-sized driver work, zero
+    * data IO) into per-column DISTINCT COUNTS reported through
+    * `SupportsReportStatistics.columnStats` — the CBO then sees lake
+    * tables through real NDVs instead of row counts alone: join-order
+    * and broadcast decisions on `SELECT DISTINCT k`-shaped subqueries
+    * flip correctly (spec- and gate-pinned). Strings enter the sketch
+    * through the engine-agnostic [[graft.functions.PolyHashMod]]. */
+  private def withNdv(spark: SparkSession, dir: String,
+      files: Seq[String], stats: Map[String, LakeFileStats.FileStats])
+      : Map[String, LakeFileStats.FileStats] = {
+    import org.apache.spark.sql.functions.col
+    val props = GraftLakeTable.readProperties(spark, dir)
+    val declared = Option(props.get("graft.ndv.columns"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    if (declared.isEmpty || files.isEmpty) return stats
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val cols = declared.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft.ndv.columns names '$c', absent from the commit " +
+            s"schema ${df.columns.mkString("(", ",", ")")}"))
+      f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => f
+        case other => throw new IllegalArgumentException(
+          s"graft.ndv.columns supports integral and string keys; " +
+            s"'$c' is ${other.catalogString}")
+      }
+    }
+    val aggs = cols.map { f =>
+      val key = f.dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          graft.functions.PolyHashMod(col(f.name))
+        case _ => col(f.name).cast("long")
+      }
+      graft.functions.Theta.build(key).as(f.name)
+    }
+    val byFile = df
+      .groupBy(col("_metadata.file_path").as("__graft_nf"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => new Path(r.getString(0)).toString ->
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(i + 1)).map(c.name -> _.asInstanceOf[Array[Byte]])
+        }.toMap)
+      .toMap
+    stats.map { case (p, fs) =>
+      byFile.get(new Path(p).toString) match {
+        case Some(sk) => p -> fs.copy(ndv = fs.ndv ++ sk)
+        case None => p -> fs
+      }
+    }
+  }
+
+  /** Plan-time NDV merge over a snapshot: per declared column, the
+    * union of every data file's theta sketch → distinct-count
+    * estimate. A column is reported only when EVERY non-empty file
+    * carries its sketch (a partial union would under-count). */
+  private[sources] def mergedNdv(
+      snap: Snapshot): Map[String, Long] = {
+    val nonEmpty = snap.dataFiles.filter(p =>
+      snap.stats.get(p).forall(_.rowCount > 0L))
+    if (nonEmpty.isEmpty) return Map.empty
+    val perFile = nonEmpty.map(p => snap.stats.get(p).map(_.ndv))
+    if (perFile.exists(_.isEmpty)) return Map.empty
+    val maps = perFile.flatten
+    val cols = maps.head.keySet.filter(c => maps.forall(_.contains(c)))
+    cols.map { c =>
+      val u = org.apache.datasketches.theta.SetOperation.builder()
+        .setNominalEntries(graft.functions.Theta.NominalEntries)
+        .buildUnion()
+      maps.foreach(m => u.union(
+        org.apache.datasketches.theta.Sketches.wrapCompactSketch(
+          org.apache.datasketches.memory.Memory.wrap(m(c)))))
+      c -> math.round(u.getResult.getEstimate)
+    }.toMap
   }
 
   /** Fully qualified parquet paths under a landed data directory. */

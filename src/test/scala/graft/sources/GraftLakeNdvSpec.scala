@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkSpec
+
+/** Manifest NDV sketches → CBO column statistics
+  * ([[VersionedTable.mergedNdv]], [[LakeNdvStats]]): per-file theta
+  * sketches declared via `graft.ndv.columns` merge at plan time into
+  * reported distinct counts, and the planner's join decisions follow
+  * the real cardinality. */
+class GraftLakeNdvSpec extends SparkSpec {
+
+  private val n = new AtomicInteger(0)
+
+  private def freshCatalog(): (String, String) = {
+    val cat = s"glc_ndv_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_lake_ndv_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  test("per-file sketches merge to exact NDVs at plan time (zero data IO)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, grp BIGINT, s STRING) " +
+      "TBLPROPERTIES('graft.ndv.columns'='grp,s')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id % 7, " +
+      "concat('g', id % 3) FROM range(0, 5000)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id % 11, " +
+      "concat('g', id % 5) FROM range(5000, 10000)")
+    val v = VersionedTable.latestVersion(spark, s"$root/t").get
+    val snap = VersionedTable.snapshotOf(spark, s"$root/t", v)
+    // sketches persisted per fresh file
+    assert(snap.dataFiles.filter(p =>
+      snap.stats.get(p).exists(_.rowCount > 0))
+      .forall(p => snap.stats(p).ndv.keySet == Set("grp", "s")))
+    // merged estimates: theta is EXACT below the nominal bound
+    LakeFileStats.footerReads.set(0L)
+    val ndv = VersionedTable.mergedNdv(snap)
+    assert(LakeFileStats.footerReads.get() === 0L,
+      "plan-time NDV merge must be manifest-only")
+    assert(ndv("grp") === 11L, s"got $ndv")   // 0..10 (7 ⊂ 11)
+    assert(ndv("s") === 5L, s"got $ndv")      // g0..g4
+  }
+
+  test("a distinct-subquery join flips to broadcast from manifest NDV") {
+    val (cat, _) = freshCatalog()
+    // fact side: plain parquet, too big to broadcast under the test
+    // threshold
+    val factDir = s"/tmp/graft_ndv_fact_${java.util.UUID.randomUUID()}"
+    spark.range(0, 20000).selectExpr("id", "id % 5 AS grp")
+      .write.parquet(factDir)
+    // two identical lake tables: one declares NDV, the control not
+    spark.sql(s"CREATE TABLE $cat.dim (grp BIGINT, payload STRING) " +
+      "TBLPROPERTIES('graft.ndv.columns'='grp')")
+    spark.sql(s"CREATE TABLE $cat.ctl (grp BIGINT, payload STRING)")
+    Seq("dim", "ctl").foreach(t => spark.sql(
+      s"INSERT INTO $cat.$t SELECT id % 5, " +
+        s"concat('payload_string_', id) FROM range(0, 20000)"))
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      def planOf(dimTable: String): String = {
+        val df = spark.sql(
+          s"""SELECT f.grp, count(*) AS n
+             |FROM parquet.`$factDir` f
+             |JOIN (SELECT DISTINCT grp FROM $cat.$dimTable) d
+             |  ON f.grp = d.grp
+             |GROUP BY f.grp""".stripMargin)
+        df.queryExecution.sparkPlan.toString
+      }
+      val withNdv = planOf("dim")
+      assert(withNdv.contains("BroadcastHashJoin"),
+        s"manifest NDV (5) must flip the join to broadcast:\n$withNdv")
+      val control = planOf("ctl")
+      assert(!control.contains("BroadcastHashJoin"),
+        s"the control must NOT broadcast (no NDV, fallback size):\n" +
+          control)
+      // and the answers are identical either way
+      val a = spark.sql(s"SELECT f.grp, count(*) AS n FROM " +
+        s"parquet.`$factDir` f JOIN (SELECT DISTINCT grp FROM " +
+        s"$cat.dim) d ON f.grp = d.grp GROUP BY f.grp ORDER BY f.grp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(a === (0L until 5L).map(g => (g, 4000L)))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("NDV survives column rename (stats re-key to logical)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, grp BIGINT) " +
+      "TBLPROPERTIES('graft.ndv.columns'='grp')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id % 4 FROM range(0, 100)")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN grp TO bucket_id")
+    val v = VersionedTable.latestVersion(spark, s"$root/t").get
+    val snap = LakeColumnMapping.fromMeta(
+      VersionedTable.snapshotOf(spark, s"$root/t", v).meta)
+      .filterNot(_.isIdentity)
+      .map(LakeColumnMapping.statsToLogical(_,
+        VersionedTable.snapshotOf(spark, s"$root/t", v)))
+      .getOrElse(VersionedTable.snapshotOf(spark, s"$root/t", v))
+    assert(VersionedTable.mergedNdv(snap).get("bucket_id")
+      .contains(4L))
+  }
+}
