@@ -902,7 +902,8 @@ final class LakeKeyGroupedScan(inner: Scan,
     staticallyPruned: Set[String] = Set.empty,
     clusterOrdering
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty)
+      Array.empty,
+    ndvSnap: Option[VersionedTable.Snapshot] = None)
     extends Scan
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1010,13 +1011,17 @@ final class LakeKeyGroupedScan(inner: Scan,
   }
 
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = inner match {
-    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-      s.estimateStatistics()
-    case _ => new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val base = inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
     }
+    // manifest NDV column stats ride the SPJ scan too
+    ndvSnap.map(LakeNdvStats.decorate(base, _)).getOrElse(base)
   }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =

@@ -366,7 +366,8 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
           // the loud normalization-divergence case
           staticallyPruned =
             partInfo.map(_._2.keySet -- keys.keySet).getOrElse(Set.empty),
-          clusterOrdering = reportOrdering)
+          clusterOrdering = reportOrdering,
+          ndvSnap = Some(snap))
       case Some((_, keys)) =>
         // a partition column pruned from the output (no SPJ use) or
         // every file statically/bloom pruned: ordinary scan, seeded
