@@ -3630,7 +3630,11 @@ object Relational {
     spark.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftLakeCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // a 10% key sample: the feed's SEMANTICS are what the key gates
+    // (insert/delete/update legs, stream equality); the lifecycle
+    // cost would otherwise dominate the bench suite at full SF
     t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"))
       .createOrReplaceTempView(s"q211_src_$nonce")
@@ -3644,13 +3648,24 @@ object Relational {
     VersionedTable.deleteWhereMergeOnRead(spark, s"$root/ord",
       col("o_orderpriority") === lit("2-HIGH"))
     val batch = VersionedTable.tableChanges(spark, s"$root/ord", 0)
-    // gate: batch ≡ stream, row for row, over the same commits
+    // gate: batch ≡ stream as MULTISETS over the same commits — one
+    // pass per side (count + order-insensitive row-hash sum), not the
+    // four full executions a two-way exceptAll would cost
     val streamed = StreamOps.runToMemory(spark,
-      VersionedTable.changeFeedStream(spark, s"$root/ord"),
+      VersionedTable.changeFeedStream(spark, s"$root/ord",
+        maxVersionsPerTrigger = 16),
       s"q211_mem_$nonce", "append")
       .select(batch.columns.map(col): _*)
-    val feedsEqual = batch.exceptAll(streamed).isEmpty &&
-      streamed.exceptAll(batch).isEmpty
+    def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(df.columns.map(col): _*)
+          .cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    val (bn, bh) = digest(batch)
+    val (sn, sh) = digest(streamed)
+    val feedsEqual = bn == sn && bh.compareTo(sh) == 0
     batch
       .groupBy(col("_change_type").as("op"))
       .agg(count(lit(1)).as("n"),
@@ -3660,19 +3675,22 @@ object Relational {
   }
 
   val q211Oracle: String =
-    """SELECT op, CAST(count(*) AS BIGINT) AS n,
+    """WITH src AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 10 = 0
+      |)
+      |SELECT op, CAST(count(*) AS BIGINT) AS n,
       |  round(sum(price), 2) AS total, TRUE AS feeds_equal
       |FROM (
-      |  SELECT 'insert' AS op, o_totalprice AS price FROM orders
+      |  SELECT 'insert' AS op, o_totalprice AS price FROM src
       |  UNION ALL
       |  SELECT 'update_preimage', o_totalprice
-      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  FROM src WHERE o_orderpriority = '1-URGENT'
       |  UNION ALL
       |  SELECT 'update_postimage', o_totalprice + 100.0
-      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  FROM src WHERE o_orderpriority = '1-URGENT'
       |  UNION ALL
       |  SELECT 'delete', o_totalprice
-      |  FROM orders WHERE o_orderpriority = '2-HIGH')
+      |  FROM src WHERE o_orderpriority = '2-HIGH')
       |GROUP BY op ORDER BY op""".stripMargin
 
   // ---------------------------------------------------------------- q212
