@@ -19,8 +19,53 @@ import org.apache.spark.sql.DataFrame
   * layout build — two full shuffled writes) and `q62_bucketed_join` (the
   * steady-state exchange-free probe over the already-built tables), so
   * the co-located-join claim is measured on its own.
+  *
+  * Timeout-proof output (the r15 lesson — the harness killed the sweep
+  * and the artifact carried zero data): one `{"q":name,"sec":t}` line
+  * streams per completed entry, a self-imposed wall-clock budget
+  * (SPARK_GRAFT_BENCH_BUDGET_S, default 2700 s) truncates the sweep with
+  * a parseable summary carrying `truncated_after`, and the outlier
+  * defense's previous-round record falls back past artifacts that carry
+  * no per-query values.
   */
 object Bench {
+
+  /** One compact line per completed entry, streamed to stdout as the
+    * sweep progresses — a harness timeout mid-sweep still leaves most
+    * per-query values in the captured tail (the r15 artifact died at
+    * rc=124 with ZERO data because everything printed at the end). */
+  def entryLine(name: String, sec: Double): String =
+    f"""{"q":"$name","sec":$sec%.3f}"""
+
+  /** The final all-in-one summary line. When the self-imposed budget cut
+    * the sweep short, `truncatedAfter` names the last completed entry and
+    * the line carries a "truncated_after" field — a truncated sweep still
+    * yields a PARSEABLE artifact over the completed subset. */
+  def summaryLine(results: Seq[(String, Double)], sfDir: String,
+                  truncatedAfter: Option[String]): String = {
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val truncField = truncatedAfter
+      .map(n => s""","truncated_after":"$n"""").getOrElse("")
+    f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"$truncField}"""
+  }
+
+  /** Per-query values from prior BENCH_r*.json artifact texts, given
+    * NEWEST-FIRST: the first artifact that actually carries per-query
+    * values wins. BENCH_r15.json is an rc=124 carcass with none —
+    * stopping at "newest" would silently disable the outlier defense. */
+  def parsePrevRecord(artifactTextsNewestFirst: Seq[String])
+      : Map[String, Double] =
+    artifactTextsNewestFirst.iterator.map { txt =>
+      """([a-zA-Z0-9_]+)\\?":([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, _) =>
+          k == "canary" ||
+            k.headOption.exists(c => c == 'q' || c == 'b') }
+        .toMap
+    }.find(m => m.keys.exists(_ != "canary")).getOrElse(Map.empty)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -123,23 +168,19 @@ object Bench {
     // noise and needed judge correction. Values live inside the
     // driver-written BENCH_r<N>.json tail (a JSON-escaped string), so
     // the name may be preceded by a backslash-escaped quote.
+    // Walk artifacts NEWEST-FIRST and take the first that actually
+    // parses per-query values: BENCH_r15.json is an rc=124 timeout
+    // carcass with zero data — stopping at "newest" would silently
+    // disable this defense for every later round.
     val prevRecord: Map[String, Double] = {
       val files = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption
-        .map { f =>
-          val txt = {
-            val src = scala.io.Source.fromFile(f)
-            try src.mkString finally src.close()
-          }
-          """([a-zA-Z0-9_]+)\\?":([0-9.]+)""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter { case (k, _) =>
-              k == "canary" ||
-                k.headOption.exists(c => c == 'q' || c == 'b') }
-            .toMap
-        }.getOrElse(Map.empty)
+        .sortBy(-_.getName.replaceAll("\\D", "").toInt)
+      parsePrevRecord(files.toSeq.map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString finally src.close()
+      })
     }
 
     // CPU canary definition moved up: it now also samples DURING the
@@ -167,8 +208,29 @@ object Bench {
       .empty[(String, Double)]
     val rerunLog = scala.collection.mutable.ListBuffer
       .empty[(String, Double, Double)]
+    // TIMEOUT-PROOF DISCIPLINE (the r15 lesson: the harness killed the
+    // sweep at its own timeout and the all-or-nothing final println left
+    // an artifact with ZERO per-query data). Two defenses:
+    //   1. stream one compact `{"q":name,"sec":t}` line to stdout as
+    //      EACH entry completes — a kill mid-sweep still leaves most
+    //      per-query values in the captured tail;
+    //   2. a self-imposed wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
+    //      default 2700 s — comfortably under the harness timeout): when
+    //      exceeded, stop the sweep and emit the normal summary JSON over
+    //      the completed subset plus a "truncated_after" field, so the
+    //      artifact is ALWAYS a parseable record of what ran.
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(2700.0)
+    val sweepT0 = System.nanoTime()
+    def sweepElapsed(): Double = (System.nanoTime() - sweepT0) / 1e9
+    var truncatedAfter: Option[String] = None
     var entryIdx = 0
-    val results = entries.map { case (name, run) =>
+    val results = scala.collection.mutable.ListBuffer
+      .empty[(String, Double)]
+    val it = entries.iterator
+    while (it.hasNext && truncatedAfter.isEmpty) {
+      val (name, run) = it.next()
       entryIdx += 1
       if (entryIdx % 50 == 0) midCanaries += ((entryIdx, canaryRun()))
       val gc0 = gcSeconds()
@@ -198,7 +260,10 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      name -> t
+      results += (name -> t)
+      println(entryLine(name, t))
+      if (sweepElapsed() > budgetS && it.hasNext)
+        truncatedAfter = Some(name)
     }
     // Machine-speed CANARY (end-of-sweep official reading): a fixed
     // CPU-bound splitmix64 loop (no IO, no allocation, cache-resident,
@@ -214,13 +279,11 @@ object Bench {
     val machineRatio = prevRecord.get("canary")
       .filter(_ > 0).map(canary / _)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // `queries` first, summary fields LAST: the harness records only the
     // tail of stdout, so the end of this line — newest entries, then the
     // total — is the part guaranteed to survive truncation.
-    println(f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+    println(summaryLine(results.toSeq, sfDir, truncatedAfter))
     // Historical regression-watch set on its own final line: these keys
     // sit mid-suite in natural order, so truncation hides them from the
     // captured tail — repeat them (plus the total) LAST so every round's
