@@ -3883,6 +3883,77 @@ object Relational {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** TYPED shredded JSON ([[graft.sources.LakeJsonShred]] typed
+    * declarations — the Iceberg/Spark variant-shredding type tier):
+    * events lands on a table declaring `graft.json.shred'='props:$.k
+    * BIGINT'`, so ingest materializes `CAST(get_json_object(props,
+    * '$$.k') AS BIGINT)` into a NUMERIC hidden column. Two effects,
+    * both plan-fact gated in-engine: (1) `CAST(get_json_object(...)
+    * AS BIGINT)` rewrites to a plain columnar read of the typed
+    * column with the raw JSON pruned out of the scan; (2) a numeric
+    * range predicate over the path prunes FILES on the manifest's
+    * SEMANTIC min/max (the low-range commit never launches tasks) —
+    * string shredding would compare lexically, where "9" > "10".
+    * Hash-gated against DuckDB. At 100 TB: a range scan over a typed
+    * path reads the owning files only, and the per-row cast
+    * disappears from the query entirely. */
+  val q215TypedShred: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakets_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"/tmp/graft_q215_$nonce")
+    graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("props"))
+      .createOrReplaceTempView(s"q215_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.e (event_type STRING, props STRING) " +
+      "TBLPROPERTIES('graft.json.shred'='props:$.k BIGINT')")
+    // two commits with DISJOINT $.k ranges: each commit's files bound
+    // one side of 50, so the range predicate below can prove the low
+    // commit's files irrelevant from manifest min/max alone
+    spark.sql(s"INSERT INTO $cat.e SELECT * FROM q215_src_$nonce " +
+      "WHERE CAST(get_json_object(props, '$.k') AS BIGINT) < 50")
+    spark.sql(s"INSERT INTO $cat.e SELECT * FROM q215_src_$nonce " +
+      "WHERE CAST(get_json_object(props, '$.k') AS BIGINT) >= 50")
+    val q = spark.sql(
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  sum(CAST(get_json_object(props, '$$.k') AS BIGINT)) AS k_sum
+         |FROM $cat.e
+         |WHERE CAST(get_json_object(props, '$$.k') AS BIGINT) >= 50
+         |GROUP BY event_type""".stripMargin)
+    // gate 1: the plan reads the TYPED column, never the raw JSON
+    graft.sources.LakeReadScanBuilder.lastStatsPrune.set(-1L)
+    val rs = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("|")
+    val planTyped = rs.contains("__shred_k__long") &&
+      !rs.contains("props")
+    val out = q.collect() // executes with the prune instrumentation set
+    // gate 2: the static manifest min/max prune dropped the low-range
+    // commit's files (kept < total)
+    val word = graft.sources.LakeReadScanBuilder.lastStatsPrune.get()
+    val pruned = word >= 0 && (word >> 32).toInt < word.toInt &&
+      (word >> 32).toInt >= 1
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))))
+      .toDF("event_type", "n", "k_sum")
+      .withColumn("typed_shred_pruned", lit(planTyped && pruned))
+      .orderBy(col("event_type"))
+  }
+
+  val q215Oracle: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |   AS BIGINT) AS k_sum,
+      | TRUE AS typed_shred_pruned
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -4481,6 +4552,7 @@ object Relational {
     "q212_default_values" -> q212DefaultValues,
     "q213_json_shred" -> q213JsonShred,
     "q214_ndv_broadcast" -> q214NdvBroadcast,
+    "q215_typed_shred" -> q215TypedShred,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4574,5 +4646,6 @@ object Relational {
     "q212_default_values" -> q212Oracle,
     "q213_json_shred" -> q213Oracle,
     "q214_ndv_broadcast" -> q214Oracle,
+    "q215_typed_shred" -> q215Oracle,
   )
 }

@@ -786,11 +786,10 @@ final class GraftLakeTable(ident: Identifier, dir: String,
               override def name(): String =
                 LakeJsonShred.shredColName(p)
               override def dataType()
-                  : org.apache.spark.sql.types.DataType =
-                org.apache.spark.sql.types.StringType
+                  : org.apache.spark.sql.types.DataType = p.dt
               override def isNullable: Boolean = true
               override def comment(): String =
-                s"shredded JSON path $p"
+                s"shredded JSON path ${p.path} (${p.dt.simpleString})"
             }: org.apache.spark.sql.connector.catalog.MetadataColumn
           }}
       if (!lineageOn) Array(file) ++ shreds
@@ -827,7 +826,8 @@ final class GraftLakeTable(ident: Identifier, dir: String,
     * stats column inventory — zero IO). Otherwise the rewrite stays
     * off and declared paths parse the raw string: answers never
     * depend on the gate, only the plan does. */
-  private[graft] lazy val shredServing: Option[(String, Seq[String])] =
+  private[graft] lazy val shredServing
+      : Option[(String, Seq[LakeJsonShred.ShredPath])] =
     LakeJsonShred.fromProps(properties()).filter { case (_, paths) =>
       snapshot.dataFiles.nonEmpty && snapshot.dataFiles.forall(p =>
         snapshot.stats.get(p).exists(fs => fs.rowCount == 0L ||

@@ -189,7 +189,7 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
       case None => built
     }
     val keep: Option[Set[String]] = {
-      val bd = bloomDropped
+      val bd = bloomDropped ++ statsDropped
       val static = partPruned.map(_._2.keySet).orElse(genStaticKeep)
       (static, bd) match {
         case (None, s) if s.isEmpty => None
@@ -337,6 +337,37 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     dropped
   }
 
+  /** STATIC MANIFEST-STATS FILE PRUNING (min/max zone maps at FILE
+    * granularity, before any task launches): every filter Spark
+    * handed the builder translates to the V1 algebra and a file whose
+    * manifest stats PROVE no row can satisfy the conjunction drops
+    * from the scan — the static complement of
+    * [[LakeRuntimeFilterScan]]'s join-time pruning, and the prune
+    * that makes range predicates on clustered layouts
+    * (`graft.write.ordered-by`) and TYPED SHREDDED columns
+    * ([[LakeJsonShred]] — numeric min/max, not lexical) read only the
+    * owning sliver of a 100 TB table. Conservative by construction
+    * ([[LakeFileStats.possible]]): untranslatable predicates, missing
+    * stats, or truncated bounds keep the file; parquet's own row-group
+    * pruning still applies inside kept files. Mapped tables skip it
+    * (stats carry PHYSICAL names; the translated filters are logical). */
+  private def statsDropped: Set[String] = {
+    if (mapping.isDefined || catalystFilters.isEmpty) return Set.empty
+    val v1 = catalystFilters.flatMap(e =>
+      org.apache.spark.sql.graftbridge.FilterBridge.toV1(e))
+    if (v1.isEmpty) return Set.empty
+    val dropped = snap.dataFiles.filter { p =>
+      snap.stats.get(p).exists(fs =>
+        !v1.forall(f => LakeFileStats.possible(f, fs)))
+    }.map(p => new Path(p).toString).toSet
+    if (dropped.nonEmpty) {
+      val total = snap.dataFiles.size
+      LakeReadScanBuilder.lastStatsPrune.set(
+        ((total - dropped.size).toLong << 32) | total.toLong)
+    }
+    dropped
+  }
+
   /** Key-grouped (SPJ) scanning is sound and USEFUL only when the
     * table declares partitioning, every data file claims its value
     * ([[GraftLakeTable.partKeys]] verified that), and the partition
@@ -348,7 +379,7 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     case None if wantsLineage => buildLineageScan()
     case None if wantsFile => new LakeFileColumnScan(logicalBuild())
     case None =>
-      val bloomDrop = bloomDropped
+      val bloomDrop = bloomDropped ++ statsDropped
       partPruned match {
       case Some((specs, keys0))
           if keys0.nonEmpty && specs.forall(s =>
@@ -399,6 +430,11 @@ object LakeReadScanBuilder {
 
   /** (kept << 32 | total) of the most recent MANIFEST-BLOOM prune. */
   val lastBloomPrune =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** (kept << 32 | total) of the most recent STATIC MANIFEST-STATS
+    * (min/max) file prune. */
+  val lastStatsPrune =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 }
 

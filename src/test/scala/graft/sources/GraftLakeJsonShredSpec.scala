@@ -87,6 +87,74 @@ class GraftLakeJsonShredSpec extends SparkSpec {
       Seq("a", "b", "c"))
   }
 
+  test("colliding sanitized column names are rejected loudly") {
+    def props(v: String) = {
+      val m = new java.util.HashMap[String, String]()
+      m.put(LakeJsonShred.Prop, v)
+      m
+    }
+    // case collision: $.K and $.k both sanitize to __shred_k
+    val e1 = intercept[IllegalArgumentException] {
+      LakeJsonShred.fromProps(props("props:$.K,$.k"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    // structural collision: $.a.b and $.a_b both -> __shred_a_b
+    val e2 = intercept[IllegalArgumentException] {
+      LakeJsonShred.fromProps(props("props:$.a.b,$.a_b"))
+    }
+    assert(e2.getMessage.contains("collide"))
+    // same sanitized name at DIFFERENT types does not collide (the
+    // type is part of the column name)
+    val ok = LakeJsonShred.fromProps(props("props:$.k BIGINT,$.k"))
+    assert(ok.get._2.map(LakeJsonShred.shredColName).distinct.size == 2)
+  }
+
+  test("typed shredding: CAST(get_json_object) rewrites to the typed " +
+      "column and numeric range predicates prune files on semantic " +
+      "min/max") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.e (id BIGINT, props STRING) " +
+      "TBLPROPERTIES('graft.json.shred'='props:$.k BIGINT')")
+    // two commits with DISJOINT k ranges -> disjoint per-file min/max
+    spark.sql(s"""INSERT INTO $cat.e VALUES
+      | (1, '{"k": 2}'), (2, '{"k": 9}')""".stripMargin)
+    spark.sql(s"""INSERT INTO $cat.e VALUES
+      | (3, '{"k": 100}'), (4, '{"k": 250}')""".stripMargin)
+    val q = spark.sql(s"SELECT id, " +
+      s"CAST(get_json_object(props, '$$.k') AS BIGINT) AS k " +
+      s"FROM $cat.e " +
+      s"WHERE CAST(get_json_object(props, '$$.k') AS BIGINT) >= 50 " +
+      "ORDER BY id")
+    LakeReadScanBuilder.lastStatsPrune.set(-1L)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((3L, 100L), (4L, 250L)))
+    // plan: typed column read, raw string pruned away
+    val rs = readSchemaOf(q)
+    assert(rs.contains("__shred_k__long"), s"typed shred read: $rs")
+    assert(!rs.contains("props"), s"raw column must prune away: $rs")
+    // files: the low-range commit pruned STATICALLY from manifest
+    // min/max — semantic numeric bounds, where lexical "9" > "10"
+    // would have kept everything
+    val word = LakeReadScanBuilder.lastStatsPrune.get()
+    assert(word >= 0, "static stats prune must have fired")
+    val (kept, total) = ((word >> 32).toInt, word.toInt)
+    assert(kept < total, s"expected kept < total, got $kept/$total")
+    assert(kept >= 1, "the high-range file must survive")
+  }
+
+  test("typed shredding: bare get_json_object over a typed-only path " +
+      "still parses the raw string (string-vs-typed never conflated)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.e (id BIGINT, props STRING) " +
+      "TBLPROPERTIES('graft.json.shred'='props:$.k BIGINT')")
+    spark.sql(s"""INSERT INTO $cat.e VALUES (1, '{"k": 7}')""")
+    val q = spark.sql(
+      s"SELECT get_json_object(props, '$$.k') AS k FROM $cat.e")
+    assert(q.collect()(0).getString(0) === "7")
+    assert(readSchemaOf(q).contains("props"),
+      "a string-domain read of a typed-only path must use the raw column")
+  }
+
   test("filters push onto the shredded column") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (id BIGINT, props STRING) " +
