@@ -46,7 +46,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftLakeDvScanBuilder(table: ParquetTable,
     tableSchema: StructType, deleteFiles: Seq[String],
     options: CaseInsensitiveStringMap,
-    totalRows: Option[Long] = None) extends ScanBuilder
+    totalRows: Option[Long] = None,
+    lineage: Option[Map[String, LakeRowLineage.FileLineage]] = None)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns {
 
   private def spark: SparkSession = SparkSession.active
@@ -63,15 +65,39 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
     eqFiles.flatMap(f => spark.read.parquet(f).columns).distinct
 
   private var requested: Option[StructType] = None
+  private var wantsLineage = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     requested = Some(requiredSchema)
+    // ROW LINEAGE over a DV scan ([[LakeRowLineage]] — Iceberg v3
+    // serves row lineage over deletion-vector tables): the running
+    // position counter this scan already keeps for mask probing IS
+    // the physical row position, so `_row_id` = manifest base + pos
+    // (materialized physical value wins) composes with masks exactly.
+    // The identity columns strip from the inner read; the PHYSICAL
+    // lineage columns ride along when any file carries them.
+    wantsLineage = lineage.isDefined &&
+      requiredSchema.fieldNames.exists(n =>
+        n.equalsIgnoreCase(LakeRowLineage.RowIdCol) ||
+          n.equalsIgnoreCase(LakeRowLineage.LastUpdCol))
+    val dataReq =
+      if (!wantsLineage) requiredSchema
+      else StructType(requiredSchema.fields.filterNot(f =>
+        f.name.equalsIgnoreCase(LakeRowLineage.RowIdCol) ||
+          f.name.equalsIgnoreCase(LakeRowLineage.LastUpdCol)))
+    val withPhys =
+      if (!wantsLineage) dataReq
+      else StructType(dataReq.fields ++
+        (table: org.apache.spark.sql.connector.catalog.Table)
+          .schema().fields.filter(f =>
+        LakeRowLineage.isInternalCol(f.name) &&
+          !dataReq.fieldNames.exists(_.equalsIgnoreCase(f.name))))
     val widened =
-      if (eqFiles.isEmpty) requiredSchema
+      if (eqFiles.isEmpty) withPhys
       else {
         val missing = eqKeyCols.filterNot(k =>
-          requiredSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
-        StructType(requiredSchema.fields ++ missing.flatMap(k =>
+          withPhys.fieldNames.exists(_.equalsIgnoreCase(k)))
+        StructType(withPhys.fields ++ missing.flatMap(k =>
           tableSchema.fields.find(_.name.equalsIgnoreCase(k))))
       }
     inner match {
@@ -129,7 +155,9 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
       EqDelete(delV, df.columns.toSeq, types.toSeq, keys)
     }
     new GraftLakeDvScan(inner.build(), positions, totalRows,
-      eqDeletes, requested.filter(_ => eqFiles.nonEmpty))
+      eqDeletes,
+      requested.filter(_ => eqFiles.nonEmpty || wantsLineage),
+      lineageInfo = if (wantsLineage) lineage else None)
   }
 }
 
@@ -166,7 +194,9 @@ final class GraftLakeDvScan(inner: Scan,
     deletes: Map[String, PositionBitmap],
     totalRows: Option[Long] = None,
     eqDeletes: Seq[EqDelete] = Seq.empty,
-    projectTo: Option[StructType] = None) extends Scan
+    projectTo: Option[StructType] = None,
+    lineageInfo: Option[Map[String, LakeRowLineage.FileLineage]] = None)
+    extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType =
@@ -240,8 +270,17 @@ final class GraftLakeDvScan(inner: Scan,
               innerSchema.fieldNames.mkString("(", ",", ")"))
           i
         }
+        // lineage feed: the identity columns are APPENDED by the
+        // reader after the inner row (ordinals n, n+1)
+        val n = innerSchema.length
         val projection = projectTo.map(p =>
-          p.fieldNames.map(ordinal).toSeq)
+          p.fieldNames.map { c =>
+            if (lineageInfo.isDefined &&
+                c.equalsIgnoreCase(LakeRowLineage.RowIdCol)) n
+            else if (lineageInfo.isDefined &&
+                c.equalsIgnoreCase(LakeRowLineage.LastUpdCol)) n + 1
+            else ordinal(c)
+          }.toSeq)
         files
           .groupBy(_.filePath.toString).toSeq.sortBy(_._1)
           .zipWithIndex
@@ -252,41 +291,53 @@ final class GraftLakeDvScan(inner: Scan,
             val born = LakePartitioning.fileVersionOfPath(key)
             val applicable = eqDeletes.indices.filter(j =>
               born.exists(_ < eqDeletes(j).version)).toArray
+            val fl = lineageInfo.map(_.getOrElse(key,
+              LakeRowLineage.FileLineage(-1L, 0))).orNull
             new DvInputPartition(FilePartition(i, Array(whole)),
               byKey.getOrElse(key, EmptyMask),
-              applicable, projection): InputPartition
+              applicable, projection, fl): InputPartition
           }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory = {
-        // ONE broadcast for all of the scan's equality-delete keys —
-        // the factory's broadcast handle serializes as a reference,
-        // so the value ships once per executor regardless of task
-        // count. Created here (not per partition) and only when
-        // equality deletes exist at all.
-        val resolvedEq: Option[Broadcast[ResolvedEqDeletes]] =
-          if (eqDeletes.isEmpty) None
-          else {
-            val innerSchema = inner.readSchema()
-            def ordinal(c: String): Int = {
-              val i = innerSchema.fieldNames
-                .indexWhere(_.equalsIgnoreCase(c))
-              if (i < 0) throw new IllegalStateException(
-                s"equality-delete key '$c' missing from the read " +
-                  "schema " +
-                  innerSchema.fieldNames.mkString("(", ",", ")"))
-              i
-            }
-            val resolved = ResolvedEqDeletes(
-              eqDeletes.map(_.cols.map(ordinal).toArray).toArray,
-              eqDeletes.map(_.types.toArray).toArray,
-              eqDeletes.map(_.keys).toArray)
-            Some(SparkSession.active.sparkContext.broadcast(resolved))
-          }
+        val innerSchema = inner.readSchema()
         new DvReaderFactory(ib.createReaderFactory(),
-          projectTo, inner.readSchema(), resolvedEq)
+          projectTo, innerSchema, resolvedEqBroadcast,
+          lineaged = lineageInfo.isDefined,
+          matRid = innerSchema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(LakeRowLineage.PhysRowId)),
+          matLu = innerSchema.fieldNames.indexWhere(
+            _.equalsIgnoreCase(LakeRowLineage.PhysLastUpd)))
       }
     }
   }
+
+  /** ONE broadcast for all of the scan's equality-delete keys — the
+    * factory's broadcast handle serializes as a reference, so the
+    * value ships once per executor regardless of task count. Lazy and
+    * CACHED on the scan instance: a fresh broadcast per
+    * createReaderFactory call (re-planned / re-executed scans) would
+    * accumulate broadcast blocks on a table with an outstanding
+    * eq-delete chain until GC happened to reclaim them. */
+  private lazy val resolvedEqBroadcast
+      : Option[Broadcast[ResolvedEqDeletes]] =
+    if (eqDeletes.isEmpty) None
+    else {
+      val innerSchema = inner.readSchema()
+      def ordinal(c: String): Int = {
+        val i = innerSchema.fieldNames
+          .indexWhere(_.equalsIgnoreCase(c))
+        if (i < 0) throw new IllegalStateException(
+          s"equality-delete key '$c' missing from the read " +
+            "schema " +
+            innerSchema.fieldNames.mkString("(", ",", ")"))
+        i
+      }
+      val resolved = ResolvedEqDeletes(
+        eqDeletes.map(_.cols.map(ordinal).toArray).toArray,
+        eqDeletes.map(_.types.toArray).toArray,
+        eqDeletes.map(_.keys).toArray)
+      Some(SparkSession.active.sparkContext.broadcast(resolved))
+    }
 
   private val EmptyMask = new PositionBitmap
 }
@@ -300,15 +351,24 @@ final class GraftLakeDvScan(inner: Scan,
 private[sources] final class DvInputPartition(val file: FilePartition,
     val mask: PositionBitmap,
     val eqIdx: Array[Int] = Array.emptyIntArray,
-    val projection: Option[Seq[Int]] = None) extends InputPartition {
+    val projection: Option[Seq[Int]] = None,
+    val lineage: LakeRowLineage.FileLineage = null)
+    extends InputPartition {
   override def preferredLocations(): Array[String] =
     file.preferredLocations()
 }
 
+/** `lineaged` appends `[_row_id, _last_updated_version]` after the
+  * inner row (the projection maps them at ordinals n, n+1):
+  * materialized physical value (`matRid`/`matLu` inner ordinals, -1 =
+  * absent) when non-null, manifest base + PHYSICAL position / birth
+  * version otherwise — the position counter counts every row of the
+  * file (masked included), so ids are mask-independent. */
 private final class DvReaderFactory(inner: PartitionReaderFactory,
     projectTo: Option[StructType] = None,
     innerSchema: StructType = new StructType(),
-    eqBroadcast: Option[Broadcast[ResolvedEqDeletes]] = None)
+    eqBroadcast: Option[Broadcast[ResolvedEqDeletes]] = None,
+    lineaged: Boolean = false, matRid: Int = -1, matLu: Int = -1)
     extends PartitionReaderFactory {
 
   // masking happens row-wise; never hand out raw columnar batches
@@ -344,6 +404,11 @@ private final class DvReaderFactory(inner: PartitionReaderFactory,
         Some(pr)
       case _ => None
     }
+    val linTail = if (lineaged)
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2) else null
+    val linJoined = if (lineaged)
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow else null
     new PartitionReader[InternalRow] {
       private var pos = -1L
       private var current: InternalRow = _
@@ -364,9 +429,27 @@ private final class DvReaderFactory(inner: PartitionReaderFactory,
           if (!mask.contains(pos)) {
             val row = r.get()
             if (probes.isEmpty || !eqMasked(row)) {
+              val served: InternalRow =
+                if (!lineaged) row
+                else {
+                  val fl = dv.lineage
+                  val rid: Any =
+                    if (matRid >= 0 && !row.isNullAt(matRid))
+                      row.getLong(matRid)
+                    else if (fl != null && fl.base >= 0L) fl.base + pos
+                    else null
+                  val lu: Any =
+                    if (matLu >= 0 && !row.isNullAt(matLu))
+                      row.getInt(matLu)
+                    else if (fl != null) fl.birth
+                    else null
+                  linTail.update(0, rid)
+                  linTail.update(1, lu)
+                  linJoined(row, linTail)
+                }
               current = projector match {
-                case Some(pr) => pr.project(row); pr
-                case None => row
+                case Some(pr) => pr.project(served); pr
+                case None => served
               }
               return true
             }

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Versioned table snapshots with TIME-TRAVEL reads — the lakehouse
   * commit-log discipline (Delta/Iceberg's core idea) in its minimal
@@ -162,13 +163,28 @@ object VersionedTable {
           k != LakeColumnMapping.DroppedMeta &&
           // a full rewrite lands every file WIDE — the override is
           // spent (compact passes prior meta for epoch markers only)
-          k != LakeTypeWidening.Meta
+          k != LakeTypeWidening.Meta &&
+          // recorded schema is RECOMPUTED below, never carried into a
+          // manifest whose files were fully rewritten
+          k != LakeSchema.Key
       }
+    // SCHEMA IN THE MANIFEST ([[LakeSchema]]): record the snapshot's
+    // physical file-union schema — carried ∪ written on appends,
+    // written alone on full replaces. A legacy carry-forward table
+    // (prior files, no recorded schema) stays on inference: recording
+    // just the delta's schema would lose older files' columns.
+    val priorRecorded =
+      if (carryForward) LakeSchema.fromMeta(prior.meta) else None
+    val schemaMeta: Map[String, String] =
+      if (carryForward && prior.dataFiles.nonEmpty &&
+          priorRecorded.isEmpty) Map.empty
+      else Map(LakeSchema.toMeta(
+        LakeSchema.merge(priorRecorded, out.schema)))
     publish(f, dir, v, prior.dataFiles ++ newFiles, prior.deleteFiles,
       prior.stats ++ withNdv(spark, dir, newFiles,
         withBlooms(spark, dir, newFiles,
           statsFor(spark, newFiles, prior.stats))),
-      prior.meta ++ cleanMeta,
+      prior.meta ++ cleanMeta ++ schemaMeta,
       op.getOrElse(if (carryForward) "append" else "overwrite"))
   }
 
@@ -347,9 +363,33 @@ object VersionedTable {
       v: Int, files: Seq[String], deletes: Seq[String] = Seq.empty,
       knownStats: Map[String, LakeFileStats.FileStats] = Map.empty,
       meta: Map[String, String] = Map.empty,
-      op: String = "write"): Int =
+      op: String = "write"): Int = {
+    // SCHEMA IN THE MANIFEST ([[LakeSchema]]): carried recorded
+    // schema unions with the FRESH files' physical schema (row-level
+    // rewrites materialize lineage columns; the union must learn
+    // them). One delta-scoped schema read — the fresh files' footers
+    // are being read for stats in this same commit anyway. Tables
+    // without a recorded schema stay on inference.
+    val schemaMeta: Map[String, String] =
+      LakeSchema.fromMeta(meta) match {
+        case Some(rec) =>
+          val fresh = files.filterNot(knownStats.contains)
+          if (fresh.isEmpty) Map.empty
+          else Map(LakeSchema.toMeta(LakeSchema.merge(Some(rec),
+            StructType(spark.read.option("mergeSchema", "true")
+              .parquet(fresh: _*).schema.fields
+              // hive-style partition discovery over routed rewrite
+              // dirs (__graft_part*=v/...) must not leak the routing
+              // columns into the recorded schema — they live in
+              // paths, not file bytes
+              .filterNot(_.name.toLowerCase.startsWith(
+                LakePartitioning.PartColPrefix))))))
+        case None => Map.empty
+      }
     publish(fs(spark, dir), dir, v, files, deletes,
-      statsFor(spark, files ++ deletes, knownStats), meta, op)
+      statsFor(spark, files ++ deletes, knownStats),
+      meta ++ schemaMeta, op)
+  }
 
   /** Per-file stats for the manifest: `known` entries ride along
     * untouched (carry-forward files never re-open); uncovered files
@@ -508,9 +548,9 @@ object VersionedTable {
     * union of every data file's theta sketch → distinct-count
     * estimate. A column is reported only when EVERY non-empty file
     * carries its sketch (a partial union would under-count). */
-  private[sources] def mergedNdv(
-      snap: Snapshot): Map[String, Long] = {
-    val nonEmpty = snap.dataFiles.filter(p =>
+  private[sources] def mergedNdv(snap: Snapshot,
+      files: Seq[String]): Map[String, Long] = {
+    val nonEmpty = files.filter(p =>
       snap.stats.get(p).forall(_.rowCount > 0L))
     if (nonEmpty.isEmpty) return Map.empty
     val perFile = nonEmpty.map(p => snap.stats.get(p).map(_.ndv))
@@ -612,9 +652,13 @@ object VersionedTable {
     val v = latestVersion(spark, dstDir).map(_ + 1).getOrElse(0)
     val snap = snapshotOf(spark, srcDir, srcV)
     // stats travel with the borrowed references; snapshot META does
-    // not (epoch markers describe the SOURCE table's streams)
+    // not (epoch markers describe the SOURCE table's streams) — except
+    // the recorded SCHEMA, which describes the borrowed files
     publish(fs(spark, dstDir), dstDir, v, snap.dataFiles,
-      snap.deleteFiles, snap.stats, op = "clone")
+      snap.deleteFiles, snap.stats,
+      meta0 = snap.meta.get(LakeSchema.Key)
+        .map(LakeSchema.Key -> _).toMap,
+      op = "clone")
   }
 
   /** ROLLBACK as a forward commit (Delta's RESTORE): publish version
@@ -630,8 +674,24 @@ object VersionedTable {
     require(toVersion >= 0 && toVersion <= latest,
       s"cannot restore $dir to version $toVersion: history is 0..$latest")
     val snap = snapshotOf(spark, dir, toVersion)
+    // The ROW-ID watermark must stay monotone ACROSS the rollback
+    // (Iceberg v3 keeps next-row-id monotone): republishing the
+    // restored meta verbatim would regress `graft.rowid.next`, and
+    // appends after the restore would recycle ids already assigned —
+    // and still visible via time travel and prior change-feed reads —
+    // by the rolled-back versions.
+    val headNext = snapshotOf(spark, dir, latest).meta
+      .get(LakeRowLineage.NextKey).map(_.toLong)
+    val meta = headNext match {
+      case Some(h) =>
+        val restored = snap.meta.get(LakeRowLineage.NextKey)
+          .map(_.toLong).getOrElse(0L)
+        snap.meta +
+          (LakeRowLineage.NextKey -> math.max(restored, h).toString)
+      case None => snap.meta
+    }
     publish(fs(spark, dir), dir, latest + 1, snap.dataFiles,
-      snap.deleteFiles, snap.stats, snap.meta, op = "restore")
+      snap.deleteFiles, snap.stats, meta, op = "restore")
   }
 
   // ------------------------------------------------------------- tags
@@ -1450,23 +1510,77 @@ object VersionedTable {
     def onMain(sn: Snapshot): Boolean =
       !sn.meta.contains(BranchMetaKey)
     val endSnap = snapshotOf(spark, dir, endV)
+    // physical schema from the MANIFEST when recorded ([[LakeSchema]]
+    // — zero footer IO; the mergeSchema inference over every
+    // end-snapshot file was O(files) driver IO at plan time), with
+    // hidden internals filtered exactly like the streaming feed:
+    // lineage AND shredded-JSON columns (batch-equals-stream schema)
     val dataSchema = LakeDefaults.enrichFromMeta(
       org.apache.spark.sql.types.StructType(
-        spark.read.option("mergeSchema", "true")
-          .parquet(endSnap.dataFiles: _*).schema.fields
-          .filterNot(f => LakeRowLineage.isInternalCol(f.name))),
+        LakeSchema.physicalSchema(spark, endSnap).fields
+          .filterNot(f => LakeRowLineage.isInternalCol(f.name) ||
+            LakeJsonShred.isShredCol(f.name))),
       endSnap.meta)
+    // ROW LINEAGE THROUGH THE FEED (Iceberg v3 changelog shape): on a
+    // lineage-enabled table every change row carries `_row_id` (+
+    // `_last_updated_version`) — inserts/postimages the new row's id,
+    // deletes/preimages the old one, and an UPDATE's pre/post images
+    // carry the SAME id (the rewrite materialized it), which is
+    // exactly the idempotency key a downstream MERGE consumes.
+    val lineageOn = lineageEnabled(spark, dir, endSnap.meta)
     val outCols = dataSchema.fieldNames.toSeq.map(col) ++
+      (if (lineageOn)
+        Seq(col(LakeRowLineage.RowIdCol),
+          col(LakeRowLineage.LastUpdCol))
+      else Seq.empty) ++
       Seq(col("_change_type"), col("_commit_version"))
     val cdcKeys: Seq[String] =
       Option(GraftLakeTable.readProperties(spark, dir)
         .get("graft.cdc.key")).toSeq
         .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
 
-    def readFiles(files: Seq[String]): DataFrame =
-      spark.read.schema(dataSchema).parquet(files: _*)
+    // physical read schema: materialized lineage columns ride along
+    // on lineage tables (files without them read nulls; the manifest
+    // fallback below serves those)
+    val readSchema =
+      if (!lineageOn) dataSchema
+      else org.apache.spark.sql.types.StructType(dataSchema.fields ++
+        Seq(org.apache.spark.sql.types.StructField(
+            LakeRowLineage.PhysRowId,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            LakeRowLineage.PhysLastUpd,
+            org.apache.spark.sql.types.IntegerType)))
+    def readFiles(files: Seq[String],
+        stats: Map[String, LakeFileStats.FileStats]): DataFrame = {
+      val raw = spark.read.schema(readSchema).parquet(files: _*)
         .withColumn("__tc_f", col("_metadata.file_path"))
         .withColumn("__tc_p", col("_metadata.row_index"))
+      if (!lineageOn) raw
+      else {
+        // per-file manifest lineage (base id, birth version) resolves
+        // a row's identity exactly like the table scan: materialized
+        // physical value when present, base + position / birth
+        // otherwise. The map is manifest-sized and broadcasts.
+        import org.apache.spark.sql.functions.{coalesce, when}
+        import spark.implicits._
+        val m = files.map { p =>
+          (new Path(p).toString,
+            stats.get(p).flatMap(_.firstRowId).getOrElse(-1L),
+            LakePartitioning.fileVersionOfPath(p).getOrElse(0))
+        }.toDF("__tc_lp", "__tc_lb", "__tc_lv")
+        raw.join(broadcast(m), col("__tc_f") === col("__tc_lp"), "left")
+          .withColumn(LakeRowLineage.RowIdCol,
+            coalesce(col(LakeRowLineage.PhysRowId),
+              when(col("__tc_lb") >= 0L,
+                col("__tc_lb") + col("__tc_p"))).cast("long"))
+          .withColumn(LakeRowLineage.LastUpdCol,
+            coalesce(col(LakeRowLineage.PhysLastUpd),
+              col("__tc_lv")).cast("int"))
+          .drop(LakeRowLineage.PhysRowId, LakeRowLineage.PhysLastUpd,
+            "__tc_lp", "__tc_lb", "__tc_lv")
+      }
+    }
     def posMask(posFiles: Seq[String]): Option[DataFrame] =
       if (posFiles.isEmpty) None
       else Some(spark.read.parquet(posFiles: _*)
@@ -1537,17 +1651,19 @@ object VersionedTable {
         if (added.nonEmpty) {
           // files born AT v: only positional masks can touch them
           // (equality deletes scope to files born BEFORE their commit)
-          ins = Some(joinPos(readFiles(added), posMask(curPosAll),
-            "left_anti"))
+          ins = Some(joinPos(readFiles(added, cur.stats),
+            posMask(curPosAll), "left_anti"))
         }
         val delLegs = Seq.newBuilder[DataFrame]
         if (removed.nonEmpty)
           // a replaced file's previously-live rows
-          delLegs += live(readFiles(removed), prevPos, prevEq)
+          delLegs += live(readFiles(removed, prev.stats), prevPos,
+            prevEq)
         if (newDel.nonEmpty && kept.nonEmpty) {
           // freshly masked content in kept files: rows the new masks
           // kill that the PREV masks had not already killed
-          val keptLive = live(readFiles(kept), prevPos, prevEq)
+          val keptLive = live(readFiles(kept, prev.stats), prevPos,
+            prevEq)
           val freshPos = joinPos(keptLive, posMask(newPos), "left_semi")
           val freshEq = eqSemi(keptLive, newEq)
           delLegs += freshPos.unionAll(freshEq)
@@ -1585,7 +1701,15 @@ object VersionedTable {
     legs.result().reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(dataSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructType(dataSchema.fields ++
+          (if (lineageOn) Seq(
+            org.apache.spark.sql.types.StructField(
+              LakeRowLineage.RowIdCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              LakeRowLineage.LastUpdCol,
+              org.apache.spark.sql.types.IntegerType))
+          else Seq.empty) ++ Seq(
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("_commit_version",

@@ -194,26 +194,69 @@ class GraftLakeRowLineageSpec extends SparkSpec {
     assert(got.length === 1 && got(0).getLong(1) === ids1(5L))
   }
 
-  test("row-level DML refuses on a lineage table with outstanding masks") {
+  test("row-level DML on a mask-bearing lineage table proceeds — the " +
+      "DV scan serves identity over masks, upsert then UPDATE keeps " +
+      "ids stable end-to-end") {
     import spark.implicits._
     val (cat, root) = freshCatalog()
     linTable(cat)
     spark.sql(s"INSERT INTO $cat.t SELECT id, id FROM range(0, 10)")
+    val born = idsByKey(cat)
+    // MoR upsert: k=3 re-inserts under a fresh id, masked by an
+    // outstanding equality-delete file
     VersionedTable.upsertByKeysMergeOnRead(spark, s"$root/t",
       Seq((3L, 333L)).toDF("k", "v"), Seq("k"))
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.t SET v = 0 WHERE k = 1")
-    }
-    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
-      .mkString(" | ")
-    assert(msgs.contains("row ids"), s"expected lineage refusal: $msgs")
-    // compact materializes lineage THROUGH the masks and re-enables DML
-    spark.sql(s"CALL $cat.system.compact(table => 't')")
+    // lineage READS work over the masks (DV scan: base + physical
+    // position — mask-independent)
+    val masked = idsByKey(cat)
+    born.keys.filter(_ != 3L).foreach(k =>
+      assert(masked(k)._1 === born(k)._1,
+        s"masked read drifted for k=$k"))
+    // UPDATE proceeds directly: the DV-applying rewrite carries the
+    // identity columns through (and folds the masks as it rewrites)
     spark.sql(s"UPDATE $cat.t SET v = 1 WHERE k = 1")
+    val head = VersionedTable.latestVersion(spark, s"$root/t").get
+    val cleanSnap = VersionedTable.snapshotOf(spark, s"$root/t", head)
+    assert(cleanSnap.deleteFiles.isEmpty,
+      "the auto-fold must leave no outstanding masks")
     val after = idsByKey(cat)
     assert(after.size === 10 &&
       after.values.map(_._1).toSeq.distinct.size === 10)
+    // every pre-existing row (except the re-inserted k=3) kept the id
+    // it was born with, through upsert + fold + update
+    born.keys.filter(_ != 3L).foreach { k =>
+      assert(after(k)._1 === born(k)._1,
+        s"id drifted for k=$k: born ${born(k)} now ${after(k)}")
+    }
+    // the updated row kept its id and stamps the UPDATE's commit
+    assert(after(1L)._1 === born(1L)._1)
+    assert(after(1L)._2 === head,
+      s"updated row must stamp the update version: ${after(1L)}")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 1")
+      .collect()(0).getLong(0) === 1L)
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 3")
+      .collect()(0).getLong(0) === 333L)
+  }
+
+  test("restore keeps the id watermark monotone: appends after a " +
+      "rollback never recycle ids assigned by the rolled-back versions") {
+    val (cat, root) = freshCatalog()
+    linTable(cat)
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20)") // ids 0,1
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, 30), (4, 40)") // ids 2,3
+    // roll back past the second insert, then append again
+    spark.sql(s"CALL $cat.system.restore(table => 't', version => 1)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (5, 50)")
+    val ids = idsByKey(cat)
+    assert(ids.keySet === Set(1L, 2L, 5L))
+    // the new row's id must be ABOVE every id ever assigned (0..3),
+    // not a recycled 2 — ids 2,3 are still visible via time travel
+    assert(ids(5L)._1 >= 4L,
+      s"appends after restore recycled a rolled-back id: $ids")
+    val v = VersionedTable.latestVersion(spark, s"$root/t").get
+    val next = VersionedTable.snapshotOf(spark, s"$root/t", v)
+      .meta(LakeRowLineage.NextKey).toLong
+    assert(next >= 5L, s"watermark regressed to $next")
   }
 
   test("time travel below lineage rows serves the pre-assignment state") {
