@@ -758,7 +758,15 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     if (snapshot.deleteFiles.nonEmpty ||
         schema().fieldNames.exists(_.equalsIgnoreCase("_file")))
-      Array.empty
+      // masked snapshots: `_file` and shredded columns stay absent
+      // (the DV scan re-plans rows positionally), but ROW LINEAGE
+      // serves — the DV reader's position counter is exactly the
+      // physical position the id arithmetic needs, so lineage reads
+      // and lineage-preserving DML work over deletion vectors
+      // (Iceberg v3's DV + row-lineage composition)
+      if (snapshot.deleteFiles.nonEmpty && lineageOn)
+        GraftLakeTable.lineageMetaCols
+      else Array.empty
     else {
       val file = new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = "_file"
@@ -794,25 +802,7 @@ final class GraftLakeTable(ident: Identifier, dir: String,
           }}
       if (!lineageOn) Array(file) ++ shreds
       else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
-        file,
-        new org.apache.spark.sql.connector.catalog.MetadataColumn {
-          override def name(): String = LakeRowLineage.RowIdCol
-          override def dataType(): org.apache.spark.sql.types.DataType =
-            org.apache.spark.sql.types.LongType
-          override def isNullable: Boolean = true
-          override def comment(): String =
-            "stable row id (survives compaction and row-level rewrites)"
-        },
-        new org.apache.spark.sql.connector.catalog.MetadataColumn {
-          override def name(): String = LakeRowLineage.LastUpdCol
-          override def dataType(): org.apache.spark.sql.types.DataType =
-            org.apache.spark.sql.types.IntegerType
-          override def isNullable: Boolean = true
-          override def comment(): String =
-            "version that last wrote the row"
-          override def metadataInJSON(): String =
-            """{"__preserve_on_update": false}"""
-        }) ++ shreds
+        file) ++ GraftLakeTable.lineageMetaCols ++ shreds
     }
 
   /** Row lineage declared for this table (property, or an inherited
@@ -903,41 +893,54 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       : Map[String, org.apache.spark.sql.types.DataType] =
     LakeTypeWidening.fromMeta(snapshot.meta)
 
-  private lazy val delegate: ParquetTable =
-    if (widenOverrides.isEmpty)
-      ParquetTable(ident.toString, spark,
-        new CaseInsensitiveStringMap(
-          Map("mergeSchema" -> "true").asJava),
-        snapshot.dataFiles,
-        None, classOf[ParquetFileFormat])
-    else {
-      // widened tables carry an EXPLICIT schema: schema merging would
-      // refuse the int/long file mix, while the parquet readers
-      // natively upcast narrow files to the declared wide type. The
-      // base column set comes from the newest file — every commit
-      // writes the full current schema.
-      val newest = snapshot.dataFiles.maxBy(p =>
-        LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
-      val wide0 = LakeTypeWidening.widen(
-        spark.read.parquet(newest).schema, widenOverrides)
-      // materialized lineage columns must stay readable even when the
-      // newest file (a fresh append) lacks them — the lineage scan
-      // reads them from older rewritten files
-      val wide =
-        if (snapshot.stats.valuesIterator.exists(
-            _.cols.contains(LakeRowLineage.PhysRowId)) &&
-            !wide0.fieldNames.exists(_.equalsIgnoreCase(
-              LakeRowLineage.PhysRowId)))
-          wide0.add(LakeRowLineage.PhysRowId,
-              org.apache.spark.sql.types.LongType)
-            .add(LakeRowLineage.PhysLastUpd,
-              org.apache.spark.sql.types.IntegerType)
-        else wide0
-      ParquetTable(ident.toString, spark,
-        CaseInsensitiveStringMap.empty(),
-        snapshot.dataFiles,
-        Some(wide), classOf[ParquetFileFormat])
+  private lazy val delegate: ParquetTable = {
+    // materialized lineage columns must stay readable even when the
+    // schema source (a fresh append / the recorded union on an old
+    // snapshot) lacks them — the lineage scan reads them from older
+    // rewritten files
+    def withLineageGuard(sch: StructType): StructType =
+      if (snapshot.stats.valuesIterator.exists(
+          _.cols.contains(LakeRowLineage.PhysRowId)) &&
+          !sch.fieldNames.exists(_.equalsIgnoreCase(
+            LakeRowLineage.PhysRowId)))
+        sch.add(LakeRowLineage.PhysRowId,
+            org.apache.spark.sql.types.LongType)
+          .add(LakeRowLineage.PhysLastUpd,
+            org.apache.spark.sql.types.IntegerType)
+      else sch
+    // MANIFEST-RECORDED schema ([[LakeSchema]]): schema resolution is
+    // one manifest read instead of O(files) footer IO at plan time —
+    // widen overrides apply on top, exactly as over the inference.
+    LakeSchema.fromMeta(snapshot.meta) match {
+      case Some(rec) =>
+        ParquetTable(ident.toString, spark,
+          CaseInsensitiveStringMap.empty(),
+          snapshot.dataFiles,
+          Some(withLineageGuard(
+            LakeTypeWidening.widen(rec, widenOverrides))),
+          classOf[ParquetFileFormat])
+      case None if widenOverrides.isEmpty =>
+        ParquetTable(ident.toString, spark,
+          new CaseInsensitiveStringMap(
+            Map("mergeSchema" -> "true").asJava),
+          snapshot.dataFiles,
+          None, classOf[ParquetFileFormat])
+      case None =>
+        // widened legacy tables carry an EXPLICIT schema: schema
+        // merging would refuse the int/long file mix, while the
+        // parquet readers natively upcast narrow files to the
+        // declared wide type. The base column set comes from the
+        // newest file — every commit writes the full current schema.
+        val newest = snapshot.dataFiles.maxBy(p =>
+          LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
+        val wide = withLineageGuard(LakeTypeWidening.widen(
+          spark.read.parquet(newest).schema, widenOverrides))
+        ParquetTable(ident.toString, spark,
+          CaseInsensitiveStringMap.empty(),
+          snapshot.dataFiles,
+          Some(wide), classOf[ParquetFileFormat])
     }
+  }
 
   override def name(): String = ident.toString
 
@@ -1137,7 +1140,9 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       totalRows =
         if (snapshot.dataFiles.forall(snapshot.stats.contains))
           Some(snapshot.dataFiles.map(snapshot.stats(_).rowCount).sum)
-        else None)
+        else None,
+      lineage =
+        if (lineageOn) Some(LakeRowLineage.perFile(snapshot)) else None)
 
   /** `DELETE FROM` lands here when every conjunct of the condition
     * translates (the analyzer ANDs the array): V2 predicates → the
@@ -1274,6 +1279,34 @@ final class GraftLakeTable(ident: Identifier, dir: String,
 }
 
 object GraftLakeTable {
+
+  /** ROW LINEAGE metadata columns, shared by the clean and masked
+    * serving paths. `_row_id` keeps PRESERVE_ON_UPDATE (an UPDATE
+    * carries it into the replacement row); `_last_updated_version`
+    * declares preserve_on_update = false so the rewrite NULLIFIES it
+    * for updated rows and the replacement file's birth serves. */
+  private[sources] val lineageMetaCols
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeRowLineage.RowIdCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "stable row id (survives compaction and row-level rewrites)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = LakeRowLineage.LastUpdCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.IntegerType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "version that last wrote the row"
+        override def metadataInJSON(): String =
+          """{"__preserve_on_update": false}"""
+      })
+
 
   /** Session conf naming the write-audit-publish branch: while set,
     * lake-table reads resolve the branch and batch writes stage onto

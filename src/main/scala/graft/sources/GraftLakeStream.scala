@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -92,17 +92,9 @@ final class GraftLakeStreamProvider extends TableProvider
     // a type-widened snapshot pins the WIDE schema (schema merging
     // refuses the narrow/wide file mix; per-batch reads upcast
     // natively under the explicit schema, same as the batch path)
-    val widen = LakeTypeWidening.fromMeta(snap.meta)
-    val data =
-      if (widen.isEmpty)
-        spark.read.option("mergeSchema", "true")
-          .parquet(snap.dataFiles: _*).schema
-      else {
-        val newest = snap.dataFiles.maxBy(p =>
-          LakePartitioning.fileVersionOfPath(p).getOrElse(-1))
-        LakeTypeWidening.widen(
-          spark.read.parquet(newest).schema, widen)
-      }
+    // manifest-recorded when available ([[LakeSchema]]) — zero
+    // footer IO; legacy snapshots fall back to inference
+    val data = LakeSchema.physicalSchema(spark, snap)
     // hidden physical lineage + shredded-JSON columns never surface
     // in streamed rows; declared DEFAULT columns enrich (old files
     // backfill at read)
@@ -110,10 +102,18 @@ final class GraftLakeStreamProvider extends TableProvider
       StructType(data.fields.filterNot(f =>
         LakeRowLineage.isInternalCol(f.name) ||
           LakeJsonShred.isShredCol(f.name))), snap.meta)
-    if (options.getBoolean("changeFeed", false))
-      visible.add("_change_type", StringType, nullable = false)
+    if (options.getBoolean("changeFeed", false)) {
+      // ROW LINEAGE THROUGH THE FEED (Iceberg v3 changelog shape): a
+      // lineage-enabled table's change feed carries the row identity
+      // columns — same order as the batch table_changes
+      val withLin =
+        if (VersionedTable.lineageEnabled(spark, dir, snap.meta))
+          visible.add(LakeRowLineage.RowIdCol, LongType)
+            .add(LakeRowLineage.LastUpdCol, IntegerType)
+        else visible
+      withLin.add("_change_type", StringType, nullable = false)
         .add("_commit_version", IntegerType, nullable = false)
-    else visible
+    } else visible
   }
 
   override def getTable(schema: StructType,
@@ -145,10 +145,22 @@ private[sources] final class GraftLakeStreamTable(dir: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
-  /** Row schema the parquet reader produces (op/version columns are
-    * appended by the partition reader, not read from files). */
+  /** Lineage feed: the inferred schema appended `_row_id` /
+    * `_last_updated_version` ahead of the op/version columns. */
+  private def lineageFeed: Boolean = changeFeed &&
+    outputSchema.length >= 4 &&
+    outputSchema.fields(outputSchema.length - 4).name ==
+      LakeRowLineage.RowIdCol &&
+    outputSchema.fields(outputSchema.length - 3).name ==
+      LakeRowLineage.LastUpdCol
+
+  /** Row schema the parquet reader produces (op/version — and on a
+    * lineage feed the identity columns — are appended by the
+    * partition reader, not read from files). */
   private def dataSchema: StructType =
-    if (changeFeed) StructType(outputSchema.dropRight(2)) else outputSchema
+    if (lineageFeed) StructType(outputSchema.dropRight(4))
+    else if (changeFeed) StructType(outputSchema.dropRight(2))
+    else outputSchema
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
@@ -158,7 +170,8 @@ private[sources] final class GraftLakeStreamTable(dir: String,
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
         new GraftLakeMicroBatchStream(dir, dataSchema, changeFeed,
-          startingVersion, maxVersionsPerTrigger, branch)
+          startingVersion, maxVersionsPerTrigger, branch,
+          lineageOn = lineageFeed)
     }
   }
 }
@@ -191,9 +204,21 @@ private[sources] object LakeStreamOffset {
 private[sources] final class GraftLakeMicroBatchStream(dir: String,
     dataSchema: StructType, changeFeed: Boolean,
     startingVersion: Option[Int], maxVersionsPerTrigger: Int,
-    branch: Option[String] = None)
+    branch: Option[String] = None, lineageOn: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  /** Physical read schema: on a lineage feed the materialized
+    * identity columns ride along (files without them read nulls; the
+    * per-partition manifest fallback serves those). */
+  private val physSchema: StructType =
+    if (!lineageOn) dataSchema
+    else StructType(dataSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        LakeRowLineage.PhysRowId,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        LakeRowLineage.PhysLastUpd, IntegerType)))
 
   /** The line this stream follows: with `branch`, its head and ONLY
     * its labeled commits; without, main\'s head and only unlabeled
@@ -382,6 +407,14 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
     val e = asLake(end)
     // work items: (file, emitOnly|null, except, op, version)
     val work = Seq.newBuilder[(String, Array[Long], Array[Long], String, Int)]
+    // per-file manifest lineage (id base, birth version) for the
+    // lineage feed — accumulated from every snapshot this batch
+    // touches; a file's base is assigned once and carried by
+    // reference, so later snapshots never disagree with earlier ones
+    val linInfo = scala.collection.mutable
+      .Map.empty[String, LakeRowLineage.FileLineage]
+    def learnLineage(sn: VersionedTable.Snapshot): Unit =
+      if (lineageOn) linInfo ++= LakeRowLineage.perFile(sn)
     // per-version UPDATE pairing sets (cdcKey mode): keys on BOTH
     // sides of that version's delta re-tag as update pre/post images
     val updByVersion = scala.collection.mutable.Map.empty[Int, Set[Vector[Any]]]
@@ -390,6 +423,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
       // masks by recorded position, equality masks resolved to
       // positions by content)
       val snap = snapshotOr(e.v)
+      learnLineage(snap)
       val (eqD, posD) =
         snap.deleteFiles.partition(VersionedTable.isEqualityDelete)
       val masks = mergeMasks(masksOf(posD),
@@ -421,6 +455,8 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
         // and other branches)
         if (!onLine(cur)) ()
         else {
+        learnLineage(prev)
+        learnLineage(cur)
         val prevData = prev.dataFiles.toSet
         val curData = cur.dataFiles.toSet
         val added = cur.dataFiles.filterNot(prevData.contains)
@@ -559,7 +595,7 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
     val table = ParquetTable("graft_lake_stream_batch", spark,
       new CaseInsensitiveStringMap(
         util.Collections.singletonMap("mergeSchema", "true")),
-      items.map(_._1).distinct, Some(dataSchema),
+      items.map(_._1).distinct, Some(physSchema),
       classOf[ParquetFileFormat])
     val ib = table.newScanBuilder(CaseInsensitiveStringMap.empty())
       .build().toBatch
@@ -578,18 +614,35 @@ private[sources] final class GraftLakeMicroBatchStream(dir: String,
     val innerFactory = ib.createReaderFactory()
     items.zipWithIndex.map { case ((f, emitOnly, except, op, v), i) =>
       val upd = updByVersion.get(v).orNull
+      val fl =
+        if (lineageOn) linInfo.getOrElse(norm(f),
+          LakeRowLineage.FileLineage(-1L, 0))
+        else null
       new LakeStreamPartition(i,
         wholeByPath(norm(f)), innerFactory, emitOnly, except,
         if (changeFeed) op else null, v,
         updKeys = upd,
         keyOrds = if (upd == null) null else cdcKey.get._1,
-        keyTypes = if (upd == null) null else cdcKey.get._2)
+        keyTypes = if (upd == null) null else cdcKey.get._2,
+        lineage = fl)
         : InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LakeStreamReaderFactory(changeFeed)
+    new LakeStreamReaderFactory(changeFeed,
+      lineageDataLen = if (lineageOn) dataSchema.length else -1,
+      lineageOut =
+        if (!lineageOn) null
+        else StructType(dataSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            LakeRowLineage.RowIdCol, LongType),
+          org.apache.spark.sql.types.StructField(
+            LakeRowLineage.LastUpdCol, IntegerType),
+          org.apache.spark.sql.types.StructField(
+            "_change_type", StringType),
+          org.apache.spark.sql.types.StructField(
+            "_commit_version", IntegerType))))
 }
 
 private[sources] object GraftLakeMicroBatchStream {
@@ -760,13 +813,21 @@ private[sources] final class LakeStreamPartition(val index: Int,
     val op: String, val version: Int,
     val updKeys: Set[Vector[Any]] = null,
     val keyOrds: Array[Int] = null,
-    val keyTypes: Array[org.apache.spark.sql.types.DataType] = null)
+    val keyTypes: Array[org.apache.spark.sql.types.DataType] = null,
+    val lineage: LakeRowLineage.FileLineage = null)
     extends InputPartition {
   override def preferredLocations(): Array[String] =
     file.preferredLocations()
 }
 
-private final class LakeStreamReaderFactory(changeFeed: Boolean)
+/** `lineageDataLen` >= 0 turns the LINEAGE FEED on: the inner read
+  * carries two physical identity columns after the data columns
+  * (ordinals `lineageDataLen`, `lineageDataLen + 1`) and the emitted
+  * row appends `[_row_id, _last_updated_version, op, version]` —
+  * materialized value when present, manifest base + position / birth
+  * version otherwise (exactly the table scan's resolution). */
+private final class LakeStreamReaderFactory(changeFeed: Boolean,
+    lineageDataLen: Int = -1, lineageOut: StructType = null)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -775,6 +836,7 @@ private final class LakeStreamReaderFactory(changeFeed: Boolean)
       p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[LakeStreamPartition]
     val r = part.innerFactory.createReader(part.file)
+    val lineaged = lineageDataLen >= 0 && part.op != null
     val tag =
       if (part.op == null) null
       else InternalRow(UTF8String.fromString(part.op), part.version)
@@ -787,6 +849,17 @@ private final class LakeStreamReaderFactory(changeFeed: Boolean)
         if (part.op == "insert") "update_postimage"
         else "update_preimage"), part.version)
     val joined = new JoinedRow
+    // lineage feed: 4-field tail + projection that drops the two
+    // physical identity columns off the inner row. Joined layout:
+    // data(0..n-1), physRid(n), physLu(n+1), tail(n+2..n+5)
+    val linTail = if (lineaged)
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(4) else null
+    val linProj = if (lineaged) {
+      val n = lineageDataLen
+      org.apache.spark.sql.catalyst.ProjectingInternalRow(lineageOut,
+        ((0 until n) ++ (n + 2 until n + 6)).toIndexedSeq)
+    } else null
     new PartitionReader[InternalRow] {
       private var pos = -1L
       private var i = 0 // cursor into emitOnly/except
@@ -797,6 +870,26 @@ private final class LakeStreamReaderFactory(changeFeed: Boolean)
         val key = Vector.tabulate(part.keyOrds.length)(k =>
           row.get(part.keyOrds(k), part.keyTypes(k)))
         if (part.updKeys.contains(key)) updTag else tag
+      }
+
+      private def lineageRow(row: InternalRow): InternalRow = {
+        val n = lineageDataLen
+        val fl = part.lineage
+        val rid: Any =
+          if (!row.isNullAt(n)) row.getLong(n)
+          else if (fl != null && fl.base >= 0L) fl.base + pos
+          else null
+        val lu: Any =
+          if (!row.isNullAt(n + 1)) row.getInt(n + 1)
+          else if (fl != null) fl.birth
+          else null
+        linTail.update(0, rid)
+        linTail.update(1, lu)
+        val t = tagFor(row)
+        linTail.update(2, t.getUTF8String(0))
+        linTail.update(3, t.getInt(1))
+        linProj.project(joined(row, linTail))
+        linProj
       }
 
       override def next(): Boolean = {
@@ -813,10 +906,13 @@ private final class LakeStreamReaderFactory(changeFeed: Boolean)
               } else true
             }
           if (emit) {
-            current = if (tag == null) r.get() else {
-              val row = r.get()
-              joined(row, tagFor(row))
-            }
+            current =
+              if (tag == null) r.get()
+              else if (lineaged) lineageRow(r.get())
+              else {
+                val row = r.get()
+                joined(row, tagFor(row))
+              }
             return true
           }
         }
