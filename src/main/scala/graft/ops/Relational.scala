@@ -3152,28 +3152,38 @@ object Relational {
     spark.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
       "c_nationkey INT) TBLPROPERTIES('graft.row.lineage'='true')")
     spark.sql(s"INSERT INTO $cat.c SELECT * FROM q210_src_$nonce") // v1
-    def ids(): Map[Long, (Long, Int)] = spark.sql(
-      s"SELECT c_custkey, _row_id, _last_updated_version FROM $cat.c")
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
-    val born = ids()
+    // O(1) gates (the q211 digest discipline — no row-proportional
+    // driver collects): the (key, id) mapping is pinned by a
+    // single-row (count, xxhash64-sum) digest before and after the
+    // rewrites, and the stamp contract by one violation count.
+    def digest(): (Long, java.math.BigDecimal) = {
+      val r = spark.sql(s"SELECT count(*), " +
+        s"sum(CAST(xxhash64(c_custkey, _row_id) AS DECIMAL(38,0))) " +
+        s"FROM $cat.c").collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    val born = digest()
     spark.sql(s"UPDATE $cat.c SET c_nationkey = c_nationkey " +
       "WHERE c_custkey % 10 = 0")                                  // v2
     val filesBefore = VersionedTable.filesOf(spark, s"$root/c",
       VersionedTable.latestVersion(spark, s"$root/c").get).toSet
     spark.sql(s"CALL $cat.system.compact(table => 'c', " +
       "target_files => 2)")                                        // v3
-    val after = ids()
+    val after = digest()
     val filesAfter = VersionedTable.filesOf(spark, s"$root/c",
       VersionedTable.latestVersion(spark, s"$root/c").get).toSet
     // gates: every id survived update + compact; the compact really
     // rewrote the files; stamps follow the preservation contract
-    val idsStable =
-      after.view.mapValues(_._1).toMap == born.view.mapValues(_._1).toMap
+    // (every row born at v1, so non-updated rows must stamp 1)
+    val idsStable = born == after
     val rewrote = filesAfter.intersect(filesBefore).isEmpty
-    val stamps = after.forall { case (k, (_, lu)) =>
-      if (k % 10 == 0) lu == 2 else lu == born(k)._2
-    }
+    val stamps = spark.sql(
+      s"""SELECT count(*) FROM $cat.c
+         |WHERE NOT (CASE WHEN c_custkey % 10 = 0
+         |  THEN _last_updated_version = 2
+         |  ELSE _last_updated_version = 1 END)""".stripMargin)
+      .collect()(0).getLong(0) == 0L
     spark.sql(
       s"""SELECT c_nationkey, count(*) AS n,
          |  sum(_row_id) AS sum_row_id,
@@ -3954,6 +3964,99 @@ object Relational {
       |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q216
+  /** ROW LINEAGE THROUGH THE CHANGE FEED
+    * ([[graft.sources.VersionedTable.tableChanges]] lineage columns —
+    * Iceberg v3's changelog shape): customer lands on a lineage +
+    * cdc-key table, takes an UPDATE and a DELETE, and the BATCH feed
+    * now carries `_row_id`/`_last_updated_version` on every change
+    * row — inserts/postimages the new identity, deletes/preimages
+    * the old, and an update's pre/post images pair on the SAME id.
+    * The query's result is computed FROM THE FEED: last change per
+    * `_row_id` wins, survivors aggregate — and two O(1) digest gates
+    * pin (1) every preimage pairs with exactly one same-id same-key
+    * postimage and (2) the fold-back equals the live table
+    * hash-exactly. Hash-gated against DuckDB's reconstruction. At
+    * 100 TB this is what makes a downstream MERGE consuming the feed
+    * idempotent across upstream maintenance: the id IS the merge key. */
+  val q216LineageFeed: Q = (spark, dir) => {
+    import graft.sources.VersionedTable
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakelf_$nonce"
+    val root = s"/tmp/graft_q216_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .createOrReplaceTempView(s"q216_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
+      "c_mktsegment STRING, c_acctbal DOUBLE) " +
+      "TBLPROPERTIES('graft.row.lineage'='true', " +
+      "'graft.cdc.key'='c_custkey')")
+    spark.sql(s"INSERT INTO $cat.c SELECT * FROM q216_src_$nonce") // v1
+    spark.sql(s"UPDATE $cat.c SET c_acctbal = -1.0 " +
+      "WHERE c_custkey % 10 = 0")                                  // v2
+    spark.sql(s"DELETE FROM $cat.c WHERE c_custkey % 7 = 0")       // v3
+    val feed = VersionedTable.tableChanges(spark, s"$root/c", 0)
+    // gate 1: pre/post images pair 1:1 on (_row_id, c_custkey)
+    feed.createOrReplaceTempView(s"q216_feed_$nonce")
+    val unpaired = spark.sql(
+      s"""SELECT count(*) FROM (
+         |  SELECT _row_id,
+         |    sum(CASE WHEN _change_type = 'update_preimage'
+         |      THEN 1 ELSE 0 END) AS pre,
+         |    sum(CASE WHEN _change_type = 'update_postimage'
+         |      THEN 1 ELSE 0 END) AS post,
+         |    count(DISTINCT c_custkey) AS nk
+         |  FROM q216_feed_$nonce
+         |  WHERE _change_type LIKE 'update%'
+         |  GROUP BY _row_id
+         |  HAVING pre <> post OR nk <> 1)""".stripMargin)
+      .collect()(0).getLong(0)
+    // fold-back: last change per _row_id wins (postimage beats its
+    // own version's preimage); survivors are the live rows
+    val folded = spark.sql(
+      s"""SELECT c_custkey, c_mktsegment, c_acctbal FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY _row_id
+         |    ORDER BY _commit_version DESC,
+         |      CASE WHEN _change_type IN ('insert', 'update_postimage')
+         |        THEN 1 ELSE 0 END DESC) AS __rn
+         |  FROM q216_feed_$nonce)
+         |WHERE __rn = 1
+         |  AND _change_type IN ('insert', 'update_postimage')""".stripMargin)
+    folded.createOrReplaceTempView(s"q216_folded_$nonce")
+    // gate 2: fold-back equals the live table (O(1) digest compare)
+    def digest(src: String): (Long, java.math.BigDecimal) = {
+      val r = spark.sql(s"SELECT count(*), " +
+        s"sum(CAST(xxhash64(c_custkey, c_mktsegment, c_acctbal) " +
+        s"AS DECIMAL(38,0))) FROM $src").collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    val ok = unpaired == 0L &&
+      digest(s"q216_folded_$nonce") == digest(s"$cat.c")
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |  round(sum(c_acctbal), 2) AS bal
+         |FROM q216_folded_$nonce GROUP BY c_mktsegment""".stripMargin)
+      .withColumn("lineage_feed_ok", lit(ok))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q216Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey % 10 = 0 THEN -1.0
+      |      ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 7 <> 0
+      |)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(c_acctbal), 2) AS bal, TRUE AS lineage_feed_ok
+      |FROM base GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -4553,6 +4656,7 @@ object Relational {
     "q213_json_shred" -> q213JsonShred,
     "q214_ndv_broadcast" -> q214NdvBroadcast,
     "q215_typed_shred" -> q215TypedShred,
+    "q216_lineage_feed" -> q216LineageFeed,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4647,5 +4751,6 @@ object Relational {
     "q213_json_shred" -> q213Oracle,
     "q214_ndv_broadcast" -> q214Oracle,
     "q215_typed_shred" -> q215Oracle,
+    "q216_lineage_feed" -> q216Oracle,
   )
 }

@@ -1020,8 +1020,12 @@ final class LakeKeyGroupedScan(inner: Scan,
         override def numRows() = java.util.OptionalLong.empty()
       }
     }
-    // manifest NDV column stats ride the SPJ scan too
-    ndvSnap.map(LakeNdvStats.decorate(base, _)).getOrElse(base)
+    // manifest NDV column stats ride the SPJ scan too — restricted
+    // to the scan's own (post static/bloom prune) file set
+    ndvSnap.map(LakeNdvStats.decorate(base, _,
+      Some(keyOfPath.keySet.map(p =>
+        new org.apache.hadoop.fs.Path(p).toString))))
+      .getOrElse(base)
   }
 
   override def columnarSupportMode(): Scan.ColumnarSupportMode =

@@ -95,8 +95,7 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
     * (`DataWriter.write(meta, row)`), which MATERIALIZES them as the
     * hidden physical columns — ids survive UPDATE/MERGE/DELETE. */
   private lazy val lineageOn: Boolean =
-    VersionedTable.lineageEnabled(spark, dir, snap.meta) &&
-      snap.deleteFiles.isEmpty
+    VersionedTable.lineageEnabled(spark, dir, snap.meta)
 
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -116,15 +115,6 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
     * Delta's copy-on-write-over-DV semantics. */
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
-    // a lineage table with outstanding masks would silently re-id
-    // every row through the full-materialize rewrite — refuse loudly
-    if (snap.deleteFiles.nonEmpty &&
-        VersionedTable.lineageEnabled(spark, dir, snap.meta))
-      throw new UnsupportedOperationException(
-        s"row-level DML on row-lineage table $dir with outstanding " +
-          "merge-on-read delete files would lose row ids — CALL " +
-          "system.compact first (it materializes lineage and folds " +
-          "the masks)")
     val b: ScanBuilder with LakeRewriteScan =
       if (snap.deleteFiles.isEmpty)
         new LakeScanBuilder(dir, snapshotFiles, schema, options,
@@ -132,14 +122,40 @@ final class GraftLakeRowLevelOperation(dir: String, cmd: Command,
           lineage =
             if (lineageOn) Some(LakeRowLineage.perFile(snap)) else None)
       else {
+        // mask-bearing snapshot: the DV-applying scan feeds the
+        // rewrite — and on lineage tables it also SERVES the identity
+        // metadata columns (manifest base + physical position /
+        // materialized value — mask-independent), so row-level DML
+        // over deletion vectors preserves row ids end-to-end and the
+        // commit doubles as the chain's compaction
+        val physSchema =
+          if (!lineageOn) schema
+          else StructType(schema.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(
+              LakeRowLineage.PhysRowId,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              LakeRowLineage.PhysLastUpd,
+              org.apache.spark.sql.types.IntegerType)))
         val inner = new GraftLakeDvScanBuilder(
           ParquetTable("lake_rewrite_dv_scan", spark,
             new CaseInsensitiveStringMap(
               java.util.Collections.singletonMap("mergeSchema", "true")),
-            snap.dataFiles, Some(schema),
+            snap.dataFiles, Some(physSchema),
             classOf[ParquetFileFormat]),
-          schema, snap.deleteFiles, options)
-        new ScanBuilder with LakeRewriteScan {
+          schema, snap.deleteFiles, options,
+          lineage =
+            if (lineageOn) Some(LakeRowLineage.perFile(snap)) else None)
+        new ScanBuilder with LakeRewriteScan
+            with org.apache.spark.sql.connector.read
+              .SupportsPushDownRequiredColumns {
+          // forward pruning: the DV builder strips the identity
+          // metadata columns off the inner read (appending them at
+          // the reader) and projects the scan back to exactly the
+          // requested schema — without the forward, the widened
+          // physical schema would leak into the rewrite plan
+          override def pruneColumns(required: StructType): Unit =
+            inner.pruneColumns(required)
           override def build(): org.apache.spark.sql.connector.read.Scan =
             inner.build()
           override def selectedFiles: Seq[String] = snap.dataFiles

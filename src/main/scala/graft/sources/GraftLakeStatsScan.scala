@@ -792,7 +792,7 @@ final class LakeRuntimeFilterScan(inner: Scan,
         override def sizeInBytes() = java.util.OptionalLong.empty()
         override def numRows() = java.util.OptionalLong.empty()
       }
-    }, snap)
+    }, snap, pruned)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     inner.supportedCustomMetrics()
@@ -815,14 +815,24 @@ final class LakeRuntimeFilterScan(inner: Scan,
 private[sources] object LakeNdvStats {
 
   def decorate(base: org.apache.spark.sql.connector.read.Statistics,
-      snap: VersionedTable.Snapshot)
+      snap: VersionedTable.Snapshot,
+      surviving: Option[Set[String]] = None)
       : org.apache.spark.sql.connector.read.Statistics = {
-    val ndv = VersionedTable.mergedNdv(snap)
+    // restrict every merged statistic to the scan's SURVIVING file
+    // set when pruning information exists: whole-snapshot NDV / null
+    // / row counts over a pruned scan would overstate cardinality to
+    // the CBO and suppress broadcast joins that should fire
+    val files = surviving match {
+      case Some(keep) => snap.dataFiles.filter(p =>
+        keep.contains(new Path(p).toString))
+      case None => snap.dataFiles
+    }
+    val ndv = VersionedTable.mergedNdv(snap, files)
     if (ndv.isEmpty) return base
     // CBO's hasCountStats gate needs nullCount NEXT TO distinctCount;
     // empty files contribute zero nulls by construction
     val nulls: Map[String, Long] = ndv.keySet.flatMap { c =>
-      val per = snap.dataFiles.map(p => snap.stats.get(p).flatMap(fs =>
+      val per = files.map(p => snap.stats.get(p).flatMap(fs =>
         if (fs.rowCount == 0L) Some(0L)
         else fs.cols.find(_._1.equalsIgnoreCase(c))
           .flatMap(_._2.nullCount)))
@@ -831,8 +841,8 @@ private[sources] object LakeNdvStats {
     // CBO's aggregate estimation needs the child ROW COUNT next to the
     // distinct counts; serve it from the manifest when fully covered
     val totalRows: Option[Long] =
-      if (snap.dataFiles.forall(snap.stats.contains))
-        Some(snap.dataFiles.map(snap.stats(_).rowCount).sum)
+      if (files.forall(snap.stats.contains))
+        Some(files.map(snap.stats(_).rowCount).sum)
       else None
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

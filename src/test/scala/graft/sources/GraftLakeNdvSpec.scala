@@ -38,7 +38,7 @@ class GraftLakeNdvSpec extends SparkSpec {
       .forall(p => snap.stats(p).ndv.keySet == Set("grp", "s")))
     // merged estimates: theta is EXACT below the nominal bound
     LakeFileStats.footerReads.set(0L)
-    val ndv = VersionedTable.mergedNdv(snap)
+    val ndv = VersionedTable.mergedNdv(snap, snap.dataFiles)
     assert(LakeFileStats.footerReads.get() === 0L,
       "plan-time NDV merge must be manifest-only")
     assert(ndv("grp") === 11L, s"got $ndv")   // 0..10 (7 ⊂ 11)
@@ -105,7 +105,7 @@ class GraftLakeNdvSpec extends SparkSpec {
       .map(LakeColumnMapping.statsToLogical(_,
         VersionedTable.snapshotOf(spark, s"$root/t", v)))
       .getOrElse(VersionedTable.snapshotOf(spark, s"$root/t", v))
-    assert(VersionedTable.mergedNdv(snap).get("bucket_id")
+    assert(VersionedTable.mergedNdv(snap, snap.dataFiles).get("bucket_id")
       .contains(4L))
   }
 }

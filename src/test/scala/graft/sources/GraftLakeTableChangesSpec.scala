@@ -69,6 +69,89 @@ class GraftLakeTableChangesSpec extends SparkSpec {
     assert(deleted === Set((0L, 0L), (1L, 10L), (2L, 20L)))
   }
 
+  test("lineage feed: change rows carry _row_id; update pre/post " +
+      "images pair on the SAME id (Iceberg v3 changelog shape)") {
+    val cat = s"glc_tcl_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_tcl_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.row.lineage'='true', 'graft.cdc.key'='k')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql(s"UPDATE $cat.t SET v = 999 WHERE k = 2")
+    val feed = VersionedTable.tableChanges(spark, s"$root/t", 0)
+    assert(feed.columns.toSeq ===
+      Seq("k", "v", "_row_id", "_last_updated_version",
+        "_change_type", "_commit_version"),
+      s"lineage feed schema: ${feed.columns.toSeq}")
+    val rows = feed.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getInt(3), r.getString(4), r.getInt(5)))
+    // inserts carry the fresh ids and their birth version
+    val ins = rows.filter(_._5 == "insert").map(t => t._1 -> t._3).toMap
+    assert(ins.values.toSeq.sorted === Seq(0L, 1L, 2L), s"got $rows")
+    assert(rows.filter(_._5 == "insert").forall(_._4 == 1))
+    // the update's pre and post images carry the SAME _row_id — the
+    // idempotency key a downstream MERGE consumes
+    val pre = rows.filter(t => t._5 == "update_preimage" && t._1 == 2L)
+    val post = rows.filter(t => t._5 == "update_postimage" && t._1 == 2L)
+    assert(pre.length == 1 && post.length == 1, s"got $rows")
+    assert(pre.head._3 == post.head._3 && pre.head._3 == ins(2L),
+      s"pre/post ids must match the original: $pre / $post")
+    // preimage shows the OLD write version, postimage the update's
+    assert(pre.head._4 == 1 && post.head._4 == 2, s"$pre / $post")
+    assert(pre.head._2 == 20L && post.head._2 == 999L)
+    // copied rows (rewrite churn) keep their ids and ORIGINAL
+    // last-updated version (materialized through the rewrite)
+    val copied = rows.filter(t =>
+      t._5 == "update_postimage" && t._1 != 2L)
+    copied.foreach { t =>
+      assert(t._3 == ins(t._1) && t._4 == 1, s"copied row drifted: $t")
+    }
+  }
+
+  test("lineage feed: fold-back by _row_id reconstructs the live " +
+      "table, and the drained stream matches the batch feed") {
+    import spark.implicits._
+    val cat = s"glc_tcf_${n.incrementAndGet()}"
+    val root = s"/tmp/graft_tcf_${java.util.UUID.randomUUID()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.row.lineage'='true', 'graft.cdc.key'='k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 10 FROM range(0, 12)")
+    spark.sql(s"UPDATE $cat.t SET v = -1 WHERE k IN (3, 4)")
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 10")
+    spark.sql(s"INSERT INTO $cat.t VALUES (100, 1000)")
+    val batch = VersionedTable.tableChanges(spark, s"$root/t", 0)
+    // fold-back: last change per _row_id; survivors = non-deletes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_row_id")
+      .orderBy(col("_commit_version").desc,
+        // within a version, the postimage supersedes the preimage
+        when(col("_change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(0).desc)
+    val folded = batch
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 &&
+        col("_change_type").isin("insert", "update_postimage"))
+      .select("k", "v", "_row_id")
+    val state = spark.sql(
+      s"SELECT k, v, _row_id FROM $cat.t")
+    assert(folded.exceptAll(state).isEmpty &&
+      state.exceptAll(folded).isEmpty,
+      "feed fold-back by _row_id must reconstruct the live table")
+    // drained stream carries the SAME lineage columns and rows
+    val streamed = graft.streaming.StreamOps.runToMemory(spark,
+      VersionedTable.changeFeedStream(spark, s"$root/t"),
+      s"tc_lin_${n.incrementAndGet()}", "append")
+      .select(batch.columns.map(col): _*)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "lineage batch feed diverged from the streamed feed")
+  }
+
   test("batch feed equals the drained stream over identical commits") {
     import spark.implicits._
     val dir = freshDir()
