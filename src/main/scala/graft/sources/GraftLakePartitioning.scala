@@ -903,7 +903,8 @@ final class LakeKeyGroupedScan(inner: Scan,
     clusterOrdering
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
       Array.empty,
-    ndvSnap: Option[VersionedTable.Snapshot] = None)
+    ndvSnap: Option[VersionedTable.Snapshot] = None,
+    ndvSchema: StructType = new StructType())
     extends Scan
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1024,7 +1025,7 @@ final class LakeKeyGroupedScan(inner: Scan,
     // to the scan's own (post static/bloom prune) file set
     ndvSnap.map(LakeNdvStats.decorate(base, _,
       Some(keyOfPath.keySet.map(p =>
-        new org.apache.hadoop.fs.Path(p).toString))))
+        new org.apache.hadoop.fs.Path(p).toString)), ndvSchema))
       .getOrElse(base)
   }
 

@@ -398,24 +398,27 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
           staticallyPruned =
             partInfo.map(_._2.keySet -- keys.keySet).getOrElse(Set.empty),
           clusterOrdering = reportOrdering,
-          ndvSnap = Some(snap))
+          ndvSnap = Some(snap), ndvSchema = tableSchema)
       case Some((_, keys)) =>
         // a partition column pruned from the output (no SPJ use) or
         // every file statically/bloom pruned: ordinary scan, seeded
         // with the kept file set
         new LakeRuntimeFilterScan(logicalBuild(), snap,
-          staticKeep = Some(keys.keySet -- bloomDrop))
+          staticKeep = Some(keys.keySet -- bloomDrop),
+          tableSchema = tableSchema)
       case None => (genStaticKeep, bloomDrop) match {
         case (Some(keep), bd) =>
           // spec-evolved table, mixed generations: per-generation
           // static prune seeded into the ordinary scan
           new LakeRuntimeFilterScan(logicalBuild(), snap,
-            staticKeep = Some(keep -- bd))
+            staticKeep = Some(keep -- bd), tableSchema = tableSchema)
         case (None, bd) if bd.nonEmpty =>
           new LakeRuntimeFilterScan(logicalBuild(), snap,
             staticKeep = Some(snap.dataFiles
-              .map(p => new Path(p).toString).toSet -- bd))
-        case _ => new LakeRuntimeFilterScan(logicalBuild(), snap)
+              .map(p => new Path(p).toString).toSet -- bd),
+            tableSchema = tableSchema)
+        case _ => new LakeRuntimeFilterScan(logicalBuild(), snap,
+          tableSchema = tableSchema)
       }
     }
   }
@@ -617,7 +620,7 @@ private[graft] object LakeStatsAggregate {
   /** Fold per-file bounds into the exact MIN/MAX; None = refuse.
     * All-null column across every file → Some(null) (SQL MIN/MAX over
     * no non-null rows). */
-  private def extremum(name: String, dt: DataType,
+  private[sources] def extremum(name: String, dt: DataType,
       stats: Seq[LakeFileStats.FileStats], isMin: Boolean): Option[Any] = {
     // per file: None = refuse, Some(None) = contributes nothing,
     // Some(Some(v)) = exact file extremum
@@ -715,7 +718,8 @@ private[sources] object LakeFilePrune {
   * only, so pruning removes whole tasks, not just rows. */
 final class LakeRuntimeFilterScan(inner: Scan,
     snap: VersionedTable.Snapshot,
-    staticKeep: Option[Set[String]] = None) extends Scan
+    staticKeep: Option[Set[String]] = None,
+    tableSchema: StructType = new StructType()) extends Scan
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   /** Kept files: seeded by a static partition prune (if any), further
@@ -792,7 +796,7 @@ final class LakeRuntimeFilterScan(inner: Scan,
         override def sizeInBytes() = java.util.OptionalLong.empty()
         override def numRows() = java.util.OptionalLong.empty()
       }
-    }, snap, pruned)
+    }, snap, pruned, tableSchema)
 
   override def supportedCustomMetrics(): Array[CustomMetric] =
     inner.supportedCustomMetrics()
@@ -816,7 +820,8 @@ private[sources] object LakeNdvStats {
 
   def decorate(base: org.apache.spark.sql.connector.read.Statistics,
       snap: VersionedTable.Snapshot,
-      surviving: Option[Set[String]] = None)
+      surviving: Option[Set[String]] = None,
+      schema: StructType = new StructType())
       : org.apache.spark.sql.connector.read.Statistics = {
     // restrict every merged statistic to the scan's SURVIVING file
     // set when pruning information exists: whole-snapshot NDV / null
@@ -844,6 +849,31 @@ private[sources] object LakeNdvStats {
       if (files.forall(snap.stats.contains))
         Some(files.map(snap.stats(_).rowCount).sum)
       else None
+    // MIN/MAX for range-predicate selectivity: the manifest already
+    // holds per-file bounds — merge them (the metadata-only-aggregate
+    // fold: refuses truncated/unknown bounds) for the declared NDV
+    // columns of ESTIMATABLE types. Strings are excluded: catalyst's
+    // ColumnStat carries no string bounds and FilterEstimation would
+    // not use them.
+    val fileStats = files.flatMap(snap.stats.get)
+    val bounds: Map[String, (Option[Any], Option[Any])] =
+      if (files.exists(p => !snap.stats.contains(p))) Map.empty
+      else ndv.keySet.flatMap { c =>
+        schema.fields.find(_.name.equalsIgnoreCase(c))
+          .filter(f => f.dataType match {
+            case BooleanType | ByteType | ShortType | IntegerType |
+                 LongType | DateType => true
+            case _ => false
+          })
+          .flatMap { f =>
+            val mn = LakeStatsAggregate.extremum(f.name, f.dataType,
+              fileStats, isMin = true).filter(_ != null)
+            val mx = LakeStatsAggregate.extremum(f.name, f.dataType,
+              fileStats, isMin = false).filter(_ != null)
+            if (mn.isEmpty && mx.isEmpty) None
+            else Some(c -> (mn, mx))
+          }
+      }.toMap
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         base.sizeInBytes()
@@ -866,6 +896,18 @@ private[sources] object LakeNdvStats {
               override def nullCount(): java.util.OptionalLong =
                 nc.map(java.util.OptionalLong.of)
                   .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                bounds.get(c).flatMap(_._1) match {
+                  case Some(v) => java.util.Optional.of(
+                    v.asInstanceOf[Object])
+                  case None => java.util.Optional.empty[Object]()
+                }
+              override def max(): java.util.Optional[Object] =
+                bounds.get(c).flatMap(_._2) match {
+                  case Some(v) => java.util.Optional.of(
+                    v.asInstanceOf[Object])
+                  case None => java.util.Optional.empty[Object]()
+                }
             })
         }
         m

@@ -92,6 +92,51 @@ class GraftLakeNdvSpec extends SparkSpec {
     }
   }
 
+  test("manifest MIN/MAX feed range-predicate selectivity: a 1% " +
+      "range filter flips the join to broadcast where the stats-less " +
+      "control stays on the shuffle") {
+    val (cat, _) = freshCatalog()
+    val factDir = s"/tmp/graft_mm_fact_${java.util.UUID.randomUUID()}"
+    spark.range(0, 20000).selectExpr("id", "id % 10000 AS k")
+      .write.parquet(factDir)
+    spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, payload STRING) " +
+      "TBLPROPERTIES('graft.ndv.columns'='k')")
+    spark.sql(s"CREATE TABLE $cat.ctl (k BIGINT, payload STRING)")
+    Seq("dim", "ctl").foreach(t => spark.sql(
+      s"INSERT INTO $cat.$t SELECT id, " +
+        s"concat('payload_string_value_', id) FROM range(0, 10000)"))
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      def q(t: String) = spark.sql(
+        s"""SELECT count(*) AS n
+           |FROM parquet.`$factDir` f
+           |JOIN (SELECT k FROM $cat.$t WHERE k >= 9900) d
+           |  ON f.k = d.k""".stripMargin)
+      // the estimate itself: (max - 9900) / (max - min) ≈ 1% of rows
+      val est = q("dim").queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.stats.rowCount
+      }.flatten
+      assert(est.nonEmpty && est.head <= 1000,
+        s"range selectivity must come from manifest min/max: $est")
+      val withMm = q("dim").queryExecution.sparkPlan.toString
+      assert(withMm.contains("BroadcastHashJoin"),
+        s"manifest min/max must flip the filtered join to broadcast:\n" +
+          withMm)
+      val control = q("ctl").queryExecution.sparkPlan.toString
+      assert(!control.contains("BroadcastHashJoin"),
+        s"the stats-less control must NOT broadcast:\n$control")
+      assert(q("dim").collect()(0).getLong(0) === 200L) // 2 fact rows/key
+      assert(q("ctl").collect()(0).getLong(0) === 200L)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("NDV survives column rename (stats re-key to logical)") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, grp BIGINT) " +
