@@ -3916,7 +3916,10 @@ object Relational {
       "graft.sources.GraftLakeCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.root",
       s"/tmp/graft_q215_$nonce")
+    // a third of events (deterministic event_id sample): the gates are
+    // plan facts (typed read + file prune), not volume-dependent
     graft.Tables(spark, dir, "events")
+      .where(col("event_id") % 3 === 0)
       .select(col("event_type"), col("props"))
       .createOrReplaceTempView(s"q215_src_$nonce")
     spark.sql(s"CREATE TABLE $cat.e (event_type STRING, props STRING) " +
@@ -3961,7 +3964,8 @@ object Relational {
       |   AS BIGINT) AS k_sum,
       | TRUE AS typed_shred_pruned
       |FROM events
-      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+      |WHERE event_id % 3 = 0
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q216
@@ -3988,7 +3992,10 @@ object Relational {
     spark.conf.set(s"spark.sql.catalog.$cat",
       "graft.sources.GraftLakeCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // a fifth of customer (deterministic key sample): the lifecycle
+    // and the id contracts are what is measured, not volume
     t(spark, dir, "customer")
+      .where(col("c_custkey") % 5 === 0)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       .createOrReplaceTempView(s"q216_src_$nonce")
     spark.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
@@ -4050,7 +4057,8 @@ object Relational {
       |  SELECT c_custkey, c_mktsegment,
       |    CASE WHEN c_custkey % 10 = 0 THEN -1.0
       |      ELSE c_acctbal END AS c_acctbal
-      |  FROM customer WHERE c_custkey % 7 <> 0
+      |  FROM customer
+      |  WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
       |)
       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
       |  round(sum(c_acctbal), 2) AS bal, TRUE AS lineage_feed_ok
