@@ -3968,6 +3968,84 @@ object Relational {
       |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+  /** MANIFEST KLL HISTOGRAMS → CBO range selectivity
+    * ([[graft.sources.VersionedTable.mergedHist]] — the
+    * Iceberg-puffin-shaped quantile tier next to the q214 NDV
+    * sketches): a dimension whose key is SKEWED (99% of rows in
+    * [1,99], 1% spread over [5000,9900]) lands on a table declaring
+    * `graft.histogram.columns'='k'`; each commit embeds a per-file
+    * KLL sketch, plan time merges them into 64 equi-height bins
+    * served through `columnStats().histogram()`, and a `k >= 4000`
+    * filter estimates ~1% — flipping the join to BROADCAST — where
+    * the min/max-only control table interpolates uniformly to ~60%
+    * and stays on the shuffle (both plan-fact gated in-engine; the
+    * rollup hash-gates against DuckDB's reconstruction). At 100 TB
+    * the uniformity assumption is what mis-sizes every range scan
+    * over skewed keys — real distributions fix join order and
+    * build-side choices. */
+  val q217HistogramSkew: Q = (spark, dir) => {
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakehg_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root",
+      s"/tmp/graft_q217_$nonce")
+    t(spark, dir, "customer")
+      .selectExpr(
+        """CASE WHEN c_custkey % 100 <> 0 THEN c_custkey % 100
+          |  ELSE 5000 + (c_custkey % 5000) DIV 100 * 100
+          |END AS k""".stripMargin,
+        "c_acctbal")
+      .createOrReplaceTempView(s"q217_src_$nonce")
+    t(spark, dir, "orders")
+      .selectExpr("o_orderkey % 10000 AS fk", "o_totalprice")
+      .createOrReplaceTempView(s"q217_fact_$nonce")
+    spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, c_acctbal DOUBLE) " +
+      "TBLPROPERTIES('graft.ndv.columns'='k', " +
+      "'graft.histogram.columns'='k')")
+    spark.sql(s"CREATE TABLE $cat.ctl (k BIGINT, c_acctbal DOUBLE) " +
+      "TBLPROPERTIES('graft.ndv.columns'='k')")
+    spark.sql(s"INSERT INTO $cat.dim SELECT * FROM q217_src_$nonce")
+    spark.sql(s"INSERT INTO $cat.ctl SELECT * FROM q217_src_$nonce")
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      def q(tab: String): DataFrame = spark.sql(
+        s"""SELECT count(*) AS n,
+           |  round(sum(f.o_totalprice), 2) AS total
+           |FROM q217_fact_$nonce f
+           |JOIN (SELECT k FROM $cat.$tab WHERE k >= 4000) d
+           |  ON f.fk = d.k""".stripMargin)
+      val flipped = q("dim").queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin")
+      val control = !q("ctl").queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin")
+      q("dim")
+        .withColumn("histogram_flipped", lit(flipped && control))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  val q217Oracle: String =
+    """WITH dim AS (
+      |  SELECT CASE WHEN c_custkey % 100 <> 0 THEN c_custkey % 100
+      |    ELSE 5000 + (c_custkey % 5000) // 100 * 100 END AS k
+      |  FROM customer
+      |), f AS (
+      |  SELECT o_orderkey % 10000 AS fk, o_totalprice FROM orders
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(f.o_totalprice), 2) AS total,
+      |  TRUE AS histogram_flipped
+      |FROM f JOIN dim d ON f.fk = d.k
+      |WHERE d.k >= 4000""".stripMargin
+
   // ---------------------------------------------------------------- q216
   /** ROW LINEAGE THROUGH THE CHANGE FEED
     * ([[graft.sources.VersionedTable.tableChanges]] lineage columns —
@@ -4665,6 +4743,7 @@ object Relational {
     "q214_ndv_broadcast" -> q214NdvBroadcast,
     "q215_typed_shred" -> q215TypedShred,
     "q216_lineage_feed" -> q216LineageFeed,
+    "q217_histogram_skew" -> q217HistogramSkew,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4760,5 +4839,6 @@ object Relational {
     "q214_ndv_broadcast" -> q214Oracle,
     "q215_typed_shred" -> q215Oracle,
     "q216_lineage_feed" -> q216Oracle,
+    "q217_histogram_skew" -> q217Oracle,
   )
 }

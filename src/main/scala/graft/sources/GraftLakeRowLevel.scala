@@ -498,7 +498,8 @@ private[graft] object LakeFileStats {
   final case class FileStats(cols: Map[String, ColStats], rowCount: Long,
       blooms: Map[String, Array[Byte]] = Map.empty,
       firstRowId: Option[Long] = None,
-      ndv: Map[String, Array[Byte]] = Map.empty)
+      ndv: Map[String, Array[Byte]] = Map.empty,
+      hist: Map[String, Array[Byte]] = Map.empty)
 
   /** Footer opens performed by [[read]] — the instrumentation hook the
     * manifest-stats specs pin "zero footer IO during group pruning"
@@ -761,11 +762,18 @@ private[graft] object LakeFileStats {
           n -> (JString(java.util.Base64.getEncoder
             .encodeToString(bytes)): JValue)
         }: _*): JValue))
+    val hist =
+      if (fs.hist.isEmpty) Nil
+      else List("hist" -> (JObject(fs.hist.toSeq.sortBy(_._1)
+        .map { case (n, bytes) =>
+          n -> (JString(java.util.Base64.getEncoder
+            .encodeToString(bytes)): JValue)
+        }: _*): JValue))
     org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         JObject(("rows" -> (JLong(fs.rowCount): JValue)) ::
           ("cols" -> (JObject(cols: _*): JValue)) ::
-          blooms ::: frid ::: ndv: _*)))
+          blooms ::: frid ::: ndv ::: hist: _*)))
   }
 
   def fromJson(s: String): Option[FileStats] =
@@ -800,18 +808,19 @@ private[graft] object LakeFileStats {
           }.toMap
           case _ => Map.empty[String, Array[Byte]]
         }
-        val ndv = (j \ "ndv") match {
-          case JObject(fields) => fields.flatMap {
-            case (name, JString(b64)) =>
-              try Some(name ->
-                java.util.Base64.getDecoder.decode(b64))
-              catch { case _: IllegalArgumentException => None }
-            case _ => None
-          }.toMap
-          case _ => Map.empty[String, Array[Byte]]
-        }
+        def b64Map(key: String): Map[String, Array[Byte]] =
+          (j \ key) match {
+            case JObject(fields) => fields.flatMap {
+              case (name, JString(b64)) =>
+                try Some(name ->
+                  java.util.Base64.getDecoder.decode(b64))
+                catch { case _: IllegalArgumentException => None }
+              case _ => None
+            }.toMap
+            case _ => Map.empty[String, Array[Byte]]
+          }
         FileStats(cols, rows, blooms, firstRowId = numLong(j \ "frid"),
-          ndv = ndv)
+          ndv = b64Map("ndv"), hist = b64Map("hist"))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -833,10 +833,15 @@ private[sources] object LakeNdvStats {
       case None => snap.dataFiles
     }
     val ndv = VersionedTable.mergedNdv(snap, files)
-    if (ndv.isEmpty) return base
+    // equi-height HISTOGRAMS from merged per-file KLL sketches
+    // (`graft.histogram.columns`): range-predicate selectivity on
+    // SKEWED columns, where min/max interpolation assumes uniformity
+    val hists = VersionedTable.mergedHist(snap, files)
+      .filter(_._2.getN > 0L)
+    if (ndv.isEmpty && hists.isEmpty) return base
     // CBO's hasCountStats gate needs nullCount NEXT TO distinctCount;
     // empty files contribute zero nulls by construction
-    val nulls: Map[String, Long] = ndv.keySet.flatMap { c =>
+    val nulls: Map[String, Long] = (ndv.keySet ++ hists.keySet).flatMap { c =>
       val per = files.map(p => snap.stats.get(p).flatMap(fs =>
         if (fs.rowCount == 0L) Some(0L)
         else fs.cols.find(_._1.equalsIgnoreCase(c))
@@ -858,7 +863,7 @@ private[sources] object LakeNdvStats {
     val fileStats = files.flatMap(snap.stats.get)
     val bounds: Map[String, (Option[Any], Option[Any])] =
       if (files.exists(p => !snap.stats.contains(p))) Map.empty
-      else ndv.keySet.flatMap { c =>
+      else (ndv.keySet ++ hists.keySet).flatMap { c =>
         schema.fields.find(_.name.equalsIgnoreCase(c))
           .filter(f => f.dataType match {
             case BooleanType | ByteType | ShortType | IntegerType |
@@ -885,14 +890,40 @@ private[sources] object LakeNdvStats {
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
         val m = new java.util.HashMap[NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        ndv.foreach { case (c, n) =>
+        (ndv.keySet ++ hists.keySet).foreach { c =>
+          val nOpt = ndv.get(c)
           val nc = nulls.get(c)
+          val histo = hists.get(c).map { sk =>
+            val numBins = 64
+            val rowsPerBin = sk.getN.toDouble / numBins
+            val binArr = Array.tabulate(numBins) { i =>
+              val binLo = sk.getQuantile(i.toDouble / numBins)
+              val binHi = sk.getQuantile((i + 1).toDouble / numBins)
+              val binNdv =
+                if (binLo == binHi) 1L
+                else nOpt.map(t => math.max(1L, t / numBins))
+                  .getOrElse(math.max(1L, rowsPerBin.toLong))
+              new org.apache.spark.sql.connector.read.colstats
+                .HistogramBin {
+                override def lo(): Double = binLo
+                override def hi(): Double = binHi
+                override def ndv(): Long = binNdv
+              }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+            }
+            new org.apache.spark.sql.connector.read.colstats.Histogram {
+              override def height(): Double = rowsPerBin
+              override def bins(): Array[
+                org.apache.spark.sql.connector.read.colstats
+                  .HistogramBin] = binArr
+            }
+          }
           m.put(org.apache.spark.sql.connector.expressions.Expressions
             .column(c),
             new org.apache.spark.sql.connector.read.colstats
               .ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(n)
+                nOpt.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
               override def nullCount(): java.util.OptionalLong =
                 nc.map(java.util.OptionalLong.of)
                   .getOrElse(java.util.OptionalLong.empty())
@@ -908,6 +939,11 @@ private[sources] object LakeNdvStats {
                     v.asInstanceOf[Object])
                   case None => java.util.Optional.empty[Object]()
                 }
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats
+                    .Histogram] =
+                histo.map(java.util.Optional.of(_))
+                  .getOrElse(java.util.Optional.empty())
             })
         }
         m

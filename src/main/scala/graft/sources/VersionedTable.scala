@@ -501,7 +501,14 @@ object VersionedTable {
     val declared = Option(props.get("graft.ndv.columns"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
-    if (declared.isEmpty || files.isEmpty) return stats
+    // HISTOGRAM columns ([[mergedHist]]): per-file KLL quantile
+    // sketches for numeric columns — same discipline, SAME delta-
+    // scoped job (one pass computes theta and KLL together)
+    val histDeclared = Option(props.get("graft.histogram.columns"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    if ((declared.isEmpty && histDeclared.isEmpty) || files.isEmpty)
+      return stats
     val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
     val cols = declared.map { c =>
       val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
@@ -519,6 +526,18 @@ object VersionedTable {
             s"'$c' is ${other.catalogString}")
       }
     }
+    val histCols = histDeclared.map { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft.histogram.columns names '$c', absent from the " +
+            s"commit schema ${df.columns.mkString("(", ",", ")")}"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => f
+        case other => throw new IllegalArgumentException(
+          s"graft.histogram.columns supports numeric columns; " +
+            s"'$c' is ${other.catalogString}")
+      }
+    }
     val aggs = cols.map { f =>
       val key = f.dataType match {
         case org.apache.spark.sql.types.StringType =>
@@ -526,22 +545,57 @@ object VersionedTable {
         case _ => col(f.name).cast("long")
       }
       graft.functions.Theta.build(key).as(f.name)
+    } ++ histCols.map { f =>
+      graft.functions.Kll.build(col(f.name).cast("double"))
+        .as(s"__hist_${f.name}")
     }
+    // a column may be declared for BOTH ndv and histogram — tag the
+    // collected entries so the two sketch kinds never collide
+    val tagged = cols.map(c => ("n", c.name)) ++
+      histCols.map(c => ("h", c.name))
     val byFile = df
       .groupBy(col("_metadata.file_path").as("__graft_nf"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => new Path(r.getString(0)).toString ->
-        cols.zipWithIndex.flatMap { case (c, i) =>
-          Option(r.get(i + 1)).map(c.name -> _.asInstanceOf[Array[Byte]])
+        tagged.zipWithIndex.flatMap { case ((kind, name), i) =>
+          Option(r.get(i + 1)).map((kind, name) ->
+            _.asInstanceOf[Array[Byte]])
         }.toMap)
       .toMap
     stats.map { case (p, fs) =>
       byFile.get(new Path(p).toString) match {
-        case Some(sk) => p -> fs.copy(ndv = fs.ndv ++ sk)
+        case Some(sk) => p -> fs.copy(
+          ndv = fs.ndv ++ sk.collect { case (("n", n), b) => n -> b },
+          hist = fs.hist ++ sk.collect { case (("h", n), b) => n -> b })
         case None => p -> fs
       }
     }
+  }
+
+  /** Plan-time HISTOGRAM merge over a file set: per declared column,
+    * the union of every file's KLL sketch. Reported only when EVERY
+    * non-empty file carries the sketch (a partial merge would skew
+    * the distribution). Returns the merged sketch — bin extraction is
+    * the consumer's ([[LakeNdvStats.decorate]]) choice. */
+  private[sources] def mergedHist(snap: Snapshot,
+      files: Seq[String])
+      : Map[String, org.apache.datasketches.kll.KllDoublesSketch] = {
+    val nonEmpty = files.filter(p =>
+      snap.stats.get(p).forall(_.rowCount > 0L))
+    if (nonEmpty.isEmpty) return Map.empty
+    val perFile = nonEmpty.map(p => snap.stats.get(p).map(_.hist))
+    if (perFile.exists(_.isEmpty)) return Map.empty
+    val maps = perFile.flatten
+    val colNames = maps.head.keySet.filter(c => maps.forall(_.contains(c)))
+    colNames.map { c =>
+      val merged = org.apache.datasketches.kll.KllDoublesSketch
+        .newHeapInstance(graft.functions.Kll.K)
+      maps.foreach(m => merged.merge(
+        org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(m(c)))))
+      c -> merged
+    }.toMap
   }
 
   /** Plan-time NDV merge over a snapshot: per declared column, the

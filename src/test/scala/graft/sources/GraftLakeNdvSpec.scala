@@ -137,6 +137,87 @@ class GraftLakeNdvSpec extends SparkSpec {
     }
   }
 
+  test("manifest KLL histograms fix SKEWED range selectivity: the " +
+      "histogram table flips to broadcast where min/max interpolation " +
+      "(uniformity assumption) keeps the control on the shuffle") {
+    val (cat, _) = freshCatalog()
+    val factDir = s"/tmp/graft_h_fact_${java.util.UUID.randomUUID()}"
+    spark.range(0, 20000).selectExpr("id", "id % 10000 AS k")
+      .write.parquet(factDir)
+    // skew: 99% of rows in [0, 99], 1% spread over [5000, 9900] — a
+    // range predicate k >= 4000 is ~1% selective, but min/max
+    // interpolation estimates (max-4000)/(max-min) ≈ 60%
+    def skewed(t: String): Unit = spark.sql(
+      s"""INSERT INTO $cat.$t
+         |SELECT CASE WHEN id % 100 <> 0 THEN id % 100
+         |  ELSE 5000 + (id % 5000) DIV 100 * 100 END,
+         |  concat('payload_string_value_padding_', id)
+         |FROM range(0, 10000)""".stripMargin)
+    spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, payload STRING) " +
+      "TBLPROPERTIES('graft.ndv.columns'='k', " +
+      "'graft.histogram.columns'='k')")
+    spark.sql(s"CREATE TABLE $cat.ctl (k BIGINT, payload STRING) " +
+      "TBLPROPERTIES('graft.ndv.columns'='k')")
+    skewed("dim"); skewed("ctl")
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(kk => kk -> spark.conf.getOption(kk))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      def q(t: String) = spark.sql(
+        s"""SELECT count(*) AS n
+           |FROM parquet.`$factDir` f
+           |JOIN (SELECT k FROM $cat.$t WHERE k >= 4000) d
+           |  ON f.k = d.k""".stripMargin)
+      def estOf(t: String): BigInt = q(t).queryExecution.optimizedPlan
+        .collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.stats.rowCount
+        }.flatten.head
+      // the histogram sees the skew: ~1% estimated; the uniformity
+      // assumption estimates ~60%
+      assert(estOf("dim") <= 500,
+        s"histogram must shrink the skewed estimate: ${estOf("dim")}")
+      assert(estOf("ctl") >= 2000,
+        s"the control should overestimate: ${estOf("ctl")}")
+      assert(q("dim").queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"),
+        "histogram estimate must flip the join to broadcast")
+      assert(!q("ctl").queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"),
+        "the min/max-only control must stay on the shuffle")
+      // identical answers either way
+      assert(q("dim").collect()(0).getLong(0) ===
+        q("ctl").collect()(0).getLong(0))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("histogram sketches ride the manifest and merge across files") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('graft.histogram.columns'='k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(0, 5000)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(5000, 10000)")
+    val v = VersionedTable.latestVersion(spark, s"$root/t").get
+    val snap = VersionedTable.snapshotOf(spark, s"$root/t", v)
+    assert(snap.dataFiles.filter(p =>
+      snap.stats.get(p).exists(_.rowCount > 0))
+      .forall(p => snap.stats(p).hist.contains("k")),
+      "every fresh file must carry its KLL sketch")
+    LakeFileStats.footerReads.set(0L)
+    val merged = VersionedTable.mergedHist(snap, snap.dataFiles)
+    assert(LakeFileStats.footerReads.get() === 0L,
+      "plan-time histogram merge must be manifest-only")
+    val sk = merged("k")
+    assert(sk.getN === 10000L)
+    // the merged median sits at the cross-file midpoint
+    val p50 = sk.getQuantile(0.5)
+    assert(p50 > 4000 && p50 < 6000, s"merged p50 drifted: $p50")
+  }
+
   test("NDV survives column rename (stats re-key to logical)") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, grp BIGINT) " +
