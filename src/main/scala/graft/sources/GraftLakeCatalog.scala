@@ -764,9 +764,13 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       // physical position the id arithmetic needs, so lineage reads
       // and lineage-preserving DML work over deletion vectors
       // (Iceberg v3's DV + row-lineage composition)
-      if (snapshot.deleteFiles.nonEmpty && lineageOn)
+      (if (snapshot.deleteFiles.nonEmpty && lineageOn)
         GraftLakeTable.lineageMetaCols
-      else Array.empty
+      else Array.empty[
+        org.apache.spark.sql.connector.catalog.MetadataColumn]) ++
+        (if (snapshot.deleteFiles.nonEmpty) shredMetaCols
+         else Array.empty[
+           org.apache.spark.sql.connector.catalog.MetadataColumn])
     else {
       val file = new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = "_file"
@@ -786,24 +790,28 @@ final class GraftLakeTable(ident: Identifier, dir: String,
       // (PRESERVE_ON_REINSERT default false) → fresh identity.
       // shredded-JSON columns serve through the metadata surface so
       // the rewrite can reference them while SELECT * stays clean
-      val shreds: Array[org.apache.spark.sql.connector.catalog
-          .MetadataColumn] =
-        LakeJsonShred.fromProps(properties()).toArray
-          .flatMap { case (_, paths) => paths.map { p =>
-            new org.apache.spark.sql.connector.catalog.MetadataColumn {
-              override def name(): String =
-                LakeJsonShred.shredColName(p)
-              override def dataType()
-                  : org.apache.spark.sql.types.DataType = p.dt
-              override def isNullable: Boolean = true
-              override def comment(): String =
-                s"shredded JSON path ${p.path} (${p.dt.simpleString})"
-            }: org.apache.spark.sql.connector.catalog.MetadataColumn
-          }}
-      if (!lineageOn) Array(file) ++ shreds
+      if (!lineageOn) Array(file) ++ shredMetaCols
       else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
-        file) ++ GraftLakeTable.lineageMetaCols ++ shreds
+        file) ++ GraftLakeTable.lineageMetaCols ++ shredMetaCols
     }
+
+  /** Shredded-JSON hidden columns as metadata columns
+    * ([[LakeJsonShred]]) — declared regardless of masks (the DV scan
+    * reads them as ordinary physical columns). */
+  private lazy val shredMetaCols
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    LakeJsonShred.fromProps(properties()).toArray
+      .flatMap { case (_, paths) => paths.map { p =>
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String =
+            LakeJsonShred.shredColName(p)
+          override def dataType()
+              : org.apache.spark.sql.types.DataType = p.dt
+          override def isNullable: Boolean = true
+          override def comment(): String =
+            s"shredded JSON path ${p.path} (${p.dt.simpleString})"
+        }: org.apache.spark.sql.connector.catalog.MetadataColumn
+      }}
 
   /** Row lineage declared for this table (property, or an inherited
     * id watermark in the resolved snapshot's meta)? */
@@ -819,11 +827,15 @@ final class GraftLakeTable(ident: Identifier, dir: String,
   private[graft] lazy val shredServing
       : Option[(String, Seq[LakeJsonShred.ShredPath])] =
     LakeJsonShred.fromProps(properties()).filter { case (_, paths) =>
+      // column coverage is the gate; outstanding MoR masks are NOT —
+      // shredded columns are ordinary physical columns the DV scan
+      // reads like any other, so parse-once serving survives the
+      // between-compactions state (every data-landing path shreds)
       snapshot.dataFiles.nonEmpty && snapshot.dataFiles.forall(p =>
         snapshot.stats.get(p).exists(fs => fs.rowCount == 0L ||
           paths.forall(pa =>
             fs.cols.contains(LakeJsonShred.shredColName(pa))))) &&
-        snapshot.deleteFiles.isEmpty && mapping.isEmpty
+        mapping.isEmpty
     }
 
   /** The session's write-audit-publish branch

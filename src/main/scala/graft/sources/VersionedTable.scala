@@ -1290,7 +1290,17 @@ object VersionedTable {
           batch.columns.mkString("(", ",", ")"))))
     val eqWritten = writeEqDeleteFile(spark, dir, newV,
       batch.select(cols.map(org.apache.spark.sql.functions.col): _*))
-    val dataFiles = writeDataFiles(spark, batch, dir, newV,
+    // parse-once discipline on EVERY data-landing path: the upsert's
+    // fresh rows shred like any commit, so declared-path serving
+    // survives MoR chains instead of degrading until compaction
+    val shredded = LakeJsonShred
+      .fromProps(GraftLakeTable.readProperties(spark, dir)) match {
+      case Some((src, paths))
+          if batch.columns.exists(_.equalsIgnoreCase(src)) =>
+        LakeJsonShred.shred(batch, src, paths)
+      case _ => batch
+    }
+    val dataFiles = writeDataFiles(spark, shredded, dir, newV,
       LakePartitioning.specOf(spark, dir))
     publish(fs(spark, dir), dir, newV,
       snap.dataFiles ++ dataFiles,

@@ -59,7 +59,9 @@ class GraftLakeJsonShredSpec extends SparkSpec {
       .exists(LakeJsonShred.isShredCol))
   }
 
-  test("gate degrades on unshredded files and compaction re-earns it; answers never change") {
+  test("shredded serving SURVIVES MoR masks (every data-landing path " +
+      "shreds; the DV scan reads the hidden columns); a foreign " +
+      "unshredded file degrades it and compaction re-earns it") {
     import spark.implicits._
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.e (id BIGINT, props STRING) " +
@@ -70,21 +72,46 @@ class GraftLakeJsonShredSpec extends SparkSpec {
       s"SELECT id, get_json_object(props, '$$.k') AS k FROM $cat.e " +
         "ORDER BY id")
     assert(readSchemaOf(q()).contains("__shred_k"))
-    // an upsert lands an UN-shredded file: the rewrite must back off
+    // a MoR upsert: the fresh file SHREDS like any commit, so serving
+    // continues over the outstanding equality mask — the
+    // between-compactions state keeps the parse-once plan
     VersionedTable.upsertByKeysMergeOnRead(spark, s"$root/e",
-      Seq((3L, """{"k": "c"}""")).toDF("id", "props"), Seq("id"))
+      Seq((2L, """{"k": "B"}"""), (3L, """{"k": "c"}"""))
+        .toDF("id", "props"), Seq("id"))
+    val overMask = q()
+    // the masked plan reads through the DV scan (no FileScan
+    // ReadSchema line) — the shredded column in the scan OUTPUT and
+    // the raw column's absence are the plan facts
+    val maskedPlan = overMask.queryExecution.executedPlan.toString
+    assert(maskedPlan.contains("__shred_k"),
+      s"serving must survive MoR masks: $maskedPlan")
+    assert(!maskedPlan.contains("props"),
+      s"raw column must stay pruned under masks: $maskedPlan")
+    assert(overMask.collect().map(_.getString(1)).toSeq ===
+      Seq("a", "B", "c"))
+    // a FOREIGN (non-shredding) writer's file degrades the gate
+    val head = VersionedTable.latestVersion(spark, s"$root/e").get
+    val snap = VersionedTable.snapshotOf(spark, s"$root/e", head)
+    val foreignDir = s"$root/e/files-v${head + 1}-foreign"
+    Seq((4L, """{"k": "d"}""")).toDF("id", "props")
+      .coalesce(1).write.parquet(foreignDir)
+    val foreign = VersionedTable.listDataFiles(spark, s"$root/e",
+      foreignDir)
+    VersionedTable.publishVersion(spark, s"$root/e", head + 1,
+      snap.dataFiles ++ foreign, snap.deleteFiles, snap.stats,
+      snap.meta, op = "foreign")
     val degraded = q()
     assert(!readSchemaOf(degraded).contains("__shred_k"),
       "rewrite must not fire over files missing the shredded column")
     assert(degraded.collect().map(_.getString(1)).toSeq ===
-      Seq("a", "b", "c"))
+      Seq("a", "B", "c", "d"))
     // compaction re-materializes (commit path shreds) — rewrite back on
     spark.sql(s"CALL $cat.system.compact(table => 'e')")
     val healed = q()
     assert(readSchemaOf(healed).contains("__shred_k"),
       s"compact must re-earn the shredded plan: ${readSchemaOf(healed)}")
     assert(healed.collect().map(_.getString(1)).toSeq ===
-      Seq("a", "b", "c"))
+      Seq("a", "B", "c", "d"))
   }
 
   test("colliding sanitized column names are rejected loudly") {
