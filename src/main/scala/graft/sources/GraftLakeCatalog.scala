@@ -1154,7 +1154,16 @@ final class GraftLakeTable(ident: Identifier, dir: String,
           Some(snapshot.dataFiles.map(snapshot.stats(_).rowCount).sum)
         else None,
       lineage =
-        if (lineageOn) Some(LakeRowLineage.perFile(snapshot)) else None)
+        if (lineageOn) Some(LakeRowLineage.perFile(snapshot)) else None,
+      // read-path static file pruning over the masks (the row-level
+      // rewrite constructs its own builder WITHOUT this — its commit
+      // must replace every file); stats speak physical names, so
+      // mapped tables skip
+      pruneStats =
+        if (mapping.isEmpty)
+          Some(snapshot.dataFiles.flatMap(p =>
+            snapshot.stats.get(p).map(p -> _)).toMap)
+        else None)
 
   /** `DELETE FROM` lands here when every conjunct of the condition
     * translates (the analyzer ANDs the array): V2 predicates → the

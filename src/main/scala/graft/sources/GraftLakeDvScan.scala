@@ -47,13 +47,61 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
     tableSchema: StructType, deleteFiles: Seq[String],
     options: CaseInsensitiveStringMap,
     totalRows: Option[Long] = None,
-    lineage: Option[Map[String, LakeRowLineage.FileLineage]] = None)
+    lineage: Option[Map[String, LakeRowLineage.FileLineage]] = None,
+    pruneStats: Option[Map[String, LakeFileStats.FileStats]] = None)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector
+      .SupportsPushDownCatalystFilters {
 
   private def spark: SparkSession = SparkSession.active
 
   private val inner = table.newScanBuilder(options)
+
+  /** STATIC MANIFEST-STATS FILE PRUNING over a MASKED snapshot
+    * (read path only — `pruneStats` is None on the row-level rewrite,
+    * whose commit must replace every file): a DV chain is the
+    * steady state between compactions, and without this a point
+    * lookup on a masked 100 TB table launches a task per file. Every
+    * filter is returned as RESIDUAL (rows still filter above the
+    * scan — parquet pushdown stays off, positions must count every
+    * row), but a file whose manifest stats PROVE no row can match
+    * drops from the batch — sound under masks: masks only remove
+    * rows, and every row of a dropped file fails the predicate
+    * anyway. */
+  private var catalystFilters
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    Seq.empty
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    catalystFilters = catalystFilters ++ filters
+    filters // ALL residual: the DV reader must see every row
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate] = Array.empty
+
+  private def statsDropped: Set[String] = pruneStats match {
+    case Some(stats) if catalystFilters.nonEmpty =>
+      val v1 = catalystFilters.flatMap(e =>
+        org.apache.spark.sql.graftbridge.FilterBridge.toV1(e))
+      if (v1.isEmpty) Set.empty
+      else {
+        val dropped = stats.keysIterator.filter { p =>
+          !v1.forall(f => LakeFileStats.possible(f, stats(p)))
+        }.map(p =>
+          new org.apache.hadoop.fs.Path(p).toString).toSet
+        if (dropped.nonEmpty)
+          LakeReadScanBuilder.lastStatsPrune.set(
+            ((stats.size - dropped.size).toLong << 32) |
+              stats.size.toLong)
+        dropped
+      }
+    case _ => Set.empty
+  }
 
   private val (eqFiles, posFiles) =
     deleteFiles.partition(VersionedTable.isEqualityDelete)
@@ -157,7 +205,8 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
     new GraftLakeDvScan(inner.build(), positions, totalRows,
       eqDeletes,
       requested.filter(_ => eqFiles.nonEmpty || wantsLineage),
-      lineageInfo = if (wantsLineage) lineage else None)
+      lineageInfo = if (wantsLineage) lineage else None,
+      statsDrop = statsDropped)
   }
 }
 
@@ -195,7 +244,8 @@ final class GraftLakeDvScan(inner: Scan,
     totalRows: Option[Long] = None,
     eqDeletes: Seq[EqDelete] = Seq.empty,
     projectTo: Option[StructType] = None,
-    lineageInfo: Option[Map[String, LakeRowLineage.FileLineage]] = None)
+    lineageInfo: Option[Map[String, LakeRowLineage.FileLineage]] = None,
+    statsDrop: Set[String] = Set.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -254,7 +304,8 @@ final class GraftLakeDvScan(inner: Scan,
           case fp: FilePartition => fp.files
           case other => throw new IllegalStateException(
             s"unexpected non-file partition $other under DV scan")
-        }
+        }.filterNot(f =>
+          statsDrop.contains(f.filePath.toPath.toString))
         // facade-recorded _metadata.file_path strings and the V2
         // reader's SparkPath normalize through hadoop Path
         val byKey = deletes.map { case (f, ps) =>

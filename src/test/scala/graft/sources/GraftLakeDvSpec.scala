@@ -248,6 +248,32 @@ class GraftLakeDvSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dir).count() === 30)
   }
 
+  test("masked reads prune files STATICALLY from manifest min/max — " +
+      "a range predicate drops the out-of-range commit's files " +
+      "before any task launches") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read')")
+    // two commits with DISJOINT key ranges
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id FROM range(0, 100)")
+    spark.sql(
+      s"INSERT INTO $cat.t SELECT id, id FROM range(1000, 1100)")
+    // a MoR delete leaves outstanding masks (the DV scan serves reads)
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 5 OR k = 1005")
+    val q = spark.sql(
+      s"SELECT count(*) AS n, sum(k) AS s FROM $cat.t WHERE k >= 1000")
+    LakeReadScanBuilder.lastStatsPrune.set(-1L)
+    val r = q.collect()(0)
+    // masks applied AND the low-range files pruned
+    assert(r.getLong(0) === 99L && r.getLong(1) ===
+      (1000L until 1100L).sum - 1005L, s"got $r")
+    val word = LakeReadScanBuilder.lastStatsPrune.get()
+    assert(word >= 0, "static stats prune must fire under masks")
+    val (kept, total) = ((word >> 32).toInt, word.toInt)
+    assert(kept < total && kept >= 1,
+      s"expected kept < total with survivors, got $kept/$total")
+  }
+
   test("DV scan reports LIVE row statistics from manifest totals") {
     import spark.implicits._
     import org.apache.spark.sql.connector.read.SupportsReportStatistics
