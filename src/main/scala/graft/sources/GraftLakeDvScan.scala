@@ -88,18 +88,23 @@ final class GraftLakeDvScanBuilder(table: ParquetTable,
     case Some(stats) if catalystFilters.nonEmpty =>
       val v1 = catalystFilters.flatMap(e =>
         org.apache.spark.sql.graftbridge.FilterBridge.toV1(e))
-      if (v1.isEmpty) Set.empty
-      else {
-        val dropped = stats.keysIterator.filter { p =>
-          !v1.forall(f => LakeFileStats.possible(f, stats(p)))
-        }.map(p =>
-          new org.apache.hadoop.fs.Path(p).toString).toSet
-        if (dropped.nonEmpty)
-          LakeReadScanBuilder.lastStatsPrune.set(
-            ((stats.size - dropped.size).toLong << 32) |
-              stats.size.toLong)
-        dropped
-      }
+      val minmax =
+        if (v1.isEmpty) Set.empty[String]
+        else {
+          val dropped = stats.keysIterator.filter { p =>
+            !v1.forall(f => LakeFileStats.possible(f, stats(p)))
+          }.map(p =>
+            new org.apache.hadoop.fs.Path(p).toString).toSet
+          if (dropped.nonEmpty)
+            LakeReadScanBuilder.lastStatsPrune.set(
+              ((stats.size - dropped.size).toLong << 32) |
+                stats.size.toLong)
+          dropped
+        }
+      // manifest BLOOMS compose: point lookups on hash-distributed
+      // keys prune under masks too
+      minmax ++ LakeFilePrune.bloomDropped(catalystFilters,
+        stats.keys.toSeq, stats)
     case _ => Set.empty
   }
 

@@ -286,56 +286,9 @@ final class LakeReadScanBuilder(inner: FileScanBuilder,
     * the prune min/max cannot make on a hash-distributed key. Files
     * without a bloom for the column are kept (row-level-rewritten
     * files re-earn theirs at compaction). Returns DECODED paths. */
-  private def bloomDropped: Set[String] = {
-    import org.apache.spark.sql.catalyst.{expressions => ce}
-    // probe values normalize to the bitset's key domain: integrals
-    // as-is, strings through the same engine-agnostic PolyHashMod the
-    // build used (base-31 codepoint polynomial mod 2^31-1)
-    def asLong(v: Any): Option[Long] = v match {
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case u: UTF8String =>
-        Some(graft.functions.PolyHashMod.hash(u.toString))
-      case s: String => Some(graft.functions.PolyHashMod.hash(s))
-      case _ => None
-    }
-    val probes: Seq[(String, Seq[Long])] = catalystFilters.flatMap {
-      case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
-        asLong(l.value).map(v => a.name -> Seq(v))
-      case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
-        asLong(l.value).map(v => a.name -> Seq(v))
-      case ce.In(a: ce.AttributeReference, vs)
-          if vs.forall(_.isInstanceOf[ce.Literal]) =>
-        val ls = vs.map(v => asLong(v.asInstanceOf[ce.Literal].value))
-        if (ls.exists(_.isEmpty)) None else Some(a.name -> ls.flatten)
-      case ce.InSet(a: ce.AttributeReference, hset) =>
-        val ls = hset.toSeq.map(asLong)
-        if (ls.exists(_.isEmpty)) None else Some(a.name -> ls.flatten)
-      case _ => None
-    }
-    if (probes.isEmpty) return Set.empty
-    val dropped = snap.dataFiles.filter { p =>
-      snap.stats.get(p).exists { fs =>
-        probes.exists { case (c, vals) =>
-          fs.blooms.collectFirst {
-            case (bc, bits) if bc.equalsIgnoreCase(c) => bits
-          }.exists { bits =>
-            val mBits = bits.length * 8
-            vals.forall(v =>
-              !graft.functions.BloomSketch.contains(bits, v, mBits, 7))
-          }
-        }
-      }
-    }.map(p => new Path(p).toString).toSet
-    if (dropped.nonEmpty) {
-      val total = snap.dataFiles.size
-      LakeReadScanBuilder.lastBloomPrune.set(
-        ((total - dropped.size).toLong << 32) | total.toLong)
-    }
-    dropped
-  }
+  private def bloomDropped: Set[String] =
+    LakeFilePrune.bloomDropped(catalystFilters, snap.dataFiles,
+      snap.stats)
 
   /** STATIC MANIFEST-STATS FILE PRUNING (min/max zone maps at FILE
     * granularity, before any task launches): every filter Spark
@@ -691,6 +644,67 @@ private[sources] object LakeFilePrune {
         case (n, cs) if cs.min.isDefined && cs.max.isDefined => n
       })
       .distinct.map(Expressions.column).toArray
+  }
+
+  /** MANIFEST-BLOOM point-lookup pruning ([[LakeFileStats.FileStats
+    * .blooms]]): a pushed `=`/IN on a bloom-bearing column drops every
+    * file whose bitset proves ALL sought values absent — the prune
+    * min/max cannot make on a hash-distributed key. Files without a
+    * bloom for the column are kept. Shared by the clean read path and
+    * the DV (masked) path — dropping whole files is sound under masks.
+    * Returns DECODED paths; records kept/total for spec gates. */
+  def bloomDropped(
+      catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      files: Seq[String],
+      stats: Map[String, LakeFileStats.FileStats]): Set[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    // probe values normalize to the bitset's key domain: integrals
+    // as-is, strings through the same engine-agnostic PolyHashMod the
+    // build used (base-31 codepoint polynomial mod 2^31-1)
+    def asLong(v: Any): Option[Long] = v match {
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case u: UTF8String =>
+        Some(graft.functions.PolyHashMod.hash(u.toString))
+      case s: String => Some(graft.functions.PolyHashMod.hash(s))
+      case _ => None
+    }
+    val probes: Seq[(String, Seq[Long])] = catalystFilters.flatMap {
+      case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
+        asLong(l.value).map(v => a.name -> Seq(v))
+      case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
+        asLong(l.value).map(v => a.name -> Seq(v))
+      case ce.In(a: ce.AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        val ls = vs.map(v => asLong(v.asInstanceOf[ce.Literal].value))
+        if (ls.exists(_.isEmpty)) None else Some(a.name -> ls.flatten)
+      case ce.InSet(a: ce.AttributeReference, hset) =>
+        val ls = hset.toSeq.map(asLong)
+        if (ls.exists(_.isEmpty)) None else Some(a.name -> ls.flatten)
+      case _ => None
+    }
+    if (probes.isEmpty) return Set.empty
+    val dropped = files.filter { p =>
+      stats.get(p).exists { fs =>
+        probes.exists { case (c, vals) =>
+          fs.blooms.collectFirst {
+            case (bc, bits) if bc.equalsIgnoreCase(c) => bits
+          }.exists { bits =>
+            val mBits = bits.length * 8
+            vals.forall(v =>
+              !graft.functions.BloomSketch.contains(bits, v, mBits, 7))
+          }
+        }
+      }
+    }.map(p => new Path(p).toString).toSet
+    if (dropped.nonEmpty) {
+      val total = files.size
+      LakeReadScanBuilder.lastBloomPrune.set(
+        ((total - dropped.size).toLong << 32) | total.toLong)
+    }
+    dropped
   }
 
   /** Files whose stats admit at least one row matching every

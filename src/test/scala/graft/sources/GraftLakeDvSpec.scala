@@ -274,6 +274,26 @@ class GraftLakeDvSpec extends SparkSpec {
       s"expected kept < total with survivors, got $kept/$total")
   }
 
+  test("manifest blooms prune point lookups under masks too") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('graft.delete.mode'='merge-on-read', " +
+      "'graft.bloom.columns'='k')")
+    // two commits, interleaved keys (min/max cannot separate them)
+    spark.sql(
+      s"INSERT INTO $cat.t SELECT id * 2, id FROM range(0, 2000)")
+    spark.sql(
+      s"INSERT INTO $cat.t SELECT id * 2 + 1, id FROM range(0, 2000)")
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 8") // masks outstanding
+    val q = spark.sql(s"SELECT v FROM $cat.t WHERE k = 10")
+    LakeReadScanBuilder.lastBloomPrune.set(-1L)
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(5L))
+    val word = LakeReadScanBuilder.lastBloomPrune.get()
+    assert(word >= 0, "bloom prune must fire under masks")
+    val (kept, total) = ((word >> 32).toInt, word.toInt)
+    assert(kept < total && kept >= 1, s"got $kept/$total")
+  }
+
   test("DV scan reports LIVE row statistics from manifest totals") {
     import spark.implicits._
     import org.apache.spark.sql.connector.read.SupportsReportStatistics
