@@ -185,7 +185,8 @@ object VersionedTable {
         withBlooms(spark, dir, newFiles,
           statsFor(spark, newFiles, prior.stats))),
       prior.meta ++ cleanMeta ++ schemaMeta,
-      op.getOrElse(if (carryForward) "append" else "overwrite"))
+      op.getOrElse(if (carryForward) "append" else "overwrite"),
+      base = if (carryForward && base >= 0) Some(base) else None)
   }
 
   /** Write-side CLUSTERING declaration, the
@@ -657,7 +658,7 @@ object VersionedTable {
       files: Seq[String], deletes: Seq[String] = Seq.empty,
       stats0: Map[String, LakeFileStats.FileStats] = Map.empty,
       meta0: Map[String, String] = Map.empty,
-      op: String = "write"): Int = {
+      op: String = "write", base: Option[Int] = None): Int = {
     // ROW LINEAGE id assignment rides EVERY commit path through this
     // single choke point: manifest arithmetic only (no data IO — see
     // [[LakeRowLineage.assignRowIds]]). Enabled once the watermark
@@ -678,10 +679,32 @@ object VersionedTable {
       require(!k.contains('=') && !k.contains('\n') && !mv.contains('\n'),
         s"manifest metadata key/value must be =/newline-free: $k=$mv")
     }
-    val lines = (meta + (OpMetaKey -> op)).toSeq.sortBy(_._1)
-      .map { case (k, mv) => s"M $k=$mv" } ++
-      files.map(line) ++ deletes.map(d => s"D ${line(d)}")
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val metaLines = (meta + (OpMetaKey -> op)).toSeq.sortBy(_._1)
+      .map { case (k, mv) => s"M $k=$mv" }
+    // SEGMENT-BACKED ENCODING ([[LakeManifest]]): diff against the
+    // base snapshot and carry unchanged entries by segment REFERENCE —
+    // an append's manifest write is O(delta), not O(table files), and
+    // per-file stats sketches serialize once per file lifetime. The
+    // diff base is the commit's declared base when the caller knows it
+    // (main commits: head; branch commits: the branch head; restore:
+    // the restored version) and the newest manifest otherwise; any
+    // shape the reuse planner cannot verify byte-exact falls back to
+    // one fresh consolidated segment.
+    val baseRaw = base.orElse {
+      if (!f.exists(manifestDir(dir))) None
+      else f.listStatus(manifestDir(dir)).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("\\d+\\.txt"))
+        .map(_.stripSuffix(".txt").toInt)
+        .sorted.lastOption
+    }.flatMap { b =>
+      val p = new Path(manifestDir(dir), s"$b.txt")
+      if (!f.exists(p)) None
+      else Some(LakeManifest.parseRaw(readFully(f, p)))
+    }
+    val text = LakeManifest.plan(f, dir, baseRaw, v, metaLines,
+      files.map(line), deletes.map(line))
+    try out.write(text.getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new Path(manifestDir(dir), s"$v.txt")))
       throw new IllegalStateException(
@@ -745,7 +768,8 @@ object VersionedTable {
       case None => snap.meta
     }
     publish(fs(spark, dir), dir, latest + 1, snap.dataFiles,
-      snap.deleteFiles, snap.stats, meta, op = "restore")
+      snap.deleteFiles, snap.stats, meta, op = "restore",
+      base = Some(toVersion))
   }
 
   // ------------------------------------------------------------- tags
@@ -1001,13 +1025,7 @@ object VersionedTable {
       stats: Map[String, LakeFileStats.FileStats] = Map.empty,
       meta: Map[String, String] = Map.empty)
 
-  def snapshotOf(spark: SparkSession, dir: String,
-      version: Int): Snapshot = {
-    val f = fs(spark, dir)
-    val p = new Path(manifestDir(dir), s"$version.txt")
-    if (!f.exists(p))
-      throw new IllegalArgumentException(
-        s"version $version does not exist at $dir")
+  private def readFully(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     val bytes =
       try {
@@ -1017,21 +1035,29 @@ object VersionedTable {
         while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
         bos.toByteArray
       } finally in.close()
-    val lines = new String(bytes, "UTF-8").split("\n").toSeq
-      .filter(_.nonEmpty)
-    val (metaLines, fileLines) = lines.partition(_.startsWith("M "))
-    val meta = metaLines.map(_.stripPrefix("M ")).flatMap { l =>
+    new String(bytes, "UTF-8")
+  }
+
+  def snapshotOf(spark: SparkSession, dir: String,
+      version: Int): Snapshot = {
+    val f = fs(spark, dir)
+    val p = new Path(manifestDir(dir), s"$version.txt")
+    if (!f.exists(p))
+      throw new IllegalArgumentException(
+        s"version $version does not exist at $dir")
+    val raw = LakeManifest.parseRaw(readFully(f, p))
+    val meta = raw.metaLines.map(_.stripPrefix("M ")).flatMap { l =>
       val i = l.indexOf('=')
       if (i < 0) None else Some(l.take(i) -> l.drop(i + 1))
     }.toMap
-    val (del, data) = fileLines.partition(_.startsWith("D "))
+    val (data, del) = LakeManifest.expand(f, dir, raw)
     def split(l: String): (String, Option[LakeFileStats.FileStats]) = {
       val i = l.indexOf('\t')
       if (i < 0) (l, None)
       else (l.take(i), LakeFileStats.fromJson(l.drop(i + 1)))
     }
     val dataParsed = data.map(split)
-    val delParsed = del.map(l => split(l.stripPrefix("D ")))
+    val delParsed = del.map(split)
     val stats = (dataParsed ++ delParsed)
       .collect { case (p0, Some(s)) => p0 -> s }.toMap
     Snapshot(dataParsed.map(_._1), delParsed.map(_._1), stats, meta)
@@ -2079,7 +2105,23 @@ object VersionedTable {
               !keptSet.contains(p.getName.stripSuffix(".txt").toInt)
           }
           .map(_.toString)
-        VacuumPlan(wholeDirs.result(), soloFiles.result(), manifests,
+        // manifest SEGMENTS ([[LakeManifest]]) are shared across
+        // versions: a segment dies only when NO kept manifest
+        // references it. The grace window guards the in-flight-commit
+        // race exactly as it does for data files — a just-written
+        // segment whose manifest rename hasn't landed is young.
+        val liveSegs = LakeManifest.referencedSegments(
+          kept.map(v => LakeManifest.parseRaw(readFully(f,
+            new Path(manifestDir(dir), s"$v.txt")))))
+        val segPath = LakeManifest.segDir(dir)
+        val deadSegs =
+          if (!f.exists(segPath)) Seq.empty
+          else f.listStatus(segPath).toSeq
+            .filter(s => !liveSegs.contains(s.getPath.getName) &&
+              s.getModificationTime <= horizon)
+            .map(_.getPath.toString)
+        VacuumPlan(wholeDirs.result(), soloFiles.result(),
+          manifests ++ deadSegs,
           deleted.result().filter(_.endsWith(".parquet")), bytes)
     }
   }

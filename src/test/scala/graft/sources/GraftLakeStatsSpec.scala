@@ -203,7 +203,7 @@ class GraftLakeStatsSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
     val mdir = new org.apache.hadoop.fs.Path(s"$root/t/_manifest")
-    fs.listStatus(mdir).foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(mdir).foreach(s => fs.delete(s.getPath, true))
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.t TIMESTAMP AS OF '1999-01-01'")
         .collect()
