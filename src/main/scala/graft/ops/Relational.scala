@@ -4143,6 +4143,83 @@ object Relational {
       |FROM base GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** SEGMENT-BACKED MANIFESTS ([[graft.sources.LakeManifest]] —
+    * Iceberg's manifest-reuse discipline): customer lands in THREE
+    * append commits, and the in-engine gate reads the raw manifests to
+    * prove the metadata write is O(delta) — the head manifest holds
+    * ZERO inline entries, references every prior commit's segments
+    * unchanged plus exactly one new delta segment, and its byte size
+    * grew by roughly one segment-reference line, not by the carried
+    * table's re-serialized stats sketches. The rollup then hash-matches
+    * DuckDB over the reassembled table, pinning that reference-reads
+    * reconstruct the exact flat snapshot. At 100 TB file counts this is
+    * the difference between a ~KB and a ~GB metadata write per append —
+    * the commit cost that decides whether frequent small ingests are
+    * viable at all. */
+  val q218ManifestSegments: Q = (spark, dir) => {
+    import graft.sources.LakeManifest
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val cat = s"graft_lakeseg_$nonce"
+    val root = s"/tmp/graft_q218_$nonce"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftLakeCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView(s"q218_src_$nonce")
+    spark.sql(s"CREATE TABLE $cat.c (c_custkey BIGINT, " +
+      "c_mktsegment STRING)")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.c SELECT * FROM q218_src_$nonce " +
+        s"WHERE c_custkey % 3 = $i")
+    }
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tdir = s"$root/c"
+    def rawOf(v: Int): (LakeManifest.Raw, Long) = {
+      val p = new org.apache.hadoop.fs.Path(s"$tdir/_manifest/$v.txt")
+      val in = f.open(p)
+      val bytes =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      (LakeManifest.parseRaw(new String(bytes, "UTF-8")), bytes.length.toLong)
+    }
+    val versions = f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$tdir/_manifest")).toSeq
+      .map(_.getPath.getName).filter(_.matches("\\d+\\.txt"))
+      .map(_.stripSuffix(".txt").toInt).sorted
+    val (head, headBytes) = rawOf(versions.last)
+    val (prev, prevBytes) = rawOf(versions(versions.size - 2))
+    // gate: head carries the base BY REFERENCE — no inline entries, the
+    // prior segment chain intact plus one delta segment, no exclusions,
+    // and manifest growth is the ~reference line, not the carried table
+    val reused = head.fullySegmented && head.excludes.isEmpty &&
+      head.segNames.size == prev.segNames.size + 1 &&
+      head.segNames.startsWith(prev.segNames) &&
+      headBytes - prevBytes < 400
+    spark.table(s"$cat.c")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_custkey")).as("key_sum"))
+      .withColumn("segments_reused", lit(reused))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q218Oracle: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  TRUE AS segments_reused
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- q185
   /** Write-side CLUSTERING as a table property — declare
     * `TBLPROPERTIES('graft.write.ordered-by'='o_orderkey')` and every
@@ -4744,6 +4821,7 @@ object Relational {
     "q215_typed_shred" -> q215TypedShred,
     "q216_lineage_feed" -> q216LineageFeed,
     "q217_histogram_skew" -> q217HistogramSkew,
+    "q218_manifest_segments" -> q218ManifestSegments,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -4840,5 +4918,6 @@ object Relational {
     "q215_typed_shred" -> q215Oracle,
     "q216_lineage_feed" -> q216Oracle,
     "q217_histogram_skew" -> q217Oracle,
+    "q218_manifest_segments" -> q218Oracle,
   )
 }

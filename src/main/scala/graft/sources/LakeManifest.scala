@@ -41,7 +41,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * tokens back to the flat entry list, so every consumer above
   * [[VersionedTable.snapshotOf]] is untouched.
   */
-private[sources] object LakeManifest {
+private[graft] object LakeManifest {
 
   /** Entry-token of a raw (unexpanded) manifest body. */
   sealed trait Token
@@ -95,7 +95,7 @@ private[sources] object LakeManifest {
   private val cache = new ConcurrentHashMap[String, Seq[String]]()
   private val CacheCap = 256
 
-  private[sources] def segmentLines(f: FileSystem, dir: String,
+  private[graft] def segmentLines(f: FileSystem, dir: String,
       name: String): Seq[String] = {
     val p = new Path(segDir(dir), name)
     val key = f.makeQualified(p).toString
