@@ -1038,6 +1038,27 @@ object VersionedTable {
     new String(bytes, "UTF-8")
   }
 
+  /** Parsed-snapshot cache. A published manifest is IMMUTABLE (the
+    * rename commit point refuses an existing destination), so a parsed
+    * [[Snapshot]] is valid for as long as the file exists unchanged —
+    * keyed on (qualified path, mtime, length) to stay correct under
+    * test-harness rewrites and table relocation. Planning a query
+    * touches the head snapshot several times (schema, scan build,
+    * stats decoration, DV resolution); at 100 TB file counts each
+    * uncached touch is an O(files) driver read + stats-JSON parse, and
+    * this cache makes all but the first free. Coarse clear-at-cap, the
+    * [[LakeManifest]] segment-cache discipline. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Snapshot]()
+  private val SnapCacheCap = 64
+
+  /** Manifest-file read counter — the instrumentation the snapshot
+    * cache spec pins "second resolution performs zero manifest IO"
+    * against. */
+  private[graft] val manifestReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def snapshotOf(spark: SparkSession, dir: String,
       version: Int): Snapshot = {
     val f = fs(spark, dir)
@@ -1045,6 +1066,12 @@ object VersionedTable {
     if (!f.exists(p))
       throw new IllegalArgumentException(
         s"version $version does not exist at $dir")
+    val st = f.getFileStatus(p)
+    val key = (f.makeQualified(p).toString, st.getModificationTime,
+      st.getLen)
+    val cached = snapCache.get(key)
+    if (cached != null) return cached
+    manifestReads.incrementAndGet()
     val raw = LakeManifest.parseRaw(readFully(f, p))
     val meta = raw.metaLines.map(_.stripPrefix("M ")).flatMap { l =>
       val i = l.indexOf('=')
@@ -1060,7 +1087,11 @@ object VersionedTable {
     val delParsed = del.map(split)
     val stats = (dataParsed ++ delParsed)
       .collect { case (p0, Some(s)) => p0 -> s }.toMap
-    Snapshot(dataParsed.map(_._1), delParsed.map(_._1), stats, meta)
+    val snap =
+      Snapshot(dataParsed.map(_._1), delParsed.map(_._1), stats, meta)
+    if (snapCache.size >= SnapCacheCap) snapCache.clear()
+    snapCache.put(key, snap)
+    snap
   }
 
   /** A snapshot's DATA files (the pre-DV manifest view). */

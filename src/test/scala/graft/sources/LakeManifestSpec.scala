@@ -191,6 +191,36 @@ class LakeManifestSpec extends SparkSpec {
     assert(reclaimed.nonEmpty, "old data files were reclaimed")
   }
 
+  test("snapshot cache: re-resolving an immutable version is zero manifest IO") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.commit(spark,
+      (0 until 20).map(i => (i, s"r$i")).toDF("k", "v")
+        .repartition(2), dir)
+    VersionedTable.snapshotOf(spark, dir, 0) // warm
+    val before = VersionedTable.manifestReads.get()
+    val snaps = (1 to 5).map(_ =>
+      VersionedTable.snapshotOf(spark, dir, 0))
+    assert(VersionedTable.manifestReads.get() == before,
+      "cached resolutions must not re-read the manifest")
+    assert(snaps.forall(_.dataFiles.size == 2))
+    // a REWRITTEN manifest (test-harness surgery — production
+    // manifests are immutable) invalidates via the (mtime, len) key
+    val f = hfs(dir)
+    val mp = new Path(s"$dir/_manifest/0.txt")
+    val s0 = VersionedTable.snapshotOf(spark, dir, 0)
+    val keepOne = s0.dataFiles.head
+    val metaLines = s0.meta.toSeq.sortBy(_._1)
+      .map { case (k, v0) => s"M $k=$v0" }
+    f.delete(mp, false)
+    val out = f.create(mp, true)
+    try out.write(((metaLines :+ keepOne).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    assert(VersionedTable.snapshotOf(spark, dir, 0).dataFiles ==
+      Seq(keepOne), "a changed manifest file must re-parse")
+  }
+
   test("time travel, branches and tags read exactly across the segment boundary") {
     import spark.implicits._
     val dir = freshDir()
