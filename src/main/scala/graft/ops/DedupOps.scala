@@ -710,13 +710,16 @@ object DedupOps {
     val docs = Tables.balanced(spark, dir, "documents")
     val corpus = chunksOf(docs.filter(col("doc_id") % 10 =!= 0))
       .select(col("chunk"))
-    val bf = corpus.agg(
+    // Driver-held sketch probed as a LITERAL (the q93/q174 shape): the
+    // old crossJoin(broadcast(bf)) attached 32 KB as a column and every
+    // probe paid a per-row getBinary copy of it.
+    val bloomBytes = corpus.agg(
       BloomSketch.build(PolyHashMod(col("chunk")), m, 7).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
     val batch = chunksOf(docs.filter(col("doc_id") % 10 === 0))
     val candidates = batch
-      .crossJoin(broadcast(bf))
       .withColumn("cand",
-        BloomSketch.mightContain(col("bf"), PolyHashMod(col("chunk"))))
+        BloomSketch.mightContain(lit(bloomBytes), PolyHashMod(col("chunk"))))
     val verified = candidates.filter(col("cand"))
       .join(corpus.distinct().withColumn("hit", lit(true)),
         Seq("chunk"), "left")

@@ -941,8 +941,9 @@ object Relational {
   /** Bloom-filter pre-join pruning as a FIRST-CLASS op: the engine's own
     * deterministic Bloom sketch (graft.functions.BloomSketch — a
     * mergeable TypedImperativeAggregate bitset + codegen'd probe) built
-    * over the urgent-order keys, broadcast as one 32 KB binary, and
-    * probed per lineitem row BEFORE any shuffle — the hand-rolled form
+    * over the urgent-order keys, held once on the driver (32 KB,
+    * metadata-sized) and probed per lineitem row as a LITERAL binary
+    * BEFORE any shuffle — the hand-rolled form
     * of the AQE runtime filter (spec-pinned separately), for the cases
     * the optimizer can't inject: persisted filters, decontamination
     * lists shipped across jobs, cross-engine pipelines.
@@ -959,11 +960,17 @@ object Relational {
     val urgent = t(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k")).distinct()
-    val bf = urgent.agg(BloomSketch.build(col("k"), m, 7).as("bf"))
-    val inBloom = BloomSketch.mightContain(col("bf"), col("l_orderkey"))
+    // Driver-held 32 KB sketch probed as a LITERAL (guide §3.2's manual
+    // Bloom shape, the q174 pattern): codegen references one shared
+    // byte[], zero per-row copies. The previous crossJoin(broadcast(bf))
+    // attached the sketch as a COLUMN, and every BloomContains eval in
+    // the aggregate paid an UnsafeRow.getBinary copy of the full 32 KB —
+    // ~3×32 KB × 600k lineitem rows ≈ 56 GB of allocation at sf0.1.
+    val bloomBytes = urgent.agg(BloomSketch.build(col("k"), m, 7).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val inBloom = BloomSketch.mightContain(lit(bloomBytes), col("l_orderkey"))
     t(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_returnflag"))
-      .crossJoin(broadcast(bf))
       .join(broadcast(urgent), col("l_orderkey") === col("k"), "left")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),

@@ -447,6 +447,19 @@ class DedupSpec extends SparkSpec {
          |  ${keys.head}L) AS hit""".stripMargin).head().getBoolean(0)
     assert(viaSql)
     assert(BloomContains.K == 7) // q93's build arity is pinned to the probe
+    // LITERAL probe ≡ column probe — the equivalence the q93/q95 shape
+    // relies on (driver-held sketch as lit(bytes): codegen references
+    // ONE shared byte[]; the old crossJoin-a-bf-column shape paid a
+    // per-row getBinary copy of the whole sketch per probe expression)
+    val viaLit = spark.createDataFrame(absent.map(Tuple1(_))).toDF("k")
+      .select(col("k"), BloomSketch.mightContain(lit(bloom), col("k")).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(absent.forall(k => viaLit(k) == got(k)))
+    // and the q93 plan carries NO nested-loop join anymore: the sketch
+    // rides the plan as a literal, not a cross-joined one-row relation
+    val p93 = Relational.q93BloomPrune(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p93.contains("BroadcastNestedLoopJoin"), p93)
   }
 
   test("sorted layout: range-partitioned files are shipdate-disjoint " +
