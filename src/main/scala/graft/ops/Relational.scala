@@ -918,11 +918,20 @@ object Relational {
       abs(a - e).cast("double") / e <= 0.02
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // ONE buffer per aggregate family (array-percentile form): the
+      // scalar form built an independent buffer per call — the exact
+      // percentile held the full per-group value multiset TWICE and the
+      // GK sketch was built twice, for identical inputs. Same algorithm,
+      // same values, half the aggregation state and update work.
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
-        expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("a95"))
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
+          .as("as"))
+      .select(col("l_returnflag"), col("n"),
+        round(element_at(col("ps"), 1), 2).as("p50"),
+        round(element_at(col("ps"), 2), 2).as("p95"),
+        element_at(col("as"), 1).as("a50"),
+        element_at(col("as"), 2).as("a95"))
       .select(col("l_returnflag"), col("n"), col("p50"), col("p95"),
         (within(col("a50"), col("p50")) && within(col("a95"), col("p95")))
           .as("within_bound"))
