@@ -801,9 +801,13 @@ object Relational {
   val q63Percentiles: Q = (spark, dir) =>
     t(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
+      // array form = ONE value-multiset buffer for both quantiles (the
+      // q90 discipline); scalar calls would hold the group's values twice
       .agg(count(lit(1)).as("n"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"))
+        expr("percentile(o_totalprice, array(0.5, 0.9))").as("ps"))
+      .select(col("o_orderpriority"), col("n"),
+        round(element_at(col("ps"), 1), 2).as("p50"),
+        round(element_at(col("ps"), 2), 2).as("p90"))
       .orderBy(col("o_orderpriority"))
 
   val q63Oracle: String =
@@ -1510,21 +1514,27 @@ object Relational {
     import graft.functions.Kll
     val o = t(spark, dir, "orders")
       .select(col("o_orderpriority"), col("o_totalprice"))
+    // array-percentile form: ONE exact-value buffer for the three rank
+    // anchors instead of three copies of the group's multiset (q90's fix)
     val per = o.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        expr("percentile(o_totalprice, 0.45)").as("p45"),
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.55)").as("p55"),
+        expr("percentile(o_totalprice, array(0.45, 0.5, 0.55))").as("ps"),
         Kll.build(col("o_totalprice")).as("sk"))
+      .select(col("o_orderpriority"), col("n"),
+        element_at(col("ps"), 1).as("p45"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p55"), col("sk"))
     val perOut = per.select(col("o_orderpriority").as("grp"), col("n"),
       round(col("p50"), 2).as("p50_exact"),
       Kll.quantile(col("sk"), 0.5).between(col("p45"), col("p55"))
         .as("within_rank5"))
     val allSk = per.agg(Kll.merge(col("sk")).as("u"))
     val allOut = o.agg(count(lit(1)).as("n"),
-        expr("percentile(o_totalprice, 0.45)").as("p45"),
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.55)").as("p55"))
+        expr("percentile(o_totalprice, array(0.45, 0.5, 0.55))").as("ps"))
+      .select(col("n"),
+        element_at(col("ps"), 1).as("p45"),
+        element_at(col("ps"), 2).as("p50"),
+        element_at(col("ps"), 3).as("p55"))
       .crossJoin(broadcast(allSk))
       .select(lit("__all__").as("grp"), col("n"),
         round(col("p50"), 2).as("p50_exact"),
