@@ -1530,6 +1530,11 @@ object EventOps {
           .filter(col("rn") === 1)
           .select(col("user_id"), col("ts_us"), col("event_id"),
             col("value"))
+        // NOTE(r16 A/B): the upsert runs this frame three times per
+        // trigger (isEmpty probe, eq-delete key write, data write);
+        // persist()-ing it measured SLOWER (5.6-5.8 s -> 7.3-9.0 s
+        // isolated) — InMemoryRelation materialization costs more than
+        // recomputing a micro-batch-sized window. Recompute stays.
         if (!latest.isEmpty)
           VersionedTable.upsertByKeysMergeOnRead(
             batch.sparkSession, state, latest, Seq("user_id"))

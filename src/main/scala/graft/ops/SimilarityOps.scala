@@ -1110,6 +1110,14 @@ object SimilarityOps {
     * list_reduce/list_inner_product replication (the q115 raw-IEEE
     * precedent), so floor() agrees bit-for-bit. */
   val q136JlProjection: Q = (spark, dir) => {
+    def normOf(a: String, d: Int): String =
+      s"""sqrt(aggregate(slice($a, 1, $d), CAST(0.0 AS DOUBLE),
+         |    (s, v) -> s + v * v))""".stripMargin
+    // per-ROW norms hoisted out of the pair loop: the old per-pair
+    // cosine recomputed both sides' norms for every (probe, vector)
+    // pair — the corpus norm 10× over, the probe norm once per corpus
+    // row. Same sqrt(aggregate(...)) text, same IEEE result, computed
+    // once per row instead of once per pair.
     val proj = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), expr(
         """transform(sequence(0, 31), k ->
@@ -1118,22 +1126,22 @@ object SimilarityOps {
           |        CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)) *
           |      CAST(element_at(embedding, CAST(i + 1 AS INT)) AS DOUBLE)))
           |""".stripMargin).as("p"))
+      .select(col("vec_id"), col("embedding"), col("p"),
+        expr(normOf("p", 16)).as("n16"), expr(normOf("p", 32)).as("n32"))
     val q = proj.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("p").as("qp"))
-    def cosOf(a: String, b: String, d: Int): String =
+        col("p").as("qp"), col("n16").as("qn16"), col("n32").as("qn32"))
+    def cosOf(a: String, b: String, na: String, nb: String,
+        d: Int): String =
       s"""aggregate(zip_with(slice($a, 1, $d), slice($b, 1, $d),
          |    (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v) /
-         |(sqrt(aggregate(slice($a, 1, $d), CAST(0.0 AS DOUBLE),
-         |    (s, v) -> s + v * v)) *
-         | sqrt(aggregate(slice($b, 1, $d), CAST(0.0 AS DOUBLE),
-         |    (s, v) -> s + v * v)))""".stripMargin
+         |($na * $nb)""".stripMargin
     proj.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"),
         graft.functions.CosineSimilarity(col("q_emb"), col("embedding"))
           .as("cf"),
-        expr(cosOf("p", "qp", 16)).as("cp16"),
-        expr(cosOf("p", "qp", 32)).as("cp32"))
+        expr(cosOf("p", "qp", "n16", "qn16", 16)).as("cp16"),
+        expr(cosOf("p", "qp", "n32", "qn32", 32)).as("cp32"))
       .selectExpr("q_id",
         "stack(2, 16, CAST(floor(abs(cf - cp16) * 1000) AS BIGINT), " +
           "32, CAST(floor(abs(cf - cp32) * 1000) AS BIGINT)) " +
