@@ -1447,15 +1447,21 @@ object TextOps {
     val toks = Tables.balanced(spark, dir, "documents")
       .select(explode(words).as("t"))
       .select(col("t"), PolyHashMod(col("t")).as("h"))
-    val sketch = toks.agg(
+    // Driver-held sketch probed as a LITERAL (the q93/q174 shape): the
+    // old crossJoin(broadcast(sketch)) attached the 32 KB CMS as a
+    // column to every token OCCURRENCE, and each estimateCol eval paid
+    // a per-row getBinary copy of the whole sketch.
+    val r = toks.agg(
       CountMin.build(col("h"), 1024).as("cms"),
-      count(lit(1)).as("total"))
-    toks.crossJoin(broadcast(sketch))
-      .filter(CountMin.estimateCol(col("cms"), col("h")) >=
-        expr("total DIV 200"))
+      count(lit(1)).as("total")).head
+    val cmsBytes = r.getAs[Array[Byte]]("cms")
+    val total = r.getAs[Long]("total")
+    toks
+      .filter(CountMin.estimateCol(lit(cmsBytes), col("h")) >=
+        lit(total / 200L))
       .groupBy(col("t"))
-      .agg(count(lit(1)).as("cnt"), max(col("total")).as("tot"))
-      .filter(col("cnt") >= expr("tot DIV 200"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(total / 200L))
       .select(col("t").as("token"), col("cnt"))
       .orderBy(col("cnt").desc, col("token"))
   }
