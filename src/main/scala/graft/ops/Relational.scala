@@ -3683,7 +3683,11 @@ object Relational {
       "WHERE o_orderpriority = '1-URGENT'")
     VersionedTable.deleteWhereMergeOnRead(spark, s"$root/ord",
       col("o_orderpriority") === lit("2-HIGH"))
+    // Two consumers per run (digest gate + final rollup), each replaying
+    // the per-version feed plan — stage once, release on exit (the
+    // q216/q173 discipline).
     val batch = VersionedTable.tableChanges(spark, s"$root/ord", 0)
+      .localCheckpoint()
     // gate: batch ≡ stream as MULTISETS over the same commits — one
     // pass per side (count + order-insensitive row-hash sum), not the
     // four full executions a two-way exceptAll would cost
@@ -3702,12 +3706,14 @@ object Relational {
     val (bn, bh) = digest(batch)
     val (sn, sh) = digest(streamed)
     val feedsEqual = bn == sn && bh.compareTo(sh) == 0
-    batch
+    val rolled = batch
       .groupBy(col("_change_type").as("op"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total"))
       .withColumn("feeds_equal", lit(feedsEqual))
-      .orderBy(col("op"))
+      .localCheckpoint() // change-type-count-sized; frees the feed blocks
+    graft.ops.Checkpoints.release(batch)
+    rolled.orderBy(col("op"))
   }
 
   val q211Oracle: String =
@@ -4110,7 +4116,13 @@ object Relational {
     spark.sql(s"UPDATE $cat.c SET c_acctbal = -1.0 " +
       "WHERE c_custkey % 10 = 0")                                  // v2
     spark.sql(s"DELETE FROM $cat.c WHERE c_custkey % 7 = 0")       // v3
+    // The feed has THREE consumers per run (pairing gate, fold-back
+    // digest, final rollup), and each recompute replays the whole
+    // per-version union + broadcast-mask + lineage-join plan. Stage it
+    // once — the materialized feed is key-sample-sized — and release the
+    // blocks before returning (the q173 staging discipline).
     val feed = VersionedTable.tableChanges(spark, s"$root/c", 0)
+      .localCheckpoint()
     // gate 1: pre/post images pair 1:1 on (_row_id, c_custkey)
     feed.createOrReplaceTempView(s"q216_feed_$nonce")
     val unpaired = spark.sql(
@@ -4148,12 +4160,14 @@ object Relational {
     }
     val ok = unpaired == 0L &&
       digest(s"q216_folded_$nonce") == digest(s"$cat.c")
-    spark.sql(
+    val rolled = spark.sql(
       s"""SELECT c_mktsegment, count(*) AS n,
          |  round(sum(c_acctbal), 2) AS bal
          |FROM q216_folded_$nonce GROUP BY c_mktsegment""".stripMargin)
       .withColumn("lineage_feed_ok", lit(ok))
-      .orderBy(col("c_mktsegment"))
+      .localCheckpoint() // segment-count-sized; lets the feed blocks go
+    graft.ops.Checkpoints.release(feed)
+    rolled.orderBy(col("c_mktsegment"))
   }
 
   val q216Oracle: String =
