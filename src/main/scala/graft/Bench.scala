@@ -27,6 +27,13 @@ import org.apache.spark.sql.DataFrame
   * a parseable summary carrying `truncated_after`, and the outlier
   * defense's previous-round record falls back past artifacts that carry
   * no per-query values.
+  *
+  * Truncation-proof output (the r16 lesson — a clean rc=0 sweep still
+  * produced an empty official perf record because the ~8 KB summary line
+  * overflowed the harness's ~2000-char stdout-tail window): diagnostics
+  * print BEFORE the summary, a compact always-fits line is the LAST line
+  * of stdout, and the full per-query record is persisted to
+  * BENCH_SELF.json.
   */
 object Bench {
 
@@ -49,6 +56,22 @@ object Bench {
     val truncField = truncatedAfter
       .map(n => s""","truncated_after":"$n"""").getOrElse("")
     f"""{"queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"$truncField}"""
+  }
+
+  /** The compact LAST line of stdout. The r16 lesson: the full summary
+    * line grew to ~8 KB (268 entries) and no longer fits the harness's
+    * ~2000-char stdout-tail window — the captured tail held one
+    * truncated (unparseable) line and the round's official perf record
+    * came out empty despite a clean rc=0 sweep. This line is always a
+    * few hundred bytes, so whatever window the harness keeps, the final
+    * line of stdout is complete, parseable JSON carrying the headline
+    * numbers. The full per-query record stays available twice over: the
+    * summary line directly above, and the BENCH_SELF.json file artifact. */
+  def compactLine(total: Double, n: Int, canary: Double, sfDir: String,
+                  truncatedAfter: Option[String]): String = {
+    val truncField = truncatedAfter
+      .map(nm => s""","truncated_after":"$nm"""").getOrElse("")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$n,"canary":$canary%.3f,"sf":"$sfDir"$truncField}"""
   }
 
   /** Per-query values from prior BENCH_r*.json artifact texts, given
@@ -280,14 +303,16 @@ object Bench {
       .filter(_ > 0).map(canary / _)
 
     val total = results.map(_._2).sum
-    // `queries` first, summary fields LAST: the harness records only the
-    // tail of stdout, so the end of this line — newest entries, then the
-    // total — is the part guaranteed to survive truncation.
-    println(summaryLine(results.toSeq, sfDir, truncatedAfter))
-    // Historical regression-watch set on its own final line: these keys
-    // sit mid-suite in natural order, so truncation hides them from the
-    // captured tail — repeat them (plus the total) LAST so every round's
-    // record contains the cross-round comparables.
+    // Output order is load-bearing (the r16 lesson: the harness keeps
+    // only a ~2000-char stdout tail, and the ~8 KB summary line followed
+    // by the watch line left that tail holding one truncated line —
+    // rc=0 sweep, zero recorded per-query data). From least to most
+    // important, so truncation eats from the top:
+    //   1. watch/diagnostics line (canaries, GC, reruns) FIRST,
+    //   2. the canonical full summary line (the declared contract line),
+    //   3. a compact final line that ALWAYS fits the tail window.
+    // The full record is also persisted to BENCH_SELF.json so stdout
+    // truncation can never again destroy the per-query data.
     val watchKeys = Seq("q17_window_range", "q40_minhash_lsh",
       "q52_dedup_clusters", "q53_kmeans_centroids", "q76_pagerank",
       "q93_bloom_prune", "q101_prefix_join", "q135_cdc_chunks")
@@ -303,10 +328,22 @@ object Bench {
       "\"" + k + f"""\":$s%.3f""" }.mkString("{", ",", "}")
     val midField = midCanaries.map { case (at, s) =>
       f"""{"after":$at,"sec":$s%.3f}""" }.mkString("[", ",", "]")
-    println(f"""{"watch":$watch,"rerun":$rerun,"gc_sec":$gcField,""" +
-      f""""cpu_mid":$midField,"io_canary":{"start":$ioStart%.3f,""" +
-      f""""end":$ioEnd%.3f},"canary":$canary%.3f$ratioField,""" +
-      f""""total":$total%.3f}""")
+    val watchLine =
+      f"""{"watch":$watch,"rerun":$rerun,"gc_sec":$gcField,""" +
+        f""""cpu_mid":$midField,"io_canary":{"start":$ioStart%.3f,""" +
+        f""""end":$ioEnd%.3f},"canary":$canary%.3f$ratioField,""" +
+        f""""total":$total%.3f}"""
+    val summary = summaryLine(results.toSeq, sfDir, truncatedAfter)
+    // File artifact: full summary + diagnostics, immune to any stdout
+    // window. Best-effort — a read-only cwd must not fail the sweep.
+    try {
+      val w = new java.io.PrintWriter("BENCH_SELF.json", "UTF-8")
+      try { w.println(summary); w.println(watchLine) } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_SELF.json write failed: $e") }
+    println(watchLine)
+    println(summary)
+    println(compactLine(total, results.size, canary, sfDir, truncatedAfter))
     spark.stop()
   }
 }

@@ -35,6 +35,33 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(line.count(_ == '{') == line.count(_ == '}'))
   }
 
+  test("compactLine is the LAST line of stdout: complete, parseable, and " +
+      "small enough for any stdout-tail window (the r16 lesson — the 8 KB " +
+      "summary line overflowed the harness's ~2000-char tail)") {
+    val line = Bench.compactLine(270.599, 268, 2.052,
+      "/root/testdata/sf0.1", None)
+    assert(line ==
+      """{"metric":"total","value":270.599,"unit":"sec","n":268,"canary":2.052,"sf":"/root/testdata/sf0.1"}""")
+    assert(!line.contains("\n"))
+    assert(line.length < 300, "compact line must fit any tail window")
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("compactLine carries truncated_after when the budget cut the sweep") {
+    val line = Bench.compactLine(100.0, 50, 2.0, "sfdir", Some("q99_hits"))
+    assert(line.endsWith(""","truncated_after":"q99_hits"}"""))
+    assert(line.startsWith("""{"metric":"total","value":100.000"""))
+  }
+
+  test("compactLine does not poison prevRecord parsing: no q/b-prefixed " +
+      "keys, so an artifact tail holding only the compact line falls " +
+      "back to an older artifact for the outlier defense") {
+    val compact = Bench.compactLine(100.0, 50, 2.0, "sfdir", None)
+    val older = """{"queries":{"q01":1.500},"canary":1.900}"""
+    val rec = Bench.parsePrevRecord(Seq(compact, older))
+    assert(rec.get("q01").contains(1.5))
+  }
+
   test("prevRecord falls back past artifacts with no per-query values " +
       "(the rc=124 carcass) to the newest artifact that parses") {
     val dead =
