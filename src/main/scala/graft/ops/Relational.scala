@@ -1042,12 +1042,18 @@ object Relational {
   val q94CmsFrequency: Q = (spark, dir) => {
     import graft.functions.CountMin
     val keys = t(spark, dir, "events").select(col("user_id"))
-    val cms = keys.agg(CountMin.build(col("user_id"), 1024).as("cms"))
-    val exact = keys.groupBy(col("user_id"))
+    // Driver-held 32 KB sketch probed as a LITERAL (the q93/q127 shape):
+    // the old crossJoin(broadcast(cms)) attached the sketch as a COLUMN
+    // to every per-user row, and each estimateCol eval paid an
+    // UnsafeRow.getBinary copy of the whole sketch — linear-in-users
+    // allocation churn. As a literal, codegen references ONE shared
+    // byte[] and the nested-loop attach join disappears from the plan.
+    val cmsBytes = keys.agg(CountMin.build(col("user_id"), 1024).as("cms"))
+      .head.getAs[Array[Byte]]("cms")
+    keys.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_exact"))
-    exact.crossJoin(broadcast(cms))
       .select(col("user_id"), col("n_exact"),
-        CountMin.estimateCol(col("cms"), col("user_id")).as("n_est"))
+        CountMin.estimateCol(lit(cmsBytes), col("user_id")).as("n_est"))
       .withColumn("over_est", col("n_est") - col("n_exact"))
       .orderBy(col("user_id"))
   }
@@ -1411,6 +1417,12 @@ object Relational {
     val perOut = per.select(col("event_type").as("grp"), col("n_exact"),
       (abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) <=
         col("n_exact") * 0.03).as("within3pct"))
+    // Deliberately NOT the q93/q127 literal-probe shape: the probe side
+    // here is ONE row, so the BNLJ attach is O(1) — collecting the union
+    // sketch to the driver instead costs a separate job that re-runs the
+    // per-type aggregate (isolated A/B r17: 0.77 s → 1.17 s). The r16
+    // churn argument applies only where the probe side is
+    // row-proportional (q94).
     val allSk = per.agg(expr("hll_union_agg(sk)").as("u"))
     val allOut = e.agg(countDistinct(col("user_id")).cast("long")
         .as("n_exact"))
@@ -1456,16 +1468,25 @@ object Relational {
       sum(col("s")).cast("long").as("n_s"),
       sum(col("p") * col("s")).cast("long").as("n_and"),
       sum(col("p") * (lit(1) - col("s"))).cast("long").as("n_not"))
-    val skP = e.filter(col("event_type") === "purchase")
-      .agg(Theta.build(col("user_id")).as("sk_p"))
-    val skS = e.filter(col("event_type") === "signup")
-      .agg(Theta.build(col("user_id")).as("sk_s"))
-    exact.crossJoin(broadcast(skP)).crossJoin(broadcast(skS))
+    // Driver-held sketches probed as LITERALS (the q93/q127 shape): the
+    // old double crossJoin(broadcast(sk)) attached each ~32 KB sketch as
+    // a one-row relation through two nested-loop joins; as literals the
+    // set-algebra estimates fold into the projection and both BNLJs
+    // disappear. ONE job builds both sketches (two filtered aggregates
+    // over the same scan), instead of two broadcast-build jobs.
+    val skRow = e.agg(
+      Theta.build(when(col("event_type") === "purchase", col("user_id")))
+        .as("sk_p"),
+      Theta.build(when(col("event_type") === "signup", col("user_id")))
+        .as("sk_s")).head
+    val skP = lit(skRow.getAs[Array[Byte]]("sk_p"))
+    val skS = lit(skRow.getAs[Array[Byte]]("sk_s"))
+    exact
       .select(col("n_p"), col("n_s"), col("n_and"), col("n_not"),
-        Theta.estimate(col("sk_p")).as("e_p"),
-        Theta.estimate(col("sk_s")).as("e_s"),
-        Theta.intersectEstimate(col("sk_p"), col("sk_s")).as("e_and"),
-        Theta.aNotBEstimate(col("sk_p"), col("sk_s")).as("e_not"))
+        Theta.estimate(skP).as("e_p"),
+        Theta.estimate(skS).as("e_s"),
+        Theta.intersectEstimate(skP, skS).as("e_and"),
+        Theta.aNotBEstimate(skP, skS).as("e_not"))
       .selectExpr("stack(4, " +
         "'purchase', n_p, e_p, " +
         "'purchase_and_signup', n_and, e_and, " +
@@ -1528,6 +1549,12 @@ object Relational {
       round(col("p50"), 2).as("p50_exact"),
       Kll.quantile(col("sk"), 0.5).between(col("p45"), col("p55"))
         .as("within_rank5"))
+    // Deliberately NOT the q93/q127 literal-probe shape: the probe side
+    // here is ONE row, so the BNLJ attach is O(1) — collecting the
+    // merged sketch to the driver instead costs a separate job that
+    // re-runs the per-priority KLL build (isolated A/B r17:
+    // 1.21 s → 1.52 s). The r16 churn argument applies only where the
+    // probe side is row-proportional (q94).
     val allSk = per.agg(Kll.merge(col("sk")).as("u"))
     val allOut = o.agg(count(lit(1)).as("n"),
         expr("percentile(o_totalprice, array(0.45, 0.5, 0.55))").as("ps"))
@@ -3703,15 +3730,26 @@ object Relational {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    val (bn, bh) = digest(batch)
     val (sn, sh) = digest(streamed)
-    val feedsEqual = bn == sn && bh.compareTo(sh) == 0
-    val rolled = batch
+    // ONE pass over the staged feed for BOTH consumers (the digest gate
+    // and the final rollup — previously two separate traversals): the
+    // per-change-type rollup carries the digest terms, and the batch
+    // side's global digest is their sum over the change-type-count-sized
+    // checkpointed frame (counts and hash-sums are associative).
+    val grouped = batch
       .groupBy(col("_change_type").as("op"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
-      .withColumn("feeds_equal", lit(feedsEqual))
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(xxhash64(batch.columns.map(col): _*)
+          .cast("decimal(38,0)")).as("__h"))
       .localCheckpoint() // change-type-count-sized; frees the feed blocks
+    val g = grouped.agg(sum(col("n")), sum(col("__h"))).collect()(0)
+    val bn = if (g.isNullAt(0)) 0L else g.getLong(0)
+    val bh = if (g.isNullAt(1)) java.math.BigDecimal.ZERO else g.getDecimal(1)
+    val feedsEqual = bn == sn && bh.compareTo(sh) == 0
+    val rolled = grouped
+      .select(col("op"), col("n"), col("total"))
+      .withColumn("feeds_equal", lit(feedsEqual))
     graft.ops.Checkpoints.release(batch)
     rolled.orderBy(col("op"))
   }
@@ -4158,14 +4196,31 @@ object Relational {
       (r.getLong(0),
         if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    val ok = unpaired == 0L &&
-      digest(s"q216_folded_$nonce") == digest(s"$cat.c")
-    val rolled = spark.sql(
+    // ONE fold-back computation for BOTH consumers (the fold-back digest
+    // and the final rollup — previously each recomputed the window +
+    // filter over the feed): the per-segment rollup carries the digest
+    // terms, and the fold-back digest is their sum over the
+    // segment-count-sized checkpointed frame (counts and hash-sums are
+    // associative).
+    val grouped = spark.sql(
       s"""SELECT c_mktsegment, count(*) AS n,
-         |  round(sum(c_acctbal), 2) AS bal
+         |  round(sum(c_acctbal), 2) AS bal,
+         |  sum(CAST(xxhash64(c_custkey, c_mktsegment, c_acctbal)
+         |    AS DECIMAL(38,0))) AS __h
          |FROM q216_folded_$nonce GROUP BY c_mktsegment""".stripMargin)
-      .withColumn("lineage_feed_ok", lit(ok))
       .localCheckpoint() // segment-count-sized; lets the feed blocks go
+    val g = grouped.agg(sum(col("n")), sum(col("__h"))).collect()(0)
+    val fn = if (g.isNullAt(0)) 0L else g.getLong(0)
+    val fh = if (g.isNullAt(1)) java.math.BigDecimal.ZERO else g.getDecimal(1)
+    val (ln, lh) = digest(s"$cat.c")
+    val ok = unpaired == 0L && fn == ln && fh.compareTo(lh) == 0
+    val rolled = grouped
+      .select(col("c_mktsegment"), col("n"), col("bal"))
+      .withColumn("lineage_feed_ok", lit(ok))
+    // the nonce temp views point into the released checkpoint blocks —
+    // drop them before the release so nothing dangling stays registered
+    spark.catalog.dropTempView(s"q216_feed_$nonce")
+    spark.catalog.dropTempView(s"q216_folded_$nonce")
     graft.ops.Checkpoints.release(feed)
     rolled.orderBy(col("c_mktsegment"))
   }

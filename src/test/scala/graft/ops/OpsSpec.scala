@@ -706,6 +706,19 @@ class DedupSpec extends SparkSpec {
       s"""SELECT cms_estimate((SELECT cms_build(k, $w) FROM cms_keys),
          |  ${keys.head}L) AS est""".stripMargin).head().getLong(0)
     assert(viaSql == got(keys.head))
+    // LITERAL probe ≡ column probe — the equivalence q94/q127 rely on
+    // (driver-held sketch as lit(bytes), the same discipline the Bloom
+    // test pins for q93/q95)
+    val viaLit = spark.createDataFrame(exact.keys.map(Tuple1(_)).toSeq)
+      .toDF("k")
+      .select(col("k"), CountMin.estimateCol(lit(cms), col("k")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keys.forall(k => viaLit(k) == got(k)))
+    // and the q94 plan carries NO nested-loop join anymore: the sketch
+    // rides the plan as a literal, not a cross-joined one-row relation
+    val p94 = Relational.q94CmsFrequency(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p94.contains("BroadcastNestedLoopJoin"), p94)
   }
 
   test("incremental dedup: bloom candidates cover every exact dup " +
