@@ -1432,7 +1432,8 @@ object TextOps {
     * the vocabulary. Pass 1 folds all token occurrences into ONE 32 KB
     * count-min sketch + the corpus total (a scalar aggregate — map
     * partials merge, nothing keyed shuffles). Pass 2 probes the
-    * broadcast sketch MAP-SIDE: only occurrences whose estimate clears
+    * driver-held sketch as a shared LITERAL, MAP-SIDE: only
+    * occurrences whose estimate clears
     * total/200 enter the exact groupBy — at 100 TB the heavy tail
     * (nearly all of a Zipfian vocabulary) never reaches the exchange.
     * CMS never undercounts, so the candidate set is a SUPERSET of the
@@ -2099,7 +2100,7 @@ object TextOps {
     * so the hash gate proves the full EM — seed, both E-steps, both
     * M-steps, the prune, and the per-round losses carried on every
     * output row. UnigramSpec pins the hard-EM monotone loss decrease. */
-  private val UnigramMiss = s"CAST(${-(1L << 40)} AS BIGINT)"
+  private[ops] val UnigramMiss = s"CAST(${-(1L << 40)} AS BIGINT)"
 
   private def log2fpSpark(x: String): String =
     s"(1024 * (length(bin($x)) - 1) + (($x * 1024) DIV " +
@@ -2119,7 +2120,7 @@ object TextOps {
     * the expansion is 4^8. `look` renders a model-map lookup;
     * `arrFilter` renders the null-dropping array build (the two
     * dialect differences). */
-  private def unigramCascade(look: String => String,
+  private[ops] def unigramCascade(look: String => String,
       arrFilter: Seq[String] => String): Seq[Seq[(String, String)]] = {
     val levels = Seq.newBuilder[Seq[(String, String)]]
     levels += Seq("b0" -> "CAST(0 AS BIGINT)")
@@ -2197,25 +2198,30 @@ object TextOps {
       .orderBy(col("f0").desc, col("p")).limit(40)
     val vocab0 = chars.unionByName(multi)
 
-    def modelMap(v: DataFrame, fcol: String): DataFrame = {
+    def modelMap(v: DataFrame, fcol: String): Map[String, Long] = {
       val t = v.agg(sum(col(fcol)).cast("long").as("tf"))
       v.crossJoin(broadcast(t))
         .select(col("p"),
           expr(s"${log2fpSpark(fcol)} - ${log2fpSpark("tf")}").as("sc"))
         .agg(map_from_entries(collect_list(struct(col("p"), col("sc"))))
           .as("m"))
+        .head.getAs[scala.collection.Map[String, Long]]("m").toMap
     }
 
-    def estep(model: DataFrame): DataFrame = {
-      val look = (k: String) => s"coalesce(try_element_at(m, $k), $UnigramMiss)"
-      val arrF = (pcs: Seq[String]) =>
-        s"filter(array(${pcs.mkString(", ")}), x -> x IS NOT NULL)"
-      var df = hist.crossJoin(broadcast(model))
-      unigramCascade(look, arrF).flatten.foreach { case (n, e) =>
-        df = df.withColumn(n, expr(e))
-      }
-      df.select(col("w"), col("cnt"), col("vbest"), col("pcs"))
-    }
+    // E-step: the native Viterbi expression (UnigramViterbi) with the
+    // model as a driver-held LITERAL map (the q93/q127 literal-probe
+    // shape) — bit-identical by construction to the 40-column SQL
+    // cascade the DuckDB oracle still replays (all-int64 fixed-point
+    // scores, ties to the longest piece; equivalence spec-pinned in
+    // UnigramViterbiSpec), but ≤ 40 hash probes per row against a table
+    // built once per task instead of ~64 linear MapData scans through
+    // 40 chained Projects.
+    def estep(model: Map[String, Long]): DataFrame =
+      hist.select(col("w"), col("cnt"),
+        graft.functions.UnigramViterbi(col("w"), typedLit(model)).as("v"))
+        .select(col("w"), col("cnt"),
+          col("v").getField("vbest").as("vbest"),
+          col("v").getField("pcs").as("pcs"))
 
     def mstep(seg: DataFrame): DataFrame =
       seg.select(col("cnt"), explode(col("pcs")).as("p"))
