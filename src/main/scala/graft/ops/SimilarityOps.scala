@@ -489,10 +489,17 @@ object SimilarityOps {
           .getField("cent_id")
         sub(element_at(col("cents"), (code + 1).cast("int")).getField("c"), s)
       }))
+    // BNLJ bound (r17 audit): broadcast side is ONE row — the M×16
+    // codebook array. The nested loop degenerates to a per-row attach
+    // of a constant-sized struct; nothing row-proportional crosses it.
     val coded = e.crossJoin(broadcast(cbRow))
       .select(col("vec_id"), recon(col("emb")).as("recon"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    // BNLJ bound (r17 audit): broadcast side is the PROBE SET (|Q|=10
+    // rows by the vec_id<10 literal) — corpus×|Q| candidate generation
+    // is the ADC probe itself, bounded by the query batch size, never
+    // by the corpus.
     val scored = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         l2sq(col("q_emb"), col("recon")).as("adc"))
@@ -558,7 +565,11 @@ object SimilarityOps {
         x => x.cast("double")).as("emb"))
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("emb").as("c_emb"))
-    // coarse assignment: partial-aggregatable argmin (q48's shape)
+    // coarse assignment: partial-aggregatable argmin (q48's shape).
+    // BNLJ bound (r17 audit): the keyless broadcast join IS the coarse
+    // quantizer — every vector must score against every centroid, and
+    // the broadcast side is nlist=16 rows (a training-time constant),
+    // never corpus-proportional.
     val scoredAll = e.join(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("cent_id"), col("c_emb"),
         l2sq(col("emb"), col("c_emb")).as("d2"))
@@ -589,6 +600,8 @@ object SimilarityOps {
           .getField("code_id")
         sub(element_at(col("cb"), (code + 1).cast("int")).getField("cr"), s)
       }))
+    // BNLJ bound (r17 audit): broadcast side is ONE row (the residual
+    // codebook array) — constant-sized attach, as in q54.
     val coded = withRes.crossJoin(broadcast(cbRow))
       .select(col("vec_id"), col("cent_id"), recon(col("res")).as("rr"))
       .repartition(col("cent_id"))
