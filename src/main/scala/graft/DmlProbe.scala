@@ -133,6 +133,21 @@ object DmlProbe {
             .mode("overwrite").save() }
         } finally saved.foreach { case (k, v) =>
           v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      case "create" =>
+        // fixed-overhead probe: N empty CREATEs on one catalog — what
+        // does a zero-data commit cost, and where does the time go
+        // (pair with jstack sampling from outside)
+        val nonce = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(12)
+        val cat = s"graft_lake_$nonce"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.GraftLakeCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.root",
+          s"/tmp/graft_createp_$nonce")
+        if (run) (1 to 20).foreach { i =>
+          timed(s"create_$i") {
+            spark.sql(s"CREATE TABLE $cat.t$i (k BIGINT, v DOUBLE)") }
+        }
       case other => sys.error(s"unknown probe $other")
     }
 

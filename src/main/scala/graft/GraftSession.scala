@@ -27,6 +27,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as raw nanos-since-epoch longs (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local FS without the per-created-file chmod FORK (no native
+      // hadoop lib here, so stock Hadoop shells out /bin/chmod once per
+      // file — ~25-30% of a zero-data commit, r17 jstack ledger); the
+      // JDK call sets bit-identical permissions. Same win on any
+      // cluster node missing libhadoop.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.FastLocalFileSystem")
 
   /** Local session for tests / benchmarks. */
   def local(appName: String = "graft"): SparkSession = {

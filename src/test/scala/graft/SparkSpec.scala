@@ -16,6 +16,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the fork-free local FS GraftSession ships (every suite then
+      // exercises it, not just the Verify/Bench mains)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.FastLocalFileSystem")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
